@@ -1,0 +1,28 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Corpus table loaders (schema-on-read from parquet footers).
+  *
+  * Mirrors the reference's read surface — `CephRgwFileSystem.open` /
+  * `listStatus` / `getFileStatus` (`/root/reference/src/main/java/org/apache/
+  * hadoop/fs/cephrgw/CephRgwFileSystem.java:191-200,374-386,432-439`) — through
+  * Spark's `FileSourceScanExec`, which issues the same FileSystem calls per
+  * split. Filters and projections applied downstream push into these scans
+  * (PushedFilters / ReadSchema), so loaders stay bare `spark.read.parquet`.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}
