@@ -28,4 +28,38 @@ object Det {
 
   def davgSql(expr: String): String =
     s"CAST(sum(CAST(($expr) AS DECIMAL(18,4))) AS DOUBLE) / count(*)"
+
+  // ---- Float-vector arithmetic (ArrayType(FloatType) embeddings) ----
+  //
+  // Per-row reductions over an array column are SEQUENTIAL LEFT FOLDS in both
+  // engines (Spark's `aggregate` HOF, DuckDB's `list_reduce`), so plain
+  // double arithmetic is bit-reproducible: widen float→double (exact),
+  // multiply in double (a product of two 24-bit floats fits a 53-bit double
+  // exactly), then fold with IEEE-deterministic additions in identical order.
+  // Do NOT use decimal here — Spark's double→decimal cast goes through the
+  // shortest-string representation while DuckDB rounds the exact binary
+  // expansion, and they disagree past ~15 significant digits.
+
+  /** Spark SQL expr: left-fold dot product of two float arrays, as DOUBLE. */
+  def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** DuckDB twin of [[dotExpr]] — identical fold order, bit-identical result. */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(list_zip($a, $b), " +
+      s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+
+  /** Spark SQL expr: left-fold sum of a float array's elements, as DOUBLE. */
+  def arrSumExpr(a: String): String =
+    s"aggregate($a, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE))"
+
+  /** DuckDB twin of [[arrSumExpr]]. */
+  def arrSumSql(a: String): String =
+    s"list_reduce([CAST(0 AS DOUBLE)] || list_transform($a, x -> CAST(x AS DOUBLE)), " +
+      s"(acc, v) -> acc + v)"
+
+  /** DuckDB: events with ts truncated to Spark's µs TimestampType (see Tables.events). */
+  val EventsSql: String =
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
 }

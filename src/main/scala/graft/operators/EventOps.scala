@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Event-time operators — batch-emulated Structured Streaming semantics over
+  * the events table (tumbling / sliding / session windows, watermark late-data
+  * drop, windowed dedup) plus an as-of join. The true streaming forms live in
+  * [[graft.streaming.StreamingOps]]; these batch twins are the
+  * oracle-checkable surface.
+  *
+  * All event-time arithmetic happens on µs-truncated timestamps (see
+  * Tables.events); every oracle uses `CAST(ts AS TIMESTAMP)` so both engines
+  * bucket the identical value. Window starts are epoch-aligned on both sides.
+  */
+object EventOps {
+
+  /** As-of join: for each purchase event, the latest click by the same user
+    * at or before it. Planned as one shuffle join on the equi key (user_id)
+    * plus a per-purchase window dedup — the scalable as-of pattern (no
+    * cross-product, no driver loop; at 100 TB this is a sort-merge join
+    * partitioned by user followed by a co-partitioned window).
+    */
+  def q26AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val w = Window.partitionBy(col("p_id")).orderBy(desc("c_ts"), desc("click_id"))
+    purchases
+      .join(clicks, col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("p_id"), col("user_id"), col("p_value"), col("click_id").as("asof_click_id"))
+      .orderBy(col("p_id"))
+  }
+
+  val q26Oracle: String =
+    s"""SELECT p_id, user_id, p_value, asof_click_id FROM (
+       |  SELECT p.event_id AS p_id, p.user_id, p.value AS p_value,
+       |    c.event_id AS asof_click_id,
+       |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+       |  FROM (${Det.EventsSql}) p JOIN (${Det.EventsSql}) c
+       |    ON p.event_type = 'purchase' AND c.event_type = 'click'
+       |   AND c.user_id = p.user_id AND c.ts <= p.ts)
+       |WHERE rn = 1 ORDER BY p_id""".stripMargin
+
+  /** Tumbling 10-minute windows per event type. */
+  def q27TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val q27Oracle: String =
+    s"""SELECT w_start, w_start + INTERVAL 10 MINUTE AS w_end, event_type,
+       |  count(*) AS cnt, ${Det.dsumSql("value")} AS sum_value
+       |FROM (SELECT time_bucket(INTERVAL '10 minutes', ts, TIMESTAMP '1970-01-01') AS w_start,
+       |             event_type, value
+       |      FROM (${Det.EventsSql}))
+       |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin
+
+  /** Sliding windows (10-minute size, 5-minute slide): each event lands in
+    * exactly two windows.
+    */
+  def q28SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("cnt"), col("sum_value"))
+      .orderBy(col("w_start"))
+
+  val q28Oracle: String =
+    s"""SELECT w_start, w_start + INTERVAL 10 MINUTE AS w_end,
+       |  count(*) AS cnt, ${Det.dsumSql("value")} AS sum_value
+       |FROM (SELECT unnest([b5, b5 - INTERVAL 5 MINUTE]) AS w_start, value
+       |      FROM (SELECT time_bucket(INTERVAL '5 minutes', ts, TIMESTAMP '1970-01-01') AS b5,
+       |                   value
+       |            FROM (${Det.EventsSql})))
+       |GROUP BY w_start ORDER BY w_start""".stripMargin
+
+  /** Session windows: 30-minute inactivity gap per user. Spark's
+    * session_window ends at last_ts + gap; the oracle reproduces that with
+    * gaps-and-islands (a new session starts when the gap is ≥ 30 minutes,
+    * matching Spark's end-exclusive session extent).
+    */
+  def q29SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("cnt"), col("sum_value"))
+      .orderBy(col("user_id"), col("s_start"))
+
+  val q29Oracle: String =
+    s"""SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+       |  count(*) AS cnt, ${Det.dsumSql("value")} AS sum_value
+       |FROM (
+       |  SELECT user_id, ts, value,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM (
+       |    SELECT user_id, ts, event_id, value,
+       |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |                >= INTERVAL 30 MINUTE
+       |           THEN 1 ELSE 0 END AS new_s
+       |    FROM (${Det.EventsSql})))
+       |GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+
+  /** Watermark late-data drop, batch-emulated: keep only events within 6
+    * hours of the global max event time. The global max is a broadcast scalar
+    * (single-row cross join), not a collect() — scales to any input.
+    */
+  def q30LateDataFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mx = ev.agg(max(col("ts")).as("max_ts"))
+    ev.crossJoin(broadcast(mx))
+      .where(col("ts") >= col("max_ts") - expr("INTERVAL 6 HOURS"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q30Oracle: String =
+    s"""SELECT event_type, count(*) AS cnt, ${Det.dsumSql("value")} AS sum_value
+       |FROM (${Det.EventsSql})
+       |WHERE ts >= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 6 HOUR
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Stateful dedup, batch-emulated: first event per (user, type) within each
+    * 10-minute window survives (dropDuplicates-within-watermark semantics).
+    */
+  def q31WindowedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"), col("w_start"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("w_start", window(col("ts"), "10 minutes").getField("start"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("kept_cnt"), Det.dsum(col("value")).as("kept_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val q31Oracle: String =
+    s"""SELECT event_type, count(*) AS kept_cnt, ${Det.dsumSql("value")} AS kept_sum
+       |FROM (
+       |  SELECT event_type, value,
+       |    row_number() OVER (
+       |      PARTITION BY user_id, event_type,
+       |                   time_bucket(INTERVAL '10 minutes', ts, TIMESTAMP '1970-01-01')
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM (${Det.EventsSql}))
+       |WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q26_asof_join", q26AsofJoin, q26Oracle),
+    GraftQuery.sql("q27_tumbling_window", q27TumblingWindow, q27Oracle),
+    GraftQuery.sql("q28_sliding_window", q28SlidingWindow, q28Oracle),
+    GraftQuery.sql("q29_session_window", q29SessionWindow, q29Oracle),
+    GraftQuery.sql("q30_late_data_filter", q30LateDataFilter, q30Oracle),
+    GraftQuery.sql("q31_windowed_dedup", q31WindowedDedup, q31Oracle)
+  )
+}

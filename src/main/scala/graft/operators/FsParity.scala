@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Storage-parity operator: exercises the reference's entire FileSystem
+  * surface through Spark — partitioned create/mkdirs/write
+  * (`CephRgwFileSystem.create/mkdirs`, reference `:216-233,398-430`),
+  * list/stat/open/pread on read-back (`:374-386,432-439,191-200`), and
+  * overwrite (recursive delete, `:315-330`) — then proves the round trip
+  * lossless by aggregating the re-read copy. The oracle computes the same
+  * aggregate over the original table, so any corruption breaks the hash.
+  */
+object FsParity {
+
+  def q45FsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_fs_roundtrip"
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    spark.read.parquet(out)
+      .agg(
+        count(lit(1)).as("rows_cnt"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("langs"),
+        countDistinct(col("doc_id")).as("doc_ids"))
+  }
+
+  val q45Oracle: String =
+    """SELECT count(*) AS rows_cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  count(DISTINCT lang) AS langs, count(DISTINCT doc_id) AS doc_ids
+      |FROM documents""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q45_fs_roundtrip", q45FsRoundtrip, q45Oracle)
+  )
+}

@@ -46,7 +46,255 @@ object RelationalCore {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Projection + predicate sweep: IN, BETWEEN, timestamp compare, null-safe
+    * equality. All predicates push to the parquet scan (PushedFilters).
+    */
+  def q02FilterPushdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_returnflag").isin("A", "R") &&
+        col("l_quantity").between(10, 20) &&
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        (col("l_linenumber") <=> lit(1)))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q02Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      |FROM lineitem
+      |WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 20
+      |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_linenumber IS NOT DISTINCT FROM 1
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Star join: orders ⋈ customer ⋈ nation ⋈ region with explicit broadcast of
+    * every dim side — at 100 TB only the fact table shuffles (it doesn't even
+    * shuffle for the join; only for the final aggregation).
+    */
+  def q03BroadcastJoinStar(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("order_cnt"),
+        countDistinct(col("c_custkey")).as("cust_cnt"),
+        Det.dsum(col("o_totalprice")).as("sum_total"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val q03Oracle: String =
+    s"""SELECT r_name, n_name, count(*) AS order_cnt,
+       |  count(DISTINCT c_custkey) AS cust_cnt,
+       |  ${Det.dsumSql("o_totalprice")} AS sum_total
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** Fact⋈fact shuffle join (sort-merge / shuffle-hash at scale — AQE picks),
+    * then aggregate. The join key partitioning is reused by the aggregation
+    * only when keys align; here they don't, so two shuffles — the honest plan.
+    */
+  def q04ShuffleJoinAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("line_cnt"),
+        Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("o_orderpriority"), col("l_linestatus"))
+
+  val q04Oracle: String =
+    s"""SELECT o_orderpriority, l_linestatus, count(*) AS line_cnt,
+       |  ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority, l_linestatus
+       |ORDER BY o_orderpriority, l_linestatus""".stripMargin
+
+  /** Left-semi join (EXISTS): customers with at least one big order. */
+  def q05SemiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).where(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val q05Oracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no finalized ('F') order. */
+  def q06AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).where(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_nationkey")
+      .orderBy("c_custkey")
+
+  val q06Oracle: String =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Equi + range join: lineitems shipped within 30 days of their order date.
+    * The range predicate rides on the equi-join shuffle — no extra pass.
+    */
+  def q07RangeJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(
+        Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("line_cnt"), Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderstatus"))
+
+  val q07Oracle: String =
+    s"""SELECT o_orderstatus, count(*) AS line_cnt, ${Det.dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN orders
+       |  ON l_orderkey = o_orderkey
+       | AND l_shipdate >= o_orderdate
+       | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Pure theta (band) self-join on the small supplier dim: suppliers with
+    * account balances within ±50 of each other. Broadcast nested-loop on a
+    * dim-sized input — never do this on a fact table without banding keys.
+    */
+  def q08ThetaBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.supplier(spark, dir).select(
+      col("s_suppkey").as("a_suppkey"), col("s_acctbal").as("a_bal"))
+    val b = Tables.supplier(spark, dir).select(
+      col("s_suppkey").as("b_suppkey"), col("s_acctbal").as("b_bal"))
+    a.join(broadcast(b),
+        col("a_suppkey") =!= col("b_suppkey") &&
+          col("b_bal") >= col("a_bal") - 50 && col("b_bal") <= col("a_bal") + 50)
+      .groupBy(col("a_suppkey"))
+      .agg(count(lit(1)).as("peer_cnt"), Det.dsum(col("b_bal")).as("peer_bal_sum"))
+      .orderBy(col("a_suppkey"))
+  }
+
+  val q08Oracle: String =
+    s"""SELECT a.s_suppkey AS a_suppkey, count(*) AS peer_cnt,
+       |  ${Det.dsumSql("b.s_acctbal")} AS peer_bal_sum
+       |FROM supplier a JOIN supplier b
+       |  ON a.s_suppkey <> b.s_suppkey
+       | AND b.s_acctbal >= a.s_acctbal - 50 AND b.s_acctbal <= a.s_acctbal + 50
+       |GROUP BY a.s_suppkey ORDER BY a_suppkey""".stripMargin
+
+  /** Multi-distinct aggregation (Spark plans expand + two-phase agg). */
+  def q09AggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("supp_cnt"),
+        countDistinct(col("l_partkey")).as("part_cnt"),
+        count(lit(1)).as("line_cnt"),
+        Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val q09Oracle: String =
+    s"""SELECT l_returnflag, count(DISTINCT l_suppkey) AS supp_cnt,
+       |  count(DISTINCT l_partkey) AS part_cnt, count(*) AS line_cnt,
+       |  ${Det.dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** HLL sketch distinct-count — the 100 TB path where exact distinct is a
+    * full shuffle. No DuckDB oracle (different sketch), driver rows-check.
+    */
+  def q10ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("exact_lines"))
+
+  /** ROLLUP with per-level grouping flags. */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"),
+        count(lit(1)).as("line_cnt"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val q11Oracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+       |  CAST(grouping(l_linestatus) AS TINYINT) AS g_status,
+       |  count(*) AS line_cnt, ${Det.dsumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** CUBE over order status × priority. */
+  def q12Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_cnt"), Det.dsum(col("o_totalprice")).as("sum_total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  val q12Oracle: String =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS order_cnt,
+       |  ${Det.dsumSql("o_totalprice")} AS sum_total
+       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** GROUPING SETS via the SQL surface (spark.sql over a temp view). */
+  def q13GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS line_cnt,
+         |  ${Det.dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem_gs
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  val q13Oracle: String =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS line_cnt,
+       |  ${Det.dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Global top-k: Spark plans TakeOrderedAndProject — per-partition partial
+    * top-k merged on the driver, no global sort. Unique tie-break key keeps
+    * the row set deterministic.
+    */
+  def q14TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  val q14Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
-    GraftQuery.sql("q01_pricing_summary", q01PricingSummary, q01Oracle)
+    GraftQuery.sql("q01_pricing_summary", q01PricingSummary, q01Oracle),
+    GraftQuery.sql("q02_filter_pushdown", q02FilterPushdown, q02Oracle),
+    GraftQuery.sql("q03_broadcast_join_star", q03BroadcastJoinStar, q03Oracle),
+    GraftQuery.sql("q04_shuffle_join_agg", q04ShuffleJoinAgg, q04Oracle),
+    GraftQuery.sql("q05_semi_join", q05SemiJoin, q05Oracle),
+    GraftQuery.sql("q06_anti_join", q06AntiJoin, q06Oracle),
+    GraftQuery.sql("q07_range_join", q07RangeJoin, q07Oracle),
+    GraftQuery.sql("q08_theta_band_join", q08ThetaBandJoin, q08Oracle),
+    GraftQuery.sql("q09_agg_distinct", q09AggDistinct, q09Oracle),
+    GraftQuery.rowsOnly("q10_approx_distinct", q10ApproxDistinct),
+    GraftQuery.sql("q11_rollup", q11Rollup, q11Oracle),
+    GraftQuery.sql("q12_cube", q12Cube, q12Oracle),
+    GraftQuery.sql("q13_grouping_sets", q13GroupingSets, q13Oracle),
+    GraftQuery.sql("q14_topk", q14TopK, q14Oracle)
   )
 }

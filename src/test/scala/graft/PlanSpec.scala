@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators._
+
+/** Physical-plan shape assertions — the 100 TB design contract: filters reach
+  * the parquet scan, projections prune columns, dim joins broadcast, top-k
+  * avoids a global sort.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02 pushes predicates into the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("In(l_returnflag"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity") || p.contains("l_quantity"), p)
+  }
+
+  test("q02 prunes columns at the scan (no l_tax/l_comment read)") {
+    val p = plan("q02_filter_pushdown")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q03 broadcasts every dim side") {
+    val p = plan("q03_broadcast_join_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q14 plans TakeOrderedAndProject (no global sort for top-k)") {
+    val p = plan("q14_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01 uses partial+final hash aggregation") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum"), p) // map-side combine before the shuffle
+  }
+
+  test("q34 LSH candidate generation is an equi join, not a cartesian product") {
+    val p = plan("q34_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q40 broadcasts the query side") {
+    val p = plan("q40_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}

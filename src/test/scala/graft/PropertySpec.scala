@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators._
+
+/** Property-based invariants: dedup idempotence, top-k monotonicity,
+  * window-sum conservation. Uses scalacheck generators sampled with fixed
+  * seeds (the scalatest↔scalacheck bridge artifact isn't available offline).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val textsGen: Gen[List[String]] =
+    Gen.listOfN(30, Gen.oneOf(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "spark query engine processes columnar batches with codegen",
+      "the quick brown fox jumps over the lazy dog again and again!",
+      "completely unrelated content about storage systems and caches"))
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    samples(textsGen, 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def dedup(d: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+        d.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      }
+      val once = dedup(df)
+      val twice = dedup(once)
+      assert(once.select("doc_id").collect().toSet === twice.select("doc_id").collect().toSet)
+      assert(once.count() === texts.distinct.size)
+    }
+  }
+
+  test("top-k is monotone: top-k rows ⊆ top-(k+5) rows") {
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+    def top(n: Int) = orders.orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(n).select("o_orderkey").collect().map(_.getLong(0)).toSet
+    samples(Gen.chooseNum(1, 20), 5).foreach { k =>
+      assert(top(k).subsetOf(top(k + 5)))
+    }
+  }
+
+  test("window running total ends at the group total (sum conservation)") {
+    val frames = Windows.q16WindowFrames(spark, sfDir)
+    val finals = frames.groupBy("o_custkey").agg(max("run_total").as("final_run"))
+    val direct = graft.sources.Tables.orders(spark, sfDir)
+      .groupBy("o_custkey").agg(Det.dsum(col("o_totalprice")).as("direct"))
+    val diff = finals.join(direct, "o_custkey")
+      .where(abs(col("final_run") - col("direct")) > 1e-9).count()
+    assert(diff === 0)
+  }
+
+  test("jaccard pair output is canonical (doc_a < doc_b always)") {
+    val pairs = Dedup.q33NgramJaccard(spark, sfDir)
+    assert(pairs.where(col("doc_a") >= col("doc_b")).count() === 0)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+/** Structured Streaming specs driven through MemoryStream: windowed counts
+  * with watermark finalization, streaming dedup, and custom stateful
+  * sessionization via flatMapGroupsWithState.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts finalizes on-time windows and drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:05:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window, then send a too-late event
+      mem.addData(Event(3, ts("2024-01-01 02:00:00"), 1, "click", 3.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts("2024-01-01 00:02:00"), 1, "click", 99.0)) // late: dropped
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select(col("w_start").cast("string"), col("cnt")).as[(String, Long)].collect().toMap
+      assert(rows.get("2024-01-01 00:00:00").contains(2L))
+      assert(!rows.contains("2024-01-01 00:02:00"))
+    } finally q.stop()
+  }
+
+  test("dedupStream keeps first event per (user, type) within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:02:00"), 1, "click", 2.0), // dup (user,type)
+        Event(3, ts("2024-01-01 00:03:00"), 2, "click", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("dd").select("event_id").as[Long].collect().toSet
+      assert(got === Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("sessionize emits closed sessions with correct aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("ss").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:10:00"), 7, "click", 2.0))
+      q.processAllAvailable()
+      // a gap > 30 min closes the first session
+      mem.addData(Event(3, ts("2024-01-01 01:00:00"), 7, "click", 5.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts("2024-01-01 03:00:00"), 7, "click", 7.0))
+      q.processAllAvailable()
+      val sessions = spark.table("ss").as[StreamingOps.UserSession].collect()
+      assert(sessions.exists(s =>
+        s.user_id == 7 && s.n_events == 2 && math.abs(s.sum_value - 3.0) < 1e-9))
+    } finally q.stop()
+  }
+}
