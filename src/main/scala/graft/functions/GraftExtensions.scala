@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the custom codegen expressions as SQL functions through the
+  * public extension point (`spark.sql.extensions=graft.functions.GraftExtensions`),
+  * so `expr("sorted_intersect_count(a, b)")` resolves in any query plan.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (args: Seq[Expression]) => SortedIntersectCount(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("float_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
+      (args: Seq[Expression]) => FloatVecDot(args.head, args(1))))
+  }
+}

@@ -18,6 +18,7 @@ object FsParity {
   def q45FsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_fs_roundtrip"
     Tables.documents(spark, dir)
+      .repartition(col("lang")) // one file per partition dir, not one per task
       .write.mode("overwrite").partitionBy("lang").parquet(out)
     spark.read.parquet(out)
       .agg(

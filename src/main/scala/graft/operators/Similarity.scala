@@ -20,10 +20,13 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** embeddings enriched with the squared L2 norm. */
+  /** embeddings enriched with the squared L2 norm (codegen'd kernel; same
+    * sequential fold — and therefore the same bits — as the HOF reference and
+    * the DuckDB oracle).
+    */
   private def withNorm(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .selectExpr("vec_id", "embedding", s"${Det.dotExpr("embedding", "embedding")} AS n2")
+      .selectExpr("vec_id", "embedding", "float_vec_dot(embedding, embedding) AS n2")
 
   /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 10). */
   def q40CosineTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -34,7 +37,7 @@ object Similarity {
     cand.crossJoin(broadcast(queries))
       .where(col("vec_id") =!= col("q_id"))
       .withColumnRenamed("vec_id", "neighbor_id")
-      .withColumn("dot", expr(Det.dotExpr("q_emb", "embedding")))
+      .withColumn("dot", expr("float_vec_dot(q_emb, embedding)"))
       .withColumn("cos", col("dot") / (sqrt(col("q_n2")) * sqrt(col("n2"))))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)
@@ -61,14 +64,14 @@ object Similarity {
     */
   def q41EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.embeddings(spark, dir)
-      .selectExpr("vec_id", "label", "embedding", s"${Det.dotExpr("embedding", "embedding")} AS n2")
+      .selectExpr("vec_id", "label", "embedding", "float_vec_dot(embedding, embedding) AS n2")
     val a = n.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
       col("embedding").as("emb_a"), col("n2").as("n2_a"))
     val b = n.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
       col("embedding").as("emb_b"), col("n2").as("n2_b"))
     a.join(b, col("label_a") === col("label_b") && col("vec_a") < col("vec_b"))
       .withColumn("cos",
-        expr(Det.dotExpr("emb_a", "emb_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
+        expr("float_vec_dot(emb_a, emb_b)") / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
       .where(col("cos") >= 0.4)
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))

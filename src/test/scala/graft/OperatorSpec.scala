@@ -18,6 +18,24 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(a - 5005.0) < 1e-9)
   }
 
+  test("codegen kernels are bit-identical to their HOF reference folds") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val diff = emb.selectExpr(
+        "float_vec_dot(embedding, embedding) AS fast",
+        s"${Det.dotExpr("embedding", "embedding")} AS ref")
+      .where(col("fast") =!= col("ref")).count()
+    assert(diff === 0)
+
+    val arr = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 9L, 11L)),
+      (Array.empty[Long], Array(1L)),
+      (Array(4L), Array(4L))
+    ).toDF("a", "b")
+    val got = arr.selectExpr("sorted_intersect_count(a, b) AS c")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(2, 0, 1))
+  }
+
   test("exact dedup keeps exactly one row per distinct text") {
     val out = Dedup.q32ExactDedup(spark, sfDir)
     val docs = graft.sources.Tables.documents(spark, sfDir)
