@@ -219,11 +219,31 @@ object Dedup {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Polynomial rolling-hash document fingerprint: fold (h·31 + codepoint)
+    * mod 1e9+7 over every character, left-to-right — identical integer
+    * arithmetic in both engines. The classic Rabin-Karp-style content id.
+    */
+  def q46RollingHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))), " +
+          "CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_hash")
+      .orderBy(col("doc_id"))
+
+  val q46Oracle: String =
+    """SELECT doc_id,
+      |  list_reduce([CAST(0 AS BIGINT)] ||
+      |              [CAST(unicode(substr(text, i, 1)) AS BIGINT)
+      |               for i in range(1, len(text) + 1)],
+      |              (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q32_exact_dedup", q32ExactDedup, q32Oracle),
     GraftQuery.sql("q33_ngram_jaccard", q33NgramJaccard, q33Oracle),
     GraftQuery.sql("q34_minhash_lsh", q34MinhashLsh, q34Oracle),
     GraftQuery.sql("q35_simhash", q35Simhash, q35Oracle),
-    GraftQuery.sql("q36_winnow_fingerprint", q36WinnowFingerprint, q36Oracle)
+    GraftQuery.sql("q36_winnow_fingerprint", q36WinnowFingerprint, q36Oracle),
+    GraftQuery.sql("q46_rolling_hash", q46RollingHash, q46Oracle)
   )
 }

@@ -123,9 +123,53 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** LSH-bucketed ANN search — the scale path for q40: queries join
+    * candidates on an 8-bit hyperplane signature (an EQUI join on the bucket
+    * key, so candidate generation shuffles instead of cross-joining), then
+    * exact cosine ranks within the bucket. Recall is approximate by design;
+    * the oracle replays the identical deterministic bucketing.
+    */
+  def q47AnnBucketSearch(spark: SparkSession, dir: String): DataFrame = {
+    val sig8 = (0 until 8)
+      .map(j => when(expr(projExpr(j)) >= 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val sigged = Tables.embeddings(spark, dir)
+      .withColumn("n2", expr("float_vec_dot(embedding, embedding)"))
+      .withColumn("sig8", sig8)
+    val queries = sigged.where(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"), col("sig8").as("q_sig"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    sigged.join(queries, col("sig8") === col("q_sig") && col("vec_id") =!= col("q_id"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("cos",
+        expr("float_vec_dot(q_emb, embedding)") / (sqrt(col("q_n2")) * sqrt(col("n2"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("q_id"), col("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
+  val q47Oracle: String = {
+    val sig = (0 until 8)
+      .map(j => s"(CASE WHEN ${projSql(j)} >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH s AS (SELECT vec_id, embedding,
+       |  ${Det.dotSql("embedding", "embedding")} AS n2, $sig AS sig8 FROM embeddings)
+       |SELECT q_id, neighbor_id, cos FROM (
+       |  SELECT q_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |      ${Det.dotSql("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+       |    FROM s q JOIN s c ON q.vec_id < 50 AND c.sig8 = q.sig8 AND c.vec_id <> q.vec_id))
+       |WHERE rn <= 3 ORDER BY q_id, neighbor_id""".stripMargin
+  }
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q40_cosine_topk", q40CosineTopk, q40Oracle),
     GraftQuery.sql("q41_embedding_neardup", q41EmbeddingNeardup, q41Oracle),
-    GraftQuery.sql("q42_ann_lsh_buckets", q42AnnLshBuckets, q42Oracle)
+    GraftQuery.sql("q42_ann_lsh_buckets", q42AnnLshBuckets, q42Oracle),
+    GraftQuery.sql("q47_ann_bucket_search", q47AnnBucketSearch, q47Oracle)
   )
 }

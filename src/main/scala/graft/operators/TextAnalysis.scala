@@ -47,12 +47,15 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** C4-style quality heuristics: token count, mean token length, stopword
-    * ratio, a weighted score, and a boolean keep/drop verdict.
+  /** C4-style quality heuristics: whitespace + BPE-ish regex token counts,
+    * mean token length, stopword ratio, a weighted score, and a boolean
+    * keep/drop verdict.
     */
   def q38QualityScore(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("n_re_tokens",
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
       .withColumn("chars_nospace", length(regexp_replace(col("text"), " ", "")))
       .withColumn("stop_cnt",
         expr("size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of')))"))
@@ -60,18 +63,19 @@ object TextAnalysis {
       .withColumn("stop_ratio", col("stop_cnt") / col("n_tokens"))
       .withColumn("score", col("avg_tok_len") * 0.5 + col("stop_ratio") * 10.0)
       .withColumn("quality_pass", col("n_tokens") >= 30 && col("stop_cnt") >= 1)
-      .select("doc_id", "n_tokens", "chars_nospace", "stop_cnt",
+      .select("doc_id", "n_tokens", "n_re_tokens", "chars_nospace", "stop_cnt",
         "avg_tok_len", "stop_ratio", "score", "quality_pass")
       .orderBy(col("doc_id"))
 
   val q38Oracle: String =
-    """SELECT doc_id, n_tokens, chars_nospace, stop_cnt,
+    """SELECT doc_id, n_tokens, n_re_tokens, chars_nospace, stop_cnt,
       |  chars_nospace / n_tokens AS avg_tok_len,
       |  stop_cnt / n_tokens AS stop_ratio,
       |  (chars_nospace / n_tokens) * 0.5 + (stop_cnt / n_tokens) * 10.0 AS score,
       |  n_tokens >= 30 AND stop_cnt >= 1 AS quality_pass
       |FROM (SELECT doc_id,
       |        len(string_split(text, ' ')) AS n_tokens,
+      |        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_re_tokens,
       |        length(replace(text, ' ', '')) AS chars_nospace,
       |        len(list_filter(string_split(text, ' '),
       |                        t -> t IN ('the', 'a', 'of'))) AS stop_cnt
