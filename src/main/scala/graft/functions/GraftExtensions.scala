@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
       (args: Seq[Expression]) => FloatVecDot(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashes(args.head, args(1))))
   }
 }

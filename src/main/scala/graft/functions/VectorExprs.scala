@@ -69,6 +69,73 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All distinct character n-gram shingle hashes of a string, sorted — one
+  * O(len) pass using a rolling polynomial hash (base 31 mod 1e9+7), fusing
+  * what would otherwise be substring-per-position + md5 + distinct + sort.
+  * Returns array<bigint> ready for [[SortedIntersectCount]].
+  *
+  * Hash of shingle s = fold((acc·31 + byte) mod p) — reproducible in DuckDB
+  * as a `list_reduce` over `unicode(substr(...))`, which matches the byte
+  * walk here for ASCII corpora (this corpus is verified all-ASCII; for
+  * multibyte text the two engines would walk different units).
+  *
+  * Per-row work is O(len), so interpreted eval costs nothing measurable at
+  * row granularity; CodegenFallback keeps the implementation honest and
+  * simple while the surrounding projection stays in codegen.
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val P = 1000000007L
+  private val Base = 31L
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, int), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def foldable: Boolean = left.foldable && right.foldable
+
+  override protected def nullSafeEval(str: Any, w: Any): Any = {
+    val bytes = str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val width = w.asInstanceOf[Int]
+    val n = bytes.length
+    val count = math.max(n - width + 1, 1)
+    val eff = math.min(width, n) // degenerate short strings: one whole-string shingle
+    // pow = Base^(eff-1) mod P, for rolling removal of the leading byte
+    var pow = 1L
+    var k = 1
+    while (k < eff) { pow = pow * Base % P; k += 1 }
+    val out = new Array[Long](count)
+    var h = 0L
+    var i = 0
+    while (i < eff && i < n) { h = (h * Base + (bytes(i) & 0xff)) % P; i += 1 }
+    out(0) = h
+    var s = 1
+    while (s < count) {
+      h = ((h - (bytes(s - 1) & 0xff) * pow % P + P) % P * Base + (bytes(s + eff - 1) & 0xff)) % P
+      out(s) = h
+      s += 1
+    }
+    java.util.Arrays.sort(out)
+    var uniq = 0
+    var j = 0
+    while (j < count) {
+      if (j == 0 || out(j) != out(j - 1)) { out(uniq) = out(j); uniq += 1 }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, uniq))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -17,11 +17,9 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** Distinct character 20-gram shingles of `text` (Spark SQL expr). */
-  private val shingleExpr =
-    "array_distinct(transform(sequence(1, greatest(length(text) - 19, 1)), i -> substring(text, i, 20)))"
-
-  /** DuckDB twin of [[shingleExpr]]. */
+  /** DuckDB: distinct character 20-gram shingles of `text` (string form;
+    * hashed to longs by [[hashedShingleCte]] to mirror `shingle_hashes`).
+    */
   private val shingleSql =
     "list_distinct([substr(text, i, 20) for i in range(1, greatest(len(text) - 19, 1) + 1)])"
 
@@ -45,59 +43,64 @@ object Dedup {
       |  FROM documents)
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
-  /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.5), length-band blocked
-    * (|Δn_chars| ≤ 20): a j ≥ 0.5 pair has near-equal shingle-set sizes, and
-    * every real near-dup in this corpus differs by ≤ 4 chars, so the band
-    * keeps recall 1 while killing O(n²). The band is executed as an EQUI join
-    * on a length bucket with a ±1-bucket explode on the probe side — a
-    * shuffle-partitionable plan (no cartesian product), the shape that
-    * survives 100 TB.
+  /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.5) via an inverted shingle
+    * index: explode hashed shingles (graft.functions.ShingleHashes — one
+    * O(len) rolling-hash pass per doc), self-join on the shingle hash, and
+    * count shared shingles per pair — |∩| arrives from a map-side-combined
+    * aggregation of 16-byte rows instead of hauling both shingle arrays
+    * through a pair join. Pair candidates are exactly the pairs sharing ≥ 1
+    * shingle, so the output is the UNBLOCKED exact result.
+    *
+    * Scale note: work is Σ_h df(h)², so a viral shingle is the blow-up risk
+    * (here max df = 57). At 100 TB, cap df (drop stop-shingles) or switch to
+    * the LSH path (q34).
     */
   def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val Band = 20
-    // Shingles as sorted distinct 60-bit md5-derived longs: 7× less shuffle
-    // weight than strings, and the sorted representation feeds the codegen'd
-    // merge-walk kernel (graft.functions.SortedIntersectCount) instead of the
-    // interpreted per-row hash-set ArrayIntersect.
-    val hashedShingles =
-      "array_sort(array_distinct(transform(sequence(1, greatest(length(text) - 19, 1)), " +
-        "i -> CAST(conv(substr(md5(substring(text, i, 20)), 1, 15), 16, 10) AS BIGINT))))"
     val sh = Tables.documents(spark, dir)
-      .selectExpr("doc_id", "n_chars", s"$hashedShingles AS sh",
-        s"n_chars div $Band AS bucket")
-    val a = sh.select(col("doc_id").as("doc_a"), col("n_chars").as("len_a"),
-      col("sh").as("sh_a"), col("bucket").as("bucket_a"))
-    val b = sh
-      .select(col("doc_id").as("doc_b"), col("n_chars").as("len_b"), col("sh").as("sh_b"),
-        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("probe"))
-    a.join(b, col("bucket_a") === col("probe") && col("doc_a") < col("doc_b") &&
-        abs(col("len_a") - col("len_b")) <= Band)
-      .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val pairs = tok.select(col("doc_id").as("doc_a"), col("h"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .where(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val q33Oracle: String =
-    s"""WITH toks AS (
+  /** DuckDB CTE producing the identical per-doc sorted hashed shingle sets as
+    * `shingle_hashes(text, 20)` (byte fold == codepoint fold on this
+    * all-ASCII corpus).
+    */
+  private val hashedShingleCte: String =
+    s"""toks AS (
        |  SELECT doc_id, n_chars, unnest($shingleSql) AS s FROM documents),
        |h AS (
        |  SELECT doc_id, n_chars,
-       |    list_reduce([strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1
-       |                 for i in range(1, 16)], (a, b) -> a * 16 + b) AS hv
+       |    list_reduce([CAST(0 AS BIGINT)] ||
+       |                [CAST(unicode(substr(s, i, 1)) AS BIGINT)
+       |                 for i in range(1, len(s) + 1)],
+       |                (acc, c) -> (acc * 31 + c) % 1000000007) AS hv
        |  FROM toks),
        |hs AS (
        |  SELECT doc_id, any_value(n_chars) AS n_chars,
        |    list_sort(list_distinct(list(hv))) AS hs
-       |  FROM h GROUP BY doc_id)
+       |  FROM h GROUP BY doc_id)""".stripMargin
+
+  val q33Oracle: String =
+    s"""WITH $hashedShingleCte
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    len(list_intersect(a.hs, b.hs)) /
        |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
-       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-       |    AND abs(a.n_chars - b.n_chars) <= 20)
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
   /** MinHash signature width and LSH banding (16 bands × 3 rows). */
@@ -108,8 +111,8 @@ object Dedup {
 
   /** MinHash + LSH banding near-dedup, verified with exact Jaccard (j ≥ 0.7).
     *
-    * Pipeline: shingle → md5-derived 32-bit base hash → K affine hash
-    * functions → per-doc signature (one groupBy) → 16 band keys per doc
+    * Pipeline: shingle → rolling-poly base hash (ShingleHashes) → K affine
+    * hash functions → per-doc signature (one groupBy) → 16 band keys per doc
     * (explode) → candidate pairs via an equi self-join ON the band key (a
     * shuffle join, NOT a cross join — this is what makes near-dedup feasible
     * at 100 TB) → exact-Jaccard verification of the candidates only.
@@ -121,11 +124,9 @@ object Dedup {
     */
   def q34MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val shingled = docs.selectExpr("doc_id", s"$shingleExpr AS sh")
+    val shingled = docs.selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
 
-    val exploded = shingled
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("x", expr("CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)"))
+    val exploded = shingled.select(col("doc_id"), explode(col("sh")).as("x"))
     val minCols: Seq[Column] = (0 until K).map { i =>
       min((col("x") * lit(2L * i + 1) + lit(97L + 31L * i)) % lit(P)).as(s"h$i")
     }
@@ -148,7 +149,7 @@ object Dedup {
     val a = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .where(col("jaccard") >= 0.7)
@@ -157,12 +158,12 @@ object Dedup {
   }
 
   val q34Oracle: String =
-    s"""WITH sh AS (SELECT doc_id, $shingleSql AS sh FROM documents)
+    s"""WITH $hashedShingleCte
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    len(list_intersect(a.sh, b.sh)) /
-       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |    len(list_intersect(a.hs, b.hs)) /
+       |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
        |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
 
   /** 32-bit SimHash over whitespace tokens (frequency-weighted), md5-derived
