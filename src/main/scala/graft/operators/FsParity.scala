@@ -33,7 +33,39 @@ object FsParity {
       |  count(DISTINCT lang) AS langs, count(DISTINCT doc_id) AS doc_ids
       |FROM documents""".stripMargin
 
+  /** Source/sink format sweep: write documents as CSV, JSON, and ORC, read
+    * each back (CSV with an explicit schema — schema-on-read), and prove all
+    * three round trips lossless with per-format aggregates. Parquet is
+    * covered by q45.
+    */
+  def q48FormatsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_formats"
+    val docs = Tables.documents(spark, dir)
+    docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    docs.write.mode("overwrite").json(s"$base/json")
+    docs.write.mode("overwrite").orc(s"$base/orc")
+    val reread = Seq(
+      "csv" -> spark.read.schema(docs.schema).option("header", "true").csv(s"$base/csv"),
+      "json" -> spark.read.schema(docs.schema).json(s"$base/json"),
+      "orc" -> spark.read.orc(s"$base/orc"))
+    reread.map { case (fmt, df) =>
+      df.agg(
+        count(lit(1)).as("rows_cnt"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("langs"))
+        .withColumn("format", lit(fmt))
+        .select("format", "rows_cnt", "sum_chars", "langs")
+    }.reduce(_ unionByName _).orderBy(col("format"))
+  }
+
+  val q48Oracle: String =
+    """SELECT f AS format, count(*) AS rows_cnt,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(DISTINCT lang) AS langs
+      |FROM documents, (SELECT unnest(['csv', 'json', 'orc']) AS f)
+      |GROUP BY f ORDER BY format""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
-    GraftQuery.sql("q45_fs_roundtrip", q45FsRoundtrip, q45Oracle)
+    GraftQuery.sql("q45_fs_roundtrip", q45FsRoundtrip, q45Oracle),
+    GraftQuery.sql("q48_formats_roundtrip", q48FormatsRoundtrip, q48Oracle)
   )
 }

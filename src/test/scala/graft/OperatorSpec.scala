@@ -36,6 +36,32 @@ class OperatorSpec extends SparkSpec {
     assert(got === Seq(2, 0, 1))
   }
 
+  test("typed MinHashAgg matches the columnar 48-min signature and estimates jaccard") {
+    import graft.functions.MinHashAgg
+    val sh = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "explode(shingle_hashes(text, 20)) AS x")
+    // typed path
+    val agg = new MinHashAgg(48)
+    val typed = sh.as[(Long, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("sig"))
+      .collect().toMap
+    // columnar path (same family as Dedup.q34)
+    val P = 4294967311L
+    val minCols = (0 until 48).map(i =>
+      min((col("x") * lit(2L * i + 1) + lit(97L + 31L * i)) % lit(P)).as(s"h$i"))
+    val columnar = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 48).map(r.getLong(_)).toArray).toMap
+    assert(typed.keySet === columnar.keySet)
+    typed.foreach { case (id, sig) => assert(sig.toSeq === columnar(id).toSeq, s"doc $id") }
+    // sketch estimate correlates with exact jaccard on the known near-dup pairs
+    val nearDups = Dedup.q33NgramJaccard(spark, sfDir)
+      .where(col("jaccard") >= 0.9).collect()
+    nearDups.foreach { r =>
+      val est = MinHashAgg.estimate(typed(r.getLong(0)), typed(r.getLong(1)))
+      assert(est >= 0.6, s"pair (${r.getLong(0)},${r.getLong(1)}) est=$est")
+    }
+  }
+
   test("exact dedup keeps exactly one row per distinct text") {
     val out = Dedup.q32ExactDedup(spark, sfDir)
     val docs = graft.sources.Tables.documents(spark, sfDir)
