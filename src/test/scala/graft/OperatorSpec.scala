@@ -126,6 +126,16 @@ class OperatorSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("salted aggregation equals direct aggregation (exact decimal sums)") {
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val salted = Scale.saltedSumCount(li, col("l_returnflag"), col("l_quantity"), salt = 8)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val direct = li.groupBy(col("l_returnflag").as("k"))
+      .agg(Det.dsum(col("l_quantity")).as("sum_v"), count(lit(1)).as("cnt"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(salted.toSeq === direct.toSeq)
+  }
+
   test("multimodal decode stub is deterministic and schema-complete") {
     val recs = Multimodal.mediaRecords(spark, sfDir)
     val out1 = Multimodal.decodeStub(recs).orderBy("doc_id").collect()
