@@ -13,7 +13,8 @@ object SparkEntry {
   /** All implemented operators, one [[GraftQuery]] each. */
   def allQueries: Seq[GraftQuery] =
     RelationalCore.all ++ Windows.all ++ SetsAndScalars.all ++ EventOps.all ++
-      Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all ++ FsParity.all
+      Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all ++
+      FsParity.all ++ TypedOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

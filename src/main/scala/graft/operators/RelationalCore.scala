@@ -281,6 +281,31 @@ object RelationalCore {
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** Pivot: order counts and exact sums reshaped to one column per priority
+    * (explicit value list keeps the schema static — mandatory at scale, where
+    * value discovery would be its own full scan).
+    */
+  def q49Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val names = Seq("urgent", "high", "medium", "notspec", "low")
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus") +:
+        prios.zip(names).map { case (p, n) => coalesce(col(s"`$p`"), lit(0L)).as(s"cnt_$n") }: _*)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q49Oracle: String =
+    """SELECT o_orderstatus,
+      |  count(*) FILTER (o_orderpriority = '1-URGENT') AS cnt_urgent,
+      |  count(*) FILTER (o_orderpriority = '2-HIGH') AS cnt_high,
+      |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS cnt_medium,
+      |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS cnt_notspec,
+      |  count(*) FILTER (o_orderpriority = '5-LOW') AS cnt_low
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q01_pricing_summary", q01PricingSummary, q01Oracle),
     GraftQuery.sql("q02_filter_pushdown", q02FilterPushdown, q02Oracle),
@@ -295,6 +320,7 @@ object RelationalCore {
     GraftQuery.sql("q11_rollup", q11Rollup, q11Oracle),
     GraftQuery.sql("q12_cube", q12Cube, q12Oracle),
     GraftQuery.sql("q13_grouping_sets", q13GroupingSets, q13Oracle),
-    GraftQuery.sql("q14_topk", q14TopK, q14Oracle)
+    GraftQuery.sql("q14_topk", q14TopK, q14Oracle),
+    GraftQuery.sql("q49_pivot", q49Pivot, q49Oracle)
   )
 }
