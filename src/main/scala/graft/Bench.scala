@@ -19,17 +19,28 @@ object Bench {
     // charged JVM startup (standard practice; every query still pays its own
     // planning + execution).
     SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A failed query must not masquerade as a fast run: its name goes into an
+    // `errors` map (with the exception class) and it is excluded from the
+    // per-query timings and the total.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $sec%8.2fs")
-      name -> sec
+      if (ok) System.err.println(f"[bench] $name%-28s $sec%8.2fs")
+      if (ok) Some(name -> sec) else None
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -74,10 +74,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * what would otherwise be substring-per-position + md5 + distinct + sort.
   * Returns array<bigint> ready for [[SortedIntersectCount]].
   *
-  * Hash of shingle s = fold((acc·31 + byte) mod p) — reproducible in DuckDB
-  * as a `list_reduce` over `unicode(substr(...))`, which matches the byte
-  * walk here for ASCII corpora (this corpus is verified all-ASCII; for
-  * multibyte text the two engines would walk different units).
+  * Hash of shingle s = fold((acc·31 + codepoint) mod p), windows measured in
+  * Unicode codepoints — exactly what DuckDB computes via `list_reduce` over
+  * `unicode(substr(...))` (substr is character-addressed there), so oracle
+  * parity holds for multibyte text too, not just ASCII. The ASCII fast path
+  * skips decoding entirely (byte == codepoint).
   *
   * Per-row work is O(len), so interpreted eval costs nothing measurable at
   * row granularity; CodegenFallback keeps the implementation honest and
@@ -100,23 +101,33 @@ case class ShingleHashes(left: Expression, right: Expression)
   override def foldable: Boolean = left.foldable && right.foldable
 
   override protected def nullSafeEval(str: Any, w: Any): Any = {
-    val bytes = str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val u8 = str.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val bytes = u8.getBytes
+    // Codepoint units: ASCII fast path reuses the byte array values; multibyte
+    // decodes once into an int array (still one O(len) pass per row).
+    var ascii = true
+    var bi = 0
+    while (ascii && bi < bytes.length) { if (bytes(bi) < 0) ascii = false; bi += 1 }
+    val cps: Array[Int] =
+      if (ascii) null // signal: read codepoints straight from `bytes`
+      else u8.toString.codePoints().toArray
+    val n = if (ascii) bytes.length else cps.length
+    @inline def cp(idx: Int): Long = if (ascii) (bytes(idx) & 0xffL) else cps(idx).toLong
     val width = w.asInstanceOf[Int]
-    val n = bytes.length
     val count = math.max(n - width + 1, 1)
     val eff = math.min(width, n) // degenerate short strings: one whole-string shingle
-    // pow = Base^(eff-1) mod P, for rolling removal of the leading byte
+    // pow = Base^(eff-1) mod P, for rolling removal of the leading codepoint
     var pow = 1L
     var k = 1
     while (k < eff) { pow = pow * Base % P; k += 1 }
     val out = new Array[Long](count)
     var h = 0L
     var i = 0
-    while (i < eff && i < n) { h = (h * Base + (bytes(i) & 0xff)) % P; i += 1 }
+    while (i < eff && i < n) { h = (h * Base + cp(i) % P) % P; i += 1 }
     out(0) = h
     var s = 1
     while (s < count) {
-      h = ((h - (bytes(s - 1) & 0xff) * pow % P + P) % P * Base + (bytes(s + eff - 1) & 0xff)) % P
+      h = ((h - cp(s - 1) % P * pow % P + P) % P * Base + cp(s + eff - 1) % P) % P
       out(s) = h
       s += 1
     }

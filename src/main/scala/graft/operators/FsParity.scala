@@ -15,8 +15,16 @@ import graft.sources.Tables
   */
 object FsParity {
 
+  /** Per-JVM unique scratch root: concurrent Verify/Bench runs (or two
+    * drivers on one host) each get their own directory, so mode("overwrite")
+    * never races across processes. Within one JVM the path is stable, so a
+    * query re-run overwrites its own output — the intended semantics.
+    */
+  private lazy val scratchRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_fsparity_").toString
+
   def q45FsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_fs_roundtrip"
+    val out = s"$scratchRoot/fs_roundtrip"
     Tables.documents(spark, dir)
       .repartition(col("lang")) // one file per partition dir, not one per task
       .write.mode("overwrite").partitionBy("lang").parquet(out)
@@ -39,13 +47,18 @@ object FsParity {
     * covered by q45.
     */
   def q48FormatsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_formats"
+    val base = s"$scratchRoot/formats"
     val docs = Tables.documents(spark, dir)
-    docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    // RFC-4180-style CSV (escape = quote char) + multiLine read so documents
+    // whose text contains newlines/quotes survive the round trip — the
+    // lossless claim must not depend on the corpus happening to be newline-free.
+    docs.write.mode("overwrite").option("header", "true")
+      .option("escape", "\"").csv(s"$base/csv")
     docs.write.mode("overwrite").json(s"$base/json")
     docs.write.mode("overwrite").orc(s"$base/orc")
     val reread = Seq(
-      "csv" -> spark.read.schema(docs.schema).option("header", "true").csv(s"$base/csv"),
+      "csv" -> spark.read.schema(docs.schema).option("header", "true")
+        .option("multiLine", "true").option("escape", "\"").csv(s"$base/csv"),
       "json" -> spark.read.schema(docs.schema).json(s"$base/json"),
       "orc" -> spark.read.orc(s"$base/orc"))
     reread.map { case (fmt, df) =>

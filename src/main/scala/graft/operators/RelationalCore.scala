@@ -207,15 +207,35 @@ object RelationalCore {
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** HLL sketch distinct-count — the 100 TB path where exact distinct is a
-    * full shuffle. No DuckDB oracle (different sketch), driver rows-check.
+    * full shuffle. Spark's HLL++ value is engine-specific, so the oracle
+    * checks it indirectly: output the exact distinct counts plus a boolean
+    * asserting the sketch landed within its advertised error band (rsd=0.05
+    * → check at a generous 3×rsd); DuckDB's twin emits the same exact counts
+    * with literal TRUEs. A broken sketch flips a boolean and hash-fails.
     */
   def q10ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.05).as("a_ord"),
+        approx_count_distinct(col("l_suppkey"), 0.05).as("a_sup"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("a_par"),
         count(lit(1)).as("exact_lines"))
+      .select(
+        col("exact_orders"), col("exact_supps"), col("exact_parts"), col("exact_lines"),
+        (abs(col("a_ord") - col("exact_orders")) <= col("exact_orders") * 0.15).as("ok_orders"),
+        (abs(col("a_sup") - col("exact_supps")) <= col("exact_supps") * 0.15).as("ok_supps"),
+        (abs(col("a_par") - col("exact_parts")) <= col("exact_parts") * 0.15).as("ok_parts"))
+
+  val q10Oracle: String =
+    """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+      |  count(DISTINCT l_suppkey) AS exact_supps,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(*) AS exact_lines,
+      |  true AS ok_orders, true AS ok_supps, true AS ok_parts
+      |FROM lineitem""".stripMargin
 
   /** ROLLUP with per-level grouping flags. */
   def q11Rollup(spark: SparkSession, dir: String): DataFrame =
@@ -316,7 +336,7 @@ object RelationalCore {
     GraftQuery.sql("q07_range_join", q07RangeJoin, q07Oracle),
     GraftQuery.sql("q08_theta_band_join", q08ThetaBandJoin, q08Oracle),
     GraftQuery.sql("q09_agg_distinct", q09AggDistinct, q09Oracle),
-    GraftQuery.rowsOnly("q10_approx_distinct", q10ApproxDistinct),
+    GraftQuery.sql("q10_approx_distinct", q10ApproxDistinct, q10Oracle),
     GraftQuery.sql("q11_rollup", q11Rollup, q11Oracle),
     GraftQuery.sql("q12_cube", q12Cube, q12Oracle),
     GraftQuery.sql("q13_grouping_sets", q13GroupingSets, q13Oracle),

@@ -132,8 +132,8 @@ object SetsAndScalars {
 
   val q22Oracle: String =
     """SELECT l_orderkey, l_linenumber, abs(l_quantity - 25) AS qty_dev,
-      |  ceil(l_extendedprice / 1000) AS price_k_ceil,
-      |  floor(l_extendedprice / 1000) AS price_k_floor,
+      |  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+      |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
       |  sqrt(l_quantity) AS qty_sqrt, l_linenumber % 3 AS ln_mod3,
       |  greatest(l_tax, l_discount) AS max_rate, least(l_tax, l_discount) AS min_rate,
       |  CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid'
@@ -180,8 +180,8 @@ object SetsAndScalars {
     """SELECT event_type, count(*) AS cnt,
       |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-      |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
-      |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k2
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k2
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** explode/unnest: per-label element stats over flattened embeddings. */

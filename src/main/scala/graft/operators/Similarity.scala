@@ -91,15 +91,17 @@ object Similarity {
 
   /** Spark SQL expr: signed projection of the embedding onto deterministic
     * integer hyperplane j (weights in [−3, 3] from a fixed affine formula).
+    * The index range is driven off size(embedding) — any dimensionality
+    * projects correctly instead of zip_with null-padding every signature to 0.
     */
   private def projExpr(j: Int): String =
-    s"aggregate(zip_with(embedding, sequence(0, 63), (x, i) -> " +
+    s"aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), (x, i) -> " +
       s"CAST(((i * 31 + $j * 17) % 7) - 3 AS DOUBLE) * CAST(x AS DOUBLE)), " +
       s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
   private def projSql(j: Int): String =
     s"list_reduce([CAST(0 AS DOUBLE)] || [CAST(((i * 31 + $j * 17) % 7) - 3 AS DOUBLE) " +
-      s"* CAST(embedding[i + 1] AS DOUBLE) for i in range(0, 64)], (acc, v) -> acc + v)"
+      s"* CAST(embedding[i + 1] AS DOUBLE) for i in range(0, len(embedding))], (acc, v) -> acc + v)"
 
   /** Random-hyperplane LSH signatures + bucket occupancy. */
   def q42AnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {

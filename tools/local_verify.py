@@ -56,6 +56,27 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list:
     if list(s.columns) != list(d.columns):
         problems.append(f"columns differ: spark={list(s.columns)} duck={list(d.columns)}")
         return problems
+    # Dtype-kind-strict: the driver's hash compare distinguishes numeric KINDS
+    # (round 1: DuckDB ceil()->DOUBLE vs Spark LONG, and sum(int)->HUGEINT vs
+    # LONG both hash-failed while int32-vs-int64 columns hash-matched fine).
+    # So: integer widths are interchangeable, but int vs float vs bool vs
+    # object vs datetime is a real divergence.
+    def kind(dtype) -> str:
+        k = dtype.kind  # 'i'/'u' int, 'f' float, 'b' bool, 'M' datetime, 'O' object
+        return {"u": "i"}.get(k, k)
+
+    for col in s.columns:
+        st, dt = str(s[col].dtype), str(d[col].dtype)
+        if kind(s[col].dtype) != kind(d[col].dtype):
+            problems.append(f"col {col}: dtype kind differs: spark={st} duck={dt}")
+        elif st == "object" and len(s) and len(d):
+            sv = next((x for x in s[col] if x is not None), None)
+            dv = next((x for x in d[col] if x is not None), None)
+            if sv is not None and dv is not None and type(sv).__name__ != type(dv).__name__:
+                problems.append(
+                    f"col {col}: object payload type differs: spark={type(sv).__name__} duck={type(dv).__name__}")
+    if problems:
+        return problems
     if len(s) != len(d):
         problems.append(f"row count differs: spark={len(s)} duck={len(d)}")
         return problems
