@@ -23,5 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (args: Seq[Expression]) => ShingleHashes(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      (args: Seq[Expression]) => HyperplaneSig(args.head, args(1))))
   }
 }

@@ -147,6 +147,103 @@ case class ShingleHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MinHash signature of a hashed shingle set in ONE pass per row: for each of
+  * k affine hash functions h_i(x) = ((2i+1)·x + (97+31i)) mod P
+  * (P = 4294967311, prime > 2³² — same family as [[MinHashAgg]]), the minimum
+  * over the input array. Returns array<bigint> of length k.
+  *
+  * This replaces the explode → shuffle → 48-column min() aggregation
+  * formulation of MinHash: per-row work is identical (len·k multiply-mods),
+  * but NO shuffle and no 5M-row intermediate — at 100 TB the signature step
+  * becomes a map-only pass fused into the scan projection.
+  */
+case class MinHashSig(left: Expression, right: Expression)
+    extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val P = 4294967311L
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if ((left.dataType match {
+        case ArrayType(LongType, _) => true; case _ => false
+      }) && right.dataType == IntegerType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, foldable int), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(arr: Any, kAny: Any): Any = {
+    val xs = arr.asInstanceOf[ArrayData]
+    val k = kAny.asInstanceOf[Int]
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = xs.numElements()
+    var e = 0
+    while (e < n) {
+      val x = xs.getLong(e)
+      var i = 0
+      while (i < k) {
+        val h = (x * (2L * i + 1) + (97L + 31L * i)) % P
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      e += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSig =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH signature: bit j of the result is set iff the
+  * embedding's projection onto deterministic integer hyperplane j is ≥ 0,
+  * with weight(i, j) = ((i·31 + j·17) mod 7) − 3. Each projection is the
+  * SEQUENTIAL left fold Σ w(i,j)·x(i) in double — bit-identical to the
+  * `aggregate(zip_with(...))` HOF chain it replaces and to DuckDB's
+  * `list_reduce` twin, so swapping it in changes nothing in the oracle
+  * compare. One pass computes all nbits projections (nbits·dim FMAs) instead
+  * of nbits separate interpreted HOF evaluations per row.
+  */
+case class HyperplaneSig(left: Expression, right: Expression)
+    extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if ((left.dataType match {
+        case ArrayType(FloatType, _) => true; case _ => false
+      }) && right.dataType == IntegerType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, foldable int), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hyperplane_sig"
+
+  override protected def nullSafeEval(arr: Any, bitsAny: Any): Any = {
+    val xs = arr.asInstanceOf[ArrayData]
+    val nbits = bitsAny.asInstanceOf[Int]
+    val dim = xs.numElements()
+    var sig = 0
+    var j = 0
+    while (j < nbits) {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        acc += ((i * 31 + j * 17) % 7 - 3).toDouble * xs.getFloat(i).toDouble
+        i += 1
+      }
+      if (acc >= 0) sig |= 1 << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HyperplaneSig =
+    copy(left = newLeft, right = newRight)
+}
+
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 

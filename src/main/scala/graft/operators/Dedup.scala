@@ -111,11 +111,13 @@ object Dedup {
 
   /** MinHash + LSH banding near-dedup, verified with exact Jaccard (j ≥ 0.7).
     *
-    * Pipeline: shingle → rolling-poly base hash (ShingleHashes) → K affine
-    * hash functions → per-doc signature (one groupBy) → 16 band keys per doc
-    * (explode) → candidate pairs via an equi self-join ON the band key (a
-    * shuffle join, NOT a cross join — this is what makes near-dedup feasible
-    * at 100 TB) → exact-Jaccard verification of the candidates only.
+    * Pipeline: shingle → rolling-poly base hash (ShingleHashes) → per-doc
+    * K-wide signature in ONE map-only pass (graft.functions.MinHashSig — no
+    * explode, no shuffle; the signature fuses into the scan projection) →
+    * 16 band keys per doc (explode of 3-element signature slices) →
+    * candidate pairs via an equi self-join ON the band key (a shuffle join,
+    * NOT a cross join — this is what makes near-dedup feasible at 100 TB) →
+    * exact-Jaccard verification of the candidates only.
     *
     * The oracle is the brute-force Jaccard scan: with these fixed hash
     * parameters LSH candidacy is deterministic, and at j ≥ 0.7 the banding
@@ -126,18 +128,11 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val shingled = docs.selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
 
-    val exploded = shingled.select(col("doc_id"), explode(col("sh")).as("x"))
-    val minCols: Seq[Column] = (0 until K).map { i =>
-      min((col("x") * lit(2L * i + 1) + lit(97L + 31L * i)) % lit(P)).as(s"h$i")
-    }
-    val sig = exploded.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-
-    val bandStructs = (0 until Bands).map { bIdx =>
-      val key = concat_ws(",",
-        (0 until RowsPerBand).map(r => col(s"h${bIdx * RowsPerBand + r}")): _*)
-      struct(lit(bIdx).as("band_idx"), key.as("bkey"))
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+    val bands = shingled
+      .selectExpr("doc_id", s"minhash_sig(sh, $K) AS sig")
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> struct(b AS band_idx, " +
+          s"slice(sig, b * $RowsPerBand + 1, $RowsPerBand) AS bkey))")).as("b"))
       .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.bkey").as("bkey"))
 
     val cand = bands.as("x").join(bands.as("y"),

@@ -94,7 +94,7 @@ object Similarity {
     * The index range is driven off size(embedding) — any dimensionality
     * projects correctly instead of zip_with null-padding every signature to 0.
     */
-  private def projExpr(j: Int): String =
+  private[graft] def projExpr(j: Int): String =
     s"aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), (x, i) -> " +
       s"CAST(((i * 31 + $j * 17) % 7) - 3 AS DOUBLE) * CAST(x AS DOUBLE)), " +
       s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -103,14 +103,14 @@ object Similarity {
     s"list_reduce([CAST(0 AS DOUBLE)] || [CAST(((i * 31 + $j * 17) % 7) - 3 AS DOUBLE) " +
       s"* CAST(embedding[i + 1] AS DOUBLE) for i in range(0, len(embedding))], (acc, v) -> acc + v)"
 
-  /** Random-hyperplane LSH signatures + bucket occupancy. */
+  /** Random-hyperplane LSH signatures + bucket occupancy. The signature is
+    * one codegen-registered pass (graft.functions.HyperplaneSig) — same
+    * sequential fold bits as the HOF chain and the DuckDB twin ([[projSql]]).
+    */
   def q42AnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val sig = (0 until SigBits)
-      .map(j => when(expr(projExpr(j)) >= 0, lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _)
     val w = Window.partitionBy(col("sig"))
     Tables.embeddings(spark, dir)
-      .withColumn("sig", sig)
+      .withColumn("sig", expr(s"hyperplane_sig(embedding, $SigBits)"))
       .withColumn("bucket_size", count(lit(1)).over(w))
       .select("vec_id", "sig", "bucket_size")
       .orderBy(col("vec_id"))
@@ -132,12 +132,9 @@ object Similarity {
     * the oracle replays the identical deterministic bucketing.
     */
   def q47AnnBucketSearch(spark: SparkSession, dir: String): DataFrame = {
-    val sig8 = (0 until 8)
-      .map(j => when(expr(projExpr(j)) >= 0, lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _)
     val sigged = Tables.embeddings(spark, dir)
       .withColumn("n2", expr("float_vec_dot(embedding, embedding)"))
-      .withColumn("sig8", sig8)
+      .withColumn("sig8", expr("hyperplane_sig(embedding, 8)"))
     val queries = sigged.where(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("n2").as("q_n2"), col("sig8").as("q_sig"))

@@ -53,6 +53,11 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (1 to 48).map(r.getLong(_)).toArray).toMap
     assert(typed.keySet === columnar.keySet)
     typed.foreach { case (id, sig) => assert(sig.toSeq === columnar(id).toSeq, s"doc $id") }
+    // single-pass expression path (what q34 runs) agrees with both
+    val exprSig = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "minhash_sig(shingle_hashes(text, 20), 48) AS sig")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    typed.foreach { case (id, sig) => assert(sig.toSeq === exprSig(id), s"doc $id (expr)") }
     // sketch estimate correlates with exact jaccard on the known near-dup pairs
     val nearDups = Dedup.q33NgramJaccard(spark, sfDir)
       .where(col("jaccard") >= 0.9).collect()
@@ -60,6 +65,17 @@ class OperatorSpec extends SparkSpec {
       val est = MinHashAgg.estimate(typed(r.getLong(0)), typed(r.getLong(1)))
       assert(est >= 0.6, s"pair (${r.getLong(0)},${r.getLong(1)}) est=$est")
     }
+  }
+
+  test("hyperplane_sig matches the HOF projection chain bit-for-bit") {
+    import org.apache.spark.sql.functions.{expr => e, _}
+    val hofSig = (0 until 16)
+      .map(j => when(e(Similarity.projExpr(j)) >= 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val both = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), hofSig.as("hof"), e("hyperplane_sig(embedding, 16)").as("fast"))
+      .where(col("hof") =!= col("fast"))
+    assert(both.count() === 0)
   }
 
   test("exact dedup keeps exactly one row per distinct text") {
