@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Advanced SQL surface: statistical moments, exact percentiles, correlated
+  * scalar subqueries, IN/NOT IN subqueries, ordered string aggregation, map
+  * functions, extended window analytics, and the array-function sweep.
+  *
+  * Determinism doctrine (SURVEY.md §5): every double that crosses the oracle
+  * boundary is either (a) produced by the SAME sequence of IEEE ops on
+  * identical inputs in both engines, or (b) an exact decimal sum cast back.
+  * Variance/correlation use explicit decimal-sum moment formulas rather than
+  * built-in `stddev`/`corr` because accumulation order differs between
+  * engines; the formulas are bit-deterministic.
+  */
+object AdvancedSql {
+
+  /** Variance / stddev / correlation per return flag from explicit moment
+    * sums — shuffle-once and partial-aggregation-friendly at any scale.
+    *
+    * Numerics: the moments are EXACT scaled integers (quantities are
+    * integral; prices have 2 decimals → cents), accumulated in 128-bit-wide
+    * arithmetic (Spark DECIMAL(38,0), DuckDB HUGEINT). The covariance
+    * numerator n·Σxy − Σx·Σy suffers catastrophic cancellation, so even a
+    * 1-ulp difference in a double product would blow up the quotient — with
+    * exact integer numerators/denominators both engines convert the same
+    * integers and perform the same four IEEE ops. (A decimal-sum-of-doubles
+    * variant mismatched DuckDB at the 1e-10 level for exactly this reason.)
+    */
+  def q51StatsMoments(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_mom")
+    spark.sql(
+      """SELECT l_returnflag, n,
+        |  CAST(denx AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var_qty,
+        |  sqrt(CAST(denx AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS std_qty,
+        |  CAST(numxy AS DOUBLE) / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE))) AS corr_qty_price
+        |FROM (SELECT l_returnflag, n,
+        |        CAST(n AS DECIMAL(38,0)) * sqq - sq * sq AS denx,
+        |        CAST(n AS DECIMAL(38,0)) * spp - sp * sp AS deny,
+        |        CAST(n AS DECIMAL(38,0)) * sqp - sq * sp AS numxy
+        |      FROM (SELECT l_returnflag, count(*) AS n,
+        |              sum(CAST(qi AS DECIMAL(38,0))) AS sq,
+        |              sum(CAST(qi * qi AS DECIMAL(38,0))) AS sqq,
+        |              sum(CAST(pi AS DECIMAL(38,0))) AS sp,
+        |              sum(CAST(pi * pi AS DECIMAL(38,0))) AS spp,
+        |              sum(CAST(qi * pi AS DECIMAL(38,0))) AS sqp
+        |            FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qi,
+        |                    CAST(round(l_extendedprice * 100) AS BIGINT) AS pi
+        |                  FROM lineitem_mom)
+        |            GROUP BY l_returnflag))
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val q51Oracle: String =
+    """SELECT l_returnflag, n,
+      |  CAST(denx AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var_qty,
+      |  sqrt(CAST(denx AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS std_qty,
+      |  CAST(numxy AS DOUBLE) / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE))) AS corr_qty_price
+      |FROM (SELECT l_returnflag, n,
+      |        CAST(n AS HUGEINT) * sqq - sq * sq AS denx,
+      |        CAST(n AS HUGEINT) * spp - sp * sp AS deny,
+      |        CAST(n AS HUGEINT) * sqp - sq * sp AS numxy
+      |      FROM (SELECT l_returnflag, count(*) AS n,
+      |              CAST(sum(qi) AS HUGEINT) AS sq, CAST(sum(qi * qi) AS HUGEINT) AS sqq,
+      |              CAST(sum(pi) AS HUGEINT) AS sp, CAST(sum(pi * pi) AS HUGEINT) AS spp,
+      |              CAST(sum(qi * pi) AS HUGEINT) AS sqp
+      |            FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qi,
+      |                    CAST(round(l_extendedprice * 100) AS BIGINT) AS pi FROM lineitem)
+      |            GROUP BY l_returnflag))
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Exact interpolated percentiles (quartiles + median) of l_quantity per
+    * return flag. Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * p·(n−1) linear-interpolation definition; quantities are integral doubles
+    * and quartile fractions are exact binary, so interpolation is exact.
+    */
+  def q52Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        min(col("l_quantity")).as("p0"),
+        max(col("l_quantity")).as("p100"))
+      .orderBy(col("l_returnflag"))
+
+  val q52Oracle: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  min(l_quantity) AS p0, max(l_quantity) AS p100
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Correlated scalar subquery: orders priced above 1.2× their customer's
+    * average. Catalyst decorrelates this into a join with an aggregated
+    * subquery — one shuffle on o_custkey, no per-row subquery execution.
+    */
+  def q53ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_sq")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_sq o
+        |WHERE o_totalprice > 1.2 * (
+        |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |  FROM orders_sq o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q53Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE o_totalprice > 1.2 * (
+      |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** IN / NOT IN subqueries on null-free keys (planned as semi/anti joins). */
+  def q54SubqueryIn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_sq")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_sq")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_sq2")
+    spark.sql(
+      """SELECT c_custkey, c_name, c_nationkey FROM customer_sq
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation_sq WHERE n_regionkey = 2)
+        |  AND c_custkey NOT IN (
+        |    SELECT o_custkey FROM orders_sq2 WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q54Oracle: String =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer
+      |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+      |  AND c_custkey NOT IN (
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Ordered string aggregation: sorted-distinct CSV of order statuses per
+    * priority (collect_set → array_sort → concat_ws keeps the aggregation
+    * order-independent and therefore deterministic under any partitioning).
+    */
+  def q55StringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses_csv"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        count(lit(1)).as("order_cnt"))
+      .orderBy(col("o_orderpriority"))
+
+  val q55Oracle: String =
+    """SELECT o_orderpriority,
+      |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses_csv,
+      |  count(DISTINCT o_orderstatus) AS n_statuses, count(*) AS order_cnt
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Map functions over the JSON props payload: typed map extraction, key
+    * enumeration, lookup with default for a missing key.
+    */
+  def q56MapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("m", from_json(col("props"), lit("map<string,int>")))
+      .select(
+        col("event_id"),
+        size(col("m")).as("n_keys"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys_csv"),
+        element_at(col("m"), "k").as("k_val"),
+        coalesce(element_at(col("m"), "missing"), lit(-1)).as("missing_val"))
+      .orderBy(col("event_id"))
+
+  val q56Oracle: String =
+    """SELECT event_id,
+      |  len(json_keys(props)) AS n_keys,
+      |  array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+      |  coalesce(CAST(json_extract_string(props, '$.missing') AS INTEGER), -1) AS missing_val
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Extended window analytics: percent_rank / cume_dist / ntile / nth_value
+    * (explicit full-partition frame — default frames differ across engines).
+    */
+  def q57WindowExtras(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        percent_rank().over(ord).as("pct_rank"),
+        cume_dist().over(ord).as("cume"),
+        ntile(7).over(ord).as("bucket7"),
+        nth_value(col("o_orderkey"), 3).over(full).as("third_key"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q57Oracle: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  ntile(7) OVER w AS bucket7,
+      |  nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice DESC, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Array-function sweep on synthesized integer arrays: union / intersect /
+    * except / position / contains / slice / flatten / overlap — all reduced
+    * to scalars so the output hash is representation-independent.
+    */
+  def q58ArrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .selectExpr(
+        "p_partkey",
+        "sequence(p_partkey % 5, p_partkey % 5 + 6) AS a",
+        "sequence(3, 9) AS b")
+      .selectExpr(
+        "p_partkey",
+        "size(array_union(a, b)) AS union_sz",
+        "size(array_intersect(a, b)) AS inter_sz",
+        "size(array_except(a, b)) AS except_sz",
+        "array_position(a, 3) AS pos3",
+        "array_contains(a, 5) AS has5",
+        "concat_ws(',', slice(a, 2, 3)) AS slice_csv",
+        "size(flatten(array(a, b))) AS flat_sz",
+        "arrays_overlap(a, b) AS overlaps")
+      .orderBy(col("p_partkey"))
+
+  val q58Oracle: String =
+    """SELECT p_partkey,
+      |  len(list_distinct(a || b)) AS union_sz,
+      |  len(list_intersect(a, b)) AS inter_sz,
+      |  len(list_filter(list_distinct(a), x -> NOT list_contains(b, x))) AS except_sz,
+      |  CAST(coalesce(list_position(a, 3), 0) AS BIGINT) AS pos3,
+      |  list_contains(a, 5) AS has5,
+      |  array_to_string(a[2:4], ',') AS slice_csv,
+      |  len(flatten([a, b])) AS flat_sz,
+      |  list_has_any(a, b) AS overlaps
+      |FROM (SELECT p_partkey,
+      |        [i for i in range(p_partkey % 5, p_partkey % 5 + 7)] AS a,
+      |        [i for i in range(3, 10)] AS b
+      |      FROM part)
+      |ORDER BY p_partkey""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q51_stats_moments", q51StatsMoments, q51Oracle),
+    GraftQuery.sql("q52_percentiles", q52Percentiles, q52Oracle),
+    GraftQuery.sql("q53_scalar_subquery", q53ScalarSubquery, q53Oracle),
+    GraftQuery.sql("q54_subquery_in", q54SubqueryIn, q54Oracle),
+    GraftQuery.sql("q55_string_agg", q55StringAgg, q55Oracle),
+    GraftQuery.sql("q56_map_funcs", q56MapFuncs, q56Oracle),
+    GraftQuery.sql("q57_window_extras", q57WindowExtras, q57Oracle),
+    GraftQuery.sql("q58_array_funcs", q58ArrayFuncs, q58Oracle)
+  )
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Composite multi-operator pipelines — TPC-H-shaped end-to-end queries plus
+  * the scale utilities a 100 TB pipeline leans on (deterministic hash
+  * sampling, calendar-spine gap filling).
+  */
+object Composite {
+
+  /** TPC-H Q3-shaped shipping-priority query: segment-filtered customers ⋈
+    * orders ⋈ lineitem, revenue per order, top-10. Customer side broadcasts;
+    * the lineitem⋈orders join shuffles on the order key; top-k plans as
+    * TakeOrderedAndProject (no global sort).
+    */
+  def q59TpchQ3(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+      .join(
+        Tables.orders(spark, dir)
+          .where(col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(
+        broadcast(Tables.customer(spark, dir)
+          .where(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "o_orderdate", "revenue")
+
+  val q59Oracle: String =
+    s"""SELECT l_orderkey, o_orderdate,
+       |  ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       |  AND c_mktsegment = 'BUILDING'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped regional supplier volume: region → nation → customer →
+    * orders → lineitem → supplier, revenue per nation where the supplying and
+    * ordering nation coincide. Dims broadcast; the two fact joins shuffle on
+    * their keys.
+    */
+  def q60TpchQ5(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+
+  val q60Oracle: String =
+    s"""SELECT n_name, ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Deterministic hash sampling — the scale substitute for TABLESAMPLE:
+    * multiplicative-hash the key, keep ~5% of key space. Pure integer
+    * arithmetic, so both engines select the identical sample; at 100 TB the
+    * predicate evaluates per-row with no coordination and no RNG state.
+    */
+  def q61HashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(expr("(l_orderkey * 2654435761) % 4294967296 < 214748364"))
+      .agg(
+        count(lit(1)).as("sample_rows"),
+        countDistinct(col("l_orderkey")).as("sample_orders"),
+        Det.dsum(col("l_extendedprice")).as("sample_price_sum"))
+
+  val q61Oracle: String =
+    s"""SELECT count(*) AS sample_rows, count(DISTINCT l_orderkey) AS sample_orders,
+       |  ${Det.dsumSql("l_extendedprice")} AS sample_price_sum
+       |FROM lineitem
+       |WHERE (l_orderkey * 2654435761) % 4294967296 < 214748364""".stripMargin
+
+  /** Calendar-spine gap fill: generate every month in the fixed reporting
+    * range, left-join monthly order aggregates, zero-fill empty months. The
+    * spine is generated, not scanned — at scale this is a tiny broadcast side
+    * against a pre-aggregated fact.
+    */
+  def q62DateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val spine = Tables.orders(spark, dir).sparkSession.range(1)
+      .select(explode(expr(
+        "sequence(TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '2001-12-01 00:00:00', INTERVAL 1 MONTH)"))
+        .as("month"))
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("o_totalprice")).as("total"))
+    spine.join(monthly, Seq("month"), "left")
+      .select(
+        col("month"),
+        coalesce(col("cnt"), lit(0L)).as("order_cnt"),
+        coalesce(col("total"), lit(0.0)).as("month_total"))
+      .orderBy(col("month"))
+  }
+
+  val q62Oracle: String =
+    s"""SELECT month, coalesce(cnt, 0) AS order_cnt, coalesce(total, 0.0) AS month_total
+       |FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-12-01',
+       |                                    INTERVAL 1 MONTH)) AS month)
+       |LEFT JOIN (SELECT date_trunc('month', o_orderdate) AS month, count(*) AS cnt,
+       |             ${Det.dsumSql("o_totalprice")} AS total
+       |           FROM orders GROUP BY 1) USING (month)
+       |ORDER BY month""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q59_tpch_q3", q59TpchQ3, q59Oracle),
+    GraftQuery.sql("q60_tpch_q5", q60TpchQ5, q60Oracle),
+    GraftQuery.sql("q61_hash_sample", q61HashSample, q61Oracle),
+    GraftQuery.sql("q62_date_spine", q62DateSpine, q62Oracle)
+  )
+}

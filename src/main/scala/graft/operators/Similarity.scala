@@ -165,10 +165,95 @@ object Similarity {
        |WHERE rn <= 3 ORDER BY q_id, neighbor_id""".stripMargin
   }
 
+  /** IVF-style ANN: a fixed coarse quantizer (the 8 lowest-id vectors stand
+    * in for trained centroids) assigns every vector to its nearest cell via
+    * ‖x−c‖² = x·x − 2·x·c + c·c; queries then search ONLY their own cell —
+    * an equi-join on the cell id, the IVF scale path (nprobe=1). At 100 TB
+    * the centroid set broadcasts and cell assignment is map-only.
+    */
+  def q67IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir)
+    val cents = base.where(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(asc("dist2"), asc("c_id"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        col("n2") - lit(2.0) * expr("float_vec_dot(embedding, c_emb)") + col("c_n2"))
+      .withColumn("crn", row_number().over(wCell))
+      .where(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("n2"), col("c_id").as("cell"))
+    val queries = assigned.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"), col("cell").as("q_cell"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    assigned.join(queries, col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("cos",
+        expr("float_vec_dot(q_emb, embedding)") / (sqrt(col("q_n2")) * sqrt(col("n2"))))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 3)
+      .select(col("q_id"), col("cell"), col("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
+  val q67Oracle: String =
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  ${Det.dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+       |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM n WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT vec_id, embedding, n2, cell FROM (
+       |    SELECT n.vec_id, n.embedding, n.n2, c.c_id AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        n.n2 - 2.0 * ${Det.dotSql("n.embedding", "c.c_emb")} + c.c_n2, c.c_id) AS crn
+       |    FROM n, cents c)
+       |  WHERE crn = 1)
+       |SELECT q_id, cell, neighbor_id, cos FROM (
+       |  SELECT q.vec_id AS q_id, a.cell, a.vec_id AS neighbor_id,
+       |    ${Det.dotSql("q.embedding", "a.embedding")} / (sqrt(q.n2) * sqrt(a.n2)) AS cos,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${Det.dotSql("q.embedding", "a.embedding")} / (sqrt(q.n2) * sqrt(a.n2)) DESC,
+       |      a.vec_id) AS rn
+       |  FROM assigned q JOIN assigned a
+       |    ON q.vec_id < 20 AND a.cell = q.cell AND a.vec_id <> q.vec_id)
+       |WHERE rn <= 3 ORDER BY q_id, neighbor_id""".stripMargin
+
+  /** Per-label centroids (first 8 dimensions): element-wise mean via
+    * posexplode + sorted sequential fold — sorting the per-group values
+    * before a left-to-right double fold makes the sum order-deterministic
+    * under any partitioning, without casting float-derived doubles to
+    * decimal (which diverges between engines past ~15 digits).
+    */
+  def q68LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .where(col("pos") < 8)
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("aggregate(array_sort(collect_list(CAST(x AS DOUBLE))), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("dim_sum"))
+      .withColumn("centroid", col("dim_sum") / col("n").cast("double"))
+      .select("label", "pos", "n", "centroid")
+      .orderBy(col("label"), col("pos"))
+
+  val q68Oracle: String =
+    """SELECT label, pos, n, dim_sum / CAST(n AS DOUBLE) AS centroid FROM (
+      |  SELECT label, s.i - 1 AS pos, count(*) AS n,
+      |    list_reduce([CAST(0 AS DOUBLE)] || list(CAST(s.x AS DOUBLE) ORDER BY CAST(s.x AS DOUBLE)),
+      |                (acc, v) -> acc + v) AS dim_sum
+      |  FROM (SELECT label,
+      |          unnest([{'i': i, 'x': embedding[i]} for i in range(1, len(embedding) + 1)]) AS s
+      |        FROM embeddings)
+      |  WHERE s.i <= 8
+      |  GROUP BY label, s.i)
+      |ORDER BY label, pos""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q40_cosine_topk", q40CosineTopk, q40Oracle),
     GraftQuery.sql("q41_embedding_neardup", q41EmbeddingNeardup, q41Oracle),
     GraftQuery.sql("q42_ann_lsh_buckets", q42AnnLshBuckets, q42Oracle),
-    GraftQuery.sql("q47_ann_bucket_search", q47AnnBucketSearch, q47Oracle)
+    GraftQuery.sql("q47_ann_bucket_search", q47AnnBucketSearch, q47Oracle),
+    GraftQuery.sql("q67_ivf_ann", q67IvfAnn, q67Oracle),
+    GraftQuery.sql("q68_label_centroids", q68LabelCentroids, q68Oracle)
   )
 }

@@ -102,9 +102,129 @@ object TextAnalysis {
       |FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Top-5 word bigrams per language: pair adjacent tokens per doc (guarded
+    * for single-token docs — Spark's `sequence(1, 0)` would count DOWN),
+    * explode, count per (lang, bigram), rank. The heavy shuffle keys on
+    * (lang, bigram) — high cardinality, skew-free.
+    */
+  def q63BigramTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(desc("cnt"), asc("bigram"))
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("bigram", explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select("lang", "bigram", "cnt", "rn")
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val q63Oracle: String =
+    """SELECT lang, bigram, cnt, rn FROM (
+      |  SELECT lang, bigram, cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rn
+      |  FROM (
+      |    SELECT lang, bigram, count(*) AS cnt FROM (
+      |      SELECT lang, unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bigram
+      |      FROM (SELECT lang, string_split(text, ' ') AS t FROM documents))
+      |    GROUP BY lang, bigram))
+      |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+
+  /** Text normalization for dedup keys: digits → <num>, whitespace squashed,
+    * trimmed; emit the normalized fingerprint. (DuckDB's regexp_replace
+    * needs the 'g' flag — it replaces only the first match by default,
+    * Spark always replaces all.)
+    */
+  def q64TextNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(trim(regexp_replace(regexp_replace(col("text"), "[0-9]+", "<num>"),
+          "  +", " "))).as("norm_md5"),
+        length(trim(regexp_replace(regexp_replace(col("text"), "[0-9]+", "<num>"),
+          "  +", " "))).as("norm_len"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_numbers"))
+      .orderBy(col("doc_id"))
+
+  val q64Oracle: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+      |      '  +', ' ', 'g'))) AS norm_md5,
+      |  length(trim(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+      |      '  +', ' ', 'g'))) AS norm_len,
+      |  len(regexp_extract_all(text, '[0-9]+', 0)) AS n_numbers
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Lexical diversity per document: vocabulary size, hapax count, and
+    * type-token ratio — one (doc_id, token) aggregation, then per-doc
+    * rollup; both shuffles key on high-cardinality compounds.
+    */
+  def q65LexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tok_cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tok_cnt")).as("total_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("tok_cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+      .withColumn("ttr",
+        col("vocab").cast("double") / col("total_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+
+  val q65Oracle: String =
+    """SELECT doc_id, total_tokens, vocab, hapax,
+      |  CAST(vocab AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS ttr
+      |FROM (
+      |  SELECT doc_id, CAST(sum(tok_cnt) AS BIGINT) AS total_tokens,
+      |    count(*) AS vocab,
+      |    CAST(sum(CASE WHEN tok_cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+      |  FROM (
+      |    SELECT doc_id, tok, count(*) AS tok_cnt
+      |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |    GROUP BY doc_id, tok)
+      |  GROUP BY doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Document-length histogram: fixed 200-char buckets with corpus share —
+    * integer bucketing plus an exact-integer double division.
+    */
+  def q66LengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.documents(spark, dir)
+      .withColumn("bucket", expr("n_chars div 200"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("doc_cnt"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("share",
+        col("doc_cnt").cast("double") / sum(col("doc_cnt")).over(w).cast("double"))
+      .orderBy(col("bucket"))
+  }
+
+  val q66Oracle: String =
+    """SELECT bucket, doc_cnt, min_chars, max_chars,
+      |  CAST(doc_cnt AS DOUBLE) / CAST(sum(doc_cnt) OVER () AS DOUBLE) AS share
+      |FROM (
+      |  SELECT n_chars // 200 AS bucket, count(*) AS doc_cnt,
+      |    min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |  FROM documents GROUP BY 1)
+      |ORDER BY bucket""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q37_lang_markers", q37LangMarkers, q37Oracle),
     GraftQuery.sql("q38_quality_score", q38QualityScore, q38Oracle),
-    GraftQuery.sql("q39_token_stats", q39TokenStats, q39Oracle)
+    GraftQuery.sql("q39_token_stats", q39TokenStats, q39Oracle),
+    GraftQuery.sql("q63_bigram_topk", q63BigramTopk, q63Oracle),
+    GraftQuery.sql("q64_text_normalize", q64TextNormalize, q64Oracle),
+    GraftQuery.sql("q65_lexical_diversity", q65LexicalDiversity, q65Oracle),
+    GraftQuery.sql("q66_length_histogram", q66LengthHistogram, q66Oracle)
   )
 }
