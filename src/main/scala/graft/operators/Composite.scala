@@ -128,10 +128,66 @@ object Composite {
        |           FROM orders GROUP BY 1) USING (month)
        |ORDER BY month""".stripMargin
 
+  /** Per-JVM unique scratch root for bucketed-table storage (same isolation
+    * rationale as FsParity.scratchRoot).
+    */
+  private lazy val bucketRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_buckets_").toString
+
+  /** Bucketed co-located join: both sides written bucketBy(8) + sortBy on
+    * the join key, so the sort-merge join reads pre-bucketed, pre-sorted
+    * files with NO Exchange and no sort on either side — the persistent
+    * answer to repeated fact⋈fact joins at 100 TB (pay the shuffle once at
+    * write time, never again). The merge hint stops the small side from
+    * broadcasting, which would hide the bucketing in this corpus-sized test.
+    */
+  def q69BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
+    Tables.orders(spark, dir).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$bucketRoot/orders_bkt").saveAsTable("graft_orders_bkt")
+    Tables.customer(spark, dir).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$bucketRoot/customer_bkt").saveAsTable("graft_customer_bkt")
+    spark.table("graft_orders_bkt").hint("merge")
+      .join(spark.table("graft_customer_bkt"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("order_cnt"), Det.dsum(col("o_totalprice")).as("sum_total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q69Oracle: String =
+    s"""SELECT c_mktsegment, count(*) AS order_cnt,
+       |  ${Det.dsumSql("o_totalprice")} AS sum_total
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Aggregation-side skew handling: two-phase salted sum/count over the
+    * low-cardinality event_type key (AQE fixes join-side skew at runtime but
+    * not a groupBy whose hot key floods one reducer). The salted result is
+    * bit-identical to the direct aggregation because partials are exact
+    * decimal sums — which is what the oracle verifies.
+    */
+  def q73SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Scale.saltedSumCount(
+        Tables.events(spark, dir), col("event_type"), col("value"), salt = 16)
+      .withColumnRenamed("k", "event_type")
+      .withColumnRenamed("sum_v", "sum_value")
+      .orderBy(col("event_type"))
+
+  val q73Oracle: String =
+    s"""SELECT event_type, ${Det.dsumSql("value")} AS sum_value,
+       |  count(*) AS cnt
+       |FROM (${Det.EventsSql})
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q59_tpch_q3", q59TpchQ3, q59Oracle),
     GraftQuery.sql("q60_tpch_q5", q60TpchQ5, q60Oracle),
     GraftQuery.sql("q61_hash_sample", q61HashSample, q61Oracle),
-    GraftQuery.sql("q62_date_spine", q62DateSpine, q62Oracle)
+    GraftQuery.sql("q62_date_spine", q62DateSpine, q62Oracle),
+    GraftQuery.sql("q69_bucketed_join", q69BucketedJoin, q69Oracle),
+    GraftQuery.sql("q73_salted_agg", q73SaltedAgg, q73Oracle)
   )
 }

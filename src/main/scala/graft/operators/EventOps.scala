@@ -169,12 +169,76 @@ object EventOps {
        |  FROM (${Det.EventsSql}))
        |WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Event funnel view → click → purchase: each stage keeps users whose
+    * stage event STRICTLY follows their previous stage's first event.
+    * Three per-user min-aggregations chained by co-partitioned joins on
+    * user_id — no window over the full event stream, no cross product.
+    */
+  def q70EventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicks = ev.where(col("event_type") === "click")
+      .join(views, "user_id").where(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .join(clicks, "user_id").where(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    views.select(count(lit(1)).as("viewed_users"))
+      .crossJoin(clicks.select(count(lit(1)).as("clicked_after_view")))
+      .crossJoin(purchases.select(count(lit(1)).as("purchased_after_click")))
+  }
+
+  val q70Oracle: String =
+    s"""WITH ev AS (${Det.EventsSql}),
+       |v AS (SELECT user_id, min(ts) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id),
+       |c AS (SELECT ev.user_id, min(ev.ts) AS t_click FROM ev JOIN v ON ev.user_id = v.user_id
+       |      WHERE ev.event_type = 'click' AND ev.ts > v.t_view GROUP BY ev.user_id),
+       |p AS (SELECT ev.user_id, min(ev.ts) AS t_purchase FROM ev JOIN c ON ev.user_id = c.user_id
+       |      WHERE ev.event_type = 'purchase' AND ev.ts > c.t_click GROUP BY ev.user_id)
+       |SELECT (SELECT count(*) FROM v) AS viewed_users,
+       |       (SELECT count(*) FROM c) AS clicked_after_view,
+       |       (SELECT count(*) FROM p) AS purchased_after_click""".stripMargin
+
+  /** Cohort retention: users grouped by first-activity month; for each
+    * (cohort, month-offset) the count of still-active users. Month offsets
+    * are exact integer arithmetic (year·12+month), not float date math.
+    */
+  def q72CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(date_trunc("month", min(col("ts"))).as("cohort_month"))
+    val active = ev.select(col("user_id"),
+      date_trunc("month", col("ts")).as("active_month")).distinct()
+    cohort.join(active, "user_id")
+      .withColumn("month_offset",
+        (year(col("active_month")) * 12 + month(col("active_month"))) -
+          (year(col("cohort_month")) * 12 + month(col("cohort_month"))))
+      .groupBy(col("cohort_month"), col("month_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_month"), col("month_offset"))
+  }
+
+  val q72Oracle: String =
+    s"""WITH ev AS (${Det.EventsSql}),
+       |cohort AS (SELECT user_id, date_trunc('month', min(ts)) AS cohort_month
+       |           FROM ev GROUP BY user_id),
+       |active AS (SELECT DISTINCT user_id, date_trunc('month', ts) AS active_month FROM ev)
+       |SELECT cohort_month,
+       |  (year(active_month) * 12 + month(active_month)) -
+       |  (year(cohort_month) * 12 + month(cohort_month)) AS month_offset,
+       |  count(DISTINCT user_id) AS active_users
+       |FROM cohort JOIN active USING (user_id)
+       |GROUP BY cohort_month, month_offset ORDER BY cohort_month, month_offset""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q26_asof_join", q26AsofJoin, q26Oracle),
     GraftQuery.sql("q27_tumbling_window", q27TumblingWindow, q27Oracle),
     GraftQuery.sql("q28_sliding_window", q28SlidingWindow, q28Oracle),
     GraftQuery.sql("q29_session_window", q29SessionWindow, q29Oracle),
     GraftQuery.sql("q30_late_data_filter", q30LateDataFilter, q30Oracle),
-    GraftQuery.sql("q31_windowed_dedup", q31WindowedDedup, q31Oracle)
+    GraftQuery.sql("q31_windowed_dedup", q31WindowedDedup, q31Oracle),
+    GraftQuery.sql("q70_event_funnel", q70EventFunnel, q70Oracle),
+    GraftQuery.sql("q72_cohort_retention", q72CohortRetention, q72Oracle)
   )
 }

@@ -218,6 +218,51 @@ object TextAnalysis {
       |  FROM documents GROUP BY 1)
       |ORDER BY bucket""".stripMargin
 
+  /** TF-IDF-style top terms per document. The IDF factor is the BM25-ish
+    * RATIO (N − df + 0.5)/(df + 0.5) rather than a logarithm: ln() is a libm
+    * call with no cross-engine bit guarantee, while the ratio is two exact
+    * int→double conversions, one subtraction, two additions and a division —
+    * all IEEE-identical. Ranking (and thus output) matches what log-IDF
+    * would produce since the ratio is monotone in df.
+    *
+    * Scale shape: (doc, tok) and (tok) aggregations shuffle on high-
+    * cardinality keys; the corpus size N broadcasts as a 1-row scalar.
+    */
+  def q71TfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(desc("score"), asc("tok"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr(
+        "CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("doc_id", "tok", "tf", "df", "score", "rn")
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val q71Oracle: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, tok, tf, df, score, rn FROM (
+      |  SELECT doc_id, tok, tf, df,
+      |    CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY
+      |      CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) DESC,
+      |      tok) AS rn
+      |  FROM tf JOIN dfreq USING (tok), n)
+      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q37_lang_markers", q37LangMarkers, q37Oracle),
     GraftQuery.sql("q38_quality_score", q38QualityScore, q38Oracle),
@@ -225,6 +270,7 @@ object TextAnalysis {
     GraftQuery.sql("q63_bigram_topk", q63BigramTopk, q63Oracle),
     GraftQuery.sql("q64_text_normalize", q64TextNormalize, q64Oracle),
     GraftQuery.sql("q65_lexical_diversity", q65LexicalDiversity, q65Oracle),
-    GraftQuery.sql("q66_length_histogram", q66LengthHistogram, q66Oracle)
+    GraftQuery.sql("q66_length_histogram", q66LengthHistogram, q66Oracle),
+    GraftQuery.sql("q71_tfidf_topk", q71TfidfTopk, q71Oracle)
   )
 }

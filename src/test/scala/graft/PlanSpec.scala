@@ -50,4 +50,45 @@ class PlanSpec extends SparkSpec {
     val p = plan("q40_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q59 tpch-q3: customer broadcasts, top-k avoids global sort") {
+    val p = plan("q59_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q60 tpch-q5: all four dims broadcast, no cartesian product") {
+    val p = plan("q60_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q53 correlated subquery decorrelates to a join (no per-row subquery)") {
+    val p = plan("q53_scalar_subquery")
+    assert(!p.contains("Subquery"), p) // rewritten into join + aggregate
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("q61 hash-sample filter evaluates inside the scan stage (no shuffle before it)") {
+    val p = plan("q61_hash_sample")
+    assert(p.contains("Filter"), p)
+    // one exchange for the global agg is fine; the sample filter must not add one
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q69 bucketed join reads pre-bucketed files with no join-side exchange") {
+    val p = plan("q69_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert("Bucketed: true".r.findAllIn(p).size >= 2, p)
+    // the only exchanges are for the final agg/sort, never under the join
+    val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinSection.contains("Exchange hashpartitioning"), joinSection)
+  }
+
+  test("q34 signature path has no explode-shuffle (map-only minhash_sig)") {
+    val p = plan("q34_minhash_lsh")
+    assert(p.contains("minhash_sig") || p.contains("minhashsig"), p)
+    assert(!p.toLowerCase.contains("partial_min("), p)
+  }
 }
