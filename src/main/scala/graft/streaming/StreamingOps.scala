@@ -51,6 +51,32 @@ object StreamingOps {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-static enrichment join: each micro-batch joins against a static
+    * (batch) dimension — planned as a broadcast hash join per batch, no
+    * stream state. The standard shape for attaching dimension attributes to
+    * a 100 TB/day event firehose.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), key)
+
+  /** Stream-stream interval join: purchases matched to clicks by the same
+    * user within the preceding hour. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so each side's buffered
+    * state is evictable — unbounded stream-stream joins are an OOM at scale.
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
   /** Session gap. */
   private val GapMs = 30L * 60 * 1000
 

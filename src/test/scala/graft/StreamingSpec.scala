@@ -72,6 +72,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream joins each micro-batch against a static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = StreamingOps.enrichStream(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:02:00"), 2, "click", 2.0),
+        Event(3, ts("2024-01-01 00:03:00"), 9, "click", 3.0)) // no dim row: dropped
+      q.processAllAvailable()
+      val got = spark.table("enr").select("event_id", "tier")
+        .as[(Long, String)].collect().toMap
+      assert(got === Map(1L -> "gold", 2L -> "basic"))
+    } finally q.stop()
+  }
+
+  test("clickToPurchase stream-stream join matches within the interval only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamingOps.clickToPurchase(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("cp").outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(10, ts("2024-01-01 00:00:00"), 1, "click", 0.0),
+        Event(11, ts("2024-01-01 05:00:00"), 2, "click", 0.0)) // 5h before purchase: out of window
+      purchases.addData(
+        Event(20, ts("2024-01-01 00:30:00"), 1, "purchase", 9.0),
+        Event(21, ts("2024-01-01 12:00:00"), 2, "purchase", 5.0))
+      q.processAllAvailable()
+      val got = spark.table("cp").select("purchase_id", "click_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((20L, 10L)))
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions with correct aggregates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
