@@ -8,22 +8,21 @@ import org.apache.spark.sql.expressions.Aggregator
   * the custom-function ladder (SURVEY.md §2b): folds hashed shingles into a
   * K-wide signature of per-hash-function minima. Sketches merge
   * element-wise, so the aggregation is map-side combinable and
-  * shuffle-friendly at any scale; `Dedup.q34MinhashLsh` keeps the columnar
-  * 48-min-agg formulation (same math, fully codegen'd), while this typed form
-  * serves `Dataset[T]` pipelines and is cross-checked against it in tests.
+  * shuffle-friendly at any scale; `Dedup.q34MinhashLsh` uses the one-pass
+  * [[MinHashSig]] expression (same family), while this typed form serves
+  * `Dataset[T]` pipelines and is cross-checked against it in tests.
   *
-  * Hash family: h_i(x) = ((2i+1)·x + (97+31i)) mod P with P = 4294967311
-  * (prime > 2³²) — identical to q34's columns.
+  * Hash family: [[MinHashFamily.mix]] (splitmix64 finalizer, per-function
+  * seed) — identical to `minhash_sig`.
   */
 class MinHashAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
-  private val P = 4294967311L
 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], x: Long): Array[Long] = {
     var i = 0
     while (i < k) {
-      val h = (x * (2L * i + 1) + (97L + 31L * i)) % P
+      val h = MinHashFamily.mix(x, i)
       if (h < buf(i)) buf(i) = h
       i += 1
     }

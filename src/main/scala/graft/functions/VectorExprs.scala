@@ -148,19 +148,17 @@ case class ShingleHashes(left: Expression, right: Expression)
 }
 
 /** MinHash signature of a hashed shingle set in ONE pass per row: for each of
-  * k affine hash functions h_i(x) = ((2i+1)·x + (97+31i)) mod P
-  * (P = 4294967311, prime > 2³² — same family as [[MinHashAgg]]), the minimum
-  * over the input array. Returns array<bigint> of length k.
+  * k hash functions (splitmix64 finalizer with a per-function seed offset —
+  * see [[MinHashFamily.mix]]), the minimum over the input array. Returns
+  * array<bigint> of length k.
   *
   * This replaces the explode → shuffle → 48-column min() aggregation
-  * formulation of MinHash: per-row work is identical (len·k multiply-mods),
-  * but NO shuffle and no 5M-row intermediate — at 100 TB the signature step
-  * becomes a map-only pass fused into the scan projection.
+  * formulation of MinHash: per-row work is identical (len·k mixes), but NO
+  * shuffle and no 5M-row intermediate — at 100 TB the signature step becomes
+  * a map-only pass fused into the scan projection.
   */
 case class MinHashSig(left: Expression, right: Expression)
     extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-
-  private val P = 4294967311L
 
   override def checkInputDataTypes(): TypeCheckResult =
     if ((left.dataType match {
@@ -183,7 +181,7 @@ case class MinHashSig(left: Expression, right: Expression)
       val x = xs.getLong(e)
       var i = 0
       while (i < k) {
-        val h = (x * (2L * i + 1) + (97L + 31L * i)) % P
+        val h = MinHashFamily.mix(x, i)
         if (h < sig(i)) sig(i) = h
         i += 1
       }
@@ -195,6 +193,24 @@ case class MinHashSig(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHashSig =
     copy(left = newLeft, right = newRight)
+}
+
+/** The shared MinHash hash family: splitmix64's finalizer over the element
+  * XOR a per-function seed. Full-avalanche 64-bit mixing — unlike a
+  * small-multiplier affine family ((2i+1)·x + c mod P), whose functions are
+  * order-preserving for inputs ≪ P/(2i+1) and therefore share their argmin
+  * across functions, collapsing the sketch's Jaccard estimate (caught by the
+  * PropertySpec estimate-accuracy test). Wrapping Long arithmetic is
+  * deterministic on the JVM; minima are taken in signed order, which is fine
+  * since the mixed values are uniform over the full Long range.
+  */
+object MinHashFamily {
+  def mix(x: Long, i: Int): Long = {
+    var z = x ^ (0x9E3779B97F4A7C15L * (i + 1))
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 }
 
 /** Random-hyperplane LSH signature: bit j of the result is set iff the

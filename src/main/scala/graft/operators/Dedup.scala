@@ -107,13 +107,13 @@ object Dedup {
   private val K = 48
   private val Bands = 16
   private val RowsPerBand = 3
-  private val P = 4294967311L // prime > 2^32
 
   /** MinHash + LSH banding near-dedup, verified with exact Jaccard (j ≥ 0.7).
     *
     * Pipeline: shingle → rolling-poly base hash (ShingleHashes) → per-doc
-    * K-wide signature in ONE map-only pass (graft.functions.MinHashSig — no
-    * explode, no shuffle; the signature fuses into the scan projection) →
+    * K-wide signature in ONE map-only pass (graft.functions.MinHashSig,
+    * splitmix64-mixed hash family — no explode, no shuffle; the signature
+    * fuses into the scan projection) →
     * 16 band keys per doc (explode of 3-element signature slices) →
     * candidate pairs via an equi self-join ON the band key (a shuffle join,
     * NOT a cross join — this is what makes near-dedup feasible at 100 TB) →

@@ -106,8 +106,71 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a binary payload. */
+  final case class Frame(
+      doc_id: Long,
+      frame_idx: Int,
+      offset: Int,
+      frame_len: Int,
+      head_byte: Int)
+
+  /** Typed frame sampling: chunk each payload into fixed-size frames and
+    * keep every `every`-th one, slicing the REAL bytes per frame (executor-
+    * side flatMap over partitions — the batch shape a video/audio
+    * frame-sampler runs in; swap the body for a codec's keyframe iterator).
+    */
+  def frameSample(
+      records: Dataset[MediaRecord],
+      frameBytes: Int = 256,
+      every: Int = 3): Dataset[Frame] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.payload.length
+        val total = (n + frameBytes - 1) / frameBytes
+        (0 until total).iterator
+          .filter(_ % every == 0)
+          .map { i =>
+            val off = i * frameBytes
+            Frame(r.doc_id, i, off, math.min(frameBytes, n - off),
+              r.payload(off) & 0xff)
+          }
+      }
+    }
+  }
+
+  /** SQL face of [[frameSample]]: identical frame geometry derived with
+    * integer arithmetic + explode (no per-row byte access, so DuckDB can
+    * replay it — the byte-level slicing itself is covered by the typed path
+    * and its spec). head_byte uses ascii() of the frame's first character,
+    * valid because offsets are codepoint==byte on this corpus's ASCII text.
+    */
+  def q74FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("byte_len", octet_length(col("text")))
+      .withColumn("frame_idx", explode(expr(
+        "filter(sequence(0, CAST(ceil(byte_len / 256.0) AS INT) - 1), i -> i % 3 = 0)")))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("int").as("frame_idx"),
+        (col("frame_idx") * 256).cast("int").as("offset"),
+        least(lit(256), col("byte_len") - col("frame_idx") * 256).cast("int").as("frame_len"),
+        ascii(expr("substring(text, frame_idx * 256 + 1, 1)")).as("head_byte"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val q74Oracle: String =
+    """SELECT doc_id, frame_idx, frame_idx * 256 AS offset,
+      |  least(256, byte_len - frame_idx * 256) AS frame_len,
+      |  unicode(substr(text, frame_idx * 256 + 1, 1)) AS head_byte
+      |FROM (
+      |  SELECT doc_id, text, byte_len,
+      |    unnest([i for i in range(0, CAST(ceil(byte_len / 256.0) AS INT)) if i % 3 = 0]) AS frame_idx
+      |  FROM (SELECT doc_id, text, strlen(text) AS byte_len FROM documents))
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q43_multimodal_join", q43MultimodalJoin, q43Oracle),
-    GraftQuery.sql("q44_binary_pipeline", q44BinaryPipeline, q44Oracle)
+    GraftQuery.sql("q44_binary_pipeline", q44BinaryPipeline, q44Oracle),
+    GraftQuery.sql("q74_frame_sample", q74FrameSample, q74Oracle)
   )
 }

@@ -36,27 +36,20 @@ class OperatorSpec extends SparkSpec {
     assert(got === Seq(2, 0, 1))
   }
 
-  test("typed MinHashAgg matches the columnar 48-min signature and estimates jaccard") {
+  test("typed MinHashAgg matches the one-pass minhash_sig expression and estimates jaccard") {
     import graft.functions.MinHashAgg
     val sh = graft.sources.Tables.documents(spark, sfDir)
       .selectExpr("doc_id", "explode(shingle_hashes(text, 20)) AS x")
-    // typed path
+    // typed aggregator path (merge-friendly sketch union)
     val agg = new MinHashAgg(48)
     val typed = sh.as[(Long, Long)].groupByKey(_._1).mapValues(_._2)
       .agg(agg.toColumn.name("sig"))
       .collect().toMap
-    // columnar path (same family as Dedup.q34)
-    val P = 4294967311L
-    val minCols = (0 until 48).map(i =>
-      min((col("x") * lit(2L * i + 1) + lit(97L + 31L * i)) % lit(P)).as(s"h$i"))
-    val columnar = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      .collect().map(r => r.getLong(0) -> (1 to 48).map(r.getLong(_)).toArray).toMap
-    assert(typed.keySet === columnar.keySet)
-    typed.foreach { case (id, sig) => assert(sig.toSeq === columnar(id).toSeq, s"doc $id") }
-    // single-pass expression path (what q34 runs) agrees with both
+    // single-pass expression path (what q34 runs) — same MinHashFamily
     val exprSig = graft.sources.Tables.documents(spark, sfDir)
       .selectExpr("doc_id", "minhash_sig(shingle_hashes(text, 20), 48) AS sig")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(typed.keySet === exprSig.keySet)
     typed.foreach { case (id, sig) => assert(sig.toSeq === exprSig(id), s"doc $id (expr)") }
     // sketch estimate correlates with exact jaccard on the known near-dup pairs
     val nearDups = Dedup.q33NgramJaccard(spark, sfDir)
@@ -76,6 +69,18 @@ class OperatorSpec extends SparkSpec {
       .select(col("vec_id"), hofSig.as("hof"), e("hyperplane_sig(embedding, 16)").as("fast"))
       .where(col("hof") =!= col("fast"))
     assert(both.count() === 0)
+  }
+
+  test("typed frameSample slices the same frames the SQL face q74 declares") {
+    import graft.operators.Multimodal
+    val typed = Multimodal.frameSample(Multimodal.mediaRecords(spark, sfDir))
+      .collect().map(f => (f.doc_id, f.frame_idx, f.offset, f.frame_len, f.head_byte)).toSet
+    val sql = Multimodal.q74FrameSample(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSet
+    // mediaRecords inner-joins embeddings, so compare on the docs both cover
+    val joinedDocs = typed.map(_._1)
+    assert(typed === sql.filter(t => joinedDocs.contains(t._1)))
+    assert(typed.nonEmpty)
   }
 
   test("exact dedup keeps exactly one row per distinct text") {

@@ -60,4 +60,44 @@ class PropertySpec extends SparkSpec {
     val pairs = Dedup.q33NgramJaccard(spark, sfDir)
     assert(pairs.where(col("doc_a") >= col("doc_b")).count() === 0)
   }
+
+  test("minhash_sig estimates jaccard within sketch error on random shingle sets") {
+    // Random long-sets with RANDOM-membership overlap (a prefix subset would
+    // correlate with hash minima under a weak family — which is exactly the
+    // bug this test caught in the original small-multiplier affine family).
+    // k=48 → σ = √(j(1−j)/48) ≤ 0.073; assert within 4σ + slack.
+    val setGen = for {
+      base <- Gen.listOfN(500, Gen.chooseNum(0L, 1000000000L))
+      mask <- Gen.listOfN(500, Gen.chooseNum(0, 2)) // 0: a only, 1: both, 2: b only
+    } yield {
+      val items = base.distinct.zip(mask)
+      (items.collect { case (x, m) if m <= 1 => x },
+        items.collect { case (x, m) if m >= 1 => x })
+    }
+    samples(setGen, 8).foreach { case (a, b) =>
+      val inter = a.toSet.intersect(b.toSet).size.toDouble
+      val trueJ = inter / (a.toSet ++ b.toSet).size
+      val df = Seq((1L, a.toArray), (2L, b.toArray)).toDF("id", "sh")
+        .selectExpr("id", "minhash_sig(sh, 48) AS sig")
+      val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val est = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y } / 48.0
+      assert(math.abs(est - trueJ) <= 0.30, s"est=$est true=$trueJ")
+    }
+  }
+
+  test("shingle_hashes walks codepoints: non-ASCII text matches a reference fold") {
+    // Unicode text: the kernel must window/fold per CODEPOINT (as DuckDB's
+    // unicode(substr(...)) does), not per UTF-8 byte.
+    val text = "héllo wörld ünïcode çafé naïve résumé façade"
+    val w = 5
+    val cps = text.codePoints().toArray
+    val P = 1000000007L
+    val expected = (0 to cps.length - w).map { s =>
+      cps.slice(s, s + w).foldLeft(0L)((acc, c) => (acc * 31 + c) % P)
+    }.distinct.sorted
+    val got = Seq(Tuple1(text)).toDF("t")
+      .selectExpr(s"shingle_hashes(t, $w) AS sh")
+      .head.getSeq[Long](0)
+    assert(got === expected)
+  }
 }
