@@ -246,6 +246,51 @@ object AdvancedSql {
       |      FROM part)
       |ORDER BY p_partkey""".stripMargin
 
+  /** Latest/earliest record per key via max_by/min_by (arg_max/arg_min) —
+    * the CDC-compaction shape: collapse an event log to each key's current
+    * state in ONE aggregation pass (no window, no self-join). event_id is
+    * the unique order key, so ties cannot occur.
+    */
+  def q75LatestPerKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        max_by(col("value"), col("event_id")).as("last_value"),
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max(col("event_id")).as("last_event_id"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  val q75Oracle: String =
+    s"""SELECT user_id, arg_max(event_type, event_id) AS last_type,
+       |  arg_max(value, event_id) AS last_value,
+       |  arg_min(event_type, event_id) AS first_type,
+       |  max(event_id) AS last_event_id, count(*) AS n_events
+       |FROM (${Det.EventsSql})
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Approximate-quantile sketch validated against the exact quantile inside
+    * Spark (the sketch value itself is engine-specific, so the oracle checks
+    * booleans — same pattern as q10's HLL check). At 100 TB the sketch is
+    * the only affordable path: mergeable, single-pass, bounded memory.
+    */
+  def q76ApproxQuantile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+        expr("percentile(l_extendedprice, 0.5)").as("ep50"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("ap99"),
+        expr("percentile(l_extendedprice, 0.99)").as("ep99"))
+      .select(
+        col("n"),
+        (abs(col("ap50") - col("ep50")) <= col("ep50") * 0.02).as("ok_p50"),
+        (abs(col("ap99") - col("ep99")) <= col("ep99") * 0.02).as("ok_p99"))
+
+  val q76Oracle: String =
+    """SELECT count(*) AS n, true AS ok_p50, true AS ok_p99 FROM lineitem""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q51_stats_moments", q51StatsMoments, q51Oracle),
     GraftQuery.sql("q52_percentiles", q52Percentiles, q52Oracle),
@@ -254,6 +299,8 @@ object AdvancedSql {
     GraftQuery.sql("q55_string_agg", q55StringAgg, q55Oracle),
     GraftQuery.sql("q56_map_funcs", q56MapFuncs, q56Oracle),
     GraftQuery.sql("q57_window_extras", q57WindowExtras, q57Oracle),
-    GraftQuery.sql("q58_array_funcs", q58ArrayFuncs, q58Oracle)
+    GraftQuery.sql("q58_array_funcs", q58ArrayFuncs, q58Oracle),
+    GraftQuery.sql("q75_latest_per_key", q75LatestPerKey, q75Oracle),
+    GraftQuery.sql("q76_approx_quantile", q76ApproxQuantile, q76Oracle)
   )
 }

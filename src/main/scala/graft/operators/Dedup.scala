@@ -234,12 +234,78 @@ object Dedup {
       |              (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_hash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Near-dup CLUSTERS: connected components over the q33 similarity graph
+    * (j ≥ 0.5 edges), each labeled by its minimum doc_id — the step that
+    * turns pairwise near-dup hits into "keep one representative per group".
+    *
+    * Implementation is distributed min-label propagation with POINTER
+    * JUMPING (comp := comp(comp) each round), so iterations scale with
+    * log(diameter), not diameter — chain-shaped duplicate groups (the same
+    * text duplicated across many languages) would otherwise need one round
+    * per link. Each iteration localCheckpoints the label table: lineage is
+    * truncated (the expensive similarity-graph computation materializes
+    * exactly once) and the driver only ever reads a 1-row convergence count.
+    * At 100 TB swap plain propagation for large-star/small-star to bound
+    * skew on giant components; the loop scaffolding is identical. The
+    * oracle replays components with a recursive CTE.
+    */
+  def q77DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q33NgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val neighborMin = edges
+        .join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("nmin"))
+      val prop = labels.join(neighborMin, col("id") === col("dst"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      val parents = prop.select(col("id").as("pid"), col("comp").as("pcomp"))
+      val next = prop.join(parents, col("comp") === col("pid"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .where(col("comp") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q77Oracle: String =
+    s"""WITH RECURSIVE $hashedShingleCte,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      len(list_intersect(a.hs, b.hs)) /
+       |        (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+       |    FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |comps AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id)
+       |SELECT id AS doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM comps ORDER BY doc_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q32_exact_dedup", q32ExactDedup, q32Oracle),
     GraftQuery.sql("q33_ngram_jaccard", q33NgramJaccard, q33Oracle),
     GraftQuery.sql("q34_minhash_lsh", q34MinhashLsh, q34Oracle),
     GraftQuery.sql("q35_simhash", q35Simhash, q35Oracle),
     GraftQuery.sql("q36_winnow_fingerprint", q36WinnowFingerprint, q36Oracle),
-    GraftQuery.sql("q46_rolling_hash", q46RollingHash, q46Oracle)
+    GraftQuery.sql("q46_rolling_hash", q46RollingHash, q46Oracle),
+    GraftQuery.sql("q77_dedup_clusters", q77DedupClusters, q77Oracle)
   )
 }

@@ -95,6 +95,31 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q77 clusters: both endpoints of every near-dup pair share a cluster") {
+    val pairs = Dedup.q33NgramJaccard(spark, sfDir).select("doc_a", "doc_b").collect()
+    val comp = Dedup.q77DedupClusters(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    pairs.foreach { p =>
+      assert(comp(p.getLong(0)) === comp(p.getLong(1)))
+    }
+    // the label IS the minimum member of its cluster
+    comp.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+    }
+  }
+
+  test("q75 latest-per-key agrees with a window-dedup formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(desc("event_id"))
+    val viaWindow = graft.sources.Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    AdvancedSql.q75LatestPerKey(spark, sfDir).collect().foreach { r =>
+      assert(viaWindow(r.getAs[Long]("user_id")) === r.getAs[String]("last_type"))
+    }
+  }
+
   test("q68 centroids cover every (label, pos<8) with consistent counts") {
     val out = Similarity.q68LabelCentroids(spark, sfDir)
     val labels = graft.sources.Tables.embeddings(spark, sfDir)
