@@ -301,6 +301,54 @@ object AdvancedSql {
     GraftQuery.sql("q57_window_extras", q57WindowExtras, q57Oracle),
     GraftQuery.sql("q58_array_funcs", q58ArrayFuncs, q58Oracle),
     GraftQuery.sql("q75_latest_per_key", q75LatestPerKey, q75Oracle),
-    GraftQuery.sql("q76_approx_quantile", q76ApproxQuantile, q76Oracle)
+    GraftQuery.sql("q76_approx_quantile", q76ApproxQuantile, q76Oracle),
+    GraftQuery.sql("q78_time_range_frame", q78TimeRangeFrame, q78Oracle),
+    GraftQuery.sql("q79_unpivot", q79Unpivot, q79Oracle)
   )
+
+  /** Event-time RANGE frame: per-user rolling 1-hour event count and sum —
+    * the time-series "sliding aggregate" where the frame is defined by a
+    * time interval, not a row count. RANGE frames are tie-insensitive
+    * (peers share a frame), so the output is deterministic without a unique
+    * order key.
+    */
+  def q78TimeRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_trf")
+    spark.sql(
+      """SELECT event_id, user_id, ts,
+        |  count(*) OVER w AS cnt_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events_trf
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  val q78Oracle: String =
+    s"""SELECT event_id, user_id, ts,
+       |  count(*) OVER w AS cnt_1h,
+       |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+       |FROM (${Det.EventsSql})
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+       |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
+  /** UNPIVOT (wide → long): part attributes melted into (attr, val) rows via
+    * the Dataset unpivot API; the oracle is the dialect-neutral UNION ALL
+    * formulation.
+    */
+  def q79Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retail"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")), "attr", "val")
+      .orderBy(col("p_partkey"), col("attr"))
+
+  val q79Oracle: String =
+    """SELECT p_partkey, attr, val FROM (
+      |  SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'retail' AS attr, p_retailprice AS val FROM part)
+      |ORDER BY p_partkey, attr""".stripMargin
 }
