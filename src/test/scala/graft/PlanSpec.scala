@@ -91,4 +91,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("minhash_sig") || p.contains("minhashsig"), p)
     assert(!p.toLowerCase.contains("partial_min("), p)
   }
+
+  test("NO query in the entire inventory plans a CartesianProduct") {
+    // The blanket 100 TB safety net: a cartesian product anywhere is a bug.
+    // (Deliberate small-side broadcasts plan as BroadcastNestedLoopJoin.)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
 }
