@@ -9,6 +9,9 @@ import graft.sources.Tables
 /** Advanced SQL surface: statistical moments, exact percentiles, correlated
   * scalar subqueries, IN/NOT IN subqueries, ordered string aggregation, map
   * functions, extended window analytics, and the array-function sweep.
+  * (Engine-layer operators per SURVEY.md §2b — the reference connector has
+  * no relational surface of its own; its capability is "any Spark workload
+  * over the FileSystem API", which these queries exercise via parquet scans.)
   *
   * Determinism doctrine (SURVEY.md §5): every double that crosses the oracle
   * boundary is either (a) produced by the SAME sequence of IEEE ops on

@@ -7,7 +7,11 @@ import graft.sources.Tables
 
 /** Composite multi-operator pipelines — TPC-H-shaped end-to-end queries plus
   * the scale utilities a 100 TB pipeline leans on (deterministic hash
-  * sampling, calendar-spine gap filling).
+  * sampling, calendar-spine gap filling, bucketed storage layout, salted
+  * aggregation). Bucketed writes play the role the reference's virtual
+  * block size plays for split sizing (`CephRgwFileSystem.java:112` — the
+  * storage-layout knob compute locality derives from); here the layout is
+  * bucket files co-partitioned on the join key.
   */
 object Composite {
 
