@@ -186,12 +186,45 @@ object Composite {
        |FROM (${Det.EventsSql})
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Shared SQL text (both dialects): 10-bit × 10-bit Morton interleave of
+    * two pre-bucketed dimensions — the Z-order clustering key used to lay
+    * out multi-dimensionally-filtered data so either predicate prunes scans.
+    */
+  private def mortonSql(x: String, y: String): String =
+    (0 until 10).map(b =>
+      s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" + ")
+
+  /** Z-order clustering: Morton-interleave (partkey-bucket, suppkey-bucket)
+    * into one clustering key and emit the first rows of the clustered order.
+    * Sorting 100 TB by this key gives row groups that are simultaneously
+    * tight on BOTH dimensions, so min/max footer stats prune scans filtered
+    * on either — the standard lakehouse layout trick. Pure integer bit
+    * arithmetic: both engines compute identical keys.
+    */
+  def q80ZorderKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .selectExpr(
+        "l_orderkey", "l_linenumber",
+        "l_partkey % 1024 AS px", "l_suppkey % 1024 AS sx")
+      .selectExpr("l_orderkey", "l_linenumber", "px", "sx",
+        s"${mortonSql("px", "sx")} AS zkey")
+      .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  val q80Oracle: String =
+    s"""SELECT l_orderkey, l_linenumber, px, sx, ${mortonSql("px", "sx")} AS zkey
+       |FROM (SELECT l_orderkey, l_linenumber, l_partkey % 1024 AS px,
+       |             l_suppkey % 1024 AS sx FROM lineitem)
+       |ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q59_tpch_q3", q59TpchQ3, q59Oracle),
     GraftQuery.sql("q60_tpch_q5", q60TpchQ5, q60Oracle),
     GraftQuery.sql("q61_hash_sample", q61HashSample, q61Oracle),
     GraftQuery.sql("q62_date_spine", q62DateSpine, q62Oracle),
     GraftQuery.sql("q69_bucketed_join", q69BucketedJoin, q69Oracle),
-    GraftQuery.sql("q73_salted_agg", q73SaltedAgg, q73Oracle)
+    GraftQuery.sql("q73_salted_agg", q73SaltedAgg, q73Oracle),
+    GraftQuery.sql("q80_zorder_key", q80ZorderKey, q80Oracle)
   )
 }
