@@ -218,6 +218,78 @@ object Composite {
        |             l_suppkey % 1024 AS sx FROM lineitem)
        |ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin
 
+  /** TPC-H Q7-shaped volume shipping: lineitem revenue between two specific
+    * nations (either direction), split by supply/customer nation and year.
+    * Both nation dims broadcast twice under different aliases; the fact
+    * joins shuffle on their keys.
+    */
+  def q81TpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q81Oracle: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  ${Det.dsumSql("volume")} AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    year(l_shipdate) AS l_year,
+       |    l_extendedprice * (1.0 - l_discount) AS volume
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q10-shaped returned-item report: top-20 customers by revenue
+    * lost to returns in a quarter. Fact⋈fact shuffle + broadcast dims +
+    * TakeOrderedAndProject.
+    */
+  def q82TpchQ10(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir)
+          .where(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+
+  val q82Oracle: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q59_tpch_q3", q59TpchQ3, q59Oracle),
     GraftQuery.sql("q60_tpch_q5", q60TpchQ5, q60Oracle),
@@ -225,6 +297,8 @@ object Composite {
     GraftQuery.sql("q62_date_spine", q62DateSpine, q62Oracle),
     GraftQuery.sql("q69_bucketed_join", q69BucketedJoin, q69Oracle),
     GraftQuery.sql("q73_salted_agg", q73SaltedAgg, q73Oracle),
-    GraftQuery.sql("q80_zorder_key", q80ZorderKey, q80Oracle)
+    GraftQuery.sql("q80_zorder_key", q80ZorderKey, q80Oracle),
+    GraftQuery.sql("q81_tpch_q7", q81TpchQ7, q81Oracle),
+    GraftQuery.sql("q82_tpch_q10", q82TpchQ10, q82Oracle)
   )
 }
