@@ -19,25 +19,29 @@ import graft.sources.Tables
 object EventOps {
 
   /** As-of join: for each purchase event, the latest click by the same user
-    * at or before it. Planned as one shuffle join on the equi key (user_id)
-    * plus a per-purchase window dedup — the scalable as-of pattern (no
-    * cross-product, no driver loop; at 100 TB this is a sort-merge join
-    * partitioned by user followed by a co-partitioned window).
+    * at or before it. LINEAR in events: clicks and purchases flow through ONE
+    * per-user event-time window and each purchase picks up the running
+    * `last(click, ignoreNulls)` — no click×purchase join, so a hot user with
+    * 10k clicks and 1k purchases costs 11k window rows, not 10M join pairs.
+    * At 100 TB this is a single hash-partition-by-user shuffle + sort, the
+    * same shape Structured Streaming's mapGroupsWithState as-of would take.
+    *
+    * Ordering encodes the as-of tie rules: at equal ts a click sorts BEFORE
+    * any purchase (so `c_ts <= p_ts` includes it), and among equal-ts clicks
+    * the highest event_id wins (the last one the running window sees).
     */
   def q26AsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"),
-        col("value").as("p_value"))
-    val clicks = ev.where(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("c_ts"))
-    val w = Window.partitionBy(col("p_id")).orderBy(desc("c_ts"), desc("click_id"))
-    purchases
-      .join(clicks, col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("p_id"), col("user_id"), col("p_value"), col("click_id").as("asof_click_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .withColumn("kind", when(col("event_type") === "click", lit(0)).otherwise(lit(1)))
+      .withColumn("click_marker", when(col("kind") === 0, col("event_id")))
+      .withColumn("asof_click_id", last(col("click_marker"), ignoreNulls = true).over(w))
+      .where(col("kind") === 1 && col("asof_click_id").isNotNull)
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("value").as("p_value"), col("asof_click_id"))
       .orderBy(col("p_id"))
   }
 

@@ -25,8 +25,13 @@ object Scale {
       key: Column,
       value: Column,
       salt: Int = 16): DataFrame = {
+    // Salt from the row-content hash: deterministic under ANY partition
+    // layout (monotonically_increasing_id would place phase-1 partials
+    // differently per input split arrangement). Identical rows share a salt
+    // bucket, which is harmless for algebraic aggregates and keeps the
+    // phase-1 placement reproducible run-to-run.
     df.select(key.as("k"), value.as("v"))
-      .withColumn("salt", pmod(monotonically_increasing_id(), lit(salt)))
+      .withColumn("salt", pmod(hash(col("k"), col("v")), lit(salt)))
       .groupBy(col("k"), col("salt"))
       .agg(Det.dsum(col("v")).as("part_sum"), count(lit(1)).as("part_cnt"))
       .groupBy(col("k"))

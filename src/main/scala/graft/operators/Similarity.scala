@@ -222,6 +222,11 @@ object Similarity {
     * before a left-to-right double fold makes the sum order-deterministic
     * under any partitioning, without casting float-derived doubles to
     * decimal (which diverges between engines past ~15 digits).
+    *
+    * This sorted-fold form is the ORACLE TWIN (cross-engine bit-exact);
+    * production uses [[labelCentroidsScale]], whose two-phase partial sums
+    * never materialize a group in one reducer. q83 proves on the corpus that
+    * the two agree to float precision.
     */
   def q68LabelCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -248,12 +253,117 @@ object Similarity {
       |  GROUP BY label, s.i)
       |ORDER BY label, pos""".stripMargin
 
+  /** The 100 TB path for per-label centroids: ordinary two-phase aggregation
+    * (map-side partial sums, then a final merge per (label, pos) key) — no
+    * collect_list, so a hot label never materializes its whole group in one
+    * reducer. Float→double widening is exact and the embedding magnitudes are
+    * O(1), so the partial-sum result differs from the sorted sequential fold
+    * by at most ~n·ε·max|x| (≈1e-10 at n=10^6) — q83 asserts that bound on
+    * the corpus against the deterministic twin.
+    */
+  def labelCentroidsScale(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .where(col("pos") < 8)
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast("double")).as("scale_sum"))
+      .withColumn("centroid_scale", col("scale_sum") / col("n").cast("double"))
+      .select("label", "pos", "n", "centroid_scale")
+
+  /** Scale-vs-deterministic centroid agreement: the partial-sum production
+    * path must land within float-noise tolerance of the sorted-fold oracle
+    * twin on every (label, pos). The DuckDB side runs the same experiment
+    * with ITS native (order-arbitrary) sum(double), so the hash-matched
+    * boolean verifies the tolerance contract in both engines.
+    */
+  def q83CentroidScale(spark: SparkSession, dir: String): DataFrame = {
+    val det = q68LabelCentroids(spark, dir).select(col("label"), col("pos"),
+      col("n"), col("centroid"))
+    val sc = labelCentroidsScale(spark, dir).select(col("label"), col("pos"),
+      col("centroid_scale"))
+    det.join(sc, Seq("label", "pos"))
+      .select(col("label"), col("pos"), col("n"),
+        (abs(col("centroid") - col("centroid_scale")) < lit(1e-7)).as("within_tol"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  val q83Oracle: String =
+    """SELECT label, pos, n,
+      |  abs(dim_sum / CAST(n AS DOUBLE) - native_sum / CAST(n AS DOUBLE)) < 1e-7 AS within_tol
+      |FROM (
+      |  SELECT label, s.i - 1 AS pos, count(*) AS n,
+      |    list_reduce([CAST(0 AS DOUBLE)] || list(CAST(s.x AS DOUBLE) ORDER BY CAST(s.x AS DOUBLE)),
+      |                (acc, v) -> acc + v) AS dim_sum,
+      |    sum(CAST(s.x AS DOUBLE)) AS native_sum
+      |  FROM (SELECT label,
+      |          unnest([{'i': i, 'x': embedding[i]} for i in range(1, len(embedding) + 1)]) AS s
+      |        FROM embeddings)
+      |  WHERE s.i <= 8
+      |  GROUP BY label, s.i)
+      |ORDER BY label, pos""".stripMargin
+
+  /** IVF ANN with nprobe=2 — the recall/cost dial: each query searches its
+    * TWO nearest cells instead of one. Candidates stay assigned to exactly
+    * one cell, queries fan out to two (cell, query) rows, and candidate
+    * generation remains an equi-join on the cell id — doubling probe cost,
+    * never approaching all-pairs. Compare q67 (nprobe=1) for the recall
+    * delta at the same corpus.
+    */
+  def q84IvfAnnNprobe2(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir)
+    val cents = base.where(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(asc("dist2"), asc("c_id"))
+    val ranked = base.crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        col("n2") - lit(2.0) * expr("float_vec_dot(embedding, c_emb)") + col("c_n2"))
+      .withColumn("crn", row_number().over(wCell))
+    val assigned = ranked.where(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("n2"), col("c_id").as("cell"))
+    val queries = ranked.where(col("vec_id") < 20 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"), col("c_id").as("q_cell"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    assigned.join(queries, col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("cos",
+        expr("float_vec_dot(q_emb, embedding)") / (sqrt(col("q_n2")) * sqrt(col("n2"))))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 3)
+      .select(col("q_id"), col("cell"), col("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
+  val q84Oracle: String =
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  ${Det.dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+       |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM n WHERE vec_id < 8),
+       |ranked AS (
+       |  SELECT n.vec_id, n.embedding, n.n2, c.c_id,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      n.n2 - 2.0 * ${Det.dotSql("n.embedding", "c.c_emb")} + c.c_n2, c.c_id) AS crn
+       |  FROM n, cents c),
+       |assigned AS (SELECT vec_id, embedding, n2, c_id AS cell FROM ranked WHERE crn = 1),
+       |queries AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2, c_id AS q_cell
+       |            FROM ranked WHERE vec_id < 20 AND crn <= 2)
+       |SELECT q_id, cell, neighbor_id, cos FROM (
+       |  SELECT q.q_id, a.cell, a.vec_id AS neighbor_id,
+       |    ${Det.dotSql("q.q_emb", "a.embedding")} / (sqrt(q.q_n2) * sqrt(a.n2)) AS cos,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |      ${Det.dotSql("q.q_emb", "a.embedding")} / (sqrt(q.q_n2) * sqrt(a.n2)) DESC,
+       |      a.vec_id) AS rn
+       |  FROM queries q JOIN assigned a
+       |    ON a.cell = q.q_cell AND a.vec_id <> q.q_id)
+       |WHERE rn <= 3 ORDER BY q_id, neighbor_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q40_cosine_topk", q40CosineTopk, q40Oracle),
     GraftQuery.sql("q41_embedding_neardup", q41EmbeddingNeardup, q41Oracle),
     GraftQuery.sql("q42_ann_lsh_buckets", q42AnnLshBuckets, q42Oracle),
     GraftQuery.sql("q47_ann_bucket_search", q47AnnBucketSearch, q47Oracle),
     GraftQuery.sql("q67_ivf_ann", q67IvfAnn, q67Oracle),
-    GraftQuery.sql("q68_label_centroids", q68LabelCentroids, q68Oracle)
+    GraftQuery.sql("q68_label_centroids", q68LabelCentroids, q68Oracle),
+    GraftQuery.sql("q83_centroid_scale", q83CentroidScale, q83Oracle),
+    GraftQuery.sql("q84_ivf_ann_nprobe2", q84IvfAnnNprobe2, q84Oracle)
   )
 }

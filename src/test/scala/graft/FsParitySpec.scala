@@ -64,4 +64,108 @@ class FsParitySpec extends SparkSpec {
       intercept[java.io.EOFException] { is.seek(1000); is.read() }
     } finally { is.close(); fs.delete(new Path(dir), true) }
   }
+
+  private def localFs =
+    FileSystem.get(new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+
+  test("ENOENT maps to FileNotFoundException on open and getFileStatus") {
+    // Error-channel parity with the reference's errno mapping
+    // (CephRgwFileSystem.java:492-494: ENOENT → FileNotFoundException).
+    val fs = localFs
+    val dir = Files.createTempDirectory("graft_enoent").toString
+    val missing = new Path(s"$dir/does_not_exist")
+    try {
+      intercept[java.io.FileNotFoundException] { fs.open(missing).close() }
+      intercept[java.io.FileNotFoundException] { fs.getFileStatus(missing) }
+      // and the Spark-level surface: a read of a missing path fails analytically
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.read.parquet(s"$dir/does_not_exist").count()
+      }
+    } finally fs.delete(new Path(dir), true)
+  }
+
+  test("non-recursive delete of a non-empty directory throws") {
+    // Parity with the reference's ENOTEMPTY mapping
+    // (CephRgwFileSystem.java:531-533 → PathIsNotEmptyDirectoryException).
+    val fs = localFs
+    val dir = new Path(Files.createTempDirectory("graft_notempty").toString)
+    val os = fs.create(new Path(dir, "child.bin"))
+    os.write(Array.fill[Byte](4)(7)); os.close()
+    try {
+      intercept[java.io.IOException] { fs.delete(dir, false) }
+      assert(fs.exists(dir)) // the failed delete must not partially remove
+    } finally fs.delete(dir, true)
+  }
+
+  test("append mode adds new files; existing bytes are never appended to") {
+    // The reference throws on append (CephRgwFileSystem.java:304-308 —
+    // RGW objects are immutable). The Spark-idiomatic analogue: mode("append")
+    // commits NEW immutable files into the directory; no existing file is
+    // reopened or grown.
+    val fs = localFs
+    val dir = Files.createTempDirectory("graft_append").toString
+    val out = s"$dir/docs"
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(5)
+    docs.write.mode("overwrite").parquet(out)
+    val before = fs.listStatus(new Path(out)).filter(_.isFile)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(f => f.getPath.getName -> (f.getLen, f.getModificationTime)).toMap
+    docs.write.mode("append").parquet(out)
+    val after = fs.listStatus(new Path(out)).filter(_.isFile)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(f => f.getPath.getName -> (f.getLen, f.getModificationTime)).toMap
+    try {
+      assert(after.size > before.size, "append must add files")
+      before.foreach { case (name, meta) =>
+        assert(after(name) === meta, s"append must not touch existing file $name")
+      }
+      assert(spark.read.parquet(out).count() === 10)
+    } finally fs.delete(new Path(dir), true)
+  }
+
+  test("writes commit with FileOutputCommitter v2 and leave no _temporary") {
+    // Rename-as-commit is the reference's most expensive op (S3A-style
+    // copy-then-delete, CephRgwFileSystem.java:310-313); SURVEY §7 flags it.
+    // Algorithm v2 commits task output directly to the destination — assert
+    // the write succeeds under it and no _temporary scaffolding survives.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.algorithm.version"
+    val prev = hc.get(key)
+    hc.set(key, "2")
+    val fs = localFs
+    val dir = Files.createTempDirectory("graft_commit").toString
+    val out = s"$dir/docs"
+    try {
+      graft.sources.Tables.documents(spark, sfDir).limit(20)
+        .write.mode("overwrite").parquet(out)
+      val entries = fs.listStatus(new Path(out)).map(_.getPath.getName)
+      assert(!entries.contains("_temporary"), entries.mkString(","))
+      assert(spark.read.parquet(out).count() === 20)
+    } finally {
+      if (prev == null) hc.unset(key) else hc.set(key, prev)
+      fs.delete(new Path(dir), true)
+    }
+  }
+
+  test("maxPartitionBytes drives scan parallelism (virtual-block-size analogue)") {
+    // The reference's one real tuning knob: a 32 MiB virtual block size that
+    // fixes splits-per-file (CephRgwFileSystem.java:112, injected at
+    // AbstractFileHandlerReceiver.java:29). Spark's direct analogue is
+    // spark.sql.files.maxPartitionBytes; assert it changes the scan task
+    // count on a single parquet file exactly as a block size would.
+    val fs = localFs
+    val file = new Path(s"$sfDir/lineitem.parquet")
+    val len = fs.getFileStatus(file).getLen
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "134217728") // default 128 MiB: one split
+      val wide = spark.read.parquet(file.toString).rdd.getNumPartitions
+      assert(wide === 1, s"single small file at 128MiB blocks must be 1 split, got $wide")
+      spark.conf.set(key, "16384") // 16 KiB blocks: ceil(len / 16k) splits
+      val narrow = spark.read.parquet(file.toString).rdd.getNumPartitions
+      val expected = ((len + 16383) / 16384).toInt
+      assert(narrow === expected, s"expected $expected splits of $len bytes, got $narrow")
+    } finally spark.conf.set(key, prev)
+  }
 }

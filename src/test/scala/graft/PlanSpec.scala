@@ -92,6 +92,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("partial_min("), p)
   }
 
+  test("q26 as-of join is join-free: one window pass, linear in events") {
+    val p = plan("q26_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("ShuffledHashJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q81 pushes the two-nation filter into both nation dim scans") {
+    val p = plan("q81_tpch_q7")
+    assert("In\\(n_name".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("centroid scale path uses partial aggregation, never collect_list") {
+    val p = operators.Similarity.labelCentroidsScale(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(!p.contains("collect_list"), p)
+  }
+
   test("NO query in the entire inventory plans a CartesianProduct") {
     // The blanket 100 TB safety net: a cartesian product anywhere is a bug.
     // (Deliberate small-side broadcasts plan as BroadcastNestedLoopJoin.)
