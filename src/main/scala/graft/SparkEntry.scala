@@ -14,7 +14,8 @@ object SparkEntry {
   def allQueries: Seq[GraftQuery] =
     RelationalCore.all ++ Windows.all ++ SetsAndScalars.all ++ EventOps.all ++
       Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all ++
-      FsParity.all ++ TypedOps.all ++ AdvancedSql.all ++ Composite.all
+      FsParity.all ++ TypedOps.all ++ AdvancedSql.all ++ Composite.all ++
+      TpchMore.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Second batch of TPC-H-shaped composites (Q4/Q8/Q12/Q14/Q18/Q19/Q22),
+  * adapted to the corpus schema (no partsupp/shipmode/commitdate columns —
+  * each adaptation keeps the query's defining plan shape: the ratio
+  * aggregate, the OR'd pushdown, the semi/anti join, the having-filtered
+  * self-aggregation). All money sums go through [[Det.dsum]]; ratios divide
+  * two exact-decimal doubles, which IEEE-754 specifies bit-exactly.
+  */
+object TpchMore {
+
+  private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val revenueSql = "l_extendedprice * (1.0 - l_discount)"
+
+  /** Q8-shaped national market share: NATION_3's share of ASIA-market
+    * STANDARD-part revenue per order year. Every dim broadcasts (supplier
+    * pre-joined to its nation); the one shuffle is lineitem⋈orders. The
+    * share is a ratio of two exact sums computed in a single aggregation
+    * pass — no second scan, no join of two aggregates.
+    */
+  def q85TpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val suppNation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custRegion = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).where(col("p_type") === "STANDARD")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+          .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        Det.dsum(when(col("supp_nation") === "NATION_3", revenue).otherwise(lit(0.0)))
+          .as("nation_volume"),
+        Det.dsum(revenue).as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+      .select("o_year", "nation_volume", "total_volume", "mkt_share")
+      .orderBy(col("o_year"))
+  }
+
+  val q85Oracle: String =
+    s"""SELECT o_year, nation_volume, total_volume,
+       |  nation_volume / total_volume AS mkt_share
+       |FROM (
+       |  SELECT year(o_orderdate) AS o_year,
+       |    ${Det.dsumSql(s"CASE WHEN n2.n_name = 'NATION_3' THEN $revenueSql ELSE 0.0 END")} AS nation_volume,
+       |    ${Det.dsumSql(revenueSql)} AS total_volume
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN region ON n1.n_regionkey = r_regionkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+       |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  GROUP BY o_year)
+       |ORDER BY o_year""".stripMargin
+
+  /** Q12-shaped late-shipment priority split: lineitems shipped more than 60
+    * days after their order date, split per returnflag into high- vs
+    * low-priority line counts (the corpus has no shipmode/commitdate; the
+    * CASE-count-over-join shape is Q12's). One shuffle join on the order key.
+    */
+  def q86TpchQ12(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+
+  val q86Oracle: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q14-shaped promo revenue share for one ship year: 100 · promo / total,
+    * both sums from one pass over lineitem ⋈ broadcast(part). The year
+    * filter pushes into the lineitem scan.
+    */
+  def q87TpchQ14(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        Det.dsum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        Det.dsum(revenue).as("total_revenue"))
+      .withColumn("promo_share", (lit(100.0) * col("promo_revenue")) / col("total_revenue"))
+      .select("promo_revenue", "total_revenue", "promo_share")
+
+  val q87Oracle: String =
+    s"""SELECT promo_revenue, total_revenue,
+       |  (100.0 * promo_revenue) / total_revenue AS promo_share
+       |FROM (
+       |  SELECT
+       |    ${Det.dsumSql(s"CASE WHEN p_type = 'PROMO' THEN $revenueSql ELSE 0.0 END")} AS promo_revenue,
+       |    ${Det.dsumSql(revenueSql)} AS total_revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00')""".stripMargin
+
+  /** Q18-shaped large-quantity orders: the self-aggregation-with-HAVING
+    * pattern — aggregate lineitem per order, keep orders above the quantity
+    * threshold, then enrich with orders + broadcast customer and re-aggregate.
+    * The big-order set is tiny after the HAVING, so AQE may broadcast it into
+    * the orders join; at 100 TB both aggregations are plain hash shuffles on
+    * the order key (the first one map-side-combined).
+    */
+  def q88TpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(Det.dsum(col("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > 300.0)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  val q88Oracle: String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+       |FROM (SELECT l_orderkey, ${Det.dsumSql("l_quantity")} AS sum_qty
+       |      FROM lineitem GROUP BY l_orderkey) big
+       |JOIN orders ON o_orderkey = big.l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE sum_qty > 300.0
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** Q19-shaped OR'd-predicate revenue: three (brand, size-range,
+    * quantity-range) disjuncts over lineitem ⋈ broadcast(part). The partkey
+    * equi-join carries the whole disjunction as a post-join filter; the
+    * quantity/size bounds stay sargable per branch — the classic test that
+    * an optimizer doesn't fall back to a cartesian product on OR.
+    */
+  def q89TpchQ19(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 35)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50)))
+      .agg(count(lit(1)).as("matched_lines"), Det.dsum(revenue).as("revenue"))
+
+  val q89Oracle: String =
+    s"""SELECT count(*) AS matched_lines, ${Det.dsumSql(revenueSql)} AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
+  /** Q22-shaped dormant high-balance customers: customers with
+    * above-average balance and NO urgent order — the scalar-subquery +
+    * anti-join pattern. The global average is a broadcast scalar (single-row
+    * cross join, no collect); the anti join shuffles on custkey (or
+    * broadcasts the urgent set when small). Grouped per nation like Q22's
+    * cntrycode.
+    */
+  def q90TpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.agg(
+      (Det.dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    val urgent = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"), Det.dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  val q90Oracle: String =
+    s"""SELECT n_name, count(*) AS numcust, ${Det.dsumSql("c_acctbal")} AS totacctbal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |WHERE c_acctbal > (SELECT ${Det.dsumSql("c_acctbal")} / count(*) FROM customer)
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Q4-shaped order-priority check: orders having at least one lineitem
+    * shipped more than 60 days after the order date, counted per priority —
+    * the EXISTS-as-semi-join pattern with a non-equi component riding on the
+    * equi key (orderkey), so it still plans as a keyed join, never a
+    * cartesian product.
+    */
+  def q91TpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("lo_key"), col("l_shipdate"))
+    Tables.orders(spark, dir)
+      .join(li, col("o_orderkey") === col("lo_key") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q91Oracle: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q85_tpch_q8", q85TpchQ8, q85Oracle),
+    GraftQuery.sql("q86_tpch_q12", q86TpchQ12, q86Oracle),
+    GraftQuery.sql("q87_tpch_q14", q87TpchQ14, q87Oracle),
+    GraftQuery.sql("q88_tpch_q18", q88TpchQ18, q88Oracle),
+    GraftQuery.sql("q89_tpch_q19", q89TpchQ19, q89Oracle),
+    GraftQuery.sql("q90_tpch_q22", q90TpchQ22, q90Oracle),
+    GraftQuery.sql("q91_tpch_q4", q91TpchQ4, q91Oracle)
+  )
+}
