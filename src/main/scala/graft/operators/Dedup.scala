@@ -299,6 +299,70 @@ object Dedup {
        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM comps ORDER BY doc_id""".stripMargin
 
+  /** SimHash band-bucket near-dup — the Hamming-space LSH that completes the
+    * fingerprint family: split each 32-bit simhash into 4 bands of 8 bits;
+    * docs sharing any band bucket become candidates; candidates verify with
+    * bit_count(xor) ≤ 3. By pigeonhole, ≤3 differing bits across 4 bands
+    * leaves at least one band identical, so recall at the threshold is EXACT
+    * while candidate generation stays an equi-join on (band, key) — the same
+    * shuffle-partitionable shape as MinHash banding (q34), but radix-cheap.
+    * Emits per-band index stats + candidate/verified pair counts (left join
+    * keeps all 4 bands even when a band yields no candidates).
+    */
+  def q92SimhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val sims = q35Simhash(spark, dir).select(col("doc_id"), col("simhash"))
+    val bandRows = sims
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("bi"))
+      .select(col("doc_id"), col("simhash"), col("bi").cast("long").as("band_idx"))
+      .withColumn("bkey", expr("(simhash >> (band_idx * 8)) & 255"))
+    val bucketStats = bandRows.groupBy(col("band_idx"))
+      .agg(countDistinct(col("bkey")).as("n_buckets"))
+    val a = bandRows.select(col("band_idx"), col("bkey"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = bandRows.select(col("band_idx"), col("bkey"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    val pairStats = a.join(b, Seq("band_idx", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(expr("sim_a ^ sim_b")))
+      .groupBy(col("band_idx"))
+      .agg(count(lit(1)).as("cand_pairs"),
+        sum(when(col("hamming") <= 3, 1L).otherwise(0L)).as("near_dup_pairs"))
+    bucketStats.join(pairStats, Seq("band_idx"), "left")
+      .select(col("band_idx"), col("n_buckets"),
+        coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"),
+        coalesce(col("near_dup_pairs"), lit(0L)).as("near_dup_pairs"))
+      .orderBy(col("band_idx"))
+  }
+
+  val q92Oracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |v AS (SELECT doc_id,
+      |        list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+      |                     for i in range(1, 9)], (a, b) -> a * 16 + b) AS x
+      |      FROM toks),
+      |bits AS (SELECT doc_id, j,
+      |           CASE WHEN sum(CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+      |                THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END AS bv
+      |         FROM v, (SELECT unnest(generate_series(0, 31)) AS j) js
+      |         GROUP BY doc_id, j),
+      |sims AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+      |bandrows AS (SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * 8)) & 255 AS bkey
+      |             FROM sims, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+      |bucketstats AS (SELECT band_idx, count(DISTINCT bkey) AS n_buckets
+      |                FROM bandrows GROUP BY band_idx),
+      |pairstats AS (
+      |  SELECT a.band_idx, count(*) AS cand_pairs,
+      |    CAST(sum(CASE WHEN bit_count(xor(a.simhash, b.simhash)) <= 3 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS near_dup_pairs
+      |  FROM bandrows a JOIN bandrows b
+      |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |  GROUP BY a.band_idx)
+      |SELECT band_idx, n_buckets,
+      |  coalesce(cand_pairs, 0) AS cand_pairs,
+      |  coalesce(near_dup_pairs, 0) AS near_dup_pairs
+      |FROM bucketstats LEFT JOIN pairstats USING (band_idx)
+      |ORDER BY band_idx""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q32_exact_dedup", q32ExactDedup, q32Oracle),
     GraftQuery.sql("q33_ngram_jaccard", q33NgramJaccard, q33Oracle),
@@ -306,6 +370,7 @@ object Dedup {
     GraftQuery.sql("q35_simhash", q35Simhash, q35Oracle),
     GraftQuery.sql("q36_winnow_fingerprint", q36WinnowFingerprint, q36Oracle),
     GraftQuery.sql("q46_rolling_hash", q46RollingHash, q46Oracle),
-    GraftQuery.sql("q77_dedup_clusters", q77DedupClusters, q77Oracle)
+    GraftQuery.sql("q77_dedup_clusters", q77DedupClusters, q77Oracle),
+    GraftQuery.sql("q92_simhash_bands", q92SimhashBands, q92Oracle)
   )
 }

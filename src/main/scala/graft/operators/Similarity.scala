@@ -356,6 +356,44 @@ object Similarity {
        |    ON a.cell = q.q_cell AND a.vec_id <> q.q_id)
        |WHERE rn <= 3 ORDER BY q_id, neighbor_id""".stripMargin
 
+  /** Int8 embedding quantization — the storage-scale op: per-vector max-abs
+    * scaling to [-127, 127] (the symmetric-quantization scheme vector stores
+    * use to cut 100 TB of float32 embeddings to a quarter). Map-only per-row
+    * array arithmetic; emitted as the per-vector scale plus integer L1 norm
+    * and a positional checksum so the oracle verifies every quantized value
+    * without materializing 64-wide integer columns. All arithmetic is
+    * IEEE-or-integer exact: float→double widening, one multiply, one divide,
+    * floor(x + 0.5) — both engines evaluate the identical op sequence.
+    */
+  def q95EmbeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "embedding",
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs")
+      .selectExpr("vec_id", "max_abs",
+        "CASE WHEN max_abs = 0.0 THEN transform(embedding, x -> 0) " +
+          "ELSE transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5) AS INT)) END AS q")
+      .selectExpr("vec_id", "max_abs",
+        "aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + CAST(abs(v) AS BIGINT)) AS l1_q",
+        "aggregate(zip_with(q, sequence(1, size(q)), (v, i) -> CAST(v AS BIGINT) * i), " +
+          "CAST(0 AS BIGINT), (acc, v) -> (acc + v) % 1000000007) AS checksum")
+      .orderBy(col("vec_id"))
+
+  val q95Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |  list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS max_abs FROM embeddings),
+      |qv AS (SELECT vec_id, max_abs,
+      |  CASE WHEN max_abs = 0.0 THEN [0 for x in embedding]
+      |       ELSE [CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5) AS INT)
+      |             for x in embedding] END AS q
+      |  FROM e)
+      |SELECT vec_id, max_abs,
+      |  list_reduce([CAST(0 AS BIGINT)] || [CAST(abs(v) AS BIGINT) for v in q],
+      |              (a, b) -> a + b) AS l1_q,
+      |  list_reduce([CAST(0 AS BIGINT)] || [CAST(q[i] AS BIGINT) * i for i in range(1, len(q) + 1)],
+      |              (a, b) -> (a + b) % 1000000007) AS checksum
+      |FROM qv ORDER BY vec_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q40_cosine_topk", q40CosineTopk, q40Oracle),
     GraftQuery.sql("q41_embedding_neardup", q41EmbeddingNeardup, q41Oracle),
@@ -364,6 +402,7 @@ object Similarity {
     GraftQuery.sql("q67_ivf_ann", q67IvfAnn, q67Oracle),
     GraftQuery.sql("q68_label_centroids", q68LabelCentroids, q68Oracle),
     GraftQuery.sql("q83_centroid_scale", q83CentroidScale, q83Oracle),
-    GraftQuery.sql("q84_ivf_ann_nprobe2", q84IvfAnnNprobe2, q84Oracle)
+    GraftQuery.sql("q84_ivf_ann_nprobe2", q84IvfAnnNprobe2, q84Oracle),
+    GraftQuery.sql("q95_embedding_quantize", q95EmbeddingQuantize, q95Oracle)
   )
 }

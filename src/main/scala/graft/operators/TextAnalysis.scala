@@ -263,6 +263,126 @@ object TextAnalysis {
       |  FROM tf JOIN dfreq USING (tok), n)
       |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  /** Gopher-style repetition filters: per-doc duplicate word-3-gram fraction
+    * plus the hottest single token's count. The 3-gram stats are map-only
+    * array arithmetic (one pass per doc); the top-token count is the standard
+    * two-level aggregation (doc × token → doc), shuffle-partitioned on the
+    * doc id — no per-doc collect, scales with the corpus. Index access uses
+    * try_element_at so ANSI mode cannot throw at the tail; concat_ws skips
+    * nulls identically in both engines.
+    */
+  def q93RepetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val gramStats = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("grams", expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)), i -> " +
+          "concat_ws(' ', try_element_at(toks, i), try_element_at(toks, i + 1), " +
+          "try_element_at(toks, i + 2)))"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        size(col("grams")).as("n_3grams"),
+        size(array_distinct(col("grams"))).as("uniq_3grams"))
+      .withColumn("rep3_fraction",
+        lit(1.0).cast("double") -
+          col("uniq_3grams").cast("double") / col("n_3grams").cast("double"))
+    val topTok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_tok_cnt"))
+    gramStats.join(topTok, "doc_id")
+      .select("doc_id", "n_tokens", "n_3grams", "uniq_3grams", "rep3_fraction",
+        "top_tok_cnt")
+      .orderBy(col("doc_id"))
+  }
+
+  val q93Oracle: String =
+    """WITH g AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |    [concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])
+      |     for i in range(1, greatest(len(toks) - 2, 1) + 1)] AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |gs AS (
+      |  SELECT doc_id, n_tokens, len(grams) AS n_3grams,
+      |    len(list_distinct(grams)) AS uniq_3grams
+      |  FROM g),
+      |tt AS (
+      |  SELECT doc_id, max(c) AS top_tok_cnt FROM (
+      |    SELECT doc_id, tok, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |    GROUP BY doc_id, tok)
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_3grams, uniq_3grams,
+      |  CAST(1.0 AS DOUBLE) - CAST(uniq_3grams AS DOUBLE) / CAST(n_3grams AS DOUBLE)
+      |    AS rep3_fraction,
+      |  top_tok_cnt
+      |FROM gs JOIN tt USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Deterministic train/validation/test corpus split: md5 the doc id, take
+    * the first 16 bits mod 100, cut at 80/90. Pure per-row arithmetic — no
+    * RNG state, no coordination; the same document lands in the same split
+    * on any cluster at any scale, which is what makes held-out sets stable
+    * across pipeline re-runs.
+    */
+  def q94CorpusSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100"))
+      .withColumn("part",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("part"))
+
+  val q94Oracle: String =
+    """SELECT part, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM (
+      |  SELECT CASE WHEN bucket < 80 THEN 'train'
+      |              WHEN bucket < 90 THEN 'validation'
+      |              ELSE 'test' END AS part, n_chars
+      |  FROM (
+      |    SELECT n_chars,
+      |      list_reduce([strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+      |                   for i in range(1, 5)], (a, b) -> a * 16 + b) % 100 AS bucket
+      |    FROM documents))
+      |GROUP BY part ORDER BY part""".stripMargin
+
+  /** Token-budget shard packing: assign documents to fixed-budget training
+    * shards (4000 tokens each) in deterministic doc_id order, per language.
+    * The running token total is a PARTITIONED cumulative window (one shuffle
+    * on lang, sort within partition) — the scalable shape; a single global
+    * running sum would serialize through one task, so the partition key is
+    * part of the contract (at 100 TB: per-(lang, date-bucket) shards, with
+    * per-partition prefix offsets if a truly global order is required).
+    * shard = floor((cum − toks) / budget): a doc belongs to the shard its
+    * FIRST token lands in, so every shard except a language's last holds
+    * ≥ budget tokens and no doc is split.
+    */
+  def q96ShardPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("shard", expr("CAST((cum - toks) DIV 4000 AS BIGINT)"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_tokens"))
+      .orderBy(col("lang"), col("shard"))
+  }
+
+  val q96Oracle: String =
+    """SELECT lang, shard, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
+      |FROM (
+      |  SELECT lang, toks,
+      |    CAST((sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks)
+      |         // 4000 AS BIGINT) AS shard
+      |  FROM (SELECT lang, doc_id, len(string_split(text, ' ')) AS toks FROM documents))
+      |GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q37_lang_markers", q37LangMarkers, q37Oracle),
     GraftQuery.sql("q38_quality_score", q38QualityScore, q38Oracle),
@@ -271,6 +391,9 @@ object TextAnalysis {
     GraftQuery.sql("q64_text_normalize", q64TextNormalize, q64Oracle),
     GraftQuery.sql("q65_lexical_diversity", q65LexicalDiversity, q65Oracle),
     GraftQuery.sql("q66_length_histogram", q66LengthHistogram, q66Oracle),
-    GraftQuery.sql("q71_tfidf_topk", q71TfidfTopk, q71Oracle)
+    GraftQuery.sql("q71_tfidf_topk", q71TfidfTopk, q71Oracle),
+    GraftQuery.sql("q93_repetition_stats", q93RepetitionStats, q93Oracle),
+    GraftQuery.sql("q94_corpus_split", q94CorpusSplit, q94Oracle),
+    GraftQuery.sql("q96_shard_packing", q96ShardPacking, q96Oracle)
   )
 }

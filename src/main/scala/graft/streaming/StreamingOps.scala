@@ -77,6 +77,81 @@ object StreamingOps {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[clickToPurchase]] but
+    * purchases with no qualifying click still emit (null click columns) once
+    * the watermark passes their join horizon — the streaming answer to "count
+    * unattributed purchases" without a second pass.
+    */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+  }
+
+  /** A purchase matched (or not) to the latest preceding click — emitted by
+    * [[asofMatch]]. */
+  final case class AsofMatch(
+      user_id: Long,
+      p_id: Long,
+      p_value: Double,
+      asof_click_id: Option[Long])
+
+  /** Streaming as-of join via flatMapGroupsWithState — the true streaming
+    * twin of EventOps.q26: per user, remember clicks and enrich each purchase
+    * with the latest click at or before it.
+    *
+    * State is BOUNDED: clicks older than the current watermark are pruned
+    * down to the single latest one (any future purchase not yet seen has
+    * event time ≥ watermark, so older clicks can never win an as-of again);
+    * an event-time timeout clears fully idle users. Within a micro-batch,
+    * events sort by (ts, kind, id) — the same tie rules as the batch twin.
+    */
+  def asofMatch(events: Dataset[Event]): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Long)], AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // clicks as (tsMillis, clickId), ascending
+            var clicks = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[AsofMatch]
+            val sorted = it.toSeq.sortBy(e =>
+              (e.ts.getTime, if (e.event_type == "click") 0 else 1, e.event_id))
+            sorted.foreach { e =>
+              if (e.event_type == "click")
+                clicks = ((e.ts.getTime, e.event_id) :: clicks)
+                  .sortBy(identity)
+              else if (e.event_type == "purchase") {
+                val at = clicks.reverseIterator
+                  .find { case (t, _) => t <= e.ts.getTime }
+                out += AsofMatch(userId, e.event_id, e.value, at.map(_._2))
+              }
+            }
+            // prune: keep clicks >= watermark plus the single latest older one
+            val wm = state.getCurrentWatermarkMs()
+            val (old, recent) = clicks.partition(_._1 < wm)
+            clicks = old.takeRight(1) ::: recent
+            if (clicks.nonEmpty) {
+              state.update(clicks)
+              state.setTimeoutTimestamp(clicks.last._1 + 6L * 3600 * 1000)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Session gap. */
   private val GapMs = 30L * 60 * 1000
 

@@ -147,6 +147,28 @@ class FsParitySpec extends SparkSpec {
     }
   }
 
+  test("FileStatus carries full metadata: owner, group, block size, mtime") {
+    // Metadata parity with the reference's stat marshalling
+    // (AbstractFileHandlerReceiver.java:27-31 packs length/mtime/owner/group/
+    // blocksize); previously only length/isFile were asserted.
+    val fs = localFs
+    val dir = Files.createTempDirectory("graft_stat").toString
+    val f = new Path(s"$dir/x.bin")
+    val os = fs.create(f); os.write(Array.fill[Byte](64)(3)); os.close()
+    try {
+      val st = fs.getFileStatus(f)
+      assert(st.getLen === 64)
+      assert(st.getBlockSize > 0)
+      assert(st.getModificationTime > 0)
+      assert(st.getOwner != null && st.getOwner.nonEmpty)
+      assert(st.getGroup != null && st.getGroup.nonEmpty)
+      // listStatus must marshal the same stat for the same file
+      val ls = fs.listStatus(new Path(dir)).filter(_.isFile).head
+      assert(ls.getLen === st.getLen)
+      assert(ls.getModificationTime === st.getModificationTime)
+    } finally fs.delete(new Path(dir), true)
+  }
+
   test("maxPartitionBytes drives scan parallelism (virtual-block-size analogue)") {
     // The reference's one real tuning knob: a 32 MiB virtual block size that
     // fixes splits-per-file (CephRgwFileSystem.java:112, injected at

@@ -110,6 +110,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickToPurchaseOuter emits unmatched purchases with null click after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamingOps.clickToPurchaseOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("cpo").outputMode("append").start()
+    try {
+      clicks.addData(Event(10, ts("2024-01-01 00:00:00"), 1, "click", 0.0))
+      purchases.addData(
+        Event(20, ts("2024-01-01 00:30:00"), 1, "purchase", 9.0), // matched
+        Event(21, ts("2024-01-01 00:45:00"), 2, "purchase", 5.0)) // no click ever
+      q.processAllAvailable()
+      // advance BOTH watermarks far past purchase 21's horizon so the outer
+      // side finalizes and emits its null-matched row
+      clicks.addData(Event(12, ts("2024-01-02 12:00:00"), 9, "click", 0.0))
+      purchases.addData(Event(22, ts("2024-01-02 12:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("cpo")
+        .select(col("purchase_id"), col("click_id")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got(20L) === Some(10L))
+      assert(got.get(21L) === Some(None), s"unmatched purchase must emit null-click row: $got")
+    } finally q.stop()
+  }
+
+  test("asofMatch enriches each purchase with the latest preceding click across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.asofMatch(mem.toDS())
+      .writeStream.format("memory").queryName("am").outputMode("append").start()
+    try {
+      // batch 1: click then purchase (same batch), purchase with no click (user 2)
+      mem.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 0.0),
+        Event(2, ts("2024-01-01 00:30:00"), 1, "purchase", 9.0),
+        Event(3, ts("2024-01-01 00:30:00"), 2, "purchase", 4.0))
+      q.processAllAvailable()
+      // batch 2: newer click, then a later purchase must pick the NEW click
+      mem.addData(Event(4, ts("2024-01-01 01:00:00"), 1, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(5, ts("2024-01-01 01:30:00"), 1, "purchase", 7.0))
+      q.processAllAvailable()
+      val got = spark.table("am").as[StreamingOps.AsofMatch].collect()
+        .map(m => m.p_id -> m.asof_click_id).toMap
+      assert(got === Map(2L -> Some(1L), 3L -> None, 5L -> Some(4L)))
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions with correct aggregates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
