@@ -249,7 +249,11 @@ object Dedup {
     * skew on giant components; the loop scaffolding is identical. The
     * oracle replays components with a recursive CTE.
     */
-  def q77DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** Connected-component labels (id → min-id component) over the q33
+    * similarity graph — the shared core of q77 (cluster report) and q97
+    * (apply-the-dedup). See q77's scaladoc for the pointer-jumping design.
+    */
+  private[operators] def dedupClusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = q33NgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint()
@@ -273,6 +277,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    labels
+  }
+
+  def q77DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusterLabels(spark, dir)
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"), col("cluster_size"))
@@ -363,6 +372,56 @@ object Dedup {
       |FROM bucketstats LEFT JOIN pairstats USING (band_idx)
       |ORDER BY band_idx""".stripMargin
 
+  /** Apply-the-dedup capstone: keep each near-dup cluster's minimum doc_id
+    * (the cluster label itself) plus every unclustered doc, and report the
+    * per-language survival stats — the actual "dedup the corpus" action the
+    * cluster report (q77) exists to feed. The drop set is tiny relative to
+    * the corpus (cluster members minus representatives), so the anti join
+    * broadcasts it; everything upstream is the q77 machinery.
+    */
+  def q97DedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusterLabels(spark, dir)
+    val drop = labels.where(col("id") =!= col("comp")).select(col("id"))
+    val docs = Tables.documents(spark, dir)
+    val kept = docs.join(broadcast(drop), col("doc_id") === col("id"), "left_anti")
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_in"))
+      .join(
+        kept.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept")),
+        Seq("lang"))
+      .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+      .select("lang", "n_docs", "n_kept", "n_dropped", "chars_in", "chars_kept")
+      .orderBy(col("lang"))
+  }
+
+  val q97Oracle: String =
+    s"""WITH RECURSIVE $hashedShingleCte,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      len(list_intersect(a.hs, b.hs)) /
+       |        (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+       |    FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |comps AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id),
+       |drop_set AS (SELECT id FROM comps WHERE id <> cluster_id),
+       |base AS (SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_in
+       |         FROM documents GROUP BY lang),
+       |keptstats AS (
+       |  SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |  FROM documents WHERE doc_id NOT IN (SELECT id FROM drop_set)
+       |  GROUP BY lang)
+       |SELECT lang, n_docs, n_kept, n_docs - n_kept AS n_dropped, chars_in, chars_kept
+       |FROM base JOIN keptstats USING (lang)
+       |ORDER BY lang""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q32_exact_dedup", q32ExactDedup, q32Oracle),
     GraftQuery.sql("q33_ngram_jaccard", q33NgramJaccard, q33Oracle),
@@ -371,6 +430,7 @@ object Dedup {
     GraftQuery.sql("q36_winnow_fingerprint", q36WinnowFingerprint, q36Oracle),
     GraftQuery.sql("q46_rolling_hash", q46RollingHash, q46Oracle),
     GraftQuery.sql("q77_dedup_clusters", q77DedupClusters, q77Oracle),
-    GraftQuery.sql("q92_simhash_bands", q92SimhashBands, q92Oracle)
+    GraftQuery.sql("q92_simhash_bands", q92SimhashBands, q92Oracle),
+    GraftQuery.sql("q97_dedup_apply", q97DedupApply, q97Oracle)
   )
 }

@@ -159,14 +159,22 @@ object TpchMore {
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
   /** Q19-shaped OR'd-predicate revenue: three (brand, size-range,
-    * quantity-range) disjuncts over lineitem ⋈ broadcast(part). The partkey
-    * equi-join carries the whole disjunction as a post-join filter; the
-    * quantity/size bounds stay sargable per branch — the classic test that
-    * an optimizer doesn't fall back to a cartesian product on OR.
+    * quantity-range) disjuncts over lineitem ⋈ broadcast(part). The
+    * single-table implications of the disjunction are pre-derived and pushed
+    * into each scan — the part side keeps only the three (brand, size)
+    * branches before broadcasting, the lineitem side keeps the quantity
+    * envelope [1, 50] — and the full mixed-table disjunction re-applies
+    * post-join for exactness. At 100 TB the derived pushdowns are the
+    * difference between broadcasting 3 brands and the whole part dim.
     */
-  def q89TpchQ19(spark: SparkSession, dir: String): DataFrame =
+  def q89TpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val partPre = Tables.part(spark, dir).where(
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 50)))
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .where(col("l_quantity").between(1, 50))
+      .join(broadcast(partPre), col("l_partkey") === col("p_partkey"))
       .where(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
           col("l_quantity").between(1, 20)) ||
@@ -175,6 +183,7 @@ object TpchMore {
         (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
           col("l_quantity").between(20, 50)))
       .agg(count(lit(1)).as("matched_lines"), Det.dsum(revenue).as("revenue"))
+  }
 
   val q89Oracle: String =
     s"""SELECT count(*) AS matched_lines, ${Det.dsumSql(revenueSql)} AS revenue

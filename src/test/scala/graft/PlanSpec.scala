@@ -112,6 +112,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("collect_list"), p)
   }
 
+  test("q85 market share: dims broadcast around the one fact-fact shuffle") {
+    val p = plan("q85_tpch_q8")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q88 large orders: top-k plans TakeOrderedAndProject") {
+    val p = plan("q88_tpch_q18")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q89 OR'd predicate: derived single-table filters reach both scans") {
+    val p = plan("q89_tpch_q19")
+    assert(p.contains("Or(And(EqualTo(p_brand") || p.contains("EqualTo(p_brand"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity") || p.contains("l_quantity"), p)
+  }
+
+  test("q91 EXISTS plans as a LeftSemi join (never a full join + distinct)") {
+    val p = plan("q91_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("NO query in the entire inventory plans a CartesianProduct") {
     // The blanket 100 TB safety net: a cartesian product anywhere is a bug.
     // (Deliberate small-side broadcasts plan as BroadcastNestedLoopJoin.)
