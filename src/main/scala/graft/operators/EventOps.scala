@@ -30,11 +30,15 @@ object EventOps {
     * any purchase (so `c_ts <= p_ts` includes it), and among equal-ts clicks
     * the highest event_id wins (the last one the running window sees).
     */
-  def q26AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** The as-of core over any events-shaped frame (event_id, ts, user_id,
+    * event_type, value) — exposed so the property spec can drive it with
+    * adversarial synthetic streams (equal-ts ties, clickless purchases).
+    */
+  private[graft] def asofJoin(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
+    events
       .where(col("event_type").isin("click", "purchase"))
       .withColumn("kind", when(col("event_type") === "click", lit(0)).otherwise(lit(1)))
       .withColumn("click_marker", when(col("kind") === 0, col("event_id")))
@@ -42,8 +46,10 @@ object EventOps {
       .where(col("kind") === 1 && col("asof_click_id").isNotNull)
       .select(col("event_id").as("p_id"), col("user_id"),
         col("value").as("p_value"), col("asof_click_id"))
-      .orderBy(col("p_id"))
   }
+
+  def q26AsofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofJoin(Tables.events(spark, dir)).orderBy(col("p_id"))
 
   val q26Oracle: String =
     s"""SELECT p_id, user_id, p_value, asof_click_id FROM (

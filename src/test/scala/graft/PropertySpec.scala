@@ -85,6 +85,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of window rewrite matches a brute-force reference on adversarial streams") {
+    // Equal-timestamp ties (click@ts vs purchase@ts counts; among equal-ts
+    // clicks the max id wins) and clickless purchases — the cases the
+    // join-free rewrite must get right.
+    val evGen = Gen.listOfN(40, for {
+      user <- Gen.chooseNum(1L, 3L)
+      tsMin <- Gen.chooseNum(0, 8) // tiny range → many exact ties
+      isClick <- Gen.oneOf(true, false)
+    } yield (user, tsMin, isClick))
+    samples(evGen, 6).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, m, c), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:0$m%d:00"), u,
+          if (c) "click" else "purchase", 1.0)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = EventOps.asofJoin(df)
+        .select("p_id", "asof_click_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val clicks = rows.filter(_._4 == "click")
+      val expected = rows.filter(_._4 == "purchase").flatMap { p =>
+        val cands = clicks.filter(c => c._3 == p._3 && !c._2.after(p._2))
+        if (cands.isEmpty) None
+        else Some(p._1 -> cands.maxBy(c => (c._2.getTime, c._1))._1)
+      }.toMap
+      assert(got === expected)
+    }
+  }
+
+  test("int8 quantization reconstructs every element within half a step") {
+    val out = Similarity.q95EmbeddingQuantize(spark, sfDir)
+    val joined = graft.sources.Tables.embeddings(spark, sfDir)
+      .join(out, "vec_id")
+      .selectExpr("vec_id", "max_abs",
+        // recompute q inline (same formula) and check the reconstruction gap
+        "aggregate(embedding, CAST(0 AS DOUBLE), (worst, x) -> " +
+          "greatest(worst, abs(CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5) AS INT) " +
+          "* (max_abs / 127.0) - CAST(x AS DOUBLE)))) AS worst_gap")
+    val bad = joined.where(col("worst_gap") > col("max_abs") / lit(127.0) / lit(2.0) + lit(1e-9))
+    assert(bad.count() === 0)
+  }
+
+  test("shard packing conserves tokens and fills every non-final shard to budget") {
+    val shards = TextAnalysis.q96ShardPacking(spark, sfDir)
+    val direct = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("lang"), size(split(col("text"), " ")).as("toks"))
+      .groupBy("lang").agg(sum("toks").as("total_tokens"))
+    // conservation: shard sums add back to the per-lang total
+    val sums = shards.groupBy("lang").agg(sum("sum_tokens").as("packed"))
+      .join(direct, "lang").where(col("packed") =!= col("total_tokens"))
+    assert(sums.count() === 0)
+    // every shard except a language's last holds >= the 4000-token budget
+    val lastShard = shards.groupBy("lang").agg(max("shard").as("last_shard"))
+    val underfull = shards.join(lastShard, "lang")
+      .where(col("shard") =!= col("last_shard") && col("sum_tokens") < 4000)
+    assert(underfull.count() === 0)
+  }
+
   test("shingle_hashes walks codepoints: non-ASCII text matches a reference fold") {
     // Unicode text: the kernel must window/fold per CODEPOINT (as DuckDB's
     // unicode(substr(...)) does), not per UTF-8 byte.
