@@ -61,12 +61,27 @@ object Bench {
       hygiene()
       sec.map(name -> _)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the last ~2000 chars of stdout; the JSON line must
+    // fit entirely inside that window or it is truncated mid-line and never
+    // parses (BENCH_r01..r03 all recorded "parsed": null for this reason).
+    // Compact: per-query keys are the qNN prefix (unambiguous — names are
+    // qNN_description) and seconds are rounded to 3 decimals.
+    def fmt(v: Double): String = f"$v%.3f"
+    def short(name: String): String = name.indexOf('_') match {
+      case -1 => name
+      case i  => name.substring(0, i)
+    }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+    val errs = errors.map { case (k, v) => "\"" + short(k) + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    if (line.length > 1700) // keep headroom for sbt's trailing [success] line
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may exceed driver tail window")
+    println(line)
     spark.stop()
   }
 }

@@ -60,10 +60,21 @@ object Dedup {
       .selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
     val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-    val pairs = tok.select(col("doc_id").as("doc_a"), col("h"))
-      .join(tok.select(col("doc_id").as("doc_b"), col("h")),
-        Seq("h"))
-      .where(col("doc_a") < col("doc_b"))
+    // Postings-list pair generation: one shuffle groups the token stream by
+    // shingle hash, then the (i,j) pairs expand map-side from each posting
+    // list — versus a self-join on h, this halves the shuffled token volume
+    // and skips the join exchange entirely. Per-hash list length is df(h)
+    // (max 57 on this corpus); the df-cap caveat above is unchanged.
+    val pairs = tok.groupBy(col("h"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2), i ->
+          |  transform(sequence(i + 1, size(ids) - 1), j ->
+          |    struct(least(element_at(ids, i + 1), element_at(ids, j + 1)) AS doc_a,
+          |           greatest(element_at(ids, i + 1), element_at(ids, j + 1)) AS doc_b))))
+          |""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -79,7 +90,7 @@ object Dedup {
     * `shingle_hashes(text, 20)` (byte fold == codepoint fold on this
     * all-ASCII corpus).
     */
-  private val hashedShingleCte: String =
+  private[operators] val hashedShingleCte: String =
     s"""toks AS (
        |  SELECT doc_id, n_chars, unnest($shingleSql) AS s FROM documents),
        |h AS (
@@ -265,15 +276,19 @@ object Dedup {
       val neighborMin = edges
         .join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("comp")).as("nmin"))
+      // Carry the pre-iteration label as `old` through both hops so the
+      // convergence check is a filter on the checkpointed result, not another
+      // shuffle join against the previous label table.
       val prop = labels.join(neighborMin, col("id") === col("dst"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .select(col("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
       val parents = prop.select(col("id").as("pid"), col("comp").as("pcomp"))
       val next = prop.join(parents, col("comp") === col("pid"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+        .select(col("id"), col("old"),
+          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .where(col("comp") =!= col("old")).count()
-      labels = next
+      val changed = next.where(col("comp") =!= col("old")).count()
+      labels = next.select(col("id"), col("comp"))
       converged = changed == 0
       iter += 1
     }
