@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
@@ -12,39 +12,51 @@ import graft.sources.Tables
   * reduction, and incremental (batch-vs-index) dedup.
   *
   * These are the steps that sit between raw dedup (graft.operators.Dedup)
-  * and shard packing (Composite.q96) in a real pretraining pipeline. All
-  * randomness is hash-derived (md5 / integer LCG) so the DuckDB oracle
-  * reproduces every decision bit-for-bit; all double arithmetic is either
-  * a single IEEE-specified op or a sequential left fold (see Det).
+  * and shard packing (Composite.q96) in a real pretraining pipeline. Each
+  * operator is a DataFrame→DataFrame core (callers bring their own corpus)
+  * with a qNN wrapper binding the driver's test tables. All randomness is
+  * hash-derived (md5 / integer LCG) so the DuckDB oracle reproduces every
+  * decision bit-for-bit; all double arithmetic is either a single
+  * IEEE-specified op or a sequential left fold (see Det).
   */
 object Curation {
 
   // ---------------------------------------------------------------- q98
 
-  /** Eval-set decontamination: flag training documents that share any
-    * character 20-gram with a held-out eval set (here the deterministic
-    * doc_id % 50 == 0 slice standing in for a benchmark suite). This is the
-    * n-gram-overlap decontamination used for pretraining corpora: exact
-    * membership, not similarity — one shared shingle contaminates.
+  /** Core: training docs (rows of `docs` where !isEval) that share at least
+    * one character `width`-gram with any eval doc (rows where isEval).
+    * Expects columns (doc_id, text); returns distinct (doc_id, lang).
     *
     * Scale shape: the eval index (distinct eval shingle hashes) is tiny
     * relative to the corpus — a few thousand docs even for a large benchmark
-    * battery — so it BROADCASTS and contamination is a map-side semi join;
-    * the only shuffle is the per-lang count. An eval set too big to
-    * broadcast degrades gracefully to a shuffle equi-join on the hash.
+    * battery — so it BROADCASTS and contamination is a map-side semi join.
+    * An eval set too big to broadcast degrades gracefully to a shuffle
+    * equi-join on the hash.
     */
-  def q98Decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .selectExpr("doc_id", "lang", "shingle_hashes(text, 20) AS sh")
-    val evalIdx = sh.where(col("doc_id") % 50 === 0)
+  def contaminatedDocs(docs: DataFrame, isEval: Column, width: Int): DataFrame = {
+    val sh = docs.withColumn("is_eval", isEval)
+      .selectExpr("doc_id", "lang", "is_eval", s"shingle_hashes(text, $width) AS sh")
+    val evalIdx = sh.where(col("is_eval"))
       .select(explode(col("sh")).as("h")).distinct()
-    val train = sh.where(col("doc_id") % 50 =!= 0)
-    val contaminated = train
+    sh.where(!col("is_eval"))
       .select(col("doc_id"), col("lang"), explode(col("sh")).as("h"))
       .join(broadcast(evalIdx), Seq("h"), "left_semi")
       .select(col("doc_id"), col("lang")).distinct()
+  }
+
+  /** Eval-set decontamination report: per-language training-doc counts and
+    * how many are contaminated (share any 20-gram with the eval slice —
+    * exact membership, not similarity; one shared shingle contaminates).
+    * The deterministic doc_id % 50 == 0 slice stands in for a benchmark
+    * suite.
+    */
+  def q98Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isEval = col("doc_id") % 50 === 0
+    val train = docs.where(!isEval)
     train.groupBy(col("lang")).agg(count(lit(1)).as("n_train"))
-      .join(contaminated.groupBy(col("lang")).agg(count(lit(1)).as("n_cont")),
+      .join(contaminatedDocs(docs, isEval, 20)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_cont")),
         Seq("lang"), "left")
       .select(col("lang"), col("n_train"),
         coalesce(col("n_cont"), lit(0L)).as("n_contaminated"))
@@ -66,10 +78,10 @@ object Curation {
 
   // ---------------------------------------------------------------- q99
 
-  /** Deterministic stratified (quota) sampling: up to 50 docs per language,
-    * chosen by md5(doc_id) order — a reproducible uniform draw within each
-    * stratum, the standard way to build fixed eval/calibration slices from a
-    * skewed corpus without a seed-dependent RNG.
+  /** Core: up to `quota` rows per stratum, chosen by md5(doc_id) order — a
+    * reproducible uniform draw within each stratum, the standard way to
+    * build fixed eval/calibration slices from a skewed corpus without a
+    * seed-dependent RNG. Expects (doc_id, <stratum col>); adds `rk`.
     *
     * Scale shape: one shuffle on the stratum key, per-stratum top-k via
     * row_number. A giant stratum serializes through one reducer task — at
@@ -77,15 +89,18 @@ object Curation {
     * with md5 below quota/stratum_count × safety margin) so the window only
     * ranks a small superset of the quota.
     */
-  def q99StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))
-    Tables.documents(spark, dir)
-      .withColumn("skey", md5(col("doc_id").cast("string")))
+  def stratifiedSample(docs: DataFrame, stratum: Column, quota: Int): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(col("skey"), col("doc_id"))
+    docs.withColumn("skey", md5(col("doc_id").cast("string")))
       .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 50)
+      .where(col("rk") <= quota)
+      .drop("skey")
+  }
+
+  def q99StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, dir), col("lang"), 50)
       .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
       .orderBy(col("lang"), col("rk"))
-  }
 
   val q99Oracle: String =
     """SELECT lang, rk, doc_id, n_chars FROM (
@@ -97,30 +112,36 @@ object Curation {
 
   // ---------------------------------------------------------------- q100
 
-  /** Context-window packing: assign documents (in deterministic doc_id order
-    * per language) to consecutive 4096-token training windows by running
-    * token count — the sequential-fill packing used to batch documents into
-    * fixed-size contexts. Emits per-window occupancy so over/under-fill is
-    * visible. Window id = floor(tokens-before-this-doc / 4096): a doc that
-    * straddles a boundary counts toward the window it started in.
+  /** Core: assign documents (in deterministic doc_id order per `groupCol`)
+    * to consecutive `budget`-token training windows by running token count —
+    * sequential-fill packing into fixed-size contexts. Window id =
+    * floor(tokens-before-this-doc / budget): a doc that straddles a boundary
+    * counts toward the window it started in. Expects (doc_id, text); adds
+    * (tok, window_id).
     *
-    * Scale shape: one shuffle (window over lang) + one agg; the running sum
-    * is a ROWS UNBOUNDED PRECEDING frame, which Spark evaluates streaming
-    * per partition. Same giant-stratum caveat as q99: at 100 TB shard the
-    * stream (pack per (lang, shard) with shard = hash(doc_id) % K) since
+    * Scale shape: one shuffle (window over the group key); the running sum
+    * is a ROWS UNBOUNDED PRECEDING frame, evaluated streaming per
+    * partition. Same giant-stratum caveat as [[stratifiedSample]]: at
+    * 100 TB pack per (group, shard) with shard = hash(doc_id) % K, since
     * windows need not cross shards.
     */
-  def q100PackContext(spark: SparkSession, dir: String): DataFrame = {
-    val cum = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+  def packContext(docs: DataFrame, groupCol: Column, budget: Int): DataFrame = {
+    val cum = Window.partitionBy(groupCol).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
-      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+    docs.withColumn("tok", size(split(col("text"), " ")).cast("long"))
       .withColumn("before", coalesce(sum(col("tok")).over(cum), lit(0L)))
-      .withColumn("window_id", floor(col("before") / 4096L))
+      .withColumn("window_id", floor(col("before") / budget.toLong))
+      .drop("before")
+  }
+
+  /** Per-(lang, window) occupancy of 4096-token context packing, so
+    * over/under-fill is visible before anyone trains on the shards.
+    */
+  def q100PackContext(spark: SparkSession, dir: String): DataFrame =
+    packContext(Tables.documents(spark, dir), col("lang"), 4096)
       .groupBy(col("lang"), col("window_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
       .orderBy(col("lang"), col("window_id"))
-  }
 
   val q100Oracle: String =
     """SELECT lang, window_id, count(*) AS n_docs,
@@ -136,19 +157,15 @@ object Curation {
 
   // ---------------------------------------------------------------- q101
 
-  /** Composite quality filter with per-reason counts (Gopher-style): flag
-    * docs that are too short (< 20 tokens), have an implausible mean word
-    * length (< 3 or > 8 chars), or too high a symbol ratio (> 20% of chars
-    * outside [A-Za-z ]). Reports, per language, how many docs each rule
-    * would drop and how many survive all rules — the observability a
-    * filtering pipeline needs before anyone commits to thresholds.
-    *
-    * Map-only flag computation + one agg shuffle; every flag is a comparison
-    * of deterministically-computed doubles (single IEEE division), so the
-    * oracle reproduces decisions exactly.
+  /** Core: per-doc quality flags (Gopher-style): too short (< 20 tokens),
+    * implausible mean word length (< 3 or > 8 chars), high symbol ratio
+    * (> 20% of chars outside [A-Za-z ]). Map-only; every flag is a
+    * comparison of deterministically-computed doubles (single IEEE
+    * division), so an oracle reproduces decisions exactly. Expects (text);
+    * adds (f_short, f_word_len, f_symbol).
     */
-  def q101QualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val flags = Tables.documents(spark, dir)
+  def qualityFlags(docs: DataFrame): DataFrame =
+    docs
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
       .withColumn("alpha_len",
         length(regexp_replace(col("text"), "[^A-Za-z ]", "")))
@@ -161,7 +178,14 @@ object Curation {
       .withColumn("f_word_len",
         col("mean_word_len") < 3.0 || col("mean_word_len") > 8.0)
       .withColumn("f_symbol", col("symbol_ratio") > 0.2)
-    flags.groupBy(col("lang"))
+
+  /** Per-language counts of each drop reason + survivors — the
+    * observability a filtering pipeline needs before anyone commits to
+    * thresholds.
+    */
+  def q101QualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityFlags(Tables.documents(spark, dir))
+      .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("f_short"), 1L).otherwise(0L)).as("n_too_short"),
@@ -170,7 +194,6 @@ object Curation {
         sum(when(!col("f_short") && !col("f_word_len") && !col("f_symbol"), 1L)
           .otherwise(0L)).as("n_kept"))
       .orderBy(col("lang"))
-  }
 
   val q101Oracle: String =
     """SELECT lang, count(*) AS n_docs,
@@ -194,34 +217,38 @@ object Curation {
 
   // ---------------------------------------------------------------- q102
 
-  /** Random-projection dimensionality reduction: project each embedding to 8
-    * dims through a deterministic LCG-derived pseudo-random matrix — the
-    * cheap dense-projection step under Johnson–Lindenstrauss sketches and
-    * the real-valued sibling of the hyperplane-LSH signs (Similarity q42).
-    * Projections are quantized (×1000, floored) so the output is integral.
+  /** Core: project each embedding to `outDims` dims through a deterministic
+    * LCG-derived pseudo-random matrix — the cheap dense-projection step
+    * under Johnson–Lindenstrauss sketches and the real-valued sibling of
+    * the hyperplane-LSH signs (Similarity q42). Projections quantize
+    * (×1000, floored) so the output is integral. Expects (vec_id,
+    * embedding); returns (vec_id, dim_j, qproj).
     *
-    * Map-only over the embeddings table: the projection fuses into the scan
-    * as one codegen'd expression per row; no shuffle at any scale. The fold
-    * over vector elements is a sequential left fold in both engines, so the
-    * doubles (and hence the floor) are bit-identical (see Det notes).
+    * Map-only: the projection fuses into the scan as one codegen'd
+    * expression per row; no shuffle at any scale. The fold over vector
+    * elements is a sequential left fold in both engines, so the doubles
+    * (and hence the floor) are bit-identical (see Det notes).
     */
-  def q102RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+  def randomProjectionQ(embeddings: DataFrame, outDims: Int): DataFrame = {
     // coef(j,i) in [-1, 1): ((1103515245·(j·dim+i) + 12345) mod 2048 − 1024)/1024
     val proj =
-      """transform(sequence(0, 7), j ->
-        |  aggregate(
-        |    zip_with(embedding, sequence(0, size(embedding) - 1), (x, i) ->
-        |      CAST(x AS DOUBLE) *
-        |      (CAST((1103515245L * (j * size(embedding) + i) + 12345L) % 2048 - 1024 AS DOUBLE) / 1024.0)),
-        |    CAST(0 AS DOUBLE), (acc, v) -> acc + v))
-        |""".stripMargin
-    Tables.embeddings(spark, dir)
+      s"""transform(sequence(0, ${outDims - 1}), j ->
+         |  aggregate(
+         |    zip_with(embedding, sequence(0, size(embedding) - 1), (x, i) ->
+         |      CAST(x AS DOUBLE) *
+         |      (CAST((1103515245L * (j * size(embedding) + i) + 12345L) % 2048 - 1024 AS DOUBLE) / 1024.0)),
+         |    CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+         |""".stripMargin
+    embeddings
       .selectExpr("vec_id", s"$proj AS p")
       .select(col("vec_id"), posexplode(col("p")).as(Seq("dim_j", "pv")))
       .select(col("vec_id"), col("dim_j").cast("long").as("dim_j"),
         floor(col("pv") * 1000.0).as("qproj"))
-      .orderBy(col("vec_id"), col("dim_j"))
   }
+
+  def q102RandomProjection(spark: SparkSession, dir: String): DataFrame =
+    randomProjectionQ(Tables.embeddings(spark, dir), 8)
+      .orderBy(col("vec_id"), col("dim_j"))
 
   val q102Oracle: String =
     """SELECT vec_id, j AS dim_j, CAST(floor(p * 1000.0) AS BIGINT) AS qproj
@@ -237,24 +264,31 @@ object Curation {
 
   // ---------------------------------------------------------------- q103
 
-  /** Incremental dedup of a new batch against an already-indexed corpus:
-    * the even-doc_id half plays the standing index (prior crawls), the odd
-    * half the incoming batch; an incoming doc whose sha-256 matches any
-    * indexed doc is a duplicate. This is the cross-RUN dedup that exact
-    * dedup (q32) can't express — the index is not part of the batch.
+  /** Core: rows of the batch whose sha-256 content hash matches any row of
+    * the standing index — the cross-RUN dedup that exact dedup (Dedup.q32)
+    * can't express, because the index is not part of the batch. Both inputs
+    * expect a `text` column.
     *
     * Scale shape: the index at 100 TB is far too big to broadcast, so this
     * is a SHUFFLE left-semi join on the content hash — both sides partition
     * by the hash, matches resolve within partitions. (Contrast q97's
-    * broadcast anti join, where the drop set is small.) The per-lang
-    * rollup then aggregates the marked batch.
+    * broadcast anti join, where the drop set is small.)
+    */
+  def batchDuplicates(batch: DataFrame, index: DataFrame): DataFrame = {
+    val idx = index.select(sha2(col("text"), 256).as("h")).distinct()
+    batch.withColumn("h", sha2(col("text"), 256))
+      .join(idx, Seq("h"), "left_semi")
+      .drop("h")
+  }
+
+  /** Incremental dedup report: the even-doc_id half plays the standing index
+    * (prior crawls), the odd half the incoming batch; per-language new /
+    * duplicate / fresh counts.
     */
   def q103IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .withColumn("h", sha2(col("text"), 256))
-    val index = docs.where(col("doc_id") % 2 === 0).select(col("h")).distinct()
     val batch = docs.where(col("doc_id") % 2 === 1)
-    val dup = batch.join(index, Seq("h"), "left_semi")
+    val dup = batchDuplicates(batch, docs.where(col("doc_id") % 2 === 0))
     batch.groupBy(col("lang")).agg(count(lit(1)).as("n_new"))
       .join(dup.groupBy(col("lang")).agg(count(lit(1)).as("n_dup")),
         Seq("lang"), "left")

@@ -93,4 +93,110 @@ class CurationSpec extends SparkSpec {
       assert(r.getLong(1) == r.getLong(2) + r.getLong(3), r.toString)
     }
   }
+
+  // ------------- generative brute-force cross-checks on the core API -------
+
+  import spark.implicits._
+
+  private val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "x1", "##", "a")
+
+  /** Deterministic pseudo-random corpus: (doc_id, text, lang). */
+  private def corpus(n: Int, seed: Int): Seq[(Long, String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val text = Seq.fill(1 + rnd.nextInt(30))(words(rnd.nextInt(words.size))).mkString(" ")
+      (i.toLong, text, s"l${rnd.nextInt(3)}")
+    }
+  }
+
+  test("contaminatedDocs matches brute-force n-gram overlap on random corpora") {
+    (1 to 3).foreach { seed =>
+      val rows = corpus(40, seed)
+      val docs = rows.toDF("doc_id", "text", "lang")
+      val w = 5
+      // shingle_hashes emits one whole-text shingle when len < width (the
+      // DuckDB CTE's greatest(len - w + 1, 1) lower bound) — mirror that
+      def grams(t: String): Set[String] =
+        if (t.length < w) Set(t) else (0 to t.length - w).map(i => t.substring(i, i + w)).toSet
+      val evalGrams = rows.filter(_._1 % 5 == 0).flatMap(r => grams(r._2)).toSet
+      val expected = rows.filter(r => r._1 % 5 != 0 && grams(r._2).intersect(evalGrams).nonEmpty)
+        .map(_._1).toSet
+      val got = Curation.contaminatedDocs(docs, col("doc_id") % 5 === 0, w)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("stratifiedSample matches brute-force md5-order selection") {
+    (1 to 3).foreach { seed =>
+      val rows = corpus(60, seed)
+      val docs = rows.toDF("doc_id", "text", "lang")
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expected = rows.groupBy(_._3).flatMap { case (_, rs) =>
+        rs.sortBy(r => (md5hex(r._1.toString), r._1)).take(7).map(_._1)
+      }.toSet
+      val got = Curation.stratifiedSample(docs, col("lang"), 7)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("packContext matches brute-force running-sum assignment") {
+    (1 to 3).foreach { seed =>
+      val rows = corpus(50, seed)
+      val docs = rows.toDF("doc_id", "text", "lang")
+      val budget = 40
+      val expected = rows.groupBy(_._3).flatMap { case (_, rs) =>
+        var cum = 0L
+        rs.sortBy(_._1).map { r =>
+          val tok = r._2.split(" ", -1).length.toLong
+          val win = cum / budget
+          cum += tok
+          r._1 -> win
+        }
+      }
+      val got = Curation.packContext(docs, col("lang"), budget)
+        .select("doc_id", "window_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected.toMap, s"seed=$seed")
+    }
+  }
+
+  test("batchDuplicates matches brute-force content membership") {
+    (1 to 3).foreach { seed =>
+      val rows = corpus(50, seed)
+      val docs = rows.toDF("doc_id", "text", "lang")
+      val idxTexts = rows.filter(_._1 % 2 == 0).map(_._2).toSet
+      val expected = rows.filter(r => r._1 % 2 == 1 && idxTexts.contains(r._2)).map(_._1).toSet
+      val got = Curation.batchDuplicates(
+          docs.where(col("doc_id") % 2 === 1), docs.where(col("doc_id") % 2 === 0))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("randomProjectionQ matches a brute-force IEEE fold") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 20).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val dim = 16
+    val expected = vecs.flatMap { case (id, v) =>
+      (0 until 4).map { j =>
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          val c = ((1103515245L * (j * dim + i) + 12345L) % 2048 - 1024).toDouble / 1024.0
+          acc += v(i).toDouble * c
+          i += 1
+        }
+        (id, j.toLong) -> math.floor(acc * 1000.0).toLong
+      }
+    }.toMap
+    val got = Curation.randomProjectionQ(df, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
 }
