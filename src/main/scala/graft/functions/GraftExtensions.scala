@@ -31,5 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
       (args: Seq[Expression]) => HyperplaneSig(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("token_count"),
+      new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
+      (args: Seq[Expression]) => TokenCount(args.head)))
+    // Engine rewrite: size(split(s, ' ')) → token_count(s) (see RewriteTokenCount)
+    ext.injectOptimizerRule(_ => RewriteTokenCount)
   }
 }
