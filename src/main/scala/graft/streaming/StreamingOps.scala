@@ -23,6 +23,13 @@ object StreamingOps {
       event_type: String,
       value: Double)
 
+  /** One incoming document on the streaming corpus-ingest surface. */
+  final case class StreamDoc(
+      doc_id: Long,
+      ts: Timestamp,
+      text: String,
+      lang: String)
+
   /** A closed user session emitted by [[sessionize]]. */
   final case class UserSession(
       user_id: Long,
@@ -58,6 +65,22 @@ object StreamingOps {
     */
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), key)
+
+  /** Streaming corpus-ingest curation: the continuous form of the batch
+    * curation pipeline — per-document quality flags (the SAME map-only
+    * expressions as [[graft.operators.Curation.qualityFlags]], so batch and
+    * stream agree decision-for-decision), drop failing docs, then exact
+    * content dedup within the watermark horizon. State is one sha-256 key
+    * per surviving doc inside the watermark — bounded, unlike a naive
+    * `dropDuplicates` whose key set grows forever at 100 TB/day ingest.
+    */
+  def curateStream(docs: DataFrame): DataFrame =
+    graft.operators.Curation.qualityFlags(docs)
+      .where(!col("f_short") && !col("f_word_len") && !col("f_symbol"))
+      .select(col("doc_id"), col("ts"), col("text"), col("lang"))
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
 
   /** Stream-stream interval join: purchases matched to clicks by the same
     * user within the preceding hour. Both sides carry watermarks and the

@@ -178,4 +178,24 @@ class StreamingSpec extends SparkSpec {
         s.user_id == 7 && s.n_events == 2 && math.abs(s.sum_value - 3.0) < 1e-9))
     } finally q.stop()
   }
+
+  test("curateStream filters failing docs and dedups content within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.StreamDoc]
+    val q = StreamingOps.curateStream(mem.toDF())
+      .writeStream.format("memory").queryName("cs").outputMode("append").start()
+    val good = "the quick brown fox jumps over the lazy dog while the calm cat " +
+      "naps under the warm sun near the old oak tree today" // 24 clean tokens
+    try {
+      mem.addData(
+        StreamingOps.StreamDoc(1, ts("2024-01-01 00:01:00"), good, "en"),
+        StreamingOps.StreamDoc(2, ts("2024-01-01 00:02:00"), good, "en"), // dup content
+        StreamingOps.StreamDoc(3, ts("2024-01-01 00:03:00"), "too short", "en"),
+        StreamingOps.StreamDoc(4, ts("2024-01-01 00:04:00"),
+          ("@#$%^&*()!! " * 30).trim, "en")) // symbol-heavy
+      q.processAllAvailable()
+      val kept = spark.table("cs").select("doc_id").as[Long].collect().toSet
+      assert(kept === Set(1L))
+    } finally q.stop()
+  }
 }
