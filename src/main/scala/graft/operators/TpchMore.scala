@@ -248,6 +248,122 @@ object TpchMore {
       |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Q17-shaped small-quantity revenue: lineitems under 20% of their part's
+    * average quantity, for one brand — the correlated-scalar-subquery-
+    * per-group pattern. The per-part averages are computed only over the
+    * brand's lineitems (the brand filter semi-restricts the subquery — same
+    * values for the surviving parts, a fraction of the work), and the tiny
+    * threshold table broadcasts back onto the fact scan.
+    *
+    * Numerics: avg = exact decimal sum / count (IEEE division), × a double
+    * 0.2 literal (DuckDB side CASTs 0.2 to DOUBLE so both engines multiply
+    * the identical binary values); the comparison is then bit-deterministic.
+    */
+  def q106TpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .where(col("p_brand") === "Brand#1").select(col("p_partkey"))
+    val liBrand = Tables.lineitem(spark, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val thresholds = liBrand.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((lit(0.2) * (Det.dsum(col("l_quantity")) / count(lit(1)))).as("thr"))
+    liBrand
+      .join(broadcast(thresholds), col("l_partkey") === col("t_partkey"))
+      .where(col("l_quantity") < col("thr"))
+      .agg(count(lit(1)).as("small_lines"),
+        (Det.dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  val q106Oracle: String =
+    s"""WITH thr AS (
+       |  SELECT l_partkey,
+       |    CAST(0.2 AS DOUBLE) * (${Det.dsumSql("l_quantity")} / count(*)) AS thr
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_brand = 'Brand#1' GROUP BY l_partkey)
+       |SELECT count(*) AS small_lines,
+       |  ${Det.dsumSql("l_extendedprice")} / 7.0 AS avg_yearly
+       |FROM lineitem l
+       |JOIN part p ON l.l_partkey = p.p_partkey
+       |JOIN thr t ON l.l_partkey = t.l_partkey
+       |WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.thr""".stripMargin
+
+  /** Q15-shaped top supplier: per-supplier revenue for one quarter, keep the
+    * supplier(s) matching the global maximum — the view-plus-max pattern.
+    * The maximum is a broadcast scalar (single-row cross join, no driver
+    * collect); equality on the exact decimal-sum double is well-defined
+    * because both sides come from the same deterministic aggregation.
+    */
+  def q107TpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(Det.dsum(revenue).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .where(col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q107Oracle: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey, ${Det.dsumSql(revenueSql)} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** Q21-shaped waiting-supplier count: suppliers with a late lineitem
+    * (shipped > 60 days after the order date) on multi-supplier orders where
+    * they are the ONLY late supplier. Q21's double EXISTS / NOT EXISTS
+    * correlation collapses into one (order, supplier) aggregation plus one
+    * order-level rollup — two keyed shuffles instead of two correlated
+    * re-scans of lineitem, the shape that survives 100 TB. Top 10 by count
+    * with the name as tiebreak.
+    */
+  def q108TpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .cast("int").as("late"))
+    val perOrderSupp = lines.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("s_late"))
+    val perOrder = perOrderSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("s_late")).as("n_late_supp"))
+    perOrderSupp.join(perOrder, "l_orderkey")
+      .where(col("s_late") === 1 && col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(10)
+  }
+
+  val q108Oracle: String =
+    """WITH pos AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |        THEN 1 ELSE 0 END) AS s_late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY l_orderkey, l_suppkey),
+      |po AS (
+      |  SELECT l_orderkey, count(*) AS n_supp, sum(s_late) AS n_late_supp
+      |  FROM pos GROUP BY l_orderkey)
+      |SELECT s_name, count(*) AS numwait
+      |FROM pos JOIN po USING (l_orderkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_late = 1 AND n_supp >= 2 AND n_late_supp = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q85_tpch_q8", q85TpchQ8, q85Oracle),
     GraftQuery.sql("q86_tpch_q12", q86TpchQ12, q86Oracle),
@@ -255,6 +371,9 @@ object TpchMore {
     GraftQuery.sql("q88_tpch_q18", q88TpchQ18, q88Oracle),
     GraftQuery.sql("q89_tpch_q19", q89TpchQ19, q89Oracle),
     GraftQuery.sql("q90_tpch_q22", q90TpchQ22, q90Oracle),
-    GraftQuery.sql("q91_tpch_q4", q91TpchQ4, q91Oracle)
+    GraftQuery.sql("q91_tpch_q4", q91TpchQ4, q91Oracle),
+    GraftQuery.sql("q106_tpch_q17", q106TpchQ17, q106Oracle),
+    GraftQuery.sql("q107_tpch_q15", q107TpchQ15, q107Oracle),
+    GraftQuery.sql("q108_tpch_q21", q108TpchQ21, q108Oracle)
   )
 }
