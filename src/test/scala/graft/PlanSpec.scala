@@ -134,6 +134,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("q106 broadcasts both the brand part keys and the threshold table") {
+    val p = plan("q106_tpch_q17")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q107 global max is a broadcast scalar, not a driver collect") {
+    val p = plan("q107_tpch_q15")
+    // Catalyst rewrites the 1-row scalar cross join + equality filter into a
+    // broadcast hash join on the (normalized) double key; either broadcast
+    // form is the no-driver-collect contract.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("NO query in the entire inventory plans a CartesianProduct") {
     // The blanket 100 TB safety net: a cartesian product anywhere is a bug.
     // (Deliberate small-side broadcasts plan as BroadcastNestedLoopJoin.)
