@@ -190,4 +190,43 @@ class FsParitySpec extends SparkSpec {
       assert(narrow === expected, s"expected $expected splits of $len bytes, got $narrow")
     } finally spark.conf.set(key, prev)
   }
+
+  test("small-file compaction: many-file table rewrites to a target file count losslessly") {
+    // The lake-maintenance op the reference's FS surface exists to serve:
+    // a fragmented table (one file per task) compacts to ceil(bytes/target)
+    // files via a shuffle-free coalesce write, with nothing lost. At 100 TB
+    // this is the same two-step (list+stat to size, coalesce to rewrite) per
+    // partition directory.
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    docs.repartition(64).write.mode("overwrite").parquet(s"$dir/frag")
+    val fs = FileSystem.get(new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: String) =
+      fs.listStatus(new Path(p)).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val frag = dataFiles(s"$dir/frag")
+    assert(frag.length > 16, s"expected a fragmented table, got ${frag.length} files")
+    val totalBytes = frag.map(_.getLen).sum
+    val target = 256L * 1024 // 256 KiB target files
+    val nOut = math.max(1, ((totalBytes + target - 1) / target).toInt)
+    spark.read.parquet(s"$dir/frag").coalesce(nOut)
+      .write.mode("overwrite").parquet(s"$dir/compact")
+    assert(dataFiles(s"$dir/compact").length === nOut)
+    val before = docs.agg(count(lit(1)), sum(col("n_chars"))).collect()(0)
+    val after = spark.read.parquet(s"$dir/compact")
+      .agg(count(lit(1)), sum(col("n_chars"))).collect()(0)
+    assert(before === after)
+  }
+
+  test("compression codec round-trip: snappy, zstd, gzip, none all read back losslessly") {
+    val dir = Files.createTempDirectory("graft_codec").toString
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val expected = docs.agg(count(lit(1)), sum(col("n_chars"))).collect()(0)
+    Seq("snappy", "zstd", "gzip", "none").foreach { codec =>
+      val out = s"$dir/$codec"
+      docs.write.mode("overwrite").option("compression", codec).parquet(out)
+      val got = spark.read.parquet(out)
+        .agg(count(lit(1)), sum(col("n_chars"))).collect()(0)
+      assert(got === expected, s"codec $codec corrupted the round trip")
+    }
+  }
 }
