@@ -126,4 +126,28 @@ class AdvancedSpec extends SparkSpec {
       .select(countDistinct(col("label"))).head.getLong(0)
     assert(out.count() === labels * 8)
   }
+
+  test("q104 merge actions partition base + inserts exactly") {
+    val rows = AdvancedSql.q104MergeUpsert(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = graft.sources.Tables.customer(spark, sfDir).count()
+    // keep + update = every base row exactly once; inserts are extra rows
+    assert(rows.getOrElse("keep", 0L) + rows.getOrElse("update", 0L) === base)
+    assert(rows.getOrElse("update", 0L) > 0 && rows.getOrElse("insert", 0L) > 0)
+  }
+
+  test("q105 winsorized bounds sit inside the stratum's min/max and order correctly") {
+    val stats = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    AdvancedSql.q105WinsorizedStats(spark, sfDir).collect().foreach { r =>
+      val (lang, lo, hi) = (r.getString(0), r.getLong(2), r.getLong(3))
+      val (mn, mx) = stats(lang)
+      assert(lo >= mn && hi <= mx && lo <= hi, s"$lang: [$lo,$hi] vs [$mn,$mx]")
+      // clamp counts must be consistent with the bounds being p05/p95-ish
+      val n = r.getLong(1)
+      assert(r.getLong(4) <= n / 10 && r.getLong(5) <= n / 10, r.toString)
+    }
+  }
 }
