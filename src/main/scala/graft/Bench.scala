@@ -67,12 +67,15 @@ object Bench {
     // Compact: per-query keys are the qNN prefix (unambiguous — names are
     // qNN_description) and seconds are rounded to 3 decimals.
     def fmt(v: Double): String = f"$v%.3f"
+    // Per-query values print at 2 decimals: at 117 queries the 3-decimal
+    // form would push the JSON line past the driver's tail window.
+    def fmtQ(v: Double): String = f"$v%.2f"
     def short(name: String): String = name.indexOf('_') match {
       case -1 => name
       case i  => name.substring(0, i)
     }
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
+      .map { case (k, v) => "\"" + short(k) + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + short(k) + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")

@@ -200,6 +200,64 @@ object SetsAndScalars {
       |FROM (SELECT label, unnest(embedding) AS u FROM embeddings)
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** Generator (UDTF-surface) sweep: `stack` (wide→long literal pivot),
+    * `posexplode_outer` (position-preserving unnest that emits a NULL row
+    * for an empty array instead of dropping the parent — exercised here
+    * with genuinely empty arrays), and `inline` (explode of an array of
+    * structs), unified under one (src, pos, k, v) long schema. These cover
+    * the generator rung of the UDF ladder (SURVEY §2b): every lateral-view
+    * shape a user would otherwise reach for a custom Generator to get.
+    * All three are map-side row expansions — no shuffle at any scale.
+    */
+  def q117GeneratorSweep(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).where(col("p_partkey") < 100)
+    val stacked = part.selectExpr("p_partkey",
+        "stack(2, 'brand', p_brand, 'type', p_type) AS (k, v)")
+      .select(col("p_partkey"), lit("stack").as("src"),
+        lit(null).cast("long").as("pos"), col("k"), col("v"))
+    // First (p_size % 3) name words: empty for p_size % 3 == 0 → the OUTER row.
+    val posed = part
+      .withColumn("words", expr("slice(split(p_name, ' '), 1, p_size % 3)"))
+      .select(col("p_partkey"), posexplode_outer(col("words")).as(Seq("pos", "w")))
+      .select(col("p_partkey"), lit("words").as("src"),
+        col("pos").cast("long").as("pos"), lit(null).cast("string").as("k"),
+        col("w").as("v"))
+    val inlined = part
+      .selectExpr("p_partkey",
+        "inline(transform(sequence(1, 2), i -> " +
+          "named_struct('k', concat('s', i), 'v', substring(p_type, i, 3))))")
+      .select(col("p_partkey"), lit("inline").as("src"),
+        lit(null).cast("long").as("pos"), col("k"), col("v"))
+    stacked.unionByName(posed).unionByName(inlined)
+      .orderBy(col("p_partkey"), col("src"),
+        coalesce(col("pos"), lit(-1L)), coalesce(col("k"), lit("")),
+        coalesce(col("v"), lit("")))
+  }
+
+  val q117Oracle: String =
+    """WITH p AS (SELECT * FROM part WHERE p_partkey < 100),
+      |stacked AS (
+      |  SELECT p_partkey, 'stack' AS src, CAST(NULL AS BIGINT) AS pos, 'brand' AS k, p_brand AS v FROM p
+      |  UNION ALL
+      |  SELECT p_partkey, 'stack', NULL, 'type', p_type FROM p),
+      |posed AS (
+      |  SELECT p_partkey, 'words' AS src, s.pos, CAST(NULL AS VARCHAR) AS k, s.w AS v
+      |  FROM (
+      |    SELECT p_partkey,
+      |      unnest(CASE WHEN len(words) = 0
+      |                  THEN [{'pos': CAST(NULL AS BIGINT), 'w': CAST(NULL AS VARCHAR)}]
+      |                  ELSE [{'pos': CAST(i - 1 AS BIGINT), 'w': words[i]}
+      |                        for i in range(1, len(words) + 1)] END) AS s
+      |    FROM (SELECT p_partkey, string_split(p_name, ' ')[1:(p_size % 3)] AS words FROM p))),
+      |inlined AS (
+      |  SELECT p_partkey, 'inline' AS src, CAST(NULL AS BIGINT) AS pos,
+      |    concat('s', i) AS k, substr(p_type, i, 3) AS v
+      |  FROM p, (SELECT unnest(generate_series(1, 2)) AS i) gi)
+      |SELECT p_partkey, src, pos, k, v
+      |FROM (SELECT * FROM stacked UNION ALL SELECT * FROM posed
+      |      UNION ALL SELECT * FROM inlined)
+      |ORDER BY p_partkey, src, coalesce(pos, -1), coalesce(k, ''), coalesce(v, '')""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q18_set_ops", q18SetOps, q18Oracle),
     GraftQuery.sql("q19_set_ops_all", q19SetOpsAll, q19Oracle),
@@ -208,6 +266,7 @@ object SetsAndScalars {
     GraftQuery.sql("q22_math_case", q22MathCase, q22Oracle),
     GraftQuery.sql("q23_array_hof", q23ArrayHof, q23Oracle),
     GraftQuery.sql("q24_json_extract", q24JsonExtract, q24Oracle),
-    GraftQuery.sql("q25_explode_stats", q25ExplodeStats, q25Oracle)
+    GraftQuery.sql("q25_explode_stats", q25ExplodeStats, q25Oracle),
+    GraftQuery.sql("q117_generator_sweep", q117GeneratorSweep, q117Oracle)
   )
 }

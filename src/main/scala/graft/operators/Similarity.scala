@@ -24,7 +24,7 @@ object Similarity {
     * sequential fold — and therefore the same bits — as the HOF reference and
     * the DuckDB oracle).
     */
-  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def withNorm(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "embedding", "float_vec_dot(embedding, embedding) AS n2")
 

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Span-granular dedup operators: cross-document span duplication stats
+  * (the word-n-gram flavor of exact-substring training-data dedup) and a
+  * prefix-filtered set-similarity join (the exact, deterministic
+  * alternative to MinHash-LSH candidate generation).
+  *
+  * Both are shuffle-partitionable by construction — span hashes and prefix
+  * tokens are high-cardinality equi-join keys — so neither degenerates to
+  * an all-pairs comparison at scale.
+  */
+object SpanOps {
+
+  // ---------------------------------------------------------------- q109
+
+  private val SpanWords = 8
+
+  /** Core: per-document cross-corpus span duplication. A span is a
+    * `width`-word window of the whitespace tokenization; a span is
+    * DUPLICATED when the same word sequence occurs in more than one
+    * document. Expects (doc_id, text); returns per-doc
+    * (n_spans, n_dup_spans).
+    *
+    * Scale shape: two shuffles — one on the span hash (count distinct docs
+    * per span; high-cardinality key, map-side combinable) and one joining
+    * the duplicated-span marker back onto the exploded spans. The span
+    * stream at 100 TB is ~tokens×1 rows of 16-byte pairs; a viral span
+    * (boilerplate) concentrates its postings on one key, so production
+    * caps df per span exactly like the q33 inverted index.
+    */
+  def spanDupStats(docs: DataFrame, width: Int): DataFrame = {
+    val spans = docs
+      .withColumn("tok", split(col("text"), " "))
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN size(tok) >= $width
+           |  THEN transform(sequence(0, size(tok) - $width),
+           |                 i -> md5(concat_ws(' ', slice(tok, i + 1, $width))))
+           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin).as("spans"))
+      .select(col("doc_id"), explode(col("spans")).as("h"))
+    val dup = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .where(col("ndocs") >= 2)
+      .select(col("h"))
+    val perDoc = spans
+      .join(dup.withColumn("is_dup", lit(1L)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_spans"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
+
+  /** Per-language span-duplication report: total spans, cross-doc duplicated
+    * spans, and how many docs are majority-duplicated (2·dup > total) — the
+    * signal exact-substring dedup acts on before excising repeated content.
+    */
+  def q109SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDupStats(Tables.documents(spark, dir), SpanWords)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_spans")).as("spans_total"),
+        sum(col("n_dup_spans")).as("spans_dup"),
+        sum(when(col("n_dup_spans") * 2 > col("n_spans"), 1L).otherwise(0L))
+          .as("docs_majority_dup"))
+      .orderBy(col("lang"))
+
+  val q109Oracle: String =
+    s"""WITH spans AS (
+       |  SELECT doc_id, unnest(sp) AS h FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(tok) >= $SpanWords
+       |        THEN [md5(array_to_string(tok[i:i + ${SpanWords - 1}], ' '))
+       |              for i in range(1, len(tok) - ${SpanWords - 2})]
+       |        ELSE [] END AS sp
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents))),
+       |dup AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |perdoc AS (
+       |  SELECT s.doc_id, count(*) AS n_spans,
+       |    CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+       |  FROM spans s LEFT JOIN dup d USING (h) GROUP BY s.doc_id)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(coalesce(n_spans, 0)) AS BIGINT) AS spans_total,
+       |  CAST(sum(coalesce(n_dup_spans, 0)) AS BIGINT) AS spans_dup,
+       |  CAST(sum(CASE WHEN coalesce(n_dup_spans, 0) * 2 > coalesce(n_spans, 0)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS docs_majority_dup
+       |FROM documents LEFT JOIN perdoc USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q110
+
+  /** Core: exact Jaccard-similarity self-join at threshold `num/den` via
+    * PREFIX FILTERING (SSJoin/AllPairs family): order each document's
+    * sorted shingle-hash set under the global hash order and index only
+    * the first |x| − ⌈θ·|x|⌉ + 1 elements — any pair with J ≥ θ must
+    * collide on at least one prefix element (pigeonhole over the shared
+    * total order), so candidate generation is complete while indexing a
+    * θ-fraction fewer postings than a full inverted index (q33).
+    *
+    * ⌈θ·n⌉ is computed in INTEGER arithmetic ((num·n + den − 1) div den):
+    * a float ceil of 0.6·n can round UP past the true ceiling and silently
+    * shorten the prefix below the completeness bound.
+    *
+    * Expects (doc_id, sh) with sh = sorted distinct hash array; returns
+    * pairs (doc_a, doc_b, inter, sz_a, sz_b) with J ≥ num/den, decided by
+    * the integer cross-multiplication (den+num)·inter ≥ num·(sz_a+sz_b).
+    *
+    * Scale shape: one shuffle on the prefix-element key for candidates
+    * (work Σ_h df_prefix(h)² ≪ Σ_h df(h)²), then the verify join ships
+    * each candidate pair's two arrays once; the codegen'd
+    * sorted_intersect_count kernel does the exact overlap in one linear
+    * merge without materializing intersection arrays.
+    */
+  def prefixFilterJoin(shingled: DataFrame, num: Int, den: Int): DataFrame = {
+    val pref = shingled
+      .selectExpr("doc_id",
+        s"slice(sh, 1, size(sh) - CAST(($num * size(sh) + $den - 1) DIV $den AS INT) + 1) AS pf")
+      .select(col("doc_id"), explode(col("pf")).as("h"))
+    val cand = pref.select(col("doc_id").as("doc_a"), col("h"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val a = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
+      .where(col("inter") * (den + num) >= (size(col("sh_a")) + size(col("sh_b"))) * num)
+      .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+        size(col("sh_a")).as("sz_a"), size(col("sh_b")).as("sz_b"))
+  }
+
+  /** Prefix-filtered exact near-dup join at J ≥ 0.6 over character 20-gram
+    * shingle sets — same exactness as the full inverted index (q33), same
+    * equi-join partitionability as LSH banding (q34), no probabilistic
+    * recall caveat. The brute-force oracle doubles as a completeness proof
+    * of the prefix filter on this corpus.
+    */
+  def q110PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
+    prefixFilterJoin(shingled, 3, 5)
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q110Oracle: String =
+    s"""WITH ${Dedup.hashedShingleCte}
+       |SELECT doc_a, doc_b, inter, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+       |    len(a.hs) AS la, len(b.hs) AS lb,
+       |    len(list_intersect(a.hs, b.hs)) /
+       |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+       |WHERE inter * 8 >= (la + lb) * 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q109_span_dedup", q109SpanDedup, q109Oracle),
+    GraftQuery.sql("q110_prefix_join", q110PrefixJoin, q110Oracle)
+  )
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Per-entity timeline operators over the event stream: SCD2 interval
+  * construction, Markov transition statistics, rolling-window anomaly
+  * detection, and forward-fill imputation.
+  *
+  * All four share one physical shape — a single shuffle partitioning by
+  * `user_id`, then per-partition window evaluation ordered by
+  * (ts, event_id) — so at 100 TB each is exactly one exchange keyed on a
+  * high-cardinality column, and the per-user frames stream through the
+  * window operator without materializing a user's history in memory
+  * (ROWS frames evaluate incrementally).
+  *
+  * Determinism: (ts, event_id) is a unique total order per user;
+  * anomaly math is pure 64-bit integer arithmetic (value quantized by
+  * floor(value·1000), identical IEEE multiply+floor in both engines);
+  * forward-fill copies values rather than computing them.
+  */
+object Timeline {
+
+  private def byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+
+  // ---------------------------------------------------------------- q111
+
+  /** Core: SCD2 (type-2 slowly-changing-dimension) state intervals from an
+    * event log. Each user's event_type plays the tracked attribute: runs of
+    * equal consecutive state collapse, each state change opens an interval
+    * valid from its first event until the next change (NULL = current).
+    * Expects (user_id, ts, event_id, state); returns
+    * (user_id, state, valid_from, valid_to, version).
+    */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val changed = events
+      .withColumn("prev", lag(col("state"), 1).over(byUser))
+      .where(col("prev").isNull || col("prev") =!= col("state"))
+    changed
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .withColumn("version", row_number().over(byUser))
+      .select(col("user_id"), col("state"), col("ts").as("valid_from"),
+        col("valid_to"), col("version"))
+  }
+
+  def q111Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Intervals(Tables.events(spark, dir).withColumn("state", col("event_type")))
+      .orderBy(col("user_id"), col("version"))
+
+  val q111Oracle: String =
+    s"""WITH e AS (${Det.EventsSql}),
+       |chg AS (
+       |  SELECT user_id, ts, event_id, event_type AS state
+       |  FROM (SELECT user_id, ts, event_id, event_type,
+       |          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |        FROM e)
+       |  WHERE prev IS NULL OR prev <> state)
+       |SELECT user_id, state, ts AS valid_from,
+       |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+       |FROM chg ORDER BY user_id, version""".stripMargin
+
+  // ---------------------------------------------------------------- q112
+
+  /** Markov transition matrix of the event stream: for each consecutive
+    * (state → next state) pair per user, the corpus-wide pair count, the
+    * out-degree of the source state, and the transition probability (one
+    * exact integer division — deterministic).
+    */
+  def q112Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val wFrom = Window.partitionBy(col("from_state"))
+    Tables.events(spark, dir)
+      .withColumn("next_state", lead(col("event_type"), 1).over(byUser))
+      .where(col("next_state").isNotNull)
+      .groupBy(col("event_type").as("from_state"), col("next_state").as("to_state"))
+      .agg(count(lit(1)).as("n_pair"))
+      .withColumn("n_from", sum(col("n_pair")).over(wFrom))
+      .withColumn("p", col("n_pair").cast("double") / col("n_from"))
+      .orderBy(col("from_state"), col("to_state"))
+  }
+
+  val q112Oracle: String =
+    s"""WITH e AS (${Det.EventsSql}),
+       |pairs AS (
+       |  SELECT event_type AS from_state,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+       |  FROM e)
+       |SELECT from_state, to_state, count(*) AS n_pair,
+       |  CAST(sum(count(*)) OVER (PARTITION BY from_state) AS BIGINT) AS n_from,
+       |  CAST(count(*) AS DOUBLE) /
+       |    CAST(sum(count(*)) OVER (PARTITION BY from_state) AS BIGINT) AS p
+       |FROM pairs WHERE to_state IS NOT NULL
+       |GROUP BY from_state, to_state ORDER BY from_state, to_state""".stripMargin
+
+  // ---------------------------------------------------------------- q113
+
+  /** Core: rolling z-score anomaly flags in EXACT integer arithmetic.
+    * Values quantize to milli-units v = floor(value·1000); over the
+    * trailing `lookback`-event frame (excluding the current row) with
+    * n ≥ `minPrior` observations, sum S and sum-of-squares Q make the
+    * anomaly test |v − S/n| > 2σ equivalent to the integer inequality
+    * (n·v − S)² > 4·(n·Q − S²) — no float variance, no sqrt, no
+    * cross-engine rounding surface. Magnitudes: v ≤ 5·10⁵ here, so every
+    * intermediate fits a 64-bit long with ~10³ headroom.
+    * Expects (user_id, ts, event_id, value); adds (v_milli, n_prior,
+    * is_scored, is_anomaly).
+    */
+  def rollingAnomaly(events: DataFrame, lookback: Int, minPrior: Int): DataFrame = {
+    val frame = byUser.rowsBetween(-lookback, -1)
+    events
+      .withColumn("v_milli", floor(col("value") * 1000.0).cast("long"))
+      .withColumn("n_prior", count(col("v_milli")).over(frame))
+      .withColumn("s_prior", sum(col("v_milli")).over(frame))
+      .withColumn("q_prior", sum(col("v_milli") * col("v_milli")).over(frame))
+      .withColumn("is_scored", col("n_prior") >= minPrior)
+      .withColumn("is_anomaly", col("is_scored") &&
+        (col("n_prior") * col("v_milli") - col("s_prior")) *
+          (col("n_prior") * col("v_milli") - col("s_prior")) >
+          lit(4L) * (col("n_prior") * col("q_prior") - col("s_prior") * col("s_prior")))
+  }
+
+  /** Per-user anomaly summary of the rolling 10-event z-score detector. */
+  def q113Anomaly(spark: SparkSession, dir: String): DataFrame =
+    rollingAnomaly(Tables.events(spark, dir), 10, 5)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_scored"), 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"))
+      .orderBy(col("user_id"))
+
+  val q113Oracle: String =
+    s"""WITH e AS (${Det.EventsSql}),
+       |base AS (
+       |  SELECT user_id,
+       |    CAST(floor(value * 1000.0) AS BIGINT) AS v,
+       |    count(*) OVER w AS n,
+       |    CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) OVER w AS BIGINT) AS s,
+       |    CAST(sum(CAST(floor(value * 1000.0) AS BIGINT) *
+       |             CAST(floor(value * 1000.0) AS BIGINT)) OVER w AS BIGINT) AS q
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, count(*) AS n_events,
+       |  CAST(sum(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+       |  CAST(sum(CASE WHEN n >= 5 AND
+       |             (n * v - s) * (n * v - s) > 4 * (n * q - s * s)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+       |FROM base GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q114
+
+  /** Forward-fill (last-observation-carried-forward) imputation: the
+    * purchase amount is treated as a sparse signal observed only on
+    * purchase events; every event carries the latest prior observation
+    * within its user timeline (NULL before the first). Copies values —
+    * no arithmetic — so cross-engine equality is structural.
+    */
+  def forwardFill(events: DataFrame, observed: DataFrame => DataFrame): DataFrame =
+    events
+      .transform(observed)
+      .withColumn("filled",
+        last(col("signal"), ignoreNulls = true)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  def q114ForwardFill(spark: SparkSession, dir: String): DataFrame =
+    forwardFill(Tables.events(spark, dir),
+      _.withColumn("signal", when(col("event_type") === "purchase", col("value"))))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("filled").as("last_purchase_value"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+
+  val q114Oracle: String =
+    s"""WITH e AS (${Det.EventsSql})
+       |SELECT user_id, event_id, ts, event_type,
+       |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS last_purchase_value
+       |FROM e ORDER BY user_id, ts, event_id""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q111_scd2_intervals", q111Scd2, q111Oracle),
+    GraftQuery.sql("q112_transition_matrix", q112Transitions, q112Oracle),
+    GraftQuery.sql("q113_rolling_anomaly", q113Anomaly, q113Oracle),
+    GraftQuery.sql("q114_forward_fill", q114ForwardFill, q114Oracle)
+  )
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Embedding/token statistics beyond search: the k-means training step
+  * (Lloyd iteration) over embeddings and corpus-level token co-occurrence
+  * association mining.
+  */
+object VecMore {
+
+  // ---------------------------------------------------------------- q115
+
+  /** One Lloyd (k-means) iteration: assign every embedding to its nearest
+    * of the 8 fixed seed centroids (the 8 lowest-id vectors — same coarse
+    * quantizer as the IVF index, q67), then recompute per-(cluster, dim)
+    * member counts and coordinate sums.
+    *
+    * The recompute quantizes coordinates to integers (floor(x·1000) after
+    * exact float→double widening) so the per-cluster sums are
+    * order-independent 64-bit arithmetic — the cross-engine-deterministic
+    * stand-in for the float partial sums a production trainer would use
+    * (whose tolerance contract q83 already establishes).
+    *
+    * Scale shape: centroids broadcast, assignment is map-only (distance =
+    * one codegen'd dot product per centroid), and the recompute is an
+    * ordinary partial+final aggregation on (cluster, dim) — the textbook
+    * distributed k-means step. Nothing shuffles except the 8·dims-key agg.
+    */
+  def q115KmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.withNorm(spark, dir)
+    val cents = base.where(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(asc("dist2"), asc("c_id"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        col("n2") - lit(2.0) * expr("float_vec_dot(embedding, c_emb)") + col("c_n2"))
+      .withColumn("crn", row_number().over(wCell))
+      .where(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(floor(col("x").cast("double") * 1000.0).cast("long")).as("qsum"))
+      .orderBy(col("cell"), col("pos"))
+  }
+
+  val q115Oracle: String =
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  ${Det.dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+       |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM n WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT n.vec_id, n.embedding, c.c_id AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        n.n2 - 2.0 * ${Det.dotSql("n.embedding", "c.c_emb")} + c.c_n2, c.c_id) AS crn
+       |    FROM n, cents c)
+       |  WHERE crn = 1)
+       |SELECT cell, s.i - 1 AS pos, count(*) AS n_members,
+       |  CAST(sum(CAST(floor(CAST(s.x AS DOUBLE) * 1000.0) AS BIGINT)) AS BIGINT) AS qsum
+       |FROM (SELECT cell,
+       |        unnest([{'i': i, 'x': embedding[i]} for i in range(1, len(embedding) + 1)]) AS s
+       |      FROM assigned)
+       |GROUP BY cell, s.i ORDER BY cell, pos""".stripMargin
+
+  // ---------------------------------------------------------------- q116
+
+  /** Token co-occurrence association over the top-20 corpus tokens:
+    * for every unordered pair of frequent tokens, the number of documents
+    * containing both, each token's document frequency, and the lift
+    * n_both·N / (n_a·n_b) — the PMI-style association score (one exact
+    * integer-valued division; both products stay far under 2⁵³).
+    *
+    * Scale shape: the vocabulary cap makes this tractable anywhere — the
+    * top-k token list is a broadcast semi-join filter, per-doc pair
+    * expansion is bounded by k²/2 = 190 pairs, and the final count is a
+    * partial+final agg on the (tok_a, tok_b) key. The doc-frequency and
+    * total-count sides are 20- and 1-row broadcasts.
+    */
+  def q116Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dt = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val top = dt.groupBy(col("tok")).agg(count(lit(1)).as("n_docs_tok"))
+      .orderBy(desc("n_docs_tok"), asc("tok")).limit(20)
+    val ft = dt.join(broadcast(top.select("tok")), Seq("tok"), "left_semi")
+    val pairs = ft.select(col("doc_id"), col("tok").as("tok_a"))
+      .join(ft.select(col("doc_id"), col("tok").as("tok_b")), Seq("doc_id"))
+      .where(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val nTotal = docs.agg(count(lit(1)).as("n_corpus"))
+    pairs
+      .join(broadcast(top.select(col("tok").as("tok_a"), col("n_docs_tok").as("n_a"))), "tok_a")
+      .join(broadcast(top.select(col("tok").as("tok_b"), col("n_docs_tok").as("n_b"))), "tok_b")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("lift",
+        (col("n_both") * col("n_corpus")).cast("double") / (col("n_a") * col("n_b")))
+      .select(col("tok_a"), col("tok_b"), col("n_both"), col("n_a"), col("n_b"), col("lift"))
+      .orderBy(col("tok_a"), col("tok_b"))
+  }
+
+  val q116Oracle: String =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |top AS (
+      |  SELECT tok, count(*) AS n_docs_tok FROM dt GROUP BY tok
+      |  ORDER BY n_docs_tok DESC, tok LIMIT 20),
+      |ft AS (SELECT doc_id, tok FROM dt WHERE tok IN (SELECT tok FROM top)),
+      |pairs AS (
+      |  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_both
+      |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |  GROUP BY a.tok, b.tok),
+      |n AS (SELECT count(*) AS n_corpus FROM documents)
+      |SELECT tok_a, tok_b, n_both, ta.n_docs_tok AS n_a, tb.n_docs_tok AS n_b,
+      |  CAST(n_both * n_corpus AS DOUBLE) / (ta.n_docs_tok * tb.n_docs_tok) AS lift
+      |FROM pairs
+      |JOIN top ta ON ta.tok = pairs.tok_a
+      |JOIN top tb ON tb.tok = pairs.tok_b
+      |CROSS JOIN n
+      |ORDER BY tok_a, tok_b""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q115_kmeans_step", q115KmeansStep, q115Oracle),
+    GraftQuery.sql("q116_cooccurrence", q116Cooccurrence, q116Oracle)
+  )
+}
