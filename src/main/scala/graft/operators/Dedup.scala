@@ -449,6 +449,48 @@ object Dedup {
        |FROM base JOIN keptstats USING (lang)
        |ORDER BY lang""".stripMargin
 
+  /** Per-document triangle participation in the near-dup similarity graph
+    * (q33 edges, J ≥ 0.5) — the local-clustering signal that separates
+    * tight duplicate cliques from incidental pairwise overlaps before
+    * choosing cluster representatives.
+    *
+    * Implementation is oriented-edge triangle enumeration: edges are kept
+    * as (a < b) once, wedges come from one self-join on the shared middle
+    * vertex, and each wedge closes via a semi join against the edge set —
+    * two shuffle equi-joins, no cartesian anywhere. At 100 TB orient edges
+    * by DEGREE rather than id so a hub vertex fans out O(√m) wedges instead
+    * of O(deg²); the join shape is unchanged.
+    */
+  def q118TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val e = q33NgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"), col("e2.doc_b").as("c"))
+    val closed = wedges.join(
+      e.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"), "left_semi")
+    closed
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q118Oracle: String =
+    s"""WITH $hashedShingleCte,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      len(list_intersect(a.hs, b.hs)) /
+       |        (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+       |    FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.5),
+       |tri AS (
+       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+       |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |nodes AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+       |SELECT doc_id, count(*) AS n_triangles
+       |FROM nodes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q32_exact_dedup", q32ExactDedup, q32Oracle),
     GraftQuery.sql("q33_ngram_jaccard", q33NgramJaccard, q33Oracle),
@@ -458,6 +500,7 @@ object Dedup {
     GraftQuery.sql("q46_rolling_hash", q46RollingHash, q46Oracle),
     GraftQuery.sql("q77_dedup_clusters", q77DedupClusters, q77Oracle),
     GraftQuery.sql("q92_simhash_bands", q92SimhashBands, q92Oracle),
-    GraftQuery.sql("q97_dedup_apply", q97DedupApply, q97Oracle)
+    GraftQuery.sql("q97_dedup_apply", q97DedupApply, q97Oracle),
+    GraftQuery.sql("q118_triangle_count", q118TriangleCount, q118Oracle)
   )
 }

@@ -175,6 +175,60 @@ object StreamingOps {
       }
   }
 
+  /** A scored event emitted by [[anomalyStream]]. */
+  final case class AnomalyFlag(
+      user_id: Long,
+      event_id: Long,
+      v_milli: Long,
+      n_prior: Int,
+      is_anomaly: Boolean)
+
+  /** Streaming rolling z-score anomaly detection via flatMapGroupsWithState —
+    * the true-streaming twin of [[graft.operators.Timeline.rollingAnomaly]],
+    * using the IDENTICAL integer test ((n·v − S)² > 4·(n·Q − S²) over
+    * milli-quantized values, n ≥ 5 of the trailing 10), so a batch backfill
+    * and the live stream flag the same events.
+    *
+    * State per user is a bounded ring of the last 10 quantized values —
+    * O(1) per key regardless of stream length — and idle users expire via
+    * an event-time timeout. Assumes in-order-per-user delivery within the
+    * watermark horizon (the usual contract for sequence-sensitive scoring;
+    * a late event scores against the state at arrival).
+    */
+  def anomalyStream(events: Dataset[Event]): Dataset[AnomalyFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var prior = state.getOption.getOrElse(Nil) // oldest-first, ≤ 10
+            val out = List.newBuilder[AnomalyFlag]
+            var maxTs = 0L
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val v = math.floor(e.value * 1000.0).toLong
+              val n = prior.size.toLong
+              val s = prior.sum
+              val q = prior.iterator.map(x => x * x).sum
+              val anomalous = n >= 5 &&
+                (n * v - s) * (n * v - s) > 4L * (n * q - s * s)
+              out += AnomalyFlag(userId, e.event_id, v, n.toInt, anomalous)
+              prior = (prior :+ v).takeRight(10)
+              maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            state.update(prior)
+            // Expire relative to the user's own latest EVENT time (always
+            // ahead of the watermark) — anchoring to the watermark itself
+            // can place the timeout in the past and wipe live state.
+            state.setTimeoutTimestamp(maxTs + 6L * 3600 * 1000)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Session gap. */
   private val GapMs = 30L * 60 * 1000
 

@@ -229,4 +229,61 @@ class FsParitySpec extends SparkSpec {
       assert(got === expected, s"codec $codec corrupted the round trip")
     }
   }
+
+  test("range-partitioned write layout: per-file key ranges are disjoint and lossless") {
+    // Sort-clustered layout — the data-skipping prerequisite: writing with
+    // repartitionByRange + sortWithinPartitions must yield files whose
+    // [min, max] key ranges do not overlap, so a reader (or parquet
+    // row-group stats pruning) can skip whole files for a key predicate.
+    // The invariant holds for ANY sampled range boundaries, so the test is
+    // deterministic even though RangePartitioner samples its splits.
+    val dir = Files.createTempDirectory("graft_range").toString
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    li.repartitionByRange(4, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$dir/ranged")
+    // ISO timestamp strings sort chronologically, and Row accessors stay
+    // engine-version-proof (Spark 4 returns java.time values for timestamps)
+    val perFile = spark.read.parquet(s"$dir/ranged")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_shipdate")).cast("string").as("lo"),
+        max(col("l_shipdate")).cast("string").as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(perFile.length >= 2, "need multiple files to prove disjointness")
+    val ranges = perFile.map(r => (r.getString(1), r.getString(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"file ranges overlap: $hi1 > $lo2")
+      case _ =>
+    }
+    assert(perFile.map(_.getLong(3)).sum === li.count())
+  }
+
+  test("binaryFile source reads written blobs with path, length, and content intact") {
+    // The multimodal-ingest twin of the reference's opaque-byte read path
+    // (CephRgwInputStream): raw files on the FS surface become (path,
+    // modificationTime, length, content) rows via the binaryFile source.
+    val dir = Files.createTempDirectory("graft_blob").toString
+    val fs = localFs
+    val payloads = (0 until 5).map { i =>
+      s"blob_$i.bin" -> Array.tabulate[Byte](100 + i)(j => ((i * 31 + j) % 127).toByte)
+    }
+    payloads.foreach { case (name, bytes) =>
+      val os = fs.create(new Path(s"$dir/$name")); os.write(bytes); os.close()
+    }
+    try {
+      val rows = spark.read.format("binaryFile").load(dir)
+        .select(col("path"), col("length"), col("content")).collect()
+      assert(rows.length === payloads.length)
+      val byName = rows.map { r =>
+        r.getString(0).split('/').last -> ((r.getLong(1), r.getAs[Array[Byte]](2)))
+      }.toMap
+      payloads.foreach { case (name, bytes) =>
+        val (len, content) = byName(name)
+        assert(len === bytes.length)
+        assert(content.toSeq === bytes.toSeq)
+      }
+    } finally fs.delete(new Path(dir), true)
+  }
 }

@@ -198,4 +198,30 @@ class StreamingSpec extends SparkSpec {
       assert(kept === Set(1L))
     } finally q.stop()
   }
+
+  test("anomalyStream flags the same events as the batch detector (in-order feed)") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 7: constant 10.0 run then a 100.0 spike, split across batches
+    val feed = (1 to 6).map(i =>
+      Event(i.toLong, ts(f"2024-01-01 00:0$i:00"), 7, "view", 10.0)) :+
+      Event(7L, ts("2024-01-01 00:07:00"), 7, "view", 100.0)
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.anomalyStream(mem.toDS())
+      .writeStream.format("memory").queryName("an").outputMode("append").start()
+    try {
+      mem.addData(feed.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(feed.drop(4): _*)
+      q.processAllAvailable()
+      val got = spark.table("an").as[StreamingOps.AnomalyFlag].collect()
+        .map(f => f.event_id -> f.is_anomaly).toMap
+      // batch twin over the same rows
+      val batch = graft.operators.Timeline
+        .rollingAnomaly(feed.toDF("event_id", "ts", "user_id", "event_type", "value"), 10, 5)
+        .select("event_id", "is_anomaly").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got === batch)
+      assert(got(7L) === true && got(6L) === false)
+    } finally q.stop()
+  }
 }
