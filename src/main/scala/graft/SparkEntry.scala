@@ -15,7 +15,8 @@ object SparkEntry {
     RelationalCore.all ++ Windows.all ++ SetsAndScalars.all ++ EventOps.all ++
       Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all ++
       FsParity.all ++ TypedOps.all ++ AdvancedSql.all ++ Composite.all ++
-      TpchMore.all ++ Curation.all ++ SpanOps.all ++ Timeline.all ++ VecMore.all
+      TpchMore.all ++ Curation.all ++ SpanOps.all ++ Timeline.all ++ VecMore.all ++
+      DataOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

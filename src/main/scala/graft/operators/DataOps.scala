@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Data-operations suite: snapshot reconciliation (table diff), referential-
+  * integrity auditing, one-pass column profiling, and incremental aggregate
+  * maintenance — the jobs that run AROUND analytics queries in a production
+  * lake, all expressed as ordinary shuffles/broadcasts so they hold at 100 TB.
+  */
+object DataOps {
+
+  // ---------------------------------------------------------------- q119
+
+  /** Core: classify every key across two table snapshots as added / removed /
+    * changed / unchanged via one full outer join on the key. `cmp` is the
+    * column whose change matters. At scale this is one shuffle co-partitioned
+    * on the key — the standard data-diff / CDC-reconciliation shape (compare
+    * q75's compaction and q104's merge, which CONSUME such diffs).
+    */
+  def tableDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String, cmp: String): DataFrame = {
+    val o = oldSnap.select(col(key).as("k"), col(cmp).as("v_old"))
+    val n = newSnap.select(col(key).as("k"), col(cmp).as("v_new"))
+    o.join(n, Seq("k"), "full_outer")
+      .withColumn("class",
+        when(col("v_old").isNull, "added")
+          .when(col("v_new").isNull, "removed")
+          .when(col("v_old") =!= col("v_new"), "changed")
+          .otherwise("unchanged"))
+  }
+
+  /** Snapshot reconciliation report: the odd-vs-even-tail halves of orders
+    * play two table versions (keys % 10 == 3 dropped, % 10 == 7 yet to
+    * arrive, % 5 == 0 repriced +10 — an IEEE add both engines compute
+    * bit-identically). Emits per-class row counts and an exact key checksum.
+    */
+  def q119TableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val oldSnap = orders.where(col("o_orderkey") % 10 =!= 3)
+    val newSnap = orders.where(col("o_orderkey") % 10 =!= 7)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+    tableDiff(oldSnap, newSnap, "o_orderkey", "o_totalprice")
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
+      .orderBy(col("class"))
+  }
+
+  val q119Oracle: String =
+    """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS v_old FROM orders
+      |           WHERE o_orderkey % 10 <> 3),
+      |n AS (SELECT o_orderkey AS k,
+      |        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+      |             ELSE o_totalprice END AS v_new
+      |      FROM orders WHERE o_orderkey % 10 <> 7),
+      |d AS (
+      |  SELECT coalesce(o.k, n.k) AS k,
+      |    CASE WHEN o.k IS NULL THEN 'added'
+      |         WHEN n.k IS NULL THEN 'removed'
+      |         WHEN v_old <> v_new THEN 'changed'
+      |         ELSE 'unchanged' END AS class
+      |  FROM o FULL OUTER JOIN n ON o.k = n.k)
+      |SELECT class, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+      |FROM d GROUP BY class ORDER BY class""".stripMargin
+
+  // ---------------------------------------------------------------- q120
+
+  /** Referential-integrity audit: orphan counts for every foreign key in the
+    * star schema, plus one seeded-corruption check (a stale part snapshot
+    * missing every 7th key) proving the audit actually detects violations.
+    * Each check is an anti join — broadcast when the parent key set is a
+    * dim, shuffle otherwise — and all checks share one output schema, so
+    * the audit extends by appending to a list.
+    */
+  def q120FkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val checks: Seq[(String, DataFrame)] = Seq(
+      ("lineitem.l_orderkey->orders",
+        li.join(orders.select(col("o_orderkey").as("pk")),
+          col("l_orderkey") === col("pk"), "left_anti")),
+      ("lineitem.l_partkey->part",
+        li.join(broadcast(Tables.part(spark, dir).select(col("p_partkey").as("pk"))),
+          col("l_partkey") === col("pk"), "left_anti")),
+      ("lineitem.l_partkey->part_stale_snapshot",
+        li.join(broadcast(Tables.part(spark, dir)
+            .where(col("p_partkey") % 7 =!= 0).select(col("p_partkey").as("pk"))),
+          col("l_partkey") === col("pk"), "left_anti")),
+      ("lineitem.l_suppkey->supplier",
+        li.join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey").as("pk"))),
+          col("l_suppkey") === col("pk"), "left_anti")),
+      ("orders.o_custkey->customer",
+        orders.join(broadcast(Tables.customer(spark, dir).select(col("c_custkey").as("pk"))),
+          col("o_custkey") === col("pk"), "left_anti")),
+      ("customer.c_nationkey->nation",
+        Tables.customer(spark, dir).join(
+          broadcast(Tables.nation(spark, dir).select(col("n_nationkey").as("pk"))),
+          col("c_nationkey") === col("pk"), "left_anti"))
+    )
+    checks.map { case (name, orphans) =>
+      orphans.agg(count(lit(1)).as("n_orphans")).select(lit(name).as("fk_check"), col("n_orphans"))
+    }.reduce(_.unionByName(_)).orderBy(col("fk_check"))
+  }
+
+  val q120Oracle: String =
+    """SELECT fk_check, n_orphans FROM (
+      |  SELECT 'lineitem.l_orderkey->orders' AS fk_check, count(*) AS n_orphans
+      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey->part', count(*)
+      |  FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey->part_stale_snapshot', count(*)
+      |  FROM lineitem WHERE l_partkey NOT IN
+      |    (SELECT p_partkey FROM part WHERE p_partkey % 7 <> 0)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_suppkey->supplier', count(*)
+      |  FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey->customer', count(*)
+      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |  UNION ALL
+      |  SELECT 'customer.c_nationkey->nation', count(*)
+      |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+      |ORDER BY fk_check""".stripMargin
+
+  // ---------------------------------------------------------------- q121
+
+  /** One-pass column profiler over orders: per column null count, distinct
+    * count, and min/max — numerics surfaced as DOUBLE (exact copies or
+    * exact long→double widenings; never computed floats), strings and
+    * timestamps as canonical strings. One scan, one aggregate (Catalyst
+    * expands the multi-distinct), then a `stack` to long form — the shape a
+    * 100 TB profiler needs, since per-column scans would read the table
+    * once per column.
+    */
+  def q121ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def nn(c: String): Column = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")
+    def nd(c: String): Column = countDistinct(col(c)).as(s"nd_$c")
+    val aggd = o.agg(
+      count(lit(1)).as("n_rows"),
+      nn("o_orderkey"), nd("o_orderkey"), min("o_orderkey").as("mn_o_orderkey"),
+      max("o_orderkey").as("mx_o_orderkey"),
+      nn("o_custkey"), nd("o_custkey"), min("o_custkey").as("mn_o_custkey"),
+      max("o_custkey").as("mx_o_custkey"),
+      nn("o_totalprice"), nd("o_totalprice"), min("o_totalprice").as("mn_o_totalprice"),
+      max("o_totalprice").as("mx_o_totalprice"),
+      nn("o_orderstatus"), nd("o_orderstatus"), min("o_orderstatus").as("mn_o_orderstatus"),
+      max("o_orderstatus").as("mx_o_orderstatus"),
+      nn("o_orderpriority"), nd("o_orderpriority"),
+      min("o_orderpriority").as("mn_o_orderpriority"),
+      max("o_orderpriority").as("mx_o_orderpriority"),
+      nn("o_orderdate"), nd("o_orderdate"), min("o_orderdate").as("mn_o_orderdate"),
+      max("o_orderdate").as("mx_o_orderdate"))
+    aggd.selectExpr("stack(6," +
+      "'o_orderkey', n_rows, nn_o_orderkey, nd_o_orderkey, " +
+      "CAST(mn_o_orderkey AS DOUBLE), CAST(mx_o_orderkey AS DOUBLE), " +
+      "CAST(NULL AS STRING), CAST(NULL AS STRING)," +
+      "'o_custkey', n_rows, nn_o_custkey, nd_o_custkey, " +
+      "CAST(mn_o_custkey AS DOUBLE), CAST(mx_o_custkey AS DOUBLE), " +
+      "CAST(NULL AS STRING), CAST(NULL AS STRING)," +
+      "'o_totalprice', n_rows, nn_o_totalprice, nd_o_totalprice, " +
+      "mn_o_totalprice, mx_o_totalprice, CAST(NULL AS STRING), CAST(NULL AS STRING)," +
+      "'o_orderstatus', n_rows, nn_o_orderstatus, nd_o_orderstatus, " +
+      "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_o_orderstatus, mx_o_orderstatus," +
+      "'o_orderpriority', n_rows, nn_o_orderpriority, nd_o_orderpriority, " +
+      "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_o_orderpriority, mx_o_orderpriority," +
+      "'o_orderdate', n_rows, nn_o_orderdate, nd_o_orderdate, " +
+      "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+      "CAST(mn_o_orderdate AS STRING), CAST(mx_o_orderdate AS STRING)" +
+      ") AS (column_name, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str)")
+      .orderBy(col("column_name"))
+  }
+
+  val q121Oracle: String =
+    """SELECT column_name, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str
+      |FROM (
+      |  SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+      |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |    count(DISTINCT o_orderkey) AS n_distinct,
+      |    CAST(min(o_orderkey) AS DOUBLE) AS min_num, CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+      |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey', count(*),
+      |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    count(DISTINCT o_custkey),
+      |    CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE), NULL, NULL
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice', count(*),
+      |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    count(DISTINCT o_totalprice),
+      |    min(o_totalprice), max(o_totalprice), NULL, NULL
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', count(*),
+      |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    count(DISTINCT o_orderstatus),
+      |    NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', count(*),
+      |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    count(DISTINCT o_orderpriority),
+      |    NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderdate', count(*),
+      |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    count(DISTINCT o_orderdate),
+      |    NULL, NULL, CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+      |  FROM orders)
+      |ORDER BY column_name""".stripMargin
+
+  // ---------------------------------------------------------------- q122
+
+  /** Incremental aggregate maintenance: a standing per-customer state
+    * (count + exact decimal revenue over even order keys) merges with a
+    * delta batch (odd keys) via one full outer join and component-wise
+    * combination — no recompute over the full history. The query also
+    * recomputes from scratch and emits a per-key `matches` bit, proving
+    * merged == direct exactly (decimal sums are associative, so the
+    * incremental path is bit-identical at any merge granularity).
+    *
+    * At 100 TB this is THE pattern for daily rollups: state and delta
+    * co-partition on the key, merge cost scales with |delta| + |touched
+    * state|, and the decimal (not double) accumulator is what makes
+    * incremental == batch exact.
+    */
+  def q122IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    def rollup(d: DataFrame): DataFrame = d.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,4)")).as("s"))
+    val state = rollup(orders.where(col("o_orderkey") % 2 === 0))
+      .select(col("o_custkey"), col("n").as("n0"), col("s").as("s0"))
+    val delta = rollup(orders.where(col("o_orderkey") % 2 === 1))
+      .select(col("o_custkey"), col("n").as("n1"), col("s").as("s1"))
+    val merged = state.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L))).as("n_merged"),
+        (coalesce(col("s0"), lit(0).cast("decimal(18,4)")) +
+          coalesce(col("s1"), lit(0).cast("decimal(18,4)"))).as("s_merged"))
+    val direct = rollup(orders).select(col("o_custkey"),
+      col("n").as("n_direct"), col("s").as("s_direct"))
+    merged.join(direct, Seq("o_custkey"))
+      .select(col("o_custkey"), col("n_merged"),
+        col("s_merged").cast("double").as("revenue"),
+        (col("n_merged") === col("n_direct") &&
+          col("s_merged") === col("s_direct")).as("matches"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q122Oracle: String =
+    """WITH state AS (
+      |  SELECT o_custkey, count(*) AS n0, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s0
+      |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey),
+      |delta AS (
+      |  SELECT o_custkey, count(*) AS n1, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s1
+      |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_custkey),
+      |merged AS (
+      |  SELECT coalesce(state.o_custkey, delta.o_custkey) AS o_custkey,
+      |    coalesce(n0, 0) + coalesce(n1, 0) AS n_merged,
+      |    coalesce(s0, 0) + coalesce(s1, 0) AS s_merged
+      |  FROM state FULL OUTER JOIN delta ON state.o_custkey = delta.o_custkey),
+      |direct AS (
+      |  SELECT o_custkey, count(*) AS n_direct, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s_direct
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, n_merged, CAST(s_merged AS DOUBLE) AS revenue,
+      |  n_merged = n_direct AND s_merged = s_direct AS matches
+      |FROM merged JOIN direct USING (o_custkey)
+      |ORDER BY o_custkey""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
+    GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
+    GraftQuery.sql("q121_column_profile", q121ColumnProfile, q121Oracle),
+    GraftQuery.sql("q122_incremental_agg", q122IncrementalAgg, q122Oracle)
+  )
+}

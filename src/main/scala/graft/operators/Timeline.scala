@@ -181,10 +181,58 @@ object Timeline {
        |    AS last_purchase_value
        |FROM e ORDER BY user_id, ts, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+
+  /** Gaps-and-islands sessionization — the pure-window formulation of
+    * session building (vs q29's `session_window` operator): a session break
+    * is a ≥ 30-minute event-time gap (millisecond-integer compare, matching
+    * session_window's "next start < previous end + gap merges" rule), the
+    * session id is the running count of breaks, and per-session aggregates
+    * follow from an ordinary groupBy. Two window passes + one aggregation,
+    * all partitioned by user — the same single-exchange shape as the rest
+    * of this module, and the form that generalizes when session rules stop
+    * fitting `session_window` (e.g. type-dependent gaps).
+    */
+  def gapsIslands(events: DataFrame, gapMs: Long): DataFrame =
+    events
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") >= gapMs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  def q125GapsIslands(spark: SparkSession, dir: String): DataFrame =
+    gapsIslands(Tables.events(spark, dir), 30L * 60 * 1000)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_last"),
+        count(lit(1)).as("cnt"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+
+  val q125Oracle: String =
+    s"""WITH e AS (${Det.EventsSql}),
+       |marked AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+       |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, value,
+       |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       |  FROM marked)
+       |SELECT user_id, session_idx, min(ts) AS s_start, max(ts) AS s_last,
+       |  count(*) AS cnt, ${Det.dsumSql("value")} AS sum_value
+       |FROM sess GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q111_scd2_intervals", q111Scd2, q111Oracle),
     GraftQuery.sql("q112_transition_matrix", q112Transitions, q112Oracle),
     GraftQuery.sql("q113_rolling_anomaly", q113Anomaly, q113Oracle),
-    GraftQuery.sql("q114_forward_fill", q114ForwardFill, q114Oracle)
+    GraftQuery.sql("q114_forward_fill", q114ForwardFill, q114Oracle),
+    GraftQuery.sql("q125_gaps_islands", q125GapsIslands, q125Oracle)
   )
 }

@@ -364,6 +364,58 @@ object TpchMore {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
 
+  /** TPC-H Q6: the forecasting-revenue-change query — a pure scan-side
+    * filter + single global aggregate, THE pushdown/vectorization
+    * benchmark. All three predicates reach the parquet scan as
+    * PushedFilters (asserted in PlanSpec); the aggregation is a one-row
+    * partial+final with no shuffle of data rows at any scale.
+    */
+  def q123TpchQ6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 25.0)
+      .agg(Det.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q123Oracle: String =
+    s"""SELECT ${Det.dsumSql("l_extendedprice * l_discount")} AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount BETWEEN 0.03 AND 0.07
+       |  AND l_quantity < 25.0""".stripMargin
+
+  /** TPC-H Q13: customer order-count distribution — the LEFT OUTER join
+    * benchmark (customers with zero qualifying orders must survive into the
+    * c_count = 0 bucket). Two aggregations chained: per-customer counts of
+    * non-urgent orders, then the histogram over counts. Both group on
+    * high-cardinality-then-small keys; the left join shuffles once on
+    * custkey.
+    */
+  def q124TpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  val q124Oracle: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q85_tpch_q8", q85TpchQ8, q85Oracle),
     GraftQuery.sql("q86_tpch_q12", q86TpchQ12, q86Oracle),
@@ -374,6 +426,8 @@ object TpchMore {
     GraftQuery.sql("q91_tpch_q4", q91TpchQ4, q91Oracle),
     GraftQuery.sql("q106_tpch_q17", q106TpchQ17, q106Oracle),
     GraftQuery.sql("q107_tpch_q15", q107TpchQ15, q107Oracle),
-    GraftQuery.sql("q108_tpch_q21", q108TpchQ21, q108Oracle)
+    GraftQuery.sql("q108_tpch_q21", q108TpchQ21, q108Oracle),
+    GraftQuery.sql("q123_tpch_q6", q123TpchQ6, q123Oracle),
+    GraftQuery.sql("q124_tpch_q13", q124TpchQ13, q124Oracle)
   )
 }
