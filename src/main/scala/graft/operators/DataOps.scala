@@ -275,10 +275,49 @@ object DataOps {
       |FROM merged JOIN direct USING (o_custkey)
       |ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q126
+
+  /** Mergeable distinct-count sketches: per-language HLL sketches of doc_id
+    * (Apache DataSketches via `hll_sketch_agg`), re-aggregated into a global
+    * count with `hll_union_agg` — WITHOUT rescanning raw data. This is the
+    * 100 TB distinct-count architecture: partitions sketch locally, sketches
+    * union associatively at any granularity (hour→day→month), and the union
+    * is the same few KB regardless of data size. Per-group AND union rows
+    * carry a within-5% tolerance bit against the exact count (the q10-style
+    * sketch oracle: DuckDB asserts the tolerance contract, not the
+    * engine-specific estimate, while rows/schema/count still hash-compare).
+    */
+  def q126HllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perLang = docs.groupBy(col("lang"))
+      .agg(hll_sketch_agg(col("doc_id")).as("sk"),
+        countDistinct(col("doc_id")).as("n_exact"))
+    val langRows = perLang
+      .select(col("lang"), col("n_exact"),
+        hll_sketch_estimate(col("sk")).as("est"))
+    val totalRow = perLang
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+        sum(col("n_exact")).as("n_exact")) // langs partition doc_ids: sum == global distinct
+      .select(lit("TOTAL").as("lang"), col("n_exact"), col("est"))
+    langRows.unionByName(totalRow)
+      .select(col("lang"), col("n_exact"),
+        (abs(col("est") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+          .as("within_5pct"))
+      .orderBy(col("lang"))
+  }
+
+  val q126Oracle: String =
+    """SELECT lang, n_exact, TRUE AS within_5pct FROM (
+      |  SELECT lang, count(DISTINCT doc_id) AS n_exact FROM documents GROUP BY lang
+      |  UNION ALL
+      |  SELECT 'TOTAL', count(DISTINCT doc_id) FROM documents)
+      |ORDER BY lang""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
     GraftQuery.sql("q121_column_profile", q121ColumnProfile, q121Oracle),
-    GraftQuery.sql("q122_incremental_agg", q122IncrementalAgg, q122Oracle)
+    GraftQuery.sql("q122_incremental_agg", q122IncrementalAgg, q122Oracle),
+    GraftQuery.sql("q126_hll_merge", q126HllMerge, q126Oracle)
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators._
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan shape assertions — the 100 TB design contract: filters reach
   * the parquet scan, projections prune columns, dim joins broadcast, top-k
@@ -147,6 +148,33 @@ class PlanSpec extends SparkSpec {
     // form is the no-driver-collect contract.
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // Spark's InjectRuntimeFilter: a selective filter on one join side
+    // builds a bloom filter that the other side's scan probes BEFORE the
+    // shuffle — at 100 TB this is the difference between shuffling the
+    // whole fact table and shuffling the ~matching fraction. Thresholds are
+    // sized for clusters, so pin them down to demonstrate on test data.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
+      val o = graft.sources.Tables.orders(spark, sfDir)
+        .where(col("o_totalprice") > 400000) // selective creation side
+      val p = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("NO query in the entire inventory plans a CartesianProduct") {
