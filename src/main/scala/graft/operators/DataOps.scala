@@ -308,11 +308,52 @@ object DataOps {
       |  SELECT 'TOTAL', count(DISTINCT doc_id) FROM documents)
       |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q127
+
+  /** Equi-depth histogram of document lengths via BROADCAST QUANTILE
+    * BOUNDARIES: one aggregation computes the 7 octile cut points
+    * (cross-engine-exact interpolated percentiles, the q52 contract), the
+    * 1-row boundary array broadcasts, and bucket assignment is a map-only
+    * fold — NOT an `ntile` over a global sort, which would funnel 100 TB
+    * through one ordering. Ties at boundaries go to the lower bucket in
+    * both engines (strict > comparison), so depths are only approximately
+    * equal on tied data — which is the honest semantics of equi-depth.
+    */
+  def q127EquidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bounds = docs.agg(expr(
+      "percentile(n_chars, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))").as("bs"))
+    docs.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(
+        "aggregate(bs, 0, (acc, b) -> acc + CASE WHEN CAST(n_chars AS DOUBLE) > b THEN 1 ELSE 0 END)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("lo"),
+        max(col("n_chars")).as("hi"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("bucket"))
+  }
+
+  val q127Oracle: String =
+    """WITH b AS (
+      |  SELECT [quantile_cont(n_chars, 0.125), quantile_cont(n_chars, 0.25),
+      |          quantile_cont(n_chars, 0.375), quantile_cont(n_chars, 0.5),
+      |          quantile_cont(n_chars, 0.625), quantile_cont(n_chars, 0.75),
+      |          quantile_cont(n_chars, 0.875)] AS bs
+      |  FROM documents),
+      |assigned AS (
+      |  SELECT n_chars,
+      |    list_reduce([0] || [CASE WHEN CAST(n_chars AS DOUBLE) > x THEN 1 ELSE 0 END
+      |                        for x in bs], (acc, v) -> acc + v) AS bucket
+      |  FROM documents, b)
+      |SELECT bucket, count(*) AS n_docs, min(n_chars) AS lo, max(n_chars) AS hi,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
     GraftQuery.sql("q121_column_profile", q121ColumnProfile, q121Oracle),
     GraftQuery.sql("q122_incremental_agg", q122IncrementalAgg, q122Oracle),
-    GraftQuery.sql("q126_hll_merge", q126HllMerge, q126Oracle)
+    GraftQuery.sql("q126_hll_merge", q126HllMerge, q126Oracle),
+    GraftQuery.sql("q127_equidepth_histogram", q127EquidepthHistogram, q127Oracle)
   )
 }

@@ -260,6 +260,47 @@ class FsParitySpec extends SparkSpec {
     assert(perFile.map(_.getLong(3)).sum === li.count())
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    // The reference's recursive-delete-then-write surface, refined: static
+    // overwrite mode deletes the WHOLE table root; dynamic mode deletes only
+    // partitions present in the incoming batch — the difference between
+    // reloading one day and truncating a year at 100 TB.
+    val dir = Files.createTempDirectory("graft_dynpart").toString
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "dynamic")
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+      val before = spark.read.parquet(dir).groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // overwrite ONE partition with a single marker row
+      val one = docs.where(col("lang") === "en").limit(1)
+      one.write.partitionBy("lang").mode("overwrite").parquet(dir)
+      val after = spark.read.parquet(dir).groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(after("en") === 1L, s"en partition should hold only the marker, got $after")
+      (before.keySet - "en").foreach { l =>
+        assert(after(l) === before(l), s"untouched partition $l was clobbered")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("text source round-trips line-oriented corpora") {
+    // spark.read.text / write.text — the line-per-record surface a raw-crawl
+    // ingest uses before any schema exists (the corpus has no newlines in
+    // text, so lines == documents here; binary payloads go via binaryFile).
+    val dir = Files.createTempDirectory("graft_text").toString
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .orderBy("doc_id").select(col("text"))
+    docs.write.mode("overwrite").text(s"$dir/lines")
+    val back = spark.read.text(s"$dir/lines")
+    assert(back.count() === docs.count())
+    val a = docs.collect().map(_.getString(0)).sorted
+    val b = back.collect().map(_.getString(0)).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("binaryFile source reads written blobs with path, length, and content intact") {
     // The multimodal-ingest twin of the reference's opaque-byte read path
     // (CephRgwInputStream): raw files on the FS surface become (path,
