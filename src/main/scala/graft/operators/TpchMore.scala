@@ -416,6 +416,48 @@ object TpchMore {
       |  GROUP BY c_custkey)
       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** TPC-H Q9-shaped product-profit rollup: profit per (supplier nation,
+    * order year) over parts whose name matches the pattern — the 5-way
+    * join-order stress shape. No partsupp/supplycost in this corpus, so
+    * cost stands in as 80% of retail price × quantity (per-row double
+    * chain, deterministic; the sum goes through the exact-decimal path).
+    * Plan contract at any scale: part (filtered by the LIKE), supplier, and
+    * nation all BROADCAST; the only shuffle joins lineitem to orders; the
+    * rollup is partial+final on a (nation, year) key.
+    */
+  def q129TpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val p = Tables.part(spark, dir).where(col("p_name").contains("bolt"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val amount = revenue - lit(0.8) * col("p_retailprice") * col("l_quantity")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(Det.dsum(amount).as("sum_profit"), count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"), desc("o_year"))
+  }
+
+  val q129Oracle: String = {
+    val amountSql = s"$revenueSql - 0.8 * p_retailprice * l_quantity"
+    s"""SELECT n_name, o_year, ${Det.dsumSql(amountSql)} AS sum_profit,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN (SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year FROM orders) o
+       |  ON l_orderkey = o.o_orderkey
+       |GROUP BY n_name, o_year
+       |ORDER BY n_name, o_year DESC""".stripMargin
+  }
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q85_tpch_q8", q85TpchQ8, q85Oracle),
     GraftQuery.sql("q86_tpch_q12", q86TpchQ12, q86Oracle),
@@ -428,6 +470,7 @@ object TpchMore {
     GraftQuery.sql("q107_tpch_q15", q107TpchQ15, q107Oracle),
     GraftQuery.sql("q108_tpch_q21", q108TpchQ21, q108Oracle),
     GraftQuery.sql("q123_tpch_q6", q123TpchQ6, q123Oracle),
-    GraftQuery.sql("q124_tpch_q13", q124TpchQ13, q124Oracle)
+    GraftQuery.sql("q124_tpch_q13", q124TpchQ13, q124Oracle),
+    GraftQuery.sql("q129_tpch_q9", q129TpchQ9, q129Oracle)
   )
 }

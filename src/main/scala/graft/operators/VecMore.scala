@@ -126,8 +126,68 @@ object VecMore {
       |CROSS JOIN n
       |ORDER BY tok_a, tok_b""".stripMargin
 
+  // ---------------------------------------------------------------- q128
+
+  /** Per-dimension embedding standardization stats + outlier screen — the
+    * preprocessing pass before k-means/PCA/quantization. Coordinates
+    * quantize to milli-units (exact), per-dim mean and population variance
+    * come from integer sums (μ = S/n, σ² = (n·Q − S²)/n² — each a single
+    * exact-integer-fed IEEE division, so both engines produce identical
+    * doubles), and the outlier count applies the z > 3 test in pure integer
+    * arithmetic: (n·v − S)² > 9·(n·Q − S²). Same determinism family as the
+    * rolling detector (Timeline q113), lifted from a window to a whole
+    * column.
+    *
+    * Scale shape: one partial+final aggregation on the dim key for the
+    * stats (64 groups), broadcast back for the outlier pass — two scans of
+    * the quantized stream or one scan + broadcast join; nothing sorts,
+    * nothing collects.
+    */
+  def q128DimStandardize(spark: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("v", floor(col("x").cast("double") * 1000.0).cast("long"))
+    val stats = qv.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+    val outliers = qv.join(broadcast(stats), Seq("pos"))
+      .where((col("n") * col("v") - col("s")) * (col("n") * col("v") - col("s")) >
+        lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+      .groupBy(col("pos")).agg(count(lit(1)).as("n_outliers"))
+    stats.join(outliers, Seq("pos"), "left")
+      .select(col("pos"), col("n"),
+        (col("s").cast("double") / col("n")).as("mean_milli"),
+        ((col("n") * col("q") - col("s") * col("s")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("var_milli"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+      .orderBy(col("pos"))
+  }
+
+  val q128Oracle: String =
+    """WITH qv AS (
+      |  SELECT s.i - 1 AS pos, CAST(floor(CAST(s.x AS DOUBLE) * 1000.0) AS BIGINT) AS v
+      |  FROM (SELECT unnest([{'i': i, 'x': embedding[i]}
+      |                       for i in range(1, len(embedding) + 1)]) AS s
+      |        FROM embeddings)),
+      |stats AS (
+      |  SELECT pos, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+      |    CAST(sum(v * v) AS BIGINT) AS q
+      |  FROM qv GROUP BY pos),
+      |outliers AS (
+      |  SELECT pos, count(*) AS n_outliers
+      |  FROM qv JOIN stats USING (pos)
+      |  WHERE (n * v - s) * (n * v - s) > 9 * (n * q - s * s)
+      |  GROUP BY pos)
+      |SELECT pos, n,
+      |  CAST(s AS DOUBLE) / n AS mean_milli,
+      |  CAST(n * q - s * s AS DOUBLE) / CAST(n * n AS DOUBLE) AS var_milli,
+      |  coalesce(n_outliers, 0) AS n_outliers
+      |FROM stats LEFT JOIN outliers USING (pos)
+      |ORDER BY pos""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q115_kmeans_step", q115KmeansStep, q115Oracle),
-    GraftQuery.sql("q116_cooccurrence", q116Cooccurrence, q116Oracle)
+    GraftQuery.sql("q116_cooccurrence", q116Cooccurrence, q116Oracle),
+    GraftQuery.sql("q128_dim_standardize", q128DimStandardize, q128Oracle)
   )
 }

@@ -150,6 +150,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q129 tpch-q9: part/supplier/nation broadcast, one fact-fact shuffle join") {
+    val p = plan("q129_tpch_q9")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // Spark's InjectRuntimeFilter: a selective filter on one join side
     // builds a bloom filter that the other side's scan probes BEFORE the
