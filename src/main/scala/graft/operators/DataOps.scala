@@ -348,12 +348,56 @@ object DataOps {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+
+  /** Nested analytics: per-customer order history materialized as a SORTED
+    * array of structs, then consumed entirely with higher-order functions —
+    * the document-model surface (struct construction, deterministic
+    * sort_array on struct fields, element access, transform + array_max)
+    * that lakehouse users lean on for "latest N events per entity" payloads.
+    *
+    * Determinism: sort_array orders by (date, orderkey) — a unique total
+    * order — and every derived metric copies or integer-differences values.
+    *
+    * Scale note: collect_list materializes one customer's history in one
+    * reducer — bounded fan-in here (orders per customer is small and
+    * business-bounded); for unbounded histories the windowed forms (q75,
+    * q16) are the right tool, which is exactly the trade this query
+    * demonstrates against.
+    */
+  def q130NestedHistory(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(struct(
+        col("o_orderdate").as("d"), col("o_orderkey").as("k"),
+        col("o_totalprice").as("p")))).as("h"))
+      .select(
+        col("o_custkey"),
+        size(col("h")).as("n_orders"),
+        expr("h[0].d").as("first_order"),
+        expr("CASE WHEN size(h) >= 2 THEN datediff(h[1].d, h[0].d) END").as("gap_days"),
+        expr("array_max(transform(h, e -> e.p))").as("max_price"))
+      .orderBy(col("o_custkey"))
+
+  val q130Oracle: String =
+    """SELECT o_custkey, len(h) AS n_orders, h[1].d AS first_order,
+      |  CASE WHEN len(h) >= 2
+      |       THEN CAST(date_diff('day', h[1].d, h[2].d) AS INT) END AS gap_days,
+      |  list_max([e.p for e in h]) AS max_price
+      |FROM (
+      |  SELECT o_custkey,
+      |    list({'d': o_orderdate, 'k': o_orderkey, 'p': o_totalprice}
+      |         ORDER BY o_orderdate, o_orderkey) AS h
+      |  FROM orders GROUP BY o_custkey)
+      |ORDER BY o_custkey""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
     GraftQuery.sql("q121_column_profile", q121ColumnProfile, q121Oracle),
     GraftQuery.sql("q122_incremental_agg", q122IncrementalAgg, q122Oracle),
     GraftQuery.sql("q126_hll_merge", q126HllMerge, q126Oracle),
-    GraftQuery.sql("q127_equidepth_histogram", q127EquidepthHistogram, q127Oracle)
+    GraftQuery.sql("q127_equidepth_histogram", q127EquidepthHistogram, q127Oracle),
+    GraftQuery.sql("q130_nested_history", q130NestedHistory, q130Oracle)
   )
 }

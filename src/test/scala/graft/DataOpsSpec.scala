@@ -57,6 +57,55 @@ class DataOpsSpec extends SparkSpec {
     assert(gi === sw)
   }
 
+  test("incremental merge is associative: 3-way split merged in any order == direct") {
+    import spark.implicits._
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+    def roll(m: Int) = orders.where(col("o_orderkey") % 3 === m)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,4)")).as("s"))
+    def merge(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.select(col("o_custkey"), col("n").as("na"), col("s").as("sa"))
+        .join(b.select(col("o_custkey"), col("n").as("nb"), col("s").as("sb")),
+          Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))).as("n"),
+          (coalesce(col("sa"), lit(0).cast("decimal(18,4)")) +
+            coalesce(col("sb"), lit(0).cast("decimal(18,4)"))).as("s"))
+    val leftAssoc = merge(merge(roll(0), roll(1)), roll(2))
+    val rightAssoc = merge(roll(0), merge(roll(1), roll(2)))
+    val direct = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,4)")).as("s"))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("o_custkey"), col("n"), col("s").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(canon(leftAssoc) === canon(direct))
+    assert(canon(rightAssoc) === canon(direct))
+  }
+
+  test("equi-depth buckets tile the value range in order") {
+    val rows = DataOps.q127EquidepthHistogram(spark, sfDir)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    rows.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+    rows.foreach { case (_, lo, hi) => assert(lo <= hi) }
+  }
+
+  test("dim standardization: variance non-negative, outliers bounded by n") {
+    val bad = VecMore.q128DimStandardize(spark, sfDir)
+      .where(col("var_milli") < 0 || col("n_outliers") > col("n")).count()
+    assert(bad === 0)
+  }
+
+  test("nested history conserves order counts and non-negative gaps") {
+    val h = DataOps.q130NestedHistory(spark, sfDir)
+    val totalOrders = graft.sources.Tables.orders(spark, sfDir).count()
+    assert(h.agg(sum("n_orders")).collect()(0).getLong(0) === totalOrders)
+    assert(h.where(col("gap_days") < 0).count() === 0)
+  }
+
   test("tpch q6 pushes all three predicates into the parquet scan") {
     val p = TpchMore.q123TpchQ6(spark, sfDir).queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters"), p)
