@@ -229,6 +229,37 @@ object StreamingOps {
       }
   }
 
+  /** Latest observed state per (user, event_type) — emitted by
+    * [[latestState]] in update mode whenever the state changes. */
+  final case class LatestState(
+      user_id: Long,
+      event_type: String,
+      ts: Timestamp,
+      value: Double)
+
+  /** Streaming CDC compaction: the latest event per (user, type) key,
+    * re-emitted on every change — the streaming twin of the batch max_by
+    * compaction (AdvancedSql q75). State per key is ONE row (the current
+    * winner by (ts, event_id)), so it is O(keys) regardless of stream
+    * length; a downstream `foreachBatch` upsert materializes it into a
+    * serving table. Late events older than the current winner are ignored
+    * by construction — the same semantics the batch compaction produces.
+    */
+  def latestState(events: Dataset[Event]): Dataset[LatestState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[(Long, Long, Double), LatestState](
+        GroupStateTimeout.NoTimeout()) {
+        case ((userId, etype), it, state: GroupState[(Long, Long, Double)]) =>
+          val best = (state.getOption.iterator ++
+            it.map(e => (e.ts.getTime, e.event_id, e.value)))
+            .maxBy { case (t, id, _) => (t, id) }
+          state.update(best)
+          LatestState(userId, etype, new Timestamp(best._1), best._3)
+      }
+  }
+
   /** Session gap. */
   private val GapMs = 30L * 60 * 1000
 

@@ -199,6 +199,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latestState keeps the per-key winner across batches and ignores older late events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.latestState(mem.toDS())
+      .writeStream.format("memory").queryName("ls").outputMode("update").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:05:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts("2024-01-01 00:03:00"), 1, "click", 99.0)) // late, older: ignored
+      q.processAllAvailable()
+      mem.addData(Event(4, ts("2024-01-01 00:09:00"), 1, "click", 4.0))
+      q.processAllAvailable()
+      // update mode: the LAST row per key in the sink is the current state
+      val last = spark.table("ls").as[StreamingOps.LatestState].collect().last
+      assert(last.value === 4.0)
+      val afterLate = spark.table("ls").as[StreamingOps.LatestState].collect()
+        .count(_.value == 99.0)
+      assert(afterLate === 0, "an older late event must never win")
+    } finally q.stop()
+  }
+
+  test("foreachBatch upserts each micro-batch into a parquet serving table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_serve").toString
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.latestState(mem.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingOps.LatestState], _: Long) =>
+        // merge semantics: new keys insert, existing keys take the batch row
+        val incoming = batch.toDF()
+        val existing =
+          try spark.read.parquet(dir).where(col("user_id").isNotNull)
+          catch { case _: Throwable => spark.emptyDataFrame }
+        val merged =
+          if (existing.isEmpty) incoming
+          else existing.join(incoming.select(col("user_id").as("u"), col("event_type").as("e")),
+              col("user_id") === col("u") && col("event_type") === col("e"), "left_anti")
+            .unionByName(incoming)
+        val out = merged.collect() // materialize BEFORE overwriting the source dir
+        spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq), incoming.schema)
+          .write.mode("overwrite").parquet(dir)
+        ()
+      }
+      .start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:02:00"), 2, "view", 5.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts("2024-01-01 00:07:00"), 1, "click", 7.0))
+      q.processAllAvailable()
+      val served = spark.read.parquet(dir)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+      assert(served((1L, "click")) === 7.0)
+      assert(served((2L, "view")) === 5.0)
+    } finally q.stop()
+  }
+
   test("anomalyStream flags the same events as the batch detector (in-order feed)") {
     implicit val sqlCtx = spark.sqlContext
     // user 7: constant 10.0 run then a 100.0 spike, split across batches
