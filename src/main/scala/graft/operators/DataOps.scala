@@ -391,6 +391,42 @@ object DataOps {
       |  FROM orders GROUP BY o_custkey)
       |ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q131
+
+  /** Per-group top-k via the typed mergeable [[graft.functions.TopKAgg]]
+    * aggregator — top-3 orders per customer by (price DESC, orderkey ASC).
+    *
+    * The window formulation (row_number over partitionBy/orderBy) SORTS
+    * every customer's complete order set before discarding all but 3; the
+    * aggregator form is map-side combinable, so each partition pre-reduces
+    * a group to ≤ k rows before the shuffle — per-group
+    * `TakeOrderedAndProject`. The oracle runs the window formulation, so
+    * the hash match doubles as an equivalence proof of the two shapes.
+    */
+  def q131TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = new graft.functions.TopKAgg(3)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topk.toColumn.name("topk"))
+      .toDF("o_custkey", "topk")
+      .select(col("o_custkey"), posexplode(col("topk")).as(Seq("r0", "s")))
+      .select(col("o_custkey"), (col("r0") + 1).cast("int").as("rk"),
+        col("s._2").as("o_orderkey"), col("s._1").as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  val q131Oracle: String =
+    """SELECT o_custkey, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
@@ -398,6 +434,7 @@ object DataOps {
     GraftQuery.sql("q122_incremental_agg", q122IncrementalAgg, q122Oracle),
     GraftQuery.sql("q126_hll_merge", q126HllMerge, q126Oracle),
     GraftQuery.sql("q127_equidepth_histogram", q127EquidepthHistogram, q127Oracle),
-    GraftQuery.sql("q130_nested_history", q130NestedHistory, q130Oracle)
+    GraftQuery.sql("q130_nested_history", q130NestedHistory, q130Oracle),
+    GraftQuery.sql("q131_topk_per_group", q131TopkPerGroup, q131Oracle)
   )
 }

@@ -106,6 +106,24 @@ class DataOpsSpec extends SparkSpec {
     assert(h.where(col("gap_days") < 0).count() === 0)
   }
 
+  test("TopKAgg is insertion-order and merge-split invariant") {
+    val agg = new graft.functions.TopKAgg(3)
+    val xs = Seq((5.0, 1L), (9.0, 2L), (9.0, 1L), (1.0, 3L), (7.0, 4L), (9.0, 9L), (3.0, 5L))
+    def run(seq: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      agg.finish(seq.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val expected = Seq((9.0, 1L), (9.0, 2L), (9.0, 9L)) // score desc, id asc ties
+    assert(run(xs) === expected)
+    assert(run(xs.reverse) === expected)
+    assert(run(xs.sortBy(_._2)) === expected)
+    // arbitrary split + merge == single fold
+    (1 until xs.length).foreach { cut =>
+      val (a, b) = xs.splitAt(cut)
+      val merged = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged).toSeq === expected, s"cut=$cut")
+    }
+  }
+
   test("tpch q6 pushes all three predicates into the parquet scan") {
     val p = TpchMore.q123TpchQ6(spark, sfDir).queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters"), p)
