@@ -228,11 +228,66 @@ object Timeline {
        |FROM sess GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q132
+
+  /** Per-user linear trend of event values over time — closed-form
+    * least-squares slope from the normal equations, computed entirely in
+    * exact 64-bit integer sums: x = minutes since the user's first event
+    * (integer), y = milli-quantized value, slope numerator n·Σxy − Σx·Σy
+    * and denominator n·Σx² − (Σx)², both exact; the slope itself is the
+    * single IEEE division num/den. The "is activity trending up" signal a
+    * feature pipeline derives per entity.
+    *
+    * Magnitudes: x ≤ ~10⁶ minutes, y ≤ 5·10⁵, n ≤ 10³ per user → Σxy ≤
+    * 5·10¹⁴ and n·Σxy ≤ 5·10¹⁷ — inside the 9.2·10¹⁸ long range. One
+    * shuffle on user_id; window for the per-user epoch, then a plain
+    * partial+final aggregation.
+    */
+  def q132TrendRegression(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("t0", min(unix_millis(col("ts"))).over(Window.partitionBy(col("user_id"))))
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division, whose
+      // truncation can land one below the exact integer quotient.
+      .withColumn("x", expr("(unix_millis(ts) - t0) div 60000L"))
+      .withColumn("y", floor(col("value") * 1000.0).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("user_id"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")))
+          .as("slope_milli_per_min"))
+      .orderBy(col("user_id"))
+
+  val q132Oracle: String =
+    s"""WITH e AS (${Det.EventsSql}),
+       |base AS (
+       |  SELECT user_id,
+       |    (epoch_ms(ts) - min(epoch_ms(ts)) OVER (PARTITION BY user_id)) // 60000 AS x,
+       |    CAST(floor(value * 1000.0) AS BIGINT) AS y
+       |  FROM e),
+       |agg AS (
+       |  SELECT user_id, count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM base GROUP BY user_id)
+       |SELECT user_id, n,
+       |  n * sxy - sx * sy AS slope_num,
+       |  n * sxx - sx * sx AS slope_den,
+       |  CASE WHEN n * sxx - sx * sx <> 0
+       |       THEN CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) END
+       |    AS slope_milli_per_min
+       |FROM agg ORDER BY user_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q111_scd2_intervals", q111Scd2, q111Oracle),
     GraftQuery.sql("q112_transition_matrix", q112Transitions, q112Oracle),
     GraftQuery.sql("q113_rolling_anomaly", q113Anomaly, q113Oracle),
     GraftQuery.sql("q114_forward_fill", q114ForwardFill, q114Oracle),
-    GraftQuery.sql("q125_gaps_islands", q125GapsIslands, q125Oracle)
+    GraftQuery.sql("q125_gaps_islands", q125GapsIslands, q125Oracle),
+    GraftQuery.sql("q132_trend_regression", q132TrendRegression, q132Oracle)
   )
 }
