@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.sources.Tables
@@ -427,6 +428,101 @@ object DataOps {
       |  FROM orders)
       |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q133
+
+  /** Weighted median line-item price per return flag, weight = quantity —
+    * the discrete weighted-quantile operator (weighted p50): order values
+    * within each group, take the first value whose running weight reaches
+    * half the group's total. Quantities quantize to integer units
+    * (floor(q·100): exact), so the cumulative comparison 2·cum ≥ total is
+    * pure integer arithmetic with a deterministic (value, orderkey...)
+    * tie order.
+    *
+    * Scale shape: one shuffle on the group key; the running sum is a ROWS
+    * frame streaming per partition; the per-group total joins back from a
+    * broadcast-size aggregate. A giant group serializes its window through
+    * one task — the standard fix (pre-bucket by value range, aggregate
+    * buckets) applies without changing the contract.
+    */
+  def q133WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        floor(col("l_quantity") * 100.0).cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ord = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = li.groupBy(col("l_returnflag")).agg(sum(col("w")).as("w_total"))
+    // qualifying rows are a suffix of the (price, key) order, and cum is
+    // monotone along it — so the first qualifying value is simply the min
+    li.withColumn("cum", sum(col("w")).over(ord))
+      .join(broadcast(tot), Seq("l_returnflag"))
+      .where(col("cum") * 2 >= col("w_total"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("weighted_median"),
+        max(col("w_total")).as("w_total"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q133Oracle: String =
+    """WITH li AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    CAST(floor(l_quantity * 100.0) AS BIGINT) AS w, l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |cum AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    CAST(sum(w) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS w_total
+      |  FROM li)
+      |SELECT l_returnflag,
+      |  min(l_extendedprice) AS weighted_median,
+      |  max(w_total) AS w_total
+      |FROM cum WHERE cum * 2 >= w_total
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q134
+
+  /** Benford first-significant-digit audit of order totals — the classic
+    * fabricated-data screen: digit counts, observed share (single exact
+    * division), and observed-vs-expected per-mille deviation. The Benford
+    * expectation table ⌊1000·log10(1+1/d)⌉ is baked in as INTEGER literals:
+    * Java's Math.log10 and libm's disagree by an ulp at d=3, so computing
+    * the expectation at query time is a cross-engine hash hazard. Map-only
+    * digit extraction; one 9-key aggregation.
+    */
+  def q134BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digit = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+    val o = Tables.orders(spark, dir).where(col("o_totalprice") >= 1.0)
+    val n = o.agg(count(lit(1)).as("n_total"))
+    o.select(digit.cast("int").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(n))
+      .withColumn("expected_pm", expr(
+        "element_at(map(1, 301, 2, 176, 3, 125, 4, 97, 5, 79, 6, 67, 7, 58, 8, 51, 9, 46), d)"))
+      .select(col("d"), col("n_orders"),
+        (col("n_orders").cast("double") / col("n_total")).as("observed"),
+        col("expected_pm"),
+        (col("n_orders") * 1000 - col("expected_pm") * col("n_total")).as("deviation_pm_scaled"))
+      .orderBy(col("d"))
+  }
+
+  val q134Oracle: String =
+    """WITH o AS (SELECT o_totalprice FROM orders WHERE o_totalprice >= 1.0),
+      |n AS (SELECT count(*) AS n_total FROM o),
+      |d AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d,
+      |    count(*) AS n_orders
+      |  FROM o GROUP BY 1),
+      |exp AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS d,
+      |               unnest([301,176,125,97,79,67,58,51,46]) AS expected_pm)
+      |SELECT d.d, n_orders,
+      |  CAST(n_orders AS DOUBLE) / n_total AS observed,
+      |  expected_pm,
+      |  n_orders * 1000 - expected_pm * n_total AS deviation_pm_scaled
+      |FROM d JOIN exp USING (d) CROSS JOIN n ORDER BY d""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
@@ -435,6 +531,8 @@ object DataOps {
     GraftQuery.sql("q126_hll_merge", q126HllMerge, q126Oracle),
     GraftQuery.sql("q127_equidepth_histogram", q127EquidepthHistogram, q127Oracle),
     GraftQuery.sql("q130_nested_history", q130NestedHistory, q130Oracle),
-    GraftQuery.sql("q131_topk_per_group", q131TopkPerGroup, q131Oracle)
+    GraftQuery.sql("q131_topk_per_group", q131TopkPerGroup, q131Oracle),
+    GraftQuery.sql("q133_weighted_median", q133WeightedMedian, q133Oracle),
+    GraftQuery.sql("q134_benford_audit", q134BenfordAudit, q134Oracle)
   )
 }

@@ -156,6 +156,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q131 top-k aggregator plans partial (map-side) object aggregation") {
+    val p = plan("q131_topk_per_group")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_topkagg") || "partial".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("Window"), p) // the point: no per-group sort pipeline
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // Spark's InjectRuntimeFilter: a selective filter on one join side
     // builds a bloom filter that the other side's scan probes BEFORE the

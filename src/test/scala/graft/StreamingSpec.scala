@@ -259,6 +259,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming query resumes from its checkpoint with state intact") {
+    // Exactly-once operational contract: stop a stateful query, restart it
+    // against the SAME checkpoint dir, and accumulated state (the dedup key
+    // set here) must survive — the recovery path every production stream
+    // leans on after executor loss or deploy.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val mem = MemoryStream[Event]
+    // memory sinks refuse recovery; the parquet sink is the durable path
+    def start() = StreamingOps.dedupStream(mem.toDF())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try {
+      mem.addData(Event(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start() // same checkpoint: dedup state must persist across restart
+    try {
+      mem.addData(
+        Event(2, ts("2024-01-01 00:02:00"), 1, "click", 2.0), // dup of pre-restart key
+        Event(3, ts("2024-01-01 00:03:00"), 2, "view", 3.0))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).select("event_id").as[Long].collect().toSet
+      assert(got.contains(1L) && got.contains(3L) && !got.contains(2L),
+        s"state lost across restart (sink rows: $got)")
+    } finally q2.stop()
+  }
+
   test("anomalyStream flags the same events as the batch detector (in-order feed)") {
     implicit val sqlCtx = spark.sqlContext
     // user 7: constant 10.0 run then a 100.0 spike, split across batches
