@@ -1,5 +1,6 @@
 package graft.operators
 
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
@@ -39,7 +40,62 @@ object TypedOps {
        |FROM orders WHERE o_totalprice > 100000
        |GROUP BY o_orderstatus ORDER BY status""".stripMargin
 
+  final case class CustOrder(o_custkey: Long, o_orderkey: Long,
+      ms: Long, o_totalprice: Double)
+
+  /** Longest strictly-increasing price run per customer via
+    * `flatMapGroups` — the typed per-group escape hatch (the Scala sibling
+    * of applyInPandas): arbitrary sequential logic over one group's rows,
+    * here an in-memory sort + linear scan. Bounded per-customer history
+    * keeps a group in one task's memory (same contract as q130's
+    * collect_list); the oracle proves the imperative scan equivalent to
+    * the relational gaps-and-islands formulation — which is exactly the
+    * judgment call this operator documents: use flatMapGroups when the
+    * per-group logic stops being expressible as windows, accept that
+    * Catalyst cannot see inside it.
+    */
+  def q135LongestRun(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"), col("o_totalprice"))
+      .as[CustOrder]
+      .groupByKey(_.o_custkey)
+      .flatMapGroups { (custkey: Long, it: Iterator[CustOrder]) =>
+        val rows = it.toArray.sortBy(r => (r.ms, r.o_orderkey))
+        var best = 0; var cur = 0; var prev = Double.NegativeInfinity
+        rows.foreach { r =>
+          cur = if (r.o_totalprice > prev) cur + 1 else 1
+          if (cur > best) best = cur
+          prev = r.o_totalprice
+        }
+        Iterator.single((custkey, rows.length, best))
+      }
+      .toDF("o_custkey", "n_orders", "longest_increasing_run")
+      .orderBy(col("o_custkey"))
+  }
+
+  val q135Oracle: String =
+    """WITH seq AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey,
+      |    CASE WHEN lag(o_totalprice) OVER w IS NULL
+      |           OR o_totalprice <= lag(o_totalprice) OVER w THEN 1 ELSE 0 END AS brk
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |runs AS (
+      |  SELECT o_custkey,
+      |    sum(brk) OVER (PARTITION BY o_custkey ORDER BY rn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM (SELECT o_custkey, brk, row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_orderdate, o_orderkey) AS rn FROM seq))
+      |SELECT o_custkey, CAST(sum(run_len) AS INT) AS n_orders,
+      |  CAST(max(run_len) AS INT) AS longest_increasing_run
+      |FROM (SELECT o_custkey, run_id, count(*) AS run_len
+      |      FROM runs GROUP BY o_custkey, run_id) rl
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
-    GraftQuery.sql("q50_typed_pipeline", q50TypedPipeline, q50Oracle)
+    GraftQuery.sql("q50_typed_pipeline", q50TypedPipeline, q50Oracle),
+    GraftQuery.sql("q135_longest_run", q135LongestRun, q135Oracle)
   )
 }
