@@ -449,6 +449,74 @@ object Dedup {
        |FROM base JOIN keptstats USING (lang)
        |ORDER BY lang""".stripMargin
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the skew-bounded alternative to q77's min-label pointer
+    * jumping that the scale notes promise for giant components: each round
+    * is two neighbor-min aggregations + re-emissions keyed on the node id,
+    * so a hub vertex contributes O(deg) work per round instead of fanning
+    * its whole component through one reducer, and rounds converge in
+    * O(log² n) worst case (O(log n) in practice).
+    *
+    * Per round over the symmetrized edge set E:
+    *   m(u)    = min({u} ∪ Γ(u))
+    *   large   : for v ∈ Γ(u), v > u  → edge (v, m(u))
+    *   small   : for v ∈ Γ(u), v ≤ u  → edge (v, m(u)), plus (u, m(u))
+    * iterated until the canonical edge set is stable; labels then read off
+    * as m(u). q136 emits the same (doc_id, cluster_id, cluster_size) rows
+    * as q77 — same recursive-CTE oracle, and `DataOpsSpec` asserts the two
+    * algorithms agree row-for-row on the corpus.
+    */
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+
+  private def neighborMins(e: DataFrame): DataFrame =
+    e.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+
+  def q136StarComponents(spark: SparkSession, dir: String): DataFrame = {
+    val sc = spark.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val ck = df.localCheckpoint()
+      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val pairs = q33NgramJaccard(spark, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    var (edges, edgeIds) = checkpointTracked(symmetrize(pairs))
+    var stable = false
+    var iter = 0
+    while (!stable && iter < 25) {
+      val mins = neighborMins(edges)
+      val withM = edges.join(mins, Seq("u"))
+      val large = withM.where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val small = withM.where(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+      val (next, nextIds) = checkpointTracked(
+        symmetrize(large.union(small).where(col("u") =!= col("v"))))
+      // canonical-set stability: symmetric difference empty (tiny frames —
+      // both sides are already the contracted star edges)
+      val grew = next.exceptAll(edges).count()
+      val shrank = edges.exceptAll(next).count()
+      free(edgeIds)
+      edges = next; edgeIds = nextIds
+      stable = grew == 0 && shrank == 0
+      iter += 1
+    }
+    // materialize labels BEFORE releasing the edge blocks they derive from —
+    // the returned DataFrame executes lazily, after this method returns
+    val (labels, _) = checkpointTracked(
+      neighborMins(edges).select(col("u").as("id"), col("m").as("comp")))
+    free(edgeIds)
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document triangle participation in the near-dup similarity graph
     * (q33 edges, J ≥ 0.5) — the local-clustering signal that separates
     * tight duplicate cliques from incidental pairwise overlaps before
@@ -501,6 +569,7 @@ object Dedup {
     GraftQuery.sql("q77_dedup_clusters", q77DedupClusters, q77Oracle),
     GraftQuery.sql("q92_simhash_bands", q92SimhashBands, q92Oracle),
     GraftQuery.sql("q97_dedup_apply", q97DedupApply, q97Oracle),
-    GraftQuery.sql("q118_triangle_count", q118TriangleCount, q118Oracle)
+    GraftQuery.sql("q118_triangle_count", q118TriangleCount, q118Oracle),
+    GraftQuery.sql("q136_star_components", q136StarComponents, q77Oracle)
   )
 }

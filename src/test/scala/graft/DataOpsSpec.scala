@@ -106,6 +106,15 @@ class DataOpsSpec extends SparkSpec {
     assert(h.where(col("gap_days") < 0).count() === 0)
   }
 
+  test("star-contraction CC labels the corpus identically to pointer jumping") {
+    val star = Dedup.q136StarComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val jump = Dedup.q77DedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(star === jump)
+    assert(star.nonEmpty)
+  }
+
   test("TopKAgg is insertion-order and merge-split invariant") {
     val agg = new graft.functions.TopKAgg(3)
     val xs = Seq((5.0, 1L), (9.0, 2L), (9.0, 1L), (1.0, 3L), (7.0, 4L), (9.0, 9L), (3.0, 5L))
