@@ -166,8 +166,49 @@ object SpanOps {
        |WHERE inter * 8 >= (la + lb) * 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q137
+
+  /** Containment (near-superset) join: directed pairs a→b where ≥ 90% of
+    * a's shingle set appears in b — the asymmetric relative of Jaccard
+    * that catches quote-inclusion and extended-revision relationships a
+    * symmetric threshold misses (a short doc fully quoted inside a long
+    * one has high containment but low Jaccard). Same inverted-index
+    * candidate generation as q33 (pairs sharing ≥ 1 shingle is complete
+    * for any containment > 0), the decision is the integer inequality
+    * 10·|A∩B| ≥ 9·|A|, and both directions of each unordered candidate
+    * pair are tested independently.
+    */
+  def q137ContainmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val pairs = tok.select(col("doc_id").as("doc_a"), col("h"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .where(col("doc_a") =!= col("doc_b")) // directed: both orientations kept
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))), "doc_a")
+      .where(col("inter") * 10 >= col("sz_a") * 9)
+      .select(col("doc_a"), col("doc_b"), col("inter").as("inter"),
+        col("sz_a"), (col("inter") / col("sz_a")).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q137Oracle: String =
+    s"""WITH ${Dedup.hashedShingleCte}
+       |SELECT doc_a, doc_b, inter, sz_a, inter / sz_a AS containment FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+       |    len(a.hs) AS sz_a
+       |  FROM hs a JOIN hs b ON a.doc_id <> b.doc_id)
+       |WHERE inter * 10 >= sz_a * 9
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q109_span_dedup", q109SpanDedup, q109Oracle),
-    GraftQuery.sql("q110_prefix_join", q110PrefixJoin, q110Oracle)
+    GraftQuery.sql("q110_prefix_join", q110PrefixJoin, q110Oracle),
+    GraftQuery.sql("q137_containment_join", q137ContainmentJoin, q137Oracle)
   )
 }

@@ -288,6 +288,45 @@ object Timeline {
     GraftQuery.sql("q113_rolling_anomaly", q113Anomaly, q113Oracle),
     GraftQuery.sql("q114_forward_fill", q114ForwardFill, q114Oracle),
     GraftQuery.sql("q125_gaps_islands", q125GapsIslands, q125Oracle),
-    GraftQuery.sql("q132_trend_regression", q132TrendRegression, q132Oracle)
+    GraftQuery.sql("q132_trend_regression", q132TrendRegression, q132Oracle),
+    GraftQuery.sql("q138_decayed_revenue", q138DecayedRevenue, q138Oracle)
   )
+
+  // ---------------------------------------------------------------- q138
+
+  /** Exponentially time-decayed revenue per customer (half-life = 1 year):
+    * the recency-weighted score feature pipelines derive per entity. The
+    * decay is computed ENTIRELY in integers — cents × 2^(maxAge − age)
+    * shifts, summed exactly, one final division by the constant scale —
+    * because the naive form (price · 0.5^age summed as doubles) is a
+    * shuffle-order lottery AND double→decimal casts of long-mantissa
+    * products diverge between engines (Det notes). Broadcast scalar max
+    * year; map-only weighting; one partial+final aggregation.
+    */
+  def q138DecayedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val maxy = o.agg(max(year(col("o_orderdate"))).as("ymax"))
+    o.crossJoin(broadcast(maxy))
+      .withColumn("age", col("ymax") - year(col("o_orderdate"))) // 0..~7
+      .withColumn("w_scaled",
+        expr("shiftleft(CAST(1 AS BIGINT), 7 - CAST(age AS INT))"))
+      .withColumn("cents", floor(col("o_totalprice") * 100.0).cast("long"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents") * col("w_scaled")).as("scaled"))
+      .select(col("o_custkey"), col("n_orders"),
+        (col("scaled").cast("double") / 12800.0).as("decayed_revenue"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q138Oracle: String =
+    """WITH m AS (SELECT max(CAST(year(o_orderdate) AS INT)) AS ymax FROM orders),
+      |w AS (
+      |  SELECT o_custkey,
+      |    CAST(floor(o_totalprice * 100.0) AS BIGINT) *
+      |      (CAST(1 AS BIGINT) << (7 - (ymax - CAST(year(o_orderdate) AS INT)))) AS sw
+      |  FROM orders CROSS JOIN m)
+      |SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(CAST(sum(sw) AS BIGINT) AS DOUBLE) / 12800.0 AS decayed_revenue
+      |FROM w GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 }
