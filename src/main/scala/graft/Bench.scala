@@ -62,27 +62,37 @@ object Bench {
       sec.map(name -> _)
     }.toMap
     // The driver keeps only the last ~2000 chars of stdout; the JSON line must
-    // fit entirely inside that window or it is truncated mid-line and never
-    // parses (BENCH_r01..r03 all recorded "parsed": null for this reason).
-    // Compact: per-query keys are the qNN prefix (unambiguous — names are
-    // qNN_description) and seconds are rounded to 3 decimals.
+    // fit entirely inside that window (minus sbt's trailing "[success] …"
+    // line, ~75 chars) or it is truncated mid-line and never parses
+    // (BENCH_r01..r03 all recorded "parsed": null for this reason).
+    // Compact encoding: per-query keys are the qNN prefix (unambiguous —
+    // names are qNN_description), seconds at 2 decimals, and the map is
+    // BUDGETED: queries enter by descending cost until the line would exceed
+    // QUERIES_BUDGET chars; anything omitted is cheap (sub-threshold) and its
+    // time is still inside "value". "qtotal" is the full inventory size and
+    // "qshown" how many made the map, so a reader can tell the map is a
+    // cost-ranked prefix, not the whole set.
     def fmt(v: Double): String = f"$v%.3f"
-    // Per-query values print at 2 decimals: at 117 queries the 3-decimal
-    // form would push the JSON line past the driver's tail window.
     def fmtQ(v: Double): String = f"$v%.2f"
     def short(name: String): String = name.indexOf('_') match {
       case -1 => name
       case i  => name.substring(0, i)
     }
-    val qs = results.toSeq.sortBy(_._1)
+    val QUERIES_BUDGET = 1500 // chars for the queries map alone
+    val ranked = results.toSeq.sortBy { case (n, s) => (-s, n) }
       .map { case (k, v) => "\"" + short(k) + "\":" + fmtQ(v) }
-      .mkString("{", ",", "}")
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 2 // braces
+    ranked.foreach { e =>
+      if (used + e.length + 1 <= QUERIES_BUDGET) { kept += e; used += e.length + 1 }
+    }
+    val qs = kept.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + short(k) + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    if (line.length > 1700) // keep headroom for sbt's trailing [success] line
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qtotal":${results.size},"qshown":${kept.size},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    if (line.length > 1850) // tail window 2000 minus sbt's trailing [success] line
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may exceed driver tail window")
     println(line)
     spark.stop()

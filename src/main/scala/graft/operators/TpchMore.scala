@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.sources.Tables
@@ -458,6 +459,197 @@ object TpchMore {
        |ORDER BY n_name, o_year DESC""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q139
+  // The corpus ships no partsupp table; the part↔supplier relation (and a
+  // supply-cost surrogate, min observed unit price) is DERIVED from lineitem
+  // once per query: ps(partkey, suppkey, supplycost = min(extprice/qty)).
+  // min() over identically-computed doubles is order-independent, so the
+  // surrogate is oracle-stable without decimal detours.
+
+  /** TPC-H Q2 (min-cost supplier). Defining shape: the correlated scalar
+    * subquery "cost = (SELECT min(cost) ... same part, same region)",
+    * realized here as a window min over the part key — one shuffle by
+    * partkey instead of Q2's textbook re-join of an aggregated subquery.
+    * The part filter (size=15, STANDARD) commutes with the per-part window,
+    * so it is applied BEFORE the window shuffle (broadcast part dim prunes
+    * the derived ps early); supplier→nation→region is a broadcast chain.
+    * Top-100 via TakeOrderedAndProject with a unique (partkey, s_name)
+    * tie-break.
+    */
+  def q139TpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+    val euroSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val targetParts = Tables.part(spark, dir)
+      .where(col("p_size") === 15 && col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_name"))
+    val w = Window.partitionBy(col("ps_partkey"))
+    ps.join(broadcast(targetParts), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(euroSupp), col("ps_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost", min(col("ps_supplycost")).over(w))
+      .where(col("ps_supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("ps_supplycost").as("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val q139Oracle: String =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    min(l_extendedprice / l_quantity) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2),
+      |eps AS (
+      |  SELECT ps.*, s_name, s_acctbal, n_name, p_partkey, p_name,
+      |    min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+      |  FROM ps
+      |  JOIN part ON ps_partkey = p_partkey
+      |    AND p_size = 15 AND p_type = 'STANDARD'
+      |  JOIN supplier ON ps_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE')
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+      |  ps_supplycost AS supplycost
+      |FROM eps
+      |WHERE ps_supplycost = min_cost
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q140
+
+  /** TPC-H Q11 (important stock). Defining shape: GROUP BY ... HAVING
+    * sum > fraction × (scalar subquery recomputing the global sum).
+    * Single-pass variant: the per-part DECIMAL sums are aggregated once;
+    * the global total is the exact decimal sum OF THE GROUP SUMS (a
+    * 2000-row second aggregate, broadcast back) — no second lineitem scan,
+    * exact because decimal addition is associative. Value = extprice×(1-disc)
+    * for lineitems supplied by EUROPE-region suppliers (broadcast dim chain;
+    * Q11's single GERMANY nation is empty at sf0.001, the region is not).
+    */
+  def q140TpchQ11(spark: SparkSession, dir: String): DataFrame = {
+    val supp7 = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    val grouped = Tables.lineitem(spark, dir)
+      .join(broadcast(supp7), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("dv"))
+    val total = grouped.agg(sum(col("dv")).cast("double").as("grand"))
+    grouped.crossJoin(broadcast(total))
+      .where(col("dv").cast("double") > col("grand") * 0.001)
+      .select(col("l_partkey"), col("dv").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  val q140Oracle: String =
+    """WITH grouped AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS dv
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(dv AS DOUBLE) AS part_value
+      |FROM grouped
+      |WHERE CAST(dv AS DOUBLE) >
+      |  (SELECT CAST(sum(dv) AS DOUBLE) FROM grouped) * 0.001
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q141
+
+  /** TPC-H Q16 (supplier count by part attributes). Defining shape:
+    * count(DISTINCT suppkey) grouped by (brand, type, size) over the
+    * part↔supplier relation, minus a NOT IN supplier exclusion — planned
+    * as a broadcast left-anti join (negative account balance stands in for
+    * Q16's complaint filter). The derived pair set dedups (partkey,
+    * suppkey) in one shuffle; part attributes arrive via broadcast.
+    */
+  def q141TpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val badSupp = Tables.supplier(spark, dir)
+      .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val parts = Tables.part(spark, dir)
+      .where(col("p_brand") =!= "Brand#5" && !col("p_type").startsWith("PROMO") &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    pairs
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q141Oracle: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ---------------------------------------------------------------- q142
+
+  /** TPC-H Q20 (excess-availability suppliers). Defining shape: the nested
+    * semi-join chain supplier ⋉ (per-(supp,part) aggregate HAVING qty-in-
+    * window > 50% of total) ⋉ (name-prefix parts), then a nation filter.
+    * Availability has no corpus analogue, so the "excess" predicate is
+    * 1995 shipped quantity > half of all-years shipped quantity — same
+    * conditional-aggregate-vs-total comparison, exact via decimal sums.
+    * Prefix parts broadcast into the lineitem scan; the supplier probe is
+    * a LEFT SEMI against the distinct qualifying suppkeys.
+    */
+  def q142TpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(spark, dir)
+      .where(col("p_name").startsWith("small")).select(col("p_partkey"))
+    val qualifying = Tables.lineitem(spark, dir)
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(
+        Det.dsum(when(year(col("l_shipdate")) === 1995, col("l_quantity"))
+          .otherwise(lit(0.0))).as("q95"),
+        Det.dsum(col("l_quantity")).as("qt"))
+      .where(col("q95") > col("qt") * 0.5)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .where(col("n_name").isin("NATION_3", "NATION_8"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
+
+  val q142Oracle: String =
+    s"""WITH qualifying AS (
+       |  SELECT DISTINCT l_suppkey FROM (
+       |    SELECT l_suppkey, l_partkey,
+       |      ${Det.dsumSql("CASE WHEN year(l_shipdate) = 1995 THEN l_quantity ELSE 0.0 END")} AS q95,
+       |      ${Det.dsumSql("l_quantity")} AS qt
+       |    FROM lineitem
+       |    JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small%'
+       |    GROUP BY 1, 2)
+       |  WHERE q95 > qt * 0.5)
+       |SELECT s_name, s_acctbal, n_name
+       |FROM supplier
+       |JOIN nation ON s_nationkey = n_nationkey
+       |  AND n_name IN ('NATION_3', 'NATION_8')
+       |WHERE s_suppkey IN (SELECT l_suppkey FROM qualifying)
+       |ORDER BY s_name""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q85_tpch_q8", q85TpchQ8, q85Oracle),
     GraftQuery.sql("q86_tpch_q12", q86TpchQ12, q86Oracle),
@@ -471,6 +663,10 @@ object TpchMore {
     GraftQuery.sql("q108_tpch_q21", q108TpchQ21, q108Oracle),
     GraftQuery.sql("q123_tpch_q6", q123TpchQ6, q123Oracle),
     GraftQuery.sql("q124_tpch_q13", q124TpchQ13, q124Oracle),
-    GraftQuery.sql("q129_tpch_q9", q129TpchQ9, q129Oracle)
+    GraftQuery.sql("q129_tpch_q9", q129TpchQ9, q129Oracle),
+    GraftQuery.sql("q139_tpch_q2", q139TpchQ2, q139Oracle),
+    GraftQuery.sql("q140_tpch_q11", q140TpchQ11, q140Oracle),
+    GraftQuery.sql("q141_tpch_q16", q141TpchQ16, q141Oracle),
+    GraftQuery.sql("q142_tpch_q20", q142TpchQ20, q142Oracle)
   )
 }
