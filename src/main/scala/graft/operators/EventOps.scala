@@ -241,6 +241,81 @@ object EventOps {
        |FROM cohort JOIN active USING (user_id)
        |GROUP BY cohort_month, month_offset ORDER BY cohort_month, month_offset""".stripMargin
 
+  // ---------------------------------------------------------------- q144
+
+  /** Trailing 7-day distinct active users per day. The scalable shape is
+    * contribution-explode, NOT a per-day range join: each event emits the
+    * ≤ 7 window-end days it contributes to (a map-side `sequence`/`explode`,
+    * 7× row amplification bounded by the window length), then one
+    * distinct-aggregation by (day, user). A range join events⋈days would
+    * re-scan the event set once per day; this form scans it once total.
+    * Window-end days are restricted (semi join on the broadcast distinct-day
+    * set) to days that actually have events, so the output matches the
+    * oracle's "days" anchor exactly.
+    */
+  def q144TrailingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("eday"), col("user_id"))
+    val days = ev.select(col("eday").as("window_end")).distinct()
+    ev.select(explode(sequence(lit(0), lit(6))).as("i"), col("eday"), col("user_id"))
+      .select(date_add(col("eday"), col("i")).as("window_end"), col("user_id"))
+      .join(broadcast(days), Seq("window_end"), "left_semi")
+      .groupBy(col("window_end"))
+      .agg(countDistinct(col("user_id")).as("active_users_7d"))
+      .orderBy(col("window_end"))
+  }
+
+  val q144Oracle: String =
+    s"""WITH ev AS (SELECT CAST(ts AS DATE) AS eday, user_id FROM events),
+       |days AS (SELECT DISTINCT eday AS window_end FROM ev)
+       |SELECT window_end, count(DISTINCT user_id) AS active_users_7d
+       |FROM days JOIN ev ON ev.eday BETWEEN window_end - 6 AND window_end
+       |GROUP BY window_end ORDER BY window_end""".stripMargin
+
+  // ---------------------------------------------------------------- q145
+
+  /** Linear multi-touch attribution: each purchase's value is split equally
+    * across the same user's clicks in the 72 h up to the purchase, and the
+    * credited value rolls up by click day. One equi-join on user_id with the
+    * time-band predicate applied inside it (per-user pair counts are bounded
+    * by per-user activity; AQE skew-split handles hot users), a window count
+    * per purchase for the 1/n split (exact IEEE division), and a decimal-sum
+    * rollup. Purchases with no preceding click drop out (inner semantics).
+    */
+  def q145LinearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"),
+        col("ts").as("pts"), col("value").as("pv"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val paired = purchases.join(clicks,
+      col("pu") === col("cu") && col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 72 HOURS"))
+    val perPurchase = Window.partitionBy(col("pid"))
+    paired
+      .withColumn("n_touch", count(lit(1)).over(perPurchase))
+      .withColumn("credit", col("pv") / col("n_touch"))
+      .groupBy(to_date(col("cts")).as("click_day"))
+      .agg(count(lit(1)).as("n_credits"), Det.dsum(col("credit")).as("credited_value"))
+      .orderBy(col("click_day"))
+  }
+
+  val q145Oracle: String =
+    s"""WITH ev AS (${Det.EventsSql}),
+       |paired AS (
+       |  SELECT p.event_id AS pid, p.value AS pv, c.ts AS cts
+       |  FROM ev p JOIN ev c ON p.user_id = c.user_id
+       |    AND p.event_type = 'purchase' AND c.event_type = 'click'
+       |    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 72 HOUR),
+       |credits AS (
+       |  SELECT CAST(cts AS DATE) AS click_day,
+       |    pv / count(*) OVER (PARTITION BY pid) AS credit
+       |  FROM paired)
+       |SELECT click_day, count(*) AS n_credits,
+       |  ${Det.dsumSql("credit")} AS credited_value
+       |FROM credits GROUP BY click_day ORDER BY click_day""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q26_asof_join", q26AsofJoin, q26Oracle),
     GraftQuery.sql("q27_tumbling_window", q27TumblingWindow, q27Oracle),
@@ -249,6 +324,8 @@ object EventOps {
     GraftQuery.sql("q30_late_data_filter", q30LateDataFilter, q30Oracle),
     GraftQuery.sql("q31_windowed_dedup", q31WindowedDedup, q31Oracle),
     GraftQuery.sql("q70_event_funnel", q70EventFunnel, q70Oracle),
-    GraftQuery.sql("q72_cohort_retention", q72CohortRetention, q72Oracle)
+    GraftQuery.sql("q72_cohort_retention", q72CohortRetention, q72Oracle),
+    GraftQuery.sql("q144_trailing_distinct", q144TrailingDistinct, q144Oracle),
+    GraftQuery.sql("q145_linear_attribution", q145LinearAttribution, q145Oracle)
   )
 }
