@@ -294,6 +294,44 @@ object AdvancedSql {
   val q76Oracle: String =
     """SELECT count(*) AS n, true AS ok_p50, true AS ok_p99 FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------- q148
+
+  /** Share-of-parent (contribution) analysis: each event type's share of its
+    * day's total value. Both levels are EXACT-DECIMAL sums — the per-(day,
+    * type) aggregate keeps its decimal sum un-cast, and the day total is a
+    * window sum OVER THE DECIMAL column (decimal addition is associative, so
+    * the window's evaluation order can't change the result); the share is
+    * then one IEEE-exact division of two identically-derived doubles. The
+    * shape is one shuffle (groupBy day+type) plus a same-key window — the
+    * window re-uses the aggregation's partitioning at scale.
+    */
+  def q148ShareOfDay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val byDay = Window.partitionBy(col("day"))
+    ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("dv"))
+      .withColumn("dtot", sum(col("dv")).over(byDay))
+      .select(col("day"), col("event_type"),
+        col("dv").cast("double").as("type_value"),
+        col("dtot").cast("double").as("day_value"),
+        (col("dv").cast("double") / col("dtot").cast("double")).as("share"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val q148Oracle: String =
+    s"""WITH ev AS (${Det.EventsSql}),
+       |g AS (
+       |  SELECT CAST(ts AS DATE) AS day, event_type,
+       |    sum(CAST(value AS DECIMAL(18,4))) AS dv
+       |  FROM ev GROUP BY 1, 2),
+       |w AS (SELECT day, event_type, dv,
+       |        sum(dv) OVER (PARTITION BY day) AS dtot FROM g)
+       |SELECT day, event_type,
+       |  CAST(dv AS DOUBLE) AS type_value,
+       |  CAST(dtot AS DOUBLE) AS day_value,
+       |  CAST(dv AS DOUBLE) / CAST(dtot AS DOUBLE) AS share
+       |FROM w ORDER BY day, event_type""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q51_stats_moments", q51StatsMoments, q51Oracle),
     GraftQuery.sql("q52_percentiles", q52Percentiles, q52Oracle),
@@ -308,7 +346,8 @@ object AdvancedSql {
     GraftQuery.sql("q78_time_range_frame", q78TimeRangeFrame, q78Oracle),
     GraftQuery.sql("q79_unpivot", q79Unpivot, q79Oracle),
     GraftQuery.sql("q104_merge_upsert", q104MergeUpsert, q104Oracle),
-    GraftQuery.sql("q105_winsorized_stats", q105WinsorizedStats, q105Oracle)
+    GraftQuery.sql("q105_winsorized_stats", q105WinsorizedStats, q105Oracle),
+    GraftQuery.sql("q148_share_of_day", q148ShareOfDay, q148Oracle)
   )
 
   /** Event-time RANGE frame: per-user rolling 1-hour event count and sum —

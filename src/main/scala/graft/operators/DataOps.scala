@@ -523,6 +523,44 @@ object DataOps {
       |  n_orders * 1000 - expected_pm * n_total AS deviation_pm_scaled
       |FROM d JOIN exp USING (d) CROSS JOIN n ORDER BY d""".stripMargin
 
+  // ---------------------------------------------------------------- q147
+
+  /** Blocked edit-distance record linkage over part names: candidate pairs
+    * are generated ONLY within a blocking key (the name's noun token), then
+    * scored with Levenshtein ≤ 3 — the classic linkage shape where the
+    * block bounds the quadratic (at 100 TB the block key keeps per-block
+    * candidate sets small and the pairing is an equi-join on the block, not
+    * an all-pairs scan; a runaway block would be df-capped like q33's
+    * shingle index). Distances are integers from identical codepoint
+    * sequences — codegen'd `levenshtein` on the Spark side, byte-identical
+    * in both engines for this ASCII corpus.
+    */
+  def q147EditLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+    val a = names.select(col("noun"), col("p_name").as("name_a"), col("n_parts").as("na"))
+    val b = names.select(col("noun"), col("p_name").as("name_b"), col("n_parts").as("nb"))
+    a.join(b, Seq("noun"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .where(col("lev") <= 3)
+      .select(col("noun"), col("name_a"), col("name_b"), col("lev"),
+        col("na"), col("nb"))
+      .orderBy(col("noun"), col("name_a"), col("name_b"))
+  }
+
+  val q147Oracle: String =
+    """WITH names AS (
+      |  SELECT p_name, string_split(p_name, ' ')[2] AS noun, count(*) AS n_parts
+      |  FROM part GROUP BY 1, 2)
+      |SELECT a.noun, a.p_name AS name_a, b.p_name AS name_b,
+      |  levenshtein(a.p_name, b.p_name) AS lev,
+      |  a.n_parts AS na, b.n_parts AS nb
+      |FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY a.noun, a.p_name, b.p_name""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
@@ -533,6 +571,7 @@ object DataOps {
     GraftQuery.sql("q130_nested_history", q130NestedHistory, q130Oracle),
     GraftQuery.sql("q131_topk_per_group", q131TopkPerGroup, q131Oracle),
     GraftQuery.sql("q133_weighted_median", q133WeightedMedian, q133Oracle),
-    GraftQuery.sql("q134_benford_audit", q134BenfordAudit, q134Oracle)
+    GraftQuery.sql("q134_benford_audit", q134BenfordAudit, q134Oracle),
+    GraftQuery.sql("q147_edit_linkage", q147EditLinkage, q147Oracle)
   )
 }

@@ -383,6 +383,60 @@ object TextAnalysis {
       |  FROM (SELECT lang, doc_id, len(string_split(text, ' ')) AS toks FROM documents))
       |GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
 
+  // ---------------------------------------------------------------- q146
+
+  /** χ² term–class association: which tokens are over/under-represented in
+    * which language. Per (token, lang) the 2×2 contingency cells are pure
+    * integer counts (distinct doc-token pairs vs per-lang doc counts), and
+    * χ² = N·(o11·o22 − o12·o21)² / (df·(N−df)·n_l·(N−n_l)) is evaluated as
+    * ONE IEEE division of two exactly-computed integer products — no
+    * order-dependent float summation anywhere, so the ranking is
+    * bit-reproducible. Common tokens only (df ≥ N/20, integer test), top 50.
+    * All factors fit int64 through sf≈1 (N·(N²/4)² needs N ≲ 2.6·10⁴); a
+    * 100 TB corpus would upcast the two products to decimal(38,0) before
+    * the final division — same one-division determinism argument.
+    */
+  def q146Chi2Terms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dt = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val dl = docs.select(col("doc_id"), col("lang"))
+    val nn = docs.count()
+    val tl = dt.join(dl, "doc_id").groupBy(col("token"), col("lang"))
+      .agg(count(lit(1)).as("o11"))
+    val tt = dt.groupBy(col("token")).agg(count(lit(1)).as("df_t"))
+    val ll = dl.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val det = col("o11") * (lit(nn) - col("df_t") - col("n_l") + col("o11")) -
+      (col("df_t") - col("o11")) * (col("n_l") - col("o11"))
+    tl.join(tt, "token").join(broadcast(ll), "lang")
+      .where(col("df_t") * 20 >= nn)
+      .withColumn("chi2",
+        (lit(nn) * det * det).cast("double") /
+          (col("df_t") * (lit(nn) - col("df_t")) * col("n_l") * (lit(nn) - col("n_l")))
+            .cast("double"))
+      .select(col("token"), col("lang"), col("o11"), col("df_t"), col("n_l"), col("chi2"))
+      .orderBy(col("chi2").desc, col("token"), col("lang"))
+      .limit(50)
+  }
+
+  val q146Oracle: String =
+    """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |           FROM documents),
+      |dl AS (SELECT doc_id, lang FROM documents),
+      |n AS (SELECT count(*) AS nn FROM documents),
+      |tl AS (SELECT token, lang, count(*) AS o11 FROM dt JOIN dl USING (doc_id)
+      |       GROUP BY 1, 2),
+      |tt AS (SELECT token, count(*) AS df_t FROM dt GROUP BY 1),
+      |ll AS (SELECT lang, count(*) AS n_l FROM dl GROUP BY 1)
+      |SELECT token, lang, o11, df_t, n_l,
+      |  CAST(nn * (o11*(nn-df_t-n_l+o11) - (df_t-o11)*(n_l-o11))
+      |          * (o11*(nn-df_t-n_l+o11) - (df_t-o11)*(n_l-o11)) AS DOUBLE)
+      |  / CAST(df_t*(nn-df_t)*n_l*(nn-n_l) AS DOUBLE) AS chi2
+      |FROM tl JOIN tt USING (token) JOIN ll USING (lang), n
+      |WHERE df_t * 20 >= nn
+      |ORDER BY chi2 DESC, token, lang
+      |LIMIT 50""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q37_lang_markers", q37LangMarkers, q37Oracle),
     GraftQuery.sql("q38_quality_score", q38QualityScore, q38Oracle),
@@ -394,6 +448,7 @@ object TextAnalysis {
     GraftQuery.sql("q71_tfidf_topk", q71TfidfTopk, q71Oracle),
     GraftQuery.sql("q93_repetition_stats", q93RepetitionStats, q93Oracle),
     GraftQuery.sql("q94_corpus_split", q94CorpusSplit, q94Oracle),
-    GraftQuery.sql("q96_shard_packing", q96ShardPacking, q96Oracle)
+    GraftQuery.sql("q96_shard_packing", q96ShardPacking, q96Oracle),
+    GraftQuery.sql("q146_chi2_terms", q146Chi2Terms, q146Oracle)
   )
 }
