@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** True Structured Streaming forms of the event-time operators (the batch
@@ -258,6 +259,52 @@ object StreamingOps {
           state.update(best)
           LatestState(userId, etype, new Timestamp(best._1), best._3)
       }
+  }
+
+  /** One running-total row emitted by [[spendTracker]]. */
+  final case class SpendUpdate(
+      user_id: Long,
+      n_events: Long,
+      total_value: Double,
+      big_spender: Boolean)
+
+  /** Per-user running spend on the transformWithState API (Spark 4's
+    * arbitrary-state operator, the successor to mapGroupsWithState): state
+    * is a typed [[ValueState]] living in the RocksDB state store, updated
+    * per micro-batch and emitted in Update mode. Demonstrates the
+    * state-variable handle lifecycle (`init` → `getHandle.getValueState`)
+    * the older GroupState API lacks; TTL is NONE here because the tracker
+    * is cumulative by design — a production deployment bounding state by
+    * recency would pass `TTLConfig(Duration.ofDays(30))` instead.
+    */
+  class SpendTracker(threshold: Double)
+      extends StatefulProcessor[Long, Event, SpendUpdate] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState(
+        "totals", Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SpendUpdate] = {
+      var (n, v) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; v += e.value }
+      totals.update((n, v))
+      Iterator.single(SpendUpdate(user, n, v, v >= threshold))
+    }
+  }
+
+  /** transformWithState pipeline: requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  def spendTracker(events: Dataset[Event], threshold: Double): Dataset[SpendUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SpendTracker(threshold),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Session gap. */

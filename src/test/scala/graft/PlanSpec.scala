@@ -190,6 +190,64 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q139 tpch-q2: dims broadcast; min-cost via ONE window, no re-join of an aggregate") {
+    val p = plan("q139_tpch_q2")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q140 tpch-q11: global total reuses the group-sum exchange (single fact scan at runtime)") {
+    val df = SparkEntry.queries("q140_tpch_q11")(spark, sfDir)
+    df.collect() // execute THIS plan so AQE finalizes it; reuse is a runtime decision
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedSubquery") ||
+      "FileScan parquet \\[l_partkey".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q141 tpch-q16: supplier exclusion is a broadcast anti join") {
+    val p = plan("q141_tpch_q16")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q142 tpch-q20: supplier probe is a semi join, part prefix broadcasts") {
+    val p = plan("q142_tpch_q20")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q144 trailing distinct: contribution-explode (Generate) + broadcast semi day filter, no range join") {
+    val p = plan("q144_trailing_distinct")
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q145 attribution: one equi join on user, credits split via window (no per-purchase subquery)") {
+    val p = plan("q145_linear_attribution")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q146 chi2: lang marginals broadcast; token marginals shuffle on the token key") {
+    val p = plan("q146_chi2_terms")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q147 linkage: candidate pairs form an equi join on the block key, never all-pairs") {
+    val p = plan("q147_edit_linkage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.toLowerCase.contains("levenshtein"), p)
+  }
+
+  test("q148 share-of-parent: heavy shuffle keys on (day,type); window runs on aggregated rows only") {
+    val p = plan("q148_share_of_day")
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_sum"), p) // map-side combine before the one heavy exchange
+  }
+
   test("NO query in the entire inventory plans a CartesianProduct") {
     // The blanket 100 TB safety net: a cartesian product anywhere is a bug.
     // (Deliberate small-side broadcasts plan as BroadcastNestedLoopJoin.)

@@ -222,6 +222,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("spendTracker accumulates per-user state across batches via transformWithState (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.spendTracker(mem.toDS(), threshold = 100.0)
+      .writeStream.format("memory").queryName("spend").outputMode("update").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 00:01:00"), 1, "purchase", 60.0),
+        Event(2, ts("2024-01-01 00:02:00"), 2, "purchase", 10.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts("2024-01-01 00:05:00"), 1, "purchase", 50.0))
+      q.processAllAvailable()
+      val rows = spark.table("spend").as[StreamingOps.SpendUpdate].collect()
+      val u1 = rows.filter(_.user_id == 1L).maxBy(_.n_events)
+      assert(u1.n_events === 2 && u1.total_value === 110.0 && u1.big_spender,
+        rows.mkString("; "))
+      val u1First = rows.filter(_.user_id == 1L).minBy(_.n_events)
+      assert(!u1First.big_spender, "threshold must not trip at 60.0")
+      val u2 = rows.filter(_.user_id == 2L).maxBy(_.n_events)
+      assert(u2.n_events === 1 && u2.total_value === 10.0 && !u2.big_spender)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("foreachBatch upserts each micro-batch into a parquet serving table") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_serve").toString
