@@ -561,6 +561,46 @@ object DataOps {
       |WHERE levenshtein(a.p_name, b.p_name) <= 3
       |ORDER BY a.noun, a.p_name, b.p_name""".stripMargin
 
+  // ---------------------------------------------------------------- q150
+
+  /** Key-skew audit with an exact integer Gini coefficient — the diagnostic
+    * that decides whether a join/agg key needs salting (q73) or AQE skew
+    * splitting before a 100 TB run. Per-key counts are one distributed
+    * aggregation; the Gini then runs on the AGGREGATED key histogram
+    * (|keys| ≪ |rows|), where the sorted-rank identity
+    *   G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)
+    * is evaluated entirely in 64-bit integers (deterministic rank order:
+    * count then key) and finished with ONE IEEE division. The global
+    * row_number window is single-partition by design — it sees only the
+    * per-key histogram, never the fact rows; a key space too large for one
+    * partition would bin counts first (q66's histogram shape).
+    */
+  def q150SkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("i",
+      row_number().over(Window.orderBy(col("c"), col("l_partkey"))))
+    ranked.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("c")).as("total_rows"),
+      max(col("c")).as("max_count"),
+      sum(col("i") * col("c")).as("ic"))
+      .select(col("n_keys"), col("total_rows"), col("max_count"),
+        ((lit(2) * col("ic") - (col("n_keys") + 1) * col("total_rows")).cast("double") /
+          (col("n_keys") * col("total_rows")).cast("double")).as("gini"))
+  }
+
+  val q150Oracle: String =
+    """WITH counts AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
+      |ranked AS (SELECT l_partkey, c,
+      |             row_number() OVER (ORDER BY c, l_partkey) AS i FROM counts),
+      |s AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS total_rows,
+      |        max(c) AS max_count, CAST(sum(i * c) AS BIGINT) AS ic FROM ranked)
+      |SELECT n_keys, total_rows, max_count,
+      |  CAST(2 * ic - (n_keys + 1) * total_rows AS DOUBLE) /
+      |  CAST(n_keys * total_rows AS DOUBLE) AS gini
+      |FROM s""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
@@ -572,6 +612,7 @@ object DataOps {
     GraftQuery.sql("q131_topk_per_group", q131TopkPerGroup, q131Oracle),
     GraftQuery.sql("q133_weighted_median", q133WeightedMedian, q133Oracle),
     GraftQuery.sql("q134_benford_audit", q134BenfordAudit, q134Oracle),
-    GraftQuery.sql("q147_edit_linkage", q147EditLinkage, q147Oracle)
+    GraftQuery.sql("q147_edit_linkage", q147EditLinkage, q147Oracle),
+    GraftQuery.sql("q150_skew_audit", q150SkewAudit, q150Oracle)
   )
 }

@@ -185,9 +185,68 @@ object VecMore {
       |FROM stats LEFT JOIN outliers USING (pos)
       |ORDER BY pos""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+
+  /** Fixed-point covariance matrix over the embedding dimensions — the
+    * Gram-style second-moment pass PCA/whitening pipelines start from.
+    * Coordinates quantize to integers (floor(x·10⁶) after exact
+    * float→double widening) so every sum is 64-bit-exact and
+    * order-independent; the covariance then comes out of integer sums with
+    * four IEEE-exact double operations per (i,j) cell.
+    *
+    * Scale shape: pair generation is MAP-ONLY — a nested `transform` over
+    * the quantized array emits only the upper triangle (j > i) per row, so
+    * there is no self-join and no shuffle until the partial aggregation,
+    * which collapses everything to d(d−1)/2 = 2016 cells before the one
+    * tiny exchange. At 100 TB the per-term products (≤ 10¹⁴ here) would
+    * upcast to decimal(38,0) — same one-division determinism argument.
+    */
+  def q149CovarianceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.embeddings(spark, dir)
+      .select(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("qarr"))
+      .select(explode(expr(
+        """flatten(transform(qarr, (x, i) ->
+          |  transform(slice(qarr, i + 2, 64), (y, k) ->
+          |    named_struct('di', i, 'dj', i + 1 + k,
+          |                 'xy', x * y, 'qx', x, 'qy', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.di").as("di"), col("p.dj").as("dj"),
+        col("p.xy").as("xy"), col("p.qx").as("qx"), col("p.qy").as("qy"))
+    pairs.groupBy(col("di"), col("dj"))
+      .agg(sum(col("xy")).as("sxy"), sum(col("qx")).as("sx"),
+        sum(col("qy")).as("sy"), count(lit(1)).as("n"))
+      .select(col("di"), col("dj"), col("sxy"), col("n"),
+        ((col("sxy").cast("double") / col("n") -
+          (col("sx").cast("double") / col("n")) * (col("sy").cast("double") / col("n")))
+          / 1000000000000.0).as("cov"))
+      .orderBy(abs(col("cov")).desc, col("di"), col("dj"))
+      .limit(50)
+  }
+
+  val q149Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, i,
+      |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS qx
+      |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) dims),
+      |p AS (
+      |  SELECT a.i AS di, b.i AS dj, CAST(sum(a.qx * b.qx) AS BIGINT) AS sxy,
+      |    CAST(sum(a.qx) AS BIGINT) AS sx, CAST(sum(b.qx) AS BIGINT) AS sy,
+      |    count(*) AS n
+      |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i < b.i
+      |  GROUP BY 1, 2)
+      |SELECT di, dj, sxy, n,
+      |  (CAST(sxy AS DOUBLE) / n -
+      |   (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) / 1000000000000.0 AS cov
+      |FROM p
+      |ORDER BY abs(cov) DESC, di, dj
+      |LIMIT 50""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q115_kmeans_step", q115KmeansStep, q115Oracle),
     GraftQuery.sql("q116_cooccurrence", q116Cooccurrence, q116Oracle),
-    GraftQuery.sql("q128_dim_standardize", q128DimStandardize, q128Oracle)
+    GraftQuery.sql("q128_dim_standardize", q128DimStandardize, q128Oracle),
+    GraftQuery.sql("q149_covariance_matrix", q149CovarianceMatrix, q149Oracle)
   )
 }
