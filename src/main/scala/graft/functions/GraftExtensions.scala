@@ -37,5 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => TokenCount(args.head)))
     // Engine rewrite: size(split(s, ' ')) → token_count(s) (see RewriteTokenCount)
     ext.injectOptimizerRule(_ => RewriteTokenCount)
+    // Whole-operator extension: per-key top-k via bounded heaps (no sort) —
+    // logical node graft.plans.TopKPerKeyPlan planned to TopKPerKeyExec.
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -35,19 +35,28 @@ object GraphRank {
   def q143FixedPointPagerank(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    // localCheckpoint: the derived edge set feeds deg + every iteration +
+    // the node count — materialize the distinct once instead of re-running
+    // the lineitem scan/shuffle per consumer (bench hygiene reclaims it).
     val edges = pairs.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
       .union(pairs.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
     val n = deg.count() // node count: every node has out-edges (bipartite symmetric)
     val base = 3L * (SCALE / n) / 20L
     var ranks = deg.select(col("src").as("node"), lit(SCALE / n).as("r"))
     for (_ <- 1 to 3) {
       // rename before joining: edges/deg/ranks share lineage, and explicit
-      // names sidestep ambiguous-self-join resolution in the loop
-      val contrib = ranks.join(deg.select(col("src").as("cnode"), col("deg")),
+      // names sidestep ambiguous-self-join resolution in the loop.
+      // broadcast hints: the rank/degree tables are O(nodes) — tiny next to
+      // the edge set here, so each iteration is one map-side join plus one
+      // aggregation shuffle. (A web-scale graph where ranks don't fit a
+      // broadcast would drop the hints and co-partition edges and ranks on
+      // the node key instead — same plan minus the broadcast.)
+      val contrib = ranks.join(broadcast(deg.select(col("src").as("cnode"), col("deg"))),
           col("node") === col("cnode"))
         .select(col("cnode"), expr("r div deg").as("c"))
-      ranks = edges.join(contrib, col("src") === col("cnode"))
+      ranks = edges.join(broadcast(contrib), col("src") === col("cnode"))
         .groupBy(col("dst"))
         .agg(expr(s"$base + (17 * sum(c)) div 20").as("r"))
         .select(col("dst").as("node"), col("r"))

@@ -326,6 +326,38 @@ object RelationalCore {
       |  count(*) FILTER (o_orderpriority = '5-LOW') AS cnt_low
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q151
+
+  /** Per-key top-k through the custom whole-operator extension
+    * ([[graft.plans.TopKPerKey]]): the 3 highest-price lineitems per
+    * returnflag, executed by `TopKPerKeyExec`'s bounded per-key heaps —
+    * one pass, O(n log k), no sort of any group — instead of the
+    * window-rank plan (full per-group sort) the same query would otherwise
+    * produce. The DuckDB oracle IS the window-rank formulation, so the
+    * hash-match doubles as an equivalence proof between the custom
+    * operator and the relational definition. Tiebreaks (orderkey,
+    * linenumber) make the order total, so top-3 is unique.
+    */
+  def q151TopkOperator(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    graft.plans.TopKPerKey.topK(li, Seq("l_returnflag"), "l_extendedprice",
+        desc = true, tiebreaks = Seq("l_orderkey", "l_linenumber"), k = 3)
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+        col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q151Oracle: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+      |FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 3
+      |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q01_pricing_summary", q01PricingSummary, q01Oracle),
     GraftQuery.sql("q02_filter_pushdown", q02FilterPushdown, q02Oracle),
@@ -341,6 +373,7 @@ object RelationalCore {
     GraftQuery.sql("q12_cube", q12Cube, q12Oracle),
     GraftQuery.sql("q13_grouping_sets", q13GroupingSets, q13Oracle),
     GraftQuery.sql("q14_topk", q14TopK, q14Oracle),
-    GraftQuery.sql("q49_pivot", q49Pivot, q49Oracle)
+    GraftQuery.sql("q49_pivot", q49Pivot, q49Oracle),
+    GraftQuery.sql("q151_topk_operator", q151TopkOperator, q151Oracle)
   )
 }
