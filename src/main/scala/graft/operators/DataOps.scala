@@ -601,6 +601,60 @@ object DataOps {
       |  CAST(n_keys * total_rows AS DOUBLE) AS gini
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- q152
+
+  /** Robust outlier audit via median/MAD — the heavy-tail-safe alternative
+    * to the z-score screen (q128), which a single extreme value can blind.
+    * Everything is integer: values quantize to cents, both medians are
+    * DISCRETE lower medians picked by rank ((n+1) div 2-th smallest, total
+    * order via the event-id tiebreak), deviations are integer |x − med|,
+    * and the flag is the pure-integer test dev > 3·MAD — no float
+    * boundary anywhere. Two ranked passes (value, then deviation), each a
+    * per-group window over the group's own rows; medians broadcast back.
+    */
+  def q152MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(spark, dir).select(col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"), col("event_id").as("k"))
+    val byType = Window.partitionBy(col("event_type"))
+    val r1 = b
+      .withColumn("rn", row_number().over(byType.orderBy(col("cents"), col("k"))))
+      .withColumn("n", count(lit(1)).over(byType))
+    val med = r1.where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("cents").as("med_cents"), col("n"))
+    val d = b.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val r2 = d.withColumn("rn", row_number().over(byType.orderBy(col("dev"), col("k"))))
+    val mad = r2.where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("dev").as("mad_cents"))
+    d.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("n"), col("med_cents"), col("mad_cents"))
+      .agg(sum(when(col("dev") > lit(3) * col("mad_cents"), 1L).otherwise(0L))
+        .as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med_cents"), col("mad_cents"),
+        col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val q152Oracle: String =
+    """WITH b AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+      |    event_id AS k
+      |  FROM events),
+      |r1 AS (SELECT event_type, cents,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY cents, k) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n FROM b),
+      |med AS (SELECT event_type, cents AS med_cents, n FROM r1 WHERE rn = (n + 1) // 2),
+      |d AS (SELECT b.event_type, abs(b.cents - med_cents) AS dev, b.k,
+      |        med_cents, n FROM b JOIN med USING (event_type)),
+      |r2 AS (SELECT event_type, dev, med_cents, n,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY dev, k) AS rn FROM d),
+      |mad AS (SELECT event_type, dev AS mad_cents FROM r2 WHERE rn = (n + 1) // 2)
+      |SELECT d.event_type, n, med_cents, mad_cents,
+      |  CAST(sum(CASE WHEN dev > 3 * mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN mad USING (event_type)
+      |GROUP BY d.event_type, n, med_cents, mad_cents
+      |ORDER BY d.event_type""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
@@ -613,6 +667,7 @@ object DataOps {
     GraftQuery.sql("q133_weighted_median", q133WeightedMedian, q133Oracle),
     GraftQuery.sql("q134_benford_audit", q134BenfordAudit, q134Oracle),
     GraftQuery.sql("q147_edit_linkage", q147EditLinkage, q147Oracle),
-    GraftQuery.sql("q150_skew_audit", q150SkewAudit, q150Oracle)
+    GraftQuery.sql("q150_skew_audit", q150SkewAudit, q150Oracle),
+    GraftQuery.sql("q152_mad_outliers", q152MadOutliers, q152Oracle)
   )
 }

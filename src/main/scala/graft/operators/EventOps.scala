@@ -316,6 +316,92 @@ object EventOps {
        |  ${Det.dsumSql("credit")} AS credited_value
        |FROM credits GROUP BY click_day ORDER BY click_day""".stripMargin
 
+  // ---------------------------------------------------------------- q153
+
+  /** Time-to-convert: nearest-rank (discrete) p50/p90 of the click→purchase
+    * delay, per purchase day-of-week. The preceding click comes from the
+    * SAME linear window trick as q26 (no click×purchase join); delays are
+    * integer seconds (µs difference, integer division), and the percentiles
+    * are rank-picked integers — no interpolation, no float quantile
+    * boundary. Ranking runs per day-of-week on the PURCHASE-delay set only
+    * (purchases ≪ events); a corpus where even that is too large for a
+    * group's window would bin delays first (q66's histogram shape).
+    * Day-of-week convention: 0 = Sunday in both engines (Spark
+    * dayofweek()−1 ≡ DuckDB dayofweek()).
+    */
+  def q153TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val delays = ev
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase" && col("click_ts").isNotNull &&
+        col("ts") <= col("click_ts") + expr("INTERVAL 72 HOURS"))
+      .select((dayofweek(col("ts")) - 1).as("dow"),
+        expr("(unix_micros(ts) - unix_micros(click_ts)) div 1000000").as("delay_sec"),
+        col("event_id").as("k"))
+    val byDow = Window.partitionBy(col("dow"))
+    delays
+      .withColumn("rn", row_number().over(byDow.orderBy(col("delay_sec"), col("k"))))
+      .withColumn("n", count(lit(1)).over(byDow))
+      .groupBy(col("dow"), col("n"))
+      .agg(
+        max(when(col("rn") === expr("(n + 1) div 2"), col("delay_sec"))).as("p50_sec"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("delay_sec"))).as("p90_sec"))
+      .orderBy(col("dow"))
+  }
+
+  val q153Oracle: String =
+    s"""WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+       |           FROM events WHERE event_type IN ('click', 'purchase')),
+       |w AS (SELECT *, last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+       |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |              ROWS UNBOUNDED PRECEDING) AS click_ts FROM ev),
+       |delays AS (
+       |  SELECT dayofweek(ts) AS dow,
+       |    (epoch_us(ts) - epoch_us(click_ts)) // 1000000 AS delay_sec,
+       |    event_id AS k
+       |  FROM w WHERE event_type = 'purchase' AND click_ts IS NOT NULL
+       |    AND ts <= click_ts + INTERVAL 72 HOUR),
+       |r AS (SELECT dow, delay_sec,
+       |        row_number() OVER (PARTITION BY dow ORDER BY delay_sec, k) AS rn,
+       |        count(*) OVER (PARTITION BY dow) AS n FROM delays)
+       |SELECT dow, n,
+       |  max(CASE WHEN rn = (n + 1) // 2 THEN delay_sec END) AS p50_sec,
+       |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN delay_sec END) AS p90_sec
+       |FROM r GROUP BY dow, n ORDER BY dow""".stripMargin
+
+  // ---------------------------------------------------------------- q154
+
+  /** Activity-presence bitmask features: one 64-bit mask per user encoding
+    * which (day-of-week × event-type) slots the user was ever active in —
+    * 35 slots, bit_or-aggregated (commutative, order-independent), plus the
+    * popcount as a breadth feature. The compact bitmap-feature encoding a
+    * training pipeline ships to a feature store: one integer column instead
+    * of 35 booleans, mergeable across shards by OR.
+    */
+  def q154PresenceBitmask(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("slot",
+        (dayofweek(col("ts")) - 1) * 5 + expr(
+          """CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+            |WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END""".stripMargin))
+      .groupBy(col("user_id"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(slot AS INT))")).as("mask"))
+      .select(col("user_id"), col("mask"), bit_count(col("mask")).as("n_slots"))
+      .orderBy(col("user_id"))
+
+  val q154Oracle: String =
+    """SELECT user_id, mask, bit_count(mask) AS n_slots FROM (
+      |  SELECT user_id,
+      |    bit_or(CAST(1 AS BIGINT) << (dayofweek(CAST(ts AS TIMESTAMP)) * 5 +
+      |      CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+      |        WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END)) AS mask
+      |  FROM events GROUP BY user_id)
+      |ORDER BY user_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q26_asof_join", q26AsofJoin, q26Oracle),
     GraftQuery.sql("q27_tumbling_window", q27TumblingWindow, q27Oracle),
@@ -326,6 +412,8 @@ object EventOps {
     GraftQuery.sql("q70_event_funnel", q70EventFunnel, q70Oracle),
     GraftQuery.sql("q72_cohort_retention", q72CohortRetention, q72Oracle),
     GraftQuery.sql("q144_trailing_distinct", q144TrailingDistinct, q144Oracle),
-    GraftQuery.sql("q145_linear_attribution", q145LinearAttribution, q145Oracle)
+    GraftQuery.sql("q145_linear_attribution", q145LinearAttribution, q145Oracle),
+    GraftQuery.sql("q153_time_to_convert", q153TimeToConvert, q153Oracle),
+    GraftQuery.sql("q154_presence_bitmask", q154PresenceBitmask, q154Oracle)
   )
 }
