@@ -437,6 +437,65 @@ object TextAnalysis {
       |ORDER BY chi2 DESC, token, lang
       |LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q155
+
+  /** Count-Min sketch (depth 4 × width 512) over the token stream, with the
+    * estimate audited against exact counts for the 20 most frequent tokens.
+    * The sketch build is ONE aggregation to 2048 integer cells (map-side
+    * combine collapses the 4× row amplification before the shuffle), and
+    * the point-query side joins 80 probe rows against the broadcast cell
+    * table — the mergeable, fixed-memory frequency structure a 100 TB
+    * pipeline keeps per shard and ORs together, where an exact per-token
+    * count would be a full shuffle of the token space. Hash rows use the
+    * corpus-wide md5-fold convention (first 8 hex chars as an integer —
+    * identical in both engines), so every cell, estimate, and the
+    * CMS ≥ exact overestimate guarantee is bit-reproducible.
+    */
+  def q155CountminEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val cells = toks
+      .select(col("tok"), explode(sequence(lit(0), lit(3))).as("r"))
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(concat(tok, '#', r)), 1, 8), 16, 10) AS BIGINT) % 512"))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    val probes = exact
+      .select(col("tok"), col("exact_cnt"), explode(sequence(lit(0), lit(3))).as("r"))
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(concat(tok, '#', r)), 1, 8), 16, 10) AS BIGINT) % 512"))
+    probes.join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("tok"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overestimate"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  val q155Oracle: String =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |rows_ AS (
+      |  SELECT tok, r,
+      |    list_reduce([strpos('0123456789abcdef',
+      |                        substr(md5(tok || '#' || r), i, 1)) - 1
+      |                 for i in range(1, 9)], (a, b) -> a * 16 + b) % 512 AS bucket
+      |  FROM toks, (SELECT unnest(range(0, 4)) AS r) rs),
+      |cells AS (SELECT r, bucket, count(*) AS cnt FROM rows_ GROUP BY 1, 2),
+      |exact AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY 1
+      |          ORDER BY exact_cnt DESC, tok LIMIT 20),
+      |probes AS (
+      |  SELECT tok, exact_cnt, r,
+      |    list_reduce([strpos('0123456789abcdef',
+      |                        substr(md5(tok || '#' || r), i, 1)) - 1
+      |                 for i in range(1, 9)], (a, b) -> a * 16 + b) % 512 AS bucket
+      |  FROM exact, (SELECT unnest(range(0, 4)) AS r) rs)
+      |SELECT tok, exact_cnt, CAST(min(cnt) AS BIGINT) AS cms_est,
+      |  CAST(min(cnt) - exact_cnt AS BIGINT) AS overestimate
+      |FROM probes JOIN cells USING (r, bucket)
+      |GROUP BY tok, exact_cnt
+      |ORDER BY exact_cnt DESC, tok""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q37_lang_markers", q37LangMarkers, q37Oracle),
     GraftQuery.sql("q38_quality_score", q38QualityScore, q38Oracle),
@@ -449,6 +508,7 @@ object TextAnalysis {
     GraftQuery.sql("q93_repetition_stats", q93RepetitionStats, q93Oracle),
     GraftQuery.sql("q94_corpus_split", q94CorpusSplit, q94Oracle),
     GraftQuery.sql("q96_shard_packing", q96ShardPacking, q96Oracle),
-    GraftQuery.sql("q146_chi2_terms", q146Chi2Terms, q146Oracle)
+    GraftQuery.sql("q146_chi2_terms", q146Chi2Terms, q146Oracle),
+    GraftQuery.sql("q155_countmin_estimate", q155CountminEstimate, q155Oracle)
   )
 }

@@ -327,4 +327,32 @@ class FsParitySpec extends SparkSpec {
       }
     } finally fs.delete(new Path(dir), true)
   }
+
+  test("mergeSchema unifies evolved parquet schemas; old files read the new column as null") {
+    // Schema evolution is a data-lake contract the FileSystem reference
+    // delegates to the format layer: files written before a column existed
+    // must stay readable after it is added. Spark's parquet mergeSchema
+    // resolves the union schema across footers.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+        .write.parquet(s"$dir/v1")
+      Seq((3L, "c", 9.5), (4L, "d", 7.25)).toDF("id", "name", "score")
+        .write.parquet(s"$dir/v2")
+      val unified = spark.read.option("mergeSchema", "true")
+        .parquet(s"$dir/v1", s"$dir/v2")
+      assert(unified.columns.sorted.toSeq === Seq("id", "name", "score"))
+      val rows = unified.orderBy("id").collect()
+      assert(rows.length === 4)
+      assert(rows.take(2).forall(_.isNullAt(unified.columns.indexOf("score"))),
+        "pre-evolution files must surface the new column as null")
+      assert(rows(2).getDouble(unified.columns.indexOf("score")) === 9.5)
+      // without mergeSchema one footer's schema wins, but the read still
+      // succeeds over both file sets — no poisoned-directory failure mode
+      assert(spark.read.parquet(s"$dir/v1", s"$dir/v2").count() === 4)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
