@@ -449,6 +449,61 @@ object Dedup {
        |FROM base JOIN keptstats USING (lang)
        |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q157
+
+  /** Cluster-representative selection: for every near-dup cluster, keep the
+    * highest-quality member (longest document; doc_id tiebreak) instead of
+    * q97's min-id convention — the curation policy real pipelines use.
+    * Composes the shared CC labels with the CUSTOM WHOLE-OPERATOR extension
+    * ([[graft.plans.TopKPerKey]], k=1): per-cluster best is one bounded-heap
+    * pass, no per-cluster sort, no window. The DuckDB oracle re-derives the
+    * same choice relationally (recursive-CTE components + window rank), so
+    * the hash-match is another equivalence proof for the custom exec.
+    */
+  def q157ClusterRep(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusterLabels(spark, dir)
+    val members = labels.join(
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      col("id") === col("doc_id"))
+      .select(col("comp"), col("id"), col("n_chars"))
+    val sizes = members.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
+    graft.plans.TopKPerKey.topK(members, Seq("comp"), "n_chars",
+        desc = true, tiebreaks = Seq("id"), k = 1)
+      .join(broadcast(sizes), "comp")
+      .select(col("comp").as("cluster_id"), col("id").as("rep_id"),
+        col("n_chars").as("rep_n_chars"), col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val q157Oracle: String =
+    s"""WITH RECURSIVE $hashedShingleCte,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      len(list_intersect(a.hs, b.hs)) /
+       |        (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+       |    FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |comps AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id),
+       |members AS (
+       |  SELECT cluster_id, id, n_chars
+       |  FROM comps JOIN documents ON id = doc_id),
+       |ranked AS (
+       |  SELECT cluster_id, id, n_chars,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |                       ORDER BY n_chars DESC, id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |  FROM members)
+       |SELECT cluster_id, id AS rep_id, n_chars AS rep_n_chars, n_members
+       |FROM ranked WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — the skew-bounded alternative to q77's min-label pointer
@@ -570,6 +625,7 @@ object Dedup {
     GraftQuery.sql("q92_simhash_bands", q92SimhashBands, q92Oracle),
     GraftQuery.sql("q97_dedup_apply", q97DedupApply, q97Oracle),
     GraftQuery.sql("q118_triangle_count", q118TriangleCount, q118Oracle),
-    GraftQuery.sql("q136_star_components", q136StarComponents, q77Oracle)
+    GraftQuery.sql("q136_star_components", q136StarComponents, q77Oracle),
+    GraftQuery.sql("q157_cluster_rep", q157ClusterRep, q157Oracle)
   )
 }
