@@ -1,0 +1,110 @@
+package graft.sources.v2
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 batch connector: a deterministic synthetic sequence table.
+  *
+  * The reference project is itself a storage connector (a Hadoop FileSystem
+  * over RGW); this is the same role expressed through Spark's MODERN source
+  * API instead of the FileSystem SPI: `TableProvider` → `Table` →
+  * `ScanBuilder` → `Batch` with explicit split planning
+  * (`planInputPartitions` — the analogue of the reference's virtual-block
+  * `getSplits` sizing) and column pruning pushed into the reader
+  * (`SupportsPushDownRequiredColumns` — only requested columns are ever
+  * materialized, the DSv2 equivalent of ReadSchema pruning).
+  *
+  * Schema: id BIGINT, bucket INT (= id mod 32), v BIGINT (splitmix64(id),
+  * the corpus-standard deterministic hash family — VectorExprs uses the
+  * same finalizer). Options: rows (default 1000), parts (default 4).
+  * Usage: `spark.read.format("graft.sources.v2.SeqSource").option("rows", n)`.
+  */
+class SeqSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = SeqSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new SeqTable(opts.getLong("rows", 1000L), opts.getInt("parts", 4))
+  }
+}
+
+object SeqSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+
+  /** splitmix64 finalizer — deterministic, engine-independent. */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+class SeqTable(rows: Long, parts: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_seq(rows=$rows, parts=$parts)"
+  override def schema(): StructType = SeqSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SeqScanBuilder(rows, parts)
+}
+
+class SeqScanBuilder(rows: Long, parts: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SeqSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new SeqScan(rows, parts, required)
+}
+
+class SeqScan(rows: Long, parts: Int, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    // even ranges, remainder spread over the first partitions — the split
+    // planning the FileSystem reference does with its virtual block size
+    val base = rows / parts
+    val extra = rows % parts
+    var start = 0L
+    (0 until parts).map { i =>
+      val len = base + (if (i < extra) 1 else 0)
+      val p = SeqPartition(start, start + len)
+      start += len
+      p
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required.fieldNames)
+}
+
+case class SeqPartition(start: Long, end: Long) extends InputPartition
+
+class SeqReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SeqPartition]
+    new PartitionReader[InternalRow] {
+      private var cur = p.start - 1
+      override def next(): Boolean = { cur += 1; cur < p.end }
+      override def get(): InternalRow = {
+        val values = fields.map {
+          case "id"     => java.lang.Long.valueOf(cur)
+          case "bucket" => java.lang.Integer.valueOf((cur % 32).toInt)
+          case "v"      => java.lang.Long.valueOf(SeqSource.mix(cur))
+        }
+        new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
