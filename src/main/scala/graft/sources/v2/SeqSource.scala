@@ -6,7 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
-  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual,
+  LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -62,24 +65,62 @@ class SeqTable(rows: Long, parts: Int) extends Table with SupportsRead {
 }
 
 class SeqScanBuilder(rows: Long, parts: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = SeqSource.schema
+  private var lo = 0L
+  private var hi = rows
+  private var accepted = Array.empty[Filter]
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new SeqScan(rows, parts, required)
+
+  /** Range predicates on id CLIP THE PLANNED SPLITS — partitions whose id
+    * range falls outside [lo, hi) are never created, the DSv2 analogue of
+    * the reference skipping whole virtual blocks. Handled filters are fully
+    * satisfied by the clip, so they are consumed (not re-evaluated by a
+    * Spark-side Filter node); anything else is returned as a residual.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int  => Some(i.toLong)
+      case _       => None
+    }
+    val residual = filters.filter {
+      case GreaterThan("id", v)        if asLong(v).isDefined =>
+        lo = math.max(lo, asLong(v).get + 1); accepted :+= GreaterThan("id", v); false
+      case GreaterThanOrEqual("id", v) if asLong(v).isDefined =>
+        lo = math.max(lo, asLong(v).get); accepted :+= GreaterThanOrEqual("id", v); false
+      case LessThan("id", v)           if asLong(v).isDefined =>
+        hi = math.min(hi, asLong(v).get); accepted :+= LessThan("id", v); false
+      case LessThanOrEqual("id", v)    if asLong(v).isDefined =>
+        hi = math.min(hi, asLong(v).get + 1); accepted :+= LessThanOrEqual("id", v); false
+      case EqualTo("id", v)            if asLong(v).isDefined =>
+        lo = math.max(lo, asLong(v).get); hi = math.min(hi, asLong(v).get + 1)
+        accepted :+= EqualTo("id", v); false
+      case _ => true
+    }
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new SeqScan(math.max(lo, 0L), math.min(hi, rows), parts, required)
 }
 
-class SeqScan(rows: Long, parts: Int, required: StructType) extends Scan with Batch {
+class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String = s"graft_seq range=[$lo,$hi)"
   override def planInputPartitions(): Array[InputPartition] = {
-    // even ranges, remainder spread over the first partitions — the split
-    // planning the FileSystem reference does with its virtual block size
-    val base = rows / parts
-    val extra = rows % parts
-    var start = 0L
-    (0 until parts).map { i =>
+    // even ranges over the CLIPPED span, remainder spread over the first
+    // partitions — the split planning the FileSystem reference does with
+    // its virtual block size
+    val total = math.max(0L, hi - lo)
+    val base = total / parts
+    val extra = total % parts
+    var start = lo
+    (0 until parts).flatMap { i =>
       val len = base + (if (i < extra) 1 else 0)
-      val p = SeqPartition(start, start + len)
+      val p = if (len > 0) Some(SeqPartition(start, start + len)) else None
       start += len
       p
     }.toArray

@@ -43,6 +43,27 @@ class SeqSourceSpec extends SparkSpec {
     assert(read(64, 5).orderBy("id").collect().toSeq === rows.toSeq)
   }
 
+  test("id range filters clip the planned splits and leave NO Spark-side Filter node") {
+    val df = read(10000, 8).where(col("id") >= 5000 && col("id") < 6000)
+    assert(df.count() === 1000)
+    val mm = df.agg(min("id"), max("id")).collect()(0)
+    assert(mm.getLong(0) === 5000L && mm.getLong(1) === 5999L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("range=[5000,6000)"), p) // the clip reached the scan
+    assert(!p.contains("+- Filter"), p) // fully consumed: no Filter NODE
+    // splits shrink with the range: empty clipped partitions are not planned
+    val one = read(10000, 8).where(col("id") === 1234L)
+    assert(one.rdd.getNumPartitions <= 8)
+    assert(one.collect().map(_.getLong(0)).toSeq === Seq(1234L))
+  }
+
+  test("a residual filter (non-id) still evaluates Spark-side and results stay correct") {
+    val df = read(1000, 4).where(col("bucket") === 3)
+    assert(df.count() === 1000 / 32 + (if (3 < 1000 % 32) 1 else 0))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("+- Filter") || p.contains("*(1) Filter"), p) // bucket must stay Spark-side
+  }
+
   test("the source joins and aggregates like any table (engine integration)") {
     val df = read(100000, 16)
     val agg = df.groupBy("bucket").agg(count(lit(1)).as("n"))
