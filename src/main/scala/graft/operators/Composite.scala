@@ -314,6 +314,49 @@ object Composite {
        |GROUP BY c_custkey, c_name, n_name
        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q158
+
+  /** Multi-source union report (the TPC-DS "channel union" shape): three
+    * heterogeneous fact domains — orders by priority, events by type,
+    * documents by language — each aggregate to a NORMALIZED (domain, key,
+    * n_rows, measure_cents) schema and UNION ALL into one report. Each leg
+    * aggregates independently (its own partial+final pass, no cross-domain
+    * shuffle); the union is plan-level concatenation, not a join. Measures
+    * quantize to integer cents so the cross-domain column is sum-exact.
+    */
+  def q158UnionReport(spark: SparkSession, dir: String): DataFrame = {
+    val ordersLeg = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("measure_cents"))
+      .select(lit("orders").as("domain"), col("key"), col("n_rows"), col("measure_cents"))
+    val eventsLeg = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("value") * 100).cast("long")).as("measure_cents"))
+      .select(lit("events").as("domain"), col("key"), col("n_rows"), col("measure_cents"))
+    val docsLeg = Tables.documents(spark, dir)
+      .groupBy(col("lang").as("key"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("measure_cents"))
+      .select(lit("documents").as("domain"), col("key"), col("n_rows"), col("measure_cents"))
+    ordersLeg.unionAll(eventsLeg).unionAll(docsLeg)
+      .orderBy(col("domain"), col("key"))
+  }
+
+  val q158Oracle: String =
+    """SELECT domain, key, n_rows, measure_cents FROM (
+      |  SELECT 'orders' AS domain, o_orderpriority AS key, count(*) AS n_rows,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS measure_cents
+      |  FROM orders GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'events', event_type, count(*),
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+      |  FROM events GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'documents', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+      |  FROM documents GROUP BY 2)
+      |ORDER BY domain, key""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q59_tpch_q3", q59TpchQ3, q59Oracle),
     GraftQuery.sql("q60_tpch_q5", q60TpchQ5, q60Oracle),
@@ -323,6 +366,7 @@ object Composite {
     GraftQuery.sql("q73_salted_agg", q73SaltedAgg, q73Oracle),
     GraftQuery.sql("q80_zorder_key", q80ZorderKey, q80Oracle),
     GraftQuery.sql("q81_tpch_q7", q81TpchQ7, q81Oracle),
-    GraftQuery.sql("q82_tpch_q10", q82TpchQ10, q82Oracle)
+    GraftQuery.sql("q82_tpch_q10", q82TpchQ10, q82Oracle),
+    GraftQuery.sql("q158_union_report", q158UnionReport, q158Oracle)
   )
 }

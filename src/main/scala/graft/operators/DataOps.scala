@@ -655,6 +655,60 @@ object DataOps {
       |GROUP BY d.event_type, n, med_cents, mad_cents
       |ORDER BY d.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q160
+
+  /** Two-phase distributed exact median — selection WITHOUT a global sort.
+    * Phase 1: a 1024-cell integer histogram (cents >> 16) with a running
+    * cumulative locates the bucket containing the k-th value (k = (n+1)/2,
+    * lower median). Phase 2 ranks ONLY inside that one bucket (~n/1024 of
+    * the data) and picks the residual offset. This is how an exact quantile
+    * survives 100 TB: the full data is touched twice by map-side
+    * aggregations, and the only sort ever performed is over a single
+    * bucket's rows — compare q52, whose `percentile` sorts each group's
+    * values in the aggregation buffer. All arithmetic is integer; the
+    * bucket id and offset are driver scalars derived from the 1024-row
+    * cumulative table (the broadcast-scalar control pattern, not a data
+    * collect).
+    */
+  def q160TwoPhaseMedian(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(spark, dir).select(
+      floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+      col("l_orderkey").as("k1"), col("l_linenumber").as("k2"))
+    val n = b.count()
+    val k = (n + 1) / 2
+    val cum = b.groupBy(shiftright(col("cents"), 16).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)))
+      .collect().sortBy(_.getLong(0))
+    val bStar = cum.find(_.getAs[Long]("cum") >= k).get.getLong(0)
+    val cumBefore = cum.filter(_.getLong(0) < bStar).lastOption
+      .map(_.getAs[Long]("cum")).getOrElse(0L)
+    val off = k - cumBefore
+    val w = Window.orderBy(col("cents"), col("k1"), col("k2"))
+    b.where(shiftright(col("cents"), 16) === bStar)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === off)
+      .select(lit(n).as("n"), lit(bStar).as("bucket"), lit(off).as("off"),
+        col("cents").as("median_cents"))
+  }
+
+  val q160Oracle: String =
+    """WITH b AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+      |                  l_orderkey AS k1, l_linenumber AS k2 FROM lineitem),
+      |n AS (SELECT count(*) AS n, (count(*) + 1) // 2 AS k FROM b),
+      |hist AS (SELECT cents >> 16 AS bucket, count(*) AS c FROM b GROUP BY 1),
+      |cum AS (SELECT bucket, c, CAST(sum(c) OVER (ORDER BY bucket) AS BIGINT) AS cum
+      |        FROM hist),
+      |tgt AS (SELECT min(bucket) AS b_star FROM cum, n WHERE cum >= k),
+      |off AS (SELECT CAST(k - coalesce((SELECT max(cum) FROM cum
+      |          WHERE bucket < (SELECT b_star FROM tgt)), 0) AS BIGINT) AS off FROM n),
+      |inb AS (SELECT cents, row_number() OVER (ORDER BY cents, k1, k2) AS rn
+      |        FROM b WHERE cents >> 16 = (SELECT b_star FROM tgt))
+      |SELECT n.n, (SELECT b_star FROM tgt) AS bucket, off.off,
+      |       (SELECT cents FROM inb WHERE rn = off.off) AS median_cents
+      |FROM n, off""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
@@ -668,6 +722,7 @@ object DataOps {
     GraftQuery.sql("q134_benford_audit", q134BenfordAudit, q134Oracle),
     GraftQuery.sql("q147_edit_linkage", q147EditLinkage, q147Oracle),
     GraftQuery.sql("q150_skew_audit", q150SkewAudit, q150Oracle),
-    GraftQuery.sql("q152_mad_outliers", q152MadOutliers, q152Oracle)
+    GraftQuery.sql("q152_mad_outliers", q152MadOutliers, q152Oracle),
+    GraftQuery.sql("q160_two_phase_median", q160TwoPhaseMedian, q160Oracle)
   )
 }

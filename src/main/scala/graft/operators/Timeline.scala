@@ -289,8 +289,52 @@ object Timeline {
     GraftQuery.sql("q114_forward_fill", q114ForwardFill, q114Oracle),
     GraftQuery.sql("q125_gaps_islands", q125GapsIslands, q125Oracle),
     GraftQuery.sql("q132_trend_regression", q132TrendRegression, q132Oracle),
-    GraftQuery.sql("q138_decayed_revenue", q138DecayedRevenue, q138Oracle)
+    GraftQuery.sql("q138_decayed_revenue", q138DecayedRevenue, q138Oracle),
+    GraftQuery.sql("q159_bounce_rate", q159BounceRate, q159Oracle)
   )
+
+  // ---------------------------------------------------------------- q159
+
+  /** Per-day session bounce rate: share of sessions (30-min gap rule, the
+    * q125 machinery) that contain exactly one event, keyed by the session's
+    * start day. Both numerator and denominator are integer session counts
+    * from one aggregation over the sessionized rows; the rate is a single
+    * IEEE division. The engagement-quality metric every funnel dashboard
+    * leads with.
+    */
+  def q159BounceRate(spark: SparkSession, dir: String): DataFrame =
+    gapsIslands(Tables.events(spark, dir), 30L * 60 * 1000)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("s_start"), count(lit(1)).as("cnt"))
+      .groupBy(to_date(col("s_start")).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .select(col("day"), col("n_sessions"), col("n_bounce"),
+        (col("n_bounce").cast("double") / col("n_sessions").cast("double"))
+          .as("bounce_rate"))
+      .orderBy(col("day"))
+
+  val q159Oracle: String =
+    s"""WITH e AS (${Det.EventsSql}),
+       |marked AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+       |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts,
+       |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       |  FROM marked),
+       |s AS (SELECT user_id, session_idx, min(ts) AS s_start, count(*) AS cnt
+       |      FROM sess GROUP BY 1, 2)
+       |SELECT CAST(s_start AS DATE) AS day, count(*) AS n_sessions,
+       |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+       |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE) AS bounce_rate
+       |FROM s GROUP BY day ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------- q138
 
