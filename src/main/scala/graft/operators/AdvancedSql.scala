@@ -332,6 +332,38 @@ object AdvancedSql {
        |  CAST(dv AS DOUBLE) / CAST(dtot AS DOUBLE) AS share
        |FROM w ORDER BY day, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+
+  /** MODE aggregate (most frequent value) per group — count per (group,
+    * value), then the winner by (count DESC, value) — a deterministic
+    * alphabetical tiebreak, because an unordered mode is a shuffle lottery.
+    * Two shuffles: the (group, value) count and the per-group argmax; the
+    * argmax runs on the aggregated counts, so the heavy key space never
+    * sorts. The categorical summary statistic Spark has no built-in for.
+    */
+  def q162ModePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.part(spark, dir)
+      .groupBy(col("p_brand"), col("p_type")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("n").desc, col("p_type"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_total", sum(col("n")).over(Window.partitionBy(col("p_brand"))))
+      .where(col("rn") === 1)
+      .select(col("p_brand"), col("p_type").as("mode_type"),
+        col("n").as("n_mode"), col("n_total"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q162Oracle: String =
+    """WITH c AS (SELECT p_brand, p_type, count(*) AS n FROM part GROUP BY 1, 2),
+      |r AS (SELECT p_brand, p_type, n,
+      |        row_number() OVER (PARTITION BY p_brand ORDER BY n DESC, p_type) AS rn,
+      |        CAST(sum(n) OVER (PARTITION BY p_brand) AS BIGINT) AS n_total
+      |      FROM c)
+      |SELECT p_brand, p_type AS mode_type, n AS n_mode, n_total
+      |FROM r WHERE rn = 1 ORDER BY p_brand""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q51_stats_moments", q51StatsMoments, q51Oracle),
     GraftQuery.sql("q52_percentiles", q52Percentiles, q52Oracle),
@@ -347,7 +379,8 @@ object AdvancedSql {
     GraftQuery.sql("q79_unpivot", q79Unpivot, q79Oracle),
     GraftQuery.sql("q104_merge_upsert", q104MergeUpsert, q104Oracle),
     GraftQuery.sql("q105_winsorized_stats", q105WinsorizedStats, q105Oracle),
-    GraftQuery.sql("q148_share_of_day", q148ShareOfDay, q148Oracle)
+    GraftQuery.sql("q148_share_of_day", q148ShareOfDay, q148Oracle),
+    GraftQuery.sql("q162_mode_per_group", q162ModePerGroup, q162Oracle)
   )
 
   /** Event-time RANGE frame: per-user rolling 1-hour event count and sum —

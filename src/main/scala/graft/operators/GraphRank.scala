@@ -95,7 +95,55 @@ object GraphRank {
       |ORDER BY rank_fp DESC, node_id
       |LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q161
+
+  /** Fixed-depth BFS: exact hop distances from a seed node over the same
+    * bipartite part↔supplier graph, 3 rounds of min-distance propagation
+    * (each round: frontier ⋈ edges, then min per node — the min-plus
+    * relaxation step; all-integer, so bit-reproducible). The reachability
+    * histogram (nodes per distance) is the output. Distinct from q143
+    * (value diffusion) and q77/q136 (component labels): this is the
+    * shortest-path semiring. Same scale shape as q143 — the frontier
+    * broadcasts while small, and a web-scale frontier would co-partition
+    * with the edges instead.
+    */
+  def q161BfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val edges = pairs.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      .union(pairs.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+      .localCheckpoint()
+    // seed: supplier 1 (node id 3) — present at every corpus scale
+    var dist = edges.sparkSession.range(1).select(lit(3L).as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to 3) {
+      val expanded = edges.join(broadcast(dist), col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.union(expanded).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist.groupBy(col("dist")).agg(count(lit(1)).as("n"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy(col("dist"))
+  }
+
+  val q161Oracle: String =
+    """WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      |e AS (SELECT p*2 AS src, s*2+1 AS dst FROM pairs
+      |      UNION ALL SELECT s*2+1, p*2 FROM pairs),
+      |d0 AS (SELECT CAST(3 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+      |d1 AS (SELECT node, min(dist) AS dist FROM (
+      |  SELECT * FROM d0 UNION ALL
+      |  SELECT e.dst, d0.dist + 1 FROM e JOIN d0 ON e.src = d0.node) GROUP BY node),
+      |d2 AS (SELECT node, min(dist) AS dist FROM (
+      |  SELECT * FROM d1 UNION ALL
+      |  SELECT e.dst, d1.dist + 1 FROM e JOIN d1 ON e.src = d1.node) GROUP BY node),
+      |d3 AS (SELECT node, min(dist) AS dist FROM (
+      |  SELECT * FROM d2 UNION ALL
+      |  SELECT e.dst, d2.dist + 1 FROM e JOIN d2 ON e.src = d2.node) GROUP BY node)
+      |SELECT dist, count(*) AS n, min(node) AS min_node, max(node) AS max_node
+      |FROM d3 GROUP BY dist ORDER BY dist""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
-    GraftQuery.sql("q143_fixed_point_pagerank", q143FixedPointPagerank, q143Oracle)
+    GraftQuery.sql("q143_fixed_point_pagerank", q143FixedPointPagerank, q143Oracle),
+    GraftQuery.sql("q161_bfs_hops", q161BfsHops, q161Oracle)
   )
 }

@@ -290,7 +290,8 @@ object Timeline {
     GraftQuery.sql("q125_gaps_islands", q125GapsIslands, q125Oracle),
     GraftQuery.sql("q132_trend_regression", q132TrendRegression, q132Oracle),
     GraftQuery.sql("q138_decayed_revenue", q138DecayedRevenue, q138Oracle),
-    GraftQuery.sql("q159_bounce_rate", q159BounceRate, q159Oracle)
+    GraftQuery.sql("q159_bounce_rate", q159BounceRate, q159Oracle),
+    GraftQuery.sql("q163_run_length", q163RunLength, q163Oracle)
   )
 
   // ---------------------------------------------------------------- q159
@@ -335,6 +336,53 @@ object Timeline {
        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
        |    CAST(count(*) AS DOUBLE) AS bounce_rate
        |FROM s GROUP BY day ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q163
+
+  /** Run-length encoding of per-user event-type sequences: islands defined
+    * by VALUE CHANGE (lag ≠ current) rather than time gaps — the other half
+    * of the gaps-and-islands family (q125 breaks on time, this breaks on
+    * state transition). Per event type: run count, total events, longest
+    * run, and mean run length (ratio of two exact integers — one IEEE
+    * division). The state-sequence compression a behavioral-features
+    * pipeline uses for streak/habit signals.
+    */
+  def q163RunLength(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(spark, dir)
+      .withColumn("brk",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("event_type"), col("run_id"))
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_runs"), sum(col("len")).as("total_events"),
+        max(col("len")).as("max_len"))
+      .select(col("event_type"), col("n_runs"), col("total_events"), col("max_len"),
+        (col("total_events").cast("double") / col("n_runs").cast("double"))
+          .as("avg_run_len"))
+      .orderBy(col("event_type"))
+  }
+
+  val q163Oracle: String =
+    s"""WITH e AS (${Det.EventsSql}),
+       |m AS (SELECT user_id, event_type, ts, event_id,
+       |        CASE WHEN lag(event_type) OVER w IS NULL
+       |               OR lag(event_type) OVER w <> event_type
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |runs AS (SELECT user_id, event_type,
+       |           CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+       |         FROM m),
+       |agg AS (SELECT user_id, event_type, run_id, count(*) AS len
+       |        FROM runs GROUP BY 1, 2, 3)
+       |SELECT event_type, count(*) AS n_runs, CAST(sum(len) AS BIGINT) AS total_events,
+       |  max(len) AS max_len,
+       |  CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_run_len
+       |FROM agg GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q138
 
