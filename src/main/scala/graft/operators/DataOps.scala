@@ -709,6 +709,63 @@ object DataOps {
       |       (SELECT cents FROM inb WHERE rn = off.off) AS median_cents
       |FROM n, off""".stripMargin
 
+  // ---------------------------------------------------------------- q165
+
+  /** Two-proportion A/B z-test: users hash-split into two arms (user_id
+    * parity — the deterministic assignment an experimentation platform
+    * uses), conversion = ≥ 15 purchase events, and the pooled-proportion
+    * z-statistic for the rate difference. Every input to the statistic is
+    * an exact integer count; the arithmetic chain (divisions, multiply,
+    * 1−p, sqrt, final division) is all IEEE-754 fully-specified operations
+    * — sqrt is correctly rounded by the standard — so even the z-score is
+    * bit-reproducible across engines. Shape: one per-user aggregation,
+    * a 2-row arm rollup, then scalar math.
+    */
+  def q165AbZTest(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 15, 1L)
+        .otherwise(0L).as("converted"))
+      .withColumn("grp", col("user_id") % 2)
+    val arms = u.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    arms.agg(
+      max(when(col("grp") === 0, col("n"))).as("n0"),
+      max(when(col("grp") === 0, col("conv"))).as("c0"),
+      max(when(col("grp") === 1, col("n"))).as("n1"),
+      max(when(col("grp") === 1, col("conv"))).as("c1"))
+      .withColumn("p0", col("c0").cast("double") / col("n0").cast("double"))
+      .withColumn("p1", col("c1").cast("double") / col("n1").cast("double"))
+      .withColumn("pp",
+        (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1")).cast("double"))
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        (col("p0") - col("p1")).as("rate_diff"),
+        ((col("p0") - col("p1")) /
+          sqrt(col("pp") * (lit(1.0) - col("pp")) *
+            (lit(1.0) / col("n0").cast("double") + lit(1.0) / col("n1").cast("double"))))
+          .as("z"))
+  }
+
+  val q165Oracle: String =
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS grp,
+      |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+      |         THEN 1 ELSE 0 END AS converted
+      |  FROM events GROUP BY user_id),
+      |g AS (SELECT grp, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+      |      FROM u GROUP BY 1),
+      |w AS (SELECT max(CASE WHEN grp = 0 THEN n END) AS n0,
+      |             max(CASE WHEN grp = 0 THEN conv END) AS c0,
+      |             max(CASE WHEN grp = 1 THEN n END) AS n1,
+      |             max(CASE WHEN grp = 1 THEN conv END) AS c1 FROM g)
+      |SELECT n0, c0, n1, c1,
+      |  CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1 AS rate_diff,
+      |  (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1) /
+      |    sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+      |         (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+      |         (1.0 / n0 + 1.0 / n1)) AS z
+      |FROM w""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
@@ -723,6 +780,7 @@ object DataOps {
     GraftQuery.sql("q147_edit_linkage", q147EditLinkage, q147Oracle),
     GraftQuery.sql("q150_skew_audit", q150SkewAudit, q150Oracle),
     GraftQuery.sql("q152_mad_outliers", q152MadOutliers, q152Oracle),
-    GraftQuery.sql("q160_two_phase_median", q160TwoPhaseMedian, q160Oracle)
+    GraftQuery.sql("q160_two_phase_median", q160TwoPhaseMedian, q160Oracle),
+    GraftQuery.sql("q165_ab_z_test", q165AbZTest, q165Oracle)
   )
 }

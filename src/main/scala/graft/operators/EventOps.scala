@@ -402,6 +402,85 @@ object EventOps {
       |  FROM events GROUP BY user_id)
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q164
+
+  /** Decile lift (gains) table — the targeting-model evaluation report:
+    * users ranked by total spend, split into 10 deciles (ntile over a TOTAL
+    * order — spend then user_id, so bucket boundaries are deterministic),
+    * and each decile's share of all purchases. Integer counts throughout;
+    * the capture rate is one IEEE division by a broadcast scalar total.
+    * Shape: one per-user aggregation, then ntile over the aggregated user
+    * table (users ≪ events), then a 10-group rollup.
+    */
+  def q164DecileLift(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("spend_cents"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
+    val d = u.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("spend_cents").desc, col("user_id"))))
+    val total = d.agg(sum(col("purchases")).as("tot"))
+    d.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("purchases")).as("purchases"))
+      .crossJoin(broadcast(total))
+      .select(col("decile"), col("n_users"), col("purchases"),
+        (col("purchases").cast("double") / col("tot").cast("double")).as("capture_rate"))
+      .orderBy(col("decile"))
+  }
+
+  val q164Oracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS purchases
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT *, ntile(10) OVER (ORDER BY spend_cents DESC, user_id) AS decile
+      |      FROM u),
+      |t AS (SELECT CAST(sum(purchases) AS BIGINT) AS tot FROM d)
+      |SELECT decile, count(*) AS n_users, CAST(sum(purchases) AS BIGINT) AS purchases,
+      |  CAST(sum(purchases) AS DOUBLE) / (SELECT CAST(tot AS DOUBLE) FROM t)
+      |    AS capture_rate
+      |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------- q166
+
+  /** Growth accounting: per day, active users split into NEW (first-ever
+    * activity that day) vs RETURNING, plus the cumulative acquired-user
+    * curve — the standard product-growth decomposition. First-seen days
+    * come from one per-user min; the daily split is a broadcast join of
+    * that user-level table into the distinct (day, user) activity set; the
+    * cumulative is a window sum over the 30-row daily table. All integers.
+    */
+  def q166GrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("d")).as("first_day"))
+    val daily = ev.distinct()
+      .join(broadcast(firstDay), "user_id")
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("first_day") === col("d"), 1L).otherwise(0L)).as("n_new"))
+    daily
+      .select(col("d"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"))
+      .withColumn("cumulative_users", sum(col("n_new")).over(
+        Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy(col("d"))
+  }
+
+  val q166Oracle: String =
+    """WITH fa AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      |            FROM events GROUP BY 1),
+      |act AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      |daily AS (
+      |  SELECT d, count(*) AS n_active,
+      |    CAST(sum(CASE WHEN first_day = d THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM act JOIN fa USING (user_id) GROUP BY d)
+      |SELECT d, n_active, n_new, n_active - n_new AS n_returning,
+      |  CAST(sum(n_new) OVER (ORDER BY d) AS BIGINT) AS cumulative_users
+      |FROM daily ORDER BY d""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q26_asof_join", q26AsofJoin, q26Oracle),
     GraftQuery.sql("q27_tumbling_window", q27TumblingWindow, q27Oracle),
@@ -414,6 +493,8 @@ object EventOps {
     GraftQuery.sql("q144_trailing_distinct", q144TrailingDistinct, q144Oracle),
     GraftQuery.sql("q145_linear_attribution", q145LinearAttribution, q145Oracle),
     GraftQuery.sql("q153_time_to_convert", q153TimeToConvert, q153Oracle),
-    GraftQuery.sql("q154_presence_bitmask", q154PresenceBitmask, q154Oracle)
+    GraftQuery.sql("q154_presence_bitmask", q154PresenceBitmask, q154Oracle),
+    GraftQuery.sql("q164_decile_lift", q164DecileLift, q164Oracle),
+    GraftQuery.sql("q166_growth_accounting", q166GrowthAccounting, q166Oracle)
   )
 }
