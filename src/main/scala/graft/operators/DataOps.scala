@@ -766,6 +766,39 @@ object DataOps {
       |         (1.0 / n0 + 1.0 / n1)) AS z
       |FROM w""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+
+  /** 2-D skyline (Pareto frontier): parts not dominated on (price, size) —
+    * both minimized. The classic preference-query operator, computed with
+    * the sort-scan identity: ordered by (price, key), a point is on the
+    * skyline iff its size is strictly below the running minimum of all
+    * cheaper points. One window over the part dim (integer cents, integer
+    * size — exact); at fact scale the same identity runs per partition
+    * after a range-partition on price, then a second pass merges partition
+    * frontiers (frontier size ≪ data).
+    */
+  def q167Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"),
+      floor(col("p_retailprice") * 100).cast("long").as("price_cents"), col("p_size"))
+    val w = Window.orderBy(col("price_cents"), col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    p.withColumn("prev_min", min(col("p_size")).over(w))
+      .where(col("prev_min").isNull || col("p_size") < col("prev_min"))
+      .select(col("p_partkey"), col("price_cents"), col("p_size"))
+      .orderBy(col("price_cents"), col("p_partkey"))
+  }
+
+  val q167Oracle: String =
+    """WITH p AS (SELECT p_partkey,
+      |             CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |             p_size FROM part),
+      |r AS (SELECT *, min(p_size) OVER (ORDER BY price_cents, p_partkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+      |      FROM p)
+      |SELECT p_partkey, price_cents, p_size FROM r
+      |WHERE prev_min IS NULL OR p_size < prev_min
+      |ORDER BY price_cents, p_partkey""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
@@ -781,6 +814,7 @@ object DataOps {
     GraftQuery.sql("q150_skew_audit", q150SkewAudit, q150Oracle),
     GraftQuery.sql("q152_mad_outliers", q152MadOutliers, q152Oracle),
     GraftQuery.sql("q160_two_phase_median", q160TwoPhaseMedian, q160Oracle),
-    GraftQuery.sql("q165_ab_z_test", q165AbZTest, q165Oracle)
+    GraftQuery.sql("q165_ab_z_test", q165AbZTest, q165Oracle),
+    GraftQuery.sql("q167_skyline", q167Skyline, q167Oracle)
   )
 }

@@ -481,6 +481,38 @@ object EventOps {
       |  CAST(sum(n_new) OVER (ORDER BY d) AS BIGINT) AS cumulative_users
       |FROM daily ORDER BY d""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+
+  /** Behavioral trigram mining: the most common 3-step event-type paths in
+    * each user's ordered stream (two leads over the per-user window, then
+    * one count) — the sequence-pattern summary funnels and next-action
+    * models start from. Top 10 by count with a path tiebreak; at scale the
+    * trigram space is tiny (|types|³), so the count aggregation collapses
+    * map-side.
+    */
+  def q168PathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
+  val q168Oracle: String =
+    s"""WITH e AS (${Det.EventsSql}),
+       |tri AS (
+       |  SELECT event_type AS e1,
+       |    lead(event_type, 1) OVER w AS e2,
+       |    lead(event_type, 2) OVER w AS e3
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+       |FROM tri WHERE e3 IS NOT NULL
+       |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q26_asof_join", q26AsofJoin, q26Oracle),
     GraftQuery.sql("q27_tumbling_window", q27TumblingWindow, q27Oracle),
@@ -495,6 +527,7 @@ object EventOps {
     GraftQuery.sql("q153_time_to_convert", q153TimeToConvert, q153Oracle),
     GraftQuery.sql("q154_presence_bitmask", q154PresenceBitmask, q154Oracle),
     GraftQuery.sql("q164_decile_lift", q164DecileLift, q164Oracle),
-    GraftQuery.sql("q166_growth_accounting", q166GrowthAccounting, q166Oracle)
+    GraftQuery.sql("q166_growth_accounting", q166GrowthAccounting, q166Oracle),
+    GraftQuery.sql("q168_path_trigrams", q168PathTrigrams, q168Oracle)
   )
 }
