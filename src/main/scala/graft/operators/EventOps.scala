@@ -513,6 +513,75 @@ object EventOps {
        |FROM tri WHERE e3 IS NOT NULL
        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q169
+
+  /** Bidirectional nearest-event join: each purchase matched to its NEAREST
+    * click — before or after — with the same linear two-window formulation
+    * as q26 (running last-click backward, running first-click forward; no
+    * click×purchase join, so hot users stay O(events)). The tie rule
+    * (before wins at equal distance) is explicit, deltas are integer
+    * microsecond differences divided to seconds, and the rollup reports
+    * per-side counts and exact delta bounds. The general
+    * nearest-neighbor-in-time join sensor/feature pipelines need when
+    * causality can run either way.
+    */
+  def q169NearestEvent(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+    val base = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val back = base.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    val clickTs = when(col("event_type") === "click", col("ts"))
+    ev
+      .withColumn("prev_click", last(clickTs, ignoreNulls = true).over(back))
+      .withColumn("next_click", first(clickTs, ignoreNulls = true).over(fwd))
+      .where(col("event_type") === "purchase")
+      .withColumn("d_prev", expr("unix_micros(ts) - unix_micros(prev_click)"))
+      .withColumn("d_next", expr("unix_micros(next_click) - unix_micros(ts)"))
+      .withColumn("nearest",
+        when(col("prev_click").isNull && col("next_click").isNull, lit("none"))
+          .when(col("next_click").isNull, lit("before"))
+          .when(col("prev_click").isNull, lit("after"))
+          .when(col("d_prev") <= col("d_next"), lit("before"))
+          .otherwise(lit("after")))
+      .withColumn("delta_sec", expr(
+        "CASE WHEN nearest = 'before' THEN d_prev div 1000000 " +
+          "WHEN nearest = 'after' THEN d_next div 1000000 END"))
+      .groupBy(col("nearest"))
+      .agg(count(lit(1)).as("n"), min(col("delta_sec")).as("min_sec"),
+        max(col("delta_sec")).as("max_sec"), sum(col("delta_sec")).as("sum_sec"))
+      .orderBy(col("nearest"))
+  }
+
+  val q169Oracle: String =
+    s"""WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+       |           FROM events WHERE event_type IN ('click', 'purchase')),
+       |w AS (SELECT *,
+       |  last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS UNBOUNDED PRECEDING) AS prev_click,
+       |  first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click
+       |  FROM ev),
+       |p AS (
+       |  SELECT epoch_us(ts) - epoch_us(prev_click) AS d_prev,
+       |    epoch_us(next_click) - epoch_us(ts) AS d_next,
+       |    CASE WHEN prev_click IS NULL AND next_click IS NULL THEN 'none'
+       |         WHEN next_click IS NULL THEN 'before'
+       |         WHEN prev_click IS NULL THEN 'after'
+       |         WHEN epoch_us(ts) - epoch_us(prev_click) <=
+       |              epoch_us(next_click) - epoch_us(ts) THEN 'before'
+       |         ELSE 'after' END AS nearest
+       |  FROM w WHERE event_type = 'purchase'),
+       |d AS (SELECT nearest,
+       |        CASE WHEN nearest = 'before' THEN d_prev // 1000000
+       |             WHEN nearest = 'after' THEN d_next // 1000000 END AS delta_sec
+       |      FROM p)
+       |SELECT nearest, count(*) AS n, min(delta_sec) AS min_sec,
+       |  max(delta_sec) AS max_sec, CAST(sum(delta_sec) AS BIGINT) AS sum_sec
+       |FROM d GROUP BY nearest ORDER BY nearest""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q26_asof_join", q26AsofJoin, q26Oracle),
     GraftQuery.sql("q27_tumbling_window", q27TumblingWindow, q27Oracle),
@@ -528,6 +597,7 @@ object EventOps {
     GraftQuery.sql("q154_presence_bitmask", q154PresenceBitmask, q154Oracle),
     GraftQuery.sql("q164_decile_lift", q164DecileLift, q164Oracle),
     GraftQuery.sql("q166_growth_accounting", q166GrowthAccounting, q166Oracle),
-    GraftQuery.sql("q168_path_trigrams", q168PathTrigrams, q168Oracle)
+    GraftQuery.sql("q168_path_trigrams", q168PathTrigrams, q168Oracle),
+    GraftQuery.sql("q169_nearest_event", q169NearestEvent, q169Oracle)
   )
 }

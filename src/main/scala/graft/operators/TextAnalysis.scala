@@ -496,6 +496,56 @@ object TextAnalysis {
       |GROUP BY tok, exact_cnt
       |ORDER BY exact_cnt DESC, tok""".stripMargin
 
+  // ---------------------------------------------------------------- q170
+
+  /** Weighted Jaccard between language sub-corpora over token FREQUENCY
+    * vectors: J_w = Σ_t min(c_a, c_b) / Σ_t max(c_a, c_b), with the union
+    * denominator computed by the exact identity Σmax = tot_a + tot_b − Σmin
+    * — so only SHARED tokens ever join (an equi-join on the token), and
+    * tokens unique to one corpus enter through the broadcast per-lang
+    * totals. All integer sums; one IEEE division per pair. The
+    * distribution-level near-dup / domain-shift measure corpus curation
+    * uses above the document level.
+    */
+  def q170WeightedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = cnt.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
+    val shared = cnt.select(col("lang").as("la"), col("tok"), col("c").as("ca"))
+      .join(cnt.select(col("lang").as("lb"), col("tok"), col("c").as("cb")), Seq("tok"))
+      .where(col("la") < col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum(least(col("ca"), col("cb"))).as("smin"))
+    shared
+      .join(broadcast(totals.select(col("lang").as("la"), col("tot").as("tot_a"))), "la")
+      .join(broadcast(totals.select(col("lang").as("lb"), col("tot").as("tot_b"))), "lb")
+      .select(col("la"), col("lb"), col("smin"),
+        (col("tot_a") + col("tot_b") - col("smin")).as("smax"),
+        (col("smin").cast("double") /
+          (col("tot_a") + col("tot_b") - col("smin")).cast("double")).as("weighted_jaccard"))
+      .orderBy(col("la"), col("lb"))
+  }
+
+  val q170Oracle: String =
+    """WITH cnt AS (
+      |  SELECT lang, tok, count(*) AS c FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY 1, 2),
+      |totals AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+      |shared AS (
+      |  SELECT a.lang AS la, b.lang AS lb,
+      |    CAST(sum(least(a.c, b.c)) AS BIGINT) AS smin
+      |  FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.lang < b.lang
+      |  GROUP BY 1, 2)
+      |SELECT la, lb, smin, ta.tot + tb.tot - smin AS smax,
+      |  CAST(smin AS DOUBLE) / CAST(ta.tot + tb.tot - smin AS DOUBLE)
+      |    AS weighted_jaccard
+      |FROM shared
+      |JOIN totals ta ON ta.lang = la
+      |JOIN totals tb ON tb.lang = lb
+      |ORDER BY la, lb""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q37_lang_markers", q37LangMarkers, q37Oracle),
     GraftQuery.sql("q38_quality_score", q38QualityScore, q38Oracle),
@@ -509,6 +559,7 @@ object TextAnalysis {
     GraftQuery.sql("q94_corpus_split", q94CorpusSplit, q94Oracle),
     GraftQuery.sql("q96_shard_packing", q96ShardPacking, q96Oracle),
     GraftQuery.sql("q146_chi2_terms", q146Chi2Terms, q146Oracle),
-    GraftQuery.sql("q155_countmin_estimate", q155CountminEstimate, q155Oracle)
+    GraftQuery.sql("q155_countmin_estimate", q155CountminEstimate, q155Oracle),
+    GraftQuery.sql("q170_weighted_jaccard", q170WeightedJaccard, q170Oracle)
   )
 }
