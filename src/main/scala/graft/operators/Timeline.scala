@@ -291,7 +291,9 @@ object Timeline {
     GraftQuery.sql("q132_trend_regression", q132TrendRegression, q132Oracle),
     GraftQuery.sql("q138_decayed_revenue", q138DecayedRevenue, q138Oracle),
     GraftQuery.sql("q159_bounce_rate", q159BounceRate, q159Oracle),
-    GraftQuery.sql("q163_run_length", q163RunLength, q163Oracle)
+    GraftQuery.sql("q163_run_length", q163RunLength, q163Oracle),
+    GraftQuery.sql("q171_rfm_segments", q171RfmSegments, q171Oracle),
+    GraftQuery.sql("q172_autocorrelation", q172Autocorrelation, q172Oracle)
   )
 
   // ---------------------------------------------------------------- q159
@@ -383,6 +385,108 @@ object Timeline {
        |  max(len) AS max_len,
        |  CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_run_len
        |FROM agg GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q171
+
+  /** RFM segmentation: per customer recency (days since last order, against
+    * the corpus max date — a broadcast scalar), frequency, and monetary
+    * (integer cents), each scored 1–5 by ntile over a deterministic total
+    * order, rolled up to segment sizes. The standard customer-value
+    * segmentation; all integers, bucket boundaries fixed by the
+    * (metric, custkey) tiebreak. Scale shape: one per-customer aggregation,
+    * then three windows over the customer-level table (customers ≪ orders).
+    */
+  def q171RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val ref = o.agg(max(to_date(col("o_orderdate"))).as("ref_day"))
+    val rfm = o.crossJoin(broadcast(ref))
+      .groupBy(col("o_custkey"), col("ref_day"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("monetary_cents"))
+      .withColumn("recency_days", datediff(col("ref_day"), col("last_day")).cast("long"))
+    rfm
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("monetary_cents").desc, col("o_custkey"))))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary_cents")).as("segment_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val q171Oracle: String =
+    """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+      |rfm AS (
+      |  SELECT o_custkey, ref_day,
+      |    CAST(ref_day - max(CAST(o_orderdate AS DATE)) AS BIGINT) AS recency_days,
+      |    count(*) AS frequency,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS monetary_cents
+      |  FROM orders, mx GROUP BY o_custkey, ref_day),
+      |s AS (SELECT *,
+      |        ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+      |        ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+      |        ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score
+      |      FROM rfm)
+      |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+      |  CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+      |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q172
+
+  /** Lag-1 autocorrelation of the daily revenue series — the "is today
+    * predictive of tomorrow" time-series diagnostic. Daily revenue is an
+    * exact integer (whole dollars); the Pearson moments over (xₜ, xₜ₋₁)
+    * pairs are computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both
+    * exact integer arithmetic — and revenue is quantized to THOUSANDS of
+    * dollars so every derived moment stays under 2⁵³: integers that small
+    * are exactly representable as doubles, so the final casts agree
+    * bit-for-bit no matter which rounding mode each engine's
+    * bigint→double cast uses (measured: a full-magnitude variant differed
+    * by 1 ulp exactly there). Holds through sf≈1; a larger corpus
+    * re-quantizes coarser. Shape: one shuffle to the ~30-row daily table,
+    * one window lag, one aggregate.
+    */
+  def q172Autocorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(floor(o_totalprice) AS BIGINT)) div 1000").as("rev"))
+    val lagged = daily
+      .withColumn("y", lag(col("rev"), 1).over(Window.orderBy(col("day"))))
+      .where(col("y").isNotNull)
+      .select(col("rev").cast("decimal(38,0)").as("x"), col("y").cast("decimal(38,0)").as("y"))
+    lagged.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))).as("r1"))
+  }
+
+  val q172Oracle: String =
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |             CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000 AS BIGINT) AS rev
+      |           FROM orders GROUP BY 1),
+      |l AS (SELECT rev AS x, lag(rev) OVER (ORDER BY day) AS y FROM d),
+      |s AS (SELECT count(*) AS n,
+      |        sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |        sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |        sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |        sum(CAST(y AS HUGEINT) * y) AS syy
+      |      FROM l WHERE y IS NOT NULL)
+      |SELECT n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+      |    AS r1
+      |FROM s""".stripMargin
 
   // ---------------------------------------------------------------- q138
 
