@@ -799,6 +799,86 @@ object DataOps {
       |WHERE prev_min IS NULL OR p_size < prev_min
       |ORDER BY price_cents, p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q173
+
+  /** Ingest-volume anomaly monitor: per-day row counts tested against the
+    * trailing 7-day window with the same exact-integer z² inequality as
+    * q113 ((n·v − S)² > 4·(n·Q − S²), i.e. |v − mean| > 2σ, no float
+    * variance) — the pipeline-health check that catches a broken upstream
+    * feed the day it happens. One aggregation to the daily table, one
+    * ordered window over ~30 rows.
+    */
+  def q173VolumeMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val fr = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .withColumn("np", count(lit(1)).over(fr))
+      .withColumn("s", sum(col("n")).over(fr))
+      .withColumn("q", sum(col("n") * col("n")).over(fr))
+      .withColumn("is_scored", col("np") >= 4)
+      .withColumn("is_anomaly", col("is_scored") &&
+        (col("np") * col("n") - col("s")) * (col("np") * col("n") - col("s")) >
+          lit(4L) * (col("np") * col("q") - col("s") * col("s")))
+      .select(col("day"), col("n"), col("np"), col("is_scored"), col("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  val q173Oracle: String =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+      |w AS (SELECT day, n, count(*) OVER fr AS np,
+      |        CAST(sum(n) OVER fr AS BIGINT) AS s,
+      |        CAST(sum(n * n) OVER fr AS BIGINT) AS q
+      |      FROM d WINDOW fr AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT day, n, np, np >= 4 AS is_scored,
+      |  np >= 4 AND (np*n - s)*(np*n - s) > 4*(np*q - s*s) AS is_anomaly
+      |FROM w ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q174
+
+  /** Header↔detail reconciliation: every order's lineitem total (integer
+    * cents) against its header total, classified with pure-integer 10%
+    * band tests (detail·10 < header·9 → under, etc.) plus a no-lines
+    * class — the financial-integrity audit run before any revenue number
+    * ships. One aggregation of the detail table, one left join on the
+    * order key (co-partitioned at scale), one 4-class rollup with exact
+    * integer drift sums.
+    */
+  def q174HeaderDetail(spark: SparkSession, dir: String): DataFrame = {
+    val detail = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("detail_cents"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100).cast("long").as("header_cents"))
+      .join(detail, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("cls",
+        when(col("detail_cents").isNull, "no_lines")
+          .when(col("detail_cents") * 10 < col("header_cents") * 9, "under")
+          .when(col("header_cents") * 10 < col("detail_cents") * 9, "over")
+          .otherwise("close"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("header_cents")).as("header_total"),
+        sum(coalesce(col("detail_cents"), lit(0L))).as("detail_total"))
+      .orderBy(col("cls"))
+  }
+
+  val q174Oracle: String =
+    """WITH li AS (SELECT l_orderkey,
+      |              CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |                AS detail_cents
+      |            FROM lineitem GROUP BY 1),
+      |o AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS header_cents
+      |      FROM orders),
+      |j AS (SELECT header_cents, detail_cents,
+      |        CASE WHEN detail_cents IS NULL THEN 'no_lines'
+      |             WHEN detail_cents * 10 < header_cents * 9 THEN 'under'
+      |             WHEN header_cents * 10 < detail_cents * 9 THEN 'over'
+      |             ELSE 'close' END AS cls
+      |      FROM o LEFT JOIN li ON o_orderkey = l_orderkey)
+      |SELECT cls, count(*) AS n, CAST(sum(header_cents) AS BIGINT) AS header_total,
+      |  CAST(sum(coalesce(detail_cents, 0)) AS BIGINT) AS detail_total
+      |FROM j GROUP BY cls ORDER BY cls""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
@@ -815,6 +895,8 @@ object DataOps {
     GraftQuery.sql("q152_mad_outliers", q152MadOutliers, q152Oracle),
     GraftQuery.sql("q160_two_phase_median", q160TwoPhaseMedian, q160Oracle),
     GraftQuery.sql("q165_ab_z_test", q165AbZTest, q165Oracle),
-    GraftQuery.sql("q167_skyline", q167Skyline, q167Oracle)
+    GraftQuery.sql("q167_skyline", q167Skyline, q167Oracle),
+    GraftQuery.sql("q173_volume_monitor", q173VolumeMonitor, q173Oracle),
+    GraftQuery.sql("q174_header_detail", q174HeaderDetail, q174Oracle)
   )
 }
