@@ -582,6 +582,41 @@ object EventOps {
        |  max(delta_sec) AS max_sec, CAST(sum(delta_sec) AS BIGINT) AS sum_sec
        |FROM d GROUP BY nearest ORDER BY nearest""".stripMargin
 
+  // ---------------------------------------------------------------- q175
+
+  /** Temporal co-visitation: user pairs active in the same 10-minute
+    * bucket, ranked by shared-bucket count — the proximity-graph
+    * construction (collaboration, fraud-ring, co-session signals) built
+    * from time alone. Candidates come from an equi-join ON THE BUCKET
+    * (distinct (bucket, user) first, so a chatty user counts once per
+    * bucket), never an all-pairs scan; per-bucket occupancy bounds the
+    * quadratic exactly as q33's shingle df does, and a hot bucket would be
+    * df-capped the same way. Top 20 by count with a (ua, ub) tiebreak.
+    */
+  def q175CoVisitation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.events(spark, dir)
+      .select(window(col("ts"), "10 minutes").getField("start").as("wb"), col("user_id"))
+      .distinct()
+    w.select(col("wb"), col("user_id").as("ua"))
+      .join(w.select(col("wb"), col("user_id").as("ub")), Seq("wb"))
+      .where(col("ua") < col("ub"))
+      .groupBy(col("ua"), col("ub"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("n_windows").desc, col("ua"), col("ub"))
+      .limit(20)
+  }
+
+  val q175Oracle: String =
+    s"""WITH w AS (SELECT DISTINCT
+       |    time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP),
+       |                TIMESTAMP '1970-01-01') AS wb, user_id
+       |  FROM events)
+       |SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS n_windows
+       |FROM w a JOIN w b ON a.wb = b.wb AND a.user_id < b.user_id
+       |GROUP BY 1, 2
+       |ORDER BY n_windows DESC, ua, ub
+       |LIMIT 20""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q26_asof_join", q26AsofJoin, q26Oracle),
     GraftQuery.sql("q27_tumbling_window", q27TumblingWindow, q27Oracle),
@@ -598,6 +633,7 @@ object EventOps {
     GraftQuery.sql("q164_decile_lift", q164DecileLift, q164Oracle),
     GraftQuery.sql("q166_growth_accounting", q166GrowthAccounting, q166Oracle),
     GraftQuery.sql("q168_path_trigrams", q168PathTrigrams, q168Oracle),
-    GraftQuery.sql("q169_nearest_event", q169NearestEvent, q169Oracle)
+    GraftQuery.sql("q169_nearest_event", q169NearestEvent, q169Oracle),
+    GraftQuery.sql("q175_co_visitation", q175CoVisitation, q175Oracle)
   )
 }

@@ -293,7 +293,8 @@ object Timeline {
     GraftQuery.sql("q159_bounce_rate", q159BounceRate, q159Oracle),
     GraftQuery.sql("q163_run_length", q163RunLength, q163Oracle),
     GraftQuery.sql("q171_rfm_segments", q171RfmSegments, q171Oracle),
-    GraftQuery.sql("q172_autocorrelation", q172Autocorrelation, q172Oracle)
+    GraftQuery.sql("q172_autocorrelation", q172Autocorrelation, q172Oracle),
+    GraftQuery.sql("q176_linear_interp", q176LinearInterp, q176Oracle)
   )
 
   // ---------------------------------------------------------------- q159
@@ -487,6 +488,73 @@ object Timeline {
       |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
       |    AS r1
       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- q176
+
+  /** Linear interpolation between observations — the two-sided companion
+    * to q114's forward fill: each non-purchase event gets a value
+    * interpolated between the user's surrounding purchase observations,
+    * v = v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev), from
+    * one backward and one forward window pass (no self-join). Inputs are
+    * integer milli-values and integer microsecond timestamps, so the
+    * per-row interpolation is a fixed IEEE expression (deterministic);
+    * the rollup uses the corpus decimal-sum convention (q145's shape).
+    */
+  def q176LinearInterp(spark: SparkSession, dir: String): DataFrame = {
+    val bk = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    val fw = byUser.rowsBetween(0, Window.unboundedFollowing)
+    val pv = when(col("event_type") === "purchase", floor(col("value") * 1000).cast("long"))
+    val pt = when(col("event_type") === "purchase", col("ts"))
+    Tables.events(spark, dir)
+      .withColumn("prev_v", last(pv, ignoreNulls = true).over(bk))
+      .withColumn("prev_t", last(pt, ignoreNulls = true).over(bk))
+      .withColumn("next_v", first(pv, ignoreNulls = true).over(fw))
+      .withColumn("next_t", first(pt, ignoreNulls = true).over(fw))
+      .where(col("event_type") =!= "purchase" &&
+        col("prev_v").isNotNull && col("next_v").isNotNull &&
+        col("prev_t") =!= col("next_t"))
+      .withColumn("interp_milli",
+        col("prev_v").cast("double") +
+          (col("next_v") - col("prev_v")).cast("double") *
+          (expr("unix_micros(ts) - unix_micros(prev_t)").cast("double") /
+            expr("unix_micros(next_t) - unix_micros(prev_t)").cast("double")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_interp"),
+        Det.dsum(col("interp_milli")).as("sum_milli"),
+        Det.davg(col("interp_milli")).as("avg_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  val q176Oracle: String =
+    s"""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+       |             CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+       |m AS (SELECT *,
+       |  last_value(CASE WHEN event_type = 'purchase' THEN vm END IGNORE NULLS)
+       |    OVER bk AS prev_v,
+       |  last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+       |    OVER bk AS prev_t,
+       |  first_value(CASE WHEN event_type = 'purchase' THEN vm END IGNORE NULLS)
+       |    OVER fw AS next_v,
+       |  first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+       |    OVER fw AS next_t
+       |  FROM e
+       |  WINDOW bk AS (PARTITION BY user_id ORDER BY ts, event_id
+       |                ROWS UNBOUNDED PRECEDING),
+       |         fw AS (PARTITION BY user_id ORDER BY ts, event_id
+       |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+       |interp AS (
+       |  SELECT event_type,
+       |    CAST(prev_v AS DOUBLE) +
+       |      CAST(next_v - prev_v AS DOUBLE) *
+       |      (CAST(epoch_us(ts) - epoch_us(prev_t) AS DOUBLE) /
+       |       CAST(epoch_us(next_t) - epoch_us(prev_t) AS DOUBLE)) AS interp_milli
+       |  FROM m
+       |  WHERE event_type <> 'purchase' AND prev_v IS NOT NULL
+       |    AND next_v IS NOT NULL AND prev_t <> next_t)
+       |SELECT event_type, count(*) AS n_interp,
+       |  ${Det.dsumSql("interp_milli")} AS sum_milli,
+       |  ${Det.davgSql("interp_milli")} AS avg_milli
+       |FROM interp GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q138
 
