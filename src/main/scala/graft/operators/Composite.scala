@@ -357,6 +357,68 @@ object Composite {
       |  FROM documents GROUP BY 2)
       |ORDER BY domain, key""".stripMargin
 
+  // ---------------------------------------------------------------- q179
+
+  /** Nation purchasing-profile similarity: each supplier nation's spend
+    * profile over the six part types becomes a 6-vector of EXACT integer
+    * quantities (l_quantity values are integral doubles, so their sums are
+    * exact in any order), pivoted to FIXED columns so the dot products and
+    * norms evaluate left-to-right in a deterministic IEEE order — the
+    * pivot-to-fixed-columns trick that makes small-vector cosine
+    * bit-reproducible without decimal detours. All 300 nation pairs via a
+    * 25-row broadcast self-join. Top 10 most similar profiles.
+    */
+  def q179ProfileCosine(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+    val qtyFor = types.zipWithIndex.map { case (t, i) =>
+      sum(when(col("p_type") === t, col("l_quantity")).otherwise(lit(0.0)))
+        .cast("long").as(s"t${i + 1}")
+    }
+    val v = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(qtyFor.head, qtyFor.tail: _*)
+    def dot(p: String, q: String) = (1 to 6)
+      .map(i => col(s"$p.t$i") * col(s"$q.t$i"))
+      .reduce(_ + _).cast("double")
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(broadcast(b), col("a.n_name") < col("b.n_name"))
+      .select(col("a.n_name").as("na"), col("b.n_name").as("nb"),
+        (dot("a", "b") / (sqrt(dot("a", "a")) * sqrt(dot("b", "b")))).as("cosine"))
+      .orderBy(col("cosine").desc, col("na"), col("nb"))
+      .limit(10)
+  }
+
+  val q179Oracle: String =
+    """WITH v AS (
+      |  SELECT n_name,
+      |    CAST(sum(CASE WHEN p_type='ECONOMY' THEN l_quantity ELSE 0 END) AS BIGINT) AS t1,
+      |    CAST(sum(CASE WHEN p_type='LARGE' THEN l_quantity ELSE 0 END) AS BIGINT) AS t2,
+      |    CAST(sum(CASE WHEN p_type='MEDIUM' THEN l_quantity ELSE 0 END) AS BIGINT) AS t3,
+      |    CAST(sum(CASE WHEN p_type='PROMO' THEN l_quantity ELSE 0 END) AS BIGINT) AS t4,
+      |    CAST(sum(CASE WHEN p_type='SMALL' THEN l_quantity ELSE 0 END) AS BIGINT) AS t5,
+      |    CAST(sum(CASE WHEN p_type='STANDARD' THEN l_quantity ELSE 0 END) AS BIGINT) AS t6
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1)
+      |SELECT a.n_name AS na, b.n_name AS nb,
+      |  CAST(a.t1*b.t1 + a.t2*b.t2 + a.t3*b.t3 + a.t4*b.t4 + a.t5*b.t5 + a.t6*b.t6
+      |       AS DOUBLE) /
+      |  (sqrt(CAST(a.t1*a.t1 + a.t2*a.t2 + a.t3*a.t3 + a.t4*a.t4 + a.t5*a.t5 + a.t6*a.t6
+      |             AS DOUBLE)) *
+      |   sqrt(CAST(b.t1*b.t1 + b.t2*b.t2 + b.t3*b.t3 + b.t4*b.t4 + b.t5*b.t5 + b.t6*b.t6
+      |             AS DOUBLE))) AS cosine
+      |FROM v a JOIN v b ON a.n_name < b.n_name
+      |ORDER BY cosine DESC, na, nb LIMIT 10""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q59_tpch_q3", q59TpchQ3, q59Oracle),
     GraftQuery.sql("q60_tpch_q5", q60TpchQ5, q60Oracle),
@@ -367,6 +429,7 @@ object Composite {
     GraftQuery.sql("q80_zorder_key", q80ZorderKey, q80Oracle),
     GraftQuery.sql("q81_tpch_q7", q81TpchQ7, q81Oracle),
     GraftQuery.sql("q82_tpch_q10", q82TpchQ10, q82Oracle),
-    GraftQuery.sql("q158_union_report", q158UnionReport, q158Oracle)
+    GraftQuery.sql("q158_union_report", q158UnionReport, q158Oracle),
+    GraftQuery.sql("q179_profile_cosine", q179ProfileCosine, q179Oracle)
   )
 }

@@ -879,6 +879,56 @@ object DataOps {
       |  CAST(sum(coalesce(detail_cents, 0)) AS BIGINT) AS detail_total
       |FROM j GROUP BY cls ORDER BY cls""".stripMargin
 
+  // ---------------------------------------------------------------- q180
+
+  /** Distribution-drift audit between time slices: the order-key traffic
+    * histogram (custkey mod 16 buckets) for the 1995–1997 era vs the rest, each
+    * bucket tested with the two-proportion z (q165's statistic — integer
+    * counts in, IEEE-exact arithmetic out) and flagged at |z| > 2. The
+    * drift monitor a feature store runs between training and serving
+    * windows; a PSI would need log(), which is libm-dependent — the
+    * per-bucket z test gives the same alarm surface in fully-specified
+    * arithmetic. One scan, one 16-key aggregation, scalar totals broadcast.
+    */
+  def q180DriftAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.orders(spark, dir).select((col("o_custkey") % 16).as("bk"),
+      when(to_date(col("o_orderdate")) < lit("1998-01-01").cast("date"), 1)
+        .otherwise(2).as("wk"))
+    val h = w.groupBy(col("bk"))
+      .agg(sum(when(col("wk") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("wk") === 2, 1L).otherwise(0L)).as("c2"))
+    val t = h.agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+    h.crossJoin(broadcast(t))
+      .withColumn("p1", col("c1").cast("double") / col("t1").cast("double"))
+      .withColumn("p2", col("c2").cast("double") / col("t2").cast("double"))
+      .withColumn("pp",
+        (col("c1") + col("c2")).cast("double") / (col("t1") + col("t2")).cast("double"))
+      .withColumn("z", (col("p1") - col("p2")) /
+        sqrt(col("pp") * (lit(1.0) - col("pp")) *
+          (lit(1.0) / col("t1").cast("double") + lit(1.0) / col("t2").cast("double"))))
+      .select(col("bk"), col("c1"), col("c2"), col("z"),
+        (abs(col("z")) > 2.0).as("drifted"))
+      .orderBy(col("bk"))
+  }
+
+  val q180Oracle: String =
+    """WITH w AS (SELECT o_custkey % 16 AS bk,
+      |             CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      |                  THEN 1 ELSE 2 END AS wk
+      |           FROM orders),
+      |h AS (SELECT bk,
+      |        CAST(sum(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |        CAST(sum(CASE WHEN wk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |      FROM w GROUP BY 1),
+      |t AS (SELECT CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c2) AS BIGINT) AS t2 FROM h),
+      |s AS (SELECT bk, c1, c2,
+      |        (CAST(c1 AS DOUBLE)/t1 - CAST(c2 AS DOUBLE)/t2) /
+      |        sqrt((CAST(c1+c2 AS DOUBLE)/(t1+t2)) * (1 - CAST(c1+c2 AS DOUBLE)/(t1+t2)) *
+      |             (1.0/t1 + 1.0/t2)) AS z
+      |      FROM h, t)
+      |SELECT bk, c1, c2, z, abs(z) > 2.0 AS drifted
+      |FROM s ORDER BY bk""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
@@ -897,6 +947,7 @@ object DataOps {
     GraftQuery.sql("q165_ab_z_test", q165AbZTest, q165Oracle),
     GraftQuery.sql("q167_skyline", q167Skyline, q167Oracle),
     GraftQuery.sql("q173_volume_monitor", q173VolumeMonitor, q173Oracle),
-    GraftQuery.sql("q174_header_detail", q174HeaderDetail, q174Oracle)
+    GraftQuery.sql("q174_header_detail", q174HeaderDetail, q174Oracle),
+    GraftQuery.sql("q180_drift_audit", q180DriftAudit, q180Oracle)
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.sources.Tables
@@ -546,6 +547,39 @@ object TextAnalysis {
       |JOIN totals tb ON tb.lang = lb
       |ORDER BY la, lb""".stripMargin
 
+  // ---------------------------------------------------------------- q177
+
+  /** Grouped multi-quantile summary: p25/p50/p75 of document length per
+    * language, every quantile a RANK-PICKED integer (nearest-rank on the
+    * (n_chars, doc_id) total order — no interpolation, no float quantile
+    * surface). One window pass per group then a conditional-max rollup;
+    * groups rank independently, so the shuffle is by lang and each
+    * language's ranking streams through its own partition.
+    */
+  def q177GroupedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(byLang.orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .groupBy(col("lang"), col("n"))
+      .agg(
+        max(when(col("rn") === expr("(n + 3) div 4"), col("n_chars"))).as("p25"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("p50"),
+        max(when(col("rn") === expr("(3 * n + 3) div 4"), col("n_chars"))).as("p75"))
+      .orderBy(col("lang"))
+  }
+
+  val q177Oracle: String =
+    """WITH r AS (SELECT lang, n_chars,
+      |             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |             count(*) OVER (PARTITION BY lang) AS n
+      |           FROM documents)
+      |SELECT lang, n,
+      |  max(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS p25,
+      |  max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50,
+      |  max(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars END) AS p75
+      |FROM r GROUP BY 1, 2 ORDER BY lang""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q37_lang_markers", q37LangMarkers, q37Oracle),
     GraftQuery.sql("q38_quality_score", q38QualityScore, q38Oracle),
@@ -560,6 +594,7 @@ object TextAnalysis {
     GraftQuery.sql("q96_shard_packing", q96ShardPacking, q96Oracle),
     GraftQuery.sql("q146_chi2_terms", q146Chi2Terms, q146Oracle),
     GraftQuery.sql("q155_countmin_estimate", q155CountminEstimate, q155Oracle),
-    GraftQuery.sql("q170_weighted_jaccard", q170WeightedJaccard, q170Oracle)
+    GraftQuery.sql("q170_weighted_jaccard", q170WeightedJaccard, q170Oracle),
+    GraftQuery.sql("q177_grouped_quantiles", q177GroupedQuantiles, q177Oracle)
   )
 }

@@ -243,10 +243,59 @@ object VecMore {
       |ORDER BY abs(cov) DESC, di, dj
       |LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q178
+
+  /** Association-rule LIFT over market baskets: brand pairs co-purchased
+    * within an order, lift = N·n_ab / (n_a·n_b) — the normalized
+    * co-occurrence score that separates genuine affinity from popularity
+    * (q116 reports raw counts; lift is what a recommender thresholds on).
+    * Candidates come from the within-order self-join on the distinct
+    * (order, brand) set — basket size bounds the quadratic — with a
+    * min-support cut (n_ab ≥ 20) before ranking. All counts integer; the
+    * lift is one IEEE expression over exact inputs. Top 25 by lift.
+    */
+  def q178AssociationLift(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val nb = b.select(col("l_orderkey")).distinct().count()
+    val s = b.groupBy(col("p_brand")).agg(count(lit(1)).as("c"))
+    val pairs = b.select(col("l_orderkey"), col("p_brand").as("ba"))
+      .join(b.select(col("l_orderkey"), col("p_brand").as("bb")), Seq("l_orderkey"))
+      .where(col("ba") < col("bb"))
+      .groupBy(col("ba"), col("bb")).agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= 20)
+    pairs
+      .join(broadcast(s.select(col("p_brand").as("ba"), col("c").as("ca"))), "ba")
+      .join(broadcast(s.select(col("p_brand").as("bb"), col("c").as("cb"))), "bb")
+      .select(col("ba"), col("bb"), col("cab"), col("ca"), col("cb"),
+        (col("cab").cast("double") * nb /
+          (col("ca").cast("double") * col("cb").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("ba"), col("bb"))
+      .limit(25)
+  }
+
+  val q178Oracle: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey, p_brand
+      |           FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM b),
+      |s AS (SELECT p_brand, count(*) AS c FROM b GROUP BY 1),
+      |p AS (SELECT a.p_brand AS ba, b2.p_brand AS bb, count(*) AS cab
+      |      FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+      |        AND a.p_brand < b2.p_brand
+      |      GROUP BY 1, 2 HAVING count(*) >= 20)
+      |SELECT ba, bb, cab, sa.c AS ca, sb.c AS cb,
+      |  CAST(cab AS DOUBLE) * (SELECT nb FROM n) /
+      |    (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)) AS lift
+      |FROM p JOIN s sa ON sa.p_brand = ba JOIN s sb ON sb.p_brand = bb
+      |ORDER BY lift DESC, ba, bb LIMIT 25""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q115_kmeans_step", q115KmeansStep, q115Oracle),
     GraftQuery.sql("q116_cooccurrence", q116Cooccurrence, q116Oracle),
     GraftQuery.sql("q128_dim_standardize", q128DimStandardize, q128Oracle),
-    GraftQuery.sql("q149_covariance_matrix", q149CovarianceMatrix, q149Oracle)
+    GraftQuery.sql("q149_covariance_matrix", q149CovarianceMatrix, q149Oracle),
+    GraftQuery.sql("q178_association_lift", q178AssociationLift, q178Oracle)
   )
 }
