@@ -294,7 +294,10 @@ object Timeline {
     GraftQuery.sql("q163_run_length", q163RunLength, q163Oracle),
     GraftQuery.sql("q171_rfm_segments", q171RfmSegments, q171Oracle),
     GraftQuery.sql("q172_autocorrelation", q172Autocorrelation, q172Oracle),
-    GraftQuery.sql("q176_linear_interp", q176LinearInterp, q176Oracle)
+    GraftQuery.sql("q176_linear_interp", q176LinearInterp, q176Oracle),
+    GraftQuery.sql("q181_max_concurrency", q181MaxConcurrency, q181Oracle),
+    GraftQuery.sql("q182_weighted_ma", q182WeightedMa, q182Oracle),
+    GraftQuery.sql("q183_week_over_week", q183WeekOverWeek, q183Oracle)
   )
 
   // ---------------------------------------------------------------- q159
@@ -555,6 +558,132 @@ object Timeline {
        |  ${Det.dsumSql("interp_milli")} AS sum_milli,
        |  ${Det.davgSql("interp_milli")} AS avg_milli
        |FROM interp GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q181
+
+  /** Max concurrent sessions per day — the SWEEP-LINE family: session
+    * intervals (q125's gaps-and-islands, Spark session_window extents)
+    * explode to +1/−1 boundary events, a running sum over the global
+    * boundary order gives instantaneous concurrency, and the per-day max
+    * is the capacity-planning gauge. Tie order is explicit (ends sort
+    * before starts at the same instant, then user/session ids), so the
+    * gauge is deterministic. The ordered prefix sum runs on the boundary
+    * set (2 rows per session, ≪ events); at extreme scale it becomes the
+    * classic two-phase parallel prefix (per-partition sums + offsets).
+    */
+  def q181MaxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val iv = gapsIslands(Tables.events(spark, dir), 30L * 60 * 1000)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("st"),
+        (max(col("ts")) + expr("INTERVAL 30 MINUTES")).as("en"))
+    val bounds = iv.select(col("st").as("t"), lit(1L).as("delta"), lit(1).as("ord"),
+        col("user_id"), col("session_idx"))
+      .union(iv.select(col("en").as("t"), lit(-1L).as("delta"), lit(0).as("ord"),
+        col("user_id"), col("session_idx")))
+    val sweep = Window.orderBy(col("t"), col("ord"), col("user_id"), col("session_idx"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bounds
+      .withColumn("conc", sum(col("delta")).over(sweep))
+      .groupBy(to_date(col("t")).as("day"))
+      .agg(max(col("conc")).as("max_concurrent"))
+      .orderBy(col("day"))
+  }
+
+  val q181Oracle: String =
+    s"""WITH e AS (${Det.EventsSql}),
+       |m AS (SELECT user_id, ts, event_id,
+       |        CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+       |               OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (SELECT user_id, ts,
+       |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS UNBOUNDED PRECEDING) AS sid
+       |      FROM m),
+       |iv AS (SELECT user_id, sid, min(ts) AS st,
+       |         max(ts) + INTERVAL 30 MINUTE AS en
+       |       FROM s GROUP BY 1, 2),
+       |b AS (SELECT st AS t, 1 AS delta, 1 AS ord, user_id, sid FROM iv
+       |      UNION ALL SELECT en, -1, 0, user_id, sid FROM iv),
+       |r AS (SELECT t, CAST(sum(delta) OVER (ORDER BY t, ord, user_id, sid
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc FROM b)
+       |SELECT CAST(t AS DATE) AS day, max(conc) AS max_concurrent
+       |FROM r GROUP BY 1 ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q182
+
+  /** Triangular weighted moving average: per user, WMA-5 over the event
+    * values with integer weights 5..1 — numerator and denominator are
+    * EXACT integers (milli-quantized values × small weights via explicit
+    * lag terms), the smoothed value one IEEE division. Rows without 4
+    * priors stay unsmoothed (NULL den) and are counted separately. The
+    * recency-weighted smoother feature pipelines prefer over plain moving
+    * averages.
+    */
+  def q182WeightedMa(spark: SparkSession, dir: String): DataFrame = {
+    val w = byUser
+    val vm = floor(col("value") * 1000).cast("long")
+    val smoothed = Tables.events(spark, dir)
+      .withColumn("vm", vm)
+      .withColumn("num",
+        lit(5) * col("vm") + lit(4) * lag(col("vm"), 1).over(w) +
+          lit(3) * lag(col("vm"), 2).over(w) + lit(2) * lag(col("vm"), 3).over(w) +
+          lag(col("vm"), 4).over(w))
+      .withColumn("wma_milli",
+        when(col("num").isNotNull, col("num").cast("double") / 15.0))
+    smoothed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("wma_milli").isNotNull, 1L).otherwise(0L)).as("n_smoothed"),
+        sum(col("num")).as("sum_num_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  val q182Oracle: String =
+    s"""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+       |             CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+       |w AS (SELECT event_type,
+       |        5*vm + 4*lag(vm, 1) OVER win + 3*lag(vm, 2) OVER win +
+       |          2*lag(vm, 3) OVER win + lag(vm, 4) OVER win AS num
+       |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT event_type, count(*) AS n_events,
+       |  CAST(sum(CASE WHEN num IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_smoothed,
+       |  CAST(sum(num) AS BIGINT) AS sum_num_exact
+       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q183
+
+  /** Week-over-week comparator: each day's order count and revenue against
+    * the same weekday one week earlier (lag 7 over the daily series) —
+    * integer deltas plus an exact-IEEE ratio, NULL-ratio-safe for the
+    * first week. The seasonality-aware reporting twin of q173's anomaly
+    * monitor.
+    */
+  def q183WeekOverWeek(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice")).cast("long")).as("rev"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("n_prev", lag(col("n"), 7).over(w))
+      .withColumn("rev_prev", lag(col("rev"), 7).over(w))
+      .where(col("n_prev").isNotNull)
+      .select(col("day"), col("n"), col("n_prev"),
+        (col("n") - col("n_prev")).as("n_delta"),
+        (col("rev") - col("rev_prev")).as("rev_delta"),
+        (col("rev").cast("double") / col("rev_prev").cast("double")).as("rev_ratio"))
+      .orderBy(col("day"))
+  }
+
+  val q183Oracle: String =
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+      |             CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+      |           FROM orders GROUP BY 1),
+      |l AS (SELECT day, n, rev, lag(n, 7) OVER (ORDER BY day) AS n_prev,
+      |        lag(rev, 7) OVER (ORDER BY day) AS rev_prev FROM d)
+      |SELECT day, n, n_prev, n - n_prev AS n_delta, rev - rev_prev AS rev_delta,
+      |  CAST(rev AS DOUBLE) / CAST(rev_prev AS DOUBLE) AS rev_ratio
+      |FROM l WHERE n_prev IS NOT NULL ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------- q138
 
