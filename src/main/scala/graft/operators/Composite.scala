@@ -419,6 +419,45 @@ object Composite {
       |FROM v a JOIN v b ON a.n_name < b.n_name
       |ORDER BY cosine DESC, na, nb LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q185
+
+  /** Report with margin totals: the year × priority revenue matrix plus a
+    * TOTAL row per year, a per-priority total era (yr = 9999), and the
+    * grand total — the BI "pivot with margins" contract, built as UNION
+    * ALLs over ONE base aggregate (each margin is a rollup of the 40-row
+    * base, so the fact table is scanned once; contrast q12's CUBE, which
+    * produces the same lattice inside the aggregation operator — this form
+    * is what reporting layers emit when they need custom margin labels).
+    * Integer cents everywhere.
+    */
+  def q185MarginReport(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderpriority").as("pr"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val yearTotals = base.groupBy(col("yr"))
+      .agg(sum(col("cents")).as("cents")).withColumn("pr", lit("TOTAL"))
+    val prTotals = base.groupBy(col("pr"))
+      .agg(sum(col("cents")).as("cents")).withColumn("yr", lit(9999))
+    val grand = base.agg(sum(col("cents")).as("cents"))
+      .withColumn("yr", lit(9999)).withColumn("pr", lit("TOTAL"))
+    base.select(col("yr"), col("pr"), col("cents"))
+      .unionByName(yearTotals.select(col("yr"), col("pr"), col("cents")))
+      .unionByName(prTotals.select(col("yr"), col("pr"), col("cents")))
+      .unionByName(grand.select(col("yr"), col("pr"), col("cents")))
+      .orderBy(col("yr"), col("pr"))
+  }
+
+  val q185Oracle: String =
+    """WITH base AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority AS pr,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT yr, pr, cents FROM base
+      |UNION ALL SELECT yr, 'TOTAL', CAST(sum(cents) AS BIGINT) FROM base GROUP BY yr
+      |UNION ALL SELECT 9999, pr, CAST(sum(cents) AS BIGINT) FROM base GROUP BY pr
+      |UNION ALL SELECT 9999, 'TOTAL', CAST(sum(cents) AS BIGINT) FROM base
+      |ORDER BY yr, pr""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q59_tpch_q3", q59TpchQ3, q59Oracle),
     GraftQuery.sql("q60_tpch_q5", q60TpchQ5, q60Oracle),
@@ -430,6 +469,7 @@ object Composite {
     GraftQuery.sql("q81_tpch_q7", q81TpchQ7, q81Oracle),
     GraftQuery.sql("q82_tpch_q10", q82TpchQ10, q82Oracle),
     GraftQuery.sql("q158_union_report", q158UnionReport, q158Oracle),
-    GraftQuery.sql("q179_profile_cosine", q179ProfileCosine, q179Oracle)
+    GraftQuery.sql("q179_profile_cosine", q179ProfileCosine, q179Oracle),
+    GraftQuery.sql("q185_margin_report", q185MarginReport, q185Oracle)
   )
 }

@@ -617,6 +617,43 @@ object EventOps {
        |ORDER BY n_windows DESC, ua, ub
        |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q186
+
+  /** Churn-risk cohort: users who clicked in the trailing 3 days but made
+    * NO purchase in the same window — recent-intent-without-conversion,
+    * the retention-campaign targeting set. The window anchors on the
+    * broadcast max event time (watermark-style scalar, no collect); the
+    * exclusion is a left-anti join against the recent-purchaser key set.
+    * Output: the cohort with click counts and last-click recency, ordered
+    * for the downstream campaign writer.
+    */
+  def q186ChurnRisk(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mx = ev.agg(max(col("ts")).as("m"))
+    val recent = ev.crossJoin(broadcast(mx))
+      .where(col("ts") >= col("m") - expr("INTERVAL 3 DAYS"))
+    val purchasers = recent.where(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    recent.where(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        max(col("ts")).as("last_click"))
+      .join(purchasers.withColumnRenamed("user_id", "pu"),
+        col("user_id") === col("pu"), "left_anti")
+      .orderBy(col("user_id"))
+  }
+
+  val q186Oracle: String =
+    s"""WITH ev AS (${Det.EventsSql}),
+       |mx AS (SELECT max(ts) AS m FROM ev),
+       |recent AS (SELECT ev.* FROM ev, mx WHERE ts >= m - INTERVAL 3 DAY),
+       |purchasers AS (SELECT DISTINCT user_id FROM recent
+       |               WHERE event_type = 'purchase')
+       |SELECT user_id, count(*) AS n_clicks, max(ts) AS last_click
+       |FROM recent WHERE event_type = 'click'
+       |  AND user_id NOT IN (SELECT user_id FROM purchasers)
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q26_asof_join", q26AsofJoin, q26Oracle),
     GraftQuery.sql("q27_tumbling_window", q27TumblingWindow, q27Oracle),
@@ -634,6 +671,7 @@ object EventOps {
     GraftQuery.sql("q166_growth_accounting", q166GrowthAccounting, q166Oracle),
     GraftQuery.sql("q168_path_trigrams", q168PathTrigrams, q168Oracle),
     GraftQuery.sql("q169_nearest_event", q169NearestEvent, q169Oracle),
-    GraftQuery.sql("q175_co_visitation", q175CoVisitation, q175Oracle)
+    GraftQuery.sql("q175_co_visitation", q175CoVisitation, q175Oracle),
+    GraftQuery.sql("q186_churn_risk", q186ChurnRisk, q186Oracle)
   )
 }

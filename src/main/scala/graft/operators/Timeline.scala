@@ -297,7 +297,8 @@ object Timeline {
     GraftQuery.sql("q176_linear_interp", q176LinearInterp, q176Oracle),
     GraftQuery.sql("q181_max_concurrency", q181MaxConcurrency, q181Oracle),
     GraftQuery.sql("q182_weighted_ma", q182WeightedMa, q182Oracle),
-    GraftQuery.sql("q183_week_over_week", q183WeekOverWeek, q183Oracle)
+    GraftQuery.sql("q183_week_over_week", q183WeekOverWeek, q183Oracle),
+    GraftQuery.sql("q184_inter_arrival", q184InterArrival, q184Oracle)
   )
 
   // ---------------------------------------------------------------- q159
@@ -684,6 +685,51 @@ object Timeline {
       |SELECT day, n, n_prev, n - n_prev AS n_delta, rev - rev_prev AS rev_delta,
       |  CAST(rev AS DOUBLE) / CAST(rev_prev AS DOUBLE) AS rev_ratio
       |FROM l WHERE n_prev IS NOT NULL ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q184
+
+  /** Order inter-arrival statistics per customer — the renewal-process
+    * features (how often does this entity come back) behind churn and LTV
+    * models: per-customer gap count, min/max gap in whole days, and total
+    * gap seconds, all from integer microsecond differences over one lag
+    * window. Summary rolls up the per-customer stats to a corpus-level
+    * distribution (exact integer sums).
+    */
+  def q184InterArrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ts"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("ts"), col("o_orderkey"))
+      .withColumn("du", expr("unix_micros(ts) - unix_micros(lag(ts, 1) OVER " +
+        "(PARTITION BY o_custkey ORDER BY ts, o_orderkey))"))
+      .where(col("du").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("CAST(min(du) div 86400000000 AS BIGINT)").as("min_gap_days"),
+        expr("CAST(max(du) div 86400000000 AS BIGINT)").as("max_gap_days"),
+        expr("CAST(sum(du) div 1000000 AS BIGINT)").as("total_gap_sec"))
+    gaps.agg(count(lit(1)).as("n_customers"), sum(col("n_gaps")).as("total_gaps"),
+        min(col("min_gap_days")).as("min_gap_days"),
+        max(col("max_gap_days")).as("max_gap_days"),
+        sum(col("total_gap_sec")).as("sum_gap_sec"))
+  }
+
+  val q184Oracle: String =
+    """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ts, o_orderkey
+      |           FROM orders),
+      |l AS (SELECT o_custkey,
+      |        epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY o_custkey
+      |          ORDER BY ts, o_orderkey)) AS du
+      |      FROM o),
+      |g AS (SELECT o_custkey, count(*) AS n_gaps,
+      |        CAST(min(du) // 86400000000 AS BIGINT) AS min_gap_days,
+      |        CAST(max(du) // 86400000000 AS BIGINT) AS max_gap_days,
+      |        CAST(sum(du) // 1000000 AS BIGINT) AS total_gap_sec
+      |      FROM l WHERE du IS NOT NULL GROUP BY 1)
+      |SELECT count(*) AS n_customers, CAST(sum(n_gaps) AS BIGINT) AS total_gaps,
+      |  min(min_gap_days) AS min_gap_days, max(max_gap_days) AS max_gap_days,
+      |  CAST(sum(total_gap_sec) AS BIGINT) AS sum_gap_sec
+      |FROM g""".stripMargin
 
   // ---------------------------------------------------------------- q138
 
