@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.sources.Tables
@@ -458,6 +459,51 @@ object Composite {
       |UNION ALL SELECT 9999, 'TOTAL', CAST(sum(cents) AS BIGINT) FROM base
       |ORDER BY yr, pr""".stripMargin
 
+  // ---------------------------------------------------------------- q187
+
+  /** Hierarchical contribution: customer revenue by nation with its share
+    * WITHIN the region and its share of the corpus total — the two-level
+    * drill-down report. Both denominators are exact: the region total is a
+    * decimal window sum over the 25 aggregated nation rows (q148's
+    * associativity argument), the grand total an exact sum of the same
+    * decimals broadcast back; each share is one IEEE division.
+    */
+  def q187HierShare(spark: SparkSession, dir: String): DataFrame = {
+    val byNation = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("dv"))
+    val withRegion = byNation
+      .withColumn("dreg", sum(col("dv")).over(Window.partitionBy(col("r_name"))))
+    val total = byNation.agg(sum(col("dv")).cast("double").as("grand"))
+    withRegion.crossJoin(broadcast(total))
+      .select(col("r_name"), col("n_name"),
+        col("dv").cast("double").as("revenue"),
+        (col("dv").cast("double") / col("dreg").cast("double")).as("share_in_region"),
+        (col("dv").cast("double") / col("grand")).as("share_of_total"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q187Oracle: String =
+    """WITH b AS (
+      |  SELECT r_name, n_name, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS dv
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |w AS (SELECT r_name, n_name, dv,
+      |        sum(dv) OVER (PARTITION BY r_name) AS dreg FROM b),
+      |t AS (SELECT CAST(sum(dv) AS DOUBLE) AS grand FROM b)
+      |SELECT r_name, n_name, CAST(dv AS DOUBLE) AS revenue,
+      |  CAST(dv AS DOUBLE) / CAST(dreg AS DOUBLE) AS share_in_region,
+      |  CAST(dv AS DOUBLE) / grand AS share_of_total
+      |FROM w, t ORDER BY r_name, n_name""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q59_tpch_q3", q59TpchQ3, q59Oracle),
     GraftQuery.sql("q60_tpch_q5", q60TpchQ5, q60Oracle),
@@ -470,6 +516,7 @@ object Composite {
     GraftQuery.sql("q82_tpch_q10", q82TpchQ10, q82Oracle),
     GraftQuery.sql("q158_union_report", q158UnionReport, q158Oracle),
     GraftQuery.sql("q179_profile_cosine", q179ProfileCosine, q179Oracle),
-    GraftQuery.sql("q185_margin_report", q185MarginReport, q185Oracle)
+    GraftQuery.sql("q185_margin_report", q185MarginReport, q185Oracle),
+    GraftQuery.sql("q187_hier_share", q187HierShare, q187Oracle)
   )
 }

@@ -929,6 +929,86 @@ object DataOps {
       |SELECT bk, c1, c2, z, abs(z) > 2.0 AS drifted
       |FROM s ORDER BY bk""".stripMargin
 
+  // ---------------------------------------------------------------- q188
+
+  /** Basket-size distribution: the lines-per-order histogram — the
+    * fan-out profile that sizes every header↔detail join (q174) and
+    * per-order state budget. Two aggregations: per-order line counts,
+    * then the count-of-counts, both integer-exact with map-side combine.
+    */
+  def q188BasketHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+      .groupBy(col("n_lines")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_lines"))
+
+  val q188Oracle: String =
+    """WITH lc AS (SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1)
+      |SELECT n_lines, count(*) AS n_orders FROM lc
+      |GROUP BY 1 ORDER BY n_lines""".stripMargin
+
+  // ---------------------------------------------------------------- q189
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the ASIA and
+    * EUROPE order-price distributions. The max CDF gap is computed with an
+    * ALL-INTEGER numerator: at every price point, D·n₁·n₂ = |c₁·n₂ − c₂·n₁|
+    * over running counts (RANGE-frame window, so ties at a value are
+    * counted together on both sides — the correct CDF right-limit), and
+    * only the final D = max/(n₁·n₂) is a division. The nonparametric
+    * distribution-shift test that needs no binning choice — the rigorous
+    * companion to q180's bucketed drift z. The ordered prefix runs on the
+    * tagged order rows (orders ≪ lineitems); web-scale input would use the
+    * two-phase parallel prefix like q181.
+    */
+  def q189KsStatistic(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+          .where(col("r_name").isin("ASIA", "EUROPE"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(floor(col("o_totalprice") * 100).cast("long").as("v"),
+        when(col("r_name") === "ASIA", 1).otherwise(2).as("src"))
+    val cdf = Window.orderBy(col("v")) // RANGE frame: ties counted together
+    val r = tagged
+      .withColumn("c1", sum(when(col("src") === 1, 1L).otherwise(0L)).over(cdf))
+      .withColumn("c2", sum(when(col("src") === 2, 1L).otherwise(0L)).over(cdf))
+    val n = tagged.agg(
+      sum(when(col("src") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("src") === 2, 1L).otherwise(0L)).as("n2"))
+    r.crossJoin(broadcast(n))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("dn"))
+      .select(col("n1"), col("n2"), col("dn"),
+        (col("dn").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double"))).as("ks"))
+  }
+
+  val q189Oracle: String =
+    """WITH tagged AS (
+      |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+      |    CASE WHEN r_name = 'ASIA' THEN 1 ELSE 2 END AS src
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name IN ('ASIA', 'EUROPE')),
+      |n AS (SELECT CAST(sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |             CAST(sum(CASE WHEN src = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |      FROM tagged),
+      |r AS (SELECT
+      |        CAST(sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) OVER (ORDER BY v)
+      |             AS BIGINT) AS c1,
+      |        CAST(sum(CASE WHEN src = 2 THEN 1 ELSE 0 END) OVER (ORDER BY v)
+      |             AS BIGINT) AS c2
+      |      FROM tagged)
+      |SELECT n1, n2, max(abs(c1*n2 - c2*n1)) AS dn,
+      |  CAST(max(abs(c1*n2 - c2*n1)) AS DOUBLE) /
+      |    (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks
+      |FROM r, n GROUP BY n1, n2""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
@@ -948,6 +1028,8 @@ object DataOps {
     GraftQuery.sql("q167_skyline", q167Skyline, q167Oracle),
     GraftQuery.sql("q173_volume_monitor", q173VolumeMonitor, q173Oracle),
     GraftQuery.sql("q174_header_detail", q174HeaderDetail, q174Oracle),
-    GraftQuery.sql("q180_drift_audit", q180DriftAudit, q180Oracle)
+    GraftQuery.sql("q180_drift_audit", q180DriftAudit, q180Oracle),
+    GraftQuery.sql("q188_basket_histogram", q188BasketHistogram, q188Oracle),
+    GraftQuery.sql("q189_ks_statistic", q189KsStatistic, q189Oracle)
   )
 }
