@@ -1009,6 +1009,47 @@ object DataOps {
       |    (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks
       |FROM r, n GROUP BY n1, n2""".stripMargin
 
+  // ---------------------------------------------------------------- q190
+
+  /** Spearman rank correlation between price and quantity — the
+    * outlier-robust monotonic-association companion to Pearson (q51). Ranks
+    * are row_number over a TOTAL order (value, orderkey, linenumber), so
+    * the permutation is deterministic (documented variant: ties broken by
+    * key rather than averaged — identical in both engines), Σd² is an
+    * exact decimal/HUGEINT integer, and ρ = 1 − 6Σd²/(n(n²−1)) is one IEEE
+    * expression. Two global rank windows over the fact rows — the ordered
+    * prefix caveat of q181/q189 applies at extreme scale.
+    */
+  def q190Spearman(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(spark, dir).select(
+      floor(col("l_extendedprice") * 100).cast("long").as("p"),
+      col("l_quantity").cast("long").as("q"),
+      col("l_orderkey").as("k1"), col("l_linenumber").as("k2"))
+    val r = b
+      .withColumn("rp", row_number().over(Window.orderBy(col("p"), col("k1"), col("k2"))))
+      .withColumn("rq", row_number().over(Window.orderBy(col("q"), col("k1"), col("k2"))))
+    r.agg(count(lit(1)).as("n"),
+        sum(((col("rp").cast("long") - col("rq")) * (col("rp").cast("long") - col("rq")))
+          .cast("decimal(38,0)")).as("d2dec"))
+      .select(col("n"), col("d2dec").cast("long").as("d2"),
+        (lit(1.0) - lit(6.0) * col("d2dec").cast("double") /
+          (col("n").cast("double") * (col("n").cast("double") * col("n") - lit(1.0))))
+          .as("rho"))
+  }
+
+  val q190Oracle: String =
+    """WITH b AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS p,
+      |             CAST(l_quantity AS BIGINT) AS q,
+      |             l_orderkey AS k1, l_linenumber AS k2 FROM lineitem),
+      |r AS (SELECT row_number() OVER (ORDER BY p, k1, k2) AS rp,
+      |        row_number() OVER (ORDER BY q, k1, k2) AS rq FROM b),
+      |s AS (SELECT count(*) AS n,
+      |        sum(CAST(rp - rq AS HUGEINT) * (rp - rq)) AS d2h FROM r)
+      |SELECT n, CAST(d2h AS BIGINT) AS d2,
+      |  1.0 - 6.0 * CAST(d2h AS DOUBLE) /
+      |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1.0)) AS rho
+      |FROM s""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
@@ -1030,6 +1071,7 @@ object DataOps {
     GraftQuery.sql("q174_header_detail", q174HeaderDetail, q174Oracle),
     GraftQuery.sql("q180_drift_audit", q180DriftAudit, q180Oracle),
     GraftQuery.sql("q188_basket_histogram", q188BasketHistogram, q188Oracle),
-    GraftQuery.sql("q189_ks_statistic", q189KsStatistic, q189Oracle)
+    GraftQuery.sql("q189_ks_statistic", q189KsStatistic, q189Oracle),
+    GraftQuery.sql("q190_spearman", q190Spearman, q190Oracle)
   )
 }

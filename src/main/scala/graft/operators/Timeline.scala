@@ -298,7 +298,9 @@ object Timeline {
     GraftQuery.sql("q181_max_concurrency", q181MaxConcurrency, q181Oracle),
     GraftQuery.sql("q182_weighted_ma", q182WeightedMa, q182Oracle),
     GraftQuery.sql("q183_week_over_week", q183WeekOverWeek, q183Oracle),
-    GraftQuery.sql("q184_inter_arrival", q184InterArrival, q184Oracle)
+    GraftQuery.sql("q184_inter_arrival", q184InterArrival, q184Oracle),
+    GraftQuery.sql("q191_session_bookends", q191SessionBookends, q191Oracle),
+    GraftQuery.sql("q192_sla_attainment", q192SlaAttainment, q192Oracle)
   )
 
   // ---------------------------------------------------------------- q159
@@ -730,6 +732,90 @@ object Timeline {
       |  min(min_gap_days) AS min_gap_days, max(max_gap_days) AS max_gap_days,
       |  CAST(sum(total_gap_sec) AS BIGINT) AS sum_gap_sec
       |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q191
+
+  /** Session bookends: how sessions open and close — the (first event type
+    * → last event type) transition matrix over multi-event sessions, the
+    * entry/exit-page analysis of product analytics. First/last come from
+    * two frame-pinned windows over the sessionized rows (q125 machinery);
+    * single-event sessions are excluded (their bookends are trivially
+    * equal).
+    */
+  def q191SessionBookends(spark: SparkSession, dir: String): DataFrame = {
+    val sess = gapsIslands(Tables.events(spark, dir), 30L * 60 * 1000)
+    val w = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ts"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sess
+      .withColumn("first_t", first(col("event_type")).over(full))
+      .withColumn("last_t", last(col("event_type")).over(full))
+      .withColumn("len", count(lit(1)).over(full))
+      .where(col("len") >= 2)
+      .groupBy(col("user_id"), col("session_idx"), col("first_t"), col("last_t"))
+      .agg(count(lit(1)).as("dummy"))
+      .groupBy(col("first_t"), col("last_t"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("first_t"), col("last_t"))
+  }
+
+  val q191Oracle: String =
+    s"""WITH e AS (${Det.EventsSql}),
+       |m AS (SELECT user_id, event_type, ts, event_id,
+       |        CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+       |               OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (SELECT user_id, event_type, ts, event_id,
+       |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS UNBOUNDED PRECEDING) AS sid
+       |      FROM m),
+       |bk AS (SELECT user_id, sid,
+       |         first_value(event_type) OVER win AS first_t,
+       |         last_value(event_type) OVER win AS last_t,
+       |         count(*) OVER win AS len
+       |       FROM s
+       |       WINDOW win AS (PARTITION BY user_id, sid ORDER BY ts, event_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+       |u AS (SELECT DISTINCT user_id, sid, first_t, last_t FROM bk WHERE len >= 2)
+       |SELECT first_t, last_t, count(*) AS n_sessions
+       |FROM u GROUP BY 1, 2 ORDER BY first_t, last_t""".stripMargin
+
+  // ---------------------------------------------------------------- q192
+
+  /** Fulfillment SLA attainment: per order priority, the share of orders
+    * whose LAST lineitem shipped within 60 days of the order date —
+    * integer date arithmetic over the header⋈detail join (co-partitioned
+    * on the order key at scale), integer counts, one IEEE ratio. The
+    * operational-compliance metric header↔detail data exists to answer.
+    */
+  def q192SlaAttainment(spark: SparkSession, dir: String): DataFrame = {
+    val lastShip = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+    Tables.orders(spark, dir)
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("lead_days",
+        datediff(col("last_ship"), to_date(col("o_orderdate"))).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("lead_days") <= 60, 1L).otherwise(0L)).as("n_met"))
+      .select(col("o_orderpriority"), col("n_orders"), col("n_met"),
+        (col("n_met").cast("double") / col("n_orders").cast("double")).as("sla_rate"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q192Oracle: String =
+    """WITH s AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+      |           FROM lineitem GROUP BY 1),
+      |j AS (SELECT o_orderpriority,
+      |        CAST(last_ship - CAST(o_orderdate AS DATE) AS BIGINT) AS lead_days
+      |      FROM orders JOIN s ON o_orderkey = l_orderkey)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CASE WHEN lead_days <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_met,
+      |  CAST(sum(CASE WHEN lead_days <= 60 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE) AS sla_rate
+      |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------- q138
 
