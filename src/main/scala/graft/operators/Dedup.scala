@@ -504,6 +504,94 @@ object Dedup {
        |FROM ranked WHERE rn = 1
        |ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- q193
+
+  /** Precision/recall audit of the SimHash band screen against exact
+    * ground truth — the measurement that justifies (or rejects) an
+    * approximate dedup path: predicted pairs = any shared 8-bit band with
+    * Hamming ≤ 3 (q92's screen), truth = exact Jaccard ≥ 0.5 (q33), and
+    * the confusion counts come from one full outer join of the two pair
+    * sets. On this corpus the screen shows the canonical trade: near-total
+    * recall, low precision — i.e. it is a CANDIDATE GENERATOR that needs
+    * the verification pass, which is exactly how q34/q92 deploy it. All
+    * counts integer; ratios guarded against empty sets.
+    */
+  def q193ScreenAudit(spark: SparkSession, dir: String): DataFrame = {
+    val truth = q33NgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .withColumn("in_truth", lit(true))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("x", expr("CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
+    val bitSums: Seq[Column] = (0 until 32).map { j =>
+      sum(when(expr(s"(x >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val simhashExpr = (0 until 32)
+      .map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sims = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhashExpr.as("simhash"))
+    val bands = sims.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band_idx"))
+      .withColumn("bkey", expr("(simhash >> (band_idx * 8)) & 255"))
+    val pred = bands.select(col("band_idx"), col("bkey"),
+        col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      .join(bands.select(col("band_idx"), col("bkey"),
+        col("doc_id").as("doc_b"), col("simhash").as("sim_b")), Seq("band_idx", "bkey"))
+      .where(col("doc_a") < col("doc_b") &&
+        bit_count(expr("sim_a ^ sim_b")) <= 3)
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("in_pred", lit(true))
+    truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(when(col("in_truth") && col("in_pred"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("in_pred") && col("in_truth").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("in_truth") && col("in_pred").isNull, 1L).otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"))
+  }
+
+  val q193Oracle: String =
+    s"""WITH $hashedShingleCte,
+       |truth AS (SELECT doc_a, doc_b FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.hs, b.hs)) /
+       |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5),
+       |wtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |v AS (SELECT doc_id,
+       |        list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+       |                     for i in range(1, 9)], (a, b) -> a * 16 + b) AS x
+       |      FROM wtoks),
+       |bits AS (SELECT doc_id, j,
+       |           CASE WHEN sum(CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+       |                THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END AS bv
+       |         FROM v, (SELECT unnest(generate_series(0, 31)) AS j) js
+       |         GROUP BY doc_id, j),
+       |sims AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+       |br AS (SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * 8)) & 255 AS bkey
+       |       FROM sims, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+       |pred AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM br a JOIN br b
+       |           ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |j AS (SELECT t.doc_a IS NOT NULL AS in_truth, p.doc_a IS NOT NULL AS in_pred
+       |      FROM truth t FULL OUTER JOIN pred p
+       |        ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
+       |s AS (SELECT
+       |        CAST(sum(CASE WHEN in_truth AND in_pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |        CAST(sum(CASE WHEN in_pred AND NOT in_truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |        CAST(sum(CASE WHEN in_truth AND NOT in_pred THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |      FROM j)
+       |SELECT tp, fp, fn,
+       |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+       |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+       |FROM s""".stripMargin
+
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — the skew-bounded alternative to q77's min-label pointer
@@ -626,6 +714,7 @@ object Dedup {
     GraftQuery.sql("q97_dedup_apply", q97DedupApply, q97Oracle),
     GraftQuery.sql("q118_triangle_count", q118TriangleCount, q118Oracle),
     GraftQuery.sql("q136_star_components", q136StarComponents, q77Oracle),
-    GraftQuery.sql("q157_cluster_rep", q157ClusterRep, q157Oracle)
+    GraftQuery.sql("q157_cluster_rep", q157ClusterRep, q157Oracle),
+    GraftQuery.sql("q193_screen_audit", q193ScreenAudit, q193Oracle)
   )
 }
