@@ -1050,6 +1050,42 @@ object DataOps {
       |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1.0)) AS rho
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+
+  /** Catalog coverage: per brand, how much of the part assortment has ever
+    * been ordered — a left-semi-derived flag per part (the demand join runs
+    * once over the distinct ordered-part keys, broadcast into the dim) and
+    * per-brand coverage ratios. The assortment-health audit behind "dead
+    * SKU" cleanup; integer counts, one IEEE ratio.
+    */
+  def q194CatalogCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ordered = Tables.lineitem(spark, dir)
+      .select(col("l_partkey")).distinct()
+    Tables.part(spark, dir)
+      .join(ordered.withColumnRenamed("l_partkey", "ok"),
+        col("p_partkey") === col("ok"), "left")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("ok").isNotNull, 1L).otherwise(0L)).as("n_ordered"))
+      .select(col("p_brand"), col("n_parts"), col("n_ordered"),
+        (col("n_parts") - col("n_ordered")).as("n_never"),
+        (col("n_ordered").cast("double") / col("n_parts").cast("double"))
+          .as("coverage"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q194Oracle: String =
+    """WITH o AS (SELECT DISTINCT l_partkey FROM lineitem)
+      |SELECT p_brand, count(*) AS n_parts,
+      |  CAST(sum(CASE WHEN l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_ordered,
+      |  CAST(count(*) - sum(CASE WHEN l_partkey IS NOT NULL THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_never,
+      |  CAST(sum(CASE WHEN l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE) AS coverage
+      |FROM part LEFT JOIN o ON p_partkey = l_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
@@ -1072,6 +1108,7 @@ object DataOps {
     GraftQuery.sql("q180_drift_audit", q180DriftAudit, q180Oracle),
     GraftQuery.sql("q188_basket_histogram", q188BasketHistogram, q188Oracle),
     GraftQuery.sql("q189_ks_statistic", q189KsStatistic, q189Oracle),
-    GraftQuery.sql("q190_spearman", q190Spearman, q190Oracle)
+    GraftQuery.sql("q190_spearman", q190Spearman, q190Oracle),
+    GraftQuery.sql("q194_catalog_coverage", q194CatalogCoverage, q194Oracle)
   )
 }

@@ -580,6 +580,44 @@ object TextAnalysis {
       |  max(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars END) AS p75
       |FROM r GROUP BY 1, 2 ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q195
+
+  /** Label-vs-signal confusion matrix: the declared `lang` label crossed
+    * with the marker-based detector's verdict (q37's deterministic argmax)
+    * — the label-quality audit a curation pipeline runs before trusting
+    * either column, with each cell's share of its declared-label row
+    * (exact integer counts, one IEEE division via a window total).
+    */
+  def q195LangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+    q37LangMarkers(spark, dir)
+      .groupBy(col("lang"), col("top_marker"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total", sum(col("n")).over(byLang))
+      .select(col("lang"), col("top_marker"), col("n"),
+        (col("n").cast("double") / col("lang_total").cast("double")).as("share"))
+      .orderBy(col("lang"), col("top_marker"))
+  }
+
+  val q195Oracle: String = {
+    val cnt = Markers.map(m =>
+      s"len(list_filter(string_split(text, ' '), t -> t = '$m')) AS c_$m").mkString(",\n  ")
+    val top = Markers.reverse.foldLeft("'none'") { (rest, m) =>
+      val others = Markers.filterNot(_ == m).map(o => s"c_$o")
+      s"CASE WHEN c_$m >= greatest(${others.mkString(", ")}) AND c_$m > 0 THEN '$m' ELSE $rest END"
+    }
+    s"""WITH g AS (
+       |  SELECT lang, $top AS top_marker
+       |  FROM (SELECT doc_id, lang,
+       |    $cnt
+       |    FROM documents)),
+       |c AS (SELECT lang, top_marker, count(*) AS n FROM g GROUP BY 1, 2)
+       |SELECT lang, top_marker, n,
+       |  CAST(n AS DOUBLE) /
+       |    CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS share
+       |FROM c ORDER BY lang, top_marker""".stripMargin
+  }
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q37_lang_markers", q37LangMarkers, q37Oracle),
     GraftQuery.sql("q38_quality_score", q38QualityScore, q38Oracle),
@@ -595,6 +633,7 @@ object TextAnalysis {
     GraftQuery.sql("q146_chi2_terms", q146Chi2Terms, q146Oracle),
     GraftQuery.sql("q155_countmin_estimate", q155CountminEstimate, q155Oracle),
     GraftQuery.sql("q170_weighted_jaccard", q170WeightedJaccard, q170Oracle),
-    GraftQuery.sql("q177_grouped_quantiles", q177GroupedQuantiles, q177Oracle)
+    GraftQuery.sql("q177_grouped_quantiles", q177GroupedQuantiles, q177Oracle),
+    GraftQuery.sql("q195_lang_confusion", q195LangConfusion, q195Oracle)
   )
 }
