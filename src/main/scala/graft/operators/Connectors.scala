@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.v2.SeqSource
+
+/** Connector-surface operators: queries answered by the DataSource V2
+  * connector's pushdown machinery rather than by row scans.
+  */
+object Connectors {
+
+  // ---------------------------------------------------------------- q200
+
+  /** COMPLETE DSv2 aggregate pushdown: count/min/max/sum(id) per bucket over
+    * the synthetic-sequence connector, with an id-range filter that the
+    * connector consumed by clipping its planned splits. The physical plan has
+    * NO Spark-side aggregate — the scan answers arithmetically from the
+    * clipped range (SeqSource.SeqAggScan), the way a production connector
+    * answers count(*) from file-footer/manifest metadata instead of data.
+    * The oracle recomputes the same aggregates over DuckDB's range()
+    * generator — pure integer arithmetic, bit-identical.
+    */
+  def q200PushedAgg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format(classOf[SeqSource].getName)
+      .option("rows", "200000").option("parts", "8").load()
+      .where(col("id") >= 12345L && col("id") < 180000L)
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        sum(col("id")).as("sum_id"))
+      .orderBy(col("bucket"))
+
+  val q200Oracle: String =
+    """SELECT CAST(id % 32 AS INT) AS bucket, count(*) AS n,
+      |  min(id) AS min_id, max(id) AS max_id, CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM (SELECT range AS id FROM range(12345, 180000))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle))
+}

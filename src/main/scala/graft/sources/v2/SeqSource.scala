@@ -5,9 +5,12 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation,
+  Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
-  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns}
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual,
   LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
@@ -65,11 +68,13 @@ class SeqTable(rows: Long, parts: Int) extends Table with SupportsRead {
 }
 
 class SeqScanBuilder(rows: Long, parts: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = SeqSource.schema
   private var lo = 0L
   private var hi = rows
   private var accepted = Array.empty[Filter]
+  private var pushedAgg: Option[Aggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -103,8 +108,130 @@ class SeqScanBuilder(rows: Long, parts: Int)
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new SeqScan(math.max(lo, 0L), math.min(hi, rows), parts, required)
+  /** COMPLETE aggregate pushdown: the sequence content is a closed-form
+    * function of the id range, so count/min/max/sum(id) — globally or grouped
+    * by bucket — never need to materialize a single row. The scan answers
+    * them arithmetically over the (filter-clipped) [lo, hi) span, the DSv2
+    * analogue of a storage engine answering count(*) from its manifest
+    * instead of scanning (and the strongest form of the reference's
+    * metadata-from-stat shortcut, `getFileStatus` answering length queries
+    * without reads). Anything else (min/max over the hashed v column, avg,
+    * distinct) is refused and Spark plans its own aggregate.
+    */
+  private def col(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _                                               => None
+    }
+
+  private def supported(agg: Aggregation): Boolean = {
+    val groupOk = agg.groupByExpressions.isEmpty ||
+      (agg.groupByExpressions.length == 1 &&
+        agg.groupByExpressions.flatMap(col).sameElements(Array("bucket")))
+    val funcsOk = agg.aggregateExpressions.forall {
+      case _: CountStar                                        => true
+      case c: Count if !c.isDistinct && col(c.column).isDefined => true
+      case m: Min   if col(m.column).contains("id")             => true
+      case m: Max   if col(m.column).contains("id")             => true
+      case s: Sum   if !s.isDistinct && col(s.column).contains("id") => true
+      case _                                                   => false
+    }
+    groupOk && funcsOk && agg.aggregateExpressions.nonEmpty
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = supported(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!supported(agg)) return false
+    pushedAgg = Some(agg)
+    true
+  }
+
+  override def build(): Scan = {
+    val (clo, chi) = (math.max(lo, 0L), math.min(hi, rows))
+    pushedAgg match {
+      case Some(agg) => new SeqAggScan(clo, chi, agg)
+      case None      => new SeqScan(clo, chi, parts, required)
+    }
+  }
 }
+
+/** Closed-form aggregate answers over the clipped id range — one tiny
+  * partition, zero row materialization. Output columns are positional per the
+  * DSv2 contract: group-by columns first, then one per aggregate function.
+  */
+class SeqAggScan(lo: Long, hi: Long, agg: Aggregation) extends Scan with Batch {
+  private val grouped = agg.groupByExpressions.nonEmpty
+
+  override def readSchema(): StructType = {
+    val groupFields = if (grouped) Seq(StructField("bucket", IntegerType, nullable = false)) else Nil
+    val aggFields = agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_: Count, i)     => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i)            => StructField(s"agg_$i", LongType, nullable = true)
+    }
+    StructType(groupFields ++ aggFields)
+  }
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_seq range=[$lo,$hi) PushedAggregates=[${agg.aggregateExpressions.mkString(", ")}]" +
+      (if (grouped) " GroupBy=[bucket]" else "")
+
+  /** Arithmetic-series stats for ids ≡ b (mod 32) in [lo, hi); BigInt guards
+    * the n·(first+last)/2 sum against intermediate overflow.
+    */
+  private def series(first: Long, last: Long, step: Long): (Long, Long, Long, Long) = {
+    val n = (last - first) / step + 1
+    val sum = ((BigInt(first) + BigInt(last)) * n / 2).toLong
+    (n, first, last, sum)
+  }
+
+  private def rowsOut: Array[Array[Any]] = {
+    val stats: Seq[(Option[Int], (Long, Long, Long, Long))] =
+      if (!grouped) {
+        val s = if (hi <= lo) (0L, 0L, 0L, 0L) else series(lo, hi - 1, 1)
+        Seq((None, s))
+      } else {
+        (0 until 32).flatMap { b =>
+          val first = lo + java.lang.Math.floorMod(b.toLong - lo, 32L)
+          if (first >= hi) None
+          else {
+            val last = first + ((hi - 1 - first) / 32) * 32
+            Some((Some(b), series(first, last, 32)))
+          }
+        }
+      }
+    stats.map { case (bucket, (n, mn, mx, sum)) =>
+      val aggVals: Array[Any] = agg.aggregateExpressions.map {
+        case _: CountStar => java.lang.Long.valueOf(n)
+        case _: Count     => java.lang.Long.valueOf(n)
+        case _: Min       => if (n == 0) null else java.lang.Long.valueOf(mn)
+        case _: Max       => if (n == 0) null else java.lang.Long.valueOf(mx)
+        case _: Sum       => if (n == 0) null else java.lang.Long.valueOf(sum)
+        case f: AggregateFunc => throw new IllegalStateException(s"unsupported pushed agg $f")
+      }
+      (bucket.map(b => java.lang.Integer.valueOf(b): Any).toArray ++ aggVals)
+    }.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqAggPartition(rowsOut))
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val rs = partition.asInstanceOf[SeqAggPartition].rows
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rs.length }
+        override def get(): InternalRow = new GenericInternalRow(rs(i))
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
+
+case class SeqAggPartition(rows: Array[Array[Any]]) extends InputPartition
 
 class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required

@@ -64,6 +64,47 @@ class SeqSourceSpec extends SparkSpec {
     assert(p.contains("+- Filter") || p.contains("*(1) Filter"), p) // bucket must stay Spark-side
   }
 
+  test("complete aggregate pushdown: global count/min/max/sum answered by the scan") {
+    val df = read(100000, 8).agg(count(lit(1)).as("n"), min("id"), max("id"), sum("id"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("PushedAggregates"), p)
+    val r = df.collect()(0)
+    assert(r.getLong(0) === 100000L)
+    assert(r.getLong(1) === 0L && r.getLong(2) === 99999L)
+    assert(r.getLong(3) === 100000L * 99999L / 2)
+  }
+
+  test("grouped aggregate pushdown composes with split-clipping id filters") {
+    val df = read(100000, 8).where(col("id") >= 123 && col("id") < 77777)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"), sum("id").as("s"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("HashAggregate"), p)
+    val exp = (123L until 77777L).groupBy(i => (i % 32).toInt)
+      .map { case (b, g) => b -> ((g.size.toLong, g.min, g.max, g.sum)) }
+    val got = df.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === exp)
+  }
+
+  test("aggregate pushdown on an empty clipped range yields the SQL-correct empty-input row") {
+    val df = read(1000, 4).where(col("id") < 0).agg(count(lit(1)).as("n"), min("id").as("mn"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1))
+  }
+
+  test("unsupported aggregates (min over hashed v, avg) fall back to Spark-side aggregation") {
+    val df = read(10000, 4).agg(min("v").as("mv"), avg("id").as("a"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    val r = df.collect()(0)
+    assert(r.getLong(0) === (0L until 10000L).map(SeqSource.mix).min)
+    assert(r.getDouble(1) === 9999.0 / 2)
+  }
+
   test("the source joins and aggregates like any table (engine integration)") {
     val df = read(100000, 16)
     val agg = df.groupBy("bucket").agg(count(lit(1)).as("n"))
