@@ -134,11 +134,150 @@ object FeaturePrep {
       |  FROM k) WHERE rn <= 5
       |ORDER BY source, skey, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q201
+
+  /** Pairwise audience overlap (segment co-occurrence): Jaccard similarity
+    * between the high-value user audiences of every event-type pair. The
+    * audience table is first deduplicated to distinct (type, user), so the
+    * pair join is per-user over a handful of types — candidate volume is
+    * Σ_u |types(u)|², bounded by the type-universe size, never |users|².
+    * Intersection over union is one exact integer division.
+    */
+  def q201AudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val aud = Tables.events(spark, dir)
+      .where(col("value") > 180)
+      .select(col("event_type").as("t"), col("user_id").as("u"))
+      .distinct()
+    val pairs = aud.as("x").join(aud.as("y"),
+        col("x.u") === col("y.u") && col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("ta"), col("y.t").as("tb"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = aud.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(sizes.as("ca"), col("ta") === col("ca.t"))
+      .join(sizes.as("cb"), col("tb") === col("cb.t"))
+      .select(col("ta"), col("tb"), col("inter"),
+        col("ca.n").as("na"), col("cb.n").as("nb"),
+        (col("inter").cast("double") / (col("ca.n") + col("cb.n") - col("inter"))).as("jac"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  val q201Oracle: String =
+    s"""WITH e AS (${Det.EventsSql}),
+       |a AS (SELECT DISTINCT event_type AS t, user_id AS u FROM e WHERE value > 180),
+       |p AS (SELECT x.t AS ta, y.t AS tb, count(*) AS inter
+       |      FROM a x JOIN a y ON x.u = y.u AND x.t < y.t GROUP BY 1, 2),
+       |c AS (SELECT t, count(*) AS n FROM a GROUP BY 1)
+       |SELECT ta, tb, inter, ca.n AS na, cb.n AS nb,
+       |  CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jac
+       |FROM p JOIN c ca ON ta = ca.t JOIN c cb ON tb = cb.t
+       |ORDER BY ta, tb""".stripMargin
+
+  // ---------------------------------------------------------------- q202
+
+  /** Quantile normalization (the bioinformatics/feature-scaling classic):
+    * each value is replaced by the global-distribution value at the same
+    * quantile position within its group. Ranks are integers, the target
+    * global rank is one exact integer division (nearest-integer of
+    * (r-1)·(N-1)/(n-1)), and the mapping is an equi-join on rank — two
+    * window shuffles plus one join, no floats until the copied output value.
+    * The global-rank window is single-partition here (exact, oracle-matched);
+    * at 100 TB the q160 two-phase pattern (per-partition histograms, then
+    * offset-corrected local ranks) computes the same grank with one extra
+    * map-side pass instead of a global sort partition.
+    */
+  def q202QuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"), col("event_type"), col("value"))
+    val wg = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val wn = Window.partitionBy(col("event_type"))
+    val wall = Window.orderBy(col("value"), col("event_id"))
+    val ranked = e
+      .withColumn("r", row_number().over(wg).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("big_n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("tgt",
+        expr("(2*(r-1)*(big_n-1) + (n-1)) div (2*(n-1)) + 1"))
+    val global = e
+      .withColumn("grank", row_number().over(wall).cast("long"))
+      .select(col("grank"), col("value").as("norm_value"))
+    ranked.join(global, col("tgt") === col("grank"))
+      .select(col("event_id"), col("event_type"), col("value"), col("norm_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q202Oracle: String =
+    s"""WITH e AS (SELECT event_id, event_type, value FROM events),
+       |g AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+       |                     ORDER BY value, event_id) AS BIGINT) AS r,
+       |             count(*) OVER (PARTITION BY event_type) AS n,
+       |             count(*) OVER () AS big_n
+       |      FROM e),
+       |gl AS (SELECT value AS norm_value,
+       |              CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS grank
+       |       FROM e),
+       |m AS (SELECT event_id, event_type, value,
+       |        (2*(r-1)*(big_n-1) + (n-1)) // (2*(n-1)) + 1 AS tgt FROM g)
+       |SELECT m.event_id, m.event_type, m.value, gl.norm_value
+       |FROM m JOIN gl ON m.tgt = gl.grank ORDER BY m.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q203
+
+  /** Deterministic negative sampling for training pairs: for every user, up
+    * to two event types they did NOT engage with at high value, drawn by a
+    * per-(user, i) multiplicative hash over the type universe and anti-joined
+    * against the positives. Every stage is hash arithmetic + equi-joins —
+    * executors sample independently with no RNG state, rerun-stable, and the
+    * positives anti-join is the same shape at any scale.
+    */
+  def q203NegativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val pos = events.where(col("value") > 150)
+      .select(col("user_id"), col("event_type")).distinct()
+    val types = events.select(col("event_type")).distinct()
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("event_type"))).cast("long") - 1)
+    val users = events.select(col("user_id")).distinct()
+    val cand = users
+      .select(col("user_id"), explode(expr("sequence(0L, 5L)")).as("i"))
+      .withColumn("tidx", expr("((user_id * 2654435761 + i * 40503) % 4294967296) % 5"))
+      .join(broadcast(types), col("tidx") === col("idx"))
+      .select(col("user_id"), col("i"), col("event_type").as("neg_type"))
+    val negs = cand.join(pos,
+        cand("user_id") === pos("user_id") && cand("neg_type") === pos("event_type"),
+        "left_anti")
+    negs
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("user_id")).orderBy(col("i"))))
+      .where(col("rn") <= 2)
+      .select(col("user_id"), col("neg_type"), col("i"))
+      .orderBy(col("user_id"), col("i"))
+  }
+
+  val q203Oracle: String =
+    s"""WITH e AS (${Det.EventsSql}),
+       |pos AS (SELECT DISTINCT user_id, event_type FROM e WHERE value > 150),
+       |t AS (SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS idx
+       |      FROM (SELECT DISTINCT event_type FROM e)),
+       |u AS (SELECT DISTINCT user_id FROM e),
+       |cand AS (SELECT u.user_id, i.i,
+       |           ((u.user_id * 2654435761 + i.i * 40503) % 4294967296) % 5 AS tidx
+       |         FROM u, (SELECT unnest(generate_series(0, 5)) AS i) i),
+       |c2 AS (SELECT cand.user_id, cand.i, t.event_type AS neg_type
+       |       FROM cand JOIN t ON cand.tidx = t.idx),
+       |filt AS (SELECT c2.* FROM c2
+       |         ANTI JOIN pos ON c2.user_id = pos.user_id AND c2.neg_type = pos.event_type),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY i) AS rn FROM filt)
+       |SELECT user_id, neg_type, i FROM r WHERE rn <= 2
+       |ORDER BY user_id, i""".stripMargin
+
   // ----------------------------------------------------------------
 
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q196_ntile_bands", q196NtileBands, q196Oracle),
     GraftQuery.sql("q197_lateral_topn", q197LateralTopn, q197Oracle),
     GraftQuery.sql("q198_loo_encode", q198LooEncode, q198Oracle),
-    GraftQuery.sql("q199_weighted_sample", q199WeightedSample, q199Oracle))
+    GraftQuery.sql("q199_weighted_sample", q199WeightedSample, q199Oracle),
+    GraftQuery.sql("q201_audience_overlap", q201AudienceOverlap, q201Oracle),
+    GraftQuery.sql("q202_quantile_normalize", q202QuantileNormalize, q202Oracle),
+    GraftQuery.sql("q203_negative_sampling", q203NegativeSampling, q203Oracle))
 }
