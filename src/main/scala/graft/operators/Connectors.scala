@@ -39,6 +39,40 @@ object Connectors {
       |FROM (SELECT range AS id FROM range(12345, 180000))
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q204
+
+  /** Three-part-name SQL through the [[graft.sources.catalog.GraftCatalog]]
+    * V2 catalog: the scale-factor directory is mounted as a namespace and the
+    * star-schema join runs against `graft_cat.<sf>.orders` /
+    * `graft_cat.<sf>.customer` — no temp views, no paths in the query text.
+    * `loadTable` hands back Spark's native ParquetTable, so the catalog route
+    * keeps vectorized scans, filter pushdown, and column pruning; the plan is
+    * identical to the path-based q03-style join (broadcast dim, one shuffle).
+    */
+  def q204CatalogSql(spark: SparkSession, dir: String): DataFrame = {
+    val d = new java.io.File(dir).getAbsoluteFile
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.root", d.getParentFile.getAbsolutePath)
+    val ns = d.getName
+    spark.sql(
+      s"""SELECT c_mktsegment AS seg, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         |FROM graft_cat.`$ns`.orders
+         |JOIN graft_cat.`$ns`.customer ON o_custkey = c_custkey
+         |WHERE o_orderstatus = 'O'
+         |GROUP BY c_mktsegment
+         |ORDER BY seg""".stripMargin)
+  }
+
+  val q204Oracle: String =
+    s"""SELECT c_mktsegment AS seg, count(*) AS n,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |WHERE o_orderstatus = 'O'
+       |GROUP BY c_mktsegment ORDER BY seg""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
-    GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle))
+    GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
+    GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle))
 }
