@@ -32,6 +32,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
       (args: Seq[Expression]) => HyperplaneSig(args.head, args(1))))
     ext.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName, "damerau_levenshtein"),
+      (args: Seq[Expression]) => DamerauLevenshtein(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("char_jaccard"),
+      new ExpressionInfo(classOf[CharJaccard].getName, "char_jaccard"),
+      (args: Seq[Expression]) => CharJaccard(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming"),
+      (args: Seq[Expression]) => HammingDistance(args.head, args(1))))
+    ext.injectFunction((
       FunctionIdentifier("token_count"),
       new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
       (args: Seq[Expression]) => TokenCount(args.head)))

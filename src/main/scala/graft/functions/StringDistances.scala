@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** String-distance kernels for entity resolution / fuzzy linkage, exactly
+  * matching DuckDB's `damerau_levenshtein` / `jaccard` / `hamming` semantics
+  * (probed: true Damerau-Levenshtein with transposition+shift — 'CA'→'ABC'
+  * is 2 not OSA's 3; jaccard is the distinct-character SET ratio —
+  * jaccard('aab','ab') = 1.0; all three case-sensitive). Spark ships only
+  * plain `levenshtein`, so these extend the linkage surface (q147) with the
+  * transposition-aware and set-similarity rungs.
+  *
+  * All operate on Unicode codepoints (ASCII fast path reads bytes directly).
+  * Distances are integers and jaccard is one small-int IEEE division, so
+  * every output is bit-deterministic cross-engine. Codegen emits a static
+  * call into [[GraftStrings]] — the same shape as Spark's own levenshtein
+  * (UTF8String.levenshteinDistance), keeping call sites inside whole-stage
+  * codegen with zero interpretation overhead.
+  */
+object GraftStrings {
+
+  private def codepoints(s: UTF8String): Array[Int] = {
+    val bytes = s.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) {
+      val out = new Array[Int](bytes.length)
+      i = 0
+      while (i < bytes.length) { out(i) = bytes(i) & 0xff; i += 1 }
+      out
+    } else s.toString.codePoints().toArray
+  }
+
+  /** True Damerau-Levenshtein (transpositions may be followed by further
+    * edits between the swapped pair) — the alphabet-indexed DP of Lowrance &
+    * Wagner. O(n·m) time/space; linkage inputs are short keys/names.
+    */
+  def damerauLevenshtein(a: UTF8String, b: UTF8String): Int = {
+    val s = codepoints(a); val t = codepoints(b)
+    val n = s.length; val m = t.length
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = n + m
+    val d = Array.ofDim[Int](n + 2, m + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= n) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
+    var j = 0
+    while (j <= m) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
+    val last = new java.util.HashMap[Integer, Integer]()
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val k = last.getOrDefault(t(j - 1), 0)
+        val l = db
+        val cost = if (s(i - 1) == t(j - 1)) { db = j; 0 } else 1
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val trans = d(k)(l) + (i - 1 - k) + 1 + (j - 1 - l)
+        d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
+        j += 1
+      }
+      last.put(s(i - 1), i)
+      i += 1
+    }
+    d(n + 1)(m + 1)
+  }
+
+  /** Distinct-codepoint set Jaccard — |A∩B| / |A∪B| as one exact IEEE
+    * division of small integers (DuckDB's `jaccard`).
+    */
+  def charJaccard(a: UTF8String, b: UTF8String): Double = {
+    val sa = new java.util.HashSet[Integer]()
+    val sb = new java.util.HashSet[Integer]()
+    codepoints(a).foreach(c => sa.add(c))
+    codepoints(b).foreach(c => sb.add(c))
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) { if (sb.contains(it.next())) inter += 1 }
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Positional mismatch count of two EQUAL-LENGTH strings; -1 signals a
+    * length mismatch (the expression layer turns it into null — DuckDB's
+    * `hamming` errors instead, so oracle queries only compare equal lengths).
+    */
+  def hamming(a: UTF8String, b: UTF8String): Int = {
+    val s = codepoints(a); val t = codepoints(b)
+    if (s.length != t.length) return -1
+    var i = 0; var c = 0
+    while (i < s.length) { if (s(i) != t(i)) c += 1; i += 1 }
+    c
+  }
+}
+
+sealed trait StringDistanceExpr extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+}
+
+case class DamerauLevenshtein(left: Expression, right: Expression) extends StringDistanceExpr {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "damerau_levenshtein"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftStrings.damerauLevenshtein(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftStrings.damerauLevenshtein($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLevenshtein =
+    copy(left = newLeft, right = newRight)
+}
+
+case class CharJaccard(left: Expression, right: Expression) extends StringDistanceExpr {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftStrings.charJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftStrings.charJaccard($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Null (not an error) on length mismatch, hence the hand-rolled null guard
+  * instead of defineCodeGen.
+  */
+case class HammingDistance(left: Expression, right: Expression) extends StringDistanceExpr {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hamming"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val r = GraftStrings.hamming(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    if (r < 0) null else r
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("ham")
+      s"""
+         |int $r = graft.functions.GraftStrings.hamming($a, $b);
+         |if ($r < 0) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}

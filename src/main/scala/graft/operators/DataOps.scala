@@ -1109,6 +1109,38 @@ object DataOps {
     GraftQuery.sql("q188_basket_histogram", q188BasketHistogram, q188Oracle),
     GraftQuery.sql("q189_ks_statistic", q189KsStatistic, q189Oracle),
     GraftQuery.sql("q190_spearman", q190Spearman, q190Oracle),
-    GraftQuery.sql("q194_catalog_coverage", q194CatalogCoverage, q194Oracle)
+    GraftQuery.sql("q194_catalog_coverage", q194CatalogCoverage, q194Oracle),
+    GraftQuery.sql("q205_distance_extras", q205DistanceExtras, q205Oracle)
   )
+
+  // ---------------------------------------------------------------- q205
+
+  /** The transposition-and-set rungs of the linkage ladder (q147 covers plain
+    * Levenshtein): consecutive-key customer name pairs scored with the three
+    * custom codegen kernels — true Damerau-Levenshtein, distinct-character
+    * Jaccard, and positional Hamming (graft.functions.StringDistances,
+    * semantics probe-matched to DuckDB's builtins). The pairing is an
+    * equi-join on the shifted key — the blocked-linkage shape, never
+    * all-pairs — and every score is integers or one small-int IEEE division,
+    * so the oracle compare is exact.
+    */
+  def q205DistanceExtras(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val a = c.select(col("c_custkey").as("k"), col("c_name").as("name_a"))
+    val b = c.select((col("c_custkey") - 1).as("k"), col("c_name").as("name_b"))
+    a.join(b, Seq("k"))
+      .select(col("k").as("c_custkey"),
+        expr("damerau_levenshtein(name_a, name_b)").as("dl"),
+        expr("char_jaccard(name_a, name_b)").as("jac"),
+        expr("hamming(name_a, name_b)").as("ham"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q205Oracle: String =
+    """SELECT a.c_custkey,
+      |  damerau_levenshtein(a.c_name, b.c_name) AS dl,
+      |  jaccard(a.c_name, b.c_name) AS jac,
+      |  hamming(a.c_name, b.c_name) AS ham
+      |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+      |ORDER BY a.c_custkey""".stripMargin
 }
