@@ -309,7 +309,45 @@ object Curation {
       |  n_new - coalesce(n_dup, 0) AS n_fresh
       |FROM base LEFT JOIN dup USING (lang) ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q208
+
+  /** Corpus rebalancing to a uniform language mix — the training-mix step
+    * that downsamples over-represented languages to the smallest class.
+    * Per-language keep decisions are pure integer arithmetic: keep doc iff
+    * hash(doc_id)·n_lang < target·2³², i.e. an exact cross-multiplied
+    * Bernoulli(target/n_lang) over the hash space — no RNG state, no floats,
+    * every executor decides rows independently, rerun-stable (the 100 TB
+    * rejection-sampling shape). Class counts ride along as a broadcast join.
+    */
+  def q208CorpusRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cnt = docs.groupBy(col("lang")).agg(count(lit(1)).cast("long").as("c"))
+    val target = cnt.agg(min(col("c")).as("t"))
+    val kept = docs
+      .join(broadcast(cnt), "lang")
+      .crossJoin(broadcast(target))
+      .where(expr("((doc_id * 2654435761) % 4294967296) * c < t * 4294967296"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    cnt.crossJoin(broadcast(target))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("c").as("n_before"), col("t").as("target"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val q208Oracle: String =
+    """WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+      |mn AS (SELECT min(c) AS t FROM cnt),
+      |k AS (SELECT d.lang FROM documents d JOIN cnt ON d.lang = cnt.lang, mn
+      |      WHERE ((d.doc_id * 2654435761) % 4294967296) * cnt.c < mn.t * 4294967296),
+      |kc AS (SELECT lang, count(*) AS n_kept FROM k GROUP BY 1)
+      |SELECT cnt.lang, cnt.c AS n_before, mn.t AS target,
+      |       coalesce(kc.n_kept, 0) AS n_kept
+      |FROM cnt CROSS JOIN mn LEFT JOIN kc ON cnt.lang = kc.lang
+      |ORDER BY cnt.lang""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q208_corpus_rebalance", q208CorpusRebalance, q208Oracle),
     GraftQuery.sql("q98_decontaminate", q98Decontaminate, q98Oracle),
     GraftQuery.sql("q99_stratified_sample", q99StratifiedSample, q99Oracle),
     GraftQuery.sql("q100_pack_context", q100PackContext, q100Oracle),

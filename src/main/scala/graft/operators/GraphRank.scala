@@ -142,8 +142,64 @@ object GraphRank {
       |SELECT dist, count(*) AS n, min(node) AS min_node, max(node) AS max_node
       |FROM d3 GROUP BY dist ORDER BY dist""".stripMargin
 
+  // ---------------------------------------------------------------- q207
+
+  /** Degree assortativity of the co-purchase graph (Newman's r): do
+    * well-connected parts co-occur with other well-connected parts? Edges
+    * are part pairs sharing an order — the within-basket pair join, bounded
+    * by basket size (≤ lines-per-order), never |parts|². Degrees join back
+    * onto the directed edge list and r is the Pearson correlation of the
+    * endpoint degrees: five exact 64-bit integer sums finished by one
+    * sqrt·sqrt division (IEEE-exact both engines). One pair shuffle, one
+    * degree aggregation, two broadcast-ish joins — the same shape at any
+    * scale.
+    */
+  def q207Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .distinct()
+    val deg = edges.groupBy(col("pa").as("p")).agg(count(lit(1)).cast("long").as("d"))
+    val joined = edges
+      .join(deg.select(col("p").as("pa"), col("d").as("dx")), "pa")
+      .join(deg.select(col("p").as("pb"), col("d").as("dy")), "pb")
+    joined.agg(
+        count(lit(1)).cast("long").as("m"),
+        sum(col("dx")).as("sx"),
+        sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("m"), col("sx"), col("sxy"),
+        ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double")))).as("r"))
+  }
+
+  val q207Oracle: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |deg AS (SELECT pa AS p, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+      |j AS (SELECT da.d AS dx, db.d AS dy
+      |      FROM edges JOIN deg da ON pa = da.p JOIN deg db ON pb = db.p),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+      |             CAST(sum(dx*dy) AS BIGINT) AS sxy,
+      |             CAST(sum(dx*dx) AS BIGINT) AS sxx,
+      |             CAST(sum(dy*dy) AS BIGINT) AS syy
+      |      FROM j)
+      |SELECT m, sx, sxy,
+      |  CAST(m*sxy - sx*sy AS DOUBLE) /
+      |    (sqrt(CAST(m*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(m*syy - sy*sy AS DOUBLE))) AS r
+      |FROM s""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q143_fixed_point_pagerank", q143FixedPointPagerank, q143Oracle),
-    GraftQuery.sql("q161_bfs_hops", q161BfsHops, q161Oracle)
+    GraftQuery.sql("q161_bfs_hops", q161BfsHops, q161Oracle),
+    GraftQuery.sql("q207_assortativity", q207Assortativity, q207Oracle)
   )
 }

@@ -94,8 +94,70 @@ object TypedOps {
       |      FROM runs GROUP BY o_custkey, run_id) rl
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+
+  /** ts carried as epoch MICROSECONDS (unix_micros) so the per-user sort is
+    * exactly the µs-precision (ts, event_id) order the oracle's window uses —
+    * a java.sql.Timestamp getTime sort would collapse to milliseconds.
+    */
+  final case class CusumEvent(user_id: Long, tsu: Long, event_id: Long, x: Long)
+
+  /** One-sided CUSUM changepoint monitor per user: the cumulative-sum
+    * recursion s_i = max(0, s_{i-1} + x_i − k) over the event stream
+    * (x = value in integer cents, k = 3459 the corpus median, alarm at
+    * s > 50000). The recursion is inherently sequential per key — the one
+    * shape window frames cannot express — so it runs as `mapGroups` over
+    * `groupByKey(user_id)`: one shuffle on the key, then a linear in-memory
+    * walk per user (a user's event history is the documented per-group bound,
+    * same as every sessionization op; an unbounded key would stream through
+    * flatMapGroupsWithState instead — see streaming/StreamingOps). All
+    * arithmetic is 64-bit integer; the DuckDB oracle replays the identical
+    * recursion as a recursive CTE, so the hash match proves the typed path
+    * and the relational path agree step for step.
+    */
+  def q206CusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 3459L
+    val h = 50000L
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsu"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("x"))
+      .as[CusumEvent]
+      .groupByKey(_.user_id)
+      .mapGroups { (uid: Long, it: Iterator[CusumEvent]) =>
+        val evs = it.toArray.sortBy(e => (e.tsu, e.event_id))
+        var s = 0L
+        var alarms = 0L
+        var maxS = 0L
+        evs.foreach { e =>
+          s = math.max(0L, s + e.x - k)
+          if (s > h) alarms += 1
+          if (s > maxS) maxS = s
+        }
+        (uid, alarms, maxS)
+      }
+      .toDF("user_id", "n_alarms", "max_cusum")
+      .orderBy(col("user_id"))
+  }
+
+  val q206Oracle: String =
+    s"""WITH RECURSIVE e AS (${Det.EventsSql}),
+       |ev AS (SELECT user_id, event_id, CAST(floor(value*100) AS BIGINT) AS x,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |       FROM e),
+       |walk(user_id, rn, s) AS (
+       |  SELECT user_id, rn, greatest(0, x - 3459) FROM ev WHERE rn = 1
+       |  UNION ALL
+       |  SELECT ev.user_id, ev.rn, greatest(0, walk.s + ev.x - 3459)
+       |  FROM walk JOIN ev ON ev.user_id = walk.user_id AND ev.rn = walk.rn + 1)
+       |SELECT user_id,
+       |  CAST(sum(CASE WHEN s > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       |  max(s) AS max_cusum
+       |FROM walk GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q50_typed_pipeline", q50TypedPipeline, q50Oracle),
-    GraftQuery.sql("q135_longest_run", q135LongestRun, q135Oracle)
+    GraftQuery.sql("q135_longest_run", q135LongestRun, q135Oracle),
+    GraftQuery.sql("q206_cusum_changepoint", q206CusumChangepoint, q206Oracle)
   )
 }
