@@ -346,8 +346,37 @@ object Curation {
       |FROM cnt CROSS JOIN mn LEFT JOIN kc ON cnt.lang = kc.lang
       |ORDER BY cnt.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q211
+
+  /** Stratified k-fold assignment (k=5): within each language stratum, docs
+    * are ranked by a deterministic hash (doc_id tiebreak) and dealt
+    * round-robin into folds — fold sizes within each stratum differ by at
+    * most 1, the textbook stratified split, with no RNG and rerun-stable
+    * assignment. One shuffle on the stratum key; the window is a streaming
+    * rank. Emits the lang × fold occupancy audit.
+    */
+  def q211StratifiedKfold(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("h", expr("(doc_id * 2654435761) % 4294967296"))
+      .withColumn("fold", ((row_number().over(w) - 1) % 5).cast("int"))
+      .groupBy(col("lang"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("fold"))
+  }
+
+  val q211Oracle: String =
+    """WITH h AS (SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS h
+      |           FROM documents),
+      |f AS (SELECT lang,
+      |        CAST((row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) - 1) % 5 AS INT) AS fold
+      |      FROM h)
+      |SELECT lang, fold, count(*) AS n_docs
+      |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q208_corpus_rebalance", q208CorpusRebalance, q208Oracle),
+    GraftQuery.sql("q211_stratified_kfold", q211StratifiedKfold, q211Oracle),
     GraftQuery.sql("q98_decontaminate", q98Decontaminate, q98Oracle),
     GraftQuery.sql("q99_stratified_sample", q99StratifiedSample, q99Oracle),
     GraftQuery.sql("q100_pack_context", q100PackContext, q100Oracle),

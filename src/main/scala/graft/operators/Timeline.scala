@@ -300,8 +300,97 @@ object Timeline {
     GraftQuery.sql("q183_week_over_week", q183WeekOverWeek, q183Oracle),
     GraftQuery.sql("q184_inter_arrival", q184InterArrival, q184Oracle),
     GraftQuery.sql("q191_session_bookends", q191SessionBookends, q191Oracle),
-    GraftQuery.sql("q192_sla_attainment", q192SlaAttainment, q192Oracle)
+    GraftQuery.sql("q192_sla_attainment", q192SlaAttainment, q192Oracle),
+    GraftQuery.sql("q209_behavior_profile", q209BehaviorProfile, q209Oracle),
+    GraftQuery.sql("q210_rolling_median", q210RollingMedian, q210Oracle),
+    GraftQuery.sql("q212_behavior_gini", q212BehaviorGini, q212Oracle)
   )
+
+  // ---------------------------------------------------------------- q209
+
+  /** Per-user behavioral profile serialized as a canonical JSON object —
+    * the feature-store export shape (one row per entity, one packed document
+    * column). The object is BUILT deterministically — keys sorted, string
+    * concatenation, integer values — rather than through a JSON library, so
+    * both engines produce byte-identical documents. One aggregation to
+    * per-(user, type) counts, one sorted-array pack per user.
+    */
+  def q209BehaviorProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(concat(lit("{"),
+        concat_ws(",", expr(
+          "transform(sort_array(collect_list(struct(event_type, n))), " +
+            "e -> concat('\"', e.event_type, '\":', e.n))")),
+        lit("}")).as("mix"))
+      .orderBy(col("user_id"))
+
+  val q209Oracle: String =
+    s"""WITH e AS (${Det.EventsSql}),
+       |c AS (SELECT user_id, event_type, count(*) AS n FROM e GROUP BY 1, 2)
+       |SELECT user_id,
+       |  '{' || string_agg('"' || event_type || '":' || n, ',' ORDER BY event_type) || '}' AS mix
+       |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q210
+
+  /** Rolling exact median (trailing 7 events) per user — the robust
+    * smoother dashboards use where moving averages chase outliers. The
+    * frame's values are collected per row (bounded: ≤ 7 elements), sorted,
+    * and the nearest-rank element picked — a VALUE COPY, never arithmetic,
+    * so determinism is free. One shuffle on user_id; the ROWS frame
+    * evaluates incrementally in WindowExec.
+    */
+  def q210RollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = byUser.rowsBetween(-6, 0)
+    Tables.events(spark, dir)
+      .withColumn("win", collect_list(col("value")).over(w))
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("sort_array(win)[CAST((size(win) + 1) / 2 AS INT) - 1]").as("roll_med"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q210Oracle: String =
+    s"""WITH e AS (${Det.EventsSql}),
+       |w AS (SELECT user_id, event_id, value,
+       |        list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+       |      FROM e)
+       |SELECT user_id, event_id, value,
+       |  list_sort(win)[(len(win) + 1) // 2] AS roll_med
+       |FROM w ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q212
+
+  /** Behavioral diversity via Gini impurity of each user's event-type mix:
+    * 1 − Σpᵢ² = (n² − Σcᵢ²)/n² — exact integer sums finished by one IEEE
+    * division, the log-free diversity feature (vs entropy, whose log is not
+    * bit-reproducible across engines). Two aggregations, both keyed on the
+    * user — one shuffle chain at any scale.
+    */
+  def q212BehaviorGini(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("tot"), sum(col("n") * col("n")).as("ss"))
+      .select(col("user_id"), col("tot"),
+        ((col("tot") * col("tot") - col("ss")).cast("double") /
+          (col("tot") * col("tot"))).as("gini"))
+      .orderBy(col("user_id"))
+
+  val q212Oracle: String =
+    s"""WITH e AS (${Det.EventsSql}),
+       |c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+       |      FROM e GROUP BY 1, 2),
+       |u AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot,
+       |             CAST(sum(n*n) AS BIGINT) AS ss
+       |      FROM c GROUP BY 1)
+       |SELECT user_id, tot,
+       |  CAST(tot*tot - ss AS DOUBLE) / (tot*tot) AS gini
+       |FROM u ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------- q159
 
