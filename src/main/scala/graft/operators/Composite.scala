@@ -517,6 +517,75 @@ object Composite {
     GraftQuery.sql("q158_union_report", q158UnionReport, q158Oracle),
     GraftQuery.sql("q179_profile_cosine", q179ProfileCosine, q179Oracle),
     GraftQuery.sql("q185_margin_report", q185MarginReport, q185Oracle),
-    GraftQuery.sql("q187_hier_share", q187HierShare, q187Oracle)
+    GraftQuery.sql("q187_hier_share", q187HierShare, q187Oracle),
+    GraftQuery.sql("q213_revenue_bridge", q213RevenueBridge, q213Oracle)
   )
+
+  // ---------------------------------------------------------------- q213
+
+  /** Price-volume-mix revenue bridge (the finance waterfall): decompose the
+    * 1996→1997 revenue delta into new-part, lost-part, price, and volume
+    * effects. Per-part year aggregates are exact decimal sums; unit prices
+    * are one IEEE division each; new/lost terms re-enter decimal (≤4 dp
+    * inputs, safe), while the price/volume product terms are quantized by
+    * floor(x·10⁴) integer arithmetic — products of arbitrary doubles sit
+    * past the ~15-digit range where double→decimal casts diverge across
+    * engines. Shape: one aggregation keyed on
+    * (part, year), a part-keyed full outer self-merge, one global rollup —
+    * two shuffles at any scale.
+    */
+  def q213RevenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .where(year(col("l_shipdate")).isin(1996, 1997))
+      .groupBy(col("l_partkey").as("p"), year(col("l_shipdate")).as("y"))
+      .agg(Det.dsum(col("l_quantity")).as("q"), Det.dsum(col("l_extendedprice")).as("r"))
+    val a = base.where(col("y") === 1996)
+      .select(col("p"), col("q").as("q0"), col("r").as("r0"), (col("r") / col("q")).as("p0"))
+    val b = base.where(col("y") === 1997)
+      .select(col("p"), col("q").as("q1"), col("r").as("r1"), (col("r") / col("q")).as("p1"))
+    val dec = "decimal(18,4)"
+    a.join(b, Seq("p"), "full_outer")
+      .agg(
+        (sum(coalesce(col("r1"), lit(0)).cast(dec)) -
+          sum(coalesce(col("r0"), lit(0)).cast(dec))).cast("double").as("total_delta"),
+        sum(when(col("q0").isNull, col("r1").cast(dec)).otherwise(lit(0).cast(dec)))
+          .cast("double").as("new_effect"),
+        (-sum(when(col("q1").isNull, col("r0").cast(dec)).otherwise(lit(0).cast(dec))))
+          .cast("double").as("lost_effect"),
+        // price/volume terms are products of arbitrary doubles (~16-17 sig
+        // digits) where double→decimal casts diverge cross-engine; quantize
+        // by floor(x·10⁴) instead — IEEE multiply + floor, bit-identical —
+        // and sum the exact integers.
+        (sum(when(col("q0").isNotNull && col("q1").isNotNull,
+            floor(col("q0") * (col("p1") - col("p0")) * lit(10000)).cast("long"))
+          .otherwise(lit(0L))).cast("double") / 10000).as("price_effect"),
+        (sum(when(col("q0").isNotNull && col("q1").isNotNull,
+            floor((col("q1") - col("q0")) * col("p1") * lit(10000)).cast("long"))
+          .otherwise(lit(0L))).cast("double") / 10000).as("volume_effect"))
+  }
+
+  val q213Oracle: String =
+    s"""WITH base AS (
+       |  SELECT l_partkey AS p, year(l_shipdate) AS y,
+       |         ${Det.dsumSql("l_quantity")} AS q,
+       |         ${Det.dsumSql("l_extendedprice")} AS r
+       |  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997) GROUP BY 1, 2),
+       |a AS (SELECT p, q AS q0, r AS r0, r/q AS p0 FROM base WHERE y = 1996),
+       |b AS (SELECT p, q AS q1, r AS r1, r/q AS p1 FROM base WHERE y = 1997),
+       |j AS (SELECT coalesce(a.p, b.p) AS p, q0, r0, p0, q1, r1, p1
+       |      FROM a FULL JOIN b ON a.p = b.p)
+       |SELECT
+       |  CAST(sum(CAST(coalesce(r1, 0) AS DECIMAL(18,4)))
+       |     - sum(CAST(coalesce(r0, 0) AS DECIMAL(18,4))) AS DOUBLE) AS total_delta,
+       |  CAST(sum(CASE WHEN q0 IS NULL THEN CAST(r1 AS DECIMAL(18,4))
+       |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS new_effect,
+       |  CAST(-sum(CASE WHEN q1 IS NULL THEN CAST(r0 AS DECIMAL(18,4))
+       |                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS lost_effect,
+       |  CAST(CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+       |                THEN CAST(floor(q0*(p1-p0)*10000) AS BIGINT)
+       |                ELSE 0 END) AS BIGINT) AS DOUBLE) / 10000 AS price_effect,
+       |  CAST(CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+       |                THEN CAST(floor((q1-q0)*p1*10000) AS BIGINT)
+       |                ELSE 0 END) AS BIGINT) AS DOUBLE) / 10000 AS volume_effect
+       |FROM j""".stripMargin
 }

@@ -248,6 +248,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p) // map-side combine before the one heavy exchange
   }
 
+  test("dynamic partition pruning reaches a year-partitioned scan") {
+    // The 100 TB fact-table contract: joining a partitioned fact against a
+    // filtered dim must prune partitions at RUNTIME via the broadcast result
+    // (dynamicpruningexpression in PartitionFilters), not scan all years.
+    import org.apache.spark.sql.functions.{col, year}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").mode("overwrite").parquet(s"$dir/orders_part")
+    val fact = spark.read.parquet(s"$dir/orders_part")
+    val dim = spark.range(1990, 2010).select(col("id").as("y"))
+      .where(col("y") >= 1996 && col("y") <= 1997)
+    val joined = fact.join(dim, fact("o_year") === dim("y"))
+      .groupBy(col("o_year")).count()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"), p)
+    assert(joined.collect().map(_.getInt(0)).toSet === Set(1996, 1997))
+  }
+
   test("NO query in the entire inventory plans a CartesianProduct") {
     // The blanket 100 TB safety net: a cartesian product anywhere is a bug.
     // (Deliberate small-side broadcasts plan as BroadcastNestedLoopJoin.)
