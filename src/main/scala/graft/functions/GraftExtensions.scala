@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming"),
       (args: Seq[Expression]) => HammingDistance(args.head, args(1))))
     ext.injectFunction((
+      FunctionIdentifier("common_prefix_length"),
+      new ExpressionInfo(classOf[CommonPrefixLength].getName, "common_prefix_length"),
+      (args: Seq[Expression]) => CommonPrefixLength(args.head, args(1))))
+    ext.injectFunction((
       FunctionIdentifier("token_count"),
       new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
       (args: Seq[Expression]) => TokenCount(args.head)))

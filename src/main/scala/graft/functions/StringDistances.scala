@@ -89,6 +89,18 @@ object GraftStrings {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Longest common prefix length in codepoints — the boilerplate-detection
+    * primitive (LCP of a sorted group's min and max strings = the group's
+    * common prefix).
+    */
+  def commonPrefixLength(a: UTF8String, b: UTF8String): Int = {
+    val s = codepoints(a); val t = codepoints(b)
+    val n = math.min(s.length, t.length)
+    var i = 0
+    while (i < n && s(i) == t(i)) i += 1
+    i
+  }
+
   /** Positional mismatch count of two EQUAL-LENGTH strings; -1 signals a
     * length mismatch (the expression layer turns it into null — DuckDB's
     * `hamming` errors instead, so oracle queries only compare equal lengths).
@@ -132,6 +144,18 @@ case class CharJaccard(left: Expression, right: Expression) extends StringDistan
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftStrings.charJaccard($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CharJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+case class CommonPrefixLength(left: Expression, right: Expression) extends StringDistanceExpr {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "common_prefix_length"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftStrings.commonPrefixLength(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftStrings.commonPrefixLength($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CommonPrefixLength =
     copy(left = newLeft, right = newRight)
 }
 

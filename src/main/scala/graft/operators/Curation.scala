@@ -374,9 +374,73 @@ object Curation {
       |SELECT lang, fold, count(*) AS n_docs
       |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q214
+
+  /** Context-window chunking — the RAG/pretraining prep step that splits
+    * every document into overlapping token windows (40 tokens, stride 30).
+    * Chunk boundaries are integer arithmetic over the token array; chunk
+    * text is a slice+join (value copies, no computed floats). Map-side row
+    * expansion only — no shuffle at any scale, the ideal 100 TB shape;
+    * output order is the deterministic (doc_id, chunk_idx).
+    */
+  def q214ContextChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")))
+      .select(col("doc_id"), col("n_toks"), col("toks"),
+        explode(expr(
+          "sequence(0, greatest((n_toks - 40 + 30 - 1) div 30, 0))")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_toks"),
+        expr("array_join(slice(toks, chunk_idx * 30 + 1, 40), ' ')").as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val q214Oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx, CAST(len(toks) AS INT) AS n_toks,
+      |        array_to_string(toks[(i*30+1):(i*30+40)], ' ') AS chunk
+      |      FROM t, LATERAL (SELECT unnest(range(0,
+      |        greatest((len(toks) - 40 + 30 - 1) // 30, 0) + 1)) AS i) g)
+      |SELECT doc_id, chunk_idx, n_toks, chunk
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q215
+
+  /** Boilerplate audit per source: a sorted group's common prefix is
+    * LCP(min(text), max(text)) — two cheap order statistics per group plus
+    * ONE pairwise LCP (the custom codegen `common_prefix_length` kernel),
+    * never a pairwise scan of the group. The oracle recomputes the LCP by
+    * counting equal-prefix lengths over an uncorrelated position series.
+    * One aggregation shuffle; the kernel runs on |sources| rows only.
+    */
+  def q215BoilerplateAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(min(col("text")).as("a"), max(col("text")).as("b"), count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        expr("common_prefix_length(a, b)").as("lcp_len"),
+        expr("substring(a, 1, common_prefix_length(a, b))").as("boilerplate"))
+      .orderBy(col("source"))
+
+  val q215Oracle: String =
+    """WITH mm AS (SELECT source, min(text) AS a, max(text) AS b, count(*) AS n_docs
+      |            FROM documents GROUP BY 1),
+      |g AS (SELECT unnest(range(1,
+      |        1 + (SELECT max(least(length(a), length(b))) FROM mm))) AS i),
+      |lcp AS (SELECT mm.source,
+      |          CAST(sum(CASE WHEN i <= least(length(a), length(b))
+      |                     AND substr(a, 1, CAST(i AS INT)) = substr(b, 1, CAST(i AS INT))
+      |                   THEN 1 ELSE 0 END) AS INT) AS lcp_len
+      |        FROM mm CROSS JOIN g GROUP BY 1)
+      |SELECT mm.source, mm.n_docs, lcp.lcp_len,
+      |       substr(mm.a, 1, lcp.lcp_len) AS boilerplate
+      |FROM mm JOIN lcp ON mm.source = lcp.source
+      |ORDER BY mm.source""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q208_corpus_rebalance", q208CorpusRebalance, q208Oracle),
     GraftQuery.sql("q211_stratified_kfold", q211StratifiedKfold, q211Oracle),
+    GraftQuery.sql("q214_context_chunks", q214ContextChunks, q214Oracle),
+    GraftQuery.sql("q215_boilerplate_audit", q215BoilerplateAudit, q215Oracle),
     GraftQuery.sql("q98_decontaminate", q98Decontaminate, q98Oracle),
     GraftQuery.sql("q99_stratified_sample", q99StratifiedSample, q99Oracle),
     GraftQuery.sql("q100_pack_context", q100PackContext, q100Oracle),
