@@ -403,6 +403,76 @@ object Similarity {
     GraftQuery.sql("q68_label_centroids", q68LabelCentroids, q68Oracle),
     GraftQuery.sql("q83_centroid_scale", q83CentroidScale, q83Oracle),
     GraftQuery.sql("q84_ivf_ann_nprobe2", q84IvfAnnNprobe2, q84Oracle),
-    GraftQuery.sql("q95_embedding_quantize", q95EmbeddingQuantize, q95Oracle)
+    GraftQuery.sql("q95_embedding_quantize", q95EmbeddingQuantize, q95Oracle),
+    GraftQuery.sql("q216_ann_recall_audit", q216AnnRecallAudit, q216Oracle)
   )
+
+  // ---------------------------------------------------------------- q216
+
+  /** Recall@3 audit of the IVF index (q67, nprobe=1) against the exact
+    * brute-force top-3 — the measurement that decides whether an ANN
+    * configuration is shippable or needs more probes (q84). Ground truth is
+    * the q40 shape (candidate stream × broadcast 20-query set); the ANN side
+    * reuses q67's plan verbatim; the overlap join is per-(query, neighbor)
+    * equi — integers to the end, recall is one exact division. On this
+    * corpus nprobe=1 recall is well under 1, exactly the gap q84's second
+    * probe closes — the audit quantifies it.
+    */
+  def q216AnnRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir)
+    val queries = base.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    val exact3 = base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("cos",
+        expr("float_vec_dot(q_emb, embedding)") / (sqrt(col("q_n2")) * sqrt(col("n2"))))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 3)
+      .select(col("q_id"), col("neighbor_id"))
+    val ivf = q67IvfAnn(spark, dir)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("in_ivf"))
+    exact3.join(ivf, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("in_ivf"), lit(0L))).as("n_overlap"))
+      .select(col("q_id"), col("n_exact"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_exact")).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  val q216Oracle: String =
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  ${Det.dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+       |exact3 AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, a.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${Det.dotSql("q.embedding", "a.embedding")} / (sqrt(q.n2) * sqrt(a.n2)) DESC,
+       |        a.vec_id) AS rn
+       |    FROM n q JOIN n a ON q.vec_id < 20 AND a.vec_id <> q.vec_id)
+       |  WHERE rn <= 3),
+       |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM n WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT vec_id, embedding, n2, cell FROM (
+       |    SELECT n.vec_id, n.embedding, n.n2, c.c_id AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        n.n2 - 2.0 * ${Det.dotSql("n.embedding", "c.c_emb")} + c.c_n2, c.c_id) AS crn
+       |    FROM n, cents c)
+       |  WHERE crn = 1),
+       |ivf AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, a.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${Det.dotSql("q.embedding", "a.embedding")} / (sqrt(q.n2) * sqrt(a.n2)) DESC,
+       |        a.vec_id) AS rn
+       |    FROM assigned q JOIN assigned a
+       |      ON q.vec_id < 20 AND a.cell = q.cell AND a.vec_id <> q.vec_id)
+       |  WHERE rn <= 3)
+       |SELECT e.q_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |  CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS recall
+       |FROM exact3 e LEFT JOIN ivf ON e.q_id = ivf.q_id AND e.neighbor_id = ivf.neighbor_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 }
