@@ -640,13 +640,12 @@ object Dedup {
         .union(mins.select(col("u"), col("m").as("v")))
       val (next, nextIds) = checkpointTracked(
         symmetrize(large.union(small).where(col("u") =!= col("v"))))
-      // canonical-set stability: symmetric difference empty (tiny frames —
-      // both sides are already the contracted star edges)
-      val grew = next.exceptAll(edges).count()
-      val shrank = edges.exceptAll(next).count()
+      // canonical-set stability: symmetric difference empty, checked with ONE
+      // short-circuiting action (isEmpty = take(1)) instead of two full
+      // exceptAll counts — non-final iterations bail on the first diff row
+      stable = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
       free(edgeIds)
       edges = next; edgeIds = nextIds
-      stable = grew == 0 && shrank == 0
       iter += 1
     }
     // materialize labels BEFORE releasing the edge blocks they derive from —
