@@ -270,6 +270,74 @@ object FeaturePrep {
        |SELECT user_id, neg_type, i FROM r WHERE rn <= 2
        |ORDER BY user_id, i""".stripMargin
 
+  // ---------------------------------------------------------------- q217
+
+  /** Feature assembly — the feature-store join that fans three sources into
+    * one wide training row per customer: account balance (dim), lifetime
+    * spend (kilo-dollar units — finer quantizations push (Σx)² and n·Σx² past int64 as the corpus grows) and order count (orders agg), and event count (behavioral agg,
+    * user_id ≡ custkey in this corpus), each z-standardized against the
+    * population. Every moment is an exact 64-bit integer sum over cent-
+    * quantized values (⌊x·100⌋ — IEEE multiply+floor, bit-identical), so
+    * μ and σ are IEEE expressions over exact inputs and the z-scores match
+    * across engines bit for bit. Shape: two aggregations, three left joins
+    * on the entity key, one broadcast 1-row stats frame — the canonical
+    * entity-centric assembly at any scale.
+    */
+  def q217FeatureAssembly(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), floor(col("c_acctbal") * 100).cast("long").as("bal"))
+    val ords = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") / 1000).cast("long")).as("spend"))
+    val evs = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val base = cust
+      .join(ords, col("c_custkey") === col("o_custkey"), "left")
+      .join(evs, col("c_custkey") === col("user_id"), "left")
+      .select(col("c_custkey"), col("bal"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0L)).as("spend"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+    def moments(c: String) = Seq(
+      sum(col(c)).as(s"s_$c"), sum(col(c) * col(c)).as(s"q_$c"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      moments("bal") ++ moments("n_orders") ++ moments("spend") ++ moments("n_events"): _*)
+    def z(c: String) =
+      ((col(c) * col("n") - col(s"s_$c")).cast("double") / col("n") /
+        sqrt((col("n") * col(s"q_$c") - col(s"s_$c") * col(s"s_$c")).cast("double") /
+          (col("n") * (col("n") - 1)))).as(s"z_$c")
+    base.crossJoin(broadcast(stats))
+      .select(col("c_custkey"), z("bal"), z("n_orders"), z("spend"), z("n_events"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q217Oracle: String =
+    s"""WITH e AS (${Det.EventsSql}),
+       |cust AS (SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+       |ords AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+       |           CAST(sum(CAST(floor(o_totalprice / 1000) AS BIGINT)) AS BIGINT) AS spend
+       |         FROM orders GROUP BY 1),
+       |evs AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY 1),
+       |base AS (
+       |  SELECT c_custkey, bal,
+       |    coalesce(n_orders, 0) AS n_orders, coalesce(spend, 0) AS spend,
+       |    coalesce(n_events, 0) AS n_events
+       |  FROM cust LEFT JOIN ords ON c_custkey = o_custkey
+       |            LEFT JOIN evs ON c_custkey = user_id),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(bal) AS BIGINT) AS s_bal, CAST(sum(bal*bal) AS BIGINT) AS q_bal,
+       |    CAST(sum(n_orders) AS BIGINT) AS s_n_orders, CAST(sum(n_orders*n_orders) AS BIGINT) AS q_n_orders,
+       |    CAST(sum(spend) AS BIGINT) AS s_spend, CAST(sum(spend*spend) AS BIGINT) AS q_spend,
+       |    CAST(sum(n_events) AS BIGINT) AS s_n_events, CAST(sum(n_events*n_events) AS BIGINT) AS q_n_events
+       |  FROM base)
+       |SELECT c_custkey,
+       |  CAST(bal * n - s_bal AS DOUBLE) / n / sqrt(CAST(n * q_bal - s_bal * s_bal AS DOUBLE) / (n * (n - 1))) AS z_bal,
+       |  CAST(n_orders * n - s_n_orders AS DOUBLE) / n / sqrt(CAST(n * q_n_orders - s_n_orders * s_n_orders AS DOUBLE) / (n * (n - 1))) AS z_n_orders,
+       |  CAST(spend * n - s_spend AS DOUBLE) / n / sqrt(CAST(n * q_spend - s_spend * s_spend AS DOUBLE) / (n * (n - 1))) AS z_spend,
+       |  CAST(n_events * n - s_n_events AS DOUBLE) / n / sqrt(CAST(n * q_n_events - s_n_events * s_n_events AS DOUBLE) / (n * (n - 1))) AS z_n_events
+       |FROM base CROSS JOIN stats ORDER BY c_custkey""".stripMargin
+
   // ----------------------------------------------------------------
 
   def all: Seq[GraftQuery] = Seq(
@@ -279,5 +347,6 @@ object FeaturePrep {
     GraftQuery.sql("q199_weighted_sample", q199WeightedSample, q199Oracle),
     GraftQuery.sql("q201_audience_overlap", q201AudienceOverlap, q201Oracle),
     GraftQuery.sql("q202_quantile_normalize", q202QuantileNormalize, q202Oracle),
-    GraftQuery.sql("q203_negative_sampling", q203NegativeSampling, q203Oracle))
+    GraftQuery.sql("q203_negative_sampling", q203NegativeSampling, q203Oracle),
+    GraftQuery.sql("q217_feature_assembly", q217FeatureAssembly, q217Oracle))
 }

@@ -230,6 +230,44 @@ object StreamingOps {
       }
   }
 
+  /** A scored event emitted by [[cusumStream]]. */
+  final case class CusumFlag(user_id: Long, event_id: Long, s: Long, alarm: Boolean)
+
+  /** Streaming one-sided CUSUM changepoint monitor — the true-streaming twin
+    * of the batch q206 recursion (graft.operators.TypedOps), using the
+    * IDENTICAL integer update s ← max(0, s + ⌊value·100⌋ − k), alarm at
+    * s > h, so a batch backfill and the live stream raise the same alarms.
+    * State per user is ONE long — O(1) regardless of stream length — and
+    * idle users expire via an event-time timeout. Same in-order-per-user
+    * delivery contract as [[anomalyStream]].
+    */
+  def cusumStream(
+      events: Dataset[Event], k: Long = 3459L, h: Long = 50000L): Dataset[CusumFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, CusumFlag](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(0L)
+            var maxTs = 0L
+            val out = List.newBuilder[CusumFlag]
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val x = math.floor(e.value * 100.0).toLong
+              s = math.max(0L, s + x - k)
+              out += CusumFlag(userId, e.event_id, s, s > h)
+              maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(maxTs + 6L * 3600 * 1000)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Latest observed state per (user, event_type) — emitted by
     * [[latestState]] in update mode whenever the state changes. */
   final case class LatestState(

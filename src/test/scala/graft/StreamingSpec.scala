@@ -322,6 +322,39 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("cusumStream raises the same alarms as the batch CUSUM recursion across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 9: steady low values, then a sustained high run that accumulates
+    // past the alarm threshold — split across two micro-batches so the
+    // carried state (one long) is exercised
+    val feed = (1 to 5).map(i =>
+      Event(i.toLong, ts(f"2024-01-01 00:0$i:00"), 9, "view", 10.0)) ++
+      (6 to 9).map(i => Event(i.toLong, ts(f"2024-01-01 00:0$i:00"), 9, "view", 400.0))
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.cusumStream(mem.toDS())
+      .writeStream.format("memory").queryName("cus").outputMode("append").start()
+    try {
+      mem.addData(feed.take(6): _*)
+      q.processAllAvailable()
+      mem.addData(feed.drop(6): _*)
+      q.processAllAvailable()
+      val got = spark.table("cus").as[StreamingOps.CusumFlag].collect()
+        .sortBy(_.event_id)
+      // reference: the q206 recursion replayed directly
+      var s = 0L
+      val want = feed.sortBy(_.event_id).map { e =>
+        s = math.max(0L, s + math.floor(e.value * 100.0).toLong - 3459L)
+        (e.event_id, s, s > 50000L)
+      }
+      assert(got.map(f => (f.event_id, f.s, f.alarm)).toSeq === want)
+      assert(want.count(_._3) > 0, "test feed must cross the alarm threshold")
+      // and the per-user aggregate matches the batch q206 output shape
+      val nAlarms = got.count(_.alarm).toLong
+      val maxS = got.map(_.s).max
+      assert(nAlarms === want.count(_._3).toLong && maxS === want.map(_._2).max)
+    } finally q.stop()
+  }
+
   test("anomalyStream flags the same events as the batch detector (in-order feed)") {
     implicit val sqlCtx = spark.sqlContext
     // user 7: constant 10.0 run then a 100.0 spike, split across batches
