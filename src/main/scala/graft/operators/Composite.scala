@@ -518,8 +518,98 @@ object Composite {
     GraftQuery.sql("q179_profile_cosine", q179ProfileCosine, q179Oracle),
     GraftQuery.sql("q185_margin_report", q185MarginReport, q185Oracle),
     GraftQuery.sql("q187_hier_share", q187HierShare, q187Oracle),
-    GraftQuery.sql("q213_revenue_bridge", q213RevenueBridge, q213Oracle)
+    GraftQuery.sql("q213_revenue_bridge", q213RevenueBridge, q213Oracle),
+    GraftQuery.sql("q218_pareto_share", q218ParetoShare, q218Oracle),
+    GraftQuery.sql("q221_discount_elasticity", q221DiscountElasticity, q221Oracle)
   )
+
+  // ---------------------------------------------------------------- q218
+
+  /** Revenue concentration (Pareto) curve: parts ranked by revenue, then the
+    * cumulative revenue share at each decile boundary — the 80/20 diagnostic
+    * behind assortment and cache-sizing decisions. Revenue is decimal-exact,
+    * scaled to integer 10⁻⁴ units so the running window sum is pure int64;
+    * the share is one IEEE division per row. The rank window sees only the
+    * per-part aggregate (|parts| ≪ |rows|); a key space too large for one
+    * partition would bin first (q66's histogram shape).
+    */
+  def q218ParetoShare(spark: SparkSession, dir: String): DataFrame = {
+    val pr = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("p"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,4)")) * 10000)
+        .cast("long").as("rev"))
+    val wRank = Window.orderBy(col("rev").desc, col("p"))
+    val ranked = pr
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("cum", sum(col("rev")).over(wRank.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("rev")).over(Window.partitionBy()))
+    ranked
+      .groupBy(expr("CAST((rn * 10 - 1) div n AS INT)").as("decile_ix"))
+      .agg(max(col("cum").cast("double") / col("tot").cast("double")).as("cum_share"),
+        count(lit(1)).as("n_parts"))
+      .orderBy(col("decile_ix"))
+  }
+
+  val q218Oracle: String =
+    """WITH pr AS (
+      |  SELECT l_partkey AS p,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |r AS (SELECT p, rev,
+      |        CAST(row_number() OVER (ORDER BY rev DESC, p) AS BIGINT) AS rn,
+      |        CAST(count(*) OVER () AS BIGINT) AS n,
+      |        CAST(sum(rev) OVER (ORDER BY rev DESC, p ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |        CAST(sum(rev) OVER () AS BIGINT) AS tot
+      |      FROM pr)
+      |SELECT CAST((rn * 10 - 1) // n AS INT) AS decile_ix,
+      |  max(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)) AS cum_share,
+      |  count(*) AS n_parts
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q221
+
+  /** Discount elasticity proxy per brand: Pearson correlation between the
+    * line discount (integer percent) and quantity — does discounting move
+    * volume? Both variables quantize to small exact integers, the five
+    * moments are one partial+final aggregation keyed on brand, and r is one
+    * sqrt·sqrt division — deterministic to the bit. The part dim broadcasts.
+    */
+  def q221DiscountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("b"),
+        round(col("l_discount") * 100).cast("long").as("d"),
+        col("l_quantity").cast("long").as("q"))
+    x.groupBy(col("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d")).as("sd"), sum(col("q")).as("sq"),
+        sum(col("d") * col("q")).as("sdq"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum(col("q") * col("q")).as("sqq"))
+      .select(col("b"), col("n"),
+        ((col("n") * col("sdq") - col("sd") * col("sq")).cast("double") /
+          (sqrt((col("n") * col("sdd") - col("sd") * col("sd")).cast("double")) *
+            sqrt((col("n") * col("sqq") - col("sq") * col("sq")).cast("double"))))
+          .as("corr_dq"))
+      .orderBy(col("b"))
+  }
+
+  val q221Oracle: String =
+    """WITH x AS (
+      |  SELECT p_brand AS b, CAST(round(l_discount * 100) AS BIGINT) AS d,
+      |         CAST(l_quantity AS BIGINT) AS q
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |s AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(d) AS BIGINT) AS sd, CAST(sum(q) AS BIGINT) AS sq,
+      |        CAST(sum(d*q) AS BIGINT) AS sdq, CAST(sum(d*d) AS BIGINT) AS sdd,
+      |        CAST(sum(q*q) AS BIGINT) AS sqq
+      |      FROM x GROUP BY 1)
+      |SELECT b, n,
+      |  CAST(n*sdq - sd*sq AS DOUBLE) /
+      |    (sqrt(CAST(n*sdd - sd*sd AS DOUBLE)) * sqrt(CAST(n*sqq - sq*sq AS DOUBLE))) AS corr_dq
+      |FROM s ORDER BY b""".stripMargin
 
   // ---------------------------------------------------------------- q213
 

@@ -303,8 +303,85 @@ object Timeline {
     GraftQuery.sql("q192_sla_attainment", q192SlaAttainment, q192Oracle),
     GraftQuery.sql("q209_behavior_profile", q209BehaviorProfile, q209Oracle),
     GraftQuery.sql("q210_rolling_median", q210RollingMedian, q210Oracle),
-    GraftQuery.sql("q212_behavior_gini", q212BehaviorGini, q212Oracle)
+    GraftQuery.sql("q212_behavior_gini", q212BehaviorGini, q212Oracle),
+    GraftQuery.sql("q219_new_returning", q219NewReturning, q219Oracle),
+    GraftQuery.sql("q220_survival_curve", q220SurvivalCurve, q220Oracle)
   )
+
+  // ---------------------------------------------------------------- q219
+
+  /** New-vs-returning order split per month — the acquisition/retention
+    * decomposition every growth dashboard leads with. Each customer's first
+    * month comes from one aggregation; the classification is a month-equality
+    * test joined back on the customer key (broadcastable per-customer frame);
+    * outputs are integer counts. Two shuffles at any scale.
+    */
+  def q219NewReturning(spark: SparkSession, dir: String): DataFrame = {
+    val first = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(min(col("o_orderdate")).as("first_dt"))
+    Tables.orders(spark, dir)
+      .join(first, "o_custkey")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(
+        sum(when(date_trunc("month", col("first_dt")) ===
+          date_trunc("month", col("o_orderdate")), 1L).otherwise(0L)).as("new_orders"),
+        sum(when(date_trunc("month", col("first_dt")) =!=
+          date_trunc("month", col("o_orderdate")), 1L).otherwise(0L)).as("ret_orders"))
+      .orderBy(col("m"))
+  }
+
+  val q219Oracle: String =
+    """WITH f AS (SELECT o_custkey, min(o_orderdate) AS first_dt FROM orders GROUP BY 1)
+      |SELECT date_trunc('month', o_orderdate) AS m,
+      |  CAST(sum(CASE WHEN date_trunc('month', first_dt) = date_trunc('month', o_orderdate)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS new_orders,
+      |  CAST(sum(CASE WHEN date_trunc('month', first_dt) <> date_trunc('month', o_orderdate)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS ret_orders
+      |FROM orders JOIN f USING (o_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q220
+
+  /** Inter-order survival curve: for each horizon (30/60/90/180/365 days),
+    * the fraction of order gaps that exceed it — the repurchase-cycle
+    * distribution behind churn-window policy (complements q184's moments and
+    * q186's churn cohort). Gaps are exact integer day counts (µs difference,
+    * integer division); horizons come from a generated 5-row frame that
+    * cross-joins as a broadcast; every output is integer counts plus one
+    * exact division.
+    */
+  def q220SurvivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ts"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ts"), col("o_orderkey"))
+      .withColumn("du", expr("unix_micros(ts) - unix_micros(lag(ts, 1) OVER " +
+        "(PARTITION BY o_custkey ORDER BY ts, o_orderkey))"))
+      .where(col("du").isNotNull)
+      .select(expr("du div 86400000000").as("gap_days"))
+    val horizons = gaps.sparkSession.range(1)
+      .select(explode(expr("array(30L, 60L, 90L, 180L, 365L)")).as("horizon_days"))
+    gaps.crossJoin(broadcast(horizons))
+      .groupBy(col("horizon_days"))
+      .agg(
+        sum(when(col("gap_days") > col("horizon_days"), 1L).otherwise(0L)).as("n_surviving"),
+        count(lit(1)).as("n_gaps"))
+      .select(col("horizon_days"), col("n_surviving"), col("n_gaps"),
+        (col("n_surviving").cast("double") / col("n_gaps")).as("survival"))
+      .orderBy(col("horizon_days"))
+  }
+
+  val q220Oracle: String =
+    """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ts, o_orderkey
+      |           FROM orders),
+      |l AS (SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY o_custkey
+      |        ORDER BY ts, o_orderkey)) AS du FROM o),
+      |g AS (SELECT du // 86400000000 AS gap_days FROM l WHERE du IS NOT NULL),
+      |t AS (SELECT unnest([30, 60, 90, 180, 365]) AS horizon_days)
+      |SELECT CAST(horizon_days AS BIGINT) AS horizon_days,
+      |  CAST(sum(CASE WHEN gap_days > horizon_days THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving,
+      |  CAST(count(*) AS BIGINT) AS n_gaps,
+      |  CAST(sum(CASE WHEN gap_days > horizon_days THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS survival
+      |FROM g, t GROUP BY horizon_days ORDER BY horizon_days""".stripMargin
 
   // ---------------------------------------------------------------- q209
 
