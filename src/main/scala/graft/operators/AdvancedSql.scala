@@ -364,6 +364,114 @@ object AdvancedSql {
       |SELECT p_brand, p_type AS mode_type, n AS n_mode, n_total
       |FROM r WHERE rn = 1 ORDER BY p_brand""".stripMargin
 
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): each customer's referral
+    * chain walks `custkey → custkey div 2` up to the root, and the output
+    * histograms customers by chain depth. The recursion is the engine's
+    * iterative-fixpoint operator — each step is one self-union the optimizer
+    * plans as a loop of distributed batches, never a driver-side walk. Depth
+    * is logarithmic in the key space (~17 levels at SF1), far under the
+    * recursion-level limit; all outputs are integers.
+    */
+  def q222RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_rc")
+    spark.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS k, CAST(c_custkey AS BIGINT) AS cur, 0 AS depth
+        |  FROM customer_rc
+        |  UNION ALL
+        |  SELECT k, cur DIV 2, depth + 1 FROM chain WHERE cur > 1
+        |)
+        |SELECT depth AS root_depth, count(*) AS n_customers,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM (SELECT k, max(depth) AS depth FROM chain GROUP BY k)
+        |GROUP BY root_depth ORDER BY root_depth""".stripMargin)
+  }
+
+  val q222Oracle: String =
+    """WITH RECURSIVE chain AS (
+      |  SELECT c_custkey AS k, CAST(c_custkey AS BIGINT) AS cur, 0 AS depth
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT k, cur // 2, depth + 1 FROM chain WHERE cur > 1
+      |)
+      |SELECT depth AS root_depth, CAST(count(*) AS BIGINT) AS n_customers,
+      |  min(k) AS min_key, max(k) AS max_key
+      |FROM (SELECT k, max(depth) AS depth FROM chain GROUP BY k)
+      |GROUP BY root_depth ORDER BY root_depth""".stripMargin
+
+  /** SQL pipe syntax (Spark 4 `|>` operators): the same filter→aggregate→sort
+    * written as a left-to-right pipeline. Pipe stages compile to the
+    * identical logical plan as the nested form — this query pins that parity
+    * against the classic-SQL oracle (same scan pushdown, same partial
+    * aggregation).
+    */
+  def q223PipeSyntax(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_ps")
+    spark.sql(
+      """FROM lineitem_ps
+        ||> WHERE l_shipdate <= DATE '1998-09-02'
+        ||> AGGREGATE count(*) AS line_cnt,
+        |     sum(CAST(l_quantity AS BIGINT)) AS sum_qty GROUP BY l_returnflag
+        ||> ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val q223Oracle: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS line_cnt,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Re-aggregatable distinct-count sketches (DataSketches HLL): per-quarter
+    * partial sketches of the customer key, merged with `hll_union_agg` and
+    * estimated — the 100 TB pattern where daily/partition sketches are tiny,
+    * mergeable, and never rescan history (vs q10's one-shot
+    * approx_count_distinct). The sketch estimate is deterministic for a
+    * given input multiset, and the oracle is q10's tolerance-boolean shape:
+    * exact counts plus a literal-true twin of the ±5% check.
+    */
+  def q224HllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), date_trunc("quarter", col("o_orderdate")).as("q"))
+    val merged = o.groupBy(col("q"))
+      .agg(expr("hll_sketch_agg(o_custkey, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_quarters"))
+    val exact = o.agg(countDistinct(col("o_custkey")).as("exact_custs"))
+    exact.crossJoin(broadcast(merged))
+      .select(col("exact_custs"), col("n_quarters"),
+        (abs(col("est") - col("exact_custs")) <= col("exact_custs") * 0.05).as("ok"))
+  }
+
+  val q224Oracle: String =
+    """SELECT count(DISTINCT o_custkey) AS exact_custs,
+      |  CAST(count(DISTINCT date_trunc('quarter', o_orderdate)) AS BIGINT) AS n_quarters,
+      |  true AS ok
+      |FROM orders""".stripMargin
+
+  /** VARIANT ingestion (Spark 4 semi-structured type): event props parsed
+    * once into VARIANT, a typed field extracted with `variant_get`, then
+    * aggregated per event type. VARIANT keeps the parsed binary form
+    * columnar (parse once, extract many) — the schema-on-read path for
+    * ragged JSON at scale, vs q24's per-field `get_json_object` reparse.
+    * All outputs are integer sums/counts.
+    */
+  def q225VariantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_with_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q225Oracle: String =
+    """SELECT event_type,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q51_stats_moments", q51StatsMoments, q51Oracle),
     GraftQuery.sql("q52_percentiles", q52Percentiles, q52Oracle),
@@ -380,7 +488,11 @@ object AdvancedSql {
     GraftQuery.sql("q104_merge_upsert", q104MergeUpsert, q104Oracle),
     GraftQuery.sql("q105_winsorized_stats", q105WinsorizedStats, q105Oracle),
     GraftQuery.sql("q148_share_of_day", q148ShareOfDay, q148Oracle),
-    GraftQuery.sql("q162_mode_per_group", q162ModePerGroup, q162Oracle)
+    GraftQuery.sql("q162_mode_per_group", q162ModePerGroup, q162Oracle),
+    GraftQuery.sql("q222_recursive_cte", q222RecursiveCte, q222Oracle),
+    GraftQuery.sql("q223_pipe_syntax", q223PipeSyntax, q223Oracle),
+    GraftQuery.sql("q224_hll_merge", q224HllMerge, q224Oracle),
+    GraftQuery.sql("q225_variant_extract", q225VariantExtract, q225Oracle)
   )
 
   /** Event-time RANGE frame: per-user rolling 1-hour event count and sum —
