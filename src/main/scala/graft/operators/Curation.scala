@@ -436,7 +436,46 @@ object Curation {
       |FROM mm JOIN lcp ON mm.source = lcp.source
       |ORDER BY mm.source""".stripMargin
 
+  // ---------------------------------------------------------------- q226
+
+  /** Denylist term scrubbing — the PII-redaction machinery (regex match,
+    * count, mask, measure) exercised on a term denylist, since this corpus
+    * carries no synthetic PII. Per source: documents touched, total matches
+    * and characters removed by masking. Both engines run the identical
+    * word-boundary alternation (Java regex and RE2 agree on this subset);
+    * all outputs are integer counts, and the scan is map-only ahead of one
+    * small aggregation — at 100 TB this is the same single-pass shape as
+    * q101's quality filter.
+    */
+  def q226TermScrub(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "\\b(customer|vector|stream)\\b"
+    val h = Tables.documents(spark, dir).select(col("source"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("hits"),
+      length(col("text")).as("chars_in"),
+      length(regexp_replace(col("text"), pat, "#")).as("chars_out"))
+    h.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_hit"),
+        sum(col("hits")).cast("long").as("total_hits"),
+        sum(col("chars_in") - col("chars_out")).cast("long").as("chars_removed"))
+      .orderBy(col("source"))
+  }
+
+  val q226Oracle: String =
+    """WITH h AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(text, '\b(customer|vector|stream)\b')) AS hits,
+      |    length(text) AS chars_in,
+      |    length(regexp_replace(text, '\b(customer|vector|stream)\b', '#', 'g')) AS chars_out
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+      |  CAST(sum(hits) AS BIGINT) AS total_hits,
+      |  CAST(sum(chars_in - chars_out) AS BIGINT) AS chars_removed
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q226_term_scrub", q226TermScrub, q226Oracle),
     GraftQuery.sql("q208_corpus_rebalance", q208CorpusRebalance, q208Oracle),
     GraftQuery.sql("q211_stratified_kfold", q211StratifiedKfold, q211Oracle),
     GraftQuery.sql("q214_context_chunks", q214ContextChunks, q214Oracle),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.sources.Tables
@@ -161,10 +162,15 @@ object GraphRank {
           col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
       .distinct()
-    val deg = edges.groupBy(col("pa").as("p")).agg(count(lit(1)).cast("long").as("d"))
+    // Degrees via windows over the SAME edge stream, not a separate
+    // aggregate joined back: the basket pair-join is the expensive input
+    // and a groupBy+2-joins formulation re-evaluates it three times (once
+    // per consumer of `edges`). Window counts keep one physical pair-join
+    // feeding two shuffles. The edge list is symmetric, so the partition
+    // count over the target endpoint IS that endpoint's out-degree.
     val joined = edges
-      .join(deg.select(col("p").as("pa"), col("d").as("dx")), "pa")
-      .join(deg.select(col("p").as("pb"), col("d").as("dy")), "pb")
+      .withColumn("dx", count(lit(1)).over(Window.partitionBy(col("pa"))).cast("long"))
+      .withColumn("dy", count(lit(1)).over(Window.partitionBy(col("pb"))).cast("long"))
     joined.agg(
         count(lit(1)).cast("long").as("m"),
         sum(col("dx")).as("sx"),

@@ -305,8 +305,57 @@ object Timeline {
     GraftQuery.sql("q210_rolling_median", q210RollingMedian, q210Oracle),
     GraftQuery.sql("q212_behavior_gini", q212BehaviorGini, q212Oracle),
     GraftQuery.sql("q219_new_returning", q219NewReturning, q219Oracle),
-    GraftQuery.sql("q220_survival_curve", q220SurvivalCurve, q220Oracle)
+    GraftQuery.sql("q220_survival_curve", q220SurvivalCurve, q220Oracle),
+    GraftQuery.sql("q228_downsample", q228Downsample, q228Oracle)
   )
+
+  // ---------------------------------------------------------------- q228
+
+  /** Time-series downsampling for dashboards: one representative event per
+    * 6-hour bucket, chosen as the point farthest from the bucket mean (the
+    * LTTB idea with a fixed anchor). The deviation compare is INTEGER-exact:
+    * instead of |v − Σv/n| (a float division both engines might round
+    * differently), rank on |n·v − Σv| — the same ordering scaled by the
+    * bucket count, computed from cent-quantized int64 values. Window counts
+    * and sums partition on the bucket key, so the whole operator is two
+    * shuffles on a pre-aggregatable key at any scale.
+    */
+  def q228Downsample(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(spark, dir).select(col("event_id"),
+      window(col("ts"), "6 hours").getField("start").as("bucket"),
+      round(col("value") * 100).cast("long").as("vc"))
+    val wB = Window.partitionBy(col("bucket"))
+    val r = b
+      .withColumn("n", count(lit(1)).over(wB).cast("long"))
+      .withColumn("s", sum(col("vc")).over(wB))
+      .withColumn("dev", abs(col("n") * col("vc") - col("s")))
+    r.withColumn("rn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("dev").desc, col("event_id"))))
+      .where(col("rn") === 1)
+      .select(col("bucket"), col("event_id").as("rep_id"),
+        (col("vc").cast("double") / 100).as("rep_value"),
+        col("n").as("n_in_bucket"), col("dev"))
+      .orderBy(col("bucket"))
+  }
+
+  val q228Oracle: String =
+    s"""WITH b AS (
+       |  SELECT event_id, time_bucket(INTERVAL 6 HOUR, ts) AS bucket,
+       |    CAST(round(value * 100) AS BIGINT) AS vc
+       |  FROM (${graft.operators.Det.EventsSql})),
+       |w AS (
+       |  SELECT event_id, bucket, vc,
+       |    CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS n,
+       |    CAST(sum(vc) OVER (PARTITION BY bucket) AS BIGINT) AS s
+       |  FROM b),
+       |r AS (
+       |  SELECT bucket, event_id, vc, n, abs(n * vc - s) AS dev,
+       |    row_number() OVER (PARTITION BY bucket
+       |                       ORDER BY abs(n * vc - s) DESC, event_id) AS rn
+       |  FROM w)
+       |SELECT bucket, event_id AS rep_id, CAST(vc AS DOUBLE)/100 AS rep_value,
+       |  n AS n_in_bucket, dev
+       |FROM r WHERE rn = 1 ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------- q219
 

@@ -269,6 +269,37 @@ class PlanSpec extends SparkSpec {
     assert(joined.collect().map(_.getInt(0)).toSet === Set(1996, 1997))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The second runtime-pruning contract next to DPP: when a selective dim
+    // filter feeds a shuffle join, the optimizer injects a bloom filter of
+    // the dim's join keys into the fact scan (might_contain semi-reduction),
+    // so non-matching fact rows die before the exchange. Thresholds are
+    // tuned down because the local corpus is far below the 10 GiB
+    // application-side default that a real 100 TB fact table would clear.
+    import graft.sources.Tables
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "-1") // force the shuffle join the filter exists for
+      val o = Tables.orders(spark, sfDir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val q = Tables.lineitem(spark, sfDir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).count()
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloom"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("NO query in the entire inventory plans a CartesianProduct") {
     // The blanket 100 TB safety net: a cartesian product anywhere is a bug.
     // (Deliberate small-side broadcasts plan as BroadcastNestedLoopJoin.)
