@@ -202,6 +202,35 @@ object Composite {
        |FROM (${Det.EventsSql})
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Join-side skew handling made explicit (q73's twin for joins, the
+    * manual fallback when AQE's runtime skew split can't apply — e.g. a
+    * broadcast-too-big dim against a hot-keyed fact): the fact side salts
+    * each row into one of R sub-keys by content hash; the dim side
+    * replicates each row R times; the join runs on (key, salt) so a hot
+    * key's rows spread over R reducers. The oracle is the UNSALTED join —
+    * the hash-match proves the rewrite is result-identical.
+    */
+  def q230SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val R = 8
+    val fact = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("salt", pmod(hash(col("user_id"), col("event_id")), lit(R)))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      .withColumn("salt", explode(sequence(lit(0), lit(R - 1))))
+    fact.join(dim, Seq("user_id", "salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q230Oracle: String =
+    s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM (${Det.EventsSql}) JOIN customer ON user_id = c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared SQL text (both dialects): 10-bit × 10-bit Morton interleave of
     * two pre-bucketed dimensions — the Z-order clustering key used to lay
     * out multi-dimensionally-filtered data so either predicate prunes scans.
@@ -520,7 +549,8 @@ object Composite {
     GraftQuery.sql("q187_hier_share", q187HierShare, q187Oracle),
     GraftQuery.sql("q213_revenue_bridge", q213RevenueBridge, q213Oracle),
     GraftQuery.sql("q218_pareto_share", q218ParetoShare, q218Oracle),
-    GraftQuery.sql("q221_discount_elasticity", q221DiscountElasticity, q221Oracle)
+    GraftQuery.sql("q221_discount_elasticity", q221DiscountElasticity, q221Oracle),
+    GraftQuery.sql("q230_salted_join", q230SaltedJoin, q230Oracle)
   )
 
   // ---------------------------------------------------------------- q218

@@ -72,7 +72,45 @@ object Connectors {
        |WHERE o_orderstatus = 'O'
        |GROUP BY c_mktsegment ORDER BY seg""".stripMargin
 
+  // ---------------------------------------------------------------- q231
+
+  /** DSv2 SINK round-trip through the two-phase commit protocol
+    * ([[graft.sources.v2.MemSink]]): a filtered projection of `customer` is
+    * written via task commit messages + atomic driver commit
+    * (mode("overwrite") exercising TRUNCATE), read back through the same
+    * provider with column pruning, and aggregated. The oracle aggregates
+    * the source table directly — a hash-match proves write→commit→read is
+    * lossless. This is the commit-semantics analogue of q45's file
+    * round-trip, expressed through the modern connector API instead of
+    * rename-as-commit (the reference's copy+delete hazard,
+    * CephRgwFileSystem.java:310-313). MemSinkSpec proves the abort side:
+    * a failed job leaves no partial table.
+    */
+  def q231SinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.MemSink
+    graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      .where(col("c_custkey") % 3 === 0)
+      .write.format(classOf[MemSink].getName).option("name", "q231_cust_copy")
+      .mode("overwrite").save()
+    spark.read.format(classOf[MemSink].getName).option("name", "q231_cust_copy").load()
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bal_cents")).as("sum_cents"),
+        min(col("c_custkey")).as("min_key"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q231Oracle: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  min(c_custkey) AS min_key
+      |FROM customer WHERE c_custkey % 3 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
-    GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle))
+    GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
+    GraftQuery.sql("q231_sink_roundtrip", q231SinkRoundtrip, q231Oracle))
 }

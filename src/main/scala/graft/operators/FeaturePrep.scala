@@ -338,9 +338,46 @@ object FeaturePrep {
        |  CAST(n_events * n - s_n_events AS DOUBLE) / n / sqrt(CAST(n * q_n_events - s_n_events * s_n_events AS DOUBLE) / (n * (n - 1))) AS z_n_events
        |FROM base CROSS JOIN stats ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q229
+
+  /** Calibration curve (reliability diagram): events ntile'd into score
+    * deciles by `value`, each decile reporting observed positive rate
+    * (purchase share) — the model-eval primitive that answers "does the
+    * score mean what it claims". The ntile order carries the event_id
+    * tiebreak so equal scores land deterministically; positives and cent
+    * sums are exact integers; the rate is one IEEE division. One global
+    * sort for the decile split (at 100 TB: pre-bucket by approx quantile
+    * boundaries, q127's equidepth shape) and one tiny aggregation.
+    */
+  def q229Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir).select(
+      ntile(10).over(Window.orderBy(col("value"), col("event_id"))).as("decile"),
+      round(col("value") * 100).cast("long").as("vc"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    d.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).as("positives"),
+        (sum(col("y")).cast("double") / count(lit(1))).as("rate"),
+        sum(col("vc")).as("sum_cents"))
+      .orderBy(col("decile"))
+  }
+
+  val q229Oracle: String =
+    s"""WITH d AS (
+       |  SELECT ntile(10) OVER (ORDER BY value, event_id) AS decile,
+       |    CAST(round(value*100) AS BIGINT) AS vc,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+       |  FROM (${graft.operators.Det.EventsSql}))
+       |SELECT decile, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(y) AS BIGINT) AS positives,
+       |  CAST(sum(y) AS DOUBLE)/count(*) AS rate,
+       |  CAST(sum(vc) AS BIGINT) AS sum_cents
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------------
 
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q229_calibration", q229Calibration, q229Oracle),
     GraftQuery.sql("q196_ntile_bands", q196NtileBands, q196Oracle),
     GraftQuery.sql("q197_lateral_topn", q197LateralTopn, q197Oracle),
     GraftQuery.sql("q198_loo_encode", q198LooEncode, q198Oracle),
