@@ -202,21 +202,35 @@ object VecMore {
     * upcast to decimal(38,0) — same one-division determinism argument.
     */
   def q149CovarianceMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.embeddings(spark, dir)
+    val q = Tables.embeddings(spark, dir)
       .select(expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("qarr"))
+    // Only the cross-moment needs the O(d²) pair expansion; the marginal
+    // sums are identical for every pair sharing a dimension, so they come
+    // from a 64-key aggregate joined back as a broadcast, and n is one
+    // scalar. This keeps the exploded struct to (di, dj, xy) — 40% of the
+    // bytes the 5-field version pushed through the map-side combine.
+    // The O(d²)-per-row cross moments come from the typed CovPairSums
+    // aggregator — a tight primitive loop with a mergeable 2016-slot long
+    // buffer (one per partition crosses the wire, not d²·rows exploded pair
+    // rows; the interpreted nested-HOF explode this replaces was 5× slower).
+    // The (di, dj) labels are generated positionally in the SAME row-major
+    // order the aggregator fills and zipped onto the sums.
+    val covAgg = udaf(new graft.functions.CovPairSums(64))
+    val sums = q.agg(covAgg(col("qarr")).as("sums"))
       .select(explode(expr(
-        """flatten(transform(qarr, (x, i) ->
-          |  transform(slice(qarr, i + 2, 64), (y, k) ->
-          |    named_struct('di', i, 'dj', i + 1 + k,
-          |                 'xy', x * y, 'qx', x, 'qy', y))))""".stripMargin))
-        .as("p"))
-      .select(col("p.di").as("di"), col("p.dj").as("dj"),
-        col("p.xy").as("xy"), col("p.qx").as("qx"), col("p.qy").as("qy"))
-    pairs.groupBy(col("di"), col("dj"))
-      .agg(sum(col("xy")).as("sxy"), sum(col("qx")).as("sx"),
-        sum(col("qy")).as("sy"), count(lit(1)).as("n"))
+        """zip_with(
+          |  flatten(transform(sequence(0, 62), i ->
+          |    transform(sequence(i + 1, 63), j -> named_struct('di', i, 'dj', j)))),
+          |  sums,
+          |  (p, s) -> struct(p.di AS di, p.dj AS dj, s AS sxy))""".stripMargin)).as("z"))
+      .select(col("z.di").as("di"), col("z.dj").as("dj"), col("z.sxy").as("sxy"))
+    val marg = q.select(posexplode(col("qarr")).as(Seq("d", "qx")))
+      .groupBy(col("d")).agg(sum(col("qx")).as("s"), count(lit(1)).as("n"))
+    sums
+      .join(broadcast(marg.select(col("d").as("di"), col("s").as("sx"), col("n"))), "di")
+      .join(broadcast(marg.select(col("d").as("dj"), col("s").as("sy"))), "dj")
       .select(col("di"), col("dj"), col("sxy"), col("n"),
         ((col("sxy").cast("double") / col("n") -
           (col("sx").cast("double") / col("n")) * (col("sy").cast("double") / col("n")))

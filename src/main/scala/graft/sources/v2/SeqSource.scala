@@ -8,11 +8,12 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation,
   Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual,
-  LessThan, LessThanOrEqual}
+  In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -48,6 +49,11 @@ object SeqSource {
     StructField("id", LongType, nullable = false),
     StructField("bucket", IntegerType, nullable = false),
     StructField("v", LongType, nullable = false)))
+
+  /** Test hooks: runtime-filter invocations and the last planned id range. */
+  val runtimeFilterEvents = new java.util.concurrent.atomic.AtomicLong(0)
+  val lastPlannedRange =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Long)]((0L, 0L))
 
   /** splitmix64 finalizer — deterministic, engine-independent. */
   def mix(z0: Long): Long = {
@@ -233,7 +239,34 @@ class SeqAggScan(lo: Long, hi: Long, agg: Aggregation) extends Scan with Batch {
 
 case class SeqAggPartition(rows: Array[Array[Any]]) extends InputPartition
 
-class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType) extends Scan with Batch {
+class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType)
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  // Runtime (DPP-style) narrowing on top of the planning-time clip: when
+  // this scan probes a join whose build side produced a small key set,
+  // Spark hands the keys back through filter() and the splits are
+  // re-planned over the narrowed range — whole virtual blocks skipped at
+  // RUNTIME, the V2 twin of the parquet dynamicpruning PartitionFilter
+  // (and the strongest version of the reference's getSplits clipping).
+  @volatile private var rLo = lo
+  @volatile private var rHi = hi
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) if vs.nonEmpty =>
+      val longs = vs.collect { case l: Long => l; case i: Int => i.toLong }
+      if (longs.length == vs.length) {
+        rLo = math.max(rLo, longs.min)
+        rHi = math.min(rHi, longs.max + 1)
+        SeqSource.runtimeFilterEvents.incrementAndGet()
+      }
+    case EqualTo("id", v: Long) =>
+      rLo = math.max(rLo, v); rHi = math.min(rHi, v + 1)
+      SeqSource.runtimeFilterEvents.incrementAndGet()
+    case _ => () // unsupported runtime filter: correctness-neutral to ignore
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"graft_seq range=[$lo,$hi)"
@@ -241,16 +274,18 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType) extends Scan
     // even ranges over the CLIPPED span, remainder spread over the first
     // partitions — the split planning the FileSystem reference does with
     // its virtual block size
-    val total = math.max(0L, hi - lo)
+    val total = math.max(0L, rHi - rLo)
     val base = total / parts
     val extra = total % parts
-    var start = lo
-    (0 until parts).flatMap { i =>
+    var start = rLo
+    val planned = (0 until parts).flatMap { i =>
       val len = base + (if (i < extra) 1 else 0)
       val p = if (len > 0) Some(SeqPartition(start, start + len)) else None
       start += len
       p
-    }.toArray
+    }.toArray[InputPartition]
+    SeqSource.lastPlannedRange.set((rLo, rHi))
+    planned
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required.fieldNames)

@@ -111,4 +111,24 @@ class SeqSourceSpec extends SparkSpec {
     assert(agg.count() === 32)
     assert(agg.agg(sum("n")).collect()(0).getLong(0) === 100000L)
   }
+
+  test("runtime (DPP-style) filtering narrows the planned splits from join keys") {
+    // A selective broadcast dim joined on id should hand its key set back
+    // through SupportsRuntimeFiltering.filter(), and the re-planned splits
+    // must cover only the narrowed id range — runtime skipping of whole
+    // virtual blocks, not just planning-time clipping.
+    val events0 = SeqSource.runtimeFilterEvents.get()
+    val dim = spark.range(0, 100000).toDF("k")
+      .where(col("k") % 1000 === 0 && col("k") >= 50000)
+    val fact = read(100000, 16)
+    val joined = fact.join(dim, fact("id") === dim("k"))
+      .agg(count(lit(1)).as("n"), sum(fact("id")).as("s"))
+    val r = joined.collect()(0)
+    assert(r.getLong(0) === 50L) // 50000, 51000, …, 99000
+    assert(r.getLong(1) === (50000L to 99000L by 1000).sum)
+    assert(SeqSource.runtimeFilterEvents.get() > events0,
+      "runtime filter was never delivered to the scan")
+    val (plo, phi) = SeqSource.lastPlannedRange.get()
+    assert(plo >= 50000L && phi <= 99001L, s"splits not narrowed: [$plo,$phi)")
+  }
 }
