@@ -472,6 +472,37 @@ object AdvancedSql {
       |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Parameterized SQL (Spark 4 named parameter markers): the query text
+    * carries `:lo` / `:hi` / `:status` placeholders and the values arrive
+    * through `spark.sql(text, args)` — bound as literals by the PARSER, not
+    * string-spliced, so the text is injection-safe and plan-cacheable while
+    * the bound literals still drive predicate pushdown and partition
+    * pruning exactly like inline constants (the prepared-statement surface
+    * a reusable 100 TB report query wants). The oracle inlines the same
+    * constants.
+    */
+  def q233ParamSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_pq")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders_pq
+        |WHERE o_orderdate >= CAST(:lo AS DATE)
+        |  AND o_orderdate < CAST(:hi AS DATE)
+        |  AND o_orderstatus = :status
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("lo" -> "1996-01-01", "hi" -> "1997-01-01", "status" -> "O"))
+  }
+
+  val q233Oracle: String =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       |  ${Det.dsumSql("o_totalprice")} AS total
+       |FROM orders
+       |WHERE o_orderdate >= DATE '1996-01-01'
+       |  AND o_orderdate < DATE '1997-01-01'
+       |  AND o_orderstatus = 'O'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q51_stats_moments", q51StatsMoments, q51Oracle),
     GraftQuery.sql("q52_percentiles", q52Percentiles, q52Oracle),
@@ -492,7 +523,8 @@ object AdvancedSql {
     GraftQuery.sql("q222_recursive_cte", q222RecursiveCte, q222Oracle),
     GraftQuery.sql("q223_pipe_syntax", q223PipeSyntax, q223Oracle),
     GraftQuery.sql("q224_hll_merge", q224HllMerge, q224Oracle),
-    GraftQuery.sql("q225_variant_extract", q225VariantExtract, q225Oracle)
+    GraftQuery.sql("q225_variant_extract", q225VariantExtract, q225Oracle),
+    GraftQuery.sql("q233_param_sql", q233ParamSql, q233Oracle)
   )
 
   /** Event-time RANGE frame: per-user rolling 1-hour event count and sum —

@@ -109,8 +109,50 @@ object Connectors {
       |FROM customer WHERE c_custkey % 3 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q232
+
+  /** Storage-partitioned join (SPJ) over the connector's bucket layout:
+    * both sides report `KeyGroupedPartitioning(identity(bucket))` with one
+    * keyed split per bucket ([[graft.sources.v2.SeqBucketScan]]), so with
+    * `spark.sql.sources.v2.bucketing.enabled` the per-bucket aggregates AND
+    * the bucket⋈bucket join plan with ZERO Exchange — Spark trusts the
+    * source's physical clustering instead of re-shuffling it (the
+    * Iceberg-style SPJ surface; SeqSourceSpec asserts the exchange-free
+    * plan). At 100 TB this is the difference between a metadata no-op and
+    * shuffling both fact tables: co-located storage buckets make the join
+    * embarrassingly parallel. The oracle recomputes both sides from
+    * DuckDB's range() generator — pure integer arithmetic.
+    */
+  def q232SpjBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    def bucketed(rows: Long) =
+      spark.read.format(classOf[SeqSource].getName)
+        .option("rows", rows.toString).option("layout", "bucket").load()
+    val a = bucketed(100000L).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("na"), sum(col("id")).as("sa"))
+    val b = bucketed(200000L).groupBy(col("bucket"))
+      .agg(max(col("id")).as("mb"), sum(col("id")).as("sb"))
+    a.join(b, "bucket")
+      .select(col("bucket"), col("na"), col("sa"), col("mb"), col("sb"))
+      .orderBy(col("bucket"))
+  }
+
+  val q232Oracle: String =
+    """WITH a AS (
+      |  SELECT CAST(range % 32 AS INT) AS bucket, count(*) AS na,
+      |    CAST(sum(range) AS BIGINT) AS sa
+      |  FROM range(0, 100000) GROUP BY 1),
+      |b AS (
+      |  SELECT CAST(range % 32 AS INT) AS bucket, max(range) AS mb,
+      |    CAST(sum(range) AS BIGINT) AS sb
+      |  FROM range(0, 200000) GROUP BY 1)
+      |SELECT a.bucket, na, sa, mb, sb
+      |FROM a JOIN b ON a.bucket = b.bucket
+      |ORDER BY 1""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
-    GraftQuery.sql("q231_sink_roundtrip", q231SinkRoundtrip, q231Oracle))
+    GraftQuery.sql("q231_sink_roundtrip", q231SinkRoundtrip, q231Oracle),
+    GraftQuery.sql("q232_spj_bucket_join", q232SpjBucketJoin, q232Oracle))
 }

@@ -9,9 +9,13 @@ import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation,
   Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.Expressions
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
-  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics,
+  SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit,
+  SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning,
+  SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual,
   In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
@@ -40,7 +44,8 @@ class SeqSource extends TableProvider {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new SeqTable(opts.getLong("rows", 1000L), opts.getInt("parts", 4))
+    new SeqTable(opts.getLong("rows", 1000L), opts.getInt("parts", 4),
+      opts.getOrDefault("layout", "range") == "bucket")
   }
 }
 
@@ -64,23 +69,25 @@ object SeqSource {
   }
 }
 
-class SeqTable(rows: Long, parts: Int) extends Table with SupportsRead {
+class SeqTable(rows: Long, parts: Int, bucketLayout: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_seq(rows=$rows, parts=$parts)"
   override def schema(): StructType = SeqSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(rows, parts)
+    new SeqScanBuilder(rows, parts, bucketLayout)
 }
 
-class SeqScanBuilder(rows: Long, parts: Int)
+class SeqScanBuilder(rows: Long, parts: Int, bucketLayout: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = SeqSource.schema
   private var lo = 0L
   private var hi = rows
   private var accepted = Array.empty[Filter]
   private var pushedAgg: Option[Aggregation] = None
+  private var topNPartial = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -131,6 +138,16 @@ class SeqScanBuilder(rows: Long, parts: Int)
     }
 
   private def supported(agg: Aggregation): Boolean = {
+    // A bucket-layout table REFUSES aggregate pushdown: Spark's
+    // V2ScanPartitioningAndOrdering resolves a scan's reported partitioning
+    // against the relation's original attributes, and aggregate pushdown
+    // mints fresh ones — so a pushed aggregate can never keep
+    // KeyGroupedPartitioning. Keeping the row scan preserves the
+    // storage-partitioned contract and the aggregate still runs
+    // shuffle-free (partial+final in one stage over the keyed splits),
+    // which at scale is the better trade than a pushed agg followed by a
+    // full shuffle of every downstream consumer.
+    if (bucketLayout) return false
     val groupOk = agg.groupByExpressions.isEmpty ||
       (agg.groupByExpressions.length == 1 &&
         agg.groupByExpressions.flatMap(col).sameElements(Array("bucket")))
@@ -153,11 +170,50 @@ class SeqScanBuilder(rows: Long, parts: Int)
     true
   }
 
+  /** LIMIT n pushdown: for an unordered LIMIT any n rows are a correct
+    * answer, so the scan clips its span to the FIRST n ids of the
+    * (filter-clipped) range and never plans the rest — the DSv2 analogue of
+    * a storage engine stopping after n rows instead of scanning the file
+    * and discarding. The clip emits exactly min(n, total) rows, so the
+    * pushdown is complete (isPartiallyPushed=false) and Spark drops its own
+    * Limit node.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushedAgg.isDefined) return false
+    hi = math.min(hi, math.max(lo, 0L) + limit)
+    true
+  }
+
+  /** ORDER BY id LIMIT n pushdown: ids are generated ascending, so the
+    * top-n by id is a RANGE — the first n ids (ASC) or last n (DESC) of the
+    * clipped span. Splits outside that range are never planned. Partitions
+    * are read in parallel with no global order, so this is a PARTIAL push:
+    * Spark keeps its TakeOrderedAndProject, but over n rows instead of the
+    * whole table.
+    */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (pushedAgg.isDefined || orders.length != 1) return false
+    val onId = orders.head.expression() match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+      case _                  => false
+    }
+    if (!onId) return false
+    val clo = math.max(lo, 0L)
+    val chi = math.min(hi, rows)
+    if (orders.head.direction() == SortDirection.ASCENDING) hi = math.min(chi, clo + limit)
+    else lo = math.max(clo, chi - limit)
+    topNPartial = true
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = topNPartial
+
   override def build(): Scan = {
     val (clo, chi) = (math.max(lo, 0L), math.min(hi, rows))
     pushedAgg match {
-      case Some(agg) => new SeqAggScan(clo, chi, agg)
-      case None      => new SeqScan(clo, chi, parts, required)
+      case Some(agg)              => new SeqAggScan(clo, chi, agg)
+      case None if bucketLayout   => new SeqBucketScan(clo, chi, required)
+      case None                   => new SeqScan(clo, chi, parts, required)
     }
   }
 }
@@ -193,36 +249,36 @@ class SeqAggScan(lo: Long, hi: Long, agg: Aggregation) extends Scan with Batch {
     (n, first, last, sum)
   }
 
-  private def rowsOut: Array[Array[Any]] = {
-    val stats: Seq[(Option[Int], (Long, Long, Long, Long))] =
-      if (!grouped) {
-        val s = if (hi <= lo) (0L, 0L, 0L, 0L) else series(lo, hi - 1, 1)
-        Seq((None, s))
-      } else {
-        (0 until 32).flatMap { b =>
-          val first = lo + java.lang.Math.floorMod(b.toLong - lo, 32L)
-          if (first >= hi) None
-          else {
-            val last = first + ((hi - 1 - first) / 32) * 32
-            Some((Some(b), series(first, last, 32)))
-          }
+  private def stats: Seq[(Option[Int], (Long, Long, Long, Long))] =
+    if (!grouped) {
+      val s = if (hi <= lo) (0L, 0L, 0L, 0L) else series(lo, hi - 1, 1)
+      Seq((None, s))
+    } else {
+      (0 until 32).flatMap { b =>
+        val first = lo + java.lang.Math.floorMod(b.toLong - lo, 32L)
+        if (first >= hi) None
+        else {
+          val last = first + ((hi - 1 - first) / 32) * 32
+          Some((Some(b), series(first, last, 32)))
         }
       }
-    stats.map { case (bucket, (n, mn, mx, sum)) =>
-      val aggVals: Array[Any] = agg.aggregateExpressions.map {
-        case _: CountStar => java.lang.Long.valueOf(n)
-        case _: Count     => java.lang.Long.valueOf(n)
-        case _: Min       => if (n == 0) null else java.lang.Long.valueOf(mn)
-        case _: Max       => if (n == 0) null else java.lang.Long.valueOf(mx)
-        case _: Sum       => if (n == 0) null else java.lang.Long.valueOf(sum)
-        case f: AggregateFunc => throw new IllegalStateException(s"unsupported pushed agg $f")
-      }
-      (bucket.map(b => java.lang.Integer.valueOf(b): Any).toArray ++ aggVals)
-    }.toArray
+    }
+
+  private def toRow(bucket: Option[Int], s: (Long, Long, Long, Long)): Array[Any] = {
+    val (n, mn, mx, sum) = s
+    val aggVals: Array[Any] = agg.aggregateExpressions.map {
+      case _: CountStar => java.lang.Long.valueOf(n)
+      case _: Count     => java.lang.Long.valueOf(n)
+      case _: Min       => if (n == 0) null else java.lang.Long.valueOf(mn)
+      case _: Max       => if (n == 0) null else java.lang.Long.valueOf(mx)
+      case _: Sum       => if (n == 0) null else java.lang.Long.valueOf(sum)
+      case f: AggregateFunc => throw new IllegalStateException(s"unsupported pushed agg $f")
+    }
+    bucket.map(b => java.lang.Integer.valueOf(b): Any).toArray ++ aggVals
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(SeqAggPartition(rowsOut))
+    Array(SeqAggPartition(stats.map { case (b, s) => toRow(b, s) }.toArray))
 
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -240,7 +296,7 @@ class SeqAggScan(lo: Long, hi: Long, agg: Aggregation) extends Scan with Batch {
 case class SeqAggPartition(rows: Array[Array[Any]]) extends InputPartition
 
 class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
   // Runtime (DPP-style) narrowing on top of the planning-time clip: when
   // this scan probes a join whose build side produced a small key set,
   // Spark hands the keys back through filter() and the splits are
@@ -265,6 +321,21 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType)
       rLo = math.max(rLo, v); rHi = math.min(rHi, v + 1)
       SeqSource.runtimeFilterEvents.incrementAndGet()
     case _ => () // unsupported runtime filter: correctness-neutral to ignore
+  }
+
+  /** Planner-visible size estimates from the clipped span: a scan narrowed
+    * to a few thousand ids reports a few KB, so Catalyst's JoinSelection
+    * picks broadcast-hash on its own — no hint needed. Without this a V2
+    * relation falls back to `spark.sql.defaultSizeInBytes` (effectively
+    * infinite) and every join against the source degrades to sort-merge.
+    * The FileSystem analogue is `getFileStatus().getLen` feeding the
+    * engine's split/ join planning.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, rHi - rLo)
+    private val width = math.max(1, required.fields.map(_.dataType.defaultSize).sum)
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(n * width)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
   }
 
   override def readSchema(): StructType = required
@@ -292,6 +363,68 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType)
 }
 
 case class SeqPartition(start: Long, end: Long) extends InputPartition
+
+/** Bucket-grouped physical layout (`option("layout", "bucket")`): one split
+  * per `bucket` value (ids ≡ b mod 32), each split carrying its partition
+  * key (`HasPartitionKey`), with the layout reported to Catalyst as
+  * `KeyGroupedPartitioning(identity(bucket))` — the Iceberg-style
+  * storage-partitioned-join surface. With
+  * `spark.sql.sources.v2.bucketing.enabled=true`, joins and aggregations
+  * keyed on `bucket` are planned WITHOUT any Exchange: the engine trusts
+  * the source's physical clustering instead of re-shuffling it, the Spark
+  * analogue of co-located bucket joins over pre-partitioned storage (and
+  * the strongest use of the reference's block-placement metadata — locality
+  * the planner exploits, not just locality the scheduler prefers).
+  */
+class SeqBucketScan(lo: Long, hi: Long, required: StructType)
+    extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft_seq range=[$lo,$hi) layout=bucket"
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(Array(Expressions.identity("bucket")), 32)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    private val width = math.max(1, required.fields.map(_.dataType.defaultSize).sum)
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(n * width)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until 32).map(b => SeqBucketPartition(b, lo, hi): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqBucketReaderFactory(required.fieldNames)
+}
+
+case class SeqBucketPartition(bucket: Int, lo: Long, hi: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
+class SeqBucketReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SeqBucketPartition]
+    // first id ≥ lo with id ≡ bucket (mod 32), then stride 32
+    val first = p.lo + java.lang.Math.floorMod(p.bucket.toLong - p.lo, 32L)
+    new PartitionReader[InternalRow] {
+      private var cur = first - 32
+      override def next(): Boolean = { cur += 32; cur < p.hi }
+      override def get(): InternalRow = {
+        val values = fields.map {
+          case "id"     => java.lang.Long.valueOf(cur)
+          case "bucket" => java.lang.Integer.valueOf(p.bucket)
+          case "v"      => java.lang.Long.valueOf(SeqSource.mix(cur))
+        }
+        new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
 
 class SeqReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -12,6 +12,16 @@ class SeqSourceSpec extends SparkSpec {
     spark.read.format(classOf[SeqSource].getName)
       .option("rows", rows.toString).option("parts", parts.toString).load()
 
+  private def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("planInputPartitions controls scan parallelism; ranges cover exactly [0, rows)") {
     val df = read(10000, 8)
     assert(df.rdd.getNumPartitions === 8)
@@ -117,10 +127,12 @@ class SeqSourceSpec extends SparkSpec {
     // through SupportsRuntimeFiltering.filter(), and the re-planned splits
     // must cover only the narrowed id range — runtime skipping of whole
     // virtual blocks, not just planning-time clipping.
+    // fact is 10M rows so its REPORTED stats (200 MB) keep it on the probe
+    // side; the 50-row dim broadcasts and its key set flows back to the scan
     val events0 = SeqSource.runtimeFilterEvents.get()
     val dim = spark.range(0, 100000).toDF("k")
       .where(col("k") % 1000 === 0 && col("k") >= 50000)
-    val fact = read(100000, 16)
+    val fact = read(10000000, 16)
     val joined = fact.join(dim, fact("id") === dim("k"))
       .agg(count(lit(1)).as("n"), sum(fact("id")).as("s"))
     val r = joined.collect()(0)
@@ -130,5 +142,70 @@ class SeqSourceSpec extends SparkSpec {
       "runtime filter was never delivered to the scan")
     val (plo, phi) = SeqSource.lastPlannedRange.get()
     assert(plo >= 50000L && phi <= 99001L, s"splits not narrowed: [$plo,$phi)")
+  }
+
+  test("LIMIT pushdown clips the planned span to the first n ids (no full scan)") {
+    val got = read(1000000, 16).limit(5).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(0L, 1L, 2L, 3L, 4L))
+    val (plo, phi) = SeqSource.lastPlannedRange.get()
+    assert(phi - plo <= 5L, s"limit did not clip the span: [$plo,$phi)")
+  }
+
+  test("ORDER BY id LIMIT n (top-N) pushdown plans only the tail/head range") {
+    val desc3 = read(1000000, 16).orderBy(col("id").desc).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(desc3 === Seq(999999L, 999998L, 999997L))
+    val (plo, phi) = SeqSource.lastPlannedRange.get()
+    assert(plo >= 999997L, s"top-N did not clip to the tail: [$plo,$phi)")
+    val asc2 = read(1000000, 16).orderBy(col("id")).limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(asc2 === Seq(0L, 1L))
+    val (alo, ahi) = SeqSource.lastPlannedRange.get()
+    assert(ahi <= 2L, s"top-N did not clip to the head: [$alo,$ahi)")
+  }
+
+  test("reported statistics let Catalyst choose broadcast-hash with no hint") {
+    // The clipped scan reports ~1000 rows × 20 B — far under the broadcast
+    // threshold — so JoinSelection must pick BroadcastHashJoin on its own.
+    // Without SupportsReportStatistics a V2 relation defaults to
+    // defaultSizeInBytes=MaxValue and this degrades to sort-merge.
+    val small = read(10000000, 16).where(col("id") < 1000)
+    val big = spark.range(0, 10000000).toDF("k") // 80 MB: NOT broadcastable itself
+    val j = big.join(small, col("k") === col("id"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+    val r = j.collect()(0)
+    assert(r.getLong(0) === 1000L)
+    assert(r.getLong(1) === 999L * 1000L / 2)
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bucket layout: storage-partitioned join and aggregation run with ZERO Exchange") {
+    // Both sides report KeyGroupedPartitioning(identity(bucket), 32) and
+    // every split carries its partition key, so with v2 bucketing enabled
+    // the per-bucket aggregates AND the bucket⋈bucket join are planned
+    // entirely shuffle-free — the Iceberg-style SPJ surface on our source.
+    def bucketed(rows: Long) =
+      spark.read.format(classOf[SeqSource].getName)
+        .option("rows", rows.toString).option("layout", "bucket").load()
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val a = bucketed(3200).groupBy("bucket")
+        .agg(sum(pmod(col("v"), lit(1000000L))).as("sa")) // bounded: ANSI-safe
+      val b = bucketed(6400).groupBy("bucket").agg(count(lit(1)).as("nb"))
+      val j = a.join(b, "bucket")
+      val rows = j.collect()
+      assert(rows.length === 32)
+      assert(rows.forall(_.getLong(2) === 200L)) // 6400/32 per bucket
+      val expSa = (0L until 3200L).groupBy(_ % 32)
+        .map { case (k, g) =>
+          k.toInt -> g.map(i => java.lang.Math.floorMod(SeqSource.mix(i), 1000000L)).sum }
+      assert(rows.map(r => r.getInt(0) -> r.getLong(1)).toMap === expSa)
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"expected shuffle-free SPJ plan:\n$p")
+    }
   }
 }
