@@ -472,6 +472,41 @@ object AdvancedSql {
       |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Count-min-sketch heavy hitters: a mergeable CMS of `l_partkey`
+    * (`df.stat.countMinSketch`, fixed seed) probed for the top-20 true
+    * keys. The sketch is the 100 TB shape for frequency estimation — each
+    * partition folds into a constant-size counter grid, merges are
+    * element-wise adds (order-independent, so the result is deterministic
+    * for a fixed seed and corpus), and the driver holds kilobytes instead
+    * of a key-cardinality hash map. Output follows q10/q224's
+    * tolerance-boolean oracle shape: exact top-20 counts (DuckDB-matched)
+    * plus two deterministic sketch guarantees — est ≥ true (CMS never
+    * undercounts) and est ≤ true + ⌈eps·N⌉ (the width bound) — emitted as
+    * booleans the oracle pins to TRUE. The estimates themselves are
+    * engine-specific and stay out of the hashed columns.
+    */
+  def q234CountMinHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = Tables.lineitem(spark, dir).select(col("l_partkey"))
+    val cms = keys.stat.countMinSketch(col("l_partkey"),
+      eps = 0.001, confidence = 0.999, seed = 42)
+    val n = cms.totalCount() // N from the sketch itself: no second scan
+    val slack = math.ceil(0.001 * n).toLong
+    val top = keys.groupBy(col("l_partkey")).agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("l_partkey")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    top.toSeq.map { case (k, t) =>
+      val est = cms.estimateCount(java.lang.Long.valueOf(k))
+      (k, t, est >= t, est <= t + slack)
+    }.toDF("l_partkey", "true_n", "ge_true", "within_eps")
+  }
+
+  val q234Oracle: String =
+    """SELECT l_partkey, CAST(count(*) AS BIGINT) AS true_n,
+      |  TRUE AS ge_true, TRUE AS within_eps
+      |FROM lineitem GROUP BY 1
+      |ORDER BY true_n DESC, l_partkey LIMIT 20""".stripMargin
+
   /** Parameterized SQL (Spark 4 named parameter markers): the query text
     * carries `:lo` / `:hi` / `:status` placeholders and the values arrive
     * through `spark.sql(text, args)` — bound as literals by the PARSER, not
@@ -524,7 +559,8 @@ object AdvancedSql {
     GraftQuery.sql("q223_pipe_syntax", q223PipeSyntax, q223Oracle),
     GraftQuery.sql("q224_hll_merge", q224HllMerge, q224Oracle),
     GraftQuery.sql("q225_variant_extract", q225VariantExtract, q225Oracle),
-    GraftQuery.sql("q233_param_sql", q233ParamSql, q233Oracle)
+    GraftQuery.sql("q233_param_sql", q233ParamSql, q233Oracle),
+    GraftQuery.sql("q234_count_min", q234CountMinHeavyHitters, q234Oracle)
   )
 
   /** Event-time RANGE frame: per-user rolling 1-hour event count and sum —

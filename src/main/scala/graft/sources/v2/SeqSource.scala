@@ -3,7 +3,8 @@ package graft.sources.v2
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns,
+  SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation,
@@ -70,13 +71,33 @@ object SeqSource {
 }
 
 class SeqTable(rows: Long, parts: Int, bucketLayout: Boolean = false)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsMetadataColumns {
   override def name(): String = s"graft_seq(rows=$rows, parts=$parts)"
   override def schema(): StructType = SeqSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SeqScanBuilder(rows, parts, bucketLayout)
+
+  /** Split-provenance metadata columns (`_split_start`/`_split_end`): hidden
+    * from `SELECT *` but selectable by name, the DSv2 twin of
+    * `_metadata.file_path` on file sources — the lineage surface a 100 TB
+    * debugging session uses to trace a bad row back to its input split.
+    * They materialize in the reader from the split bounds, so they cost
+    * nothing unless asked for (and column pruning drops them like any
+    * other column).
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_split_start"
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+    },
+    new MetadataColumn {
+      override def name(): String = "_split_end"
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+    })
 }
 
 class SeqScanBuilder(rows: Long, parts: Int, bucketLayout: Boolean = false)
@@ -415,9 +436,11 @@ class SeqBucketReaderFactory(fields: Array[String]) extends PartitionReaderFacto
       override def next(): Boolean = { cur += 32; cur < p.hi }
       override def get(): InternalRow = {
         val values = fields.map {
-          case "id"     => java.lang.Long.valueOf(cur)
-          case "bucket" => java.lang.Integer.valueOf(p.bucket)
-          case "v"      => java.lang.Long.valueOf(SeqSource.mix(cur))
+          case "id"           => java.lang.Long.valueOf(cur)
+          case "bucket"       => java.lang.Integer.valueOf(p.bucket)
+          case "v"            => java.lang.Long.valueOf(SeqSource.mix(cur))
+          case "_split_start" => java.lang.Long.valueOf(first)
+          case "_split_end"   => java.lang.Long.valueOf(p.hi)
         }
         new GenericInternalRow(values.asInstanceOf[Array[Any]])
       }
@@ -434,9 +457,11 @@ class SeqReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
       override def next(): Boolean = { cur += 1; cur < p.end }
       override def get(): InternalRow = {
         val values = fields.map {
-          case "id"     => java.lang.Long.valueOf(cur)
-          case "bucket" => java.lang.Integer.valueOf((cur % 32).toInt)
-          case "v"      => java.lang.Long.valueOf(SeqSource.mix(cur))
+          case "id"           => java.lang.Long.valueOf(cur)
+          case "bucket"       => java.lang.Integer.valueOf((cur % 32).toInt)
+          case "v"            => java.lang.Long.valueOf(SeqSource.mix(cur))
+          case "_split_start" => java.lang.Long.valueOf(p.start)
+          case "_split_end"   => java.lang.Long.valueOf(p.end)
         }
         new GenericInternalRow(values.asInstanceOf[Array[Any]])
       }

@@ -300,6 +300,46 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    // The runtime complement of q230's explicit salting: AQE measures the
+    // ACTUAL map-output sizes after the shuffle and splits any partition
+    // over factor×median into sub-reads, so one hot key no longer pins the
+    // join on a single task. Thresholds are sized for clusters, so pin
+    // them down to fire on test-scale bytes; at 100 TB this is the
+    // default defense against the skewed-key join stall.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16k",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{expr, lit, when}
+      // 90% of fact rows share key 0 → one reduce partition gets ~18 MB
+      // while the others stay ~1 MB
+      // pay must be row-dependent (repeat of a per-row digit) or constant
+      // folding + column pruning would strip it before the shuffle
+      val fact = spark.range(0, 100000).toDF("i")
+        .withColumn("k", when(col("i") % 10 < 9, 0L).otherwise(col("i") % 97))
+        .withColumn("pay", expr("repeat(cast(i % 10 as string), 200)"))
+      val dim = spark.range(0, 97).toDF("k").withColumn("d", col("k") * 2)
+      // aggregate over pay so column pruning can't drop the heavy column
+      // before the shuffle — the skew must exist in actual shuffled bytes
+      val j = fact.join(dim, "k").groupBy(lit(1).as("one"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.length(col("pay"))).as("bytes"))
+      val r = j.collect()(0)
+      assert(r.getLong(1) === 100000L && r.getLong(2) === 100000L * 200L)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE skew split did not fire:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("NO query in the entire inventory plans a CartesianProduct") {
     // The blanket 100 TB safety net: a cartesian product anywhere is a bug.
     // (Deliberate small-side broadcasts plan as BroadcastNestedLoopJoin.)

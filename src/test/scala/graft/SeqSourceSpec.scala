@@ -181,6 +181,22 @@ class SeqSourceSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("metadata columns: _split_start/_split_end selectable by name, hidden from *") {
+    val df = read(10000, 4)
+    // hidden from SELECT *
+    assert(df.columns.toSeq === Seq("id", "bucket", "v"))
+    // selectable by name: every row's id falls inside its split bounds,
+    // and the distinct split ranges tile [0, rows) across 4 partitions
+    val md = df.select(col("id"), col("_split_start"), col("_split_end"))
+    val bad = md.where(col("id") < col("_split_start") || col("id") >= col("_split_end"))
+    assert(bad.count() === 0)
+    val splits = md.select(col("_split_start"), col("_split_end")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(splits.length === 4)
+    assert(splits.head._1 === 0L && splits.last._2 === 10000L)
+    assert(splits.sliding(2).forall { case Array(a, b) => a._2 === b._1; case _ => true })
+  }
+
   test("bucket layout: storage-partitioned join and aggregation run with ZERO Exchange") {
     // Both sides report KeyGroupedPartitioning(identity(bucket), 32) and
     // every split carries its partition key, so with v2 bucketing enabled
