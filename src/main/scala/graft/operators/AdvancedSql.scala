@@ -538,6 +538,73 @@ object AdvancedSql {
        |  AND o_orderstatus = 'O'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Spark 4 string collations: `COLLATE UTF8_LCASE` makes comparison,
+    * `contains`, and DISTINCT case-insensitive at the TYPE level — the
+    * engine-native form of the `lower()`-wrapping that ad-hoc SQL smears
+    * over every predicate (and which blocks dictionary-encoded pushdown).
+    * Facets per language: collated substring containment, collated equality
+    * against a re-cased twin, and COUNT(DISTINCT) that collapses case
+    * variants. The oracle lowers explicitly — semantically identical for
+    * this ASCII corpus. Output ordering stays on the binary-collated `lang`
+    * column so cross-engine sort semantics never enter the hash.
+    */
+  def q236Collation(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("docs_coll")
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs,
+        |  count_if(contains(text COLLATE UTF8_LCASE, 'ThE')) AS n_contains_the,
+        |  count_if((upper(source) COLLATE UTF8_LCASE) = source) AS n_src_ci_eq,
+        |  count(DISTINCT upper(source) COLLATE UTF8_LCASE) AS n_src_ci,
+        |  count(DISTINCT upper(source)) AS n_src_cs
+        |FROM docs_coll
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val q236Oracle: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN contains(lower(text), 'the') THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contains_the,
+      |  CAST(sum(CASE WHEN lower(upper(source)) = lower(source) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_src_ci_eq,
+      |  count(DISTINCT lower(source)) AS n_src_ci,
+      |  count(DISTINCT upper(source)) AS n_src_cs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Spark 4 SQL UDFs (`CREATE FUNCTION … RETURN <expr>`): business logic
+    * named once in the catalog and INLINED by the analyzer into the calling
+    * plan — so unlike a Scala/Python UDF the body stays inside whole-stage
+    * codegen and its predicates/projections keep pushing down (a black-box
+    * UDF would fence both off). `graft_net_price` is the classic
+    * discounted-price measure; `graft_qty_band` a CASE banding. The oracle
+    * inlines the same bodies — which is exactly what Catalyst does.
+    */
+  def q238SqlUdf(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_net_price(p DOUBLE, d DOUBLE)
+        |RETURNS DOUBLE RETURN p * (1.0d - d)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_band(q DOUBLE)
+        |RETURNS STRING RETURN CASE WHEN q < 10 THEN 'low'
+        |  WHEN q < 30 THEN 'mid' ELSE 'high' END""".stripMargin)
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_udf")
+    spark.sql(
+      """SELECT graft_qty_band(l_quantity) AS band, count(*) AS n,
+        |  CAST(sum(CAST(graft_net_price(l_extendedprice, l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS net_revenue
+        |FROM lineitem_udf
+        |WHERE graft_net_price(l_extendedprice, l_discount) > 1000.0d
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val q238Oracle: String =
+    s"""SELECT CASE WHEN l_quantity < 10 THEN 'low'
+       |  WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
+       |  count(*) AS n,
+       |  ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS net_revenue
+       |FROM lineitem
+       |WHERE l_extendedprice * (1.0 - l_discount) > 1000.0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q51_stats_moments", q51StatsMoments, q51Oracle),
     GraftQuery.sql("q52_percentiles", q52Percentiles, q52Oracle),
@@ -560,7 +627,9 @@ object AdvancedSql {
     GraftQuery.sql("q224_hll_merge", q224HllMerge, q224Oracle),
     GraftQuery.sql("q225_variant_extract", q225VariantExtract, q225Oracle),
     GraftQuery.sql("q233_param_sql", q233ParamSql, q233Oracle),
-    GraftQuery.sql("q234_count_min", q234CountMinHeavyHitters, q234Oracle)
+    GraftQuery.sql("q234_count_min", q234CountMinHeavyHitters, q234Oracle),
+    GraftQuery.sql("q236_collation", q236Collation, q236Oracle),
+    GraftQuery.sql("q238_sql_udf", q238SqlUdf, q238Oracle)
   )
 
   /** Event-time RANGE frame: per-user rolling 1-hour event count and sum —

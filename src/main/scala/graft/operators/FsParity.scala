@@ -77,8 +77,75 @@ object FsParity {
       |FROM documents, (SELECT unnest(['csv', 'json', 'orc']) AS f)
       |GROUP BY f ORDER BY format""".stripMargin
 
+  /** XML source+sink round trip (Spark 4's built-in XML data source): write
+    * `documents` as `<doc>` rows, read back with an explicit schema
+    * (schema-on-read — no inference dependence), and prove the trip lossless
+    * with content-sensitive aggregates. `count(DISTINCT md5(text))` pins the
+    * exact byte content: any XML-escaping damage to quotes/newlines/entities
+    * changes a digest and breaks the hash. Completes the q48 format sweep
+    * (csv/json/orc) with the remaining built-in self-describing format.
+    */
+  def q235XmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"$scratchRoot/xml"
+    val docs = Tables.documents(spark, dir)
+    docs.write.mode("overwrite").option("rootTag", "docs").option("rowTag", "doc")
+      .format("xml").save(out)
+    spark.read.schema(docs.schema).option("rowTag", "doc").format("xml").load(out)
+      .agg(
+        count(lit(1)).as("rows_cnt"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("text"))).as("distinct_md5"),
+        countDistinct(col("lang")).as("langs"))
+  }
+
+  val q235Oracle: String =
+    """SELECT count(*) AS rows_cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  count(DISTINCT md5(text)) AS distinct_md5, count(DISTINCT lang) AS langs
+      |FROM documents""".stripMargin
+
+  /** Raw-file multimodal ingest via the `binaryFile` source — the production
+    * path for loading image/audio payloads that live as one object per file.
+    * Fixture: a deterministic 1-in-37 document sample is materialized as one
+    * `doc_<id>.bin` per row, written executor-side (`foreachPartition`, no
+    * driver collect — at 100 TB the fixture writer is the ingest job itself).
+    * The query then scans the directory with `binaryFile`, recovers the key
+    * from the file path, and proves content fidelity: per-file md5 digests of
+    * the bytes must match the per-row md5 of the source text, byte for byte.
+    */
+  def q237BinaryFiles(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"$scratchRoot/binfiles"
+    new java.io.File(out).mkdirs()
+    Tables.documents(spark, dir)
+      .where(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text"))
+      .foreachPartition { rows: scala.collection.Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    spark.read.format("binaryFile").load(s"$out/*.bin")
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length"), md5(col("content")).as("content_md5"))
+      .agg(
+        count(lit(1)).as("files_cnt"),
+        sum(col("length")).as("sum_bytes"),
+        countDistinct(col("content_md5")).as("distinct_md5"),
+        max(col("doc_id")).as("max_doc_id"))
+  }
+
+  val q237Oracle: String =
+    """SELECT count(*) AS files_cnt,
+      |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,
+      |  count(DISTINCT md5(text)) AS distinct_md5, max(doc_id) AS max_doc_id
+      |FROM documents WHERE doc_id % 37 = 0""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q45_fs_roundtrip", q45FsRoundtrip, q45Oracle),
-    GraftQuery.sql("q48_formats_roundtrip", q48FormatsRoundtrip, q48Oracle)
+    GraftQuery.sql("q48_formats_roundtrip", q48FormatsRoundtrip, q48Oracle),
+    GraftQuery.sql("q235_xml_roundtrip", q235XmlRoundtrip, q235Oracle),
+    GraftQuery.sql("q237_binary_files", q237BinaryFiles, q237Oracle)
   )
 }

@@ -15,15 +15,27 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright; read it as a nanosecond long and truncate to Spark's
-    * native microsecond TimestampType. DuckDB's `CAST(ts AS TIMESTAMP)`
-    * truncates ns→µs identically, so oracle SQL uses that cast.
+  /** events.ts has shipped as two different parquet encodings across corpus
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * read as a nanosecond long via nanosAsLong and truncate to µs) and plain
+    * TIMESTAMP(MICROS) without UTC adjustment (which Spark reads as
+    * TIMESTAMP_NTZ). Normalize both to Spark's native microsecond
+    * TimestampType by inspecting the footer schema, so every downstream
+    * operator sees one stable type. DuckDB's `CAST(ts AS TIMESTAMP)` is the
+    * oracle twin for both encodings (ns→µs truncation / NTZ identity), and
+    * the session timezone is pinned UTC so the NTZ→LTZ cast is wall-clock
+    * preserving.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
