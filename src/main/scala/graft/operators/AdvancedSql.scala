@@ -544,31 +544,41 @@ object AdvancedSql {
     * over every predicate (and which blocks dictionary-encoded pushdown).
     * Facets per language: collated substring containment, collated equality
     * against a re-cased twin, and COUNT(DISTINCT) that collapses case
-    * variants. The oracle lowers explicitly — semantically identical for
-    * this ASCII corpus. Output ordering stays on the binary-collated `lang`
-    * column so cross-engine sort semantics never enter the hash.
+    * variants. The re-cased twin upper-cases only even doc_ids, so the same
+    * source value circulates in BOTH cases and the ci/cs distinct counts
+    * genuinely diverge — an engine that silently ignored UTF8_LCASE would
+    * fail every facet, not just the containment one. The oracle lowers
+    * explicitly — semantically identical for this ASCII corpus. Output
+    * ordering stays on the binary-collated `lang` column so cross-engine
+    * sort semantics never enter the hash.
     */
   def q236Collation(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir).createOrReplaceTempView("docs_coll")
     spark.sql(
       """SELECT lang, count(*) AS n_docs,
         |  count_if(contains(text COLLATE UTF8_LCASE, 'ThE')) AS n_contains_the,
-        |  count_if((upper(source) COLLATE UTF8_LCASE) = source) AS n_src_ci_eq,
-        |  count(DISTINCT upper(source) COLLATE UTF8_LCASE) AS n_src_ci,
-        |  count(DISTINCT upper(source)) AS n_src_cs
+        |  count_if((CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+        |            COLLATE UTF8_LCASE) = source) AS n_src_ci_eq,
+        |  count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+        |        COLLATE UTF8_LCASE) AS n_src_ci,
+        |  count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+        |    AS n_src_cs
         |FROM docs_coll
         |GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
   val q236Oracle: String =
-    """SELECT lang, count(*) AS n_docs,
+    """WITH d AS (SELECT lang, text, source,
+      |  CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS src2
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN contains(lower(text), 'the') THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_contains_the,
-      |  CAST(sum(CASE WHEN lower(upper(source)) = lower(source) THEN 1 ELSE 0 END) AS BIGINT)
+      |  CAST(sum(CASE WHEN lower(src2) = lower(source) THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_src_ci_eq,
-      |  count(DISTINCT lower(source)) AS n_src_ci,
-      |  count(DISTINCT upper(source)) AS n_src_cs
-      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+      |  count(DISTINCT lower(src2)) AS n_src_ci,
+      |  count(DISTINCT src2) AS n_src_cs
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Spark 4 SQL UDFs (`CREATE FUNCTION … RETURN <expr>`): business logic
     * named once in the catalog and INLINED by the analyzer into the calling

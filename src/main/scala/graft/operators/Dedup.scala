@@ -52,14 +52,41 @@ object Dedup {
     * shingle, so the output is the UNBLOCKED exact result.
     *
     * Scale note: work is Σ_h df(h)², so a viral shingle is the blow-up risk
-    * (here max df = 57). At 100 TB, cap df (drop stop-shingles) or switch to
-    * the LSH path (q34).
+    * (here max df = 57). At 100 TB, cap df (drop stop-shingles — the
+    * [[capPostings]] guard, exercised by the q239 twin) or switch to the
+    * LSH path (q34).
     */
-  def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(spark, dir, dfCap = None)
+
+  /** Document-frequency guard for inverted-index joins: drops postings of
+    * shingles appearing in more than `cap` documents BEFORE the pair join,
+    * bounding the join's work at Σ_h min(df(h), cap)² — a viral shingle
+    * (boilerplate header, license block) then degrades recall on pairs
+    * whose ONLY shared shingles are viral instead of detonating a df²
+    * shuffle. df is computed with one extra aggregation on the same `h`
+    * key, so the exchange is reused by the subsequent join; the df table
+    * is O(distinct shingles) and is never broadcast or collected.
+    */
+  private[graft] def capPostings(tok: DataFrame, cap: Int): DataFrame = {
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    tok.join(dfreq.where(col("df") <= cap).select(col("h")), Seq("h"))
+  }
+
+  /** q33 core, parameterized by the optional df cap. With a cap, `inter`
+    * counts only sub-cap shared shingles while the set sizes stay exact, so
+    * a capped run can under-report Jaccard on pairs sharing viral shingles
+    * — the documented degrade-don't-die trade. On this corpus max df = 57,
+    * so any cap ≥ 57 is provably a no-op (the q239 twin pins cap = 1000
+    * against q33's own oracle: hash-identical).
+    */
+  private def ngramJaccardPairs(spark: SparkSession, dir: String,
+      dfCap: Option[Int]): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-    val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val tok0 = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val tok = dfCap.map(capPostings(tok0, _)).getOrElse(tok0)
     // Self-join on the shingle hash. A postings-list formulation (groupBy(h)
     // → collect_list → HOF pair expansion) shuffles the token stream once
     // instead of twice, but measured 40% SLOWER here: the nested-lambda
@@ -746,6 +773,10 @@ object Dedup {
     GraftQuery.sql("q118_triangle_count", q118TriangleCount, q118Oracle),
     GraftQuery.sql("q136_star_components", q136StarComponents, q77Oracle),
     GraftQuery.sql("q157_cluster_rep", q157ClusterRep, q157Oracle),
-    GraftQuery.sql("q193_screen_audit", q193ScreenAudit, q193Oracle)
+    GraftQuery.sql("q193_screen_audit", q193ScreenAudit, q193Oracle),
+    // df-cap twin: cap 1000 > max corpus df 57, so the guard must be a
+    // no-op — proven by passing q33's own oracle (hash-identical).
+    GraftQuery.sql("q239_ngram_jaccard_dfcap",
+      (s, d) => ngramJaccardPairs(s, d, dfCap = Some(1000)), q33Oracle)
   )
 }

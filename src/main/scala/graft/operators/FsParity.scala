@@ -90,7 +90,14 @@ object FsParity {
     val docs = Tables.documents(spark, dir)
     docs.write.mode("overwrite").option("rootTag", "docs").option("rowTag", "doc")
       .format("xml").save(out)
-    spark.read.schema(docs.schema).option("rowTag", "doc").format("xml").load(out)
+    // ignoreSurroundingSpaces=false: the default (true) trims element text,
+    // which would silently pass on this trim-clean corpus but turn leading/
+    // trailing whitespace in a future corpus into a false fidelity failure —
+    // XML-spec normalization, not an engine bug. (The corpus must still
+    // satisfy XML 1.0 character constraints: no raw control chars, and CR
+    // would be newline-normalized by any conforming parser.)
+    spark.read.schema(docs.schema).option("rowTag", "doc")
+      .option("ignoreSurroundingSpaces", false).format("xml").load(out)
       .agg(
         count(lit(1)).as("rows_cnt"),
         sum(col("n_chars")).as("sum_chars"),
@@ -108,21 +115,33 @@ object FsParity {
     * Fixture: a deterministic 1-in-37 document sample is materialized as one
     * `doc_<id>.bin` per row, written executor-side (`foreachPartition`, no
     * driver collect — at 100 TB the fixture writer is the ingest job itself).
+    * Writes go through the Hadoop FileSystem API resolved from the output
+    * path, so on a real cluster the fixture lands on whatever shared
+    * filesystem `out` names (the read-back requires a shared FS either way;
+    * executor-local java.nio writes would strand files on executor hosts).
     * The query then scans the directory with `binaryFile`, recovers the key
     * from the file path, and proves content fidelity: per-file md5 digests of
     * the bytes must match the per-row md5 of the source text, byte for byte.
     */
   def q237BinaryFiles(spark: SparkSession, dir: String): DataFrame = {
     val out = s"$scratchRoot/binfiles"
-    new java.io.File(out).mkdirs()
+    // Overwrite semantics, mirroring mode("overwrite") on the other
+    // round-trip queries: delete + recreate so a second corpus run in the
+    // same JVM never leaves stale doc_*.bin files matching the glob.
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val dfs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dfs.delete(outPath, true)
+    dfs.mkdirs(outPath)
     Tables.documents(spark, dir)
       .where(col("doc_id") % 37 === 0)
       .select(col("doc_id"), col("text"))
       .foreachPartition { rows: scala.collection.Iterator[org.apache.spark.sql.Row] =>
+        val p = new org.apache.hadoop.fs.Path(out)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
         rows.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(out, s"doc_${r.getLong(0)}.bin"),
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val f = fs.create(new org.apache.hadoop.fs.Path(p, s"doc_${r.getLong(0)}.bin"), true)
+          try f.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally f.close()
         }
       }
     spark.read.format("binaryFile").load(s"$out/*.bin")

@@ -22,44 +22,60 @@ import graft.sources.Tables
   * bit-reproducible with no decimal detour. Rank mass stays ≤ SCALE = 10^12,
   * so 17·Σ ≤ 1.7·10^13 — no 64-bit overflow anywhere.
   *
-  * Scale shape: edges/degrees/ranks are all keyed by node id; each
-  * iteration is one shuffle join (edges ⋈ ranks, same key) plus one
-  * aggregation by dst. On a real cluster the edge table would be bucketed
-  * by src once so the per-iteration join is exchange-free; degrees join
-  * ranks map-side after the first co-partition. Iteration count is fixed
-  * (3), so the lineage stays shallow — no checkpoint needed.
+  * Scale shape: edges/degrees/ranks are all keyed by node id. The degree
+  * folds into a localCheckpointed (src, dst, deg) edge list once; each
+  * iteration is then ONE shuffled hash join on the node key (build side =
+  * the rank table) plus the mandatory dst-aggregation shuffle, and the
+  * identical edge-scan exchanges collapse across iterations via
+  * ReuseExchange. Nothing is broadcast: rank/degree tables are O(nodes),
+  * which at web scale exceeds any broadcast limit, so this is the same
+  * plan a 1000-executor run would want. Iteration count is fixed (3), so
+  * the lineage stays shallow.
   */
 object GraphRank {
 
   private val SCALE = 1000000000000L // 10^12
 
   def q143FixedPointPagerank(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the distinct pair set once — it feeds both directions of
+    // the edge union, and the union itself is then a map-only read.
     val pairs = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-    // localCheckpoint: the derived edge set feeds deg + every iteration +
-    // the node count — materialize the distinct once instead of re-running
-    // the lineitem scan/shuffle per consumer (bench hygiene reclaims it).
+      .localCheckpoint()
     val edges = pairs.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
       .union(pairs.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+    // Fold the degree INTO the edge list once (src, dst, deg-of-src): the
+    // per-iteration plan then needs a single join — edges⋈ranks on the node
+    // key — instead of the textbook two (ranks⋈deg, then edges⋈contrib).
+    // The contribution r div deg is computed inside the aggregation, so
+    // integer semantics are untouched. The build join's output is already
+    // clustered on src (both inputs exchange to the src key), so the
+    // checkpointed degEdges needs no extra repartition, and identical
+    // degEdges-scan exchanges across iterations collapse via ReuseExchange.
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val degEdges = edges.join(deg, Seq("src")).select(col("src"), col("dst"), col("deg"))
       .localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
-    val n = deg.count() // node count: every node has out-edges (bipartite symmetric)
+    // node count in one pass over the (small, checkpointed) pair set:
+    // nodes = distinct parts + distinct suppliers (bipartite, every node
+    // has out-edges) — avoids materializing a separate degree table.
+    val nd = pairs.agg(countDistinct(col("p")).as("np"), countDistinct(col("s")).as("ns")).head
+    val n = nd.getLong(0) + nd.getLong(1)
     val base = 3L * (SCALE / n) / 20L
-    var ranks = deg.select(col("src").as("node"), lit(SCALE / n).as("r"))
-    for (_ <- 1 to 3) {
-      // rename before joining: edges/deg/ranks share lineage, and explicit
-      // names sidestep ambiguous-self-join resolution in the loop.
-      // broadcast hints: the rank/degree tables are O(nodes) — tiny next to
-      // the edge set here, so each iteration is one map-side join plus one
-      // aggregation shuffle. (A web-scale graph where ranks don't fit a
-      // broadcast would drop the hints and co-partition edges and ranks on
-      // the node key instead — same plan minus the broadcast.)
-      val contrib = ranks.join(broadcast(deg.select(col("src").as("cnode"), col("deg"))),
-          col("node") === col("cnode"))
-        .select(col("cnode"), expr("r div deg").as("c"))
-      ranks = edges.join(broadcast(contrib), col("src") === col("cnode"))
+    val r0 = SCALE / n
+    // Iteration 1 is join-free: with uniform initial rank r0 a constant,
+    // R1(dst) is a plain aggregation over degEdges.
+    var ranks = degEdges
+      .groupBy(col("dst"))
+      .agg(expr(s"$base + (17 * sum($r0 div deg)) div 20").as("r"))
+      .select(col("dst").as("node"), col("r"))
+    for (_ <- 2 to 3) {
+      // NO broadcasts: the rank table is O(nodes), which a web-scale graph
+      // cannot broadcast. The relaxation is a shuffled hash join on the
+      // node key (build side = ranks, the smaller table), so each iteration
+      // costs one join plus the mandatory dst-aggregation shuffle.
+      ranks = degEdges.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .groupBy(col("dst"))
-        .agg(expr(s"$base + (17 * sum(c)) div 20").as("r"))
+        .agg(expr(s"$base + (17 * sum(r div deg)) div 20").as("r"))
         .select(col("dst").as("node"), col("r"))
     }
     ranks
@@ -104,22 +120,43 @@ object GraphRank {
     * relaxation step; all-integer, so bit-reproducible). The reachability
     * histogram (nodes per distance) is the output. Distinct from q143
     * (value diffusion) and q77/q136 (component labels): this is the
-    * shortest-path semiring. Same scale shape as q143 — the frontier
-    * broadcasts while small, and a web-scale frontier would co-partition
-    * with the edges instead.
+    * shortest-path semiring. Same scale shape as q143: the reached set
+    * converges toward ALL nodes by round 3, so broadcasting it would blow
+    * any driver/broadcast limit at scale — instead the edge list is
+    * localCheckpointed once and each round's relaxation is a shuffled
+    * hash join building on the frontier side, with the frontier
+    * re-checkpointed per round to keep the lineage linear.
     */
   def q161BfsHops(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
     val edges = pairs.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
       .union(pairs.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+      .repartition(col("src"))
       .localCheckpoint()
-    // seed: supplier 1 (node id 3) — present at every corpus scale
-    var dist = edges.sparkSession.range(1).select(lit(3L).as("node"), lit(0L).as("dist"))
-    for (_ <- 1 to 3) {
-      val expanded = edges.join(broadcast(dist), col("src") === col("node"))
+    // seed: supplier 1 (node id 3) — present at every corpus scale.
+    // localCheckpoint cuts the literal lineage: without it Catalyst
+    // constant-folds node=3 into the join condition, the equi-key
+    // disappears, and the relaxation degenerates to a broadcast
+    // nested-loop join (re-planned from scratch each round).
+    var dist = edges.sparkSession.range(1)
+      .select(lit(3L).as("node"), lit(0L).as("dist")).localCheckpoint()
+    for (round <- 1 to 3) {
+      // shuffle-hash build on the frontier, no broadcast: dist is
+      // O(reached nodes) — tiny in round 1, the whole graph by round 3.
+      // The shuffle join is the shape that survives 100×; round-1 overhead
+      // (shuffling one row) is noise next to the edge scan either way.
+      val expanded = edges.join(dist.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-      dist = dist.union(expanded).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      // localCheckpoint between rounds: dist appears TWICE per round
+      // (union + relaxation join), so an un-materialized lineage doubles
+      // every iteration — 2^rounds recomputation. Checkpointing keeps the
+      // work linear in rounds and the per-round state O(reached nodes).
+      // The LAST round stays lazy: both of its dist reads hit round 2's
+      // checkpoint, so laziness costs nothing and the returned plan keeps
+      // the relaxation join visible for plan-shape assertions.
+      val next = dist.union(expanded).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      dist = if (round < 3) next.localCheckpoint() else next
     }
     dist.groupBy(col("dist")).agg(count(lit(1)).as("n"),
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))

@@ -178,11 +178,23 @@ object SpanOps {
     * 10·|A∩B| ≥ 9·|A|, and both directions of each unordered candidate
     * pair are tested independently.
     */
-  def q137ContainmentJoin(spark: SparkSession, dir: String): DataFrame = {
+  def q137ContainmentJoin(spark: SparkSession, dir: String): DataFrame =
+    containmentJoin(spark, dir, dfCap = None)
+
+  /** q137 core, parameterized by the optional df cap ([[Dedup.capPostings]]):
+    * with a cap, viral-shingle postings drop out before the pair join, so
+    * work is bounded at Σ_h min(df(h), cap)² and a capped run can only
+    * under-count `inter` on pairs sharing viral shingles. Cap ≥ max corpus
+    * df (57) is provably a no-op — the q240 twin pins cap = 1000 against
+    * q137's own oracle.
+    */
+  private def containmentJoin(spark: SparkSession, dir: String,
+      dfCap: Option[Int]): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-    val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val tok0 = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val tok = dfCap.map(Dedup.capPostings(tok0, _)).getOrElse(tok0)
     val pairs = tok.select(col("doc_id").as("doc_a"), col("h"))
       .join(tok.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .where(col("doc_a") =!= col("doc_b")) // directed: both orientations kept
@@ -209,6 +221,10 @@ object SpanOps {
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q109_span_dedup", q109SpanDedup, q109Oracle),
     GraftQuery.sql("q110_prefix_join", q110PrefixJoin, q110Oracle),
-    GraftQuery.sql("q137_containment_join", q137ContainmentJoin, q137Oracle)
+    GraftQuery.sql("q137_containment_join", q137ContainmentJoin, q137Oracle),
+    // df-cap twin of q137 (see containmentJoin doc): guard provably no-op
+    // at cap 1000 on this corpus — same oracle, hash-identical.
+    GraftQuery.sql("q240_containment_dfcap",
+      (s, d) => containmentJoin(s, d, dfCap = Some(1000)), q137Oracle)
   )
 }

@@ -272,6 +272,13 @@ object VecMore {
     * broadcast 1-row aggregate (crossJoin), and the basket set feeds the
     * self-join through one reused exchange instead of being recomputed per
     * branch — the all-lazy shape that halves this query's wall-clock.
+    *
+    * A-priori prune: a pair with support ≥ 20 needs BOTH singletons ≥ 20
+    * (downward closure), so the basket rows are semi-joined against the
+    * frequent-brand set — already computed for the lift denominators, and
+    * broadcastable at any corpus scale because |brands| is small — BEFORE
+    * the quadratic pair self-join. The prune provably cannot change the
+    * surviving pairs; it only shrinks the self-join's input.
     */
   def q178AssociationLift(spark: SparkSession, dir: String): DataFrame = {
     val b = Tables.lineitem(spark, dir)
@@ -280,8 +287,10 @@ object VecMore {
       .select(col("l_orderkey"), col("p_brand")).distinct()
     val nbDf = b.agg(countDistinct(col("l_orderkey")).as("nb"))
     val s = b.groupBy(col("p_brand")).agg(count(lit(1)).as("c"))
-    val pairs = b.select(col("l_orderkey"), col("p_brand").as("ba"))
-      .join(b.select(col("l_orderkey"), col("p_brand").as("bb")), Seq("l_orderkey"))
+    val bf = b.join(broadcast(s.where(col("c") >= 20).select(col("p_brand"))), "p_brand")
+      .select(col("l_orderkey"), col("p_brand"))
+    val pairs = bf.select(col("l_orderkey"), col("p_brand").as("ba"))
+      .join(bf.select(col("l_orderkey"), col("p_brand").as("bb")), Seq("l_orderkey"))
       .where(col("ba") < col("bb"))
       .groupBy(col("ba"), col("bb")).agg(count(lit(1)).as("cab"))
       .where(col("cab") >= 20)

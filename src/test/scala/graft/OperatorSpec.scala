@@ -91,6 +91,27 @@ class OperatorSpec extends SparkSpec {
     assert(out.select("doc_id").distinct().count() === out.count())
   }
 
+  test("df-cap guard: no-op above max corpus df, degrades (never grows) under a tight cap") {
+    // Cap above the corpus max df (57): capped twins must be EXACTLY the
+    // uncapped results — same rows, same values.
+    val q33 = SparkEntry.queries("q33_ngram_jaccard")(spark, sfDir).collect().toSet
+    val q239 = SparkEntry.queries("q239_ngram_jaccard_dfcap")(spark, sfDir).collect().toSet
+    assert(q239 === q33)
+    val q137 = SparkEntry.queries("q137_containment_join")(spark, sfDir).collect().toSet
+    val q240 = SparkEntry.queries("q240_containment_dfcap")(spark, sfDir).collect().toSet
+    assert(q240 === q137)
+    // Tight cap on a synthetic posting list: the viral shingle's postings
+    // drop out entirely; sub-cap postings survive untouched.
+    import spark.implicits._
+    val tok = Seq((1L, 10L), (2L, 10L), (3L, 10L), // df(10) = 3: viral
+      (1L, 20L), (2L, 20L), // df(20) = 2
+      (3L, 30L)) // df(30) = 1
+      .toDF("doc_id", "h")
+    val capped = Dedup.capPostings(tok, 2).select("doc_id", "h").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 20L), (2L, 20L), (3L, 30L)))
+  }
+
   test("minhash LSH finds every high-jaccard pair (recall vs exact baseline)") {
     val exact = Dedup.q33NgramJaccard(spark, sfDir)
       .where(col("jaccard") >= 0.7)

@@ -340,6 +340,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q143/q161 graph iterations never broadcast the rank/frontier table") {
+    // The O(nodes) rank and frontier tables converge toward the whole node
+    // set — at web scale they exceed any broadcast limit, so the iteration
+    // joins must be shuffle joins (co-partitioned on the node key), with no
+    // BroadcastExchange anywhere in either plan.
+    for (name <- Seq("q143_fixed_point_pagerank", "q161_bfs_hops")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastExchange"), s"$name broadcasts:\n$p")
+      assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    }
+  }
+
+  test("q178 a-priori prunes baskets to frequent brands before the pair join") {
+    // Downward closure: pair support >= 20 requires both singleton supports
+    // >= 20, so the basket rows semi-join the frequent-brand set BEFORE the
+    // quadratic self-join. The plan shows the singleton-count filter (c >= 20)
+    // feeding broadcast joins below the pair aggregation.
+    val p = plan("q178_association_lift")
+    assert(p.contains(">= 20)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("NO query in the entire inventory plans a CartesianProduct") {
     // The blanket 100 TB safety net: a cartesian product anywhere is a bug.
     // (Deliberate small-side broadcasts plan as BroadcastNestedLoopJoin.)
