@@ -150,9 +150,61 @@ object Connectors {
       |FROM a JOIN b ON a.bucket = b.bucket
       |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q241
+
+  /** Per-JVM staging-catalog root (same isolation rationale as
+    * FsParity.scratchRoot: concurrent drivers never collide; within a JVM a
+    * re-run drops and recreates its own table).
+    */
+  private lazy val stageRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_stagecat_").toString
+
+  /** Catalog-addressed WRITE path through the writable V2 staging catalog
+    * ([[graft.sources.catalog.GraftStagingCatalog]]): `CREATE TABLE AS
+    * SELECT` materializes a filtered slice of `orders` as a catalog table,
+    * `INSERT INTO` appends a second disjoint slice, and the final aggregate
+    * reads the table back through its three-part name. Writes run Spark's
+    * real DSv2 file-write committer (task-attempt staging + job commit), so
+    * this closes the reference's create/write surface
+    * (`CephRgwFileSystem.java:216-289`, `CephRgwOutputStream.java:35-63`)
+    * that the read-only corpus catalog (q204) deliberately refuses. The
+    * oracle recomputes the union of both slices straight from `orders` — a
+    * hash match proves CTAS + INSERT + catalog read-back are lossless.
+    */
+  def q241CatalogWrite(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_stage_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.seg_orders")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.seg_orders AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_stage_src WHERE o_orderkey % 10 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.seg_orders
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_stage_src WHERE o_orderkey % 10 = 3""".stripMargin)
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.seg_orders
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  val q241Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders WHERE o_orderkey % 10 IN (0, 3)
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
     GraftQuery.sql("q231_sink_roundtrip", q231SinkRoundtrip, q231Oracle),
-    GraftQuery.sql("q232_spj_bucket_join", q232SpjBucketJoin, q232Oracle))
+    GraftQuery.sql("q232_spj_bucket_join", q232SpjBucketJoin, q232Oracle),
+    GraftQuery.sql("q241_catalog_write", q241CatalogWrite, q241Oracle))
 }

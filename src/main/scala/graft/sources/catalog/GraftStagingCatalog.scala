@@ -1,0 +1,193 @@
+package graft.sources.catalog
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException,
+  TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces,
+  Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The WRITABLE companion of [[GraftCatalog]]: a DataSource V2 `TableCatalog`
+  * over a staging directory, supporting `CREATE NAMESPACE`, `CREATE TABLE`,
+  * `CREATE TABLE AS SELECT`, `INSERT INTO`, `DROP TABLE`, and table rename
+  * through SQL —
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft_stage", classOf[GraftStagingCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft_stage.root", "/scratch/stage")
+  *   spark.sql("CREATE TABLE graft_stage.work.t AS SELECT * FROM src")
+  *   spark.sql("INSERT INTO graft_stage.work.t SELECT * FROM more")
+  * }}}
+  *
+  * This is the catalog face of the reference's create/write surface
+  * (`CephRgwFileSystem.create/mkdirs/rename/delete`, `/root/reference/src/
+  * main/java/org/apache/hadoop/fs/cephrgw/CephRgwFileSystem.java:216-289`,
+  * and the buffered object writer `CephRgwOutputStream.java:35-63`), where
+  * [[GraftCatalog]] mirrors only its read side. Layout: `root/<ns>/<table>/`
+  * is a directory of parquet part files. Both reads and writes delegate to
+  * Spark's native `ParquetTable` (a DSv2 `FileTable`, which implements
+  * `SupportsWrite`), so catalog-addressed writes get the real committer
+  * protocol — task-attempt staging, job commit, no torn tables on failure —
+  * and reads keep the vectorized scan + pushdown stack.
+  *
+  * The declared schema travels in a `_graft_schema.json` sidecar (written by
+  * `createTable`, read by `loadTable`): an empty just-created table has no
+  * parquet footers to infer from, and the leading underscore keeps the
+  * sidecar invisible to Spark's file listing. DDL is intentionally
+  * single-level (`root/<ns>/<table>`) to match the reference's
+  * bucket/pseudo-directory nesting.
+  */
+class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var root: File = _
+
+  private val SchemaSidecar = "_graft_schema.json"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = new File(Option(options.get("root")).getOrElse(
+      Files.createTempDirectory("graft_stage_").toString))
+    root.mkdirs()
+  }
+
+  override def name(): String = catalogName
+
+  private def nsDir(namespace: Array[String]): File = namespace match {
+    case Array(ns) => new File(root, ns)
+    case _         => null
+  }
+
+  private def requireNs(namespace: Array[String]): File = {
+    val d = nsDir(namespace)
+    if (d == null || !d.isDirectory) throw new NoSuchNamespaceException(namespace)
+    d
+  }
+
+  // ---- namespaces --------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(d => Array(d.getName)).sortBy(_.head)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else { requireNs(namespace); Array.empty } // single-level hierarchy
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val d = nsDir(namespace)
+    d != null && d.isDirectory
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    val d = requireNs(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION -> d.getAbsolutePath).asJava
+  }
+
+  override def createNamespace(ns: Array[String], meta: util.Map[String, String]): Unit = {
+    val d = nsDir(ns)
+    if (d == null) throw new IllegalArgumentException(
+      s"$catalogName supports single-level namespaces, got ${ns.mkString(".")}")
+    d.mkdirs()
+  }
+
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(s"$catalogName: namespace properties are immutable")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    val d = requireNs(ns)
+    val tables = Option(d.listFiles()).getOrElse(Array.empty)
+    if (tables.nonEmpty && !cascade)
+      throw new IllegalStateException(s"namespace ${ns.mkString(".")} is not empty")
+    deleteRecursively(d)
+  }
+
+  // ---- tables ------------------------------------------------------------
+
+  private def tableDir(ident: Identifier): File = {
+    val ns = nsDir(ident.namespace())
+    if (ns == null) null else new File(ns, ident.name())
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = requireNs(namespace)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(f => Identifier.of(namespace, f.getName))
+      .sortBy(_.name)
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val d = tableDir(ident)
+    d != null && d.isDirectory
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val d = tableDir(ident)
+    if (d == null || !d.isDirectory) throw new NoSuchTableException(ident)
+    val sidecar = new File(d, SchemaSidecar)
+    val declared: Option[StructType] =
+      if (sidecar.isFile)
+        Some(DataType.fromJson(new String(
+          Files.readAllBytes(sidecar.toPath), StandardCharsets.UTF_8)).asInstanceOf[StructType])
+      else None
+    ParquetTable(
+      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
+      SparkSession.active,
+      CaseInsensitiveStringMap.empty(),
+      Seq(d.getAbsolutePath),
+      declared,
+      classOf[ParquetFileFormat])
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$catalogName: partitioned staging tables are not supported")
+    requireNs(ident.namespace())
+    val d = tableDir(ident)
+    if (d.isDirectory) throw new TableAlreadyExistsException(ident)
+    d.mkdirs()
+    Files.write(new File(d, SchemaSidecar).toPath,
+      schema.json.getBytes(StandardCharsets.UTF_8))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName: ALTER TABLE is not supported on staging tables")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = tableDir(ident)
+    d != null && d.isDirectory && deleteRecursively(d)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (from == null || !from.isDirectory) throw new NoSuchTableException(oldIdent)
+    val to = tableDir(newIdent)
+    if (to == null) throw new NoSuchNamespaceException(newIdent.namespace())
+    if (to.isDirectory) throw new TableAlreadyExistsException(newIdent)
+    requireNs(newIdent.namespace())
+    if (!from.renameTo(to))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+  }
+
+  private def deleteRecursively(f: File): Boolean = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+}

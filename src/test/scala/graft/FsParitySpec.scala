@@ -191,6 +191,48 @@ class FsParitySpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("selective predicate skips parquet row groups: scan metrics collapse vs full scan") {
+    // Metric-level proof of the reference's whole purpose — reading only the
+    // needed byte ranges (positional reads, CephRgwInputStream.java:103-120).
+    // PlanSpec already asserts PushedFilters REACH the scan; this asserts
+    // the filter actually SKIPS row groups: the scan node's numOutputRows
+    // under a tight range predicate on a sorted column must be a small
+    // fraction of the table, because disjoint row-group min/max stats
+    // eliminate the rest before any bytes decode. AQE is disabled so the
+    // plain physical plan exposes the scan node's metrics directly.
+    val dir = Files.createTempDirectory("graft_rowgroup").toString
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey)
+    try {
+      // one sorted file, tiny row groups (64 KiB) → many groups with
+      // disjoint id ranges; 200k rows ≫ rows-per-group
+      spark.range(0, 200000).toDF("id")
+        .withColumn("payload", org.apache.spark.sql.functions.md5(col("id").cast("string")))
+        .coalesce(1).sortWithinPartitions("id")
+        .write.mode("overwrite").option("parquet.block.size", "65536").parquet(dir)
+      spark.conf.set(aqeKey, "false")
+      def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        val scans = df.queryExecution.executedPlan.collectLeaves()
+        val m = scans.head.metrics("numOutputRows")
+        m.value
+      }
+      val full = scanRows(spark.read.parquet(dir).select("id", "payload"))
+      assert(full === 200000L, s"full scan must read everything, got $full")
+      val selective = scanRows(
+        spark.read.parquet(dir).where(col("id") >= 100000L && col("id") < 100100L))
+      // a no-skip scan would also output 200k rows from the scan node and
+      // filter afterwards; row-group elimination keeps it to the handful of
+      // groups whose [min,max] intersect the range
+      assert(selective < 20000L,
+        s"row groups not skipped: scan emitted $selective of 200000 rows")
+      assert(selective >= 100L, s"scan lost matching rows: $selective")
+    } finally {
+      spark.conf.set(aqeKey, prevAqe)
+      localFs.delete(new Path(dir), true)
+    }
+  }
+
   test("small-file compaction: many-file table rewrites to a target file count losslessly") {
     // The lake-maintenance op the reference's FS surface exists to serve:
     // a fragmented table (one file per task) compacts to ceil(bytes/target)
