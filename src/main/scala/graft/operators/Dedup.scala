@@ -64,14 +64,14 @@ object Dedup {
     * bounding the join's work at Σ_h min(df(h), cap)² — a viral shingle
     * (boilerplate header, license block) then degrades recall on pairs
     * whose ONLY shared shingles are viral instead of detonating a df²
-    * shuffle. df is computed with one extra aggregation on the same `h`
-    * key, so the exchange is reused by the subsequent join; the df table
-    * is O(distinct shingles) and is never broadcast or collected.
+    * shuffle. df rides along as a window count over the posting stream's
+    * own `h` shuffle — one exchange, no separate df table, nothing
+    * broadcast or collected.
     */
-  private[graft] def capPostings(tok: DataFrame, cap: Int): DataFrame = {
-    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    tok.join(dfreq.where(col("df") <= cap).select(col("h")), Seq("h"))
-  }
+  private[graft] def capPostings(tok: DataFrame, cap: Int): DataFrame =
+    tok.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("df") <= cap)
+      .drop("df")
 
   /** q33 core, parameterized by the optional df cap. With a cap, `inter`
     * counts only sub-cap shared shingles while the set sizes stay exact, so
@@ -192,6 +192,63 @@ object Dedup {
        |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
        |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
        |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Shared MinHash-LSH band keys for a document batch: one (doc_id,
+    * band_idx, bkey) row per band, with the 3-minhash band key serialized to
+    * a string so an index of keys can live in parquet and equi-join exactly.
+    * Same K/Bands/RowsPerBand as q34 — batch and streaming banding agree
+    * key-for-key, so a doc's candidacy is identical whichever path sees it.
+    */
+  private[graft] def bandKeys(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
+      .selectExpr("doc_id", s"minhash_sig(sh, $K) AS sig")
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> struct(b AS band_idx, " +
+          s"array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '-') AS bkey))")).as("b"))
+      .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.bkey").as("bkey"))
+
+  /** Incremental NEAR-dup dedup of a batch against a persistent LSH band
+    * index — the approximate twin of q103's exact (sha-256) batch-vs-index
+    * dedup, and the kernel the streaming face
+    * ([[graft.streaming.StreamingOps]].nearDupStream) runs per micro-batch.
+    *
+    * A batch doc drops when it shares ANY band with (a) an already-indexed
+    * doc other than itself, or (b) a smaller-doc_id doc in the same batch —
+    * first-wins, the same candidate semantics as q34's banding (map-only
+    * signatures, equi-joins on the band key, never all-pairs). Survivors'
+    * bands append to the index; dropped docs' bands do not (they are
+    * represented by their keeper). The index carries doc_id precisely so a
+    * REPLAYED batch (crash between sink write and checkpoint commit) sees
+    * its own bands in the index, excludes them as self-hits, and reproduces
+    * the identical survivor set — replay-idempotent end to end.
+    *
+    * Scale shape: the index is O(16 · surviving docs) rows of (long, int,
+    * string), partition-pruned nothing — it joins on (band_idx, bkey) as a
+    * shuffle semi-join; at 100 TB the index would be bucketed on bkey so
+    * the per-batch probe co-locates.
+    */
+  private[graft] def nearDupAgainstIndex(batch: DataFrame, indexDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    new java.io.File(indexDir).mkdirs()
+    val bands = bandKeys(batch).localCheckpoint() // feeds probe, pair join, append
+    val existing = spark.read
+      .schema("doc_id LONG, band_idx INT, bkey STRING").parquet(indexDir)
+    val hitIndex = bands.as("n").join(existing.as("i"),
+        col("n.band_idx") === col("i.band_idx") && col("n.bkey") === col("i.bkey") &&
+          col("n.doc_id") =!= col("i.doc_id"))
+      .select(col("n.doc_id").as("doc_id")).distinct()
+    val hitBatch = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id")).distinct()
+    val survivors = batch
+      .join(hitIndex.union(hitBatch).distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint() // pin BEFORE the index append mutates what a re-read would see
+    bands.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("band_idx"), col("bkey"))
+      .write.mode("append").parquet(indexDir)
+    survivors
+  }
 
   /** 32-bit SimHash over whitespace tokens (frequency-weighted), md5-derived
     * so both engines compute identical fingerprints.

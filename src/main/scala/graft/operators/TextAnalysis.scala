@@ -618,6 +618,70 @@ object TextAnalysis {
        |FROM c ORDER BY lang, top_marker""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q242
+
+  /** BM25 document retrieval for a fixed multi-term query — the ranking
+    * function behind keyword search over a training corpus (finding docs to
+    * audit, decontaminate, or upweight). Classic Okapi shape per term:
+    * idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with k1=1.2, b=0.75 —
+    * except idf uses Robertson's raw odds ratio (N−df+0.5)/(df+0.5) WITHOUT
+    * the log (the same exact-arithmetic family as q71's TF-IDF): every term
+    * score is then a rational of exact integers evaluated in identically-
+    * ordered IEEE ops, so both engines produce bit-identical doubles where
+    * a log would differ in final ULPs between libm implementations. The
+    * per-term monotonicity of BM25 is preserved; only cross-term weighting
+    * differs from the textbook constant.
+    *
+    * Scale shape: tf is one shuffle on (doc_id, term) over the posting rows
+    * of the query terms only; df is a tiny broadcast; doc lengths join on
+    * doc_id (O(docs) — shuffle join, never broadcast); the corpus stats ride
+    * along as a broadcast 1-row aggregate. Per-doc term sums go through
+    * DECIMAL so summation order never enters the hash.
+    */
+  def q242Bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val terms = Seq("vector", "stream", "scan")
+    val tf = toks.where(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("term_score", expr(
+        "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5D) / (CAST(df AS DOUBLE) + 0.5D)) * " +
+          "((CAST(tf AS DOUBLE) * 2.2D) / (CAST(tf AS DOUBLE) + 1.2D * " +
+          "(0.25D + 0.75D * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("sum_tf"),
+        sum(col("term_score").cast("decimal(18,6)")).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  val q242Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+      |       WHERE tok IN ('vector', 'stream', 'scan') GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |ts AS (
+      |  SELECT t.doc_id, t.tf,
+      |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |      / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))) *
+      |    ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+      |      (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+      |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS term_score
+      |  FROM tf t JOIN dfreq USING (tok) JOIN dl USING (doc_id), corpus)
+      |SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS sum_tf,
+      |  CAST(sum(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+      |FROM ts GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q37_lang_markers", q37LangMarkers, q37Oracle),
     GraftQuery.sql("q38_quality_score", q38QualityScore, q38Oracle),
@@ -634,6 +698,7 @@ object TextAnalysis {
     GraftQuery.sql("q155_countmin_estimate", q155CountminEstimate, q155Oracle),
     GraftQuery.sql("q170_weighted_jaccard", q170WeightedJaccard, q170Oracle),
     GraftQuery.sql("q177_grouped_quantiles", q177GroupedQuantiles, q177Oracle),
-    GraftQuery.sql("q195_lang_confusion", q195LangConfusion, q195Oracle)
+    GraftQuery.sql("q195_lang_confusion", q195LangConfusion, q195Oracle),
+    GraftQuery.sql("q242_bm25_retrieval", q242Bm25Retrieval, q242Oracle)
   )
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** True Structured Streaming forms of the event-time operators (the batch
@@ -75,6 +75,29 @@ object StreamingOps {
     * per surviving doc inside the watermark — bounded, unlike a naive
     * `dropDuplicates` whose key set grows forever at 100 TB/day ingest.
     */
+  /** Streaming MinHash-LSH NEAR-dup dedup: each micro-batch probes a
+    * persistent band index ([[graft.operators.Dedup.nearDupAgainstIndex]]),
+    * drops docs sharing any band with an indexed or smaller-in-batch doc,
+    * appends survivors' bands to the index, and lands survivors in a
+    * per-batchId parquet dir (replay-idempotent: the index stores doc_ids,
+    * so a redelivered batch excludes its own bands as self-hits and emits
+    * the identical survivor set). This is the streaming face of the q34
+    * banding and the approximate twin of the exact incremental dedup
+    * (q103): unbounded-horizon near-dedup whose state lives in storage,
+    * not the state store — at 100 TB/day the band index outgrows any
+    * executor state but stays a cheap bucketed equi-join probe.
+    */
+  def nearDupStream(docs: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir).outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Dedup.nearDupAgainstIndex(batch, indexDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        ()
+      }
+      .start()
+
   def curateStream(docs: DataFrame): DataFrame =
     graft.operators.Curation.qualityFlags(docs)
       .where(!col("f_short") && !col("f_word_len") && !col("f_symbol"))

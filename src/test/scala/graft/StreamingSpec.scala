@@ -322,6 +322,50 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("nearDupStream drops LSH near-dups across batches via the persistent band index, replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_nd_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_nd_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nd_ckpt").toString
+    val baseA = "the quick brown fox jumps over the lazy dog while the calm cat " +
+      "naps under the warm sun near the old oak tree in the quiet garden today"
+    val baseB = "distributed query engines partition shuffle and aggregate massive " +
+      "datasets across many executor nodes with columnar storage and code generation"
+    val baseC = "streaming pipelines watermark late events and checkpoint operator " +
+      "state so failures recover exactly once without duplicating any output rows"
+    def doc(id: Long, text: String) =
+      StreamingOps.StreamDoc(id, ts("2024-01-01 00:01:00"), text, "en")
+    val mem = MemoryStream[StreamingOps.StreamDoc]
+    val q = StreamingOps.nearDupStream(mem.toDF(), idx, out, ckpt)
+    try {
+      // batch 0: 2 ≈ 1 (suffix tweak → high jaccard), 3 distinct
+      mem.addData(doc(1, baseA), doc(2, baseA + " extra"), doc(3, baseB))
+      q.processAllAvailable()
+      // batch 1: 4 ≈ 1 (must hit the INDEX, not in-batch), 5 distinct
+      mem.addData(doc(4, baseA + " more"), doc(5, baseC))
+      q.processAllAvailable()
+      val survivors = spark.read
+        .schema(implicitly[org.apache.spark.sql.Encoder[StreamingOps.StreamDoc]].schema)
+        .parquet(new java.io.File(out).listFiles().map(_.getAbsolutePath).toIndexedSeq: _*)
+        .select("doc_id").as[Long].collect().toSet
+      assert(survivors === Set(1L, 3L, 5L), s"got $survivors")
+      // the drops are REAL near-dups: exact Jaccard of dropped vs keeper ≥ 0.7
+      val shex = Seq((1L, baseA), (2L, baseA + " extra"), (4L, baseA + " more"))
+        .toDF("doc_id", "text").selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
+      val j = shex.as("a").crossJoin(shex.as("b"))
+        .where(col("a.doc_id") === 1 && col("b.doc_id") > 1)
+        .selectExpr("sorted_intersect_count(a.sh, b.sh) / " +
+          "(size(a.sh) + size(b.sh) - sorted_intersect_count(a.sh, b.sh)) AS j")
+        .as[Double].collect()
+      assert(j.forall(_ >= 0.7), s"test fixtures not near-dups: ${j.toList}")
+      // replay idempotence: re-running a committed batch against the (now
+      // mutated) index reproduces the same survivors — self-hits excluded
+      val replay = graft.operators.Dedup.nearDupAgainstIndex(
+        Seq(doc(4, baseA + " more"), doc(5, baseC)).toDS().toDF(), idx)
+      assert(replay.select("doc_id").as[Long].collect().toSet === Set(5L))
+    } finally q.stop()
+  }
+
   test("curateStream exactly-once: kill + checkpoint restart neither duplicates nor loses rows") {
     // The streaming analogue of the rename-commit hazard (the reference's
     // copy+delete window, CephRgwFileSystem.java:310-313): a file-source
