@@ -34,8 +34,11 @@ object Curation {
     * equi-join on the hash.
     */
   def contaminatedDocs(docs: DataFrame, isEval: Column, width: Int): DataFrame = {
+    // localCheckpoint: sh feeds the eval index AND the training side —
+    // hash the shingles once instead of per consumer.
     val sh = docs.withColumn("is_eval", isEval)
       .selectExpr("doc_id", "lang", "is_eval", s"shingle_hashes(text, $width) AS sh")
+      .localCheckpoint()
     val evalIdx = sh.where(col("is_eval"))
       .select(explode(col("sh")).as("h")).distinct()
     sh.where(!col("is_eval"))

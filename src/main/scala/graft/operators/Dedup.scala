@@ -82,8 +82,15 @@ object Dedup {
     */
   private def ngramJaccardPairs(spark: SparkSession, dir: String,
       dfCap: Option[Int]): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    // localCheckpoint (uncapped only): the hashed shingle table feeds
+    // sizes + BOTH sides of the pair self-join, whose alias-renamed
+    // exchange subtrees defeat ReuseExchange — without it the O(len)
+    // shingle hashing runs 3×. The capped path already materializes the
+    // token stream through its window shuffle, where a checkpoint is
+    // measured pure overhead.
+    val shRaw = Tables.documents(spark, dir)
       .selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
+    val sh = if (dfCap.isEmpty) shRaw.localCheckpoint() else shRaw
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
     val tok0 = sh.select(col("doc_id"), explode(col("sh")).as("h"))
     val tok = dfCap.map(capPostings(tok0, _)).getOrElse(tok0)
@@ -158,7 +165,10 @@ object Dedup {
     */
   def q34MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // localCheckpoint: shingled feeds the band generator and both exact-
+    // verification sides; hash once (same rationale as the q33 core).
     val shingled = docs.selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
+      .localCheckpoint()
 
     val bands = shingled
       .selectExpr("doc_id", s"minhash_sig(sh, $K) AS sig")

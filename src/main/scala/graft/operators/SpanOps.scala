@@ -145,8 +145,12 @@ object SpanOps {
     * of the prefix filter on this corpus.
     */
   def q110PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: shingled feeds both prefix-join sides AND both
+    // verification sides (4 consumers whose alias-renamed subtrees defeat
+    // ReuseExchange) — hash the shingles once.
     val shingled = Tables.documents(spark, dir)
       .selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
+      .localCheckpoint()
     prefixFilterJoin(shingled, 3, 5)
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
@@ -190,8 +194,13 @@ object SpanOps {
     */
   private def containmentJoin(spark: SparkSession, dir: String,
       dfCap: Option[Int]): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    // localCheckpoint (uncapped only): same rationale as the q33 core —
+    // the shingle table feeds sizes + both self-join sides, and the
+    // alias-renamed exchanges defeat ReuseExchange; the capped path
+    // already materializes through its window shuffle.
+    val shRaw = Tables.documents(spark, dir)
       .selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
+    val sh = if (dfCap.isEmpty) shRaw.localCheckpoint() else shRaw
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
     val tok0 = sh.select(col("doc_id"), explode(col("sh")).as("h"))
     val tok = dfCap.map(Dedup.capPostings(tok0, _)).getOrElse(tok0)
