@@ -1110,8 +1110,70 @@ object DataOps {
     GraftQuery.sql("q189_ks_statistic", q189KsStatistic, q189Oracle),
     GraftQuery.sql("q190_spearman", q190Spearman, q190Oracle),
     GraftQuery.sql("q194_catalog_coverage", q194CatalogCoverage, q194Oracle),
-    GraftQuery.sql("q205_distance_extras", q205DistanceExtras, q205Oracle)
+    GraftQuery.sql("q205_distance_extras", q205DistanceExtras, q205Oracle),
+    GraftQuery.sql("q243_zorder_layout", q243ZorderLayout, q243Oracle)
   )
+
+  // ---------------------------------------------------------------- q243
+
+  /** Morton/z-order bit-interleave of two `bits`-wide non-negative integer
+    * expressions, as a SQL expression string. `shiftFn(c, i, j)` renders one
+    * "(bit i of c) << j" term in the target dialect, so Spark (shiftleft/
+    * shiftright functions) and DuckDB (<< / >> operators) build the SAME
+    * integer — pure bit arithmetic, bit-identical across engines.
+    */
+  private def zInterleave(p: String, s: String, bits: Int,
+      term: (String, Int, Int) => String): String =
+    (0 until bits).map(i => term(p, i, 2 * i + 1) + " + " + term(s, i, 2 * i))
+      .mkString("(", " + ", ")")
+
+  /** Spark-dialect z-interleave of two column expressions (low `bits` bits).
+    * Public so layout tests build the identical curve the query reports on.
+    */
+  def zInterleaveSpark(p: String, s: String, bits: Int): String =
+    zInterleave(p, s, bits,
+      (c, i, j) => s"shiftleft((shiftright($c, $i) & 1), $j)")
+
+  private def zInterleaveDuck(p: String, s: String, bits: Int): String =
+    zInterleave(p, s, bits, (c, i, j) => s"((($c >> $i) & 1) << $j)")
+
+  /** Z-ORDER (Morton-curve) layout audit over lineitem's (partkey, suppkey)
+    * plane: interleave the top 10 bits of partkey (>> 5 aligns its 15-bit
+    * range) with suppkey's 10 bits into a 20-bit z-value, tile the curve by
+    * its top bits (z >> 6), and report each tile's row count and 2-D bounding box.
+    * The bounded per-tile (max−min) spans on BOTH dimensions are the whole
+    * point of z-clustering a 100 TB table: rows contiguous on the curve are
+    * contiguous in the plane, so file/row-group min-max stats prune
+    * 2-D predicates that a linear sort can only prune on its leading column
+    * (FsParitySpec proves the skip with scan metrics on both layouts).
+    * All bit arithmetic — both engines agree exactly.
+    */
+  def q243ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val z = zInterleaveSpark("shiftright(l_partkey, 5)", "l_suppkey", 10)
+    Tables.lineitem(spark, dir)
+      .selectExpr("l_partkey", "l_suppkey", s"$z AS z")
+      .selectExpr("shiftright(z, 6) AS tile", "l_partkey", "l_suppkey")
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p"),
+        min(col("l_suppkey")).as("min_s"), max(col("l_suppkey")).as("max_s"))
+      .withColumn("span_p", col("max_p") - col("min_p"))
+      .withColumn("span_s", col("max_s") - col("min_s"))
+      .orderBy(col("tile"))
+  }
+
+  val q243Oracle: String = {
+    val z = zInterleaveDuck("(l_partkey >> 5)", "l_suppkey", 10)
+    s"""WITH zv AS (
+       |  SELECT l_partkey, l_suppkey, $z AS z FROM lineitem),
+       |t AS (SELECT z >> 6 AS tile, l_partkey, l_suppkey FROM zv)
+       |SELECT tile, count(*) AS n,
+       |  min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+       |  min(l_suppkey) AS min_s, max(l_suppkey) AS max_s,
+       |  max(l_partkey) - min(l_partkey) AS span_p,
+       |  max(l_suppkey) - min(l_suppkey) AS span_s
+       |FROM t GROUP BY tile ORDER BY tile""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q205
 

@@ -233,6 +233,48 @@ class FsParitySpec extends SparkSpec {
     }
   }
 
+  test("z-order layout prunes row groups on the NON-leading dimension where linear sort cannot") {
+    // The layout decision behind q243: a linear sort gives min-max pruning
+    // on its leading column only — a predicate on the second dimension
+    // reads everything. Z-ordering bounds BOTH dimensions per curve range,
+    // so the same tiny row groups skip for either dimension. This is the
+    // difference between scanning 3% and 100% of a 100 TB table for a
+    // 2-D slice query.
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey)
+    try {
+      // 300k points on a 1024x1024 plane, both coords hash-scattered so
+      // neither is correlated with the other or with insertion order
+      val pts = spark.range(0, 300000)
+        .selectExpr("pmod(hash(id), 1024) AS p", "pmod(hash(id * 7 + 3), 1024) AS s")
+        .selectExpr("p", "s",
+          graft.operators.DataOps.zInterleaveSpark("p", "s", 10) + " AS z")
+      pts.coalesce(1).sortWithinPartitions("p") // linear layout: leading col p
+        .write.mode("overwrite").option("parquet.block.size", "65536")
+        .parquet(s"$dir/linear")
+      pts.coalesce(1).sortWithinPartitions("z") // z-order layout
+        .write.mode("overwrite").option("parquet.block.size", "65536")
+        .parquet(s"$dir/zorder")
+      spark.conf.set(aqeKey, "false")
+      def scanRows(layout: String): Long = {
+        val df = spark.read.parquet(s"$dir/$layout")
+          .where(col("s") >= 100 && col("s") < 132) // non-leading dim, ~3%
+        df.collect()
+        df.queryExecution.executedPlan.collectLeaves().head.metrics("numOutputRows").value
+      }
+      val linear = scanRows("linear")
+      val zorder = scanRows("zorder")
+      assert(linear === 300000L,
+        s"linear layout cannot skip on the non-leading dim, got $linear")
+      assert(zorder < 150000L,
+        s"z-order failed to skip row groups: scanned $zorder of 300000")
+    } finally {
+      spark.conf.set(aqeKey, prevAqe)
+      localFs.delete(new Path(dir), true)
+    }
+  }
+
   test("small-file compaction: many-file table rewrites to a target file count losslessly") {
     // The lake-maintenance op the reference's FS surface exists to serve:
     // a fragmented table (one file per task) compacts to ceil(bytes/target)
