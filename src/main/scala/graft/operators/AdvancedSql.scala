@@ -615,6 +615,50 @@ object AdvancedSql {
        |WHERE l_extendedprice * (1.0 - l_discount) > 1000.0
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q244
+
+  /** Spark 4 SQL SCRIPTING (`BEGIN … END`, session variables, `WHILE`):
+    * a data-dependent iterative search written entirely in SQL — find the
+    * smallest quantity cutoff (stepping by 5) whose tail holds under 10% of
+    * lineitem, then report the tail's count and decimal-exact revenue. The
+    * driver-side analogue would collect per-step counts in a Scala loop;
+    * scripting keeps the control flow in the engine, each iteration a
+    * normal distributed aggregation (nothing but the loop variables ever
+    * reaches the driver). The oracle replays the same search declaratively
+    * over a step series — identical integers, identical Det-style sum.
+    */
+  def q244SqlScripting(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("li_script")
+    spark.sql(
+      """BEGIN
+        |  DECLARE n BIGINT DEFAULT 0;
+        |  DECLARE c BIGINT DEFAULT 0;
+        |  DECLARE cutoff INT DEFAULT 1;
+        |  SET n = (SELECT count(*) FROM li_script);
+        |  SET c = (SELECT count(*) FROM li_script WHERE l_quantity >= cutoff);
+        |  WHILE c * 10 >= n DO
+        |    SET cutoff = cutoff + 5;
+        |    SET c = (SELECT count(*) FROM li_script WHERE l_quantity >= cutoff);
+        |  END WHILE;
+        |  SELECT cutoff AS cutoff, count(*) AS n_above,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev_above
+        |  FROM li_script WHERE l_quantity >= cutoff;
+        |END""".stripMargin)
+  }
+
+  val q244Oracle: String =
+    s"""WITH n AS (SELECT count(*) AS n FROM lineitem),
+       |steps AS (SELECT CAST(1 + 5 * range AS INT) AS k FROM range(0, 30)),
+       |cnt AS (SELECT k,
+       |  (SELECT count(*) FROM lineitem WHERE l_quantity >= k) AS c FROM steps),
+       |sel AS (SELECT min(k) AS cutoff FROM cnt, n WHERE c * 10 < n.n)
+       |SELECT cutoff,
+       |  (SELECT count(*) FROM lineitem WHERE l_quantity >= cutoff) AS n_above,
+       |  (SELECT ${Det.dsumSql("l_extendedprice")}
+       |   FROM lineitem WHERE l_quantity >= cutoff) AS rev_above
+       |FROM sel""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q51_stats_moments", q51StatsMoments, q51Oracle),
     GraftQuery.sql("q52_percentiles", q52Percentiles, q52Oracle),
@@ -639,7 +683,8 @@ object AdvancedSql {
     GraftQuery.sql("q233_param_sql", q233ParamSql, q233Oracle),
     GraftQuery.sql("q234_count_min", q234CountMinHeavyHitters, q234Oracle),
     GraftQuery.sql("q236_collation", q236Collation, q236Oracle),
-    GraftQuery.sql("q238_sql_udf", q238SqlUdf, q238Oracle)
+    GraftQuery.sql("q238_sql_udf", q238SqlUdf, q238Oracle),
+    GraftQuery.sql("q244_sql_scripting", q244SqlScripting, q244Oracle)
   )
 
   /** Event-time RANGE frame: per-user rolling 1-hour event count and sum —

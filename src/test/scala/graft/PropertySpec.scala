@@ -85,6 +85,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx honors its rank-error bound under ANY partitioning (merge contract)") {
+    // The scale contract of sketch aggregation: partial sketches built on
+    // arbitrary partitions and merged in arbitrary order must still land
+    // within the accuracy bound eps = 1/accuracy of the true rank. (Exact
+    // equality across partitionings is NOT guaranteed — merge order shifts
+    // which sample survives — so the bound, not the value, is the
+    // invariant a 1000-executor plan relies on.)
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice").as("v"))
+    val n = li.count()
+    val accuracy = 100
+    val sorted = li.orderBy(col("v")).collect().map(_.getDouble(0))
+    for (parts <- Seq(1, 4, 32); q <- Seq(0.1, 0.5, 0.9)) {
+      val approx = li.repartition(parts)
+        .agg(expr(s"approx_percentile(v, $q, $accuracy)")).head.getDouble(0)
+      // observed rank of the approx answer vs target rank, in units of n
+      val rank = sorted.count(_ <= approx).toDouble
+      val err = math.abs(rank / n - q)
+      assert(err <= 1.0 / accuracy + 1.0 / n,
+        f"parts=$parts q=$q: approx=$approx rank-err=$err%.4f > eps")
+    }
+  }
+
   test("as-of window rewrite matches a brute-force reference on adversarial streams") {
     // Equal-timestamp ties (click@ts vs purchase@ts counts; among equal-ts
     // clicks the max id wins) and clickless purchases — the cases the
