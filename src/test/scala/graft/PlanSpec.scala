@@ -362,6 +362,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q242 BM25: term stats broadcast, doc-length join shuffles (never broadcast O(docs))") {
+    val p = plan("q242_bm25_retrieval")
+    // df (per query term) and the 1-row corpus stats are broadcastable at
+    // any scale; the O(docs) length table must arrive via a shuffle join.
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("NO query in the entire inventory plans a CartesianProduct") {
     // The blanket 100 TB safety net: a cartesian product anywhere is a bug.
     // (Deliberate small-side broadcasts plan as BroadcastNestedLoopJoin.)
