@@ -232,6 +232,15 @@ object Dedup {
     * its own bands in the index, excludes them as self-hits, and reproduces
     * the identical survivor set — replay-idempotent end to end.
     *
+    * Chain caveat (inherent to index-based incremental dedup, not a bug):
+    * a dup-of-a-dup (doc C matching only dropped doc B) survives when B
+    * arrived in an earlier batch (B never entered the index) but drops when
+    * B is in the SAME batch (the in-batch rule considers all smaller-id
+    * docs, survivors or not). Decisions are always deterministic for a
+    * fixed batching; only chain cases vary WITH the batching — the same
+    * property every production streaming dedup with a survivors-only index
+    * has.
+    *
     * Scale shape: the index is O(16 · surviving docs) rows of (long, int,
     * string), partition-pruned nothing — it joins on (band_idx, bkey) as a
     * shuffle semi-join; at 100 TB the index would be bucketed on bkey so

@@ -682,6 +682,84 @@ object TextAnalysis {
       |FROM ts GROUP BY doc_id
       |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
 
+  // ---------------------------------------------------------------- q245
+
+  /** Blocked sparse-vector cosine similarity join: documents as TF-IDF
+    * weighted bags of tokens, cosine computed EXACTLY via an inverted-index
+    * pair join within (lang, source) blocks — the sparse twin of q41's
+    * dense label-blocked embedding near-dup, and the doc-doc granularity
+    * q170's language-level weighted Jaccard doesn't cover. Weights use the
+    * same exact-rational idf family as q242 ((N+1)/df — no log, so both
+    * engines produce bit-identical doubles); dot products and squared norms
+    * go through DECIMAL sums (order-independent), and the final
+    * dot/(‖a‖·‖b‖) is sqrt+multiply+divide — all IEEE-exact.
+    *
+    * Scale shape: the pair join is an equi-join on (lang, source, tok) —
+    * block-bounded candidates, never all-pairs; weights/norms are one
+    * token-shuffle each; the O(docs) norm table joins on doc_id. Top 20
+    * pairs by cosine. Run over a deterministic 1-in-3 doc sample: this is
+    * the EXACT audit face (quadratic within blocks by design); full-corpus
+    * similarity at scale goes through the LSH/ANN family (q34/q42/q47/q67),
+    * for which this operator provides spot ground truth.
+    */
+  def q245SparseCosine(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).where(col("doc_id") % 3 === 0)
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val cnt = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = cnt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = cnt.join(dfreq, "tok").crossJoin(nDocs)
+      .withColumn("w", expr(
+        "CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) + 1.0D) / CAST(df AS DOUBLE))"))
+      .select(col("doc_id"), col("lang"), col("source"), col("tok"), col("w"))
+      .localCheckpoint() // feeds norms + both pair-join sides
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum((col("w") * col("w")).cast("decimal(20,4)")).cast("double")).as("nrm"))
+    val dots = w.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+        col("tok"), col("w").as("wa"))
+      .join(w.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
+        col("tok"), col("w").as("wb")), Seq("lang", "source", "tok"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum((col("wa") * col("wb")).cast("decimal(20,4)")).cast("double").as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("dot") / (col("na") * col("nb"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  val q245Oracle: String =
+    """WITH cnt AS (
+      |  SELECT doc_id, lang, source, tok, count(*) AS tf FROM (
+      |    SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE doc_id % 3 = 0)
+      |  GROUP BY 1, 2, 3, 4),
+      |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id % 3 = 0),
+      |dfreq AS (SELECT tok, count(*) AS df FROM cnt GROUP BY tok),
+      |w AS (SELECT doc_id, lang, source, tok,
+      |        CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) + CAST(1.0 AS DOUBLE))
+      |          / CAST(df AS DOUBLE)) AS w
+      |      FROM cnt JOIN dfreq USING (tok), n),
+      |norms AS (SELECT doc_id,
+      |        sqrt(CAST(sum(CAST(w * w AS DECIMAL(20,4))) AS DOUBLE)) AS nrm
+      |      FROM w GROUP BY doc_id),
+      |dots AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(sum(CAST(a.w * b.w AS DECIMAL(20,4))) AS DOUBLE) AS dot
+      |  FROM w a JOIN w b ON a.lang = b.lang AND a.source = b.source
+      |    AND a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, dot / (na.nrm * nb.nrm) AS cosine
+      |FROM dots JOIN norms na ON na.doc_id = doc_a
+      |          JOIN norms nb ON nb.doc_id = doc_b
+      |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q37_lang_markers", q37LangMarkers, q37Oracle),
     GraftQuery.sql("q38_quality_score", q38QualityScore, q38Oracle),
@@ -699,6 +777,7 @@ object TextAnalysis {
     GraftQuery.sql("q170_weighted_jaccard", q170WeightedJaccard, q170Oracle),
     GraftQuery.sql("q177_grouped_quantiles", q177GroupedQuantiles, q177Oracle),
     GraftQuery.sql("q195_lang_confusion", q195LangConfusion, q195Oracle),
-    GraftQuery.sql("q242_bm25_retrieval", q242Bm25Retrieval, q242Oracle)
+    GraftQuery.sql("q242_bm25_retrieval", q242Bm25Retrieval, q242Oracle),
+    GraftQuery.sql("q245_sparse_cosine", q245SparseCosine, q245Oracle)
   )
 }
