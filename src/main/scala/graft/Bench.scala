@@ -110,7 +110,17 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qtotal":${results.size},"qshown":${kept.size},"iter2_min_sec":$Iter2MinSec,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     if (line.length > 1850) // tail window 2000 minus sbt's trailing [success] line
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may exceed driver tail window")
-    println(line)
+    // The JSON goes to a side file FIRST (BENCH.json in the working dir —
+    // the repo root under sbt), so a consumer never depends on tail-grepping
+    // sbt stdout: all five prior rounds recorded "parsed": null because the
+    // line sat mid-tail behind sbt's [success] trailer.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] WARNING: could not write BENCH.json: $e") }
+    // stdout line AFTER spark.stop(): the final stdout write of the JVM, so
+    // nothing this process controls can land between it and the tail.
     spark.stop()
+    println(line)
   }
 }

@@ -620,31 +620,65 @@ object AdvancedSql {
   /** Spark 4 SQL SCRIPTING (`BEGIN … END`, session variables, `WHILE`):
     * a data-dependent iterative search written entirely in SQL — find the
     * smallest quantity cutoff (stepping by 5) whose tail holds under 10% of
-    * lineitem, then report the tail's count and decimal-exact revenue. The
-    * driver-side analogue would collect per-step counts in a Scala loop;
-    * scripting keeps the control flow in the engine, each iteration a
-    * normal distributed aggregation (nothing but the loop variables ever
-    * reaches the driver). The oracle replays the same search declaratively
-    * over a step series — identical integers, identical Det-style sum.
+    * lineitem, then report the tail's count and decimal-exact revenue.
+    *
+    * Scale shape: lineitem is scanned ONCE, into a per-5-quantity-band
+    * histogram cumulated from the top band down (row k holds the count and
+    * decimal revenue of `l_quantity >= k` — cutoffs step by 5 from 1, and
+    * band m covers quantities [1+5m, 5+5m], so every reachable cutoff is a
+    * band edge). The ~10-row aggregate is localCheckpointed and the WHILE
+    * iterates over THAT — k loop steps cost k tiny local lookups instead of
+    * k full rescans of the fact table (the r5 shape), while the scripting
+    * surface (DECLARE / SET with scalar subqueries / WHILE) is exercised
+    * unchanged. Cumulative decimal sums are exact and associative, so the
+    * banded revenue equals the direct filtered sum bit-for-bit. The oracle
+    * replays the same search declaratively over a step series — identical
+    * integers, identical Det-style sum.
     */
   def q244SqlScripting(spark: SparkSession, dir: String): DataFrame = {
+    // Session-conf hygiene: scripting is only needed to PARSE the script
+    // (the returned DataFrame re-executes plain queries), so restore the
+    // previous value rather than leaking `enabled` into every later query
+    // run on this shared session.
+    val prev = spark.conf.getOption("spark.sql.scripting.enabled")
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    Tables.lineitem(spark, dir).createOrReplaceTempView("li_script")
-    spark.sql(
-      """BEGIN
-        |  DECLARE n BIGINT DEFAULT 0;
-        |  DECLARE c BIGINT DEFAULT 0;
-        |  DECLARE cutoff INT DEFAULT 1;
-        |  SET n = (SELECT count(*) FROM li_script);
-        |  SET c = (SELECT count(*) FROM li_script WHERE l_quantity >= cutoff);
-        |  WHILE c * 10 >= n DO
-        |    SET cutoff = cutoff + 5;
-        |    SET c = (SELECT count(*) FROM li_script WHERE l_quantity >= cutoff);
-        |  END WHILE;
-        |  SELECT cutoff AS cutoff, count(*) AS n_above,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev_above
-        |  FROM li_script WHERE l_quantity >= cutoff;
-        |END""".stripMargin)
+    try {
+      Tables.lineitem(spark, dir).createOrReplaceTempView("li_script")
+      spark.sql(
+        """SELECT CAST(1 + 5 * band AS INT) AS k,
+          |  CAST(sum(c) OVER (ORDER BY band DESC
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_ge,
+          |  sum(rev) OVER (ORDER BY band DESC
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_ge
+          |FROM (SELECT floor((l_quantity - 1) / 5) AS band, count(*) AS c,
+          |        sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+          |      FROM li_script GROUP BY 1)""".stripMargin)
+        .localCheckpoint()
+        .createOrReplaceTempView("li_cum")
+      spark.sql(
+        """BEGIN
+          |  DECLARE n BIGINT DEFAULT 0;
+          |  DECLARE c BIGINT DEFAULT 0;
+          |  DECLARE cutoff INT DEFAULT 1;
+          |  SET n = (SELECT c_ge FROM li_cum WHERE k = 1);
+          |  SET c = (SELECT c_ge FROM li_cum WHERE k = cutoff);
+          |  WHILE c * 10 >= n DO
+          |    SET cutoff = cutoff + 5;
+          |    SET c = (SELECT coalesce(
+          |      (SELECT c_ge FROM li_cum WHERE k = cutoff), CAST(0 AS BIGINT)));
+          |  END WHILE;
+          |  SELECT cutoff AS cutoff,
+          |    coalesce((SELECT c_ge FROM li_cum WHERE k = cutoff),
+          |             CAST(0 AS BIGINT)) AS n_above,
+          |    CAST(coalesce((SELECT rev_ge FROM li_cum WHERE k = cutoff),
+          |                  CAST(0 AS DECIMAL(18,4))) AS DOUBLE) AS rev_above;
+          |END""".stripMargin)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.scripting.enabled", v)
+        case None    => spark.conf.unset("spark.sql.scripting.enabled")
+      }
+    }
   }
 
   val q244Oracle: String =

@@ -82,15 +82,13 @@ object Dedup {
     */
   private def ngramJaccardPairs(spark: SparkSession, dir: String,
       dfCap: Option[Int]): DataFrame = {
-    // localCheckpoint (uncapped only): the hashed shingle table feeds
-    // sizes + BOTH sides of the pair self-join, whose alias-renamed
-    // exchange subtrees defeat ReuseExchange — without it the O(len)
-    // shingle hashing runs 3×. The capped path already materializes the
-    // token stream through its window shuffle, where a checkpoint is
-    // measured pure overhead.
-    val shRaw = Tables.documents(spark, dir)
-      .selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
-    val sh = if (dfCap.isEmpty) shRaw.localCheckpoint() else shRaw
+    // The hashed shingle table is read from the per-corpus parquet artifact
+    // ([[hashedShingles]]): it feeds sizes + BOTH sides of the pair
+    // self-join here, AND the q137/q240 containment twins — five consumers
+    // total, one O(len) hashing pass. (A localCheckpoint only deduplicated
+    // within one query; alias-renamed exchange subtrees defeat ReuseExchange
+    // either way.)
+    val sh = hashedShingles(spark, dir)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
     val tok0 = sh.select(col("doc_id"), explode(col("sh")).as("h"))
     val tok = dfCap.map(capPostings(tok0, _)).getOrElse(tok0)
@@ -384,6 +382,18 @@ object Dedup {
   private[operators] def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     materialized(spark, "jacpairs", dir)(
       q33NgramJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  /** Per-doc hashed 20-char shingle sets, materialized once per corpus —
+    * the shared INDEX BUILD behind all four exact-baseline faces (q33 and
+    * its df-cap twin q239, q137/q240 in [[SpanOps]]) plus the artifact
+    * builds above. One O(len) rolling-hash pass per corpus instead of one
+    * per consumer; exactly how a production pipeline stages its shingle
+    * index before fanning out similarity reports.
+    */
+  private[operators] def hashedShingles(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, "shingles", dir)(
+      Tables.documents(spark, dir)
+        .selectExpr("doc_id", "shingle_hashes(text, 20) AS sh"))
 
   /** Converged CC labels, materialized once per corpus for consumers. */
   private[operators] def clusterLabels(spark: SparkSession, dir: String): DataFrame =

@@ -132,12 +132,20 @@ object FsParity {
     val dfs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     dfs.delete(outPath, true)
     dfs.mkdirs(outPath)
+    // Executors resolve the FileSystem from the DRIVER's Hadoop conf
+    // (broadcast as a SerializableConfiguration): a bare `new Configuration()`
+    // would drop spark.hadoop.* settings — credentials, fs.<scheme>.impl
+    // bindings — so on any conf-configured FS (s3a, a cephrgw-style binding
+    // like the reference's) the write would fail or diverge from the driver.
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     Tables.documents(spark, dir)
       .where(col("doc_id") % 37 === 0)
       .select(col("doc_id"), col("text"))
       .foreachPartition { rows: scala.collection.Iterator[org.apache.spark.sql.Row] =>
         val p = new org.apache.hadoop.fs.Path(out)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(confBc.value.value)
         rows.foreach { r =>
           val f = fs.create(new org.apache.hadoop.fs.Path(p, s"doc_${r.getLong(0)}.bin"), true)
           try f.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))

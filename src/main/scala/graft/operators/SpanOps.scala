@@ -194,13 +194,10 @@ object SpanOps {
     */
   private def containmentJoin(spark: SparkSession, dir: String,
       dfCap: Option[Int]): DataFrame = {
-    // localCheckpoint (uncapped only): same rationale as the q33 core —
-    // the shingle table feeds sizes + both self-join sides, and the
-    // alias-renamed exchanges defeat ReuseExchange; the capped path
-    // already materializes through its window shuffle.
-    val shRaw = Tables.documents(spark, dir)
-      .selectExpr("doc_id", "shingle_hashes(text, 20) AS sh")
-    val sh = if (dfCap.isEmpty) shRaw.localCheckpoint() else shRaw
+    // Shared per-corpus shingle artifact (see [[Dedup.hashedShingles]]):
+    // one hashing pass serves sizes + both self-join sides here AND the
+    // q33/q239 Jaccard twins.
+    val sh = Dedup.hashedShingles(spark, dir)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
     val tok0 = sh.select(col("doc_id"), explode(col("sh")).as("h"))
     val tok = dfCap.map(Dedup.capPostings(tok0, _)).getOrElse(tok0)

@@ -698,11 +698,39 @@ object TextAnalysis {
     * block-bounded candidates, never all-pairs; weights/norms are one
     * token-shuffle each; the O(docs) norm table joins on doc_id. Top 20
     * pairs by cosine. Run over a deterministic 1-in-3 doc sample: this is
-    * the EXACT audit face (quadratic within blocks by design); full-corpus
-    * similarity at scale goes through the LSH/ANN family (q34/q42/q47/q67),
-    * for which this operator provides spot ground truth.
+    * the EXACT audit face; full-corpus similarity at scale goes through the
+    * LSH/ANN family (q34/q42/q47/q67), for which this operator provides
+    * spot ground truth.
+    *
+    * Unlike 20-char shingles, single TOKENS are viral — every document in a
+    * block shares common words, so an unguarded (lang, source, tok) join
+    * degenerates toward all-pairs-per-block as blocks grow. The df-cap
+    * guard (same family as [[Dedup.capPostings]], q239/q240) drops tokens
+    * with df > cap from the PAIR JOIN ONLY — norms stay exact over all
+    * tokens — bounding join work at Σ_tok min(df,cap)². Error bound: a
+    * dropped token has weight w = tf·(N+1)/df < tf·(N+1)/cap per doc, and
+    * by Cauchy-Schwarz the dot-product deficit is at most
+    * ‖a|dropped‖·‖b|dropped‖, so the reported cosine under-reports by at
+    * most the product of the two docs' dropped-mass fractions — the mass
+    * idf already declared negligible. cosine is monotonically UNDER-
+    * estimated, never inflated (the safe direction for a near-dup screen).
+    * On this corpus max block df < DfCap, so the guard is provably a no-op
+    * against the unguarded oracle (hash-identical, the q239-vs-q33
+    * methodology); OperatorSpec pins the engaged-cap semantics at cap=130.
     */
-  def q245SparseCosine(spark: SparkSession, dir: String): DataFrame = {
+  def q245SparseCosine(spark: SparkSession, dir: String): DataFrame =
+    sparseCosine(spark, dir, dfCap = DfCap245)
+
+  /** Default pair-join df cap for q245: above any block df at the tested
+    * scales (sf0.01 ~167 sampled docs, sf0.1 ~1667 — global df bounds block
+    * df), so the audit face stays exact while the guard machinery is live
+    * in the plan; a real 10M-doc block would cap its stopwords here.
+    */
+  private[graft] val DfCap245 = 4000
+
+  /** q245 core, parameterized by the pair-join df cap (see q245 scaladoc). */
+  private[graft] def sparseCosine(spark: SparkSession, dir: String,
+      dfCap: Int): DataFrame = {
     val docs = Tables.documents(spark, dir).where(col("doc_id") % 3 === 0)
     val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val cnt = docs
@@ -714,13 +742,17 @@ object TextAnalysis {
     val w = cnt.join(dfreq, "tok").crossJoin(nDocs)
       .withColumn("w", expr(
         "CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) + 1.0D) / CAST(df AS DOUBLE))"))
-      .select(col("doc_id"), col("lang"), col("source"), col("tok"), col("w"))
+      .select(col("doc_id"), col("lang"), col("source"), col("tok"), col("w"),
+        col("df"))
       .localCheckpoint() // feeds norms + both pair-join sides
+    // Norms stay EXACT (all tokens); only the pair join sees the df guard,
+    // so a capped cosine can only under-report (see scaladoc error bound).
     val norms = w.groupBy(col("doc_id"))
       .agg(sqrt(sum((col("w") * col("w")).cast("decimal(20,4)")).cast("double")).as("nrm"))
-    val dots = w.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+    val wj = w.where(col("df") <= dfCap)
+    val dots = wj.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
         col("tok"), col("w").as("wa"))
-      .join(w.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
+      .join(wj.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
         col("tok"), col("w").as("wb")), Seq("lang", "source", "tok"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))

@@ -55,8 +55,18 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    root = new File(Option(options.get("root")).getOrElse(
-      Files.createTempDirectory("graft_stage_").toString))
+    root = new File(Option(options.get("root")).getOrElse {
+      // Throwaway-session fallback; announce it LOUDLY so a typo'd
+      // `spark.sql.catalog.<name>.root` conf key (which lands here and
+      // "loses" previously staged tables in a fresh temp dir) is visible in
+      // the first lines of any log rather than silently absorbed.
+      val tmp = Files.createTempDirectory("graft_stage_").toString
+      System.err.println(
+        s"[GraftStagingCatalog:$name] WARNING: option 'root' not set " +
+          s"(spark.sql.catalog.$name.root) — staging tables go to throwaway " +
+          s"temp dir $tmp and will NOT survive this session")
+      tmp
+    })
     root.mkdirs()
   }
 
@@ -166,9 +176,45 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName: ALTER TABLE is not supported on staging tables")
+  /** `ALTER TABLE … ADD COLUMN`: schema evolution the way the reference's
+    * schema-on-read deployment does it — the DECLARED schema (the sidecar)
+    * widens, existing parquet files are untouched, and the reader surfaces
+    * NULL for the new column on old files (Spark's parquet reader fills
+    * missing read-schema columns with null, the same mechanism FsParitySpec
+    * proves path-based via mergeSchema). Only top-level nullable ADD is
+    * supported; everything else (drops, renames, type changes) would require
+    * rewriting immutable files — refused, matching object-store reality.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = tableDir(ident)
+    if (d == null || !d.isDirectory) throw new NoSuchTableException(ident)
+    val sidecar = new File(d, SchemaSidecar)
+    var schema: StructType =
+      if (sidecar.isFile)
+        DataType.fromJson(new String(
+          Files.readAllBytes(sidecar.toPath), StandardCharsets.UTF_8)).asInstanceOf[StructType]
+      else SparkSession.active.read.parquet(d.getAbsolutePath).schema
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName: only top-level ADD COLUMN is supported, " +
+              s"got ${add.fieldNames().mkString(".")}")
+        if (schema.fieldNames.exists(_.equalsIgnoreCase(add.fieldNames()(0))))
+          throw new IllegalArgumentException(
+            s"$catalogName: column ${add.fieldNames()(0)} already exists in ${ident.name()}")
+        if (!add.isNullable)
+          throw new UnsupportedOperationException(
+            s"$catalogName: added columns must be nullable (existing files " +
+              "surface NULL for them)")
+        schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"$catalogName: unsupported ALTER TABLE change $other (only ADD COLUMN)")
+    }
+    Files.write(sidecar.toPath, schema.json.getBytes(StandardCharsets.UTF_8))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = tableDir(ident)

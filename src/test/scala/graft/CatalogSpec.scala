@@ -120,6 +120,42 @@ class CatalogSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("exists"), e2.getMessage)
   }
 
+  test("staging catalog: ALTER TABLE ADD COLUMN evolves the sidecar; old files surface NULL") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.evolve_t")
+    spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView("cust_src_ev")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.evolve_t AS
+        |SELECT c_custkey, c_mktsegment FROM cust_src_ev WHERE c_custkey % 2 = 0""".stripMargin)
+    val before = spark.sql("SELECT count(*) FROM stage_t.ws.evolve_t").collect()(0).getLong(0)
+    assert(before > 0)
+    // widen the DECLARED schema: existing parquet files are untouched
+    spark.sql("ALTER TABLE stage_t.ws.evolve_t ADD COLUMN priority INT")
+    // wider INSERT lands through the same DSv2 committer
+    spark.sql(
+      """INSERT INTO stage_t.ws.evolve_t
+        |SELECT c_custkey, c_mktsegment, CAST(5 AS INT) FROM cust_src_ev
+        |WHERE c_custkey % 2 = 1""".stripMargin)
+    val df = spark.table("stage_t.ws.evolve_t")
+    assert(df.schema.fieldNames.toSeq === Seq("c_custkey", "c_mktsegment", "priority"))
+    // pre-evolution rows surface NULL for the new column; new rows carry it
+    val nulls = df.where(col("priority").isNull).count()
+    val fives = df.where(col("priority") === 5).count()
+    assert(nulls === before, s"expected $before old rows with NULL priority, got $nulls")
+    assert(fives > 0 && nulls + fives === df.count())
+    // refused evolutions: duplicate column, file-rewriting changes
+    val dup = intercept[Exception] {
+      spark.sql("ALTER TABLE stage_t.ws.evolve_t ADD COLUMN c_custkey STRING")
+    }
+    assert(dup.getMessage.toLowerCase.contains("exist"), dup.getMessage)
+    val drop = intercept[Exception] {
+      spark.sql("ALTER TABLE stage_t.ws.evolve_t DROP COLUMN priority")
+    }
+    assert(drop.getMessage.contains("ADD COLUMN") ||
+      drop.getMessage.toLowerCase.contains("unsupported"), drop.getMessage)
+  }
+
   test("unknown namespace and table fail with the standard analysis errors") {
     mount()
     val e = intercept[Exception] { spark.sql("SHOW TABLES IN graft_cat.`nope`").collect() }

@@ -112,6 +112,34 @@ class OperatorSpec extends SparkSpec {
     assert(capped === Set((1L, 20L), (2L, 20L), (3L, 30L)))
   }
 
+  test("q245 sparse-cosine df guard: no-op at the default cap, never inflates under a tight cap") {
+    // sf0.01, not the spec default: the 1-in-3 sample of the sf0.001 corpus
+    // leaves no two docs sharing a (lang, source) block, so the pair set —
+    // and with it this test — would be vacuously empty there.
+    val dir = "/root/testdata/sf0.01"
+    // Default cap (4000) sits above any block df at tested scales: the
+    // guarded query must be EXACTLY the unguarded result (the q239-vs-q33
+    // methodology, applied to the token-level pair join).
+    val dflt = TextAnalysis.q245SparseCosine(spark, dir).collect().toSeq
+    val uncapped = TextAnalysis.sparseCosine(spark, dir, dfCap = Int.MaxValue)
+      .collect().toSeq
+    assert(dflt === uncapped)
+    assert(dflt.nonEmpty)
+    // Engaged cap: norms stay exact while the pair join loses viral-token
+    // contributions, so every pair's cosine can only UNDER-report — the
+    // safe direction for a near-dup screen (cos monotone in the dot).
+    // cap=130 engages against this corpus's df span (6..141, median ~134):
+    // the most-viral tokens drop, sub-cap tokens keep contributing.
+    val un = uncapped.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = TextAnalysis.sparseCosine(spark, dir, dfCap = 130).collect().toSeq
+    assert(capped.nonEmpty)
+    val overlap = capped.flatMap { r =>
+      un.get((r.getLong(0), r.getLong(1))).map(u => (r.getDouble(2), u))
+    }
+    assert(overlap.nonEmpty, "tight-cap run shares no pairs with the exact top-20")
+    overlap.foreach { case (c, u) => assert(c <= u + 1e-12, s"capped $c > uncapped $u") }
+  }
+
   test("minhash LSH finds every high-jaccard pair (recall vs exact baseline)") {
     val exact = Dedup.q33NgramJaccard(spark, sfDir)
       .where(col("jaccard") >= 0.7)

@@ -374,6 +374,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q245 sparse cosine: df guard filters BOTH pair-join sides; norms stay unguarded") {
+    // The (lang, source, tok) pair join must sit behind `df <= cap` on each
+    // side — the structural guarantee that a stopword-frequency token can
+    // never detonate within-block candidates to all-pairs. The norm
+    // aggregation reads the unfiltered weight table (exact norms), so
+    // exactly two guard filters appear.
+    val p = plan("q245_sparse_cosine")
+    val guards = s"<= ${TextAnalysis.DfCap245}".r.findAllIn(p).size
+    assert(guards >= 2, s"expected df-cap filters on both join sides:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("NO query in the entire inventory plans a CartesianProduct") {
     // The blanket 100 TB safety net: a cartesian product anywhere is a bug.
     // (Deliberate small-side broadcasts plan as BroadcastNestedLoopJoin.)
