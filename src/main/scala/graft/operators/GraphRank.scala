@@ -125,7 +125,8 @@ object GraphRank {
     * any driver/broadcast limit at scale — instead the edge list is
     * localCheckpointed once and each round's relaxation is a shuffled
     * hash join building on the frontier side, with the frontier
-    * re-checkpointed per round to keep the lineage linear.
+    * re-materialized (persist + count) per round to keep the lineage
+    * linear.
     */
   def q161BfsHops(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.lineitem(spark, dir)
@@ -148,15 +149,23 @@ object GraphRank {
       // (shuffling one row) is noise next to the edge scan either way.
       val expanded = edges.join(dist.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-      // localCheckpoint between rounds: dist appears TWICE per round
-      // (union + relaxation join), so an un-materialized lineage doubles
-      // every iteration — 2^rounds recomputation. Checkpointing keeps the
-      // work linear in rounds and the per-round state O(reached nodes).
-      // The LAST round stays lazy: both of its dist reads hit round 2's
-      // checkpoint, so laziness costs nothing and the returned plan keeps
-      // the relaxation join visible for plan-shape assertions.
+      // Materialize between rounds: dist appears TWICE per round (union +
+      // relaxation join), so an un-materialized lineage doubles every
+      // iteration — 2^rounds recomputation. persist(MEMORY_AND_DISK) +
+      // count() pins the frontier like localCheckpoint did, but without
+      // localCheckpoint's eager full-partition copy into block storage —
+      // the frontier is O(reached nodes) and cache substitution serves the
+      // two per-round reads straight from memory. The LAST round stays
+      // lazy: both of its dist reads hit round 2's cache, so laziness costs
+      // nothing and the returned plan keeps the relaxation join visible for
+      // plan-shape assertions.
       val next = dist.union(expanded).groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      dist = if (round < 3) next.localCheckpoint() else next
+      if (round < 3) {
+        val prev = dist
+        dist = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dist.count() // materialize now; later rounds read the cache, not lineage
+        prev.unpersist(false) // previous frontier no longer referenced
+      } else dist = next
     }
     dist.groupBy(col("dist")).agg(count(lit(1)).as("n"),
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))

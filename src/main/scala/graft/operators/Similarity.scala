@@ -171,17 +171,32 @@ object Similarity {
     * an equi-join on the cell id, the IVF scale path (nprobe=1). At 100 TB
     * the centroid set broadcasts and cell assignment is map-only.
     */
-  def q67IvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val base = withNorm(spark, dir)
-    val cents = base.where(col("vec_id") < 8)
+  /** The fixed coarse quantizer: the 8 lowest-id vectors of the corpus stand
+    * in for trained centroids (a real pipeline trains them offline on a
+    * sample; the assignment path is identical either way).
+    */
+  private[operators] def ivfCentroids(base: DataFrame): DataFrame =
+    base.where(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
+
+  /** Nearest-centroid cell assignment via ‖x−c‖² = x·x − 2·x·c + c·c:
+    * centroids broadcast, so assignment is map-only at any corpus size.
+    * Shared by the in-flight ANN (q67/q84/q216) and the persistent
+    * catalog-table index (q246) so both paths assign identically.
+    */
+  private[operators] def ivfAssign(base: DataFrame, cents: DataFrame): DataFrame = {
     val wCell = Window.partitionBy(col("vec_id")).orderBy(asc("dist2"), asc("c_id"))
-    val assigned = base.crossJoin(broadcast(cents))
+    base.crossJoin(broadcast(cents))
       .withColumn("dist2",
         col("n2") - lit(2.0) * expr("float_vec_dot(embedding, c_emb)") + col("c_n2"))
       .withColumn("crn", row_number().over(wCell))
       .where(col("crn") === 1)
       .select(col("vec_id"), col("embedding"), col("n2"), col("c_id").as("cell"))
+  }
+
+  def q67IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir)
+    val assigned = ivfAssign(base, ivfCentroids(base))
     val queries = assigned.where(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("n2").as("q_n2"), col("cell").as("q_cell"))
@@ -196,8 +211,11 @@ object Similarity {
       .orderBy(col("q_id"), col("neighbor_id"))
   }
 
-  val q67Oracle: String =
-    s"""WITH n AS (SELECT vec_id, embedding,
+  /** DuckDB twin of [[ivfCentroids]]+[[ivfAssign]] — the `assigned` CTE
+    * shared by every IVF-family oracle (q67, q246, q247).
+    */
+  private val ivfAssignedCte: String =
+    s"""n AS (SELECT vec_id, embedding,
        |  ${Det.dotSql("embedding", "embedding")} AS n2 FROM embeddings),
        |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM n WHERE vec_id < 8),
        |assigned AS (
@@ -206,7 +224,10 @@ object Similarity {
        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |        n.n2 - 2.0 * ${Det.dotSql("n.embedding", "c.c_emb")} + c.c_n2, c.c_id) AS crn
        |    FROM n, cents c)
-       |  WHERE crn = 1)
+       |  WHERE crn = 1)""".stripMargin
+
+  val q67Oracle: String =
+    s"""WITH $ivfAssignedCte
        |SELECT q_id, cell, neighbor_id, cos FROM (
        |  SELECT q.vec_id AS q_id, a.cell, a.vec_id AS neighbor_id,
        |    ${Det.dotSql("q.embedding", "a.embedding")} / (sqrt(q.n2) * sqrt(a.n2)) AS cos,
@@ -216,6 +237,38 @@ object Similarity {
        |  FROM assigned q JOIN assigned a
        |    ON q.vec_id < 20 AND a.cell = q.cell AND a.vec_id <> q.vec_id)
        |WHERE rn <= 3 ORDER BY q_id, neighbor_id""".stripMargin
+
+  /** IVF-cell-blocked embedding near-dup — the no-natural-block-key scale
+    * path for q41's label-blocked pair scan: when no label exists, the IVF
+    * cell assignment IS the block key, so the pair comparison is an
+    * equi-join on `cell` (candidates bounded by the largest cell — tunable
+    * by raising the centroid count) instead of all-pairs. Misses only
+    * cross-cell pairs, exactly the nprobe=1 recall semantics q216 audits.
+    * This is the embedding-space analogue of the text side's MinHash
+    * banding (q34): map-only assignment, equi-join candidates, never n².
+    */
+  def q247IvfBlockedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir)
+    val assigned = ivfAssign(base, ivfCentroids(base))
+    val a = assigned.select(col("vec_id").as("vec_a"), col("cell"),
+      col("embedding").as("emb_a"), col("n2").as("n2_a"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("cell"),
+      col("embedding").as("emb_b"), col("n2").as("n2_b"))
+    a.join(b, "cell").where(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        expr("float_vec_dot(emb_a, emb_b)") / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
+      .where(col("cos") >= 0.4)
+      .select(col("cell"), col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val q247Oracle: String =
+    s"""WITH $ivfAssignedCte
+       |SELECT cell, vec_a, vec_b, cos FROM (
+       |  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${Det.dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
 
   /** Per-label centroids (first 8 dimensions): element-wise mean via
     * posexplode + sorted sequential fold — sorting the per-group values
@@ -404,7 +457,8 @@ object Similarity {
     GraftQuery.sql("q83_centroid_scale", q83CentroidScale, q83Oracle),
     GraftQuery.sql("q84_ivf_ann_nprobe2", q84IvfAnnNprobe2, q84Oracle),
     GraftQuery.sql("q95_embedding_quantize", q95EmbeddingQuantize, q95Oracle),
-    GraftQuery.sql("q216_ann_recall_audit", q216AnnRecallAudit, q216Oracle)
+    GraftQuery.sql("q216_ann_recall_audit", q216AnnRecallAudit, q216Oracle),
+    GraftQuery.sql("q247_ivf_blocked_neardup", q247IvfBlockedNeardup, q247Oracle)
   )
 
   // ---------------------------------------------------------------- q216

@@ -78,10 +78,11 @@ object StreamingOps {
   /** Streaming MinHash-LSH NEAR-dup dedup: each micro-batch probes a
     * persistent band index ([[graft.operators.Dedup.nearDupAgainstIndex]]),
     * drops docs sharing any band with an indexed or smaller-in-batch doc,
-    * appends survivors' bands to the index, and lands survivors in a
-    * per-batchId parquet dir (replay-idempotent: the index stores doc_ids,
-    * so a redelivered batch excludes its own bands as self-hits and emits
-    * the identical survivor set). This is the streaming face of the q34
+    * writes survivors' bands to a per-batchId index segment (OVERWRITE, so
+    * a redelivered batch rewrites its own segment instead of growing the
+    * index), periodically compacts the segments so a long-running stream
+    * never accretes one small parquet file set per batch, and lands
+    * survivors in a per-batchId parquet dir (replay-idempotent end to end). This is the streaming face of the q34
     * banding and the approximate twin of the exact incremental dedup
     * (q103): unbounded-horizon near-dedup whose state lives in storage,
     * not the state store — at 100 TB/day the band index outgrows any
@@ -92,7 +93,7 @@ object StreamingOps {
     docs.writeStream
       .option("checkpointLocation", checkpointDir).outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.operators.Dedup.nearDupAgainstIndex(batch, indexDir)
+        graft.operators.Dedup.nearDupAgainstIndex(batch, indexDir, id)
           .write.mode("overwrite").parquet(s"$outDir/batch_$id")
         ()
       }

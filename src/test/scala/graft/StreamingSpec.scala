@@ -359,10 +359,63 @@ class StreamingSpec extends SparkSpec {
         .as[Double].collect()
       assert(j.forall(_ >= 0.7), s"test fixtures not near-dups: ${j.toList}")
       // replay idempotence: re-running a committed batch against the (now
-      // mutated) index reproduces the same survivors — self-hits excluded
+      // mutated) index reproduces the same survivors — self-hits excluded —
+      // AND leaves the index row set unchanged (the replayed batch
+      // OVERWRITES its own batch_1 segment instead of appending a
+      // duplicate copy, the crash-redelivery case)
+      val idxSchema = "doc_id LONG, band_idx INT, bkey STRING"
+      def idxRows() = spark.read.schema(idxSchema)
+        .option("recursiveFileLookup", "true").parquet(idx).count()
+      val before = idxRows()
       val replay = graft.operators.Dedup.nearDupAgainstIndex(
-        Seq(doc(4, baseA + " more"), doc(5, baseC)).toDS().toDF(), idx)
+        Seq(doc(4, baseA + " more"), doc(5, baseC)).toDS().toDF(), idx, batchId = 1L)
       assert(replay.select("doc_id").as[Long].collect().toSet === Set(5L))
+      assert(idxRows() === before,
+        s"replayed batch grew the index: $before -> ${idxRows()}")
+    } finally q.stop()
+  }
+
+  test("band index compaction bounds segment count across many batches; drops survive compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_ndc_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ndc_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ndc_ckpt").toString
+    val baseA = "the quick brown fox jumps over the lazy dog while the calm cat " +
+      "naps under the warm sun near the old oak tree in the quiet garden today"
+    // 7 further mutually-distinct texts for batches 1..7
+    def distinctText(i: Int) = s"batch $i corpus " + (0 until 24)
+      .map(j => s"token${i}_$j").mkString(" ")
+    def doc(id: Long, text: String) =
+      StreamingOps.StreamDoc(id, ts("2024-01-01 00:01:00"), text, "en")
+    val mem = MemoryStream[StreamingOps.StreamDoc]
+    val q = StreamingOps.nearDupStream(mem.toDF(), idx, out, ckpt)
+    def segs() = new java.io.File(idx).listFiles().toIndexedSeq
+      .filter(f => f.isDirectory && (f.getName.startsWith("batch_") || f.getName.startsWith("compacted_")))
+      .map(_.getName)
+    try {
+      mem.addData(doc(1, baseA)); q.processAllAvailable()
+      (1 to 6).foreach { i =>
+        mem.addData(doc(10L + i, distinctText(i))); q.processAllAvailable()
+      }
+      // 7 batches in: without compaction there'd be 7 segment dirs
+      val afterSeven = segs()
+      assert(afterSeven.size <= graft.operators.Dedup.CompactEvery,
+        s"index segments unbounded: $afterSeven")
+      assert(afterSeven.exists(_.startsWith("compacted_")),
+        s"no compacted segment present: $afterSeven")
+      // batch 7: a near-dup of the batch-0 keeper (doc 1) — its bands now
+      // live only in the compacted segment; it must still drop
+      mem.addData(doc(99, baseA + " tail"), doc(100, distinctText(7)))
+      q.processAllAvailable()
+      val last = spark.read
+        .schema(implicitly[org.apache.spark.sql.Encoder[StreamingOps.StreamDoc]].schema)
+        .parquet(s"$out/batch_7").select("doc_id").as[Long].collect().toSet
+      assert(last === Set(100L), s"compacted index lost doc 1's bands: $last")
+      // index rows are exactly 16 bands per surviving doc, no replay bloat
+      val rows = spark.read.schema("doc_id LONG, band_idx INT, bkey STRING")
+        .option("recursiveFileLookup", "true").parquet(idx)
+      assert(rows.count() === 16L * 8, s"index rows: ${rows.count()}")
+      assert(rows.distinct().count() === rows.count(), "duplicate index rows")
     } finally q.stop()
   }
 
