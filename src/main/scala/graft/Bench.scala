@@ -47,7 +47,13 @@ object Bench {
     // `errors` map (with the exception class) and it is excluded from the
     // per-query timings and the total.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // Builder-side iteration aid (the driver never sets it): bench only the
+    // comma-separated query-name prefixes in SPARK_GRAFT_BENCH_ONLY.
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .flatMap { case (name, fn) =>
       def once(it: Int): Option[Double] = {
         val t0 = System.nanoTime()
         try {

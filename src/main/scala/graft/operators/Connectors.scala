@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.sources.v2.SeqSource
@@ -235,20 +234,63 @@ object Connectors {
     Similarity.ivfAssign(base.where(col("vec_id") % 10 === 7), cents)
       .createOrReplaceTempView("ivf_upsert_batch")
     spark.sql("INSERT INTO graft_stage.work.ivf_index SELECT * FROM ivf_upsert_batch")
-    val idx = spark.table("graft_stage.work.ivf_index")
-    val queries = idx.where(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("n2").as("q_n2"), col("cell").as("q_cell"))
-    val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("neighbor_id"))
-    idx.join(queries, col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-      .withColumnRenamed("vec_id", "neighbor_id")
-      .withColumn("cos",
-        expr("float_vec_dot(q_emb, embedding)") / (sqrt(col("q_n2")) * sqrt(col("n2"))))
-      .withColumn("rn", row_number().over(wTop))
-      .where(col("rn") <= 3)
-      .select(col("q_id"), col("cell"), col("neighbor_id"), col("cos"))
-      .orderBy(col("q_id"), col("neighbor_id"))
+    Similarity.ivfProbe(spark.table("graft_stage.work.ivf_index"))
   }
+
+  // ---------------------------------------------------------------- q248
+
+  /** Snapshot-pinned (time-travel) read over the staging catalog: three
+    * commits build the table (CTAS then two INSERTs), and the query compares
+    * the CURRENT aggregate against the same aggregate computed `VERSION AS
+    * OF 1` — the commit-manifest mechanism
+    * ([[graft.sources.catalog.GraftStagingCatalog]]: every committed DSv2
+    * batch write records `_graft_versions/v<N>.json`; append-only tables
+    * keep every manifest's file set readable forever). This is the
+    * reproducible-training primitive a 100 TB corpus pipeline needs: a run
+    * pins the corpus version it trained on and re-reads that exact file set
+    * while ingestion keeps appending. The oracle recomputes both snapshots
+    * from `orders` by the slice predicates — a hash match proves the v1
+    * manifest reads back EXACTLY the first commit, not merely some subset.
+    */
+  def q248TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_tt_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_v")
+    spark.sql( // commit 1
+      """CREATE TABLE graft_stage.work.orders_v AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_tt_src WHERE o_orderkey % 10 = 1""".stripMargin)
+    spark.sql( // commit 2
+      """INSERT INTO graft_stage.work.orders_v
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_tt_src WHERE o_orderkey % 10 = 4""".stripMargin)
+    spark.sql( // commit 3
+      """INSERT INTO graft_stage.work.orders_v
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_tt_src WHERE o_orderkey % 10 = 8""".stripMargin)
+    spark.sql(
+      """SELECT cur.status, coalesce(v1.n_v1, 0) AS n_v1, cur.n_now, cur.total_now
+        |FROM (SELECT o_orderstatus AS status, count(*) AS n_now,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_now
+        |      FROM graft_stage.work.orders_v GROUP BY o_orderstatus) cur
+        |LEFT JOIN (SELECT o_orderstatus AS status, count(*) AS n_v1
+        |           FROM graft_stage.work.orders_v VERSION AS OF 1
+        |           GROUP BY o_orderstatus) v1 USING (status)
+        |ORDER BY status""".stripMargin)
+  }
+
+  val q248Oracle: String =
+    s"""WITH v1 AS (SELECT o_orderstatus AS status, count(*) AS n_v1
+       |            FROM orders WHERE o_orderkey % 10 = 1 GROUP BY 1),
+       |cur AS (SELECT o_orderstatus AS status, count(*) AS n_now,
+       |          ${graft.operators.Det.dsumSql("o_totalprice")} AS total_now
+       |        FROM orders WHERE o_orderkey % 10 IN (1, 4, 8) GROUP BY 1)
+       |SELECT cur.status, coalesce(v1.n_v1, 0) AS n_v1, cur.n_now, cur.total_now
+       |FROM cur LEFT JOIN v1 USING (status)
+       |ORDER BY status""".stripMargin
 
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
@@ -256,5 +298,6 @@ object Connectors {
     GraftQuery.sql("q231_sink_roundtrip", q231SinkRoundtrip, q231Oracle),
     GraftQuery.sql("q232_spj_bucket_join", q232SpjBucketJoin, q232Oracle),
     GraftQuery.sql("q241_catalog_write", q241CatalogWrite, q241Oracle),
-    GraftQuery.sql("q246_ivf_catalog_index", q246IvfCatalogIndex, Similarity.q67Oracle))
+    GraftQuery.sql("q246_ivf_catalog_index", q246IvfCatalogIndex, Similarity.q67Oracle),
+    GraftQuery.sql("q248_time_travel", q248TimeTravel, q248Oracle))
 }

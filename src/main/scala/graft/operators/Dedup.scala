@@ -244,50 +244,21 @@ object Dedup {
     * shuffle semi-join; at 100 TB the index would be bucketed on bkey so
     * the per-batch probe co-locates.
     *
-    * Index layout (object-store-safe): the index is a set of SEGMENT
-    * directories under `indexDir` — `batch_<id>` (one per micro-batch,
-    * written with OVERWRITE to a path derived from the batch id, so a
-    * crash-replayed batch rewrites its own segment instead of appending a
-    * duplicate copy of its rows) plus at most one `compacted_<id>`. Once
-    * the live batch-segment count reaches [[CompactEvery]] the segments are
-    * folded into a fresh `compacted_<id>` (distinct() collapses any
-    * replay-duplicated rows) and the old segments deleted — so a
-    * long-running stream holds O(CompactEvery) directories instead of one
-    * small parquet file set per batch forever, the classic object-store
-    * small-file pile-up the reference's deployment target suffers from.
-    * All filesystem access goes through the Hadoop FS API resolved from the
-    * session conf, so the index can live on any configured FS, not just
-    * local disk.
+    * Index storage is a [[graft.sources.SegmentedIndex]]: per-batchId
+    * OVERWRITE segments (a crash-replayed batch rewrites its own segment
+    * instead of appending duplicate rows) with periodic compaction bounding
+    * the directory count — see SegmentedIndex for the object-store
+    * small-file rationale.
     */
   private[graft] val CompactEvery = 4
   private val IndexSchema = "doc_id LONG, band_idx INT, bkey STRING"
 
-  /** Live index segment paths under `indexDir` (batch_* and compacted_*). */
-  private def indexSegments(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toIndexedSeq.filter(_.isDirectory).map(_.getPath)
-      .filter(p => p.getName.startsWith("batch_") || p.getName.startsWith("compacted_"))
-
-  private def readIndex(spark: SparkSession, segs: Seq[org.apache.hadoop.fs.Path]): DataFrame =
-    if (segs.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(IndexSchema))
-    else spark.read.schema(IndexSchema).parquet(segs.map(_.toString): _*)
-
   private[graft] def nearDupAgainstIndex(batch: DataFrame, indexDir: String,
       batchId: Long): DataFrame = {
     val spark = batch.sparkSession
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.mkdirs(root)
     val bands = bandKeys(batch).localCheckpoint() // feeds probe, pair join, append
-    // Exclude this batch's own segment from the probe: on a replay the rows
-    // in batch_<id> are exactly this batch's survivors, which the doc_id
-    // inequality would already ignore — excluding the path keeps the replay
-    // read set identical to the original run's.
-    val existing = readIndex(spark,
-      indexSegments(fs, root).filter(_.getName != s"batch_$batchId"))
+    val existing = graft.sources.SegmentedIndex
+      .readExcluding(spark, indexDir, IndexSchema, batchId)
     val hitIndex = bands.as("n").join(existing.as("i"),
         col("n.band_idx") === col("i.band_idx") && col("n.bkey") === col("i.bkey") &&
           col("n.doc_id") =!= col("i.doc_id"))
@@ -299,34 +270,11 @@ object Dedup {
     val survivors = batch
       .join(hitIndex.union(hitBatch).distinct(), Seq("doc_id"), "left_anti")
       .localCheckpoint() // pin BEFORE the index write mutates what a re-read would see
-    bands.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("band_idx"), col("bkey"))
-      .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(root, s"batch_$batchId").toString)
-    if (indexSegments(fs, root).count(_.getName.startsWith("batch_")) >= CompactEvery)
-      compactBandIndex(spark, indexDir, batchId)
+    graft.sources.SegmentedIndex.writeBatch(
+      bands.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("band_idx"), col("bkey")),
+      indexDir, batchId, IndexSchema, compactEvery = CompactEvery, sortCol = "bkey")
     survivors
-  }
-
-  /** Fold all live index segments into one `compacted_<upTo>` segment and
-    * delete the inputs. Crash-safe ordering: the new segment is fully
-    * written before anything is deleted, and a half-written
-    * `compacted_<upTo>` from a crashed prior attempt is excluded from the
-    * read set (its rows are still covered by the not-yet-deleted inputs).
-    * distinct() collapses rows duplicated by a replayed compaction. The
-    * output is repartitioned and sorted on bkey so at scale the probe
-    * join's row-group skip has clustered keys to work with.
-    */
-  private[graft] def compactBandIndex(spark: SparkSession, indexDir: String,
-      upTo: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val target = s"compacted_$upTo"
-    val inputs = indexSegments(fs, root).filter(_.getName != target)
-    if (inputs.isEmpty) return
-    readIndex(spark, inputs).distinct()
-      .repartition(4, col("bkey")).sortWithinPartitions("bkey")
-      .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(root, target).toString)
-    inputs.foreach(p => fs.delete(p, true))
   }
 
   /** 32-bit SimHash over whitespace tokens (frequency-weighted), md5-derived
@@ -465,7 +413,17 @@ object Dedup {
     * similarity graph — the shared core of q77 (cluster report) and q97
     * (apply-the-dedup). See q77's scaladoc for the pointer-jumping design.
     */
-  private[operators] def dedupClusterLabels(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def dedupClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    ccFromPairs(jaccardPairs(spark, dir))
+
+  /** The pointer-jumping CC iteration over ANY undirected pair set
+    * (doc_a, doc_b) → (id, comp=min reachable id). Shared by the text-side
+    * dedup clusters (q77/q97, Jaccard pairs) and the embedding-side
+    * semantic dedup (q249, IVF-blocked cosine pairs): one CC kernel, two
+    * similarity graphs.
+    */
+  private[graft] def ccFromPairs(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     // localCheckpoint with explicit lifecycle: each iteration's label table
     // supersedes the previous one, and leaving every generation pinned for
     // the JVM lifetime (localCheckpoint's default) is a slow heap leak for
@@ -481,7 +439,6 @@ object Dedup {
     }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    val pairs = jaccardPairs(spark, dir)
     val (edges, edgeIds) = checkpointTracked(
       pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
     var (labels, labelIds) = checkpointTracked(

@@ -39,9 +39,13 @@ object GraphRank {
   def q143FixedPointPagerank(spark: SparkSession, dir: String): DataFrame = {
     // Materialize the distinct pair set once — it feeds both directions of
     // the edge union, and the union itself is then a map-only read.
+    // persist rather than localCheckpoint: same one-computation guarantee
+    // via cache substitution, without the eager full-partition copy into
+    // block storage (the dominant fixed cost of iterative queries when the
+    // bench heap is already busy).
     val pairs = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
       .union(pairs.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
     // Fold the degree INTO the edge list once (src, dst, deg-of-src): the
@@ -52,10 +56,18 @@ object GraphRank {
     // clustered on src (both inputs exchange to the src key), so the
     // checkpointed degEdges needs no extra repartition, and identical
     // degEdges-scan exchanges across iterations collapse via ReuseExchange.
+    // The degree table is O(nodes) — at web scale it can no more broadcast
+    // than the rank table, so the build join is hinted shuffle-hash too
+    // (without the hint, AQE's small-scale stats would broadcast it; the
+    // persist below keeps the build plan visible, and PlanSpec's
+    // zero-broadcast assertion now covers the build as well as the
+    // iterations — localCheckpoint used to truncate it out of sight).
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val degEdges = edges.join(deg, Seq("src")).select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint()
-    // node count in one pass over the (small, checkpointed) pair set:
+    val degEdges = edges.join(deg.hint("shuffle_hash"), Seq("src"))
+      .select(col("src"), col("dst"), col("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    degEdges.count() // materialize: three per-iteration reads hit the cache
+    // node count in one pass over the (small, cached) pair set:
     // nodes = distinct parts + distinct suppliers (bipartite, every node
     // has out-edges) — avoids materializing a separate degree table.
     val nd = pairs.agg(countDistinct(col("p")).as("np"), countDistinct(col("s")).as("ns")).head

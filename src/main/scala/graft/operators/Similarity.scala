@@ -175,7 +175,7 @@ object Similarity {
     * in for trained centroids (a real pipeline trains them offline on a
     * sample; the assignment path is identical either way).
     */
-  private[operators] def ivfCentroids(base: DataFrame): DataFrame =
+  private[graft] def ivfCentroids(base: DataFrame): DataFrame =
     base.where(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
 
@@ -184,7 +184,7 @@ object Similarity {
     * Shared by the in-flight ANN (q67/q84/q216) and the persistent
     * catalog-table index (q246) so both paths assign identically.
     */
-  private[operators] def ivfAssign(base: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def ivfAssign(base: DataFrame, cents: DataFrame): DataFrame = {
     val wCell = Window.partitionBy(col("vec_id")).orderBy(asc("dist2"), asc("c_id"))
     base.crossJoin(broadcast(cents))
       .withColumn("dist2",
@@ -194,9 +194,13 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("n2"), col("c_id").as("cell"))
   }
 
-  def q67IvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val base = withNorm(spark, dir)
-    val assigned = ivfAssign(base, ivfCentroids(base))
+  /** Top-3 in-cell neighbors for the query vectors (vec_id < 20) over ANY
+    * table of cell assignments (vec_id, embedding, n2, cell) — shared by
+    * the in-flight ANN (q67), the catalog-table index probe (q246), and
+    * the streaming-maintained SegmentedIndex probe, so all three serving
+    * faces compute bit-identical answers.
+    */
+  private[graft] def ivfProbe(assigned: DataFrame): DataFrame = {
     val queries = assigned.where(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("n2").as("q_n2"), col("cell").as("q_cell"))
@@ -209,6 +213,11 @@ object Similarity {
       .where(col("rn") <= 3)
       .select(col("q_id"), col("cell"), col("neighbor_id"), col("cos"))
       .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
+  def q67IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir)
+    ivfProbe(ivfAssign(base, ivfCentroids(base)))
   }
 
   /** DuckDB twin of [[ivfCentroids]]+[[ivfAssign]] — the `assigned` CTE
@@ -269,6 +278,46 @@ object Similarity {
        |    ${Det.dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
        |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
        |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Semantic dedup clusters — the embedding-space twin of the text side's
+    * q77: the IVF-blocked cosine pair graph (q247) feeds the SAME
+    * pointer-jumping CC kernel ([[Dedup.ccFromPairs]]), labeling each
+    * near-duplicate group with its min vec_id; the representative (the one
+    * row a curated corpus keeps per semantic group) is the label holder.
+    * This is the SemDeDup-style pipeline stage: cluster semantically
+    * redundant documents by embedding similarity, keep one per cluster —
+    * candidates from cell-blocked equi-joins, log-round CC, never n².
+    */
+  def q249SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q247IvfBlockedNeardup(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val w = Window.partitionBy(col("cluster_id"))
+    Dedup.ccFromPairs(pairs)
+      .select(col("id").as("vec_id"), col("comp").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_rep", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q249Oracle: String =
+    s"""WITH RECURSIVE $ivfAssignedCte,
+       |pairs AS (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |      ${Det.dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+       |    FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |  WHERE cos >= 0.4),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |comps AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id)
+       |SELECT id AS vec_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  id = cluster_id AS is_rep
+       |FROM comps ORDER BY vec_id""".stripMargin
 
   /** Per-label centroids (first 8 dimensions): element-wise mean via
     * posexplode + sorted sequential fold — sorting the per-group values
@@ -458,7 +507,8 @@ object Similarity {
     GraftQuery.sql("q84_ivf_ann_nprobe2", q84IvfAnnNprobe2, q84Oracle),
     GraftQuery.sql("q95_embedding_quantize", q95EmbeddingQuantize, q95Oracle),
     GraftQuery.sql("q216_ann_recall_audit", q216AnnRecallAudit, q216Oracle),
-    GraftQuery.sql("q247_ivf_blocked_neardup", q247IvfBlockedNeardup, q247Oracle)
+    GraftQuery.sql("q247_ivf_blocked_neardup", q247IvfBlockedNeardup, q247Oracle),
+    GraftQuery.sql("q249_semantic_dedup", q249SemanticDedup, q249Oracle)
   )
 
   // ---------------------------------------------------------------- q216

@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException,
   TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces,
-  Table, TableCatalog, TableChange}
+  SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo,
+  PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -141,22 +144,161 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
     d != null && d.isDirectory
   }
 
+  private def declaredSchema(d: File): Option[StructType] = {
+    val sidecar = new File(d, SchemaSidecar)
+    if (sidecar.isFile)
+      Some(DataType.fromJson(new String(
+        Files.readAllBytes(sidecar.toPath), StandardCharsets.UTF_8)).asInstanceOf[StructType])
+    else None
+  }
+
+  private def qualified(ident: Identifier): String =
+    s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}"
+
+  private def parquetTable(name: String, paths: Seq[String],
+      declared: Option[StructType]): ParquetTable =
+    ParquetTable(name, SparkSession.active, CaseInsensitiveStringMap.empty(),
+      paths, declared, classOf[ParquetFileFormat])
+
   override def loadTable(ident: Identifier): Table = {
     val d = tableDir(ident)
     if (d == null || !d.isDirectory) throw new NoSuchTableException(ident)
-    val sidecar = new File(d, SchemaSidecar)
-    val declared: Option[StructType] =
-      if (sidecar.isFile)
-        Some(DataType.fromJson(new String(
-          Files.readAllBytes(sidecar.toPath), StandardCharsets.UTF_8)).asInstanceOf[StructType])
-      else None
-    ParquetTable(
-      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
-      SparkSession.active,
-      CaseInsensitiveStringMap.empty(),
-      Seq(d.getAbsolutePath),
-      declared,
-      classOf[ParquetFileFormat])
+    new VersionedStagingTable(
+      parquetTable(qualified(ident), Seq(d.getAbsolutePath), declaredSchema(d)), d)
+  }
+
+  // ---- time travel -------------------------------------------------------
+  //
+  // Every committed batch write (CTAS, INSERT INTO) also records a version
+  // manifest `_graft_versions/v<N>.json` = {"ts": <commit millis>, "files":
+  // [<data file names at commit>]} — written AFTER the delegate committer
+  // succeeds, so an aborted job leaves no version. Because staging tables
+  // are append-only (INSERT OVERWRITE is refused: the write builder exposes
+  // no truncate face), every manifest's file set remains readable forever,
+  // which is what makes `VERSION AS OF` sound without Delta-style tombstone
+  // tracking. `SELECT … FROM graft_stage.ns.t VERSION AS OF 2` resolves
+  // through loadTable(ident, version); `TIMESTAMP AS OF` picks the latest
+  // manifest at-or-before the requested time. The reproducible-training
+  // story: a run pins the corpus version it trained on and can re-read that
+  // exact file set while ingestion keeps appending.
+
+  private val VersionsDir = "_graft_versions"
+  private val VersionFile = "^v(\\d+)\\.json$".r
+
+  private def versionManifests(d: File): Seq[(Long, File)] =
+    Option(new File(d, VersionsDir).listFiles()).getOrElse(Array.empty).toIndexedSeq
+      .flatMap { f =>
+        f.getName match {
+          case VersionFile(v) => Some(v.toLong -> f)
+          case _              => None
+        }
+      }.sortBy(_._1)
+
+  private def manifestTable(ident: Identifier, d: File, mf: File, label: String): Table = {
+    val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
+    val body = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']'))
+    val files =
+      if (body.trim.isEmpty) Seq.empty[String]
+      else "\"([^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+    parquetTable(s"${qualified(ident)}$label",
+      files.map(f => new File(d, f).getAbsolutePath), declaredSchema(d))
+  }
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val d = tableDir(ident)
+    if (d == null || !d.isDirectory) throw new NoSuchTableException(ident)
+    val v =
+      try version.stripPrefix("v").toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$catalogName: invalid version '$version' for ${ident.name()} " +
+            "(expected a commit number, e.g. VERSION AS OF 2)")
+      }
+    val mf = new File(new File(d, VersionsDir), s"v$v.json")
+    if (!mf.isFile) {
+      val have = versionManifests(d).map(_._1)
+      throw new IllegalArgumentException(
+        s"$catalogName: ${ident.name()} has no version $v " +
+          s"(available: ${if (have.isEmpty) "none" else have.mkString(", ")})")
+    }
+    manifestTable(ident, d, mf, s"@v$v")
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val d = tableDir(ident)
+    if (d == null || !d.isDirectory) throw new NoSuchTableException(ident)
+    val millis = timestamp / 1000L // Spark passes microseconds since epoch
+    val at = versionManifests(d).takeWhile { case (_, f) => commitMillis(f) <= millis }
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"$catalogName: ${ident.name()} has no committed version at or before " +
+          s"timestamp ${millis}ms")
+    val (v, mf) = at.last
+    manifestTable(ident, d, mf, s"@v$v")
+  }
+
+  private def commitMillis(mf: File): Long = {
+    val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
+    "\"ts\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
+  }
+
+  /** Data files of the table dir (excludes the schema sidecar, the versions
+    * dir, and committer temporaries).
+    */
+  private def dataFiles(d: File): Seq[String] =
+    Option(d.listFiles()).getOrElse(Array.empty).toIndexedSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).sorted
+
+  private def writeManifest(d: File): Unit = synchronized {
+    val vd = new File(d, VersionsDir)
+    vd.mkdirs()
+    val next = versionManifests(d).lastOption.map(_._1).getOrElse(0L) + 1L
+    val json = s"""{"ts":${System.currentTimeMillis()},"files":[${
+      dataFiles(d).map(f => "\"" + f + "\"").mkString(",")}]}"""
+    Files.write(new File(vd, s"v$next.json").toPath,
+      json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Wraps the delegate [[ParquetTable]] so every committed batch write also
+    * records a version manifest. Deliberately NOT a `FileTable`: that keeps
+    * INSERTs on the pure DSv2 write path (Spark's V1 fallback rule matches
+    * only FileTable relations), so the commit hook below sees every write.
+    * The write builder exposes no truncate/overwrite face — staging tables
+    * are append-only, the invariant that keeps old versions readable.
+    */
+  private class VersionedStagingTable(delegate: ParquetTable, dir: File)
+      extends Table with SupportsRead with SupportsWrite {
+    override def name(): String = delegate.name
+    override def schema(): StructType = delegate.schema
+    override def capabilities(): util.Set[TableCapability] = delegate.capabilities()
+    override def partitioning(): Array[Transform] = delegate.partitioning()
+    override def properties(): util.Map[String, String] = delegate.properties()
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      delegate.newScanBuilder(options)
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      val inner = delegate.newWriteBuilder(info)
+      new WriteBuilder {
+        override def build(): Write = new Write {
+          private val innerWrite = inner.build()
+          override def description(): String = innerWrite.description()
+          override def toBatch: BatchWrite = new BatchWrite {
+            private val d = innerWrite.toBatch
+            override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+              d.createBatchWriterFactory(info)
+            override def useCommitCoordinator(): Boolean = d.useCommitCoordinator()
+            override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+              d.onDataWriterCommit(message)
+            override def commit(messages: Array[WriterCommitMessage]): Unit = {
+              d.commit(messages)
+              writeManifest(dir) // only a SUCCESSFUL commit becomes a version
+            }
+            override def abort(messages: Array[WriterCommitMessage]): Unit =
+              d.abort(messages)
+          }
+        }
+      }
+    }
   }
 
   override def createTable(

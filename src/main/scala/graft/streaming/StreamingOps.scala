@@ -99,6 +99,37 @@ object StreamingOps {
       }
       .start()
 
+  /** One incoming embedding on the streaming vector-ingest surface. */
+  final case class StreamVec(vec_id: Long, embedding: Array[Float])
+
+  /** Schema of the streaming-maintained IVF index segments. */
+  val IvfIndexSchema = "vec_id BIGINT, embedding ARRAY<FLOAT>, n2 DOUBLE, cell BIGINT"
+
+  /** Streaming vector-index maintenance — the continuous form of q246's
+    * incremental catalog upsert: each micro-batch of embeddings is
+    * norm-enriched, cell-assigned against the broadcast quantizer
+    * (map-only, [[graft.operators.Similarity.ivfAssign]]), and landed in a
+    * [[graft.sources.SegmentedIndex]] — replay-idempotent (per-batchId
+    * OVERWRITE segments) and self-compacting, so a long-running embedding
+    * firehose keeps a bounded file count. Probes served from the persisted
+    * index ([[graft.operators.Similarity.ivfProbe]] over
+    * `SegmentedIndex.read`) are bit-identical to the in-flight ANN —
+    * StreamingSpec proves the round trip against q67 on the same corpus.
+    */
+  def ivfUpsertStream(vecs: DataFrame, cents: DataFrame, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir).outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val withN2 = batch.selectExpr(
+          "vec_id", "embedding", "float_vec_dot(embedding, embedding) AS n2")
+        graft.sources.SegmentedIndex.writeBatch(
+          graft.operators.Similarity.ivfAssign(withN2, cents),
+          indexDir, id, IvfIndexSchema, sortCol = "cell")
+        ()
+      }
+      .start()
+
   def curateStream(docs: DataFrame): DataFrame =
     graft.operators.Curation.qualityFlags(docs)
       .where(!col("f_short") && !col("f_word_len") && !col("f_symbol"))

@@ -156,6 +156,48 @@ class CatalogSpec extends SparkSpec {
       drop.getMessage.toLowerCase.contains("unsupported"), drop.getMessage)
   }
 
+  test("staging catalog time travel: VERSION AS OF / TIMESTAMP AS OF read committed snapshots") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.tt")
+    spark.read.parquet(s"$sfDir/orders.parquet").createOrReplaceTempView("tt_src")
+    spark.sql( // commit 1
+      "CREATE TABLE stage_t.ws.tt AS SELECT o_orderkey, o_totalprice FROM tt_src WHERE o_orderkey % 3 = 0")
+    val n1 = spark.sql("SELECT count(*) FROM stage_t.ws.tt").collect()(0).getLong(0)
+    spark.sql( // commit 2
+      "INSERT INTO stage_t.ws.tt SELECT o_orderkey, o_totalprice FROM tt_src WHERE o_orderkey % 3 = 1")
+    val n2 = spark.sql("SELECT count(*) FROM stage_t.ws.tt").collect()(0).getLong(0)
+    assert(n2 > n1 && n1 > 0)
+    // VERSION AS OF pins each commit's exact file set
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.tt VERSION AS OF 1")
+      .collect()(0).getLong(0) === n1)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.tt VERSION AS OF 2")
+      .collect()(0).getLong(0) === n2)
+    // v1 content is EXACTLY the CTAS slice, not just the right count
+    val v1Keys = spark.sql("SELECT o_orderkey FROM stage_t.ws.tt VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSet
+    assert(v1Keys.forall(_ % 3 == 0))
+    // TIMESTAMP AS OF far in the future resolves to the latest version
+    assert(spark.sql(
+        "SELECT count(*) FROM stage_t.ws.tt TIMESTAMP AS OF '2100-01-01 00:00:00'")
+      .collect()(0).getLong(0) === n2)
+    // a version that was never committed is a clear error
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM stage_t.ws.tt VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.contains("no version 99"), e.getMessage)
+    // append-only invariant: INSERT OVERWRITE is refused, so every
+    // manifest's file set stays readable forever
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE stage_t.ws.tt SELECT o_orderkey, o_totalprice FROM tt_src LIMIT 1")
+    }
+    assert(e2.getMessage.toLowerCase.contains("overwrite") ||
+      e2.getMessage.toLowerCase.contains("truncate"), e2.getMessage)
+    // history survived the refused overwrite
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.tt VERSION AS OF 1")
+      .collect()(0).getLong(0) === n1)
+  }
+
   test("unknown namespace and table fail with the standard analysis errors") {
     mount()
     val e = intercept[Exception] { spark.sql("SHOW TABLES IN graft_cat.`nope`").collect() }

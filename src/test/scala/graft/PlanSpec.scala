@@ -386,6 +386,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q246 probe reads only the persisted catalog table, never the source embeddings") {
+    // The point of a PERSISTENT index: probes must not re-derive assignments
+    // from the embeddings source. Every scan in the probe plan is a parquet
+    // read of the staging-catalog table.
+    val p = plan("q246_ivf_catalog_index")
+    assert(!p.contains("embeddings.parquet"),
+      s"probe re-reads the source embeddings table:\n$p")
+    assert(p.toLowerCase.contains("parquet"), p)
+  }
+
+  test("q247 blocks the pair scan on the IVF cell (equi-join, centroids broadcast)") {
+    // Cell assignment: the 8-centroid quantizer is explicitly broadcast
+    // (BroadcastNestedLoopJoin from the deliberate crossJoin). The pair
+    // comparison itself keys on `cell` — an equi-join, never all-pairs.
+    val p = plan("q247_ivf_blocked_neardup")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"centroids not broadcast:\n$p")
+    assert("\\[cell#\\d+".r.findFirstIn(p).isDefined, s"no cell equi-join key:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("NO query in the entire inventory plans a CartesianProduct") {
     // The blanket 100 TB safety net: a cartesian product anywhere is a bug.
     // (Deliberate small-side broadcasts plan as BroadcastNestedLoopJoin.)

@@ -419,6 +419,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivfUpsertStream: streaming-maintained vector index serves probes bit-identical to the in-flight ANN") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_ckpt").toString
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding", "float_vec_dot(embedding, embedding) AS n2")
+    val cents = Similarity.ivfCentroids(base).localCheckpoint()
+    // the whole corpus arrives as 5 micro-batches (vec_id mod 5 slices)
+    val slices = (0 until 5).map { r =>
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding")
+        .where(col("vec_id") % 5 === r)
+        .as[StreamingOps.StreamVec].collect().toSeq
+    }
+    val mem = MemoryStream[StreamingOps.StreamVec]
+    val q = StreamingOps.ivfUpsertStream(mem.toDF(), cents, idx, ckpt)
+    try {
+      slices.foreach { s => mem.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val persisted = graft.sources.SegmentedIndex
+      .read(spark, idx, StreamingOps.IvfIndexSchema)
+    assert(persisted.count() === 500L, "index must cover the full corpus")
+    // 5 batches with compactEvery=4: segments stay bounded, compaction ran
+    val segs = new java.io.File(idx).listFiles().toIndexedSeq
+      .filter(f => f.isDirectory && (f.getName.startsWith("batch_") || f.getName.startsWith("compacted_")))
+      .map(_.getName)
+    assert(segs.size <= 4 && segs.exists(_.startsWith("compacted_")), s"segments: $segs")
+    // probes from the persisted index == the in-flight q67 ANN, bit-for-bit
+    val fromIndex = Similarity.ivfProbe(persisted).collect().map(_.toSeq).toSeq
+    val inFlight = Similarity.q67IvfAnn(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(fromIndex === inFlight)
+  }
+
   test("curateStream exactly-once: kill + checkpoint restart neither duplicates nor loses rows") {
     // The streaming analogue of the rename-commit hazard (the reference's
     // copy+delete window, CephRgwFileSystem.java:310-313): a file-source
