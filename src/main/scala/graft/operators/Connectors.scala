@@ -292,6 +292,63 @@ object Connectors {
        |FROM cur LEFT JOIN v1 USING (status)
        |ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q250
+
+  /** OPTIMIZE + VACUUM on a staging-catalog table
+    * ([[graft.sources.catalog.StagingMaintenance]]): three small commits
+    * build the table (the object-store small-file pile-up in miniature),
+    * OPTIMIZE rewrites the current set into 2 compacted files as a new
+    * version, a post-OPTIMIZE INSERT lands beside them (and must not
+    * resurrect the originals — the manifest's ever-referenced exclusion),
+    * and VACUUM drops all but the last two versions, deleting the
+    * originals. The final aggregate reads the maintained table; the oracle
+    * recomputes from `orders` directly — a hash match proves the whole
+    * maintenance cycle is content-preserving. This is the catalog face of
+    * the same hazard the SegmentedIndex compaction handles for streaming
+    * state, and the operational pattern the reference's object-store
+    * deployment lives by: many small commits, periodic rewrite, bounded
+    * retention.
+    */
+  def q250OptimizeCompact(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_opt_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_opt")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_opt AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_opt_src WHERE o_orderkey % 4 = 0""".stripMargin)
+    Seq(1, 2).foreach { s =>
+      spark.sql(
+        s"""INSERT INTO graft_stage.work.orders_opt
+           |SELECT o_orderkey, o_orderstatus, o_totalprice
+           |FROM orders_opt_src WHERE o_orderkey % 4 = $s""".stripMargin)
+    }
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "orders_opt", targetFiles = 2)
+    spark.sql(
+      """INSERT INTO graft_stage.work.orders_opt
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_opt_src WHERE o_orderkey % 4 = 3""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.vacuum(
+      spark, "graft_stage", "work", "orders_opt", retainLast = 2)
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.orders_opt
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  val q250Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
@@ -299,5 +356,6 @@ object Connectors {
     GraftQuery.sql("q232_spj_bucket_join", q232SpjBucketJoin, q232Oracle),
     GraftQuery.sql("q241_catalog_write", q241CatalogWrite, q241Oracle),
     GraftQuery.sql("q246_ivf_catalog_index", q246IvfCatalogIndex, Similarity.q67Oracle),
-    GraftQuery.sql("q248_time_travel", q248TimeTravel, q248Oracle))
+    GraftQuery.sql("q248_time_travel", q248TimeTravel, q248Oracle),
+    GraftQuery.sql("q250_optimize_compact", q250OptimizeCompact, q250Oracle))
 }

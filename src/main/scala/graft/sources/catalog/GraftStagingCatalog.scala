@@ -54,7 +54,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var root: File = _
 
-  private val SchemaSidecar = "_graft_schema.json"
+  private val SchemaSidecar = GraftStagingCatalog.SchemaSidecar
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -144,14 +144,6 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
     d != null && d.isDirectory
   }
 
-  private def declaredSchema(d: File): Option[StructType] = {
-    val sidecar = new File(d, SchemaSidecar)
-    if (sidecar.isFile)
-      Some(DataType.fromJson(new String(
-        Files.readAllBytes(sidecar.toPath), StandardCharsets.UTF_8)).asInstanceOf[StructType])
-    else None
-  }
-
   private def qualified(ident: Identifier): String =
     s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}"
 
@@ -161,9 +153,20 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
       paths, declared, classOf[ParquetFileFormat])
 
   override def loadTable(ident: Identifier): Table = {
+    import GraftStagingCatalog._
     val d = tableDir(ident)
     if (d == null || !d.isDirectory) throw new NoSuchTableException(ident)
+    // CURRENT reads resolve through the latest manifest when one exists —
+    // after an OPTIMIZE rewrite the directory holds both the compacted
+    // files and the originals (retained for time travel), and only the
+    // manifest knows which set is current. A table with no commits yet
+    // (just created, or pre-versioning) falls back to the directory.
+    val readPaths = versionManifests(d).lastOption match {
+      case Some((_, mf)) => manifestFiles(mf).map(f => new File(d, f).getAbsolutePath)
+      case None          => Seq(d.getAbsolutePath)
+    }
     new VersionedStagingTable(
+      parquetTable(qualified(ident), readPaths, declaredSchema(d)),
       parquetTable(qualified(ident), Seq(d.getAbsolutePath), declaredSchema(d)), d)
   }
 
@@ -171,40 +174,27 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
   //
   // Every committed batch write (CTAS, INSERT INTO) also records a version
   // manifest `_graft_versions/v<N>.json` = {"ts": <commit millis>, "files":
-  // [<data file names at commit>]} — written AFTER the delegate committer
-  // succeeds, so an aborted job leaves no version. Because staging tables
-  // are append-only (INSERT OVERWRITE is refused: the write builder exposes
-  // no truncate face), every manifest's file set remains readable forever,
-  // which is what makes `VERSION AS OF` sound without Delta-style tombstone
-  // tracking. `SELECT … FROM graft_stage.ns.t VERSION AS OF 2` resolves
-  // through loadTable(ident, version); `TIMESTAMP AS OF` picks the latest
-  // manifest at-or-before the requested time. The reproducible-training
-  // story: a run pins the corpus version it trained on and can re-read that
-  // exact file set while ingestion keeps appending.
-
-  private val VersionsDir = "_graft_versions"
-  private val VersionFile = "^v(\\d+)\\.json$".r
-
-  private def versionManifests(d: File): Seq[(Long, File)] =
-    Option(new File(d, VersionsDir).listFiles()).getOrElse(Array.empty).toIndexedSeq
-      .flatMap { f =>
-        f.getName match {
-          case VersionFile(v) => Some(v.toLong -> f)
-          case _              => None
-        }
-      }.sortBy(_._1)
+  // [<current file names at commit>]} — written AFTER the delegate committer
+  // succeeds, so an aborted job leaves no version. INSERT OVERWRITE is
+  // refused (the write builder exposes no truncate face) and OPTIMIZE
+  // rewrites never delete, so every manifest's file set remains readable
+  // until VACUUM explicitly drops its version — what makes `VERSION AS OF`
+  // sound without Delta-style tombstone tracking. `SELECT … FROM
+  // graft_stage.ns.t VERSION AS OF 2` resolves through loadTable(ident,
+  // version); `TIMESTAMP AS OF` picks the latest manifest at-or-before the
+  // requested time. The reproducible-training story: a run pins the corpus
+  // version it trained on and can re-read that exact file set while
+  // ingestion keeps appending. Maintenance (file compaction + version
+  // retention) lives in [[StagingMaintenance]].
 
   private def manifestTable(ident: Identifier, d: File, mf: File, label: String): Table = {
-    val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
-    val body = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']'))
-    val files =
-      if (body.trim.isEmpty) Seq.empty[String]
-      else "\"([^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+    import GraftStagingCatalog._
     parquetTable(s"${qualified(ident)}$label",
-      files.map(f => new File(d, f).getAbsolutePath), declaredSchema(d))
+      manifestFiles(mf).map(f => new File(d, f).getAbsolutePath), declaredSchema(d))
   }
 
   override def loadTable(ident: Identifier, version: String): Table = {
+    import GraftStagingCatalog._
     val d = tableDir(ident)
     if (d == null || !d.isDirectory) throw new NoSuchTableException(ident)
     val v =
@@ -225,6 +215,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    import GraftStagingCatalog._
     val d = tableDir(ident)
     if (d == null || !d.isDirectory) throw new NoSuchTableException(ident)
     val millis = timestamp / 1000L // Spark passes microseconds since epoch
@@ -237,47 +228,27 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
     manifestTable(ident, d, mf, s"@v$v")
   }
 
-  private def commitMillis(mf: File): Long = {
-    val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
-    "\"ts\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
-  }
-
-  /** Data files of the table dir (excludes the schema sidecar, the versions
-    * dir, and committer temporaries).
-    */
-  private def dataFiles(d: File): Seq[String] =
-    Option(d.listFiles()).getOrElse(Array.empty).toIndexedSeq
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .map(_.getName).sorted
-
-  private def writeManifest(d: File): Unit = synchronized {
-    val vd = new File(d, VersionsDir)
-    vd.mkdirs()
-    val next = versionManifests(d).lastOption.map(_._1).getOrElse(0L) + 1L
-    val json = s"""{"ts":${System.currentTimeMillis()},"files":[${
-      dataFiles(d).map(f => "\"" + f + "\"").mkString(",")}]}"""
-    Files.write(new File(vd, s"v$next.json").toPath,
-      json.getBytes(StandardCharsets.UTF_8))
-  }
-
-  /** Wraps the delegate [[ParquetTable]] so every committed batch write also
+  /** Wraps the read and write delegates so every committed batch write also
     * records a version manifest. Deliberately NOT a `FileTable`: that keeps
     * INSERTs on the pure DSv2 write path (Spark's V1 fallback rule matches
     * only FileTable relations), so the commit hook below sees every write.
-    * The write builder exposes no truncate/overwrite face — staging tables
-    * are append-only, the invariant that keeps old versions readable.
+    * Reads go through the manifest-pinned delegate; writes target the table
+    * DIRECTORY (new part files land beside the old). The write builder
+    * exposes no truncate/overwrite face — staging tables are append-only,
+    * the invariant that keeps old versions readable.
     */
-  private class VersionedStagingTable(delegate: ParquetTable, dir: File)
+  private class VersionedStagingTable(readDelegate: ParquetTable,
+      writeDelegate: ParquetTable, dir: File)
       extends Table with SupportsRead with SupportsWrite {
-    override def name(): String = delegate.name
-    override def schema(): StructType = delegate.schema
-    override def capabilities(): util.Set[TableCapability] = delegate.capabilities()
-    override def partitioning(): Array[Transform] = delegate.partitioning()
-    override def properties(): util.Map[String, String] = delegate.properties()
+    override def name(): String = readDelegate.name
+    override def schema(): StructType = readDelegate.schema
+    override def capabilities(): util.Set[TableCapability] = readDelegate.capabilities()
+    override def partitioning(): Array[Transform] = readDelegate.partitioning()
+    override def properties(): util.Map[String, String] = readDelegate.properties()
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      delegate.newScanBuilder(options)
+      readDelegate.newScanBuilder(options)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-      val inner = delegate.newWriteBuilder(info)
+      val inner = writeDelegate.newWriteBuilder(info)
       new WriteBuilder {
         override def build(): Write = new Write {
           private val innerWrite = inner.build()
@@ -291,7 +262,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
               d.onDataWriterCommit(message)
             override def commit(messages: Array[WriterCommitMessage]): Unit = {
               d.commit(messages)
-              writeManifest(dir) // only a SUCCESSFUL commit becomes a version
+              // only a SUCCESSFUL commit becomes a version
+              GraftStagingCatalog.writeCommitManifest(dir)
             }
             override def abort(messages: Array[WriterCommitMessage]): Unit =
               d.abort(messages)
@@ -375,6 +347,163 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   private def deleteRecursively(f: File): Boolean = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+}
+
+/** Manifest machinery shared by the catalog and [[StagingMaintenance]]. */
+object GraftStagingCatalog {
+  private[catalog] val SchemaSidecar = "_graft_schema.json"
+  private[catalog] val VersionsDir = "_graft_versions"
+  private val VersionFile = "^v(\\d+)\\.json$".r
+
+  private[catalog] def declaredSchema(d: File): Option[StructType] = {
+    val sidecar = new File(d, SchemaSidecar)
+    if (sidecar.isFile)
+      Some(DataType.fromJson(new String(
+        Files.readAllBytes(sidecar.toPath), StandardCharsets.UTF_8)).asInstanceOf[StructType])
+    else None
+  }
+
+  private[catalog] def versionManifests(d: File): Seq[(Long, File)] =
+    Option(new File(d, VersionsDir).listFiles()).getOrElse(Array.empty).toIndexedSeq
+      .flatMap { f =>
+        f.getName match {
+          case VersionFile(v) => Some(v.toLong -> f)
+          case _              => None
+        }
+      }.sortBy(_._1)
+
+  private[catalog] def manifestFiles(mf: File): Seq[String] = {
+    val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
+    val body = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']'))
+    if (body.trim.isEmpty) Seq.empty
+    else "\"([^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+  }
+
+  private[catalog] def commitMillis(mf: File): Long = {
+    val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
+    "\"ts\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
+  }
+
+  /** Data files of the table dir (excludes the schema sidecar, the versions
+    * dir, and committer temporaries).
+    */
+  private[catalog] def dataFiles(d: File): Seq[String] =
+    Option(d.listFiles()).getOrElse(Array.empty).toIndexedSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).sorted
+
+  private def writeManifest(d: File, files: Seq[String]): Long = {
+    val vd = new File(d, VersionsDir)
+    vd.mkdirs()
+    val next = versionManifests(d).lastOption.map(_._1).getOrElse(0L) + 1L
+    val json = s"""{"ts":${System.currentTimeMillis()},"files":[${
+      files.sorted.map(f => "\"" + f + "\"").mkString(",")}]}"""
+    Files.write(new File(vd, s"v$next.json").toPath,
+      json.getBytes(StandardCharsets.UTF_8))
+    next
+  }
+
+  /** Commit hook: the new version = previous current set ∪ files that have
+    * never been referenced by any manifest (i.e. the files this commit just
+    * added). The ever-referenced exclusion is what keeps pre-OPTIMIZE
+    * originals — still on disk for time travel — from re-entering the
+    * current set on the next INSERT.
+    */
+  private[catalog] def writeCommitManifest(d: File): Unit = synchronized {
+    val manifests = versionManifests(d)
+    val ever = manifests.flatMap { case (_, f) => manifestFiles(f) }.toSet
+    val cur = manifests.lastOption.map { case (_, f) => manifestFiles(f) }.getOrElse(Seq.empty)
+    writeManifest(d, cur ++ dataFiles(d).filterNot(ever))
+  }
+
+  /** Maintenance commit (OPTIMIZE): the new version is EXACTLY `files`. */
+  private[catalog] def writeExplicitManifest(d: File, files: Seq[String]): Long =
+    synchronized { writeManifest(d, files) }
+}
+
+/** Table-maintenance operations for [[GraftStagingCatalog]] tables — the
+  * catalog-face answer to the object store's two operational hazards, the
+  * same ones the streaming side's SegmentedIndex compaction addresses:
+  *
+  *  - '''optimize''': every INSERT commit lands one part-file set; a table
+  *    fed by many small commits accretes many small files (the classic
+  *    object-store pile-up — the reference's deployment target). OPTIMIZE
+  *    rewrites the CURRENT file set into `targetFiles` compacted files and
+  *    commits them as a NEW version; the originals stay on disk so every
+  *    earlier `VERSION AS OF` still reads its exact file set.
+  *  - '''vacuum''': bounded version retention. Drops all but the last
+  *    `retainLast` manifests and deletes data files no retained version
+  *    references — reclaiming the space OPTIMIZE deliberately left behind.
+  *
+  * Both are driver-side metadata+rewrite operations (like a lakehouse
+  * OPTIMIZE/VACUUM pair), deliberately outside the SQL surface: they change
+  * layout, never content.
+  */
+object StagingMaintenance {
+  import GraftStagingCatalog._
+
+  private def tableDir(spark: SparkSession, catalog: String, ns: String,
+      table: String): File = {
+    val root = spark.conf.getOption(s"spark.sql.catalog.$catalog.root")
+      .getOrElse(throw new IllegalArgumentException(
+        s"spark.sql.catalog.$catalog.root is not set"))
+    val d = new File(new File(root, ns), table)
+    if (!d.isDirectory)
+      throw new IllegalArgumentException(s"no staging table at $d")
+    d
+  }
+
+  /** Compact the current file set into `targetFiles` files, committed as a
+    * new version. Returns (filesBefore, filesAfter, newVersion).
+    */
+  def optimize(spark: SparkSession, catalog: String, ns: String, table: String,
+      targetFiles: Int = 4): (Int, Int, Long) = {
+    val d = tableDir(spark, catalog, ns, table)
+    val current = versionManifests(d).lastOption
+      .map { case (_, mf) => manifestFiles(mf) }.getOrElse(dataFiles(d))
+    if (current.isEmpty) return (0, 0, -1L)
+    val reader = spark.read
+    declaredSchema(d).foreach(reader.schema)
+    val df = reader.parquet(current.map(f => new File(d, f).getAbsolutePath): _*)
+    // rewrite into a staging subdir (underscore-prefixed: invisible to data
+    // listings), then move the compacted parts into the table dir under
+    // unique names BEFORE committing the manifest that references them —
+    // a crash mid-move leaves unreferenced files, never a torn version
+    val tmp = new File(d, s"_optimize_${System.nanoTime()}")
+    df.repartition(targetFiles).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val moved = Option(tmp.listFiles()).getOrElse(Array.empty).toIndexedSeq
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map { f =>
+        val target = new File(d, s"opt-${tmp.getName.stripPrefix("_optimize_")}-${f.getName}")
+        if (!f.renameTo(target))
+          throw new IllegalStateException(s"optimize: move $f -> $target failed")
+        target.getName
+      }
+    deleteRecursively(tmp)
+    val v = writeExplicitManifest(d, moved)
+    (current.size, moved.size, v)
+  }
+
+  /** Keep only the last `retainLast` versions; delete every data file no
+    * retained version references. Returns the deleted file names.
+    */
+  def vacuum(spark: SparkSession, catalog: String, ns: String, table: String,
+      retainLast: Int = 1): Seq[String] = {
+    require(retainLast >= 1, "vacuum must retain at least the current version")
+    val d = tableDir(spark, catalog, ns, table)
+    val manifests = versionManifests(d)
+    val (drop, keep) = manifests.splitAt(math.max(0, manifests.size - retainLast))
+    val referenced = keep.flatMap { case (_, f) => manifestFiles(f) }.toSet
+    drop.foreach { case (_, f) => f.delete() }
+    val dead = dataFiles(d).filterNot(referenced)
+    dead.foreach(f => new File(d, f).delete())
+    dead
+  }
+
+  private def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()
   }

@@ -198,6 +198,58 @@ class CatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) === n1)
   }
 
+  test("staging maintenance: OPTIMIZE compacts as a new version; VACUUM reclaims unreferenced files") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.opt")
+    spark.read.parquet(s"$sfDir/orders.parquet").repartition(3)
+      .createOrReplaceTempView("opt_src")
+    spark.sql( // commit 1 (3 files)
+      "CREATE TABLE stage_t.ws.opt AS SELECT o_orderkey, o_totalprice FROM opt_src WHERE o_orderkey % 4 = 0")
+    spark.sql( // commit 2
+      "INSERT INTO stage_t.ws.opt SELECT o_orderkey, o_totalprice FROM opt_src WHERE o_orderkey % 4 = 1")
+    spark.sql( // commit 3
+      "INSERT INTO stage_t.ws.opt SELECT o_orderkey, o_totalprice FROM opt_src WHERE o_orderkey % 4 = 2")
+    val dir = new java.io.File(stageRoot, "ws/opt")
+    def dirFiles() = dir.listFiles().count(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val n1 = spark.sql("SELECT count(*) FROM stage_t.ws.opt VERSION AS OF 1")
+      .collect()(0).getLong(0)
+    val nCur = spark.sql("SELECT count(*) FROM stage_t.ws.opt").collect()(0).getLong(0)
+    val filesBefore = dirFiles()
+    assert(filesBefore >= 6, s"expected many small files, got $filesBefore")
+
+    val (nb, na, v) = StagingMaintenance.optimize(spark, "stage_t", "ws", "opt", targetFiles = 2)
+    assert(nb === filesBefore && na === 2 && v === 4L, s"($nb, $na, $v)")
+    // content unchanged, current now served by the 2 compacted files,
+    // originals retained on disk for time travel
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.opt").collect()(0).getLong(0) === nCur)
+    assert(dirFiles() === filesBefore + 2)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.opt VERSION AS OF 1")
+      .collect()(0).getLong(0) === n1)
+    // the current scan must read ONLY the compacted files (manifest-pinned)
+    val scanned = spark.sql("SELECT * FROM stage_t.ws.opt").queryExecution
+      .executedPlan.toString
+    assert(!scanned.contains("part-"), s"current read touches pre-optimize files:\n$scanned")
+
+    // an INSERT after OPTIMIZE must not resurrect the originals
+    spark.sql( // commit 5
+      "INSERT INTO stage_t.ws.opt SELECT o_orderkey, o_totalprice FROM opt_src WHERE o_orderkey % 4 = 3")
+    val nAll = spark.sql("SELECT count(*) FROM stage_t.ws.opt").collect()(0).getLong(0)
+    val expected = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(nAll === expected, s"post-optimize insert wrong: $nAll vs $expected")
+
+    val deleted = StagingMaintenance.vacuum(spark, "stage_t", "ws", "opt", retainLast = 1)
+    assert(deleted.size === filesBefore, s"vacuum deleted ${deleted.size} of $filesBefore originals")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.opt").collect()(0).getLong(0) === expected)
+    // vacuumed versions are gone with a clear error
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM stage_t.ws.opt VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("no version 1"), e.getMessage)
+  }
+
   test("unknown namespace and table fail with the standard analysis errors") {
     mount()
     val e = intercept[Exception] { spark.sql("SHOW TABLES IN graft_cat.`nope`").collect() }
