@@ -261,9 +261,17 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
             override def onDataWriterCommit(message: WriterCommitMessage): Unit =
               d.onDataWriterCommit(message)
             override def commit(messages: Array[WriterCommitMessage]): Unit = {
+              // Snapshot the data files BEFORE the committer moves this
+              // job's task files in: the manifest then records exactly this
+              // commit's delta. Files from a crashed earlier job (committer
+              // succeeded, manifest write died) stay orphaned — invisible
+              // to manifest-pinned reads, reclaimed by VACUUM — instead of
+              // being silently absorbed into a later version, which would
+              // duplicate rows when the failed statement is retried.
+              val before = GraftStagingCatalog.dataFiles(dir).toSet
               d.commit(messages)
               // only a SUCCESSFUL commit becomes a version
-              GraftStagingCatalog.writeCommitManifest(dir)
+              GraftStagingCatalog.writeCommitManifest(dir, before)
             }
             override def abort(messages: Array[WriterCommitMessage]): Unit =
               d.abort(messages)
@@ -406,18 +414,19 @@ object GraftStagingCatalog {
     next
   }
 
-  /** Commit hook: the new version = previous current set ∪ files that have
-    * never been referenced by any manifest (i.e. the files this commit just
-    * added). The ever-referenced exclusion is what keeps pre-OPTIMIZE
-    * originals — still on disk for time travel — from re-entering the
-    * current set on the next INSERT.
+  /** Commit hook: the new version = previous current set ∪ exactly the
+    * files this commit's job moved in (the before/after directory delta).
+    * Pre-OPTIMIZE originals (on disk, not current) and orphans from crashed
+    * commits are both in `before`, so neither can enter the new version —
+    * the former stay time-travel-only, the latter stay invisible until
+    * VACUUM reclaims them.
     */
-  private[catalog] def writeCommitManifest(d: File): Unit = synchronized {
-    val manifests = versionManifests(d)
-    val ever = manifests.flatMap { case (_, f) => manifestFiles(f) }.toSet
-    val cur = manifests.lastOption.map { case (_, f) => manifestFiles(f) }.getOrElse(Seq.empty)
-    writeManifest(d, cur ++ dataFiles(d).filterNot(ever))
-  }
+  private[catalog] def writeCommitManifest(d: File, before: Set[String]): Unit =
+    synchronized {
+      val cur = versionManifests(d).lastOption
+        .map { case (_, f) => manifestFiles(f) }.getOrElse(Seq.empty)
+      writeManifest(d, cur ++ dataFiles(d).filterNot(before))
+    }
 
   /** Maintenance commit (OPTIMIZE): the new version is EXACTLY `files`. */
   private[catalog] def writeExplicitManifest(d: File, files: Seq[String]): Long =

@@ -250,6 +250,36 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("no version 1"), e.getMessage)
   }
 
+  test("staging catalog: crashed-commit orphan files never enter a version; VACUUM reclaims them") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.orph")
+    spark.sql("CREATE TABLE stage_t.ws.orph (k BIGINT)")
+    spark.sql("INSERT INTO stage_t.ws.orph VALUES (1), (2)") // v1
+    // plant an orphan: a committed-looking parquet file with no manifest —
+    // the crash window between committer success and manifest write
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orph").toString
+    spark.range(99, 100).selectExpr("id AS k").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val dir = new java.io.File(stageRoot, "ws/orph")
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(dir, "part-99999-orphan.snappy.parquet").toPath)
+    def ks() = spark.sql("SELECT k FROM stage_t.ws.orph")
+      .collect().map(_.getLong(0)).toSet
+    // manifest-pinned reads: the orphan is invisible
+    assert(ks() === Set(1L, 2L), s"orphan leaked into current read: ${ks()}")
+    // a later commit must NOT absorb the orphan into its version
+    spark.sql("INSERT INTO stage_t.ws.orph VALUES (3)") // v2
+    assert(ks() === Set(1L, 2L, 3L), s"orphan absorbed by later commit: ${ks()}")
+    // vacuum reclaims the orphan (unreferenced by any retained version)
+    val deleted = StagingMaintenance.vacuum(spark, "stage_t", "ws", "orph", retainLast = 1)
+    assert(deleted.contains("part-99999-orphan.snappy.parquet"), s"deleted: $deleted")
+    assert(ks() === Set(1L, 2L, 3L))
+  }
+
   test("unknown namespace and table fail with the standard analysis errors") {
     mount()
     val e = intercept[Exception] { spark.sql("SHOW TABLES IN graft_cat.`nope`").collect() }
