@@ -90,19 +90,20 @@ object Dedup {
     // either way.)
     val sh = hashedShingles(spark, dir)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-    val tok0 = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-    val tok = dfCap.map(capPostings(tok0, _)).getOrElse(tok0)
-    // Self-join on the shingle hash. A postings-list formulation (groupBy(h)
-    // → collect_list → HOF pair expansion) shuffles the token stream once
-    // instead of twice, but measured 40% SLOWER here: the nested-lambda
-    // expansion is interpreted while the join + pair-count path stays inside
-    // whole-stage codegen with map-side combine. Keep the codegen'd shape.
-    val pairs = tok.select(col("doc_id").as("doc_a"), col("h"))
-      .join(tok.select(col("doc_id").as("doc_b"), col("h")),
-        Seq("h"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    // Uncapped run: candidates + intersection counts come from the shared
+    // per-corpus pair artifact (one pair join serves q33 AND q137). Capped
+    // runs recompute from guarded postings — the guard IS their subject.
+    val pairs = dfCap match {
+      case None => pairInter(spark, dir)
+      case Some(cap) =>
+        val tok = capPostings(
+          sh.select(col("doc_id"), explode(col("sh")).as("h")), cap)
+        tok.select(col("doc_id").as("doc_a"), col("h"))
+          .join(tok.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+          .where(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+    }
     pairs
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))), "doc_a")
       .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))), "doc_b")
@@ -404,6 +405,30 @@ object Dedup {
     materialized(spark, "shingles", dir)(
       Tables.documents(spark, dir)
         .selectExpr("doc_id", "shingle_hashes(text, 20) AS sh"))
+
+  /** Undirected exact pair intersection counts (doc_a < doc_b, inter ≥ 1),
+    * materialized once per corpus — the shared candidate-generation +
+    * intersection stage behind BOTH exact baselines (q33 Jaccard, q137
+    * containment; the directed q137 view is the two orientations of each
+    * undirected pair, since |A∩B| is symmetric). One inverted-index pair
+    * join instead of one per consumer — the same staged-artifact pattern
+    * as [[hashedShingles]]. The self-join-on-hash shape is deliberate: a
+    * postings-list formulation (groupBy(h) → collect_list → HOF pair
+    * expansion) shuffles the token stream once instead of twice, but
+    * measured 40% SLOWER — the nested-lambda expansion is interpreted
+    * while the join + pair-count path stays inside whole-stage codegen
+    * with map-side combine.
+    */
+  private[operators] def pairInter(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, "pairinter", dir) {
+      val tok = hashedShingles(spark, dir)
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+      tok.select(col("doc_id").as("doc_a"), col("h"))
+        .join(tok.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+    }
 
   /** Converged CC labels, materialized once per corpus for consumers. */
   private[operators] def clusterLabels(spark: SparkSession, dir: String): DataFrame =

@@ -199,13 +199,24 @@ object SpanOps {
     // q33/q239 Jaccard twins.
     val sh = Dedup.hashedShingles(spark, dir)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-    val tok0 = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-    val tok = dfCap.map(Dedup.capPostings(tok0, _)).getOrElse(tok0)
-    val pairs = tok.select(col("doc_id").as("doc_a"), col("h"))
-      .join(tok.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
-      .where(col("doc_a") =!= col("doc_b")) // directed: both orientations kept
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    // Uncapped run: |A∩B| is symmetric, so the DIRECTED candidate set is
+    // just both orientations of the shared undirected pair artifact — no
+    // second inverted-index join. Capped runs recompute from guarded
+    // postings (the guard is their subject).
+    val pairs = dfCap match {
+      case None =>
+        val und = Dedup.pairInter(spark, dir)
+        und.union(und.select(col("doc_b"), col("doc_a"), col("inter")))
+          .toDF("doc_a", "doc_b", "inter")
+      case Some(cap) =>
+        val tok = Dedup.capPostings(
+          sh.select(col("doc_id"), explode(col("sh")).as("h")), cap)
+        tok.select(col("doc_id").as("doc_a"), col("h"))
+          .join(tok.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+          .where(col("doc_a") =!= col("doc_b")) // directed: both orientations kept
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+    }
     pairs
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))), "doc_a")
       .where(col("inter") * 10 >= col("sz_a") * 9)

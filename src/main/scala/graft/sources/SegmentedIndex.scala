@@ -73,6 +73,16 @@ object SegmentedIndex {
     val spark = rows.sparkSession
     val (fs, root) = fsFor(spark, indexDir)
     fs.mkdirs(root)
+    // Replay of an ALREADY-COMPACTED batch: micro-batch ids are monotone, so
+    // a batchId at or below the compaction high-water mark can only be a
+    // crash redelivery of a batch whose (deterministic) rows were folded
+    // into the compacted segment — re-creating its segment would duplicate
+    // them. The idempotent action is no action.
+    val folded = segments(fs, root).exists { p =>
+      p.getName.startsWith("compacted_") &&
+        p.getName.stripPrefix("compacted_").toLong >= batchId
+    }
+    if (folded) return
     rows.write.mode("overwrite").parquet(new Path(root, s"batch_$batchId").toString)
     if (segments(fs, root).count(_.getName.startsWith("batch_")) >= compactEvery)
       compact(spark, indexDir, batchId, schemaDdl, compactPartitions, sortCol)

@@ -180,4 +180,36 @@ class PropertySpec extends SparkSpec {
       .head.getSeq[Long](0)
     assert(got === expected)
   }
+
+  test("SegmentedIndex: any batch sequence with random replays + compaction reads back the exact union") {
+    // The storage-state invariant every streaming face leans on: after N
+    // batches land (some redelivered — the crash-replay case) and any
+    // number of compactions fire, read() returns EXACTLY the union of the
+    // batches' rows — no replay duplicates, no rows lost across
+    // compactions, regardless of batch sizes or replay points.
+    val schema = "k BIGINT, v STRING"
+    val rng = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_segprop_$trial").toString
+      val batches = (0 until 6).map { b =>
+        val n = 1 + rng.nextInt(5)
+        (0 until n).map(i => (b * 100L + i, s"row_${b}_$i"))
+      }
+      batches.zipWithIndex.foreach { case (rows, id) =>
+        def land(): Unit = graft.sources.SegmentedIndex.writeBatch(
+          rows.toDF("k", "v"), dir, id.toLong, schema,
+          compactEvery = 3, compactPartitions = 2, sortCol = "k")
+        land()
+        if (rng.nextBoolean()) land() // random crash-replay redelivery
+      }
+      val gotRows = graft.sources.SegmentedIndex.read(spark, dir, schema)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val expected = batches.flatten.toSet
+      assert(gotRows.toSet === expected, s"trial $trial: rows differ")
+      // EXACT multiset: replays (even of already-compacted batches) must
+      // not leave duplicate physical rows behind
+      assert(gotRows.size === expected.size,
+        s"trial $trial: ${gotRows.size} physical rows for ${expected.size} logical")
+    }
+  }
 }
