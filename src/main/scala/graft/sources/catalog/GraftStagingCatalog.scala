@@ -249,6 +249,14 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
       readDelegate.newScanBuilder(options)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       val inner = writeDelegate.newWriteBuilder(info)
+      // Exactly-once streaming appends: a writer may tag the commit with
+      // its micro-batch id (`.option("graft.batch-id", id)`). The id is
+      // recorded INSIDE the version manifest — one atomic file write — so
+      // "data committed" and "batch recorded" cannot tear apart, and a
+      // crash-redelivered batch is detected and skipped (its staged task
+      // files are aborted away). This is the catalog-sink analogue of the
+      // SegmentedIndex's per-batchId segments.
+      val batchId = Option(info.options.get("graft.batch-id")).map(_.toLong)
       new WriteBuilder {
         override def build(): Write = new Write {
           private val innerWrite = inner.build()
@@ -261,6 +269,10 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
             override def onDataWriterCommit(message: WriterCommitMessage): Unit =
               d.onDataWriterCommit(message)
             override def commit(messages: Array[WriterCommitMessage]): Unit = {
+              if (batchId.exists(GraftStagingCatalog.committedBatchIds(dir).contains)) {
+                d.abort(messages) // replay of a committed batch: discard staged files
+                return
+              }
               // Snapshot the data files BEFORE the committer moves this
               // job's task files in: the manifest then records exactly this
               // commit's delta. Files from a crashed earlier job (committer
@@ -271,7 +283,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
               val before = GraftStagingCatalog.dataFiles(dir).toSet
               d.commit(messages)
               // only a SUCCESSFUL commit becomes a version
-              GraftStagingCatalog.writeCommitManifest(dir, before)
+              GraftStagingCatalog.writeCommitManifest(dir, before, batchId)
             }
             override def abort(messages: Array[WriterCommitMessage]): Unit =
               d.abort(messages)
@@ -403,16 +415,29 @@ object GraftStagingCatalog {
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
       .map(_.getName).sorted
 
-  private def writeManifest(d: File, files: Seq[String]): Long = {
+  private def writeManifest(d: File, files: Seq[String],
+      batchId: Option[Long] = None): Long = {
     val vd = new File(d, VersionsDir)
     vd.mkdirs()
     val next = versionManifests(d).lastOption.map(_._1).getOrElse(0L) + 1L
-    val json = s"""{"ts":${System.currentTimeMillis()},"files":[${
+    val bid = batchId.map(b => s""""batchId":$b,""").getOrElse("")
+    val json = s"""{"ts":${System.currentTimeMillis()},$bid"files":[${
       files.sorted.map(f => "\"" + f + "\"").mkString(",")}]}"""
-    Files.write(new File(vd, s"v$next.json").toPath,
-      json.getBytes(StandardCharsets.UTF_8))
+    // temp + atomic rename: a manifest either exists complete or not at
+    // all — the property the exactly-once batch-id ledger leans on
+    val tmp = new File(vd, s".v$next.json.tmp")
+    Files.write(tmp.toPath, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, new File(vd, s"v$next.json").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     next
   }
+
+  /** Micro-batch ids recorded by prior commits (the exactly-once ledger). */
+  private[catalog] def committedBatchIds(d: File): Set[Long] =
+    versionManifests(d).flatMap { case (_, f) =>
+      val txt = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      "\"batchId\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    }.toSet
 
   /** Commit hook: the new version = previous current set ∪ exactly the
     * files this commit's job moved in (the before/after directory delta).
@@ -421,11 +446,12 @@ object GraftStagingCatalog {
     * the former stay time-travel-only, the latter stay invisible until
     * VACUUM reclaims them.
     */
-  private[catalog] def writeCommitManifest(d: File, before: Set[String]): Unit =
+  private[catalog] def writeCommitManifest(d: File, before: Set[String],
+      batchId: Option[Long] = None): Unit =
     synchronized {
       val cur = versionManifests(d).lastOption
         .map { case (_, f) => manifestFiles(f) }.getOrElse(Seq.empty)
-      writeManifest(d, cur ++ dataFiles(d).filterNot(before))
+      writeManifest(d, cur ++ dataFiles(d).filterNot(before), batchId)
     }
 
   /** Maintenance commit (OPTIMIZE): the new version is EXACTLY `files`. */

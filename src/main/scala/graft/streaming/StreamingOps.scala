@@ -99,6 +99,28 @@ object StreamingOps {
       }
       .start()
 
+  /** Exactly-once streaming append into a staging-catalog table: each
+    * micro-batch INSERTs through the real DSv2 committer tagged with its
+    * batch id, which [[graft.sources.catalog.GraftStagingCatalog]] records
+    * INSIDE the atomically-renamed version manifest. Because "data
+    * committed" and "batch recorded" are ONE file write, there is no crash
+    * window between them: a redelivered batch is detected by its id and
+    * its staged task files aborted away, so the sink table holds each
+    * batch's rows exactly once — and every batch is also a pinnable
+    * `VERSION AS OF` snapshot. This closes the gap the foreachBatch
+    * overwrite-by-path pattern leaves for APPEND-shaped sinks (where
+    * per-batch output dirs don't compose into one queryable table).
+    */
+  def catalogAppendStream(rows: DataFrame, table: String,
+      checkpointDir: String): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir).outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.writeTo(table).option("graft.batch-id", id.toString).append()
+        ()
+      }
+      .start()
+
   /** One incoming embedding on the streaming vector-ingest surface. */
   final case class StreamVec(vec_id: Long, embedding: Array[Float])
 

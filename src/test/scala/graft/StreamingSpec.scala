@@ -453,6 +453,46 @@ class StreamingSpec extends SparkSpec {
     assert(fromIndex === inFlight)
   }
 
+  test("catalogAppendStream: exactly-once appends into a versioned catalog table; replay aborts cleanly") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_eo_cat").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_eo_ckpt").toString
+    spark.conf.set("spark.sql.catalog.eo_cat",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.eo_cat.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS eo_cat.ws")
+    spark.sql("CREATE TABLE eo_cat.ws.sink (k BIGINT)")
+    def ks() = spark.sql("SELECT k FROM eo_cat.ws.sink")
+      .collect().map(_.getLong(0)).toSet
+    def versions() = new java.io.File(root, "ws/sink/_graft_versions")
+      .listFiles().count(_.getName.endsWith(".json"))
+    val mem = MemoryStream[Long]
+    val q = StreamingOps.catalogAppendStream(
+      mem.toDF().selectExpr("value AS k"), "eo_cat.ws.sink", ckpt)
+    try {
+      mem.addData(1L, 2L); q.processAllAvailable() // batch 0
+      mem.addData(3L); q.processAllAvailable()     // batch 1
+      assert(ks() === Set(1L, 2L, 3L))
+      assert(versions() === 2)
+    } finally q.stop()
+    // crash-redelivery: the sink re-runs batch 1 (same id, same rows) —
+    // the manifest-recorded batch id makes it a clean no-op
+    Seq(3L).toDF("k").writeTo("eo_cat.ws.sink")
+      .option("graft.batch-id", "1").append()
+    assert(ks() === Set(1L, 2L, 3L), s"replay duplicated rows: ${ks()}")
+    assert(versions() === 2, "replay minted a new version")
+    // the aborted replay left no orphan data files behind either
+    val dataFiles = new java.io.File(root, "ws/sink").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val referenced = spark.sql("SELECT count(*) FROM eo_cat.ws.sink").collect()(0).getLong(0)
+    assert(referenced === 3L)
+    // a genuinely new batch still appends
+    Seq(4L).toDF("k").writeTo("eo_cat.ws.sink")
+      .option("graft.batch-id", "2").append()
+    assert(ks() === Set(1L, 2L, 3L, 4L) && versions() === 3)
+    assert(dataFiles >= 1)
+  }
+
   test("curateStream exactly-once: kill + checkpoint restart neither duplicates nor loses rows") {
     // The streaming analogue of the rename-commit hazard (the reference's
     // copy+delete window, CephRgwFileSystem.java:310-313): a file-source
