@@ -349,6 +349,54 @@ object Connectors {
        |FROM orders
        |GROUP BY o_orderstatus ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q251
+
+  /** Append-only change data feed over the versioned staging catalog
+    * ([[graft.sources.catalog.StagingMaintenance.changesBetween]]): the
+    * table builds in three commits, and the query reads ONLY the rows
+    * added after version 1 — a manifest file-diff plus a scan of the new
+    * files, never a row-level comparison or a full-table rescan. This is
+    * how an incremental downstream consumer (index refresh, aggregate
+    * maintenance, replication) tails a 100 TB corpus: remember the last
+    * processed version, read forward. The oracle recomputes the delta
+    * slices straight from `orders` — a hash match proves the file-diff
+    * feed is exactly the added rows.
+    */
+  def q251ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_cdc_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_cdc")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_cdc AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_cdc_src WHERE o_orderkey % 10 = 1""".stripMargin)
+    Seq(4, 8).foreach { s =>
+      spark.sql(
+        s"""INSERT INTO graft_stage.work.orders_cdc
+           |SELECT o_orderkey, o_orderstatus, o_totalprice
+           |FROM orders_cdc_src WHERE o_orderkey % 10 = $s""".stripMargin)
+    }
+    graft.sources.catalog.StagingMaintenance
+      .changesBetween(spark, "graft_stage", "work", "orders_cdc", 1L, 3L)
+      .createOrReplaceTempView("orders_cdc_changes")
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n_changed,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders_cdc_changes
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  val q251Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n_changed,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders WHERE o_orderkey % 10 IN (4, 8)
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
@@ -357,5 +405,6 @@ object Connectors {
     GraftQuery.sql("q241_catalog_write", q241CatalogWrite, q241Oracle),
     GraftQuery.sql("q246_ivf_catalog_index", q246IvfCatalogIndex, Similarity.q67Oracle),
     GraftQuery.sql("q248_time_travel", q248TimeTravel, q248Oracle),
-    GraftQuery.sql("q250_optimize_compact", q250OptimizeCompact, q250Oracle))
+    GraftQuery.sql("q250_optimize_compact", q250OptimizeCompact, q250Oracle),
+    GraftQuery.sql("q251_change_feed", q251ChangeFeed, q251Oracle))
 }

@@ -416,12 +416,12 @@ object GraftStagingCatalog {
       .map(_.getName).sorted
 
   private def writeManifest(d: File, files: Seq[String],
-      batchId: Option[Long] = None): Long = {
+      batchId: Option[Long] = None, kind: String = "commit"): Long = {
     val vd = new File(d, VersionsDir)
     vd.mkdirs()
     val next = versionManifests(d).lastOption.map(_._1).getOrElse(0L) + 1L
     val bid = batchId.map(b => s""""batchId":$b,""").getOrElse("")
-    val json = s"""{"ts":${System.currentTimeMillis()},$bid"files":[${
+    val json = s"""{"ts":${System.currentTimeMillis()},"kind":"$kind",$bid"files":[${
       files.sorted.map(f => "\"" + f + "\"").mkString(",")}]}"""
     // temp + atomic rename: a manifest either exists complete or not at
     // all — the property the exactly-once batch-id ledger leans on
@@ -454,9 +454,17 @@ object GraftStagingCatalog {
       writeManifest(d, cur ++ dataFiles(d).filterNot(before), batchId)
     }
 
-  /** Maintenance commit (OPTIMIZE): the new version is EXACTLY `files`. */
+  /** Maintenance commit (OPTIMIZE): the new version is EXACTLY `files`,
+    * marked kind=optimize so file-diff consumers (the change feed) know the
+    * file sets on either side are not row-comparable.
+    */
   private[catalog] def writeExplicitManifest(d: File, files: Seq[String]): Long =
-    synchronized { writeManifest(d, files) }
+    synchronized { writeManifest(d, files, kind = "optimize") }
+
+  private[catalog] def manifestKind(mf: File): String = {
+    val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
+    "\"kind\":\"([a-z]+)\"".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("commit")
+  }
 }
 
 /** Table-maintenance operations for [[GraftStagingCatalog]] tables — the
@@ -520,6 +528,43 @@ object StagingMaintenance {
     deleteRecursively(tmp)
     val v = writeExplicitManifest(d, moved)
     (current.size, moved.size, v)
+  }
+
+  /** Append-only change data feed: the rows added in versions
+    * `(fromVersion, toVersion]`. Because commits only ADD files, the
+    * row-level delta is exactly the FILE-level delta between the two
+    * manifests — a metadata diff plus a scan of only the new files, no
+    * row comparison anywhere. Refused across an OPTIMIZE boundary (its
+    * manifest rewrites the file set without changing rows, so a file diff
+    * there would misreport the whole table as changed) — read the two
+    * versions directly in that case. This is the incremental-consumer
+    * primitive: a downstream job remembers the version it last processed
+    * and reads forward from there instead of re-scanning the table.
+    */
+  def changesBetween(spark: SparkSession, catalog: String, ns: String,
+      table: String, fromVersion: Long, toVersion: Long): org.apache.spark.sql.DataFrame = {
+    require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
+    val d = tableDir(spark, catalog, ns, table)
+    val manifests = versionManifests(d).toMap
+    def mf(v: Long): File = manifests.getOrElse(v,
+      throw new IllegalArgumentException(
+        s"$catalog.$ns.$table has no version $v (vacuumed or never committed)"))
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      if (manifestKind(mf(v)) == "optimize")
+        throw new IllegalArgumentException(
+          s"change feed crosses OPTIMIZE at version $v: file sets are not " +
+            "row-comparable across a compaction — read the versions directly")
+    }
+    val fromFiles =
+      if (fromVersion == 0L) Set.empty[String] else manifestFiles(mf(fromVersion)).toSet
+    val newFiles = manifestFiles(mf(toVersion)).filterNot(fromFiles)
+    val reader = spark.read
+    declaredSchema(d).foreach(reader.schema)
+    if (newFiles.isEmpty)
+      reader.schema(declaredSchema(d).getOrElse(
+        spark.read.parquet(d.getAbsolutePath).schema))
+        .parquet() // empty relation with the table schema
+    else reader.parquet(newFiles.map(f => new File(d, f).getAbsolutePath): _*)
   }
 
   /** Keep only the last `retainLast` versions; delete every data file no

@@ -280,6 +280,29 @@ class CatalogSpec extends SparkSpec {
     assert(ks() === Set(1L, 2L, 3L))
   }
 
+  test("change feed: file-diff delta rows; refused across an OPTIMIZE boundary") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.cdc")
+    spark.sql("CREATE TABLE stage_t.ws.cdc (k BIGINT)")
+    spark.sql("INSERT INTO stage_t.ws.cdc VALUES (1), (2)") // v1
+    spark.sql("INSERT INTO stage_t.ws.cdc VALUES (3)")      // v2
+    spark.sql("INSERT INTO stage_t.ws.cdc VALUES (4), (5)") // v3
+    def changed(from: Long, to: Long) =
+      StagingMaintenance.changesBetween(spark, "stage_t", "ws", "cdc", from, to)
+        .collect().map(_.getLong(0)).toSet
+    assert(changed(1, 3) === Set(3L, 4L, 5L))
+    assert(changed(0, 1) === Set(1L, 2L)) // from version 0 = since creation
+    assert(changed(2, 2) === Set.empty)   // empty delta keeps the schema
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "cdc", targetFiles = 1) // v4
+    spark.sql("INSERT INTO stage_t.ws.cdc VALUES (6)") // v5
+    // post-optimize deltas work; ranges CROSSING the optimize are refused
+    assert(changed(4, 5) === Set(6L))
+    val e = intercept[IllegalArgumentException] { changed(3, 5) }
+    assert(e.getMessage.contains("OPTIMIZE"), e.getMessage)
+  }
+
   test("unknown namespace and table fail with the standard analysis errors") {
     mount()
     val e = intercept[Exception] { spark.sql("SHOW TABLES IN graft_cat.`nope`").collect() }
