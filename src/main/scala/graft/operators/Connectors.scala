@@ -397,6 +397,119 @@ object Connectors {
        |FROM orders WHERE o_orderkey % 10 IN (4, 8)
        |GROUP BY o_orderstatus ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q253
+
+  /** Zone-map (file-level min/max) data skipping on a staging-catalog table
+    * ([[graft.sources.catalog.StagingMaintenance.analyze]] /
+    * [[graft.sources.catalog.StagingMaintenance.prunedScan]]): the table
+    * builds in three commits covering disjoint o_orderkey ranges, ANALYZE
+    * harvests per-file min/max from the parquet FOOTERS (metadata-only
+    * positional reads — the access pattern the reference's
+    * `CephRgwInputStream.read(position,…)` exists to make cheap on object
+    * storage), and the range query reads ONLY files whose recorded range
+    * intersects the predicate — the third commit's files are never opened
+    * (CatalogSpec asserts filesRead < filesCurrent). The row-level filter
+    * still applies on top: pruning is an optimization, never a semantics
+    * change — which is exactly what the oracle's hash match proves.
+    */
+  def q253ZoneMapScan(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_zm_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_zm")
+    spark.sql( // commit 1: low keyspace
+      """CREATE TABLE graft_stage.work.orders_zm AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_zm_src WHERE o_orderkey < 500""".stripMargin)
+    spark.sql( // commit 2: mid keyspace
+      """INSERT INTO graft_stage.work.orders_zm
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_zm_src WHERE o_orderkey >= 500 AND o_orderkey < 1000""".stripMargin)
+    spark.sql( // commit 3: high keyspace
+      """INSERT INTO graft_stage.work.orders_zm
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_zm_src WHERE o_orderkey >= 1000""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.analyze(
+      spark, "graft_stage", "work", "orders_zm", Seq("o_orderkey"))
+    val (scan, _, _) = graft.sources.catalog.StagingMaintenance.prunedScan(
+      spark, "graft_stage", "work", "orders_zm", "o_orderkey", 400L, 800L)
+    scan.groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+      .orderBy(col("status"))
+  }
+
+  val q253Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders WHERE o_orderkey BETWEEN 400 AND 800
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
+  // ---------------------------------------------------------------- q256
+
+  /** Incremental materialized-view maintenance off the change feed — the
+    * consumer side of q251: a per-status aggregate (count + exact decimal
+    * sum) is built ONCE from the `VERSION AS OF 1` snapshot, then advanced
+    * to version 3 by merging in ONLY the delta rows
+    * ([[graft.sources.catalog.StagingMaintenance.changesBetween]] — a
+    * manifest file-diff plus a scan of the new files). Count and decimal-sum
+    * are self-maintainable over append-only deltas, so
+    * merged = base ⊌ agg(delta) equals the full recompute EXACTLY: decimal
+    * addition is associative, so splitting the sum across base/delta cannot
+    * change a bit. The oracle recomputes the aggregate over all three
+    * slices from `orders` directly — a hash match proves the incremental
+    * path is lossless. At 100 TB this is the difference between re-scanning
+    * the corpus per refresh and touching only the day's new files.
+    */
+  def q256IncrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_mv_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_mv")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_mv AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_mv_src WHERE o_orderkey % 10 = 2""".stripMargin)
+    Seq(5, 9).foreach { s =>
+      spark.sql(
+        s"""INSERT INTO graft_stage.work.orders_mv
+           |SELECT o_orderkey, o_orderstatus, o_totalprice
+           |FROM orders_mv_src WHERE o_orderkey % 10 = $s""".stripMargin)
+    }
+    // initial MV build: one full scan of the PINNED v1 snapshot
+    val base = spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s
+        |FROM graft_stage.work.orders_mv VERSION AS OF 1
+        |GROUP BY o_orderstatus""".stripMargin)
+    // refresh: aggregate ONLY the delta files, merge into the standing MV
+    val delta = graft.sources.catalog.StagingMaintenance
+      .changesBetween(spark, "graft_stage", "work", "orders_mv", 1L, 3L)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_d"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("s_d"))
+      .withColumnRenamed("status", "status_d")
+    base.join(delta, col("status") === col("status_d"), "full_outer")
+      .select(
+        coalesce(col("status"), col("status_d")).as("status"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0).cast("decimal(28,4)")) +
+          coalesce(col("s_d"), lit(0).cast("decimal(28,4)"))).cast("double").as("total"))
+      .orderBy(col("status"))
+  }
+
+  val q256Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders WHERE o_orderkey % 10 IN (2, 5, 9)
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
@@ -406,5 +519,7 @@ object Connectors {
     GraftQuery.sql("q246_ivf_catalog_index", q246IvfCatalogIndex, Similarity.q67Oracle),
     GraftQuery.sql("q248_time_travel", q248TimeTravel, q248Oracle),
     GraftQuery.sql("q250_optimize_compact", q250OptimizeCompact, q250Oracle),
-    GraftQuery.sql("q251_change_feed", q251ChangeFeed, q251Oracle))
+    GraftQuery.sql("q251_change_feed", q251ChangeFeed, q251Oracle),
+    GraftQuery.sql("q253_zonemap_scan", q253ZoneMapScan, q253Oracle),
+    GraftQuery.sql("q256_incremental_mv", q256IncrementalMv, q256Oracle))
 }

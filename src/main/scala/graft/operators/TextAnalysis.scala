@@ -638,7 +638,16 @@ object TextAnalysis {
     * along as a broadcast 1-row aggregate. Per-doc term sums go through
     * DECIMAL so summation order never enters the hash.
     */
-  def q242Bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+  def q242Bm25Retrieval(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(15)
+
+  /** BM25 scoring core for the fixed query terms — (doc_id, n_terms, sum_tf,
+    * bm25) for every doc containing at least one term; shared by q242's
+    * ranked retrieval face and q252's hybrid-fusion keyword leg.
+    */
+  private[operators] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -657,8 +666,6 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("sum_tf"),
         sum(col("term_score").cast("decimal(18,6)")).cast("double").as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(15)
   }
 
   val q242Oracle: String =

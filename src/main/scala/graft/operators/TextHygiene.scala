@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Sub-document corpus hygiene: CCNet-style removal of text repeated ACROSS
+  * documents (boilerplate paragraphs, nav chrome, license headers), and
+  * LM-style rarity scoring — the two standard passes between raw crawl and
+  * trainable corpus that document-level dedup (q32/q34) cannot express.
+  */
+object TextHygiene {
+
+  /** A chunk survives if it appears in at most this many distinct docs. */
+  private val MaxChunkDf = 2
+
+  /** Tokens per paragraph-chunk (this corpus has no newlines, so the
+    * paragraph unit is a fixed non-overlapping token window).
+    */
+  private val ChunkToks = 3
+
+  // ---------------------------------------------------------------- q254
+
+  /** Paragraph-level (chunk-level) cross-document dedup, the CCNet/RefinedWeb
+    * boilerplate pass: split every document into non-overlapping
+    * [[ChunkToks]]-token chunks, count each chunk's document frequency across
+    * the corpus, DROP chunks appearing in more than [[MaxChunkDf]] distinct
+    * docs, and reassemble each document from its surviving chunks in original
+    * order. Emits per-doc (n_kept, n_dropped, new_text) — the rewritten
+    * corpus plus the audit counts.
+    *
+    * Scale shape: chunking is a map-only explode (never holds more than one
+    * doc's chunks per row-group); the df table is one shuffle on the chunk
+    * string (hash the chunk to a 64-bit key at 100 TB to shrink the shuffle);
+    * the keep-join is an equi-join on chunk; reassembly is one shuffle on
+    * doc_id with per-doc state bounded by document length. A stopword-like
+    * viral chunk costs nothing here — df is an aggregation, not a pair join,
+    * so there is no quadratic path to guard (contrast q245).
+    *
+    * Determinism: reassembly sorts each doc's surviving chunks by chunk
+    * index (array_sort on the (cidx, …) struct / string_agg ORDER BY cidx);
+    * a fully-boilerplate doc keeps an empty-string text in both engines.
+    */
+  def q254ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(t) - 1) div $ChunkToks), i -> " +
+          s"struct(i AS cidx, array_join(slice(t, i * $ChunkToks + 1, $ChunkToks), ' ') AS chunk))"))
+        .as("c"))
+      .select(col("doc_id"), col("c.cidx"), col("c.chunk"))
+    val dfreq = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("cdf"))
+    chunks.join(dfreq, "chunk")
+      .withColumn("keep", col("cdf") <= MaxChunkDf)
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        expr("array_join(transform(filter(array_sort(collect_list(" +
+          "struct(cidx, chunk, keep))), x -> x.keep), x -> x.chunk), ' ')")
+          .as("new_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q254Oracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, i AS cidx,
+       |    array_to_string(t[i*$ChunkToks+1 : i*$ChunkToks+$ChunkToks], ' ') AS chunk
+       |  FROM (SELECT doc_id, t,
+       |          unnest(range(0, CAST((len(t)-1)//$ChunkToks AS INT) + 1)) AS i
+       |        FROM t)),
+       |dfreq AS (SELECT chunk, count(DISTINCT doc_id) AS cdf FROM chunks GROUP BY chunk),
+       |j AS (SELECT c.doc_id, c.cidx, c.chunk, (cdf <= $MaxChunkDf) AS keep
+       |      FROM chunks c JOIN dfreq USING (chunk))
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       |  coalesce(string_agg(chunk, ' ' ORDER BY cidx) FILTER (WHERE keep), '') AS new_text
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q255
+
+  /** Unigram-LM rarity scoring — the CCNet LM-filter face: train a unigram
+    * model on the corpus itself (global token counts), then score each
+    * document by its mean token "surprisal". The textbook statistic is mean
+    * −log p(tok); this uses the exact-rational member of the same monotone
+    * family (the house rule that keeps q71/q242/q245 bit-identical across
+    * engines): rarity(tok) = ⌊total·10⁶ / cnt(tok)⌋ — an INTEGER — so the
+    * per-doc sum is exact long arithmetic in any order, and the final
+    * mean = sum/(n_toks·10⁶) is one IEEE division of exactly-representable
+    * values. High scores = rare-token-heavy docs (OOD/noise candidates for
+    * the quality filter); low = stopword soup.
+    *
+    * Scale shape: token counts are one shuffle on tok; the score join is an
+    * equi-join on tok (the model table; broadcast when the vocab fits, which
+    * AQE decides); the per-doc reduce is one shuffle on doc_id. No floats
+    * until the last projection.
+    */
+  def q255UnigramRarity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val cnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).as("total"))
+    toks.join(cnt, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("rarity_micro", expr("(total * 1000000L) div cnt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("rarity_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("sum_micro").cast("double") /
+          (col("n_toks") * lit(1000000L)).cast("double")).as("mean_rarity"))
+      .orderBy(col("mean_rarity").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q255Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt),
+      |r AS (SELECT doc_id, (total * 1000000) // cnt AS rarity_micro
+      |      FROM toks JOIN cnt USING (tok), tot)
+      |SELECT doc_id, count(*) AS n_toks,
+      |  CAST(CAST(sum(rarity_micro) AS BIGINT) AS DOUBLE)
+      |    / CAST(count(*) * 1000000 AS DOUBLE) AS mean_rarity
+      |FROM r GROUP BY doc_id
+      |ORDER BY mean_rarity DESC, doc_id LIMIT 20""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q254_paragraph_dedup", q254ParagraphDedup, q254Oracle),
+    GraftQuery.sql("q255_unigram_rarity", q255UnigramRarity, q255Oracle))
+}

@@ -567,6 +567,114 @@ object StagingMaintenance {
     else reader.parquet(newFiles.map(f => new File(d, f).getAbsolutePath): _*)
   }
 
+  // ---- zone maps (file-level min/max data skipping) ----------------------
+  //
+  // The object-store answer to "don't read what can't match": per-file
+  // min/max statistics harvested from the parquet FOOTERS (a metadata-only
+  // positional read — the same access pattern the reference's
+  // CephRgwInputStream.read(position,...) exists to make cheap,
+  // CephRgwInputStream.java:103-120), persisted in a `_graft_stats.tsv`
+  // sidecar, and consulted at read time to skip whole files whose
+  // [min,max] range cannot intersect the predicate. File-granular skipping
+  // sits ABOVE the row-group skipping Spark's parquet reader already does
+  // (FsParitySpec proves that layer): at 100 TB it is the difference
+  // between listing-and-opening every object and touching only the
+  // partitions of the keyspace the query asks for. Files are immutable, so
+  // stats never go stale; ANALYZE is incremental (only files without
+  // recorded stats are footer-read).
+
+  private val StatsSidecar = "_graft_stats.tsv"
+
+  /** (file, column) -> (min, max), from the stats sidecar. */
+  private def readStats(d: File): Map[(String, String), (Long, Long)] = {
+    val f = new File(d, StatsSidecar)
+    if (!f.isFile) Map.empty
+    else java.nio.file.Files.readAllLines(f.toPath).asScala
+      .filter(_.nonEmpty).map { line =>
+        val Array(file, col, mn, mx) = line.split("\t", 4)
+        (file, col) -> (mn.toLong, mx.toLong)
+      }.toMap
+  }
+
+  /** Files the CURRENT version reads (manifest-pinned when versioned). */
+  private def currentFiles(d: File): Seq[String] =
+    versionManifests(d).lastOption
+      .map { case (_, mf) => manifestFiles(mf) }.getOrElse(dataFiles(d))
+
+  /** Harvest per-file min/max for integral `columns` from parquet footers —
+    * no data pages are read. Incremental: files already covered by the
+    * sidecar are skipped (files are immutable). Returns the number of files
+    * newly analyzed.
+    */
+  def analyze(spark: SparkSession, catalog: String, ns: String, table: String,
+      columns: Seq[String]): Int = synchronized {
+    import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
+    val d = tableDir(spark, catalog, ns, table)
+    val existing = readStats(d)
+    val todo = currentFiles(d)
+      .filterNot(f => columns.forall(c => existing.contains((f, c))))
+    val conf = spark.sessionState.newHadoopConf()
+    val lines = todo.flatMap { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(new File(d, f).getAbsolutePath), conf))
+      try {
+        val byCol = reader.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .groupBy(_.getPath.toDotString)
+        columns.flatMap { c =>
+          val ranges = byCol.getOrElse(c, Seq.empty).map(_.getStatistics).collect {
+            case s: LongStatistics if s.hasNonNullValue => (s.getMin, s.getMax)
+            case s: IntStatistics if s.hasNonNullValue  => (s.getMin.toLong, s.getMax.toLong)
+          }
+          // no usable stats (non-integral type, all-null, or stats absent):
+          // record nothing — the pruner keeps the file conservatively
+          if (ranges.isEmpty) None
+          else Some(s"$f\t$c\t${ranges.map(_._1).min}\t${ranges.map(_._2).max}")
+        }
+      } finally reader.close()
+    }
+    if (lines.nonEmpty) {
+      val out = new File(d, StatsSidecar)
+      val prev = if (out.isFile)
+        new String(java.nio.file.Files.readAllBytes(out.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else ""
+      java.nio.file.Files.write(out.toPath,
+        (prev + lines.mkString("", "\n", "\n"))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    todo.size
+  }
+
+  /** Zone-map-pruned scan: read only current files whose recorded
+    * [min,max] on `column` intersects [lo,hi] (files without stats are
+    * read conservatively), then apply the row-level predicate on top —
+    * pruning is file-granular, it never substitutes for the filter.
+    * Returns (dataframe, filesCurrent, filesRead).
+    */
+  def prunedScan(spark: SparkSession, catalog: String, ns: String, table: String,
+      column: String, lo: Long, hi: Long): (org.apache.spark.sql.DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val d = tableDir(spark, catalog, ns, table)
+    val stats = readStats(d)
+    val current = currentFiles(d)
+    val keep = current.filter { f =>
+      stats.get((f, column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true
+      }
+    }
+    val reader = spark.read
+    declaredSchema(d).foreach(reader.schema)
+    val df =
+      if (keep.isEmpty)
+        reader.schema(declaredSchema(d).getOrElse(
+          spark.read.parquet(d.getAbsolutePath).schema)).parquet()
+      else reader.parquet(keep.map(f => new File(d, f).getAbsolutePath): _*)
+    (df.where(col(column) >= lo && col(column) <= hi), current.size, keep.size)
+  }
+
   /** Keep only the last `retainLast` versions; delete every data file no
     * retained version references. Returns the deleted file names.
     */

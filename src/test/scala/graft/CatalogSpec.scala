@@ -303,6 +303,44 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("OPTIMIZE"), e.getMessage)
   }
 
+  test("zone maps: footer-harvested min/max skips non-overlapping files; unanalyzed files read conservatively") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.zm")
+    // three commits over disjoint key ranges -> per-commit files have
+    // disjoint footer min/max on k
+    spark.sql("CREATE TABLE stage_t.ws.zm AS SELECT id AS k FROM range(0, 100)")
+    spark.sql("INSERT INTO stage_t.ws.zm SELECT id AS k FROM range(1000, 1100)")
+    spark.sql("INSERT INTO stage_t.ws.zm SELECT id AS k FROM range(2000, 2100)")
+    // BEFORE analyze: no stats sidecar, every current file is read
+    val (dfCons, curCons, readCons) =
+      StagingMaintenance.prunedScan(spark, "stage_t", "ws", "zm", "k", 1000L, 1099L)
+    assert(readCons === curCons, s"unanalyzed files must be kept: $readCons/$curCons")
+    assert(dfCons.count() === 100)
+    val analyzed = StagingMaintenance.analyze(spark, "stage_t", "ws", "zm", Seq("k"))
+    assert(analyzed > 0)
+    // AFTER analyze: only the middle commit's files can intersect [1000,1099]
+    val (df, cur, read) =
+      StagingMaintenance.prunedScan(spark, "stage_t", "ws", "zm", "k", 1000L, 1099L)
+    assert(read < cur, s"zone maps must skip files: read $read of $cur")
+    assert(df.count() === 100)
+    assert(df.agg(min(col("k")), max(col("k"))).collect()(0).toSeq === Seq(1000L, 1099L))
+    // pruning never substitutes for the filter: a range clipping a file
+    // still applies the row-level predicate
+    val (dfClip, _, _) =
+      StagingMaintenance.prunedScan(spark, "stage_t", "ws", "zm", "k", 1050L, 2049L)
+    assert(dfClip.count() === 100) // 1050..1099 + 2000..2049
+    // incremental: re-analyze touches nothing; a new commit adds only its files
+    assert(StagingMaintenance.analyze(spark, "stage_t", "ws", "zm", Seq("k")) === 0)
+    spark.sql("INSERT INTO stage_t.ws.zm SELECT id AS k FROM range(3000, 3100)")
+    val re = StagingMaintenance.analyze(spark, "stage_t", "ws", "zm", Seq("k"))
+    assert(re > 0 && re < cur, s"incremental analyze touched $re files")
+    val (df2, cur2, read2) =
+      StagingMaintenance.prunedScan(spark, "stage_t", "ws", "zm", "k", 3000L, 3099L)
+    assert(read2 < cur2 && df2.count() === 100)
+  }
+
   test("unknown namespace and table fail with the standard analysis errors") {
     mount()
     val e = intercept[Exception] { spark.sql("SHOW TABLES IN graft_cat.`nope`").collect() }
