@@ -510,6 +510,59 @@ object Connectors {
        |FROM orders WHERE o_orderkey % 10 IN (2, 5, 9)
        |GROUP BY o_orderstatus ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q257
+
+  /** CLUSTER BY as a maintenance rewrite — what makes zone maps effective on
+    * data that arrived UNCLUSTERED: the table builds in three commits each
+    * sliced by `o_orderkey % 3`, so every file spans the whole keyspace and
+    * q253's footer stats can skip nothing. `optimize(clusterBy =
+    * o_orderkey)` range-partitions + sorts the rewrite, the per-file
+    * [min,max] become disjoint, and the same narrow range predicate now
+    * touches ~1 of 8 files (CatalogSpec asserts all-files before vs
+    * few-files after). This is the lakehouse OPTIMIZE-with-clustering
+    * pattern — at 100 TB, re-clustering cold data by the dominant filter
+    * key is how an append-only object-store table keeps its scans
+    * proportional to the query, not the corpus. The oracle recomputes over
+    * `orders` directly: layout changed, content didn't.
+    */
+  def q257ClusteredLayout(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_cl_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_cl")
+    spark.sql( // ingestion-order commits: every file spans the full keyspace
+      """CREATE TABLE graft_stage.work.orders_cl AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_cl_src WHERE o_orderkey % 3 = 0""".stripMargin)
+    Seq(1, 2).foreach { s =>
+      spark.sql(
+        s"""INSERT INTO graft_stage.work.orders_cl
+           |SELECT o_orderkey, o_orderstatus, o_totalprice
+           |FROM orders_cl_src WHERE o_orderkey % 3 = $s""".stripMargin)
+    }
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "orders_cl", targetFiles = 8,
+      clusterBy = Some("o_orderkey"))
+    graft.sources.catalog.StagingMaintenance.analyze(
+      spark, "graft_stage", "work", "orders_cl", Seq("o_orderkey"))
+    val (scan, _, _) = graft.sources.catalog.StagingMaintenance.prunedScan(
+      spark, "graft_stage", "work", "orders_cl", "o_orderkey", 100L, 600L)
+    scan.groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+      .orderBy(col("status"))
+  }
+
+  val q257Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders WHERE o_orderkey BETWEEN 100 AND 600
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
@@ -521,5 +574,6 @@ object Connectors {
     GraftQuery.sql("q250_optimize_compact", q250OptimizeCompact, q250Oracle),
     GraftQuery.sql("q251_change_feed", q251ChangeFeed, q251Oracle),
     GraftQuery.sql("q253_zonemap_scan", q253ZoneMapScan, q253Oracle),
-    GraftQuery.sql("q256_incremental_mv", q256IncrementalMv, q256Oracle))
+    GraftQuery.sql("q256_incremental_mv", q256IncrementalMv, q256Oracle),
+    GraftQuery.sql("q257_clustered_layout", q257ClusteredLayout, q257Oracle))
 }

@@ -496,7 +496,89 @@ object Similarity {
       |              (a, b) -> (a + b) % 1000000007) AS checksum
       |FROM qv ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q258
+
+  /** Product quantization (PQ) with asymmetric-distance (ADC) probing — the
+    * FAISS-style vector-compression layer of the ANN family: each 64-dim
+    * embedding is split into M=8 subspaces of 8 dims, every subspace is
+    * encoded as the id of its nearest codebook centroid (here the
+    * subvectors of 16 fixed seed embeddings, vec_id < 16 — a quantizer
+    * "trained offline", like q67's IVF centroids), and a query is answered
+    * WITHOUT decompressing: the query precomputes its 8×16 subspace
+    * distance table once, and each candidate's approximate distance is just
+    * 8 table lookups summed — top-20 by ADC distance.
+    *
+    * Scale shape: encoding is candidates × a 16-row broadcast codebook with
+    * a (vec, subspace)-partitioned argmin window (never a global sort);
+    * codes are 8 small ints per vector — an 8-byte index over any corpus
+    * width; the probe joins codes to a broadcast 128-entry distance table
+    * and ranks by TakeOrdered. Compose with IVF cells (q67/q246) for
+    * IVF-PQ at 100 TB.
+    *
+    * Determinism: subspace distances are sequential left folds of squared
+    * diffs in slice order (bit-identical across engines); argmin is a
+    * row_number over (d2, cid); the 8-term ADC sum folds in subspace order
+    * via the array_sort(collect_list(struct)) idiom (q68's oracle-twin
+    * form — exact for an 8-element group).
+    */
+  def q258PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val seeds = broadcast(emb.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cent")))
+    val sub = emb.crossJoin(seeds)
+      .select(col("vec_id"), col("cid"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m AS m, " +
+          "aggregate(zip_with(slice(embedding, m * 8 + 1, 8), slice(cent, m * 8 + 1, 8), " +
+          "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d2))")).as("s"))
+      .select(col("vec_id"), col("cid"), col("s.m").as("m"), col("s.d2").as("d2"))
+    val w = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("cid"))
+    val codes = sub.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    val dtab = broadcast(sub.where(col("vec_id") === 7)
+      .select(col("m").as("qm"), col("cid").as("qcid"), col("d2").as("qd2")))
+    codes.join(dtab, col("m") === col("qm") && col("code") === col("qcid"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_sub"),
+        expr("aggregate(array_sort(collect_list(struct(m, qd2))), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v.qd2)").as("adc"))
+      .where(col("vec_id") =!= 7)
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(20)
+      .select(col("vec_id"), col("n_sub"), col("adc"))
+  }
+
+  val q258Oracle: String =
+    """WITH seeds AS (
+      |  SELECT vec_id AS cid, embedding AS cent FROM embeddings WHERE vec_id < 16),
+      |sub0 AS (
+      |  SELECT e.vec_id, s.cid, e.embedding AS emb, s.cent AS cent,
+      |    unnest(range(0, 8)) AS m
+      |  FROM embeddings e, seeds s),
+      |sub AS (
+      |  SELECT vec_id, cid, m,
+      |    list_reduce([CAST(0 AS DOUBLE)] ||
+      |      [(CAST(emb[m*8+i] AS DOUBLE) - CAST(cent[m*8+i] AS DOUBLE))
+      |        * (CAST(emb[m*8+i] AS DOUBLE) - CAST(cent[m*8+i] AS DOUBLE))
+      |       for i in range(1, 9)],
+      |      (acc, v) -> acc + v) AS d2
+      |  FROM sub0),
+      |codes AS (
+      |  SELECT vec_id, m, cid AS code FROM (
+      |    SELECT vec_id, m, cid,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+      |    FROM sub) WHERE rn = 1),
+      |dtab AS (SELECT m AS qm, cid AS qcid, d2 AS qd2 FROM sub WHERE vec_id = 7)
+      |SELECT vec_id, count(*) AS n_sub,
+      |  list_reduce([CAST(0 AS DOUBLE)] || list(qd2 ORDER BY m), (acc, v) -> acc + v) AS adc
+      |FROM codes JOIN dtab ON m = qm AND code = qcid
+      |WHERE vec_id <> 7
+      |GROUP BY vec_id
+      |ORDER BY adc, vec_id LIMIT 20""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q258_pq_adc", q258PqAdc, q258Oracle),
     GraftQuery.sql("q40_cosine_topk", q40CosineTopk, q40Oracle),
     GraftQuery.sql("q41_embedding_neardup", q41EmbeddingNeardup, q41Oracle),
     GraftQuery.sql("q42_ann_lsh_buckets", q42AnnLshBuckets, q42Oracle),

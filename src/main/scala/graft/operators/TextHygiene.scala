@@ -129,7 +129,89 @@ object TextHygiene {
       |FROM r GROUP BY doc_id
       |ORDER BY mean_rarity DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q259
+
+  /** BPE merge iterations. */
+  private val BpeIters = 3
+
+  /** Byte-pair-encoding tokenizer TRAINING, the first [[BpeIters]] merge
+    * steps — the missing piece between corpus statistics and an actual
+    * tokenizer: words (as character sequences) with corpus counts, count
+    * every adjacent symbol pair weighted by word frequency, merge the most
+    * frequent pair corpus-wide, repeat. Emits the learned merge table
+    * (iter, left_sym, right_sym, pair_cnt) — rows 1..k of a real BPE vocab.
+    *
+    * Representation: a word's symbols are kept as a `||`-delimited string
+    * (`cat` → `||c||a||t||`). The DOUBLE delimiter is what makes the merge
+    * a plain `replace`: each match `|a||b|` consumes one pipe from each
+    * boundary, so adjacent merge sites never overlap and both engines'
+    * left-to-right non-overlapping replace implements exactly greedy BPE
+    * (`||a||a||a||` → `||aa||a||`, the overlap case OperatorSpec pins).
+    *
+    * Scale shape: BPE trains on the WORD-COUNT dictionary, not the corpus —
+    * the one corpus-sized pass is the token groupBy; after that each
+    * iteration is a vocab-sized pair explode + one shuffle on the pair key,
+    * and the driver reads back exactly ONE row per iteration (the argmax —
+    * the same bounded control read as the two-phase median's histogram).
+    * Merges apply as a map-only string rewrite.
+    */
+  def q259BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("||"), regexp_replace(col("tok"), "(.)", "$1||")).as("s"),
+        col("cnt"))
+      // materialize the dictionary: the corpus-sized token pass runs ONCE;
+      // every iteration's argmax + merge then reruns only vocab-sized work
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (it <- 1 to BpeIters) {
+      val top = words
+        .select(expr("filter(split(s, '\\\\|\\\\|'), x -> x != '')").as("syms"), col("cnt"))
+        .where(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> " +
+            "struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("a"), col("b"))
+        .limit(1).head() // bounded control read: ONE row per iteration
+      val (a, b, pc) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((it, a, b, pc))
+      // symbols are corpus token characters (no quotes to escape)
+      words = words.select(
+        expr(s"replace(s, '|$a||$b|', '|$a$b|')").as("s"), col("cnt"))
+    }
+    merges.result().toDF("iter", "left_sym", "right_sym", "pair_cnt")
+      .orderBy(col("iter"))
+  }
+
+  val q259Oracle: String = {
+    def stage(k: Int): String = {
+      val prev = s"w${k - 1}"
+      s"""p$k AS (
+         |  SELECT syms[i + 1] AS a, syms[i + 2] AS b, cnt FROM (
+         |    SELECT syms, cnt, unnest(range(0, greatest(len(syms) - 1, 0))) AS i FROM (
+         |      SELECT list_filter(string_split(s, '||'), x -> x <> '') AS syms, cnt
+         |      FROM $prev))),
+         |m$k AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM p$k
+         |        GROUP BY a, b ORDER BY pair_cnt DESC, a, b LIMIT 1),
+         |w$k AS (SELECT replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s,
+         |               cnt FROM $prev, m$k)""".stripMargin
+    }
+    s"""WITH w0 AS (
+       |  SELECT '||' || regexp_replace(tok, '(.)', '\\1||', 'g') AS s, cnt FROM (
+       |    SELECT tok, count(*) AS cnt FROM (
+       |      SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok)),
+       |${(1 to BpeIters).map(stage).mkString(",\n")}
+       |SELECT CAST(1 AS INT) AS iter, a AS left_sym, b AS right_sym, pair_cnt FROM m1
+       |UNION ALL SELECT 2, a, b, pair_cnt FROM m2
+       |UNION ALL SELECT 3, a, b, pair_cnt FROM m3 ORDER BY iter""".stripMargin
+  }
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q254_paragraph_dedup", q254ParagraphDedup, q254Oracle),
-    GraftQuery.sql("q255_unigram_rarity", q255UnigramRarity, q255Oracle))
+    GraftQuery.sql("q255_unigram_rarity", q255UnigramRarity, q255Oracle),
+    GraftQuery.sql("q259_bpe_merges", q259BpeMerges, q259Oracle))
 }

@@ -501,9 +501,19 @@ object StagingMaintenance {
 
   /** Compact the current file set into `targetFiles` files, committed as a
     * new version. Returns (filesBefore, filesAfter, newVersion).
+    *
+    * `clusterBy`: when set, the rewrite RANGE-partitions and sorts on that
+    * column instead of hash-scattering — CLUSTER BY as a maintenance
+    * operation (the lakehouse OPTIMIZE-with-clustering shape). Commits
+    * arrive in ingestion order, so every file of an unclustered table spans
+    * the whole keyspace and zone maps ([[analyze]]/[[prunedScan]]) can
+    * skip nothing; after a clustered rewrite the per-file [min,max] ranges
+    * are disjoint and a range predicate touches ~its fraction of files.
+    * Layout only, never content — same manifest rules as a plain OPTIMIZE.
     */
   def optimize(spark: SparkSession, catalog: String, ns: String, table: String,
-      targetFiles: Int = 4): (Int, Int, Long) = {
+      targetFiles: Int = 4, clusterBy: Option[String] = None): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.col
     val d = tableDir(spark, catalog, ns, table)
     val current = versionManifests(d).lastOption
       .map { case (_, mf) => manifestFiles(mf) }.getOrElse(dataFiles(d))
@@ -516,7 +526,11 @@ object StagingMaintenance {
     // unique names BEFORE committing the manifest that references them —
     // a crash mid-move leaves unreferenced files, never a torn version
     val tmp = new File(d, s"_optimize_${System.nanoTime()}")
-    df.repartition(targetFiles).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val laid = clusterBy match {
+      case Some(c) => df.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
+      case None    => df.repartition(targetFiles)
+    }
+    laid.write.mode("overwrite").parquet(tmp.getAbsolutePath)
     val moved = Option(tmp.listFiles()).getOrElse(Array.empty).toIndexedSeq
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map { f =>

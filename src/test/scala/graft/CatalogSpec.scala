@@ -341,6 +341,38 @@ class CatalogSpec extends SparkSpec {
     assert(read2 < cur2 && df2.count() === 100)
   }
 
+  test("CLUSTER BY rewrite turns useless zone maps into disjoint per-file ranges") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.cl")
+    // ingestion-order commits, hash-scattered so EVERY written file spans
+    // the full keyspace (range()'s own splits are contiguous, which would
+    // accidentally pre-cluster the layout)
+    spark.sql("""CREATE TABLE stage_t.ws.cl AS
+      SELECT k FROM (SELECT id AS k FROM range(0, 3000) WHERE id % 3 = 0) DISTRIBUTE BY k""")
+    spark.sql("""INSERT INTO stage_t.ws.cl
+      SELECT k FROM (SELECT id AS k FROM range(0, 3000) WHERE id % 3 = 1) DISTRIBUTE BY k""")
+    spark.sql("""INSERT INTO stage_t.ws.cl
+      SELECT k FROM (SELECT id AS k FROM range(0, 3000) WHERE id % 3 = 2) DISTRIBUTE BY k""")
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "cl", Seq("k"))
+    // unclustered: every file's [min,max] covers the range -> nothing skips
+    val (_, curU, readU) =
+      StagingMaintenance.prunedScan(spark, "stage_t", "ws", "cl", "k", 1000L, 1200L)
+    assert(readU === curU, s"unclustered files should all overlap: $readU/$curU")
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "cl",
+      targetFiles = 8, clusterBy = Some("k"))
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "cl", Seq("k"))
+    val (df, curC, readC) =
+      StagingMaintenance.prunedScan(spark, "stage_t", "ws", "cl", "k", 1000L, 1200L)
+    assert(curC === 8, s"clustered rewrite should land 8 files, got $curC")
+    assert(readC <= 2, s"disjoint ranges: a 200/3000 slice should touch <=2 of 8 files, read $readC")
+    assert(df.count() === 201)
+    // content preserved end to end
+    assert(spark.sql("SELECT count(*), min(k), max(k) FROM stage_t.ws.cl")
+      .collect()(0).toSeq === Seq(3000L, 0L, 2999L))
+  }
+
   test("unknown namespace and table fail with the standard analysis errors") {
     mount()
     val e = intercept[Exception] { spark.sql("SHOW TABLES IN graft_cat.`nope`").collect() }

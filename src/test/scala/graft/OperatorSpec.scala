@@ -71,6 +71,27 @@ class OperatorSpec extends SparkSpec {
     assert(both.count() === 0)
   }
 
+  test("BPE merge rewrite: double-delimiter replace is greedy-left and feeds merged symbols forward") {
+    // The q259 representation: '||'-delimited symbols make a merge a plain
+    // replace. The overlap case is the hazard: '|a||a|' on 'a a a' must
+    // merge the LEFT pair only (greedy BPE) — DuckDB's replace was probed
+    // to do exactly this, so Spark must match or the oracle hash diverges.
+    val words = Seq(("||a||a||a||", 2L), ("||a||a||b||", 1L)).toDF("s", "cnt")
+    val merged = words.selectExpr("replace(s, '|a||a|', '|aa|') AS s", "cnt")
+    assert(merged.orderBy(col("cnt").desc).collect().map(_.getString(0)).toSeq ===
+      Seq("||aa||a||", "||aa||b||"))
+    // the merged symbol participates in the NEXT round's pair statistics
+    val pairs = merged
+      .selectExpr("filter(split(s, '\\\\|\\\\|'), x -> x != '') AS syms", "cnt")
+      .selectExpr("explode(transform(sequence(0, size(syms) - 2), i -> " +
+        "struct(syms[i] AS a, syms[i + 1] AS b))) AS p", "cnt")
+      .groupBy(col("p.a"), col("p.b")).agg(sum(col("cnt")).as("pc"))
+      .orderBy(col("pc").desc, col("p.a"), col("p.b"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.head === ("aa", "a", 2L), pairs.toSeq)
+    assert(pairs.toSet === Set(("aa", "a", 2L), ("aa", "b", 1L)))
+  }
+
   test("typed frameSample slices the same frames the SQL face q74 declares") {
     import graft.operators.Multimodal
     val typed = Multimodal.frameSample(Multimodal.mediaRecords(spark, sfDir))

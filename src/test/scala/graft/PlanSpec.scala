@@ -406,6 +406,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q252 RRF legs end in TakeOrdered; the dense query vector broadcasts") {
+    // Both retrieval legs must cut to top-K with TakeOrderedAndProject
+    // (per-partition heads + driver merge) — a global Sort before the rank
+    // window would be the non-scalable shape. The single query embedding
+    // rides a broadcast (BroadcastNestedLoopJoin from the deliberate
+    // 1-row crossJoin).
+    val p = plan("q252_rrf_hybrid")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"legs must TakeOrdered, not global-sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query vector not broadcast:\n$p")
+  }
+
   test("NO query in the entire inventory plans a CartesianProduct") {
     // The blanket 100 TB safety net: a cartesian product anywhere is a bug.
     // (Deliberate small-side broadcasts plan as BroadcastNestedLoopJoin.)
