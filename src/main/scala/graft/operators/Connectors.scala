@@ -563,6 +563,54 @@ object Connectors {
        |FROM orders WHERE o_orderkey BETWEEN 100 AND 600
        |GROUP BY o_orderstatus ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q261
+
+  /** SQL row-level DELETE on the staging catalog — the last DML face of the
+    * lakehouse surface (after CTAS/INSERT/ALTER/OPTIMIZE/VACUUM/time
+    * travel/CDC): `DELETE FROM graft_stage.work.t WHERE <pred>` reaches the
+    * table's `SupportsDelete.deleteWhere` and executes as a copy-on-write
+    * rewrite — the current file set is rewritten without the matching rows
+    * and committed as a NEW kind=delete version, while the pre-delete
+    * version stays pinnable (`VERSION AS OF`) until VACUUM. This is how an
+    * object-store corpus actually honors a takedown/PII purge: immutable
+    * files, deletion by replacement, history retained until retention
+    * policy says otherwise. The query deletes a key range and aggregates
+    * the survivors; the oracle recomputes from `orders` with the inverse
+    * predicate — a hash match proves the rewrite removed exactly the
+    * requested rows. CatalogSpec proves the version mechanics (pre-delete
+    * snapshot intact, unsupported predicates refused, change feed refuses
+    * to cross the rewrite).
+    */
+  def q261SqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_del_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_del")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_del AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_del_src WHERE o_orderkey % 7 = 0""".stripMargin)
+    spark.sql(
+      "DELETE FROM graft_stage.work.orders_del " +
+        "WHERE o_orderkey >= 100 AND o_orderkey <= 700")
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.orders_del
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  val q261Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders
+       |WHERE o_orderkey % 7 = 0 AND NOT (o_orderkey BETWEEN 100 AND 700)
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
@@ -575,5 +623,6 @@ object Connectors {
     GraftQuery.sql("q251_change_feed", q251ChangeFeed, q251Oracle),
     GraftQuery.sql("q253_zonemap_scan", q253ZoneMapScan, q253Oracle),
     GraftQuery.sql("q256_incremental_mv", q256IncrementalMv, q256Oracle),
-    GraftQuery.sql("q257_clustered_layout", q257ClusteredLayout, q257Oracle))
+    GraftQuery.sql("q257_clustered_layout", q257ClusteredLayout, q257Oracle),
+    GraftQuery.sql("q261_sql_delete", q261SqlDelete, q261Oracle))
 }

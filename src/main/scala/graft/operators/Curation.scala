@@ -477,7 +477,67 @@ object Curation {
       |  CAST(sum(chars_in - chars_out) AS BIGINT) AS chars_removed
       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q260
+
+  /** Temperature-sampled budget for the output corpus. */
+  private val TempSampleN = 200
+
+  /** Temperature sampling over language strata — the mT5/XLM-R corpus-mixing
+    * rule: a language's share of the output is proportional to cnt^α with
+    * α = 1/2, so head languages are down-weighted and tail languages
+    * up-weighted relative to their raw frequency. Quota_l =
+    * max(1, ⌊N·√cnt_l / Σ√cnt⌋); within each language the quota is filled by
+    * the md5-ranked deterministic draw (the q99 idiom — reproducible without
+    * an RNG).
+    *
+    * Determinism: α = 1/2 means the weight is sqrt — IEEE-exact, unlike a
+    * general pow (whose libm rounding differs across engines); the weight
+    * SUM folds in sorted language order (the q68 sorted-fold idiom), and the
+    * quota floor(·) of a bit-identical double matches bit-for-bit.
+    *
+    * Scale shape: one groupBy for counts, a broadcast 1-row weight sum, one
+    * per-stratum rank window — with the same giant-stratum pre-filter note
+    * as [[stratifiedSample]] at 100 TB.
+    */
+  def q260TemperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cnts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val wsum = broadcast(cnts.agg(expr(
+      "aggregate(array_sort(collect_list(struct(lang, sqrt(CAST(cnt AS DOUBLE)) AS w))), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v.w)").as("wsum")))
+    val quotas = cnts.crossJoin(wsum)
+      .withColumn("quota",
+        greatest(lit(1L),
+          floor(lit(TempSampleN) * sqrt(col("cnt").cast("double")) / col("wsum"))))
+      .select(col("lang"), col("quota"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), "lang")
+      .where(col("rk") <= col("quota"))
+      .select(col("lang"), col("quota"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val q260Oracle: String =
+    s"""WITH cnts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+       |wsum AS (SELECT list_reduce([CAST(0 AS DOUBLE)] ||
+       |    list(sqrt(CAST(cnt AS DOUBLE)) ORDER BY lang), (acc, v) -> acc + v) AS wsum
+       |  FROM cnts),
+       |quotas AS (SELECT lang,
+       |    greatest(CAST(1 AS BIGINT),
+       |      CAST(floor($TempSampleN * sqrt(CAST(cnt AS DOUBLE)) / wsum) AS BIGINT)) AS quota
+       |  FROM cnts, wsum),
+       |ranked AS (SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |SELECT lang, quota, rk, doc_id
+       |FROM ranked JOIN quotas USING (lang)
+       |WHERE rk <= quota ORDER BY lang, rk""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q260_temperature_sample", q260TemperatureSample, q260Oracle),
     GraftQuery.sql("q226_term_scrub", q226TermScrub, q226Oracle),
     GraftQuery.sql("q208_corpus_rebalance", q208CorpusRebalance, q208Oracle),
     GraftQuery.sql("q211_stratified_kfold", q211StratifiedKfold, q211Oracle),

@@ -239,7 +239,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
     */
   private class VersionedStagingTable(readDelegate: ParquetTable,
       writeDelegate: ParquetTable, dir: File)
-      extends Table with SupportsRead with SupportsWrite {
+      extends Table with SupportsRead with SupportsWrite
+      with org.apache.spark.sql.connector.catalog.SupportsDelete {
     override def name(): String = readDelegate.name
     override def schema(): StructType = readDelegate.schema
     override def capabilities(): util.Set[TableCapability] = readDelegate.capabilities()
@@ -247,6 +248,21 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
     override def properties(): util.Map[String, String] = readDelegate.properties()
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       readDelegate.newScanBuilder(options)
+
+    // `DELETE FROM <catalog table> WHERE <pred>` — copy-on-write row-level
+    // delete, the lakehouse shape: the CURRENT file set is rewritten
+    // without the matching rows and committed as a NEW version
+    // (kind=delete); the original files stay on disk, so every earlier
+    // `VERSION AS OF` still reads the pre-delete table until VACUUM
+    // reclaims it. Object-store reality: files are immutable, deletion is
+    // replacement — the same rule OPTIMIZE already follows for layout.
+    // Only predicates expressible as V1 source filters are accepted
+    // (canDeleteWhere); Spark raises a clear error otherwise.
+    override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+      filters.forall(f => GraftStagingCatalog.filterToColumn(f).isDefined)
+
+    override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+      GraftStagingCatalog.deleteWhere(dir, filters)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       val inner = writeDelegate.newWriteBuilder(info)
       // Exactly-once streaming appends: a writer may tag the commit with
@@ -454,12 +470,77 @@ object GraftStagingCatalog {
       writeManifest(d, cur ++ dataFiles(d).filterNot(before), batchId)
     }
 
-  /** Maintenance commit (OPTIMIZE): the new version is EXACTLY `files`,
-    * marked kind=optimize so file-diff consumers (the change feed) know the
-    * file sets on either side are not row-comparable.
+  /** Maintenance commit (OPTIMIZE / DELETE): the new version is EXACTLY
+    * `files`, marked with a non-commit kind so file-diff consumers (the
+    * change feed) know the file sets on either side are not append-
+    * comparable.
     */
-  private[catalog] def writeExplicitManifest(d: File, files: Seq[String]): Long =
-    synchronized { writeManifest(d, files, kind = "optimize") }
+  private[catalog] def writeExplicitManifest(d: File, files: Seq[String],
+      kind: String = "optimize"): Long =
+    synchronized { writeManifest(d, files, kind = kind) }
+
+  /** Translate a V1 source filter to a Column predicate; None = can't push
+    * this delete (Spark then raises its standard unsupported-delete error).
+    */
+  private[catalog] def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case And(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r)  => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c)    => filterToColumn(c).map(not)
+      case AlwaysTrue()  => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  /** Copy-on-write DELETE: rewrite the current file set without the rows
+    * matching `filters` (conjunction; empty = delete everything, the
+    * TRUNCATE face) and commit the rewrite as a new kind=delete version.
+    * Same temp-write + move-then-manifest choreography as OPTIMIZE — a
+    * crash mid-move leaves unreferenced files, never a torn version.
+    */
+  private[catalog] def deleteWhere(d: File,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val spark = SparkSession.active
+    val pred = filters.flatMap(filterToColumn(_)).reduceOption(_ && _).getOrElse(lit(true))
+    val current = versionManifests(d).lastOption
+      .map { case (_, mf) => manifestFiles(mf) }.getOrElse(dataFiles(d))
+    val kept: Seq[String] =
+      if (current.isEmpty) Seq.empty
+      else {
+        val reader = spark.read
+        declaredSchema(d).foreach(reader.schema)
+        val remaining = reader
+          .parquet(current.map(f => new File(d, f).getAbsolutePath): _*)
+          .where(!pred)
+        val tmp = new File(d, s"_delete_${System.nanoTime()}")
+        remaining.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val moved = Option(tmp.listFiles()).getOrElse(Array.empty).toIndexedSeq
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map { f =>
+            val target = new File(d, s"del-${tmp.getName.stripPrefix("_delete_")}-${f.getName}")
+            if (!f.renameTo(target))
+              throw new IllegalStateException(s"delete: move $f -> $target failed")
+            target.getName
+          }
+        Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        tmp.delete()
+        moved
+      }
+    writeExplicitManifest(d, kept, kind = "delete")
+  }
 
   private[catalog] def manifestKind(mf: File): String = {
     val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
@@ -564,10 +645,11 @@ object StagingMaintenance {
       throw new IllegalArgumentException(
         s"$catalog.$ns.$table has no version $v (vacuumed or never committed)"))
     ((fromVersion + 1) to toVersion).foreach { v =>
-      if (manifestKind(mf(v)) == "optimize")
+      val kind = manifestKind(mf(v))
+      if (kind != "commit")
         throw new IllegalArgumentException(
-          s"change feed crosses OPTIMIZE at version $v: file sets are not " +
-            "row-comparable across a compaction — read the versions directly")
+          s"change feed crosses ${kind.toUpperCase} at version $v: file sets " +
+            "are not append-comparable across a rewrite — read the versions directly")
     }
     val fromFiles =
       if (fromVersion == 0L) Set.empty[String] else manifestFiles(mf(fromVersion)).toSet

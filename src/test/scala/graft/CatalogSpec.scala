@@ -373,6 +373,47 @@ class CatalogSpec extends SparkSpec {
       .collect()(0).toSeq === Seq(3000L, 0L, 2999L))
   }
 
+  test("DELETE FROM: copy-on-write rewrite, pre-delete snapshot intact, unsupported predicates refused") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.del")
+    spark.sql("CREATE TABLE stage_t.ws.del AS SELECT id AS k FROM range(0, 1000)") // v1
+    spark.sql("DELETE FROM stage_t.ws.del WHERE k >= 500 AND k < 600")             // v2
+    assert(spark.table("stage_t.ws.del").count() === 900)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.del WHERE k BETWEEN 500 AND 599")
+      .collect()(0).getLong(0) === 0)
+    // time travel: the pre-delete version still reads all 1000 rows
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.del VERSION AS OF 1")
+      .collect()(0).getLong(0) === 1000)
+    // IN-list deletes work; deletes compose
+    spark.sql("DELETE FROM stage_t.ws.del WHERE k IN (0, 1, 2)") // v3
+    assert(spark.table("stage_t.ws.del").count() === 897)
+    // a predicate with no source-filter translation is refused, not ignored
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM stage_t.ws.del WHERE k % 2 = 0")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    assert(spark.table("stage_t.ws.del").count() === 897) // untouched
+    // the change feed refuses to cross the delete rewrite
+    spark.sql("INSERT INTO stage_t.ws.del VALUES (5000)") // v4
+    val e2 = intercept[IllegalArgumentException] {
+      StagingMaintenance.changesBetween(spark, "stage_t", "ws", "del", 1L, 4L).collect()
+    }
+    assert(e2.getMessage.contains("DELETE"), e2.getMessage)
+    // post-delete deltas still work
+    assert(StagingMaintenance.changesBetween(spark, "stage_t", "ws", "del", 3L, 4L)
+      .collect().map(_.getLong(0)).toSet === Set(5000L))
+    // VACUUM reclaims the pre-delete files once their versions drop
+    val dead = StagingMaintenance.vacuum(spark, "stage_t", "ws", "del", retainLast = 1)
+    assert(dead.nonEmpty)
+    assert(spark.table("stage_t.ws.del").count() === 898)
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM stage_t.ws.del VERSION AS OF 1").collect()
+    }
+    assert(e3.getMessage.contains("version"), e3.getMessage)
+  }
+
   test("unknown namespace and table fail with the standard analysis errors") {
     mount()
     val e = intercept[Exception] { spark.sql("SHOW TABLES IN graft_cat.`nope`").collect() }
