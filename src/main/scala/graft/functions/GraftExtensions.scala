@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("token_count"),
       new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
       (args: Seq[Expression]) => TokenCount(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ahash_bands"),
+      new ExpressionInfo(classOf[AHashBands].getName, "ahash_bands"),
+      (args: Seq[Expression]) => AHashBands(args.head)))
     // Engine rewrite: size(split(s, ' ')) → token_count(s) (see RewriteTokenCount)
     ext.injectOptimizerRule(_ => RewriteTokenCount)
     // Whole-operator extension: per-key top-k via bounded heaps (no sort) —

@@ -168,9 +168,128 @@ object Multimodal {
       |  FROM (SELECT doc_id, text, strlen(text) AS byte_len FROM documents))
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q262
+
+  /** Band-value document-frequency cap for the q262 candidate join. At the
+    * verified scale (sf0.01, max band df 73) the cap is provably a no-op
+    * against the unguarded oracle (the q239-vs-q33 methodology); on a
+    * low-contrast corpus at scale it bounds the join at Σ min(df,cap)².
+    */
+  private[operators] val PhashBandCap = 130
+
+  /** Perceptual-hash (average-hash) near-duplicate detection over binary
+    * media payloads — the image-dedup member of the screen family (text
+    * simhash = q35/q92): the payload's first 64 bytes are the 8×8 grayscale
+    * "tile" (a real pipeline decodes + downsamples here; the byte tile is
+    * this container's deterministic decode stub, q44's contract), aHash
+    * bit_i = byte_i > tile mean, and near-dups are found by banding the
+    * 64-bit hash into 4×16-bit keys — equal-band equi-join, then exact
+    * Hamming ≤ 2 over candidates. The corpus is originals ∪ "re-encoded"
+    * copies (bytes 3/50 swapped — tile SUM unchanged, so at most 2 bits
+    * differ): every copy must land within Hamming 2 of its original, and
+    * with ≤2 flipped bits at least 2 of 4 bands stay identical — recall is
+    * structural, not probabilistic.
+    *
+    * Scale shape: hashing is one map-only pass (integer folds, no floats);
+    * candidates come from the band equi-join with a df-cap guard (flat
+    * low-contrast tiles make some band values viral — the same
+    * degrade-don't-die rule as q239/q245: a capped pair is missed only if
+    * EVERY shared band is viral); Hamming is 8 integer ops per candidate.
+    *
+    * Determinism: all-integer arithmetic end to end — byte values, bit
+    * shifts, XOR popcounts — no floats anywhere in the hash or the score.
+    */
+  def q262PhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .where(col("n_chars") >= 64 && col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+    // Hashing is ONE compiled pass per tile (graft.functions.AHashBands —
+    // the codegen kernel; an HOF-fold formulation costs ~128 interpreted
+    // lambda evaluations per row and dominated the whole query). The copy's
+    // tile is the original with bytes 3 and 50 swapped, built by string
+    // concat (sum-preserving, so ≤2 hash bits differ).
+    val hashed = base
+      .select(col("doc_id"), expr("substring(text, 1, 64)").as("tile"))
+      .select(explode(expr(
+        "array(struct(doc_id AS doc_id, ahash_bands(tile) AS hs), " +
+          "struct(doc_id + 1000000L AS doc_id, ahash_bands(concat(" +
+          "substring(tile, 1, 2), substring(tile, 50, 1), substring(tile, 4, 46), " +
+          "substring(tile, 3, 1), substring(tile, 51, 14))) AS hs))")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.hs").as("hs"))
+      .localCheckpoint() // one hashing pass for the band explode + both join-backs
+    // band postings stay SLIM (ids + band key only): the pair join and its
+    // distinct shuffle 2 longs per row, and the 4-element hash arrays join
+    // back only onto the surviving deduped pairs
+    val bands = hashed
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("band_idx", "band_val")))
+      .withColumn("bdf", count(lit(1))
+        .over(Window.partitionBy(col("band_idx"), col("band_val"))))
+      .where(col("bdf") <= PhashBandCap)
+      .select(col("doc_id"), col("band_idx"), col("band_val"))
+      .localCheckpoint() // feeds both sides of the self-join once
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(hashed.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hashed.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("hamming", expr( // 4 flat popcounts — no per-pair lambdas
+        "CAST(bit_count(hs_a[0] ^ hs_b[0]) + bit_count(hs_a[1] ^ hs_b[1]) + " +
+          "bit_count(hs_a[2] ^ hs_b[2]) + bit_count(hs_a[3] ^ hs_b[3]) AS BIGINT)"))
+      .where(col("hamming") <= 2)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
+  val q262Oracle: String =
+    """WITH base AS (SELECT doc_id, text FROM documents
+      |              WHERE n_chars >= 64 AND doc_id % 2 = 0),
+      |corpus AS (
+      |  SELECT doc_id, text, FALSE AS is_copy FROM base
+      |  UNION ALL SELECT doc_id + 1000000, text, TRUE FROM base),
+      |tile AS (
+      |  SELECT doc_id, is_copy, text,
+      |    list_reduce([CAST(0 AS BIGINT)] ||
+      |      [CAST(ascii(substring(text, CASE WHEN NOT is_copy THEN i
+      |           WHEN i = 3 THEN 50 WHEN i = 50 THEN 3 ELSE i END, 1)) AS BIGINT)
+      |       for i in range(1, 65)], (acc, v) -> acc + v) AS tsum
+      |  FROM corpus),
+      |hashed AS (
+      |  SELECT doc_id,
+      |    [list_reduce([CAST(0 AS BIGINT)] ||
+      |       [CASE WHEN CAST(ascii(substring(text, CASE WHEN NOT is_copy THEN b*16+j+1
+      |              WHEN b*16+j+1 = 3 THEN 50 WHEN b*16+j+1 = 50 THEN 3
+      |              ELSE b*16+j+1 END, 1)) AS BIGINT) * 64 > tsum
+      |             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+      |        for j in range(0, 16)], (acc, v) -> acc + v)
+      |     for b in range(0, 4)] AS hs
+      |  FROM tile),
+      |bands AS (SELECT doc_id, hs, b AS band_idx, hs[b + 1] AS band_val
+      |          FROM (SELECT doc_id, hs, unnest(range(0, 4)) AS b FROM hashed)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.hs AS hs_a, b.hs AS hs_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |    AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT doc_a, doc_b,
+      |    list_reduce([CAST(0 AS BIGINT)] ||
+      |      [CAST(bit_count(xor(hs_a[i], hs_b[i])) AS BIGINT) for i in range(1, 5)],
+      |      (acc, v) -> acc + v) AS hamming
+      |  FROM cand)
+      |WHERE hamming <= 2
+      |ORDER BY doc_a, doc_b LIMIT 100""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q43_multimodal_join", q43MultimodalJoin, q43Oracle),
     GraftQuery.sql("q44_binary_pipeline", q44BinaryPipeline, q44Oracle),
-    GraftQuery.sql("q74_frame_sample", q74FrameSample, q74Oracle)
+    GraftQuery.sql("q74_frame_sample", q74FrameSample, q74Oracle),
+    GraftQuery.sql("q262_phash_neardup", q262PhashNeardup, q262Oracle)
   )
 }

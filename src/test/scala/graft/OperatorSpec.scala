@@ -71,6 +71,37 @@ class OperatorSpec extends SparkSpec {
     assert(both.count() === 0)
   }
 
+  test("ahash_bands kernel: band semantics, swap invariance bound, codegen/eval agreement") {
+    // hand-computable tile: 63 'a' (97) + one 'z' (122); sum = 63*97 + 122
+    // = 6233; bit set iff byte*64 > 6233 -> only 'z' (122*64 = 7808) in the
+    // LAST position -> band 3, bit 15
+    val hs = spark.sql("SELECT ahash_bands(concat(repeat('a', 63), 'z')) AS hs")
+      .collect()(0).getSeq[Long](0)
+    assert(hs === Seq(0L, 0L, 0L, 1L << 15), hs)
+    // a 3<->50 byte swap preserves the sum, so at most 2 bits (here: exactly
+    // the two swapped positions' outcomes when they differ) change — the
+    // structural recall bound q262's banding relies on
+    val both = spark.sql(
+      """SELECT ahash_bands(t) AS h1, ahash_bands(concat(
+        |  substring(t, 1, 2), substring(t, 50, 1), substring(t, 4, 46),
+        |  substring(t, 3, 1), substring(t, 51, 14))) AS h2
+        |FROM (SELECT concat(repeat('a', 2), 'z', repeat('b', 60), 'q') AS t)""".stripMargin)
+      .collect()(0)
+    val (h1, h2) = (both.getSeq[Long](0), both.getSeq[Long](1))
+    val hamming = h1.zip(h2).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(hamming <= 2, s"$h1 vs $h2")
+    assert(h1.zip(h2).count { case (x, y) => x == y } >= 2, "at least 2 of 4 bands identical")
+    // interpreted eval matches the codegen'd path
+    val expr = graft.functions.AHashBands(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a" * 63 + "z")))
+    assert(expr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq === Seq(0L, 0L, 0L, 1L << 15))
+    // short tiles (< 64 bytes) hash over what's there
+    val short = spark.sql("SELECT ahash_bands('az') AS hs").collect()(0).getSeq[Long](0)
+    assert(short === Seq(3L, 0L, 0L, 0L), short) // sum=219; both bytes*64 exceed it
+  }
+
   test("BPE merge rewrite: double-delimiter replace is greedy-left and feeds merged symbols forward") {
     // The q259 representation: '||'-delimited symbols make a merge a plain
     // replace. The overlap case is the hazard: '|a||a|' on 'a a a' must
