@@ -611,6 +611,59 @@ object Connectors {
        |WHERE o_orderkey % 7 = 0 AND NOT (o_orderkey BETWEEN 100 AND 700)
        |GROUP BY o_orderstatus ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q263
+
+  /** Footer-answered aggregates: with parquet aggregate pushdown enabled,
+    * `count(*) / min / max` over a staging-catalog table compile to a scan
+    * that reads ONLY file footers — `PushedAggregation` in the plan, no row
+    * data touched (PlanSpec asserts it). This is the purest expression of
+    * the reference's metadata-operation surface (`getFileStatus`/`listStatus`
+    * answering without reading objects, CephRgwFileSystem.java:374-439):
+    * the parquet footer plays the role of the object-store stat, and a
+    * 100 TB `count(*)` costs one metadata read per file instead of a
+    * table scan. The conf is save/restored (the try/finally hermeticity
+    * rule); the oracle recomputes from `orders` — proving footer-served
+    * answers equal row-scan answers.
+    */
+  def q263FooterAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_fa_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_fa")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_fa AS
+        |SELECT o_orderkey, o_custkey FROM orders_fa_src
+        |WHERE o_orderkey % 5 = 0""".stripMargin)
+    val prev = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      // collect NOW so the footer-only plan executes under the conf
+      val rows = spark.sql(
+        """SELECT count(*) AS n, min(o_orderkey) AS min_key,
+          |  max(o_orderkey) AS max_key, max(o_custkey) AS max_cust
+          |FROM graft_stage.work.orders_fa""".stripMargin).collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("min_key", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("max_key", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("max_cust", org.apache.spark.sql.types.LongType))))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
+        case None    => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
+    }
+  }
+
+  val q263Oracle: String =
+    """SELECT count(*) AS n, min(o_orderkey) AS min_key,
+      |  max(o_orderkey) AS max_key, max(o_custkey) AS max_cust
+      |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
@@ -624,5 +677,6 @@ object Connectors {
     GraftQuery.sql("q253_zonemap_scan", q253ZoneMapScan, q253Oracle),
     GraftQuery.sql("q256_incremental_mv", q256IncrementalMv, q256Oracle),
     GraftQuery.sql("q257_clustered_layout", q257ClusteredLayout, q257Oracle),
-    GraftQuery.sql("q261_sql_delete", q261SqlDelete, q261Oracle))
+    GraftQuery.sql("q261_sql_delete", q261SqlDelete, q261Oracle),
+    GraftQuery.sql("q263_footer_agg", q263FooterAgg, q263Oracle))
 }

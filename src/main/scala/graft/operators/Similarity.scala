@@ -523,19 +523,8 @@ object Similarity {
     */
   def q258PqAdc(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val seeds = broadcast(emb.where(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("cent")))
-    val sub = emb.crossJoin(seeds)
-      .select(col("vec_id"), col("cid"), explode(expr(
-        "transform(sequence(0, 7), m -> struct(m AS m, " +
-          "aggregate(zip_with(slice(embedding, m * 8 + 1, 8), slice(cent, m * 8 + 1, 8), " +
-          "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
-          "CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d2))")).as("s"))
-      .select(col("vec_id"), col("cid"), col("s.m").as("m"), col("s.d2").as("d2"))
-    val w = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("cid"))
-    val codes = sub.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    val sub = pqSubDists(emb)
+    val codes = pqCodes(sub)
     val dtab = broadcast(sub.where(col("vec_id") === 7)
       .select(col("m").as("qm"), col("cid").as("qcid"), col("d2").as("qd2")))
     codes.join(dtab, col("m") === col("qm") && col("code") === col("qcid"))
@@ -549,8 +538,38 @@ object Similarity {
       .select(col("vec_id"), col("n_sub"), col("adc"))
   }
 
-  val q258Oracle: String =
-    """WITH seeds AS (
+  /** Per-(vector, subspace, codebook-centroid) squared distance — the PQ
+    * building block shared by the flat ADC probe (q258) and the IVF-PQ
+    * composition (q264). Codebook = subvectors of the 16 seed embeddings,
+    * broadcast; distances are sequential left folds in slice order.
+    */
+  private[graft] def pqSubDists(emb: DataFrame): DataFrame = {
+    val seeds = broadcast(emb.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cent")))
+    emb.crossJoin(seeds)
+      .select(col("vec_id"), col("cid"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m AS m, " +
+          "aggregate(zip_with(slice(embedding, m * 8 + 1, 8), slice(cent, m * 8 + 1, 8), " +
+          "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d2))")).as("s"))
+      .select(col("vec_id"), col("cid"), col("s.m").as("m"), col("s.d2").as("d2"))
+  }
+
+  /** PQ encoding: nearest codebook centroid per (vector, subspace) — a
+    * (vec, m)-partitioned argmin window over [[pqSubDists]].
+    */
+  private[graft] def pqCodes(sub: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("cid"))
+    sub.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+  }
+
+  /** DuckDB twin of [[pqSubDists]]+[[pqCodes]] — `sub` and `codes` CTEs
+    * shared by the q258 and q264 oracles.
+    */
+  private val pqCtes: String =
+    """seeds AS (
       |  SELECT vec_id AS cid, embedding AS cent FROM embeddings WHERE vec_id < 16),
       |sub0 AS (
       |  SELECT e.vec_id, s.cid, e.embedding AS emb, s.cent AS cent,
@@ -568,17 +587,85 @@ object Similarity {
       |  SELECT vec_id, m, cid AS code FROM (
       |    SELECT vec_id, m, cid,
       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
-      |    FROM sub) WHERE rn = 1),
-      |dtab AS (SELECT m AS qm, cid AS qcid, d2 AS qd2 FROM sub WHERE vec_id = 7)
-      |SELECT vec_id, count(*) AS n_sub,
-      |  list_reduce([CAST(0 AS DOUBLE)] || list(qd2 ORDER BY m), (acc, v) -> acc + v) AS adc
-      |FROM codes JOIN dtab ON m = qm AND code = qcid
-      |WHERE vec_id <> 7
-      |GROUP BY vec_id
-      |ORDER BY adc, vec_id LIMIT 20""".stripMargin
+      |    FROM sub) WHERE rn = 1)""".stripMargin
+
+  val q258Oracle: String =
+    s"""WITH $pqCtes,
+       |dtab AS (SELECT m AS qm, cid AS qcid, d2 AS qd2 FROM sub WHERE vec_id = 7)
+       |SELECT vec_id, count(*) AS n_sub,
+       |  list_reduce([CAST(0 AS DOUBLE)] || list(qd2 ORDER BY m), (acc, v) -> acc + v) AS adc
+       |FROM codes JOIN dtab ON m = qm AND code = qcid
+       |WHERE vec_id <> 7
+       |GROUP BY vec_id
+       |ORDER BY adc, vec_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q264
+
+  /** IVF-PQ — the full FAISS-style serving stack assembled from its two
+    * audited halves: candidate generation by IVF cell (q67's nprobe=1
+    * equi-join — touch one cell, not the corpus) and candidate SCORING by
+    * PQ asymmetric distance (q258's broadcast distance table — 8 lookups
+    * per candidate, never the raw vectors). Per query (vec_id < 20): top-3
+    * in-cell neighbors by ADC. At 100 TB the index stores 8 small codes +
+    * a cell id per vector — the corpus's float payload is needed neither
+    * at index time (codes precompute once) nor at query time.
+    *
+    * Scale shape: cell assignment map-only (broadcast centroids), the
+    * candidate join is the cell equi-join, the per-query distance tables
+    * are a 20×128-row broadcast, and the per-(query, neighbor) ADC sum
+    * folds in subspace order (the q68 sorted-fold idiom). The exact-rerank
+    * upgrade path (re-score the ADC top-k with true distances) is q67
+    * itself; q216's recall audit methodology applies unchanged.
+    */
+  def q264IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir)
+    val assigned = ivfAssign(base, ivfCentroids(base))
+    val sub = pqSubDists(base.select(col("vec_id"), col("embedding")))
+      .localCheckpoint() // feeds codes AND the query distance tables
+    val codes = pqCodes(sub)
+    val queries = assigned.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("cell").as("q_cell"))
+    val dtab = broadcast(sub.where(col("vec_id") < 20)
+      .select(col("vec_id").as("dq_id"), col("m").as("qm"),
+        col("cid").as("qcid"), col("d2").as("qd2")))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(asc("adc"), asc("neighbor_id"))
+    assigned.select(col("vec_id").as("neighbor_id"), col("cell"))
+      .join(queries, col("cell") === col("q_cell") && col("neighbor_id") =!= col("q_id"))
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(dtab, col("q_id") === col("dq_id") && col("m") === col("qm") &&
+        col("code") === col("qcid"))
+      .groupBy(col("q_id"), col("cell"), col("neighbor_id"))
+      .agg(expr("aggregate(array_sort(collect_list(struct(m, qd2))), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v.qd2)").as("adc"))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 3)
+      .select(col("q_id"), col("cell"), col("neighbor_id"), col("adc"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
+  val q264Oracle: String =
+    s"""WITH $ivfAssignedCte,
+       |$pqCtes,
+       |queries AS (SELECT vec_id AS q_id, cell AS q_cell FROM assigned WHERE vec_id < 20),
+       |dtab AS (SELECT vec_id AS dq_id, m AS qm, cid AS qcid, d2 AS qd2
+       |         FROM sub WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT q_id, a.cell, a.vec_id AS neighbor_id,
+       |    list_reduce([CAST(0 AS DOUBLE)] || list(qd2 ORDER BY qm), (acc, v) -> acc + v) AS adc
+       |  FROM assigned a
+       |  JOIN queries ON a.cell = q_cell AND a.vec_id <> q_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN dtab ON dq_id = q_id AND qm = c.m AND qcid = c.code
+       |  GROUP BY q_id, a.cell, a.vec_id)
+       |SELECT q_id, cell, neighbor_id, adc FROM (
+       |  SELECT q_id, cell, neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, neighbor_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= 3 ORDER BY q_id, neighbor_id""".stripMargin
 
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q258_pq_adc", q258PqAdc, q258Oracle),
+    GraftQuery.sql("q264_ivfpq_ann", q264IvfPqAnn, q264Oracle),
     GraftQuery.sql("q40_cosine_topk", q40CosineTopk, q40Oracle),
     GraftQuery.sql("q41_embedding_neardup", q41EmbeddingNeardup, q41Oracle),
     GraftQuery.sql("q42_ann_lsh_buckets", q42AnnLshBuckets, q42Oracle),

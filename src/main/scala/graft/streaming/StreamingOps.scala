@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
   StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
@@ -120,6 +120,31 @@ object StreamingOps {
         ()
       }
       .start()
+
+  /** The READ side of the catalog's change feed as a live stream: tail a
+    * staging-catalog table's directory with the file-based streaming source,
+    * which tracks processed files in its checkpoint — each committed INSERT
+    * (or [[catalogAppendStream]] batch) lands new part files, and exactly
+    * those rows flow downstream, exactly once across restarts. This is the
+    * continuous twin of `StagingMaintenance.changesBetween` (the batch
+    * version-range read) and carries the same contract: valid while the
+    * table evolves append-only. A rewrite (OPTIMIZE / DELETE FROM) emits
+    * rewritten files as if new — run maintenance on a quiesced feed, or
+    * restart consumers from a fresh checkpoint after it, exactly as a
+    * Delta/file-stream consumer must.
+    */
+  def catalogChangeStream(spark: SparkSession, catalog: String, ns: String,
+      table: String): DataFrame = {
+    val root = spark.conf.getOption(s"spark.sql.catalog.$catalog.root")
+      .getOrElse(throw new IllegalArgumentException(
+        s"spark.sql.catalog.$catalog.root is not set"))
+    val dir = new java.io.File(new java.io.File(root, ns), table)
+    require(dir.isDirectory, s"no staging table at $dir")
+    // schema from the catalog (sidecar or footers) — a streaming source
+    // cannot infer it
+    val schema = spark.table(s"$catalog.$ns.$table").schema
+    spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+  }
 
   /** One incoming embedding on the streaming vector-ingest surface. */
   final case class StreamVec(vec_id: Long, embedding: Array[Float])

@@ -414,6 +414,26 @@ class CatalogSpec extends SparkSpec {
     assert(e3.getMessage.contains("version"), e3.getMessage)
   }
 
+  test("aggregate pushdown: count/min/max on a staging table answer from parquet footers") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.fa")
+    spark.sql("CREATE TABLE stage_t.ws.fa AS SELECT id AS k, id * 2 AS v FROM range(0, 5000)")
+    val prev = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val df = spark.sql("SELECT count(*) AS n, min(k) AS mn, max(v) AS mx FROM stage_t.ws.fa")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"), s"no footer-served aggregation:\n$plan")
+      assert(df.collect()(0).toSeq === Seq(5000L, 0L, 9998L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
+        case None    => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
+    }
+  }
+
   test("unknown namespace and table fail with the standard analysis errors") {
     mount()
     val e = intercept[Exception] { spark.sql("SHOW TABLES IN graft_cat.`nope`").collect() }
