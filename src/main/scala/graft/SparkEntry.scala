@@ -17,7 +17,7 @@ object SparkEntry {
       FsParity.all ++ TypedOps.all ++ AdvancedSql.all ++ Composite.all ++
       TpchMore.all ++ Curation.all ++ SpanOps.all ++ Timeline.all ++ VecMore.all ++
       DataOps.all ++ GraphRank.all ++ FeaturePrep.all ++ Connectors.all ++
-      Retrieval.all ++ TextHygiene.all
+      Retrieval.all ++ TextHygiene.all ++ DataQuality.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -212,4 +212,96 @@ class PropertySpec extends SparkSpec {
         s"trial $trial: ${gotRows.size} physical rows for ${expected.size} logical")
     }
   }
+
+  test("staging catalog: random INSERT/DELETE/OPTIMIZE/CLUSTER/VACUUM sequences match a model") {
+    // The lakehouse-state invariant behind q248/q250/q253/q257/q261: after
+    // ANY interleaving of appends, copy-on-write deletes, layout rewrites,
+    // and retention, (a) the current read equals the model, (b) every
+    // RETAINED version reads back exactly its snapshot, (c) vacuumed
+    // versions error, (d) commit-only change-feed ranges equal the model
+    // delta and rewrite-crossing ranges are refused.
+    import graft.sources.catalog.StagingMaintenance
+    val rng = new scala.util.Random(4242)
+    spark.conf.set("spark.sql.catalog.prop_cat",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    // one root for all trials: the session caches the initialized catalog
+    // instance, so per-trial roots would desync conf from catalog state
+    spark.conf.set("spark.sql.catalog.prop_cat.root",
+      java.nio.file.Files.createTempDirectory("graft_catprop_").toString)
+    (0 until 2).foreach { trial =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS prop_cat.ws")
+      spark.sql(s"DROP TABLE IF EXISTS prop_cat.ws.t$trial")
+      var nextKey = 0L
+      def freshRange(n: Int): (Long, Long) = { val lo = nextKey; nextKey += n; (lo, nextKey) }
+      val model = scala.collection.mutable.SortedSet.empty[Long]
+      // version -> (kind, snapshot); CTAS below is version 1
+      val versions = scala.collection.mutable.LinkedHashMap.empty[Long, (String, Set[Long])]
+      val (lo0, hi0) = freshRange(50 + rng.nextInt(100))
+      spark.sql(s"CREATE TABLE prop_cat.ws.t$trial AS SELECT id AS k FROM range($lo0, $hi0)")
+      model ++= (lo0 until hi0)
+      versions(1L) = ("commit", model.toSet)
+      var v = 1L
+      (0 until 10).foreach { _ =>
+        rng.nextInt(5) match {
+          case 0 | 1 => // append a fresh slice
+            val (lo, hi) = freshRange(20 + rng.nextInt(60))
+            spark.sql(s"INSERT INTO prop_cat.ws.t$trial SELECT id AS k FROM range($lo, $hi)")
+            model ++= (lo until hi)
+            v += 1; versions(v) = ("commit", model.toSet)
+          case 2 => // copy-on-write range delete (possibly empty)
+            val a = rng.nextLong(math.max(nextKey, 1L)); val b = a + 1 + rng.nextInt(80)
+            spark.sql(s"DELETE FROM prop_cat.ws.t$trial WHERE k >= $a AND k < $b")
+            model --= model.rangeImpl(Some(a), Some(b)).toSeq
+            v += 1; versions(v) = ("delete", model.toSet)
+          case 3 => // layout rewrite (plain or clustered)
+            val cluster = if (rng.nextBoolean()) Some("k") else None
+            StagingMaintenance.optimize(spark, "prop_cat", "ws", s"t$trial",
+              targetFiles = 1 + rng.nextInt(3), clusterBy = cluster)
+            v += 1; versions(v) = ("optimize", model.toSet)
+          case 4 => // bounded retention
+            val retain = 1 + rng.nextInt(3)
+            StagingMaintenance.vacuum(spark, "prop_cat", "ws", s"t$trial", retainLast = retain)
+            val keep = versions.keys.toSeq.takeRight(retain).toSet
+            versions.filterInPlace { case (k, _) => keep(k) }
+        }
+        // (a) current read == model
+        val cur = spark.sql(s"SELECT k FROM prop_cat.ws.t$trial").collect().map(_.getLong(0))
+        assert(cur.length === model.size && cur.toSet === model.toSet,
+          s"trial $trial v$v: current read diverged from model")
+      }
+      // (b) every retained version reads back its exact snapshot
+      versions.foreach { case (ver, (_, snap)) =>
+        val got = spark.sql(s"SELECT k FROM prop_cat.ws.t$trial VERSION AS OF $ver")
+          .collect().map(_.getLong(0))
+        assert(got.length === snap.size && got.toSet === snap,
+          s"trial $trial: VERSION AS OF $ver diverged")
+      }
+      // (c) a vacuumed (or never-minted) version errors clearly
+      val dropped = (1L to v).find(!versions.contains(_))
+      dropped.foreach { ver =>
+        val e = intercept[Exception] {
+          spark.sql(s"SELECT k FROM prop_cat.ws.t$trial VERSION AS OF $ver").collect()
+        }
+        assert(e.getMessage.contains("version"), e.getMessage)
+      }
+      // (d) change feed over adjacent retained COMMIT pairs == model delta;
+      // ranges crossing a rewrite are refused
+      val retained = versions.toSeq
+      retained.sliding(2).foreach {
+        case Seq((v1, (_, s1)), (v2, (k2, s2))) if v2 == v1 + 1 =>
+          if (k2 == "commit") {
+            val delta = StagingMaintenance
+              .changesBetween(spark, "prop_cat", "ws", s"t$trial", v1, v2)
+              .collect().map(_.getLong(0)).toSet
+            assert(delta === (s2 -- s1), s"trial $trial: feed $v1->$v2 diverged")
+          } else {
+            val e = intercept[IllegalArgumentException] {
+              StagingMaintenance.changesBetween(spark, "prop_cat", "ws", s"t$trial", v1, v2).collect()
+            }
+            assert(e.getMessage.contains(k2.toUpperCase), e.getMessage)
+          }
+        case _ => ()
+      }
+    }
+  }
 }
