@@ -358,7 +358,56 @@ object RelationalCore {
       |WHERE rn <= 3
       |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- q266
+
+  /** Banded theta join at FACT scale — the equi-join rewrite q08's scaladoc
+    * promises ("never do this on a fact table without banding keys"), now
+    * delivered: pairs of lineitem rows (same returnflag) whose prices lie
+    * within ±w of each other, found WITHOUT a nested-loop band join. Bin
+    * each price to ⌊p/w⌋; |p_a − p_b| ≤ w implies |bin_a − bin_b| ≤ 1, so
+    * exploding ONE side to its 3 adjacent bins and equi-joining on
+    * (flag, bin) is a COMPLETE candidate generator (each true pair matches
+    * exactly one exploded bin — the 3 bins are distinct), and the exact
+    * band predicate filters after. Work is Σ per-bin occupancy products —
+    * shuffle-partitioned, never n² (PlanSpec asserts no
+    * BroadcastNestedLoopJoin / CartesianProduct). The oracle mirrors the
+    * binning (DuckDB's own band join is >80× slower here), which the
+    * completeness argument makes semantically identical to the raw theta
+    * join.
+    */
+  def q266BinnedBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = 0.5
+    val li = Tables.lineitem(spark, dir).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+      col("l_returnflag").as("flag"), col("l_extendedprice").as("p"))
+    val a = li.select(col("rid").as("rid_a"), col("flag"), col("p").as("pa"),
+      floor(col("p") / w).as("bin"))
+    val bx = li.select(col("rid").as("rid_b"), col("flag"), col("p").as("pb"),
+        floor(col("p") / w).as("bin0"))
+      .select(col("rid_b"), col("flag"), col("pb"),
+        explode(array(col("bin0") - 1, col("bin0"), col("bin0") + 1)).as("bin"))
+    a.join(bx, Seq("flag", "bin"))
+      .where(col("rid_a") < col("rid_b") && abs(col("pa") - col("pb")) <= w)
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_pairs"), Det.dsum(col("pa") + col("pb")).as("sum_pp"))
+      .orderBy(col("flag"))
+  }
+
+  val q266Oracle: String =
+    s"""WITH li AS (SELECT l_orderkey*10 + l_linenumber AS rid, l_returnflag AS flag,
+       |                   l_extendedprice AS p FROM lineitem),
+       |a AS (SELECT rid AS rid_a, flag, p AS pa, CAST(floor(p / 0.5) AS BIGINT) AS bin FROM li),
+       |bx AS (SELECT rid AS rid_b, flag, p AS pb,
+       |         unnest([CAST(floor(p / 0.5) AS BIGINT) - 1,
+       |                 CAST(floor(p / 0.5) AS BIGINT),
+       |                 CAST(floor(p / 0.5) AS BIGINT) + 1]) AS bin FROM li)
+       |SELECT flag, count(*) AS n_pairs, ${Det.dsumSql("pa + pb")} AS sum_pp
+       |FROM a JOIN bx USING (flag, bin)
+       |WHERE rid_a < rid_b AND abs(pa - pb) <= 0.5
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q266_binned_band_join", q266BinnedBandJoin, q266Oracle),
     GraftQuery.sql("q01_pricing_summary", q01PricingSummary, q01Oracle),
     GraftQuery.sql("q02_filter_pushdown", q02FilterPushdown, q02Oracle),
     GraftQuery.sql("q03_broadcast_join_star", q03BroadcastJoinStar, q03Oracle),
