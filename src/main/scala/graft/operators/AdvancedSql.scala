@@ -693,7 +693,76 @@ object AdvancedSql {
        |   FROM lineitem WHERE l_quantity >= cutoff) AS rev_above
        |FROM sel""".stripMargin
 
+  // ---------------------------------------------------------------- q267
+
+  /** Spark 4 datasketches frequent-items surface, driven through its full
+    * DISTRIBUTED protocol: per-language partial sketches
+    * (`approx_top_k_accumulate`), a combine stage (`approx_top_k_combine`),
+    * and a final estimate — the shape a 1000-executor heavy-hitters job
+    * actually runs (tiny mergeable partials, no re-scan), vs calling
+    * `approx_top_k` once. The sketch is EXACT whenever distinct items fit
+    * its tracking budget (vocab ≈45 ≪ 1024 here), so the oracle is the
+    * exact count ranking; the result re-sorts by (count DESC, token) since
+    * the sketch's own tie order within the top-k is unspecified, and k = 9
+    * sits on a strict count gap at the verified scales (k = 10 would tie
+    * across the boundary).
+    */
+  def q267ApproxTopK(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    toks.groupBy(col("lang"))
+      .agg(expr("approx_top_k_accumulate(tok, 1024)").as("st"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(st), 9)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("tok"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  val q267Oracle: String =
+    """SELECT tok, count(*) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 9""".stripMargin
+
+  // ---------------------------------------------------------------- q268
+
+  /** Theta-sketch set algebra (Spark 4 datasketches): distinct-supplier
+    * SETS — not just counts — combined with union, intersection, and
+    * difference entirely in sketch space. Two filtered sketches build in
+    * ONE scan (conditional agg inputs); the set operators then run on the
+    * tiny sketch blobs — the mergeable-summary pattern that answers
+    * "how many suppliers serve both light and heavy lines?" at 100 TB
+    * without a self-join. Exact while distinct keys fit the sketch's
+    * nominal entries (suppliers ≤1000 ≪ 4096 across all tested scales), so
+    * the oracle is exact set arithmetic.
+    */
+  def q268ThetaSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        expr("theta_sketch_agg(CASE WHEN l_quantity <= 25 THEN l_suppkey END)").as("sa"),
+        expr("theta_sketch_agg(CASE WHEN l_quantity > 25 THEN l_suppkey END)").as("sb"))
+      .select(
+        expr("CAST(theta_sketch_estimate(sa) AS BIGINT)").as("n_light"),
+        expr("CAST(theta_sketch_estimate(sb) AS BIGINT)").as("n_heavy"),
+        expr("CAST(theta_sketch_estimate(theta_union(sa, sb)) AS BIGINT)").as("n_union"),
+        expr("CAST(theta_sketch_estimate(theta_intersection(sa, sb)) AS BIGINT)").as("n_both"),
+        expr("CAST(theta_sketch_estimate(theta_difference(sa, sb)) AS BIGINT)").as("n_light_only"))
+
+  val q268Oracle: String =
+    """SELECT
+      |  count(DISTINCT CASE WHEN l_quantity <= 25 THEN l_suppkey END) AS n_light,
+      |  count(DISTINCT CASE WHEN l_quantity > 25 THEN l_suppkey END) AS n_heavy,
+      |  count(DISTINCT l_suppkey) AS n_union,
+      |  CAST(count(DISTINCT CASE WHEN l_quantity <= 25 THEN l_suppkey END)
+      |    + count(DISTINCT CASE WHEN l_quantity > 25 THEN l_suppkey END)
+      |    - count(DISTINCT l_suppkey) AS BIGINT) AS n_both,
+      |  CAST(count(DISTINCT l_suppkey)
+      |    - count(DISTINCT CASE WHEN l_quantity > 25 THEN l_suppkey END) AS BIGINT)
+      |    AS n_light_only
+      |FROM lineitem""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q267_approx_topk", q267ApproxTopK, q267Oracle),
+    GraftQuery.sql("q268_theta_sets", q268ThetaSets, q268Oracle),
     GraftQuery.sql("q51_stats_moments", q51StatsMoments, q51Oracle),
     GraftQuery.sql("q52_percentiles", q52Percentiles, q52Oracle),
     GraftQuery.sql("q53_scalar_subquery", q53ScalarSubquery, q53Oracle),

@@ -108,6 +108,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KLL sketch quantiles honor the rank-error bound under ANY partitioning (merge contract)") {
+    // Spark 4's datasketches KLL is RANDOMIZED (compaction offsets), so —
+    // unlike approx_percentile — even its value cannot be oracle-matched or
+    // hash-pinned; the shippable contract is the rank-error bound under
+    // arbitrary partial-sketch merge orders, same as the percentile test
+    // above. Default k=200 ⇒ single-sided normalized rank error ≈1.65%;
+    // assert a conservative 3%.
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice").as("v"))
+    val n = li.count()
+    val sorted = li.orderBy(col("v")).collect().map(_.getDouble(0))
+    for (parts <- Seq(1, 4, 32); q <- Seq(0.1, 0.5, 0.9)) {
+      val approx = li.repartition(parts)
+        .selectExpr(s"kll_sketch_get_quantile_double(kll_sketch_agg_double(v), $q) AS a")
+        .head.getDouble(0)
+      val rank = sorted.count(_ <= approx).toDouble
+      val err = math.abs(rank / n - q)
+      assert(err <= 0.03 + 1.0 / n, f"parts=$parts q=$q: approx=$approx rank-err=$err%.4f")
+    }
+    // and the merge face: per-group partials merged with kll_merge_agg_double
+    val merged = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("kll_sketch_agg_double(l_extendedprice)").as("sk"))
+      .selectExpr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5) AS a")
+      .head.getDouble(0)
+    val rank = sorted.count(_ <= merged).toDouble
+    assert(math.abs(rank / n - 0.5) <= 0.03 + 1.0 / n, s"merged median $merged")
+  }
+
   test("as-of window rewrite matches a brute-force reference on adversarial streams") {
     // Equal-timestamp ties (click@ts vs purchase@ts counts; among equal-ts
     // clicks the max id wins) and clickless purchases — the cases the
