@@ -760,7 +760,37 @@ object AdvancedSql {
       |    AS n_light_only
       |FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------- q269
+
+  /** Spark 4 dynamic SQL: `EXECUTE IMMEDIATE` runs a statement held in a
+    * string with `USING` parameter binding, and `IDENTIFIER(:param)` turns a
+    * bound VALUE into a table identifier safely (no string splicing — the
+    * injection-proof way a metadata-driven pipeline dispatches one audited
+    * query template across many tables). The template aggregates whichever
+    * table the parameter names; the oracle runs the resolved query
+    * directly, so the hash match proves the dynamic path binds and
+    * resolves exactly.
+    */
+  def q269ExecuteImmediate(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_ei_src")
+    spark.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT o_orderstatus AS status, count(*) AS n,
+        |     min(o_orderkey) AS min_key,
+        |     CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |   FROM IDENTIFIER(:tbl) WHERE o_orderkey % :m = 0
+        |   GROUP BY o_orderstatus ORDER BY status'
+        |  USING 'orders_ei_src' AS tbl, 4 AS m""".stripMargin)
+  }
+
+  val q269Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n, min(o_orderkey) AS min_key,
+       |  ${Det.dsumSql("o_totalprice")} AS total
+       |FROM orders WHERE o_orderkey % 4 = 0
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q269_execute_immediate", q269ExecuteImmediate, q269Oracle),
     GraftQuery.sql("q267_approx_topk", q267ApproxTopK, q267Oracle),
     GraftQuery.sql("q268_theta_sets", q268ThetaSets, q268Oracle),
     GraftQuery.sql("q51_stats_moments", q51StatsMoments, q51Oracle),

@@ -261,9 +261,77 @@ object GraphRank {
       |    (sqrt(CAST(m*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(m*syy - sy*sy AS DOUBLE))) AS r
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- q270
+
+  /** Label-propagation community detection (synchronous, 3 rounds) over the
+    * part↔supplier graph — the modularity-free community algorithm corpus
+    * pipelines use to group related entities (co-purchase clusters, domain
+    * communities). Init: every node labels itself; each round, a node
+    * adopts the MOST FREQUENT label among its neighbors (ties → smallest
+    * label) — mode-based, so unlike min-propagation it does NOT collapse to
+    * connected components (q77/q136 cover that) and dense regions keep
+    * distinct labels.
+    *
+    * Determinism: synchronous updates, integer labels, and a total
+    * (count DESC, label) order in the per-node argmax — bit-free arithmetic
+    * throughout. Scale shape: identical to PageRank's — each round is one
+    * shuffled hash join of the O(nodes) label table against the cached
+    * edge list (hinted: a label table can no more broadcast at web scale
+    * than a rank table) plus the mode aggregation; fixed 3 rounds keep the
+    * lineage shallow.
+    */
+  def q270LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.select((col("p") * 2).as("u"), (col("s") * 2 + 1).as("v"))
+      .union(pairs.select((col("s") * 2 + 1).as("u"), (col("p") * 2).as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize once; three rounds re-read the cache
+    var labels = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val wMode = Window.partitionBy(col("node")).orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to 3) {
+      labels = edges
+        .join(labels.hint("shuffle_hash").withColumnRenamed("node", "v"), Seq("v"))
+        .groupBy(col("u").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wMode))
+        .where(col("rn") === 1)
+        .select(col("node"), col("label"))
+        // persist + count, not localCheckpoint: same one-computation
+        // guarantee per round without the eager block-store copy (the q161
+        // cost lesson); the label table is O(nodes) — small — and the next
+        // round's plan substitutes the cached result
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      labels.count()
+    }
+    labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("label"))
+      .limit(20)
+  }
+
+  val q270Oracle: String = {
+    def round(k: Int): String =
+      s"""r$k AS (SELECT e.u AS node, l.label, count(*) AS c
+         |        FROM edges e JOIN l${k - 1} l ON l.node = e.v GROUP BY 1, 2),
+         |l$k AS (SELECT node, label FROM (
+         |          SELECT node, label,
+         |            row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         |          FROM r$k) WHERE rn = 1)""".stripMargin
+    s"""WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |edges AS (SELECT p*2 AS u, s*2+1 AS v FROM pairs
+       |          UNION ALL SELECT s*2+1, p*2 FROM pairs),
+       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT label, count(*) AS n_members FROM l3
+       |GROUP BY label ORDER BY n_members DESC, label LIMIT 20""".stripMargin
+  }
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q143_fixed_point_pagerank", q143FixedPointPagerank, q143Oracle),
     GraftQuery.sql("q161_bfs_hops", q161BfsHops, q161Oracle),
-    GraftQuery.sql("q207_assortativity", q207Assortativity, q207Oracle)
+    GraftQuery.sql("q207_assortativity", q207Assortativity, q207Oracle),
+    GraftQuery.sql("q270_label_propagation", q270LabelPropagation, q270Oracle)
   )
 }

@@ -345,7 +345,8 @@ class PlanSpec extends SparkSpec {
     // set — at web scale they exceed any broadcast limit, so the iteration
     // joins must be shuffle joins (co-partitioned on the node key), with no
     // BroadcastExchange anywhere in either plan.
-    for (name <- Seq("q143_fixed_point_pagerank", "q161_bfs_hops")) {
+    for (name <- Seq("q143_fixed_point_pagerank", "q161_bfs_hops",
+        "q270_label_propagation")) {
       val p = plan(name)
       assert(!p.contains("BroadcastExchange"), s"$name broadcasts:\n$p")
       assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
