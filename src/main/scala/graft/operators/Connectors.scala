@@ -664,6 +664,93 @@ object Connectors {
       |  max(o_orderkey) AS max_key, max(o_custkey) AS max_cust
       |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin
 
+  // ---------------------------------------------------------------- q271
+
+  /** SQL UPDATE on the staging catalog, via Spark's group-based row-level
+    * operation framework (SupportsRowLevelOperations → ReplaceData): the
+    * rewrite reads the table through the operation's scan (pushdown
+    * deliberately stripped — a pruned read would drop unaffected rows from
+    * the whole-table replacement), applies the SET to matching rows, and
+    * commits the replacement as a kind=update version — non-matching rows
+    * survive byte-for-byte, pre-update snapshots stay pinnable, and the
+    * change feed refuses to cross the rewrite. This is the
+    * repair/backfill face a governed corpus needs (fix a mislabeled
+    * field in place) that INSERT-only tables can't express. The oracle
+    * recomputes the post-update state from `orders` with a CASE — the
+    * hash match proves the rewrite updated exactly the matching rows.
+    */
+  def q271SqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_upd_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_upd")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_upd AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_upd_src WHERE o_orderkey % 9 = 0""".stripMargin)
+    spark.sql( // repair pass: zero out price on one status slice
+      "UPDATE graft_stage.work.orders_upd SET o_totalprice = 0.0D " +
+        "WHERE o_orderstatus = 'F'")
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  min(o_orderkey) AS min_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.orders_upd
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  val q271Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n, min(o_orderkey) AS min_key,
+       |  ${graft.operators.Det.dsumSql(
+            "CASE WHEN o_orderstatus = 'F' THEN 0.0 ELSE o_totalprice END")} AS total
+       |FROM orders WHERE o_orderkey % 9 = 0
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
+  // ---------------------------------------------------------------- q272
+
+  /** SQL MERGE INTO on the staging catalog — the upsert face of the same
+    * group-based rewrite (q104 is the DataFrame-level MERGE; this is the
+    * full SQL statement against a versioned catalog table): a source slice
+    * updates matched keys and inserts unmatched ones in ONE atomic
+    * copy-on-write commit (kind=merge). The oracle recomputes the merged
+    * state from `orders` set algebra — matched keys take the source's
+    * value, unmatched targets keep theirs, source-only keys append.
+    */
+  def q272MergeInto(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_mrg_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_mrg")
+    spark.sql( // target: slices 0 and 5 of mod 10
+      """CREATE TABLE graft_stage.work.orders_mrg AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_mrg_src WHERE o_orderkey % 10 IN (0, 5)""".stripMargin)
+    spark.sql( // source: slices 5 and 7 — 5 matches (update), 7 inserts
+      """MERGE INTO graft_stage.work.orders_mrg t
+        |USING (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |       FROM orders_mrg_src WHERE o_orderkey % 10 IN (5, 7)) s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 1000.0D
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+        |  VALUES (s.o_orderkey, s.o_orderstatus, s.o_totalprice)""".stripMargin)
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.orders_mrg
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  val q272Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  ${graft.operators.Det.dsumSql(
+            "CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice + 1000.0 ELSE o_totalprice END")} AS total
+       |FROM orders WHERE o_orderkey % 10 IN (0, 5, 7)
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
@@ -678,5 +765,7 @@ object Connectors {
     GraftQuery.sql("q256_incremental_mv", q256IncrementalMv, q256Oracle),
     GraftQuery.sql("q257_clustered_layout", q257ClusteredLayout, q257Oracle),
     GraftQuery.sql("q261_sql_delete", q261SqlDelete, q261Oracle),
-    GraftQuery.sql("q263_footer_agg", q263FooterAgg, q263Oracle))
+    GraftQuery.sql("q263_footer_agg", q263FooterAgg, q263Oracle),
+    GraftQuery.sql("q271_sql_update", q271SqlUpdate, q271Oracle),
+    GraftQuery.sql("q272_merge_into", q272MergeInto, q272Oracle))
 }

@@ -240,7 +240,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
   private class VersionedStagingTable(readDelegate: ParquetTable,
       writeDelegate: ParquetTable, dir: File)
       extends Table with SupportsRead with SupportsWrite
-      with org.apache.spark.sql.connector.catalog.SupportsDelete {
+      with org.apache.spark.sql.connector.catalog.SupportsDelete
+      with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
     override def name(): String = readDelegate.name
     override def schema(): StructType = readDelegate.schema
     override def capabilities(): util.Set[TableCapability] = readDelegate.capabilities()
@@ -263,6 +264,77 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
 
     override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
       GraftStagingCatalog.deleteWhere(dir, filters)
+
+    // SQL UPDATE / MERGE INTO (and DELETE with predicates the metadata path
+    // can't translate) via Spark's GROUP-BASED row-level operation
+    // framework: Spark reads the affected groups through this operation's
+    // scan, computes the full replacement rows, and writes them back
+    // through the write builder — whose commit REPLACES the current file
+    // set as a new version (kind = update/merge/delete). Group granularity
+    // here is the whole table — always correct; file-granular grouping is
+    // the zone-map-pruned refinement. Old files stay on disk, so every
+    // pre-rewrite version remains pinnable until VACUUM — the same
+    // copy-on-write contract as the metadata DELETE path.
+    override def newRowLevelOperationBuilder(
+        info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+        : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+        override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+          new org.apache.spark.sql.connector.write.RowLevelOperation {
+            override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+              info.command()
+            // The scan deliberately exposes NO pushdown surface (a bare
+            // build()-only ScanBuilder): if the rewrite's condition reached
+            // the parquet reader, files with no matching rows would vanish
+            // from the replacement output — and since the commit below
+            // replaces the WHOLE current set, their rows would be lost.
+            // Stripping pushdown forces a full-table read, making
+            // replacement = whole table the invariant the commit relies
+            // on. (File-granular grouping — rewrite only affected files,
+            // keep the rest — is the zone-map refinement, and requires
+            // capturing the scan's post-pruning file set.)
+            override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+              val sb = readDelegate.newScanBuilder(options)
+              new ScanBuilder {
+                override def build(): org.apache.spark.sql.connector.read.Scan = sb.build()
+              }
+            }
+            override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
+              new WriteBuilder {
+                override def build(): Write = new Write {
+                  override def toBatch: BatchWrite = new BatchWrite {
+                    private val inner = writeDelegate.newWriteBuilder(lwi).build().toBatch
+                    // ReplaceData's query emits leading bookkeeping columns
+                    // (`__row_operation`) ahead of the data columns, and the
+                    // plain writing task hands rows over UNPROJECTED (the
+                    // row projection only applies on the metadata-write
+                    // path) — so the factory binds the declared write
+                    // schema to the TRAILING fields before the parquet
+                    // writer sees the row.
+                    override def createBatchWriterFactory(
+                        pinfo: PhysicalWriteInfo): DataWriterFactory =
+                      new TrailingFieldsWriterFactory(
+                        inner.createBatchWriterFactory(pinfo), lwi.schema())
+                    override def useCommitCoordinator(): Boolean =
+                      inner.useCommitCoordinator()
+                    override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+                      inner.onDataWriterCommit(message)
+                    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                      val before = GraftStagingCatalog.dataFiles(dir).toSet
+                      inner.commit(messages)
+                      val fresh = GraftStagingCatalog.dataFiles(dir).filterNot(before)
+                      // whole-table groups: the replacement files ARE the
+                      // new current set
+                      GraftStagingCatalog.writeExplicitManifest(dir, fresh,
+                        kind = info.command().toString.toLowerCase)
+                    }
+                    override def abort(messages: Array[WriterCommitMessage]): Unit =
+                      inner.abort(messages)
+                  }
+                }
+              }
+          }
+      }
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       val inner = writeDelegate.newWriteBuilder(info)
       // Exactly-once streaming appends: a writer may tag the commit with
@@ -385,6 +457,43 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
   private def deleteRecursively(f: File): Boolean = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()
+  }
+}
+
+/** Serializable writer-factory adapter for the row-level (ReplaceData)
+  * write path: binds the declared write schema to the TRAILING fields of
+  * each incoming row, stripping ReplaceData's leading bookkeeping columns
+  * (`__row_operation`) that the plain writing task does not project away.
+  * The projection is built lazily on the executor from the first row's
+  * arity; offset 0 degrades to pass-through.
+  */
+private class TrailingFieldsWriterFactory(
+    inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+    schema: StructType) extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+      private var proj: UnsafeProjection = _
+      private var passThrough = false
+      override def write(row: InternalRow): Unit = {
+        if (proj == null && !passThrough) {
+          val offset = row.numFields - schema.length
+          require(offset >= 0,
+            s"row has ${row.numFields} fields for a ${schema.length}-column write schema")
+          if (offset == 0) passThrough = true
+          else proj = UnsafeProjection.create(schema.fields.toIndexedSeq.zipWithIndex.map {
+            case (f, i) => BoundReference(offset + i, f.dataType, f.nullable)
+          })
+        }
+        w.write(if (passThrough) row else proj(row))
+      }
+      override def commit(): WriterCommitMessage = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
   }
 }
 

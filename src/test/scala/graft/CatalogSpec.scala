@@ -373,7 +373,7 @@ class CatalogSpec extends SparkSpec {
       .collect()(0).toSeq === Seq(3000L, 0L, 2999L))
   }
 
-  test("DELETE FROM: copy-on-write rewrite, pre-delete snapshot intact, unsupported predicates refused") {
+  test("DELETE FROM: copy-on-write rewrite, snapshot intact, row-level fallback for untranslatable predicates") {
     import graft.sources.catalog.StagingMaintenance
     mountStage()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
@@ -389,29 +389,78 @@ class CatalogSpec extends SparkSpec {
     // IN-list deletes work; deletes compose
     spark.sql("DELETE FROM stage_t.ws.del WHERE k IN (0, 1, 2)") // v3
     assert(spark.table("stage_t.ws.del").count() === 897)
-    // a predicate with no source-filter translation is refused, not ignored
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM stage_t.ws.del WHERE k % 2 = 0")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
-    assert(spark.table("stage_t.ws.del").count() === 897) // untouched
-    // the change feed refuses to cross the delete rewrite
-    spark.sql("INSERT INTO stage_t.ws.del VALUES (5000)") // v4
+    // a predicate with no source-filter translation falls back to the
+    // GROUP-BASED row-level rewrite (SupportsRowLevelOperations) instead of
+    // erroring: arbitrary-expression deletes work, just via full rewrite
+    val before897 = spark.table("stage_t.ws.del")
+      .collect().map(_.getLong(0)).toSet
+    spark.sql("DELETE FROM stage_t.ws.del WHERE k % 7 = 3")
+    val expected897 = before897.filterNot(_ % 7 == 3)
+    assert(spark.table("stage_t.ws.del").collect().map(_.getLong(0)).toSet === expected897)
+    // the change feed refuses to cross the delete rewrite (v4 = the
+    // row-level-rewrite delete above)
+    spark.sql("INSERT INTO stage_t.ws.del VALUES (5000)") // v5
     val e2 = intercept[IllegalArgumentException] {
-      StagingMaintenance.changesBetween(spark, "stage_t", "ws", "del", 1L, 4L).collect()
+      StagingMaintenance.changesBetween(spark, "stage_t", "ws", "del", 1L, 5L).collect()
     }
     assert(e2.getMessage.contains("DELETE"), e2.getMessage)
     // post-delete deltas still work
-    assert(StagingMaintenance.changesBetween(spark, "stage_t", "ws", "del", 3L, 4L)
+    assert(StagingMaintenance.changesBetween(spark, "stage_t", "ws", "del", 4L, 5L)
       .collect().map(_.getLong(0)).toSet === Set(5000L))
     // VACUUM reclaims the pre-delete files once their versions drop
     val dead = StagingMaintenance.vacuum(spark, "stage_t", "ws", "del", retainLast = 1)
     assert(dead.nonEmpty)
-    assert(spark.table("stage_t.ws.del").count() === 898)
+    assert(spark.table("stage_t.ws.del").count() === expected897.size + 1)
     val e3 = intercept[Exception] {
       spark.sql("SELECT count(*) FROM stage_t.ws.del VERSION AS OF 1").collect()
     }
     assert(e3.getMessage.contains("version"), e3.getMessage)
+  }
+
+  test("UPDATE and MERGE INTO: group-based copy-on-write rewrites with version history") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.rl")
+    spark.sql("CREATE TABLE stage_t.ws.rl AS SELECT id AS k, id * 10 AS v FROM range(0, 100)") // v1
+    // UPDATE: matching rows change, NON-matching rows must survive the
+    // whole-table group rewrite untouched
+    spark.sql("UPDATE stage_t.ws.rl SET v = v + 1 WHERE k % 2 = 0") // v2
+    val after = spark.sql("SELECT k, v FROM stage_t.ws.rl")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size === 100, "update dropped rows")
+    (0L until 100L).foreach { k =>
+      assert(after(k) === (if (k % 2 == 0) k * 10 + 1 else k * 10), s"k=$k")
+    }
+    // pre-update snapshot intact
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM stage_t.ws.rl VERSION AS OF 1")
+      .collect()(0).getLong(0) === (0L until 100L).map(_ * 10).sum)
+    // MERGE INTO: update matched, insert unmatched
+    spark.range(50, 150).selectExpr("id AS k", "CAST(-1 AS BIGINT) AS v")
+      .createOrReplaceTempView("rl_src")
+    spark.sql(
+      """MERGE INTO stage_t.ws.rl t USING rl_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin) // v3
+    val merged = spark.sql("SELECT k, v FROM stage_t.ws.rl")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged.size === 150)
+    (0L until 150L).foreach { k =>
+      val expect =
+        if (k >= 50) -1L
+        else if (k % 2 == 0) k * 10 + 1
+        else k * 10
+      assert(merged(k) === expect, s"k=$k got ${merged(k)}")
+    }
+    // the rewrites minted kind-tagged versions: the change feed refuses them
+    val e = intercept[IllegalArgumentException] {
+      StagingMaintenance.changesBetween(spark, "stage_t", "ws", "rl", 1L, 2L).collect()
+    }
+    assert(e.getMessage.contains("UPDATE"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      StagingMaintenance.changesBetween(spark, "stage_t", "ws", "rl", 2L, 3L).collect()
+    }
+    assert(e2.getMessage.contains("MERGE"), e2.getMessage)
   }
 
   test("aggregate pushdown: count/min/max on a staging table answer from parquet footers") {

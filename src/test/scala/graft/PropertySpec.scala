@@ -271,7 +271,7 @@ class PropertySpec extends SparkSpec {
       versions(1L) = ("commit", model.toSet)
       var v = 1L
       (0 until 10).foreach { _ =>
-        rng.nextInt(5) match {
+        rng.nextInt(6) match {
           case 0 | 1 => // append a fresh slice
             val (lo, hi) = freshRange(20 + rng.nextInt(60))
             spark.sql(s"INSERT INTO prop_cat.ws.t$trial SELECT id AS k FROM range($lo, $hi)")
@@ -292,6 +292,14 @@ class PropertySpec extends SparkSpec {
             StagingMaintenance.vacuum(spark, "prop_cat", "ws", s"t$trial", retainLast = retain)
             val keep = versions.keys.toSeq.takeRight(retain).toSet
             versions.filterInPlace { case (k, _) => keep(k) }
+          case 5 => // SQL UPDATE via the group-based row-level rewrite:
+            // shift a key range far outside the live keyspace
+            val a = rng.nextLong(math.max(nextKey, 1L)); val b = a + 1 + rng.nextInt(50)
+            spark.sql(s"UPDATE prop_cat.ws.t$trial SET k = k + 1000000 " +
+              s"WHERE k >= $a AND k < $b")
+            val moved = model.rangeImpl(Some(a), Some(b)).toSeq
+            model --= moved; model ++= moved.map(_ + 1000000L)
+            v += 1; versions(v) = ("update", model.toSet)
         }
         // (a) current read == model
         val cur = spark.sql(s"SELECT k FROM prop_cat.ws.t$trial").collect().map(_.getLong(0))
