@@ -55,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ahash_bands"),
       new ExpressionInfo(classOf[AHashBands].getName, "ahash_bands"),
       (args: Seq[Expression]) => AHashBands(args.head)))
+    // Table-valued function: graft_bins(lo, hi, width) bin spine (GraftBins)
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_bins"),
+      new ExpressionInfo(GraftBins.getClass.getName, "graft_bins"),
+      (args: Seq[Expression]) => GraftBins.plan(args)))
     // Engine rewrite: size(split(s, ' ')) → token_count(s) (see RewriteTokenCount)
     ext.injectOptimizerRule(_ => RewriteTokenCount)
     // Whole-operator extension: per-key top-k via bounded heaps (no sort) —

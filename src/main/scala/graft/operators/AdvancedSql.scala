@@ -789,7 +789,39 @@ object AdvancedSql {
        |FROM orders WHERE o_orderkey % 4 = 0
        |GROUP BY o_orderstatus ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q274
+
+  /** Custom table-valued function through the extensions API
+    * ([[graft.functions.GraftBins]], injectTableFunction): the
+    * `graft_bins(lo, hi, width)` spine LEFT-JOINs the price distribution so
+    * EMPTY bins surface as zero rows — the property a groupBy(floor(p/w))
+    * histogram can never give and the reason bin spines exist (the numeric
+    * twin of q62's calendar spine). The TVF plans as Project-over-Range, so
+    * it parallelizes like `range()`; the 7-row spine side broadcasts. The
+    * oracle rebuilds the spine from DuckDB's range() generator.
+    */
+  def q274BinSpineTvf(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_bins_src")
+    spark.sql(
+      """SELECT b.bin_id, b.bin_lo, count(o_orderkey) AS n,
+        |  CAST(sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_bins(0, 700000, 100000) b
+        |LEFT JOIN orders_bins_src
+        |  ON o_totalprice >= b.bin_lo AND o_totalprice < b.bin_hi
+        |GROUP BY b.bin_id, b.bin_lo
+        |ORDER BY b.bin_id""".stripMargin)
+  }
+
+  val q274Oracle: String =
+    s"""SELECT bin_id, bin_lo, count(o_orderkey) AS n,
+       |  ${Det.dsumSql("coalesce(o_totalprice, 0.0)")} AS total
+       |FROM (SELECT range AS bin_id, range * 100000 AS bin_lo,
+       |        (range + 1) * 100000 AS bin_hi FROM range(0, 7)) b
+       |LEFT JOIN orders ON o_totalprice >= bin_lo AND o_totalprice < bin_hi
+       |GROUP BY bin_id, bin_lo ORDER BY bin_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q274_bin_spine_tvf", q274BinSpineTvf, q274Oracle),
     GraftQuery.sql("q269_execute_immediate", q269ExecuteImmediate, q269Oracle),
     GraftQuery.sql("q267_approx_topk", q267ApproxTopK, q267Oracle),
     GraftQuery.sql("q268_theta_sets", q268ThetaSets, q268Oracle),

@@ -751,6 +751,58 @@ object Connectors {
        |FROM orders WHERE o_orderkey % 10 IN (0, 5, 7)
        |GROUP BY o_orderstatus ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q273
+
+  /** DESCRIBE-HISTORY face of the versioned catalog
+    * ([[graft.sources.catalog.StagingMaintenance.history]]): a table is
+    * driven through the full DML/maintenance lifecycle — CTAS, INSERT,
+    * DELETE, UPDATE, OPTIMIZE, INSERT — and the history reads back one
+    * kind-tagged row per version, the audit trail an operator uses to
+    * understand what happened to a table (and what the change feed may
+    * cross). File counts and timestamps are layout/wall-clock noise and
+    * stay out of the query face; the oracle is the op sequence itself as
+    * literal rows — deterministic because version numbering and kinds are
+    * functions of the statement sequence alone.
+    */
+  def q273TableHistory(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_hist_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_hist")
+    spark.sql( // v1: commit
+      """CREATE TABLE graft_stage.work.orders_hist AS
+        |SELECT o_orderkey, o_orderstatus FROM orders_hist_src
+        |WHERE o_orderkey % 50 = 0""".stripMargin)
+    spark.sql( // v2: commit
+      """INSERT INTO graft_stage.work.orders_hist
+        |SELECT o_orderkey, o_orderstatus FROM orders_hist_src
+        |WHERE o_orderkey % 50 = 1""".stripMargin)
+    spark.sql( // v3: delete (metadata path)
+      "DELETE FROM graft_stage.work.orders_hist WHERE o_orderkey < 100")
+    spark.sql( // v4: update (row-level rewrite)
+      "UPDATE graft_stage.work.orders_hist SET o_orderstatus = 'X' " +
+        "WHERE o_orderstatus = 'P'")
+    graft.sources.catalog.StagingMaintenance.optimize( // v5: optimize
+      spark, "graft_stage", "work", "orders_hist", targetFiles = 2)
+    spark.sql( // v6: commit
+      """INSERT INTO graft_stage.work.orders_hist
+        |SELECT o_orderkey, o_orderstatus FROM orders_hist_src
+        |WHERE o_orderkey % 50 = 2""".stripMargin)
+    graft.sources.catalog.StagingMaintenance
+      .history(spark, "graft_stage", "work", "orders_hist")
+      .select(col("version"), col("kind"))
+      .orderBy(col("version"))
+  }
+
+  val q273Oracle: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 'commit'), (2, 'commit'), (3, 'delete'),
+      |  (4, 'update'), (5, 'optimize'), (6, 'commit'))
+      |  AS t(version, kind)
+      |ORDER BY version""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
@@ -767,5 +819,6 @@ object Connectors {
     GraftQuery.sql("q261_sql_delete", q261SqlDelete, q261Oracle),
     GraftQuery.sql("q263_footer_agg", q263FooterAgg, q263Oracle),
     GraftQuery.sql("q271_sql_update", q271SqlUpdate, q271Oracle),
-    GraftQuery.sql("q272_merge_into", q272MergeInto, q272Oracle))
+    GraftQuery.sql("q272_merge_into", q272MergeInto, q272Oracle),
+    GraftQuery.sql("q273_table_history", q273TableHistory, q273Oracle))
 }

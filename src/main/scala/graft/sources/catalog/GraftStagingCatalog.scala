@@ -880,6 +880,25 @@ object StagingMaintenance {
     (df.where(col(column) >= lo && col(column) <= hi), current.size, keep.size)
   }
 
+  /** DESCRIBE-HISTORY face: one row per retained version manifest —
+    * (version, kind, n_files, batch_id). Timestamps are deliberately NOT
+    * exposed here (wall-clock noise); they remain in the manifest for
+    * `TIMESTAMP AS OF`. This is how an operator audits what happened to a
+    * table: which commits were appends, which were maintenance rewrites,
+    * which streaming batch each append belongs to.
+    */
+  def history(spark: SparkSession, catalog: String, ns: String,
+      table: String): org.apache.spark.sql.DataFrame = {
+    val d = tableDir(spark, catalog, ns, table)
+    val rows = versionManifests(d).map { case (v, mf) =>
+      val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
+      val bid = "\"batchId\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      (v, manifestKind(mf), manifestFiles(mf).size.toLong, bid)
+    }
+    import spark.implicits._
+    rows.toDF("version", "kind", "n_files", "batch_id")
+  }
+
   /** Keep only the last `retainLast` versions; delete every data file no
     * retained version references. Returns the deleted file names.
     */

@@ -146,6 +146,31 @@ object StreamingOps {
     spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
   }
 
+  /** Streaming UPSERT into a versioned catalog table: each micro-batch is
+    * applied as one atomic `MERGE INTO` (update matched keys, insert new
+    * ones — the q272 machinery), turning a keyed change stream into a
+    * maintained current-state table, the CDC-apply pattern. Unlike the
+    * append sink, replay needs no batch-id ledger: an upsert of the same
+    * rows is idempotent at the DATA level (a redelivered batch re-merges to
+    * the identical state; it costs one redundant version, not duplicate
+    * rows). Late-arriving keys simply upsert when they arrive.
+    */
+  def catalogUpsertStream(rows: DataFrame, table: String, keyCol: String,
+      checkpointDir: String): StreamingQuery = {
+    val view = s"graft_upsert_src_${System.nanoTime()}"
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir).outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.createOrReplaceTempView(view)
+        batch.sparkSession.sql(
+          s"""MERGE INTO $table t USING $view s ON t.$keyCol = s.$keyCol
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        ()
+      }
+      .start()
+  }
+
   /** One incoming embedding on the streaming vector-ingest surface. */
   final case class StreamVec(vec_id: Long, embedding: Array[Float])
 
