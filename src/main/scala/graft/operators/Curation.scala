@@ -536,7 +536,92 @@ object Curation {
        |FROM ranked JOIN quotas USING (lang)
        |WHERE rk <= quota ORDER BY lang, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q275
+
+  /** The curation CAPSTONE: the full training-corpus assembly line as ONE
+    * composed query — exact dedup (content-hash keep-first, q32) → quality
+    * gate (length + token floor, the q101 family) → eval-set
+    * decontamination (drop anything sharing a 20-char shingle with the
+    * eval slice, q98's [[contaminatedDocs]] kernel) → temperature-sampled
+    * language mix (α=1/2 quotas filled by the md5 draw, q260). Every stage
+    * is an operator already proven in isolation; this query proves they
+    * COMPOSE — one lazy DAG, no intermediate materialization, each stage's
+    * shuffle feeding the next. Emits the per-language assembly report
+    * (quota, selected count, id range). The oracle is the same chain in
+    * SQL, each stage its proven oracle idiom.
+    */
+  def q275CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isEval = col("doc_id") % 50 === 0
+    // 1. exact dedup — keep the first (min doc_id) copy of identical text
+    val wDedup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = docs.withColumn("rn", row_number().over(wDedup))
+      .where(col("rn") === 1).drop("rn")
+    // 2. quality gate — cheap deterministic floors (map-only)
+    val quality = deduped
+      .where(col("n_chars") >= 100 && expr("token_count(text) >= 20"))
+    // 3. decontamination — candidates are non-eval; one shared 20-char
+    // shingle with the eval slice disqualifies
+    val clean = quality.where(!isEval)
+      .join(contaminatedDocs(docs, isEval, 20).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    // 4. temperature-sampled language mix (α = 1/2, N = 150)
+    val cnts = clean.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val wsum = broadcast(cnts.agg(expr(
+      "aggregate(array_sort(collect_list(struct(lang, sqrt(CAST(cnt AS DOUBLE)) AS w))), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v.w)").as("wsum")))
+    val quotas = cnts.crossJoin(wsum)
+      .withColumn("quota", greatest(lit(1L),
+        floor(lit(150) * sqrt(col("cnt").cast("double")) / col("wsum"))))
+      .select(col("lang"), col("quota"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    clean.withColumn("rk", row_number().over(wRank).cast("long"))
+      .join(broadcast(quotas), "lang")
+      .where(col("rk") <= col("quota"))
+      .groupBy(col("lang"), col("quota"))
+      .agg(count(lit(1)).as("n_selected"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val q275Oracle: String =
+    s"""WITH ${Dedup.hashedShingleCte},
+       |ev AS (SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id % 50 = 0),
+       |contam AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM (SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id % 50 <> 0) t
+       |  JOIN ev USING (h)),
+       |dedup AS (
+       |  SELECT doc_id, lang, text, n_chars FROM (
+       |    SELECT d.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM documents d) WHERE rn = 1),
+       |quality AS (
+       |  SELECT * FROM dedup
+       |  WHERE n_chars >= 100 AND len(string_split(text, ' ')) >= 20),
+       |clean AS (
+       |  SELECT doc_id, lang FROM quality
+       |  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |cnts AS (SELECT lang, count(*) AS cnt FROM clean GROUP BY lang),
+       |wsum AS (SELECT list_reduce([CAST(0 AS DOUBLE)] ||
+       |    list(sqrt(CAST(cnt AS DOUBLE)) ORDER BY lang), (acc, v) -> acc + v) AS wsum
+       |  FROM cnts),
+       |quotas AS (SELECT lang,
+       |    greatest(CAST(1 AS BIGINT),
+       |      CAST(floor(150 * sqrt(CAST(cnt AS DOUBLE)) / wsum) AS BIGINT)) AS quota
+       |  FROM cnts, wsum),
+       |ranked AS (SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM clean)
+       |SELECT lang, quota, count(*) AS n_selected,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM ranked JOIN quotas USING (lang)
+       |WHERE rk <= quota
+       |GROUP BY lang, quota ORDER BY lang""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q275_curation_pipeline", q275CurationPipeline, q275Oracle),
     GraftQuery.sql("q260_temperature_sample", q260TemperatureSample, q260Oracle),
     GraftQuery.sql("q226_term_scrub", q226TermScrub, q226Oracle),
     GraftQuery.sql("q208_corpus_rebalance", q208CorpusRebalance, q208Oracle),

@@ -547,7 +547,11 @@ object GraftStagingCatalog {
     val next = versionManifests(d).lastOption.map(_._1).getOrElse(0L) + 1L
     val bid = batchId.map(b => s""""batchId":$b,""").getOrElse("")
     val json = s"""{"ts":${System.currentTimeMillis()},"kind":"$kind",$bid"files":[${
-      files.sorted.map(f => "\"" + f + "\"").mkString(",")}]}"""
+      // distinct: under concurrent commits a racer's files can arrive both
+      // via the previous-current set AND via this commit's directory delta
+      // (its `before` snapshot predates the racer's move) — a double-listed
+      // file would read its rows twice
+      files.distinct.sorted.map(f => "\"" + f + "\"").mkString(",")}]}"""
     // temp + atomic rename: a manifest either exists complete or not at
     // all — the property the exactly-once batch-id ledger leans on
     val tmp = new File(vd, s".v$next.json.tmp")
