@@ -328,7 +328,80 @@ object GraphRank {
        |GROUP BY label ORDER BY n_members DESC, label LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q276
+
+  /** Minimum degree to survive each k-core peel. */
+  private val CoreK = 3
+
+  /** k-core decomposition (3 peeling rounds at k = [[CoreK]]) over the
+    * part↔supplier graph — the density-skeleton extraction that
+    * complements the reachability (BFS), centrality (PageRank), community
+    * (LPA), and clustering (assortativity/triangles) faces: each round
+    * removes every node whose CURRENT degree is below k, which can drop
+    * neighbors below k in turn — the survivors of round r are the
+    * (partial) k-core. Emits (round, n_nodes, n_edges) — the peeling
+    * trajectory, whose fixpoint is the core.
+    *
+    * Scale shape: each round is one degree aggregation (shuffle on the
+    * node key) + two semi-joins filtering the edge list to surviving
+    * endpoints — all equi-joins on node ids, nothing broadcast-sized
+    * grows with the graph (the survivor set is O(nodes); hinted
+    * shuffle-hash like the other graph iterations). Edge state is
+    * persisted+counted per round (the q161/q270 cost lesson).
+    */
+  def q276KCore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    var edges = pairs.select((col("p") * 2).as("u"), (col("s") * 2 + 1).as("v"))
+      .union(pairs.select((col("s") * 2 + 1).as("u"), (col("p") * 2).as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trajectory = Seq.newBuilder[(Int, Long, Long)]
+    // one action per round: node + edge counts in a single aggregate (this
+    // also materializes the persisted round state)
+    def stats(e: DataFrame): (Long, Long) = {
+      val r = e.agg(countDistinct(col("u")), count(lit(1))).head
+      (r.getLong(0), r.getLong(1) / 2)
+    }
+    val s0 = stats(edges)
+    trajectory += ((0, s0._1, s0._2))
+    for (round <- 1 to 3) {
+      val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= CoreK).select(col("u").as("node"))
+      edges = edges
+        .join(keep.hint("shuffle_hash").withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.hint("shuffle_hash").withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s = stats(edges)
+      trajectory += ((round, s._1, s._2))
+    }
+    import spark.implicits._
+    trajectory.result().toDF("round", "n_nodes", "n_edges").orderBy(col("round"))
+  }
+
+  val q276Oracle: String = {
+    def round(k: Int): String = {
+      val prev = s"e${k - 1}"
+      s"""keep$k AS (SELECT u AS node FROM $prev GROUP BY u HAVING count(*) >= $CoreK),
+         |e$k AS (SELECT u, v FROM $prev
+         |        WHERE u IN (SELECT node FROM keep$k)
+         |          AND v IN (SELECT node FROM keep$k))""".stripMargin
+    }
+    s"""WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |e0 AS (SELECT p*2 AS u, s*2+1 AS v FROM pairs
+       |       UNION ALL SELECT s*2+1, p*2 FROM pairs),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT CAST(0 AS INT) AS round,
+       |  (SELECT count(DISTINCT u) FROM e0) AS n_nodes,
+       |  (SELECT count(*) FROM e0) // 2 AS n_edges
+       |UNION ALL SELECT 1, (SELECT count(DISTINCT u) FROM e1), (SELECT count(*) FROM e1) // 2
+       |UNION ALL SELECT 2, (SELECT count(DISTINCT u) FROM e2), (SELECT count(*) FROM e2) // 2
+       |UNION ALL SELECT 3, (SELECT count(DISTINCT u) FROM e3), (SELECT count(*) FROM e3) // 2
+       |ORDER BY round""".stripMargin
+  }
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q276_kcore_peel", q276KCore, q276Oracle),
     GraftQuery.sql("q143_fixed_point_pagerank", q143FixedPointPagerank, q143Oracle),
     GraftQuery.sql("q161_bfs_hops", q161BfsHops, q161Oracle),
     GraftQuery.sql("q207_assortativity", q207Assortativity, q207Oracle),
