@@ -863,15 +863,28 @@ object StagingMaintenance {
     * Returns (dataframe, filesCurrent, filesRead).
     */
   def prunedScan(spark: SparkSession, catalog: String, ns: String, table: String,
-      column: String, lo: Long, hi: Long): (org.apache.spark.sql.DataFrame, Int, Int) = {
-    import org.apache.spark.sql.functions.col
+      column: String, lo: Long, hi: Long): (org.apache.spark.sql.DataFrame, Int, Int) =
+    prunedScan(spark, catalog, ns, table, Seq((column, lo, hi)))
+
+  /** Conjunctive zone-map pruning: a file survives only if EVERY
+    * predicate's [lo,hi] can intersect its recorded range — ranges compose
+    * by AND, so two individually-weak predicates can together prune a file
+    * (or everything) that neither alone could. All row-level predicates
+    * still apply after the scan.
+    */
+  def prunedScan(spark: SparkSession, catalog: String, ns: String, table: String,
+      preds: Seq[(String, Long, Long)]): (org.apache.spark.sql.DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(preds.nonEmpty, "prunedScan needs at least one predicate")
     val d = tableDir(spark, catalog, ns, table)
     val stats = readStats(d)
     val current = currentFiles(d)
     val keep = current.filter { f =>
-      stats.get((f, column)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None           => true
+      preds.forall { case (column, lo, hi) =>
+        stats.get((f, column)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None           => true
+        }
       }
     }
     val reader = spark.read
@@ -881,7 +894,9 @@ object StagingMaintenance {
         reader.schema(declaredSchema(d).getOrElse(
           spark.read.parquet(d.getAbsolutePath).schema)).parquet()
       else reader.parquet(keep.map(f => new File(d, f).getAbsolutePath): _*)
-    (df.where(col(column) >= lo && col(column) <= hi), current.size, keep.size)
+    val cond = preds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .foldLeft(lit(true))(_ && _)
+    (df.where(cond), current.size, keep.size)
   }
 
   /** DESCRIBE-HISTORY face: one row per retained version manifest —

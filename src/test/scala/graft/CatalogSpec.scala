@@ -341,6 +341,35 @@ class CatalogSpec extends SparkSpec {
     assert(read2 < cur2 && df2.count() === 100)
   }
 
+  test("conjunctive zone maps: AND-composed predicates prune files neither predicate prunes alone") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.zm2")
+    // three commits correlated on (k, v): each file covers a distinct 2-D tile
+    spark.sql("CREATE TABLE stage_t.ws.zm2 AS SELECT id AS k, id div 10 AS v FROM range(0, 1000)")
+    spark.sql("INSERT INTO stage_t.ws.zm2 SELECT id AS k, id div 10 AS v FROM range(1000, 2000)")
+    spark.sql("INSERT INTO stage_t.ws.zm2 SELECT id AS k, id div 10 AS v FROM range(2000, 3000)")
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "zm2", Seq("k", "v"))
+    // k ∈ [1000,1500] matches file 2; v ∈ [205, 210] matches file 3 —
+    // individually each keeps files, together they keep NONE
+    val (_, _, readK) =
+      StagingMaintenance.prunedScan(spark, "stage_t", "ws", "zm2", Seq(("k", 1000L, 1500L)))
+    val (_, _, readV) =
+      StagingMaintenance.prunedScan(spark, "stage_t", "ws", "zm2", Seq(("v", 205L, 210L)))
+    assert(readK > 0 && readV > 0)
+    val (dfBoth, cur, readBoth) = StagingMaintenance.prunedScan(
+      spark, "stage_t", "ws", "zm2", Seq(("k", 1000L, 1500L), ("v", 205L, 210L)))
+    assert(readBoth === 0, s"conjunction should prune everything, read $readBoth of $cur")
+    assert(dfBoth.count() === 0)
+    // a satisfiable conjunction reads only the intersecting file and the
+    // row filter still applies
+    val (dfHit, _, readHit) = StagingMaintenance.prunedScan(
+      spark, "stage_t", "ws", "zm2", Seq(("k", 1000L, 1500L), ("v", 100L, 120L)))
+    assert(readHit < cur && readHit > 0)
+    assert(dfHit.count() === 210) // k in 1000..1209 (v = k/10 in 100..120)
+  }
+
   test("CLUSTER BY rewrite turns useless zone maps into disjoint per-file ranges") {
     import graft.sources.catalog.StagingMaintenance
     mountStage()
