@@ -803,6 +803,52 @@ object Connectors {
       |  AS t(version, kind)
       |ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- q277
+
+  /** Conjunctive zone-map scan: the table is CLUSTER-BY-rewritten on
+    * o_orderkey (so key ranges are disjoint per file) and the query
+    * predicates BOTH o_orderkey and o_custkey — the key range prunes files
+    * by stats, the second range rides along as a row filter plus a
+    * stats check that can only prune further (AND composition,
+    * [[graft.sources.catalog.StagingMaintenance.prunedScan]]). CatalogSpec
+    * proves the file-count mechanics including the provably-empty
+    * conjunction; this face proves the pruned read is ANSWER-preserving
+    * under a multi-predicate workload.
+    */
+  def q277ConjunctiveScan(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_cj_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_cj")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_cj AS
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders_cj_src""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "orders_cj", targetFiles = 8,
+      clusterBy = Some("o_orderkey"))
+    graft.sources.catalog.StagingMaintenance.analyze(
+      spark, "graft_stage", "work", "orders_cj", Seq("o_orderkey", "o_custkey"))
+    val (scan, _, _) = graft.sources.catalog.StagingMaintenance.prunedScan(
+      spark, "graft_stage", "work", "orders_cj",
+      Seq(("o_orderkey", 200L, 900L), ("o_custkey", 0L, 400L)))
+    scan.groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_custkey")).as("max_cust"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+      .orderBy(col("status"))
+  }
+
+  val q277Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  min(o_orderkey) AS min_key, max(o_custkey) AS max_cust,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders
+       |WHERE o_orderkey BETWEEN 200 AND 900 AND o_custkey BETWEEN 0 AND 400
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
@@ -820,5 +866,6 @@ object Connectors {
     GraftQuery.sql("q263_footer_agg", q263FooterAgg, q263Oracle),
     GraftQuery.sql("q271_sql_update", q271SqlUpdate, q271Oracle),
     GraftQuery.sql("q272_merge_into", q272MergeInto, q272Oracle),
-    GraftQuery.sql("q273_table_history", q273TableHistory, q273Oracle))
+    GraftQuery.sql("q273_table_history", q273TableHistory, q273Oracle),
+    GraftQuery.sql("q277_conjunctive_scan", q277ConjunctiveScan, q277Oracle))
 }
