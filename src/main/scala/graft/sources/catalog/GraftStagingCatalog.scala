@@ -1,11 +1,11 @@
 package graft.sources.catalog
 
-import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.Files
+import java.io.{ByteArrayOutputStream, FileNotFoundException, IOException}
+import java.nio.charset.StandardCharsets.UTF_8
 import java.util
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException,
   TableAlreadyExistsException}
@@ -43,6 +43,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * protocol — task-attempt staging, job commit, no torn tables on failure —
   * and reads keep the vectorized scan + pushdown stack.
   *
+  * ALL metadata I/O goes through the Hadoop `FileSystem` API resolved from
+  * the root path's scheme — the exact contract the reference implements for
+  * object storage (`CephRgwFileSystem.java:42` registers `cephrgw://`) — so
+  * the catalog can be pointed at `file://`, HDFS, or a `cephrgw://`-style
+  * store unchanged. Crucially, the version-manifest commit does NOT depend
+  * on atomic rename (the reference's own rename is S3A copy-then-delete,
+  * `CephRgwFileSystem.java:310-313` — not atomic): a commit is
+  * `FileSystem.create(vN.json, overwrite = false)` — CREATE-EXCLUSIVE — so
+  * version N either exists complete under exactly one writer or does not
+  * exist. Losing the create race means another writer committed N first;
+  * append commits recompute and retry as N+1, rewrite commits (OPTIMIZE /
+  * DELETE / UPDATE / MERGE) abort with a conflict instead of silently
+  * dropping the racer's rows (optimistic concurrency — the lost-update
+  * guard).
+  *
   * The declared schema travels in a `_graft_schema.json` sidecar (written by
   * `createTable`, read by `loadTable`): an empty just-created table has no
   * parquet footers to infer from, and the leading underscore keeps the
@@ -52,45 +67,55 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
-  private var root: File = _
+  private var root: Path = _
+  private var fs: FileSystem = _
 
   private val SchemaSidecar = GraftStagingCatalog.SchemaSidecar
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    root = new File(Option(options.get("root")).getOrElse {
+    val rootStr = Option(options.get("root")).getOrElse {
       // Throwaway-session fallback; announce it LOUDLY so a typo'd
       // `spark.sql.catalog.<name>.root` conf key (which lands here and
       // "loses" previously staged tables in a fresh temp dir) is visible in
       // the first lines of any log rather than silently absorbed.
-      val tmp = Files.createTempDirectory("graft_stage_").toString
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stage_").toString
       System.err.println(
         s"[GraftStagingCatalog:$name] WARNING: option 'root' not set " +
           s"(spark.sql.catalog.$name.root) — staging tables go to throwaway " +
           s"temp dir $tmp and will NOT survive this session")
       tmp
-    })
-    root.mkdirs()
+    }
+    val raw = new Path(rootStr)
+    fs = raw.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    root = fs.makeQualified(raw)
+    fs.mkdirs(root)
   }
 
   override def name(): String = catalogName
 
-  private def nsDir(namespace: Array[String]): File = namespace match {
-    case Array(ns) => new File(root, ns)
+  private def isDir(p: Path): Boolean =
+    try fs.getFileStatus(p).isDirectory catch { case _: FileNotFoundException => false }
+
+  private def nsDir(namespace: Array[String]): Path = namespace match {
+    case Array(ns) => new Path(root, ns)
     case _         => null
   }
 
-  private def requireNs(namespace: Array[String]): File = {
+  private def requireNs(namespace: Array[String]): Path = {
     val d = nsDir(namespace)
-    if (d == null || !d.isDirectory) throw new NoSuchNamespaceException(namespace)
+    if (d == null || !isDir(d)) throw new NoSuchNamespaceException(namespace)
     d
   }
+
+  private def listDirs(p: Path): Seq[FileStatus] =
+    (try fs.listStatus(p).toIndexedSeq catch { case _: FileNotFoundException => Seq.empty })
+      .filter(_.isDirectory)
 
   // ---- namespaces --------------------------------------------------------
 
   override def listNamespaces(): Array[Array[String]] =
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(d => Array(d.getName)).sortBy(_.head)
+    listDirs(root).map(d => Array(d.getPath.getName)).sortBy(_.head).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
@@ -98,19 +123,19 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
 
   override def namespaceExists(namespace: Array[String]): Boolean = {
     val d = nsDir(namespace)
-    d != null && d.isDirectory
+    d != null && isDir(d)
   }
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     val d = requireNs(namespace)
-    Map(SupportsNamespaces.PROP_LOCATION -> d.getAbsolutePath).asJava
+    Map(SupportsNamespaces.PROP_LOCATION -> d.toString).asJava
   }
 
   override def createNamespace(ns: Array[String], meta: util.Map[String, String]): Unit = {
     val d = nsDir(ns)
     if (d == null) throw new IllegalArgumentException(
       s"$catalogName supports single-level namespaces, got ${ns.mkString(".")}")
-    d.mkdirs()
+    fs.mkdirs(d)
   }
 
   override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
@@ -118,30 +143,26 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
     val d = requireNs(ns)
-    val tables = Option(d.listFiles()).getOrElse(Array.empty)
-    if (tables.nonEmpty && !cascade)
+    if (listDirs(d).nonEmpty && !cascade)
       throw new IllegalStateException(s"namespace ${ns.mkString(".")} is not empty")
-    deleteRecursively(d)
+    fs.delete(d, true)
   }
 
   // ---- tables ------------------------------------------------------------
 
-  private def tableDir(ident: Identifier): File = {
+  private def tableDir(ident: Identifier): Path = {
     val ns = nsDir(ident.namespace())
-    if (ns == null) null else new File(ns, ident.name())
+    if (ns == null) null else new Path(ns, ident.name())
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val d = requireNs(namespace)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .map(f => Identifier.of(namespace, f.getName))
-      .sortBy(_.name)
+    listDirs(d).map(f => Identifier.of(namespace, f.getPath.getName)).sortBy(_.name).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean = {
     val d = tableDir(ident)
-    d != null && d.isDirectory
+    d != null && isDir(d)
   }
 
   private def qualified(ident: Identifier): String =
@@ -155,19 +176,23 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     import GraftStagingCatalog._
     val d = tableDir(ident)
-    if (d == null || !d.isDirectory) throw new NoSuchTableException(ident)
+    if (d == null || !isDir(d)) throw new NoSuchTableException(ident)
     // CURRENT reads resolve through the latest manifest when one exists —
     // after an OPTIMIZE rewrite the directory holds both the compacted
     // files and the originals (retained for time travel), and only the
     // manifest knows which set is current. A table with no commits yet
-    // (just created, or pre-versioning) falls back to the directory.
-    val readPaths = versionManifests(d).lastOption match {
-      case Some((_, mf)) => manifestFiles(mf).map(f => new File(d, f).getAbsolutePath)
-      case None          => Seq(d.getAbsolutePath)
+    // (just created, or pre-versioning) falls back to the directory. The
+    // resolved version number is the SNAPSHOT this table object reads; a
+    // row-level rewrite through it commits against exactly that base
+    // (optimistic concurrency).
+    val (snapshotVersion, readPaths) = versionManifests(fs, d).lastOption match {
+      case Some((v, mf)) => (v, manifestFiles(fs, mf).map(f => new Path(d, f).toString))
+      case None          => (0L, Seq(d.toString))
     }
     new VersionedStagingTable(
-      parquetTable(qualified(ident), readPaths, declaredSchema(d)),
-      parquetTable(qualified(ident), Seq(d.getAbsolutePath), declaredSchema(d)), d)
+      parquetTable(qualified(ident), readPaths, declaredSchema(fs, d)),
+      parquetTable(qualified(ident), Seq(d.toString), declaredSchema(fs, d)),
+      d, snapshotVersion)
   }
 
   // ---- time travel -------------------------------------------------------
@@ -187,16 +212,16 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
   // ingestion keeps appending. Maintenance (file compaction + version
   // retention) lives in [[StagingMaintenance]].
 
-  private def manifestTable(ident: Identifier, d: File, mf: File, label: String): Table = {
+  private def manifestTable(ident: Identifier, d: Path, mf: Path, label: String): Table = {
     import GraftStagingCatalog._
     parquetTable(s"${qualified(ident)}$label",
-      manifestFiles(mf).map(f => new File(d, f).getAbsolutePath), declaredSchema(d))
+      manifestFiles(fs, mf).map(f => new Path(d, f).toString), declaredSchema(fs, d))
   }
 
   override def loadTable(ident: Identifier, version: String): Table = {
     import GraftStagingCatalog._
     val d = tableDir(ident)
-    if (d == null || !d.isDirectory) throw new NoSuchTableException(ident)
+    if (d == null || !isDir(d)) throw new NoSuchTableException(ident)
     val v =
       try version.stripPrefix("v").toLong
       catch {
@@ -204,9 +229,9 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
           s"$catalogName: invalid version '$version' for ${ident.name()} " +
             "(expected a commit number, e.g. VERSION AS OF 2)")
       }
-    val mf = new File(new File(d, VersionsDir), s"v$v.json")
-    if (!mf.isFile) {
-      val have = versionManifests(d).map(_._1)
+    val mf = new Path(new Path(d, VersionsDir), s"v$v.json")
+    if (!isFile(fs, mf)) {
+      val have = versionManifests(fs, d).map(_._1)
       throw new IllegalArgumentException(
         s"$catalogName: ${ident.name()} has no version $v " +
           s"(available: ${if (have.isEmpty) "none" else have.mkString(", ")})")
@@ -217,9 +242,9 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     import GraftStagingCatalog._
     val d = tableDir(ident)
-    if (d == null || !d.isDirectory) throw new NoSuchTableException(ident)
+    if (d == null || !isDir(d)) throw new NoSuchTableException(ident)
     val millis = timestamp / 1000L // Spark passes microseconds since epoch
-    val at = versionManifests(d).takeWhile { case (_, f) => commitMillis(f) <= millis }
+    val at = versionManifests(fs, d).takeWhile { case (_, f) => commitMillis(fs, f) <= millis }
     if (at.isEmpty)
       throw new IllegalArgumentException(
         s"$catalogName: ${ident.name()} has no committed version at or before " +
@@ -238,17 +263,31 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
     * the invariant that keeps old versions readable.
     */
   private class VersionedStagingTable(readDelegate: ParquetTable,
-      writeDelegate: ParquetTable, dir: File)
+      writeDelegate: ParquetTable, dir: Path, snapshotVersion: Long)
       extends Table with SupportsRead with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsDelete
       with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    private val tableFs = fs
     override def name(): String = readDelegate.name
     override def schema(): StructType = readDelegate.schema
     override def capabilities(): util.Set[TableCapability] = readDelegate.capabilities()
     override def partitioning(): Array[Transform] = readDelegate.partitioning()
     override def properties(): util.Map[String, String] = readDelegate.properties()
-    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      readDelegate.newScanBuilder(options)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      val inner = readDelegate.newScanBuilder(options)
+      // Zone-map integration with the PLAIN scan path: when the table has a
+      // stats sidecar (ANALYZE ran), wrap the builder so pushed filters are
+      // additionally consulted against the per-file [min,max] ranges and
+      // non-intersecting files are dropped from the planned splits — plain
+      // `SELECT … WHERE` gets file skipping without the prunedScan side API.
+      val stats = StagingMaintenance.readStatsFor(tableFs, dir)
+      if (stats.isEmpty) inner
+      else inner match {
+        case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
+          new ZoneMapScanBuilder(fb, stats)
+        case other => other
+      }
+    }
 
     // `DELETE FROM <catalog table> WHERE <pred>` — copy-on-write row-level
     // delete, the lakehouse shape: the CURRENT file set is rewritten
@@ -263,7 +302,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
       filters.forall(f => GraftStagingCatalog.filterToColumn(f).isDefined)
 
     override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-      GraftStagingCatalog.deleteWhere(dir, filters)
+      GraftStagingCatalog.deleteWhere(tableFs, dir, filters, snapshotVersion)
 
     // SQL UPDATE / MERGE INTO (and DELETE with predicates the metadata path
     // can't translate) via Spark's GROUP-BASED row-level operation
@@ -274,7 +313,11 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
     // here is the whole table — always correct; file-granular grouping is
     // the zone-map-pruned refinement. Old files stay on disk, so every
     // pre-rewrite version remains pinnable until VACUUM — the same
-    // copy-on-write contract as the metadata DELETE path.
+    // copy-on-write contract as the metadata DELETE path. The commit
+    // carries the snapshot version this table resolved as its base: if the
+    // table advanced past it (a racing append or rewrite committed), the
+    // commit ABORTS with a conflict instead of replacing the current set
+    // from a stale snapshot — the classic lost-update guard.
     override def newRowLevelOperationBuilder(
         info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
         : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
@@ -320,13 +363,15 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
                     override def onDataWriterCommit(message: WriterCommitMessage): Unit =
                       inner.onDataWriterCommit(message)
                     override def commit(messages: Array[WriterCommitMessage]): Unit = {
-                      val before = GraftStagingCatalog.dataFiles(dir).toSet
+                      val before = GraftStagingCatalog.dataFiles(tableFs, dir).toSet
                       inner.commit(messages)
-                      val fresh = GraftStagingCatalog.dataFiles(dir).filterNot(before)
+                      val fresh = GraftStagingCatalog.dataFiles(tableFs, dir).filterNot(before)
                       // whole-table groups: the replacement files ARE the
-                      // new current set
-                      GraftStagingCatalog.writeExplicitManifest(dir, fresh,
-                        kind = info.command().toString.toLowerCase)
+                      // new current set — valid ONLY if the table is still
+                      // at the snapshot this rewrite scanned
+                      GraftStagingCatalog.writeExplicitManifest(tableFs, dir, fresh,
+                        kind = info.command().toString.toLowerCase,
+                        expectedBase = Some(snapshotVersion))
                     }
                     override def abort(messages: Array[WriterCommitMessage]): Unit =
                       inner.abort(messages)
@@ -339,11 +384,11 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
       val inner = writeDelegate.newWriteBuilder(info)
       // Exactly-once streaming appends: a writer may tag the commit with
       // its micro-batch id (`.option("graft.batch-id", id)`). The id is
-      // recorded INSIDE the version manifest — one atomic file write — so
-      // "data committed" and "batch recorded" cannot tear apart, and a
-      // crash-redelivered batch is detected and skipped (its staged task
-      // files are aborted away). This is the catalog-sink analogue of the
-      // SegmentedIndex's per-batchId segments.
+      // recorded INSIDE the version manifest — one create-exclusive file
+      // write — so "data committed" and "batch recorded" cannot tear
+      // apart, and a crash-redelivered batch is detected and skipped (its
+      // staged task files are aborted away). This is the catalog-sink
+      // analogue of the SegmentedIndex's per-batchId segments.
       val batchId = Option(info.options.get("graft.batch-id")).map(_.toLong)
       new WriteBuilder {
         override def build(): Write = new Write {
@@ -357,7 +402,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
             override def onDataWriterCommit(message: WriterCommitMessage): Unit =
               d.onDataWriterCommit(message)
             override def commit(messages: Array[WriterCommitMessage]): Unit = {
-              if (batchId.exists(GraftStagingCatalog.committedBatchIds(dir).contains)) {
+              if (batchId.exists(GraftStagingCatalog.committedBatchIds(tableFs, dir).contains)) {
                 d.abort(messages) // replay of a committed batch: discard staged files
                 return
               }
@@ -368,10 +413,10 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
               // to manifest-pinned reads, reclaimed by VACUUM — instead of
               // being silently absorbed into a later version, which would
               // duplicate rows when the failed statement is retried.
-              val before = GraftStagingCatalog.dataFiles(dir).toSet
+              val before = GraftStagingCatalog.dataFiles(tableFs, dir).toSet
               d.commit(messages)
               // only a SUCCESSFUL commit becomes a version
-              GraftStagingCatalog.writeCommitManifest(dir, before, batchId)
+              GraftStagingCatalog.writeCommitManifest(tableFs, dir, before, batchId)
             }
             override def abort(messages: Array[WriterCommitMessage]): Unit =
               d.abort(messages)
@@ -391,10 +436,9 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
         s"$catalogName: partitioned staging tables are not supported")
     requireNs(ident.namespace())
     val d = tableDir(ident)
-    if (d.isDirectory) throw new TableAlreadyExistsException(ident)
-    d.mkdirs()
-    Files.write(new File(d, SchemaSidecar).toPath,
-      schema.json.getBytes(StandardCharsets.UTF_8))
+    if (isDir(d)) throw new TableAlreadyExistsException(ident)
+    fs.mkdirs(d)
+    GraftStagingCatalog.writeString(fs, new Path(d, SchemaSidecar), schema.json)
     loadTable(ident)
   }
 
@@ -409,13 +453,12 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = tableDir(ident)
-    if (d == null || !d.isDirectory) throw new NoSuchTableException(ident)
-    val sidecar = new File(d, SchemaSidecar)
+    if (d == null || !isDir(d)) throw new NoSuchTableException(ident)
+    val sidecar = new Path(d, SchemaSidecar)
     var schema: StructType =
-      if (sidecar.isFile)
-        DataType.fromJson(new String(
-          Files.readAllBytes(sidecar.toPath), StandardCharsets.UTF_8)).asInstanceOf[StructType]
-      else SparkSession.active.read.parquet(d.getAbsolutePath).schema
+      if (GraftStagingCatalog.isFile(fs, sidecar))
+        DataType.fromJson(GraftStagingCatalog.readString(fs, sidecar)).asInstanceOf[StructType]
+      else SparkSession.active.read.parquet(d.toString).schema
     changes.foreach {
       case add: TableChange.AddColumn =>
         if (add.fieldNames().length != 1)
@@ -434,29 +477,30 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
         throw new UnsupportedOperationException(
           s"$catalogName: unsupported ALTER TABLE change $other (only ADD COLUMN)")
     }
-    Files.write(sidecar.toPath, schema.json.getBytes(StandardCharsets.UTF_8))
+    GraftStagingCatalog.writeString(fs, sidecar, schema.json)
     loadTable(ident)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = tableDir(ident)
-    d != null && d.isDirectory && deleteRecursively(d)
+    d != null && isDir(d) && fs.delete(d, true)
   }
 
+  /** DDL rename of a table DIRECTORY. This is a user-facing management
+    * operation, not a commit primitive — nothing in the versioning protocol
+    * depends on its atomicity (on the reference's store it is S3A
+    * copy-then-delete, `CephRgwFileSystem.java:310-313`; commits here use
+    * create-exclusive manifests instead).
+    */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = tableDir(oldIdent)
-    if (from == null || !from.isDirectory) throw new NoSuchTableException(oldIdent)
+    if (from == null || !isDir(from)) throw new NoSuchTableException(oldIdent)
     val to = tableDir(newIdent)
     if (to == null) throw new NoSuchNamespaceException(newIdent.namespace())
-    if (to.isDirectory) throw new TableAlreadyExistsException(newIdent)
+    if (isDir(to)) throw new TableAlreadyExistsException(newIdent)
     requireNs(newIdent.namespace())
-    if (!from.renameTo(to))
+    if (!fs.rename(from, to))
       throw new IllegalStateException(s"rename $from -> $to failed")
-  }
-
-  private def deleteRecursively(f: File): Boolean = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
   }
 }
 
@@ -497,100 +541,166 @@ private class TrailingFieldsWriterFactory(
   }
 }
 
-/** Manifest machinery shared by the catalog and [[StagingMaintenance]]. */
+/** Manifest machinery shared by the catalog and [[StagingMaintenance]].
+  * Every function addresses storage exclusively through the Hadoop
+  * `FileSystem` handle passed in — the API surface the reference implements
+  * over object storage — never `java.io.File`.
+  */
 object GraftStagingCatalog {
   private[catalog] val SchemaSidecar = "_graft_schema.json"
   private[catalog] val VersionsDir = "_graft_versions"
   private val VersionFile = "^v(\\d+)\\.json$".r
 
-  private[catalog] def declaredSchema(d: File): Option[StructType] = {
-    val sidecar = new File(d, SchemaSidecar)
-    if (sidecar.isFile)
-      Some(DataType.fromJson(new String(
-        Files.readAllBytes(sidecar.toPath), StandardCharsets.UTF_8)).asInstanceOf[StructType])
+  private[catalog] def isFile(fs: FileSystem, p: Path): Boolean =
+    try fs.getFileStatus(p).isFile catch { case _: FileNotFoundException => false }
+
+  private[catalog] def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, UTF_8)
+    } finally in.close()
+  }
+
+  /** Plain (idempotent-overwrite) small-file write — sidecars only, never
+    * manifests: a manifest must be create-exclusive ([[tryCreateExclusive]]).
+    */
+  private[catalog] def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(UTF_8)) finally out.close()
+  }
+
+  /** CREATE-EXCLUSIVE write: succeeds iff `p` did not exist — the commit
+    * primitive that replaces rename-as-commit (SURVEY §7's object-store
+    * hazard; the reference's own rename is copy-then-delete,
+    * `CephRgwFileSystem.java:310-313`). Returns false when the create was
+    * lost to a racer; any other I/O failure propagates.
+    */
+  private[catalog] def tryCreateExclusive(fs: FileSystem, p: Path, s: String): Boolean =
+    try {
+      val out = fs.create(p, false)
+      try out.write(s.getBytes(UTF_8)) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: IOException if isFile(fs, p) => false // FS reported the race as a plain IOE
+    }
+
+  private[catalog] def declaredSchema(fs: FileSystem, d: Path): Option[StructType] = {
+    val sidecar = new Path(d, SchemaSidecar)
+    if (isFile(fs, sidecar))
+      Some(DataType.fromJson(readString(fs, sidecar)).asInstanceOf[StructType])
     else None
   }
 
-  private[catalog] def versionManifests(d: File): Seq[(Long, File)] =
-    Option(new File(d, VersionsDir).listFiles()).getOrElse(Array.empty).toIndexedSeq
+  private[catalog] def versionManifests(fs: FileSystem, d: Path): Seq[(Long, Path)] =
+    (try fs.listStatus(new Path(d, VersionsDir)).toIndexedSeq
+     catch { case _: FileNotFoundException => Seq.empty })
       .flatMap { f =>
-        f.getName match {
-          case VersionFile(v) => Some(v.toLong -> f)
+        f.getPath.getName match {
+          case VersionFile(v) => Some(v.toLong -> f.getPath)
           case _              => None
         }
       }.sortBy(_._1)
 
-  private[catalog] def manifestFiles(mf: File): Seq[String] = {
-    val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
+  private[catalog] def manifestFiles(fs: FileSystem, mf: Path): Seq[String] =
+    parseManifestFiles(readString(fs, mf))
+
+  private[catalog] def parseManifestFiles(txt: String): Seq[String] = {
     val body = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']'))
     if (body.trim.isEmpty) Seq.empty
     else "\"([^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
   }
 
-  private[catalog] def commitMillis(mf: File): Long = {
-    val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
-    "\"ts\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
-  }
+  private[catalog] def commitMillis(fs: FileSystem, mf: Path): Long =
+    "\"ts\":(\\d+)".r.findFirstMatchIn(readString(fs, mf)).map(_.group(1).toLong).getOrElse(0L)
 
   /** Data files of the table dir (excludes the schema sidecar, the versions
     * dir, and committer temporaries).
     */
-  private[catalog] def dataFiles(d: File): Seq[String] =
-    Option(d.listFiles()).getOrElse(Array.empty).toIndexedSeq
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .map(_.getName).sorted
+  private[catalog] def dataFiles(fs: FileSystem, d: Path): Seq[String] =
+    (try fs.listStatus(d).toIndexedSeq catch { case _: FileNotFoundException => Seq.empty })
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).sorted
 
-  private def writeManifest(d: File, files: Seq[String],
-      batchId: Option[Long] = None, kind: String = "commit"): Long = {
-    val vd = new File(d, VersionsDir)
-    vd.mkdirs()
-    val next = versionManifests(d).lastOption.map(_._1).getOrElse(0L) + 1L
+  private def manifestJson(files: Seq[String], batchId: Option[Long], kind: String): String = {
     val bid = batchId.map(b => s""""batchId":$b,""").getOrElse("")
-    val json = s"""{"ts":${System.currentTimeMillis()},"kind":"$kind",$bid"files":[${
+    s"""{"ts":${System.currentTimeMillis()},"kind":"$kind",$bid"files":[${
       // distinct: under concurrent commits a racer's files can arrive both
       // via the previous-current set AND via this commit's directory delta
       // (its `before` snapshot predates the racer's move) — a double-listed
       // file would read its rows twice
       files.distinct.sorted.map(f => "\"" + f + "\"").mkString(",")}]}"""
-    // temp + atomic rename: a manifest either exists complete or not at
-    // all — the property the exactly-once batch-id ledger leans on
-    val tmp = new File(vd, s".v$next.json.tmp")
-    Files.write(tmp.toPath, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, new File(vd, s"v$next.json").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    next
   }
 
   /** Micro-batch ids recorded by prior commits (the exactly-once ledger). */
-  private[catalog] def committedBatchIds(d: File): Set[Long] =
-    versionManifests(d).flatMap { case (_, f) =>
-      val txt = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      "\"batchId\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+  private[catalog] def committedBatchIds(fs: FileSystem, d: Path): Set[Long] =
+    versionManifests(fs, d).flatMap { case (_, f) =>
+      "\"batchId\":(\\d+)".r.findFirstMatchIn(readString(fs, f)).map(_.group(1).toLong)
     }.toSet
 
-  /** Commit hook: the new version = previous current set ∪ exactly the
-    * files this commit's job moved in (the before/after directory delta).
-    * Pre-OPTIMIZE originals (on disk, not current) and orphans from crashed
-    * commits are both in `before`, so neither can enter the new version —
-    * the former stay time-travel-only, the latter stay invisible until
-    * VACUUM reclaims them.
+  /** Commit hook for APPENDS: the new version = previous current set ∪
+    * exactly the files this commit's job moved in (the before/after
+    * directory delta). Pre-OPTIMIZE originals (on disk, not current) and
+    * orphans from crashed commits are both in `before`, so neither can
+    * enter the new version — the former stay time-travel-only, the latter
+    * stay invisible until VACUUM reclaims them. Appends MERGE: losing the
+    * create-exclusive race just re-reads the advanced current set and
+    * retries as the next version — no append is ever lost and none
+    * conflicts.
     */
-  private[catalog] def writeCommitManifest(d: File, before: Set[String],
+  private[catalog] def writeCommitManifest(fs: FileSystem, d: Path, before: Set[String],
       batchId: Option[Long] = None): Unit =
     synchronized {
-      val cur = versionManifests(d).lastOption
-        .map { case (_, f) => manifestFiles(f) }.getOrElse(Seq.empty)
-      writeManifest(d, cur ++ dataFiles(d).filterNot(before), batchId)
+      val vd = new Path(d, VersionsDir)
+      fs.mkdirs(vd)
+      var committed = false
+      while (!committed) {
+        val latest = versionManifests(fs, d).lastOption
+        val cur = latest.map { case (_, f) => manifestFiles(fs, f) }.getOrElse(Seq.empty)
+        val next = latest.map(_._1).getOrElse(0L) + 1L
+        committed = tryCreateExclusive(fs, new Path(vd, s"v$next.json"),
+          manifestJson(cur ++ dataFiles(fs, d).filterNot(before), batchId, "commit"))
+      }
     }
 
-  /** Maintenance commit (OPTIMIZE / DELETE): the new version is EXACTLY
-    * `files`, marked with a non-commit kind so file-diff consumers (the
-    * change feed) know the file sets on either side are not append-
-    * comparable.
+  /** Maintenance/rewrite commit (OPTIMIZE / DELETE / UPDATE / MERGE): the
+    * new version is EXACTLY `files`, marked with a non-commit kind so
+    * file-diff consumers (the change feed) know the file sets on either
+    * side are not append-comparable. When `expectedBase` is set, the commit
+    * is OPTIMISTIC: it succeeds only if the table is still at that version —
+    * a racing commit in between means this rewrite computed its replacement
+    * from a stale snapshot (its output would silently drop the racer's
+    * rows), so it aborts with a conflict and the caller decides whether to
+    * retry from the new current state.
     */
-  private[catalog] def writeExplicitManifest(d: File, files: Seq[String],
-      kind: String = "optimize"): Long =
-    synchronized { writeManifest(d, files, kind = kind) }
+  private[catalog] def writeExplicitManifest(fs: FileSystem, d: Path, files: Seq[String],
+      kind: String = "optimize", expectedBase: Option[Long] = None): Long =
+    synchronized {
+      val vd = new Path(d, VersionsDir)
+      fs.mkdirs(vd)
+      var out = -1L
+      while (out < 0) {
+        val latest = versionManifests(fs, d).lastOption.map(_._1).getOrElse(0L)
+        expectedBase.foreach { base =>
+          if (latest != base)
+            throw new java.util.ConcurrentModificationException(
+              s"$kind conflict on $d: rewrite computed against version $base " +
+                s"but the table is now at version $latest — a concurrent commit " +
+                "landed in between; re-run the statement against the current state")
+        }
+        if (tryCreateExclusive(fs, new Path(vd, s"v${latest + 1}.json"),
+            manifestJson(files, None, kind)))
+          out = latest + 1
+        // lost the create race: loop re-reads the advanced version — with an
+        // expectedBase that re-read throws the conflict above
+      }
+      out
+    }
 
   /** Translate a V1 source filter to a Column predicate; None = can't push
     * this delete (Spark then raises its standard unsupported-delete error).
@@ -619,323 +729,47 @@ object GraftStagingCatalog {
 
   /** Copy-on-write DELETE: rewrite the current file set without the rows
     * matching `filters` (conjunction; empty = delete everything, the
-    * TRUNCATE face) and commit the rewrite as a new kind=delete version.
-    * Same temp-write + move-then-manifest choreography as OPTIMIZE — a
-    * crash mid-move leaves unreferenced files, never a torn version.
+    * TRUNCATE face) and commit the rewrite as a new kind=delete version
+    * against `baseVersion` (optimistic — a racing commit aborts it). SQL
+    * DELETE semantics: a row is deleted only when the predicate is TRUE —
+    * rows where it evaluates NULL (e.g. a post-ALTER column that old files
+    * surface as NULL) MUST survive, so the survivor filter is
+    * NOT(coalesce(pred, false)), never the raw negation (!NULL is NULL,
+    * which would silently drop every NULL-predicate row).
     */
-  private[catalog] def deleteWhere(d: File,
-      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    import org.apache.spark.sql.functions.lit
+  private[catalog] def deleteWhere(fs: FileSystem, d: Path,
+      filters: Array[org.apache.spark.sql.sources.Filter], baseVersion: Long): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
     val spark = SparkSession.active
     val pred = filters.flatMap(filterToColumn(_)).reduceOption(_ && _).getOrElse(lit(true))
-    val current = versionManifests(d).lastOption
-      .map { case (_, mf) => manifestFiles(mf) }.getOrElse(dataFiles(d))
+    val current = versionManifests(fs, d).lastOption
+      .map { case (_, mf) => manifestFiles(fs, mf) }.getOrElse(dataFiles(fs, d))
     val kept: Seq[String] =
       if (current.isEmpty) Seq.empty
       else {
         val reader = spark.read
-        declaredSchema(d).foreach(reader.schema)
+        declaredSchema(fs, d).foreach(reader.schema)
         val remaining = reader
-          .parquet(current.map(f => new File(d, f).getAbsolutePath): _*)
-          .where(!pred)
-        val tmp = new File(d, s"_delete_${System.nanoTime()}")
-        remaining.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val moved = Option(tmp.listFiles()).getOrElse(Array.empty).toIndexedSeq
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .parquet(current.map(f => new Path(d, f).toString): _*)
+          .where(not(coalesce(pred, lit(false))))
+        val token = java.util.UUID.randomUUID().toString.take(12)
+        val tmp = new Path(d, s"_delete_$token")
+        remaining.write.mode("overwrite").parquet(tmp.toString)
+        val moved = fs.listStatus(tmp).toIndexedSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map { f =>
-            val target = new File(d, s"del-${tmp.getName.stripPrefix("_delete_")}-${f.getName}")
-            if (!f.renameTo(target))
-              throw new IllegalStateException(s"delete: move $f -> $target failed")
+            val target = new Path(d, s"del-$token-${f.getPath.getName}")
+            if (!fs.rename(f.getPath, target))
+              throw new IllegalStateException(s"delete: move ${f.getPath} -> $target failed")
             target.getName
           }
-        Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-        tmp.delete()
+        fs.delete(tmp, true)
         moved
       }
-    writeExplicitManifest(d, kept, kind = "delete")
+    writeExplicitManifest(fs, d, kept, kind = "delete", expectedBase = Some(baseVersion))
   }
 
-  private[catalog] def manifestKind(mf: File): String = {
-    val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
-    "\"kind\":\"([a-z]+)\"".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("commit")
-  }
-}
-
-/** Table-maintenance operations for [[GraftStagingCatalog]] tables — the
-  * catalog-face answer to the object store's two operational hazards, the
-  * same ones the streaming side's SegmentedIndex compaction addresses:
-  *
-  *  - '''optimize''': every INSERT commit lands one part-file set; a table
-  *    fed by many small commits accretes many small files (the classic
-  *    object-store pile-up — the reference's deployment target). OPTIMIZE
-  *    rewrites the CURRENT file set into `targetFiles` compacted files and
-  *    commits them as a NEW version; the originals stay on disk so every
-  *    earlier `VERSION AS OF` still reads its exact file set.
-  *  - '''vacuum''': bounded version retention. Drops all but the last
-  *    `retainLast` manifests and deletes data files no retained version
-  *    references — reclaiming the space OPTIMIZE deliberately left behind.
-  *
-  * Both are driver-side metadata+rewrite operations (like a lakehouse
-  * OPTIMIZE/VACUUM pair), deliberately outside the SQL surface: they change
-  * layout, never content.
-  */
-object StagingMaintenance {
-  import GraftStagingCatalog._
-
-  private def tableDir(spark: SparkSession, catalog: String, ns: String,
-      table: String): File = {
-    val root = spark.conf.getOption(s"spark.sql.catalog.$catalog.root")
-      .getOrElse(throw new IllegalArgumentException(
-        s"spark.sql.catalog.$catalog.root is not set"))
-    val d = new File(new File(root, ns), table)
-    if (!d.isDirectory)
-      throw new IllegalArgumentException(s"no staging table at $d")
-    d
-  }
-
-  /** Compact the current file set into `targetFiles` files, committed as a
-    * new version. Returns (filesBefore, filesAfter, newVersion).
-    *
-    * `clusterBy`: when set, the rewrite RANGE-partitions and sorts on that
-    * column instead of hash-scattering — CLUSTER BY as a maintenance
-    * operation (the lakehouse OPTIMIZE-with-clustering shape). Commits
-    * arrive in ingestion order, so every file of an unclustered table spans
-    * the whole keyspace and zone maps ([[analyze]]/[[prunedScan]]) can
-    * skip nothing; after a clustered rewrite the per-file [min,max] ranges
-    * are disjoint and a range predicate touches ~its fraction of files.
-    * Layout only, never content — same manifest rules as a plain OPTIMIZE.
-    */
-  def optimize(spark: SparkSession, catalog: String, ns: String, table: String,
-      targetFiles: Int = 4, clusterBy: Option[String] = None): (Int, Int, Long) = {
-    import org.apache.spark.sql.functions.col
-    val d = tableDir(spark, catalog, ns, table)
-    val current = versionManifests(d).lastOption
-      .map { case (_, mf) => manifestFiles(mf) }.getOrElse(dataFiles(d))
-    if (current.isEmpty) return (0, 0, -1L)
-    val reader = spark.read
-    declaredSchema(d).foreach(reader.schema)
-    val df = reader.parquet(current.map(f => new File(d, f).getAbsolutePath): _*)
-    // rewrite into a staging subdir (underscore-prefixed: invisible to data
-    // listings), then move the compacted parts into the table dir under
-    // unique names BEFORE committing the manifest that references them —
-    // a crash mid-move leaves unreferenced files, never a torn version
-    val tmp = new File(d, s"_optimize_${System.nanoTime()}")
-    val laid = clusterBy match {
-      case Some(c) => df.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
-      case None    => df.repartition(targetFiles)
-    }
-    laid.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    val moved = Option(tmp.listFiles()).getOrElse(Array.empty).toIndexedSeq
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map { f =>
-        val target = new File(d, s"opt-${tmp.getName.stripPrefix("_optimize_")}-${f.getName}")
-        if (!f.renameTo(target))
-          throw new IllegalStateException(s"optimize: move $f -> $target failed")
-        target.getName
-      }
-    deleteRecursively(tmp)
-    val v = writeExplicitManifest(d, moved)
-    (current.size, moved.size, v)
-  }
-
-  /** Append-only change data feed: the rows added in versions
-    * `(fromVersion, toVersion]`. Because commits only ADD files, the
-    * row-level delta is exactly the FILE-level delta between the two
-    * manifests — a metadata diff plus a scan of only the new files, no
-    * row comparison anywhere. Refused across an OPTIMIZE boundary (its
-    * manifest rewrites the file set without changing rows, so a file diff
-    * there would misreport the whole table as changed) — read the two
-    * versions directly in that case. This is the incremental-consumer
-    * primitive: a downstream job remembers the version it last processed
-    * and reads forward from there instead of re-scanning the table.
-    */
-  def changesBetween(spark: SparkSession, catalog: String, ns: String,
-      table: String, fromVersion: Long, toVersion: Long): org.apache.spark.sql.DataFrame = {
-    require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
-    val d = tableDir(spark, catalog, ns, table)
-    val manifests = versionManifests(d).toMap
-    def mf(v: Long): File = manifests.getOrElse(v,
-      throw new IllegalArgumentException(
-        s"$catalog.$ns.$table has no version $v (vacuumed or never committed)"))
-    ((fromVersion + 1) to toVersion).foreach { v =>
-      val kind = manifestKind(mf(v))
-      if (kind != "commit")
-        throw new IllegalArgumentException(
-          s"change feed crosses ${kind.toUpperCase} at version $v: file sets " +
-            "are not append-comparable across a rewrite — read the versions directly")
-    }
-    val fromFiles =
-      if (fromVersion == 0L) Set.empty[String] else manifestFiles(mf(fromVersion)).toSet
-    val newFiles = manifestFiles(mf(toVersion)).filterNot(fromFiles)
-    val reader = spark.read
-    declaredSchema(d).foreach(reader.schema)
-    if (newFiles.isEmpty)
-      reader.schema(declaredSchema(d).getOrElse(
-        spark.read.parquet(d.getAbsolutePath).schema))
-        .parquet() // empty relation with the table schema
-    else reader.parquet(newFiles.map(f => new File(d, f).getAbsolutePath): _*)
-  }
-
-  // ---- zone maps (file-level min/max data skipping) ----------------------
-  //
-  // The object-store answer to "don't read what can't match": per-file
-  // min/max statistics harvested from the parquet FOOTERS (a metadata-only
-  // positional read — the same access pattern the reference's
-  // CephRgwInputStream.read(position,...) exists to make cheap,
-  // CephRgwInputStream.java:103-120), persisted in a `_graft_stats.tsv`
-  // sidecar, and consulted at read time to skip whole files whose
-  // [min,max] range cannot intersect the predicate. File-granular skipping
-  // sits ABOVE the row-group skipping Spark's parquet reader already does
-  // (FsParitySpec proves that layer): at 100 TB it is the difference
-  // between listing-and-opening every object and touching only the
-  // partitions of the keyspace the query asks for. Files are immutable, so
-  // stats never go stale; ANALYZE is incremental (only files without
-  // recorded stats are footer-read).
-
-  private val StatsSidecar = "_graft_stats.tsv"
-
-  /** (file, column) -> (min, max), from the stats sidecar. */
-  private def readStats(d: File): Map[(String, String), (Long, Long)] = {
-    val f = new File(d, StatsSidecar)
-    if (!f.isFile) Map.empty
-    else java.nio.file.Files.readAllLines(f.toPath).asScala
-      .filter(_.nonEmpty).map { line =>
-        val Array(file, col, mn, mx) = line.split("\t", 4)
-        (file, col) -> (mn.toLong, mx.toLong)
-      }.toMap
-  }
-
-  /** Files the CURRENT version reads (manifest-pinned when versioned). */
-  private def currentFiles(d: File): Seq[String] =
-    versionManifests(d).lastOption
-      .map { case (_, mf) => manifestFiles(mf) }.getOrElse(dataFiles(d))
-
-  /** Harvest per-file min/max for integral `columns` from parquet footers —
-    * no data pages are read. Incremental: files already covered by the
-    * sidecar are skipped (files are immutable). Returns the number of files
-    * newly analyzed.
-    */
-  def analyze(spark: SparkSession, catalog: String, ns: String, table: String,
-      columns: Seq[String]): Int = synchronized {
-    import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
-    val d = tableDir(spark, catalog, ns, table)
-    val existing = readStats(d)
-    val todo = currentFiles(d)
-      .filterNot(f => columns.forall(c => existing.contains((f, c))))
-    val conf = spark.sessionState.newHadoopConf()
-    val lines = todo.flatMap { f =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(new File(d, f).getAbsolutePath), conf))
-      try {
-        val byCol = reader.getFooter.getBlocks.asScala
-          .flatMap(_.getColumns.asScala)
-          .groupBy(_.getPath.toDotString)
-        columns.flatMap { c =>
-          val ranges = byCol.getOrElse(c, Seq.empty).map(_.getStatistics).collect {
-            case s: LongStatistics if s.hasNonNullValue => (s.getMin, s.getMax)
-            case s: IntStatistics if s.hasNonNullValue  => (s.getMin.toLong, s.getMax.toLong)
-          }
-          // no usable stats (non-integral type, all-null, or stats absent):
-          // record nothing — the pruner keeps the file conservatively
-          if (ranges.isEmpty) None
-          else Some(s"$f\t$c\t${ranges.map(_._1).min}\t${ranges.map(_._2).max}")
-        }
-      } finally reader.close()
-    }
-    if (lines.nonEmpty) {
-      val out = new File(d, StatsSidecar)
-      val prev = if (out.isFile)
-        new String(java.nio.file.Files.readAllBytes(out.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
-      else ""
-      java.nio.file.Files.write(out.toPath,
-        (prev + lines.mkString("", "\n", "\n"))
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
-    todo.size
-  }
-
-  /** Zone-map-pruned scan: read only current files whose recorded
-    * [min,max] on `column` intersects [lo,hi] (files without stats are
-    * read conservatively), then apply the row-level predicate on top —
-    * pruning is file-granular, it never substitutes for the filter.
-    * Returns (dataframe, filesCurrent, filesRead).
-    */
-  def prunedScan(spark: SparkSession, catalog: String, ns: String, table: String,
-      column: String, lo: Long, hi: Long): (org.apache.spark.sql.DataFrame, Int, Int) =
-    prunedScan(spark, catalog, ns, table, Seq((column, lo, hi)))
-
-  /** Conjunctive zone-map pruning: a file survives only if EVERY
-    * predicate's [lo,hi] can intersect its recorded range — ranges compose
-    * by AND, so two individually-weak predicates can together prune a file
-    * (or everything) that neither alone could. All row-level predicates
-    * still apply after the scan.
-    */
-  def prunedScan(spark: SparkSession, catalog: String, ns: String, table: String,
-      preds: Seq[(String, Long, Long)]): (org.apache.spark.sql.DataFrame, Int, Int) = {
-    import org.apache.spark.sql.functions.{col, lit}
-    require(preds.nonEmpty, "prunedScan needs at least one predicate")
-    val d = tableDir(spark, catalog, ns, table)
-    val stats = readStats(d)
-    val current = currentFiles(d)
-    val keep = current.filter { f =>
-      preds.forall { case (column, lo, hi) =>
-        stats.get((f, column)) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None           => true
-        }
-      }
-    }
-    val reader = spark.read
-    declaredSchema(d).foreach(reader.schema)
-    val df =
-      if (keep.isEmpty)
-        reader.schema(declaredSchema(d).getOrElse(
-          spark.read.parquet(d.getAbsolutePath).schema)).parquet()
-      else reader.parquet(keep.map(f => new File(d, f).getAbsolutePath): _*)
-    val cond = preds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
-      .foldLeft(lit(true))(_ && _)
-    (df.where(cond), current.size, keep.size)
-  }
-
-  /** DESCRIBE-HISTORY face: one row per retained version manifest —
-    * (version, kind, n_files, batch_id). Timestamps are deliberately NOT
-    * exposed here (wall-clock noise); they remain in the manifest for
-    * `TIMESTAMP AS OF`. This is how an operator audits what happened to a
-    * table: which commits were appends, which were maintenance rewrites,
-    * which streaming batch each append belongs to.
-    */
-  def history(spark: SparkSession, catalog: String, ns: String,
-      table: String): org.apache.spark.sql.DataFrame = {
-    val d = tableDir(spark, catalog, ns, table)
-    val rows = versionManifests(d).map { case (v, mf) =>
-      val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
-      val bid = "\"batchId\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-      (v, manifestKind(mf), manifestFiles(mf).size.toLong, bid)
-    }
-    import spark.implicits._
-    rows.toDF("version", "kind", "n_files", "batch_id")
-  }
-
-  /** Keep only the last `retainLast` versions; delete every data file no
-    * retained version references. Returns the deleted file names.
-    */
-  def vacuum(spark: SparkSession, catalog: String, ns: String, table: String,
-      retainLast: Int = 1): Seq[String] = {
-    require(retainLast >= 1, "vacuum must retain at least the current version")
-    val d = tableDir(spark, catalog, ns, table)
-    val manifests = versionManifests(d)
-    val (drop, keep) = manifests.splitAt(math.max(0, manifests.size - retainLast))
-    val referenced = keep.flatMap { case (_, f) => manifestFiles(f) }.toSet
-    drop.foreach { case (_, f) => f.delete() }
-    val dead = dataFiles(d).filterNot(referenced)
-    dead.foreach(f => new File(d, f).delete())
-    dead
-  }
-
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-  }
+  private[catalog] def manifestKind(fs: FileSystem, mf: Path): String =
+    "\"kind\":\"([a-z]+)\"".r.findFirstMatchIn(readString(fs, mf))
+      .map(_.group(1)).getOrElse("commit")
 }

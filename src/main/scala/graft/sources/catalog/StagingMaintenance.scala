@@ -1,0 +1,605 @@
+package graft.sources.catalog
+
+import java.io.FileNotFoundException
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan,
+  ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns,
+  SupportsReportStatistics}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.{FileScan, FileScanBuilder}
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.{StructType, TimestampType}
+
+import GraftStagingCatalog._
+
+/** Per-file zone-map statistic for one column: an orderable [min,max] range
+  * harvested from parquet footers. Three orderable kinds cover the corpus's
+  * pruning keys — integral (incl. DATE as epoch days), TIMESTAMP (normalized
+  * to MICROS regardless of the file's physical unit — event-time is the
+  * hottest real-world pruning key), floating, and UTF-8 string. `NoneZ`
+  * records "footer had no usable stats" so incremental ANALYZE knows the
+  * file was visited; the pruner keeps such files conservatively.
+  */
+private[catalog] sealed trait ZStat
+private[catalog] final case class LongZ(min: Long, max: Long) extends ZStat
+private[catalog] final case class DoubleZ(min: Double, max: Double) extends ZStat
+private[catalog] final case class StringZ(min: String, max: String) extends ZStat
+private[catalog] case object NoneZ extends ZStat
+
+/** Table-maintenance operations for [[GraftStagingCatalog]] tables — the
+  * catalog-face answer to the object store's two operational hazards, the
+  * same ones the streaming side's SegmentedIndex compaction addresses:
+  *
+  *  - '''optimize''': every INSERT commit lands one part-file set; a table
+  *    fed by many small commits accretes many small files (the classic
+  *    object-store pile-up — the reference's deployment target). OPTIMIZE
+  *    rewrites the CURRENT file set into `targetFiles` compacted files and
+  *    commits them as a NEW version; the originals stay on disk so every
+  *    earlier `VERSION AS OF` still reads its exact file set.
+  *  - '''vacuum''': bounded version retention. Drops all but the last
+  *    `retainLast` manifests and deletes data files no retained version
+  *    references — reclaiming the space OPTIMIZE deliberately left behind.
+  *
+  * Both are driver-side metadata+rewrite operations (like a lakehouse
+  * OPTIMIZE/VACUUM pair), deliberately outside the SQL surface: they change
+  * layout, never content. All storage access goes through the Hadoop
+  * `FileSystem` API (the contract the reference implements,
+  * `CephRgwFileSystem.java:42`); rewrite commits carry the base version they
+  * scanned and abort on a concurrent commit instead of losing it.
+  */
+object StagingMaintenance {
+
+  private def tableDir(spark: SparkSession, catalog: String, ns: String,
+      table: String): (FileSystem, Path) = {
+    val root = spark.conf.getOption(s"spark.sql.catalog.$catalog.root")
+      .getOrElse(throw new IllegalArgumentException(
+        s"spark.sql.catalog.$catalog.root is not set"))
+    val raw = new Path(new Path(root, ns), table)
+    val fs = raw.getFileSystem(spark.sessionState.newHadoopConf())
+    val d = fs.makeQualified(raw)
+    val ok = try fs.getFileStatus(d).isDirectory catch { case _: FileNotFoundException => false }
+    if (!ok) throw new IllegalArgumentException(s"no staging table at $d")
+    (fs, d)
+  }
+
+  /** Compact the current file set into `targetFiles` files, committed as a
+    * new version. Returns (filesBefore, filesAfter, newVersion).
+    *
+    * `clusterBy`: when set, the rewrite RANGE-partitions and sorts on that
+    * column instead of hash-scattering — CLUSTER BY as a maintenance
+    * operation (the lakehouse OPTIMIZE-with-clustering shape). Commits
+    * arrive in ingestion order, so every file of an unclustered table spans
+    * the whole keyspace and zone maps ([[analyze]]/[[prunedScan]]) can
+    * skip nothing; after a clustered rewrite the per-file [min,max] ranges
+    * are disjoint and a range predicate touches ~its fraction of files.
+    * Layout only, never content — same manifest rules as a plain OPTIMIZE,
+    * committed optimistically against the version the rewrite scanned.
+    */
+  def optimize(spark: SparkSession, catalog: String, ns: String, table: String,
+      targetFiles: Int = 4, clusterBy: Option[String] = None): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    val latest = versionManifests(fs, d).lastOption
+    val base = latest.map(_._1).getOrElse(0L)
+    val current = latest.map { case (_, mf) => manifestFiles(fs, mf) }
+      .getOrElse(dataFiles(fs, d))
+    if (current.isEmpty) return (0, 0, -1L)
+    val reader = spark.read
+    declaredSchema(fs, d).foreach(reader.schema)
+    val df = reader.parquet(current.map(f => new Path(d, f).toString): _*)
+    // rewrite into a staging subdir (underscore-prefixed: invisible to data
+    // listings), then move the compacted parts into the table dir under
+    // unique names BEFORE committing the manifest that references them —
+    // a crash mid-move leaves unreferenced files, never a torn version.
+    // (The moves are data-file placement, not the commit: atomicity lives
+    // entirely in the create-exclusive manifest write.)
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val tmp = new Path(d, s"_optimize_$token")
+    val laid = clusterBy match {
+      case Some(c) => df.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
+      case None    => df.repartition(targetFiles)
+    }
+    laid.write.mode("overwrite").parquet(tmp.toString)
+    val moved = fs.listStatus(tmp).toIndexedSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val target = new Path(d, s"opt-$token-${f.getPath.getName}")
+        if (!fs.rename(f.getPath, target))
+          throw new IllegalStateException(s"optimize: move ${f.getPath} -> $target failed")
+        target.getName
+      }
+    fs.delete(tmp, true)
+    val v = writeExplicitManifest(fs, d, moved, expectedBase = Some(base))
+    (current.size, moved.size, v)
+  }
+
+  /** Append-only change data feed: the rows added in versions
+    * `(fromVersion, toVersion]`. Because commits only ADD files, the
+    * row-level delta is exactly the FILE-level delta between the two
+    * manifests — a metadata diff plus a scan of only the new files, no
+    * row comparison anywhere. Refused across an OPTIMIZE boundary (its
+    * manifest rewrites the file set without changing rows, so a file diff
+    * there would misreport the whole table as changed) — read the two
+    * versions directly in that case. This is the incremental-consumer
+    * primitive: a downstream job remembers the version it last processed
+    * and reads forward from there instead of re-scanning the table.
+    */
+  def changesBetween(spark: SparkSession, catalog: String, ns: String,
+      table: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    val manifests = versionManifests(fs, d).toMap
+    def mf(v: Long): Path = manifests.getOrElse(v,
+      throw new IllegalArgumentException(
+        s"$catalog.$ns.$table has no version $v (vacuumed or never committed)"))
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val kind = manifestKind(fs, mf(v))
+      if (kind != "commit")
+        throw new IllegalArgumentException(
+          s"change feed crosses ${kind.toUpperCase} at version $v: file sets " +
+            "are not append-comparable across a rewrite — read the versions directly")
+    }
+    val fromFiles =
+      if (fromVersion == 0L) Set.empty[String] else manifestFiles(fs, mf(fromVersion)).toSet
+    val newFiles = manifestFiles(fs, mf(toVersion)).filterNot(fromFiles)
+    val reader = spark.read
+    declaredSchema(fs, d).foreach(reader.schema)
+    if (newFiles.isEmpty)
+      reader.schema(declaredSchema(fs, d).getOrElse(
+        spark.read.parquet(d.toString).schema))
+        .parquet() // empty relation with the table schema
+    else reader.parquet(newFiles.map(f => new Path(d, f).toString): _*)
+  }
+
+  // ---- zone maps (file-level min/max data skipping) ----------------------
+  //
+  // The object-store answer to "don't read what can't match": per-file
+  // min/max statistics harvested from the parquet FOOTERS (a metadata-only
+  // positional read — the same access pattern the reference's
+  // CephRgwInputStream.read(position,...) exists to make cheap,
+  // CephRgwInputStream.java:103-120), persisted in a `_graft_stats.tsv`
+  // sidecar, and consulted at read time to skip whole files whose
+  // [min,max] range cannot intersect the predicate. File-granular skipping
+  // sits ABOVE the row-group skipping Spark's parquet reader already does
+  // (FsParitySpec proves that layer): at 100 TB it is the difference
+  // between listing-and-opening every object and touching only the
+  // partitions of the keyspace the query asks for. Files are immutable, so
+  // stats never go stale; ANALYZE is incremental (only files without
+  // recorded stats are footer-read) but REWRITES the sidecar from the
+  // merged map each run — no duplicate lines, and entries for files no
+  // retained version references are dropped (VACUUM trims too), so the
+  // sidecar stays proportional to the live file count. The sidecar is an
+  // advisory CACHE, not a commit: losing it (or a torn write) only costs
+  // pruning until the next ANALYZE, never correctness — which is why a
+  // plain overwrite is acceptable where manifests demand create-exclusive.
+
+  private val StatsSidecar = "_graft_stats.tsv"
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** (file, column) -> range, from the stats sidecar. Tolerates torn or
+    * legacy lines (4-field = long-typed) by skipping what fails to parse —
+    * advisory cache semantics.
+    */
+  private[catalog] def readStatsFor(fs: FileSystem, d: Path): Map[(String, String), ZStat] = {
+    val f = new Path(d, StatsSidecar)
+    if (!isFile(fs, f)) Map.empty
+    else readString(fs, f).split('\n').toIndexedSeq.filter(_.nonEmpty).flatMap { line =>
+      try line.split("\t", 5) match {
+        case Array(file, col, "L", mn, mx) => Some((file, col) -> LongZ(mn.toLong, mx.toLong))
+        case Array(file, col, "D", mn, mx) =>
+          Some((file, col) -> DoubleZ(mn.toDouble, mx.toDouble))
+        case Array(file, col, "S", mn, mx) => Some((file, col) -> StringZ(dec(mn), dec(mx)))
+        case Array(file, col, "N", _, _)   => Some((file, col) -> NoneZ)
+        case Array(file, col, mn, mx)      => Some((file, col) -> LongZ(mn.toLong, mx.toLong))
+        case _                             => None
+      } catch { case _: RuntimeException => None }
+    }.toMap
+  }
+
+  private def statLine(file: String, col: String, z: ZStat): String = z match {
+    case LongZ(mn, mx)   => s"$file\t$col\tL\t$mn\t$mx"
+    case DoubleZ(mn, mx) => s"$file\t$col\tD\t$mn\t$mx"
+    case StringZ(mn, mx) => s"$file\t$col\tS\t${enc(mn)}\t${enc(mx)}"
+    case NoneZ           => s"$file\t$col\tN\t-\t-"
+  }
+
+  private def writeStats(fs: FileSystem, d: Path,
+      stats: Map[(String, String), ZStat]): Unit = {
+    val body = stats.toSeq.sortBy { case ((f, c), _) => (f, c) }
+      .map { case ((f, c), z) => statLine(f, c, z) }
+    if (body.isEmpty) fs.delete(new Path(d, StatsSidecar), false)
+    else writeString(fs, new Path(d, StatsSidecar), body.mkString("", "\n", "\n"))
+  }
+
+  /** Files the CURRENT version reads (manifest-pinned when versioned). */
+  private def currentFiles(fs: FileSystem, d: Path): Seq[String] =
+    versionManifests(fs, d).lastOption
+      .map { case (_, mf) => manifestFiles(fs, mf) }.getOrElse(dataFiles(fs, d))
+
+  /** Harvest per-file min/max for `columns` from parquet footers — no data
+    * pages are read. Covers integral, DATE (epoch days), TIMESTAMP
+    * (normalized to micros), double/float, and string columns; a column
+    * with no usable footer stats records a `NoneZ` marker so the file
+    * counts as visited (the pruner keeps it conservatively). Incremental:
+    * files already covered by the sidecar are skipped (files are
+    * immutable); the sidecar is rewritten from the merged map and pruned
+    * to files still on disk. Returns the number of files newly analyzed.
+    */
+  def analyze(spark: SparkSession, catalog: String, ns: String, table: String,
+      columns: Seq[String]): Int = synchronized {
+    import org.apache.parquet.column.statistics.{BinaryStatistics, DoubleStatistics,
+      FloatStatistics, IntStatistics, LongStatistics}
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    val existing = readStatsFor(fs, d)
+    val todo = currentFiles(fs, d)
+      .filterNot(f => columns.forall(c => existing.contains((f, c))))
+    val conf = spark.sessionState.newHadoopConf()
+    val harvested: Seq[((String, String), ZStat)] = todo.flatMap { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(d, f), conf))
+      try {
+        val byCol = reader.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .groupBy(_.getPath.toDotString)
+        columns.map { c =>
+          val chunks = byCol.getOrElse(c, Seq.empty)
+          val tsUnit = chunks.headOption
+            .map(_.getPrimitiveType.getLogicalTypeAnnotation).flatMap {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => Some(t.getUnit)
+              case _ => None
+            }
+          // TIMESTAMP stats normalize to micros whatever the file's unit —
+          // the sidecar then has ONE comparable scale per column
+          def toMicros(v: Long): Long = tsUnit match {
+            case Some(LogicalTypeAnnotation.TimeUnit.MILLIS) => v * 1000L
+            case Some(LogicalTypeAnnotation.TimeUnit.NANOS)  => v / 1000L
+            case _                                           => v
+          }
+          val ranges: Seq[ZStat] = chunks.map(_.getStatistics).collect {
+            case s: LongStatistics if s.hasNonNullValue =>
+              LongZ(toMicros(s.getMin), toMicros(s.getMax))
+            case s: IntStatistics if s.hasNonNullValue =>
+              LongZ(s.getMin.toLong, s.getMax.toLong)
+            case s: DoubleStatistics if s.hasNonNullValue => DoubleZ(s.getMin, s.getMax)
+            case s: FloatStatistics if s.hasNonNullValue =>
+              DoubleZ(s.getMin.toDouble, s.getMax.toDouble)
+            case s: BinaryStatistics if s.hasNonNullValue &&
+                chunks.head.getPrimitiveType.getLogicalTypeAnnotation
+                  .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+              StringZ(s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8)
+          }.toIndexedSeq
+          val merged: ZStat = ranges.reduceOption[ZStat] {
+            case (LongZ(a, b), LongZ(c, e))     => LongZ(math.min(a, c), math.max(b, e))
+            case (DoubleZ(a, b), DoubleZ(c, e)) => DoubleZ(math.min(a, c), math.max(b, e))
+            case (StringZ(a, b), StringZ(c, e)) =>
+              StringZ(if (a <= c) a else c, if (b >= e) b else e)
+            case _                              => NoneZ
+          }.getOrElse(NoneZ)
+          (f, c) -> merged
+        }
+      } finally reader.close()
+    }
+    // rewrite (not append): merged map, restricted to files still on disk —
+    // reclaimed files' entries drop out here and in vacuum
+    val onDisk = dataFiles(fs, d).toSet
+    val merged = (existing ++ harvested).filter { case ((f, _), _) => onDisk(f) }
+    if (harvested.nonEmpty || merged.size != existing.size) writeStats(fs, d, merged)
+    todo.size
+  }
+
+  /** Zone-map-pruned scan: read only current files whose recorded
+    * [min,max] on `column` intersects [lo,hi] (files without stats are
+    * read conservatively), then apply the row-level predicate on top —
+    * pruning is file-granular, it never substitutes for the filter.
+    * For TIMESTAMP columns `lo`/`hi` are MICROSECONDS since the epoch
+    * (the sidecar's normalized scale). Returns (dataframe, filesCurrent,
+    * filesRead).
+    */
+  def prunedScan(spark: SparkSession, catalog: String, ns: String, table: String,
+      column: String, lo: Long, hi: Long): (DataFrame, Int, Int) =
+    prunedScan(spark, catalog, ns, table, Seq((column, lo, hi)))
+
+  /** Conjunctive zone-map pruning: a file survives only if EVERY
+    * predicate's [lo,hi] can intersect its recorded range — ranges compose
+    * by AND, so two individually-weak predicates can together prune a file
+    * (or everything) that neither alone could. All row-level predicates
+    * still apply after the scan.
+    */
+  def prunedScan(spark: SparkSession, catalog: String, ns: String, table: String,
+      preds: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    require(preds.nonEmpty, "prunedScan needs at least one predicate")
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    val stats = readStatsFor(fs, d)
+    val current = currentFiles(fs, d)
+    val keep = current.filter { f =>
+      preds.forall { case (column, lo, hi) =>
+        stats.get((f, column)) match {
+          case Some(LongZ(mn, mx))   => mx >= lo && mn <= hi
+          case Some(DoubleZ(mn, mx)) => mx >= lo.toDouble && mn <= hi.toDouble
+          case _                     => true // string/none/absent: conservative
+        }
+      }
+    }
+    val reader = spark.read
+    declaredSchema(fs, d).foreach(reader.schema)
+    val df =
+      if (keep.isEmpty)
+        reader.schema(declaredSchema(fs, d).getOrElse(
+          spark.read.parquet(d.toString).schema)).parquet()
+      else reader.parquet(keep.map(f => new Path(d, f).toString): _*)
+    val cond = preds.map { case (c, lo, hi) =>
+      df.schema.find(_.name == c).map(_.dataType) match {
+        case Some(TimestampType) =>
+          col(c) >= timestamp_micros(lit(lo)) && col(c) <= timestamp_micros(lit(hi))
+        case _ => col(c) >= lo && col(c) <= hi
+      }
+    }.foldLeft(lit(true))(_ && _)
+    (df.where(cond), current.size, keep.size)
+  }
+
+  /** DESCRIBE-HISTORY face: one row per retained version manifest —
+    * (version, kind, n_files, batch_id). Timestamps are deliberately NOT
+    * exposed here (wall-clock noise); they remain in the manifest for
+    * `TIMESTAMP AS OF`. This is how an operator audits what happened to a
+    * table: which commits were appends, which were maintenance rewrites,
+    * which streaming batch each append belongs to.
+    */
+  def history(spark: SparkSession, catalog: String, ns: String,
+      table: String): DataFrame = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    val rows = versionManifests(fs, d).map { case (v, mf) =>
+      val txt = readString(fs, mf)
+      val bid = "\"batchId\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      val kind = "\"kind\":\"([a-z]+)\"".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("commit")
+      (v, kind, parseManifestFiles(txt).size.toLong, bid)
+    }
+    import spark.implicits._
+    rows.toDF("version", "kind", "n_files", "batch_id")
+  }
+
+  /** Keep only the last `retainLast` versions; delete every data file no
+    * retained version references, and trim their zone-map sidecar entries.
+    * Returns the deleted file names.
+    */
+  def vacuum(spark: SparkSession, catalog: String, ns: String, table: String,
+      retainLast: Int = 1): Seq[String] = {
+    require(retainLast >= 1, "vacuum must retain at least the current version")
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    val manifests = versionManifests(fs, d)
+    val (drop, keep) = manifests.splitAt(math.max(0, manifests.size - retainLast))
+    val referenced = keep.flatMap { case (_, f) => manifestFiles(fs, f) }.toSet
+    drop.foreach { case (_, f) => fs.delete(f, false) }
+    val dead = dataFiles(fs, d).filterNot(referenced)
+    dead.foreach(f => fs.delete(new Path(d, f), false))
+    // trim reclaimed files out of the advisory stats cache
+    val stats = readStatsFor(fs, d)
+    val deadSet = dead.toSet
+    val live = stats.filter { case ((f, _), _) => !deadSet(f) }
+    if (live.size != stats.size) writeStats(fs, d, live)
+    dead
+  }
+}
+
+/** DSv2 zone-map integration: wraps the native parquet `FileScanBuilder` so
+  * a PLAIN `SELECT … WHERE` on an ANALYZEd staging-catalog table gets
+  * file-level skipping with no side API. The wrapper delegates every
+  * pushdown face to the real builder (filters, column pruning, footer
+  * aggregates), then at `build()` reads the V1 filters the builder accepted
+  * (`pushedDataFilters`) and drops planned splits whose per-file [min,max]
+  * cannot satisfy them. Pruning only ever REMOVES files whose range proves
+  * no row can match — the row-level filter still runs on everything read —
+  * and anything unprovable (no stats, unknown filter shape, type mismatch)
+  * is kept conservatively. Aggregate pushdown composes safely: parquet
+  * only accepts a pushed aggregation when no data filters exist, and with
+  * no filters nothing prunes.
+  */
+private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
+    stats: Map[(String, String), ZStat])
+    extends ScanBuilder with SupportsPushDownCatalystFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  // the conjuncts the query pushed at the scan, translated to V1 filters —
+  // ANY of them can prune (zone maps apply the whole conjunction at file
+  // granularity even when the parquet reader accepted only part of it)
+  private var v1Filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val remaining = delegate.pushFilters(filters)
+    v1Filters = filters.flatMap(ZoneMapScanBuilder.toV1).toArray
+    remaining
+  }
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate.pruneColumns(requiredSchema)
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    delegate match {
+      case a: SupportsPushDownAggregates => a.supportCompletePushDown(agg)
+      case _                             => false
+    }
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    delegate match {
+      case a: SupportsPushDownAggregates => a.pushAggregation(agg)
+      case _                             => false
+    }
+
+  override def build(): Scan = {
+    val scan = delegate.build()
+    val filters = v1Filters
+    scan match {
+      case f: FileScan if filters.nonEmpty =>
+        new ZoneMapPrunedScan(f, stats, filters)
+      case other => other
+    }
+  }
+}
+
+private[catalog] object ZoneMapScanBuilder {
+  import org.apache.spark.sql.catalyst.CatalystTypeConverters
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo => CEq,
+    Expression, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, LessThan => CLt,
+    LessThanOrEqual => CLe, Literal, Or => COr, StartsWith => CSw}
+  import org.apache.spark.sql.sources._
+
+  private def ext(l: Literal): Any =
+    CatalystTypeConverters.createToScalaConverter(l.dataType)(l.value)
+
+  /** Catalyst → V1 translation for exactly the comparison shapes zone maps
+    * can evaluate; anything else drops out (never pruned on). Literal
+    * values convert from internal form (UTF8String, micros-long) to the
+    * external types [[ZoneMapPrunedScan.canMatch]] understands.
+    */
+  private[catalog] def toV1(e: Expression): Option[Filter] = e match {
+    case CEq(a: Attribute, l: Literal) => Some(EqualTo(a.name, ext(l)))
+    case CEq(l: Literal, a: Attribute) => Some(EqualTo(a.name, ext(l)))
+    case CGt(a: Attribute, l: Literal) => Some(GreaterThan(a.name, ext(l)))
+    case CGt(l: Literal, a: Attribute) => Some(LessThan(a.name, ext(l)))
+    case CGe(a: Attribute, l: Literal) => Some(GreaterThanOrEqual(a.name, ext(l)))
+    case CGe(l: Literal, a: Attribute) => Some(LessThanOrEqual(a.name, ext(l)))
+    case CLt(a: Attribute, l: Literal) => Some(LessThan(a.name, ext(l)))
+    case CLt(l: Literal, a: Attribute) => Some(GreaterThan(a.name, ext(l)))
+    case CLe(a: Attribute, l: Literal) => Some(LessThanOrEqual(a.name, ext(l)))
+    case CLe(l: Literal, a: Attribute) => Some(GreaterThanOrEqual(a.name, ext(l)))
+    case CIn(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      Some(In(a.name, vs.map(v => ext(v.asInstanceOf[Literal])).toArray))
+    case CSw(a: Attribute, l: Literal) =>
+      Some(StringStartsWith(a.name, String.valueOf(ext(l))))
+    case CAnd(l, r) => for (lf <- toV1(l); rf <- toV1(r)) yield And(lf, rf)
+    case COr(l, r)  => for (lf <- toV1(l); rf <- toV1(r)) yield Or(lf, rf)
+    case _          => None
+  }
+}
+
+/** Observability hook for the DSv2 zone-map path: records (filesKept,
+  * filesTotal) of the most recent pruned planning, so specs and operators
+  * can assert skipping happened without parsing plan strings.
+  */
+object ZoneMapScan {
+  @volatile var lastPrune: Option[(Int, Int)] = None
+}
+
+private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
+    stats: Map[(String, String), ZStat],
+    filters: Array[org.apache.spark.sql.sources.Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: Batch = this
+  override def estimateStatistics(): Statistics = delegate.estimateStatistics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
+  override def createReaderFactory(): PartitionReaderFactory =
+    delegate.createReaderFactory()
+
+  private lazy val pruned: (Array[InputPartition], Int, Int) = {
+    val in = delegate.toBatch.planInputPartitions()
+    var total = 0
+    var kept = 0
+    val out = in.flatMap {
+      case fp: FilePartition =>
+        val keep = fp.files.filter { pf =>
+          total += 1
+          val name = pf.toPath.getName
+          val ok = filters.forall(f => ZoneMapPrunedScan.canMatch(stats, name, f))
+          if (ok) kept += 1
+          ok
+        }
+        if (keep.isEmpty) None
+        else Some(FilePartition(fp.index, keep): InputPartition)
+      case other => Some(other)
+    }
+    (out, kept, total)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (parts, kept, total) = pruned
+    ZoneMapScan.lastPrune = Some((kept, total))
+    parts
+  }
+
+  override def description(): String =
+    delegate.description() + ", GraftZoneMaps: on"
+}
+
+private[catalog] object ZoneMapPrunedScan {
+  import org.apache.spark.sql.sources._
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: java.lang.Integer   => Some(n.longValue)
+    case n: java.lang.Long      => Some(n.longValue)
+    case n: java.lang.Short     => Some(n.longValue)
+    case n: java.lang.Byte      => Some(n.longValue)
+    case t: java.sql.Timestamp  => Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000L)
+    case i: java.time.Instant   =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case d: java.sql.Date       => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _                      => None
+  }
+  private def asDouble(v: Any): Option[Double] = v match {
+    case n: java.lang.Number => Some(n.doubleValue)
+    case _                   => None
+  }
+
+  /** Range test: can any row of a file with the recorded stats satisfy the
+    * filter? Every unprovable case answers true (keep the file).
+    * Comparisons are INCLUSIVE on both ends — deliberately weaker than the
+    * strict filters they stand in for, which can only over-keep.
+    */
+  def canMatch(stats: Map[(String, String), ZStat], file: String, f: Filter): Boolean = {
+    def inRange(a: String, v: Any, side: Int): Boolean = stats.get((file, a)) match {
+      case Some(LongZ(mn, mx)) => asLong(v).forall { x =>
+        side match {
+          case 0  => mx >= x && mn <= x // equality: x inside [mn,mx]
+          case 1  => mx >= x            // > / >= : some value reaches x
+          case -1 => mn <= x            // < / <= : some value is below x
+        }
+      }
+      case Some(DoubleZ(mn, mx)) => asDouble(v).forall { x =>
+        side match {
+          case 0  => mx >= x && mn <= x
+          case 1  => mx >= x
+          case -1 => mn <= x
+        }
+      }
+      case Some(StringZ(mn, mx)) => v match {
+        case s: String =>
+          side match {
+            case 0  => mx >= s && mn <= s
+            case 1  => mx >= s
+            case -1 => mn <= s
+          }
+        case _ => true
+      }
+      case _ => true
+    }
+    f match {
+      case EqualTo(a, v)            => inRange(a, v, 0)
+      case EqualNullSafe(a, v)      => v == null || inRange(a, v, 0)
+      case GreaterThan(a, v)        => inRange(a, v, 1)
+      case GreaterThanOrEqual(a, v) => inRange(a, v, 1)
+      case LessThan(a, v)           => inRange(a, v, -1)
+      case LessThanOrEqual(a, v)    => inRange(a, v, -1)
+      case In(a, vs)                => vs.isEmpty || vs.exists(v => inRange(a, v, 0))
+      case StringStartsWith(a, p)   =>
+        // a string starting with p lies in [p, p + maxChar]
+        inRange(a, p, 1) && inRange(a, p + "￿", -1)
+      case And(l, r)                => canMatch(stats, file, l) && canMatch(stats, file, r)
+      case Or(l, r)                 => canMatch(stats, file, l) || canMatch(stats, file, r)
+      case _                        => true // Not / IsNull / unknown: conservative
+    }
+  }
+}
