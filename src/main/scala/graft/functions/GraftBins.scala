@@ -46,9 +46,14 @@ object GraftBins {
       Alias(org.apache.spark.sql.catalyst.expressions.Add(
         Literal(lo), org.apache.spark.sql.catalyst.expressions.Multiply(
           id, Literal(width))), "bin_lo")(),
-      Alias(org.apache.spark.sql.catalyst.expressions.Add(
-        Literal(lo), org.apache.spark.sql.catalyst.expressions.Multiply(
-          org.apache.spark.sql.catalyst.expressions.Add(id, Literal(1L)),
-          Literal(width))), "bin_hi")()), range)
+      // the last bin CLAMPS to hi: when (hi-lo) % width != 0 the raw
+      // lo + (id+1)*width overruns the documented [lo, hi) coverage, and a
+      // range-join consumer would silently aggregate [hi, overrun) into it
+      Alias(org.apache.spark.sql.catalyst.expressions.Least(Seq(
+        Literal(hi),
+        org.apache.spark.sql.catalyst.expressions.Add(
+          Literal(lo), org.apache.spark.sql.catalyst.expressions.Multiply(
+            org.apache.spark.sql.catalyst.expressions.Add(id, Literal(1L)),
+            Literal(width))))), "bin_hi")()), range)
   }
 }

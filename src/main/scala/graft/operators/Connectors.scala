@@ -219,23 +219,139 @@ object Connectors {
     * measured recall). At scale the table would be partitioned by cell so
     * probes prune to nprobe partitions.
     */
-  def q246IvfCatalogIndex(spark: SparkSession, dir: String): DataFrame = {
+  /** Build-once guard for the persisted IVF index shared by q246 and q278:
+    * a serving index is built by ingestion and probed by MANY queries, so
+    * the two probe faces (nprobe=1 and nprobe=2) deliberately share one
+    * physical table — the same shared-artifact discipline as the
+    * q33/q137/q239/q240 pair-intersection family.
+    */
+  private val ivfIndexReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureIvfIndex(spark: SparkSession, dir: String): Unit = {
     spark.conf.set("spark.sql.catalog.graft_stage",
       classOf[graft.sources.catalog.GraftStagingCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
-    val base = Similarity.withNorm(spark, dir)
-    // quantizer is fixed (trained offline); assignment is map-only per slice
-    val cents = Similarity.ivfCentroids(base).localCheckpoint()
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
-    spark.sql("DROP TABLE IF EXISTS graft_stage.work.ivf_index")
-    Similarity.ivfAssign(base.where(col("vec_id") % 10 =!= 7), cents)
-      .createOrReplaceTempView("ivf_initial_load")
-    spark.sql("CREATE TABLE graft_stage.work.ivf_index AS SELECT * FROM ivf_initial_load")
-    Similarity.ivfAssign(base.where(col("vec_id") % 10 === 7), cents)
-      .createOrReplaceTempView("ivf_upsert_batch")
-    spark.sql("INSERT INTO graft_stage.work.ivf_index SELECT * FROM ivf_upsert_batch")
+    ivfIndexReady.computeIfAbsent(s"$stageRoot|$dir", _ => {
+      val base = Similarity.withNorm(spark, dir)
+      // quantizer is fixed (trained offline); assignment is map-only per slice
+      val cents = Similarity.ivfCentroids(base).localCheckpoint()
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+      spark.sql("DROP TABLE IF EXISTS graft_stage.work.ivf_index")
+      Similarity.ivfAssign(base.where(col("vec_id") % 10 =!= 7), cents)
+        .createOrReplaceTempView("ivf_initial_load")
+      spark.sql("CREATE TABLE graft_stage.work.ivf_index AS SELECT * FROM ivf_initial_load")
+      Similarity.ivfAssign(base.where(col("vec_id") % 10 === 7), cents)
+        .createOrReplaceTempView("ivf_upsert_batch")
+      spark.sql("INSERT INTO graft_stage.work.ivf_index SELECT * FROM ivf_upsert_batch")
+      "built"
+    })
+  }
+
+  def q246IvfCatalogIndex(spark: SparkSession, dir: String): DataFrame = {
+    ensureIvfIndex(spark, dir)
     Similarity.ivfProbe(spark.table("graft_stage.work.ivf_index"))
   }
+
+  // ---------------------------------------------------------------- q278
+
+  /** nprobe=2 against the PERSISTED IVF index — q84's recall/cost dial
+    * composed with q246's catalog-table serving path. EVERYTHING the probe
+    * touches comes from the catalog table: the quantizer is re-read from
+    * the index rows (vec_id < 8 — the same fixed centroids ingestion
+    * assigned with), each query fans out to its TWO nearest cells
+    * (broadcast centroid ranking, map-only), and candidate generation is
+    * the equi-join on the cell id against the index table only — the
+    * source embeddings are never re-scanned (PlanSpec asserts it). Since
+    * nprobe=2's candidate set is a superset of nprobe=1's per query, its
+    * recall dominates q246's by construction — the audit test pins it.
+    * Hash-matched against q84's in-flight oracle: the persisted path at
+    * nprobe=2 is bit-identical to the in-flight dial.
+    */
+  def q278IvfCatalogNprobe2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ensureIvfIndex(spark, dir)
+    val idx = spark.table("graft_stage.work.ivf_index")
+    val cents = idx.where(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(asc("dist2"), asc("c_id"))
+    val queries = idx.where(col("vec_id") < 20)
+      .crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        col("n2") - lit(2.0) * expr("float_vec_dot(embedding, c_emb)") + col("c_n2"))
+      .withColumn("crn", row_number().over(wCell))
+      .where(col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"), col("c_id").as("q_cell"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    idx.join(queries, col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("cos",
+        expr("float_vec_dot(q_emb, embedding)") / (sqrt(col("q_n2")) * sqrt(col("n2"))))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 3)
+      .select(col("q_id"), col("cell"), col("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
+  // ---------------------------------------------------------------- q279
+
+  /** Event-time zone maps — the hottest real-world pruning key: the events
+    * table is staged into the catalog, CLUSTER BY ts rewrites it into
+    * files with disjoint [min,max] event-time ranges, ANALYZE harvests
+    * TIMESTAMP footer stats (normalized to MICROS whatever the file's
+    * physical unit), and a one-day slice reads only the files whose range
+    * intersects it ([[graft.sources.catalog.StagingMaintenance.prunedScan]]
+    * — CatalogSpec proves ≤2 of 8 files for an hour slice). At 100 TB
+    * this is the dominant access pattern: "yesterday's events" must open
+    * yesterday's objects, not list-and-scan a month. The oracle recomputes
+    * the slice aggregate straight from the source — a hash match proves
+    * stage→cluster→analyze→prune loses no row of the window and adds none.
+    */
+  def q279TsZoneMapSlice(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    // stage with µs-physical timestamps so footers carry LongStatistics
+    // (INT96 has no usable ordering stats)
+    val prevT = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events_tsz_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+      spark.sql("DROP TABLE IF EXISTS graft_stage.work.events_tsz")
+      spark.sql(
+        """CREATE TABLE graft_stage.work.events_tsz AS
+          |SELECT event_id, ts, user_id, event_type, value FROM events_tsz_src""".stripMargin)
+      graft.sources.catalog.StagingMaintenance.optimize(
+        spark, "graft_stage", "work", "events_tsz", targetFiles = 8, clusterBy = Some("ts"))
+      graft.sources.catalog.StagingMaintenance.analyze(
+        spark, "graft_stage", "work", "events_tsz", Seq("ts"))
+      // one day of a one-month corpus, in µs since epoch (the sidecar scale)
+      val lo = java.time.Instant.parse("2024-01-10T00:00:00Z").getEpochSecond * 1000000L
+      val hi = java.time.Instant.parse("2024-01-11T00:00:00Z").getEpochSecond * 1000000L - 1L
+      val (scan, _, _) = graft.sources.catalog.StagingMaintenance.prunedScan(
+        spark, "graft_stage", "work", "events_tsz", "ts", lo, hi)
+      scan.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_ev"), max(col("event_id")).as("max_ev"),
+          graft.operators.Det.dsum(col("value")).as("total"))
+        .orderBy(col("event_type"))
+    } finally {
+      prevT match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    }
+  }
+
+  val q279Oracle: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+       |  ${graft.operators.Det.dsumSql("value")} AS total
+       |FROM events
+       |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+       |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-11 00:00:00'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q248
 
@@ -867,5 +983,7 @@ object Connectors {
     GraftQuery.sql("q271_sql_update", q271SqlUpdate, q271Oracle),
     GraftQuery.sql("q272_merge_into", q272MergeInto, q272Oracle),
     GraftQuery.sql("q273_table_history", q273TableHistory, q273Oracle),
-    GraftQuery.sql("q277_conjunctive_scan", q277ConjunctiveScan, q277Oracle))
+    GraftQuery.sql("q277_conjunctive_scan", q277ConjunctiveScan, q277Oracle),
+    GraftQuery.sql("q278_ivf_catalog_nprobe2", q278IvfCatalogNprobe2, Similarity.q84Oracle),
+    GraftQuery.sql("q279_ts_zonemap_slice", q279TsZoneMapSlice, q279Oracle))
 }

@@ -288,10 +288,12 @@ object GraphRank {
       .union(pairs.select((col("s") * 2 + 1).as("u"), (col("p") * 2).as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count() // materialize once; three rounds re-read the cache
+    pairs.unpersist(false) // folded into the cached edge list — not needed again
     var labels = edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     val wMode = Window.partitionBy(col("node")).orderBy(col("c").desc, col("label"))
     for (_ <- 1 to 3) {
+      val prev = labels
       labels = edges
         .join(labels.hint("shuffle_hash").withColumnRenamed("node", "v"), Seq("v"))
         .groupBy(col("u").as("node"), col("label"))
@@ -305,6 +307,10 @@ object GraphRank {
         // round's plan substitutes the cached result
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       labels.count()
+      // the new round is materialized — drop the superseded round's blocks
+      // NOW instead of waiting for LRU eviction: an N-round iteration must
+      // hold O(1), not O(N), copies of the O(nodes) state in the cache
+      prev.unpersist(false)
     }
     labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("label"))
@@ -365,6 +371,7 @@ object GraphRank {
     val s0 = stats(edges)
     trajectory += ((0, s0._1, s0._2))
     for (round <- 1 to 3) {
+      val prev = edges
       val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= CoreK).select(col("u").as("node"))
       edges = edges
@@ -372,8 +379,11 @@ object GraphRank {
         .join(keep.hint("shuffle_hash").withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val s = stats(edges)
+      val s = stats(edges) // materializes the new round's edge state
       trajectory += ((round, s._1, s._2))
+      // superseded round's edge blocks released eagerly (O(1) cached
+      // copies across the peel, not O(rounds) — the 100 TB iteration rule)
+      prev.unpersist(false)
     }
     import spark.implicits._
     trajectory.result().toDF("round", "n_nodes", "n_edges").orderBy(col("round"))

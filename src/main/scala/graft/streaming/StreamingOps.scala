@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
   StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
@@ -138,12 +139,17 @@ object StreamingOps {
     val root = spark.conf.getOption(s"spark.sql.catalog.$catalog.root")
       .getOrElse(throw new IllegalArgumentException(
         s"spark.sql.catalog.$catalog.root is not set"))
-    val dir = new java.io.File(new java.io.File(root, ns), table)
-    require(dir.isDirectory, s"no staging table at $dir")
+    val raw = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root, ns), table)
+    val fs = raw.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = fs.makeQualified(raw)
+    require(
+      try fs.getFileStatus(dir).isDirectory
+      catch { case _: java.io.FileNotFoundException => false },
+      s"no staging table at $dir")
     // schema from the catalog (sidecar or footers) — a streaming source
     // cannot infer it
     val schema = spark.table(s"$catalog.$ns.$table").schema
-    spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    spark.readStream.schema(schema).parquet(dir.toString)
   }
 
   /** Streaming UPSERT into a versioned catalog table: each micro-batch is
@@ -154,14 +160,28 @@ object StreamingOps {
     * rows is idempotent at the DATA level (a redelivered batch re-merges to
     * the identical state; it costs one redundant version, not duplicate
     * rows). Late-arriving keys simply upsert when they arrive.
+    *
+    * A CDC batch routinely carries SEVERAL changes for one key; MERGE
+    * demands at most one source match per target row, so each batch is
+    * first compacted to its per-key winner — the row ranked first by
+    * `orderCol` DESC (the change stream's sequence/event-time column).
+    * Without an `orderCol` the winner is the max over the non-key columns
+    * (deterministic, but order-less CDC should always pass the real
+    * sequence column).
     */
   def catalogUpsertStream(rows: DataFrame, table: String, keyCol: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, orderCol: Option[String] = None): StreamingQuery = {
     val view = s"graft_upsert_src_${System.nanoTime()}"
     rows.writeStream
       .option("checkpointLocation", checkpointDir).outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.createOrReplaceTempView(view)
+        val ord = orderCol.map(c => Seq(col(c).desc))
+          .getOrElse(batch.columns.filterNot(_ == keyCol).toSeq.map(col(_).desc))
+        val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+        val compacted = batch
+          .withColumn("__graft_rn", row_number().over(w))
+          .where(col("__graft_rn") === 1).drop("__graft_rn")
+        compacted.createOrReplaceTempView(view)
         batch.sparkSession.sql(
           s"""MERGE INTO $table t USING $view s ON t.$keyCol = s.$keyCol
              |WHEN MATCHED THEN UPDATE SET *

@@ -150,4 +150,36 @@ class AdvancedSpec extends SparkSpec {
       assert(r.getLong(4) <= n / 10 && r.getLong(5) <= n / 10, r.toString)
     }
   }
+
+  test("q278 nprobe=2 on the persisted index dominates the nprobe=1 probe per query") {
+    // nprobe=2's candidate set per query is a SUPERSET of nprobe=1's (its
+    // own cell plus the runner-up), so its top-3 similarity can only
+    // improve: for every query the k-th best cosine at nprobe=2 is >= the
+    // k-th best at nprobe=1.
+    def topByQuery(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getDouble(3)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.reverse.toSeq).toMap
+    val n1 = topByQuery("q246_ivf_catalog_index")
+    val n2 = topByQuery("q278_ivf_catalog_nprobe2")
+    assert(n1.keySet.subsetOf(n2.keySet), "nprobe=2 lost a query")
+    n1.foreach { case (q, cos1) =>
+      val cos2 = n2(q)
+      cos1.zip(cos2).foreach { case (c1, c2) =>
+        assert(c2 >= c1 - 1e-12, s"query $q: nprobe=2 rank worse ($c2 < $c1)")
+      }
+    }
+  }
+
+  test("graft_bins TVF covers [lo, hi) exactly; uneven last bin clamps to hi") {
+    val even = spark.sql("SELECT * FROM graft_bins(0, 100, 25)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(even.toSeq === Seq((0L, 0L, 25L), (1L, 25L, 50L), (2L, 50L, 75L), (3L, 75L, 100L)))
+    // (hi - lo) % width != 0: the final bin must END at hi, not overrun —
+    // a range-join consumer would otherwise absorb [hi, overrun) silently
+    val uneven = spark.sql("SELECT * FROM graft_bins(0, 95, 30)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(uneven.toSeq === Seq((0L, 0L, 30L), (1L, 30L, 60L), (2L, 60L, 90L), (3L, 90L, 95L)))
+    assert(uneven.last._3 === 95L, "last bin must clamp to hi")
+  }
 }

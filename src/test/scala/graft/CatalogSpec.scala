@@ -544,6 +544,162 @@ class CatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) === 200)
   }
 
+  test("DELETE on a NULL-bearing column keeps NULL rows (SQL three-valued semantics)") {
+    // Reachable for real after ALTER TABLE ADD COLUMN: pre-ALTER files
+    // surface NULL for the new column, and `DELETE WHERE c = 'x'` is a
+    // translatable EqualTo that rides the metadata fast path — which must
+    // delete only TRUE matches, never the NULL-predicate rows.
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.nd")
+    spark.sql("CREATE TABLE stage_t.ws.nd AS SELECT id AS k FROM range(0, 100)") // v1
+    spark.sql("ALTER TABLE stage_t.ws.nd ADD COLUMN tag STRING")
+    spark.sql( // v2: rows 100..109 carry tags, the 100 old rows surface NULL
+      "INSERT INTO stage_t.ws.nd SELECT id AS k, CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS tag FROM range(100, 110)")
+    assert(spark.table("stage_t.ws.nd").count() === 110)
+    spark.sql("DELETE FROM stage_t.ws.nd WHERE tag = 'x'") // v3
+    val left = spark.table("stage_t.ws.nd")
+    assert(left.count() === 105, "NULL-tag rows must survive a tag='x' delete")
+    assert(left.where(col("tag").isNull).count() === 100)
+    assert(left.where(col("tag") === "y").count() === 5)
+    assert(left.where(col("tag") === "x").count() === 0)
+    // the inequality face too: NULL <> 'y' is NULL, not TRUE — keeps NULLs
+    spark.sql("DELETE FROM stage_t.ws.nd WHERE tag <> 'y'")
+    assert(spark.table("stage_t.ws.nd").count() === 105)
+  }
+
+  test("explicit file:// URI root: full CTAS→INSERT→time-travel→OPTIMIZE→zone-map cycle") {
+    import graft.sources.catalog.StagingMaintenance
+    // The catalog resolves its FileSystem from the root's scheme — the
+    // deployment shape the reference exists for (cephrgw:// behind the
+    // Hadoop FS API). Prove the whole lifecycle against a scheme-qualified
+    // URI rather than a bare local path.
+    val uriRoot = "file://" + java.nio.file.Files.createTempDirectory("graft_uri_root_")
+    spark.conf.set("spark.sql.catalog.stage_u",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.stage_u.root", uriRoot)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_u.ws")
+    spark.sql("CREATE TABLE stage_u.ws.t AS SELECT id AS k FROM range(0, 500)")   // v1
+    spark.sql("INSERT INTO stage_u.ws.t SELECT id AS k FROM range(500, 1000)")    // v2
+    assert(spark.table("stage_u.ws.t").count() === 1000)
+    assert(spark.sql("SELECT count(*) FROM stage_u.ws.t VERSION AS OF 1")
+      .collect()(0).getLong(0) === 500)
+    val (nb, na, v) = StagingMaintenance.optimize(spark, "stage_u", "ws", "t",
+      targetFiles = 2, clusterBy = Some("k"))
+    assert(nb > 0 && na === 2 && v === 3L, s"($nb, $na, $v)")
+    assert(spark.table("stage_u.ws.t").count() === 1000)
+    StagingMaintenance.analyze(spark, "stage_u", "ws", "t", Seq("k"))
+    val (df, cur, read) = StagingMaintenance.prunedScan(spark, "stage_u", "ws", "t", "k", 0L, 100L)
+    assert(cur === 2 && read === 1 && df.count() === 101, s"($cur, $read)")
+    val dead = StagingMaintenance.vacuum(spark, "stage_u", "ws", "t", retainLast = 1)
+    assert(dead.nonEmpty && spark.table("stage_u.ws.t").count() === 1000)
+  }
+
+  test("racing row-level rewrites: optimistic concurrency never loses an update") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.race")
+    spark.sql("CREATE TABLE stage_t.ws.race AS SELECT id AS k, id * 10 AS v FROM range(0, 200)")
+    // Two whole-table rewrites race. The commit protocol (base-version
+    // check inside the manifest write) guarantees: the first committer
+    // wins; a second committer whose snapshot went stale ABORTS with a
+    // conflict instead of replacing the table from its stale base (which
+    // would silently erase the winner's change). Either both serialize
+    // cleanly (both effects present) or exactly the winners' effects are
+    // present and the loser raised a conflict — never a lost update.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val outcomes = try {
+      val futures = Seq(
+        "UPDATE stage_t.ws.race SET v = v + 1 WHERE k = 0",
+        "UPDATE stage_t.ws.race SET v = v + 1 WHERE k = 1").map { sqlText =>
+        pool.submit(new java.util.concurrent.Callable[Option[String]] {
+          override def call(): Option[String] =
+            try { spark.sql(sqlText); None }
+            catch { case e: Exception => Some(e.toString + Option(e.getCause).mkString) }
+        })
+      }
+      futures.map(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val vals = spark.table("stage_t.ws.race").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals.size === 200, "rewrite dropped rows")
+    val applied = Seq(0L, 1L).map(k => vals(k) == k * 10 + 1)
+    val failures = outcomes.flatten
+    if (failures.isEmpty) {
+      assert(applied.forall(identity),
+        s"both UPDATEs reported success but an effect is missing: $vals — lost update")
+    } else {
+      assert(failures.forall(_.toLowerCase.contains("conflict")), failures.mkString("\n"))
+      assert(applied.count(identity) === outcomes.count(_.isEmpty),
+        s"successful statements: ${outcomes.count(_.isEmpty)}, applied effects: $applied")
+    }
+    // sanity: untouched rows unchanged either way
+    assert((2L until 200L).forall(k => vals(k) == k * 10))
+  }
+
+  test("timestamp zone maps: event-time ranges prune files after a clustered rewrite") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.tsz")
+    // stage a time-ordered event table; cluster on ts so files carry
+    // disjoint [min,max] event-time ranges — the hottest pruning key
+    val prevT = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      spark.sql(
+        """CREATE TABLE stage_t.ws.tsz AS
+          |SELECT timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60) AS ts,
+          |       id AS k
+          |FROM range(0, 2880)""".stripMargin) // 2 days of minutes
+      StagingMaintenance.optimize(spark, "stage_t", "ws", "tsz",
+        targetFiles = 8, clusterBy = Some("ts"))
+      StagingMaintenance.analyze(spark, "stage_t", "ws", "tsz", Seq("ts"))
+      // one-hour slice in MICROS since epoch (sidecar's normalized scale)
+      val lo = java.time.Instant.parse("2026-01-01T06:00:00Z")
+      val hi = java.time.Instant.parse("2026-01-01T06:59:00Z")
+      def micros(i: java.time.Instant) = i.getEpochSecond * 1000000L
+      val (df, cur, read) = StagingMaintenance.prunedScan(
+        spark, "stage_t", "ws", "tsz", "ts", micros(lo), micros(hi))
+      assert(cur === 8 && read <= 2, s"hour slice should touch <=2 of 8 files, read $read")
+      assert(df.count() === 60)
+      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+      val Array(mn, mx) = df.agg(fmin(col("ts")), fmax(col("ts"))).collect()(0)
+        .toSeq.map(_.toString).toArray
+      assert(mn.startsWith("2026-01-01 06:00") && mx.startsWith("2026-01-01 06:59"), s"$mn / $mx")
+    } finally {
+      prevT match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    }
+  }
+
+  test("plain SQL SELECT on an analyzed table skips files through the DSv2 scan") {
+    import graft.sources.catalog.{StagingMaintenance, ZoneMapScan}
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.sqlzm")
+    spark.sql("CREATE TABLE stage_t.ws.sqlzm AS SELECT id AS k, id % 7 AS tag FROM range(0, 3000)")
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "sqlzm",
+      targetFiles = 6, clusterBy = Some("k"))
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "sqlzm", Seq("k"))
+    ZoneMapScan.lastPrune = None
+    // no side API: the catalog's ScanBuilder consults the stats sidecar
+    val df = spark.sql("SELECT k, tag FROM stage_t.ws.sqlzm WHERE k BETWEEN 1000 AND 1400")
+    assert(df.count() === 401)
+    val prune = ZoneMapScan.lastPrune
+    assert(prune.isDefined, "zone-map scan path not engaged")
+    val (kept, total) = prune.get
+    assert(total === 6 && kept <= 2, s"selective range should keep <=2 of 6 files, kept $kept/$total")
+    // the row-level filter still applies on top of the kept files
+    assert(df.agg(min(col("k")), max(col("k"))).collect()(0).toSeq === Seq(1000L, 1400L))
+    // unanalyzed predicates and unfilterable scans stay untouched
+    ZoneMapScan.lastPrune = None
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.sqlzm WHERE tag = 3").collect()(0)
+      .getLong(0) === spark.table("stage_t.ws.sqlzm").where(col("tag") === 3).count())
+  }
+
   test("unknown namespace and table fail with the standard analysis errors") {
     mount()
     val e = intercept[Exception] { spark.sql("SHOW TABLES IN graft_cat.`nope`").collect() }

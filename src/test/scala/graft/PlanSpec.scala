@@ -353,6 +353,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("iterative graph ops hold O(1) cached state: superseded rounds unpersist eagerly") {
+    // An N-round iteration that persists each round's O(nodes)/O(edges)
+    // state without releasing the previous round accretes N copies in the
+    // cache until LRU eviction thrashes — at 100 TB that is the difference
+    // between a bounded working set and cache churn. Each loop must
+    // unpersist round k-1 once round k is materialized, leaving at most
+    // the input edge list + the final round persisted.
+    for ((name, maxCached) <- Seq(
+        ("q270_label_propagation", 2), // cached edges + final labels
+        ("q276_kcore_peel", 1),        // final round's edge list only
+        // checkpointed edges + final cached frontier + the 1-row seed
+        // checkpoint (localCheckpoint RDDs outlive DataFrame.unpersist;
+        // the seed is O(1), not round state)
+        ("q161_bfs_hops", 3))) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      SparkEntry.queries(name)(spark, sfDir).collect()
+      val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(added.size <= maxCached,
+        s"$name left ${added.size} persisted RDDs (max $maxCached): superseded " +
+          "round state is not being unpersisted")
+    }
+  }
+
   test("q178 a-priori prunes baskets to frequent brands before the pair join") {
     // Downward closure: pair support >= 20 requires both singleton supports
     // >= 20, so the basket rows semi-join the frequent-brand set BEFORE the
@@ -395,6 +418,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("embeddings.parquet"),
       s"probe re-reads the source embeddings table:\n$p")
     assert(p.toLowerCase.contains("parquet"), p)
+  }
+
+  test("q278 nprobe=2 probe reads only the persisted catalog table") {
+    // Same serving contract as q246, with the recall dial at 2: queries,
+    // quantizer, and candidates all resolve from the catalog index table —
+    // never the source embeddings.
+    val p = plan("q278_ivf_catalog_nprobe2")
+    assert(!p.contains("embeddings.parquet"),
+      s"nprobe=2 probe re-reads the source embeddings table:\n$p")
+    assert(p.toLowerCase.contains("parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q247 blocks the pair scan on the IVF cell (equi-join, centroids broadcast)") {

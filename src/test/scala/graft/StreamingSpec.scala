@@ -563,6 +563,30 @@ class StreamingSpec extends SparkSpec {
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     assert(state() === Map(1L -> 10L, 2L -> 21L, 3L -> 30L))
+
+    // CDC reality: one batch carries SEVERAL changes for a key. The sink
+    // must compact to the per-key winner by the sequence column before the
+    // MERGE — neither a multi-match MERGE error nor duplicate inserts.
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ups_ckpt2").toString
+    spark.sql("CREATE TABLE ups_cat.ws.state2 (k BIGINT, v BIGINT, seq BIGINT)")
+    def state2() = spark.sql("SELECT k, v FROM ups_cat.ws.state2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mem2 = MemoryStream[(Long, Long, Long)]
+    val q2 = StreamingOps.catalogUpsertStream(
+      mem2.toDF().selectExpr("_1 AS k", "_2 AS v", "_3 AS seq"),
+      "ups_cat.ws.state2", "k", ckpt2, orderCol = Some("seq"))
+    try {
+      // new key seen twice in one batch + existing-key double update
+      mem2.addData((1L, 100L, 1L), (1L, 101L, 2L), (2L, 200L, 1L))
+      q2.processAllAvailable()
+      assert(state2() === Map(1L -> 101L, 2L -> 200L),
+        s"per-key compaction by seq failed: ${state2()}")
+      assert(spark.sql("SELECT count(*) FROM ups_cat.ws.state2").collect()(0).getLong(0) === 2,
+        "duplicate rows inserted for a multi-change key")
+      mem2.addData((2L, 202L, 3L), (2L, 201L, 2L)) // out-of-order in the batch
+      q2.processAllAvailable()
+      assert(state2() === Map(1L -> 101L, 2L -> 202L), "seq-DESC winner must apply")
+    } finally q2.stop()
   }
 
   test("curateStream exactly-once: kill + checkpoint restart neither duplicates nor loses rows") {
@@ -629,6 +653,85 @@ class StreamingSpec extends SparkSpec {
       assert(served.sorted === List(1L, 2L, 3L, 4L),
         s"exactly-once violated, sink rows: $served")
     } finally q2.stop()
+  }
+
+  test("capstone: curateStream feeds catalogAppendStream; restart-safe, versioned, change-feed-readable") {
+    // The continuous-ingest twin of the batch curation capstone (q275): raw
+    // docs stream through the quality+dedup curation DAG straight into a
+    // VERSIONED catalog table via the exactly-once batch-id sink. Killed
+    // and restarted mid-stream, the final table must equal the batch
+    // curation of the same input, every micro-batch must be a pinnable
+    // version, and the change feed must replay the ingest increments.
+    val src = java.nio.file.Files.createTempDirectory("graft_cap_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cap_ckpt").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_cap_cat").toString
+    spark.conf.set("spark.sql.catalog.cap_cat",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cap_cat.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cap_cat.ws")
+    spark.sql("""CREATE TABLE cap_cat.ws.corpus
+      (doc_id BIGINT, ts TIMESTAMP, text STRING, lang STRING, content_hash STRING)""")
+    val base = "the quick brown fox jumps over the lazy dog while the calm cat " +
+      "naps under the warm sun near the old oak tree today"
+    def doc(id: Long, minute: Int, tag: String) =
+      StreamingOps.StreamDoc(id, ts(f"2024-01-01 00:$minute%02d:00"), s"$base $tag", "en")
+    val docSchema = implicitly[org.apache.spark.sql.Encoder[StreamingOps.StreamDoc]].schema
+    def addWave(name: String, docs: Seq[StreamingOps.StreamDoc]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cap_wave").toString
+      docs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    def startQ() = StreamingOps.catalogAppendStream(
+      spark.readStream.schema(docSchema).option("maxFilesPerTrigger", 1).parquet(src)
+        .transform(StreamingOps.curateStream),
+      "cap_cat.ws.corpus", ckpt)
+    addWave("wave1a", Seq(doc(1, 1, "alpha"), doc(2, 2, "bravo")))
+    addWave("wave1b", Seq(doc(3, 3, "charlie")))
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop() // kill after commit
+    // while DOWN: one clean doc + one exact content dup of doc 1 (state
+    // carried across the restart must drop it)
+    addWave("wave2", Seq(doc(4, 10, "delta"), doc(5, 11, "alpha")))
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+
+    def served() = spark.sql("SELECT doc_id FROM cap_cat.ws.corpus")
+      .collect().map(_.getLong(0)).toList.sorted
+    assert(served() === List(1L, 2L, 3L, 4L), s"exactly-once violated: ${served()}")
+    // final table state == the BATCH curation of the same input (q275's
+    // batch DAG: quality filter + keep first arrival per content hash)
+    val batchCurated = graft.operators.Curation.qualityFlags(
+        spark.read.schema(docSchema).parquet(src))
+      .where(!col("f_short") && !col("f_word_len") && !col("f_symbol"))
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
+          .orderBy(col("ts"), col("doc_id"))))
+      .where(col("rn") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toList.sorted
+    assert(served() === batchCurated, s"stream != batch curate: ${served()} vs $batchCurated")
+    // every micro-batch is a pinnable version with its batch id recorded
+    val hist = graft.sources.catalog.StagingMaintenance
+      .history(spark, "cap_cat", "ws", "corpus")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.get(3)))
+    assert(hist.nonEmpty && hist.forall(_._2 == "commit"), hist.toSeq)
+    assert(hist.forall(_._3 != null), s"batch ids missing from manifests: ${hist.toSeq}")
+    val maxV = hist.map(_._1).max
+    assert(spark.sql(s"SELECT count(*) FROM cap_cat.ws.corpus VERSION AS OF 1")
+      .collect()(0).getLong(0) <= served().size)
+    // the change feed replays the whole ingest and the last increment
+    val full = graft.sources.catalog.StagingMaintenance
+      .changesBetween(spark, "cap_cat", "ws", "corpus", 0L, maxV)
+      .select("doc_id").collect().map(_.getLong(0)).toList.sorted
+    assert(full === served(), s"change feed diverged: $full")
+    val lastDelta = graft.sources.catalog.StagingMaintenance
+      .changesBetween(spark, "cap_cat", "ws", "corpus", maxV - 1, maxV)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lastDelta.subsetOf(Set(4L, 5L)) || lastDelta.isEmpty,
+      s"last increment wrong: $lastDelta")
   }
 
   test("cusumStream raises the same alarms as the batch CUSUM recursion across batches") {
