@@ -353,6 +353,65 @@ object Connectors {
        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-11 00:00:00'
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q284
+
+  /** FILE-GRANULAR SQL DELETE — GDPR/retention erasure at object-store
+    * scale: events staged and CLUSTER BY ts, event-time zone maps analyzed,
+    * then `DELETE WHERE ts ∈ [day10, day11)` rides the metadata fast path,
+    * which uses the per-file [min,max] ranges to REWRITE ONLY the files the
+    * day can live in — every other file carries into the new version by
+    * name (GraftStagingCatalog.deleteWhere; CatalogSpec proves ≥6 of 8
+    * files untouched). On a 100 TB month-clustered table, deleting one day
+    * rewrites ~1/30th of the objects instead of the table — the
+    * Delta/Iceberg copy-on-write shape with none of either's metadata
+    * format. The oracle recomputes the survivors straight from the source:
+    * a hash match proves the partial rewrite dropped exactly the day and
+    * nothing else.
+    */
+  def q284FileGranularDelete(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    val prevT = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events_fgd_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+      spark.sql("DROP TABLE IF EXISTS graft_stage.work.events_fgd")
+      spark.sql(
+        """CREATE TABLE graft_stage.work.events_fgd AS
+          |SELECT event_id, ts, user_id, event_type, value FROM events_fgd_src""".stripMargin)
+      graft.sources.catalog.StagingMaintenance.optimize(
+        spark, "graft_stage", "work", "events_fgd", targetFiles = 8, clusterBy = Some("ts"))
+      graft.sources.catalog.StagingMaintenance.analyze(
+        spark, "graft_stage", "work", "events_fgd", Seq("ts"))
+      spark.sql(
+        """DELETE FROM graft_stage.work.events_fgd
+          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          |  AND ts < TIMESTAMP '2024-01-11 00:00:00'""".stripMargin)
+      spark.table("graft_stage.work.events_fgd")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_ev"), max(col("event_id")).as("max_ev"),
+          graft.operators.Det.dsum(col("value")).as("total"))
+        .orderBy(col("event_type"))
+    } finally {
+      prevT match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    }
+  }
+
+  val q284Oracle: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+       |  ${graft.operators.Det.dsumSql("value")} AS total
+       |FROM events
+       |WHERE NOT (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+       |       AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-11 00:00:00')
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q248
 
   /** Snapshot-pinned (time-travel) read over the staging catalog: three
@@ -985,5 +1044,6 @@ object Connectors {
     GraftQuery.sql("q273_table_history", q273TableHistory, q273Oracle),
     GraftQuery.sql("q277_conjunctive_scan", q277ConjunctiveScan, q277Oracle),
     GraftQuery.sql("q278_ivf_catalog_nprobe2", q278IvfCatalogNprobe2, Similarity.q84Oracle),
-    GraftQuery.sql("q279_ts_zonemap_slice", q279TsZoneMapSlice, q279Oracle))
+    GraftQuery.sql("q279_ts_zonemap_slice", q279TsZoneMapSlice, q279Oracle),
+    GraftQuery.sql("q284_file_granular_delete", q284FileGranularDelete, q284Oracle))
 }

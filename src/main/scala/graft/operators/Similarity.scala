@@ -663,7 +663,72 @@ object Similarity {
        |  FROM scored)
        |WHERE rn <= 3 ORDER BY q_id, neighbor_id""".stripMargin
 
+  // ---------------------------------------------------------------- q282
+
+  /** Hard-negative mining for retrieval/embedding training: for each query
+    * vector, the top-3 most-similar candidates whose LABEL DIFFERS — the
+    * near-misses a contrastive objective (DPR/Contriever-style) learns the
+    * most from, where random negatives are trivially separable. Candidate
+    * generation reuses the IVF machinery: cell assignment is map-only
+    * against the broadcast quantizer, candidates come from the query's own
+    * cell (an equi-join on the cell id — never all-pairs), and the
+    * label-mismatch condition is a residual filter on that join. At 100 TB
+    * this is the q67 serving shape with one extra predicate; mining depth
+    * is the same nprobe dial as q84/q278.
+    */
+  def q282HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).selectExpr(
+      "vec_id", "embedding", "label", "float_vec_dot(embedding, embedding) AS n2")
+    val cents = base.where(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(asc("dist2"), asc("c_id"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        col("n2") - lit(2.0) * expr("float_vec_dot(embedding, c_emb)") + col("c_n2"))
+      .withColumn("crn", row_number().over(wCell))
+      .where(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("n2"), col("label"),
+        col("c_id").as("cell"))
+    val queries = assigned.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"), col("label").as("q_label"), col("cell").as("q_cell"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    assigned.join(queries,
+        col("cell") === col("q_cell") && col("label") =!= col("q_label"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("cos",
+        expr("float_vec_dot(q_emb, embedding)") / (sqrt(col("q_n2")) * sqrt(col("n2"))))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 3)
+      .select(col("q_id"), col("q_label"), col("neighbor_id"),
+        col("label").as("neg_label"), col("cos"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
+  val q282Oracle: String =
+    s"""WITH n AS (SELECT vec_id, embedding, label,
+       |  ${Det.dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+       |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM n WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT vec_id, embedding, label, n2, cell FROM (
+       |    SELECT n.vec_id, n.embedding, n.label, n.n2, c.c_id AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        n.n2 - 2.0 * ${Det.dotSql("n.embedding", "c.c_emb")} + c.c_n2, c.c_id) AS crn
+       |    FROM n, cents c)
+       |  WHERE crn = 1)
+       |SELECT q_id, q_label, neighbor_id, neg_label, cos FROM (
+       |  SELECT q.vec_id AS q_id, q.label AS q_label, a.vec_id AS neighbor_id,
+       |    a.label AS neg_label,
+       |    ${Det.dotSql("q.embedding", "a.embedding")} / (sqrt(q.n2) * sqrt(a.n2)) AS cos,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${Det.dotSql("q.embedding", "a.embedding")} / (sqrt(q.n2) * sqrt(a.n2)) DESC,
+       |      a.vec_id) AS rn
+       |  FROM assigned q JOIN assigned a
+       |    ON q.vec_id < 20 AND a.cell = q.cell AND a.label <> q.label)
+       |WHERE rn <= 3 ORDER BY q_id, neighbor_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q282_hard_negatives", q282HardNegatives, q282Oracle),
     GraftQuery.sql("q258_pq_adc", q258PqAdc, q258Oracle),
     GraftQuery.sql("q264_ivfpq_ann", q264IvfPqAnn, q264Oracle),
     GraftQuery.sql("q40_cosine_topk", q40CosineTopk, q40Oracle),

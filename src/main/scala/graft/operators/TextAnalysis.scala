@@ -799,7 +799,42 @@ object TextAnalysis {
       |          JOIN norms nb ON nb.doc_id = doc_b
       |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q283
+
+  /** Feature-hashing (hashing-trick) bag-of-words: every token maps to one
+    * of 64 buckets by a hash of the token itself — the fixed-width sparse
+    * featurization (Weinberger et al.'s hashing trick) that needs NO
+    * vocabulary pass, no dictionary broadcast, no OOV handling. The bucket
+    * is md5-derived (first 8 hex chars as an integer, mod 64) so Spark and
+    * DuckDB agree bit-for-bit. Emits the per-(lang, bucket) occupancy —
+    * occurrence mass and distinct-term load — i.e. the hash-collision
+    * profile a practitioner inspects before committing to a width.
+    *
+    * Scale shape: hashing is a map-only projection inside the scan stage
+    * (no vocabulary state at any size — the property that makes feature
+    * hashing THE featurizer at 100 TB); the rollup is one shuffle on
+    * (lang, bucket) — 64·|langs| groups.
+    */
+  def q283HashedBow(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % 64).cast("int"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("tok")).as("n_terms"))
+      .orderBy(col("lang"), col("bucket"))
+
+  val q283Oracle: String =
+    """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |h AS (SELECT lang, tok,
+      |        CAST(list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+      |                          for i in range(1, 9)], (a, b) -> a * 16 + b) % 64 AS INT) AS bucket
+      |      FROM toks)
+      |SELECT lang, bucket, count(*) AS n_occ, count(DISTINCT tok) AS n_terms
+      |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q283_hashed_bow", q283HashedBow, q283Oracle),
     GraftQuery.sql("q37_lang_markers", q37LangMarkers, q37Oracle),
     GraftQuery.sql("q38_quality_score", q38QualityScore, q38Oracle),
     GraftQuery.sql("q39_token_stats", q39TokenStats, q39Oracle),

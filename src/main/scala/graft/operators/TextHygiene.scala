@@ -210,8 +210,108 @@ object TextHygiene {
        |UNION ALL SELECT 3, a, b, pair_cnt FROM m3 ORDER BY iter""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q280
+
+  /** Kneser–Ney count tables — the integer substrate of KN-smoothed n-gram
+    * LM training: corpus bigram counts c(w1,w2) plus the two continuation
+    * statistics the discount formula needs, N1+(•w2) (distinct left
+    * contexts of w2 — KN's replacement for raw unigram frequency) and
+    * N1+(w1•) (distinct continuations of w1, the normalizer of the backoff
+    * weight). Every output is an exact integer — the smoothing DIVISIONS
+    * belong to the (driver-side, model-size) estimation step, so the
+    * corpus-scale pass stays order-independent and hash-stable.
+    *
+    * Scale shape: bigram formation is a map-only explode bounded by
+    * document length; one shuffle on (w1,w2) builds the count table; both
+    * continuation tables are aggregations OVER that table (tiny — the
+    * distinct-bigram vocabulary), not over the corpus. Top-30 by count is
+    * TakeOrdered. This is the textbook MapReduce LM-counts job
+    * (Brants et al., "Large Language Models in Machine Translation") in
+    * three declarative aggregations.
+    */
+  def q280KnCounts(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val c = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bigram"))
+    val contLeft = c.groupBy(col("w2")).agg(count(lit(1)).as("n_pred"))
+    val fanout = c.groupBy(col("w1")).agg(count(lit(1)).as("n_succ"))
+    c.join(contLeft, "w2").join(fanout, "w1")
+      .select(col("w1"), col("w2"), col("c_bigram"), col("n_succ"), col("n_pred"))
+      .orderBy(col("c_bigram").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  val q280Oracle: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT unnest([{'w1': t[i], 'w2': t[i + 1]} for i in range(1, len(t))]) AS b FROM t),
+      |c AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_bigram FROM bg GROUP BY 1, 2),
+      |cl AS (SELECT w2, count(*) AS n_pred FROM c GROUP BY 1),
+      |fo AS (SELECT w1, count(*) AS n_succ FROM c GROUP BY 1)
+      |SELECT c.w1, c.w2, c_bigram, n_succ, n_pred
+      |FROM c JOIN cl USING (w2) JOIN fo USING (w1)
+      |ORDER BY c_bigram DESC, w1, w2 LIMIT 30""".stripMargin
+
+  // ---------------------------------------------------------------- q281
+
+  /** PMI collocation mining: bigrams whose observed frequency most exceeds
+    * the independence expectation — the classic collocation score, ranked
+    * by the RATIO c(ab)·N / (c(a)·c(b)) (the exponential of PMI, which
+    * orders identically). Determinism: every count is an exact int64, the
+    * two products stay far under 2^53 (so int→double casts are exact), and
+    * the score is ONE IEEE division — bit-identical across engines, where
+    * a log-based PMI would be a libm lottery. The c(ab) ≥ 5 support floor
+    * is the standard guard against singleton-pair noise dominating the
+    * ranking.
+    *
+    * Scale shape: one shuffle for unigram counts, one for bigram counts,
+    * then a join of the bigram table against the (much smaller) unigram
+    * table on each endpoint — the a-priori trick (q178) applies unchanged
+    * if the support floor should prune before the join. Top-20 is
+    * TakeOrdered.
+    */
+  def q281PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val bigrams = toks.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val cb = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= 5)
+    val n = uni.agg(sum(col("cw"))).head.getLong(0)
+    cb.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c_a"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c_b"), "w2")
+      .withColumn("lift",
+        (col("c_ab") * lit(n)).cast("double") / (col("c_a") * col("c_b")).cast("double"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val q281Oracle: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |uni AS (SELECT w, count(*) AS cw FROM (SELECT unnest(t) AS w FROM t) GROUP BY 1),
+      |n AS (SELECT sum(cw) AS n FROM uni),
+      |bg AS (SELECT unnest([{'w1': t[i], 'w2': t[i + 1]} for i in range(1, len(t))]) AS b
+      |       FROM t WHERE len(t) >= 2),
+      |cb AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_ab FROM bg GROUP BY 1, 2
+      |       HAVING count(*) >= 5)
+      |SELECT w1, w2, c_ab, c_a, c_b, lift FROM (
+      |  SELECT cb.w1, cb.w2, c_ab, a.cw AS c_a, b.cw AS c_b,
+      |    CAST(c_ab * n.n AS DOUBLE) / CAST(a.cw * b.cw AS DOUBLE) AS lift
+      |  FROM cb JOIN uni a ON cb.w1 = a.w JOIN uni b ON cb.w2 = b.w, n)
+      |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q254_paragraph_dedup", q254ParagraphDedup, q254Oracle),
     GraftQuery.sql("q255_unigram_rarity", q255UnigramRarity, q255Oracle),
-    GraftQuery.sql("q259_bpe_merges", q259BpeMerges, q259Oracle))
+    GraftQuery.sql("q259_bpe_merges", q259BpeMerges, q259Oracle),
+    GraftQuery.sql("q280_kn_counts", q280KnCounts, q280Oracle),
+    GraftQuery.sql("q281_pmi_collocations", q281PmiCollocations, q281Oracle))
 }

@@ -326,20 +326,51 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
           new org.apache.spark.sql.connector.write.RowLevelOperation {
             override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
               info.command()
-            // The scan deliberately exposes NO pushdown surface (a bare
-            // build()-only ScanBuilder): if the rewrite's condition reached
-            // the parquet reader, files with no matching rows would vanish
-            // from the replacement output — and since the commit below
-            // replaces the WHOLE current set, their rows would be lost.
-            // Stripping pushdown forces a full-table read, making
-            // replacement = whole table the invariant the commit relies
-            // on. (File-granular grouping — rewrite only affected files,
-            // keep the rest — is the zone-map refinement, and requires
-            // capturing the scan's post-pruning file set.)
+            // The replacement scan exposes NO row-level pushdown — every
+            // filter expression is returned as still-to-evaluate, so the
+            // parquet reader always hands back FULL rows and the commit's
+            // "replacement = everything the query emitted" invariant can
+            // never lose rows to a reader-side filter. The filters ARE
+            // harvested for FILE pruning, though: a planned conjunct that
+            // zone maps prove unsatisfiable on a file means that file
+            // contributes no rows to the replacement query (the same
+            // conjunct is evaluated above the scan), so the file is
+            // dropped from the planned splits — the group-based DELETE
+            // fallback skips reading files it would delete outright, and
+            // any rewrite with a range condition skips provably-irrelevant
+            // I/O. Pruning changes which bytes are read, never which rows
+            // the query produces; with no stats or no translatable
+            // condition the scan degrades to the full snapshot.
+            // (Carrying pruned files into the new version BY NAME — true
+            // file-granular grouping — is sound only on the metadata
+            // DELETE fast path, where the predicate's polarity is known;
+            // see deleteWhere. Here a pruned file may equally mean "fully
+            // deleted", so the commit always uses exactly the query's
+            // output.)
             override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
               val sb = readDelegate.newScanBuilder(options)
-              new ScanBuilder {
-                override def build(): org.apache.spark.sql.connector.read.Scan = sb.build()
+              new ScanBuilder
+                  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+                private var v1: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+                override def pushFilters(
+                    filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+                    : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+                  v1 = filters.flatMap(ZoneMapScanBuilder.toV1).toArray
+                  filters // nothing consumed: rows are never filtered here
+                }
+                override def pushedFilters
+                    : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+                  Array.empty
+                override def build(): org.apache.spark.sql.connector.read.Scan = {
+                  val scan = sb.build()
+                  val stats = StagingMaintenance.readStatsFor(tableFs, dir)
+                  scan match {
+                    case fscan: org.apache.spark.sql.execution.datasources.v2.FileScan
+                        if stats.nonEmpty && v1.nonEmpty =>
+                      new ZoneMapPrunedScan(fscan, stats, v1)
+                    case other => other
+                  }
+                }
               }
             }
             override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
@@ -366,9 +397,9 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
                       val before = GraftStagingCatalog.dataFiles(tableFs, dir).toSet
                       inner.commit(messages)
                       val fresh = GraftStagingCatalog.dataFiles(tableFs, dir).filterNot(before)
-                      // whole-table groups: the replacement files ARE the
-                      // new current set — valid ONLY if the table is still
-                      // at the snapshot this rewrite scanned
+                      // whole-snapshot replacement: the new current set is
+                      // exactly what the query emitted — valid ONLY if the
+                      // table is still at the snapshot the rewrite scanned
                       GraftStagingCatalog.writeExplicitManifest(tableFs, dir, fresh,
                         kind = info.command().toString.toLowerCase,
                         expectedBase = Some(snapshotVersion))
@@ -736,6 +767,14 @@ object GraftStagingCatalog {
     * surface as NULL) MUST survive, so the survivor filter is
     * NOT(coalesce(pred, false)), never the raw negation (!NULL is NULL,
     * which would silently drop every NULL-predicate row).
+    *
+    * FILE-GRANULAR when zone maps exist: a file whose recorded [min,max]
+    * proves the predicate can match NO row needs no rewrite — it carries
+    * into the new version BY NAME, untouched. Only files the stats cannot
+    * rule out are read, filtered, and rewritten. On a clustered 100 TB
+    * table a ranged delete then rewrites its slice of files, not the
+    * table — the Delta/Iceberg copy-on-write shape. Unanalyzed files are
+    * conservatively rewritten (correct, just not minimal).
     */
   private[catalog] def deleteWhere(fs: FileSystem, d: Path,
       filters: Array[org.apache.spark.sql.sources.Filter], baseVersion: Long): Unit = {
@@ -744,13 +783,18 @@ object GraftStagingCatalog {
     val pred = filters.flatMap(filterToColumn(_)).reduceOption(_ && _).getOrElse(lit(true))
     val current = versionManifests(fs, d).lastOption
       .map { case (_, mf) => manifestFiles(fs, mf) }.getOrElse(dataFiles(fs, d))
+    val stats = StagingMaintenance.readStatsFor(fs, d)
+    // conjunction semantics: ANY filter proven unsatisfiable on a file's
+    // range makes the whole predicate false there → the file is untouched
+    val (touched, untouched) = current.partition(f =>
+      filters.forall(fl => ZoneMapPrunedScan.canMatch(stats, f, fl)))
     val kept: Seq[String] =
-      if (current.isEmpty) Seq.empty
+      if (touched.isEmpty) untouched
       else {
         val reader = spark.read
         declaredSchema(fs, d).foreach(reader.schema)
         val remaining = reader
-          .parquet(current.map(f => new Path(d, f).toString): _*)
+          .parquet(touched.map(f => new Path(d, f).toString): _*)
           .where(not(coalesce(pred, lit(false))))
         val token = java.util.UUID.randomUUID().toString.take(12)
         val tmp = new Path(d, s"_delete_$token")
@@ -764,7 +808,7 @@ object GraftStagingCatalog {
             target.getName
           }
         fs.delete(tmp, true)
-        moved
+        untouched ++ moved
       }
     writeExplicitManifest(fs, d, kept, kind = "delete", expectedBase = Some(baseVersion))
   }

@@ -700,6 +700,50 @@ class CatalogSpec extends SparkSpec {
       .getLong(0) === spark.table("stage_t.ws.sqlzm").where(col("tag") === 3).count())
   }
 
+  test("file-granular DELETE: zone maps confine the rewrite to intersecting files") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.fgd")
+    spark.sql("""CREATE TABLE stage_t.ws.fgd AS
+      SELECT k FROM (SELECT id AS k FROM range(0, 3200)) DISTRIBUTE BY k""")
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "fgd",
+      targetFiles = 8, clusterBy = Some("k"))
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "fgd", Seq("k"))
+    def currentFiles(): Set[String] = {
+      val vd = new java.io.File(stageRoot, "ws/fgd/_graft_versions")
+      val latest = vd.listFiles().filter(_.getName.matches("v\\d+\\.json"))
+        .maxBy(_.getName.stripPrefix("v").stripSuffix(".json").toLong)
+      val txt = new String(java.nio.file.Files.readAllBytes(latest.toPath))
+      "\"([^\"]+)\"".r.findAllMatchIn(
+        txt.substring(txt.indexOf('['))).map(_.group(1)).toSet
+    }
+    val before = currentFiles()
+    assert(before.size === 8)
+    // a 100-row slice of a clustered 3200-row table: the rewrite must only
+    // touch the file(s) whose [min,max] intersects — the rest carry into
+    // the new version BY NAME
+    spark.sql("DELETE FROM stage_t.ws.fgd WHERE k >= 1000 AND k < 1100")
+    val after = currentFiles()
+    val carried = after.intersect(before)
+    assert(carried.size >= 6,
+      s"expected >=6 of 8 files untouched, carried ${carried.size}: $after")
+    assert(after !== before, "delete rewrote nothing")
+    // content exact: the slice is gone, everything else intact
+    assert(spark.table("stage_t.ws.fgd").count() === 3100)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.fgd WHERE k BETWEEN 1000 AND 1099")
+      .collect()(0).getLong(0) === 0)
+    assert(spark.sql("SELECT CAST(sum(k) AS BIGINT) FROM stage_t.ws.fgd").collect()(0)
+      .getLong(0) === (0L until 3200L).sum - (1000L until 1100L).sum)
+    // a provably-no-match delete carries EVERY file (metadata-only delete);
+    // the file delete #1 rewrote needs stats first — unanalyzed files are
+    // conservatively rewritten
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "fgd", Seq("k"))
+    spark.sql("DELETE FROM stage_t.ws.fgd WHERE k >= 100000")
+    assert(currentFiles() === after, "no-match delete should rewrite nothing")
+    assert(spark.table("stage_t.ws.fgd").count() === 3100)
+  }
+
   test("unknown namespace and table fail with the standard analysis errors") {
     mount()
     val e = intercept[Exception] { spark.sql("SHOW TABLES IN graft_cat.`nope`").collect() }
