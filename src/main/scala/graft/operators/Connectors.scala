@@ -412,6 +412,48 @@ object Connectors {
        |       AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-11 00:00:00')
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q285
+
+  /** STRING zone maps through the PLAIN SQL scan: documents staged into
+    * the catalog, CLUSTER BY lang (a string key — the corpus-partitioning
+    * reality of multilingual pipelines), ANALYZE harvesting UTF-8 min/max
+    * string stats from the parquet footers, and then an ordinary
+    * `SELECT … WHERE lang = 'de'` — no side API — skips every file whose
+    * recorded [min,max] range cannot contain 'de'
+    * ([[graft.sources.catalog.ZoneMapScanBuilder]] wraps the table's
+    * DSv2 ScanBuilder; CatalogSpec asserts filesKept < filesTotal through
+    * the `ZoneMapScan.lastPrune` hook). This is per-language corpus
+    * routing as metadata: at 100 TB "give me the German slice" opens the
+    * German objects, not the corpus. Hash-matched against the source-side
+    * aggregate — pruning changed which files were read, never the answer.
+    */
+  def q285StringZonemap(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.documents(spark, dir).createOrReplaceTempView("docs_szm_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.docs_szm")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.docs_szm AS
+        |SELECT doc_id, lang, source, n_chars FROM docs_szm_src""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "docs_szm", targetFiles = 5, clusterBy = Some("lang"))
+    graft.sources.catalog.StagingMaintenance.analyze(
+      spark, "graft_stage", "work", "docs_szm", Seq("lang"))
+    spark.sql(
+      """SELECT source, count(*) AS n, min(doc_id) AS min_doc,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM graft_stage.work.docs_szm WHERE lang = 'de'
+        |GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val q285Oracle: String =
+    """SELECT source, count(*) AS n, min(doc_id) AS min_doc,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang = 'de'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q248
 
   /** Snapshot-pinned (time-travel) read over the staging catalog: three
@@ -1045,5 +1087,6 @@ object Connectors {
     GraftQuery.sql("q277_conjunctive_scan", q277ConjunctiveScan, q277Oracle),
     GraftQuery.sql("q278_ivf_catalog_nprobe2", q278IvfCatalogNprobe2, Similarity.q84Oracle),
     GraftQuery.sql("q279_ts_zonemap_slice", q279TsZoneMapSlice, q279Oracle),
-    GraftQuery.sql("q284_file_granular_delete", q284FileGranularDelete, q284Oracle))
+    GraftQuery.sql("q284_file_granular_delete", q284FileGranularDelete, q284Oracle),
+    GraftQuery.sql("q285_string_zonemap", q285StringZonemap, q285Oracle))
 }

@@ -284,8 +284,15 @@ object GraphRank {
     val pairs = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Cache the edge list ALREADY HASH-PARTITIONED on the per-round join
+    // key: InMemoryRelation reports the cached plan's output partitioning,
+    // so every round's shuffle-hash join re-exchanges only the O(nodes)
+    // label table — the O(edges) side shuffles ONCE here instead of once
+    // per round. This is the pay-the-shuffle-once discipline (q69's
+    // bucketing) applied to an iteration-cached table.
     val edges = pairs.select((col("p") * 2).as("u"), (col("s") * 2 + 1).as("v"))
       .union(pairs.select((col("s") * 2 + 1).as("u"), (col("p") * 2).as("v")))
+      .repartition(col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count() // materialize once; three rounds re-read the cache
     pairs.unpersist(false) // folded into the cached edge list — not needed again
@@ -298,9 +305,14 @@ object GraphRank {
         .join(labels.hint("shuffle_hash").withColumnRenamed("node", "v"), Seq("v"))
         .groupBy(col("u").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(wMode))
-        .where(col("rn") === 1)
-        .select(col("node"), col("label"))
+        // mode-of-neighbors as a SECOND hash aggregation (max_by over the
+        // (count, -label) order) instead of a row_number window: the window
+        // form needs an exchange PLUS a per-partition sort; max_by partial-
+        // aggregates map-side and never sorts. Tie semantics identical:
+        // highest count, then smallest label.
+        .groupBy(col("node"))
+        .agg(max_by(col("label"),
+          struct(col("c"), (-col("label")).as("nl"))).as("label"))
         // persist + count, not localCheckpoint: same one-computation
         // guarantee per round without the eager block-store copy (the q161
         // cost lesson); the label table is O(nodes) — small — and the next
@@ -358,8 +370,14 @@ object GraphRank {
   def q276KCore(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    // Edge state is cached HASH-PARTITIONED on u every round (the q270
+    // lesson): the degree aggregation and the u-side survivor semi-join
+    // then read the cache partition-aligned with no exchange — each round
+    // re-shuffles only the v-side filter and its own repartition, not
+    // three full edge exchanges.
     var edges = pairs.select((col("p") * 2).as("u"), (col("s") * 2 + 1).as("v"))
       .union(pairs.select((col("s") * 2 + 1).as("u"), (col("p") * 2).as("v")))
+      .repartition(col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trajectory = Seq.newBuilder[(Int, Long, Long)]
     // one action per round: node + edge counts in a single aggregate (this
@@ -378,6 +396,7 @@ object GraphRank {
         .join(keep.hint("shuffle_hash").withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.hint("shuffle_hash").withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
+        .repartition(col("u"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val s = stats(edges) // materializes the new round's edge state
       trajectory += ((round, s._1, s._2))

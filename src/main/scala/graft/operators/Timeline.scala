@@ -282,7 +282,101 @@ object Timeline {
        |    AS slope_milli_per_min
        |FROM agg ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q286
+
+  /** Day-of-week seasonality index per event type: mean value on each
+    * weekday relative to the type's overall mean — the classical seasonal
+    * index (ratio-to-overall-average method) a monitoring/forecasting
+    * pipeline computes before de-seasonalizing. Determinism: both means
+    * come from exact decimal sums (Det.dsum) over int64 counts; the index
+    * is the SAME parenthesized double expression — (s/n)/(S/N) — in both
+    * engines, two IEEE divisions on exactly-representable inputs. Weekday
+    * numbering is pinned Monday=0 (Spark `weekday` ≡ DuckDB `isodow - 1`);
+    * never `dayofweek`, whose origin differs across engines.
+    *
+    * Scale shape: two hash aggregations over one scan lineage — per
+    * (type, dow) and per type — joined on the tiny type key; everything
+    * partial-aggregates map-side. No windows, no sorts until the final
+    * 7·|types|-row ORDER BY.
+    */
+  def q286DowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("weekday(ts)").as("dow"),
+        col("value"))
+    val perDow = ev.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("s"))
+    val overall = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_all"), Det.dsum(col("value")).as("s_all"))
+    perDow.join(overall, "event_type")
+      .withColumn("season_idx",
+        (col("s") / col("n")) / (col("s_all") / col("n_all")))
+      .select(col("event_type"), col("dow"), col("n"), col("season_idx"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val q286Oracle: String =
+    s"""WITH ev AS (SELECT event_type, isodow(CAST(ts AS TIMESTAMP)) - 1 AS dow, value
+       |            FROM events),
+       |per AS (SELECT event_type, dow, count(*) AS n,
+       |          ${graft.operators.Det.dsumSql("value")} AS s
+       |        FROM ev GROUP BY 1, 2),
+       |org AS (SELECT event_type, count(*) AS n_all,
+       |          ${graft.operators.Det.dsumSql("value")} AS s_all
+       |        FROM ev GROUP BY 1)
+       |SELECT per.event_type AS event_type, dow, n, (s / n) / (s_all / n_all) AS season_idx
+       |FROM per JOIN org ON per.event_type = org.event_type
+       |ORDER BY per.event_type, dow""".stripMargin
+
+  // ---------------------------------------------------------------- q287
+
+  /** Mann–Kendall trend statistic per user: S = Σ_{i<j} sign(v_j − v_i)
+    * over the user's time-ordered activity — the standard nonparametric
+    * monotonic-trend test (no distributional assumption, exact in
+    * integers; the z-normalization that needs variance ties is the tiny
+    * model-side step). Emitted per user with the pair count and the trend
+    * class, so a pipeline can flag drifting segments.
+    *
+    * Scale shape: the pair expansion is an equi-join on user_id with the
+    * (ts, event_id) strict-order residual — candidate pairs are bounded by
+    * the per-user activity square, never |events|² (the per-entity-square
+    * rule every timeline pair op here follows). sign() over a double
+    * difference is −1/0/1 exactly in both engines; the sums are int64.
+    */
+  def q287MannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val a = e.select(col("user_id"), col("event_id").as("id_a"),
+      col("ts").as("ts_a"), col("value").as("v_a"))
+    val b = e.select(col("user_id"), col("event_id").as("id_b"),
+      col("ts").as("ts_b"), col("value").as("v_b"))
+    a.join(b, Seq("user_id"))
+      .where(col("ts_a") < col("ts_b") ||
+        (col("ts_a") === col("ts_b") && col("id_a") < col("id_b")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(signum(col("v_b") - col("v_a")).cast("long")).as("s_stat"))
+      .withColumn("trend",
+        when(col("s_stat") > 0, lit("up"))
+          .when(col("s_stat") < 0, lit("down")).otherwise(lit("flat")))
+      .orderBy(col("user_id"))
+  }
+
+  val q287Oracle: String =
+    """SELECT user_id, count(*) AS n_pairs,
+      |  CAST(sum(CAST(sign(b.v_b - a.v_a) AS BIGINT)) AS BIGINT) AS s_stat,
+      |  CASE WHEN sum(CAST(sign(b.v_b - a.v_a) AS BIGINT)) > 0 THEN 'up'
+      |       WHEN sum(CAST(sign(b.v_b - a.v_a) AS BIGINT)) < 0 THEN 'down'
+      |       ELSE 'flat' END AS trend
+      |FROM (SELECT user_id, event_id AS id_a, CAST(ts AS TIMESTAMP) AS ts_a, value AS v_a
+      |      FROM events) a
+      |JOIN (SELECT user_id, event_id AS id_b, CAST(ts AS TIMESTAMP) AS ts_b, value AS v_b
+      |      FROM events) b USING (user_id)
+      |WHERE a.ts_a < b.ts_b OR (a.ts_a = b.ts_b AND a.id_a < b.id_b)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q286_dow_seasonality", q286DowSeasonality, q286Oracle),
+    GraftQuery.sql("q287_mann_kendall", q287MannKendall, q287Oracle),
     GraftQuery.sql("q111_scd2_intervals", q111Scd2, q111Oracle),
     GraftQuery.sql("q112_transition_matrix", q112Transitions, q112Oracle),
     GraftQuery.sql("q113_rolling_anomaly", q113Anomaly, q113Oracle),

@@ -698,6 +698,22 @@ class CatalogSpec extends SparkSpec {
     ZoneMapScan.lastPrune = None
     assert(spark.sql("SELECT count(*) FROM stage_t.ws.sqlzm WHERE tag = 3").collect()(0)
       .getLong(0) === spark.table("stage_t.ws.sqlzm").where(col("tag") === 3).count())
+
+    // STRING zone maps prune through the same plain-SQL path: a table
+    // clustered on a string key skips files whose [min,max] UTF-8 range
+    // cannot contain the equality literal
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.sqlzs")
+    spark.sql("""CREATE TABLE stage_t.ws.sqlzs AS
+      SELECT id AS k, concat('grp', CAST(id % 8 AS STRING)) AS g FROM range(0, 4000)""")
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "sqlzs",
+      targetFiles = 8, clusterBy = Some("g"))
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "sqlzs", Seq("g"))
+    ZoneMapScan.lastPrune = None
+    val dfS = spark.sql("SELECT count(*) AS n FROM stage_t.ws.sqlzs WHERE g = 'grp3'")
+    assert(dfS.collect()(0).getLong(0) === 500)
+    val (keptS, totalS) = ZoneMapScan.lastPrune.getOrElse(fail("string path not engaged"))
+    assert(totalS >= 5 && keptS < totalS,
+      s"string equality should skip files: kept $keptS/$totalS")
   }
 
   test("file-granular DELETE: zone maps confine the rewrite to intersecting files") {

@@ -57,6 +57,76 @@ class StagingProtocolSpec extends graft.SparkSpec {
     assert(manifestFiles(fs, versionManifests(fs, d).last._2) === Seq("rewritten.parquet"))
   }
 
+  test("zone-map canMatch is SOUND: a pruned file can contain no matching value") {
+    // The one property pruning correctness hangs on: canMatch == false must
+    // imply NO value in the file's range satisfies the filter. (The
+    // converse — keeping a file with no matches — is allowed, it's just
+    // conservatism.) Randomized over long value sets, nested And/Or/In
+    // filters, and string ranges with StartsWith.
+    import org.apache.spark.sql.sources._
+    val rng = new scala.util.Random(20260814)
+    def lit(): java.lang.Long = java.lang.Long.valueOf(rng.nextInt(200).toLong - 100L)
+    def mkFilterL(depth: Int): Filter = rng.nextInt(if (depth > 0) 8 else 6) match {
+      case 0 => EqualTo("c", lit())
+      case 1 => GreaterThan("c", lit())
+      case 2 => GreaterThanOrEqual("c", lit())
+      case 3 => LessThan("c", lit())
+      case 4 => LessThanOrEqual("c", lit())
+      case 5 => In("c", Array.fill(1 + rng.nextInt(4))(lit(): Any))
+      case 6 => And(mkFilterL(depth - 1), mkFilterL(depth - 1))
+      case 7 => Or(mkFilterL(depth - 1), mkFilterL(depth - 1))
+    }
+    def evalL(f: Filter, v: Long): Boolean = f match {
+      case EqualTo("c", x: java.lang.Long)            => v == x.longValue
+      case GreaterThan("c", x: java.lang.Long)        => v > x.longValue
+      case GreaterThanOrEqual("c", x: java.lang.Long) => v >= x.longValue
+      case LessThan("c", x: java.lang.Long)           => v < x.longValue
+      case LessThanOrEqual("c", x: java.lang.Long)    => v <= x.longValue
+      case In("c", vs)                                => vs.exists {
+        case x: java.lang.Long => x.longValue == v; case _ => false }
+      case And(l, r)                                  => evalL(l, v) && evalL(r, v)
+      case Or(l, r)                                   => evalL(l, v) || evalL(r, v)
+      case other => fail(s"unexpected filter $other")
+    }
+    for (_ <- 1 to 3000) {
+      val vals = Seq.fill(1 + rng.nextInt(12))(rng.nextInt(200).toLong - 100L)
+      val stats: Map[(String, String), ZStat] = Map(("f", "c") -> LongZ(vals.min, vals.max))
+      val f = mkFilterL(2)
+      if (!ZoneMapPrunedScan.canMatch(stats, "f", f))
+        assert(!vals.exists(v => evalL(f, v)),
+          s"pruned file contains a match: filter=$f values=$vals")
+    }
+    // string ranges incl. prefix filters
+    def str(): String = Seq.fill(1 + rng.nextInt(3))(('a' + rng.nextInt(4)).toChar).mkString
+    def mkFilterS(depth: Int): Filter = rng.nextInt(if (depth > 0) 7 else 5) match {
+      case 0 => EqualTo("c", str())
+      case 1 => GreaterThan("c", str())
+      case 2 => LessThan("c", str())
+      case 3 => StringStartsWith("c", str())
+      case 4 => In("c", Array.fill(1 + rng.nextInt(3))(str(): Any))
+      case 5 => And(mkFilterS(depth - 1), mkFilterS(depth - 1))
+      case 6 => Or(mkFilterS(depth - 1), mkFilterS(depth - 1))
+    }
+    def evalS(f: Filter, v: String): Boolean = f match {
+      case EqualTo("c", x: String)        => v == x
+      case GreaterThan("c", x: String)    => v > x
+      case LessThan("c", x: String)       => v < x
+      case StringStartsWith("c", p)       => v.startsWith(p)
+      case In("c", vs)                    => vs.exists { case x: String => x == v; case _ => false }
+      case And(l, r)                      => evalS(l, v) && evalS(r, v)
+      case Or(l, r)                       => evalS(l, v) || evalS(r, v)
+      case other => fail(s"unexpected filter $other")
+    }
+    for (_ <- 1 to 3000) {
+      val vals = Seq.fill(1 + rng.nextInt(12))(str())
+      val stats: Map[(String, String), ZStat] = Map(("f", "c") -> StringZ(vals.min, vals.max))
+      val f = mkFilterS(2)
+      if (!ZoneMapPrunedScan.canMatch(stats, "f", f))
+        assert(!vals.exists(v => evalS(f, v)),
+          s"pruned file contains a match: filter=$f values=$vals")
+    }
+  }
+
   test("randomized model: interleaved appends and rewrites never lose a committed append") {
     // Conflict-arm of the catalog model test: appends and base-pinned
     // rewrites interleave; a rewrite whose base went stale must abort, and
