@@ -454,6 +454,58 @@ object Connectors {
       |FROM documents WHERE lang = 'de'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q292
+
+  /** The ALL-SQL table-management lifecycle — Spark 4's DSv2 stored
+    * procedures ([[graft.sources.catalog.StagingProcedures]], SQL `CALL`)
+    * composed with plain-scan zone maps: stage events with CTAS, compact +
+    * cluster on event time with `CALL optimize`, harvest TIMESTAMP stats
+    * with `CALL analyze`, then answer a day slice with an ORDINARY
+    * `SELECT … WHERE ts BETWEEN …` — whose DSv2 scan consults the stats
+    * sidecar and skips non-intersecting files with no side API anywhere.
+    * A user never leaves SQL: DDL, DML, maintenance, and pruned reads are
+    * one surface, the way a reference deployment would actually operate
+    * the catalog. The oracle recomputes the slice from the source — the
+    * SQL-driven lifecycle loses nothing and adds nothing.
+    */
+  def q292SqlMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    val prevT = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events_sqlm_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+      spark.sql("DROP TABLE IF EXISTS graft_stage.work.events_sqlm")
+      spark.sql(
+        """CREATE TABLE graft_stage.work.events_sqlm AS
+          |SELECT event_id, ts, user_id, event_type, value FROM events_sqlm_src""".stripMargin)
+      spark.sql("CALL graft_stage.optimize('work', 'events_sqlm', 8, 'ts')")
+      spark.sql("CALL graft_stage.analyze('work', 'events_sqlm', 'ts')")
+      spark.sql(
+        """SELECT event_type, count(*) AS n, min(event_id) AS min_ev,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |FROM graft_stage.work.events_sqlm
+          |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+          |  AND ts < TIMESTAMP '2024-01-21 00:00:00'
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    } finally {
+      prevT match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    }
+  }
+
+  val q292Oracle: String =
+    s"""SELECT event_type, count(*) AS n, min(event_id) AS min_ev,
+       |  ${graft.operators.Det.dsumSql("value")} AS total
+       |FROM events
+       |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20 00:00:00'
+       |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-21 00:00:00'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q248
 
   /** Snapshot-pinned (time-travel) read over the staging catalog: three
@@ -1088,5 +1140,6 @@ object Connectors {
     GraftQuery.sql("q278_ivf_catalog_nprobe2", q278IvfCatalogNprobe2, Similarity.q84Oracle),
     GraftQuery.sql("q279_ts_zonemap_slice", q279TsZoneMapSlice, q279Oracle),
     GraftQuery.sql("q284_file_granular_delete", q284FileGranularDelete, q284Oracle),
-    GraftQuery.sql("q285_string_zonemap", q285StringZonemap, q285Oracle))
+    GraftQuery.sql("q285_string_zonemap", q285StringZonemap, q285Oracle),
+    GraftQuery.sql("q292_sql_maintenance", q292SqlMaintenance, q292Oracle))
 }

@@ -890,7 +890,61 @@ object Dedup {
        |SELECT doc_id, count(*) AS n_triangles
        |FROM nodes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q290
+
+  /** Cross-SOURCE duplication matrix — corpus provenance analytics: the
+    * Jaccard overlap of word-trigram sets between every pair of ingest
+    * sources, ranked. This is the curation question ABOVE document dedup:
+    * which feeds are mirrors/scrapes of each other (keep one), which are
+    * genuinely distinct. The unit is the source, so the "pair join" is
+    * |sources|² at most — tiny — while the heavy lifting (distinct
+    * trigrams per source) is one map-only explode + distinct shuffle over
+    * the corpus. Same integer-counts + one-IEEE-division Jaccard
+    * discipline as every dedup operator here.
+    */
+  def q290SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))
+        .as("g3"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sh.alias("x")
+      .join(sh.alias("y"), col("x.g3") === col("y.g3") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n", "n_a"), "src_a")
+      .join(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n", "n_b"), "src_b")
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("jac", col("inter").cast("double") / col("uni").cast("double"))
+      .select(col("src_a"), col("src_b"), col("inter"), col("uni"), col("jac"))
+      .orderBy(col("jac").desc, col("src_a"), col("src_b"))
+      .limit(20)
+  }
+
+  val q290Oracle: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT source, g3 FROM (
+      |    SELECT source,
+      |      unnest([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] for i in range(1, len(t) - 1)]) AS g3
+      |    FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+      |    WHERE len(t) >= 3)),
+      |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS inter
+      |  FROM sh x JOIN sh y ON x.g3 = y.g3 AND x.source < y.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, inter, uni, jac FROM (
+      |  SELECT src_a, src_b, inter, sa.n + sb.n - inter AS uni,
+      |    CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jac
+      |  FROM inter JOIN sizes sa ON inter.src_a = sa.source
+      |  JOIN sizes sb ON inter.src_b = sb.source)
+      |ORDER BY jac DESC, src_a, src_b LIMIT 20""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q290_source_overlap", q290SourceOverlap, q290Oracle),
     GraftQuery.sql("q32_exact_dedup", q32ExactDedup, q32Oracle),
     GraftQuery.sql("q33_ngram_jaccard", q33NgramJaccard, q33Oracle),
     GraftQuery.sql("q34_minhash_lsh", q34MinhashLsh, q34Oracle),

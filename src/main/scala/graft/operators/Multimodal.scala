@@ -286,7 +286,152 @@ object Multimodal {
       |WHERE hamming <= 2
       |ORDER BY doc_a, doc_b LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- q288
+
+  /** Shingle-value document-frequency cap for the q288 candidate join —
+    * q262's methodology: provably a no-op at the verified scales (the
+    * oracle is uncapped), a Σ min(df,cap)² bound on a pathological corpus.
+    */
+  private[operators] val FrameShingleCap = 120
+
+  /** Frame-SEQUENCE near-duplicate detection — the video member of the
+    * dedup family: each payload is a sequence of fixed-size frames (the
+    * q74 geometry; a real pipeline's keyframe iterator slots in here, the
+    * q44 decode-stub contract), each frame gets a content fingerprint
+    * (md5 — catches container-level re-muxes and trims, where frames stay
+    * byte-identical; PERCEPTUAL per-frame robustness is q262's axis), and
+    * documents match when the Jaccard of their consecutive-frame-PAIR
+    * shingle sets clears 0.7 — order-sensitive, so two videos sharing
+    * frames in a different cut do NOT collide. The corpus is originals ∪
+    * head-trimmed copies (first frame dropped — the classic clipped
+    * re-upload): a 7-frame original and its 6-frame trim share 5 of 6
+    * shingles, J = 5/6 — every copy must pair with its original.
+    *
+    * Scale shape: frame/shingle derivation is map-only (explode bounded by
+    * payload length); candidates come from the inverted shingle index —
+    * an equi-join on the shingle key with the df-cap guard — and the
+    * Jaccard arithmetic is integer counts with ONE IEEE division. The
+    * same Σ df² machinery as every dedup operator here; no pair ever
+    * forms outside a shared shingle bucket.
+    */
+  def q288FrameSeqNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .where(col("n_chars") >= 448)
+      .select(col("doc_id"), col("text"))
+    // originals keep frames 0..6, copies (id + 1e6) drop frame 0 (trim)
+    val corpus = base.select(explode(expr(
+        "array(struct(doc_id AS doc_id, 0 AS off, 7 AS nf), " +
+          "struct(doc_id + 1000000L AS doc_id, 1 AS off, 6 AS nf))")).as("r"),
+        col("text"))
+      .select(col("r.doc_id").as("doc_id"), col("r.off").as("off"),
+        col("r.nf").as("nf"), col("text"))
+    val frames = corpus
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, nf - 1), i -> " +
+          "struct(i AS i, md5(substring(text, (off + i) * 64 + 1, 64)) AS fp))")).as("f"))
+      .select(col("doc_id"), col("f.i").as("i"), col("f.fp").as("fp"))
+    val shingles = frames.alias("a")
+      .join(frames.alias("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.i") === col("a.i") + 1)
+      .select(col("a.doc_id").as("doc_id"), md5(concat(col("a.fp"), col("b.fp"))).as("skey"))
+      .distinct()
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val guarded = shingles
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("skey"))))
+      .where(col("df") <= FrameShingleCap)
+      .select(col("doc_id"), col("skey"))
+    val inter = guarded.alias("x")
+      .join(guarded.alias("y"),
+        col("x.skey") === col("y.skey") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("jac", col("inter").cast("double") / col("uni").cast("double"))
+      .where(col("jac") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q288Oracle: String =
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE n_chars >= 448),
+      |corpus AS (
+      |  SELECT doc_id, text, 0 AS off, 7 AS nf FROM base
+      |  UNION ALL SELECT doc_id + 1000000, text, 1, 6 FROM base),
+      |frames AS (
+      |  SELECT doc_id, i, md5(substring(text, (off + i) * 64 + 1, 64)) AS fp
+      |  FROM (SELECT doc_id, text, off, unnest(range(0, nf)) AS i FROM corpus)),
+      |sh AS (
+      |  SELECT DISTINCT a.doc_id AS doc_id, md5(a.fp || b.fp) AS skey
+      |  FROM frames a JOIN frames b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh x JOIN sh y ON x.skey = y.skey AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, uni, jac FROM (
+      |  SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni,
+      |    CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jac
+      |  FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+      |  JOIN sizes sb ON inter.doc_b = sb.doc_id)
+      |WHERE jac >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q289
+
+  /** Windowed energy profile over binary payloads — the audio-feature
+    * member of the decode-stub family (q44's contract: the byte stream IS
+    * the deterministic stand-in for decoded samples; a real pipeline's
+    * PCM decoder slots in ahead of this unchanged). Each payload is cut
+    * into 64-byte windows and each window's energy is the exact integer
+    * sum of squared sample values — the frame-energy curve VAD/silence
+    * trimming and audio-segmentation passes run on. Emitted per payload:
+    * window count, total energy, the PEAK window's energy and 1-based
+    * index (the loudest segment a clip-selection pass would keep).
+    *
+    * Scale shape: one map-only pass — per-row HOF folds over the payload,
+    * no shuffle until the final per-doc projection (there is no
+    * aggregation at all: the per-doc arrays never leave the row). Exact
+    * integer arithmetic end to end; the argmax tie-break is first-window
+    * (array_position/list_position semantics in both engines).
+    */
+  def q289PayloadEnergy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("n_chars") >= 64)
+      .withColumn("nw", expr("octet_length(text) div 64"))
+      .withColumn("energies", expr(
+        """transform(sequence(0, nw - 1), w ->
+          |  aggregate(transform(sequence(1, 64), j ->
+          |      CAST(ascii(substring(text, w * 64 + j, 1)) AS BIGINT)),
+          |    CAST(0 AS BIGINT), (acc, x) -> acc + x * x))""".stripMargin))
+      .select(col("doc_id"), col("nw"),
+        expr("aggregate(energies, CAST(0 AS BIGINT), (a, e) -> a + e)").as("total_energy"),
+        expr("array_max(energies)").as("peak_energy"),
+        expr("array_position(energies, array_max(energies))").as("peak_idx"))
+      .orderBy(col("doc_id"))
+
+  val q289Oracle: String =
+    """SELECT doc_id, nw,
+      |  list_reduce([CAST(0 AS BIGINT)] || en, (a, e) -> a + e) AS total_energy,
+      |  list_max(en) AS peak_energy,
+      |  CAST(list_position(en, list_max(en)) AS BIGINT) AS peak_idx
+      |FROM (
+      |  SELECT doc_id, nw,
+      |    [list_reduce([CAST(0 AS BIGINT)] ||
+      |       [CAST(ascii(substring(text, w * 64 + j, 1)) AS BIGINT) *
+      |        CAST(ascii(substring(text, w * 64 + j, 1)) AS BIGINT)
+      |        for j in range(1, 65)], (a, x) -> a + x)
+      |     for w in range(0, nw)] AS en
+      |  FROM (SELECT doc_id, strlen(text) // 64 AS nw, text FROM documents
+      |        WHERE n_chars >= 64))
+      |ORDER BY doc_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q289_payload_energy", q289PayloadEnergy, q289Oracle),
+    GraftQuery.sql("q288_frame_seq_neardup", q288FrameSeqNeardup, q288Oracle),
     GraftQuery.sql("q43_multimodal_join", q43MultimodalJoin, q43Oracle),
     GraftQuery.sql("q44_binary_pipeline", q44BinaryPipeline, q44Oracle),
     GraftQuery.sql("q74_frame_sample", q74FrameSample, q74Oracle),

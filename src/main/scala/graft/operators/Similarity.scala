@@ -727,7 +727,64 @@ object Similarity {
        |    ON q.vec_id < 20 AND a.cell = q.cell AND a.label <> q.label)
        |WHERE rn <= 3 ORDER BY q_id, neighbor_id""".stripMargin
 
+  // ---------------------------------------------------------------- q291
+
+  /** Label-noise screen via neighborhood label agreement: for each vector,
+    * the fraction of its IVF-cell co-members sharing its label — the
+    * cheap kNN-agreement proxy (Confident-Learning-style) a labeling
+    * pipeline runs to surface probable mislabels before training. A
+    * vector whose cell is dominated by OTHER labels (agreement < 0.2 here)
+    * is flagged. Candidate generation is the cell equi-join (per-cell
+    * Σ size² work, the standard IVF bound — never all-pairs); agreement
+    * is integer counts with one IEEE division.
+    */
+  def q291LabelAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).selectExpr(
+      "vec_id", "embedding", "label", "float_vec_dot(embedding, embedding) AS n2")
+    val cents = base.where(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(asc("dist2"), asc("c_id"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        col("n2") - lit(2.0) * expr("float_vec_dot(embedding, c_emb)") + col("c_n2"))
+      .withColumn("crn", row_number().over(wCell))
+      .where(col("crn") === 1)
+      .select(col("vec_id"), col("label"), col("c_id").as("cell"))
+    val nb = assigned.select(col("vec_id").as("nb_id"), col("label").as("nb_label"),
+      col("cell"))
+    assigned.join(nb, Seq("cell"))
+      .where(col("vec_id") =!= col("nb_id"))
+      .groupBy(col("vec_id"), col("label"), col("cell"))
+      .agg(count(lit(1)).as("n_nb"),
+        sum(when(col("nb_label") === col("label"), 1L).otherwise(0L)).as("n_same"))
+      .withColumn("agree", col("n_same").cast("double") / col("n_nb").cast("double"))
+      .withColumn("suspect", col("agree") < 0.2)
+      .orderBy(col("vec_id"))
+  }
+
+  val q291Oracle: String =
+    s"""WITH n AS (SELECT vec_id, embedding, label,
+       |  ${Det.dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+       |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM n WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT vec_id, label, cell FROM (
+       |    SELECT n.vec_id, n.label, c.c_id AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        n.n2 - 2.0 * ${Det.dotSql("n.embedding", "c.c_emb")} + c.c_n2, c.c_id) AS crn
+       |    FROM n, cents c)
+       |  WHERE crn = 1)
+       |SELECT vec_id, label, cell, n_nb, n_same,
+       |  CAST(n_same AS DOUBLE) / CAST(n_nb AS DOUBLE) AS agree,
+       |  CAST(n_same AS DOUBLE) / CAST(n_nb AS DOUBLE) < 0.2 AS suspect
+       |FROM (
+       |  SELECT a.vec_id, a.label, a.cell, count(*) AS n_nb,
+       |    CAST(sum(CASE WHEN b.label = a.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2, 3)
+       |ORDER BY vec_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q291_label_agreement", q291LabelAgreement, q291Oracle),
     GraftQuery.sql("q282_hard_negatives", q282HardNegatives, q282Oracle),
     GraftQuery.sql("q258_pq_adc", q258PqAdc, q258Oracle),
     GraftQuery.sql("q264_ivfpq_ann", q264IvfPqAnn, q264Oracle),

@@ -65,7 +65,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * single-level (`root/<ns>/<table>`) to match the reference's
   * bucket/pseudo-directory nesting.
   */
-class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
+class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var root: Path = _
   private var fs: FileSystem = _
@@ -157,12 +158,14 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val d = requireNs(namespace)
-    listDirs(d).map(f => Identifier.of(namespace, f.getPath.getName)).sortBy(_.name).toArray
+    listDirs(d).map(_.getPath.getName)
+      .filterNot(_.startsWith("_")) // sidecar dirs (_graft_views) are not tables
+      .map(Identifier.of(namespace, _)).sortBy(_.name).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean = {
     val d = tableDir(ident)
-    d != null && isDir(d)
+    d != null && !ident.name().startsWith("_") && isDir(d)
   }
 
   private def qualified(ident: Identifier): String =
@@ -516,6 +519,34 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces {
     val d = tableDir(ident)
     d != null && isDir(d) && fs.delete(d, true)
   }
+
+  // ---- stored procedures (SQL CALL faces of StagingMaintenance) ----------
+
+  private def procedureFor(name: String)
+      : Option[org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
+    name.toLowerCase match {
+      case "optimize" => Some(StagingProcedures.optimize(catalogName))
+      case "analyze"  => Some(StagingProcedures.analyze(catalogName))
+      case "vacuum"   => Some(StagingProcedures.vacuum(catalogName))
+      case "history"  => Some(StagingProcedures.history(catalogName))
+      case _          => None
+    }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    // accept both CALL cat.proc(...) and CALL cat.system.proc(...)
+    val nsOk = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
+    (if (nsOk) procedureFor(ident.name()) else None).getOrElse(
+      throw new RuntimeException(
+        s"$catalogName: unknown procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
+          "(available: optimize, analyze, vacuum, history)"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array("analyze", "history", "optimize", "vacuum")
+        .map(Identifier.of(namespace, _))
+    else Array.empty
 
   /** DDL rename of a table DIRECTORY. This is a user-facing management
     * operation, not a commit primitive — nothing in the versioning protocol

@@ -1,0 +1,136 @@
+package graft.sources.catalog
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter,
+  UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `CALL` faces for the staging catalog's maintenance operations —
+  * Spark 4's DSv2 stored-procedure surface (`ProcedureCatalog`). With these
+  * the ENTIRE table-management lifecycle is SQL-driven, no Scala API in
+  * sight:
+  *
+  * {{{
+  *   CALL graft_stage.optimize('ws', 't', 4, 'k')   -- compact + CLUSTER BY
+  *   CALL graft_stage.analyze('ws', 't', 'k,ts')    -- zone-map stats
+  *   CALL graft_stage.vacuum('ws', 't', 2)          -- version retention
+  *   CALL graft_stage.history('ws', 't')            -- DESCRIBE HISTORY
+  * }}}
+  *
+  * Each procedure delegates to the [[StagingMaintenance]] implementation
+  * (one code path, two faces) and returns its summary as a one-shot
+  * `LocalScan` — the convention lakehouse procedure catalogs follow.
+  */
+private[catalog] object StagingProcedures {
+
+  private final class RowsScan(out: StructType, rs: Array[InternalRow]) extends LocalScan {
+    override def rows(): Array[InternalRow] = rs
+    override def readSchema(): StructType = out
+  }
+
+  private def one(out: StructType, values: Any*): JIterator[Scan] =
+    Collections.singletonList[Scan](
+      new RowsScan(out, Array(new GenericInternalRow(values.toArray)))).iterator()
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Common shape: an UnboundProcedure that binds to itself (the argument
+    * schema is fixed) and runs on the driver.
+    */
+  private abstract class MaintenanceProc(procName: String, desc: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false // reads/mutates table state
+  }
+
+  def optimize(catalog: String): UnboundProcedure =
+    new MaintenanceProc("optimize",
+      "compact the current file set into target_files files as a new version; " +
+        "cluster_by range-partitions + sorts on a column for zone-map locality") {
+      private val out = StructType(Seq(
+        StructField("files_before", IntegerType, nullable = false),
+        StructField("files_after", IntegerType, nullable = false),
+        StructField("version", LongType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("target_files", IntegerType).defaultValue("4").build(),
+        ProcedureParameter.in("cluster_by", StringType)
+          .defaultValue("CAST(NULL AS STRING)").build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val cluster = if (input.isNullAt(3)) None else Some(input.getUTF8String(3).toString)
+        val (b, a, v) = StagingMaintenance.optimize(spark, catalog,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+          input.getInt(2), cluster)
+        one(out, b, a, v)
+      }
+    }
+
+  def analyze(catalog: String): UnboundProcedure =
+    new MaintenanceProc("analyze",
+      "harvest per-file zone-map (min/max) stats for the comma-separated columns " +
+        "from parquet footers; incremental over already-covered files") {
+      private val out = StructType(Seq(
+        StructField("files_analyzed", IntegerType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("columns", StringType).build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val cols = input.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty)
+        val n = StagingMaintenance.analyze(spark, catalog,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+          cols.toIndexedSeq)
+        one(out, n)
+      }
+    }
+
+  def vacuum(catalog: String): UnboundProcedure =
+    new MaintenanceProc("vacuum",
+      "keep only the last retain_last versions; delete unreferenced data files") {
+      private val out = StructType(Seq(
+        StructField("files_deleted", IntegerType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("retain_last", IntegerType).defaultValue("1").build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val dead = StagingMaintenance.vacuum(spark, catalog,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+          input.getInt(2))
+        one(out, dead.size)
+      }
+    }
+
+  def history(catalog: String): UnboundProcedure =
+    new MaintenanceProc("history",
+      "one row per retained version manifest: (version, kind, n_files, batch_id)") {
+      private val out = StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("batch_id", LongType, nullable = true)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val rows = StagingMaintenance.history(spark, catalog,
+            input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+          .collect() // bounded by retained version count
+          .map { r =>
+            new GenericInternalRow(Array[Any](
+              r.getLong(0), UTF8String.fromString(r.getString(1)), r.getLong(2),
+              if (r.isNullAt(3)) null else r.getLong(3))): InternalRow
+          }
+        Collections.singletonList[Scan](new RowsScan(out, rows)).iterator()
+      }
+    }
+}

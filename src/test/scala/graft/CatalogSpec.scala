@@ -760,6 +760,45 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("stage_t.ws.fgd").count() === 3100)
   }
 
+  test("stored procedures: CALL optimize/analyze/vacuum/history drive the whole lifecycle from SQL") {
+    import graft.sources.catalog.ZoneMapScan
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.proc")
+    spark.sql("CREATE TABLE stage_t.ws.proc AS SELECT id AS k FROM range(0, 2000)") // v1
+    spark.sql("INSERT INTO stage_t.ws.proc SELECT id AS k FROM range(2000, 4000)")  // v2
+    // CALL optimize with CLUSTER BY — returns (files_before, files_after, version)
+    val opt = spark.sql("CALL stage_t.optimize('ws', 'proc', 4, 'k')").collect()(0)
+    assert(opt.getInt(1) === 4 && opt.getLong(2) === 3L, opt.toString)
+    assert(spark.table("stage_t.ws.proc").count() === 4000)
+    // CALL analyze — zone maps; a plain SQL range scan then skips files
+    val analyzed = spark.sql("CALL stage_t.analyze('ws', 'proc', 'k')").collect()(0).getInt(0)
+    assert(analyzed === 4, s"analyzed $analyzed")
+    ZoneMapScan.lastPrune = None
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.proc WHERE k BETWEEN 100 AND 300")
+      .collect()(0).getLong(0) === 201)
+    val (kept, total) = ZoneMapScan.lastPrune.getOrElse(fail("zone maps not engaged"))
+    assert(total === 4 && kept <= 2, s"kept $kept/$total")
+    // CALL history — one row per retained version, kinds visible
+    val hist = spark.sql("CALL stage_t.history('ws', 'proc')").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.toSeq === Seq((1L, "commit"), (2L, "commit"), (3L, "optimize")), hist.toSeq)
+    // CALL vacuum — originals reclaimed, content intact, v1 gone
+    val dead = spark.sql("CALL stage_t.vacuum('ws', 'proc', 1)").collect()(0).getInt(0)
+    assert(dead > 0, "vacuum reclaimed nothing")
+    assert(spark.table("stage_t.ws.proc").count() === 4000)
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM stage_t.ws.proc VERSION AS OF 1").collect()
+    }
+    // default arguments resolve (target_files=4, cluster_by=NULL)
+    val opt2 = spark.sql("CALL stage_t.optimize('ws', 'proc')").collect()(0)
+    assert(opt2.getInt(1) === 4, opt2.toString)
+    // unknown procedure fails loudly
+    val e = intercept[Exception] { spark.sql("CALL stage_t.nope('ws', 'proc')") }
+    assert(e.getMessage.contains("unknown procedure") || e.getMessage.contains("nope"),
+      e.getMessage)
+  }
+
   test("unknown namespace and table fail with the standard analysis errors") {
     mount()
     val e = intercept[Exception] { spark.sql("SHOW TABLES IN graft_cat.`nope`").collect() }
