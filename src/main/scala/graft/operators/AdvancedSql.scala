@@ -822,6 +822,7 @@ object AdvancedSql {
 
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q274_bin_spine_tvf", q274BinSpineTvf, q274Oracle),
+    GraftQuery.sql("q294_sql_pivot", q294SqlPivot, q294Oracle),
     GraftQuery.sql("q269_execute_immediate", q269ExecuteImmediate, q269Oracle),
     GraftQuery.sql("q267_approx_topk", q267ApproxTopK, q267Oracle),
     GraftQuery.sql("q268_theta_sets", q268ThetaSets, q268Oracle),
@@ -878,6 +879,39 @@ object AdvancedSql {
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
        |ORDER BY event_id""".stripMargin
+
+  /** SQL `PIVOT` clause (the parser surface — q49 covers the Dataset
+    * `.pivot()` API): order counts and exact decimal revenue rotated into
+    * one column pair per order status, keyed by priority. Spark plans the
+    * clause as the same two-phase pivot aggregation as the API (partial
+    * per-status maps, final merge — one shuffle on the groupBy key, the
+    * static IN list keeps the schema fixed at plan time, which is what
+    * makes pivot scale: no second pass to discover columns). The oracle
+    * spells the rotation as CASE aggregates — DuckDB's PIVOT is a
+    * different dialect, and CASE is the portable core both reduce to.
+    */
+  def q294SqlPivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_pv_src")
+    spark.sql(
+      """SELECT prio, F_n, F_total, O_n, O_total, P_n, P_total
+        |FROM (SELECT o_orderpriority AS prio, o_orderstatus AS status,
+        |        CAST(o_totalprice AS DECIMAL(18,4)) AS price
+        |      FROM orders_pv_src)
+        |PIVOT (count(price) AS n, CAST(sum(price) AS DOUBLE) AS total
+        |       FOR status IN ('F' AS F, 'O' AS O, 'P' AS P))
+        |ORDER BY prio""".stripMargin)
+  }
+
+  val q294Oracle: String =
+    """SELECT o_orderpriority AS prio,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS F_total,
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_n,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O_total,
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_n,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P_total
+      |FROM orders
+      |GROUP BY o_orderpriority ORDER BY prio""".stripMargin
 
   /** UNPIVOT (wide → long): part attributes melted into (attr, val) rows via
     * the Dataset unpivot API; the oracle is the dialect-neutral UNION ALL

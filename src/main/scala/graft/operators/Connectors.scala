@@ -1020,6 +1020,55 @@ object Connectors {
        |FROM orders WHERE o_orderkey % 10 IN (0, 5, 7)
        |GROUP BY o_orderstatus ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q296
+
+  /** `MERGE … WHEN NOT MATCHED BY SOURCE` — the FULL-SYNC face (Spark 4
+    * SQL): one statement makes the target mirror the source exactly —
+    * matched rows update, source-only rows insert, and TARGET-ONLY rows
+    * (absent from the feed — the rows a plain upsert would silently
+    * strand) DELETE. This is the nightly-snapshot reconciliation pattern:
+    * the feed is authoritative, the catalog table converges to it while
+    * every pre-sync version stays pinnable (the same group-based
+    * copy-on-write commit as q272, optimistic against the scanned base).
+    * The oracle is simply the source slice post-transform — full sync
+    * means the target IS the source.
+    */
+  def q296MergeFullSync(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_fs_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_sync")
+    spark.sql( // stale target: slices 0 and 5 (5 will update, 0 must DELETE)
+      """CREATE TABLE graft_stage.work.orders_sync AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_fs_src WHERE o_orderkey % 10 IN (0, 5)""".stripMargin)
+    spark.sql( // authoritative feed: slices 5 and 7
+      """MERGE INTO graft_stage.work.orders_sync t
+        |USING (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |       FROM orders_fs_src WHERE o_orderkey % 10 IN (5, 7)) s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 500.0D
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+        |  VALUES (s.o_orderkey, s.o_orderstatus, s.o_totalprice)
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  min(o_orderkey) AS min_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.orders_sync
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  val q296Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  min(o_orderkey) AS min_key,
+       |  ${graft.operators.Det.dsumSql(
+            "CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice + 500.0 ELSE o_totalprice END")} AS total
+       |FROM orders WHERE o_orderkey % 10 IN (5, 7)
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   // ---------------------------------------------------------------- q273
 
   /** DESCRIBE-HISTORY face of the versioned catalog
@@ -1141,5 +1190,6 @@ object Connectors {
     GraftQuery.sql("q279_ts_zonemap_slice", q279TsZoneMapSlice, q279Oracle),
     GraftQuery.sql("q284_file_granular_delete", q284FileGranularDelete, q284Oracle),
     GraftQuery.sql("q285_string_zonemap", q285StringZonemap, q285Oracle),
-    GraftQuery.sql("q292_sql_maintenance", q292SqlMaintenance, q292Oracle))
+    GraftQuery.sql("q292_sql_maintenance", q292SqlMaintenance, q292Oracle),
+    GraftQuery.sql("q296_merge_full_sync", q296MergeFullSync, q296Oracle))
 }

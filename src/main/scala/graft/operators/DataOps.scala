@@ -1086,7 +1086,66 @@ object DataOps {
       |FROM part LEFT JOIN o ON p_partkey = l_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- q295
+
+  /** Functional-dependency audit (TANE's g3 error): for each candidate
+    * A→B, the minimum number of rows that must be removed for the
+    * dependency to HOLD — Σ over A-groups of (group size − the majority
+    * B's count). g3 = 0 is an exact FD (a key/denormalization invariant
+    * worth enforcing); small-but-nonzero surfaces dirty rows; large means
+    * "not a dependency, stop treating it as one". This is the schema-
+    * discovery pass a profiler ([[q121ColumnProfile]]) feeds: q121 says
+    * what columns look like, this says how columns DETERMINE each other.
+    *
+    * Scale shape per candidate: one shuffle on (A,B) to count, a partial
+    * re-aggregation to per-A (max, sum) — the second groupBy arrives
+    * already partitioned by a prefix of its key, so it is exchange-free —
+    * then a two-value fold. All counts are int64; the error RATE is one
+    * IEEE division at the end. Candidates are checked independently
+    * (embarrassingly parallel across FDs).
+    */
+  def q295FdAudit(spark: SparkSession, dir: String): DataFrame = {
+    def g3(df: DataFrame, table: String, a: String, b: String): DataFrame =
+      df.groupBy(col(a).as("ka"), col(b).as("kb"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("ka"))
+        .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("tot") - col("mx")).as("violations"),
+          sum(col("tot")).as("n_rows"))
+        .select(lit(table).as("tbl"), lit(a).as("det"), lit(b).as("dep"),
+          col("n_groups"), col("violations"),
+          (col("violations").cast("double") / col("n_rows").cast("double")).as("g3"))
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    g3(li, "lineitem", "l_orderkey", "l_returnflag")     // holds only per chance
+      .unionAll(g3(li, "lineitem", "l_partkey", "l_suppkey"))
+      .unionAll(g3(o, "orders", "o_orderkey", "o_custkey")) // key: must be exact
+      .unionAll(g3(o, "orders", "o_custkey", "o_orderstatus"))
+      .unionAll(g3(o, "orders", "o_custkey", "o_orderpriority"))
+      .orderBy(col("tbl"), col("det"), col("dep"))
+  }
+
+  val q295Oracle: String = {
+    def g3(table: String, a: String, b: String): String =
+      s"""SELECT '$table' AS tbl, '$a' AS det, '$b' AS dep,
+         |  count(*) AS n_groups,
+         |  CAST(sum(tot - mx) AS BIGINT) AS violations,
+         |  CAST(sum(tot - mx) AS DOUBLE) / CAST(sum(tot) AS DOUBLE) AS g3
+         |FROM (SELECT ka, max(c) AS mx, sum(c) AS tot FROM (
+         |        SELECT $a AS ka, $b AS kb, count(*) AS c FROM $table GROUP BY 1, 2)
+         |      GROUP BY ka)""".stripMargin
+    Seq(
+      g3("lineitem", "l_orderkey", "l_returnflag"),
+      g3("lineitem", "l_partkey", "l_suppkey"),
+      g3("orders", "o_orderkey", "o_custkey"),
+      g3("orders", "o_custkey", "o_orderstatus"),
+      g3("orders", "o_custkey", "o_orderpriority"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, det, dep")
+  }
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q295_fd_audit", q295FdAudit, q295Oracle),
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
     GraftQuery.sql("q121_column_profile", q121ColumnProfile, q121Oracle),

@@ -732,6 +732,14 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(lastDelta.subsetOf(Set(4L, 5L)) || lastDelta.isEmpty,
       s"last increment wrong: $lastDelta")
+    // maintenance composes onto the STREAMED table: zone maps analyze the
+    // committed files and a doc_id slice prunes through prunedScan
+    val analyzed = spark.sql("CALL cap_cat.analyze('ws', 'corpus', 'doc_id')")
+      .collect()(0).getInt(0)
+    assert(analyzed > 0)
+    val (slice, cur, read) = graft.sources.catalog.StagingMaintenance
+      .prunedScan(spark, "cap_cat", "ws", "corpus", "doc_id", 1L, 2L)
+    assert(read <= cur && slice.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
   test("cusumStream raises the same alarms as the batch CUSUM recursion across batches") {
