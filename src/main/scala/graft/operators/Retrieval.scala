@@ -107,6 +107,63 @@ object Retrieval {
        |FROM kw FULL OUTER JOIN dense USING (doc_id)
        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q297
+
+  /** Retrieval EVALUATION — the measurement leg that closes the retrieval
+    * family (BM25 q242, dense ANN q40/q67, fusion q252): for each query
+    * vector, rank ALL candidates by exact cosine and score the ranking
+    * against label ground truth (same label = relevant, the standard
+    * proxy-relevance setup). Emitted per query: the rank of the first
+    * relevant hit (the MRR numerator — the RECIPROCAL/mean is the
+    * analyst's last step, kept off this pass because a float mean is a
+    * summation-order lottery while ranks are integers), hits@5 and
+    * hits@10 (the recall@k numerators), and the relevant-candidate total.
+    * At 100 TB evaluation runs over a SAMPLED query panel exactly like
+    * this 20-query one — the candidate stream stays a broadcast-bounded
+    * scan (q40's shape), never all-pairs.
+    */
+  def q297RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).selectExpr(
+      "vec_id", "embedding", "label", "float_vec_dot(embedding, embedding) AS n2")
+    val queries = base.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"), col("label").as("q_label"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    base.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        expr("float_vec_dot(q_emb, embedding)") / (sqrt(col("q_n2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("rel", (col("label") === col("q_label")).cast("int"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(
+        min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"),
+        sum(when(col("rank") <= 5, col("rel")).otherwise(0)).cast("long").as("hits_at_5"),
+        sum(when(col("rank") <= 10, col("rel")).otherwise(0)).cast("long").as("hits_at_10"),
+        sum(col("rel")).cast("long").as("n_rel"))
+      .orderBy(col("q_id"))
+  }
+
+  val q297Oracle: String =
+    s"""WITH n AS (SELECT vec_id, embedding, label,
+       |  ${graft.operators.Det.dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2, label AS q_label
+       |      FROM n WHERE vec_id < 20),
+       |ranked AS (
+       |  SELECT q.q_id, q.q_label, c.vec_id, c.label,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |      ${graft.operators.Det.dotSql("q.q_emb", "c.embedding")}
+       |        / (sqrt(q.q_n2) * sqrt(c.n2)) DESC, c.vec_id) AS rank,
+       |    CASE WHEN c.label = q.q_label THEN 1 ELSE 0 END AS rel
+       |  FROM q JOIN n c ON c.vec_id <> q.q_id)
+       |SELECT q_id, q_label,
+       |  min(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank,
+       |  CAST(sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) AS BIGINT) AS hits_at_5,
+       |  CAST(sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END) AS BIGINT) AS hits_at_10,
+       |  CAST(sum(rel) AS BIGINT) AS n_rel
+       |FROM ranked GROUP BY q_id, q_label ORDER BY q_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
-    GraftQuery.sql("q252_rrf_hybrid", q252RrfHybrid, q252Oracle))
+    GraftQuery.sql("q252_rrf_hybrid", q252RrfHybrid, q252Oracle),
+    GraftQuery.sql("q297_retrieval_eval", q297RetrievalEval, q297Oracle))
 }

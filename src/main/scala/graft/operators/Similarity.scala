@@ -783,7 +783,78 @@ object Similarity {
        |  GROUP BY 1, 2, 3)
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q298
+
+  /** Recall@3 audit of the nprobe=2 dial (q84's probe shape) against the
+    * exact brute-force top-3 — the companion measurement to q216 (which
+    * audits nprobe=1): together they give the operator the recall-vs-cost
+    * CURVE that decides the production probe setting, not a single point.
+    * By candidate-superset construction every per-query recall here
+    * dominates q216's (the q278 test pins the same property on the
+    * persisted index). Integer overlap counts; recall is one IEEE
+    * division per query.
+    */
+  def q298Nprobe2RecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir)
+    val queries = base.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    val exact3 = base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumn("cos",
+        expr("float_vec_dot(q_emb, embedding)") / (sqrt(col("q_n2")) * sqrt(col("n2"))))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 3)
+      .select(col("q_id"), col("neighbor_id"))
+    val ivf2 = q84IvfAnnNprobe2(spark, dir)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("in_ivf"))
+    exact3.join(ivf2, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("in_ivf"), lit(0L))).as("n_overlap"))
+      .select(col("q_id"), col("n_exact"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_exact")).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  val q298Oracle: String =
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  ${Det.dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+       |exact3 AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, a.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${Det.dotSql("q.embedding", "a.embedding")} / (sqrt(q.n2) * sqrt(a.n2)) DESC,
+       |        a.vec_id) AS rn
+       |    FROM n q JOIN n a ON q.vec_id < 20 AND a.vec_id <> q.vec_id)
+       |  WHERE rn <= 3),
+       |cents AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM n WHERE vec_id < 8),
+       |ranked AS (
+       |  SELECT n.vec_id, n.embedding, n.n2, c.c_id,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      n.n2 - 2.0 * ${Det.dotSql("n.embedding", "c.c_emb")} + c.c_n2, c.c_id) AS crn
+       |  FROM n, cents c),
+       |assigned AS (SELECT vec_id, embedding, n2, c_id AS cell FROM ranked WHERE crn = 1),
+       |queries AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2, c_id AS q_cell
+       |            FROM ranked WHERE vec_id < 20 AND crn <= 2),
+       |ivf AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.q_id, a.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        ${Det.dotSql("q.q_emb", "a.embedding")} / (sqrt(q.q_n2) * sqrt(a.n2)) DESC,
+       |        a.vec_id) AS rn
+       |    FROM queries q JOIN assigned a ON a.cell = q.q_cell AND a.vec_id <> q.q_id)
+       |  WHERE rn <= 3)
+       |SELECT e.q_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN i.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |  CAST(sum(CASE WHEN i.q_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact3 e LEFT JOIN ivf i
+       |  ON e.q_id = i.q_id AND e.neighbor_id = i.neighbor_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q298_nprobe2_recall", q298Nprobe2RecallAudit, q298Oracle),
     GraftQuery.sql("q291_label_agreement", q291LabelAgreement, q291Oracle),
     GraftQuery.sql("q282_hard_negatives", q282HardNegatives, q282Oracle),
     GraftQuery.sql("q258_pq_adc", q258PqAdc, q258Oracle),
