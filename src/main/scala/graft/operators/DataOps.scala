@@ -1144,7 +1144,128 @@ object DataOps {
       .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, det, dep")
   }
 
+  // ---------------------------------------------------------------- q299
+
+  /** CUPED variance reduction (Deng et al., WSDM'13) — the experimentation
+    * upgrade over the plain A/B read (q165): each user's PRE-period
+    * activity is the covariate, θ = cov(pre, post)/var(pre) is fit POOLED
+    * (arm-agnostic — the unbiasedness requirement), and each arm reports
+    * its adjusted mean  post̄_a − θ·(prē_a − prē) . Determinism: per-user
+    * pre/post sums are exact decimals; the moment sums (Σx, Σy, Σx²,
+    * Σxy) re-enter decimal after each double product (the Det rule —
+    * double→decimal rounding is identical in both engines, decimal
+    * addition is order-free), and θ and the adjusted means are the SAME
+    * parenthesized IEEE expression on both sides.
+    *
+    * Scale shape: one shuffle to per-user sums, then two tiny aggregates
+    * (global moments, per-arm means) and a broadcast of the 1-row θ —
+    * the covariate fit never rescans raw events.
+    */
+  def q299CupedAdjust(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(dayofmonth(col("ts")) < 16, col("value")).otherwise(lit(0.0))
+          .cast("decimal(18,4)")).cast("double").as("pre"),
+        sum(when(dayofmonth(col("ts")) >= 16, col("value")).otherwise(lit(0.0))
+          .cast("decimal(18,4)")).cast("double").as("post"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    val g = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("pre").cast("decimal(28,6)")).cast("double").as("sx"),
+      sum(col("post").cast("decimal(28,6)")).cast("double").as("sy"),
+      sum((col("pre") * col("pre")).cast("decimal(28,6)")).cast("double").as("sxx"),
+      sum((col("pre") * col("post")).cast("decimal(28,6)")).cast("double").as("sxy"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("pre").cast("decimal(28,6)")).cast("double").as("asx"),
+        sum(col("post").cast("decimal(28,6)")).cast("double").as("asy"))
+    arms.crossJoin(broadcast(g))
+      .withColumn("theta",
+        (col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))) /
+          (col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))))
+      .withColumn("mean_post", col("asy") / col("n_users"))
+      .withColumn("adj_mean",
+        col("asy") / col("n_users") -
+          col("theta") * (col("asx") / col("n_users") - col("sx") / col("n")))
+      .select(col("arm"), col("n_users"), col("mean_post"), col("theta"), col("adj_mean"))
+      .orderBy(col("arm"))
+  }
+
+  val q299Oracle: String =
+    """WITH pu AS (
+      |  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+      |    CAST(sum(CAST(CASE WHEN day(CAST(ts AS TIMESTAMP)) < 16 THEN value ELSE 0.0 END
+      |             AS DECIMAL(18,4))) AS DOUBLE) AS pre,
+      |    CAST(sum(CAST(CASE WHEN day(CAST(ts AS TIMESTAMP)) >= 16 THEN value ELSE 0.0 END
+      |             AS DECIMAL(18,4))) AS DOUBLE) AS post
+      |  FROM events GROUP BY user_id),
+      |g AS (SELECT count(*) AS n,
+      |        CAST(sum(CAST(pre AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |        CAST(sum(CAST(post AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |        CAST(sum(CAST(pre * pre AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |        CAST(sum(CAST(pre * post AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      |      FROM pu),
+      |arms AS (SELECT arm, count(*) AS n_users,
+      |           CAST(sum(CAST(pre AS DECIMAL(28,6))) AS DOUBLE) AS asx,
+      |           CAST(sum(CAST(post AS DECIMAL(28,6))) AS DOUBLE) AS asy
+      |         FROM pu GROUP BY arm)
+      |SELECT arm, n_users, asy / n_users AS mean_post,
+      |  (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)) AS theta,
+      |  asy / n_users -
+      |    ((sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)))
+      |      * (asx / n_users - sx / n) AS adj_mean
+      |FROM arms, g ORDER BY arm""".stripMargin
+
+  // ---------------------------------------------------------------- q300
+
+  /** Sum-preserving percentage allocation (largest-remainder / Hamilton
+    * method) — the reporting primitive behind every "shares must total
+    * 100%" table: naive per-row rounding drifts the total by ±(rows/2);
+    * here each group gets floor(share·10000 bp), and the leftover basis
+    * points go one each to the largest fractional remainders
+    * (deterministic tie-break on the group key). All-integer: shares live
+    * in basis points, remainders are exact integer numerators
+    * (n·10000 − floor·N ≡ n·10000 mod N), and the output provably sums
+    * to 10000 per partition — asserted by construction, hash-proven by
+    * the oracle.
+    */
+  def q300LargestRemainder(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("prio"))
+    val wRank = Window.partitionBy(col("prio"))
+      .orderBy(col("rem").desc, col("status"))
+    counts
+      .withColumn("tot", sum(col("n")).over(w))
+      .withColumn("floor_bp", (col("n") * 10000L).divide(col("tot")).cast("long"))
+      .withColumn("rem", col("n") * 10000L - col("floor_bp") * col("tot"))
+      .withColumn("short", lit(10000L) - sum(col("floor_bp")).over(w))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("bp", col("floor_bp") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+      .select(col("prio"), col("status"), col("n"), col("bp"))
+      .orderBy(col("prio"), col("status"))
+  }
+
+  val q300Oracle: String =
+    """SELECT prio, status, n, floor_bp + CASE WHEN rk <= short THEN 1 ELSE 0 END AS bp
+      |FROM (
+      |  SELECT prio, status, n, floor_bp,
+      |    10000 - sum(floor_bp) OVER (PARTITION BY prio) AS short,
+      |    row_number() OVER (PARTITION BY prio
+      |                       ORDER BY n * 10000 - floor_bp * tot DESC, status) AS rk
+      |  FROM (
+      |    SELECT prio, status, n, tot, CAST((n * 10000) // tot AS BIGINT) AS floor_bp
+      |    FROM (
+      |      SELECT o_orderpriority AS prio, o_orderstatus AS status, count(*) AS n,
+      |        sum(count(*)) OVER (PARTITION BY o_orderpriority) AS tot
+      |      FROM orders GROUP BY 1, 2)))
+      |ORDER BY prio, status""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q299_cuped_adjust", q299CupedAdjust, q299Oracle),
+    GraftQuery.sql("q300_largest_remainder", q300LargestRemainder, q300Oracle),
     GraftQuery.sql("q295_fd_audit", q295FdAudit, q295Oracle),
     GraftQuery.sql("q119_table_diff", q119TableDiff, q119Oracle),
     GraftQuery.sql("q120_fk_audit", q120FkAudit, q120Oracle),
