@@ -252,6 +252,84 @@ object Connectors {
     Similarity.ivfProbe(spark.table("graft_stage.work.ivf_index"))
   }
 
+  /** PQ artifacts as catalog tables, built ONCE per (root, corpus) beside
+    * the IVF index — codes for every vector and the 16-entry codebook.
+    * Both derive from the ivf_index table itself (it stores the
+    * embeddings), so even the BUILD never re-reads the raw corpus files;
+    * serving (q303) touches only these three catalog tables. This closes
+    * the round-7 gap where q264 recomputed codes per run: at 100 TB the
+    * index stores 8 one-byte codes + a cell id per vector and the float
+    * payload is needed at neither index time nor query time.
+    */
+  private val pqIndexReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensurePqIndex(spark: SparkSession, dir: String): Unit = {
+    ensureIvfIndex(spark, dir)
+    pqIndexReady.computeIfAbsent(s"$stageRoot|$dir", _ => {
+      val idx = spark.table("graft_stage.work.ivf_index")
+      spark.sql("DROP TABLE IF EXISTS graft_stage.work.pq_codebook")
+      idx.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cent"))
+        .createOrReplaceTempView("pq_codebook_load")
+      spark.sql("CREATE TABLE graft_stage.work.pq_codebook AS SELECT * FROM pq_codebook_load")
+      spark.sql("DROP TABLE IF EXISTS graft_stage.work.pq_codes")
+      // codes lifecycle mirrors the cells': initial load, then an
+      // incremental INSERT of the late slice — both from the index table
+      val book = spark.table("graft_stage.work.pq_codebook")
+      Similarity.pqCodes(Similarity.pqSubDistsAgainst(
+        idx.where(col("vec_id") % 10 =!= 7).select(col("vec_id"), col("embedding")), book))
+        .createOrReplaceTempView("pq_codes_load")
+      spark.sql("CREATE TABLE graft_stage.work.pq_codes AS SELECT * FROM pq_codes_load")
+      Similarity.pqCodes(Similarity.pqSubDistsAgainst(
+        idx.where(col("vec_id") % 10 === 7).select(col("vec_id"), col("embedding")), book))
+        .createOrReplaceTempView("pq_codes_upsert")
+      spark.sql("INSERT INTO graft_stage.work.pq_codes SELECT * FROM pq_codes_upsert")
+      "built"
+    })
+  }
+
+  // ---------------------------------------------------------------- q303
+
+  /** IVF-PQ served WHOLLY from persisted catalog tables — the FAISS-parity
+    * endgame (closes round-7 next-step #2): cells + embeddings from
+    * `ivf_index` (q246), codes from `pq_codes`, codebook from
+    * `pq_codebook`; the raw embeddings files are read by NOTHING in this
+    * plan (PlanSpec asserts it) and the codes are NOT rebuilt per run
+    * (they were committed once, incrementally, by [[ensurePqIndex]]). Per
+    * query: the 128-entry distance table is recomputed from the query's
+    * own stored embedding against the broadcast codebook (the one piece
+    * that is inherently per-query — 20×128 rows), candidates come from
+    * the IVF cell equi-join, and each candidate costs 8 code lookups.
+    * Hash-matched against q264's oracle: the persisted serving path is
+    * bit-identical to the in-flight build.
+    */
+  def q303IvfPqServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ensurePqIndex(spark, dir)
+    val idx = spark.table("graft_stage.work.ivf_index")
+    val codes = spark.table("graft_stage.work.pq_codes")
+    val book = spark.table("graft_stage.work.pq_codebook")
+    val queries = idx.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("cell").as("q_cell"))
+    val dtab = broadcast(Similarity.pqSubDistsAgainst(
+        idx.where(col("vec_id") < 20).select(col("vec_id"), col("embedding")), book)
+      .select(col("vec_id").as("dq_id"), col("m").as("qm"),
+        col("cid").as("qcid"), col("d2").as("qd2")))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(asc("adc"), asc("neighbor_id"))
+    idx.select(col("vec_id").as("neighbor_id"), col("cell"))
+      .join(queries, col("cell") === col("q_cell") && col("neighbor_id") =!= col("q_id"))
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(dtab, col("q_id") === col("dq_id") && col("m") === col("qm") &&
+        col("code") === col("qcid"))
+      .groupBy(col("q_id"), col("cell"), col("neighbor_id"))
+      .agg(expr("aggregate(array_sort(collect_list(struct(m, qd2))), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v.qd2)").as("adc"))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 3)
+      .select(col("q_id"), col("cell"), col("neighbor_id"), col("adc"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
   // ---------------------------------------------------------------- q278
 
   /** nprobe=2 against the PERSISTED IVF index — q84's recall/cost dial
@@ -1069,6 +1147,141 @@ object Connectors {
        |FROM orders WHERE o_orderkey % 10 IN (5, 7)
        |GROUP BY o_orderstatus ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q301
+
+  /** FILE-GRANULAR SQL UPDATE — the write-path answer to "a one-row UPDATE
+    * on a 100 TB table must not rewrite 100 TB": orders staged and CLUSTER
+    * BY o_orderkey, zone maps analyzed, then a keyed
+    * `UPDATE … WHERE o_orderkey BETWEEN …` goes through the group-based
+    * row-level framework whose scan PRUNES groups (files) the condition
+    * provably cannot touch and whose commit carries every unscanned file
+    * into the new version BY NAME (StagingRowLevelOperation; CatalogSpec
+    * proves ≥6 of 8 files untouched). Only the keyed slice of objects is
+    * read and rewritten — the reference's per-object write surface
+    * (`CephRgwFileSystem.java:216-289`) at catalog scale. The in-query
+    * `require` guards the carry actually happened; the oracle hash proves
+    * the rewrite changed exactly the matching rows.
+    */
+  def q301FileGranularUpdate(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_fgu_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_fgu")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_fgu AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_fgu_src WHERE o_orderkey % 3 = 0""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "orders_fgu", targetFiles = 8,
+      clusterBy = Some("o_orderkey"))
+    graft.sources.catalog.StagingMaintenance.analyze(
+      spark, "graft_stage", "work", "orders_fgu", Seq("o_orderkey"))
+    val before = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_fgu").toSet
+    // scale-relative slice: the low 1/8th of the keyspace, so the carry
+    // property holds at every SF (a fixed literal can swallow the whole
+    // keyspace at small scale) — the oracle recomputes the same bound
+    val hi = spark.sql("SELECT max(o_orderkey) FROM graft_stage.work.orders_fgu")
+      .collect()(0).getLong(0) / 8L
+    spark.sql(
+      s"""UPDATE graft_stage.work.orders_fgu SET o_totalprice = 0.0D
+         |WHERE o_orderkey <= $hi""".stripMargin)
+    val after = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_fgu").toSet
+    require(after.intersect(before).nonEmpty,
+      s"keyed UPDATE carried no files: whole-table rewrite regression " +
+        s"(before=${before.size}, after=${after.size})")
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.orders_fgu
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  val q301Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       |  ${graft.operators.Det.dsumSql(
+            "CASE WHEN o_orderkey <= (SELECT max(o_orderkey) FROM orders " +
+              "WHERE o_orderkey % 3 = 0) // 8 THEN 0.0 ELSE o_totalprice END")} AS total
+       |FROM orders WHERE o_orderkey % 3 = 0
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
+  // ---------------------------------------------------------------- q302
+
+  /** FILE-GRANULAR SQL MERGE via RUNTIME GROUP FILTERING — the MERGE
+    * condition references the source, so no static pushdown can reach the
+    * target scan; instead Spark evaluates the group-filter EXISTS over the
+    * source, collects the matched join keys, and delivers them to the
+    * row-level scan as a runtime IN (RowLevelGroupScan's
+    * SupportsRuntimeV2Filtering), which zone maps turn into a file set. A
+    * keyed CDC-style upsert into a clustered table then reads and rewrites
+    * only the files holding matched keys; inserts land in fresh files;
+    * everything else carries by name (CatalogSpec proves ≥6 of 8
+    * untouched). This is the FAISS-free half of the lakehouse story: a
+    * 100 TB target absorbs a small delta at delta-cost, not table-cost.
+    */
+  def q302FileGranularMerge(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_fgm_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_fgm")
+    spark.sql( // target: slices 0 and 5 of mod 10, whole keyspace
+      """CREATE TABLE graft_stage.work.orders_fgm AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_fgm_src WHERE o_orderkey % 10 IN (0, 5)""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "orders_fgm", targetFiles = 8,
+      clusterBy = Some("o_orderkey"))
+    graft.sources.catalog.StagingMaintenance.analyze(
+      spark, "graft_stage", "work", "orders_fgm", Seq("o_orderkey"))
+    val before = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_fgm").toSet
+    // scale-relative delta band: the low 1/8th of the target keyspace (a
+    // fixed literal can swallow the whole keyspace at small SF) — the
+    // oracle recomputes the same bound
+    val hi = spark.sql("SELECT max(o_orderkey) FROM graft_stage.work.orders_fgm")
+      .collect()(0).getLong(0) / 8L
+    spark.sql( // keyed delta: low band only — 5 updates, 7 inserts
+      s"""MERGE INTO graft_stage.work.orders_fgm t
+         |USING (SELECT o_orderkey, o_orderstatus, o_totalprice
+         |       FROM orders_fgm_src
+         |       WHERE o_orderkey <= $hi
+         |         AND o_orderkey % 10 IN (5, 7)) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 1000.0D
+         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+         |  VALUES (s.o_orderkey, s.o_orderstatus, s.o_totalprice)""".stripMargin)
+    val after = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_fgm").toSet
+    require(after.intersect(before).nonEmpty,
+      s"keyed MERGE carried no files: runtime group filtering regression " +
+        s"(before=${before.size}, after=${after.size})")
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  min(o_orderkey) AS min_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.orders_fgm
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  val q302Oracle: String = {
+    val hiSql = "(SELECT max(o_orderkey) FROM orders WHERE o_orderkey % 10 IN (0, 5)) // 8"
+    s"""SELECT o_orderstatus AS status, count(*) AS n, min(o_orderkey) AS min_key,
+       |  ${graft.operators.Det.dsumSql(
+            s"CASE WHEN o_orderkey <= $hiSql AND o_orderkey % 10 = 5 " +
+              "THEN o_totalprice + 1000.0 ELSE o_totalprice END")} AS total
+       |FROM orders
+       |WHERE o_orderkey % 10 IN (0, 5)
+       |   OR (o_orderkey <= $hiSql AND o_orderkey % 10 = 7)
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q273
 
   /** DESCRIBE-HISTORY face of the versioned catalog
@@ -1191,5 +1404,8 @@ object Connectors {
     GraftQuery.sql("q284_file_granular_delete", q284FileGranularDelete, q284Oracle),
     GraftQuery.sql("q285_string_zonemap", q285StringZonemap, q285Oracle),
     GraftQuery.sql("q292_sql_maintenance", q292SqlMaintenance, q292Oracle),
-    GraftQuery.sql("q296_merge_full_sync", q296MergeFullSync, q296Oracle))
+    GraftQuery.sql("q296_merge_full_sync", q296MergeFullSync, q296Oracle),
+    GraftQuery.sql("q301_file_granular_update", q301FileGranularUpdate, q301Oracle),
+    GraftQuery.sql("q302_file_granular_merge", q302FileGranularMerge, q302Oracle),
+    GraftQuery.sql("q303_ivfpq_serve", q303IvfPqServe, Similarity.q264Oracle))
 }

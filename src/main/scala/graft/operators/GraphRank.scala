@@ -298,7 +298,6 @@ object GraphRank {
     pairs.unpersist(false) // folded into the cached edge list — not needed again
     var labels = edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    val wMode = Window.partitionBy(col("node")).orderBy(col("c").desc, col("label"))
     for (_ <- 1 to 3) {
       val prev = labels
       labels = edges

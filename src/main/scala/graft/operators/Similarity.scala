@@ -543,9 +543,16 @@ object Similarity {
     * composition (q264). Codebook = subvectors of the 16 seed embeddings,
     * broadcast; distances are sequential left folds in slice order.
     */
-  private[graft] def pqSubDists(emb: DataFrame): DataFrame = {
-    val seeds = broadcast(emb.where(col("vec_id") < 16)
+  private[graft] def pqSubDists(emb: DataFrame): DataFrame =
+    pqSubDistsAgainst(emb, emb.where(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("cent")))
+
+  /** [[pqSubDists]] against an EXPLICIT codebook — the persisted-index
+    * serving path (q303) reads its (cid, cent) rows from a catalog table
+    * instead of re-deriving them from the raw embeddings.
+    */
+  private[graft] def pqSubDistsAgainst(emb: DataFrame, codebook: DataFrame): DataFrame = {
+    val seeds = broadcast(codebook.select(col("cid"), col("cent")))
     emb.crossJoin(seeds)
       .select(col("vec_id"), col("cid"), explode(expr(
         "transform(sequence(0, 7), m -> struct(m AS m, " +

@@ -329,35 +329,76 @@ object Timeline {
 
   // ---------------------------------------------------------------- q287
 
+  /** ts carried as epoch MICROSECONDS so the per-user sort is exactly the
+    * µs-precision (ts, event_id) order the oracle's pair condition uses
+    * (q206's lesson — a java.sql.Timestamp sort would collapse to millis).
+    */
+  final case class MkEvent(user_id: Long, tsu: Long, event_id: Long, v: Double)
+
   /** Mann–Kendall trend statistic per user: S = Σ_{i<j} sign(v_j − v_i)
     * over the user's time-ordered activity — the standard nonparametric
-    * monotonic-trend test (no distributional assumption, exact in
-    * integers; the z-normalization that needs variance ties is the tiny
-    * model-side step). Emitted per user with the pair count and the trend
-    * class, so a pipeline can flag drifting segments.
+    * monotonic-trend test (no distributional assumption; the
+    * z-normalization that needs variance ties is the tiny model-side
+    * step). Emitted per user with the pair count and the trend class, so a
+    * pipeline can flag drifting segments.
     *
-    * Scale shape: the pair expansion is an equi-join on user_id with the
-    * (ts, event_id) strict-order residual — candidate pairs are bounded by
-    * the per-user activity square, never |events|² (the per-entity-square
-    * rule every timeline pair op here follows). sign() over a double
-    * difference is −1/0/1 exactly in both engines; the sums are int64.
+    * Scale shape (r8 — replaces the all-pairs self-join the round-7
+    * verdict flagged): S is computable WITHOUT enumerating pairs. Walking
+    * the user's events in (ts, event_id) order with a Fenwick tree over
+    * rank-compressed values, each step j adds (#prior values < v_j) −
+    * (#prior values > v_j) — concordant minus discordant — so per-user
+    * work is O(k log k), not O(k²): a 10⁶-event power user costs ~2·10⁷
+    * tree ops instead of 10¹² joined pairs in one shuffle partition. One
+    * shuffle on user_id (groupByKey), then the linear-memory walk per user
+    * (the q135/q206 typed per-group escape hatch; a user's history is the
+    * documented per-group bound). Rank equality is exact double equality —
+    * the same ties sign(v_b − v_a) = 0 sees (IEEE subtraction is zero iff
+    * the operands are equal). Users with a single event produce no pairs
+    * and are dropped, matching the join form's semantics; the oracle keeps
+    * the pair formulation — the hash match proves the inversion-count walk
+    * and the O(k²) definition agree.
     */
   def q287MannKendall(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-    val a = e.select(col("user_id"), col("event_id").as("id_a"),
-      col("ts").as("ts_a"), col("value").as("v_a"))
-    val b = e.select(col("user_id"), col("event_id").as("id_b"),
-      col("ts").as("ts_b"), col("value").as("v_b"))
-    a.join(b, Seq("user_id"))
-      .where(col("ts_a") < col("ts_b") ||
-        (col("ts_a") === col("ts_b") && col("id_a") < col("id_b")))
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(signum(col("v_b") - col("v_a")).cast("long")).as("s_stat"))
-      .withColumn("trend",
-        when(col("s_stat") > 0, lit("up"))
-          .when(col("s_stat") < 0, lit("down")).otherwise(lit("flat")))
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsu"), col("event_id"),
+        col("value").as("v"))
+      .as[MkEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, it: Iterator[MkEvent]) =>
+        val evs = it.toArray.sortBy(e => (e.tsu, e.event_id))
+        val k = evs.length
+        if (k < 2) Iterator.empty
+        else {
+          // rank-compress values; Fenwick tree counts prior ranks ≤ r
+          val sortedVals = evs.map(_.v).distinct.sorted
+          val rank = sortedVals.zipWithIndex.toMap
+          val bit = new Array[Long](sortedVals.length + 1)
+          def add(r0: Int): Unit = {
+            var i = r0 + 1
+            while (i < bit.length) { bit(i) += 1L; i += i & (-i) }
+          }
+          def countLe(r0: Int): Long = {
+            var i = r0 + 1
+            var s = 0L
+            while (i > 0) { s += bit(i); i -= i & (-i) }
+            s
+          }
+          var s = 0L
+          var seen = 0L
+          evs.foreach { e =>
+            val r = rank(e.v)
+            val le = countLe(r)
+            val lt = if (r == 0) 0L else countLe(r - 1)
+            s += lt - (seen - le) // concordant − discordant vs all priors
+            add(r)
+            seen += 1L
+          }
+          val trend = if (s > 0) "up" else if (s < 0) "down" else "flat"
+          Iterator((uid, k.toLong * (k - 1L) / 2L, s, trend))
+        }
+      }
+      .toDF("user_id", "n_pairs", "s_stat", "trend")
       .orderBy(col("user_id"))
   }
 

@@ -1,9 +1,10 @@
 package graft.sources.catalog
 
-import java.io.File
+import java.io.FileNotFoundException
 import java.util
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces,
@@ -30,42 +31,55 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * bucket and exposes its pseudo-directories; `/root/reference/src/main/java/
   * org/apache/hadoop/fs/cephrgw/CephRgwFileSystem.java:110-135`): here the
   * root directory is the mount, subdirectories are namespaces, and files are
-  * tables. `loadTable` delegates to Spark's own `ParquetTable`, so catalog
-  * scans get the full native read stack — vectorized reader, PushedFilters,
-  * ReadSchema pruning — identical to path-based reads. DDL (create / alter /
-  * drop / rename) is refused: the corpus is immutable input, matching the
+  * tables. All metadata I/O goes through the Hadoop `FileSystem` API
+  * resolved from the root path's scheme — the exact contract the reference
+  * implements — so the corpus catalog mounts `file://`, HDFS, or a
+  * `cephrgw://`-style object store unchanged (same port its writable
+  * sibling [[GraftStagingCatalog]] got a round earlier). `loadTable`
+  * delegates to Spark's own `ParquetTable`, so catalog scans get the full
+  * native read stack — vectorized reader, PushedFilters, ReadSchema
+  * pruning — identical to path-based reads. DDL (create / alter / drop /
+  * rename) is refused: the corpus is immutable input, matching the
   * reference's read-side contract.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
-  private var root: File = _
+  private var root: Path = _
+  private var fs: FileSystem = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    root = new File(options.getOrDefault("root", "/root/testdata"))
+    val raw = new Path(options.getOrDefault("root", "/root/testdata"))
+    fs = raw.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    root = fs.makeQualified(raw)
   }
 
   override def name(): String = catalogName
 
-  private def nsDir(namespace: Array[String]): File = namespace match {
-    case Array(ns) => new File(root, ns)
+  private def isDir(p: Path): Boolean =
+    try fs.getFileStatus(p).isDirectory catch { case _: FileNotFoundException => false }
+
+  private def list(p: Path): Seq[FileStatus] =
+    try fs.listStatus(p).toIndexedSeq catch { case _: FileNotFoundException => Seq.empty }
+
+  private def nsDir(namespace: Array[String]): Path = namespace match {
+    case Array(ns) => new Path(root, ns)
     case _         => null
   }
 
-  private def requireNs(namespace: Array[String]): File = {
+  private def requireNs(namespace: Array[String]): Path = {
     val d = nsDir(namespace)
-    if (d == null || !d.isDirectory) throw new NoSuchNamespaceException(namespace)
+    if (d == null || !isDir(d)) throw new NoSuchNamespaceException(namespace)
     d
   }
 
   // ---- namespaces --------------------------------------------------------
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
+  override def listNamespaces(): Array[Array[String]] =
+    list(root)
       .filter(d => d.isDirectory &&
-        Option(d.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
-    dirs.map(d => Array(d.getName)).sortBy(_.head)
-  }
+        list(d.getPath).exists(_.getPath.getName.endsWith(".parquet")))
+      .map(d => Array(d.getPath.getName)).sortBy(_.head).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
@@ -73,12 +87,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def namespaceExists(namespace: Array[String]): Boolean = {
     val d = nsDir(namespace)
-    d != null && d.isDirectory
+    d != null && isDir(d)
   }
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     val d = requireNs(namespace)
-    Map(SupportsNamespaces.PROP_LOCATION -> d.getAbsolutePath).asJava
+    Map(SupportsNamespaces.PROP_LOCATION -> d.toString).asJava
   }
 
   override def createNamespace(ns: Array[String], meta: util.Map[String, String]): Unit =
@@ -92,28 +106,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val d = requireNs(namespace)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(f => Identifier.of(namespace, f.getName.stripSuffix(".parquet")))
-      .sortBy(_.name)
+    list(d)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => Identifier.of(namespace, f.getPath.getName.stripSuffix(".parquet")))
+      .sortBy(_.name).toArray
   }
 
-  private def tableFile(ident: Identifier): File =
-    new File(nsDir(ident.namespace()), s"${ident.name()}.parquet")
+  private def tablePath(ident: Identifier): Path = {
+    val d = nsDir(ident.namespace())
+    if (d == null) null else new Path(d, s"${ident.name()}.parquet")
+  }
+
+  private def exists(p: Path): Boolean =
+    try { fs.getFileStatus(p); true } catch { case _: FileNotFoundException => false }
 
   override def tableExists(ident: Identifier): Boolean = {
-    val f = tableFile(ident)
-    f != null && f.exists()
+    val p = tablePath(ident)
+    p != null && exists(p)
   }
 
   override def loadTable(ident: Identifier): Table = {
-    val f = tableFile(ident)
-    if (f == null || !f.exists()) throw new NoSuchTableException(ident)
+    val p = tablePath(ident)
+    if (p == null || !exists(p)) throw new NoSuchTableException(ident)
     ParquetTable(
       s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
       SparkSession.active,
       CaseInsensitiveStringMap.empty(),
-      Seq(f.getAbsolutePath),
+      Seq(p.toString),
       None,
       classOf[ParquetFileFormat])
   }

@@ -188,14 +188,16 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     // resolved version number is the SNAPSHOT this table object reads; a
     // row-level rewrite through it commits against exactly that base
     // (optimistic concurrency).
-    val (snapshotVersion, readPaths) = versionManifests(fs, d).lastOption match {
-      case Some((v, mf)) => (v, manifestFiles(fs, mf).map(f => new Path(d, f).toString))
-      case None          => (0L, Seq(d.toString))
+    val (snapshotVersion, snapshotFiles, readPaths) = versionManifests(fs, d).lastOption match {
+      case Some((v, mf)) =>
+        val names = manifestFiles(fs, mf)
+        (v, Some(names), names.map(f => new Path(d, f).toString))
+      case None => (0L, None, Seq(d.toString))
     }
     new VersionedStagingTable(
       parquetTable(qualified(ident), readPaths, declaredSchema(fs, d)),
       parquetTable(qualified(ident), Seq(d.toString), declaredSchema(fs, d)),
-      d, snapshotVersion)
+      d, snapshotVersion, snapshotFiles)
   }
 
   // ---- time travel -------------------------------------------------------
@@ -215,10 +217,12 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
   // ingestion keeps appending. Maintenance (file compaction + version
   // retention) lives in [[StagingMaintenance]].
 
-  private def manifestTable(ident: Identifier, d: Path, mf: Path, label: String): Table = {
+  private def manifestTable(ident: Identifier, d: Path, mf: Path, label: String,
+      version: Long): Table = {
     import GraftStagingCatalog._
     parquetTable(s"${qualified(ident)}$label",
-      manifestFiles(fs, mf).map(f => new Path(d, f).toString), declaredSchema(fs, d))
+      manifestFiles(fs, mf).map(f => new Path(d, f).toString),
+      schemaAtVersion(fs, d, version))
   }
 
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -239,7 +243,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
         s"$catalogName: ${ident.name()} has no version $v " +
           s"(available: ${if (have.isEmpty) "none" else have.mkString(", ")})")
     }
-    manifestTable(ident, d, mf, s"@v$v")
+    manifestTable(ident, d, mf, s"@v$v", v)
   }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
@@ -253,7 +257,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
         s"$catalogName: ${ident.name()} has no committed version at or before " +
           s"timestamp ${millis}ms")
     val (v, mf) = at.last
-    manifestTable(ident, d, mf, s"@v$v")
+    manifestTable(ident, d, mf, s"@v$v", v)
   }
 
   /** Wraps the read and write delegates so every committed batch write also
@@ -266,7 +270,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     * the invariant that keeps old versions readable.
     */
   private class VersionedStagingTable(readDelegate: ParquetTable,
-      writeDelegate: ParquetTable, dir: Path, snapshotVersion: Long)
+      writeDelegate: ParquetTable, dir: Path, snapshotVersion: Long,
+      snapshotFiles: Option[Seq[String]])
       extends Table with SupportsRead with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsDelete
       with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -287,7 +292,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       if (stats.isEmpty) inner
       else inner match {
         case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
-          new ZoneMapScanBuilder(fb, stats)
+          new ZoneMapScanBuilder(fb, stats, StagingMaintenance.readNullsFor(tableFs, dir))
         case other => other
       }
     }
@@ -311,108 +316,26 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     // can't translate) via Spark's GROUP-BASED row-level operation
     // framework: Spark reads the affected groups through this operation's
     // scan, computes the full replacement rows, and writes them back
-    // through the write builder — whose commit REPLACES the current file
-    // set as a new version (kind = update/merge/delete). Group granularity
-    // here is the whole table — always correct; file-granular grouping is
-    // the zone-map-pruned refinement. Old files stay on disk, so every
-    // pre-rewrite version remains pinnable until VACUUM — the same
-    // copy-on-write contract as the metadata DELETE path. The commit
-    // carries the snapshot version this table resolved as its base: if the
-    // table advanced past it (a racing append or rewrite committed), the
-    // commit ABORTS with a conflict instead of replacing the current set
-    // from a stale snapshot — the classic lost-update guard.
+    // through the write builder. The operation instance is SHARED between
+    // its scan(s) and its write (that is the framework's design —
+    // RowLevelOperationTable hands the same operation to both), which is
+    // what makes FILE-GRANULAR grouping possible: the scan records exactly
+    // which files it planned (after zone-map group pruning), and the commit
+    // replaces ONLY those files, carrying every unscanned file into the new
+    // version BY NAME. Old files stay on disk, so every pre-rewrite version
+    // remains pinnable until VACUUM — the same copy-on-write contract as
+    // the metadata DELETE path. The commit carries the snapshot version
+    // this table resolved as its base: if the table advanced past it (a
+    // racing append or rewrite committed), the commit ABORTS with a
+    // conflict instead of replacing the current set from a stale snapshot —
+    // the classic lost-update guard.
     override def newRowLevelOperationBuilder(
         info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
         : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
       new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
         override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
-          new org.apache.spark.sql.connector.write.RowLevelOperation {
-            override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
-              info.command()
-            // The replacement scan exposes NO row-level pushdown — every
-            // filter expression is returned as still-to-evaluate, so the
-            // parquet reader always hands back FULL rows and the commit's
-            // "replacement = everything the query emitted" invariant can
-            // never lose rows to a reader-side filter. The filters ARE
-            // harvested for FILE pruning, though: a planned conjunct that
-            // zone maps prove unsatisfiable on a file means that file
-            // contributes no rows to the replacement query (the same
-            // conjunct is evaluated above the scan), so the file is
-            // dropped from the planned splits — the group-based DELETE
-            // fallback skips reading files it would delete outright, and
-            // any rewrite with a range condition skips provably-irrelevant
-            // I/O. Pruning changes which bytes are read, never which rows
-            // the query produces; with no stats or no translatable
-            // condition the scan degrades to the full snapshot.
-            // (Carrying pruned files into the new version BY NAME — true
-            // file-granular grouping — is sound only on the metadata
-            // DELETE fast path, where the predicate's polarity is known;
-            // see deleteWhere. Here a pruned file may equally mean "fully
-            // deleted", so the commit always uses exactly the query's
-            // output.)
-            override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-              val sb = readDelegate.newScanBuilder(options)
-              new ScanBuilder
-                  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
-                private var v1: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-                override def pushFilters(
-                    filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-                    : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-                  v1 = filters.flatMap(ZoneMapScanBuilder.toV1).toArray
-                  filters // nothing consumed: rows are never filtered here
-                }
-                override def pushedFilters
-                    : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-                  Array.empty
-                override def build(): org.apache.spark.sql.connector.read.Scan = {
-                  val scan = sb.build()
-                  val stats = StagingMaintenance.readStatsFor(tableFs, dir)
-                  scan match {
-                    case fscan: org.apache.spark.sql.execution.datasources.v2.FileScan
-                        if stats.nonEmpty && v1.nonEmpty =>
-                      new ZoneMapPrunedScan(fscan, stats, v1)
-                    case other => other
-                  }
-                }
-              }
-            }
-            override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
-              new WriteBuilder {
-                override def build(): Write = new Write {
-                  override def toBatch: BatchWrite = new BatchWrite {
-                    private val inner = writeDelegate.newWriteBuilder(lwi).build().toBatch
-                    // ReplaceData's query emits leading bookkeeping columns
-                    // (`__row_operation`) ahead of the data columns, and the
-                    // plain writing task hands rows over UNPROJECTED (the
-                    // row projection only applies on the metadata-write
-                    // path) — so the factory binds the declared write
-                    // schema to the TRAILING fields before the parquet
-                    // writer sees the row.
-                    override def createBatchWriterFactory(
-                        pinfo: PhysicalWriteInfo): DataWriterFactory =
-                      new TrailingFieldsWriterFactory(
-                        inner.createBatchWriterFactory(pinfo), lwi.schema())
-                    override def useCommitCoordinator(): Boolean =
-                      inner.useCommitCoordinator()
-                    override def onDataWriterCommit(message: WriterCommitMessage): Unit =
-                      inner.onDataWriterCommit(message)
-                    override def commit(messages: Array[WriterCommitMessage]): Unit = {
-                      val before = GraftStagingCatalog.dataFiles(tableFs, dir).toSet
-                      inner.commit(messages)
-                      val fresh = GraftStagingCatalog.dataFiles(tableFs, dir).filterNot(before)
-                      // whole-snapshot replacement: the new current set is
-                      // exactly what the query emitted — valid ONLY if the
-                      // table is still at the snapshot the rewrite scanned
-                      GraftStagingCatalog.writeExplicitManifest(tableFs, dir, fresh,
-                        kind = info.command().toString.toLowerCase,
-                        expectedBase = Some(snapshotVersion))
-                    }
-                    override def abort(messages: Array[WriterCommitMessage]): Unit =
-                      inner.abort(messages)
-                  }
-                }
-              }
-          }
+          new StagingRowLevelOperation(info, readDelegate, writeDelegate, tableFs,
+            dir, snapshotVersion, snapshotFiles)
       }
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       val inner = writeDelegate.newWriteBuilder(info)
@@ -476,23 +399,41 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** `ALTER TABLE … ADD COLUMN`: schema evolution the way the reference's
-    * schema-on-read deployment does it — the DECLARED schema (the sidecar)
-    * widens, existing parquet files are untouched, and the reader surfaces
-    * NULL for the new column on old files (Spark's parquet reader fills
-    * missing read-schema columns with null, the same mechanism FsParitySpec
-    * proves path-based via mergeSchema). Only top-level nullable ADD is
-    * supported; everything else (drops, renames, type changes) would require
-    * rewriting immutable files — refused, matching object-store reality.
+  /** Schema evolution, the object-store way (no Iceberg field IDs, no file
+    * rewrites where projection can do the job):
+    *
+    *  - '''ADD COLUMN''' (nullable, top-level): the DECLARED schema (the
+    *    sidecar) widens; existing parquet files are untouched and the
+    *    reader surfaces NULL for the new column on old files (Spark's
+    *    parquet reader fills missing read-schema columns with null).
+    *  - '''DROP COLUMN''': the sidecar shrinks; files are untouched —
+    *    every read projects through the declared schema, so the physical
+    *    column in old files is simply never requested. The column's
+    *    zone-map stats drop with it.
+    *  - '''RENAME COLUMN''': parquet matches columns BY NAME and this
+    *    catalog deliberately has no field-ID layer (the reference's store
+    *    has none), so a metadata-only rename would silently read NULLs
+    *    from every pre-rename file. Rename therefore REWRITES the current
+    *    file set under the new name — an explicit, versioned
+    *    (kind=rename) copy-on-write commit, the documented trade for
+    *    field-ID-free storage. Stats for the renamed column drop
+    *    (re-ANALYZE re-harvests under the new name).
+    *
+    * Every alter snapshots the PRE-ALTER schema as
+    * `_graft_versions/schema_upto_v<latest>.json`, so `VERSION AS OF` on
+    * an old version reads with the schema OF ITS ERA — a dropped column is
+    * still visible when pinning a pre-drop snapshot.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = tableDir(ident)
     if (d == null || !isDir(d)) throw new NoSuchTableException(ident)
     val sidecar = new Path(d, SchemaSidecar)
-    var schema: StructType =
+    val before: StructType =
       if (GraftStagingCatalog.isFile(fs, sidecar))
         DataType.fromJson(GraftStagingCatalog.readString(fs, sidecar)).asInstanceOf[StructType]
       else SparkSession.active.read.parquet(d.toString).schema
+    var schema = before
+    var renames = Seq.empty[(String, String)]
     changes.foreach {
       case add: TableChange.AddColumn =>
         if (add.fieldNames().length != 1)
@@ -507,10 +448,49 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
             s"$catalogName: added columns must be nullable (existing files " +
               "surface NULL for them)")
         schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+      case del: TableChange.DeleteColumn =>
+        if (del.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName: only top-level DROP COLUMN is supported")
+        val name = del.fieldNames()(0)
+        if (!schema.fieldNames.exists(_.equalsIgnoreCase(name)))
+          throw new IllegalArgumentException(
+            s"$catalogName: no column $name in ${ident.name()}")
+        if (schema.length <= 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName: cannot drop the last column of ${ident.name()}")
+        schema = StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
+        StagingMaintenance.dropColumnStats(fs, d, name)
+      case rn: TableChange.RenameColumn =>
+        if (rn.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName: only top-level RENAME COLUMN is supported")
+        val from = rn.fieldNames()(0)
+        if (!schema.fieldNames.exists(_.equalsIgnoreCase(from)))
+          throw new IllegalArgumentException(
+            s"$catalogName: no column $from in ${ident.name()}")
+        if (schema.fieldNames.exists(_.equalsIgnoreCase(rn.newName())))
+          throw new IllegalArgumentException(
+            s"$catalogName: column ${rn.newName()} already exists in ${ident.name()}")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name.equalsIgnoreCase(from)) f.copy(name = rn.newName()) else f))
+        renames :+= (from, rn.newName())
+        StagingMaintenance.dropColumnStats(fs, d, from)
       case other =>
         throw new UnsupportedOperationException(
-          s"$catalogName: unsupported ALTER TABLE change $other (only ADD COLUMN)")
+          s"$catalogName: unsupported ALTER TABLE change $other " +
+            "(supported: ADD / DROP / RENAME COLUMN)")
     }
+    // era snapshot: the OLD schema governs every version committed so far
+    GraftStagingCatalog.versionManifests(fs, d).lastOption.foreach { case (latest, _) =>
+      val snap = new Path(new Path(d, GraftStagingCatalog.VersionsDir),
+        s"schema_upto_v$latest.json")
+      if (!GraftStagingCatalog.isFile(fs, snap))
+        GraftStagingCatalog.writeString(fs, snap, before.json)
+    }
+    // renames rewrite the data under the new name (versioned, optimistic)
+    if (renames.nonEmpty)
+      GraftStagingCatalog.rewriteRenamed(fs, d, renames, before)
     GraftStagingCatalog.writeString(fs, sidecar, schema.json)
     loadTable(ident)
   }
@@ -603,6 +583,136 @@ private class TrailingFieldsWriterFactory(
   }
 }
 
+/** Group-based row-level operation (SQL UPDATE / MERGE INTO / DELETE
+  * fallback) with FILE-GRANULAR copy-on-write.
+  *
+  * The DSv2 group-based contract: Spark reads the affected groups through
+  * this operation's scan, computes each group's FULL replacement content,
+  * and writes it back; the connector must then replace exactly the groups
+  * the scan read. Our group is the FILE. The scan may skip a group only
+  * when it provably contains no row matching the operation's condition —
+  * which is precisely what zone maps decide ([[ZoneMapPrunedScan.canMatch]]
+  * over the condition conjuncts Spark pushes into the row-level scan via
+  * `GroupBasedRowLevelOperationScanPlanning`). The scan RECORDS the file
+  * names it planned (post-prune, unioned across rewrite legs — an UPDATE
+  * with subqueries scans the operation twice); the commit then writes
+  *
+  *   new version = (snapshot files − scanned files) ++ fresh files
+  *
+  * so a keyed UPDATE on a clustered, ANALYZEd 100 TB table rewrites only
+  * the files whose [min,max] admit the key — every other object carries
+  * into the new version by name, untouched (the reference's per-object
+  * write surface, `CephRgwFileSystem.java:216-289`, at catalog scale).
+  * This is sound for EVERY polarity because carried files were never
+  * scanned: all of a scanned file's rows flow through the replacement
+  * query (the scan exposes no row-level pushdown — every filter expression
+  * is returned as still-to-evaluate, so the parquet reader always hands
+  * back full rows), and an unscanned file's rows survive verbatim. With no
+  * zone maps, no translatable condition, or a legacy un-versioned table,
+  * the scan records (or the commit assumes) the full snapshot and the
+  * rewrite degrades to the previous whole-table replacement — correct,
+  * just not minimal. The commit is optimistic against `snapshotVersion`:
+  * a racing commit aborts it (lost-update guard).
+  */
+private class StagingRowLevelOperation(
+    info: org.apache.spark.sql.connector.write.RowLevelOperationInfo,
+    readDelegate: ParquetTable,
+    writeDelegate: ParquetTable,
+    tableFs: FileSystem,
+    dir: Path,
+    snapshotVersion: Long,
+    snapshotFiles: Option[Seq[String]])
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** The scans this operation built — interrogated at COMMIT time for
+    * their post-runtime-filter planned file set. Commit-time (not
+    * planning-time) interrogation matters: execution may re-plan a scan's
+    * splits after dynamic group filters arrive, and the carried set must
+    * reflect what was ACTUALLY read. Union across scans: a rewrite may
+    * scan the operation more than once (update/copy legs), and
+    * over-recording only shrinks the carried set (never unsound).
+    */
+  private val scans =
+    new java.util.concurrent.ConcurrentLinkedQueue[ZoneMapPrunedScan]()
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+    info.command()
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val sb = readDelegate.newScanBuilder(options)
+    new ScanBuilder
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+      private var v1: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      override def pushFilters(
+          filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+        v1 = filters.flatMap(ZoneMapScanBuilder.toV1).toArray
+        ZoneMapScan.lastRowLevelFilters = v1.map(_.toString).toSeq
+        filters // nothing consumed: rows are never filtered below the scan
+      }
+      override def pushedFilters
+          : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+        Array.empty
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        val scan = sb.build()
+        val stats = StagingMaintenance.readStatsFor(tableFs, dir)
+        val nulls = StagingMaintenance.readNullsFor(tableFs, dir)
+        scan match {
+          case fscan: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            // always wrap: with no stats or no filters nothing prunes, but
+            // the planned file set is still tracked for the carried commit.
+            // Runtime group filtering is offered only when stats exist —
+            // its IN-values prune through zone maps, and offering zero
+            // filter attributes would break the optimizer rule.
+            val statCols = stats.keysIterator.map(_._2).toArray.distinct.sorted
+            val zms =
+              if (statCols.nonEmpty) new RowLevelGroupScan(fscan, stats, v1, statCols, nulls)
+              else new ZoneMapPrunedScan(fscan, stats, v1, nulls)
+            scans.add(zms)
+            zms
+          case other => other // not a file scan: no tracking → full replace
+        }
+      }
+    }
+  }
+
+  override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          private val inner = writeDelegate.newWriteBuilder(lwi).build().toBatch
+          // ReplaceData's query emits leading bookkeeping columns
+          // (`__row_operation`) ahead of the data columns, and the plain
+          // writing task hands rows over UNPROJECTED — so the factory binds
+          // the declared write schema to the TRAILING fields before the
+          // parquet writer sees the row.
+          override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory =
+            new TrailingFieldsWriterFactory(inner.createBatchWriterFactory(pinfo), lwi.schema())
+          override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+          override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+            inner.onDataWriterCommit(message)
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val before = GraftStagingCatalog.dataFiles(tableFs, dir).toSet
+            inner.commit(messages)
+            val fresh = GraftStagingCatalog.dataFiles(tableFs, dir).filterNot(before)
+            val scanned: Option[Set[String]] =
+              if (scans.isEmpty) None
+              else Some(scans.asScala.map(_.plannedFileNames()).reduce(_ ++ _))
+            val carried = (snapshotFiles, scanned) match {
+              case (Some(snap), Some(read)) => snap.filterNot(read)
+              case _                        => Seq.empty[String]
+            }
+            GraftStagingCatalog.writeExplicitManifest(tableFs, dir, carried ++ fresh,
+              kind = info.command().toString.toLowerCase,
+              expectedBase = Some(snapshotVersion))
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            inner.abort(messages)
+        }
+      }
+    }
+}
+
 /** Manifest machinery shared by the catalog and [[StagingMaintenance]].
   * Every function addresses storage exclusively through the Hadoop
   * `FileSystem` handle passed in — the API surface the reference implements
@@ -640,12 +750,28 @@ object GraftStagingCatalog {
     * hazard; the reference's own rename is copy-then-delete,
     * `CephRgwFileSystem.java:310-313`). Returns false when the create was
     * lost to a racer; any other I/O failure propagates.
+    *
+    * FILESYSTEM CONTRACT for MULTI-writer (multi-JVM) safety: the store's
+    * `create(path, overwrite=false)` must be ATOMIC create-no-overwrite.
+    * HDFS and Ceph RGW conditional writes satisfy this; Hadoop
+    * LocalFileSystem and S3A (without conditional-write support) implement
+    * overwrite=false as a non-atomic exists-check-then-create, so two
+    * SEPARATE driver JVMs racing the same version could both pass the
+    * check. Within one JVM the manifest writers serialize on this
+    * companion object's lock, so single-driver deployments (and every
+    * test here) are safe on any store. As a cheap tear detector on
+    * non-atomic stores, the write is verified by LENGTH after close: a
+    * concurrent overwrite of a different-sized manifest surfaces as a
+    * failed commit rather than a silently torn version.
     */
   private[catalog] def tryCreateExclusive(fs: FileSystem, p: Path, s: String): Boolean =
     try {
+      val bytes = s.getBytes(UTF_8)
       val out = fs.create(p, false)
-      try out.write(s.getBytes(UTF_8)) finally out.close()
-      true
+      try out.write(bytes) finally out.close()
+      // verify-after-close: on stores whose overwrite=false is
+      // check-then-create this catches the lost-race torn write
+      fs.getFileStatus(p).getLen == bytes.length.toLong
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case e: IOException if isFile(fs, p) => false // FS reported the race as a plain IOE
@@ -656,6 +782,64 @@ object GraftStagingCatalog {
     if (isFile(fs, sidecar))
       Some(DataType.fromJson(readString(fs, sidecar)).asInstanceOf[StructType])
     else None
+  }
+
+  private val SchemaEra = "^schema_upto_v(\\d+)\\.json$".r
+
+  /** Schema governing reads of version `v`: every ALTER snapshots the
+    * pre-alter schema as `schema_upto_v<latest>.json`, so time travel reads
+    * a version with the declared schema OF ITS ERA (a post-drop pin still
+    * shows the dropped column; a pre-add pin doesn't show the added one).
+    * The smallest `upto ≥ v` wins; no snapshot → the current sidecar.
+    */
+  private[catalog] def schemaAtVersion(fs: FileSystem, d: Path, v: Long): Option[StructType] = {
+    val eras = (try fs.listStatus(new Path(d, VersionsDir)).toIndexedSeq
+      catch { case _: FileNotFoundException => Seq.empty })
+      .flatMap { f =>
+        f.getPath.getName match {
+          case SchemaEra(upto) if upto.toLong >= v => Some(upto.toLong -> f.getPath)
+          case _                                   => None
+        }
+      }.sortBy(_._1)
+    eras.headOption
+      .map { case (_, p) => DataType.fromJson(readString(fs, p)).asInstanceOf[StructType] }
+      .orElse(declaredSchema(fs, d))
+  }
+
+  /** RENAME COLUMN's copy-on-write rewrite: read the current file set with
+    * the PRE-rename schema, rename, land new files, commit kind=rename
+    * against the base the rewrite scanned (optimistic). No-op on an empty
+    * uncommitted table.
+    */
+  private[catalog] def rewriteRenamed(fs: FileSystem, d: Path,
+      renames: Seq[(String, String)], oldSchema: StructType): Unit = {
+    val spark = SparkSession.active
+    val latest = versionManifests(fs, d).lastOption
+    val base = latest.map(_._1).getOrElse(0L)
+    val current = latest.map { case (_, mf) => manifestFiles(fs, mf) }
+      .getOrElse(dataFiles(fs, d))
+    if (current.isEmpty && latest.isEmpty) return
+    val kept: Seq[String] =
+      if (current.isEmpty) Seq.empty
+      else {
+        var df = spark.read.schema(oldSchema)
+          .parquet(current.map(f => new Path(d, f).toString): _*)
+        renames.foreach { case (from, to) => df = df.withColumnRenamed(from, to) }
+        val token = java.util.UUID.randomUUID().toString.take(12)
+        val tmp = new Path(d, s"_rename_$token")
+        df.write.mode("overwrite").parquet(tmp.toString)
+        val moved = fs.listStatus(tmp).toIndexedSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val target = new Path(d, s"ren-$token-${f.getPath.getName}")
+            if (!fs.rename(f.getPath, target))
+              throw new IllegalStateException(s"rename: move ${f.getPath} -> $target failed")
+            target.getName
+          }
+        fs.delete(tmp, true)
+        moved
+      }
+    writeExplicitManifest(fs, d, kept, kind = "rename", expectedBase = Some(base))
   }
 
   private[catalog] def versionManifests(fs: FileSystem, d: Path): Seq[(Long, Path)] =
@@ -815,10 +999,20 @@ object GraftStagingCatalog {
     val current = versionManifests(fs, d).lastOption
       .map { case (_, mf) => manifestFiles(fs, mf) }.getOrElse(dataFiles(fs, d))
     val stats = StagingMaintenance.readStatsFor(fs, d)
-    // conjunction semantics: ANY filter proven unsatisfiable on a file's
-    // range makes the whole predicate false there → the file is untouched
-    val (touched, untouched) = current.partition(f =>
-      filters.forall(fl => ZoneMapPrunedScan.canMatch(stats, f, fl)))
+    val nulls = StagingMaintenance.readNullsFor(fs, d)
+    // conjunction semantics, three ways per file:
+    //  - no filter can match any row       → UNTOUCHED (carried by name)
+    //  - every row provably matches ALL    → DROPPED metadata-only (no
+    //    read, no rewrite — the drop-partition retention shape: interior
+    //    files of a clustered range delete vanish by manifest edit)
+    //  - anything in between               → read, filter, rewrite
+    // An empty filter array is TRUNCATE: every row matches vacuously.
+    val (touched0, untouched) = current.partition(f =>
+      filters.forall(fl => ZoneMapPrunedScan.canMatch(stats, nulls, f, fl)))
+    val (dropped, touched) =
+      if (filters.isEmpty) (touched0, Seq.empty[String])
+      else touched0.partition(f =>
+        filters.forall(fl => ZoneMapPrunedScan.mustMatchAll(stats, nulls, f, fl)))
     val kept: Seq[String] =
       if (touched.isEmpty) untouched
       else {
@@ -841,6 +1035,7 @@ object GraftStagingCatalog {
         fs.delete(tmp, true)
         untouched ++ moved
       }
+    ZoneMapScan.lastDeleteSplit = Some((untouched.size, dropped.size, touched.size))
     writeExplicitManifest(fs, d, kept, kind = "delete", expectedBase = Some(baseVersion))
   }
 

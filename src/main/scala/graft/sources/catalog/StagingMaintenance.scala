@@ -184,14 +184,14 @@ object StagingMaintenance {
     java.net.URLDecoder.decode(s, "UTF-8")
 
   /** (file, column) -> range, from the stats sidecar. Tolerates torn or
-    * legacy lines (4-field = long-typed) by skipping what fails to parse —
-    * advisory cache semantics.
+    * legacy lines (4-field = long-typed; 5-field = pre-null-count) by
+    * skipping what fails to parse — advisory cache semantics.
     */
   private[catalog] def readStatsFor(fs: FileSystem, d: Path): Map[(String, String), ZStat] = {
     val f = new Path(d, StatsSidecar)
     if (!isFile(fs, f)) Map.empty
     else readString(fs, f).split('\n').toIndexedSeq.filter(_.nonEmpty).flatMap { line =>
-      try line.split("\t", 5) match {
+      try line.split("\t", 8).take(5) match {
         case Array(file, col, "L", mn, mx) => Some((file, col) -> LongZ(mn.toLong, mx.toLong))
         case Array(file, col, "D", mn, mx) =>
           Some((file, col) -> DoubleZ(mn.toDouble, mx.toDouble))
@@ -203,17 +203,40 @@ object StagingMaintenance {
     }.toMap
   }
 
-  private def statLine(file: String, col: String, z: ZStat): String = z match {
-    case LongZ(mn, mx)   => s"$file\t$col\tL\t$mn\t$mx"
-    case DoubleZ(mn, mx) => s"$file\t$col\tD\t$mn\t$mx"
-    case StringZ(mn, mx) => s"$file\t$col\tS\t${enc(mn)}\t${enc(mx)}"
-    case NoneZ           => s"$file\t$col\tN\t-\t-"
+  /** (file, column) -> (nullCount, rowCount), from the 7-field sidecar
+    * lines (ANALYZE ≥ r8). Absent for legacy 5-field lines and when any
+    * chunk's null count was unavailable — every consumer treats absence as
+    * unknown (no IS NULL pruning, no all-rows-match proofs).
+    */
+  private[catalog] def readNullsFor(fs: FileSystem, d: Path): Map[(String, String), (Long, Long)] = {
+    val f = new Path(d, StatsSidecar)
+    if (!isFile(fs, f)) Map.empty
+    else readString(fs, f).split('\n').toIndexedSeq.filter(_.nonEmpty).flatMap { line =>
+      try line.split("\t", 8) match {
+        case Array(file, col, _, _, _, nulls, total) if nulls != "-" =>
+          Some((file, col) -> (nulls.toLong, total.toLong))
+        case _ => None
+      } catch { case _: RuntimeException => None }
+    }.toMap
+  }
+
+  private def statLine(file: String, col: String, z: ZStat,
+      nulls: Option[(Long, Long)]): String = {
+    val range = z match {
+      case LongZ(mn, mx)   => s"L\t$mn\t$mx"
+      case DoubleZ(mn, mx) => s"D\t$mn\t$mx"
+      case StringZ(mn, mx) => s"S\t${enc(mn)}\t${enc(mx)}"
+      case NoneZ           => "N\t-\t-"
+    }
+    val nt = nulls.map { case (n, t) => s"$n\t$t" }.getOrElse("-\t-")
+    s"$file\t$col\t$range\t$nt"
   }
 
   private def writeStats(fs: FileSystem, d: Path,
-      stats: Map[(String, String), ZStat]): Unit = {
+      stats: Map[(String, String), ZStat],
+      nulls: Map[(String, String), (Long, Long)]): Unit = {
     val body = stats.toSeq.sortBy { case ((f, c), _) => (f, c) }
-      .map { case ((f, c), z) => statLine(f, c, z) }
+      .map { case ((f, c), z) => statLine(f, c, z, nulls.get((f, c))) }
     if (body.isEmpty) fs.delete(new Path(d, StatsSidecar), false)
     else writeString(fs, new Path(d, StatsSidecar), body.mkString("", "\n", "\n"))
   }
@@ -239,9 +262,11 @@ object StagingMaintenance {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val (fs, d) = tableDir(spark, catalog, ns, table)
     val existing = readStatsFor(fs, d)
+    val existingNulls = readNullsFor(fs, d)
     val todo = currentFiles(fs, d)
       .filterNot(f => columns.forall(c => existing.contains((f, c))))
     val conf = spark.sessionState.newHadoopConf()
+    val harvestedNulls = Map.newBuilder[(String, String), (Long, Long)]
     val harvested: Seq[((String, String), ZStat)] = todo.flatMap { f =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(d, f), conf))
@@ -251,6 +276,14 @@ object StagingMaintenance {
           .groupBy(_.getPath.toDotString)
         columns.map { c =>
           val chunks = byCol.getOrElse(c, Seq.empty)
+          // null/row counts power IS [NOT] NULL pruning and the
+          // metadata-only all-rows-match DELETE: recorded only when EVERY
+          // chunk reports them (same completeness gate as ranges)
+          if (chunks.nonEmpty && chunks.forall { ch =>
+              val s = ch.getStatistics; s != null && !s.isEmpty }) {
+            harvestedNulls += ((f, c) ->
+              (chunks.map(_.getStatistics.getNumNulls).sum, chunks.map(_.getValueCount).sum))
+          }
           val tsUnit = chunks.headOption
             .map(_.getPrimitiveType.getLogicalTypeAnnotation).flatMap {
               case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => Some(t.getUnit)
@@ -276,13 +309,32 @@ object StagingMaintenance {
                   .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
               StringZ(s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8)
           }.toIndexedSeq
-          val merged: ZStat = ranges.reduceOption[ZStat] {
-            case (LongZ(a, b), LongZ(c, e))     => LongZ(math.min(a, c), math.max(b, e))
-            case (DoubleZ(a, b), DoubleZ(c, e)) => DoubleZ(math.min(a, c), math.max(b, e))
-            case (StringZ(a, b), StringZ(c, e)) =>
-              StringZ(if (a <= c) a else c, if (b >= e) b else e)
-            case _                              => NoneZ
-          }.getOrElse(NoneZ)
+          // SOUNDNESS GATE: the merged [min,max] must bound EVERY row in the
+          // file, so every column chunk has to account for itself — either
+          // it contributed a range above, or it is provably all-null (null
+          // rows can never satisfy a range predicate, so they need no
+          // bound). Parquet silently drops binary min/max above its stats
+          // size cap; a file where one chunk lost its stats while another
+          // kept them would otherwise get a range that does NOT cover all
+          // rows, and pruning on it would drop matching rows.
+          val covered = chunks.count { ch =>
+            val s = ch.getStatistics
+            s != null && !s.isEmpty &&
+              (s.hasNonNullValue || s.getNumNulls == ch.getValueCount)
+          }
+          val merged: ZStat =
+            if (covered != chunks.size) NoneZ
+            else ranges.reduceOption[ZStat] {
+              case (LongZ(a, b), LongZ(c, e))     => LongZ(math.min(a, c), math.max(b, e))
+              case (DoubleZ(a, b), DoubleZ(c, e)) => DoubleZ(math.min(a, c), math.max(b, e))
+              case (StringZ(a, b), StringZ(c, e)) =>
+                // parquet orders binary stats by UNSIGNED UTF-8 bytes; Java
+                // String `<` is UTF-16 code-unit order and disagrees above
+                // the BMP — merge in the footer's own order
+                StringZ(if (ZoneMapPrunedScan.utf8Cmp(a, c) <= 0) a else c,
+                  if (ZoneMapPrunedScan.utf8Cmp(b, e) >= 0) b else e)
+              case _                              => NoneZ
+            }.getOrElse(NoneZ)
           (f, c) -> merged
         }
       } finally reader.close()
@@ -291,7 +343,10 @@ object StagingMaintenance {
     // reclaimed files' entries drop out here and in vacuum
     val onDisk = dataFiles(fs, d).toSet
     val merged = (existing ++ harvested).filter { case ((f, _), _) => onDisk(f) }
-    if (harvested.nonEmpty || merged.size != existing.size) writeStats(fs, d, merged)
+    val mergedNulls = (existingNulls ++ harvestedNulls.result())
+      .filter { case ((f, _), _) => onDisk(f) }
+    if (harvested.nonEmpty || merged.size != existing.size)
+      writeStats(fs, d, merged, mergedNulls)
     todo.size
   }
 
@@ -367,6 +422,27 @@ object StagingMaintenance {
     rows.toDF("version", "kind", "n_files", "batch_id")
   }
 
+  /** Drop a column's zone-map entries (DROP/RENAME COLUMN takes the
+    * stats with it — a renamed column re-ANALYZEs under its new name).
+    */
+  private[catalog] def dropColumnStats(fs: FileSystem, d: Path, column: String): Unit = {
+    val stats = readStatsFor(fs, d)
+    val live = stats.filter { case ((_, c), _) => !c.equalsIgnoreCase(column) }
+    if (live.size != stats.size)
+      writeStats(fs, d, live,
+        readNullsFor(fs, d).filter { case ((_, c), _) => !c.equalsIgnoreCase(column) })
+  }
+
+  /** File names the CURRENT version reads — the public face of the
+    * manifest, for operators/tests that assert carry-by-name behavior
+    * (e.g. "this keyed UPDATE rewrote 1 of 8 files").
+    */
+  def currentFileNames(spark: SparkSession, catalog: String, ns: String,
+      table: String): Seq[String] = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    currentFiles(fs, d)
+  }
+
   /** Keep only the last `retainLast` versions; delete every data file no
     * retained version references, and trim their zone-map sidecar entries.
     * Returns the deleted file names.
@@ -378,14 +454,28 @@ object StagingMaintenance {
     val manifests = versionManifests(fs, d)
     val (drop, keep) = manifests.splitAt(math.max(0, manifests.size - retainLast))
     val referenced = keep.flatMap { case (_, f) => manifestFiles(fs, f) }.toSet
-    drop.foreach { case (_, f) => fs.delete(f, false) }
     val dead = dataFiles(fs, d).filterNot(referenced)
+    // CONCURRENCY GUARD: `referenced` was computed from a listing taken
+    // above; an append/rewrite that commits in between could reference a
+    // just-moved data file that `dead` is about to delete — corrupting the
+    // new current version. Re-list AFTER computing the delete set and abort
+    // if the head advanced (mirrors writeExplicitManifest's expectedBase
+    // check); the caller retries against the new version.
+    val baseV = manifests.lastOption.map(_._1).getOrElse(0L)
+    val headNow = versionManifests(fs, d).lastOption.map(_._1).getOrElse(0L)
+    if (headNow != baseV)
+      throw new java.util.ConcurrentModificationException(
+        s"vacuum of $catalog.$ns.$table planned against version $baseV but head " +
+          s"is now $headNow — a concurrent commit landed; retry")
+    drop.foreach { case (_, f) => fs.delete(f, false) }
     dead.foreach(f => fs.delete(new Path(d, f), false))
     // trim reclaimed files out of the advisory stats cache
     val stats = readStatsFor(fs, d)
     val deadSet = dead.toSet
     val live = stats.filter { case ((f, _), _) => !deadSet(f) }
-    if (live.size != stats.size) writeStats(fs, d, live)
+    if (live.size != stats.size)
+      writeStats(fs, d, live,
+        readNullsFor(fs, d).filter { case ((f, _), _) => !deadSet(f) })
     dead
   }
 }
@@ -404,7 +494,8 @@ object StagingMaintenance {
   * no filters nothing prunes.
   */
 private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
-    stats: Map[(String, String), ZStat])
+    stats: Map[(String, String), ZStat],
+    nulls: Map[(String, String), (Long, Long)] = Map.empty)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -441,7 +532,7 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     val filters = v1Filters
     scan match {
       case f: FileScan if filters.nonEmpty =>
-        new ZoneMapPrunedScan(f, stats, filters)
+        new ZoneMapPrunedScan(f, stats, filters, nulls)
       case other => other
     }
   }
@@ -450,7 +541,8 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
 private[catalog] object ZoneMapScanBuilder {
   import org.apache.spark.sql.catalyst.CatalystTypeConverters
   import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo => CEq,
-    Expression, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, LessThan => CLt,
+    Expression, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn,
+    IsNotNull => CNotNull, IsNull => CIsNull, LessThan => CLt,
     LessThanOrEqual => CLe, Literal, Or => COr, StartsWith => CSw}
   import org.apache.spark.sql.sources._
 
@@ -477,6 +569,8 @@ private[catalog] object ZoneMapScanBuilder {
       Some(In(a.name, vs.map(v => ext(v.asInstanceOf[Literal])).toArray))
     case CSw(a: Attribute, l: Literal) =>
       Some(StringStartsWith(a.name, String.valueOf(ext(l))))
+    case CIsNull(a: Attribute)   => Some(IsNull(a.name))
+    case CNotNull(a: Attribute)  => Some(IsNotNull(a.name))
     case CAnd(l, r) => for (lf <- toV1(l); rf <- toV1(r)) yield And(lf, rf)
     case COr(l, r)  => for (lf <- toV1(l); rf <- toV1(r)) yield Or(lf, rf)
     case _          => None
@@ -489,11 +583,23 @@ private[catalog] object ZoneMapScanBuilder {
   */
 object ZoneMapScan {
   @volatile var lastPrune: Option[(Int, Int)] = None
+  /** V1-filter strings the most recent ROW-LEVEL (UPDATE/MERGE/DELETE
+    * fallback) scan harvested for group pruning — lets specs assert the
+    * operation's condition actually reached the file-granular path.
+    */
+  @volatile var lastRowLevelFilters: Seq[String] = Seq.empty
+  /** Runtime (dynamic-pruning) filters most recently delivered to a
+    * row-level scan — proves the MERGE group-filter subquery fired.
+    */
+  @volatile var lastRuntimeGroupFilters: Seq[String] = Seq.empty
+  /** (untouched, droppedMetadataOnly, rewritten) of the latest DELETE. */
+  @volatile var lastDeleteSplit: Option[(Int, Int, Int)] = None
 }
 
 private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     stats: Map[(String, String), ZStat],
-    filters: Array[org.apache.spark.sql.sources.Filter])
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    nulls: Map[(String, String), (Long, Long)] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = delegate.readSchema()
@@ -504,7 +610,16 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
   override def createReaderFactory(): PartitionReaderFactory =
     delegate.createReaderFactory()
 
-  private lazy val pruned: (Array[InputPartition], Int, Int) = {
+  /** Filters in force for pruning — subclasses may add runtime filters. */
+  protected def effectiveFilters: Array[org.apache.spark.sql.sources.Filter] = filters
+
+  /** Plan the delegate's splits, drop files whose zone-map ranges cannot
+    * satisfy `effectiveFilters`. NOT cached: runtime filtering re-plans
+    * after `filter()` arrives, and the result must reflect the filters in
+    * force at call time.
+    */
+  private def prune(): (Array[InputPartition], Int, Int) = {
+    val fs = effectiveFilters
     val in = delegate.toBatch.planInputPartitions()
     var total = 0
     var kept = 0
@@ -512,8 +627,7 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
       case fp: FilePartition =>
         val keep = fp.files.filter { pf =>
           total += 1
-          val name = pf.toPath.getName
-          val ok = filters.forall(f => ZoneMapPrunedScan.canMatch(stats, name, f))
+          val ok = fs.forall(f => ZoneMapPrunedScan.canMatch(stats, nulls, pf.toPath.getName, f))
           if (ok) kept += 1
           ok
         }
@@ -524,8 +638,20 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     (out, kept, total)
   }
 
+  /** File names this scan would read under the filters currently in force —
+    * the GROUP set a row-level commit replaces.
+    */
+  private[catalog] def plannedFileNames(): Set[String] = {
+    val fs = effectiveFilters
+    delegate.toBatch.planInputPartitions().iterator.flatMap {
+      case fp: FilePartition => fp.files.iterator.map(_.toPath.getName)
+        .filter(n => fs.forall(f => ZoneMapPrunedScan.canMatch(stats, nulls, n, f)))
+      case _ => Iterator.empty
+    }.toSet
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val (parts, kept, total) = pruned
+    val (parts, kept, total) = prune()
     ZoneMapScan.lastPrune = Some((kept, total))
     parts
   }
@@ -534,8 +660,118 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     delegate.description() + ", GraftZoneMaps: on"
 }
 
+/** The ROW-LEVEL (UPDATE / MERGE / DELETE-fallback) scan: zone-map pruning
+  * plus RUNTIME group filtering. Spark's
+  * `RowLevelOperationRuntimeGroupFiltering` rule sees this scan implement
+  * `SupportsRuntimeV2Filtering` and injects a dynamic-pruning subquery that
+  * evaluates the operation's group-filter condition (for MERGE: an EXISTS
+  * over the source on the ON clause — the condition static pushdown can
+  * never see) against the table, collects the DISTINCT values of
+  * `filterAttributes` from the matching rows, and hands them back through
+  * [[filter]] as IN-predicates before execution re-plans the splits. Zone
+  * maps then turn that value set into a FILE set: a keyed MERGE on a
+  * clustered table reads and rewrites only the files whose [min,max] admit
+  * a matched key. The attributes offered are exactly the columns the stats
+  * sidecar covers — without stats a runtime IN can prune nothing here, and
+  * offering zero attributes keeps the rule off entirely (the scan is then
+  * built as a plain [[ZoneMapPrunedScan]]).
+  *
+  * Scale note: the collected value set is bounded by the DISTINCT matched
+  * key values (the standard dynamic-pruning trade), not by the file count —
+  * a merge matching 10⁹ distinct keys pays a driver-side collect upstream
+  * of this scan. The build-side pass itself is cheap: it reads through the
+  * PLAIN zone-mapped scan path, projected to the filter columns.
+  */
+private[catalog] final class RowLevelGroupScan(delegate: FileScan,
+    stats: Map[(String, String), ZStat],
+    staticFilters: Array[org.apache.spark.sql.sources.Filter],
+    filterCols: Array[String],
+    nulls: Map[(String, String), (Long, Long)] = Map.empty)
+    extends ZoneMapPrunedScan(delegate, stats, staticFilters, nulls)
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  @volatile private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override protected def effectiveFilters: Array[org.apache.spark.sql.sources.Filter] =
+    staticFilters ++ runtimeFilters
+
+  override def filterAttributes(): Array[NamedReference] =
+    filterCols.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    runtimeFilters = predicates.flatMap(RowLevelGroupScan.v2InToV1)
+    ZoneMapScan.lastRuntimeGroupFilters = runtimeFilters.map(_.toString).toSeq
+  }
+}
+
+private[catalog] object RowLevelGroupScan {
+  import org.apache.spark.sql.catalyst.CatalystTypeConverters
+  import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+
+  /** Translate the runtime V2 IN / = predicates the dynamic-pruning
+    * machinery delivers into V1 filters [[ZoneMapPrunedScan.canMatch]]
+    * understands; anything unrecognized is dropped (prunes nothing —
+    * conservative, never unsound).
+    */
+  private[catalog] def v2InToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    def ext(l: V2Literal[_]): Any =
+      CatalystTypeConverters.createToScalaConverter(l.dataType)(l.value)
+    (p.name(), p.children()) match {
+      case ("IN", cs) if cs.nonEmpty =>
+        cs.head match {
+          case ref: NamedReference if cs.tail.forall(_.isInstanceOf[V2Literal[_]]) =>
+            Some(org.apache.spark.sql.sources.In(ref.toString,
+              cs.tail.map(c => ext(c.asInstanceOf[V2Literal[_]]))))
+          case _ => None
+        }
+      case ("=", Array(ref: NamedReference, l: V2Literal[_])) =>
+        Some(org.apache.spark.sql.sources.EqualTo(ref.toString, ext(l)))
+      case _ => None
+    }
+  }
+}
+
 private[catalog] object ZoneMapPrunedScan {
   import org.apache.spark.sql.sources._
+
+  /** Unsigned lexicographic comparison of the UTF-8 encodings — the order
+    * parquet's binary statistics use. Coincides with code-POINT order
+    * (not Java's code-UNIT order, which sorts [U+E000,U+FFFF] after
+    * supplementary-plane characters).
+    */
+  private[catalog] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Compare `s`'s first |p| UTF-8 bytes against p's bytes (shorter-s is
+    * smaller on a byte-prefix tie). ≤ 0 means some string with prefix p
+    * can be ≥ s in UTF-8 order.
+    */
+  private[catalog] def utf8PrefixCmp(s: String, p: String): Int = {
+    val x = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    if (x.length >= y.length) 0 else -1 // s shorter than p: prefix tie → smaller
+  }
 
   private def asLong(v: Any): Option[Long] = v match {
     case n: java.lang.Integer   => Some(n.longValue)
@@ -558,8 +794,25 @@ private[catalog] object ZoneMapPrunedScan {
     * filter? Every unprovable case answers true (keep the file).
     * Comparisons are INCLUSIVE on both ends — deliberately weaker than the
     * strict filters they stand in for, which can only over-keep.
+    * (NaN note: parquet-mr OMITS float/double chunk statistics when a NaN
+    * was written — PARQUET-1246 — so a NaN-bearing chunk fails analyze's
+    * completeness gate and the file is never pruned; the Spark-sorts-NaN-
+    * highest hazard cannot bite through stats that exist.)
     */
-  def canMatch(stats: Map[(String, String), ZStat], file: String, f: Filter): Boolean = {
+  def canMatch(stats: Map[(String, String), ZStat], file: String, f: Filter): Boolean =
+    canMatch(stats, Map.empty, file, f)
+
+  /** canMatch with NULL-count knowledge (ANALYZE ≥ r8): `IS NULL` prunes
+    * zero-null files, `IS NOT NULL` prunes all-null files, and every value
+    * predicate prunes an all-null file (NULL satisfies no comparison).
+    * Unknown counts degrade to the range-only answer.
+    */
+  def canMatch(stats: Map[(String, String), ZStat],
+      nulls: Map[(String, String), (Long, Long)], file: String, f: Filter): Boolean = {
+    def allNull(a: String): Boolean =
+      nulls.get((file, a)).exists { case (n, t) => t > 0 && n == t }
+    def noNull(a: String): Boolean =
+      nulls.get((file, a)).exists { case (n, _) => n == 0L }
     def inRange(a: String, v: Any, side: Int): Boolean = stats.get((file, a)) match {
       case Some(LongZ(mn, mx)) => asLong(v).forall { x =>
         side match {
@@ -576,30 +829,112 @@ private[catalog] object ZoneMapPrunedScan {
         }
       }
       case Some(StringZ(mn, mx)) => v match {
+        // parquet's binary min/max are ordered by UNSIGNED UTF-8 bytes
+        // (code-point order); Java String comparison is UTF-16 code-unit
+        // order and the two disagree when [U+E000,U+FFFF] chars mix with
+        // supplementary-plane code points — compare in the footer's order
         case s: String =>
           side match {
-            case 0  => mx >= s && mn <= s
-            case 1  => mx >= s
-            case -1 => mn <= s
+            case 0  => utf8Cmp(mx, s) >= 0 && utf8Cmp(mn, s) <= 0
+            case 1  => utf8Cmp(mx, s) >= 0
+            case -1 => utf8Cmp(mn, s) <= 0
           }
         case _ => true
       }
       case _ => true
     }
     f match {
-      case EqualTo(a, v)            => inRange(a, v, 0)
-      case EqualNullSafe(a, v)      => v == null || inRange(a, v, 0)
-      case GreaterThan(a, v)        => inRange(a, v, 1)
-      case GreaterThanOrEqual(a, v) => inRange(a, v, 1)
-      case LessThan(a, v)           => inRange(a, v, -1)
-      case LessThanOrEqual(a, v)    => inRange(a, v, -1)
-      case In(a, vs)                => vs.isEmpty || vs.exists(v => inRange(a, v, 0))
-      case StringStartsWith(a, p)   =>
-        // a string starting with p lies in [p, p + maxChar]
-        inRange(a, p, 1) && inRange(a, p + "￿", -1)
-      case And(l, r)                => canMatch(stats, file, l) && canMatch(stats, file, r)
-      case Or(l, r)                 => canMatch(stats, file, l) || canMatch(stats, file, r)
-      case _                        => true // Not / IsNull / unknown: conservative
+      case EqualTo(a, v)            => !allNull(a) && inRange(a, v, 0)
+      case EqualNullSafe(a, v)      =>
+        if (v == null) !noNull(a) else !allNull(a) && inRange(a, v, 0)
+      case GreaterThan(a, v)        => !allNull(a) && inRange(a, v, 1)
+      case GreaterThanOrEqual(a, v) => !allNull(a) && inRange(a, v, 1)
+      case LessThan(a, v)           => !allNull(a) && inRange(a, v, -1)
+      case LessThanOrEqual(a, v)    => !allNull(a) && inRange(a, v, -1)
+      // an empty IN is satisfied by NO row (runtime group filtering emits
+      // one when a MERGE matches nothing) — pruning every file is exact
+      case In(a, vs)                => !allNull(a) && vs.exists(v => inRange(a, v, 0))
+      case IsNull(a)                => !noNull(a)
+      case IsNotNull(a)             => !allNull(a)
+      case StringStartsWith(a, p)   => !allNull(a) && (stats.get((file, a)) match {
+        // In UTF-8 byte order: the SMALLEST string with prefix p is p
+        // itself, so some prefix-p string can be ≤ max iff p ≤ max; and
+        // some prefix-p string can be ≥ min iff min's first |p| bytes are
+        // ≤ p (every prefix-p string shares those bytes exactly). This is
+        // exact in the footer's comparator — no `p + '￿'` sentinel,
+        // which is unsound for data containing U+FFFF or astral chars.
+        case Some(StringZ(mn, mx)) =>
+          utf8Cmp(p, mx) <= 0 && utf8PrefixCmp(mn, p) <= 0
+        case _ => true
+      })
+      case And(l, r) => canMatch(stats, nulls, file, l) && canMatch(stats, nulls, file, r)
+      case Or(l, r)  => canMatch(stats, nulls, file, l) || canMatch(stats, nulls, file, r)
+      case _         => true // Not / unknown: conservative
+    }
+  }
+
+  /** The DUAL proof: does EVERY row of the file provably satisfy `f`? Used
+    * by DELETE to drop whole files METADATA-ONLY (no read, no rewrite) —
+    * the zone-map answer to drop-partition retention: on a ts-clustered
+    * table, `DELETE WHERE day BETWEEN …` erases interior files by manifest
+    * edit alone and rewrites only the two boundary files. Strictly
+    * sufficient, never necessary: any doubt (missing range, unknown null
+    * count, a NULL row that would make the predicate UNKNOWN rather than
+    * TRUE, an unmodeled filter shape) answers false and the file takes the
+    * ordinary rewrite path. Value predicates therefore require a recorded
+    * ZERO null count — min/max ignore nulls, and a NULL row must SURVIVE a
+    * DELETE whose predicate evaluates UNKNOWN on it.
+    */
+  def mustMatchAll(stats: Map[(String, String), ZStat],
+      nulls: Map[(String, String), (Long, Long)], file: String, f: Filter): Boolean = {
+    def noNull(a: String): Boolean =
+      nulls.get((file, a)).exists { case (n, _) => n == 0L }
+    def allNull(a: String): Boolean =
+      nulls.get((file, a)).exists { case (n, t) => n == t }
+    // does every value in the file's range satisfy <cmp v>?
+    def rangeAll(a: String, v: Any, side: Int, strict: Boolean): Boolean =
+      stats.get((file, a)) match {
+        case Some(LongZ(mn, mx)) => asLong(v).exists { x =>
+          side match {
+            case 0  => mn == x && mx == x
+            case 1  => if (strict) mn > x else mn >= x
+            case -1 => if (strict) mx < x else mx <= x
+          }
+        }
+        case Some(DoubleZ(mn, mx)) => asDouble(v).exists { x =>
+          side match {
+            case 0  => mn == x && mx == x
+            case 1  => if (strict) mn > x else mn >= x
+            case -1 => if (strict) mx < x else mx <= x
+          }
+        }
+        case Some(StringZ(mn, mx)) => v match {
+          case s: String => side match {
+            case 0  => utf8Cmp(mn, s) == 0 && utf8Cmp(mx, s) == 0
+            case 1  => if (strict) utf8Cmp(mn, s) > 0 else utf8Cmp(mn, s) >= 0
+            case -1 => if (strict) utf8Cmp(mx, s) < 0 else utf8Cmp(mx, s) <= 0
+          }
+          case _ => false
+        }
+        case _ => false
+      }
+    f match {
+      case EqualTo(a, v)            => noNull(a) && rangeAll(a, v, 0, strict = false)
+      case EqualNullSafe(a, v)      =>
+        if (v == null) allNull(a) else noNull(a) && rangeAll(a, v, 0, strict = false)
+      case GreaterThan(a, v)        => noNull(a) && rangeAll(a, v, 1, strict = true)
+      case GreaterThanOrEqual(a, v) => noNull(a) && rangeAll(a, v, 1, strict = false)
+      case LessThan(a, v)           => noNull(a) && rangeAll(a, v, -1, strict = true)
+      case LessThanOrEqual(a, v)    => noNull(a) && rangeAll(a, v, -1, strict = false)
+      case In(a, vs)                => // provable only for a constant file
+        noNull(a) && vs.exists(v => rangeAll(a, v, 0, strict = false))
+      case IsNull(a)                => allNull(a)
+      case IsNotNull(a)             => noNull(a)
+      case And(l, r) =>
+        mustMatchAll(stats, nulls, file, l) && mustMatchAll(stats, nulls, file, r)
+      case Or(l, r) =>
+        mustMatchAll(stats, nulls, file, l) || mustMatchAll(stats, nulls, file, r)
+      case _ => false
     }
   }
 }

@@ -191,6 +191,65 @@ object StreamingOps {
       .start()
   }
 
+  /** Bookkeeping key the streaming MV keeps INSIDE the view table — the
+    * last-applied micro-batch id rides the same atomic MERGE commit as the
+    * delta, so "aggregates advanced" and "batch recorded" cannot tear.
+    */
+  val MvBatchMarker = "__graft_mv_batch"
+
+  /** CONTINUOUS incremental materialized-view maintenance — the streaming
+    * twin of q256's batch refresh: tail the source catalog table's change
+    * feed ([[catalogChangeStream]]) and fold each micro-batch's delta into
+    * a served MV table with ONE atomic additive `MERGE INTO` per batch —
+    * count and decimal-sum are self-maintainable over append-only deltas,
+    * so the MV equals a full recompute bit-for-bit at every batch boundary
+    * (StreamingSpec proves it through a kill/restart).
+    *
+    * Exactly-once without a side ledger: the MERGE source carries one
+    * extra row keyed [[MvBatchMarker]] whose `n` is the micro-batch id;
+    * it commits atomically WITH the delta (one manifest write), and each
+    * batch first consults it — a crash-redelivered batch sees its own id
+    * already recorded and skips. This is the Delta `txnAppId/txnVersion`
+    * idea expressed as an in-table row. At 100 TB the refresh cost is the
+    * day's new files + a |groups|-row merge — never a source re-scan.
+    *
+    * Serve with [[mvServe]] (filters the marker row).
+    */
+  def mvMaintainStream(changes: DataFrame, mvTable: String, groupCol: String,
+      sumCol: String, checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir).outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val applied = spark.table(mvTable)
+          .where(col("g") === lit(MvBatchMarker))
+          .agg(max(col("n"))).collect()(0)
+        val appliedId = if (applied.isNullAt(0)) -1L else applied.getLong(0)
+        if (id > appliedId) {
+          val view = s"graft_mv_delta_${System.nanoTime()}"
+          batch
+            .groupBy(col(groupCol).cast("string").as("g"))
+            .agg(count(lit(1)).as("n_d"),
+              sum(col(sumCol).cast("decimal(28,4)")).as("s_d"))
+            .unionByName(spark.range(1).select(
+              lit(MvBatchMarker).as("g"), lit(id).as("n_d"),
+              lit(BigDecimal(0)).cast("decimal(28,4)").as("s_d")))
+            .createOrReplaceTempView(view)
+          spark.sql(
+            s"""MERGE INTO $mvTable t USING $view s ON t.g = s.g
+               |WHEN MATCHED THEN UPDATE SET
+               |  n = CASE WHEN t.g = '$MvBatchMarker' THEN s.n_d ELSE t.n + s.n_d END,
+               |  s = t.s + s.s_d
+               |WHEN NOT MATCHED THEN INSERT (g, n, s) VALUES (s.g, s.n_d, s.s_d)""".stripMargin)
+        }
+        ()
+      }
+      .start()
+
+  /** The MV's serving face: group rows only, marker filtered out. */
+  def mvServe(spark: org.apache.spark.sql.SparkSession, mvTable: String): DataFrame =
+    spark.table(mvTable).where(col("g") =!= lit(MvBatchMarker))
+
   /** One incoming embedding on the streaming vector-ingest surface. */
   final case class StreamVec(vec_id: Long, embedding: Array[Float])
 
@@ -208,8 +267,20 @@ object StreamingOps {
     * `SegmentedIndex.read`) are bit-identical to the in-flight ANN —
     * StreamingSpec proves the round trip against q67 on the same corpus.
     */
+  val PqCodesSchema = "vec_id BIGINT, m INT, code BIGINT"
+
+  /** With `pq = Some((codebook, codesDir))`, each micro-batch ALSO
+    * PQ-encodes its vectors against the fixed broadcast codebook and lands
+    * the (vec_id, m, code) rows in a second SegmentedIndex — cells and
+    * codes advance in lockstep (same batchId, both replay-idempotent), so
+    * the persisted IVF-PQ serving stack (q303) stays complete as the
+    * embedding firehose runs. Codes are map-side work per batch (each
+    * vector × 16-entry codebook × 8 subspaces); the corpus is never
+    * re-encoded.
+    */
   def ivfUpsertStream(vecs: DataFrame, cents: DataFrame, indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      pq: Option[(DataFrame, String)] = None): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir).outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -218,6 +289,13 @@ object StreamingOps {
         graft.sources.SegmentedIndex.writeBatch(
           graft.operators.Similarity.ivfAssign(withN2, cents),
           indexDir, id, IvfIndexSchema, sortCol = "cell")
+        pq.foreach { case (codebook, codesDir) =>
+          graft.sources.SegmentedIndex.writeBatch(
+            graft.operators.Similarity.pqCodes(
+              graft.operators.Similarity.pqSubDistsAgainst(
+                batch.select(col("vec_id"), col("embedding")), codebook)),
+            codesDir, id, PqCodesSchema, sortCol = "vec_id")
+        }
         ()
       }
       .start()

@@ -24,6 +24,33 @@ class CatalogSpec extends SparkSpec {
     assert(Set("lineitem", "orders", "customer", "documents", "embeddings").subsetOf(tables), tables)
   }
 
+  test("read-only catalog mounts an explicit file:// URI root (Hadoop FS port)") {
+    // the corpus catalog resolves its FileSystem from the root's scheme
+    // (the reference's mount contract) — a file:// URI must behave exactly
+    // like the bare path: namespaces list, tables resolve, scans run
+    spark.conf.set("spark.sql.catalog.graft_cat_uri", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat_uri.root", "file:///root/testdata")
+    try {
+      val ns = spark.sql("SHOW NAMESPACES IN graft_cat_uri").collect()
+        .map(_.getString(0).stripPrefix("`").stripSuffix("`")).toSet
+      assert(ns.contains("sf0.001"), ns)
+      val n = spark.sql("SELECT count(*) AS n FROM graft_cat_uri.`sf0.001`.orders")
+        .collect()(0).getLong(0)
+      assert(n > 0)
+      // matches the bare-path mount row for row
+      mount()
+      val nPlain = spark.sql("SELECT count(*) AS n FROM graft_cat.`sf0.001`.orders")
+        .collect()(0).getLong(0)
+      assert(n === nPlain)
+      intercept[UnsupportedOperationException] {
+        spark.sql("DROP TABLE graft_cat_uri.`sf0.001`.orders")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_cat_uri")
+      spark.conf.unset("spark.sql.catalog.graft_cat_uri.root")
+    }
+  }
+
   test("catalog scans keep the native parquet read stack: pushdown + pruning") {
     mount()
     val df = spark.sql(
@@ -149,11 +176,12 @@ class CatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE stage_t.ws.evolve_t ADD COLUMN c_custkey STRING")
     }
     assert(dup.getMessage.toLowerCase.contains("exist"), dup.getMessage)
-    val drop = intercept[Exception] {
-      spark.sql("ALTER TABLE stage_t.ws.evolve_t DROP COLUMN priority")
+    val retype = intercept[Exception] {
+      spark.sql("ALTER TABLE stage_t.ws.evolve_t ALTER COLUMN priority TYPE STRING")
     }
-    assert(drop.getMessage.contains("ADD COLUMN") ||
-      drop.getMessage.toLowerCase.contains("unsupported"), drop.getMessage)
+    assert(retype.getMessage.toLowerCase.contains("unsupported"), retype.getMessage)
+    // (DROP/RENAME COLUMN are supported since r8 — see the schema
+    // evolution lifecycle test)
   }
 
   test("staging catalog time travel: VERSION AS OF / TIMESTAMP AS OF read committed snapshots") {
@@ -758,6 +786,223 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DELETE FROM stage_t.ws.fgd WHERE k >= 100000")
     assert(currentFiles() === after, "no-match delete should rewrite nothing")
     assert(spark.table("stage_t.ws.fgd").count() === 3100)
+  }
+
+  test("file-granular UPDATE: zone maps confine the group rewrite to matching files") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.fgu")
+    spark.sql("""CREATE TABLE stage_t.ws.fgu AS
+      SELECT k, k * 10 AS v FROM (SELECT id AS k FROM range(0, 3200)) DISTRIBUTE BY k""")
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "fgu",
+      targetFiles = 8, clusterBy = Some("k"))
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "fgu", Seq("k"))
+    def currentFiles(): Set[String] = {
+      val vd = new java.io.File(stageRoot, "ws/fgu/_graft_versions")
+      val latest = vd.listFiles().filter(_.getName.matches("v\\d+\\.json"))
+        .maxBy(_.getName.stripPrefix("v").stripSuffix(".json").toLong)
+      val txt = new String(java.nio.file.Files.readAllBytes(latest.toPath))
+      "\"([^\"]+)\"".r.findAllMatchIn(
+        txt.substring(txt.indexOf('['))).map(_.group(1)).toSet
+    }
+    val before = currentFiles()
+    assert(before.size === 8)
+    // a keyed 100-row UPDATE on a clustered 3200-row table: the group
+    // rewrite must scan only the file(s) whose [min,max] admit the range —
+    // every other file carries into the new version BY NAME
+    spark.sql("UPDATE stage_t.ws.fgu SET v = v + 1000000 WHERE k >= 1000 AND k < 1100")
+    val after = currentFiles()
+    val carried = after.intersect(before)
+    assert(carried.size >= 6,
+      s"expected >=6 of 8 files untouched by a keyed UPDATE, carried ${carried.size}")
+    assert(after !== before, "update rewrote nothing")
+    // content exact: updated slice shifted, everything else intact
+    assert(spark.table("stage_t.ws.fgu").count() === 3200)
+    assert(spark.sql(
+      "SELECT count(*) FROM stage_t.ws.fgu WHERE v >= 1000000").collect()(0).getLong(0) === 100)
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM stage_t.ws.fgu").collect()(0)
+      .getLong(0) === (0L until 3200L).map(_ * 10).sum + 100L * 1000000L)
+    // VERSION AS OF: the pre-update snapshot still reads the old values
+    val preV = spark.sql("CALL stage_t.history('ws', 'fgu')")
+      .where("kind = 'optimize'").collect()(0).getLong(0)
+    assert(spark.sql(
+      s"SELECT count(*) FROM stage_t.ws.fgu VERSION AS OF $preV WHERE v >= 1000000")
+      .collect()(0).getLong(0) === 0)
+    // sequential keyed UPDATEs keep composing: each rewrites its own slice
+    // and carries the rest (the optimistic conflict guard itself is pinned
+    // by the racing-rewrites test and StagingProtocolSpec — unchanged by
+    // file-granular commits, which go through the same writeExplicitManifest)
+    val mid = currentFiles()
+    spark.sql("UPDATE stage_t.ws.fgu SET v = -1 WHERE k = 5")
+    val last = currentFiles()
+    assert(last.intersect(mid).size >= 6, "second keyed update lost file granularity")
+    assert(spark.sql("SELECT v FROM stage_t.ws.fgu WHERE k = 5").collect()(0).getLong(0) === -1L)
+    assert(spark.table("stage_t.ws.fgu").count() === 3200)
+  }
+
+  test("file-granular MERGE: runtime group filtering confines the rewrite to matched files") {
+    import graft.sources.catalog.{StagingMaintenance, ZoneMapScan}
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.fgm")
+    spark.sql("""CREATE TABLE stage_t.ws.fgm AS
+      SELECT k, k * 10 AS v FROM (SELECT id AS k FROM range(0, 3200)) DISTRIBUTE BY k""")
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "fgm",
+      targetFiles = 8, clusterBy = Some("k"))
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "fgm", Seq("k"))
+    def currentFiles(): Set[String] = {
+      val vd = new java.io.File(stageRoot, "ws/fgm/_graft_versions")
+      val latest = vd.listFiles().filter(_.getName.matches("v\\d+\\.json"))
+        .maxBy(_.getName.stripPrefix("v").stripSuffix(".json").toLong)
+      val txt = new String(java.nio.file.Files.readAllBytes(latest.toPath))
+      "\"([^\"]+)\"".r.findAllMatchIn(
+        txt.substring(txt.indexOf('['))).map(_.group(1)).toSet
+    }
+    val before = currentFiles()
+    assert(before.size === 8)
+    // The MERGE condition references the SOURCE, so no static filter can
+    // reach the target scan. Runtime group filtering closes the gap: Spark
+    // evaluates the group-filter EXISTS against the table, collects the
+    // matched join-key values, and delivers them to the row-level scan as
+    // an IN — which zone maps turn into a file set. A 10-key merge into a
+    // clustered 3200-row table must rewrite only the file(s) holding those
+    // keys.
+    spark.range(1000, 1010).selectExpr("id AS k", "CAST(-1 AS BIGINT) AS v")
+      .createOrReplaceTempView("fgm_src")
+    ZoneMapScan.lastRuntimeGroupFilters = Seq.empty
+    spark.sql("""MERGE INTO stage_t.ws.fgm t USING fgm_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert(ZoneMapScan.lastRuntimeGroupFilters.nonEmpty,
+      "runtime group filters never reached the row-level scan")
+    val after = currentFiles()
+    val carried = after.intersect(before)
+    assert(carried.size >= 6,
+      s"expected >=6 of 8 files untouched by a keyed MERGE, carried ${carried.size}")
+    // content exact
+    assert(spark.table("stage_t.ws.fgm").count() === 3200)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.fgm WHERE v = -1")
+      .collect()(0).getLong(0) === 10)
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM stage_t.ws.fgm").collect()(0)
+      .getLong(0) === (0L until 3200L).map(_ * 10).sum
+        - (1000L until 1010L).map(_ * 10).sum - 10L)
+    // full-sync (NOT MATCHED BY SOURCE) touches rows in every file — the
+    // group filter must NOT confine it; correctness over minimality
+    spark.range(0, 3200).selectExpr("id AS k", "id AS v").createOrReplaceTempView("fgm_all")
+    spark.sql("""MERGE INTO stage_t.ws.fgm t USING fgm_all s ON t.k = s.k AND s.k < 10
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -7""")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.fgm WHERE v = -7")
+      .collect()(0).getLong(0) === 3190)
+    // MERGE insert arm: new rows land in fresh files, untouched files carry
+    val preIns = currentFiles()
+    spark.range(10000, 10005).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("fgm_new")
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "fgm", Seq("k"))
+    spark.sql("""MERGE INTO stage_t.ws.fgm t USING fgm_new s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(spark.table("stage_t.ws.fgm").count() === 3205)
+    val postIns = currentFiles()
+    assert(postIns.intersect(preIns).nonEmpty,
+      "insert-only merge rewrote every file instead of carrying unmatched ones")
+  }
+
+  test("schema evolution lifecycle: ADD → UPDATE → DROP → RENAME with era-scoped time travel") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.evo")
+    spark.sql("CREATE TABLE stage_t.ws.evo AS SELECT id AS k, id * 2 AS v FROM range(0, 100)") // v1
+    // era 1: (k, v)
+    spark.sql("ALTER TABLE stage_t.ws.evo ADD COLUMN w BIGINT")
+    spark.sql("INSERT INTO stage_t.ws.evo SELECT id, id, id * 10 FROM range(100, 120)") // v2
+    // era 2: (k, v, w) — UPDATE through the evolved schema
+    spark.sql("UPDATE stage_t.ws.evo SET w = -1 WHERE k < 10") // v3
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.evo WHERE w = -1")
+      .collect()(0).getLong(0) === 10)
+    // DROP v: sidecar shrinks, files untouched, reads project it away
+    spark.sql("ALTER TABLE stage_t.ws.evo DROP COLUMN v")
+    assert(spark.table("stage_t.ws.evo").schema.fieldNames.toSeq === Seq("k", "w"))
+    assert(spark.table("stage_t.ws.evo").count() === 120)
+    // era-scoped time travel: v1 shows the ORIGINAL schema (k, v) — no w,
+    // and the dropped v is still visible on its own era
+    val v1 = spark.sql("SELECT * FROM stage_t.ws.evo VERSION AS OF 1")
+    assert(v1.schema.fieldNames.toSeq === Seq("k", "v"), v1.schema.treeString)
+    assert(v1.where("v = 198").count() === 1)
+    // v2/v3 are era 2: (k, v, w)
+    val v3 = spark.sql("SELECT * FROM stage_t.ws.evo VERSION AS OF 3")
+    assert(v3.schema.fieldNames.toSeq === Seq("k", "v", "w"), v3.schema.treeString)
+    assert(v3.where("w = -1").count() === 10)
+    // RENAME w→score: explicit copy-on-write rewrite (no field IDs — a
+    // metadata rename would null out pre-rename files), kind=rename version
+    spark.sql("ALTER TABLE stage_t.ws.evo RENAME COLUMN w TO score")
+    val now = spark.table("stage_t.ws.evo")
+    assert(now.schema.fieldNames.toSeq === Seq("k", "score"))
+    assert(now.where("score = -1").count() === 10, "rename lost data")
+    assert(now.count() === 120)
+    // pre-rename versions keep their era schema
+    assert(spark.sql("SELECT * FROM stage_t.ws.evo VERSION AS OF 3")
+      .schema.fieldNames.toSeq === Seq("k", "v", "w"))
+    // refusals: dropping a missing / last column, renaming onto a collision
+    intercept[Exception] { spark.sql("ALTER TABLE stage_t.ws.evo DROP COLUMN nope") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE stage_t.ws.evo RENAME COLUMN score TO k")
+    }
+  }
+
+  test("null-count zone maps: IS [NOT] NULL prunes; metadata-only DELETE drops interior files") {
+    import graft.sources.catalog.{StagingMaintenance, ZoneMapScan}
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.nz")
+    // v is NULL exactly for k < 500 — comfortably past the first file's
+    // range-sampled boundary (~400±), so the low file is ALWAYS all-null
+    // on v whatever the partitioner sampled; the top files are null-free
+    spark.sql("""CREATE TABLE stage_t.ws.nz AS
+      SELECT k, CASE WHEN k < 500 THEN CAST(NULL AS BIGINT) ELSE k END AS v
+      FROM (SELECT id AS k FROM range(0, 3200)) DISTRIBUTE BY k""")
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "nz",
+      targetFiles = 8, clusterBy = Some("k"))
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "nz", Seq("k", "v"))
+    def prune(sql: String): (Long, (Int, Int)) = {
+      ZoneMapScan.lastPrune = None
+      val n = spark.sql(sql).collect()(0).getLong(0)
+      (n, ZoneMapScan.lastPrune.getOrElse((-1, -1)))
+    }
+    // IS NULL reads only files that can hold nulls
+    val (nNull, pNull) = prune("SELECT count(*) FROM stage_t.ws.nz WHERE v IS NULL")
+    assert(nNull === 500)
+    assert(pNull._2 === 8 && pNull._1 <= 2, s"IS NULL pruned nothing: $pNull")
+    // IS NOT NULL skips the all-null file
+    val (nNotNull, pNotNull) = prune("SELECT count(*) FROM stage_t.ws.nz WHERE v IS NOT NULL")
+    assert(nNotNull === 2700)
+    assert(pNotNull._1 <= 7, s"IS NOT NULL kept everything: $pNotNull")
+    // a value predicate prunes the all-null file AND the out-of-range files
+    val (nVal, pVal) = prune("SELECT count(*) FROM stage_t.ws.nz WHERE v = 100")
+    assert(nVal === 0)
+    assert(pVal._1 === 0, s"v=100 exists nowhere, expected full prune: $pVal")
+    // metadata-only DELETE: the interior file(s) of a clustered range
+    // delete fully match → dropped from the manifest WITHOUT being read;
+    // boundary files rewrite; the rest carry
+    ZoneMapScan.lastDeleteSplit = None
+    spark.sql("DELETE FROM stage_t.ws.nz WHERE k >= 390 AND k < 1210")
+    val (unt, drop, rew) = ZoneMapScan.lastDeleteSplit.get
+    assert(unt + drop + rew === 8, s"split does not cover the table: ($unt, $drop, $rew)")
+    assert(drop >= 1, s"no metadata-only drop: ($unt, $drop, $rew)")
+    // range-partitioner sampling makes exact boundaries run-dependent; a
+    // ~25% keyspace delete on 8 clustered files must still carry at least 4
+    assert(unt >= 4, s"too few untouched: ($unt, $drop, $rew)")
+    assert(spark.table("stage_t.ws.nz").count() === 3200 - (1210 - 390))
+    // NULL survival: DELETE WHERE v <= 10000 is UNKNOWN on null-v rows —
+    // they must survive; all-null files carry untouched, null-free files
+    // drop metadata-only
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "nz", Seq("k", "v"))
+    ZoneMapScan.lastDeleteSplit = None
+    spark.sql("DELETE FROM stage_t.ws.nz WHERE v <= 10000")
+    val (unt2, drop2, rew2) = ZoneMapScan.lastDeleteSplit.get
+    assert(drop2 >= 1, s"null-free fully-matching files should drop: ($unt2, $drop2, $rew2)")
+    val left = spark.table("stage_t.ws.nz")
+    assert(left.count() === 390 && left.where("v IS NOT NULL").count() === 0,
+      "NULL-predicate rows must survive a DELETE")
   }
 
   test("stored procedures: CALL optimize/analyze/vacuum/history drive the whole lifecycle from SQL") {

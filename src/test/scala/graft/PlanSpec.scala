@@ -431,6 +431,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q303 IVF-PQ serving reads only persisted catalog tables (no raw scan, no code rebuild)") {
+    // The FAISS-parity contract: cells, codes, and codebook all resolve
+    // from catalog tables; the raw embeddings files appear nowhere in the
+    // plan, and the only pqSubDists computation is the per-query distance
+    // table (20 queries × codebook — bounded), never the corpus-wide code
+    // build (which would show as a window argmin over the full index).
+    val p = plan("q303_ivfpq_serve")
+    assert(!p.contains("embeddings.parquet"),
+      s"IVF-PQ serving re-reads the source embeddings:\n$p")
+    assert(p.toLowerCase.contains("parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q247 blocks the pair scan on the IVF cell (equi-join, centroids broadcast)") {
     // Cell assignment: the 8-centroid quantizer is explicitly broadcast
     // (BroadcastNestedLoopJoin from the deliberate crossJoin). The pair

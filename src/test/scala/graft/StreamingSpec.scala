@@ -434,14 +434,30 @@ class StreamingSpec extends SparkSpec {
         .where(col("vec_id") % 5 === r)
         .as[StreamingOps.StreamVec].collect().toSeq
     }
+    val codesDir = java.nio.file.Files.createTempDirectory("graft_pq_codes").toString
+    val codebook = base.where(col("vec_id") < 16)
+      .selectExpr("vec_id AS cid", "embedding AS cent").localCheckpoint()
     val mem = MemoryStream[StreamingOps.StreamVec]
-    val q = StreamingOps.ivfUpsertStream(mem.toDF(), cents, idx, ckpt)
+    val q = StreamingOps.ivfUpsertStream(mem.toDF(), cents, idx, ckpt,
+      pq = Some((codebook, codesDir)))
     try {
       slices.foreach { s => mem.addData(s: _*); q.processAllAvailable() }
     } finally q.stop()
     val persisted = graft.sources.SegmentedIndex
       .read(spark, idx, StreamingOps.IvfIndexSchema)
     assert(persisted.count() === 500L, "index must cover the full corpus")
+    // PQ codes advanced in lockstep: every vector has 8 subspace codes,
+    // and the streamed codes equal a batch re-encode bit-for-bit
+    val persistedCodes = graft.sources.SegmentedIndex
+      .read(spark, codesDir, StreamingOps.PqCodesSchema)
+    assert(persistedCodes.count() === 500L * 8)
+    val batchCodes = graft.operators.Similarity.pqCodes(
+      graft.operators.Similarity.pqSubDistsAgainst(
+        base.select(col("vec_id"), col("embedding")), codebook))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val streamedCodes = persistedCodes
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamedCodes === batchCodes, "streamed PQ codes diverge from batch encode")
     // 5 batches with compactEvery=4: segments stay bounded, compaction ran
     val segs = new java.io.File(idx).listFiles().toIndexedSeq
       .filter(f => f.isDirectory && (f.getName.startsWith("batch_") || f.getName.startsWith("compacted_")))
@@ -491,6 +507,50 @@ class StreamingSpec extends SparkSpec {
       .option("graft.batch-id", "2").append()
     assert(ks() === Set(1L, 2L, 3L, 4L) && versions() === 3)
     assert(dataFiles >= 1)
+  }
+
+  test("mvMaintainStream: change-feed-driven MV equals full recompute at every batch boundary, across a kill/restart") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_cat").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_ckpt").toString
+    spark.conf.set("spark.sql.catalog.mv_cat",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mv_cat.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mv_cat.ws")
+    spark.sql("DROP TABLE IF EXISTS mv_cat.ws.src")
+    spark.sql("DROP TABLE IF EXISTS mv_cat.ws.mv")
+    spark.sql("CREATE TABLE mv_cat.ws.src (g STRING, x DOUBLE)")
+    spark.sql("CREATE TABLE mv_cat.ws.mv (g STRING, n BIGINT, s DECIMAL(28,4))")
+    spark.sql("INSERT INTO mv_cat.ws.src VALUES ('a', 1.5), ('b', 2.25), ('a', 3.0)")
+    def mvState(): Map[String, (Long, java.math.BigDecimal)] =
+      StreamingOps.mvServe(spark, "mv_cat.ws.mv").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    def recompute(): Map[String, (Long, java.math.BigDecimal)] =
+      spark.sql("""SELECT g, count(*) AS n, sum(CAST(x AS DECIMAL(28,4))) AS s
+        FROM mv_cat.ws.src GROUP BY g""").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    def start() = StreamingOps.mvMaintainStream(
+      StreamingOps.catalogChangeStream(spark, "mv_cat", "ws", "src"),
+      "mv_cat.ws.mv", "g", "x", ckpt)
+    val q = start()
+    try {
+      q.processAllAvailable() // batch 0: the initial load
+      assert(mvState() === recompute(), "MV diverges after initial load")
+      spark.sql("INSERT INTO mv_cat.ws.src VALUES ('b', 10.0), ('c', 0.5)")
+      q.processAllAvailable()
+      assert(mvState() === recompute(), "MV diverges after delta")
+    } finally q.stop()
+    // kill/restart: rows landed while the maintainer was down catch up;
+    // nothing double-applies
+    spark.sql("INSERT INTO mv_cat.ws.src VALUES ('a', -1.0), ('c', 7.75)")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(mvState() === recompute(), "MV diverges after restart catch-up")
+    } finally q2.stop()
+    // the marker row carries the last-applied batch id, not user data
+    val marker = spark.table("mv_cat.ws.mv")
+      .where(col("g") === StreamingOps.MvBatchMarker).collect()
+    assert(marker.length === 1 && marker(0).getLong(1) >= 1L)
   }
 
   test("catalogChangeStream tails committed inserts exactly-once across a restart") {

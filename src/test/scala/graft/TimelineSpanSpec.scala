@@ -70,6 +70,48 @@ class TimelineSpanSpec extends SparkSpec {
 
   // ---------------------------------------------------------------- q111
 
+  // ---------------------------------------------------------------- q287
+
+  test("Mann–Kendall inversion-count walk equals the O(k²) pair definition, incl. ties") {
+    // hand case with ties in value AND in ts: user 1 = [3, 1, 3, 5] in
+    // (ts, event_id) order → pairs: (3,1)− (3,3)0 (3,5)+ (1,3)+ (1,5)+
+    // (3,5)+ = S=3 of n_pairs=6; user 2 strictly down (S=−1); user 3 has a
+    // single event → no pairs → dropped (the join form emits no row)
+    val handDir = "/tmp/graft_mk_spec"
+    Seq(
+      (1L, ts(1), 10L, 3.0), (1L, ts(2), 11L, 1.0),
+      (1L, ts(2), 12L, 3.0), (1L, ts(3), 13L, 5.0),
+      (2L, ts(1), 20L, 9.0), (2L, ts(2), 21L, 4.0),
+      (3L, ts(1), 30L, 7.0))
+      .toDF("user_id", "ts", "event_id", "value")
+      .write.mode("overwrite").parquet(s"$handDir/events.parquet")
+    val hand = graft.operators.Timeline.q287MannKendall(spark, handDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(hand === Map(1L -> ((6L, 3L, "up")), 2L -> ((1L, -1L, "down"))))
+    // full operator vs brute force on the REAL corpus
+    val walk = graft.operators.Timeline.q287MannKendall(spark, sfDir)
+    val e = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val a = e.select(col("user_id"), col("event_id").as("id_a"),
+      col("ts").as("ts_a"), col("value").as("v_a"))
+    val b = e.select(col("user_id"), col("event_id").as("id_b"),
+      col("ts").as("ts_b"), col("value").as("v_b"))
+    val brute = a.join(b, Seq("user_id"))
+      .where(col("ts_a") < col("ts_b") ||
+        (col("ts_a") === col("ts_b") && col("id_a") < col("id_b")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(signum(col("v_b") - col("v_a")).cast("long")).as("s_stat"))
+    val wm = walk.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bm = brute.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(wm === bm, "inversion-count walk diverges from the pair definition")
+    assert(wm.nonEmpty)
+    // the pair join is GONE from the production plan
+    val plan = walk.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q287 still plans a join:\n$plan")
+  }
+
   test("SCD2 collapses runs and chains valid_from/valid_to") {
     val events = Seq(
       (1L, ts(1), 10L, "A"), (2L, ts(2), 10L, "A"),

@@ -96,8 +96,19 @@ class StagingProtocolSpec extends graft.SparkSpec {
         assert(!vals.exists(v => evalL(f, v)),
           s"pruned file contains a match: filter=$f values=$vals")
     }
-    // string ranges incl. prefix filters
-    def str(): String = Seq.fill(1 + rng.nextInt(3))(('a' + rng.nextInt(4)).toChar).mkString
+    // String ranges incl. prefix filters. The MODEL must mirror the real
+    // comparators: parquet footer min/max are UNSIGNED-UTF-8-byte ordered,
+    // and Spark evaluates string comparisons on UTF8String (the same byte
+    // order) — so stats construction AND filter evaluation below both use
+    // utf8Cmp, never Java String `<` (UTF-16 code-unit order, which
+    // disagrees when [U+E000,U+FFFF] chars mix with astral code points).
+    // The alphabet deliberately mixes ASCII, U+E000, U+FFFF, and
+    // supplementary-plane 𐀀/😀 to hit exactly that divergence.
+    val glyphs = Array("a", "b", "d", "", "￿", "𐀀" /* U+10000 */,
+      "😀" /* U+1F600 */)
+    def str(): String =
+      Seq.fill(1 + rng.nextInt(3))(glyphs(rng.nextInt(glyphs.length))).mkString
+    val uCmp: (String, String) => Int = ZoneMapPrunedScan.utf8Cmp
     def mkFilterS(depth: Int): Filter = rng.nextInt(if (depth > 0) 7 else 5) match {
       case 0 => EqualTo("c", str())
       case 1 => GreaterThan("c", str())
@@ -109,22 +120,82 @@ class StagingProtocolSpec extends graft.SparkSpec {
     }
     def evalS(f: Filter, v: String): Boolean = f match {
       case EqualTo("c", x: String)        => v == x
-      case GreaterThan("c", x: String)    => v > x
-      case LessThan("c", x: String)       => v < x
+      case GreaterThan("c", x: String)    => uCmp(v, x) > 0
+      case LessThan("c", x: String)       => uCmp(v, x) < 0
       case StringStartsWith("c", p)       => v.startsWith(p)
       case In("c", vs)                    => vs.exists { case x: String => x == v; case _ => false }
       case And(l, r)                      => evalS(l, v) && evalS(r, v)
       case Or(l, r)                       => evalS(l, v) || evalS(r, v)
       case other => fail(s"unexpected filter $other")
     }
-    for (_ <- 1 to 3000) {
+    for (_ <- 1 to 6000) {
       val vals = Seq.fill(1 + rng.nextInt(12))(str())
-      val stats: Map[(String, String), ZStat] = Map(("f", "c") -> StringZ(vals.min, vals.max))
+      val stats: Map[(String, String), ZStat] = Map(("f", "c") ->
+        StringZ(vals.reduce((a, b) => if (uCmp(a, b) <= 0) a else b),
+          vals.reduce((a, b) => if (uCmp(a, b) >= 0) a else b)))
       val f = mkFilterS(2)
       if (!ZoneMapPrunedScan.canMatch(stats, "f", f))
         assert(!vals.exists(v => evalS(f, v)),
           s"pruned file contains a match: filter=$f values=$vals")
     }
+  }
+
+  test("zone-map analyze refuses a range when any column chunk lacks usable stats") {
+    // The unsound case: ONE file with MULTIPLE row groups where one chunk's
+    // binary min/max were dropped by parquet's footer-stats size cap
+    // (ParquetMetadataConverter.MAX_STATS_SIZE = 4 KiB) while another chunk
+    // kept its range. Merging only the surviving chunk would record a
+    // [min,max] that does NOT bound the dropped chunk's rows — pruning on
+    // it silently loses matching rows. analyze must record NoneZ instead.
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_stats_gap_").toString
+    spark.conf.set("spark.sql.catalog.gapcat.root", root)
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val d = {
+        val raw = new Path(new Path(new Path(root), "t"), "g")
+        raw.getFileSystem(conf).makeQualified(raw)
+      }
+      val fs = d.getFileSystem(conf)
+      fs.mkdirs(d)
+      // 300 rows; one >4KiB-stats string inside the FIRST hundred (parquet
+      // checks block size every 100 records, so block.size=1024 flushes a
+      // row group containing the big value, then at least one more group of
+      // small values follows)
+      val big = "z" * 8000
+      val tmp = new Path(d, "_mk")
+      spark.range(0, 300).coalesce(1)
+        .select(col("id"),
+          when(col("id") === 50, lit(big))
+            .otherwise(concat(lit("k"), lpad(col("id").cast("string"), 4, "0"))).as("s"))
+        .sortWithinPartitions("id")
+        .write.option("parquet.block.size", "1024").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).filter(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")).head.getPath
+      assert(fs.rename(part, new Path(d, "gap.parquet")))
+      fs.delete(tmp, true)
+      // precondition: the file really has ≥2 row groups, with s-stats
+      // present in some chunks and absent in at least one — otherwise this
+      // test is vacuous and must fail loudly
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(d, "gap.parquet"), conf))
+      val sChunks =
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = rd.getFooter.getBlocks.asScala
+          assert(blocks.size >= 2, s"expected >=2 row groups, got ${blocks.size}")
+          blocks.flatMap(_.getColumns.asScala).filter(_.getPath.toDotString == "s")
+            .map(c => Option(c.getStatistics).exists(s => !s.isEmpty && s.hasNonNullValue))
+        } finally rd.close()
+      assert(sChunks.contains(false), "expected a chunk with dropped s-stats")
+      assert(sChunks.contains(true), "expected a chunk with surviving s-stats")
+      writeCommitManifest(fs, d, before = Set.empty)
+      StagingMaintenance.analyze(spark, "gapcat", "t", "g", Seq("s", "id"))
+      val stats = StagingMaintenance.readStatsFor(fs, d)
+      assert(stats(("gap.parquet", "s")) === NoneZ,
+        s"partial chunk stats must yield NoneZ, got ${stats(("gap.parquet", "s"))}")
+      assert(stats(("gap.parquet", "id")).isInstanceOf[LongZ])
+    } finally spark.conf.unset("spark.sql.catalog.gapcat.root")
   }
 
   test("randomized model: interleaved appends and rewrites never lose a committed append") {
@@ -136,8 +207,8 @@ class StagingProtocolSpec extends graft.SparkSpec {
     var model = Set.empty[String]
     var n = 0
     def newFile(): String = { n += 1; val f = s"f$n.parquet"; writeString(fs, new Path(d, f), "x"); f }
-    (1 to 40).foreach { _ =>
-      rng.nextInt(3) match {
+    (1 to 60).foreach { _ =>
+      rng.nextInt(4) match {
         case 0 => // append
           val f = newFile()
           writeCommitManifest(fs, d, before = model ++ dataFiles(fs, d).filterNot(_ == f).toSet)
@@ -156,6 +227,15 @@ class StagingProtocolSpec extends graft.SparkSpec {
                 expectedBase = Some(base - 1))
             }
           }
+        case 3 => // FILE-GRANULAR rewrite: carry a random subset by name,
+          // replace the rest with a fresh file (the UPDATE/MERGE commit
+          // shape: carried ++ fresh against the current base)
+          val base = versionManifests(fs, d).lastOption.map(_._1).getOrElse(0L)
+          val carried = model.filter(_ => rng.nextBoolean())
+          val f = newFile()
+          writeExplicitManifest(fs, d, (carried + f).toSeq, kind = "update",
+            expectedBase = Some(base))
+          model = carried + f
       }
       val cur = versionManifests(fs, d).lastOption
         .map { case (_, mf) => manifestFiles(fs, mf).toSet }.getOrElse(Set.empty)
