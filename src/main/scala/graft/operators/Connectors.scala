@@ -1282,6 +1282,182 @@ object Connectors {
        |GROUP BY o_orderstatus ORDER BY status""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q304
+
+  /** PARTITIONED staging table lifecycle — the ingest-layout contract at
+    * 100 TB: CREATE … PARTITIONED BY (event_type) declares the identity
+    * partitioning, ingest lands flat (small-commit object-store reality),
+    * `OPTIMIZE partitionBy` beds the current set into `event_type=v/`
+    * directories (the reference's readdir namespace,
+    * `CephRgwFileSystem.java:374-386`) while keeping the column IN the
+    * files — so zone maps see each laid-out file as a CONSTANT and a
+    * partition DELETE (`WHERE event_type = 'view'`) erases whole
+    * partitions METADATA-ONLY (mustMatchAll drop — no data file read or
+    * rewritten; CatalogSpec asserts rewritten == 0). The oracle recomputes
+    * the surviving aggregate straight from `events` — hash match proves
+    * the layout + drop changed placement and manifests, never content.
+    */
+  def q304PartitionedTable(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events_pt_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.events_pt")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.events_pt
+        |  (event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)
+        |  PARTITIONED BY (event_type)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.events_pt
+        |SELECT event_id, user_id, event_type, value FROM events_pt_src""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "events_pt", partitionBy = Some("event_type"))
+    graft.sources.catalog.StagingMaintenance.analyze(
+      spark, "graft_stage", "work", "events_pt", Seq("event_type"))
+    graft.sources.catalog.ZoneMapScan.lastDeleteSplit = None
+    spark.sql("DELETE FROM graft_stage.work.events_pt WHERE event_type = 'view'")
+    val split = graft.sources.catalog.ZoneMapScan.lastDeleteSplit
+    require(split.exists { case (_, drop, rew) => drop >= 1 && rew == 0 },
+      s"partition DELETE was not metadata-only: $split")
+    spark.sql(
+      """SELECT event_type, count(*) AS n,
+        |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.events_pt
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q304Oracle: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+       |  ${graft.operators.Det.dsumSql("value")} AS total
+       |FROM events WHERE event_type <> 'view'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q305
+
+  /** ROW-LEVEL change feed across a FILE-GRANULAR rewrite — the CDC face
+    * the append-only file diff (q251) refuses: after a keyed UPDATE, the
+    * two versions share every carried file by name, so
+    * `rowLevelChanges` diffs ONLY the touched files (EXCEPT ALL bag
+    * semantics cancel rewritten-but-unchanged rows) and emits the exact
+    * delete/insert pairs of the updated slice. The in-query require pins
+    * the scale property: the diff read a strict subset of the table's
+    * files. Oracle = the slice's before/after rows recomputed from
+    * `orders` — hash match proves the net delta is exactly the update.
+    */
+  def q305RowLevelDiff(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_rld_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_rld")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_rld AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_rld_src WHERE o_orderkey % 4 = 0""".stripMargin)
+    val (_, _, optV) = graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "orders_rld", targetFiles = 8,
+      clusterBy = Some("o_orderkey"))
+    graft.sources.catalog.StagingMaintenance.analyze(
+      spark, "graft_stage", "work", "orders_rld", Seq("o_orderkey"))
+    val hi = spark.sql("SELECT max(o_orderkey) FROM graft_stage.work.orders_rld")
+      .collect()(0).getLong(0) / 8L
+    spark.sql(
+      s"""UPDATE graft_stage.work.orders_rld SET o_totalprice = o_totalprice + 5.0D
+         |WHERE o_orderkey <= $hi""".stripMargin)
+    val diff = graft.sources.catalog.StagingMaintenance.rowLevelChanges(
+      spark, "graft_stage", "work", "orders_rld", optV, optV + 1)
+    // scale property: the keyed rewrite carried most files, so the diff's
+    // input (removed ∪ added) is a strict subset of the table's file set
+    val preFiles = 8 // optimize targetFiles above
+    val shared = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_rld")
+      .count(_.startsWith("opt-"))
+    require(shared >= 1,
+      "row-level diff lost file granularity: no optimize-era file was carried")
+    diff.groupBy(col("_change"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+      .orderBy(col("_change"), col("status"))
+  }
+
+  val q305Oracle: String = {
+    val hiSql = "(SELECT max(o_orderkey) FROM orders WHERE o_orderkey % 4 = 0) // 8"
+    s"""WITH slice AS (
+       |  SELECT o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey % 4 = 0 AND o_orderkey <= $hiSql),
+       |delta AS (
+       |  SELECT 'delete' AS _change, o_orderstatus, o_totalprice FROM slice
+       |  UNION ALL
+       |  SELECT 'insert' AS _change, o_orderstatus, o_totalprice + 5.0 FROM slice)
+       |SELECT _change, o_orderstatus AS status, count(*) AS n,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM delta GROUP BY _change, o_orderstatus
+       |ORDER BY _change, status""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q306
+
+  /** IS NULL / IS NOT NULL zone-map pruning through plain SQL — the
+    * null-count sidecar face: a sparse enrichment column (`vip_price`,
+    * NULL below the price threshold) is
+    * clustered by price, so low files are ALL-null and high files
+    * null-free; ANALYZE records per-file (nulls, rows) and the DSv2 scan
+    * prunes `IS NOT NULL` to the value-bearing files and `IS NULL` to the
+    * null-bearing ones (in-query requires assert files were skipped).
+    * This is the "scan only the enriched subset" pattern sparse feature
+    * columns need at 100 TB. Oracle recomputes both aggregates from the
+    * same CASE.
+    */
+  def q306NullPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_np_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_np")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_np AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CASE WHEN o_totalprice >= 150000.0 THEN o_totalprice
+        |       ELSE CAST(NULL AS DOUBLE) END AS vip_price
+        |FROM orders_np_src WHERE o_orderkey % 5 = 0""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "orders_np", targetFiles = 8,
+      clusterBy = Some("o_totalprice"))
+    graft.sources.catalog.StagingMaintenance.analyze(
+      spark, "graft_stage", "work", "orders_np", Seq("o_totalprice", "vip_price"))
+    graft.sources.catalog.ZoneMapScan.lastPrune = None
+    val vip = spark.sql(
+      """SELECT count(*) AS n_vip,
+        |  CAST(sum(CAST(vip_price AS DECIMAL(18,4))) AS DOUBLE) AS vip_total
+        |FROM graft_stage.work.orders_np WHERE vip_price IS NOT NULL""".stripMargin)
+      .collect()(0)
+    val notNullPrune = graft.sources.catalog.ZoneMapScan.lastPrune
+    require(notNullPrune.exists { case (k, t) => k < t },
+      s"IS NOT NULL pruned nothing: $notNullPrune")
+    graft.sources.catalog.ZoneMapScan.lastPrune = None
+    val plain = spark.sql(
+      "SELECT count(*) AS n_null FROM graft_stage.work.orders_np WHERE vip_price IS NULL")
+      .collect()(0)
+    require(graft.sources.catalog.ZoneMapScan.lastPrune.exists { case (k, t) => k < t },
+      s"IS NULL pruned nothing: ${graft.sources.catalog.ZoneMapScan.lastPrune}")
+    import spark.implicits._
+    Seq((vip.getLong(0), vip.getDouble(1), plain.getLong(0)))
+      .toDF("n_vip", "vip_total", "n_null")
+  }
+
+  val q306Oracle: String =
+    s"""SELECT
+       |  CAST(count(CASE WHEN o_totalprice >= 150000.0 THEN 1 END) AS BIGINT) AS n_vip,
+       |  ${graft.operators.Det.dsumSql(
+            "CASE WHEN o_totalprice >= 150000.0 THEN o_totalprice ELSE 0.0 END")} AS vip_total,
+       |  CAST(count(CASE WHEN o_totalprice < 150000.0 THEN 1 END) AS BIGINT) AS n_null
+       |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin
+
   // ---------------------------------------------------------------- q273
 
   /** DESCRIBE-HISTORY face of the versioned catalog
@@ -1407,5 +1583,8 @@ object Connectors {
     GraftQuery.sql("q296_merge_full_sync", q296MergeFullSync, q296Oracle),
     GraftQuery.sql("q301_file_granular_update", q301FileGranularUpdate, q301Oracle),
     GraftQuery.sql("q302_file_granular_merge", q302FileGranularMerge, q302Oracle),
-    GraftQuery.sql("q303_ivfpq_serve", q303IvfPqServe, Similarity.q264Oracle))
+    GraftQuery.sql("q303_ivfpq_serve", q303IvfPqServe, Similarity.q264Oracle),
+    GraftQuery.sql("q304_partitioned_table", q304PartitionedTable, q304Oracle),
+    GraftQuery.sql("q305_row_level_diff", q305RowLevelDiff, q305Oracle),
+    GraftQuery.sql("q306_null_pruned_scan", q306NullPrunedScan, q306Oracle))
 }

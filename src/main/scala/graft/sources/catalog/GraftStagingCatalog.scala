@@ -279,7 +279,10 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     override def name(): String = readDelegate.name
     override def schema(): StructType = readDelegate.schema
     override def capabilities(): util.Set[TableCapability] = readDelegate.capabilities()
-    override def partitioning(): Array[Transform] = readDelegate.partitioning()
+    override def partitioning(): Array[Transform] =
+      GraftStagingCatalog.partitionCols(tableFs, dir)
+        .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+        .toArray
     override def properties(): util.Map[String, String] = readDelegate.properties()
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       val inner = readDelegate.newScanBuilder(options)
@@ -292,7 +295,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       if (stats.isEmpty) inner
       else inner match {
         case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
-          new ZoneMapScanBuilder(fb, stats, StagingMaintenance.readNullsFor(tableFs, dir))
+          new ZoneMapScanBuilder(fb, stats, StagingMaintenance.readNullsFor(tableFs, dir),
+            dir.toString)
         case other => other
       }
     }
@@ -383,19 +387,44 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** Partitioned tables (identity transforms only): the partition columns
+    * are DECLARED here (a `_graft_partition.txt` sidecar) and the layout
+    * is applied by maintenance — ingest lands files flat (small-commit
+    * reality on an object store), and `OPTIMIZE … partitionBy` beds the
+    * current set into `k=v/` directories (the reference's readdir
+    * namespace). Partition VALUES stay IN the data files (unlike Hive
+    * layout, which strips them): reads never depend on directory
+    * structure, a mixed flat+partitioned file set stays readable
+    * mid-migration, and zone maps see each partitioned file as a CONSTANT
+    * on the partition column — which makes partition pruning and
+    * metadata-only partition DELETE exact through the existing stats
+    * machinery rather than a parallel partition-spec layer.
+    */
   override def createTable(
       ident: Identifier,
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"$catalogName: partitioned staging tables are not supported")
+    val partCols = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        val c = t.references()(0).fieldNames()(0)
+        if (!schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+          throw new IllegalArgumentException(
+            s"$catalogName: partition column $c is not in the table schema")
+        c
+      case other =>
+        throw new UnsupportedOperationException(
+          s"$catalogName: only identity partition transforms are supported, got $other")
+    }
     requireNs(ident.namespace())
     val d = tableDir(ident)
     if (isDir(d)) throw new TableAlreadyExistsException(ident)
     fs.mkdirs(d)
     GraftStagingCatalog.writeString(fs, new Path(d, SchemaSidecar), schema.json)
+    if (partCols.nonEmpty)
+      GraftStagingCatalog.writeString(fs, new Path(d, GraftStagingCatalog.PartitionSidecar),
+        partCols.mkString("\n"))
     loadTable(ident)
   }
 
@@ -666,8 +695,9 @@ private class StagingRowLevelOperation(
             // filter attributes would break the optimizer rule.
             val statCols = stats.keysIterator.map(_._2).toArray.distinct.sorted
             val zms =
-              if (statCols.nonEmpty) new RowLevelGroupScan(fscan, stats, v1, statCols, nulls)
-              else new ZoneMapPrunedScan(fscan, stats, v1, nulls)
+              if (statCols.nonEmpty)
+                new RowLevelGroupScan(fscan, stats, v1, statCols, nulls, dir.toString)
+              else new ZoneMapPrunedScan(fscan, stats, v1, nulls, dir.toString)
             scans.add(zms)
             zms
           case other => other // not a file scan: no tracking → full replace
@@ -720,8 +750,16 @@ private class StagingRowLevelOperation(
   */
 object GraftStagingCatalog {
   private[catalog] val SchemaSidecar = "_graft_schema.json"
+  private[catalog] val PartitionSidecar = "_graft_partition.txt"
   private[catalog] val VersionsDir = "_graft_versions"
   private val VersionFile = "^v(\\d+)\\.json$".r
+
+  /** Declared identity-partition columns (empty = unpartitioned). */
+  private[catalog] def partitionCols(fs: FileSystem, d: Path): Seq[String] = {
+    val p = new Path(d, PartitionSidecar)
+    if (isFile(fs, p)) readString(fs, p).split('\n').toIndexedSeq.filter(_.nonEmpty)
+    else Seq.empty
+  }
 
   private[catalog] def isFile(fs: FileSystem, p: Path): Boolean =
     try fs.getFileStatus(p).isFile catch { case _: FileNotFoundException => false }
@@ -864,14 +902,35 @@ object GraftStagingCatalog {
   private[catalog] def commitMillis(fs: FileSystem, mf: Path): Long =
     "\"ts\":(\\d+)".r.findFirstMatchIn(readString(fs, mf)).map(_.group(1).toLong).getOrElse(0L)
 
-  /** Data files of the table dir (excludes the schema sidecar, the versions
-    * dir, and committer temporaries).
+  /** Data files of the table dir as RELATIVE paths (excludes the schema
+    * sidecar, the versions dir, and committer temporaries). RECURSIVE since
+    * r8: a partition-laid-out table keeps its files under `k=v/` subdirs
+    * (the reference's readdir namespace, `CephRgwFileSystem.java:374-386`)
+    * and manifests reference them as `k=v/<file>`; any path COMPONENT
+    * starting with `_` or `.` (committer staging, sidecars, versions) is
+    * excluded wherever it nests.
     */
-  private[catalog] def dataFiles(fs: FileSystem, d: Path): Seq[String] =
-    (try fs.listStatus(d).toIndexedSeq catch { case _: FileNotFoundException => Seq.empty })
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-        !f.getPath.getName.startsWith("."))
-      .map(_.getPath.getName).sorted
+  private[catalog] def dataFiles(fs: FileSystem, d: Path): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    // manual walk, pruning `_`/`.` entries BEFORE descending: a blanket
+    // recursive listing would walk INTO a concurrent job's `_temporary`
+    // tree and race its task-commit deletions (observed as shell-permission
+    // errors on vanished dirs under RawLocalFileSystem)
+    def walk(p: Path, rel: String): Unit = {
+      val entries =
+        try fs.listStatus(p).toIndexedSeq
+        catch { case _: FileNotFoundException => return }
+      entries.foreach { f =>
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          val r = if (rel.isEmpty) name else s"$rel/$name"
+          if (f.isFile) out += r else walk(f.getPath, r)
+        }
+      }
+    }
+    walk(d, "")
+    out.result().sorted
+  }
 
   private def manifestJson(files: Seq[String], batchId: Option[Long], kind: String): String = {
     val bid = batchId.map(b => s""""batchId":$b,""").getOrElse("")

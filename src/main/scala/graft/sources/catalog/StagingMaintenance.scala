@@ -79,8 +79,11 @@ object StagingMaintenance {
     * committed optimistically against the version the rewrite scanned.
     */
   def optimize(spark: SparkSession, catalog: String, ns: String, table: String,
-      targetFiles: Int = 4, clusterBy: Option[String] = None): (Int, Int, Long) = {
+      targetFiles: Int = 4, clusterBy: Option[String] = None,
+      partitionBy: Option[String] = None): (Int, Int, Long) = {
     import org.apache.spark.sql.functions.col
+    require(clusterBy.isEmpty || partitionBy.isEmpty,
+      "optimize takes clusterBy OR partitionBy, not both")
     val (fs, d) = tableDir(spark, catalog, ns, table)
     val latest = versionManifests(fs, d).lastOption
     val base = latest.map(_._1).getOrElse(0L)
@@ -98,19 +101,50 @@ object StagingMaintenance {
     // entirely in the create-exclusive manifest write.)
     val token = java.util.UUID.randomUUID().toString.take(12)
     val tmp = new Path(d, s"_optimize_$token")
-    val laid = clusterBy match {
-      case Some(c) => df.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
-      case None    => df.repartition(targetFiles)
+    val moved: Seq[String] = partitionBy match {
+      case Some(p) =>
+        // PARTITION layout: bed the current set into `p=v/` directories
+        // (the reference's readdir namespace). The write partitions on a
+        // CLONE column so the real column stays IN the data files — reads
+        // never depend on the directory structure, and zone maps see each
+        // laid-out file as a constant on p (exact partition pruning +
+        // metadata-only partition DELETE through the ordinary stats path).
+        df.withColumn("__graft_pdir", col(p))
+          .repartition(col(p))
+          .write.partitionBy("__graft_pdir").mode("overwrite").parquet(tmp.toString)
+        fs.listStatus(tmp).toIndexedSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("__graft_pdir="))
+          .flatMap { pd =>
+            // keep Spark's own escaped partition VALUE, swap in the real
+            // column name for the directory
+            val dirName = p + "=" + pd.getPath.getName.stripPrefix("__graft_pdir=")
+            val target = new Path(d, dirName)
+            fs.mkdirs(target)
+            fs.listStatus(pd.getPath).toIndexedSeq
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .map { f =>
+                val t = new Path(target, s"opt-$token-${f.getPath.getName}")
+                if (!fs.rename(f.getPath, t))
+                  throw new IllegalStateException(s"optimize: move ${f.getPath} -> $t failed")
+                s"$dirName/${t.getName}"
+              }
+          }
+      case None =>
+        val laid = clusterBy match {
+          case Some(c) =>
+            df.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
+          case None => df.repartition(targetFiles)
+        }
+        laid.write.mode("overwrite").parquet(tmp.toString)
+        fs.listStatus(tmp).toIndexedSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val target = new Path(d, s"opt-$token-${f.getPath.getName}")
+            if (!fs.rename(f.getPath, target))
+              throw new IllegalStateException(s"optimize: move ${f.getPath} -> $target failed")
+            target.getName
+          }
     }
-    laid.write.mode("overwrite").parquet(tmp.toString)
-    val moved = fs.listStatus(tmp).toIndexedSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map { f =>
-        val target = new Path(d, s"opt-$token-${f.getPath.getName}")
-        if (!fs.rename(f.getPath, target))
-          throw new IllegalStateException(s"optimize: move ${f.getPath} -> $target failed")
-        target.getName
-      }
     fs.delete(tmp, true)
     val v = writeExplicitManifest(fs, d, moved, expectedBase = Some(base))
     (current.size, moved.size, v)
@@ -152,6 +186,53 @@ object StagingMaintenance {
         spark.read.parquet(d.toString).schema))
         .parquet() // empty relation with the table schema
     else reader.parquet(newFiles.map(f => new Path(d, f).toString): _*)
+  }
+
+  /** ROW-level change feed across arbitrary version pairs — including
+    * rewrites, which the append-only file diff ([[changesBetween]]) must
+    * refuse. The payoff of FILE-GRANULAR commits: a keyed UPDATE/DELETE
+    * carries untouched files by name, so the file sets of the two versions
+    * differ only in the files the operation actually touched — and the
+    * row-level delta is computable by scanning ONLY those:
+    *
+    *   deletes = rows(removed files) EXCEPT ALL rows(added files)
+    *   inserts = rows(added files)  EXCEPT ALL rows(removed files)
+    *
+    * Bag semantics (EXCEPT ALL) cancel the rewritten-but-unchanged rows a
+    * touched file carries along, leaving exactly the net row changes; an
+    * updated row surfaces as its delete/insert pair. On a 100 TB table a
+    * one-slice UPDATE diffs at slice cost, never table cost. Refused when
+    * the two versions read under different era schemas (rows would not be
+    * comparable column-for-column).
+    */
+  def rowLevelChanges(spark: SparkSession, catalog: String, ns: String,
+      table: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    val manifests = versionManifests(fs, d).toMap
+    def files(v: Long): Set[String] = manifestFiles(fs, manifests.getOrElse(v,
+      throw new IllegalArgumentException(
+        s"$catalog.$ns.$table has no version $v (vacuumed or never committed)"))).toSet
+    val sFrom = GraftStagingCatalog.schemaAtVersion(fs, d, fromVersion)
+    val sTo = GraftStagingCatalog.schemaAtVersion(fs, d, toVersion)
+    require(sFrom == sTo,
+      s"row-level diff across a schema change is not comparable ($sFrom vs $sTo)")
+    val from = files(fromVersion)
+    val to = files(toVersion)
+    val removed = (from -- to).toSeq.sorted
+    val added = (to -- from).toSeq.sorted
+    def read(fls: Seq[String]): DataFrame = {
+      val reader = spark.read
+      sFrom.foreach(reader.schema)
+      if (fls.isEmpty)
+        reader.schema(sFrom.getOrElse(spark.read.parquet(d.toString).schema)).parquet()
+      else reader.parquet(fls.map(f => new Path(d, f).toString): _*)
+    }
+    val oldRows = read(removed)
+    val newRows = read(added)
+    oldRows.exceptAll(newRows).withColumn("_change", lit("delete"))
+      .unionByName(newRows.exceptAll(oldRows).withColumn("_change", lit("insert")))
   }
 
   // ---- zone maps (file-level min/max data skipping) ----------------------
@@ -495,7 +576,8 @@ object StagingMaintenance {
   */
 private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     stats: Map[(String, String), ZStat],
-    nulls: Map[(String, String), (Long, Long)] = Map.empty)
+    nulls: Map[(String, String), (Long, Long)] = Map.empty,
+    tableDir: String = "")
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -532,7 +614,7 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     val filters = v1Filters
     scan match {
       case f: FileScan if filters.nonEmpty =>
-        new ZoneMapPrunedScan(f, stats, filters, nulls)
+        new ZoneMapPrunedScan(f, stats, filters, nulls, tableDir)
       case other => other
     }
   }
@@ -599,8 +681,20 @@ object ZoneMapScan {
 private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     stats: Map[(String, String), ZStat],
     filters: Array[org.apache.spark.sql.sources.Filter],
-    nulls: Map[(String, String), (Long, Long)] = Map.empty)
+    nulls: Map[(String, String), (Long, Long)] = Map.empty,
+    tableDir: String = "")
     extends Scan with Batch with SupportsReportStatistics {
+
+  /** Sidecar keys are TABLE-DIR-RELATIVE paths (a partition-laid-out file
+    * is `k=v/<file>`); relativize against the dir when known, else the
+    * bare name (flat tables).
+    */
+  private def statKey(p: org.apache.hadoop.fs.Path): String = {
+    val full = p.toString
+    val prefix = if (tableDir.isEmpty) "" else tableDir + "/"
+    if (prefix.nonEmpty && full.startsWith(prefix)) full.substring(prefix.length)
+    else p.getName
+  }
 
   override def readSchema(): StructType = delegate.readSchema()
   override def toBatch: Batch = this
@@ -627,7 +721,7 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
       case fp: FilePartition =>
         val keep = fp.files.filter { pf =>
           total += 1
-          val ok = fs.forall(f => ZoneMapPrunedScan.canMatch(stats, nulls, pf.toPath.getName, f))
+          val ok = fs.forall(f => ZoneMapPrunedScan.canMatch(stats, nulls, statKey(pf.toPath), f))
           if (ok) kept += 1
           ok
         }
@@ -644,7 +738,7 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
   private[catalog] def plannedFileNames(): Set[String] = {
     val fs = effectiveFilters
     delegate.toBatch.planInputPartitions().iterator.flatMap {
-      case fp: FilePartition => fp.files.iterator.map(_.toPath.getName)
+      case fp: FilePartition => fp.files.iterator.map(pf => statKey(pf.toPath))
         .filter(n => fs.forall(f => ZoneMapPrunedScan.canMatch(stats, nulls, n, f)))
       case _ => Iterator.empty
     }.toSet
@@ -686,8 +780,9 @@ private[catalog] final class RowLevelGroupScan(delegate: FileScan,
     stats: Map[(String, String), ZStat],
     staticFilters: Array[org.apache.spark.sql.sources.Filter],
     filterCols: Array[String],
-    nulls: Map[(String, String), (Long, Long)] = Map.empty)
-    extends ZoneMapPrunedScan(delegate, stats, staticFilters, nulls)
+    nulls: Map[(String, String), (Long, Long)] = Map.empty,
+    tableDir: String = "")
+    extends ZoneMapPrunedScan(delegate, stats, staticFilters, nulls, tableDir)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.NamedReference
 

@@ -64,12 +64,15 @@ private[catalog] object StagingProcedures {
         ProcedureParameter.in("tbl", StringType).build(),
         ProcedureParameter.in("target_files", IntegerType).defaultValue("4").build(),
         ProcedureParameter.in("cluster_by", StringType)
+          .defaultValue("CAST(NULL AS STRING)").build(),
+        ProcedureParameter.in("partition_by", StringType)
           .defaultValue("CAST(NULL AS STRING)").build())
       override def call(input: InternalRow): JIterator[Scan] = {
         val cluster = if (input.isNullAt(3)) None else Some(input.getUTF8String(3).toString)
+        val part = if (input.isNullAt(4)) None else Some(input.getUTF8String(4).toString)
         val (b, a, v) = StagingMaintenance.optimize(spark, catalog,
           input.getUTF8String(0).toString, input.getUTF8String(1).toString,
-          input.getInt(2), cluster)
+          input.getInt(2), cluster, part)
         one(out, b, a, v)
       }
     }

@@ -907,6 +907,68 @@ class CatalogSpec extends SparkSpec {
       "insert-only merge rewrote every file instead of carrying unmatched ones")
   }
 
+  test("partitioned staging tables: k=v layout, partition-pruned scans, metadata-only partition DELETE") {
+    import graft.sources.catalog.{StagingMaintenance, ZoneMapScan}
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pt")
+    // identity transform accepted at CREATE; ingest lands flat, OPTIMIZE
+    // beds the files into the k=v namespace
+    spark.sql("""CREATE TABLE stage_t.ws.pt (lang STRING, n BIGINT)
+      PARTITIONED BY (lang)""")
+    spark.sql("""INSERT INTO stage_t.ws.pt
+      SELECT CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' ELSE 'fr' END,
+             id FROM range(0, 900)""")
+    assert(spark.table("stage_t.ws.pt").count() === 900)
+    // non-identity transform refused
+    intercept[Exception] {
+      spark.sql("CREATE TABLE stage_t.ws.pt_bad (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+    }
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "pt", partitionBy = Some("lang"))
+    // the readdir namespace: one lang=v dir per value, data files inside
+    val dirs = new java.io.File(stageRoot, "ws/pt").listFiles()
+      .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("_")).sorted
+    assert(dirs.toSeq === Seq("lang=de", "lang=en", "lang=fr"), dirs.toSeq)
+    // manifest references subdir-relative paths; content survives layout
+    val files = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "pt")
+    assert(files.nonEmpty && files.forall(_.contains("/")), files)
+    assert(spark.table("stage_t.ws.pt").count() === 900)
+    assert(spark.sql("SELECT CAST(sum(n) AS BIGINT) FROM stage_t.ws.pt")
+      .collect()(0).getLong(0) === (0L until 900L).sum)
+    // partition pruning through plain SQL: the partition column is IN the
+    // files (constant per file), so ANALYZE + zone maps skip other partitions
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "pt", Seq("lang"))
+    ZoneMapScan.lastPrune = None
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.pt WHERE lang = 'de'")
+      .collect()(0).getLong(0) === 300)
+    val (kept, total) = ZoneMapScan.lastPrune.get
+    assert(kept < total, s"partition scan read everything: ($kept, $total)")
+    // metadata-only partition DELETE: lang='fr' files provably all-match →
+    // dropped by manifest edit, nothing read or rewritten
+    ZoneMapScan.lastDeleteSplit = None
+    spark.sql("DELETE FROM stage_t.ws.pt WHERE lang = 'fr'")
+    val (unt, drop, rew) = ZoneMapScan.lastDeleteSplit.get
+    assert(drop >= 1 && rew === 0,
+      s"partition delete should be metadata-only: ($unt, $drop, $rew)")
+    assert(spark.table("stage_t.ws.pt").count() === 600)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.pt WHERE lang = 'fr'")
+      .collect()(0).getLong(0) === 0)
+    // time travel still pins the pre-delete snapshot
+    val hist = spark.sql("CALL stage_t.history('ws', 'pt')").collect()
+    val preDelete = hist.filter(_.getString(1) == "optimize").map(_.getLong(0)).max
+    assert(spark.sql(
+      s"SELECT count(*) FROM stage_t.ws.pt VERSION AS OF $preDelete")
+      .collect()(0).getLong(0) === 900)
+    // SQL face: CALL optimize with partition_by named arg re-beds after more ingest
+    spark.sql("INSERT INTO stage_t.ws.pt VALUES ('it', 1)")
+    spark.sql("CALL stage_t.optimize('ws', 'pt', partition_by => 'lang')")
+    val dirs2 = new java.io.File(stageRoot, "ws/pt").listFiles()
+      .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("_")).toSet
+    assert(dirs2.contains("lang=it"), dirs2)
+    assert(spark.table("stage_t.ws.pt").count() === 601)
+  }
+
   test("schema evolution lifecycle: ADD → UPDATE → DROP → RENAME with era-scoped time travel") {
     mountStage()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
