@@ -1556,6 +1556,177 @@ object Connectors {
        |WHERE o_orderkey BETWEEN 200 AND 900 AND o_custkey BETWEEN 0 AND 400
        |GROUP BY o_orderstatus ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q307
+
+  /** Bloom-sidecar point lookup ([[graft.sources.catalog.StagingMaintenance
+    * .analyzeBloom]]): a hash-distributed CTAS leaves every file's
+    * [min,max] spanning the whole keyspace — zone maps provably keep 8/8
+    * files for an equality probe (first in-query require). `CALL bloom`
+    * builds per-file Bloom filters over xxhash64 of the key; the same probe
+    * then opens only the file(s) that can hold it (second require: ≤2 of
+    * 8). This is THE missing pruning face for point lookups on
+    * hash-ingested 100 TB tables, where clustering by every lookup key is
+    * impossible. The probe key is the table's max orderkey — computed as a
+    * bounded 1-row driver read (q160/q263 precedent), scale-relative so the
+    * query is meaningful at every SF. Oracle recomputes the same rows with
+    * a scalar subquery.
+    */
+  def q307BloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.lineitem(spark, dir).createOrReplaceTempView("li_bloom_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.li_bloom")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.li_bloom AS
+        |SELECT /*+ REPARTITION(8, l_orderkey) */ l_orderkey, l_linenumber, l_quantity
+        |FROM li_bloom_src""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.analyze(
+      spark, "graft_stage", "work", "li_bloom", Seq("l_orderkey"))
+    // probe a MID-RANGE key (scale-relative, bounded 1-row driver reads):
+    // an extreme key would be range-prunable by accident — only the file
+    // holding the global max reaches it — which is not the case this query
+    // exists to prove
+    val maxKey = spark.table("graft_stage.work.li_bloom")
+      .agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+    val key = spark.table("graft_stage.work.li_bloom")
+      .where(col("l_orderkey") <= maxKey / 2)
+      .agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+    graft.sources.catalog.ZoneMapScan.lastPrune = None
+    spark.sql(s"SELECT count(*) FROM graft_stage.work.li_bloom WHERE l_orderkey = $key")
+      .collect()
+    val zOnly = graft.sources.catalog.ZoneMapScan.lastPrune
+    require(zOnly.exists { case (k, t) => t == 8 && k >= 7 },
+      s"hash layout should defeat range pruning: $zOnly")
+    graft.sources.catalog.StagingMaintenance.analyzeBloom(
+      spark, "graft_stage", "work", "li_bloom", Seq("l_orderkey"),
+      expectedItems = 100000L, fpp = 0.0001)
+    graft.sources.catalog.ZoneMapScan.lastPrune = None
+    val out = spark.sql(
+      s"""SELECT l_orderkey, l_linenumber, l_quantity
+         |FROM graft_stage.work.li_bloom WHERE l_orderkey = $key
+         |ORDER BY l_linenumber""".stripMargin)
+    val rows = out.collect()
+    val bPrune = graft.sources.catalog.ZoneMapScan.lastPrune
+    require(bPrune.exists { case (k, t) => t == 8 && k <= 2 },
+      s"bloom should confine the probe: $bPrune")
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      .toDF("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  val q307Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem
+      |                    WHERE l_orderkey <= (SELECT max(l_orderkey) // 2 FROM lineitem))
+      |ORDER BY l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q308
+
+  /** RESTORE ([[graft.sources.catalog.StagingMaintenance.restore]]): the
+    * operational "undo" — a destructive DELETE is rolled back by `CALL
+    * restore`, which commits a NEW version referencing the old version's
+    * exact file set. METADATA-ONLY: the in-query require proves the
+    * restored table serves the ORIGINAL files by name (copy-on-write kept
+    * them on disk), so rollback cost is one manifest write whether the
+    * table is 1 GB or 100 TB. The rollback is itself versioned
+    * (kind=restore in history; the deleted state stays pinnable), which is
+    * what distinguishes RESTORE from overwrite. Oracle recomputes the
+    * pre-delete aggregate straight from `orders` — a hash match proves the
+    * round trip is lossless.
+    */
+  def q308RestoreRollback(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_rst_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_rst")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_rst AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_rst_src WHERE o_orderkey % 7 = 0""".stripMargin) // v1
+    val v1Files = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_rst").toSet
+    spark.sql("DELETE FROM graft_stage.work.orders_rst WHERE o_orderkey % 2 = 0") // v2
+    graft.sources.catalog.StagingMaintenance.restore(
+      spark, "graft_stage", "work", "orders_rst", toVersion = 1L) // v3
+    val nowFiles = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_rst").toSet
+    require(nowFiles == v1Files,
+      s"restore must serve v1's files by name: ${nowFiles.size} vs ${v1Files.size}")
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.orders_rst
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  val q308Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders WHERE o_orderkey % 7 = 0
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
+  // ---------------------------------------------------------------- q309
+
+  /** CHECK constraints ([[graft.sources.catalog.CheckConstraint]]): the
+    * table declares `check = 'qty >= 0'`; a conforming INSERT lands, a
+    * violating INSERT fails INSIDE the write tasks (codegen'd predicate,
+    * zero extra passes) and — the part that matters — commits NOTHING: no
+    * partial rows, no version manifest (both in-query requires). Write-time
+    * validation is the only enforcement point an immutable object store
+    * offers (the reference writes objects whole,
+    * `CephRgwFileSystem.java:216-289`). The oracle recomputes the surviving
+    * aggregate from `lineitem`: a hash match proves the failed statement
+    * left the table bit-for-bit intact.
+    */
+  def q309CheckConstraint(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.lineitem(spark, dir).createOrReplaceTempView("li_chk_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.li_chk")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.li_chk
+        |(k BIGINT, flag STRING, qty DOUBLE)
+        |TBLPROPERTIES ('check' = 'qty >= 0')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.li_chk
+        |SELECT l_orderkey, l_returnflag, l_quantity FROM li_chk_src
+        |WHERE l_orderkey % 3 = 0""".stripMargin)
+    val versionsBefore = graft.sources.catalog.StagingMaintenance
+      .history(spark, "graft_stage", "work", "li_chk").count()
+    val failed =
+      try {
+        spark.sql(
+          """INSERT INTO graft_stage.work.li_chk
+            |SELECT l_orderkey, l_returnflag, -l_quantity FROM li_chk_src
+            |WHERE l_orderkey % 3 = 1""".stripMargin)
+        false
+      } catch {
+        case e: Throwable =>
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+            .exists(t => Option(t.getMessage).exists(_.contains("CHECK constraint violated")))
+      }
+    require(failed, "violating INSERT did not fail with a CHECK violation")
+    val versionsAfter = graft.sources.catalog.StagingMaintenance
+      .history(spark, "graft_stage", "work", "li_chk").count()
+    require(versionsAfter == versionsBefore, "failed write minted a version")
+    spark.sql(
+      """SELECT flag, count(*) AS n,
+        |  CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |FROM graft_stage.work.li_chk GROUP BY flag ORDER BY flag""".stripMargin)
+  }
+
+  val q309Oracle: String =
+    s"""SELECT l_returnflag AS flag, count(*) AS n,
+       |  ${graft.operators.Det.dsumSql("l_quantity")} AS total_qty
+       |FROM lineitem WHERE l_orderkey % 3 = 0
+       |GROUP BY l_returnflag ORDER BY flag""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
@@ -1586,5 +1757,8 @@ object Connectors {
     GraftQuery.sql("q303_ivfpq_serve", q303IvfPqServe, Similarity.q264Oracle),
     GraftQuery.sql("q304_partitioned_table", q304PartitionedTable, q304Oracle),
     GraftQuery.sql("q305_row_level_diff", q305RowLevelDiff, q305Oracle),
-    GraftQuery.sql("q306_null_pruned_scan", q306NullPrunedScan, q306Oracle))
+    GraftQuery.sql("q306_null_pruned_scan", q306NullPrunedScan, q306Oracle),
+    GraftQuery.sql("q307_bloom_lookup", q307BloomLookup, q307Oracle),
+    GraftQuery.sql("q308_restore_rollback", q308RestoreRollback, q308Oracle),
+    GraftQuery.sql("q309_check_constraint", q309CheckConstraint, q309Oracle))
 }

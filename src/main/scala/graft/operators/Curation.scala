@@ -620,7 +620,79 @@ object Curation {
        |WHERE rk <= quota
        |GROUP BY lang, quota ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q311
+
+  /** DSIR-style data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling"): rank raw documents by how much
+    * their HASHED-BIGRAM feature profile resembles a target domain versus
+    * the raw corpus. Features are the hashing-trick buckets q283
+    * established (md5 → 256 buckets, vocabulary-free — the property that
+    * makes the featurizer viable at 100 TB); the target distribution is
+    * the English slice, the raw distribution is everything. Where DSIR
+    * scores log p_t(x) − p_r(x) under hashed n-gram LMs, this ranks by the
+    * AFFINITY RATIO dot(c_doc, c_target) / dot(c_doc, c_raw) — the same
+    * "target-like vs raw-like" ordering built from exact int64 dot
+    * products and ONE IEEE division, where the log-likelihood difference
+    * would be a per-term libm lottery (q281's determinism rule). Both dot
+    * products are order-independent integer sums, so the score is
+    * bit-identical across engines and partitionings; selection takes the
+    * top-25 deterministically (production would Gumbel-sample with these
+    * scores as weights; determinism is what an oracle-checked pipeline
+    * wants).
+    *
+    * Scale shape: bucket histograms are one shuffle each (256·|langs|
+    * groups); target/raw profiles broadcast (256 rows); the per-doc score
+    * is a map-side join + one doc-keyed aggregation; top-25 is
+    * TakeOrdered. No vocabulary state anywhere.
+    */
+  def q311DsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+    val docBg = toks.select(col("doc_id"), col("lang"), explode(expr(
+      "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+      .withColumn("bucket",
+        (conv(substring(md5(concat(col("b.w1"), lit(" "), col("b.w2"))), 1, 8), 16, 10)
+          .cast("long") % 256).cast("int"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+    val docFeat = docBg.groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+    val target = docBg.where(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val raw = docBg.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    docFeat
+      .join(broadcast(target), Seq("bucket"), "left")
+      .join(broadcast(raw), Seq("bucket"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c") * coalesce(col("ct"), lit(0L))).as("dot_t"),
+        sum(col("c") * col("cr")).as("dot_r"))
+      .withColumn("score", col("dot_t") / col("dot_r"))
+      .orderBy(col("score").desc, col("doc_id")).limit(25)
+      .select(col("doc_id"), col("dot_t"), col("dot_r"), col("score"))
+  }
+
+  val q311Oracle: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT doc_id, lang,
+      |         unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS b FROM t),
+      |h AS (SELECT doc_id, lang,
+      |        CAST(list_reduce([strpos('0123456789abcdef', substr(md5(b), i, 1)) - 1
+      |                          for i in range(1, 9)], (a, b) -> a * 16 + b) % 256 AS INT)
+      |          AS bucket
+      |      FROM bg),
+      |df AS (SELECT doc_id, bucket, count(*) AS c FROM h GROUP BY 1, 2),
+      |tgt AS (SELECT bucket, count(*) AS ct FROM h WHERE lang = 'en' GROUP BY 1),
+      |raw AS (SELECT bucket, count(*) AS cr FROM h GROUP BY 1),
+      |sc AS (SELECT doc_id,
+      |         CAST(sum(c * COALESCE(ct, 0)) AS BIGINT) AS dot_t,
+      |         CAST(sum(c * cr) AS BIGINT) AS dot_r
+      |       FROM df LEFT JOIN tgt USING (bucket) JOIN raw USING (bucket)
+      |       GROUP BY 1)
+      |SELECT doc_id, dot_t, dot_r, dot_t / dot_r AS score
+      |FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q311_dsir_resample", q311DsirResample, q311Oracle),
     GraftQuery.sql("q275_curation_pipeline", q275CurationPipeline, q275Oracle),
     GraftQuery.sql("q260_temperature_sample", q260TemperatureSample, q260Oracle),
     GraftQuery.sql("q226_term_scrub", q226TermScrub, q226Oracle),

@@ -308,7 +308,87 @@ object TextHygiene {
       |  FROM cb JOIN uni a ON cb.w1 = a.w JOIN uni b ON cb.w2 = b.w, n)
       |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q310
+
+  /** Kneser–Ney document-quality bucketing — the CCNet move (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets") of scoring every
+    * document under a corpus LM and splitting the corpus into head/middle/
+    * tail tiers, here with the bigram KN model whose counts q280 builds.
+    * Per corpus bigram: P_KN(w2|w1) = (max(c−d,0) + d·n_succ(w1)·P_cont(w2))
+    * / c(w1·) with d=0.75 (exactly 3/4 — every operation is one IEEE
+    * multiply/divide on integer-valued doubles, no libm; see q281's
+    * determinism note). Each document then reports its bigram count, its
+    * RARE-bigram count (corpus support ≤ 2 — singletons/doubletons, the
+    * OOV-pressure signal), and its weakest KN probability; documents rank
+    * by rare fraction (one exact int/int division) and ntile(3) cuts the
+    * tiers. Output is per-tier: doc count, rare/total bigram mass, and the
+    * tier's weakest KN probability — min/count/sum aggregates only, so
+    * every output cell is order-independent-exact.
+    *
+    * Scale shape: counts are three shuffles over the bigram vocabulary
+    * (q280's shape); the doc-side join is bigram-keyed equi-join; the
+    * ntile is over DOCUMENTS (one per-doc row), the only single-partition
+    * step — at 100 TB you'd replace ntile with fixed score thresholds
+    * (CCNet itself uses global quantile cutpoints computed once).
+    */
+  def q310KnDocQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+    val docBg = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val c = docBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bigram"))
+    val byW1 = c.groupBy(col("w1"))
+      .agg(sum(col("c_bigram")).as("c_w1"), count(lit(1)).as("n_succ"))
+    val byW2 = c.groupBy(col("w2")).agg(count(lit(1)).as("n_pred"))
+    val nbDf = c.agg(count(lit(1)).as("nb"))
+    val stats = c.join(byW1, "w1").join(byW2, "w2").crossJoin(broadcast(nbDf))
+      .withColumn("p_kn",
+        (greatest(col("c_bigram") - lit(0.75), lit(0.0)) +
+          lit(0.75) * col("n_succ") * (col("n_pred") / col("nb"))) / col("c_w1"))
+      .select(col("w1"), col("w2"), col("c_bigram"), col("p_kn"))
+    val perDoc = docBg.join(stats, Seq("w1", "w2"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_bg"),
+        sum(when(col("c_bigram") <= 2, 1L).otherwise(0L)).as("n_rare"),
+        min(col("p_kn")).as("min_pkn"))
+      .withColumn("rare_frac", col("n_rare") / col("n_bg"))
+    perDoc
+      .withColumn("bucket",
+        ntile(3).over(Window.orderBy(col("rare_frac"), col("doc_id"))))
+      .groupBy(col("bucket")).agg(
+        count(lit(1)).as("n_docs"), sum(col("n_rare")).as("total_rare"),
+        sum(col("n_bg")).as("total_bg"), min(col("min_pkn")).as("weakest_pkn"))
+      .orderBy(col("bucket"))
+  }
+
+  val q310Oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT doc_id,
+      |         unnest([{'w1': t[i], 'w2': t[i + 1]} for i in range(1, len(t))]) AS b FROM t),
+      |db AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+      |c AS (SELECT w1, w2, count(*) AS c_bigram FROM db GROUP BY 1, 2),
+      |w1s AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_w1, count(*) AS n_succ
+      |        FROM c GROUP BY 1),
+      |w2s AS (SELECT w2, count(*) AS n_pred FROM c GROUP BY 1),
+      |nbt AS (SELECT count(*) AS nb FROM c),
+      |s AS (SELECT c.w1, c.w2, c_bigram,
+      |        (greatest(c_bigram - 0.75, 0.0) + 0.75 * n_succ * (n_pred / nb)) / c_w1 AS p_kn
+      |      FROM c JOIN w1s USING (w1) JOIN w2s USING (w2) CROSS JOIN nbt),
+      |pd AS (SELECT doc_id, count(*) AS n_bg,
+      |         CAST(sum(CASE WHEN c_bigram <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |         min(p_kn) AS min_pkn
+      |       FROM db JOIN s USING (w1, w2) GROUP BY 1),
+      |bk AS (SELECT *, ntile(3) OVER (ORDER BY n_rare / n_bg, doc_id) AS bucket FROM pd)
+      |SELECT bucket, count(*) AS n_docs, CAST(sum(n_rare) AS BIGINT) AS total_rare,
+      |  CAST(sum(n_bg) AS BIGINT) AS total_bg, min(min_pkn) AS weakest_pkn
+      |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q310_kn_doc_quality", q310KnDocQuality, q310Oracle),
     GraftQuery.sql("q254_paragraph_dedup", q254ParagraphDedup, q254Oracle),
     GraftQuery.sql("q255_unigram_rarity", q255UnigramRarity, q255Oracle),
     GraftQuery.sql("q259_bpe_merges", q259BpeMerges, q259Oracle),

@@ -415,7 +415,57 @@ object Timeline {
       |WHERE a.ts_a < b.ts_b OR (a.ts_a = b.ts_b AND a.id_a < b.id_b)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q312
+
+  /** Per-user EWMA (α = 1/2) of event values over the trailing 16 events —
+    * the classic streaming smoother, realized batch-side as a window
+    * computation and made BIT-EXACT by construction: weights 2⁻¹…2⁻¹⁶ are
+    * exact powers of two, values are floor-scaled to integer cents (floor
+    * is deterministic where round() is a half-way-rule lottery), so the
+    * weighted numerator and the present-weight denominator are pure int64
+    * arithmetic — order-independent, overflow-safe (|v|·2¹⁵·16 ≪ 2⁶³) —
+    * and the EWMA is two IEEE divisions at the very end. Truncating the
+    * exponential tail at 16 lags loses < 2⁻¹⁶ of the weight mass and is
+    * what makes the state FINITE (the same watermark-bounded-state rule
+    * the streaming twins follow); the denominator renormalizes short
+    * prefixes, so early events get a proper partial-window mean. One
+    * output row per user: its event count and the smoothed level after its
+    * final event. The SQL is engine-portable (lag/CASE/WINDOW only) and
+    * serves as its own oracle modulo the table name.
+    *
+    * Scale shape: ONE shuffle on user_id serves both named windows; the 16
+    * lags are O(1) per row inside WholeStageCodegen — no self-joins, no
+    * per-user quadratic anything (the q287 lesson, applied from day one).
+    */
+  private def ewmaSql(table: String): String = {
+    val num = (0 until 16).map(j => s"COALESCE(v$j * ${1L << (15 - j)}, 0)").mkString(" + ")
+    val den = (0 until 16)
+      .map(j => s"CASE WHEN v$j IS NULL THEN 0 ELSE ${1L << (15 - j)} END").mkString(" + ")
+    val lags = (1 until 16).map(j => s"lag(vc, $j) OVER w AS v$j").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT user_id, ts, event_id, CAST(floor(value * 100.0) AS BIGINT) AS vc
+       |  FROM $table),
+       |lagged AS (
+       |  SELECT user_id, vc AS v0, $lags,
+       |    row_number() OVER w2 AS rn_desc,
+       |    count(*) OVER (PARTITION BY user_id) AS n_events
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       |         w2 AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC))
+       |SELECT user_id, n_events,
+       |  (CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) / 100.0 AS ewma_last
+       |FROM lagged WHERE rn_desc = 1 ORDER BY user_id""".stripMargin
+  }
+
+  def q312EwmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_ewma_src")
+    spark.sql(ewmaSql("events_ewma_src"))
+  }
+
+  val q312Oracle: String = ewmaSql("events")
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q312_ewma_smooth", q312EwmaSmooth, q312Oracle),
     GraftQuery.sql("q286_dow_seasonality", q286DowSeasonality, q286Oracle),
     GraftQuery.sql("q287_mann_kendall", q287MannKendall, q287Oracle),
     GraftQuery.sql("q111_scd2_intervals", q111Scd2, q111Oracle),

@@ -283,7 +283,11 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       GraftStagingCatalog.partitionCols(tableFs, dir)
         .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
         .toArray
-    override def properties(): util.Map[String, String] = readDelegate.properties()
+    override def properties(): util.Map[String, String] = {
+      val m = new util.HashMap[String, String](readDelegate.properties())
+      CheckConstraint.read(tableFs, dir).foreach(m.put("check", _))
+      m
+    }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       val inner = readDelegate.newScanBuilder(options)
       // Zone-map integration with the PLAIN scan path: when the table has a
@@ -292,11 +296,13 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       // non-intersecting files are dropped from the planned splits — plain
       // `SELECT … WHERE` gets file skipping without the prunedScan side API.
       val stats = StagingMaintenance.readStatsFor(tableFs, dir)
-      if (stats.isEmpty) inner
+      val hasBlooms = StagingMaintenance.hasBloomSidecar(tableFs, dir)
+      if (stats.isEmpty && !hasBlooms) inner
       else inner match {
         case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
           new ZoneMapScanBuilder(fb, stats, StagingMaintenance.readNullsFor(tableFs, dir),
-            dir.toString)
+            dir.toString,
+            () => StagingMaintenance.readBloomsFor(tableFs, dir))
         case other => other
       }
     }
@@ -351,14 +357,22 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       // staged task files are aborted away). This is the catalog-sink
       // analogue of the SegmentedIndex's per-batchId segments.
       val batchId = Option(info.options.get("graft.batch-id")).map(_.toLong)
+      // CHECK constraint: compiled ONCE on the driver against the write
+      // schema, enforced per row inside the write tasks
+      val check = CheckConstraint.read(tableFs, dir).map(c =>
+        (c, CheckConstraint.compile(SparkSession.active, c, info.schema())))
       new WriteBuilder {
         override def build(): Write = new Write {
           private val innerWrite = inner.build()
           override def description(): String = innerWrite.description()
           override def toBatch: BatchWrite = new BatchWrite {
             private val d = innerWrite.toBatch
-            override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-              d.createBatchWriterFactory(info)
+            override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+              val base = d.createBatchWriterFactory(info)
+              check.fold(base) { case (text, bound) =>
+                new CheckedWriterFactory(base, bound, text)
+              }
+            }
             override def useCommitCoordinator(): Boolean = d.useCommitCoordinator()
             override def onDataWriterCommit(message: WriterCommitMessage): Unit =
               d.onDataWriterCommit(message)
@@ -420,11 +434,16 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     requireNs(ident.namespace())
     val d = tableDir(ident)
     if (isDir(d)) throw new TableAlreadyExistsException(ident)
+    // CHECK constraint: validated against the declared schema NOW (a typo
+    // fails the CREATE, not the first insert), enforced on every write path
+    val check = Option(properties.get("check")).map(_.trim).filter(_.nonEmpty)
+    check.foreach(c => CheckConstraint.compile(SparkSession.active, c, schema))
     fs.mkdirs(d)
     GraftStagingCatalog.writeString(fs, new Path(d, SchemaSidecar), schema.json)
     if (partCols.nonEmpty)
       GraftStagingCatalog.writeString(fs, new Path(d, GraftStagingCatalog.PartitionSidecar),
         partCols.mkString("\n"))
+    check.foreach(c => CheckConstraint.write(fs, d, c))
     loadTable(ident)
   }
 
@@ -505,10 +524,28 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
           if (f.name.equalsIgnoreCase(from)) f.copy(name = rn.newName()) else f))
         renames :+= (from, rn.newName())
         StagingMaintenance.dropColumnStats(fs, d, from)
+      case sp: TableChange.SetProperty if sp.property().equalsIgnoreCase("check") =>
+        // SET TBLPROPERTIES('check'=…): validate against the CURRENT
+        // declared schema, then persist — future writes enforce it
+        CheckConstraint.compile(SparkSession.active, sp.value(), schema)
+        CheckConstraint.write(fs, d, sp.value())
+      case rp: TableChange.RemoveProperty if rp.property().equalsIgnoreCase("check") =>
+        CheckConstraint.remove(fs, d)
       case other =>
         throw new UnsupportedOperationException(
           s"$catalogName: unsupported ALTER TABLE change $other " +
-            "(supported: ADD / DROP / RENAME COLUMN)")
+            "(supported: ADD / DROP / RENAME COLUMN, SET/UNSET 'check')")
+    }
+    // a schema change must not strand the CHECK constraint: re-validate it
+    // against the post-change schema (dropping a checked column fails HERE,
+    // not at the next insert)
+    if (schema != before) CheckConstraint.read(fs, d).foreach { c =>
+      try CheckConstraint.compile(SparkSession.active, c, schema)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"$catalogName: ALTER would break CHECK constraint ($c) on ${ident.name()} — " +
+            "UNSET TBLPROPERTIES ('check') first", e)
+      }
     }
     // era snapshot: the OLD schema governs every version committed so far
     GraftStagingCatalog.versionManifests(fs, d).lastOption.foreach { case (latest, _) =>
@@ -538,6 +575,9 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       case "analyze"  => Some(StagingProcedures.analyze(catalogName))
       case "vacuum"   => Some(StagingProcedures.vacuum(catalogName))
       case "history"  => Some(StagingProcedures.history(catalogName))
+      case "detail"   => Some(StagingProcedures.detail(catalogName))
+      case "restore"  => Some(StagingProcedures.restore(catalogName))
+      case "bloom"    => Some(StagingProcedures.bloom(catalogName))
       case _          => None
     }
 
@@ -548,12 +588,12 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     (if (nsOk) procedureFor(ident.name()) else None).getOrElse(
       throw new RuntimeException(
         s"$catalogName: unknown procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
-          "(available: optimize, analyze, vacuum, history)"))
+          "(available: optimize, analyze, bloom, vacuum, history, detail, restore)"))
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array("analyze", "history", "optimize", "vacuum")
+      Array("analyze", "bloom", "detail", "history", "optimize", "restore", "vacuum")
         .map(Identifier.of(namespace, _))
     else Array.empty
 
@@ -694,10 +734,11 @@ private class StagingRowLevelOperation(
             // its IN-values prune through zone maps, and offering zero
             // filter attributes would break the optimizer rule.
             val statCols = stats.keysIterator.map(_._2).toArray.distinct.sorted
+            val blooms = () => StagingMaintenance.readBloomsFor(tableFs, dir)
             val zms =
               if (statCols.nonEmpty)
-                new RowLevelGroupScan(fscan, stats, v1, statCols, nulls, dir.toString)
-              else new ZoneMapPrunedScan(fscan, stats, v1, nulls, dir.toString)
+                new RowLevelGroupScan(fscan, stats, v1, statCols, nulls, dir.toString, blooms)
+              else new ZoneMapPrunedScan(fscan, stats, v1, nulls, dir.toString, blooms)
             scans.add(zms)
             zms
           case other => other // not a file scan: no tracking → full replace
@@ -711,13 +752,22 @@ private class StagingRowLevelOperation(
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           private val inner = writeDelegate.newWriteBuilder(lwi).build().toBatch
+          // the CHECK constraint also governs replacement rows: an UPDATE
+          // cannot move a row INTO violation (evaluated after the trailing
+          // projection, i.e. on exactly the declared write schema)
+          private val check = CheckConstraint.read(tableFs, dir).map(c =>
+            (c, CheckConstraint.compile(SparkSession.active, c, lwi.schema())))
           // ReplaceData's query emits leading bookkeeping columns
           // (`__row_operation`) ahead of the data columns, and the plain
           // writing task hands rows over UNPROJECTED — so the factory binds
           // the declared write schema to the TRAILING fields before the
           // parquet writer sees the row.
-          override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory =
-            new TrailingFieldsWriterFactory(inner.createBatchWriterFactory(pinfo), lwi.schema())
+          override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
+            val base = check.fold(inner.createBatchWriterFactory(pinfo)) { case (text, bound) =>
+              new CheckedWriterFactory(inner.createBatchWriterFactory(pinfo), bound, text)
+            }
+            new TrailingFieldsWriterFactory(base, lwi.schema())
+          }
           override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
           override def onDataWriterCommit(message: WriterCommitMessage): Unit =
             inner.onDataWriterCommit(message)

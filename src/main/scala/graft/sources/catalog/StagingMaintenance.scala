@@ -512,6 +512,9 @@ object StagingMaintenance {
     if (live.size != stats.size)
       writeStats(fs, d, live,
         readNullsFor(fs, d).filter { case ((_, c), _) => !c.equalsIgnoreCase(column) })
+    val blooms = readBloomsFor(fs, d)
+    val liveBlooms = blooms.filter { case ((_, c), _) => !c.equalsIgnoreCase(column) }
+    if (liveBlooms.size != blooms.size) writeBlooms(fs, d, liveBlooms)
   }
 
   /** File names the CURRENT version reads — the public face of the
@@ -522,6 +525,158 @@ object StagingMaintenance {
       table: String): Seq[String] = {
     val (fs, d) = tableDir(spark, catalog, ns, table)
     currentFiles(fs, d)
+  }
+
+  /** DESCRIBE-DETAIL snapshot: (version, nFiles, nBytes, partitionCols,
+    * analyzedCols, nVersions) — the operator's one-call answer to "what is
+    * this table right now": how big, laid out how, prunable on what, and
+    * how much retained history VACUUM has to work with. Bytes come from
+    * per-file `getFileStatus` (the reference's metadata op,
+    * `AbstractFileHandlerReceiver.java:27-31`) over the CURRENT manifest's
+    * files only — time-travel-only files don't count against the live size.
+    */
+  def detail(spark: SparkSession, catalog: String, ns: String,
+      table: String): (Long, Long, Long, String, String, Long) = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    val manifests = versionManifests(fs, d)
+    val v = manifests.lastOption.map(_._1).getOrElse(0L)
+    val files = currentFiles(fs, d)
+    val bytes = files.map { f =>
+      try fs.getFileStatus(new Path(d, f)).getLen
+      catch { case _: FileNotFoundException => 0L }
+    }.sum
+    val parts = GraftStagingCatalog.partitionCols(fs, d).mkString(",")
+    val acols = readStatsFor(fs, d).keysIterator.map(_._2).toSeq.distinct.sorted.mkString(",")
+    (v, files.size.toLong, bytes, parts, acols, manifests.size.toLong)
+  }
+
+  // ---- per-file Bloom-filter sidecars (point-lookup pruning) -------------
+  //
+  // Zone maps answer RANGE questions; they are blind to point lookups on a
+  // column whose values interleave across files (every file's [min,max]
+  // spans the whole keyspace — e.g. any hash-distributed ingest). The Bloom
+  // sidecar covers exactly that hole: per (file, column), a Bloom filter
+  // over xxhash64 of the column's values (cast to string — one canonical
+  // form across integer widths), built by an explicit `CALL bloom(...)`
+  // pass and consulted for EqualTo / IN predicates. Blooms have NO false
+  // negatives, so pruning on `mightContain == false` is sound; false
+  // positives only over-keep. Same advisory-cache contract as the stats
+  // sidecar: losing it costs pruning, never correctness. 100 TB shape: an
+  // equality probe on a 10k-file table opens ZERO data files beyond the
+  // ones that can hold the key — the lakehouse answer to the reference's
+  // per-object read surface (open only the objects you must,
+  // CephRgwFileSystem.java:104-120). The build here is one small job per
+  // NEW file (incremental, streaming-batch friendly); a petabyte backfill
+  // would group by `_metadata.file_path` in one pass instead.
+
+  private val BloomSidecar = "_graft_bloom.tsv"
+
+  private[catalog] def hasBloomSidecar(fs: FileSystem, d: Path): Boolean =
+    isFile(fs, new Path(d, BloomSidecar))
+
+  private[catalog] def readBloomsFor(fs: FileSystem, d: Path)
+      : Map[(String, String), org.apache.spark.util.sketch.BloomFilter] = {
+    val f = new Path(d, BloomSidecar)
+    if (!isFile(fs, f)) Map.empty
+    else readString(fs, f).split('\n').toIndexedSeq.filter(_.nonEmpty).flatMap { line =>
+      try line.split("\t", 4) match {
+        case Array(file, col, b64) =>
+          val bytes = java.util.Base64.getDecoder.decode(b64)
+          Some((file, col) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes)))
+        case _ => None
+      } catch { case _: RuntimeException => None } // torn line: advisory cache
+    }.toMap
+  }
+
+  private def writeBlooms(fs: FileSystem, d: Path,
+      blooms: Map[(String, String), org.apache.spark.util.sketch.BloomFilter]): Unit = {
+    val body = blooms.toSeq.sortBy { case ((f, c), _) => (f, c) }.map { case ((f, c), bf) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      s"$f\t$c\t${java.util.Base64.getEncoder.encodeToString(bos.toByteArray)}"
+    }
+    if (body.isEmpty) fs.delete(new Path(d, BloomSidecar), false)
+    else writeString(fs, new Path(d, BloomSidecar), body.mkString("", "\n", "\n"))
+  }
+
+  /** The one hash both sides share: executors insert
+    * `xxhash64(cast(col AS string))` (codegen'd, seed 42); the planner
+    * probes with the same expression evaluated over the literal.
+    */
+  private[catalog] def bloomHash(s: String): Long =
+    new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType))).eval(null).asInstanceOf[Long]
+
+  /** Build per-file Bloom filters for `columns` over every current file not
+    * yet covered. Incremental like ANALYZE (files are immutable); the
+    * sidecar is rewritten from the merged map, trimmed to on-disk files.
+    * Returns the number of (file) builds performed. An empty/all-null file
+    * gets an empty bloom — which prunes every probe, exactly right.
+    */
+  def analyzeBloom(spark: SparkSession, catalog: String, ns: String, table: String,
+      columns: Seq[String], expectedItems: Long = 100000L,
+      fpp: Double = 0.001): Int = synchronized {
+    import org.apache.spark.util.sketch.BloomFilter
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    val existing = readBloomsFor(fs, d)
+    val todo = currentFiles(fs, d)
+      .filterNot(f => columns.forall(c => existing.contains((f, c))))
+    implicit val bfEnc: org.apache.spark.sql.Encoder[BloomFilter] =
+      org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val harvested = todo.flatMap { f =>
+      val df = spark.read.parquet(new Path(d, f).toString)
+      columns.filterNot(c => existing.contains((f, c))).map { c =>
+        import spark.implicits._
+        val hashes = df.where(col(c).isNotNull)
+          .select(xxhash64(col(c).cast("string")).as("h")).as[Long]
+        val bf = hashes.mapPartitions { it =>
+          val b = BloomFilter.create(expectedItems, fpp)
+          it.foreach(b.putLong)
+          Iterator(b)
+        }.collect() // one sketch per partition of ONE file — bounded
+          .reduceOption { (a, b) => a.mergeInPlace(b); a }
+          .getOrElse(BloomFilter.create(expectedItems, fpp))
+        (f, c) -> bf
+      }
+    }
+    val onDisk = dataFiles(fs, d).toSet
+    val merged = (existing ++ harvested).filter { case ((f, _), _) => onDisk(f) }
+    if (harvested.nonEmpty || merged.size != existing.size) writeBlooms(fs, d, merged)
+    todo.size
+  }
+
+  /** RESTORE: roll the table back to the file set of an earlier version —
+    * METADATA-ONLY. Because data files are immutable and copy-on-write
+    * keeps every superseded file on disk until VACUUM, "undo" is just a new
+    * manifest (kind=restore) that references version `toVersion`'s exact
+    * file list: no data is read, moved, or rewritten, the rollback itself
+    * is versioned (history shows it, and a restore can be restored away),
+    * and the optimistic `expectedBase` guard aborts if a concurrent commit
+    * advances the head mid-restore. The one precondition is that VACUUM has
+    * not reclaimed the target's files — checked file-by-file up front with
+    * a loud error naming what's gone (restoring to a half-present version
+    * would silently lose rows). Returns the new head version.
+    */
+  def restore(spark: SparkSession, catalog: String, ns: String, table: String,
+      toVersion: Long): Long = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    val manifests = versionManifests(fs, d).toMap
+    val mf = manifests.getOrElse(toVersion, throw new IllegalArgumentException(
+      s"$catalog.$ns.$table has no version $toVersion " +
+        s"(available: ${versionManifests(fs, d).map(_._1).mkString(", ")})"))
+    val files = manifestFiles(fs, mf)
+    val missing = files.filterNot(f => isFile(fs, new Path(d, f)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot restore $catalog.$ns.$table to version $toVersion: " +
+          s"${missing.size} of its data files were vacuumed (${missing.take(3).mkString(", ")}…)")
+    val base = versionManifests(fs, d).lastOption.map(_._1).getOrElse(0L)
+    GraftStagingCatalog.writeExplicitManifest(fs, d, files,
+      kind = "restore", expectedBase = Some(base))
   }
 
   /** Keep only the last `retainLast` versions; delete every data file no
@@ -557,6 +712,9 @@ object StagingMaintenance {
     if (live.size != stats.size)
       writeStats(fs, d, live,
         readNullsFor(fs, d).filter { case ((f, _), _) => !deadSet(f) })
+    val blooms = readBloomsFor(fs, d)
+    val liveBlooms = blooms.filter { case ((f, _), _) => !deadSet(f) }
+    if (liveBlooms.size != blooms.size) writeBlooms(fs, d, liveBlooms)
     dead
   }
 }
@@ -577,7 +735,9 @@ object StagingMaintenance {
 private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     stats: Map[(String, String), ZStat],
     nulls: Map[(String, String), (Long, Long)] = Map.empty,
-    tableDir: String = "")
+    tableDir: String = "",
+    blooms: () => Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
+      () => Map.empty)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -614,7 +774,7 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     val filters = v1Filters
     scan match {
       case f: FileScan if filters.nonEmpty =>
-        new ZoneMapPrunedScan(f, stats, filters, nulls, tableDir)
+        new ZoneMapPrunedScan(f, stats, filters, nulls, tableDir, blooms)
       case other => other
     }
   }
@@ -682,8 +842,14 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     stats: Map[(String, String), ZStat],
     filters: Array[org.apache.spark.sql.sources.Filter],
     nulls: Map[(String, String), (Long, Long)] = Map.empty,
-    tableDir: String = "")
+    tableDir: String = "",
+    bloomsThunk: () => Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
+      () => Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
+
+  // loaded at most once per scan, and only when an equality/IN filter can
+  // actually use it — range-only queries never pay the sidecar IO
+  private lazy val loadedBlooms = bloomsThunk()
 
   /** Sidecar keys are TABLE-DIR-RELATIVE paths (a partition-laid-out file
     * is `k=v/<file>`); relativize against the dir when known, else the
@@ -714,6 +880,8 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     */
   private def prune(): (Array[InputPartition], Int, Int) = {
     val fs = effectiveFilters
+    val bl = if (fs.exists(ZoneMapPrunedScan.wantsBloom)) loadedBlooms
+             else Map.empty[(String, String), org.apache.spark.util.sketch.BloomFilter]
     val in = delegate.toBatch.planInputPartitions()
     var total = 0
     var kept = 0
@@ -721,7 +889,8 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
       case fp: FilePartition =>
         val keep = fp.files.filter { pf =>
           total += 1
-          val ok = fs.forall(f => ZoneMapPrunedScan.canMatch(stats, nulls, statKey(pf.toPath), f))
+          val ok = fs.forall(f =>
+            ZoneMapPrunedScan.canMatch(stats, nulls, bl, statKey(pf.toPath), f))
           if (ok) kept += 1
           ok
         }
@@ -737,9 +906,11 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     */
   private[catalog] def plannedFileNames(): Set[String] = {
     val fs = effectiveFilters
+    val bl = if (fs.exists(ZoneMapPrunedScan.wantsBloom)) loadedBlooms
+             else Map.empty[(String, String), org.apache.spark.util.sketch.BloomFilter]
     delegate.toBatch.planInputPartitions().iterator.flatMap {
       case fp: FilePartition => fp.files.iterator.map(pf => statKey(pf.toPath))
-        .filter(n => fs.forall(f => ZoneMapPrunedScan.canMatch(stats, nulls, n, f)))
+        .filter(n => fs.forall(f => ZoneMapPrunedScan.canMatch(stats, nulls, bl, n, f)))
       case _ => Iterator.empty
     }.toSet
   }
@@ -781,8 +952,10 @@ private[catalog] final class RowLevelGroupScan(delegate: FileScan,
     staticFilters: Array[org.apache.spark.sql.sources.Filter],
     filterCols: Array[String],
     nulls: Map[(String, String), (Long, Long)] = Map.empty,
-    tableDir: String = "")
-    extends ZoneMapPrunedScan(delegate, stats, staticFilters, nulls, tableDir)
+    tableDir: String = "",
+    blooms: () => Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
+      () => Map.empty)
+    extends ZoneMapPrunedScan(delegate, stats, staticFilters, nulls, tableDir, blooms)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.NamedReference
 
@@ -966,6 +1139,57 @@ private[catalog] object ZoneMapPrunedScan {
       case Or(l, r)  => canMatch(stats, nulls, file, l) || canMatch(stats, nulls, file, r)
       case _         => true // Not / unknown: conservative
     }
+  }
+
+  /** Bloom-aware canMatch: equality/IN probes additionally consult the
+    * per-file Bloom sidecar — a definite "not present" prunes a file whose
+    * [min,max] range admits the value (the hash-distributed-ingest case
+    * where every file spans the whole keyspace). Blooms cover the values'
+    * CANONICAL string form; probe values of other shapes (timestamps,
+    * doubles — where engine-to-string renderings could disagree) skip the
+    * bloom and fall back to the range answer. Sound: no false negatives.
+    */
+  def canMatch(stats: Map[(String, String), ZStat],
+      nulls: Map[(String, String), (Long, Long)],
+      blooms: Map[(String, String), org.apache.spark.util.sketch.BloomFilter],
+      file: String, f: Filter): Boolean = {
+    def probeForm(v: Any): Option[String] = v match {
+      case s: String            => Some(s)
+      case n: java.lang.Long    => Some(n.toString)
+      case n: java.lang.Integer => Some(n.toString)
+      case n: java.lang.Short   => Some(n.toString)
+      case n: java.lang.Byte    => Some(n.toString)
+      case _                    => None // conservative: no bloom consult
+    }
+    def bloomAdmits(a: String, v: Any): Boolean =
+      blooms.get((file, a)).forall { bf =>
+        probeForm(v).forall(s => bf.mightContainLong(StagingMaintenance.bloomHash(s)))
+      }
+    if (blooms.isEmpty) canMatch(stats, nulls, file, f)
+    else f match {
+      case EqualTo(a, v) => canMatch(stats, nulls, file, f) && bloomAdmits(a, v)
+      case EqualNullSafe(a, v) if v != null =>
+        canMatch(stats, nulls, file, f) && bloomAdmits(a, v)
+      case In(a, vs) =>
+        vs.exists(v => canMatch(stats, nulls, blooms, file, EqualTo(a, v)))
+      case And(l, r) =>
+        canMatch(stats, nulls, blooms, file, l) && canMatch(stats, nulls, blooms, file, r)
+      case Or(l, r) =>
+        canMatch(stats, nulls, blooms, file, l) || canMatch(stats, nulls, blooms, file, r)
+      case _ => canMatch(stats, nulls, file, f)
+    }
+  }
+
+  /** Does the filter tree contain an equality/IN leaf a Bloom could help
+    * with? Gates the sidecar load — range-only queries never pay the IO.
+    */
+  private[catalog] def wantsBloom(f: Filter): Boolean = f match {
+    case _: EqualTo                      => true
+    case EqualNullSafe(_, v) if v != null => true
+    case _: In                           => true
+    case And(l, r)                       => wantsBloom(l) || wantsBloom(r)
+    case Or(l, r)                        => wantsBloom(l) || wantsBloom(r)
+    case _                               => false
   }
 
   /** The DUAL proof: does EVERY row of the file provably satisfy `f`? Used

@@ -96,6 +96,28 @@ private[catalog] object StagingProcedures {
       }
     }
 
+  def bloom(catalog: String): UnboundProcedure =
+    new MaintenanceProc("bloom",
+      "build per-file Bloom filters for the comma-separated columns — " +
+        "point-lookup (equality/IN) file pruning where min/max ranges overlap; " +
+        "incremental over already-covered files") {
+      private val out = StructType(Seq(
+        StructField("files_bloomed", IntegerType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("columns", StringType).build(),
+        ProcedureParameter.in("expected_items", LongType).defaultValue("100000").build(),
+        ProcedureParameter.in("fpp", DoubleType).defaultValue("0.001").build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val cols = input.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty)
+        val n = StagingMaintenance.analyzeBloom(spark, catalog,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+          cols.toIndexedSeq, input.getLong(3), input.getDouble(4))
+        one(out, n)
+      }
+    }
+
   def vacuum(catalog: String): UnboundProcedure =
     new MaintenanceProc("vacuum",
       "keep only the last retain_last versions; delete unreferenced data files") {
@@ -110,6 +132,47 @@ private[catalog] object StagingProcedures {
           input.getUTF8String(0).toString, input.getUTF8String(1).toString,
           input.getInt(2))
         one(out, dead.size)
+      }
+    }
+
+  def detail(catalog: String): UnboundProcedure =
+    new MaintenanceProc("detail",
+      "operational snapshot of a table: current version, file/byte counts, " +
+        "partition columns, analyzed columns, retained version count") {
+      private val out = StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("n_bytes", LongType, nullable = false),
+        StructField("partition_cols", StringType, nullable = false),
+        StructField("analyzed_cols", StringType, nullable = false),
+        StructField("n_versions", LongType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val (v, files, bytes, parts, acols, nvers) = StagingMaintenance.detail(
+          spark, catalog, input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+        one(out, v, files, bytes, UTF8String.fromString(parts),
+          UTF8String.fromString(acols), nvers)
+      }
+    }
+
+  def restore(catalog: String): UnboundProcedure =
+    new MaintenanceProc("restore",
+      "metadata-only rollback: commit a new version referencing exactly the " +
+        "file set of an earlier version (fails if VACUUM reclaimed its files)") {
+      private val out = StructType(Seq(
+        StructField("restored_to", LongType, nullable = false),
+        StructField("new_version", LongType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("to_version", LongType).build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val to = input.getLong(2)
+        val v = StagingMaintenance.restore(spark, catalog,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString, to)
+        one(out, to, v)
       }
     }
 

@@ -112,12 +112,27 @@ object StreamingOps {
     * overwrite-by-path pattern leaves for APPEND-shaped sinks (where
     * per-batch output dirs don't compose into one queryable table).
     */
+  /** `analyzeCols`: when non-empty, each committed batch is followed by an
+    * INCREMENTAL zone-map ANALYZE of those columns — only the batch's new
+    * files get their footers read (already-covered files are skipped), so
+    * a long-running ingest keeps its table prunable with per-batch cost
+    * proportional to the batch, never the table. The stats sidecar is
+    * advisory: a crash between append and analyze costs pruning until the
+    * next batch's analyze sweeps it up, never correctness.
+    */
   def catalogAppendStream(rows: DataFrame, table: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, analyzeCols: Seq[String] = Nil): StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpointDir).outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         batch.writeTo(table).option("graft.batch-id", id.toString).append()
+        if (analyzeCols.nonEmpty) table.split("\\.") match {
+          case Array(cat, ns, t) =>
+            graft.sources.catalog.StagingMaintenance.analyze(
+              batch.sparkSession, cat, ns, t, analyzeCols)
+            ()
+          case _ => ()
+        }
         ()
       }
       .start()

@@ -98,6 +98,11 @@ class CatalogSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.stage_t.root", stageRoot)
   }
 
+  /** Messages of the whole cause chain — Spark wraps task failures. */
+  private def exMessages(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .flatMap(t => Option(t.getMessage)).toSeq
+
   test("staging catalog: CTAS + INSERT INTO + read-back are lossless") {
     mountStage()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
@@ -1100,10 +1105,146 @@ class CatalogSpec extends SparkSpec {
     // default arguments resolve (target_files=4, cluster_by=NULL)
     val opt2 = spark.sql("CALL stage_t.optimize('ws', 'proc')").collect()(0)
     assert(opt2.getInt(1) === 4, opt2.toString)
+    // CALL detail — operational snapshot: version, sizes, analyzed cols
+    val det = spark.sql("CALL stage_t.detail('ws', 'proc')").collect()(0)
+    assert(det.getLong(0) >= 4L, det.toString)           // version advanced
+    assert(det.getLong(1) === 4L, det.toString)          // n_files (last optimize)
+    assert(det.getLong(2) > 0L, det.toString)            // n_bytes
+    assert(det.getString(4).contains("k"), det.toString) // analyzed_cols
+    assert(det.getLong(5) >= 1L, det.toString)           // retained versions
     // unknown procedure fails loudly
     val e = intercept[Exception] { spark.sql("CALL stage_t.nope('ws', 'proc')") }
     assert(e.getMessage.contains("unknown procedure") || e.getMessage.contains("nope"),
       e.getMessage)
+  }
+
+  test("CALL restore: metadata-only rollback to an earlier version, itself versioned") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.rst")
+    spark.sql("CREATE TABLE stage_t.ws.rst AS SELECT id AS k FROM range(0, 100)") // v1
+    spark.sql("INSERT INTO stage_t.ws.rst SELECT id AS k FROM range(100, 150)")   // v2
+    spark.sql("DELETE FROM stage_t.ws.rst WHERE k >= 50")                         // v3
+    assert(spark.table("stage_t.ws.rst").count() === 50)
+    // restore to v2 undoes the delete WITHOUT reading or rewriting data
+    val dataFilesBefore = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "stage_t", "ws", "rst").toSet
+    val r = spark.sql("CALL stage_t.restore('ws', 'rst', 2)").collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 4L, r.toString)
+    assert(spark.table("stage_t.ws.rst").count() === 150)
+    // metadata-only: v2's file set is served verbatim — no new data files
+    val filesNow = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "stage_t", "ws", "rst").toSet
+    val filesV2 = spark.sql("SELECT count(*) FROM stage_t.ws.rst VERSION AS OF 2")
+      .collect()(0).getLong(0)
+    assert(filesV2 === 150)
+    assert(filesNow != dataFilesBefore, "restore changed nothing")
+    // the rollback is itself history: kind=restore at v4, v3 still pinnable
+    val hist = spark.sql("CALL stage_t.history('ws', 'rst')").collect()
+      .map(r2 => (r2.getLong(0), r2.getString(1)))
+    assert(hist.last === ((4L, "restore")), hist.toSeq)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.rst VERSION AS OF 3")
+      .collect()(0).getLong(0) === 50)
+    // restoring to a vacuumed-away version fails loudly, table intact
+    spark.sql("CALL stage_t.vacuum('ws', 'rst', 1)")
+    val e = intercept[Exception] { spark.sql("CALL stage_t.restore('ws', 'rst', 3)").collect() }
+    assert(e.getMessage.contains("vacuumed") || e.getMessage.contains("no version"),
+      e.getMessage)
+    assert(spark.table("stage_t.ws.rst").count() === 150)
+  }
+
+  test("CHECK constraints: write-time row validation on insert, update and CTAS; DDL-time typo guard") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.chk")
+    // CTAS with TBLPROPERTIES: the constraint guards the CTAS rows themselves
+    spark.sql(
+      """CREATE TABLE stage_t.ws.chk (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('check' = 'v >= 0')""".stripMargin)
+    // DESCRIBE surfaces the constraint
+    assert(spark.sql("SHOW TBLPROPERTIES stage_t.ws.chk").collect()
+      .exists(r => r.getString(0) == "check" && r.getString(1) == "v >= 0"))
+    spark.sql("INSERT INTO stage_t.ws.chk SELECT id, id * 10 FROM range(0, 100)")
+    assert(spark.table("stage_t.ws.chk").count() === 100)
+    // violating INSERT: fails, commits nothing, mints no version
+    val versionsBefore = spark.sql("CALL stage_t.history('ws', 'chk')").count()
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO stage_t.ws.chk SELECT id, -id - 1 FROM range(0, 10)")
+    }
+    assert(exMessages(e).exists(_.contains("CHECK constraint violated")), e.getMessage)
+    assert(spark.table("stage_t.ws.chk").count() === 100, "partial rows leaked")
+    assert(spark.sql("CALL stage_t.history('ws', 'chk')").count() === versionsBefore,
+      "failed write minted a version")
+    // NULL passes (SQL CHECK rejects only FALSE)
+    spark.sql("INSERT INTO stage_t.ws.chk VALUES (999, CAST(NULL AS BIGINT))")
+    assert(spark.table("stage_t.ws.chk").count() === 101)
+    // UPDATE cannot move a row INTO violation
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE stage_t.ws.chk SET v = -5 WHERE k = 1")
+    }
+    assert(exMessages(e2).exists(_.contains("CHECK constraint violated")), e2.getMessage)
+    // ...but a conforming UPDATE sails through
+    spark.sql("UPDATE stage_t.ws.chk SET v = 12345 WHERE k = 1")
+    assert(spark.sql("SELECT v FROM stage_t.ws.chk WHERE k = 1").collect()(0).getLong(0) === 12345)
+    // DDL-time validation: unknown column and dropping a checked column fail fast
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE stage_t.ws.chk SET TBLPROPERTIES ('check' = 'nope > 0')")
+    }
+    assert(e3.getMessage.toLowerCase.contains("nope"), e3.getMessage)
+    val e4 = intercept[Exception] { spark.sql("ALTER TABLE stage_t.ws.chk DROP COLUMN v") }
+    assert(e4.getMessage.contains("CHECK"), e4.getMessage)
+    // UNSET lifts enforcement
+    spark.sql("ALTER TABLE stage_t.ws.chk UNSET TBLPROPERTIES ('check')")
+    spark.sql("INSERT INTO stage_t.ws.chk VALUES (1000, -1)")
+    assert(spark.table("stage_t.ws.chk").count() === 102)
+  }
+
+  test("Bloom sidecars: point lookups prune files whose min/max ranges cannot") {
+    import graft.sources.catalog.ZoneMapScan
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.blm")
+    // hash-distributed ingest: every file's [min,max] spans the whole
+    // keyspace, so zone maps are USELESS for a point lookup here
+    spark.sql(
+      """CREATE TABLE stage_t.ws.blm AS
+        |SELECT /*+ REPARTITION(8, k) */ id AS k, id * 3 AS v
+        |FROM (SELECT id FROM range(0, 4000))""".stripMargin)
+    spark.sql("CALL stage_t.analyze('ws', 'blm', 'k')")
+    ZoneMapScan.lastPrune = None
+    assert(spark.sql("SELECT v FROM stage_t.ws.blm WHERE k = 1234")
+      .collect()(0).getLong(0) === 3702L)
+    val (keptZ, totalZ) = ZoneMapScan.lastPrune.getOrElse(fail("zone maps not engaged"))
+    assert(totalZ === 8 && keptZ === 8, s"ranges unexpectedly pruned: $keptZ/$totalZ")
+    // Bloom filters close the hole: the key lives in exactly one file
+    val built = spark.sql("CALL stage_t.bloom('ws', 'blm', 'k', 10000, 0.0001)")
+      .collect()(0).getInt(0)
+    assert(built === 8, s"built $built")
+    ZoneMapScan.lastPrune = None
+    assert(spark.sql("SELECT v FROM stage_t.ws.blm WHERE k = 1234")
+      .collect()(0).getLong(0) === 3702L)
+    val (keptB, totalB) = ZoneMapScan.lastPrune.getOrElse(fail("bloom prune not engaged"))
+    assert(totalB === 8 && keptB <= 2, s"bloom kept $keptB/$totalB")
+    // IN probes prune per value; soundness: all requested rows come back
+    ZoneMapScan.lastPrune = None
+    val rows = spark.sql("SELECT k, v FROM stage_t.ws.blm WHERE k IN (7, 3999)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((7L, 21L), (3999L, 11997L)))
+    val (keptI, _) = ZoneMapScan.lastPrune.getOrElse(fail("bloom prune not engaged"))
+    assert(keptI <= 4, s"IN kept $keptI/8")
+    // a probe for an absent key opens zero files
+    ZoneMapScan.lastPrune = None
+    assert(spark.sql("SELECT v FROM stage_t.ws.blm WHERE k = 999999").collect().isEmpty)
+    val (keptA, _) = ZoneMapScan.lastPrune.getOrElse(fail("bloom prune not engaged"))
+    assert(keptA === 0, s"absent-key probe kept $keptA files")
+    // incremental: a fresh INSERT's file is uncovered → read conservatively
+    // until the next CALL bloom sweeps it (advisory-cache contract)
+    spark.sql("INSERT INTO stage_t.ws.blm VALUES (999999, -1)")
+    assert(spark.sql("SELECT v FROM stage_t.ws.blm WHERE k = 999999")
+      .collect()(0).getLong(0) === -1L)
+    val built2 = spark.sql("CALL stage_t.bloom('ws', 'blm', 'k', 10000, 0.0001)")
+      .collect()(0).getInt(0)
+    assert(built2 === 1, s"incremental built $built2")
   }
 
   test("unknown namespace and table fail with the standard analysis errors") {

@@ -484,18 +484,27 @@ class StreamingSpec extends SparkSpec {
       .listFiles().count(_.getName.endsWith(".json"))
     val mem = MemoryStream[Long]
     val q = StreamingOps.catalogAppendStream(
-      mem.toDF().selectExpr("value AS k"), "eo_cat.ws.sink", ckpt)
+      mem.toDF().selectExpr("value AS k"), "eo_cat.ws.sink", ckpt,
+      analyzeCols = Seq("k"))
     try {
       mem.addData(1L, 2L); q.processAllAvailable() // batch 0
-      mem.addData(3L); q.processAllAvailable()     // batch 1
-      assert(ks() === Set(1L, 2L, 3L))
+      mem.addData(30L); q.processAllAvailable()    // batch 1
+      assert(ks() === Set(1L, 2L, 30L))
       assert(versions() === 2)
     } finally q.stop()
+    // streaming auto-ANALYZE: the ingest maintained zone maps batch by
+    // batch, so a ranged read prunes WITHOUT any manual CALL analyze
+    graft.sources.catalog.ZoneMapScan.lastPrune = None
+    assert(spark.sql("SELECT count(*) FROM eo_cat.ws.sink WHERE k >= 30")
+      .collect()(0).getLong(0) === 1L)
+    val prune = graft.sources.catalog.ZoneMapScan.lastPrune
+    assert(prune.exists { case (kept, total) => kept < total },
+      s"streamed table did not prune: $prune")
     // crash-redelivery: the sink re-runs batch 1 (same id, same rows) —
     // the manifest-recorded batch id makes it a clean no-op
-    Seq(3L).toDF("k").writeTo("eo_cat.ws.sink")
+    Seq(30L).toDF("k").writeTo("eo_cat.ws.sink")
       .option("graft.batch-id", "1").append()
-    assert(ks() === Set(1L, 2L, 3L), s"replay duplicated rows: ${ks()}")
+    assert(ks() === Set(1L, 2L, 30L), s"replay duplicated rows: ${ks()}")
     assert(versions() === 2, "replay minted a new version")
     // the aborted replay left no orphan data files behind either
     val dataFiles = new java.io.File(root, "ws/sink").listFiles()
@@ -505,7 +514,7 @@ class StreamingSpec extends SparkSpec {
     // a genuinely new batch still appends
     Seq(4L).toDF("k").writeTo("eo_cat.ws.sink")
       .option("graft.batch-id", "2").append()
-    assert(ks() === Set(1L, 2L, 3L, 4L) && versions() === 3)
+    assert(ks() === Set(1L, 2L, 30L, 4L) && versions() === 3)
     assert(dataFiles >= 1)
   }
 
