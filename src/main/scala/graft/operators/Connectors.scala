@@ -1727,6 +1727,37 @@ object Connectors {
        |FROM lineitem WHERE l_orderkey % 3 = 0
        |GROUP BY l_returnflag ORDER BY flag""".stripMargin
 
+  // ---------------------------------------------------------------- q313
+
+  /** Catalog-resolved V2 functions ([[graft.sources.catalog
+    * .StagingFunctions]]): the bucketing scalar and the decimal-exact sum
+    * aggregate live IN the catalog and resolve by three-part name —
+    * `graft_stage.system.mod_bucket` / `.dsum4` — through Spark's DSv2
+    * function resolution (no session-local registration anywhere). The
+    * scalar carries the magic `invoke(long, int)` method, so the bucket
+    * computation compiles into whole-stage codegen; the aggregate runs
+    * Spark's distributed partial/merge plan with an exact BigDecimal state,
+    * so its result is partitioning-independent by construction. Oracle
+    * mirrors both with plain arithmetic: ((k%n)+n)%n and the Det decimal
+    * sum — a hash match proves the catalog functions compute exactly their
+    * declared semantics.
+    */
+  def q313CatalogFunctions(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_fn_src")
+    spark.sql(
+      """SELECT graft_stage.system.mod_bucket(o_custkey, 16) AS bucket,
+        |  count(*) AS n, graft_stage.system.dsum4(o_totalprice) AS total
+        |FROM orders_fn_src GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val q313Oracle: String =
+    s"""SELECT CAST(((o_custkey % 16) + 16) % 16 AS INT) AS bucket,
+       |  count(*) AS n, ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
@@ -1760,5 +1791,6 @@ object Connectors {
     GraftQuery.sql("q306_null_pruned_scan", q306NullPrunedScan, q306Oracle),
     GraftQuery.sql("q307_bloom_lookup", q307BloomLookup, q307Oracle),
     GraftQuery.sql("q308_restore_rollback", q308RestoreRollback, q308Oracle),
-    GraftQuery.sql("q309_check_constraint", q309CheckConstraint, q309Oracle))
+    GraftQuery.sql("q309_check_constraint", q309CheckConstraint, q309Oracle),
+    GraftQuery.sql("q313_catalog_functions", q313CatalogFunctions, q313Oracle))
 }

@@ -833,7 +833,75 @@ object TextAnalysis {
       |SELECT lang, bucket, count(*) AS n_occ, count(DISTINCT tok) AS n_terms
       |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q314
+
+  /** Vocabulary-growth (Heaps-law) and hapax audit — the corpus statistics
+    * a tokenizer/LM-prep pipeline reads before fixing a vocabulary size:
+    * at nested corpus prefixes of 1/8, 1/4, 1/2 and all of the documents
+    * (by doc_id — the deterministic, scale-relative prefix), how many
+    * token occurrences, how many DISTINCT types, and how many hapax
+    * legomena (count-1 types, the long-tail mass an OOV budget must
+    * absorb). Sub-linear vocab growth across the four points is Heaps'
+    * law; the hapax fraction tracks Zipf's tail without fitting an
+    * exponent (no log — SURVEY §5). One shuffle on token computes all four
+    * prefixes at once (per-type conditional counts, since prefixes nest),
+    * and the final summary is a 1-row aggregate unpivoted to four rows —
+    * the whole audit costs one pass over the corpus regardless of size.
+    */
+  def q314VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) // bounded 1-row read
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val perType = toks.groupBy(col("tok")).agg(
+      sum(when(col("doc_id") <= maxId / 8, 1L).otherwise(0L)).as("c8"),
+      sum(when(col("doc_id") <= maxId / 4, 1L).otherwise(0L)).as("c4"),
+      sum(when(col("doc_id") <= maxId / 2, 1L).otherwise(0L)).as("c2"),
+      count(lit(1)).as("c1"))
+    perType.agg(
+      sum(col("c8")).as("t8"), sum(when(col("c8") > 0, 1L).otherwise(0L)).as("v8"),
+      sum(when(col("c8") === 1, 1L).otherwise(0L)).as("h8"),
+      sum(col("c4")).as("t4"), sum(when(col("c4") > 0, 1L).otherwise(0L)).as("v4"),
+      sum(when(col("c4") === 1, 1L).otherwise(0L)).as("h4"),
+      sum(col("c2")).as("t2"), sum(when(col("c2") > 0, 1L).otherwise(0L)).as("v2"),
+      sum(when(col("c2") === 1, 1L).otherwise(0L)).as("h2"),
+      sum(col("c1")).as("t1"), sum(when(col("c1") > 0, 1L).otherwise(0L)).as("v1"),
+      sum(when(col("c1") === 1, 1L).otherwise(0L)).as("h1"))
+      .selectExpr(
+        """stack(4,
+          |  8, t8, v8, h8,
+          |  4, t4, v4, h4,
+          |  2, t2, v2, h2,
+          |  1, t1, v1, h1) AS (denom, n_tokens, n_vocab, n_hapax)""".stripMargin)
+      .orderBy(col("denom").desc)
+  }
+
+  val q314Oracle: String =
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |pt AS (SELECT tok,
+      |         CAST(sum(CASE WHEN doc_id <= (SELECT m // 8 FROM mx) THEN 1 ELSE 0 END) AS BIGINT) AS c8,
+      |         CAST(sum(CASE WHEN doc_id <= (SELECT m // 4 FROM mx) THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+      |         CAST(sum(CASE WHEN doc_id <= (SELECT m // 2 FROM mx) THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+      |         count(*) AS c1
+      |       FROM tk GROUP BY 1),
+      |s AS (SELECT
+      |  CAST(sum(c8) AS BIGINT) AS t8, CAST(sum(CASE WHEN c8 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v8,
+      |  CAST(sum(CASE WHEN c8 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h8,
+      |  CAST(sum(c4) AS BIGINT) AS t4, CAST(sum(CASE WHEN c4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+      |  CAST(sum(CASE WHEN c4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+      |  CAST(sum(c2) AS BIGINT) AS t2, CAST(sum(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+      |  CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+      |  CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |  CAST(sum(CASE WHEN c1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1
+      |FROM pt)
+      |SELECT 8 AS denom, t8 AS n_tokens, v8 AS n_vocab, h8 AS n_hapax FROM s
+      |UNION ALL SELECT 4, t4, v4, h4 FROM s
+      |UNION ALL SELECT 2, t2, v2, h2 FROM s
+      |UNION ALL SELECT 1, t1, v1, h1 FROM s
+      |ORDER BY denom DESC""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q314_vocab_growth", q314VocabGrowth, q314Oracle),
     GraftQuery.sql("q283_hashed_bow", q283HashedBow, q283Oracle),
     GraftQuery.sql("q37_lang_markers", q37LangMarkers, q37Oracle),
     GraftQuery.sql("q38_quality_score", q38QualityScore, q38Oracle),

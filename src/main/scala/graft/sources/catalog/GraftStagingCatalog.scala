@@ -66,7 +66,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * bucket/pseudo-directory nesting.
   */
 class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var root: Path = _
   private var fs: FileSystem = _
@@ -595,6 +596,20 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array("analyze", "bloom", "detail", "history", "optimize", "restore", "vacuum")
         .map(Identifier.of(namespace, _))
+    else Array.empty
+
+  // ---- catalog-resolved functions (DSv2 FunctionCatalog) -----------------
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    val nsOk = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
+    (if (nsOk) StagingFunctions.load(ident.name()) else None).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      StagingFunctions.names.map(Identifier.of(namespace, _)).toArray
     else Array.empty
 
   /** DDL rename of a table DIRECTORY. This is a user-facing management

@@ -1,0 +1,95 @@
+package graft.sources.catalog
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{AggregateFunction, BoundFunction,
+  ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+/** DSv2 `FunctionCatalog` surface of the staging catalog: functions that
+  * live IN the catalog (`SELECT graft_stage.system.mod_bucket(k, 16)`),
+  * resolved by Spark's V2 function resolution rather than session-local
+  * registration — the shape that lets every session sharing a catalog share
+  * its canonical derivations with no setup code.
+  *
+  *  - `mod_bucket(k BIGINT, n INT) → INT`: the non-negative hash-bucket
+  *    residue ((k % n) + n) % n — the catalog's one canonical bucketing so
+  *    writers (CLUSTER BY), readers, and maintenance agree on file
+  *    assignment. Implements the MAGIC METHOD (`invoke(long, int)`), so
+  *    Spark compiles the call straight into whole-stage codegen as a
+  *    static-dispatch method call — no InternalRow boxing on the hot path;
+  *    `produceResult` stays as the contractual interpreted fallback.
+  *  - `dsum4(x DOUBLE) → DOUBLE`: order-independent money-sum — each value
+  *    rounds to DECIMAL(18,4) (HALF_UP, the same rule Spark's
+  *    double→decimal cast applies) and accumulates in exact BigDecimal
+  *    arithmetic, so partial aggregation is bit-stable under ANY
+  *    partitioning. This is [[graft.operators.Det.dsum]] promoted from a
+  *    per-query convention to a catalog-level V2 `AggregateFunction`:
+  *    Spark plans it with distributed partial/merge states like any
+  *    built-in aggregate.
+  *
+  * Reference tie: the reference exposes no compute, so functions-as-catalog
+  * -objects is engine surface (Spark 4's FunctionCatalog); the determinism
+  * rules they encode are SURVEY §5's.
+  */
+private[catalog] object StagingFunctions {
+
+  val names: Seq[String] = Seq("dsum4", "mod_bucket")
+
+  def load(name: String): Option[UnboundFunction] = name.toLowerCase match {
+    case "mod_bucket" => Some(ModBucket)
+    case "dsum4"      => Some(DSum4)
+    case _            => None
+  }
+
+  object ModBucket extends UnboundFunction {
+    override def name(): String = "mod_bucket"
+    override def description(): String =
+      "mod_bucket(k BIGINT, n INT): non-negative residue of k modulo n — " +
+        "the catalog's canonical bucket assignment"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (inputType.length != 2)
+        throw new UnsupportedOperationException("mod_bucket expects (k BIGINT, n INT)")
+      Bound
+    }
+    object Bound extends ScalarFunction[Integer] {
+      override def name(): String = "mod_bucket"
+      override def canonicalName(): String = "graft.mod_bucket"
+      override def inputTypes(): Array[DataType] = Array(LongType, IntegerType)
+      override def resultType(): DataType = IntegerType
+      override def isResultNullable: Boolean = false
+      // magic method: codegen calls this directly, primitives in and out
+      def invoke(k: Long, n: Int): Int = (((k % n) + n) % n).toInt
+      override def produceResult(input: InternalRow): Integer =
+        invoke(input.getLong(0), input.getInt(1))
+    }
+  }
+
+  object DSum4 extends UnboundFunction {
+    override def name(): String = "dsum4"
+    override def description(): String =
+      "dsum4(x DOUBLE): sum of x rounded per-value to DECIMAL(18,4) — " +
+        "order-independent (exact decimal accumulation), returned as DOUBLE"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (inputType.length != 1)
+        throw new UnsupportedOperationException("dsum4 expects (x DOUBLE)")
+      Bound
+    }
+    object Bound extends AggregateFunction[java.math.BigDecimal, java.lang.Double] {
+      override def name(): String = "dsum4"
+      override def canonicalName(): String = "graft.dsum4"
+      override def inputTypes(): Array[DataType] = Array(DoubleType)
+      override def resultType(): DataType = DoubleType
+      override def isResultNullable: Boolean = false
+      override def newAggregationState(): java.math.BigDecimal = java.math.BigDecimal.ZERO
+      override def update(state: java.math.BigDecimal,
+          input: InternalRow): java.math.BigDecimal =
+        if (input.isNullAt(0)) state
+        else state.add(java.math.BigDecimal.valueOf(input.getDouble(0))
+          .setScale(4, java.math.RoundingMode.HALF_UP))
+      override def merge(a: java.math.BigDecimal,
+          b: java.math.BigDecimal): java.math.BigDecimal = a.add(b)
+      override def produceResult(state: java.math.BigDecimal): java.lang.Double =
+        state.doubleValue()
+    }
+  }
+}

@@ -120,16 +120,25 @@ object StreamingOps {
     * advisory: a crash between append and analyze costs pruning until the
     * next batch's analyze sweeps it up, never correctness.
     */
+  /** `bloomCols`: same incremental per-batch contract for the point-lookup
+    * Bloom sidecars — only the batch's NEW files get a bloom build, so an
+    * equality-probed serving table stays prunable under continuous ingest.
+    */
   def catalogAppendStream(rows: DataFrame, table: String,
-      checkpointDir: String, analyzeCols: Seq[String] = Nil): StreamingQuery =
+      checkpointDir: String, analyzeCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpointDir).outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         batch.writeTo(table).option("graft.batch-id", id.toString).append()
-        if (analyzeCols.nonEmpty) table.split("\\.") match {
+        if (analyzeCols.nonEmpty || bloomCols.nonEmpty) table.split("\\.") match {
           case Array(cat, ns, t) =>
-            graft.sources.catalog.StagingMaintenance.analyze(
-              batch.sparkSession, cat, ns, t, analyzeCols)
+            if (analyzeCols.nonEmpty)
+              graft.sources.catalog.StagingMaintenance.analyze(
+                batch.sparkSession, cat, ns, t, analyzeCols)
+            if (bloomCols.nonEmpty)
+              graft.sources.catalog.StagingMaintenance.analyzeBloom(
+                batch.sparkSession, cat, ns, t, bloomCols)
             ()
           case _ => ()
         }

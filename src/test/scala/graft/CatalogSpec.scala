@@ -1247,6 +1247,39 @@ class CatalogSpec extends SparkSpec {
     assert(built2 === 1, s"incremental built $built2")
   }
 
+  test("FunctionCatalog: catalog-resolved scalar (codegen magic method) and V2 aggregate") {
+    mountStage()
+    // scalar: canonical bucket assignment, negative keys included
+    val r = spark.sql(
+      "SELECT stage_t.system.mod_bucket(17L, 5) AS a, stage_t.system.mod_bucket(-3L, 5) AS b")
+      .collect()(0)
+    assert(r.getInt(0) === 2 && r.getInt(1) === 2, r.toString)
+    // the call compiles into the plan (V2 function resolution, not a UDF)
+    val plan = spark.sql("SELECT stage_t.system.mod_bucket(id, 7) AS bk FROM range(0, 100)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("mod_bucket") || plan.contains("invoke"), plan)
+    // V2 aggregate: decimal-exact distributed sum matches the Det convention
+    import spark.implicits._
+    val vals = Seq(1.00005, 2.33333, -0.5, 1e9 + 0.12345).toDF("x")
+    vals.createOrReplaceTempView("dsum_src")
+    val got = spark.sql("SELECT stage_t.system.dsum4(x) AS s FROM dsum_src")
+      .collect()(0).getDouble(0)
+    val want = vals.agg(graft.operators.Det.dsum(col("x"))).collect()(0).getDouble(0)
+    assert(got === want, s"$got vs $want")
+    // result is partitioning-independent (merge path exercised)
+    val got32 = spark.sql(
+      "SELECT stage_t.system.dsum4(x) AS s FROM (SELECT /*+ REPARTITION(32) */ x FROM dsum_src)")
+      .collect()(0).getDouble(0)
+    assert(got32 === want)
+    // unknown function fails with the standard analysis error
+    val e = intercept[Exception] { spark.sql("SELECT stage_t.system.nope(1)") }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    // discovery: SHOW FUNCTIONS surfaces the catalog's functions
+    val fns = spark.sql("SHOW FUNCTIONS IN stage_t.system").collect()
+      .map(_.getString(0)).toSet
+    assert(fns.exists(_.contains("mod_bucket")) && fns.exists(_.contains("dsum4")), fns)
+  }
+
   test("unknown namespace and table fail with the standard analysis errors") {
     mount()
     val e = intercept[Exception] { spark.sql("SHOW TABLES IN graft_cat.`nope`").collect() }

@@ -485,11 +485,11 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[Long]
     val q = StreamingOps.catalogAppendStream(
       mem.toDF().selectExpr("value AS k"), "eo_cat.ws.sink", ckpt,
-      analyzeCols = Seq("k"))
+      analyzeCols = Seq("k"), bloomCols = Seq("k"))
     try {
-      mem.addData(1L, 2L); q.processAllAvailable() // batch 0
+      mem.addData(1L, 20L); q.processAllAvailable() // batch 0
       mem.addData(30L); q.processAllAvailable()    // batch 1
-      assert(ks() === Set(1L, 2L, 30L))
+      assert(ks() === Set(1L, 20L, 30L))
       assert(versions() === 2)
     } finally q.stop()
     // streaming auto-ANALYZE: the ingest maintained zone maps batch by
@@ -500,11 +500,20 @@ class StreamingSpec extends SparkSpec {
     val prune = graft.sources.catalog.ZoneMapScan.lastPrune
     assert(prune.exists { case (kept, total) => kept < total },
       s"streamed table did not prune: $prune")
+    // streaming bloom maintenance: a point probe for an ABSENT key is
+    // bloom-pruned to zero files (ranges alone could not prove absence of
+    // an interior value like 17)
+    graft.sources.catalog.ZoneMapScan.lastPrune = None
+    assert(spark.sql("SELECT count(*) FROM eo_cat.ws.sink WHERE k = 17").collect()(0)
+      .getLong(0) === 0L)
+    val bprune = graft.sources.catalog.ZoneMapScan.lastPrune
+    assert(bprune.exists { case (kept, _) => kept === 0 },
+      s"streamed blooms did not prune the absent-key probe: $bprune")
     // crash-redelivery: the sink re-runs batch 1 (same id, same rows) —
     // the manifest-recorded batch id makes it a clean no-op
     Seq(30L).toDF("k").writeTo("eo_cat.ws.sink")
       .option("graft.batch-id", "1").append()
-    assert(ks() === Set(1L, 2L, 30L), s"replay duplicated rows: ${ks()}")
+    assert(ks() === Set(1L, 20L, 30L), s"replay duplicated rows: ${ks()}")
     assert(versions() === 2, "replay minted a new version")
     // the aborted replay left no orphan data files behind either
     val dataFiles = new java.io.File(root, "ws/sink").listFiles()
@@ -514,7 +523,7 @@ class StreamingSpec extends SparkSpec {
     // a genuinely new batch still appends
     Seq(4L).toDF("k").writeTo("eo_cat.ws.sink")
       .option("graft.batch-id", "2").append()
-    assert(ks() === Set(1L, 2L, 30L, 4L) && versions() === 3)
+    assert(ks() === Set(1L, 20L, 30L, 4L) && versions() === 3)
     assert(dataFiles >= 1)
   }
 
