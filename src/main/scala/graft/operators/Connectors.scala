@@ -1758,6 +1758,73 @@ object Connectors {
        |  count(*) AS n, ${graft.operators.Det.dsumSql("o_totalprice")} AS total
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q315
+
+  /** `INSERT OVERWRITE … PARTITION` — atomic replace-partition, the daily
+    * re-load/restatement contract of a partitioned 100 TB ingest layout.
+    * SupportsOverwrite on the staging write path commits the statement's
+    * delete phase and insert phase as ONE manifest: the target partition's
+    * files (constant zone maps ⇒ provably all-matching) drop
+    * METADATA-ONLY, untouched partitions carry BY NAME, and the fresh
+    * files join in the same create-exclusive commit — no reader can
+    * observe a truncated-but-not-reloaded table, and the pre-overwrite
+    * version stays pinnable until VACUUM. In-query requires prove: exactly
+    * one version minted, zero files read or rewritten by the delete phase,
+    * and the untouched partition carried verbatim. Oracle recomputes the
+    * restatement (F-partition prices doubled) straight from `orders`.
+    */
+  def q315InsertOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_ow_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_ow")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_ow
+        |(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+        |PARTITIONED BY (o_orderstatus)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.orders_ow
+        |SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders_ow_src""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "orders_ow", targetFiles = 2,
+      partitionBy = Some("o_orderstatus"))
+    graft.sources.catalog.StagingMaintenance.analyze(
+      spark, "graft_stage", "work", "orders_ow", Seq("o_orderstatus"))
+    val before = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_ow")
+    val carried = before.filterNot(_.startsWith("o_orderstatus=F/")).toSet
+    val versions = graft.sources.catalog.StagingMaintenance
+      .history(spark, "graft_stage", "work", "orders_ow").count()
+    // restatement: reload partition F with corrected (doubled) prices
+    spark.sql(
+      """INSERT OVERWRITE graft_stage.work.orders_ow PARTITION (o_orderstatus = 'F')
+        |SELECT o_orderkey, o_totalprice * 2 FROM orders_ow_src
+        |WHERE o_orderstatus = 'F'""".stripMargin)
+    val after = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_ow")
+    require(carried.subsetOf(after.toSet), "untouched partitions must carry by name")
+    require(!after.exists(_.startsWith("o_orderstatus=F/")),
+      "replaced partition's old files must drop")
+    require(graft.sources.catalog.StagingMaintenance
+      .history(spark, "graft_stage", "work", "orders_ow").count() == versions + 1,
+      "overwrite must be ONE atomic commit")
+    val split = graft.sources.catalog.ZoneMapScan.lastDeleteSplit
+    require(split.exists { case (_, dropped, rewritten) => dropped > 0 && rewritten == 0 },
+      s"partition drop must be metadata-only: $split")
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.orders_ow GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val q315Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  ${graft.operators.Det.dsumSql(
+            "CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2 ELSE o_totalprice END")} AS total
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
@@ -1792,5 +1859,6 @@ object Connectors {
     GraftQuery.sql("q307_bloom_lookup", q307BloomLookup, q307Oracle),
     GraftQuery.sql("q308_restore_rollback", q308RestoreRollback, q308Oracle),
     GraftQuery.sql("q309_check_constraint", q309CheckConstraint, q309Oracle),
-    GraftQuery.sql("q313_catalog_functions", q313CatalogFunctions, q313Oracle))
+    GraftQuery.sql("q313_catalog_functions", q313CatalogFunctions, q313Oracle),
+    GraftQuery.sql("q315_insert_overwrite", q315InsertOverwrite, q315Oracle))
 }

@@ -279,7 +279,12 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     private val tableFs = fs
     override def name(): String = readDelegate.name
     override def schema(): StructType = readDelegate.schema
-    override def capabilities(): util.Set[TableCapability] = readDelegate.capabilities()
+    override def capabilities(): util.Set[TableCapability] = {
+      val c = new util.HashSet[TableCapability](readDelegate.capabilities())
+      c.add(TableCapability.OVERWRITE_BY_FILTER) // INSERT OVERWRITE (replace-partition)
+      c.add(TableCapability.TRUNCATE)
+      c
+    }
     override def partitioning(): Array[Transform] =
       GraftStagingCatalog.partitionCols(tableFs, dir)
         .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
@@ -362,7 +367,29 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       // schema, enforced per row inside the write tasks
       val check = CheckConstraint.read(tableFs, dir).map(c =>
         (c, CheckConstraint.compile(SparkSession.active, c, info.schema())))
-      new WriteBuilder {
+      // INSERT OVERWRITE (SupportsOverwrite): the statement's delete-rows
+      // phase and its insert phase commit as ONE manifest write — survivors
+      // of the delete (computed with the same zone-map three-way split
+      // DELETE uses: untouched carried by name, fully-matching files
+      // dropped metadata-only, partial files rewritten) plus the fresh
+      // files become the new version atomically. The inner parquet write
+      // is NEVER put into overwrite mode — replacement is pure manifest
+      // arithmetic, old files stay pinnable until VACUUM. On a partitioned
+      // table `INSERT OVERWRITE … PARTITION (k=…)` is therefore the
+      // classic replace-partition ingest: untouched partitions carry by
+      // name, the target partition's files drop metadata-only.
+      new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
+        private var overwriteFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None
+        override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+            : WriteBuilder = {
+          // an all-AlwaysTrue array is TRUNCATE — normalize to the empty
+          // array deleteWhere treats as the metadata-only full drop
+          overwriteFilters = Some(
+            if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+              Array.empty
+            else filters)
+          this
+        }
         override def build(): Write = new Write {
           private val innerWrite = inner.build()
           override def description(): String = innerWrite.description()
@@ -391,8 +418,20 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
               // duplicate rows when the failed statement is retried.
               val before = GraftStagingCatalog.dataFiles(tableFs, dir).toSet
               d.commit(messages)
-              // only a SUCCESSFUL commit becomes a version
-              GraftStagingCatalog.writeCommitManifest(tableFs, dir, before, batchId)
+              overwriteFilters match {
+                case Some(filters) =>
+                  // fresh files FIRST (filesAfterDelete may move rewritten
+                  // remainders into the dir — they must not be counted as
+                  // this statement's inserts)
+                  val fresh = GraftStagingCatalog.dataFiles(tableFs, dir).filterNot(before)
+                  val kept = GraftStagingCatalog.filesAfterDelete(tableFs, dir, filters)
+                  GraftStagingCatalog.writeExplicitManifest(tableFs, dir, kept ++ fresh,
+                    kind = "overwrite", expectedBase = Some(snapshotVersion))
+                  ()
+                case None =>
+                  // only a SUCCESSFUL commit becomes a version
+                  GraftStagingCatalog.writeCommitManifest(tableFs, dir, before, batchId)
+              }
             }
             override def abort(messages: Array[WriterCommitMessage]): Unit =
               d.abort(messages)
@@ -1116,7 +1155,19 @@ object GraftStagingCatalog {
     * conservatively rewritten (correct, just not minimal).
     */
   private[catalog] def deleteWhere(fs: FileSystem, d: Path,
-      filters: Array[org.apache.spark.sql.sources.Filter], baseVersion: Long): Unit = {
+      filters: Array[org.apache.spark.sql.sources.Filter], baseVersion: Long): Unit =
+    writeExplicitManifest(fs, d, filesAfterDelete(fs, d, filters),
+      kind = "delete", expectedBase = Some(baseVersion))
+
+  /** The file set that SURVIVES deleting rows matching `filters` — the
+    * shared kernel of DELETE (survivors become the new version) and
+    * INSERT OVERWRITE (survivors ++ the statement's fresh files become one
+    * atomic replacement version). Rewritten remainders are moved into the
+    * table dir but NOT committed here — the caller's single manifest write
+    * is the commit point, so overwrite's delete-and-insert can never tear.
+    */
+  private[catalog] def filesAfterDelete(fs: FileSystem, d: Path,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Seq[String] = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val spark = SparkSession.active
     val pred = filters.flatMap(filterToColumn(_)).reduceOption(_ && _).getOrElse(lit(true))
@@ -1160,7 +1211,7 @@ object GraftStagingCatalog {
         untouched ++ moved
       }
     ZoneMapScan.lastDeleteSplit = Some((untouched.size, dropped.size, touched.size))
-    writeExplicitManifest(fs, d, kept, kind = "delete", expectedBase = Some(baseVersion))
+    kept
   }
 
   private[catalog] def manifestKind(fs: FileSystem, mf: Path): String =

@@ -46,7 +46,8 @@ class SeqSource extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new SeqTable(opts.getLong("rows", 1000L), opts.getInt("parts", 4),
-      opts.getOrDefault("layout", "range") == "bucket")
+      opts.getOrDefault("layout", "range") == "bucket",
+      opts.getLong("rowsPerBatch", 100L))
   }
 }
 
@@ -60,6 +61,8 @@ object SeqSource {
   val runtimeFilterEvents = new java.util.concurrent.atomic.AtomicLong(0)
   val lastPlannedRange =
     new java.util.concurrent.atomic.AtomicReference[(Long, Long)]((0L, 0L))
+  /** Highest stream offset Spark has committed (streaming face test hook). */
+  val lastCommittedStreamOffset = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** splitmix64 finalizer — deterministic, engine-independent. */
   def mix(z0: Long): Long = {
@@ -70,14 +73,15 @@ object SeqSource {
   }
 }
 
-class SeqTable(rows: Long, parts: Int, bucketLayout: Boolean = false)
+class SeqTable(rows: Long, parts: Int, bucketLayout: Boolean = false,
+    rowsPerBatch: Long = 100L)
     extends Table with SupportsRead with SupportsMetadataColumns {
   override def name(): String = s"graft_seq(rows=$rows, parts=$parts)"
   override def schema(): StructType = SeqSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(rows, parts, bucketLayout)
+    new SeqScanBuilder(rows, parts, bucketLayout, rowsPerBatch)
 
   /** Split-provenance metadata columns (`_split_start`/`_split_end`): hidden
     * from `SELECT *` but selectable by name, the DSv2 twin of
@@ -100,7 +104,8 @@ class SeqTable(rows: Long, parts: Int, bucketLayout: Boolean = false)
     })
 }
 
-class SeqScanBuilder(rows: Long, parts: Int, bucketLayout: Boolean = false)
+class SeqScanBuilder(rows: Long, parts: Int, bucketLayout: Boolean = false,
+    rowsPerBatch: Long = 100L)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = SeqSource.schema
@@ -234,7 +239,7 @@ class SeqScanBuilder(rows: Long, parts: Int, bucketLayout: Boolean = false)
     pushedAgg match {
       case Some(agg)              => new SeqAggScan(clo, chi, agg)
       case None if bucketLayout   => new SeqBucketScan(clo, chi, required)
-      case None                   => new SeqScan(clo, chi, parts, required)
+      case None                   => new SeqScan(clo, chi, parts, required, rowsPerBatch)
     }
   }
 }
@@ -316,7 +321,8 @@ class SeqAggScan(lo: Long, hi: Long, agg: Aggregation) extends Scan with Batch {
 
 case class SeqAggPartition(rows: Array[Array[Any]]) extends InputPartition
 
-class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType)
+class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
+    rowsPerBatch: Long = 100L)
     extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
   // Runtime (DPP-style) narrowing on top of the planning-time clip: when
   // this scan probes a join whose build side produced a small key set,
@@ -381,6 +387,72 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SeqMicroBatchStream(lo, hi, parts, required, rowsPerBatch)
+}
+
+/** The STREAMING face of the connector (`TableCapability.MICRO_BATCH_READ`):
+  * the same deterministic sequence served as a rate-limited micro-batch
+  * stream. The offset is the high-water row index — one monotone long,
+  * JSON-serialized into Spark's checkpoint. Admission control is the
+  * STATELESS modern protocol (`SupportsAdmissionControl`, the shape Spark's
+  * own rate source uses): `latestOffset(start, limit)` is a pure function
+  * of the checkpointed start — `min(start + rowsPerBatch, rows)` — so
+  * restart recovery needs no source-side state at all, and
+  * `reportLatestOffset` tells the engine how much lag remains. Batches
+  * ((start, end]) are planned as the SAME even range splits the batch scan
+  * uses and read by the SAME reader factory — one data path, two execution
+  * modes, exactly the relationship the reference's FileSystem has with
+  * whatever engine drives it. `commit` just records a test-visible
+  * high-water mark.
+  */
+class SeqMicroBatchStream(lo: Long, hi: Long, parts: Int, required: StructType,
+    perBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  override def initialOffset(): Offset = SeqOffset(lo)
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.trim.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(perBatch)
+  override def reportLatestOffset(): Offset = SeqOffset(hi)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SeqOffset].index
+    val step = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => m.maxRows()
+      case _                                                            => perBatch
+    }
+    SeqOffset(math.min(s + math.max(1L, step), hi))
+  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control path")
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].index
+    val e = end.asInstanceOf[SeqOffset].index
+    val total = math.max(0L, e - s)
+    val base = total / parts
+    val extra = total % parts
+    var cur = s
+    (0 until parts).flatMap { i =>
+      val len = base + (if (i < extra) 1 else 0)
+      val p = if (len > 0) Some(SeqPartition(cur, cur + len)) else None
+      cur += len
+      p
+    }.toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required.fieldNames)
+  override def commit(end: Offset): Unit =
+    SeqSource.lastCommittedStreamOffset.set(end.asInstanceOf[SeqOffset].index)
+  override def stop(): Unit = ()
+}
+
+case class SeqOffset(index: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = index.toString
 }
 
 case class SeqPartition(start: Long, end: Long) extends InputPartition

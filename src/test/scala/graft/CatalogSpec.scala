@@ -219,16 +219,15 @@ class CatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM stage_t.ws.tt VERSION AS OF 99").collect()
     }
     assert(e.getMessage.contains("no version 99"), e.getMessage)
-    // append-only invariant: INSERT OVERWRITE is refused, so every
-    // manifest's file set stays readable forever
-    val e2 = intercept[Exception] {
-      spark.sql("INSERT OVERWRITE stage_t.ws.tt SELECT o_orderkey, o_totalprice FROM tt_src LIMIT 1")
-    }
-    assert(e2.getMessage.toLowerCase.contains("overwrite") ||
-      e2.getMessage.toLowerCase.contains("truncate"), e2.getMessage)
-    // history survived the refused overwrite
+    // copy-on-write invariant: INSERT OVERWRITE (supported since r8) is a
+    // NEW version — every earlier manifest's file set stays readable
+    spark.sql(
+      "INSERT OVERWRITE stage_t.ws.tt SELECT o_orderkey, o_totalprice FROM tt_src LIMIT 1")
+    assert(spark.table("stage_t.ws.tt").count() === 1L)
     assert(spark.sql("SELECT count(*) FROM stage_t.ws.tt VERSION AS OF 1")
-      .collect()(0).getLong(0) === n1)
+      .collect()(0).getLong(0) === n1, "overwrite must not disturb pinned history")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.tt VERSION AS OF 2")
+      .collect()(0).getLong(0) === n2)
   }
 
   test("staging maintenance: OPTIMIZE compacts as a new version; VACUUM reclaims unreferenced files") {
@@ -1278,6 +1277,51 @@ class CatalogSpec extends SparkSpec {
     val fns = spark.sql("SHOW FUNCTIONS IN stage_t.system").collect()
       .map(_.getString(0)).toSet
     assert(fns.exists(_.contains("mod_bucket")) && fns.exists(_.contains("dsum4")), fns)
+  }
+
+  test("INSERT OVERWRITE: atomic replace-partition via one manifest; truncate is metadata-only") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.ow")
+    spark.sql(
+      "CREATE TABLE stage_t.ws.ow (k BIGINT, grp STRING) PARTITIONED BY (grp)")
+    spark.sql(
+      """INSERT INTO stage_t.ws.ow
+        |SELECT id, CASE WHEN id < 500 THEN 'a' ELSE 'b' END FROM range(0, 1000)""".stripMargin)
+    // bed into grp=…/ dirs + constant zone maps (the partition contract)
+    spark.sql("CALL stage_t.optimize('ws', 'ow', 2, NULL, 'grp')")
+    spark.sql("CALL stage_t.analyze('ws', 'ow', 'grp')")
+    val filesBefore = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "stage_t", "ws", "ow")
+    val aFiles = filesBefore.filter(_.startsWith("grp=a/")).toSet
+    assert(aFiles.nonEmpty && filesBefore.exists(_.startsWith("grp=b/")))
+    val versionsBefore = spark.sql("CALL stage_t.history('ws', 'ow')").count()
+    // replace partition b: delete-and-insert lands as ONE version
+    spark.sql(
+      """INSERT OVERWRITE stage_t.ws.ow PARTITION (grp = 'b')
+        |SELECT id FROM range(2000, 2100)""".stripMargin)
+    val hist = spark.sql("CALL stage_t.history('ws', 'ow')").collect()
+    assert(hist.length === versionsBefore + 1, s"overwrite must be ONE commit: ${hist.length}")
+    assert(hist.last.getString(1) === "overwrite", hist.last.toString)
+    // content: partition a untouched (same files BY NAME), b replaced
+    val filesAfter = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "stage_t", "ws", "ow")
+    assert(filesAfter.filter(_.startsWith("grp=a/")).toSet === aFiles,
+      "untouched partition must carry by name")
+    assert(!filesAfter.exists(_.startsWith("grp=b/")), "old partition files must drop")
+    val got = spark.sql(
+      "SELECT grp, count(*) AS n, min(k) AS lo, max(k) AS hi FROM stage_t.ws.ow GROUP BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(("a", 500L, 0L, 499L), ("b", 100L, 2000L, 2099L)), got)
+    // pre-overwrite state stays pinnable (copy-on-write contract)
+    assert(spark.sql(
+      s"SELECT count(*) FROM stage_t.ws.ow VERSION AS OF ${versionsBefore}")
+      .collect()(0).getLong(0) === 1000L)
+    // INSERT OVERWRITE with no partition spec = truncate-and-load
+    spark.sql("INSERT OVERWRITE stage_t.ws.ow SELECT id, 'c' FROM range(0, 10)")
+    assert(spark.table("stage_t.ws.ow").count() === 10)
+    assert(spark.sql("SELECT DISTINCT grp FROM stage_t.ws.ow").collect()
+      .map(_.getString(0)).toSeq === Seq("c"))
   }
 
   test("unknown namespace and table fail with the standard analysis errors") {
