@@ -1825,6 +1825,50 @@ object Connectors {
             "CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2 ELSE o_totalprice END")} AS total
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q317
+
+  /** DEFAULT column values (`TableCatalogCapability
+    * .SUPPORT_COLUMN_DEFAULT_VALUE`): the catalog persists Spark's
+    * CURRENT_DEFAULT/EXISTS_DEFAULT field metadata in its schema sidecar,
+    * so (a) INSERTs that omit a defaulted column get it filled by the
+    * analyzer, and (b) after `ADD COLUMN … DEFAULT d`, rows in files
+    * written BEFORE the alter surface `d` at read time — schema evolution
+    * with NO backfill rewrite, the lakehouse answer to "add a column to
+    * 100 TB". The oracle recomputes both effects with literals.
+    */
+  def q317DefaultColumns(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.lineitem(spark, dir).createOrReplaceTempView("li_dft_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.li_dft")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.li_dft
+        |(k BIGINT, qty DOUBLE, grade STRING DEFAULT 'raw')""".stripMargin)
+    // era 1: grade omitted everywhere → CURRENT_DEFAULT fills 'raw'
+    spark.sql(
+      """INSERT INTO graft_stage.work.li_dft (k, qty)
+        |SELECT l_orderkey, l_quantity FROM li_dft_src WHERE l_orderkey % 4 = 0""".stripMargin)
+    // era 2: a new column with a default — no rewrite, old files backfill
+    spark.sql("ALTER TABLE graft_stage.work.li_dft ADD COLUMN batch INT DEFAULT 1")
+    spark.sql(
+      """INSERT INTO graft_stage.work.li_dft
+        |SELECT l_orderkey, l_quantity, 'checked', 2 FROM li_dft_src
+        |WHERE l_orderkey % 4 = 1""".stripMargin)
+    spark.sql(
+      """SELECT grade, batch, count(*) AS n,
+        |  CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |FROM graft_stage.work.li_dft GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  val q317Oracle: String =
+    s"""SELECT CASE WHEN l_orderkey % 4 = 0 THEN 'raw' ELSE 'checked' END AS grade,
+       |  CAST(CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE 2 END AS INT) AS batch,
+       |  count(*) AS n, ${graft.operators.Det.dsumSql("l_quantity")} AS total_qty
+       |FROM lineitem WHERE l_orderkey % 4 IN (0, 1)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
@@ -1860,5 +1904,6 @@ object Connectors {
     GraftQuery.sql("q308_restore_rollback", q308RestoreRollback, q308Oracle),
     GraftQuery.sql("q309_check_constraint", q309CheckConstraint, q309Oracle),
     GraftQuery.sql("q313_catalog_functions", q313CatalogFunctions, q313Oracle),
-    GraftQuery.sql("q315_insert_overwrite", q315InsertOverwrite, q315Oracle))
+    GraftQuery.sql("q315_insert_overwrite", q315InsertOverwrite, q315Oracle),
+    GraftQuery.sql("q317_default_columns", q317DefaultColumns, q317Oracle))
 }

@@ -387,7 +387,68 @@ object TextHygiene {
       |  CAST(sum(n_bg) AS BIGINT) AS total_bg, min(min_pkn) AS weakest_pkn
       |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q316
+
+  /** Span-corruption mask layout (the T5/UL2 denoising-objective prep,
+    * Raffel et al. §3.1.4): every token position draws a DETERMINISTIC
+    * pseudo-random value (md5 of doc_id:position — the q260/q283 device
+    * that replaces an RNG with something two engines can agree on
+    * bit-for-bit); positions hitting 1-in-20 open a corruption span that
+    * covers themselves and the next two tokens (mean span 3 ⇒ ≈15% target
+    * mask rate, the T5 default). "Is this position inside a span?" is a
+    * 3-row trailing window max — O(1) state per position, one doc-keyed
+    * shuffle for the whole corpus. The per-language report (tokens, masked
+    * count, span starts, realized mask rate) is what an objective-prep
+    * pipeline audits before committing a corruption config: the realized
+    * rate differs from the nominal 15% exactly where documents are shorter
+    * than the span length, and THAT is the number you want measured, not
+    * assumed.
+    */
+  def q316SpanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), posexplode(split(col("text"), " ")))
+      .withColumn("i", col("pos") + 1) // 1-based, matching the oracle's range()
+    val seeded = toks.withColumn("h",
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("i").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("start", when(col("h") % 20 === 0, 1L).otherwise(0L))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(-2, Window.currentRow)
+    seeded.withColumn("masked", when(max(col("start")).over(w) >= 1, 1L).otherwise(0L))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("masked")).as("n_masked"),
+        sum(col("start")).as("n_spans"))
+      .withColumn("mask_rate",
+        col("n_masked").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("lang"))
+  }
+
+  val q316Oracle: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+      |tk AS (SELECT doc_id, lang,
+      |         unnest([{'i': i} for i in range(1, len(ts) + 1)]).i AS i FROM t),
+      |sd AS (SELECT doc_id, lang, i,
+      |         CASE WHEN CAST(list_reduce([strpos('0123456789abcdef',
+      |                  substr(md5(doc_id || ':' || i), j, 1)) - 1
+      |                  for j in range(1, 9)], (a, b) -> a * 16 + b) AS BIGINT) % 20 = 0
+      |              THEN 1 ELSE 0 END AS start
+      |       FROM tk),
+      |mk AS (SELECT lang, start,
+      |         CASE WHEN max(start) OVER (PARTITION BY doc_id ORDER BY i
+      |                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 1
+      |              THEN 1 ELSE 0 END AS masked
+      |       FROM sd)
+      |SELECT lang, count(*) AS n_tokens,
+      |  CAST(sum(masked) AS BIGINT) AS n_masked,
+      |  CAST(sum(start) AS BIGINT) AS n_spans,
+      |  CAST(CAST(sum(masked) AS BIGINT) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS mask_rate
+      |FROM mk GROUP BY lang ORDER BY lang""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q316_span_corruption", q316SpanCorruption, q316Oracle),
     GraftQuery.sql("q310_kn_doc_quality", q310KnDocQuality, q310Oracle),
     GraftQuery.sql("q254_paragraph_dedup", q254ParagraphDedup, q254Oracle),
     GraftQuery.sql("q255_unigram_rarity", q255UnigramRarity, q255Oracle),

@@ -157,6 +157,18 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     if (ns == null) null else new Path(ns, ident.name())
   }
 
+  /** DEFAULT column values: Spark encodes `DEFAULT <expr>` into StructField
+    * metadata (CURRENT_DEFAULT / EXISTS_DEFAULT); the schema sidecar
+    * persists metadata verbatim, so declaring the capability is the whole
+    * create-side story — INSERTs that omit the column get CURRENT_DEFAULT
+    * filled by the analyzer, and files written before an ADD COLUMN surface
+    * EXISTS_DEFAULT instead of NULL at read time.
+    */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val d = requireNs(namespace)
     listDirs(d).map(_.getPath.getName)
@@ -206,8 +218,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
   // Every committed batch write (CTAS, INSERT INTO) also records a version
   // manifest `_graft_versions/v<N>.json` = {"ts": <commit millis>, "files":
   // [<current file names at commit>]} — written AFTER the delegate committer
-  // succeeds, so an aborted job leaves no version. INSERT OVERWRITE is
-  // refused (the write builder exposes no truncate face) and OPTIMIZE
+  // succeeds, so an aborted job leaves no version. INSERT OVERWRITE (r8)
+  // replaces purely by manifest arithmetic and OPTIMIZE
   // rewrites never delete, so every manifest's file set remains readable
   // until VACUUM explicitly drops its version — what makes `VERSION AS OF`
   // sound without Delta-style tombstone tracking. `SELECT … FROM
@@ -531,11 +543,22 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
         if (schema.fieldNames.exists(_.equalsIgnoreCase(add.fieldNames()(0))))
           throw new IllegalArgumentException(
             s"$catalogName: column ${add.fieldNames()(0)} already exists in ${ident.name()}")
-        if (!add.isNullable)
+        val default = Option(add.defaultValue())
+        if (!add.isNullable && default.isEmpty)
           throw new UnsupportedOperationException(
-            s"$catalogName: added columns must be nullable (existing files " +
-              "surface NULL for them)")
-        schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+            s"$catalogName: added columns must be nullable or carry a DEFAULT " +
+              "(existing files must surface SOMETHING for them)")
+        // DEFAULT: the SQL text goes into the standard metadata keys —
+        // CURRENT_DEFAULT fills future INSERTs that omit the column,
+        // EXISTS_DEFAULT is what pre-ADD files surface instead of NULL
+        val meta = default.fold(org.apache.spark.sql.types.Metadata.empty) { dv =>
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", dv.getSql)
+            .putString("EXISTS_DEFAULT", dv.getSql)
+            .build()
+        }
+        schema = StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
+          add.fieldNames()(0), add.dataType(), add.isNullable, meta))
       case del: TableChange.DeleteColumn =>
         if (del.fieldNames().length != 1)
           throw new UnsupportedOperationException(

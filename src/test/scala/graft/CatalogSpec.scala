@@ -1324,6 +1324,32 @@ class CatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("c"))
   }
 
+  test("DEFAULT column values: CREATE-time defaults fill omitted inserts; ADD COLUMN defaults backfill old files at read") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.dft")
+    spark.sql(
+      "CREATE TABLE stage_t.ws.dft (k BIGINT, v INT DEFAULT 42, tag STRING DEFAULT 'none')")
+    // INSERT omitting defaulted columns — the analyzer fills CURRENT_DEFAULT
+    spark.sql("INSERT INTO stage_t.ws.dft (k) VALUES (1), (2)")
+    spark.sql("INSERT INTO stage_t.ws.dft VALUES (3, 7, 'set')")
+    spark.sql("INSERT INTO stage_t.ws.dft (k, v) VALUES (4, DEFAULT)")
+    val rows = spark.table("stage_t.ws.dft").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows === Set((1L, 42, "none"), (2L, 42, "none"), (3L, 7, "set"),
+      (4L, 42, "none")), rows)
+    // ADD COLUMN with DEFAULT: rows in files written BEFORE the alter
+    // surface the default, not NULL (EXISTS_DEFAULT through the reader)
+    spark.sql("ALTER TABLE stage_t.ws.dft ADD COLUMN score INT DEFAULT 5")
+    val backfilled = spark.sql("SELECT k, score FROM stage_t.ws.dft").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(backfilled.values.forall(_ === 5), s"old files must surface the default: $backfilled")
+    // new inserts still fill it when omitted
+    spark.sql("INSERT INTO stage_t.ws.dft (k) VALUES (9)")
+    assert(spark.sql("SELECT score FROM stage_t.ws.dft WHERE k = 9")
+      .collect()(0).getInt(0) === 5)
+  }
+
   test("unknown namespace and table fail with the standard analysis errors") {
     mount()
     val e = intercept[Exception] { spark.sql("SHOW TABLES IN graft_cat.`nope`").collect() }
