@@ -278,9 +278,10 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     * INSERTs on the pure DSv2 write path (Spark's V1 fallback rule matches
     * only FileTable relations), so the commit hook below sees every write.
     * Reads go through the manifest-pinned delegate; writes target the table
-    * DIRECTORY (new part files land beside the old). The write builder
-    * exposes no truncate/overwrite face — staging tables are append-only,
-    * the invariant that keeps old versions readable.
+    * DIRECTORY (new part files land beside the old). The DATA layer is
+    * append-only — even INSERT OVERWRITE never deletes a file, it replaces
+    * by manifest arithmetic — the invariant that keeps old versions
+    * readable until VACUUM.
     */
   private class VersionedStagingTable(readDelegate: ParquetTable,
       writeDelegate: ParquetTable, dir: Path, snapshotVersion: Long,
