@@ -271,7 +271,7 @@ class PropertySpec extends SparkSpec {
       versions(1L) = ("commit", model.toSet)
       var v = 1L
       (0 until 10).foreach { _ =>
-        rng.nextInt(6) match {
+        rng.nextInt(8) match {
           case 0 | 1 => // append a fresh slice
             val (lo, hi) = freshRange(20 + rng.nextInt(60))
             spark.sql(s"INSERT INTO prop_cat.ws.t$trial SELECT id AS k FROM range($lo, $hi)")
@@ -300,6 +300,17 @@ class PropertySpec extends SparkSpec {
             val moved = model.rangeImpl(Some(a), Some(b)).toSeq
             model --= moved; model ++= moved.map(_ + 1000000L)
             v += 1; versions(v) = ("update", model.toSet)
+          case 6 => // metadata-only RESTORE to a random retained version
+            val target = versions.keys.toSeq(rng.nextInt(versions.size))
+            StagingMaintenance.restore(spark, "prop_cat", "ws", s"t$trial", target)
+            model.clear(); model ++= versions(target)._2
+            v += 1; versions(v) = ("restore", model.toSet)
+          case 7 => // atomic INSERT OVERWRITE (truncate-and-load)
+            val (lo, hi) = freshRange(20 + rng.nextInt(40))
+            spark.sql(s"INSERT OVERWRITE prop_cat.ws.t$trial " +
+              s"SELECT id AS k FROM range($lo, $hi)")
+            model.clear(); model ++= (lo until hi)
+            v += 1; versions(v) = ("overwrite", model.toSet)
         }
         // (a) current read == model
         val cur = spark.sql(s"SELECT k FROM prop_cat.ws.t$trial").collect().map(_.getLong(0))

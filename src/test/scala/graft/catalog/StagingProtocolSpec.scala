@@ -96,6 +96,29 @@ class StagingProtocolSpec extends graft.SparkSpec {
         assert(!vals.exists(v => evalL(f, v)),
           s"pruned file contains a match: filter=$f values=$vals")
     }
+    // Bloom-aware canMatch: the SAME soundness direction with the point-
+    // lookup sidecar in play. The model builds a REAL BloomFilter through
+    // the production hash (bloomHash == executors' xxhash64(cast(v AS
+    // string))), so a false negative anywhere in that path would surface
+    // here as a pruned file containing a match. False positives only
+    // over-keep (allowed); range stats and blooms compose by AND.
+    for (_ <- 1 to 2000) {
+      val vals = Seq.fill(1 + rng.nextInt(12))(rng.nextInt(200).toLong - 100L)
+      val stats: Map[(String, String), ZStat] = Map(("f", "c") -> LongZ(vals.min, vals.max))
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+      vals.foreach(v => bf.putLong(StagingMaintenance.bloomHash(v.toString)))
+      val blooms = Map(("f", "c") -> bf)
+      val f = mkFilterL(2)
+      if (!ZoneMapPrunedScan.canMatch(stats, Map.empty, blooms, "f", f))
+        assert(!vals.exists(v => evalL(f, v)),
+          s"bloom-pruned file contains a match: filter=$f values=$vals")
+      // a present value is NEVER bloom-pruned (no false negatives)
+      val present = vals(rng.nextInt(vals.length))
+      assert(ZoneMapPrunedScan.canMatch(stats, Map.empty, blooms, "f",
+        EqualTo("c", java.lang.Long.valueOf(present))),
+        s"present value $present bloom-pruned from $vals")
+    }
+
     // String ranges incl. prefix filters. The MODEL must mirror the real
     // comparators: parquet footer min/max are UNSIGNED-UTF-8-byte ordered,
     // and Spark evaluates string comparisons on UTF8String (the same byte
