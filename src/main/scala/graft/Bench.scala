@@ -15,6 +15,10 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // iterative graph queries reliably checkpoint per-round state; clean
+      // each query's checkpoint files once its RDDs are GC'd so a 300-query
+      // bench run doesn't accrete them in tmp
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -51,6 +55,14 @@ object Bench {
     // comma-separated query-name prefixes in SPARK_GRAFT_BENCH_ONLY.
     val only: Option[Seq[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    // DISPERSION GUARD (institutionalized after r8's q276 finding): when a
+    // query's two iterations disagree by more than 3×, something other than
+    // the plan is setting its cost — cache-eviction recompute, cross-query
+    // state bleed, or host contention. Flagged queries are reported in the
+    // JSON ("disp": name -> [iter1, iter2]) so a robustness regression is
+    // visible IN the bench artifact instead of only as cross-round drift.
+    val DispRatio = 3.0
+    val dispersion = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .flatMap { case (name, fn) =>
@@ -78,7 +90,15 @@ object Bench {
       // The threshold is recorded in the JSON line ("iter2_min_sec") so the
       // methodology is auditable across rounds.
       val sec = once(1).map { a =>
-        if (a < Iter2MinSec) a else once(2).map(math.min(a, _)).getOrElse(a)
+        if (a < Iter2MinSec) a
+        else once(2).map { b =>
+          if (math.max(a, b) > DispRatio * math.min(a, b)) {
+            dispersion(name) = (a, b)
+            System.err.println(
+              f"[bench] $name DISPERSION iter1=$a%.2fs iter2=$b%.2fs (> ${DispRatio}%.0fx)")
+          }
+          math.min(a, b)
+        }.getOrElse(a)
       }
       hygiene(sec.getOrElse(1.0))
       sec.map(name -> _)
@@ -111,9 +131,13 @@ object Bench {
     val qs = kept.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + short(k) + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    // normally {} — an entry here is a robustness flag, not a timing
+    val disp = dispersion.map { case (k, (a, b)) =>
+      "\"" + short(k) + "\":[" + fmtQ(a) + "," + fmtQ(b) + "]" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qtotal":${results.size},"qshown":${kept.size},"iter2_min_sec":$Iter2MinSec,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qtotal":${results.size},"qshown":${kept.size},"iter2_min_sec":$Iter2MinSec,"queries":$qs,"errors":$errs,"disp":$disp,"sf":"$sfDir"}"""
     if (line.length > 1850) // tail window 2000 minus sbt's trailing [success] line
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may exceed driver tail window")
     // The JSON goes to a side file FIRST (BENCH.json in the working dir —

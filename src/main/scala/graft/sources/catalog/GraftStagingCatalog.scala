@@ -437,7 +437,10 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
                   // remainders into the dir — they must not be counted as
                   // this statement's inserts)
                   val fresh = GraftStagingCatalog.dataFiles(tableFs, dir).filterNot(before)
-                  val kept = GraftStagingCatalog.filesAfterDelete(tableFs, dir, filters)
+                  // legacy un-versioned table: pre-existing data = the
+                  // PRE-insert listing, never this statement's fresh files
+                  val kept = GraftStagingCatalog.filesAfterDelete(tableFs, dir, filters,
+                    noManifestCurrent = Some(before.toSeq.sorted))
                   GraftStagingCatalog.writeExplicitManifest(tableFs, dir, kept ++ fresh,
                     kind = "overwrite", expectedBase = Some(snapshotVersion))
                   ()
@@ -1191,12 +1194,23 @@ object GraftStagingCatalog {
     * is the commit point, so overwrite's delete-and-insert can never tear.
     */
   private[catalog] def filesAfterDelete(fs: FileSystem, d: Path,
-      filters: Array[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      noManifestCurrent: Option[Seq[String]] = None): Seq[String] = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val spark = SparkSession.active
     val pred = filters.flatMap(filterToColumn(_)).reduceOption(_ && _).getOrElse(lit(true))
+    // `noManifestCurrent`: the caller's snapshot of what counts as
+    // pre-existing data when the table has NO version manifest. The
+    // INSERT OVERWRITE commit runs AFTER its insert phase landed fresh
+    // files, so a live directory listing here would treat the statement's
+    // own output as data-to-delete — on a filtered overwrite whose new rows
+    // don't all match the filter, surviving fresh rows would be rewritten
+    // into the remainder AND carried as fresh, duplicating them. The
+    // overwrite path therefore passes its pre-insert listing.
     val current = versionManifests(fs, d).lastOption
-      .map { case (_, mf) => manifestFiles(fs, mf) }.getOrElse(dataFiles(fs, d))
+      .map { case (_, mf) => manifestFiles(fs, mf) }
+      .orElse(noManifestCurrent)
+      .getOrElse(dataFiles(fs, d))
     val stats = StagingMaintenance.readStatsFor(fs, d)
     val nulls = StagingMaintenance.readNullsFor(fs, d)
     // conjunction semantics, three ways per file:

@@ -57,8 +57,17 @@ private[catalog] object StagingFunctions {
       override def inputTypes(): Array[DataType] = Array(LongType, IntegerType)
       override def resultType(): DataType = IntegerType
       override def isResultNullable: Boolean = false
-      // magic method: codegen calls this directly, primitives in and out
-      def invoke(k: Long, n: Int): Int = (((k % n) + n) % n).toInt
+      // magic method: codegen calls this directly, primitives in and out.
+      // n must be positive: raw % would throw an opaque codegen
+      // ArithmeticException on 0 and yield NEGATIVE residues for negative
+      // n, both violating the documented non-negative-bucket contract — so
+      // reject bad bucket counts loudly here (the interpreted
+      // produceResult path funnels through the same guard).
+      def invoke(k: Long, n: Int): Int = {
+        if (n <= 0) throw new IllegalArgumentException(
+          s"mod_bucket: bucket count must be a positive INT, got $n")
+        (((k % n) + n) % n).toInt
+      }
       override def produceResult(input: InternalRow): Integer =
         invoke(input.getLong(0), input.getInt(1))
     }

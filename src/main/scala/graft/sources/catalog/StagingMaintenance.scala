@@ -694,17 +694,27 @@ object StagingMaintenance {
     // CONCURRENCY GUARD: `referenced` was computed from a listing taken
     // above; an append/rewrite that commits in between could reference a
     // just-moved data file that `dead` is about to delete — corrupting the
-    // new current version. Re-list AFTER computing the delete set and abort
-    // if the head advanced (mirrors writeExplicitManifest's expectedBase
-    // check); the caller retries against the new version.
+    // new current version. A RESTORE is the sharpest case: it re-references
+    // old files this plan has already classified as dead. Re-checking alone
+    // is check-then-act — a commit can still land BETWEEN the re-check and
+    // the deletes — so the re-check AND the delete loop run while HOLDING
+    // the manifest-writer monitor (the same `synchronized` lock
+    // writeExplicitManifest / writeCommitManifest serialize commits on):
+    // within this JVM no manifest can be written while files are being
+    // reclaimed. The head re-check inside the lock aborts if a commit
+    // advanced the table since planning (the caller retries against the
+    // new version); multi-JVM deployments additionally need the store-level
+    // create-exclusive contract documented on tryCreateExclusive.
     val baseV = manifests.lastOption.map(_._1).getOrElse(0L)
-    val headNow = versionManifests(fs, d).lastOption.map(_._1).getOrElse(0L)
-    if (headNow != baseV)
-      throw new java.util.ConcurrentModificationException(
-        s"vacuum of $catalog.$ns.$table planned against version $baseV but head " +
-          s"is now $headNow — a concurrent commit landed; retry")
-    drop.foreach { case (_, f) => fs.delete(f, false) }
-    dead.foreach(f => fs.delete(new Path(d, f), false))
+    GraftStagingCatalog.synchronized {
+      val headNow = versionManifests(fs, d).lastOption.map(_._1).getOrElse(0L)
+      if (headNow != baseV)
+        throw new java.util.ConcurrentModificationException(
+          s"vacuum of $catalog.$ns.$table planned against version $baseV but head " +
+            s"is now $headNow — a concurrent commit landed; retry")
+      drop.foreach { case (_, f) => fs.delete(f, false) }
+      dead.foreach(f => fs.delete(new Path(d, f), false))
+    }
     // trim reclaimed files out of the advisory stats cache
     val stats = readStatsFor(fs, d)
     val deadSet = dead.toSet

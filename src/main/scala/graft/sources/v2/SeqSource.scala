@@ -411,7 +411,8 @@ class SeqScan(lo: Long, hi: Long, parts: Int, required: StructType,
 class SeqMicroBatchStream(lo: Long, hi: Long, parts: Int, required: StructType,
     perBatch: Long)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   override def initialOffset(): Offset = SeqOffset(lo)
@@ -419,13 +420,27 @@ class SeqMicroBatchStream(lo: Long, hi: Long, parts: Int, required: StructType,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(perBatch)
   override def reportLatestOffset(): Offset = SeqOffset(hi)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit,
+      ReadAllAvailable, ReadMaxRows}
     val s = start.asInstanceOf[SeqOffset].index
-    val step = limit match {
-      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => m.maxRows()
-      case _                                                            => perBatch
+    // ReadAllAvailable (Trigger.Once / AvailableNow) must consume the WHOLE
+    // remaining range, not one rowsPerBatch slice — treating it as a default
+    // step would make an all-available trigger silently process a fraction
+    // of the source. Composite limits take their tightest max-rows bound.
+    limit match {
+      case _: ReadAllAvailable => SeqOffset(hi)
+      case m: ReadMaxRows => SeqOffset(math.min(s + math.max(1L, m.maxRows()), hi))
+      case c: CompositeReadLimit =>
+        val maxRows = c.getReadLimits.collect { case m: ReadMaxRows => m.maxRows() }
+        if (maxRows.isEmpty) SeqOffset(hi)
+        else SeqOffset(math.min(s + math.max(1L, maxRows.min), hi))
+      case _ => SeqOffset(math.min(s + math.max(1L, perBatch), hi))
     }
-    SeqOffset(math.min(s + math.max(1L, step), hi))
   }
+  // AvailableNow support: the range end is fixed at construction, so the
+  // "prepare" step has nothing to snapshot — latestOffset already converges
+  // on `hi` for all-available limits.
+  override def prepareForTriggerAvailableNow(): Unit = ()
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is the admission-control path")

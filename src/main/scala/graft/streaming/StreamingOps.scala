@@ -218,8 +218,20 @@ object StreamingOps {
   /** Bookkeeping key the streaming MV keeps INSIDE the view table — the
     * last-applied micro-batch id rides the same atomic MERGE commit as the
     * delta, so "aggregates advanced" and "batch recorded" cannot tear.
+    *
+    * COLLISION-PROOF since r9: real group values are stored PREFIX-ENCODED
+    * (`v:<value>` for non-null groups, the bare sentinel `n:` for the NULL
+    * group) and the marker key is `m:` — three disjoint prefixes, so NO
+    * user group value (including one literally equal to the old
+    * `__graft_mv_batch` string) can collide with the bookkeeping row or the
+    * null group. [[mvServe]] decodes the prefix back off, so the serving
+    * face is unchanged.
     */
-  val MvBatchMarker = "__graft_mv_batch"
+  val MvBatchMarker = "m:"
+
+  /** Prefix-encode a group value into the MV's collision-proof key domain. */
+  private def mvEncodeGroup(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(g.isNull, lit("n:")).otherwise(concat(lit("v:"), g.cast("string")))
 
   /** CONTINUOUS incremental materialized-view maintenance — the streaming
     * twin of q256's batch refresh: tail the source catalog table's change
@@ -234,10 +246,12 @@ object StreamingOps {
     * it commits atomically WITH the delta (one manifest write), and each
     * batch first consults it — a crash-redelivered batch sees its own id
     * already recorded and skips. This is the Delta `txnAppId/txnVersion`
-    * idea expressed as an in-table row. At 100 TB the refresh cost is the
-    * day's new files + a |groups|-row merge — never a source re-scan.
+    * idea expressed as an in-table row, made collision-proof by the
+    * prefix encoding (see [[MvBatchMarker]]). At 100 TB the refresh cost
+    * is the day's new files + a |groups|-row merge — never a source
+    * re-scan.
     *
-    * Serve with [[mvServe]] (filters the marker row).
+    * Serve with [[mvServe]] (filters the marker row, decodes the prefix).
     */
   def mvMaintainStream(changes: DataFrame, mvTable: String, groupCol: String,
       sumCol: String, checkpointDir: String): StreamingQuery =
@@ -252,27 +266,34 @@ object StreamingOps {
         if (id > appliedId) {
           val view = s"graft_mv_delta_${System.nanoTime()}"
           batch
-            .groupBy(col(groupCol).cast("string").as("g"))
+            .groupBy(mvEncodeGroup(col(groupCol)).as("g"))
             .agg(count(lit(1)).as("n_d"),
               sum(col(sumCol).cast("decimal(28,4)")).as("s_d"))
             .unionByName(spark.range(1).select(
               lit(MvBatchMarker).as("g"), lit(id).as("n_d"),
               lit(BigDecimal(0)).cast("decimal(28,4)").as("s_d")))
             .createOrReplaceTempView(view)
-          spark.sql(
+          try spark.sql(
             s"""MERGE INTO $mvTable t USING $view s ON t.g = s.g
                |WHEN MATCHED THEN UPDATE SET
                |  n = CASE WHEN t.g = '$MvBatchMarker' THEN s.n_d ELSE t.n + s.n_d END,
                |  s = t.s + s.s_d
                |WHEN NOT MATCHED THEN INSERT (g, n, s) VALUES (s.g, s.n_d, s.s_d)""".stripMargin)
+          finally spark.catalog.dropTempView(view) // no per-batch view leak
         }
         ()
       }
       .start()
 
-  /** The MV's serving face: group rows only, marker filtered out. */
+  /** The MV's serving face: marker row filtered out, group prefix decoded
+    * back to the source value (`v:<x>` → `<x>`, the `n:` sentinel → NULL).
+    */
   def mvServe(spark: org.apache.spark.sql.SparkSession, mvTable: String): DataFrame =
     spark.table(mvTable).where(col("g") =!= lit(MvBatchMarker))
+      .select(
+        when(col("g") === lit("n:"), lit(null).cast("string"))
+          .otherwise(substring(col("g"), 3, Int.MaxValue)).as("g"),
+        col("n"), col("s"))
 
   /** One incoming embedding on the streaming vector-ingest surface. */
   final case class StreamVec(vec_id: Long, embedding: Array[Float])

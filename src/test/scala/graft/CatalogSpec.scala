@@ -1277,6 +1277,16 @@ class CatalogSpec extends SparkSpec {
     val fns = spark.sql("SHOW FUNCTIONS IN stage_t.system").collect()
       .map(_.getString(0)).toSet
     assert(fns.exists(_.contains("mod_bucket")) && fns.exists(_.contains("dsum4")), fns)
+    // bad bucket counts fail with the documented contract error, not a raw
+    // codegen division-by-zero / negative-residue leak
+    for (badN <- Seq(0, -4)) {
+      val bad = intercept[Exception] {
+        spark.sql(s"SELECT stage_t.system.mod_bucket(5L, $badN)").collect()
+      }
+      val msgs = Iterator.iterate(bad: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("positive"), s"n=$badN: $msgs")
+    }
   }
 
   test("INSERT OVERWRITE: atomic replace-partition via one manifest; truncate is metadata-only") {
@@ -1322,6 +1332,36 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("stage_t.ws.ow").count() === 10)
     assert(spark.sql("SELECT DISTINCT grp FROM stage_t.ws.ow").collect()
       .map(_.getString(0)).toSeq === Seq("c"))
+  }
+
+  test("filtered overwrite on a legacy un-versioned table never re-processes its own fresh files") {
+    // Regression: the overwrite commit runs AFTER its insert phase landed
+    // fresh files; on a table with NO version manifest the delete phase
+    // used to fall back to a live directory listing, treating the
+    // statement's own fresh files as pre-existing data — a filtered
+    // overwrite whose new rows don't all match the filter then rewrote the
+    // surviving fresh rows into the remainder AND carried them as fresh,
+    // duplicating them. The fix passes the pre-insert listing as the
+    // no-manifest current set.
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.legow")
+    spark.sql("CREATE TABLE stage_t.ws.legow (k BIGINT, grp STRING)")
+    spark.sql("INSERT INTO stage_t.ws.legow SELECT id, 'a' FROM range(0, 50)")
+    spark.sql("INSERT INTO stage_t.ws.legow SELECT id, 'b' FROM range(100, 150)")
+    // simulate a legacy (pre-versioning) table: drop the manifest dir
+    val vd = new java.io.File(stageRoot, "ws/legow/_graft_versions")
+    vd.listFiles().foreach(_.delete()); vd.delete()
+    // filtered overwrite whose NEW rows do NOT all match the filter: the
+    // 'c' row survives its own statement's delete predicate
+    import spark.implicits._
+    Seq((1000L, "a"), (1001L, "c")).toDF("k", "grp")
+      .writeTo("stage_t.ws.legow").overwrite(col("grp") === "a")
+    val got = spark.table("stage_t.ws.legow").groupBy(col("grp"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 1L, "b" -> 50L, "c" -> 1L),
+      s"fresh surviving rows must appear exactly once: $got")
   }
 
   test("DEFAULT column values: CREATE-time defaults fill omitted inserts; ADD COLUMN defaults backfill old files at read") {

@@ -353,26 +353,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("iterative graph ops hold O(1) cached state: superseded rounds unpersist eagerly") {
-    // An N-round iteration that persists each round's O(nodes)/O(edges)
-    // state without releasing the previous round accretes N copies in the
-    // cache until LRU eviction thrashes — at 100 TB that is the difference
-    // between a bounded working set and cache churn. Each loop must
-    // unpersist round k-1 once round k is materialized, leaving at most
-    // the input edge list + the final round persisted.
-    for ((name, maxCached) <- Seq(
-        ("q270_label_propagation", 2), // cached edges + final labels
-        ("q276_kcore_peel", 1),        // final round's edge list only
-        // checkpointed edges + final cached frontier + the 1-row seed
-        // checkpoint (localCheckpoint RDDs outlive DataFrame.unpersist;
-        // the seed is O(1), not round state)
-        ("q161_bfs_hops", 3))) {
+  test("iterative graph ops leave ZERO persisted round state (reliable checkpoint, not cache)") {
+    // Round state in the iterative graph family is RELIABLY checkpointed
+    // (lineage cut per round, durable files, zero recompute under
+    // eviction — the r8 `weak` fix), never left in the block-manager
+    // cache: an N-round iteration that persists per-round O(nodes)/O(edges)
+    // frames either accretes N copies (cache churn) or, worse, keeps full
+    // lineage whose eviction silently re-runs the whole chain. After each
+    // query completes, NO persisted RDDs may remain (build-phase caches
+    // must be unpersisted once folded into the checkpointed working set).
+    for (name <- Seq("q143_fixed_point_pagerank", "q270_label_propagation",
+        "q276_kcore_peel", "q161_bfs_hops")) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(name)(spark, sfDir).collect()
       val added = spark.sparkContext.getPersistentRDDs.keySet -- before
-      assert(added.size <= maxCached,
-        s"$name left ${added.size} persisted RDDs (max $maxCached): superseded " +
-          "round state is not being unpersisted")
+      assert(added.isEmpty,
+        s"$name left ${added.size} persisted RDDs: round state must live in " +
+          "reliable checkpoints, and build caches must be released")
     }
   }
 

@@ -78,6 +78,30 @@ class SeqSourceSpec extends SparkSpec {
         s"${got2.length} rows from ${got2.min}")
   }
 
+  test("Trigger.AvailableNow drains the whole remaining range, not one rowsPerBatch slice") {
+    // Regression: latestOffset used to treat ReadAllAvailable (Trigger.Once
+    // / AvailableNow's catch-up limit) as a single rowsPerBatch step, so an
+    // all-available trigger silently processed one slice and stopped.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_seqan_ckpt").toString
+    val sunk = new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]()
+    val q = spark.readStream
+      .format("graft.sources.v2.SeqSource")
+      .option("rows", 350).option("parts", 3).option("rowsPerBatch", 100)
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        sunk.put(id, batch.select("id").collect().map(_.getLong(0)))
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query did not terminate")
+    import scala.jdk.CollectionConverters._
+    val ids = sunk.asScala.values.flatten.toSeq
+    assert(ids.length === 350 && ids.toSet === (0L until 350L).toSet,
+      s"AvailableNow must drain all 350 rows exactly once, got ${ids.length}")
+  }
+
   test("planInputPartitions controls scan parallelism; ranges cover exactly [0, rows)") {
     val df = read(10000, 8)
     assert(df.rdd.getNumPartitions === 8)
