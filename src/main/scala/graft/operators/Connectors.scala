@@ -1873,7 +1873,79 @@ object Connectors {
        |FROM lineitem WHERE l_orderkey % 4 IN (0, 1)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q318
+
+  /** MERGE-ON-READ via equality-delete DELETION VECTORS — the q302 CDC
+    * workload replayed on the layout copy-on-write cannot fix: a
+    * HASH-DISTRIBUTED target (every file spans the whole keyspace — the
+    * q307 shape), where a keyed MERGE's matched keys touch EVERY file and
+    * file-granular COW still rewrites the entire table per batch. The
+    * table is created `'graft.write.mode'='merge-on-read'`, so Spark plans
+    * `WriteDelta` through [[graft.sources.catalog.DeletionVectors]]: the
+    * MERGE writes ONLY the new row versions as fresh files plus ONE DV
+    * sidecar of replaced keys — the in-query require proves ZERO
+    * pre-merge files were rewritten. The oracle is IDENTICAL to q302's
+    * (same data, same delta): the hash match IS the MOR ≡ COW proof. At
+    * 100 TB this bounds merge cost by O(changed rows); OPTIMIZE later
+    * folds the DVs back to a clean columnar layout (CatalogSpec covers
+    * fold, DV time travel, ghost-proof re-merge, and VACUUM retention).
+    */
+  def q318MergeOnRead(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_mor_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_mor")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_mor
+        |  (o_orderkey BIGINT NOT NULL, o_orderstatus STRING, o_totalprice DOUBLE)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read',
+        |               'graft.merge-keys'='o_orderkey')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.orders_mor
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_mor_src WHERE o_orderkey % 10 IN (0, 5)""".stripMargin)
+    // hash-distributed layout: NO clusterBy — each of the 8 files spans the
+    // whole keyspace, so the delta's matched keys hit every file
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "orders_mor", targetFiles = 8)
+    val before = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_mor").toSet
+    val hi = spark.sql("SELECT max(o_orderkey) FROM graft_stage.work.orders_mor")
+      .collect()(0).getLong(0) / 8L
+    spark.sql( // the q302 delta, verbatim
+      s"""MERGE INTO graft_stage.work.orders_mor t
+         |USING (SELECT o_orderkey, o_orderstatus, o_totalprice
+         |       FROM orders_mor_src
+         |       WHERE o_orderkey <= $hi
+         |         AND o_orderkey % 10 IN (5, 7)) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 1000.0D
+         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+         |  VALUES (s.o_orderkey, s.o_orderstatus, s.o_totalprice)""".stripMargin)
+    val after = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_mor").toSet
+    require(before.subsetOf(after),
+      s"merge-on-read rewrote ${(before -- after).size} files — DV regression")
+    require(graft.sources.catalog.StagingMaintenance
+      .activeDvs(spark, "graft_stage", "work", "orders_mor").nonEmpty,
+      "MOR merge committed no deletion vector")
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  min(o_orderkey) AS min_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.orders_mor
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  /** Same computation as q302's oracle — by design: hash equality across
+    * the two write paths is the MOR ≡ COW equivalence proof.
+    */
+  val q318Oracle: String = q302Oracle
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q318_merge_on_read", q318MergeOnRead, q318Oracle),
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
     GraftQuery.sql("q231_sink_roundtrip", q231SinkRoundtrip, q231Oracle),

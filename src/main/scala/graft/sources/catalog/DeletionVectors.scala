@@ -1,0 +1,275 @@
+package graft.sources.catalog
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader,
+  PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField,
+  StructType}
+
+/** Equality-delete DELETION VECTORS — the merge-on-read (MOR) write path for
+  * staging-catalog tables whose row-level churn is keyed but NOT clustered
+  * (the high-churn CDC shape: matched keys spread across every file, so the
+  * copy-on-write path rewrites the whole touched set per batch — write
+  * amplification proportional to touched-file BYTES, not changed rows).
+  *
+  * Model (the Iceberg equality-delete idea, file-scoped):
+  *
+  *  - A DV sidecar (`_graft_dv/dv-<token>.json`) records a KEY COLUMN, a
+  *    set of deleted key values, and the exact data files it applies to —
+  *    the files the row-level operation's scan planned, i.e. every file
+  *    that may still hold a stale row for those keys. Files written BY the
+  *    same operation (the new row versions) are never named, so the fresh
+  *    rows survive.
+  *  - The version manifest gains a `dvs` array naming the active sidecars;
+  *    a MOR commit ADDS files and DVs and rewrites NOTHING — the manifest
+  *    is previous-files ++ fresh, dvs ++ one.
+  *  - The READ path applies DVs inside the DSv2 scan: partitions holding a
+  *    DV'd file are planned one-file-per-partition, and their readers drop
+  *    rows whose key is in that file's delete set. Plain `SELECT`, time
+  *    travel, and the row-level operation's own scan (so a second MERGE
+  *    never re-matches ghost rows) all read through this.
+  *  - OPTIMIZE folds: it reads with DVs applied and commits `dvs = []`.
+  *
+  * Contract: the declared merge key (`graft.merge-keys` table property at
+  * CREATE) must be a ROW IDENTIFIER — unique per row, the CDC primary key.
+  * Equality deletes suppress EVERY stale row with a deleted key in the
+  * scoped files; with non-unique keys a partial UPDATE could suppress
+  * sibling rows (the same contract Iceberg's equality deletes carry).
+  *
+  * Reference tie: the reference's write surface updates each object
+  * independently and never rewrites neighbors
+  * (`CephRgwFileSystem.java:216-289`); DVs are that per-object write
+  * economy carried up to row-level semantics.
+  */
+object DeletionVectors {
+  val DvDir = "_graft_dv"
+  val MorSidecar = "_graft_mor.txt"
+
+  /** The declared MOR key column, when the table was created merge-on-read. */
+  def morKey(fs: FileSystem, d: Path): Option[String] = {
+    val p = new Path(d, MorSidecar)
+    if (GraftStagingCatalog.isFile(fs, p))
+      Some(GraftStagingCatalog.readString(fs, p).trim).filter(_.nonEmpty)
+    else None
+  }
+
+  def writeMorKey(fs: FileSystem, d: Path, key: String): Unit =
+    GraftStagingCatalog.writeString(fs, new Path(d, MorSidecar), key)
+
+  /** Canonical in-memory key value: integral keys normalize to Long,
+    * strings stay String — one representation for sidecar I/O, reader
+    * filters, and maintenance joins.
+    */
+  def canonicalize(v: Any): Any = v match {
+    case i: Int   => i.toLong
+    case i: java.lang.Integer => i.longValue()
+    case l: Long  => l
+    case l: java.lang.Long => l.longValue()
+    case s: String => s
+    case other => throw new IllegalArgumentException(
+      s"deletion vectors support integral and string keys, got ${other.getClass}")
+  }
+
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Write one DV sidecar; returns its DvDir-relative name for the manifest.
+    * Key values are JSON numbers (integral) or URL-encoded JSON strings.
+    */
+  def writeDv(fs: FileSystem, d: Path, keyCol: String, isString: Boolean,
+      files: Seq[String], keys: Set[Any]): String = {
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val name = s"dv-$token.json"
+    val dir = new Path(d, DvDir)
+    fs.mkdirs(dir)
+    val keyJson =
+      if (isString) keys.toSeq.map(k => "\"" + enc(k.asInstanceOf[String]) + "\"").sorted
+      else keys.toSeq.map(_.asInstanceOf[Long]).sorted.map(_.toString)
+    val json =
+      s"""{"key":"${enc(keyCol)}","type":"${if (isString) "string" else "long"}",""" +
+        s""""files":[${files.sorted.map(f => "\"" + f + "\"").mkString(",")}],""" +
+        s""""keys":[${keyJson.mkString(",")}]}"""
+    val out = fs.create(new Path(dir, name), false) // DVs are immutable: create-exclusive
+    try out.write(json.getBytes(UTF_8)) finally out.close()
+    name
+  }
+
+  /** Load the named DV sidecars into a per-file deleted-key map (keys merged
+    * across DVs naming the same file). Missing sidecars fail loudly — a DV
+    * is commit metadata, not an advisory cache.
+    */
+  def loadDvs(fs: FileSystem, d: Path, names: Seq[String]): Map[String, Set[Any]] =
+    if (names.isEmpty) Map.empty
+    else {
+      val perFile = scala.collection.mutable.Map.empty[String, Set[Any]]
+      names.foreach { n =>
+        val txt = GraftStagingCatalog.readString(fs, new Path(new Path(d, DvDir), n))
+        val isString = "\"type\":\"string\"".r.findFirstIn(txt).isDefined
+        val files = GraftStagingCatalog.parseArray(txt, "files")
+        val keysBody = ("\"keys\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+        val keys: Set[Any] =
+          if (keysBody.trim.isEmpty) Set.empty
+          else if (isString)
+            "\"([^\"]*)\"".r.findAllMatchIn(keysBody).map(m => dec(m.group(1)): Any).toSet
+          else keysBody.split(',').iterator.map(_.trim).filter(_.nonEmpty)
+            .map(_.toLong: Any).toSet
+        files.foreach(f => perFile(f) = perFile.getOrElse(f, Set.empty) ++ keys)
+      }
+      perFile.toMap
+    }
+
+  /** Deleted-key map in force at `manifest` (empty when the version carries
+    * no DVs — every pre-MOR table and every post-OPTIMIZE version).
+    */
+  def dvMapAt(fs: FileSystem, d: Path, manifest: Path): Map[String, Set[Any]] =
+    loadDvs(fs, d, GraftStagingCatalog.manifestDvs(fs, manifest))
+
+  /** Apply a DV map to a V1 DataFrame read of the table's files — the
+    * MAINTENANCE read path (OPTIMIZE fold, rename rewrite, overwrite's
+    * delete phase), where rows must not resurrect. File attribution rides
+    * `input_file_name()` matched on the BASENAME (part-file names carry job
+    * UUIDs — globally unique), and the delete is one broadcast anti-join on
+    * (file, key) — the shape that survives 100 TB (the DV set is bounded by
+    * churn since the last OPTIMIZE, never by table size).
+    */
+  def applyToRead(df: DataFrame, keyCol: String, dv: Map[String, Set[Any]]): DataFrame =
+    if (dv.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, split}
+      val spark = df.sparkSession
+      import spark.implicits._
+      def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
+      val pairs = dv.toSeq.flatMap { case (f, ks) => ks.iterator.map(k => (base(f), k)) }
+      val dvDf =
+        if (pairs.headOption.exists(_._2.isInstanceOf[String]))
+          pairs.map { case (f, k) => (f, k.asInstanceOf[String]) }.toDF("__gdv_f", "__gdv_k")
+        else pairs.map { case (f, k) => (f, k.asInstanceOf[Long]) }.toDF("__gdv_f", "__gdv_k")
+      val tagged = df.withColumn("__gdv_file",
+        element_at(split(input_file_name(), "/"), -1))
+      tagged.join(broadcast(dvDf),
+          tagged("__gdv_file") === dvDf("__gdv_f") &&
+            tagged(keyCol) === dvDf("__gdv_k"), "left_anti")
+        .drop("__gdv_file")
+    }
+
+  /** DV info threaded from the scan builder into the pruned scan: the
+    * per-file deleted keys, the key column's position and type in the
+    * DELEGATE's (possibly widened, table-ordered) read schema, the schema
+    * this scan REPORTS to Spark, and — when the key column had to be added
+    * for filtering — the delegate-row ordinals of the reported columns
+    * (readers project the key back off).
+    */
+  final case class DvScanInfo(
+      fileKeys: Map[String, Set[Any]],
+      keyOrdinal: Int,
+      keyType: DataType,
+      outputSchema: StructType,
+      projectOrdinals: Option[Array[Int]])
+
+  /** One DV-affected file's splits, planned as their own partition so the
+    * reader knows every row's file. Carries that file's deleted keys.
+    */
+  final case class DvPartition(inner: FilePartition, deleted: Set[Any])
+      extends InputPartition {
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  /** Repack pruned partitions for DV application: files with a DV entry
+    * move into one [[DvPartition]] per FILE (splits of the same file stay
+    * together); unaffected files keep the delegate's packing.
+    */
+  def repack(parts: Array[InputPartition], dv: Map[String, Set[Any]],
+      statKey: org.apache.hadoop.fs.Path => String): Array[InputPartition] = {
+    val out = Array.newBuilder[InputPartition]
+    val affected = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Set[Any], scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.execution.datasources.PartitionedFile])]
+    var idx = 0
+    parts.foreach {
+      case fp: FilePartition =>
+        val (hit, clean) = fp.files.partition(pf => dv.contains(statKey(pf.toPath)))
+        if (clean.nonEmpty) { out += FilePartition(idx, clean); idx += 1 }
+        hit.foreach { pf =>
+          val k = statKey(pf.toPath)
+          affected.getOrElseUpdate(k,
+            (dv(k), scala.collection.mutable.ArrayBuffer.empty))._2 += pf
+        }
+      case other => out += other
+    }
+    affected.valuesIterator.foreach { case (keys, pfs) =>
+      out += DvPartition(FilePartition(idx, pfs.toArray), keys)
+      idx += 1
+    }
+    out.result()
+  }
+
+  /** Reader factory applying DVs (and the widened-schema projection) around
+    * the delegate's row-based readers. Columnar reads are kept for
+    * unaffected partitions when no projection is needed; everything else
+    * goes row-based (the Iceberg MOR trade — paid only until OPTIMIZE
+    * folds the DVs away).
+    */
+  final class DvReaderFactory(inner: PartitionReaderFactory, info: DvScanInfo)
+      extends PartitionReaderFactory {
+    private val project: Option[Array[(Int, DataType, Boolean)]] =
+      info.projectOrdinals.map(_.zip(info.outputSchema.fields).map { case (ord, f) =>
+        (ord, f.dataType, f.nullable)
+      })
+
+    // BatchScanExec refuses MIXED row/columnar partitions, so a DV-active
+    // scan reads everything row-based (the Iceberg MOR trade, paid only
+    // until OPTIMIZE folds the DVs and the plain columnar path returns)
+    override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+    private def projected(r: PartitionReader[InternalRow]): PartitionReader[InternalRow] =
+      project.fold(r) { cols =>
+        import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+        new PartitionReader[InternalRow] {
+          private lazy val proj = UnsafeProjection.create(cols.toIndexedSeq.map {
+            case (i, dt, n) => BoundReference(i, dt, n)
+          })
+          override def next(): Boolean = r.next()
+          override def get(): InternalRow = proj(r.get())
+          override def close(): Unit = r.close()
+        }
+      }
+
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+      partition match {
+        case DvPartition(fp, deleted) =>
+          val base = inner.createReader(fp)
+          val ord = info.keyOrdinal
+          val isInt = info.keyType == IntegerType
+          val isLong = info.keyType == LongType
+          val filtered = new PartitionReader[InternalRow] {
+            private var current: InternalRow = _
+            override def next(): Boolean = {
+              while (base.next()) {
+                val row = base.get()
+                val keep =
+                  if (row.isNullAt(ord)) true // NULL keys are never DV'd
+                  else {
+                    val k: Any =
+                      if (isInt) row.getInt(ord).toLong
+                      else if (isLong) row.getLong(ord)
+                      else row.getUTF8String(ord).toString
+                    !deleted.contains(k)
+                  }
+                if (keep) { current = row; return true }
+              }
+              false
+            }
+            override def get(): InternalRow = current
+            override def close(): Unit = base.close()
+          }
+          projected(filtered)
+        case other => projected(inner.createReader(other))
+      }
+  }
+}

@@ -201,16 +201,17 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     // resolved version number is the SNAPSHOT this table object reads; a
     // row-level rewrite through it commits against exactly that base
     // (optimistic concurrency).
-    val (snapshotVersion, snapshotFiles, readPaths) = versionManifests(fs, d).lastOption match {
-      case Some((v, mf)) =>
-        val names = manifestFiles(fs, mf)
-        (v, Some(names), names.map(f => new Path(d, f).toString))
-      case None => (0L, None, Seq(d.toString))
-    }
+    val (snapshotVersion, snapshotFiles, readPaths, dvNames) =
+      versionManifests(fs, d).lastOption match {
+        case Some((v, mf)) =>
+          val names = manifestFiles(fs, mf)
+          (v, Some(names), names.map(f => new Path(d, f).toString), manifestDvs(fs, mf))
+        case None => (0L, None, Seq(d.toString), Seq.empty[String])
+      }
     new VersionedStagingTable(
       parquetTable(qualified(ident), readPaths, declaredSchema(fs, d)),
       parquetTable(qualified(ident), Seq(d.toString), declaredSchema(fs, d)),
-      d, snapshotVersion, snapshotFiles)
+      d, snapshotVersion, snapshotFiles, dvNames)
   }
 
   // ---- time travel -------------------------------------------------------
@@ -233,9 +234,40 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
   private def manifestTable(ident: Identifier, d: Path, mf: Path, label: String,
       version: Long): Table = {
     import GraftStagingCatalog._
-    parquetTable(s"${qualified(ident)}$label",
+    val pt = parquetTable(s"${qualified(ident)}$label",
       manifestFiles(fs, mf).map(f => new Path(d, f).toString),
       schemaAtVersion(fs, d, version))
+    // a pinned MOR version reads under ITS deletion vectors — without this,
+    // time travel would resurrect rows a MERGE had deleted by that version
+    val dvNames = manifestDvs(fs, mf)
+    val keyField = DeletionVectors.morKey(fs, d)
+      .flatMap(k => pt.schema.fields.find(_.name.equalsIgnoreCase(k)))
+    if (dvNames.isEmpty || keyField.isEmpty) pt
+    else new DvPinnedTable(pt, d, dvNames, keyField.get)
+  }
+
+  /** Read-only face of a time-travel-pinned MOR version: the delegate's
+    * parquet stack with that version's deletion vectors applied in the scan.
+    */
+  private class DvPinnedTable(delegate: ParquetTable, dir: Path, dvNames: Seq[String],
+      keyField: org.apache.spark.sql.types.StructField) extends Table with SupportsRead {
+    private val tableFs = fs
+    override def name(): String = delegate.name
+    override def schema(): StructType = delegate.schema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      delegate.newScanBuilder(options) match {
+        case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
+          new ZoneMapScanBuilder(fb,
+            StagingMaintenance.readStatsFor(tableFs, dir),
+            StagingMaintenance.readNullsFor(tableFs, dir),
+            dir.toString,
+            () => StagingMaintenance.readBloomsFor(tableFs, dir),
+            DeletionVectors.loadDvs(tableFs, dir, dvNames),
+            Some(keyField))
+        case other => other
+      }
   }
 
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -285,13 +317,32 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     */
   private class VersionedStagingTable(readDelegate: ParquetTable,
       writeDelegate: ParquetTable, dir: Path, snapshotVersion: Long,
-      snapshotFiles: Option[Seq[String]])
+      snapshotFiles: Option[Seq[String]], dvNames: Seq[String] = Seq.empty)
       extends Table with SupportsRead with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsDelete
       with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
     private val tableFs = fs
+    /** Merge-on-read declaration: the merge-key field, when the table was
+      * created with `'graft.write.mode'='merge-on-read'`. Reported
+      * non-nullable (as declared at CREATE — [[schema]] restores what
+      * FileTable's as-nullable normalization strips), which Spark's delta
+      * planning requires of row-ID attributes.
+      */
+    private lazy val morKeyField: Option[org.apache.spark.sql.types.StructField] =
+      DeletionVectors.morKey(tableFs, dir)
+        .flatMap(k => readDelegate.schema.fields.find(_.name.equalsIgnoreCase(k)))
+        .map(_.copy(nullable = false))
+    /** Deleted-key map in force at this snapshot (lazy: non-MOR tables and
+      * DV-free versions never pay the sidecar IO).
+      */
+    private lazy val dvMap: Map[String, Set[Any]] =
+      DeletionVectors.loadDvs(tableFs, dir, dvNames)
     override def name(): String = readDelegate.name
-    override def schema(): StructType = readDelegate.schema
+    override def schema(): StructType = morKeyField match {
+      case Some(key) => StructType(readDelegate.schema.fields.map(f =>
+        if (f.name.equalsIgnoreCase(key.name)) f.copy(nullable = false) else f))
+      case None => readDelegate.schema
+    }
     override def capabilities(): util.Set[TableCapability] = {
       val c = new util.HashSet[TableCapability](readDelegate.capabilities())
       c.add(TableCapability.OVERWRITE_BY_FILTER) // INSERT OVERWRITE (replace-partition)
@@ -316,12 +367,15 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       // `SELECT … WHERE` gets file skipping without the prunedScan side API.
       val stats = StagingMaintenance.readStatsFor(tableFs, dir)
       val hasBlooms = StagingMaintenance.hasBloomSidecar(tableFs, dir)
-      if (stats.isEmpty && !hasBlooms) inner
+      val dvOn = dvNames.nonEmpty && morKeyField.isDefined
+      if (stats.isEmpty && !hasBlooms && !dvOn) inner
       else inner match {
         case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
           new ZoneMapScanBuilder(fb, stats, StagingMaintenance.readNullsFor(tableFs, dir),
             dir.toString,
-            () => StagingMaintenance.readBloomsFor(tableFs, dir))
+            () => StagingMaintenance.readBloomsFor(tableFs, dir),
+            if (dvOn) dvMap else Map.empty,
+            if (dvOn) morKeyField else None)
         case other => other
       }
     }
@@ -336,7 +390,11 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     // Only predicates expressible as V1 source filters are accepted
     // (canDeleteWhere); Spark raises a clear error otherwise.
     override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-      filters.forall(f => GraftStagingCatalog.filterToColumn(f).isDefined)
+      // merge-on-read tables route EVERY row-level op through the delta
+      // path: a keyed DELETE there writes one deletion vector instead of a
+      // copy-on-write file rewrite
+      morKeyField.isEmpty &&
+        filters.forall(f => GraftStagingCatalog.filterToColumn(f).isDefined)
 
     override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
       GraftStagingCatalog.deleteWhere(tableFs, dir, filters, snapshotVersion)
@@ -363,8 +421,15 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
         : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
       new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
         override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
-          new StagingRowLevelOperation(info, readDelegate, writeDelegate, tableFs,
-            dir, snapshotVersion, snapshotFiles)
+          morKeyField match {
+            case Some(key) =>
+              // merge-on-read: delta writes + deletion vectors, zero rewrites
+              new StagingDeltaOperation(info, readDelegate, writeDelegate, tableFs,
+                dir, snapshotVersion, snapshotFiles, key, dvNames)
+            case None =>
+              new StagingRowLevelOperation(info, readDelegate, writeDelegate, tableFs,
+                dir, snapshotVersion, snapshotFiles)
+          }
       }
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       val inner = writeDelegate.newWriteBuilder(info)
@@ -441,8 +506,12 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
                   // PRE-insert listing, never this statement's fresh files
                   val kept = GraftStagingCatalog.filesAfterDelete(tableFs, dir, filters,
                     noManifestCurrent = Some(before.toSeq.sorted))
+                  // deletion vectors for CARRIED files stay in force
+                  // (rewritten files' entries become inert — their files
+                  // are no longer current); OPTIMIZE folds them away
                   GraftStagingCatalog.writeExplicitManifest(tableFs, dir, kept ++ fresh,
-                    kind = "overwrite", expectedBase = Some(snapshotVersion))
+                    kind = "overwrite", expectedBase = Some(snapshotVersion),
+                    dvs = dvNames)
                   ()
                 case None =>
                   // only a SUCCESSFUL commit becomes a version
@@ -494,8 +563,44 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     // fails the CREATE, not the first insert), enforced on every write path
     val check = Option(properties.get("check")).map(_.trim).filter(_.nonEmpty)
     check.foreach(c => CheckConstraint.compile(SparkSession.active, c, schema))
+    // MERGE-ON-READ declaration: 'graft.write.mode'='merge-on-read' routes
+    // row-level ops through deletion vectors ([[DeletionVectors]]); the
+    // mandatory 'graft.merge-keys' names the row-identifier column (UNIQUE
+    // per row — the CDC primary key; equality-delete contract).
+    val morKey: Option[String] =
+      Option(properties.get("graft.write.mode")).map(_.trim.toLowerCase) match {
+        case Some("merge-on-read") =>
+          val k = Option(properties.get("graft.merge-keys")).map(_.trim).filter(_.nonEmpty)
+            .getOrElse(throw new IllegalArgumentException(
+              s"$catalogName: merge-on-read tables require 'graft.merge-keys' " +
+                "(the unique row-identifier column)"))
+          if (k.contains(","))
+            throw new UnsupportedOperationException(
+              s"$catalogName: a single merge-key column is supported, got '$k'")
+          val f = schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+            throw new IllegalArgumentException(
+              s"$catalogName: merge-key column $k is not in the table schema"))
+          f.dataType match {
+            case org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.StringType => ()
+            case other => throw new UnsupportedOperationException(
+              s"$catalogName: merge-key must be INT/BIGINT/STRING, got $other")
+          }
+          // Spark's delta planning requires non-nullable row IDs — and a
+          // nullable row identifier is a modeling bug anyway
+          if (f.nullable) throw new IllegalArgumentException(
+            s"$catalogName: merge-key column $k must be declared NOT NULL")
+          Some(f.name)
+        case Some(other) if other != "copy-on-write" =>
+          throw new IllegalArgumentException(
+            s"$catalogName: unknown graft.write.mode '$other' " +
+              "(copy-on-write | merge-on-read)")
+        case _ => None
+      }
     fs.mkdirs(d)
     GraftStagingCatalog.writeString(fs, new Path(d, SchemaSidecar), schema.json)
+    morKey.foreach(k => DeletionVectors.writeMorKey(fs, d, k))
     if (partCols.nonEmpty)
       GraftStagingCatalog.writeString(fs, new Path(d, GraftStagingCatalog.PartitionSidecar),
         partCols.mkString("\n"))
@@ -621,9 +726,25 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       if (!GraftStagingCatalog.isFile(fs, snap))
         GraftStagingCatalog.writeString(fs, snap, before.json)
     }
+    // the MERGE KEY must survive the alter: renaming it re-points the MOR
+    // sidecar (the rename rewrite folds active DVs, so old-name DVs die
+    // with it); dropping it is refused
+    DeletionVectors.morKey(fs, d).foreach { k =>
+      val effective = renames.find(_._1.equalsIgnoreCase(k)).map(_._2).getOrElse(k)
+      if (!schema.fieldNames.exists(_.equalsIgnoreCase(effective)))
+        throw new IllegalArgumentException(
+          s"$catalogName: cannot drop merge-key column $k of merge-on-read " +
+            s"table ${ident.name()}")
+    }
     // renames rewrite the data under the new name (versioned, optimistic)
-    if (renames.nonEmpty)
+    if (renames.nonEmpty) {
       GraftStagingCatalog.rewriteRenamed(fs, d, renames, before)
+      DeletionVectors.morKey(fs, d).foreach { k =>
+        renames.find(_._1.equalsIgnoreCase(k)).foreach { case (_, to) =>
+          DeletionVectors.writeMorKey(fs, d, to)
+        }
+      }
+    }
     GraftStagingCatalog.writeString(fs, sidecar, schema.json)
     loadTable(ident)
   }
@@ -874,6 +995,231 @@ private class StagingRowLevelOperation(
     }
 }
 
+/** Composite commit message of the delta (merge-on-read) write path: the
+  * delegate parquet writer's message (absent when the task wrote no rows —
+  * a delete-only task creates NO file) plus the keys this task deleted or
+  * replaced.
+  */
+private case class DvDeltaMsg(inner: Option[WriterCommitMessage], deleted: Array[Any])
+    extends WriterCommitMessage
+
+/** DELTA-BASED row-level operation (SQL UPDATE / MERGE INTO / DELETE) —
+  * MERGE-ON-READ via equality-delete deletion vectors
+  * ([[DeletionVectors]]), selected when the table was created with
+  * `'graft.write.mode'='merge-on-read'`.
+  *
+  * Spark sees [[org.apache.spark.sql.connector.write.SupportsDelta]] and
+  * plans `WriteDelta` instead of `ReplaceData`: the writers receive per-ROW
+  * actions — `insert(row)`, `update(id, row)`, `delete(id)` — with `id`
+  * projected to [[rowId]] (the declared merge key). The write is then:
+  *
+  *   - inserted/updated rows → ordinary new parquet files (the delegate
+  *     committer; writers are created LAZILY, so a delete-only task writes
+  *     no file at all);
+  *   - deleted/replaced keys → ONE deletion-vector sidecar scoped to the
+  *     files the operation's scan planned (the only files that can hold a
+  *     stale row for those keys);
+  *   - commit = snapshot files ++ fresh files, dvs ++ the new sidecar —
+  *     NOTHING is rewritten. Write amplification is O(changed rows), not
+  *     O(touched-file bytes): the fix for high-churn CDC merges whose keys
+  *     spread across every file (where file-granular copy-on-write still
+  *     rewrites the whole touched set).
+  *
+  * The operation's scan applies the PRIOR deletion vectors (ghost rows can
+  * never re-match) and records its planned file set for DV scoping; the
+  * commit stays optimistic against the snapshot version.
+  */
+private class StagingDeltaOperation(
+    info: org.apache.spark.sql.connector.write.RowLevelOperationInfo,
+    readDelegate: ParquetTable,
+    writeDelegate: ParquetTable,
+    tableFs: FileSystem,
+    dir: Path,
+    snapshotVersion: Long,
+    snapshotFiles: Option[Seq[String]],
+    keyField: org.apache.spark.sql.types.StructField,
+    priorDvNames: Seq[String])
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  private val scans =
+    new java.util.concurrent.ConcurrentLinkedQueue[ZoneMapPrunedScan]()
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+    info.command()
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(keyField.name))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val sb = readDelegate.newScanBuilder(options)
+    new ScanBuilder
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+      private var v1: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      override def pushFilters(
+          filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+        v1 = filters.flatMap(ZoneMapScanBuilder.toV1).toArray
+        ZoneMapScan.lastRowLevelFilters = v1.map(_.toString).toSeq
+        filters // nothing consumed: rows are never filtered below the scan
+      }
+      override def pushedFilters
+          : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+        Array.empty
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        val scan = sb.build()
+        val stats = StagingMaintenance.readStatsFor(tableFs, dir)
+        val nulls = StagingMaintenance.readNullsFor(tableFs, dir)
+        scan match {
+          case fscan: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            // the row-level scan reads the FULL table schema (no column
+            // pruning on this path), so the key is always present and DVs
+            // apply with no projection
+            val dvMap = DeletionVectors.loadDvs(tableFs, dir, priorDvNames)
+            val dvInfo =
+              if (dvMap.isEmpty) None
+              else {
+                val wide = scan.readSchema()
+                val keyOrd = wide.fieldNames.indexWhere(_.equalsIgnoreCase(keyField.name))
+                require(keyOrd >= 0, s"merge key ${keyField.name} missing from $wide")
+                Some(DeletionVectors.DvScanInfo(dvMap, keyOrd, keyField.dataType, wide, None))
+              }
+            val statCols = stats.keysIterator.map(_._2).toArray.distinct.sorted
+            val blooms = () => StagingMaintenance.readBloomsFor(tableFs, dir)
+            val zms =
+              if (statCols.nonEmpty)
+                new RowLevelGroupScan(fscan, stats, v1, statCols, nulls, dir.toString,
+                  blooms, dvInfo)
+              else new ZoneMapPrunedScan(fscan, stats, v1, nulls, dir.toString, blooms, dvInfo)
+            scans.add(zms)
+            zms
+          case other => other
+        }
+      }
+    }
+  }
+
+  override def newWriteBuilder(lwi: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new org.apache.spark.sql.connector.write.DeltaBatchWrite {
+              // a delete-only delta (SQL DELETE) carries an EMPTY row
+              // schema — no replacement rows ever get written, and the
+              // parquet delegate (which rejects empty schemas) must not
+              // even be built: the whole write is one DV sidecar
+              private val deleteOnly = lwi.schema().isEmpty
+              private lazy val inner = writeDelegate.newWriteBuilder(lwi).build().toBatch
+              private val check =
+                if (deleteOnly) None
+                else CheckConstraint.read(tableFs, dir).map(c =>
+                  (c, CheckConstraint.compile(SparkSession.active, c, lwi.schema())))
+              private val keyIsString =
+                keyField.dataType == org.apache.spark.sql.types.StringType
+
+              override def createBatchWriterFactory(pinfo: PhysicalWriteInfo)
+                  : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+                new StagingDeltaWriterFactory(
+                  if (deleteOnly) None else Some(inner.createBatchWriterFactory(pinfo)),
+                  if (keyIsString) 2
+                  else if (keyField.dataType == org.apache.spark.sql.types.IntegerType) 0
+                  else 1,
+                  check)
+
+              override def useCommitCoordinator(): Boolean =
+                !deleteOnly && inner.useCommitCoordinator()
+
+              override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                val msgs = messages.collect { case m: DvDeltaMsg => m }
+                val innerMsgs = msgs.flatMap(_.inner)
+                val before = GraftStagingCatalog.dataFiles(tableFs, dir).toSet
+                if (!deleteOnly) inner.commit(innerMsgs.toArray)
+                val fresh = GraftStagingCatalog.dataFiles(tableFs, dir).filterNot(before)
+                val deleted: Set[Any] = msgs.iterator.flatMap(_.deleted).toSet
+                val scanned: Set[String] =
+                  if (scans.isEmpty) Set.empty
+                  else scans.asScala.map(_.plannedFileNames()).reduce(_ ++ _)
+                val snap = snapshotFiles.getOrElse(before.toSeq.sorted)
+                val dvs =
+                  if (deleted.isEmpty) priorDvNames
+                  else {
+                    // scope the DV to the files the scan actually planned —
+                    // only they can hold stale rows for the deleted keys;
+                    // the statement's own fresh files are never named
+                    val applies = snap.filter(scanned)
+                    priorDvNames :+ DeletionVectors.writeDv(
+                      tableFs, dir, keyField.name, keyIsString, applies, deleted)
+                  }
+                GraftStagingCatalog.writeExplicitManifest(tableFs, dir, snap ++ fresh,
+                  kind = info.command().toString.toLowerCase,
+                  expectedBase = Some(snapshotVersion), dvs = dvs)
+              }
+
+              override def abort(messages: Array[WriterCommitMessage]): Unit =
+                if (!deleteOnly)
+                  inner.abort(messages.collect { case DvDeltaMsg(Some(m), _) => m })
+            }
+        }
+    }
+}
+
+/** Serializable executor-side factory of the delta write: wraps the
+  * delegate parquet writer factory, creating the physical writer LAZILY so
+  * delete-only tasks land zero files, collecting deleted/replaced keys per
+  * task, and enforcing the table CHECK constraint on the incoming row
+  * versions.
+  */
+private class StagingDeltaWriterFactory(
+    inner: Option[DataWriterFactory], // None = delete-only (no row sink exists)
+    keyKind: Int, // 0 = int, 1 = long, 2 = string (canonical key: Long|String)
+    check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)])
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      private var w: org.apache.spark.sql.connector.write.DataWriter[InternalRow] = _
+      private val deleted = scala.collection.mutable.HashSet.empty[Any]
+      private val pred = check.map { case (text, bound) =>
+        val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(bound)
+        p.initialize(partitionId)
+        (text, p)
+      }
+
+      private def keyOf(id: InternalRow): Any = keyKind match {
+        case 0 => id.getInt(0).toLong
+        case 1 => id.getLong(0)
+        case _ => id.getUTF8String(0).toString
+      }
+
+      private def sink(row: InternalRow): Unit = {
+        pred.foreach { case (text, p) =>
+          if (!p.eval(row)) throw new IllegalArgumentException(
+            s"CHECK constraint violated by row-level write: ($text)")
+        }
+        if (w == null) w = inner.getOrElse(throw new IllegalStateException(
+          "delta write received a row on a delete-only plan")).createWriter(partitionId, taskId)
+        w.write(row)
+      }
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        deleted += keyOf(id)
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+        deleted += keyOf(id)
+        sink(row)
+      }
+      override def insert(row: InternalRow): Unit = sink(row)
+
+      override def commit(): WriterCommitMessage =
+        DvDeltaMsg(Option(w).map(_.commit()), deleted.toArray)
+      override def abort(): Unit = if (w != null) w.abort()
+      override def close(): Unit = if (w != null) w.close()
+    }
+}
+
 /** Manifest machinery shared by the catalog and [[StagingMaintenance]].
   * Every function addresses storage exclusively through the Hadoop
   * `FileSystem` handle passed in — the API surface the reference implements
@@ -993,6 +1339,13 @@ object GraftStagingCatalog {
       else {
         var df = spark.read.schema(oldSchema)
           .parquet(current.map(f => new Path(d, f).toString): _*)
+        // rename rewrites EVERY current file: fold active deletion vectors
+        // (suppressed rows must not resurrect under the new column names)
+        DeletionVectors.morKey(fs, d).foreach { k =>
+          val dvMap = latest.map { case (_, mf) => DeletionVectors.dvMapAt(fs, d, mf) }
+            .getOrElse(Map.empty[String, Set[Any]])
+          if (dvMap.nonEmpty) df = DeletionVectors.applyToRead(df, k, dvMap)
+        }
         renames.foreach { case (from, to) => df = df.withColumnRenamed(from, to) }
         val token = java.util.UUID.randomUUID().toString.take(12)
         val tmp = new Path(d, s"_rename_$token")
@@ -1024,11 +1377,25 @@ object GraftStagingCatalog {
   private[catalog] def manifestFiles(fs: FileSystem, mf: Path): Seq[String] =
     parseManifestFiles(readString(fs, mf))
 
-  private[catalog] def parseManifestFiles(txt: String): Seq[String] = {
-    val body = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']'))
-    if (body.trim.isEmpty) Seq.empty
-    else "\"([^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
-  }
+  /** Active deletion-vector sidecar names recorded by a manifest (r9+;
+    * absent field = none — every pre-MOR manifest).
+    */
+  private[catalog] def manifestDvs(fs: FileSystem, mf: Path): Seq[String] =
+    parseArray(readString(fs, mf), "dvs")
+
+  /** Extract one NAMED string array from a manifest — scoped to the field,
+    * not the whole document (a manifest may carry several arrays: `files`
+    * and `dvs`).
+    */
+  private[catalog] def parseArray(txt: String, field: String): Seq[String] =
+    ("\"" + field + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt) match {
+      case Some(m) if m.group(1).trim.nonEmpty =>
+        "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      case _ => Seq.empty
+    }
+
+  private[catalog] def parseManifestFiles(txt: String): Seq[String] =
+    parseArray(txt, "files")
 
   private[catalog] def commitMillis(fs: FileSystem, mf: Path): Long =
     "\"ts\":(\\d+)".r.findFirstMatchIn(readString(fs, mf)).map(_.group(1).toLong).getOrElse(0L)
@@ -1063,9 +1430,13 @@ object GraftStagingCatalog {
     out.result().sorted
   }
 
-  private def manifestJson(files: Seq[String], batchId: Option[Long], kind: String): String = {
+  private def manifestJson(files: Seq[String], batchId: Option[Long], kind: String,
+      dvs: Seq[String] = Seq.empty): String = {
     val bid = batchId.map(b => s""""batchId":$b,""").getOrElse("")
-    s"""{"ts":${System.currentTimeMillis()},"kind":"$kind",$bid"files":[${
+    val dvField =
+      if (dvs.isEmpty) ""
+      else s""""dvs":[${dvs.distinct.sorted.map(f => "\"" + f + "\"").mkString(",")}],"""
+    s"""{"ts":${System.currentTimeMillis()},"kind":"$kind",$bid$dvField"files":[${
       // distinct: under concurrent commits a racer's files can arrive both
       // via the previous-current set AND via this commit's directory delta
       // (its `before` snapshot predates the racer's move) — a double-listed
@@ -1098,9 +1469,12 @@ object GraftStagingCatalog {
       while (!committed) {
         val latest = versionManifests(fs, d).lastOption
         val cur = latest.map { case (_, f) => manifestFiles(fs, f) }.getOrElse(Seq.empty)
+        // appends CARRY the active deletion vectors: DVs are file-scoped,
+        // so they can never suppress rows of this commit's new files
+        val dvs = latest.map { case (_, f) => manifestDvs(fs, f) }.getOrElse(Seq.empty)
         val next = latest.map(_._1).getOrElse(0L) + 1L
         committed = tryCreateExclusive(fs, new Path(vd, s"v$next.json"),
-          manifestJson(cur ++ dataFiles(fs, d).filterNot(before), batchId, "commit"))
+          manifestJson(cur ++ dataFiles(fs, d).filterNot(before), batchId, "commit", dvs))
       }
     }
 
@@ -1115,7 +1489,8 @@ object GraftStagingCatalog {
     * retry from the new current state.
     */
   private[catalog] def writeExplicitManifest(fs: FileSystem, d: Path, files: Seq[String],
-      kind: String = "optimize", expectedBase: Option[Long] = None): Long =
+      kind: String = "optimize", expectedBase: Option[Long] = None,
+      dvs: Seq[String] = Seq.empty): Long =
     synchronized {
       val vd = new Path(d, VersionsDir)
       fs.mkdirs(vd)
@@ -1130,7 +1505,7 @@ object GraftStagingCatalog {
                 "landed in between; re-run the statement against the current state")
         }
         if (tryCreateExclusive(fs, new Path(vd, s"v${latest + 1}.json"),
-            manifestJson(files, None, kind)))
+            manifestJson(files, None, kind, dvs)))
           out = latest + 1
         // lost the create race: loop re-reads the advanced version — with an
         // expectedBase that re-read throws the conflict above
@@ -1231,9 +1606,20 @@ object GraftStagingCatalog {
       else {
         val reader = spark.read
         declaredSchema(fs, d).foreach(reader.schema)
-        val remaining = reader
+        val rawTouched = reader
           .parquet(touched.map(f => new Path(d, f).toString): _*)
-          .where(not(coalesce(pred, lit(false))))
+        // merge-on-read: rows a deletion vector suppresses must not
+        // resurrect into the rewritten remainder
+        val dvApplied = DeletionVectors.morKey(fs, d) match {
+          case Some(k) =>
+            val dvMap = versionManifests(fs, d).lastOption
+              .map { case (_, mf) => DeletionVectors.dvMapAt(fs, d, mf) }
+              .getOrElse(Map.empty[String, Set[Any]])
+              .filter { case (f, _) => touched.contains(f) }
+            DeletionVectors.applyToRead(rawTouched, k, dvMap)
+          case None => rawTouched
+        }
+        val remaining = dvApplied.where(not(coalesce(pred, lit(false))))
         val token = java.util.UUID.randomUUID().toString.take(12)
         val tmp = new Path(d, s"_delete_$token")
         remaining.write.mode("overwrite").parquet(tmp.toString)

@@ -92,7 +92,17 @@ object StagingMaintenance {
     if (current.isEmpty) return (0, 0, -1L)
     val reader = spark.read
     declaredSchema(fs, d).foreach(reader.schema)
-    val df = reader.parquet(current.map(f => new Path(d, f).toString): _*)
+    val raw = reader.parquet(current.map(f => new Path(d, f).toString): _*)
+    // OPTIMIZE is where deletion vectors FOLD: the rewrite reads with the
+    // current DVs applied (deleted rows must not resurrect into the
+    // compacted files) and the commit below records an EMPTY dv set — after
+    // an OPTIMIZE the table is DV-free until the next merge-on-read write.
+    val dvMap = latest.map { case (_, mf) => DeletionVectors.dvMapAt(fs, d, mf) }
+      .getOrElse(Map.empty[String, Set[Any]])
+    val df = DeletionVectors.morKey(fs, d) match {
+      case Some(k) if dvMap.nonEmpty => DeletionVectors.applyToRead(raw, k, dvMap)
+      case _                         => raw
+    }
     // rewrite into a staging subdir (underscore-prefixed: invisible to data
     // listings), then move the compacted parts into the table dir under
     // unique names BEFORE committing the manifest that references them —
@@ -211,26 +221,47 @@ object StagingMaintenance {
     require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
     val (fs, d) = tableDir(spark, catalog, ns, table)
     val manifests = versionManifests(fs, d).toMap
-    def files(v: Long): Set[String] = manifestFiles(fs, manifests.getOrElse(v,
+    def manifestOf(v: Long): Path = manifests.getOrElse(v,
       throw new IllegalArgumentException(
-        s"$catalog.$ns.$table has no version $v (vacuumed or never committed)"))).toSet
+        s"$catalog.$ns.$table has no version $v (vacuumed or never committed)"))
+    def files(v: Long): Set[String] = manifestFiles(fs, manifestOf(v)).toSet
     val sFrom = GraftStagingCatalog.schemaAtVersion(fs, d, fromVersion)
     val sTo = GraftStagingCatalog.schemaAtVersion(fs, d, toVersion)
     require(sFrom == sTo,
       s"row-level diff across a schema change is not comparable ($sFrom vs $sTo)")
     val from = files(fromVersion)
     val to = files(toVersion)
-    val removed = (from -- to).toSeq.sorted
-    val added = (to -- from).toSeq.sorted
-    def read(fls: Seq[String]): DataFrame = {
+    // MERGE-ON-READ: a DV-only commit changes row VISIBILITY without
+    // changing the file set, so a file whose deleted-key set differs
+    // between the versions is part of the delta — it enters BOTH sides of
+    // the diff, each side read under ITS version's deletion vectors, and
+    // the EXCEPT ALL cancellation surfaces exactly the newly-suppressed
+    // rows as deletes. Still slice-cost: only files that changed (by name
+    // OR by DV) are scanned.
+    val morKey = DeletionVectors.morKey(fs, d)
+    val dvFrom = morKey.map(_ => DeletionVectors.dvMapAt(fs, d, manifestOf(fromVersion)))
+      .getOrElse(Map.empty[String, Set[Any]])
+    val dvTo = morKey.map(_ => DeletionVectors.dvMapAt(fs, d, manifestOf(toVersion)))
+      .getOrElse(Map.empty[String, Set[Any]])
+    val dvChanged = (from intersect to).filter(f =>
+      dvFrom.getOrElse(f, Set.empty) != dvTo.getOrElse(f, Set.empty))
+    val removed = ((from -- to) ++ dvChanged).toSeq.sorted
+    val added = ((to -- from) ++ dvChanged).toSeq.sorted
+    def read(fls: Seq[String], dv: Map[String, Set[Any]]): DataFrame = {
       val reader = spark.read
       sFrom.foreach(reader.schema)
-      if (fls.isEmpty)
-        reader.schema(sFrom.getOrElse(spark.read.parquet(d.toString).schema)).parquet()
-      else reader.parquet(fls.map(f => new Path(d, f).toString): _*)
+      val df =
+        if (fls.isEmpty)
+          reader.schema(sFrom.getOrElse(spark.read.parquet(d.toString).schema)).parquet()
+        else reader.parquet(fls.map(f => new Path(d, f).toString): _*)
+      morKey match {
+        case Some(k) =>
+          DeletionVectors.applyToRead(df, k, dv.filter { case (f, _) => fls.contains(f) })
+        case None => df
+      }
     }
-    val oldRows = read(removed)
-    val newRows = read(added)
+    val oldRows = read(removed, dvFrom)
+    val newRows = read(added, dvTo)
     oldRows.exceptAll(newRows).withColumn("_change", lit("delete"))
       .unionByName(newRows.exceptAll(oldRows).withColumn("_change", lit("insert")))
   }
@@ -669,14 +700,30 @@ object StagingMaintenance {
       s"$catalog.$ns.$table has no version $toVersion " +
         s"(available: ${versionManifests(fs, d).map(_._1).mkString(", ")})"))
     val files = manifestFiles(fs, mf)
-    val missing = files.filterNot(f => isFile(fs, new Path(d, f)))
+    val dvs = GraftStagingCatalog.manifestDvs(fs, mf)
+    val missing = files.filterNot(f => isFile(fs, new Path(d, f))) ++
+      dvs.filterNot(n => isFile(fs, new Path(new Path(d, DeletionVectors.DvDir), n)))
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"cannot restore $catalog.$ns.$table to version $toVersion: " +
-          s"${missing.size} of its data files were vacuumed (${missing.take(3).mkString(", ")}…)")
+          s"${missing.size} of its data/DV files were vacuumed (${missing.take(3).mkString(", ")}…)")
     val base = versionManifests(fs, d).lastOption.map(_._1).getOrElse(0L)
+    // the restored version reads under ITS deletion vectors, exactly as the
+    // pinned time-travel read of that version does
     GraftStagingCatalog.writeExplicitManifest(fs, d, files,
-      kind = "restore", expectedBase = Some(base))
+      kind = "restore", expectedBase = Some(base), dvs = dvs)
+  }
+
+  /** Deletion-vector sidecars active at the table's HEAD version (empty for
+    * every non-MOR table and every post-OPTIMIZE version) — the test- and
+    * operator-visible probe of merge-on-read state.
+    */
+  def activeDvs(spark: SparkSession, catalog: String, ns: String,
+      table: String): Seq[String] = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    versionManifests(fs, d).lastOption
+      .map { case (_, mf) => GraftStagingCatalog.manifestDvs(fs, mf) }
+      .getOrElse(Seq.empty)
   }
 
   /** Keep only the last `retainLast` versions; delete every data file no
@@ -705,6 +752,14 @@ object StagingMaintenance {
     // advanced the table since planning (the caller retries against the
     // new version); multi-JVM deployments additionally need the store-level
     // create-exclusive contract documented on tryCreateExclusive.
+    // deletion-vector retention mirrors data-file retention: a DV sidecar
+    // lives while any retained manifest references it
+    val referencedDvs = keep.flatMap { case (_, f) =>
+      GraftStagingCatalog.manifestDvs(fs, f) }.toSet
+    val dvDir = new Path(d, DeletionVectors.DvDir)
+    val deadDvs =
+      (try fs.listStatus(dvDir).toIndexedSeq catch { case _: FileNotFoundException => Seq.empty })
+        .filter(_.isFile).map(_.getPath.getName).filterNot(referencedDvs)
     val baseV = manifests.lastOption.map(_._1).getOrElse(0L)
     GraftStagingCatalog.synchronized {
       val headNow = versionManifests(fs, d).lastOption.map(_._1).getOrElse(0L)
@@ -714,6 +769,7 @@ object StagingMaintenance {
             s"is now $headNow — a concurrent commit landed; retry")
       drop.foreach { case (_, f) => fs.delete(f, false) }
       dead.foreach(f => fs.delete(new Path(d, f), false))
+      deadDvs.foreach(n => fs.delete(new Path(dvDir, n), false))
     }
     // trim reclaimed files out of the advisory stats cache
     val stats = readStatsFor(fs, d)
@@ -747,14 +803,20 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     nulls: Map[(String, String), (Long, Long)] = Map.empty,
     tableDir: String = "",
     blooms: () => Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
-      () => Map.empty)
+      () => Map.empty,
+    dvKeys: Map[String, Set[Any]] = Map.empty,
+    dvKeyField: Option[org.apache.spark.sql.types.StructField] = None)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  private val dvActive = dvKeys.nonEmpty && dvKeyField.isDefined
 
   // the conjuncts the query pushed at the scan, translated to V1 filters —
   // ANY of them can prune (zone maps apply the whole conjunction at file
   // granularity even when the parquet reader accepted only part of it)
   private var v1Filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  // whether the query's pruned schema already carried the DV key column
+  private var dvKeyAdded = false
 
   override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
@@ -765,26 +827,57 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
   override def pruneColumns(requiredSchema: StructType): Unit =
-    delegate.pruneColumns(requiredSchema)
+    // deletion vectors filter on the MOR key: if the query pruned it away,
+    // widen the delegate's read schema by the key column — the readers
+    // project it back off, so the reported scan schema is unchanged
+    if (dvActive &&
+        !requiredSchema.fieldNames.exists(_.equalsIgnoreCase(dvKeyField.get.name))) {
+      dvKeyAdded = true
+      delegate.pruneColumns(StructType(requiredSchema.fields :+ dvKeyField.get))
+    } else delegate.pruneColumns(requiredSchema)
+  // footer/complete aggregate pushdown is UNSOUND under deletion vectors
+  // (pushed counts/min/max would include DV-deleted rows) — disabled until
+  // OPTIMIZE folds the DVs away
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    delegate match {
+    !dvActive && (delegate match {
       case a: SupportsPushDownAggregates => a.supportCompletePushDown(agg)
       case _                             => false
-    }
+    })
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    delegate match {
+    !dvActive && (delegate match {
       case a: SupportsPushDownAggregates => a.pushAggregation(agg)
       case _                             => false
+    })
+
+  /** DV scan info against the delegate's FINAL (table-ordered, possibly
+    * widened) read schema — ordinals resolved here, on the driver.
+    */
+  protected def dvInfo(scan: Scan): Option[DeletionVectors.DvScanInfo] =
+    if (!dvActive) None
+    else {
+      val wide = scan.readSchema()
+      val key = dvKeyField.get
+      val keyOrd = wide.fieldNames.indexWhere(_.equalsIgnoreCase(key.name))
+      require(keyOrd >= 0, s"DV key ${key.name} missing from read schema $wide")
+      val projectOrds =
+        if (!dvKeyAdded) None
+        else Some(wide.fields.indices.filter(_ != keyOrd).toArray)
+      val out =
+        if (projectOrds.isEmpty) wide
+        else StructType(wide.fields.zipWithIndex.collect {
+          case (f, i) if i != keyOrd => f
+        })
+      Some(DeletionVectors.DvScanInfo(dvKeys, keyOrd, key.dataType, out, projectOrds))
     }
 
   override def build(): Scan = {
     val scan = delegate.build()
     val filters = v1Filters
     scan match {
-      case f: FileScan if filters.nonEmpty =>
-        new ZoneMapPrunedScan(f, stats, filters, nulls, tableDir, blooms)
+      case f: FileScan if filters.nonEmpty || dvActive =>
+        new ZoneMapPrunedScan(f, stats, filters, nulls, tableDir, blooms, dvInfo(scan))
       case other => other
     }
   }
@@ -854,7 +947,8 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     nulls: Map[(String, String), (Long, Long)] = Map.empty,
     tableDir: String = "",
     bloomsThunk: () => Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
-      () => Map.empty)
+      () => Map.empty,
+    dv: Option[DeletionVectors.DvScanInfo] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   // loaded at most once per scan, and only when an equality/IN filter can
@@ -872,13 +966,18 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     else p.getName
   }
 
-  override def readSchema(): StructType = delegate.readSchema()
+  // with a widened-for-DV delegate schema, the scan REPORTS the query's
+  // schema; readers project the appended key column back off
+  override def readSchema(): StructType = dv.fold(delegate.readSchema())(_.outputSchema)
   override def toBatch: Batch = this
   override def estimateStatistics(): Statistics = delegate.estimateStatistics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    delegate.columnarSupportMode()
-  override def createReaderFactory(): PartitionReaderFactory =
-    delegate.createReaderFactory()
+    if (dv.isDefined) Scan.ColumnarSupportMode.PARTITION_DEFINED
+    else delegate.columnarSupportMode()
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = delegate.createReaderFactory()
+    dv.fold(inner)(info => new DeletionVectors.DvReaderFactory(inner, info))
+  }
 
   /** Filters in force for pruning — subclasses may add runtime filters. */
   protected def effectiveFilters: Array[org.apache.spark.sql.sources.Filter] = filters
@@ -928,11 +1027,16 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
   override def planInputPartitions(): Array[InputPartition] = {
     val (parts, kept, total) = prune()
     ZoneMapScan.lastPrune = Some((kept, total))
-    parts
+    // deletion vectors: files with a delete set move into one partition per
+    // FILE so their (row-based) readers know which delete set governs every
+    // row; clean files keep the delegate's packing and columnar readers
+    dv.filter(_.fileKeys.nonEmpty)
+      .fold(parts)(info => DeletionVectors.repack(parts, info.fileKeys, statKey))
   }
 
   override def description(): String =
-    delegate.description() + ", GraftZoneMaps: on"
+    delegate.description() + ", GraftZoneMaps: on" +
+      (if (dv.exists(_.fileKeys.nonEmpty)) ", GraftDVs: on" else "")
 }
 
 /** The ROW-LEVEL (UPDATE / MERGE / DELETE-fallback) scan: zone-map pruning
@@ -964,8 +1068,9 @@ private[catalog] final class RowLevelGroupScan(delegate: FileScan,
     nulls: Map[(String, String), (Long, Long)] = Map.empty,
     tableDir: String = "",
     blooms: () => Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
-      () => Map.empty)
-    extends ZoneMapPrunedScan(delegate, stats, staticFilters, nulls, tableDir, blooms)
+      () => Map.empty,
+    dv: Option[DeletionVectors.DvScanInfo] = None)
+    extends ZoneMapPrunedScan(delegate, stats, staticFilters, nulls, tableDir, blooms, dv)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.NamedReference
 

@@ -1334,6 +1334,97 @@ class CatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("c"))
   }
 
+  test("merge-on-read: keyed MERGE/DELETE write deletion vectors, ZERO file rewrites; OPTIMIZE folds") {
+    import spark.implicits._
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.mor")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.mor (k BIGINT NOT NULL, v BIGINT, s STRING)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read', 'graft.merge-keys'='k')""".stripMargin)
+    spark.sql(
+      "INSERT INTO stage_t.ws.mor SELECT id, id * 10, concat('s', id) FROM range(0, 800)")
+    // the q307 hash-distributed shape: 8 files, each spanning the whole
+    // keyspace — the worst case for copy-on-write (every file touched)
+    spark.sql("CALL stage_t.optimize('ws', 'mor', 8, NULL, NULL)")
+    def files(): Set[String] = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "stage_t", "ws", "mor").toSet
+    val before = files()
+    assert(before.size === 8, s"${before.size}")
+    val vBefore = spark.sql("CALL stage_t.history('ws', 'mor')").count()
+    // CDC batch: update 5 keys spread across the keyspace + insert 3 new
+    Seq((5L, 1L, "u5"), (105L, 2L, "u105"), (305L, 3L, "u305"), (505L, 4L, "u505"),
+        (705L, 5L, "u705"), (1000L, 6L, "n1000"), (1001L, 7L, "n1001"), (1002L, 8L, "n1002"))
+      .toDF("k", "v", "s").createOrReplaceTempView("mor_src")
+    spark.sql(
+      """MERGE INTO stage_t.ws.mor t USING mor_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v, s = s.s
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = files()
+    // ZERO rewrites: every pre-merge file carries BY NAME; only the merge's
+    // own row versions are new files
+    assert(before.subsetOf(after), "merge-on-read must never rewrite existing files")
+    assert((after -- before).nonEmpty, "updated/inserted rows must land as fresh files")
+    // content: 803 rows, updated keys show new values exactly once
+    assert(spark.table("stage_t.ws.mor").count() === 803)
+    val got5 = spark.sql("SELECT v, s FROM stage_t.ws.mor WHERE k = 5").collect()
+    assert(got5.length === 1 && got5(0).getLong(0) === 1L && got5(0).getString(1) === "u5")
+    // column-pruned read (k not in projection) exercises the widened-schema
+    // projection path; aggregate pushdown is disabled under DVs
+    val sumV = spark.sql("SELECT sum(v) AS sv FROM stage_t.ws.mor").collect()(0).getLong(0)
+    val expSum = (0L until 800L).map(_ * 10).sum - (50L + 1050 + 3050 + 5050 + 7050) +
+      (1L + 2 + 3 + 4 + 5) + (6L + 7 + 8)
+    assert(sumV === expSum, s"$sumV vs $expSum")
+    // keyed DELETE on a MOR table: DV only — the FILE SET is unchanged
+    val preDelete = files()
+    spark.sql("DELETE FROM stage_t.ws.mor WHERE k = 7")
+    assert(files() === preDelete, "MOR DELETE must write no data files")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.mor WHERE k = 7")
+      .collect()(0).getLong(0) === 0L)
+    assert(spark.table("stage_t.ws.mor").count() === 802)
+    // a second MERGE must match the NEW row version, never the ghost
+    Seq((5L, 999L, "z5")).toDF("k", "v", "s").createOrReplaceTempView("mor_src2")
+    spark.sql(
+      """MERGE INTO stage_t.ws.mor t USING mor_src2 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v, s = s.s
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got5b = spark.sql("SELECT v FROM stage_t.ws.mor WHERE k = 5").collect()
+    assert(got5b.length === 1 && got5b(0).getLong(0) === 999L)
+    assert(spark.table("stage_t.ws.mor").count() === 802)
+    // time travel: the pre-merge version still reads its original rows; the
+    // post-merge version reads under ITS deletion vectors
+    assert(spark.sql(
+      s"SELECT v FROM stage_t.ws.mor VERSION AS OF $vBefore WHERE k = 5")
+      .collect()(0).getLong(0) === 50L)
+    val vPostMerge = vBefore + 1
+    val tt = spark.sql(
+      s"SELECT v FROM stage_t.ws.mor VERSION AS OF $vPostMerge WHERE k = 5").collect()
+    assert(tt.length === 1 && tt(0).getLong(0) === 1L,
+      s"pinned MOR version must apply its DVs: ${tt.mkString(",")}")
+    // row-level diff across the first MERGE: 5 updates (delete+insert pairs)
+    // + 3 inserts
+    val diff = graft.sources.catalog.StagingMaintenance
+      .rowLevelChanges(spark, "stage_t", "ws", "mor", vBefore, vPostMerge)
+      .groupBy(col("_change")).agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diff === Map("delete" -> 5L, "insert" -> 8L), diff.toString)
+    // OPTIMIZE folds the DVs: content identical, dv set empty, files compact
+    val contentBefore = spark.table("stage_t.ws.mor").orderBy(col("k")).collect().toSeq
+    spark.sql("CALL stage_t.optimize('ws', 'mor', 4, NULL, NULL)")
+    assert(spark.table("stage_t.ws.mor").orderBy(col("k")).collect().toSeq === contentBefore,
+      "OPTIMIZE fold must preserve content")
+    assert(graft.sources.catalog.StagingMaintenance
+      .activeDvs(spark, "stage_t", "ws", "mor").isEmpty,
+      "OPTIMIZE must commit an empty DV set")
+    // VACUUM reclaims the superseded DV sidecars with the old versions
+    spark.sql("CALL stage_t.vacuum('ws', 'mor', 1)")
+    val dvDir = new java.io.File(stageRoot,
+      s"ws/mor/${graft.sources.catalog.DeletionVectors.DvDir}")
+    val dvLeft = Option(dvDir.listFiles()).map(_.count(_.isFile)).getOrElse(0)
+    assert(dvLeft === 0, s"vacuum must reclaim unreferenced DV sidecars, $dvLeft left")
+    assert(spark.table("stage_t.ws.mor").count() === 802)
+  }
+
   test("filtered overwrite on a legacy un-versioned table never re-processes its own fresh files") {
     // Regression: the overwrite commit runs AFTER its insert phase landed
     // fresh files; on a table with NO version manifest the delete phase
