@@ -1944,8 +1944,125 @@ object Connectors {
     */
   val q318Oracle: String = q302Oracle
 
+  // ---------------------------------------------------------------- q319
+
+  /** `days(ts)` PARTITION TRANSFORM — the single most common 100 TB ingest
+    * layout (a time-partitioned events table), now first-class: CREATE
+    * declares `PARTITIONED BY (days(ts))`, `OPTIMIZE partitionBy` beds the
+    * current set into `ts_day=yyyy-MM-dd/` directories with the source
+    * column kept IN the files (the q304 rule), and the PATH-BASED pruner
+    * serves a one-day predicate reading only that day's files — proven
+    * in-query via lastPrune with NO stats sidecar (ANALYZE never runs
+    * here). A whole-day DELETE is METADATA-ONLY (partMustMatchAll from the
+    * directory value alone; rewritten == 0 proven in-query). Day
+    * boundaries are UTC (the engine pins session TZ to UTC).
+    */
+  def q319DaysPartition(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events_day_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.events_day")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.events_day
+        |  (event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+        |  PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.events_day
+        |SELECT event_id, ts, event_type, value FROM events_day_src""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "events_day", partitionBy = Some("days(ts)"))
+    // deliberately NO ANALYZE: every skip below comes from the path alone
+    val minDay = spark.sql(
+      "SELECT date_format(min(ts), 'yyyy-MM-dd') FROM graft_stage.work.events_day")
+      .collect()(0).getString(0)
+    val nextDay = java.time.LocalDate.parse(minDay).plusDays(1).toString
+    graft.sources.catalog.ZoneMapScan.lastPrune = None
+    val dayRows = spark.sql(
+      s"""SELECT count(*) FROM graft_stage.work.events_day
+         |WHERE ts >= TIMESTAMP '$minDay 00:00:00' AND ts < TIMESTAMP '$nextDay 00:00:00'"""
+        .stripMargin).collect()(0).getLong(0)
+    val prune = graft.sources.catalog.ZoneMapScan.lastPrune
+    require(dayRows > 0 && prune.exists { case (k, t) => t > 1 && k * 2 <= t },
+      s"one-day predicate did not path-prune: rows=$dayRows prune=$prune")
+    graft.sources.catalog.ZoneMapScan.lastDeleteSplit = None
+    spark.sql(
+      s"""DELETE FROM graft_stage.work.events_day
+         |WHERE ts >= TIMESTAMP '$minDay 00:00:00' AND ts < TIMESTAMP '$nextDay 00:00:00'"""
+        .stripMargin)
+    val split = graft.sources.catalog.ZoneMapScan.lastDeleteSplit
+    require(split.exists { case (_, drop, rew) => drop >= 1 && rew == 0 },
+      s"whole-day DELETE was not metadata-only: $split")
+    spark.sql(
+      """SELECT event_type, count(*) AS n,
+        |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.events_day
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q319Oracle: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+       |  ${graft.operators.Det.dsumSql("value")} AS total
+       |FROM events
+       |WHERE CAST(ts AS DATE) <> (SELECT min(CAST(ts AS DATE)) FROM events)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q320
+
+  /** `bucket(n, k)` PARTITION TRANSFORM — hash-bucket layout for
+    * point-lookup-heavy keys. Zone maps are STRUCTURALLY useless here
+    * (every bucket's [min,max] spans the whole keyspace), so the file skip
+    * comes from the path: a `user_id = v` probe computes its canonical
+    * `mod_bucket` residue ([[graft.sources.catalog.StagingFunctions]]'s
+    * one bucketing — SQL, writer, and pruner agree) and opens only that
+    * bucket's directory — 1/n of the table with NO stats sidecar, proven
+    * in-query via lastPrune. At 100 TB this is the Iceberg bucket-
+    * transform story: key-scatter becomes key-locality without sorting.
+    */
+  def q320BucketPartition(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events_bkt_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.events_bkt")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.events_bkt
+        |  (event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)
+        |  PARTITIONED BY (bucket(8, user_id))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.events_bkt
+        |SELECT event_id, user_id, event_type, value FROM events_bkt_src""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "events_bkt", partitionBy = Some("bucket(8,user_id)"))
+    // deliberately NO ANALYZE — min/max could never separate buckets anyway
+    val uid = spark.sql("SELECT max(user_id) FROM graft_stage.work.events_bkt")
+      .collect()(0).getLong(0) / 2L
+    graft.sources.catalog.ZoneMapScan.lastPrune = None
+    val out = spark.sql(
+      s"""SELECT count(*) AS n, min(event_id) AS min_ev, max(event_id) AS max_ev,
+         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+         |FROM graft_stage.work.events_bkt WHERE user_id = $uid""".stripMargin)
+    val n = out.collect()(0).getLong(0)
+    val prune = graft.sources.catalog.ZoneMapScan.lastPrune
+    require(n > 0 && prune.exists { case (k, t) => t >= 8 && k * 4 <= t },
+      s"bucket point lookup did not path-prune to ~1/8: rows=$n prune=$prune")
+    out
+  }
+
+  val q320Oracle: String =
+    s"""SELECT count(*) AS n, min(event_id) AS min_ev, max(event_id) AS max_ev,
+       |  ${graft.operators.Det.dsumSql("value")} AS total
+       |FROM events
+       |WHERE user_id = (SELECT max(user_id) FROM events) // 2""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q318_merge_on_read", q318MergeOnRead, q318Oracle),
+    GraftQuery.sql("q319_days_partition", q319DaysPartition, q319Oracle),
+    GraftQuery.sql("q320_bucket_partition", q320BucketPartition, q320Oracle),
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
     GraftQuery.sql("q231_sink_roundtrip", q231SinkRoundtrip, q231Oracle),

@@ -265,7 +265,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
             dir.toString,
             () => StagingMaintenance.readBloomsFor(tableFs, dir),
             DeletionVectors.loadDvs(tableFs, dir, dvNames),
-            Some(keyField))
+            Some(keyField),
+            GraftStagingCatalog.partSpecs(tableFs, dir))
         case other => other
       }
   }
@@ -349,10 +350,14 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       c.add(TableCapability.TRUNCATE)
       c
     }
-    override def partitioning(): Array[Transform] =
-      GraftStagingCatalog.partitionCols(tableFs, dir)
-        .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
-        .toArray
+    override def partitioning(): Array[Transform] = {
+      import org.apache.spark.sql.connector.expressions.Expressions
+      GraftStagingCatalog.partSpecs(tableFs, dir).map {
+        case GraftStagingCatalog.IdentityPart(c)  => Expressions.identity(c)
+        case GraftStagingCatalog.DaysPart(c)      => Expressions.days(c)
+        case GraftStagingCatalog.BucketPart(n, c) => Expressions.bucket(n, c)
+      }.toArray
+    }
     override def properties(): util.Map[String, String] = {
       val m = new util.HashMap[String, String](readDelegate.properties())
       CheckConstraint.read(tableFs, dir).foreach(m.put("check", _))
@@ -368,14 +373,19 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       val stats = StagingMaintenance.readStatsFor(tableFs, dir)
       val hasBlooms = StagingMaintenance.hasBloomSidecar(tableFs, dir)
       val dvOn = dvNames.nonEmpty && morKeyField.isDefined
-      if (stats.isEmpty && !hasBlooms && !dvOn) inner
+      // non-identity partition transforms prune from the file PATH alone —
+      // the scan wrapper earns its keep even with no stats sidecar
+      val specs = GraftStagingCatalog.partSpecs(tableFs, dir)
+      val pathPrunable = specs.exists(!_.isInstanceOf[GraftStagingCatalog.IdentityPart])
+      if (stats.isEmpty && !hasBlooms && !dvOn && !pathPrunable) inner
       else inner match {
         case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
           new ZoneMapScanBuilder(fb, stats, StagingMaintenance.readNullsFor(tableFs, dir),
             dir.toString,
             () => StagingMaintenance.readBloomsFor(tableFs, dir),
             if (dvOn) dvMap else Map.empty,
-            if (dvOn) morKeyField else None)
+            if (dvOn) morKeyField else None,
+            specs)
         case other => other
       }
     }
@@ -544,17 +554,46 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val partCols = partitions.toSeq.map {
-      case t if t.name() == "identity" && t.references().length == 1 &&
-          t.references()(0).fieldNames().length == 1 =>
+    val partCols = partitions.toSeq.map { t =>
+      def oneCol: String = {
+        require(t.references().length == 1 && t.references()(0).fieldNames().length == 1,
+          s"$catalogName: partition transform ${t.name()} takes one top-level column")
         val c = t.references()(0).fieldNames()(0)
-        if (!schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
           throw new IllegalArgumentException(
-            s"$catalogName: partition column $c is not in the table schema")
-        c
-      case other =>
-        throw new UnsupportedOperationException(
-          s"$catalogName: only identity partition transforms are supported, got $other")
+            s"$catalogName: partition column $c is not in the table schema")).name
+      }
+      t.name().toLowerCase match {
+        case "identity" => GraftStagingCatalog.IdentityPart(oneCol).render
+        case "days" =>
+          val c = oneCol
+          val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+          if (dt != org.apache.spark.sql.types.TimestampType &&
+              dt != org.apache.spark.sql.types.DateType)
+            throw new IllegalArgumentException(
+              s"$catalogName: days() partition column $c must be TIMESTAMP or DATE, got $dt")
+          GraftStagingCatalog.DaysPart(c).render
+        case "bucket" =>
+          val c = oneCol
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value().isInstanceOf[Number] => l.value().asInstanceOf[Number].intValue()
+          }.getOrElse(throw new IllegalArgumentException(
+            s"$catalogName: bucket() needs a literal bucket count"))
+          require(n > 0, s"$catalogName: bucket count must be positive, got $n")
+          val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+          dt match {
+            case org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType => ()
+            case other => throw new IllegalArgumentException(
+              s"$catalogName: bucket() partition column $c must be integral, got $other")
+          }
+          GraftStagingCatalog.BucketPart(n, c).render
+        case other =>
+          throw new UnsupportedOperationException(
+            s"$catalogName: unsupported partition transform $other " +
+              "(supported: identity, days, bucket)")
+      }
     }
     requireNs(ident.namespace())
     val d = tableDir(ident)
@@ -937,10 +976,13 @@ private class StagingRowLevelOperation(
             // filter attributes would break the optimizer rule.
             val statCols = stats.keysIterator.map(_._2).toArray.distinct.sorted
             val blooms = () => StagingMaintenance.readBloomsFor(tableFs, dir)
+            val specs = GraftStagingCatalog.partSpecs(tableFs, dir)
             val zms =
               if (statCols.nonEmpty)
-                new RowLevelGroupScan(fscan, stats, v1, statCols, nulls, dir.toString, blooms)
-              else new ZoneMapPrunedScan(fscan, stats, v1, nulls, dir.toString, blooms)
+                new RowLevelGroupScan(fscan, stats, v1, statCols, nulls, dir.toString,
+                  blooms, None, specs)
+              else new ZoneMapPrunedScan(fscan, stats, v1, nulls, dir.toString, blooms,
+                None, specs)
             scans.add(zms)
             zms
           case other => other // not a file scan: no tracking → full replace
@@ -1086,11 +1128,13 @@ private class StagingDeltaOperation(
               }
             val statCols = stats.keysIterator.map(_._2).toArray.distinct.sorted
             val blooms = () => StagingMaintenance.readBloomsFor(tableFs, dir)
+            val specs = GraftStagingCatalog.partSpecs(tableFs, dir)
             val zms =
               if (statCols.nonEmpty)
                 new RowLevelGroupScan(fscan, stats, v1, statCols, nulls, dir.toString,
-                  blooms, dvInfo)
-              else new ZoneMapPrunedScan(fscan, stats, v1, nulls, dir.toString, blooms, dvInfo)
+                  blooms, dvInfo, specs)
+              else new ZoneMapPrunedScan(fscan, stats, v1, nulls, dir.toString, blooms,
+                dvInfo, specs)
             scans.add(zms)
             zms
           case other => other
@@ -1231,12 +1275,53 @@ object GraftStagingCatalog {
   private[catalog] val VersionsDir = "_graft_versions"
   private val VersionFile = "^v(\\d+)\\.json$".r
 
-  /** Declared identity-partition columns (empty = unpartitioned). */
+  /** Declared partition transform lines (empty = unpartitioned): a bare
+    * column name (identity), `days(c)`, or `bucket(n,c)`.
+    */
   private[catalog] def partitionCols(fs: FileSystem, d: Path): Seq[String] = {
     val p = new Path(d, PartitionSidecar)
     if (isFile(fs, p)) readString(fs, p).split('\n').toIndexedSeq.filter(_.nonEmpty)
     else Seq.empty
   }
+
+  /** One declared partition transform. `dirPrefix` is the `name=` directory
+    * component OPTIMIZE's layout writes and the path-based pruner matches;
+    * the transform SOURCE column always stays IN the data files (the q304
+    * rule), so reads never depend on directory structure.
+    */
+  private[catalog] sealed trait PartSpec {
+    def col: String
+    def render: String
+    def dirPrefix: String
+  }
+  private[catalog] final case class IdentityPart(col: String) extends PartSpec {
+    def render: String = col
+    def dirPrefix: String = s"$col="
+  }
+  private[catalog] final case class DaysPart(col: String) extends PartSpec {
+    def render: String = s"days($col)"
+    def dirPrefix: String = s"${col}_day="
+  }
+  /** Bucket residue is the catalog's canonical `mod_bucket`
+    * (((k % n) + n) % n — [[StagingFunctions.ModBucket]]), so SQL, writers,
+    * and the pruner agree on file assignment.
+    */
+  private[catalog] final case class BucketPart(n: Int, col: String) extends PartSpec {
+    def render: String = s"bucket($n,$col)"
+    def dirPrefix: String = s"${col}_bucket="
+  }
+
+  private val DaysRe = "(?i)days\\(([^)]+)\\)".r
+  private val BucketRe = "(?i)bucket\\((\\d+)\\s*,\\s*([^)]+)\\)".r
+
+  private[catalog] def parsePartSpec(s: String): PartSpec = s.trim match {
+    case DaysRe(c)      => DaysPart(c.trim)
+    case BucketRe(n, c) => BucketPart(n.toInt, c.trim)
+    case c              => IdentityPart(c)
+  }
+
+  private[catalog] def partSpecs(fs: FileSystem, d: Path): Seq[PartSpec] =
+    partitionCols(fs, d).map(parsePartSpec)
 
   private[catalog] def isFile(fs: FileSystem, p: Path): Boolean =
     try fs.getFileStatus(p).isFile catch { case _: FileNotFoundException => false }
@@ -1595,12 +1680,17 @@ object GraftStagingCatalog {
     //    files of a clustered range delete vanish by manifest edit)
     //  - anything in between               → read, filter, rewrite
     // An empty filter array is TRUNCATE: every row matches vacuously.
+    // path-based partition pruning joins the stats: a `days(ts)` layout
+    // serves a whole-day DELETE metadata-only with NO stats sidecar at all
+    val specs = partSpecs(fs, d)
     val (touched0, untouched) = current.partition(f =>
-      filters.forall(fl => ZoneMapPrunedScan.canMatch(stats, nulls, f, fl)))
+      filters.forall(fl => ZoneMapPrunedScan.canMatch(stats, nulls, f, fl) &&
+        ZoneMapPrunedScan.partCanMatch(specs, f, fl)))
     val (dropped, touched) =
       if (filters.isEmpty) (touched0, Seq.empty[String])
       else touched0.partition(f =>
-        filters.forall(fl => ZoneMapPrunedScan.mustMatchAll(stats, nulls, f, fl)))
+        filters.forall(fl => ZoneMapPrunedScan.mustMatchAll(stats, nulls, f, fl) ||
+          ZoneMapPrunedScan.partMustMatchAll(specs, f, fl)))
     val kept: Seq[String] =
       if (touched.isEmpty) untouched
       else {

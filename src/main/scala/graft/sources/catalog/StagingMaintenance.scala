@@ -113,21 +113,37 @@ object StagingMaintenance {
     val tmp = new Path(d, s"_optimize_$token")
     val moved: Seq[String] = partitionBy match {
       case Some(p) =>
-        // PARTITION layout: bed the current set into `p=v/` directories
-        // (the reference's readdir namespace). The write partitions on a
-        // CLONE column so the real column stays IN the data files — reads
-        // never depend on the directory structure, and zone maps see each
-        // laid-out file as a constant on p (exact partition pruning +
-        // metadata-only partition DELETE through the ordinary stats path).
-        df.withColumn("__graft_pdir", col(p))
-          .repartition(col(p))
+        // PARTITION layout: bed the current set into `<prefix>=v/`
+        // directories (the reference's readdir namespace). `p` is a
+        // partition SPEC — a bare column (identity), `days(c)`, or
+        // `bucket(n,c)` — and the write partitions on the DERIVED value of
+        // a clone column, so the real source column stays IN the data
+        // files: reads never depend on the directory structure. For
+        // identity and days the laid-out files are CONSTANT / day-bounded
+        // on the source column (zone maps prune exactly after ANALYZE, and
+        // the path-based pruner works with NO stats at all); for bucket the
+        // path-based pruner is the ONLY file-skipping route — a point
+        // lookup's bucket residue names its one directory, which min/max
+        // ranges (each bucket spans the whole keyspace) can never express.
+        val spec = GraftStagingCatalog.parsePartSpec(p)
+        val derived = spec match {
+          case GraftStagingCatalog.IdentityPart(c) => col(c)
+          case GraftStagingCatalog.DaysPart(c) =>
+            org.apache.spark.sql.functions.date_format(col(c), "yyyy-MM-dd")
+          case GraftStagingCatalog.BucketPart(n, c) =>
+            org.apache.spark.sql.functions.pmod(col(c).cast("long"),
+              org.apache.spark.sql.functions.lit(n.toLong)).cast("int")
+        }
+        df.withColumn("__graft_pdir", derived)
+          .repartition(col("__graft_pdir"))
           .write.partitionBy("__graft_pdir").mode("overwrite").parquet(tmp.toString)
         fs.listStatus(tmp).toIndexedSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("__graft_pdir="))
           .flatMap { pd =>
-            // keep Spark's own escaped partition VALUE, swap in the real
-            // column name for the directory
-            val dirName = p + "=" + pd.getPath.getName.stripPrefix("__graft_pdir=")
+            // keep Spark's own escaped partition VALUE, swap in the spec's
+            // directory prefix
+            val dirName =
+              spec.dirPrefix + pd.getPath.getName.stripPrefix("__graft_pdir=")
             val target = new Path(d, dirName)
             fs.mkdirs(target)
             fs.listStatus(pd.getPath).toIndexedSeq
@@ -805,7 +821,8 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     blooms: () => Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
       () => Map.empty,
     dvKeys: Map[String, Set[Any]] = Map.empty,
-    dvKeyField: Option[org.apache.spark.sql.types.StructField] = None)
+    dvKeyField: Option[org.apache.spark.sql.types.StructField] = None,
+    partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -877,7 +894,8 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     val filters = v1Filters
     scan match {
       case f: FileScan if filters.nonEmpty || dvActive =>
-        new ZoneMapPrunedScan(f, stats, filters, nulls, tableDir, blooms, dvInfo(scan))
+        new ZoneMapPrunedScan(f, stats, filters, nulls, tableDir, blooms, dvInfo(scan),
+          partSpecs)
       case other => other
     }
   }
@@ -948,7 +966,8 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     tableDir: String = "",
     bloomsThunk: () => Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
       () => Map.empty,
-    dv: Option[DeletionVectors.DvScanInfo] = None)
+    dv: Option[DeletionVectors.DvScanInfo] = None,
+    partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   // loaded at most once per scan, and only when an equality/IN filter can
@@ -998,8 +1017,10 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
       case fp: FilePartition =>
         val keep = fp.files.filter { pf =>
           total += 1
+          val key = statKey(pf.toPath)
           val ok = fs.forall(f =>
-            ZoneMapPrunedScan.canMatch(stats, nulls, bl, statKey(pf.toPath), f))
+            ZoneMapPrunedScan.canMatch(stats, nulls, bl, key, f) &&
+              ZoneMapPrunedScan.partCanMatch(partSpecs, key, f))
           if (ok) kept += 1
           ok
         }
@@ -1019,7 +1040,8 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
              else Map.empty[(String, String), org.apache.spark.util.sketch.BloomFilter]
     delegate.toBatch.planInputPartitions().iterator.flatMap {
       case fp: FilePartition => fp.files.iterator.map(pf => statKey(pf.toPath))
-        .filter(n => fs.forall(f => ZoneMapPrunedScan.canMatch(stats, nulls, bl, n, f)))
+        .filter(n => fs.forall(f => ZoneMapPrunedScan.canMatch(stats, nulls, bl, n, f) &&
+          ZoneMapPrunedScan.partCanMatch(partSpecs, n, f)))
       case _ => Iterator.empty
     }.toSet
   }
@@ -1069,8 +1091,10 @@ private[catalog] final class RowLevelGroupScan(delegate: FileScan,
     tableDir: String = "",
     blooms: () => Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
       () => Map.empty,
-    dv: Option[DeletionVectors.DvScanInfo] = None)
-    extends ZoneMapPrunedScan(delegate, stats, staticFilters, nulls, tableDir, blooms, dv)
+    dv: Option[DeletionVectors.DvScanInfo] = None,
+    partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty)
+    extends ZoneMapPrunedScan(delegate, stats, staticFilters, nulls, tableDir, blooms, dv,
+      partSpecs)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.NamedReference
 
@@ -1371,4 +1395,170 @@ private[catalog] object ZoneMapPrunedScan {
       case _ => false
     }
   }
+
+  // ---- PATH-BASED partition-transform pruning ------------------------------
+  //
+  // A file laid out by `OPTIMIZE partitionBy <spec>` carries its partition
+  // value in its PATH (`<col>_day=2024-01-02/…`, `<col>_bucket=5/…`,
+  // `<col>=v/…`), and rows inside are structurally constrained: a day file
+  // holds only timestamps of that UTC day, a bucket file only keys of that
+  // mod_bucket residue, and in both cases the partition source column is
+  // NON-NULL (a NULL derivation lands in Spark's default-partition dir,
+  // whose name does not match the spec prefix and is therefore never
+  // pruned). That gives file skipping with NO stats sidecar at all — and
+  // for bucket layouts it is the ONLY possible skip: every bucket spans the
+  // whole keyspace, so min/max ranges can never separate them. Day
+  // boundaries are the UTC day (the engine pins
+  // spark.sql.session.timeZone=UTC everywhere).
+
+  /** Hive's default-partition value — the NULL-derivation dir. For every
+    * supported transform the derivation is NULL iff the SOURCE column is
+    * NULL, so this dir structurally holds exactly the all-NULL-source rows.
+    */
+  private val NullDir = "__HIVE_DEFAULT_PARTITION__"
+
+  /** The spec's partition value from the file's table-relative path, when
+    * the file lives in a matching layout directory.
+    */
+  private def partValueOf(s: GraftStagingCatalog.PartSpec, file: String): Option[String] =
+    if (file.startsWith(s.dirPrefix)) {
+      val rest = file.substring(s.dirPrefix.length)
+      val i = rest.indexOf('/')
+      if (i > 0) Some(rest.substring(0, i)) else None
+    } else None
+
+  /** (dayStartMicros, dayEndMicrosInclusive, epochDay) of a layout value. */
+  private def dayRange(value: String): Option[(Long, Long, Long)] =
+    try {
+      val day = java.time.LocalDate.parse(value)
+      val s = day.toEpochDay * 86400000000L
+      Some((s, s + 86399999999L, day.toEpochDay))
+    } catch { case _: RuntimeException => None }
+
+  private def bucketOf(v: Any, n: Int): Option[Int] = v match {
+    case num: java.lang.Integer => Some((((num.longValue % n) + n) % n).toInt)
+    case num: java.lang.Long    => Some((((num.longValue % n) + n) % n).toInt)
+    case _                      => None
+  }
+
+  /** CAN any row of a file in this layout dir satisfy `f`? Unprovable →
+    * true (keep). Mirrors [[canMatch]]'s inclusive-weak semantics.
+    */
+  private def specCanMatch(s: GraftStagingCatalog.PartSpec, value: String,
+      f: Filter): Boolean = {
+    import GraftStagingCatalog.{BucketPart, DaysPart}
+    // unlike footer stats (inclusive-weak by design), the day window is
+    // STRUCTURALLY exact — every row is inside [dayStart, dayEnd] — so
+    // strict comparisons prune the adjacent-day boundary file soundly
+    def dayCmp(v: Any, side: Int, strict: Boolean): Boolean = dayRange(value) match {
+      case Some((mnMicros, mxMicros, epochDay)) =>
+        asLong(v) match {
+          case Some(x) =>
+            val (mn, mx) = v match {
+              case _: java.sql.Date | _: java.time.LocalDate => (epochDay, epochDay)
+              case _                                         => (mnMicros, mxMicros)
+            }
+            side match {
+              case 0  => mx >= x && mn <= x
+              case 1  => if (strict) mx > x else mx >= x
+              case -1 => if (strict) mn < x else mn <= x
+            }
+          case None => true
+        }
+      case None => true
+    }
+    (s, f) match {
+      case (_, And(l, r)) => specCanMatch(s, value, l) && specCanMatch(s, value, r)
+      case (_, Or(l, r))  => specCanMatch(s, value, l) || specCanMatch(s, value, r)
+      // the NULL-derivation dir: every row's source column IS NULL, so no
+      // value comparison can be TRUE and IS NOT NULL matches nothing
+      case (spec, EqualNullSafe(a, null)) if a == spec.col && value == NullDir => true
+      case (spec, IsNull(a)) if a == spec.col && value == NullDir => true
+      case (spec, EqualTo(a, _)) if a == spec.col && value == NullDir => false
+      case (spec, EqualNullSafe(a, _)) if a == spec.col && value == NullDir => false
+      case (spec, GreaterThan(a, _)) if a == spec.col && value == NullDir => false
+      case (spec, GreaterThanOrEqual(a, _)) if a == spec.col && value == NullDir => false
+      case (spec, LessThan(a, _)) if a == spec.col && value == NullDir => false
+      case (spec, LessThanOrEqual(a, _)) if a == spec.col && value == NullDir => false
+      case (spec, In(a, _)) if a == spec.col && value == NullDir => false
+      case (spec, IsNotNull(a)) if a == spec.col && value == NullDir => false
+      case (_, _) if value == NullDir => true // unmodeled filter: keep
+      case (BucketPart(n, c), EqualTo(a, v)) if a == c =>
+        try bucketOf(v, n).forall(_ == value.toInt)
+        catch { case _: NumberFormatException => true }
+      case (BucketPart(n, c), EqualNullSafe(a, v)) if a == c && v != null =>
+        try bucketOf(v, n).forall(_ == value.toInt)
+        catch { case _: NumberFormatException => true }
+      case (BucketPart(n, c), In(a, vs)) if a == c =>
+        try vs.exists(v => bucketOf(v, n).forall(_ == value.toInt))
+        catch { case _: NumberFormatException => true }
+      case (DaysPart(c), EqualTo(a, v)) if a == c            => dayCmp(v, 0, strict = false)
+      case (DaysPart(c), EqualNullSafe(a, v)) if a == c && v != null =>
+        dayCmp(v, 0, strict = false)
+      case (DaysPart(c), GreaterThan(a, v)) if a == c        => dayCmp(v, 1, strict = true)
+      case (DaysPart(c), GreaterThanOrEqual(a, v)) if a == c => dayCmp(v, 1, strict = false)
+      case (DaysPart(c), LessThan(a, v)) if a == c           => dayCmp(v, -1, strict = true)
+      case (DaysPart(c), LessThanOrEqual(a, v)) if a == c    => dayCmp(v, -1, strict = false)
+      case (DaysPart(c), In(a, vs)) if a == c =>
+        vs.exists(v => dayCmp(v, 0, strict = false))
+      // layout dirs hold only rows whose derivation was NON-NULL
+      case (spec, IsNull(a)) if a == spec.col => false
+      case _ => true
+    }
+  }
+
+  /** Does EVERY row of a file in this layout dir provably satisfy `f`?
+    * Unprovable → false. The structural non-null guarantee stands in for
+    * the zero-null-count requirement [[mustMatchAll]] needs from stats.
+    */
+  private def specMustMatchAll(s: GraftStagingCatalog.PartSpec, value: String,
+      f: Filter): Boolean = {
+    import GraftStagingCatalog.DaysPart
+    def dayAll(v: Any, side: Int, strict: Boolean): Boolean = dayRange(value) match {
+      case Some((mnMicros, mxMicros, epochDay)) =>
+        asLong(v) match {
+          case Some(x) =>
+            val (mn, mx) = v match {
+              case _: java.sql.Date | _: java.time.LocalDate => (epochDay, epochDay)
+              case _                                         => (mnMicros, mxMicros)
+            }
+            side match {
+              case 0  => mn == x && mx == x
+              case 1  => if (strict) mn > x else mn >= x
+              case -1 => if (strict) mx < x else mx <= x
+            }
+          case None => false
+        }
+      case None => false
+    }
+    (s, f) match {
+      case (_, And(l, r)) => specMustMatchAll(s, value, l) && specMustMatchAll(s, value, r)
+      case (_, Or(l, r))  => specMustMatchAll(s, value, l) || specMustMatchAll(s, value, r)
+      // the NULL-derivation dir: all-NULL source column, provably
+      case (spec, IsNull(a)) if a == spec.col && value == NullDir => true
+      case (spec, EqualNullSafe(a, null)) if a == spec.col && value == NullDir => true
+      case (_, _) if value == NullDir => false
+      case (DaysPart(c), EqualTo(a, v)) if a == c => dayAll(v, 0, strict = false)
+      case (DaysPart(c), GreaterThan(a, v)) if a == c => dayAll(v, 1, strict = true)
+      case (DaysPart(c), GreaterThanOrEqual(a, v)) if a == c => dayAll(v, 1, strict = false)
+      case (DaysPart(c), LessThan(a, v)) if a == c => dayAll(v, -1, strict = true)
+      case (DaysPart(c), LessThanOrEqual(a, v)) if a == c => dayAll(v, -1, strict = false)
+      case (spec, IsNotNull(a)) if a == spec.col => true
+      case _ => false
+    }
+  }
+
+  /** Conjunction of [[specCanMatch]] across the table's declared partition
+    * specs — ANY spec's path value can refute the filter.
+    */
+  private[catalog] def partCanMatch(specs: Seq[GraftStagingCatalog.PartSpec],
+      file: String, f: Filter): Boolean =
+    specs.forall(s => partValueOf(s, file).forall(v => specCanMatch(s, v, f)))
+
+  /** Disjunction of [[specMustMatchAll]] across the specs — ANY spec's path
+    * value proving all-rows-match suffices.
+    */
+  private[catalog] def partMustMatchAll(specs: Seq[GraftStagingCatalog.PartSpec],
+      file: String, f: Filter): Boolean =
+    specs.exists(s => partValueOf(s, file).exists(v => specMustMatchAll(s, v, f)))
 }

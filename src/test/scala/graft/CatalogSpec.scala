@@ -924,10 +924,10 @@ class CatalogSpec extends SparkSpec {
       SELECT CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' ELSE 'fr' END,
              id FROM range(0, 900)""")
     assert(spark.table("stage_t.ws.pt").count() === 900)
-    // non-identity transform refused
+    // unsupported transforms still refused (identity/days/bucket only)
     intercept[Exception] {
       spark.sql("CREATE TABLE stage_t.ws.pt_bad (k BIGINT, ts TIMESTAMP) " +
-        "PARTITIONED BY (days(ts))")
+        "PARTITIONED BY (years(ts))")
     }
     StagingMaintenance.optimize(spark, "stage_t", "ws", "pt", partitionBy = Some("lang"))
     // the readdir namespace: one lang=v dir per value, data files inside
@@ -1332,6 +1332,41 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("stage_t.ws.ow").count() === 10)
     assert(spark.sql("SELECT DISTINCT grp FROM stage_t.ws.ow").collect()
       .map(_.getString(0)).toSeq === Seq("c"))
+  }
+
+  test("days() transform: NULL timestamps land in the default dir, survive whole-day DELETEs, answer IS NULL") {
+    import graft.sources.catalog.{StagingMaintenance, ZoneMapScan}
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.tp")
+    spark.sql(
+      "CREATE TABLE stage_t.ws.tp (k BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    spark.sql(
+      """INSERT INTO stage_t.ws.tp VALUES
+        |  (1, TIMESTAMP '2024-03-01 10:00:00'), (2, TIMESTAMP '2024-03-01 23:59:59'),
+        |  (3, TIMESTAMP '2024-03-02 00:00:00'), (4, TIMESTAMP '2024-03-03 05:00:00'),
+        |  (5, NULL), (6, NULL)""".stripMargin)
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "tp", partitionBy = Some("days(ts)"))
+    // layout: three day dirs + Spark's default dir for the NULL derivations
+    val files = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "tp")
+    assert(files.count(_.startsWith("ts_day=")) >= 3, files.toString)
+    // IS NULL must not be answered by a day file (structural non-null) and
+    // the default-partition file must be kept conservatively
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.tp WHERE ts IS NULL")
+      .collect()(0).getLong(0) === 2L)
+    // whole-day DELETE: day dir drops metadata-only; boundary neighbor
+    // (2024-03-02 00:00:00 is EXCLUDED by ts < '2024-03-02') and the NULL
+    // rows both survive untouched
+    ZoneMapScan.lastDeleteSplit = None
+    spark.sql(
+      """DELETE FROM stage_t.ws.tp
+        |WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-03-02 00:00:00'""".stripMargin)
+    val split = ZoneMapScan.lastDeleteSplit
+    assert(split.exists { case (_, drop, rew) => drop === 1 && rew === 0 },
+      s"whole-day DELETE not metadata-only: $split")
+    val left = spark.sql("SELECT k FROM stage_t.ws.tp ORDER BY k").collect().map(_.getLong(0))
+    assert(left.toSeq === Seq(3L, 4L, 5L, 6L), left.toSeq.toString)
   }
 
   test("merge-on-read: keyed MERGE/DELETE write deletion vectors, ZERO file rewrites; OPTIMIZE folds") {
