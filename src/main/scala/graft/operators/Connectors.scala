@@ -2059,10 +2059,64 @@ object Connectors {
        |FROM events
        |WHERE user_id = (SELECT max(user_id) FROM events) // 2""".stripMargin
 
+  // ---------------------------------------------------------------- q321
+
+  /** TYPE-WIDENING schema evolution — `ALTER COLUMN k TYPE BIGINT` /
+    * `x TYPE DOUBLE` as a PURE SIDECAR EDIT (the most common non-rename
+    * ALTER on long-lived tables): pre-widen files keep their int32/float
+    * pages and Spark 4's vectorized reader promotes them at scan time
+    * (SPARK-40876), so a 100 TB table widens in O(1). The in-query require
+    * proves the widen rewrote nothing; era snapshots keep pre-widen
+    * versions readable under the narrow schema (CatalogSpec pins that).
+    * Post-widen rows exceed the old INT range — the mixed-file scan's hash
+    * match against the oracle is the read-time-promotion proof.
+    */
+  def q321TypeWidening(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.lineitem(spark, dir).createOrReplaceTempView("li_wide_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.li_wide")
+    spark.sql("CREATE TABLE graft_stage.work.li_wide (k INT, qty FLOAT)")
+    spark.sql(
+      """INSERT INTO graft_stage.work.li_wide
+        |SELECT CAST(l_orderkey AS INT), CAST(l_quantity AS FLOAT)
+        |FROM li_wide_src WHERE l_orderkey % 3 = 0""".stripMargin)
+    val filesBefore = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "li_wide").toSet
+    spark.sql("ALTER TABLE graft_stage.work.li_wide ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE graft_stage.work.li_wide ALTER COLUMN qty TYPE DOUBLE")
+    require(graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "li_wide").toSet == filesBefore,
+      "type widening must be sidecar-only (zero file rewrites)")
+    spark.sql( // era 2: values beyond the old INT range
+      """INSERT INTO graft_stage.work.li_wide
+        |SELECT l_orderkey + 5000000000, l_quantity
+        |FROM li_wide_src WHERE l_orderkey % 3 = 1""".stripMargin)
+    spark.sql(
+      """SELECT CASE WHEN k >= 5000000000 THEN 'wide' ELSE 'narrow' END AS era,
+        |  count(*) AS n, max(k) AS max_k,
+        |  CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |FROM graft_stage.work.li_wide GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val q321Oracle: String =
+    s"""SELECT CASE WHEN l_orderkey % 3 = 1 THEN 'wide' ELSE 'narrow' END AS era,
+       |  count(*) AS n,
+       |  max(CASE WHEN l_orderkey % 3 = 1 THEN l_orderkey + 5000000000
+       |           ELSE l_orderkey END) AS max_k,
+       |  ${graft.operators.Det.dsumSql(
+            "CAST(CASE WHEN l_orderkey % 3 = 0 THEN CAST(l_quantity AS REAL) " +
+              "ELSE l_quantity END AS DOUBLE)")} AS total_qty
+       |FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q318_merge_on_read", q318MergeOnRead, q318Oracle),
     GraftQuery.sql("q319_days_partition", q319DaysPartition, q319Oracle),
     GraftQuery.sql("q320_bucket_partition", q320BucketPartition, q320Oracle),
+    GraftQuery.sql("q321_type_widening", q321TypeWidening, q321Oracle),
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
     GraftQuery.sql("q231_sink_roundtrip", q231SinkRoundtrip, q231Oracle),

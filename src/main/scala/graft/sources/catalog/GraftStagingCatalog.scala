@@ -735,6 +735,42 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
           if (f.name.equalsIgnoreCase(from)) f.copy(name = rn.newName()) else f))
         renames :+= (from, rn.newName())
         StagingMaintenance.dropColumnStats(fs, d, from)
+      case up: TableChange.UpdateColumnType =>
+        // TYPE WIDENING — the schema-evolution face files can satisfy by
+        // PROJECTION alone: Spark 4's vectorized parquet reader promotes
+        // int32→int64, int32→double, and float→double at read time
+        // (SPARK-40876), so ALTER COLUMN … TYPE BIGINT/DOUBLE is a pure
+        // sidecar edit — zero file rewrites on a 100 TB table. Anything
+        // that would narrow, re-interpret, or change kind is refused. Era
+        // snapshots (below) keep pre-widen versions readable under the
+        // narrow schema of their day.
+        if (up.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName: only top-level ALTER COLUMN TYPE is supported")
+        val name = up.fieldNames()(0)
+        val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$catalogName: no column $name in ${ident.name()}"))
+        import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+        val widening = (field.dataType, up.newDataType()) match {
+          case (IntegerType, LongType)   => true
+          case (IntegerType, DoubleType) => true
+          case (FloatType, DoubleType)   => true
+          case (from, to) if from == to  => true // no-op
+          case _                         => false
+        }
+        if (!widening)
+          throw new UnsupportedOperationException(
+            s"$catalogName: unsupported type change $name: ${field.dataType.simpleString} " +
+              s"-> ${up.newDataType().simpleString} (supported widenings: " +
+              "INT->BIGINT, INT->DOUBLE, FLOAT->DOUBLE)")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name.equalsIgnoreCase(name)) f.copy(dataType = up.newDataType()) else f))
+        // zone-map entries survive a SAME-KIND widening (int and bigint
+        // both record "L" ranges; float and double both "D"); a KIND change
+        // (int->double) re-keys on the next ANALYZE instead
+        if (field.dataType == IntegerType && up.newDataType() == DoubleType)
+          StagingMaintenance.dropColumnStats(fs, d, field.name)
       case sp: TableChange.SetProperty if sp.property().equalsIgnoreCase("check") =>
         // SET TBLPROPERTIES('check'=…): validate against the CURRENT
         // declared schema, then persist — future writes enforce it
@@ -745,7 +781,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       case other =>
         throw new UnsupportedOperationException(
           s"$catalogName: unsupported ALTER TABLE change $other " +
-            "(supported: ADD / DROP / RENAME COLUMN, SET/UNSET 'check')")
+            "(supported: ADD / DROP / RENAME COLUMN, ALTER COLUMN TYPE widening, " +
+            "SET/UNSET 'check')")
     }
     // a schema change must not strand the CHECK constraint: re-validate it
     // against the post-change schema (dropping a checked column fails HERE,

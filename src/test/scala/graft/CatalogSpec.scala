@@ -1334,6 +1334,58 @@ class CatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("c"))
   }
 
+  test("type widening: INT->BIGINT / FLOAT->DOUBLE are sidecar-only; old files promote at read; eras pin the narrow schema") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.wide")
+    spark.sql("CREATE TABLE stage_t.ws.wide (k INT, x FLOAT, tag STRING)")
+    spark.sql(
+      "INSERT INTO stage_t.ws.wide SELECT CAST(id AS INT), CAST(id AS FLOAT) / 4.0F, 'a' " +
+        "FROM range(0, 100)")
+    val vNarrow = spark.sql("CALL stage_t.history('ws', 'wide')").count()
+    val filesBefore = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "stage_t", "ws", "wide").toSet
+    spark.sql("ALTER TABLE stage_t.ws.wide ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE stage_t.ws.wide ALTER COLUMN x TYPE DOUBLE")
+    // pure metadata: no files rewritten by the widen
+    assert(graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "stage_t", "ws", "wide").toSet === filesBefore,
+      "type widening must not rewrite files")
+    // post-widen schema + values beyond INT range land fine
+    val sch = spark.table("stage_t.ws.wide").schema
+    assert(sch("k").dataType === org.apache.spark.sql.types.LongType, sch.toString)
+    assert(sch("x").dataType === org.apache.spark.sql.types.DoubleType, sch.toString)
+    spark.sql(
+      "INSERT INTO stage_t.ws.wide VALUES (5000000000, 0.125D, 'b')")
+    // mixed old(int32/float) + new(int64/double) files in ONE scan
+    val got = spark.sql(
+      """SELECT tag, count(*) AS n, max(k) AS mk,
+        |  CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx
+        |FROM stage_t.ws.wide GROUP BY tag ORDER BY tag""".stripMargin).collect()
+    assert(got.length === 2 && got(1).getLong(2) === 5000000000L, got.mkString(","))
+    assert(got(0).getLong(1) === 100L && got(0).getLong(2) === 99L)
+    // narrowing refused (Spark's analyzer rejects it before the catalog)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE stage_t.ws.wide ALTER COLUMN k TYPE INT")
+    }
+    assert(e.getMessage.toLowerCase.contains("not supported") ||
+      e.getMessage.contains("widening"), e.getMessage)
+    // time travel: the pre-widen version reads under its NARROW era schema
+    val pinned = spark.sql(s"SELECT * FROM stage_t.ws.wide VERSION AS OF $vNarrow")
+    assert(pinned.schema("k").dataType === org.apache.spark.sql.types.IntegerType,
+      pinned.schema.toString)
+    assert(pinned.count() === 100L)
+    // zone maps on the widened column still prune (same-kind stats survive,
+    // fresh ANALYZE covers the new file)
+    spark.sql("CALL stage_t.analyze('ws', 'wide', 'k')")
+    graft.sources.catalog.ZoneMapScan.lastPrune = None
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.wide WHERE k = 5000000000")
+      .collect()(0).getLong(0) === 1L)
+    val prune = graft.sources.catalog.ZoneMapScan.lastPrune
+    assert(prune.exists { case (kept, total) => total >= 2 && kept < total },
+      s"widened-column zone maps did not prune: $prune")
+  }
+
   test("days() transform: NULL timestamps land in the default dir, survive whole-day DELETEs, answer IS NULL") {
     import graft.sources.catalog.{StagingMaintenance, ZoneMapScan}
     mountStage()
