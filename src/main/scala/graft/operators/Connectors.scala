@@ -2112,11 +2112,71 @@ object Connectors {
        |FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q322
+
+  /** MULTI-COLUMN `CLUSTER BY` VIA Z-ORDER — `CALL optimize(…,
+    * cluster_by => 'l_partkey,l_suppkey')` lays the table on the Morton
+    * curve (the q243 audit made a MAINTENANCE operation), so per-file
+    * [min,max] stays bounded on BOTH dimensions and the ordinary zone maps
+    * prune predicates on EITHER column — the q277 two-predicate shape
+    * WITHOUT choosing one pruning dimension at layout time. Both probes'
+    * file skips are proven in-query via lastPrune; the final aggregate's
+    * hash match proves the curve changed placement, never content.
+    */
+  def q322ZorderCluster(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.lineitem(spark, dir).createOrReplaceTempView("li_z_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.li_z")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.li_z AS
+        |SELECT l_partkey, l_suppkey, l_quantity FROM li_z_src""".stripMargin)
+    spark.sql("CALL graft_stage.optimize('work', 'li_z', 8, 'l_partkey,l_suppkey', NULL)")
+    spark.sql("CALL graft_stage.analyze('work', 'li_z', 'l_partkey,l_suppkey')")
+    val b = spark.sql(
+      "SELECT max(l_partkey), max(l_suppkey) FROM graft_stage.work.li_z").collect()(0)
+    val (p0, s0) = (3L * b.getLong(0) / 4L, b.getLong(1) / 2L + 1L)
+    import graft.sources.catalog.ZoneMapScan
+    // probe 1: partkey-only band must skip files
+    ZoneMapScan.lastPrune = None
+    val n1 = spark.sql(
+      s"SELECT count(*) FROM graft_stage.work.li_z WHERE l_partkey >= $p0")
+      .collect()(0).getLong(0)
+    val prune1 = ZoneMapScan.lastPrune
+    require(n1 > 0 && prune1.exists { case (k, t) => t >= 8 && k < t },
+      s"z-order did not prune on l_partkey: $prune1")
+    // probe 2: suppkey-only band must skip files TOO — the z-order payoff
+    ZoneMapScan.lastPrune = None
+    val n2 = spark.sql(
+      s"SELECT count(*) FROM graft_stage.work.li_z WHERE l_suppkey >= $s0")
+      .collect()(0).getLong(0)
+    val prune2 = ZoneMapScan.lastPrune
+    require(n2 > 0 && prune2.exists { case (k, t) => t >= 8 && k < t },
+      s"z-order did not prune on l_suppkey: $prune2")
+    spark.sql(
+      s"""SELECT count(*) AS n, min(l_partkey) AS min_p, max(l_suppkey) AS max_s,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+         |FROM graft_stage.work.li_z
+         |WHERE l_partkey >= $p0 AND l_suppkey >= $s0""".stripMargin)
+  }
+
+  val q322Oracle: String = {
+    val p0 = "(SELECT 3 * max(l_partkey) // 4 FROM lineitem)"
+    val s0 = "(SELECT max(l_suppkey) // 2 + 1 FROM lineitem)"
+    s"""SELECT count(*) AS n, min(l_partkey) AS min_p, max(l_suppkey) AS max_s,
+       |  ${graft.operators.Det.dsumSql("l_quantity")} AS total_qty
+       |FROM lineitem
+       |WHERE l_partkey >= $p0 AND l_suppkey >= $s0""".stripMargin
+  }
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q318_merge_on_read", q318MergeOnRead, q318Oracle),
     GraftQuery.sql("q319_days_partition", q319DaysPartition, q319Oracle),
     GraftQuery.sql("q320_bucket_partition", q320BucketPartition, q320Oracle),
     GraftQuery.sql("q321_type_widening", q321TypeWidening, q321Oracle),
+    GraftQuery.sql("q322_zorder_cluster", q322ZorderCluster, q322Oracle),
     GraftQuery.sql("q200_pushed_agg", q200PushedAgg, q200Oracle),
     GraftQuery.sql("q204_catalog_sql", q204CatalogSql, q204Oracle),
     GraftQuery.sql("q231_sink_roundtrip", q231SinkRoundtrip, q231Oracle),

@@ -157,6 +157,37 @@ object StagingMaintenance {
           }
       case None =>
         val laid = clusterBy match {
+          case Some(spec) if spec.contains(",") =>
+            // MULTI-COLUMN CLUSTER BY via Z-ORDER: interleave the two
+            // dimensions' bits on a Morton curve (the q243 layout made a
+            // maintenance operation), so per-file [min,max] ranges stay
+            // bounded on BOTH columns and zone maps prune predicates on
+            // EITHER — what a linear sort gives only its leading column.
+            // Each dimension is scaled to 16 bits against its observed
+            // [min,max] (one agg pass); the z key orders placement ONLY —
+            // content and correctness never depend on it, so the double
+            // arithmetic in the scaling is safe by construction.
+            val cols = spec.split(',').map(_.trim).filter(_.nonEmpty)
+            require(cols.length == 2,
+              s"cluster_by takes one column or a pair 'a,b' (z-order), got '$spec'")
+            import org.apache.spark.sql.functions.{greatest, least, lit => flit,
+              max => fmax, min => fmin, shiftleft, shiftright}
+            val b = df.agg(
+              fmin(col(cols(0))).cast("double"), fmax(col(cols(0))).cast("double"),
+              fmin(col(cols(1))).cast("double"), fmax(col(cols(1))).cast("double")).head
+            val Bits = 16
+            val Mask = (1L << Bits) - 1
+            def scaled(c: String, mn: Double, mx: Double) =
+              least(flit(Mask), greatest(flit(0L),
+                ((col(c).cast("double") - mn) * Mask / math.max(mx - mn, 1.0))
+                  .cast("long")))
+            val za = scaled(cols(0), b.getDouble(0), b.getDouble(1))
+            val zb = scaled(cols(1), b.getDouble(2), b.getDouble(3))
+            val z = (0 until Bits).map { i =>
+              shiftleft(shiftright(za, i).bitwiseAND(flit(1L)), 2 * i + 1)
+                .bitwiseOR(shiftleft(shiftright(zb, i).bitwiseAND(flit(1L)), 2 * i))
+            }.reduce(_.bitwiseOR(_))
+            df.repartitionByRange(targetFiles, z).sortWithinPartitions(z)
           case Some(c) =>
             df.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
           case None => df.repartition(targetFiles)
