@@ -460,11 +460,15 @@ object Connectors {
       graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events_fgd_src")
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
       spark.sql("DROP TABLE IF EXISTS graft_stage.work.events_fgd")
+      // CTAS shaped at write time (REPARTITION_BY_RANGE = the clustered
+      // layout in ONE read+write): file-level zone maps need disjoint
+      // per-file ranges, which range partitioning alone provides — a
+      // separate OPTIMIZE pass would re-read and re-write the whole table
+      // for the same file-granular pruning (the r8 lifecycle-cost lesson)
       spark.sql(
         """CREATE TABLE graft_stage.work.events_fgd AS
-          |SELECT event_id, ts, user_id, event_type, value FROM events_fgd_src""".stripMargin)
-      graft.sources.catalog.StagingMaintenance.optimize(
-        spark, "graft_stage", "work", "events_fgd", targetFiles = 8, clusterBy = Some("ts"))
+          |SELECT /*+ REPARTITION_BY_RANGE(8, ts) */
+          |  event_id, ts, user_id, event_type, value FROM events_fgd_src""".stripMargin)
       graft.sources.catalog.StagingMaintenance.analyze(
         spark, "graft_stage", "work", "events_fgd", Seq("ts"))
       spark.sql(
@@ -1173,13 +1177,13 @@ object Connectors {
     graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_fgu_src")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
     spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_fgu")
+    // clustered layout in ONE read+write (range-partitioned CTAS; the r8
+    // lifecycle-cost lesson — no second whole-table OPTIMIZE pass)
     spark.sql(
       """CREATE TABLE graft_stage.work.orders_fgu AS
-        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |SELECT /*+ REPARTITION_BY_RANGE(8, o_orderkey) */
+        |  o_orderkey, o_orderstatus, o_totalprice
         |FROM orders_fgu_src WHERE o_orderkey % 3 = 0""".stripMargin)
-    graft.sources.catalog.StagingMaintenance.optimize(
-      spark, "graft_stage", "work", "orders_fgu", targetFiles = 8,
-      clusterBy = Some("o_orderkey"))
     graft.sources.catalog.StagingMaintenance.analyze(
       spark, "graft_stage", "work", "orders_fgu", Seq("o_orderkey"))
     val before = graft.sources.catalog.StagingMaintenance
@@ -1235,13 +1239,12 @@ object Connectors {
     graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_fgm_src")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
     spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_fgm")
-    spark.sql( // target: slices 0 and 5 of mod 10, whole keyspace
+    spark.sql( // target: slices 0 and 5 of mod 10, whole keyspace —
+      // range-clustered at CTAS time (one read+write, no OPTIMIZE pass)
       """CREATE TABLE graft_stage.work.orders_fgm AS
-        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |SELECT /*+ REPARTITION_BY_RANGE(8, o_orderkey) */
+        |  o_orderkey, o_orderstatus, o_totalprice
         |FROM orders_fgm_src WHERE o_orderkey % 10 IN (0, 5)""".stripMargin)
-    graft.sources.catalog.StagingMaintenance.optimize(
-      spark, "graft_stage", "work", "orders_fgm", targetFiles = 8,
-      clusterBy = Some("o_orderkey"))
     graft.sources.catalog.StagingMaintenance.analyze(
       spark, "graft_stage", "work", "orders_fgm", Seq("o_orderkey"))
     val before = graft.sources.catalog.StagingMaintenance
@@ -1358,30 +1361,30 @@ object Connectors {
     graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_rld_src")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
     spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_rld")
+    // range-clustered at CTAS time (v1) — one read+write, no OPTIMIZE pass
     spark.sql(
       """CREATE TABLE graft_stage.work.orders_rld AS
-        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |SELECT /*+ REPARTITION_BY_RANGE(8, o_orderkey) */
+        |  o_orderkey, o_orderstatus, o_totalprice
         |FROM orders_rld_src WHERE o_orderkey % 4 = 0""".stripMargin)
-    val (_, _, optV) = graft.sources.catalog.StagingMaintenance.optimize(
-      spark, "graft_stage", "work", "orders_rld", targetFiles = 8,
-      clusterBy = Some("o_orderkey"))
     graft.sources.catalog.StagingMaintenance.analyze(
       spark, "graft_stage", "work", "orders_rld", Seq("o_orderkey"))
+    val before = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_rld").toSet
     val hi = spark.sql("SELECT max(o_orderkey) FROM graft_stage.work.orders_rld")
       .collect()(0).getLong(0) / 8L
     spark.sql(
       s"""UPDATE graft_stage.work.orders_rld SET o_totalprice = o_totalprice + 5.0D
          |WHERE o_orderkey <= $hi""".stripMargin)
     val diff = graft.sources.catalog.StagingMaintenance.rowLevelChanges(
-      spark, "graft_stage", "work", "orders_rld", optV, optV + 1)
+      spark, "graft_stage", "work", "orders_rld", 1L, 2L)
     // scale property: the keyed rewrite carried most files, so the diff's
     // input (removed ∪ added) is a strict subset of the table's file set
-    val preFiles = 8 // optimize targetFiles above
     val shared = graft.sources.catalog.StagingMaintenance
       .currentFileNames(spark, "graft_stage", "work", "orders_rld")
-      .count(_.startsWith("opt-"))
-    require(shared >= 1,
-      "row-level diff lost file granularity: no optimize-era file was carried")
+      .toSet.intersect(before)
+    require(shared.nonEmpty,
+      "row-level diff lost file granularity: no CTAS-era file was carried")
     diff.groupBy(col("_change"), col("o_orderstatus").as("status"))
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
@@ -1592,11 +1595,11 @@ object Connectors {
     // an extreme key would be range-prunable by accident — only the file
     // holding the global max reaches it — which is not the case this query
     // exists to prove
-    val maxKey = spark.table("graft_stage.work.li_bloom")
-      .agg(max(col("l_orderkey"))).collect()(0).getLong(0)
-    val key = spark.table("graft_stage.work.li_bloom")
-      .where(col("l_orderkey") <= maxKey / 2)
-      .agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+    val key = spark.sql(
+      """SELECT max(l_orderkey) FROM graft_stage.work.li_bloom
+        |WHERE l_orderkey <= (SELECT max(l_orderkey) DIV 2
+        |                     FROM graft_stage.work.li_bloom)""".stripMargin)
+      .collect()(0).getLong(0)
     graft.sources.catalog.ZoneMapScan.lastPrune = None
     spark.sql(s"SELECT count(*) FROM graft_stage.work.li_bloom WHERE l_orderkey = $key")
       .collect()
@@ -1902,14 +1905,14 @@ object Connectors {
         |  (o_orderkey BIGINT NOT NULL, o_orderstatus STRING, o_totalprice DOUBLE)
         |TBLPROPERTIES ('graft.write.mode'='merge-on-read',
         |               'graft.merge-keys'='o_orderkey')""".stripMargin)
+    // hash-distributed 8-file layout SHAPED AT INSERT (one write, no
+    // OPTIMIZE pass): each file spans the whole keyspace, so the delta's
+    // matched keys hit every file — the COW-worst-case this query exists on
     spark.sql(
       """INSERT INTO graft_stage.work.orders_mor
-        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |SELECT /*+ REPARTITION(8, o_orderkey) */
+        |  o_orderkey, o_orderstatus, o_totalprice
         |FROM orders_mor_src WHERE o_orderkey % 10 IN (0, 5)""".stripMargin)
-    // hash-distributed layout: NO clusterBy — each of the 8 files spans the
-    // whole keyspace, so the delta's matched keys hit every file
-    graft.sources.catalog.StagingMaintenance.optimize(
-      spark, "graft_stage", "work", "orders_mor", targetFiles = 8)
     val before = graft.sources.catalog.StagingMaintenance
       .currentFileNames(spark, "graft_stage", "work", "orders_mor").toSet
     val hi = spark.sql("SELECT max(o_orderkey) FROM graft_stage.work.orders_mor")
