@@ -352,4 +352,98 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("merge-on-read catalog: random MERGE/DELETE/OPTIMIZE/RESTORE/VACUUM sequences match a keyed model") {
+    // The deletion-vector twin of the copy-on-write model test above: the
+    // table is a keyed current-state store (the CDC shape MOR exists for).
+    // After ANY interleaving of keyed upserts (DV + fresh files, zero
+    // rewrites), keyed deletes (DV-only), folds, restores, and retention:
+    // (a) the current read equals the keyed model, (b) every retained
+    // version reads back ITS snapshot under ITS deletion vectors, (c)
+    // OPTIMIZE always leaves the head version DV-free, and (d) a MERGE
+    // commit never removes a pre-existing file from the manifest.
+    import graft.sources.catalog.StagingMaintenance
+    val rng = new scala.util.Random(9119)
+    spark.conf.set("spark.sql.catalog.morp_cat",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.morp_cat.root",
+      java.nio.file.Files.createTempDirectory("graft_morprop_").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS morp_cat.ws")
+    spark.sql("DROP TABLE IF EXISTS morp_cat.ws.m")
+    spark.sql(
+      """CREATE TABLE morp_cat.ws.m (k BIGINT NOT NULL, v BIGINT)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read', 'graft.merge-keys'='k')""".stripMargin)
+    val model = scala.collection.mutable.Map.empty[Long, Long]
+    val versions = scala.collection.mutable.LinkedHashMap.empty[Long, Map[Long, Long]]
+    var payload = 0L
+    def nextPayload(): Long = { payload += 1; payload }
+    spark.sql("INSERT INTO morp_cat.ws.m SELECT id, id * 10 FROM range(0, 60)") // v1
+    (0L until 60L).foreach(k => model(k) = k * 10)
+    versions(1L) = model.toMap
+    var v = 1L
+    def currentFiles(): Set[String] =
+      StagingMaintenance.currentFileNames(spark, "morp_cat", "ws", "m").toSet
+    (0 until 12).foreach { step =>
+      rng.nextInt(6) match {
+        case 0 | 1 => // keyed MERGE upsert: mixed existing + fresh keys
+          val existing = model.keys.toSeq
+          val batch = ((0 until 1 + rng.nextInt(6)).map { _ =>
+            if (existing.nonEmpty && rng.nextBoolean()) existing(rng.nextInt(existing.size))
+            else 1000L + rng.nextLong(1000L)
+          }).distinct.map(k => (k, nextPayload()))
+          import spark.implicits._
+          batch.toDF("k", "v").createOrReplaceTempView("morp_src")
+          val before = currentFiles()
+          spark.sql(
+            """MERGE INTO morp_cat.ws.m t USING morp_src s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET v = s.v
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          assert(before.subsetOf(currentFiles()),
+            s"step $step: MOR MERGE dropped a pre-existing file")
+          batch.foreach { case (k, p) => model(k) = p }
+          v += 1; versions(v) = model.toMap
+        case 2 => // keyed DELETE: DV-only, file set unchanged
+          val existing = model.keys.toSeq
+          val victims =
+            if (existing.isEmpty) Seq(999999L)
+            else (0 until 1 + rng.nextInt(4)).map(_ => existing(rng.nextInt(existing.size)))
+              .distinct
+          val before = currentFiles()
+          spark.sql(
+            s"DELETE FROM morp_cat.ws.m WHERE k IN (${victims.mkString(",")})")
+          assert(currentFiles() === before,
+            s"step $step: MOR DELETE must not change the file set")
+          victims.foreach(model.remove)
+          v += 1; versions(v) = model.toMap
+        case 3 => // fold: OPTIMIZE leaves the head DV-free
+          StagingMaintenance.optimize(spark, "morp_cat", "ws", "m",
+            targetFiles = 1 + rng.nextInt(3))
+          assert(StagingMaintenance.activeDvs(spark, "morp_cat", "ws", "m").isEmpty,
+            s"step $step: OPTIMIZE left active DVs")
+          v += 1; versions(v) = model.toMap
+        case 4 => // metadata-only RESTORE to a random retained version
+          val target = versions.keys.toSeq(rng.nextInt(versions.size))
+          StagingMaintenance.restore(spark, "morp_cat", "ws", "m", target)
+          model.clear(); model ++= versions(target)
+          v += 1; versions(v) = model.toMap
+        case 5 => // bounded retention
+          val retain = 1 + rng.nextInt(3)
+          StagingMaintenance.vacuum(spark, "morp_cat", "ws", "m", retainLast = retain)
+          val keep = versions.keys.toSeq.takeRight(retain).toSet
+          versions.filterInPlace { case (ver, _) => keep(ver) }
+      }
+      // (a) current read == keyed model (exactly one row per live key)
+      val cur = spark.sql("SELECT k, v FROM morp_cat.ws.m").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      assert(cur.length === model.size && cur.toMap === model.toMap,
+        s"step $step: current read diverged from keyed model")
+    }
+    // (b) every retained version reads back ITS snapshot under ITS DVs
+    versions.foreach { case (ver, snap) =>
+      val got = spark.sql(s"SELECT k, v FROM morp_cat.ws.m VERSION AS OF $ver")
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(got.length === snap.size && got.toMap === snap,
+        s"VERSION AS OF $ver diverged from its MOR snapshot")
+    }
+  }
 }

@@ -611,6 +611,55 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("catalogUpsertStream into a MERGE-ON-READ table: every CDC batch is DV + fresh files, zero rewrites") {
+    // The end-to-end CDC story the deletion vectors exist for: a keyed
+    // change stream maintained into a MOR current-state table — each
+    // micro-batch's MERGE commits one deletion vector plus the changed
+    // rows' files, and NO pre-existing file is ever rewritten, so per-batch
+    // write cost is O(changed rows) however large the table grows.
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_morups_cat").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_morups_ckpt").toString
+    spark.conf.set("spark.sql.catalog.morups_cat",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.morups_cat.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS morups_cat.ws")
+    spark.sql(
+      """CREATE TABLE morups_cat.ws.state (k BIGINT NOT NULL, v BIGINT)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read', 'graft.merge-keys'='k')""".stripMargin)
+    // a hash-distributed base the CDC stream churns against
+    spark.sql(
+      "INSERT INTO morups_cat.ws.state SELECT /*+ REPARTITION(4, id) */ id, id FROM range(0, 200)")
+    def files(): Set[String] = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "morups_cat", "ws", "state").toSet
+    def state() = spark.sql("SELECT k, v FROM morups_cat.ws.state")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = files()
+    assert(base.size === 4)
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingOps.catalogUpsertStream(
+      mem.toDF().selectExpr("_1 AS k", "_2 AS v"), "morups_cat.ws.state", "k", ckpt)
+    try {
+      mem.addData((5L, 1000L), (105L, 1001L), (500L, 1002L)); q.processAllAvailable()
+      val afterB1 = files()
+      assert(base.subsetOf(afterB1), "CDC batch 1 rewrote a base file")
+      assert(graft.sources.catalog.StagingMaintenance
+        .activeDvs(spark, "morups_cat", "ws", "state").nonEmpty,
+        "CDC merge committed no deletion vector")
+      mem.addData((5L, 2000L), (501L, 2001L)); q.processAllAvailable()
+      assert(afterB1.subsetOf(files()), "CDC batch 2 rewrote an existing file")
+    } finally q.stop()
+    val expect = (0L until 200L).map(k => k -> k).toMap ++
+      Map(5L -> 2000L, 105L -> 1001L, 500L -> 1002L, 501L -> 2001L)
+    assert(state() === expect, "MOR CDC state diverged")
+    // fold: OPTIMIZE compacts the churn away and the state is unchanged
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "morups_cat", "ws", "state", targetFiles = 2)
+    assert(graft.sources.catalog.StagingMaintenance
+      .activeDvs(spark, "morups_cat", "ws", "state").isEmpty)
+    assert(state() === expect, "OPTIMIZE fold changed CDC state")
+  }
+
   test("catalogUpsertStream: per-batch MERGE maintains current state; replay is data-idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_ups_cat").toString
