@@ -61,12 +61,12 @@ object GraphRank {
   def q143FixedPointPagerank(spark: SparkSession, dir: String): DataFrame = {
     ensureCheckpointDir(spark)
     // Materialize the distinct pair set once — it feeds both directions of
-    // the edge union, and the union itself is then a map-only read. The
-    // cache here is a short-lived build-phase aid (released below once
-    // degEdges is durably checkpointed), so plain persist is fine.
+    // the edge union (and the node count below), and the union is then a
+    // map-only read of the checkpoint files with no cache-population race
+    // between the two branches.
     val pairs = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .checkpoint()
     val edges = pairs.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
       .union(pairs.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
     // Fold the degree INTO the edge list once (src, dst, deg-of-src): the
@@ -77,15 +77,18 @@ object GraphRank {
     // clustered on src (both inputs exchange to the src key), so the
     // checkpointed degEdges needs no extra repartition, and identical
     // degEdges-scan exchanges across iterations collapse via ReuseExchange.
-    // The degree table is O(nodes) — at web scale it can no more broadcast
-    // than the rank table, so the build join is hinted shuffle-hash too
-    // (without the hint, AQE's small-scale stats would broadcast it).
-    // RELIABLY checkpointed (eager), not persisted: the three per-iteration
-    // reads come off durable checkpoint files with NO lineage back to the
-    // parquet scan, so memory pressure can never silently re-run the build
-    // (the r8 driver-bench blowup mode — see ensureCheckpointDir).
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val degEdges = edges.join(deg.hint("shuffle_hash"), Seq("src"))
+    // Degree folded in with a WINDOW COUNT over the src partition instead
+    // of a groupBy + self-join: the join form computes the edge union TWICE
+    // (agg build + probe) and shuffles twice; the window computes edges
+    // once and shuffles once — same rows, one fewer pass over the heavy
+    // side (nothing broadcast: the window is partition-local after its
+    // exchange). RELIABLY checkpointed (eager), not persisted: the three
+    // per-iteration reads come off durable checkpoint files with NO lineage
+    // back to the parquet scan, so memory pressure can never silently
+    // re-run the build (the r8 driver-bench blowup mode — see
+    // ensureCheckpointDir).
+    val degEdges = edges
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
       .select(col("src"), col("dst"), col("deg"))
       .checkpoint()
     // node count in one pass over the (small, cached) pair set:
@@ -93,7 +96,6 @@ object GraphRank {
     // has out-edges) — avoids materializing a separate degree table.
     val nd = pairs.agg(countDistinct(col("p")).as("np"), countDistinct(col("s")).as("ns")).head
     val n = nd.getLong(0) + nd.getLong(1)
-    pairs.unpersist(false) // folded into the durable degEdges — not needed again
     val base = 3L * (SCALE / n) / 20L
     val r0 = SCALE / n
     // Iteration 1 is join-free: with uniform initial rank r0 a constant,
@@ -164,8 +166,11 @@ object GraphRank {
     */
   def q161BfsHops(spark: SparkSession, dir: String): DataFrame = {
     ensureCheckpointDir(spark)
+    // pairs checkpointed first: the edge union's two branches then read the
+    // distinct ONCE from durable files instead of computing it twice
     val pairs = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      .checkpoint()
     val edges = pairs.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
       .union(pairs.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
       .repartition(col("src"))
@@ -298,9 +303,11 @@ object GraphRank {
     */
   def q270LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
     ensureCheckpointDir(spark)
+    // pairs checkpointed (not cached): the edge union's two branches read
+    // the distinct once from durable files — no cache-population race
     val pairs = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .checkpoint()
     // Checkpoint the edge list ALREADY HASH-PARTITIONED on the per-round
     // join key: checkpoint preserves the physical plan's partitioning, so
     // every round's shuffle-hash join re-exchanges only the O(nodes)
@@ -314,7 +321,6 @@ object GraphRank {
       .union(pairs.select((col("s") * 2 + 1).as("u"), (col("p") * 2).as("v")))
       .repartition(col("v"))
       .checkpoint()
-    pairs.unpersist(false) // folded into the durable edge list — not needed again
     var labels = edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (round <- 1 to 3) {
@@ -389,8 +395,11 @@ object GraphRank {
     */
   def q276KCore(spark: SparkSession, dir: String): DataFrame = {
     ensureCheckpointDir(spark)
+    // pairs checkpointed first (the q143/q270 build discipline): the edge
+    // union reads the distinct once from durable files
     val pairs = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      .checkpoint()
     // Edge state is checkpointed HASH-PARTITIONED on u every round (the
     // q270 lesson — checkpoint preserves the physical partitioning, so the
     // degree aggregation and the u-side survivor semi-join read it
