@@ -1889,9 +1889,22 @@ object Connectors {
     * sidecar of replaced keys — the in-query require proves ZERO
     * pre-merge files were rewritten. The oracle is IDENTICAL to q302's
     * (same data, same delta): the hash match IS the MOR ≡ COW proof. At
-    * 100 TB this bounds merge cost by O(changed rows); OPTIMIZE later
-    * folds the DVs back to a clean columnar layout (CatalogSpec covers
-    * fold, DV time travel, ghost-proof re-merge, and VACUUM retention).
+    * 100 TB this bounds merge WRITE cost by O(changed rows); OPTIMIZE
+    * later folds the DVs back to a clean columnar layout (CatalogSpec
+    * covers fold, DV time travel, ghost-proof re-merge, and VACUUM
+    * retention).
+    *
+    * The READ-side trade, stated honestly: Spark's
+    * `RowLevelOperationRuntimeGroupFiltering` matches only group-based
+    * `ReplaceData` plans (verified against the 4.1 bytecode), so a delta
+    * MERGE's target scan gets no runtime IN — static pushdown (UPDATE /
+    * DELETE conditions via zone maps, blooms, and partition paths) still
+    * prunes, but an unbounded MERGE reads its full candidate set per
+    * batch. That is exactly the lakehouse guidance the two per-table
+    * modes encode: merge-on-read for write-heavy keyed churn, the q302
+    * copy-on-write + runtime-group-filter path for read-heavy targets;
+    * bounding the ON clause with a static key range restores file
+    * skipping for MOR merges too.
     */
   def q318MergeOnRead(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.catalog.graft_stage",
@@ -2174,7 +2187,180 @@ object Connectors {
        |WHERE l_partkey >= $p0 AND l_suppkey >= $s0""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q323
+
+  /** BOUNDED MERGE-ON-READ MERGE — closes the read-side gap q318 states
+    * honestly: Spark 4.1's `RowLevelOperationRuntimeGroupFiltering`
+    * matches only group-based `ReplaceData` plans, so a delta (MOR)
+    * MERGE's target scan gets NO runtime IN of matched keys. The bounded
+    * form restores static file skipping: derive the delta's key envelope
+    * `[lo, hi]` with one tiny source aggregate, then add
+    * `AND t.k BETWEEN lo AND hi` to the ON clause. The conjunct is
+    * SEMANTICS-PRESERVING for MATCHED / NOT-MATCHED merges (every source
+    * key satisfies it by construction, so the matched pair set is
+    * unchanged and inserts are unaffected) — it would be WRONG under
+    * NOT MATCHED BY SOURCE, where out-of-envelope target rows must still
+    * be visible; the pattern is for the CDC upsert shape only.
+    *
+    * Plan mechanics (the reason this works with zero new machinery): the
+    * delta rewrite plans the target as the null-supplying side of an
+    * outer join on the ON clause, Catalyst's PushPredicateThroughJoin
+    * moves the target-only range conjunct below the join, ordinary DSv2
+    * pushdown hands it to the row-level scan builder, and the zone maps
+    * turn it into a file set. On a range-clustered target the merge then
+    * READS only the delta's key band (lastPrune proves files skipped) and
+    * the committed deletion vector is SCOPED to those files alone — read
+    * cost and DV blast radius both O(delta band), not O(table).
+    */
+  def q323BoundedMorMerge(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_bmm_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_bmm")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_bmm
+        |  (o_orderkey BIGINT NOT NULL, o_orderstatus STRING, o_totalprice DOUBLE)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read',
+        |               'graft.merge-keys'='o_orderkey')""".stripMargin)
+    // RANGE-clustered at insert (the q302 layout): zone maps can translate
+    // a key band into a file subset — the layout bounded merges exist for
+    spark.sql(
+      """INSERT INTO graft_stage.work.orders_bmm
+        |SELECT /*+ REPARTITION_BY_RANGE(8, o_orderkey) */
+        |  o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_bmm_src WHERE o_orderkey % 10 IN (0, 5)""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.analyze(
+      spark, "graft_stage", "work", "orders_bmm", Seq("o_orderkey"))
+    val before = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_bmm").toSet
+    val hi = spark.sql("SELECT max(o_orderkey) FROM graft_stage.work.orders_bmm")
+      .collect()(0).getLong(0) / 8L
+    // the bounded-merge move: ONE tiny agg over the delta derives its key
+    // envelope — at 100 TB this is the cheap side of the trade
+    val b = spark.sql(
+      s"""SELECT min(o_orderkey), max(o_orderkey) FROM orders_bmm_src
+         |WHERE o_orderkey <= $hi AND o_orderkey % 10 IN (5, 7)""".stripMargin)
+      .collect()(0)
+    val (lo, up) = (b.getLong(0), b.getLong(1))
+    graft.sources.catalog.ZoneMapScan.lastPrune = None
+    spark.sql( // the q302 delta with the envelope conjunct in ON
+      s"""MERGE INTO graft_stage.work.orders_bmm t
+         |USING (SELECT o_orderkey, o_orderstatus, o_totalprice
+         |       FROM orders_bmm_src
+         |       WHERE o_orderkey <= $hi
+         |         AND o_orderkey % 10 IN (5, 7)) s
+         |ON t.o_orderkey = s.o_orderkey
+         |   AND t.o_orderkey BETWEEN $lo AND $up
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 1000.0D
+         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+         |  VALUES (s.o_orderkey, s.o_orderstatus, s.o_totalprice)""".stripMargin)
+    // proof 1: the envelope reached the row-level scan and zone maps
+    // skipped out-of-band files — the merge read a strict file subset
+    require(graft.sources.catalog.ZoneMapScan.lastPrune.exists { case (k, t) => k < t },
+      s"bounded MOR merge pruned nothing: ${graft.sources.catalog.ZoneMapScan.lastPrune}")
+    // proof 2: merge-on-read — zero pre-merge files rewritten
+    val after = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_bmm").toSet
+    require(before.subsetOf(after),
+      s"bounded MOR merge rewrote ${(before -- after).size} files — DV regression")
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  min(o_orderkey) AS min_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.orders_bmm
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  /** Same recompute as q302/q318 — by design: the hash match proves the
+    * envelope conjunct changed WHICH FILES were read, not the answer.
+    */
+  val q323Oracle: String = q302Oracle
+
+  // ---------------------------------------------------------------- q326
+
+  /** DECLARED APPEND SORT ORDER — ingest-time clustering via DSv2
+    * `RequiresDistributionAndOrdering`: a table created with
+    * `'graft.sort-order'='o_orderkey'` makes EVERY append's Write request
+    * an ordered distribution, so Spark range-partitions and sorts the
+    * incoming rows before one writer runs — appended files carry disjoint
+    * [min,max] on the sort key from the FIRST plain `INSERT INTO`, no
+    * REPARTITION_BY_RANGE hint in user SQL, no OPTIMIZE pass afterwards.
+    * This is the ingest half of the clustering story (OPTIMIZE clusterBy
+    * is the maintenance half): at 100 TB a keyed table stays
+    * zone-map-prunable continuously instead of degrading between
+    * compactions. The query proves it end-to-end: CREATE with the
+    * property, hint-free INSERT, ANALYZE (stats harvest only — layout is
+    * already sorted), then a key-band aggregate whose in-query require
+    * pins that files were SKIPPED. The planner-enforced sort also means
+    * every writer task receives its rows in sort order — parquet pages
+    * inside each file are key-ordered too, so row-group stats (the
+    * sub-file skipping layer Spark's reader already does) stay tight for
+    * free.
+    */
+  def q326SortedAppend(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_soa_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_soa")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_soa
+        |  (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+        |TBLPROPERTIES ('graft.sort-order'='o_orderkey',
+        |               'graft.target-file-size'='2048')""".stripMargin)
+    // Test-scale plumbing only: AQE's coalesce floor (minPartitionSize,
+    // default 1 MiB) is production-tuned — at this SF the whole insert is
+    // ~100 KiB, so without lowering the floor AQE would (correctly, for
+    // production) merge every range partition into one file and leave
+    // nothing to prune. At a real 512 MiB target-file-size the floor is
+    // irrelevant. Saved and restored around the INSERT.
+    val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val savedMin = spark.conf.getOption(minKey)
+    spark.conf.set(minKey, "1k")
+    try {
+      spark.sql( // NO layout hint: the table's declared order does the work
+        """INSERT INTO graft_stage.work.orders_soa
+          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM orders_soa_src WHERE o_orderkey % 3 = 0""".stripMargin)
+      ()
+    } finally savedMin match {
+      case Some(v) => spark.conf.set(minKey, v)
+      case None    => spark.conf.unset(minKey)
+    }
+    graft.sources.catalog.StagingMaintenance.analyze(
+      spark, "graft_stage", "work", "orders_soa", Seq("o_orderkey"))
+    val hi = spark.sql("SELECT max(o_orderkey) FROM graft_stage.work.orders_soa")
+      .collect()(0).getLong(0) / 8L
+    graft.sources.catalog.ZoneMapScan.lastPrune = None
+    val out = spark.sql(
+      s"""SELECT count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         |FROM graft_stage.work.orders_soa
+         |WHERE o_orderkey <= $hi""".stripMargin)
+    val n = out.collect()(0) // force the scan so lastPrune reflects it
+    require(graft.sources.catalog.ZoneMapScan.lastPrune.exists { case (k, t) => k < t },
+      "sorted append produced no prunable layout: " +
+        s"${graft.sources.catalog.ZoneMapScan.lastPrune} — " +
+        "RequiresDistributionAndOrdering regression")
+    import spark.implicits._
+    Seq((n.getLong(0), n.getLong(1), n.getLong(2), n.getDouble(3)))
+      .toDF("n", "min_key", "max_key", "total")
+  }
+
+  val q326Oracle: String = {
+    val hiSql = "(SELECT max(o_orderkey) FROM orders WHERE o_orderkey % 3 = 0) // 8"
+    s"""SELECT count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders
+       |WHERE o_orderkey % 3 = 0 AND o_orderkey <= $hiSql""".stripMargin
+  }
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q326_sorted_append", q326SortedAppend, q326Oracle),
+    GraftQuery.sql("q323_bounded_mor_merge", q323BoundedMorMerge, q323Oracle),
     GraftQuery.sql("q318_merge_on_read", q318MergeOnRead, q318Oracle),
     GraftQuery.sql("q319_days_partition", q319DaysPartition, q319Oracle),
     GraftQuery.sql("q320_bucket_partition", q320BucketPartition, q320Oracle),
