@@ -691,7 +691,62 @@ object Curation {
       |SELECT doc_id, dot_t, dot_r, dot_t / dot_r AS score
       |FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------- q325
+
+  /** DETERMINISTIC EPOCH SHUFFLE — the per-epoch training-data permutation
+    * at 100 TB: no RNG state, no global row numbering. Each (epoch, doc)
+    * gets an integer hash from the house multiplicative scheme with the
+    * epoch folded in (`h = (doc_id·2654435761 + epoch·40503) mod 2³²`),
+    * the doc lands in shard `h mod K`, and WITHIN its shard the epoch
+    * order is `(h, doc_id)`. Different epochs give different
+    * permutations; reruns give the same one — every executor decides
+    * placement independently (map-only), and the only sort is per-shard,
+    * which IS the shard-file write order a training pipeline needs
+    * anyway. Contrast the naive `ORDER BY rand()`: a global sort with
+    * non-reproducible output and RNG state per task.
+    *
+    * Emits the per-(epoch, shard) audit: occupancy, token mass, and an
+    * ORDER CHECKSUM (Σ rank·doc_id over the within-shard epoch order) —
+    * the checksum pins the exact permutation cross-engine, not just
+    * membership, so the oracle hash-match proves both engines would feed
+    * identical batch streams.
+    */
+  private val ShuffleShards = 4
+
+  def q325EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        explode(expr("sequence(0L, 1L)")).as("epoch"))
+      .withColumn("h",
+        expr("(doc_id * 2654435761 + epoch * 40503) % 4294967296"))
+      .withColumn("shard", col("h") % lit(ShuffleShards))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("rn") * col("doc_id")).as("order_checksum"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
+  val q325Oracle: String =
+    s"""WITH e AS (SELECT doc_id, n_chars, unnest(range(0, 2)) AS epoch FROM documents),
+       |h AS (SELECT doc_id, n_chars, epoch,
+       |        (doc_id * 2654435761 + epoch * 40503) % 4294967296 AS h
+       |      FROM e),
+       |s AS (SELECT epoch, h % $ShuffleShards AS shard, doc_id, n_chars,
+       |        row_number() OVER (PARTITION BY epoch, h % $ShuffleShards
+       |                           ORDER BY h, doc_id) AS rn
+       |      FROM h)
+       |SELECT epoch, shard, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(rn * doc_id) AS BIGINT) AS order_checksum
+       |FROM s GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q325_epoch_shuffle", q325EpochShuffle, q325Oracle),
     GraftQuery.sql("q311_dsir_resample", q311DsirResample, q311Oracle),
     GraftQuery.sql("q275_curation_pipeline", q275CurationPipeline, q275Oracle),
     GraftQuery.sql("q260_temperature_sample", q260TemperatureSample, q260Oracle),

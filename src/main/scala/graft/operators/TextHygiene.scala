@@ -447,7 +447,94 @@ object TextHygiene {
       |    / CAST(count(*) AS DOUBLE) AS mask_rate
       |FROM mk GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q324
+
+  /** Sliding-window size for exact-substring span detection: long enough
+    * that a hit means verbatim copying, short enough to catch clipped
+    * copies a disjoint-chunk pass (q254) straddles and misses.
+    */
+  private val SpanK = 8
+
+  /** EXACT SUBSTRING DEDUP — maximal cross-document duplicated spans, the
+    * suffix-run shape of Lee et al.'s "Deduplicating Training Data Makes
+    * Language Models Better" (ExactSubstr), re-expressed relationally:
+    * instead of a monolithic suffix array, slide a [[SpanK]]-token window
+    * over every document (stride 1 — q254's disjoint chunks cannot see
+    * misaligned copies), keep windows whose text occurs in ≥2 DISTINCT
+    * documents, and merge overlapping hits per document into MAXIMAL
+    * spans with a gaps-and-islands pass (running max of span ends). A
+    * 90-token plagiarized passage then surfaces as ONE span, not 83
+    * overlapping window hits — the unit a curation pipeline actually cuts.
+    * Emits the per-source audit (docs affected, span count, duplicated
+    * token mass, longest span).
+    *
+    * Scale shape: the window explode is map-only codegen (transform over
+    * the token array); "≥2 distinct docs" is groupBy(gram) with
+    * min≠max(doc_id) — partial-aggregable, skew-immune (a 2-way distinct
+    * test needs no count-distinct sketch); the hit join is an equi-join
+    * on gram against a DISTINCT gram set (multiplicity 1 — a
+    * stopword-soup gram cannot explode the join, and AQE splits residual
+    * skew); islands are one window pass partitioned by doc_id. Three
+    * shuffles on a token-volume intermediate — the same budget as any
+    * token-level op here (q71/q255). No pair join anywhere: the classic
+    * O(corpus²) suffix comparison is replaced by hash aggregation.
+    */
+  def q324SubstringSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= SpanK)
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"transform(sequence(0, size(t) - $SpanK), i -> " +
+          s"struct(i AS i, array_join(slice(t, i + 1, $SpanK), ' ') AS gram))")).as("g"))
+      .select(col("doc_id"), col("source"), col("g.i"), col("g.gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .where(col("d0") =!= col("d1"))
+      .select(col("gram"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = grams.join(dup, "gram")
+      .select(col("doc_id"), col("source"), col("i"))
+      .withColumn("prev_end",
+        max(col("i") + lit(SpanK - 1)).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("i") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("source"), col("isl"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + lit(SpanK - 1)).as("e"))
+    spans.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + lit(1)).as("dup_toks"),
+        max(col("e") - col("s") + lit(1)).as("max_span"))
+      .orderBy(col("source"))
+  }
+
+  val q324Oracle: String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, source, i, array_to_string(t[i+1 : i+$SpanK], ' ') AS gram
+       |  FROM (SELECT doc_id, source, t, unnest(range(0, len(t) - $SpanK + 1)) AS i
+       |        FROM t WHERE len(t) >= $SpanK)),
+       |dup AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+       |pos AS (SELECT g.doc_id, g.source, g.i FROM grams g JOIN dup USING (gram)),
+       |brk AS (SELECT doc_id, source, i,
+       |    CASE WHEN max(i + $SpanK - 1) OVER w IS NULL
+       |           OR i > max(i + $SpanK - 1) OVER w THEN 1 ELSE 0 END AS b
+       |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |isl AS (SELECT doc_id, source, i,
+       |    sum(b) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS isl
+       |  FROM brk),
+       |spans AS (SELECT doc_id, source, isl, min(i) AS s, max(i) + $SpanK - 1 AS e
+       |  FROM isl GROUP BY doc_id, source, isl)
+       |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_spans,
+       |  CAST(sum(e - s + 1) AS BIGINT) AS dup_toks,
+       |  CAST(max(e - s + 1) AS BIGINT) AS max_span
+       |FROM spans GROUP BY source ORDER BY source""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q324_substring_spans", q324SubstringSpans, q324Oracle),
     GraftQuery.sql("q316_span_corruption", q316SpanCorruption, q316Oracle),
     GraftQuery.sql("q310_kn_doc_quality", q310KnDocQuality, q310Oracle),
     GraftQuery.sql("q254_paragraph_dedup", q254ParagraphDedup, q254Oracle),
