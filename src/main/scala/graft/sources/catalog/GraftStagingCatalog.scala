@@ -348,6 +348,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       val c = new util.HashSet[TableCapability](readDelegate.capabilities())
       c.add(TableCapability.OVERWRITE_BY_FILTER) // INSERT OVERWRITE (replace-partition)
       c.add(TableCapability.TRUNCATE)
+      c.add(TableCapability.MICRO_BATCH_READ) // readStream.table tails the commit log
       c
     }
     override def partitioning(): Array[Transform] = {
@@ -361,6 +362,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     override def properties(): util.Map[String, String] = {
       val m = new util.HashMap[String, String](readDelegate.properties())
       CheckConstraint.read(tableFs, dir).foreach(m.put("check", _))
+      val so = GraftStagingCatalog.sortOrderCols(tableFs, dir)
+      if (so.nonEmpty) m.put("graft.sort-order", so.mkString(","))
       m
     }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -376,16 +379,20 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       // non-identity partition transforms prune from the file PATH alone —
       // the scan wrapper earns its keep even with no stats sidecar
       val specs = GraftStagingCatalog.partSpecs(tableFs, dir)
-      val pathPrunable = specs.exists(!_.isInstanceOf[GraftStagingCatalog.IdentityPart])
-      if (stats.isEmpty && !hasBlooms && !dvOn && !pathPrunable) inner
-      else inner match {
+      // the wrapper is ALWAYS applied (even with nothing to prune by):
+      // besides zone maps it is the table's streaming face — a fresh,
+      // never-ANALYZEd table must still serve readStream.table(…)
+      inner match {
         case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
           new ZoneMapScanBuilder(fb, stats, StagingMaintenance.readNullsFor(tableFs, dir),
             dir.toString,
             () => StagingMaintenance.readBloomsFor(tableFs, dir),
             if (dvOn) dvMap else Map.empty,
             if (dvOn) morKeyField else None,
-            specs)
+            specs,
+            scala.jdk.CollectionConverters.MapHasAsScala(options.asCaseSensitiveMap())
+              .asScala.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+              .toMap)
         case other => other
       }
     }
@@ -478,7 +485,27 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
             else filters)
           this
         }
-        override def build(): Write = new Write {
+        // Declared sort order ('graft.sort-order'): the Write asks Spark
+        // for an ORDERED distribution, so the planner range-partitions and
+        // sorts the incoming rows before any writer runs — appended files
+        // get disjoint [min,max] on the sort key with no OPTIMIZE pass.
+        // Neutral defaults (unspecified distribution, empty ordering) when
+        // the table declares none: Spark then adds no exchange and no sort.
+        override def build(): Write = new Write
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          import org.apache.spark.sql.connector.{distributions, expressions => v2x}
+          private val sortCols = GraftStagingCatalog.sortOrderCols(tableFs, dir)
+          private val v2Order: Array[v2x.SortOrder] = sortCols.map(c =>
+            v2x.Expressions.sort(v2x.Expressions.column(c),
+              v2x.SortDirection.ASCENDING)).toArray
+          override def requiredDistribution(): distributions.Distribution =
+            if (v2Order.isEmpty) distributions.Distributions.unspecified()
+            else distributions.Distributions.ordered(v2Order)
+          override def requiredOrdering(): Array[v2x.SortOrder] = v2Order
+          // 'graft.target-file-size': AQE sizes the ordered-write shuffle
+          // partitions toward the declared bytes (0 = Spark's default)
+          override def advisoryPartitionSizeInBytes(): Long =
+            GraftStagingCatalog.targetFileSize(tableFs, dir)
           private val innerWrite = inner.build()
           override def description(): String = innerWrite.description()
           override def toBatch: BatchWrite = new BatchWrite {
@@ -637,8 +664,37 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
               "(copy-on-write | merge-on-read)")
         case _ => None
       }
+    // DECLARED APPEND SORT ORDER: 'graft.sort-order'='c1[,c2…]' makes every
+    // append request an ordered distribution (range partition + sort) from
+    // Spark before its files land — per-file [min,max] on the sort key are
+    // then disjoint from the FIRST insert, so zone maps prune plain
+    // ingested data with no OPTIMIZE pass. The ingest-time half of the
+    // clustering story (OPTIMIZE clusterBy is the maintenance half).
+    val sortCols: Seq[String] =
+      Option(properties.get("graft.sort-order")).map(_.trim).filter(_.nonEmpty)
+        .map(_.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+    sortCols.foreach { c =>
+      require(schema.fields.exists(_.name.equalsIgnoreCase(c)),
+        s"$catalogName: sort-order column $c is not in the table schema")
+    }
+    // 'graft.target-file-size'=<bytes>: advisory append file sizing (the
+    // Delta/Iceberg targetFileSize knob) — AQE coalesces or splits the
+    // write's range partitions toward this size, so the file count tracks
+    // DATA VOLUME (100 appends of 1 GiB and 1 append of 100 GiB land the
+    // same layout) instead of freezing at the shuffle-partition count.
+    val targetBytes: Long =
+      Option(properties.get("graft.target-file-size")).map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong).getOrElse(0L)
+    require(targetBytes >= 0L,
+      s"$catalogName: graft.target-file-size must be non-negative, got $targetBytes")
     fs.mkdirs(d)
     GraftStagingCatalog.writeString(fs, new Path(d, SchemaSidecar), schema.json)
+    if (sortCols.nonEmpty)
+      GraftStagingCatalog.writeString(fs,
+        new Path(d, GraftStagingCatalog.SortOrderSidecar), sortCols.mkString("\n"))
+    if (targetBytes > 0L)
+      GraftStagingCatalog.writeString(fs,
+        new Path(d, GraftStagingCatalog.FileSizeSidecar), targetBytes.toString)
     morKey.foreach(k => DeletionVectors.writeMorKey(fs, d, k))
     if (partCols.nonEmpty)
       GraftStagingCatalog.writeString(fs, new Path(d, GraftStagingCatalog.PartitionSidecar),
@@ -1309,8 +1365,30 @@ private class StagingDeltaWriterFactory(
 object GraftStagingCatalog {
   private[catalog] val SchemaSidecar = "_graft_schema.json"
   private[catalog] val PartitionSidecar = "_graft_partition.txt"
+  private[catalog] val SortOrderSidecar = "_graft_sortorder.txt"
   private[catalog] val VersionsDir = "_graft_versions"
   private val VersionFile = "^v(\\d+)\\.json$".r
+
+  /** Declared append sort order (empty = none): the column list every
+    * append is range-partitioned and sorted on before its files land —
+    * see `'graft.sort-order'` in [[GraftStagingCatalog.createTable]].
+    */
+  private[catalog] def sortOrderCols(fs: FileSystem, d: Path): Seq[String] = {
+    val p = new Path(d, SortOrderSidecar)
+    if (isFile(fs, p)) readString(fs, p).split('\n').toIndexedSeq.filter(_.nonEmpty)
+    else Seq.empty
+  }
+
+  private[catalog] val FileSizeSidecar = "_graft_filesize.txt"
+
+  /** Declared target file size in bytes (0 = none): advisory — AQE sizes
+    * the append's range partitions toward it, so file count tracks data
+    * volume instead of the static shuffle-partition count.
+    */
+  private[catalog] def targetFileSize(fs: FileSystem, d: Path): Long = {
+    val p = new Path(d, FileSizeSidecar)
+    if (isFile(fs, p)) readString(fs, p).trim.toLong else 0L
+  }
 
   /** Declared partition transform lines (empty = unpartitioned): a bare
     * column name (identity), `days(c)`, or `bucket(n,c)`.

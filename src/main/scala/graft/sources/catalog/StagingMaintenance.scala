@@ -605,6 +605,18 @@ object StagingMaintenance {
     currentFiles(fs, d)
   }
 
+  /** File names a specific VERSION reads — currentFileNames pinned to a
+    * manifest, for tests that assert per-commit layout properties (e.g.
+    * "each append's files are range-disjoint on the sort key").
+    */
+  def filesAtVersion(spark: SparkSession, catalog: String, ns: String,
+      table: String, version: Long): Seq[String] = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    val mf = versionManifests(fs, d).toMap.getOrElse(version,
+      throw new IllegalArgumentException(s"$catalog.$ns.$table has no version $version"))
+    manifestFiles(fs, mf)
+  }
+
   /** DESCRIBE-DETAIL snapshot: (version, nFiles, nBytes, partitionCols,
     * analyzedCols, nVersions) — the operator's one-call answer to "what is
     * this table right now": how big, laid out how, prunable on what, and
@@ -853,7 +865,8 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
       () => Map.empty,
     dvKeys: Map[String, Set[Any]] = Map.empty,
     dvKeyField: Option[org.apache.spark.sql.types.StructField] = None,
-    partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty)
+    partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty,
+    streamOpts: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -924,9 +937,12 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     val scan = delegate.build()
     val filters = v1Filters
     scan match {
-      case f: FileScan if filters.nonEmpty || dvActive =>
+      // ALWAYS wrapped (even filterless, where zone maps prune nothing):
+      // the wrapper is also the scan's streaming face (toMicroBatchStream),
+      // and a filter-free `readStream.table(…)` must reach it
+      case f: FileScan =>
         new ZoneMapPrunedScan(f, stats, filters, nulls, tableDir, blooms, dvInfo(scan),
-          partSpecs)
+          partSpecs, streamOpts)
       case other => other
     }
   }
@@ -998,8 +1014,20 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     bloomsThunk: () => Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
       () => Map.empty,
     dv: Option[DeletionVectors.DvScanInfo] = None,
-    partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty)
+    partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty,
+    streamOpts: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
+
+  /** Streaming face of the staging-catalog scan: `readStream.table(…)`
+    * tails the table's version manifests as micro-batches — see
+    * [[StagingMicroBatchStream]]. The streaming read schema is this scan's
+    * (column-pruned, DV-key projected off).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(tableDir.nonEmpty, "streaming reads need a catalog-managed table dir")
+    new StagingMicroBatchStream(tableDir, readSchema(), streamOpts)
+  }
 
   // loaded at most once per scan, and only when an equality/IN filter can
   // actually use it — range-only queries never pay the sidecar IO

@@ -1577,4 +1577,71 @@ class CatalogSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("missing"), e2.getMessage)
   }
+
+  test("graft.sort-order: every append lands range-disjoint sorted files; ranges stay disjoint per commit") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.soa")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.soa (k BIGINT, v STRING)
+        |TBLPROPERTIES ('graft.sort-order'='k', 'graft.target-file-size'='1024')""".stripMargin)
+    // unknown sort column fails at CREATE, not first insert
+    val bad = intercept[Exception] {
+      spark.sql("""CREATE TABLE stage_t.ws.soa_bad (k BIGINT)
+        |TBLPROPERTIES ('graft.sort-order'='nope')""".stripMargin)
+    }
+    assert(bad.getMessage.contains("nope"), bad.getMessage)
+    val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val saved = spark.conf.getOption(minKey)
+    spark.conf.set(minKey, "256") // test-scale: below AQE's 1 MiB prod floor
+    try {
+      // two hint-free appends from an UNSORTED source
+      spark.sql("INSERT INTO stage_t.ws.soa SELECT CAST((id * 37) % 4000 AS BIGINT), " +
+        "CAST(id AS STRING) FROM range(0, 2000)")
+      spark.sql("INSERT INTO stage_t.ws.soa SELECT CAST((id * 53) % 4000 AS BIGINT), " +
+        "CAST(id AS STRING) FROM range(2000, 4000)")
+    } finally saved match {
+      case Some(v) => spark.conf.set(minKey, v)
+      case None    => spark.conf.unset(minKey)
+    }
+    val dir = new org.apache.hadoop.fs.Path(stageRoot, "ws/soa")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // per commit: every appended file set has pairwise-DISJOINT [min,max]
+    // on the sort key — the zone-map-prunable layout, straight from INSERT
+    val hist = spark.sql("CALL stage_t.history('ws', 'soa')").collect()
+    assert(hist.length >= 2, s"expected 2 append versions, got ${hist.length}")
+    val byVersion = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "soa")
+    assert(byVersion.size >= 4, s"each append should land several files: $byVersion")
+    def ranges(files: Seq[String]): Seq[(Long, Long)] = files.map { f =>
+      val r = spark.read.parquet(new org.apache.hadoop.fs.Path(dir, f).toString)
+        .agg(min(col("k")), max(col("k"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // files of ONE commit are range-disjoint (files of different commits
+    // may overlap — that is OPTIMIZE's job to fold)
+    val m1 = StagingMaintenance.filesAtVersion(spark, "stage_t", "ws", "soa", 1L)
+    val m2 = StagingMaintenance.filesAtVersion(spark, "stage_t", "ws", "soa", 2L)
+      .filterNot(m1.toSet)
+    for (fileSet <- Seq(m1, m2)) {
+      val rs = ranges(fileSet).sortBy(_._1)
+      rs.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 < s2, s"overlapping ranges in one commit: $rs")
+        case _ => ()
+      }
+      // and each file is internally sorted (writer received ordered rows)
+      fileSet.take(1).foreach { f =>
+        val ks = spark.read.parquet(new org.apache.hadoop.fs.Path(dir, f).toString)
+          .select(col("k")).collect().map(_.getLong(0))
+        assert(ks.sameElements(ks.sorted), "rows inside an appended file must be key-sorted")
+      }
+    }
+    // zone maps prune a key band to a file subset after plain ANALYZE
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "soa", Seq("k"))
+    graft.sources.catalog.ZoneMapScan.lastPrune = None
+    spark.sql("SELECT count(*) FROM stage_t.ws.soa WHERE k < 500").collect()
+    val prune = graft.sources.catalog.ZoneMapScan.lastPrune
+    assert(prune.exists { case (kept, total) => kept < total }, s"no pruning: $prune")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.soa")
+  }
 }
