@@ -611,6 +611,90 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("readStream.table tails version manifests: exactly-once appends, OPTIMIZE skipped, changes gated") {
+    // The DSv2 streaming face of the staging catalog (the Delta-source
+    // shape): offsets are manifest VERSIONS, each batch reads only the
+    // versions' appended file deltas — so compaction does NOT re-emit the
+    // table (the file-tailing catalogChangeStream would double-read it),
+    // and a data-changing commit is an explicit, gated event.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_tail_cat").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tail_ckpt").toString
+    spark.conf.set("spark.sql.catalog.tail_cat",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tail_cat.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tail_cat.ws")
+    spark.sql("CREATE TABLE tail_cat.ws.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO tail_cat.ws.t SELECT id, CAST(id AS STRING) FROM range(0, 100)")
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]() // k -> count
+    def start(extra: Map[String, String] = Map.empty, cp: String = ckpt) = {
+      var r = spark.readStream
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      r.table("tail_cat.ws.t")
+        .writeStream.option("checkpointLocation", cp).outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(row => seen.merge(row.getLong(0), 1L, _ + _))
+          ()
+        }
+        .start()
+    }
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(seen.size === 100, s"first drain must emit the backlog: ${seen.size}")
+      spark.sql("INSERT INTO tail_cat.ws.t SELECT id, CAST(id AS STRING) FROM range(100, 150)")
+      q1.processAllAvailable()
+      assert(seen.size === 150)
+      // compaction mid-stream: kind=optimize versions carry NO new rows
+      spark.sql("CALL tail_cat.optimize('ws', 't', 2, 'k')")
+      q1.processAllAvailable()
+      assert(seen.size === 150, "OPTIMIZE must not re-emit the table into the stream")
+      assert(!seen.values().asScala.exists(_ > 1L), "a row was emitted twice")
+      spark.sql("INSERT INTO tail_cat.ws.t SELECT id, CAST(id AS STRING) FROM range(150, 160)")
+      q1.processAllAvailable()
+      assert(seen.size === 160)
+    } finally q1.stop()
+    // rows committed while the consumer was DOWN arrive on restart; the
+    // checkpointed version offset prevents any replay of delivered versions
+    spark.sql("INSERT INTO tail_cat.ws.t SELECT id, CAST(id AS STRING) FROM range(160, 170)")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(seen.size === 170, s"restart lost or replayed rows: ${seen.size}")
+    } finally q2.stop()
+    // a FRESH checkpoint replays the whole retained history — and the
+    // replay still skips the optimize version (no double-read of compacted
+    // files), landing on exactly the appended row set
+    seen.clear()
+    val cp2 = java.nio.file.Files.createTempDirectory("graft_tail_ckpt2").toString
+    val q3 = start(cp = cp2)
+    try {
+      q3.processAllAvailable()
+      assert(seen.size === 170, s"fresh replay diverged: ${seen.size}")
+      assert(!seen.values().asScala.exists(_ > 1L), "fresh replay double-read a file")
+    } finally q3.stop()
+    // a data-changing commit breaks the append contract: gated by default…
+    spark.sql("UPDATE tail_cat.ws.t SET v = 'x' WHERE k = 0")
+    spark.sql("INSERT INTO tail_cat.ws.t VALUES (170, '170')")
+    val cp3 = java.nio.file.Files.createTempDirectory("graft_tail_ckpt3").toString
+    seen.clear()
+    val q4 = start(cp = cp3)
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q4.processAllAvailable()
+    }
+    q4.stop()
+    assert(failed.getMessage.contains("update") ||
+      Option(failed.getCause).exists(_.getMessage.contains("update")), failed.getMessage)
+    // …and explicitly waived with graft.ignore-changes (appends-only tail)
+    seen.clear()
+    val cp4 = java.nio.file.Files.createTempDirectory("graft_tail_ckpt4").toString
+    val q5 = start(extra = Map("graft.ignore-changes" -> "true"), cp = cp4)
+    try {
+      q5.processAllAvailable()
+      assert(seen.size === 171, s"ignore-changes tail diverged: ${seen.size}")
+    } finally q5.stop()
+  }
+
   test("catalogUpsertStream into a MERGE-ON-READ table: every CDC batch is DV + fresh files, zero rewrites") {
     // The end-to-end CDC story the deletion vectors exist for: a keyed
     // change stream maintained into a MOR current-state table — each
