@@ -2358,7 +2358,116 @@ object Connectors {
        |WHERE o_orderkey % 3 = 0 AND o_orderkey <= $hiSql""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q327
+
+  /** PERSISTED BM25 INDEX — the text-retrieval face of the persisted-ANN
+    * story (q246 IVF / q303 PQ): posting lists live as CATALOG TABLES and
+    * queries are served from the index with NO raw-documents scan.
+    *
+    *   - `bm25_postings (tok, doc_id, tf)` is created with
+    *     `'graft.sort-order'='tok'` — every ingest INSERT lands files
+    *     range-disjoint on the TOKEN (the q326 machinery doing real
+    *     work), so a query's term probe `tok IN (…)` zone-map-prunes to
+    *     the few files holding those tokens. At 100 TB this is the
+    *     inverted-index seek: open the posting files for the query terms,
+    *     not the corpus.
+    *   - `bm25_doclen (doc_id, dl)` carries lengths; the 1-row corpus
+    *     stats (N, Σdl) aggregate from it at query time (metadata-scale).
+    *   - INCREMENTAL: the corpus arrives in TWO ingest slices, each one
+    *     plain INSERT into both tables — no rebuild, df/avgdl stay exact
+    *     because they are derived at query time from the (pruned) index
+    *     itself, never cached stale.
+    *
+    * The serve step computes the SAME BM25 as q242 (k1=1.2, b=0.75,
+    * decimal-summed term scores) — and the oracle IS q242's whole-corpus
+    * recompute from raw text: the hash match proves index-served ≡
+    * corpus-recomputed. In-query requires pin the scale shape: the probe
+    * pruned posting files, and the serve plan never touches the documents
+    * parquet.
+    */
+  def q327Bm25Index(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.documents(spark, dir).createOrReplaceTempView("docs_bm25_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.bm25_postings")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.bm25_doclen")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.bm25_postings
+        |  (tok STRING, doc_id BIGINT, tf BIGINT)
+        |TBLPROPERTIES ('graft.sort-order'='tok',
+        |               'graft.target-file-size'='4096')""".stripMargin)
+    spark.sql("CREATE TABLE graft_stage.work.bm25_doclen (doc_id BIGINT, dl BIGINT)")
+    // test-scale plumbing (the q326 note): lower AQE's production coalesce
+    // floor so the tiny test postings actually land multi-file
+    val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val savedMin = spark.conf.getOption(minKey)
+    spark.conf.set(minKey, "1k")
+    try {
+      // the corpus arrives in two ingest slices — each is ONE insert per
+      // table, the index is never rebuilt
+      for (slice <- 0 to 1) {
+        spark.sql(
+          s"""INSERT INTO graft_stage.work.bm25_postings
+             |SELECT tok, doc_id, count(*) AS tf
+             |FROM (SELECT doc_id, explode(split(text, ' ')) AS tok
+             |      FROM docs_bm25_src WHERE doc_id % 2 = $slice)
+             |GROUP BY tok, doc_id""".stripMargin)
+        spark.sql(
+          s"""INSERT INTO graft_stage.work.bm25_doclen
+             |SELECT doc_id, count(*) AS dl
+             |FROM (SELECT doc_id, explode(split(text, ' ')) AS tok
+             |      FROM docs_bm25_src WHERE doc_id % 2 = $slice)
+             |GROUP BY doc_id""".stripMargin)
+      }
+    } finally savedMin match {
+      case Some(v) => spark.conf.set(minKey, v)
+      case None    => spark.conf.unset(minKey)
+    }
+    graft.sources.catalog.StagingMaintenance.analyze(
+      spark, "graft_stage", "work", "bm25_postings", Seq("tok"))
+    // ---- serve: q242's query, from the INDEX alone -----------------------
+    graft.sources.catalog.ZoneMapScan.lastPrune = None
+    val served = spark.sql(
+      """WITH tf AS (
+        |  SELECT tok, doc_id, tf FROM graft_stage.work.bm25_postings
+        |  WHERE tok IN ('vector', 'stream', 'scan')),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        |           FROM graft_stage.work.bm25_doclen),
+        |ts AS (
+        |  SELECT t.doc_id, t.tf,
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5D) / (CAST(df AS DOUBLE) + 0.5D)) *
+        |    ((CAST(t.tf AS DOUBLE) * 2.2D) / (CAST(t.tf AS DOUBLE) + 1.2D *
+        |      (0.25D + 0.75D * CAST(dl AS DOUBLE)
+        |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS term_score
+        |  FROM tf t JOIN dfreq USING (tok)
+        |    JOIN graft_stage.work.bm25_doclen USING (doc_id), corpus)
+        |SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS sum_tf,
+        |  CAST(sum(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        |FROM ts GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin)
+    val rows = served.collect()
+    // proof 1: the term probe pruned posting files (the inverted-index seek)
+    require(graft.sources.catalog.ZoneMapScan.lastPrune.exists { case (k, t) => k < t },
+      s"term probe pruned nothing: ${graft.sources.catalog.ZoneMapScan.lastPrune}")
+    // proof 2: the serve plan reads ONLY index tables — no raw corpus scan
+    val plan = served.queryExecution.executedPlan.toString
+    require(!plan.contains("documents"),
+      "BM25 serve plan scans the raw documents table — index regression")
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      .toDF("doc_id", "n_terms", "sum_tf", "bm25")
+  }
+
+  /** q242's whole-corpus recompute from raw text — by design: the hash
+    * match is the index-served ≡ corpus-recomputed proof.
+    */
+  val q327Oracle: String = graft.operators.TextAnalysis.q242Oracle
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q327_bm25_index", q327Bm25Index, q327Oracle),
     GraftQuery.sql("q326_sorted_append", q326SortedAppend, q326Oracle),
     GraftQuery.sql("q323_bounded_mor_merge", q323BoundedMorMerge, q323Oracle),
     GraftQuery.sql("q318_merge_on_read", q318MergeOnRead, q318Oracle),
