@@ -146,6 +146,35 @@ object StreamingOps {
       }
       .start()
 
+  /** CONTINUOUS BM25 INDEX MAINTENANCE off the commit log: tail a documents
+    * staging table through the catalog's DSv2 streaming source
+    * (`readStream.table` — manifest-version offsets, so a concurrent
+    * OPTIMIZE of the docs table can NEVER re-feed the index, the failure
+    * mode the file-tailing [[catalogChangeStream]] documents), and fold
+    * each micro-batch of new documents into the q327 posting/doclen
+    * tables. Both appends carry the micro-batch id into the catalog's
+    * atomic commit ledger, so a crash-replayed batch aborts its staged
+    * files — the index stays exactly-once however the stream dies. df and
+    * avgdl need no maintenance at all: the q327 serve derives them from
+    * the index at query time, so they are never stale.
+    */
+  def bm25MaintainStream(spark: SparkSession, docsTable: String,
+      postingsTable: String, doclenTable: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    spark.readStream.table(docsTable)
+      .writeStream.option("checkpointLocation", checkpointDir).outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val toks = batch.select(col(idCol).cast("long").as("doc_id"),
+          explode(split(col(textCol), " ")).as("tok"))
+        toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+          .select(col("tok"), col("doc_id"), col("tf"))
+          .writeTo(postingsTable).option("graft.batch-id", id.toString).append()
+        toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+          .writeTo(doclenTable).option("graft.batch-id", id.toString).append()
+        ()
+      }
+      .start()
+
   /** The READ side of the catalog's change feed as a live stream: tail a
     * staging-catalog table's directory with the file-based streaming source,
     * which tracks processed files in its checkpoint — each committed INSERT

@@ -695,6 +695,60 @@ class StreamingSpec extends SparkSpec {
     } finally q5.stop()
   }
 
+  test("bm25MaintainStream: commit-log-driven index maintenance survives compaction and restarts") {
+    // End-to-end composition of the round's pieces: documents stream in
+    // through the versioned catalog, the DSv2 manifest-tailing source
+    // feeds the posting/doclen tables exactly-once, and an OPTIMIZE of the
+    // docs table mid-stream must NOT re-feed the index (the manifest
+    // source skips dataChange=false versions — a file-tailing consumer
+    // would double every posting here).
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25m_cat").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bm25m_ckpt").toString
+    spark.conf.set("spark.sql.catalog.bm25m_cat",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bm25m_cat.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bm25m_cat.ws")
+    spark.sql("CREATE TABLE bm25m_cat.ws.docs (doc_id BIGINT, text STRING)")
+    spark.sql(
+      """CREATE TABLE bm25m_cat.ws.postings (tok STRING, doc_id BIGINT, tf BIGINT)
+        |TBLPROPERTIES ('graft.sort-order'='tok')""".stripMargin)
+    spark.sql("CREATE TABLE bm25m_cat.ws.doclen (doc_id BIGINT, dl BIGINT)")
+    def expected(): Map[(String, Long), Long] =
+      spark.sql("""SELECT tok, doc_id, count(*) AS tf FROM
+        |(SELECT doc_id, explode(split(text, ' ')) AS tok FROM bm25m_cat.ws.docs)
+        |GROUP BY tok, doc_id""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def indexed(): Map[(String, Long), Long] =
+      spark.sql("SELECT tok, doc_id, tf FROM bm25m_cat.ws.postings")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    spark.sql("INSERT INTO bm25m_cat.ws.docs VALUES (1, 'fast scan fast'), (2, 'slow scan')")
+    val q = StreamingOps.bm25MaintainStream(spark, "bm25m_cat.ws.docs",
+      "bm25m_cat.ws.postings", "bm25m_cat.ws.doclen", ckpt)
+    try {
+      q.processAllAvailable()
+      assert(indexed() === expected(), "index diverged after first slice")
+      // compaction of the DOCS table mid-stream: manifest tail skips it
+      spark.sql("CALL bm25m_cat.optimize('ws', 'docs', 1)")
+      q.processAllAvailable()
+      assert(indexed() === expected(), "OPTIMIZE re-fed the index")
+      spark.sql("INSERT INTO bm25m_cat.ws.docs VALUES (3, 'vector scan stream')")
+      q.processAllAvailable()
+      assert(indexed() === expected(), "index diverged after second slice")
+    } finally q.stop()
+    // rows committed while the maintainer was DOWN arrive on restart,
+    // exactly once (batch-id ledger absorbs the one replayed batch)
+    spark.sql("INSERT INTO bm25m_cat.ws.docs VALUES (4, 'stream stream stream')")
+    val q2 = StreamingOps.bm25MaintainStream(spark, "bm25m_cat.ws.docs",
+      "bm25m_cat.ws.postings", "bm25m_cat.ws.doclen", ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(indexed() === expected(), "restart lost or duplicated postings")
+      val dl = spark.sql("SELECT doc_id, dl FROM bm25m_cat.ws.doclen")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dl === Map(1L -> 3L, 2L -> 2L, 3L -> 3L, 4L -> 3L), dl)
+    } finally q2.stop()
+  }
+
   test("catalogUpsertStream into a MERGE-ON-READ table: every CDC batch is DV + fresh files, zero rewrites") {
     // The end-to-end CDC story the deletion vectors exist for: a keyed
     // change stream maintained into a MOR current-state table — each
