@@ -2466,7 +2466,71 @@ object Connectors {
     */
   val q327Oracle: String = graft.operators.TextAnalysis.q242Oracle
 
+  // ---------------------------------------------------------------- q328
+
+  /** VERSION TAGS — named, VACUUM-proof snapshots (Iceberg-tag semantics
+    * over the one-file-per-version log): `CALL tag(ns, tbl, 'baseline')`
+    * pins the current version BY NAME, `VERSION AS OF 'baseline'` resolves
+    * it in plain SQL, and VACUUM exempts the tagged version's manifest,
+    * data files, and deletion vectors from retention until `drop_tag`.
+    * This is the reproducible-training anchor: a run tags the corpus
+    * version it trained on, ingestion and maintenance keep churning, and
+    * months later the exact training corpus is still one SQL clause away —
+    * while everything UNTAGGED ages out normally (the in-query requires
+    * prove both: the intermediate version's manifest is GONE after
+    * `vacuum(retain_last => 1)`, and the tagged read still hash-matches
+    * its as-of content). Tag resolution costs one sidecar read; retention
+    * is pure manifest arithmetic — nothing here scales with data volume.
+    */
+  def q328VersionTags(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_tag_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_tag")
+    spark.sql( // v1: the "training corpus" snapshot
+      """CREATE TABLE graft_stage.work.orders_tag AS
+        |SELECT /*+ REPARTITION_BY_RANGE(4, o_orderkey) */
+        |  o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_tag_src WHERE o_orderkey % 6 = 0""".stripMargin)
+    spark.sql("CALL graft_stage.tag('work', 'orders_tag', 'baseline')")
+    // the table keeps evolving: a keyed UPDATE (v2) and fresh ingest (v3)
+    val hi = spark.sql("SELECT max(o_orderkey) FROM graft_stage.work.orders_tag")
+      .collect()(0).getLong(0) / 4L
+    spark.sql(
+      s"""UPDATE graft_stage.work.orders_tag SET o_totalprice = o_totalprice * 2.0D
+         |WHERE o_orderkey <= $hi""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.orders_tag
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_tag_src WHERE o_orderkey % 6 = 3""".stripMargin)
+    // retention: keep ONLY the head — except what tags pin
+    spark.sql("CALL graft_stage.vacuum('work', 'orders_tag', 1)")
+    val versions = spark.sql("CALL graft_stage.history('work', 'orders_tag')")
+      .collect().map(_.getLong(0)).toSet
+    require(versions.contains(1L) && versions.contains(3L) && !versions.contains(2L),
+      s"tag retention broke: expected {1 (tagged), 3 (head)} only, got $versions")
+    require(spark.sql("CALL graft_stage.tags('work', 'orders_tag')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("baseline", 1L)),
+      "tags listing diverged")
+    // the tagged read survives the vacuum byte-for-byte (oracle recomputes
+    // the PRE-update slice from the raw table — a hash match proves it)
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.orders_tag VERSION AS OF 'baseline'
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  val q328Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders WHERE o_orderkey % 6 = 0
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q328_version_tags", q328VersionTags, q328Oracle),
     GraftQuery.sql("q327_bm25_index", q327Bm25Index, q327Oracle),
     GraftQuery.sql("q326_sorted_append", q326SortedAppend, q326Oracle),
     GraftQuery.sql("q323_bounded_mor_merge", q323BoundedMorMerge, q323Oracle),

@@ -275,12 +275,20 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     import GraftStagingCatalog._
     val d = tableDir(ident)
     if (d == null || !isDir(d)) throw new NoSuchTableException(ident)
+    // numeric version first (`VERSION AS OF 2` / 'v2'), then TAG lookup
+    // (`VERSION AS OF 'baseline'`) — tag names may not look numeric, which
+    // the tag procedure enforces at creation
     val v =
       try version.stripPrefix("v").toLong
       catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$catalogName: invalid version '$version' for ${ident.name()} " +
-            "(expected a commit number, e.g. VERSION AS OF 2)")
+        case _: NumberFormatException =>
+          readTags(fs, d).getOrElse(version, {
+            val tags = readTags(fs, d).keys.toSeq.sorted
+            throw new IllegalArgumentException(
+              s"$catalogName: invalid version '$version' for ${ident.name()} " +
+                "(expected a commit number, e.g. VERSION AS OF 2, or a tag" +
+                s"${if (tags.isEmpty) "; no tags exist" else s"; tags: ${tags.mkString(", ")}"})")
+          })
       }
     val mf = new Path(new Path(d, VersionsDir), s"v$v.json")
     if (!isFile(fs, mf)) {
@@ -898,6 +906,9 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       case "detail"   => Some(StagingProcedures.detail(catalogName))
       case "restore"  => Some(StagingProcedures.restore(catalogName))
       case "bloom"    => Some(StagingProcedures.bloom(catalogName))
+      case "tag"      => Some(StagingProcedures.tag(catalogName))
+      case "drop_tag" => Some(StagingProcedures.dropTag(catalogName))
+      case "tags"     => Some(StagingProcedures.tags(catalogName))
       case _          => None
     }
 
@@ -908,12 +919,14 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     (if (nsOk) procedureFor(ident.name()) else None).getOrElse(
       throw new RuntimeException(
         s"$catalogName: unknown procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
-          "(available: optimize, analyze, bloom, vacuum, history, detail, restore)"))
+          "(available: optimize, analyze, bloom, vacuum, history, detail, restore, " +
+          "tag, drop_tag, tags)"))
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array("analyze", "bloom", "detail", "history", "optimize", "restore", "vacuum")
+      Array("analyze", "bloom", "detail", "drop_tag", "history", "optimize", "restore",
+          "tag", "tags", "vacuum")
         .map(Identifier.of(namespace, _))
     else Array.empty
 
@@ -1380,6 +1393,30 @@ object GraftStagingCatalog {
   }
 
   private[catalog] val FileSizeSidecar = "_graft_filesize.txt"
+  private[catalog] val TagsSidecar = "_graft_tags.tsv"
+
+  /** Named version TAGS (`name → version`) — the reproducible-training
+    * anchor: a tag pins a version BY NAME for `VERSION AS OF '<name>'`
+    * reads and protects that version's manifest, data files, and deletion
+    * vectors from VACUUM until the tag is dropped. Iceberg-tag semantics
+    * over the same one-file-per-version log.
+    */
+  private[catalog] def readTags(fs: FileSystem, d: Path): Map[String, Long] = {
+    val p = new Path(d, TagsSidecar)
+    if (!isFile(fs, p)) Map.empty
+    else readString(fs, p).split('\n').iterator.filter(_.nonEmpty).map { line =>
+      val Array(name, v) = line.split('\t')
+      name -> v.toLong
+    }.toMap
+  }
+
+  private[catalog] def writeTags(fs: FileSystem, d: Path, tags: Map[String, Long]): Unit =
+    synchronized {
+      val p = new Path(d, TagsSidecar)
+      if (tags.isEmpty) { fs.delete(p, false); () }
+      else writeString(fs, p,
+        tags.toSeq.sortBy(_._1).map { case (n, v) => s"$n\t$v" }.mkString("\n"))
+    }
 
   /** Declared target file size in bytes (0 = none): advisory — AQE sizes
     * the append's range partitions toward it, so file count tracks data

@@ -617,6 +617,42 @@ object StagingMaintenance {
     manifestFiles(fs, mf)
   }
 
+  /** TAG a version by name ([[GraftStagingCatalog.readTags]] semantics:
+    * `VERSION AS OF '<name>'` resolves it; VACUUM exempts it from
+    * retention until [[dropTag]]). Defaults to the current head. Returns
+    * the pinned version. Names must not parse as versions — the one
+    * namespace `VERSION AS OF` has to disambiguate in.
+    */
+  def tag(spark: SparkSession, catalog: String, ns: String, table: String,
+      name: String, version: Option[Long] = None): Long = {
+    require(name.nonEmpty && !name.matches("v?\\d+"),
+      s"tag name '$name' is empty or looks like a version number")
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    val manifests = versionManifests(fs, d).toMap
+    val v = version.getOrElse(
+      if (manifests.isEmpty) throw new IllegalStateException(
+        s"$catalog.$ns.$table has no committed versions to tag")
+      else manifests.keys.max)
+    require(manifests.contains(v), s"$catalog.$ns.$table has no version $v to tag")
+    GraftStagingCatalog.writeTags(fs, d, GraftStagingCatalog.readTags(fs, d) + (name -> v))
+    v
+  }
+
+  /** Drop a tag; the pinned version re-enters normal VACUUM retention. */
+  def dropTag(spark: SparkSession, catalog: String, ns: String, table: String,
+      name: String): Unit = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    val tags = GraftStagingCatalog.readTags(fs, d)
+    require(tags.contains(name), s"$catalog.$ns.$table has no tag '$name'")
+    GraftStagingCatalog.writeTags(fs, d, tags - name)
+  }
+
+  /** Current tags of a table, name → version. */
+  def tags(spark: SparkSession, catalog: String, ns: String, table: String): Map[String, Long] = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    GraftStagingCatalog.readTags(fs, d)
+  }
+
   /** DESCRIBE-DETAIL snapshot: (version, nFiles, nBytes, partitionCols,
     * analyzedCols, nVersions) — the operator's one-call answer to "what is
     * this table right now": how big, laid out how, prunable on what, and
@@ -794,7 +830,11 @@ object StagingMaintenance {
     require(retainLast >= 1, "vacuum must retain at least the current version")
     val (fs, d) = tableDir(spark, catalog, ns, table)
     val manifests = versionManifests(fs, d)
-    val (drop, keep) = manifests.splitAt(math.max(0, manifests.size - retainLast))
+    // TAGGED versions are retention-exempt: a tag pins its manifest, files,
+    // and DVs until dropped — retain_last governs only untagged history
+    val tagged = GraftStagingCatalog.readTags(fs, d).values.toSet
+    val tail = manifests.drop(math.max(0, manifests.size - retainLast)).map(_._1).toSet
+    val (keep, drop) = manifests.partition { case (v, _) => tail(v) || tagged(v) }
     val referenced = keep.flatMap { case (_, f) => manifestFiles(fs, f) }.toSet
     val dead = dataFiles(fs, d).filterNot(referenced)
     // CONCURRENCY GUARD: `referenced` was computed from a listing taken

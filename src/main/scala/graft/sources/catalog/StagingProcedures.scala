@@ -176,6 +176,64 @@ private[catalog] object StagingProcedures {
       }
     }
 
+  def tag(catalog: String): UnboundProcedure =
+    new MaintenanceProc("tag",
+      "pin a version by name: VERSION AS OF '<name>' resolves it and VACUUM " +
+        "keeps its files until drop_tag; version defaults to the current head") {
+      private val out = StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("version", LongType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("version", LongType)
+          .defaultValue("CAST(NULL AS BIGINT)").build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val name = input.getUTF8String(2).toString
+        val v = StagingMaintenance.tag(spark, catalog,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+          name, if (input.isNullAt(3)) None else Some(input.getLong(3)))
+        one(out, UTF8String.fromString(name), v)
+      }
+    }
+
+  def dropTag(catalog: String): UnboundProcedure =
+    new MaintenanceProc("drop_tag",
+      "drop a version tag; the pinned version re-enters normal VACUUM retention") {
+      private val out = StructType(Seq(
+        StructField("dropped", StringType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val name = input.getUTF8String(2).toString
+        StagingMaintenance.dropTag(spark, catalog,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString, name)
+        one(out, UTF8String.fromString(name))
+      }
+    }
+
+  def tags(catalog: String): UnboundProcedure =
+    new MaintenanceProc("tags",
+      "one row per tag: (name, version)") {
+      private val out = StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("version", LongType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val rs = StagingMaintenance.tags(spark, catalog,
+            input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+          .toSeq.sortBy(_._1).map { case (n, v) =>
+            new GenericInternalRow(Array[Any](UTF8String.fromString(n), v)): InternalRow
+          }.toArray
+        Collections.singletonList[Scan](new RowsScan(out, rs)).iterator()
+      }
+    }
+
   def history(catalog: String): UnboundProcedure =
     new MaintenanceProc("history",
       "one row per retained version manifest: (version, kind, n_files, batch_id)") {

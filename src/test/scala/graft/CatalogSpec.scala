@@ -1578,6 +1578,43 @@ class CatalogSpec extends SparkSpec {
     assert(e2.getMessage.contains("missing"), e2.getMessage)
   }
 
+  test("version tags: pin against VACUUM, resolve in VERSION AS OF, reclaim on drop_tag") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.tg")
+    spark.sql("CREATE TABLE stage_t.ws.tg AS SELECT id AS k FROM range(0, 100)")
+    spark.sql("CALL stage_t.tag('ws', 'tg', 'gold')")
+    // tag names must not collide with the numeric version namespace
+    val bad = intercept[Exception] { spark.sql("CALL stage_t.tag('ws', 'tg', 'v2')").collect() }
+    assert(bad.getMessage.contains("version number"), bad.getMessage)
+    // nonexistent version refused
+    val nov = intercept[Exception] {
+      spark.sql("CALL stage_t.tag('ws', 'tg', 'later', 9)").collect()
+    }
+    assert(nov.getMessage.contains("no version 9"), nov.getMessage)
+    spark.sql("INSERT INTO stage_t.ws.tg SELECT id FROM range(100, 150)") // v2
+    spark.sql("INSERT INTO stage_t.ws.tg SELECT id FROM range(150, 160)") // v3
+    spark.sql("CALL stage_t.vacuum('ws', 'tg', 1)")
+    // v1 pinned by the tag, v3 is head, v2 reclaimed
+    val vs = spark.sql("CALL stage_t.history('ws', 'tg')").collect().map(_.getLong(0)).toSet
+    assert(vs === Set(1L, 3L), vs)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.tg VERSION AS OF 'gold'")
+      .collect()(0).getLong(0) === 100L)
+    // an unknown tag lists the available ones
+    val unk = intercept[Exception] {
+      spark.sql("SELECT * FROM stage_t.ws.tg VERSION AS OF 'nope'").collect()
+    }
+    assert(unk.getMessage.contains("gold"), unk.getMessage)
+    // drop_tag releases the pin: the next vacuum reclaims v1
+    spark.sql("CALL stage_t.drop_tag('ws', 'tg', 'gold')")
+    spark.sql("CALL stage_t.vacuum('ws', 'tg', 1)")
+    val vs2 = spark.sql("CALL stage_t.history('ws', 'tg')").collect().map(_.getLong(0)).toSet
+    assert(vs2 === Set(3L), vs2)
+    assert(spark.sql("CALL stage_t.tags('ws', 'tg')").collect().isEmpty)
+    assert(spark.table("stage_t.ws.tg").count() === 160L) // current unharmed
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.tg")
+  }
+
   test("graft.sort-order: every append lands range-disjoint sorted files; ranges stay disjoint per commit") {
     import graft.sources.catalog.StagingMaintenance
     mountStage()
