@@ -269,9 +269,11 @@ class PropertySpec extends SparkSpec {
       spark.sql(s"CREATE TABLE prop_cat.ws.t$trial AS SELECT id AS k FROM range($lo0, $hi0)")
       model ++= (lo0 until hi0)
       versions(1L) = ("commit", model.toSet)
+      // tag name -> pinned version (the VACUUM-retention exemption)
+      val tagged = scala.collection.mutable.Map.empty[String, Long]
       var v = 1L
       (0 until 10).foreach { _ =>
-        rng.nextInt(8) match {
+        rng.nextInt(10) match {
           case 0 | 1 => // append a fresh slice
             val (lo, hi) = freshRange(20 + rng.nextInt(60))
             spark.sql(s"INSERT INTO prop_cat.ws.t$trial SELECT id AS k FROM range($lo, $hi)")
@@ -287,10 +289,10 @@ class PropertySpec extends SparkSpec {
             StagingMaintenance.optimize(spark, "prop_cat", "ws", s"t$trial",
               targetFiles = 1 + rng.nextInt(3), clusterBy = cluster)
             v += 1; versions(v) = ("optimize", model.toSet)
-          case 4 => // bounded retention
+          case 4 => // bounded retention — tagged versions are exempt
             val retain = 1 + rng.nextInt(3)
             StagingMaintenance.vacuum(spark, "prop_cat", "ws", s"t$trial", retainLast = retain)
-            val keep = versions.keys.toSeq.takeRight(retain).toSet
+            val keep = (versions.keys.toSeq.takeRight(retain) ++ tagged.values).toSet
             versions.filterInPlace { case (k, _) => keep(k) }
           case 5 => // SQL UPDATE via the group-based row-level rewrite:
             // shift a key range far outside the live keyspace
@@ -311,6 +313,18 @@ class PropertySpec extends SparkSpec {
               s"SELECT id AS k FROM range($lo, $hi)")
             model.clear(); model ++= (lo until hi)
             v += 1; versions(v) = ("overwrite", model.toSet)
+          case 8 => // tag the current head (metadata-only, no new version)
+            val name = s"pin_${trial}_$v"
+            if (!tagged.contains(name)) {
+              StagingMaintenance.tag(spark, "prop_cat", "ws", s"t$trial", name)
+              tagged(name) = v
+            }
+          case 9 => // drop a random tag: its version re-enters retention
+            if (tagged.nonEmpty) {
+              val name = tagged.keys.toSeq(rng.nextInt(tagged.size))
+              StagingMaintenance.dropTag(spark, "prop_cat", "ws", s"t$trial", name)
+              tagged -= name
+            }
         }
         // (a) current read == model
         val cur = spark.sql(s"SELECT k FROM prop_cat.ws.t$trial").collect().map(_.getLong(0))
@@ -323,6 +337,13 @@ class PropertySpec extends SparkSpec {
           .collect().map(_.getLong(0))
         assert(got.length === snap.size && got.toSet === snap,
           s"trial $trial: VERSION AS OF $ver diverged")
+      }
+      // (b') every TAG resolves by name to exactly its pinned snapshot —
+      // however many vacuums ran since it was created
+      tagged.foreach { case (name, ver) =>
+        val got = spark.sql(s"SELECT k FROM prop_cat.ws.t$trial VERSION AS OF '$name'")
+          .collect().map(_.getLong(0)).toSet
+        assert(got === versions(ver)._2, s"trial $trial: tag $name (v$ver) diverged")
       }
       // (c) a vacuumed (or never-minted) version errors clearly
       val dropped = (1L to v).find(!versions.contains(_))
