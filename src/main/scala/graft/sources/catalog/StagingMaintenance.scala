@@ -830,45 +830,55 @@ object StagingMaintenance {
     require(retainLast >= 1, "vacuum must retain at least the current version")
     val (fs, d) = tableDir(spark, catalog, ns, table)
     val manifests = versionManifests(fs, d)
-    // TAGGED versions are retention-exempt: a tag pins its manifest, files,
-    // and DVs until dropped — retain_last governs only untagged history
-    val tagged = GraftStagingCatalog.readTags(fs, d).values.toSet
-    val tail = manifests.drop(math.max(0, manifests.size - retainLast)).map(_._1).toSet
-    val (keep, drop) = manifests.partition { case (v, _) => tail(v) || tagged(v) }
-    val referenced = keep.flatMap { case (_, f) => manifestFiles(fs, f) }.toSet
-    val dead = dataFiles(fs, d).filterNot(referenced)
-    // CONCURRENCY GUARD: `referenced` was computed from a listing taken
-    // above; an append/rewrite that commits in between could reference a
-    // just-moved data file that `dead` is about to delete — corrupting the
-    // new current version. A RESTORE is the sharpest case: it re-references
-    // old files this plan has already classified as dead. Re-checking alone
-    // is check-then-act — a commit can still land BETWEEN the re-check and
-    // the deletes — so the re-check AND the delete loop run while HOLDING
-    // the manifest-writer monitor (the same `synchronized` lock
-    // writeExplicitManifest / writeCommitManifest serialize commits on):
-    // within this JVM no manifest can be written while files are being
-    // reclaimed. The head re-check inside the lock aborts if a commit
-    // advanced the table since planning (the caller retries against the
-    // new version); multi-JVM deployments additionally need the store-level
+    // The reclamation plan (keep/drop/dead) is derived INSIDE the locked
+    // section below. TAGGED versions are retention-exempt: a tag pins its
+    // manifest, files, and DVs until dropped — retain_last governs only
+    // untagged history. Deriving the plan under the lock (not merely
+    // re-checking the head) also closes the tag race: a CALL tag that
+    // lands before the lock is honored, because tags are read under the
+    // same monitor their writer holds.
+    def plan(): (Seq[(Long, Path)], Seq[(Long, Path)], Seq[String]) = {
+      val ms = versionManifests(fs, d)
+      val tagged = GraftStagingCatalog.readTags(fs, d).values.toSet
+      val tail = ms.drop(math.max(0, ms.size - retainLast)).map(_._1).toSet
+      val (keep, drop) = ms.partition { case (v, _) => tail(v) || tagged(v) }
+      val referenced = keep.flatMap { case (_, f) => manifestFiles(fs, f) }.toSet
+      (keep, drop, dataFiles(fs, d).filterNot(referenced))
+    }
+    // CONCURRENCY GUARD: a commit that lands after planning could reference
+    // a data file the plan classified as dead (a RESTORE is the sharpest
+    // case — it re-references old files), and a CALL tag could pin a
+    // version the plan is about to drop. Re-checking alone is
+    // check-then-act — a commit can still land BETWEEN the re-check and
+    // the deletes — so the plan is RE-DERIVED and the delete loop runs
+    // while HOLDING the manifest-writer monitor (the same `synchronized`
+    // lock writeExplicitManifest / writeCommitManifest / writeTags
+    // serialize on): within this JVM no manifest or tag can be written
+    // while files are being reclaimed. The head re-check aborts if a
+    // commit advanced the table since planning (the caller retries);
+    // multi-JVM deployments additionally need the store-level
     // create-exclusive contract documented on tryCreateExclusive.
-    // deletion-vector retention mirrors data-file retention: a DV sidecar
-    // lives while any retained manifest references it
-    val referencedDvs = keep.flatMap { case (_, f) =>
-      GraftStagingCatalog.manifestDvs(fs, f) }.toSet
-    val dvDir = new Path(d, DeletionVectors.DvDir)
-    val deadDvs =
-      (try fs.listStatus(dvDir).toIndexedSeq catch { case _: FileNotFoundException => Seq.empty })
-        .filter(_.isFile).map(_.getPath.getName).filterNot(referencedDvs)
     val baseV = manifests.lastOption.map(_._1).getOrElse(0L)
-    GraftStagingCatalog.synchronized {
+    val dvDir = new Path(d, DeletionVectors.DvDir)
+    val dead = GraftStagingCatalog.synchronized {
       val headNow = versionManifests(fs, d).lastOption.map(_._1).getOrElse(0L)
       if (headNow != baseV)
         throw new java.util.ConcurrentModificationException(
           s"vacuum of $catalog.$ns.$table planned against version $baseV but head " +
             s"is now $headNow — a concurrent commit landed; retry")
+      val (keep, drop, deadNow) = plan()
+      // deletion-vector retention mirrors data-file retention: a DV
+      // sidecar lives while any retained manifest references it
+      val referencedDvs = keep.flatMap { case (_, f) =>
+        GraftStagingCatalog.manifestDvs(fs, f) }.toSet
+      val deadDvs =
+        (try fs.listStatus(dvDir).toIndexedSeq
+         catch { case _: FileNotFoundException => Seq.empty })
+          .filter(_.isFile).map(_.getPath.getName).filterNot(referencedDvs)
       drop.foreach { case (_, f) => fs.delete(f, false) }
-      dead.foreach(f => fs.delete(new Path(d, f), false))
+      deadNow.foreach(f => fs.delete(new Path(d, f), false))
       deadDvs.foreach(n => fs.delete(new Path(dvDir, n), false))
+      deadNow
     }
     // trim reclaimed files out of the advisory stats cache
     val stats = readStatsFor(fs, d)

@@ -89,15 +89,19 @@ private[catalog] class StagingMicroBatchStream(
 
   private def appendedFiles(fromV: Long, toV: Long): Seq[String] = {
     val manifests = versionManifests(fs, dir).toMap
+    // every lookup is guarded: VACUUM may have reclaimed a version this
+    // offset range needs — including the PREDECESSOR of a retained version
+    // (tags can pin v with v−1 reclaimed), whose file set the append delta
+    // is defined against. Fail with guidance, never NoSuchElement.
+    def manifestOf(v: Long) = manifests.getOrElse(v,
+      throw new IllegalStateException(
+        s"streaming read of $tableDirStr: version $v was VACUUMed away before " +
+          "the stream consumed it — raise the vacuum retention or restart " +
+          "the stream from a newer graft.starting-version"))
     def filesOf(v: Long): Seq[String] =
-      if (v <= 0L) Seq.empty
-      else manifestFiles(fs, manifests.getOrElse(v,
-        throw new IllegalStateException(
-          s"streaming read of $tableDirStr: version $v was VACUUMed away before " +
-            "the stream consumed it — raise the vacuum retention or restart " +
-            "the stream from a newer graft.starting-version")))
+      if (v <= 0L) Seq.empty else manifestFiles(fs, manifestOf(v))
     ((fromV + 1L) to toV).flatMap { v =>
-      manifestKind(fs, manifests(v)) match {
+      manifestKind(fs, manifestOf(v)) match {
         case "commit" =>
           val prev = filesOf(v - 1L).toSet
           filesOf(v).filterNot(prev)
