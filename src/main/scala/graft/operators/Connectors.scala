@@ -1904,7 +1904,8 @@ object Connectors {
     * modes encode: merge-on-read for write-heavy keyed churn, the q302
     * copy-on-write + runtime-group-filter path for read-heavy targets;
     * bounding the ON clause with a static key range restores file
-    * skipping for MOR merges too.
+    * skipping for MOR merges too — [[q323BoundedMorMerge]] is that move,
+    * proven.
     */
   def q318MergeOnRead(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.catalog.graft_stage",
