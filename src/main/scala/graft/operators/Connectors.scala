@@ -2530,7 +2530,62 @@ object Connectors {
        |FROM orders WHERE o_orderkey % 6 = 0
        |GROUP BY o_orderstatus ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q329
+
+  /** TAG-TO-TAG CHANGE FEED — the corpus-release workflow the tag + change
+    * feed machinery compose into: ingestion tags releases (`r1`, `r2`, …)
+    * as it goes, and "what documents did release r2 add over r1?" is the
+    * commit-range change feed between the two PINNED versions — by name,
+    * long after untagged intermediate history aged out, and immune to the
+    * table's CURRENT state (a third slice lands after r2 and must NOT
+    * appear). Metadata cost: two sidecar reads resolve the names; the feed
+    * scans only the files versions (r1, r2] appended — release-delta
+    * cost, not table cost, at any scale.
+    */
+  def q329TagChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_tcf_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_tcf")
+    spark.sql( // release 1
+      """CREATE TABLE graft_stage.work.orders_tcf AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_tcf_src WHERE o_orderkey % 9 = 0""".stripMargin)
+    spark.sql("CALL graft_stage.tag('work', 'orders_tcf', 'r1')")
+    spark.sql( // release 2 adds a disjoint slice
+      """INSERT INTO graft_stage.work.orders_tcf
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_tcf_src WHERE o_orderkey % 9 = 4""".stripMargin)
+    spark.sql("CALL graft_stage.tag('work', 'orders_tcf', 'r2')")
+    spark.sql( // post-release churn that must NOT leak into the r1->r2 feed
+      """INSERT INTO graft_stage.work.orders_tcf
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_tcf_src WHERE o_orderkey % 9 = 7""".stripMargin)
+    val tags = graft.sources.catalog.StagingMaintenance
+      .tags(spark, "graft_stage", "work", "orders_tcf")
+    val delta = graft.sources.catalog.StagingMaintenance.changesBetween(
+      spark, "graft_stage", "work", "orders_tcf", tags("r1"), tags("r2"))
+    delta.groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+      .orderBy(col("status"))
+  }
+
+  /** The r2-only slice recomputed from the raw table — the hash match
+    * proves the tag-range feed is exactly the release delta, with neither
+    * the r1 base nor the post-release churn leaking in.
+    */
+  val q329Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n, min(o_orderkey) AS min_key,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders WHERE o_orderkey % 9 = 4
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q329_tag_change_feed", q329TagChangeFeed, q329Oracle),
     GraftQuery.sql("q328_version_tags", q328VersionTags, q328Oracle),
     GraftQuery.sql("q327_bm25_index", q327Bm25Index, q327Oracle),
     GraftQuery.sql("q326_sorted_append", q326SortedAppend, q326Oracle),
