@@ -62,6 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => GraftBins.plan(args)))
     // Engine rewrite: size(split(s, ' ')) → token_count(s) (see RewriteTokenCount)
     ext.injectOptimizerRule(_ => RewriteTokenCount)
+    // Engine-enforced bounded merge-on-read MERGE: inject the source-key
+    // envelope into the delta merge's target side, polarity-guarded
+    // (see graft.sources.catalog.BoundedMorMerge)
+    ext.injectOptimizerRule(_ => graft.sources.catalog.BoundedMorMerge)
     // Whole-operator extension: per-key top-k via bounded heaps (no sort) —
     // logical node graft.plans.TopKPerKeyPlan planned to TopKPerKeyExec.
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

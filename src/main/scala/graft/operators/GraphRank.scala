@@ -52,10 +52,21 @@ object GraphRank {
     */
   private def ensureCheckpointDir(spark: SparkSession): Unit = {
     val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"),
-        s"graft-ckpt-${sc.applicationId}").toString)
+    if (sc.getCheckpointDir.isEmpty) {
+      val dir = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), s"graft-ckpt-${sc.applicationId}")
+      sc.setCheckpointDir(dir.toString)
+      // Every session type (Verify, tests, Plans, QBench — not just Bench,
+      // which also sets cleaner.referenceTracking.cleanCheckpoints) must
+      // reclaim its edge-scale checkpoint files: the dir is per-appId, so a
+      // JVM-exit hook deleting it leaks nothing across sessions and races
+      // nothing within one (checkpoints are only read while the JVM lives).
+      sys.addShutdownHook {
+        try dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .delete(dir, true)
+        catch { case _: Exception => () }
+      }
+    }
   }
 
   def q143FixedPointPagerank(spark: SparkSession, dir: String): DataFrame = {

@@ -50,12 +50,29 @@ object DeletionVectors {
   val DvDir = "_graft_dv"
   val MorSidecar = "_graft_mor.txt"
 
-  /** The declared MOR key column, when the table was created merge-on-read. */
+  /** Sidecar marker for POSITION-delete mode: merge-on-read declared with
+    * NO merge key (raw event ingest — no natural row identifier). Row-level
+    * DELETEs then record `(file, row position)` sidecars instead of paying
+    * a full copy-on-write rewrite; see [[writePosDv]]/[[PosDvPartition]].
+    */
+  val PosMarker = "#pos"
+
+  /** The declared MOR key column, when the table was created merge-on-read
+    * WITH a key ([[morPos]] is the keyless position-delete mode).
+    */
   def morKey(fs: FileSystem, d: Path): Option[String] = {
     val p = new Path(d, MorSidecar)
     if (GraftStagingCatalog.isFile(fs, p))
-      Some(GraftStagingCatalog.readString(fs, p).trim).filter(_.nonEmpty)
+      Some(GraftStagingCatalog.readString(fs, p).trim)
+        .filter(s => s.nonEmpty && s != PosMarker)
     else None
+  }
+
+  /** Keyless merge-on-read (position-delete) mode? */
+  def morPos(fs: FileSystem, d: Path): Boolean = {
+    val p = new Path(d, MorSidecar)
+    GraftStagingCatalog.isFile(fs, p) &&
+      GraftStagingCatalog.readString(fs, p).trim == PosMarker
   }
 
   def writeMorKey(fs: FileSystem, d: Path, key: String): Unit =
@@ -109,6 +126,9 @@ object DeletionVectors {
       val perFile = scala.collection.mutable.Map.empty[String, Set[Any]]
       names.foreach { n =>
         val txt = GraftStagingCatalog.readString(fs, new Path(new Path(d, DvDir), n))
+        if ("\"type\":\"pos\"".r.findFirstIn(txt).isDefined) {
+          // position sidecar: belongs to loadPosDvs, not the key map
+        } else {
         val isString = "\"type\":\"string\"".r.findFirstIn(txt).isDefined
         val files = GraftStagingCatalog.parseArray(txt, "files")
         val keysBody = ("\"keys\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt)
@@ -120,6 +140,7 @@ object DeletionVectors {
           else keysBody.split(',').iterator.map(_.trim).filter(_.nonEmpty)
             .map(_.toLong: Any).toSet
         files.foreach(f => perFile(f) = perFile.getOrElse(f, Set.empty) ++ keys)
+        }
       }
       perFile.toMap
     }
@@ -130,32 +151,187 @@ object DeletionVectors {
   def dvMapAt(fs: FileSystem, d: Path, manifest: Path): Map[String, Set[Any]] =
     loadDvs(fs, d, GraftStagingCatalog.manifestDvs(fs, manifest))
 
+  // ---- POSITION deletes (keyless MOR — the Iceberg (file, pos) shape) ----
+
+  /** Write one POSITION-delete sidecar: per file, the ordinals of deleted
+    * rows — row position = the row's index in an UNFILTERED sequential read
+    * of the file (what `_metadata.row_index` reports and what the scan-side
+    * counter reproduces). Returns the DvDir-relative name.
+    */
+  def writePosDv(fs: FileSystem, d: Path, perFile: Map[String, Seq[Long]]): String = {
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val name = s"dv-$token.json"
+    val dir = new Path(d, DvDir)
+    fs.mkdirs(dir)
+    val body = perFile.toSeq.sortBy(_._1).map { case (f, ps) =>
+      "\"" + enc(f) + "\":[" + ps.distinct.sorted.mkString(",") + "]"
+    }.mkString(",")
+    val json = s"""{"type":"pos","pos":{$body}}"""
+    val out = fs.create(new Path(dir, name), false) // DVs are immutable
+    try out.write(json.getBytes(UTF_8)) finally out.close()
+    name
+  }
+
+  /** Load the named sidecars' POSITION deletes into a per-file ordinal set
+    * (merged across sidecars; non-pos sidecars are skipped — one manifest
+    * `dvs` array carries either kind).
+    */
+  def loadPosDvs(fs: FileSystem, d: Path, names: Seq[String]): Map[String, Set[Long]] =
+    if (names.isEmpty) Map.empty
+    else {
+      val perFile = scala.collection.mutable.Map.empty[String, Set[Long]]
+      names.foreach { n =>
+        val txt = GraftStagingCatalog.readString(fs, new Path(new Path(d, DvDir), n))
+        if ("\"type\":\"pos\"".r.findFirstIn(txt).isDefined) {
+          "\"([^\"]+)\":\\[([^\\]]*)\\]".r.findAllMatchIn(txt).foreach { m =>
+            val f = dec(m.group(1))
+            if (f != "type" && f != "pos") {
+              val ps = m.group(2).split(',').iterator.map(_.trim).filter(_.nonEmpty)
+                .map(_.toLong).toSet
+              perFile(f) = perFile.getOrElse(f, Set.empty) ++ ps
+            }
+          }
+        }
+      }
+      perFile.toMap
+    }
+
+  /** Position-delete map in force at `manifest`. */
+  def posMapAt(fs: FileSystem, d: Path, manifest: Path): Map[String, Set[Long]] =
+    loadPosDvs(fs, d, GraftStagingCatalog.manifestDvs(fs, manifest))
+
+  /** Apply a POSITION-delete map to a V1 DataFrame read of the table's
+    * files (the maintenance/fold read path): rows are identified by
+    * `(_metadata.file_path suffix-matched to the table-relative name,
+    * _metadata.row_index)` and removed with one broadcast anti-join —
+    * the same shape (and the same r9 sibling-dir guard) as the equality
+    * [[applyToRead]].
+    */
+  def applyPosToRead(df: DataFrame, dv: Map[String, Set[Long]]): DataFrame =
+    if (dv.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col, concat, element_at, endswith,
+        lit, split}
+      val spark = df.sparkSession
+      import spark.implicits._
+      def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
+      val triples = dv.toSeq.flatMap { case (f, ps) => ps.iterator.map(p => (base(f), f, p)) }
+      val dvDf = triples.toDF("__gdv_f", "__gdv_rel", "__gdv_p")
+      val keep = df.columns // _metadata is a hidden pseudo-column: select it explicitly
+      val tagged = df.select(col("*"), col("_metadata.file_path").as("__gdv_path"),
+        col("_metadata.row_index").as("__gdv_pos"))
+        .withColumn("__gdv_file", element_at(split(col("__gdv_path"), "/"), -1))
+      tagged.join(broadcast(dvDf),
+          tagged("__gdv_file") === dvDf("__gdv_f") &&
+            endswith(tagged("__gdv_path"), concat(lit("/"), dvDf("__gdv_rel"))) &&
+            tagged("__gdv_pos") === dvDf("__gdv_p"), "left_anti")
+        .select(keep.map(col).toIndexedSeq: _*)
+    }
+
+  /** One position-DV'd file's splits as their own partition (splits stay
+    * together, sorted by offset, so the reader's sequential row counter IS
+    * the file position — valid only because position-mode scans push no
+    * data filters to parquet; see ZoneMapScanBuilder.pushFilters).
+    */
+  final case class PosDvPartition(inner: FilePartition, deleted: Set[Long])
+      extends InputPartition {
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  /** Repack pruned partitions for POSITION-delete application — the
+    * position twin of [[repack]].
+    */
+  def repackPos(parts: Array[InputPartition], dv: Map[String, Set[Long]],
+      statKey: org.apache.hadoop.fs.Path => String): Array[InputPartition] = {
+    val out = Array.newBuilder[InputPartition]
+    val affected = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Set[Long], scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.execution.datasources.PartitionedFile])]
+    var idx = 0
+    parts.foreach {
+      case fp: FilePartition =>
+        val (hit, clean) = fp.files.partition(pf => dv.contains(statKey(pf.toPath)))
+        if (clean.nonEmpty) { out += FilePartition(idx, clean); idx += 1 }
+        hit.foreach { pf =>
+          val k = statKey(pf.toPath)
+          affected.getOrElseUpdate(k,
+            (dv(k), scala.collection.mutable.ArrayBuffer.empty))._2 += pf
+        }
+      case other => out += other
+    }
+    affected.valuesIterator.foreach { case (positions, pfs) =>
+      out += PosDvPartition(FilePartition(idx, pfs.sortBy(_.start).toArray), positions)
+      idx += 1
+    }
+    out.result()
+  }
+
+  /** Reader factory applying POSITION deletes: a sequential row counter per
+    * partition (= per file, by [[repackPos]]'s packing) skips the deleted
+    * ordinals. Everything reads row-based while position DVs are active —
+    * the same mixed-partition rule as the equality factory — and
+    * non-position partitions pass through to the delegate.
+    */
+  final class PosDvReaderFactory(inner: PartitionReaderFactory)
+      extends PartitionReaderFactory {
+    override def supportColumnarReads(partition: InputPartition): Boolean = false
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+      partition match {
+        case PosDvPartition(fp, deleted) =>
+          val base = inner.createReader(fp)
+          new PartitionReader[InternalRow] {
+            private var pos = -1L
+            private var current: InternalRow = _
+            override def next(): Boolean = {
+              while (base.next()) {
+                pos += 1
+                if (!deleted.contains(pos)) { current = base.get(); return true }
+              }
+              false
+            }
+            override def get(): InternalRow = current
+            override def close(): Unit = base.close()
+          }
+        case other => inner.createReader(other)
+      }
+  }
+
   /** Apply a DV map to a V1 DataFrame read of the table's files — the
     * MAINTENANCE read path (OPTIMIZE fold, rename rewrite, overwrite's
     * delete phase), where rows must not resurrect. File attribution rides
-    * `input_file_name()` matched on the BASENAME (part-file names carry job
-    * UUIDs — globally unique), and the delete is one broadcast anti-join on
-    * (file, key) — the shape that survives 100 TB (the DV set is bounded by
-    * churn since the last OPTIMIZE, never by table size).
+    * `input_file_name()`: the broadcast-hash join key is the BASENAME (one
+    * canonical component on both sides), and an `endswith` guard on
+    * `"/" + <table-relative path>` scopes the match to the exact laid-out
+    * file — a basename alone is ambiguous under partition layout, where
+    * one OPTIMIZE partitionBy job writes the SAME part number + job UUID
+    * into every partition dir, and a DV scoped to one dir must not
+    * suppress its keys in sibling-dir files (r9 advisory). The delete is
+    * one broadcast anti-join on (file, key) — the shape that survives
+    * 100 TB (the DV set is bounded by churn since the last OPTIMIZE, never
+    * by table size).
     */
   def applyToRead(df: DataFrame, keyCol: String, dv: Map[String, Set[Any]]): DataFrame =
     if (dv.isEmpty) df
     else {
-      import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, split}
+      import org.apache.spark.sql.functions.{broadcast, concat, element_at, endswith,
+        input_file_name, lit, split}
       val spark = df.sparkSession
       import spark.implicits._
       def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
-      val pairs = dv.toSeq.flatMap { case (f, ks) => ks.iterator.map(k => (base(f), k)) }
+      val triples = dv.toSeq.flatMap { case (f, ks) => ks.iterator.map(k => (base(f), f, k)) }
       val dvDf =
-        if (pairs.headOption.exists(_._2.isInstanceOf[String]))
-          pairs.map { case (f, k) => (f, k.asInstanceOf[String]) }.toDF("__gdv_f", "__gdv_k")
-        else pairs.map { case (f, k) => (f, k.asInstanceOf[Long]) }.toDF("__gdv_f", "__gdv_k")
-      val tagged = df.withColumn("__gdv_file",
-        element_at(split(input_file_name(), "/"), -1))
+        if (triples.headOption.exists(_._3.isInstanceOf[String]))
+          triples.map { case (b, f, k) => (b, f, k.asInstanceOf[String]) }
+            .toDF("__gdv_f", "__gdv_rel", "__gdv_k")
+        else triples.map { case (b, f, k) => (b, f, k.asInstanceOf[Long]) }
+          .toDF("__gdv_f", "__gdv_rel", "__gdv_k")
+      val tagged = df.withColumn("__gdv_path", input_file_name())
+        .withColumn("__gdv_file", element_at(split(input_file_name(), "/"), -1))
       tagged.join(broadcast(dvDf),
           tagged("__gdv_file") === dvDf("__gdv_f") &&
+            endswith(tagged("__gdv_path"), concat(lit("/"), dvDf("__gdv_rel"))) &&
             tagged(keyCol) === dvDf("__gdv_k"), "left_anti")
-        .drop("__gdv_file")
+        .drop("__gdv_file", "__gdv_path")
     }
 
   /** DV info threaded from the scan builder into the pruned scan: the

@@ -189,8 +189,35 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     ParquetTable(name, SparkSession.active, CaseInsensitiveStringMap.empty(),
       paths, declared, classOf[ParquetFileFormat])
 
+  /** Branch-face identifier (`cat.ns.t.branch_<name>` — the Iceberg
+    * multipart-branch syntax): namespace = [ns, table], name = branch_x.
+    */
+  private def branchFace(ident: Identifier): Option[(Identifier, String)] =
+    if (ident.namespace().length == 2 && ident.name().startsWith("branch_") &&
+        ident.name().length > "branch_".length)
+      Some((Identifier.of(ident.namespace().take(1), ident.namespace()(1)),
+        ident.name().stripPrefix("branch_")))
+    else None
+
   override def loadTable(ident: Identifier): Table = {
     import GraftStagingCatalog._
+    branchFace(ident) match {
+      case Some((base, bname)) => return loadBranchTable(base, bname)
+      case None => ()
+    }
+    // `cat.ns.t.changes` — the streaming row-level change-feed face
+    // ([[ChangeFeedTable]]): same multipart-identifier convention as the
+    // branch face, Delta's `table_changes` equivalent
+    if (ident.namespace().length == 2 && ident.name() == "changes") {
+      val base = Identifier.of(ident.namespace().take(1), ident.namespace()(1))
+      val bd = tableDir(base)
+      if (bd == null || !isDir(bd)) throw new NoSuchTableException(base)
+      val schema = declaredSchema(fs, bd).getOrElse(
+        throw new IllegalStateException(
+          s"$catalogName: ${base.name()} has no declared schema — the change feed " +
+            "needs one (create the table through this catalog)"))
+      return new ChangeFeedTable(bd.toString, schema)
+    }
     val d = tableDir(ident)
     if (d == null || !isDir(d)) throw new NoSuchTableException(ident)
     // CURRENT reads resolve through the latest manifest when one exists —
@@ -202,7 +229,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     // row-level rewrite through it commits against exactly that base
     // (optimistic concurrency).
     val (snapshotVersion, snapshotFiles, readPaths, dvNames) =
-      versionManifests(fs, d).lastOption match {
+      headManifest(fs, d) match {
         case Some((v, mf)) =>
           val names = manifestFiles(fs, mf)
           (v, Some(names), names.map(f => new Path(d, f).toString), manifestDvs(fs, mf))
@@ -212,6 +239,33 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       parquetTable(qualified(ident), readPaths, declaredSchema(fs, d)),
       parquetTable(qualified(ident), Seq(d.toString), declaredSchema(fs, d)),
       d, snapshotVersion, snapshotFiles, dvNames)
+  }
+
+  /** The writable face of a BRANCH (`cat.ns.t.branch_<name>`): reads the
+    * branch head's snapshot (fork manifest until the branch commits),
+    * appends land on the branch log — main is never consulted nor
+    * advanced. Append-only by construction (capabilities + row-level
+    * refusal): WAP ingest writes, audits read, publish/drop decide.
+    */
+  private def loadBranchTable(ident: Identifier, bname: String): Table = {
+    import GraftStagingCatalog._
+    val d = tableDir(ident)
+    if (d == null || !isDir(d)) throw new NoSuchTableException(ident)
+    val branches = readBranches(fs, d)
+    if (!branches.contains(bname))
+      throw new IllegalArgumentException(
+        s"$catalogName: ${ident.name()} has no branch '$bname'" +
+          (if (branches.isEmpty) " (no branches exist — CALL branch(ns, tbl, name))"
+           else s" (branches: ${branches.keys.toSeq.sorted.mkString(", ")})"))
+    val (v, files, dvNames) = branchHead(fs, d, bname) match {
+      case Some((bv, mf)) => (bv, manifestFiles(fs, mf), manifestDvs(fs, mf))
+      case None           => (0L, Seq.empty[String], Seq.empty[String]) // forked empty
+    }
+    val label = s"${qualified(ident)}@branch_$bname"
+    new VersionedStagingTable(
+      parquetTable(label, files.map(f => new Path(d, f).toString), declaredSchema(fs, d)),
+      parquetTable(label, Seq(d.toString), declaredSchema(fs, d)),
+      d, v, Some(files), dvNames, branch = Some(bname))
   }
 
   // ---- time travel -------------------------------------------------------
@@ -242,8 +296,36 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     val dvNames = manifestDvs(fs, mf)
     val keyField = DeletionVectors.morKey(fs, d)
       .flatMap(k => pt.schema.fields.find(_.name.equalsIgnoreCase(k)))
-    if (dvNames.isEmpty || keyField.isEmpty) pt
-    else new DvPinnedTable(pt, d, dvNames, keyField.get)
+    if (dvNames.isEmpty) pt
+    else if (keyField.isDefined) new DvPinnedTable(pt, d, dvNames, keyField.get)
+    else if (DeletionVectors.morPos(fs, d)) new PosPinnedTable(pt, d, dvNames)
+    else pt
+  }
+
+  /** Time-travel face of a POSITION-delete (keyless-MOR) version: the
+    * pinned manifest's position DVs applied in the scan.
+    */
+  private class PosPinnedTable(delegate: ParquetTable, dir: Path, dvNames: Seq[String])
+      extends Table with SupportsRead {
+    private val tableFs = fs
+    override def name(): String = delegate.name
+    override def schema(): StructType = delegate.schema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      delegate.newScanBuilder(options) match {
+        case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
+          new ZoneMapScanBuilder(fb,
+            StagingMaintenance.readStatsFor(tableFs, dir),
+            StagingMaintenance.readNullsFor(tableFs, dir),
+            dir.toString,
+            () => StagingMaintenance.readBloomsFor(tableFs, dir),
+            Map.empty, None,
+            GraftStagingCatalog.partSpecs(tableFs, dir),
+            Map.empty,
+            DeletionVectors.loadPosDvs(tableFs, dir, dvNames))
+        case other => other
+      }
   }
 
   /** Read-only face of a time-travel-pinned MOR version: the delegate's
@@ -326,7 +408,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     */
   private class VersionedStagingTable(readDelegate: ParquetTable,
       writeDelegate: ParquetTable, dir: Path, snapshotVersion: Long,
-      snapshotFiles: Option[Seq[String]], dvNames: Seq[String] = Seq.empty)
+      snapshotFiles: Option[Seq[String]], dvNames: Seq[String] = Seq.empty,
+      branch: Option[String] = None)
       extends Table with SupportsRead with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsDelete
       with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -346,6 +429,11 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       */
     private lazy val dvMap: Map[String, Set[Any]] =
       DeletionVectors.loadDvs(tableFs, dir, dvNames)
+    /** Position deletes in force at this snapshot (keyless-MOR tables). */
+    private lazy val posDvMap: Map[String, Set[Long]] =
+      if (dvNames.nonEmpty && DeletionVectors.morPos(tableFs, dir))
+        DeletionVectors.loadPosDvs(tableFs, dir, dvNames)
+      else Map.empty
     override def name(): String = readDelegate.name
     override def schema(): StructType = morKeyField match {
       case Some(key) => StructType(readDelegate.schema.fields.map(f =>
@@ -354,9 +442,11 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     }
     override def capabilities(): util.Set[TableCapability] = {
       val c = new util.HashSet[TableCapability](readDelegate.capabilities())
-      c.add(TableCapability.OVERWRITE_BY_FILTER) // INSERT OVERWRITE (replace-partition)
-      c.add(TableCapability.TRUNCATE)
-      c.add(TableCapability.MICRO_BATCH_READ) // readStream.table tails the commit log
+      if (branch.isEmpty) {
+        c.add(TableCapability.OVERWRITE_BY_FILTER) // INSERT OVERWRITE (replace-partition)
+        c.add(TableCapability.TRUNCATE)
+        c.add(TableCapability.MICRO_BATCH_READ) // readStream.table tails the commit log
+      }
       c
     }
     override def partitioning(): Array[Transform] = {
@@ -400,7 +490,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
             specs,
             scala.jdk.CollectionConverters.MapHasAsScala(options.asCaseSensitiveMap())
               .asScala.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
-              .toMap)
+              .toMap,
+            posDvMap)
         case other => other
       }
     }
@@ -417,12 +508,16 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
       // merge-on-read tables route EVERY row-level op through the delta
       // path: a keyed DELETE there writes one deletion vector instead of a
-      // copy-on-write file rewrite
-      morKeyField.isEmpty &&
+      // copy-on-write file rewrite. Branch faces are append-only (the WAP
+      // ingest surface) — row-level ops go through main after publish.
+      branch.isEmpty && morKeyField.isEmpty &&
         filters.forall(f => GraftStagingCatalog.filterToColumn(f).isDefined)
 
     override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-      GraftStagingCatalog.deleteWhere(tableFs, dir, filters, snapshotVersion)
+      if (DeletionVectors.morPos(tableFs, dir))
+        GraftStagingCatalog.posDeleteWhere(tableFs, dir, filters, snapshotVersion,
+          snapshotFiles, dvNames)
+      else GraftStagingCatalog.deleteWhere(tableFs, dir, filters, snapshotVersion)
 
     // SQL UPDATE / MERGE INTO (and DELETE with predicates the metadata path
     // can't translate) via Spark's GROUP-BASED row-level operation
@@ -445,7 +540,12 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
         info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
         : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
       new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
-        override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        override def build(): org.apache.spark.sql.connector.write.RowLevelOperation = {
+          branch.foreach { b =>
+            throw new UnsupportedOperationException(
+              s"$catalogName: branch '$b' is append-only (write-audit-publish ingest); " +
+                "row-level operations run on main — publish or drop the branch first")
+          }
           morKeyField match {
             case Some(key) =>
               // merge-on-read: delta writes + deletion vectors, zero rewrites
@@ -453,8 +553,9 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
                 dir, snapshotVersion, snapshotFiles, key, dvNames)
             case None =>
               new StagingRowLevelOperation(info, readDelegate, writeDelegate, tableFs,
-                dir, snapshotVersion, snapshotFiles)
+                dir, snapshotVersion, snapshotFiles, dvNames)
           }
+        }
       }
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       val inner = writeDelegate.newWriteBuilder(info)
@@ -559,8 +660,10 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
                     dvs = dvNames)
                   ()
                 case None =>
-                  // only a SUCCESSFUL commit becomes a version
-                  GraftStagingCatalog.writeCommitManifest(tableFs, dir, before, batchId)
+                  // only a SUCCESSFUL commit becomes a version — on the
+                  // BRANCH log when this is a branch face (WAP ingest)
+                  GraftStagingCatalog.writeCommitManifest(tableFs, dir, before, batchId,
+                    branch)
               }
             }
             override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -643,6 +746,12 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     // per row — the CDC primary key; equality-delete contract).
     val morKey: Option[String] =
       Option(properties.get("graft.write.mode")).map(_.trim.toLowerCase) match {
+        case Some("merge-on-read")
+            if !Option(properties.get("graft.merge-keys")).exists(_.trim.nonEmpty) =>
+          // KEYLESS merge-on-read → POSITION-delete mode (raw event ingest
+          // with no natural row identifier): row-level DELETEs record
+          // (file, row position) sidecars, zero rewrites
+          Some(DeletionVectors.PosMarker)
         case Some("merge-on-read") =>
           val k = Option(properties.get("graft.merge-keys")).map(_.trim).filter(_.nonEmpty)
             .getOrElse(throw new IllegalArgumentException(
@@ -695,6 +804,14 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
         .map(_.toLong).getOrElse(0L)
     require(targetBytes >= 0L,
       s"$catalogName: graft.target-file-size must be non-negative, got $targetBytes")
+    // 'graft.checkpoint-interval'=<n>: checkpoint the version log every nth
+    // commit (default 10) — a high-frequency streamed table can trade a few
+    // more checkpoint writes for an even shorter probe window
+    val ckptEvery: Long =
+      Option(properties.get("graft.checkpoint-interval")).map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong).getOrElse(0L)
+    require(ckptEvery >= 0L,
+      s"$catalogName: graft.checkpoint-interval must be positive, got $ckptEvery")
     fs.mkdirs(d)
     GraftStagingCatalog.writeString(fs, new Path(d, SchemaSidecar), schema.json)
     if (sortCols.nonEmpty)
@@ -703,6 +820,9 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     if (targetBytes > 0L)
       GraftStagingCatalog.writeString(fs,
         new Path(d, GraftStagingCatalog.FileSizeSidecar), targetBytes.toString)
+    if (ckptEvery > 0L)
+      GraftStagingCatalog.writeString(fs,
+        new Path(d, GraftStagingCatalog.CkptIntervalSidecar), ckptEvery.toString)
     morKey.foreach(k => DeletionVectors.writeMorKey(fs, d, k))
     if (partCols.nonEmpty)
       GraftStagingCatalog.writeString(fs, new Path(d, GraftStagingCatalog.PartitionSidecar),
@@ -860,9 +980,14 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     // era snapshot: the OLD schema governs every version committed so far
-    GraftStagingCatalog.versionManifests(fs, d).lastOption.foreach { case (latest, _) =>
-      val snap = new Path(new Path(d, GraftStagingCatalog.VersionsDir),
-        s"schema_upto_v$latest.json")
+    GraftStagingCatalog.headManifest(fs, d).foreach { case (latest, _) =>
+      // eras live in their OWN subdir so resolving a version's era lists
+      // O(schema changes) entries, never O(versions) — the same bounded-
+      // resolution rule the checkpoint pointer enforces for manifests
+      val eraDir = new Path(new Path(d, GraftStagingCatalog.VersionsDir),
+        GraftStagingCatalog.EraDir)
+      fs.mkdirs(eraDir)
+      val snap = new Path(eraDir, s"schema_upto_v$latest.json")
       if (!GraftStagingCatalog.isFile(fs, snap))
         GraftStagingCatalog.writeString(fs, snap, before.json)
     }
@@ -909,6 +1034,10 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       case "tag"      => Some(StagingProcedures.tag(catalogName))
       case "drop_tag" => Some(StagingProcedures.dropTag(catalogName))
       case "tags"     => Some(StagingProcedures.tags(catalogName))
+      case "branch"      => Some(StagingProcedures.branch(catalogName))
+      case "publish"     => Some(StagingProcedures.publish(catalogName))
+      case "drop_branch" => Some(StagingProcedures.dropBranch(catalogName))
+      case "branches"    => Some(StagingProcedures.branches(catalogName))
       case _          => None
     }
 
@@ -920,13 +1049,13 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       throw new RuntimeException(
         s"$catalogName: unknown procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
           "(available: optimize, analyze, bloom, vacuum, history, detail, restore, " +
-          "tag, drop_tag, tags)"))
+          "tag, drop_tag, tags, branch, publish, drop_branch, branches)"))
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array("analyze", "bloom", "detail", "drop_tag", "history", "optimize", "restore",
-          "tag", "tags", "vacuum")
+      Array("analyze", "bloom", "branch", "branches", "detail", "drop_branch", "drop_tag",
+          "history", "optimize", "publish", "restore", "tag", "tags", "vacuum")
         .map(Identifier.of(namespace, _))
     else Array.empty
 
@@ -1037,8 +1166,18 @@ private class StagingRowLevelOperation(
     tableFs: FileSystem,
     dir: Path,
     snapshotVersion: Long,
-    snapshotFiles: Option[Seq[String]])
+    snapshotFiles: Option[Seq[String]],
+    dvNames: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** Position deletes in force at this snapshot (keyless-MOR tables): the
+    * rewrite's scans must not resurrect suppressed rows, and the commit
+    * must carry the sidecars for files it does not rewrite.
+    */
+  private lazy val posDvs: Map[String, Set[Long]] =
+    if (DeletionVectors.morPos(tableFs, dir))
+      DeletionVectors.loadPosDvs(tableFs, dir, dvNames)
+    else Map.empty
 
   /** The scans this operation built — interrogated at COMMIT time for
     * their post-runtime-filter planned file set. Commit-time (not
@@ -1086,9 +1225,9 @@ private class StagingRowLevelOperation(
             val zms =
               if (statCols.nonEmpty)
                 new RowLevelGroupScan(fscan, stats, v1, statCols, nulls, dir.toString,
-                  blooms, None, specs)
+                  blooms, None, specs, posDvs)
               else new ZoneMapPrunedScan(fscan, stats, v1, nulls, dir.toString, blooms,
-                None, specs)
+                None, specs, Map.empty, posDvs)
             scans.add(zms)
             zms
           case other => other // not a file scan: no tracking → full replace
@@ -1134,7 +1273,10 @@ private class StagingRowLevelOperation(
             }
             GraftStagingCatalog.writeExplicitManifest(tableFs, dir, carried ++ fresh,
               kind = info.command().toString.toLowerCase,
-              expectedBase = Some(snapshotVersion))
+              expectedBase = Some(snapshotVersion),
+              // keyless-MOR: carried (unrewritten) files still read under
+              // their position DVs; entries for rewritten files are inert
+              dvs = if (posDvs.nonEmpty) dvNames else Seq.empty)
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             inner.abort(messages)
@@ -1544,8 +1686,10 @@ object GraftStagingCatalog {
     * shows the dropped column; a pre-add pin doesn't show the added one).
     * The smallest `upto ≥ v` wins; no snapshot → the current sidecar.
     */
+  private[catalog] val EraDir = "eras"
+
   private[catalog] def schemaAtVersion(fs: FileSystem, d: Path, v: Long): Option[StructType] = {
-    val eras = (try fs.listStatus(new Path(d, VersionsDir)).toIndexedSeq
+    val eras = (try fs.listStatus(new Path(new Path(d, VersionsDir), EraDir)).toIndexedSeq
       catch { case _: FileNotFoundException => Seq.empty })
       .flatMap { f =>
         f.getPath.getName match {
@@ -1566,7 +1710,7 @@ object GraftStagingCatalog {
   private[catalog] def rewriteRenamed(fs: FileSystem, d: Path,
       renames: Seq[(String, String)], oldSchema: StructType): Unit = {
     val spark = SparkSession.active
-    val latest = versionManifests(fs, d).lastOption
+    val latest = headManifest(fs, d)
     val base = latest.map(_._1).getOrElse(0L)
     val current = latest.map { case (_, mf) => manifestFiles(fs, mf) }
       .getOrElse(dataFiles(fs, d))
@@ -1582,6 +1726,11 @@ object GraftStagingCatalog {
           val dvMap = latest.map { case (_, mf) => DeletionVectors.dvMapAt(fs, d, mf) }
             .getOrElse(Map.empty[String, Set[Any]])
           if (dvMap.nonEmpty) df = DeletionVectors.applyToRead(df, k, dvMap)
+        }
+        if (DeletionVectors.morPos(fs, d)) {
+          val posMap = latest.map { case (_, mf) => DeletionVectors.posMapAt(fs, d, mf) }
+            .getOrElse(Map.empty[String, Set[Long]])
+          if (posMap.nonEmpty) df = DeletionVectors.applyPosToRead(df, posMap)
         }
         renames.foreach { case (from, to) => df = df.withColumnRenamed(from, to) }
         val token = java.util.UUID.randomUUID().toString.take(12)
@@ -1601,7 +1750,8 @@ object GraftStagingCatalog {
     writeExplicitManifest(fs, d, kept, kind = "rename", expectedBase = Some(base))
   }
 
-  private[catalog] def versionManifests(fs: FileSystem, d: Path): Seq[(Long, Path)] =
+  private[catalog] def versionManifests(fs: FileSystem, d: Path): Seq[(Long, Path)] = {
+    bump(fullLogListings, d)
     (try fs.listStatus(new Path(d, VersionsDir)).toIndexedSeq
      catch { case _: FileNotFoundException => Seq.empty })
       .flatMap { f =>
@@ -1610,6 +1760,193 @@ object GraftStagingCatalog {
           case _              => None
         }
       }.sortBy(_._1)
+  }
+
+  // ---- manifest-log checkpointing (the Delta `_last_checkpoint` shape) --
+  //
+  // The one-file-per-version log is the commit protocol; LISTING it is the
+  // scale hazard: a table streamed into for weeks holds thousands of
+  // manifests, and resolving "what is current" by listStatus-and-sort pays
+  // O(versions) per read — the exact failure mode Delta checkpoints /
+  // Iceberg manifest lists exist for (and per-entry cost is the reference's
+  // own cost model for its readdir surface, CephRgwFileSystem.java:374-386).
+  // Every manifest here is already a full SNAPSHOT (complete `files` +
+  // `dvs`), so the missing piece is cheap HEAD DISCOVERY plus a compacted
+  // home for the only cross-version scan on the read/commit path (the
+  // streaming exactly-once batchId ledger):
+  //
+  //   - `ckpt-v<N>.json` — the fully-resolved state at version N: current
+  //     file set, active deletion vectors, and the COMPLETE batchId ledger
+  //     up to N. Written every `graft.checkpoint-interval`-th commit
+  //     (default 10) and by VACUUM (which re-points at a version it
+  //     retains, and whose ledger snapshot preserves exactly-once across
+  //     manifest reclamation — previously a vacuumed append FORGOT its
+  //     batchId).
+  //   - `_last_ckpt` — one line naming the latest checkpoint version.
+  //     Readers resolve the head as pointer + FORWARD PROBES (versions are
+  //     dense ascending integers, so probe v+1, v+2, … until absent):
+  //     O(commits since checkpoint) reads, independent of history length.
+  //
+  // The pointer overwrite is not atomic and the pointer is never a
+  // correctness dependency: a missing/torn/stale pointer (young table,
+  // crash window, pointed manifest reclaimed by a pre-checkpoint VACUUM)
+  // falls back to the full listing. Diagnostic counters let tests PIN the
+  // bounded-resolution contract instead of trusting it.
+
+  /** O(versions) listings of a version log (the expensive path), PER TABLE
+    * DIR — per-table so a test pins its own table's resolution cost while
+    * other suites churn their catalogs in parallel.
+    */
+  private[catalog] val fullLogListings =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Single-manifest existence probes (the bounded path), per table dir. */
+  private[catalog] val manifestProbes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def bump(m: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long],
+      d: Path): Unit = { m.merge(d.toString, 1L, (a, b) => a + b); () }
+  private[catalog] def countFor(
+      m: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long],
+      d: Path): Long = Option(m.get(d.toString)).map(_.longValue).getOrElse(0L)
+
+  private[catalog] val CkptPointer = "_last_ckpt"
+  private[catalog] val CkptIntervalSidecar = "_graft_ckpt_interval.txt"
+  private[catalog] val DefaultCkptInterval = 10L
+
+  private[catalog] def ckptInterval(fs: FileSystem, d: Path): Long = {
+    val p = new Path(d, CkptIntervalSidecar)
+    if (isFile(fs, p)) readString(fs, p).trim.toLong else DefaultCkptInterval
+  }
+
+  private[catalog] def manifestPath(d: Path, v: Long): Path =
+    new Path(new Path(d, VersionsDir), s"v$v.json")
+
+  private[catalog] def probeManifest(fs: FileSystem, d: Path, v: Long): Option[Path] = {
+    bump(manifestProbes, d)
+    val p = manifestPath(d, v)
+    if (isFile(fs, p)) Some(p) else None
+  }
+
+  private[catalog] def readCkptPointer(fs: FileSystem, d: Path): Option[Long] = {
+    val p = new Path(new Path(d, VersionsDir), CkptPointer)
+    try { if (isFile(fs, p)) Some(readString(fs, p).trim.toLong) else None }
+    catch { case _: Exception => None } // torn pointer → listing fallback
+  }
+
+  /** Head (version, manifest) WITHOUT listing the log when a checkpoint
+    * pointer exists; falls back to [[versionManifests]] otherwise.
+    */
+  private[catalog] def headManifest(fs: FileSystem, d: Path): Option[(Long, Path)] =
+    readCkptPointer(fs, d) match {
+      case Some(cv) if probeManifest(fs, d, cv).isDefined =>
+        var v = cv
+        while (probeManifest(fs, d, v + 1L).isDefined) v += 1L
+        Some(v -> manifestPath(d, v))
+      case _ => versionManifests(fs, d).lastOption
+    }
+
+  private[catalog] def writeCheckpoint(fs: FileSystem, d: Path, v: Long,
+      files: Seq[String], dvs: Seq[String], batchIds: Set[Long]): Unit = {
+    val vd = new Path(d, VersionsDir)
+    def arr(xs: Seq[String]) = xs.distinct.sorted.map(f => "\"" + f + "\"").mkString(",")
+    writeString(fs, new Path(vd, s"ckpt-v$v.json"),
+      s"""{"version":$v,"batchIds":[${batchIds.toSeq.sorted.mkString(",")}],""" +
+        s""""dvs":[${arr(dvs)}],"files":[${arr(files)}]}""")
+    writeString(fs, new Path(vd, CkptPointer), v.toString)
+  }
+
+  private[catalog] def readCheckpointTxt(fs: FileSystem, d: Path, v: Long): Option[String] = {
+    val p = new Path(new Path(d, VersionsDir), s"ckpt-v$v.json")
+    if (isFile(fs, p)) Some(readString(fs, p)) else None
+  }
+
+  /** Post-commit hook: checkpoint every interval-th version. The ledger
+    * snapshot is itself assembled through the PREVIOUS checkpoint, so the
+    * walk is bounded by the interval, not the history.
+    */
+  private[catalog] def maybeCheckpoint(fs: FileSystem, d: Path, v: Long,
+      files: Seq[String], dvs: Seq[String]): Unit =
+    if (v % ckptInterval(fs, d) == 0L)
+      writeCheckpoint(fs, d, v, files, dvs, committedBatchIds(fs, d))
+
+  // ---- writable branches (write-audit-publish) --------------------------
+  //
+  // A BRANCH forks the version log at the current head: branch commits land
+  // as `_graft_versions/b_<name>/v<N>.json` (numbering continues from the
+  // fork, each manifest a full snapshot exactly like main's), main stays
+  // untouched, and `CALL publish` FAST-FORWARDS main by copying the branch
+  // manifests into the main log — legal precisely when main has not
+  // advanced past the fork (checked under the manifest monitor; otherwise
+  // a conflict). This is the write-audit-publish pattern every production
+  // curation pipeline runs: ingest lands on the branch, expectations (q265)
+  // audit the branch face, and only a passing audit publishes — a failed
+  // batch never becomes visible to main's readers, and `drop_branch`
+  // discards it (its files become VACUUM-reclaimable orphans). Data files
+  // of branch commits live in the SAME table dir (manifests are the only
+  // fork), so publish moves zero data bytes. The registry sidecar
+  // `_graft_branches.tsv` maps name → fork version; branch fork manifests
+  // and branch-referenced files are VACUUM-exempt while the branch lives.
+
+  private[catalog] val BranchesSidecar = "_graft_branches.tsv"
+
+  private[catalog] def readBranches(fs: FileSystem, d: Path): Map[String, Long] = {
+    val p = new Path(d, BranchesSidecar)
+    if (!isFile(fs, p)) Map.empty
+    else readString(fs, p).split('\n').iterator.filter(_.nonEmpty).map { line =>
+      val Array(name, v) = line.split('\t')
+      name -> v.toLong
+    }.toMap
+  }
+
+  private[catalog] def writeBranches(fs: FileSystem, d: Path, bs: Map[String, Long]): Unit =
+    synchronized {
+      val p = new Path(d, BranchesSidecar)
+      if (bs.isEmpty) { fs.delete(p, false); () }
+      else writeString(fs, p,
+        bs.toSeq.sortBy(_._1).map { case (n, v) => s"$n\t$v" }.mkString("\n"))
+    }
+
+  private[catalog] def branchLogDir(d: Path, name: String): Path =
+    new Path(new Path(d, VersionsDir), s"b_$name")
+
+  /** Branch-log manifests, ascending. Branch logs are short-lived (one
+    * ingest-audit cycle), so a plain listing is the right cost.
+    */
+  private[catalog] def branchManifests(fs: FileSystem, d: Path, name: String): Seq[(Long, Path)] =
+    (try fs.listStatus(branchLogDir(d, name)).toIndexedSeq
+     catch { case _: FileNotFoundException => Seq.empty })
+      .flatMap { f =>
+        f.getPath.getName match {
+          case VersionFile(v) => Some(v.toLong -> f.getPath)
+          case _              => None
+        }
+      }.sortBy(_._1)
+
+  /** Head (version, manifest) of a branch: its own latest commit, else the
+    * fork-point manifest from the main log (a fresh branch reads exactly
+    * what main read when it forked). None only for a branch forked at an
+    * empty (never-committed) table.
+    */
+  private[catalog] def branchHead(fs: FileSystem, d: Path, name: String): Option[(Long, Path)] =
+    branchManifests(fs, d, name).lastOption.orElse {
+      readBranches(fs, d).get(name).filter(_ > 0L)
+        .flatMap(f => probeManifest(fs, d, f).map(f -> _))
+    }
+
+  /** Reclaim checkpoint files older than the (just-rewritten) pointer —
+    * VACUUM housekeeping; the pointed checkpoint always survives.
+    */
+  private[catalog] def dropStaleCheckpoints(fs: FileSystem, d: Path): Unit = {
+    val keep = readCkptPointer(fs, d)
+    val CkptFile = "^ckpt-v(\\d+)\\.json$".r
+    (try fs.listStatus(new Path(d, VersionsDir)).toIndexedSeq
+     catch { case _: FileNotFoundException => Seq.empty })
+      .foreach { f =>
+        f.getPath.getName match {
+          case CkptFile(v) if !keep.contains(v.toLong) => fs.delete(f.getPath, false); ()
+          case _ => ()
+        }
+      }
+  }
 
   private[catalog] def manifestFiles(fs: FileSystem, mf: Path): Seq[String] =
     parseManifestFiles(readString(fs, mf))
@@ -1681,11 +2018,28 @@ object GraftStagingCatalog {
       files.distinct.sorted.map(f => "\"" + f + "\"").mkString(",")}]}"""
   }
 
-  /** Micro-batch ids recorded by prior commits (the exactly-once ledger). */
-  private[catalog] def committedBatchIds(fs: FileSystem, d: Path): Set[Long] =
-    versionManifests(fs, d).flatMap { case (_, f) =>
-      "\"batchId\":(\\d+)".r.findFirstMatchIn(readString(fs, f)).map(_.group(1).toLong)
-    }.toSet
+  /** Micro-batch ids recorded by prior commits (the exactly-once ledger).
+    * Consulted on EVERY streaming commit, so it must not walk the whole
+    * log: with a checkpoint it reads the snapshot's ledger plus only the
+    * manifests committed since. The checkpointed ledger also survives
+    * VACUUM reclaiming the manifests that recorded it.
+    */
+  private[catalog] def committedBatchIds(fs: FileSystem, d: Path): Set[Long] = {
+    def idOf(txt: String): Option[Long] =
+      "\"batchId\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    readCkptPointer(fs, d).flatMap(cv => readCheckpointTxt(fs, d, cv).map(cv -> _)) match {
+      case Some((cv, ckpt)) =>
+        val snapshot = "\"batchIds\":\\[([^\\]]*)\\]".r.findFirstMatchIn(ckpt)
+          .map(_.group(1)).filter(_.trim.nonEmpty)
+          .map(_.split(',').iterator.map(_.trim.toLong).toSet).getOrElse(Set.empty[Long])
+        val newer = Iterator.iterate(cv + 1L)(_ + 1L)
+          .map(v => probeManifest(fs, d, v)).takeWhile(_.isDefined)
+          .flatMap(mf => idOf(readString(fs, mf.get))).toSet
+        snapshot ++ newer
+      case None =>
+        versionManifests(fs, d).flatMap { case (_, f) => idOf(readString(fs, f)) }.toSet
+    }
+  }
 
   /** Commit hook for APPENDS: the new version = previous current set ∪
     * exactly the files this commit's job moved in (the before/after
@@ -1698,20 +2052,24 @@ object GraftStagingCatalog {
     * conflicts.
     */
   private[catalog] def writeCommitManifest(fs: FileSystem, d: Path, before: Set[String],
-      batchId: Option[Long] = None): Unit =
+      batchId: Option[Long] = None, branch: Option[String] = None): Unit =
     synchronized {
-      val vd = new Path(d, VersionsDir)
+      val vd = branch.fold(new Path(d, VersionsDir))(b => branchLogDir(d, b))
       fs.mkdirs(vd)
       var committed = false
       while (!committed) {
-        val latest = versionManifests(fs, d).lastOption
+        // a branch append's base is the BRANCH head (falling back to the
+        // fork manifest) — main's log is never consulted nor advanced
+        val latest = branch.fold(headManifest(fs, d))(b => branchHead(fs, d, b))
         val cur = latest.map { case (_, f) => manifestFiles(fs, f) }.getOrElse(Seq.empty)
         // appends CARRY the active deletion vectors: DVs are file-scoped,
         // so they can never suppress rows of this commit's new files
         val dvs = latest.map { case (_, f) => manifestDvs(fs, f) }.getOrElse(Seq.empty)
         val next = latest.map(_._1).getOrElse(0L) + 1L
+        val files = (cur ++ dataFiles(fs, d).filterNot(before)).distinct.sorted
         committed = tryCreateExclusive(fs, new Path(vd, s"v$next.json"),
-          manifestJson(cur ++ dataFiles(fs, d).filterNot(before), batchId, "commit", dvs))
+          manifestJson(files, batchId, "commit", dvs))
+        if (committed && branch.isEmpty) maybeCheckpoint(fs, d, next, files, dvs)
       }
     }
 
@@ -1733,7 +2091,7 @@ object GraftStagingCatalog {
       fs.mkdirs(vd)
       var out = -1L
       while (out < 0) {
-        val latest = versionManifests(fs, d).lastOption.map(_._1).getOrElse(0L)
+        val latest = headManifest(fs, d).map(_._1).getOrElse(0L)
         expectedBase.foreach { base =>
           if (latest != base)
             throw new java.util.ConcurrentModificationException(
@@ -1747,6 +2105,7 @@ object GraftStagingCatalog {
         // lost the create race: loop re-reads the advanced version — with an
         // expectedBase that re-read throws the conflict above
       }
+      maybeCheckpoint(fs, d, out, files, dvs)
       out
     }
 
@@ -1798,6 +2157,71 @@ object GraftStagingCatalog {
     writeExplicitManifest(fs, d, filesAfterDelete(fs, d, filters),
       kind = "delete", expectedBase = Some(baseVersion))
 
+  /** POSITION-delete DELETE (keyless merge-on-read — the Iceberg
+    * (file, pos) shape): no rewrite at all. Matching rows are located as
+    * `(table-relative file, _metadata.row_index)` — zone maps first split
+    * the file set three ways exactly like the COW path (untouched files are
+    * never read; files where EVERY row provably matches could drop
+    * metadata-only, but a dropped file under live position DVs would lose
+    * the distinction, so whole-file matches simply record all their live
+    * positions) — and ONE sidecar commits with the SAME file set
+    * (kind=delete, dvs ++ one). Blast radius: O(matched rows) sidecar
+    * bytes, zero data-file writes; OPTIMIZE folds the sidecars away.
+    * Already-suppressed rows never re-match (the matching read applies the
+    * in-force position DVs), so repeated overlapping DELETEs stay exact.
+    */
+  private[catalog] def posDeleteWhere(fs: FileSystem, d: Path,
+      filters: Array[org.apache.spark.sql.sources.Filter], baseVersion: Long,
+      snapshotFiles: Option[Seq[String]], dvNames: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, split}
+    val spark = SparkSession.active
+    val pred = filters.flatMap(filterToColumn(_)).reduceOption(_ && _).getOrElse(lit(true))
+    val current = snapshotFiles.getOrElse(
+      headManifest(fs, d).map { case (_, mf) => manifestFiles(fs, mf) }
+        .getOrElse(dataFiles(fs, d)))
+    val stats = StagingMaintenance.readStatsFor(fs, d)
+    val nulls = StagingMaintenance.readNullsFor(fs, d)
+    val specs = partSpecs(fs, d)
+    // zone-map candidate split: files whose ranges cannot match are never read
+    val candidates = current.filter(f =>
+      filters.forall(fl => ZoneMapPrunedScan.canMatch(stats, nulls, f, fl) &&
+        ZoneMapPrunedScan.partCanMatch(specs, f, fl)))
+    if (candidates.isEmpty) {
+      // no row can match: still a (no-op) delete version — SQL ran
+      writeExplicitManifest(fs, d, current, kind = "delete",
+        expectedBase = Some(baseVersion), dvs = dvNames)
+      return
+    }
+    val reader = spark.read
+    declaredSchema(fs, d).foreach(reader.schema)
+    val raw = reader.parquet(candidates.map(f => new Path(d, f).toString): _*)
+    val inForce = DeletionVectors.loadPosDvs(fs, d, dvNames)
+    val visible = DeletionVectors.applyPosToRead(raw, inForce)
+    // (full path, position) of every VISIBLE matching row; bounded by the
+    // matched-row count — the sidecar IS this set, so collecting it is the
+    // write itself, not an extra materialization
+    val matched = visible.where(coalesce(pred, lit(false)))
+      .select(col("_metadata.file_path").as("__f"), col("_metadata.row_index").as("__p"))
+      .collect()
+    if (matched.isEmpty) {
+      writeExplicitManifest(fs, d, current, kind = "delete",
+        expectedBase = Some(baseVersion), dvs = dvNames)
+      return
+    }
+    // attribute full paths back to table-relative names (the statKey rule)
+    val prefix = d.toString + "/"
+    def rel(full: String): String = {
+      val ix = full.indexOf(prefix)
+      if (ix >= 0) full.substring(ix + prefix.length)
+      else full.substring(full.lastIndexOf('/') + 1)
+    }
+    val perFile = matched.groupBy(r => rel(r.getString(0)))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)).toSeq }
+    val dvName = DeletionVectors.writePosDv(fs, d, perFile)
+    writeExplicitManifest(fs, d, current, kind = "delete",
+      expectedBase = Some(baseVersion), dvs = dvNames :+ dvName)
+  }
+
   /** The file set that SURVIVES deleting rows matching `filters` — the
     * shared kernel of DELETE (survivors become the new version) and
     * INSERT OVERWRITE (survivors ++ the statement's fresh files become one
@@ -1819,7 +2243,7 @@ object GraftStagingCatalog {
     // don't all match the filter, surviving fresh rows would be rewritten
     // into the remainder AND carried as fresh, duplicating them. The
     // overwrite path therefore passes its pre-insert listing.
-    val current = versionManifests(fs, d).lastOption
+    val current = headManifest(fs, d)
       .map { case (_, mf) => manifestFiles(fs, mf) }
       .orElse(noManifestCurrent)
       .getOrElse(dataFiles(fs, d))
@@ -1854,11 +2278,17 @@ object GraftStagingCatalog {
         // resurrect into the rewritten remainder
         val dvApplied = DeletionVectors.morKey(fs, d) match {
           case Some(k) =>
-            val dvMap = versionManifests(fs, d).lastOption
+            val dvMap = headManifest(fs, d)
               .map { case (_, mf) => DeletionVectors.dvMapAt(fs, d, mf) }
               .getOrElse(Map.empty[String, Set[Any]])
               .filter { case (f, _) => touched.contains(f) }
             DeletionVectors.applyToRead(rawTouched, k, dvMap)
+          case None if DeletionVectors.morPos(fs, d) =>
+            val posMap = headManifest(fs, d)
+              .map { case (_, mf) => DeletionVectors.posMapAt(fs, d, mf) }
+              .getOrElse(Map.empty[String, Set[Long]])
+              .filter { case (f, _) => touched.contains(f) }
+            DeletionVectors.applyPosToRead(rawTouched, posMap)
           case None => rawTouched
         }
         val remaining = dvApplied.where(not(coalesce(pred, lit(false))))

@@ -85,7 +85,7 @@ object StagingMaintenance {
     require(clusterBy.isEmpty || partitionBy.isEmpty,
       "optimize takes clusterBy OR partitionBy, not both")
     val (fs, d) = tableDir(spark, catalog, ns, table)
-    val latest = versionManifests(fs, d).lastOption
+    val latest = GraftStagingCatalog.headManifest(fs, d)
     val base = latest.map(_._1).getOrElse(0L)
     val current = latest.map { case (_, mf) => manifestFiles(fs, mf) }
       .getOrElse(dataFiles(fs, d))
@@ -99,8 +99,12 @@ object StagingMaintenance {
     // an OPTIMIZE the table is DV-free until the next merge-on-read write.
     val dvMap = latest.map { case (_, mf) => DeletionVectors.dvMapAt(fs, d, mf) }
       .getOrElse(Map.empty[String, Set[Any]])
+    val posMap = latest.filter(_ => DeletionVectors.morPos(fs, d))
+      .map { case (_, mf) => DeletionVectors.posMapAt(fs, d, mf) }
+      .getOrElse(Map.empty[String, Set[Long]])
     val df = DeletionVectors.morKey(fs, d) match {
       case Some(k) if dvMap.nonEmpty => DeletionVectors.applyToRead(raw, k, dvMap)
+      case _ if posMap.nonEmpty      => DeletionVectors.applyPosToRead(raw, posMap)
       case _                         => raw
     }
     // rewrite into a staging subdir (underscore-prefixed: invisible to data
@@ -222,8 +226,7 @@ object StagingMaintenance {
       table: String, fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
     val (fs, d) = tableDir(spark, catalog, ns, table)
-    val manifests = versionManifests(fs, d).toMap
-    def mf(v: Long): Path = manifests.getOrElse(v,
+    def mf(v: Long): Path = GraftStagingCatalog.probeManifest(fs, d, v).getOrElse(
       throw new IllegalArgumentException(
         s"$catalog.$ns.$table has no version $v (vacuumed or never committed)"))
     ((fromVersion + 1) to toVersion).foreach { v =>
@@ -264,15 +267,26 @@ object StagingMaintenance {
     */
   def rowLevelChanges(spark: SparkSession, catalog: String, ns: String,
       table: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    rowLevelChangesAt(spark, fs, d, fromVersion, toVersion)
+  }
+
+  /** (fs, dir)-level core of [[rowLevelChanges]] — also the change-feed
+    * stream's CDF materializer ([[ensureCdf]]), which has a table dir but
+    * no catalog-qualified name.
+    */
+  private[catalog] def rowLevelChangesAt(spark: SparkSession, fs: FileSystem, d: Path,
+      fromVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
     require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
-    val (fs, d) = tableDir(spark, catalog, ns, table)
-    val manifests = versionManifests(fs, d).toMap
-    def manifestOf(v: Long): Path = manifests.getOrElse(v,
+    def manifestOf(v: Long): Path = GraftStagingCatalog.probeManifest(fs, d, v).getOrElse(
       throw new IllegalArgumentException(
-        s"$catalog.$ns.$table has no version $v (vacuumed or never committed)"))
-    def files(v: Long): Set[String] = manifestFiles(fs, manifestOf(v)).toSet
-    val sFrom = GraftStagingCatalog.schemaAtVersion(fs, d, fromVersion)
+        s"$d has no version $v (vacuumed or never committed)"))
+    // version 0 = the empty pre-history (an overwrite/restore as the very
+    // first commit diffs against nothing)
+    def files(v: Long): Set[String] =
+      if (v <= 0L) Set.empty else manifestFiles(fs, manifestOf(v)).toSet
+    val sFrom = GraftStagingCatalog.schemaAtVersion(fs, d, math.max(fromVersion, 1L))
     val sTo = GraftStagingCatalog.schemaAtVersion(fs, d, toVersion)
     require(sFrom == sTo,
       s"row-level diff across a schema change is not comparable ($sFrom vs $sTo)")
@@ -286,15 +300,26 @@ object StagingMaintenance {
     // rows as deletes. Still slice-cost: only files that changed (by name
     // OR by DV) are scanned.
     val morKey = DeletionVectors.morKey(fs, d)
-    val dvFrom = morKey.map(_ => DeletionVectors.dvMapAt(fs, d, manifestOf(fromVersion)))
+    val morPos = DeletionVectors.morPos(fs, d)
+    val dvFrom = morKey.filter(_ => fromVersion > 0L)
+      .map(_ => DeletionVectors.dvMapAt(fs, d, manifestOf(fromVersion)))
       .getOrElse(Map.empty[String, Set[Any]])
     val dvTo = morKey.map(_ => DeletionVectors.dvMapAt(fs, d, manifestOf(toVersion)))
       .getOrElse(Map.empty[String, Set[Any]])
+    // position-delete twin of the key maps (keyless-MOR tables)
+    val posFrom =
+      if (morPos && fromVersion > 0L) DeletionVectors.posMapAt(fs, d, manifestOf(fromVersion))
+      else Map.empty[String, Set[Long]]
+    val posTo =
+      if (morPos) DeletionVectors.posMapAt(fs, d, manifestOf(toVersion))
+      else Map.empty[String, Set[Long]]
     val dvChanged = (from intersect to).filter(f =>
-      dvFrom.getOrElse(f, Set.empty) != dvTo.getOrElse(f, Set.empty))
+      dvFrom.getOrElse(f, Set.empty) != dvTo.getOrElse(f, Set.empty) ||
+        posFrom.getOrElse(f, Set.empty) != posTo.getOrElse(f, Set.empty))
     val removed = ((from -- to) ++ dvChanged).toSeq.sorted
     val added = ((to -- from) ++ dvChanged).toSeq.sorted
-    def read(fls: Seq[String], dv: Map[String, Set[Any]]): DataFrame = {
+    def read(fls: Seq[String], dv: Map[String, Set[Any]],
+        pos: Map[String, Set[Long]]): DataFrame = {
       val reader = spark.read
       sFrom.foreach(reader.schema)
       val df =
@@ -304,13 +329,42 @@ object StagingMaintenance {
       morKey match {
         case Some(k) =>
           DeletionVectors.applyToRead(df, k, dv.filter { case (f, _) => fls.contains(f) })
+        case None if morPos && fls.nonEmpty =>
+          DeletionVectors.applyPosToRead(df, pos.filter { case (f, _) => fls.contains(f) })
         case None => df
       }
     }
-    val oldRows = read(removed, dvFrom)
-    val newRows = read(added, dvTo)
+    val oldRows = read(removed, dvFrom, posFrom)
+    val newRows = read(added, dvTo, posTo)
     oldRows.exceptAll(newRows).withColumn("_change", lit("delete"))
       .unionByName(newRows.exceptAll(oldRows).withColumn("_change", lit("insert")))
+  }
+
+  private[catalog] val CdfDir = "_graft_cdf"
+
+  /** MATERIALIZE a rewrite version's row-level delta as change-data files
+    * (`_graft_cdf/v<N>/` — Delta's CDC-file shape, computed LAZILY on first
+    * change-feed read instead of at commit time: the diff is a pure
+    * function of two immutable manifests + files, so read-side
+    * materialization is idempotent and needs no write-path hook or table
+    * property). Columns: the table schema + `_change_type`
+    * ('delete'|'insert') + `_commit_version`. `_SUCCESS` (the parquet
+    * committer's own marker) gates completeness; a crash mid-write simply
+    * re-materializes. Cost is slice-cost, not table cost — the diff reads
+    * only files the version touched by name or by DV (rowLevelChangesAt).
+    */
+  private[catalog] def ensureCdf(spark: SparkSession, fs: FileSystem, d: Path,
+      v: Long): Path = GraftStagingCatalog.synchronized {
+    import org.apache.spark.sql.functions.lit
+    val out = new Path(new Path(d, CdfDir), s"v$v")
+    if (isFile(fs, new Path(out, "_SUCCESS"))) out
+    else {
+      rowLevelChangesAt(spark, fs, d, v - 1L, v)
+        .withColumnRenamed("_change", "_change_type")
+        .withColumn("_commit_version", lit(v))
+        .write.mode("overwrite").parquet(out.toString)
+      out
+    }
   }
 
   // ---- zone maps (file-level min/max data skipping) ----------------------
@@ -402,7 +456,7 @@ object StagingMaintenance {
 
   /** Files the CURRENT version reads (manifest-pinned when versioned). */
   private def currentFiles(fs: FileSystem, d: Path): Seq[String] =
-    versionManifests(fs, d).lastOption
+    GraftStagingCatalog.headManifest(fs, d)
       .map { case (_, mf) => manifestFiles(fs, mf) }.getOrElse(dataFiles(fs, d))
 
   /** Harvest per-file min/max for `columns` from parquet footers — no data
@@ -612,7 +666,7 @@ object StagingMaintenance {
   def filesAtVersion(spark: SparkSession, catalog: String, ns: String,
       table: String, version: Long): Seq[String] = {
     val (fs, d) = tableDir(spark, catalog, ns, table)
-    val mf = versionManifests(fs, d).toMap.getOrElse(version,
+    val mf = GraftStagingCatalog.probeManifest(fs, d, version).getOrElse(
       throw new IllegalArgumentException(s"$catalog.$ns.$table has no version $version"))
     manifestFiles(fs, mf)
   }
@@ -625,26 +679,143 @@ object StagingMaintenance {
     */
   def tag(spark: SparkSession, catalog: String, ns: String, table: String,
       name: String, version: Option[Long] = None): Long = {
-    require(name.nonEmpty && !name.matches("v?\\d+"),
-      s"tag name '$name' is empty or looks like a version number")
+    // name must be sidecar-safe (the tags sidecar is TSV — a tab or newline
+    // in a name would corrupt EVERY tag's parse) and must not collide with
+    // the version-number namespace `VERSION AS OF` disambiguates in
+    require(name.matches("[\\w.-]+") && !name.matches("v?\\d+"),
+      s"tag name '$name' must match [\\w.-]+ and not look like a version number")
     val (fs, d) = tableDir(spark, catalog, ns, table)
-    val manifests = versionManifests(fs, d).toMap
-    val v = version.getOrElse(
-      if (manifests.isEmpty) throw new IllegalStateException(
-        s"$catalog.$ns.$table has no committed versions to tag")
-      else manifests.keys.max)
-    require(manifests.contains(v), s"$catalog.$ns.$table has no version $v to tag")
-    GraftStagingCatalog.writeTags(fs, d, GraftStagingCatalog.readTags(fs, d) + (name -> v))
-    v
+    // The whole validate+read+write sequence holds the catalog's manifest
+    // monitor: writeTags alone being synchronized still loses one of two
+    // concurrent read-modify-write tag() calls, and the manifest existence
+    // check must not race a concurrent VACUUM (which derives its delete set
+    // under this same monitor — a tag observed inside it is honored, a
+    // version reclaimed inside it can no longer be tagged).
+    GraftStagingCatalog.synchronized {
+      val v = version.getOrElse(
+        GraftStagingCatalog.headManifest(fs, d).map(_._1).getOrElse(
+          throw new IllegalStateException(
+            s"$catalog.$ns.$table has no committed versions to tag")))
+      require(GraftStagingCatalog.probeManifest(fs, d, v).isDefined,
+        s"$catalog.$ns.$table has no version $v to tag")
+      GraftStagingCatalog.writeTags(fs, d, GraftStagingCatalog.readTags(fs, d) + (name -> v))
+      v
+    }
   }
 
-  /** Drop a tag; the pinned version re-enters normal VACUUM retention. */
+  /** Drop a tag; the pinned version re-enters normal VACUUM retention.
+    * Read-modify-write under the catalog monitor (same rationale as
+    * [[tag]]): concurrent tag/drop_tag calls must not lose each other's
+    * sidecar updates.
+    */
   def dropTag(spark: SparkSession, catalog: String, ns: String, table: String,
       name: String): Unit = {
     val (fs, d) = tableDir(spark, catalog, ns, table)
-    val tags = GraftStagingCatalog.readTags(fs, d)
-    require(tags.contains(name), s"$catalog.$ns.$table has no tag '$name'")
-    GraftStagingCatalog.writeTags(fs, d, tags - name)
+    GraftStagingCatalog.synchronized {
+      val tags = GraftStagingCatalog.readTags(fs, d)
+      require(tags.contains(name), s"$catalog.$ns.$table has no tag '$name'")
+      GraftStagingCatalog.writeTags(fs, d, tags - name)
+    }
+  }
+
+  // ---- writable branches (write-audit-publish) --------------------------
+
+  /** FORK a branch at the table's current head (version 0 = empty table is
+    * allowed — a WAP pipeline may branch before first ingest). Returns the
+    * fork version. Under the catalog monitor: the fork point must be a
+    * version VACUUM cannot reclaim while the branch lives, and concurrent
+    * branch() calls must not lose registry updates (the tag() rule).
+    */
+  def branch(spark: SparkSession, catalog: String, ns: String, table: String,
+      name: String): Long = {
+    require(name.matches("[\\w.-]+"),
+      s"branch name '$name' must match [\\w.-]+ (it becomes a directory and a TSV line)")
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    GraftStagingCatalog.synchronized {
+      val branches = GraftStagingCatalog.readBranches(fs, d)
+      require(!branches.contains(name), s"$catalog.$ns.$table already has branch '$name'")
+      val fork = GraftStagingCatalog.headManifest(fs, d).map(_._1).getOrElse(0L)
+      GraftStagingCatalog.writeBranches(fs, d, branches + (name -> fork))
+      fs.mkdirs(GraftStagingCatalog.branchLogDir(d, name))
+      fork
+    }
+  }
+
+  /** PUBLISH a branch: fast-forward main onto the branch's commits. Legal
+    * exactly when main still stands at the branch's fork version (checked —
+    * and the copy performed — under the manifest monitor; a main that
+    * advanced since the fork is a CONFLICT: the branch's snapshots were
+    * derived from a superseded base, fast-forwarding would silently drop
+    * main's newer commits). Copying manifests moves ZERO data bytes: branch
+    * data files already live in the table dir. Returns the new main head.
+    */
+  def publish(spark: SparkSession, catalog: String, ns: String, table: String,
+      name: String): Long = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    GraftStagingCatalog.synchronized {
+      val branches = GraftStagingCatalog.readBranches(fs, d)
+      val fork = branches.getOrElse(name,
+        throw new IllegalArgumentException(s"$catalog.$ns.$table has no branch '$name'"))
+      val mainHead = GraftStagingCatalog.headManifest(fs, d).map(_._1).getOrElse(0L)
+      if (mainHead != fork)
+        throw new java.util.ConcurrentModificationException(
+          s"publish conflict on $catalog.$ns.$table: branch '$name' forked at version " +
+            s"$fork but main is now at $mainHead — a commit landed on main since the " +
+            "fork; re-branch from the current head and re-apply (or drop the branch)")
+      val bms = GraftStagingCatalog.branchManifests(fs, d, name)
+      bms.foreach { case (v, mf) =>
+        if (!GraftStagingCatalog.tryCreateExclusive(fs,
+            GraftStagingCatalog.manifestPath(d, v), readString(fs, mf)))
+          throw new java.util.ConcurrentModificationException(
+            s"publish conflict on $catalog.$ns.$table: version $v already exists on main")
+      }
+      // the published head is main's head now — checkpoint it (bounded walk)
+      bms.lastOption.foreach { case (v, mf) =>
+        GraftStagingCatalog.writeCheckpoint(fs, d, v,
+          GraftStagingCatalog.manifestFiles(fs, mf),
+          GraftStagingCatalog.manifestDvs(fs, mf),
+          GraftStagingCatalog.committedBatchIds(fs, d))
+      }
+      fs.delete(GraftStagingCatalog.branchLogDir(d, name), true)
+      GraftStagingCatalog.writeBranches(fs, d, branches - name)
+      bms.lastOption.map(_._1).getOrElse(fork)
+    }
+  }
+
+  /** DROP a branch: the audit failed (or the experiment ended) — the branch
+    * log vanishes, its commits' data files become unreferenced orphans, and
+    * VACUUM reclaims them. Main never saw any of it: the WAP guarantee.
+    */
+  def dropBranch(spark: SparkSession, catalog: String, ns: String, table: String,
+      name: String): Unit = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    GraftStagingCatalog.synchronized {
+      val branches = GraftStagingCatalog.readBranches(fs, d)
+      require(branches.contains(name), s"$catalog.$ns.$table has no branch '$name'")
+      fs.delete(GraftStagingCatalog.branchLogDir(d, name), true)
+      GraftStagingCatalog.writeBranches(fs, d, branches - name)
+    }
+  }
+
+  /** Live branches: name → (fork version, branch head version). */
+  def branches(spark: SparkSession, catalog: String, ns: String,
+      table: String): Map[String, (Long, Long)] = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    GraftStagingCatalog.readBranches(fs, d).map { case (n, fork) =>
+      n -> (fork, GraftStagingCatalog.branchHead(fs, d, n).map(_._1).getOrElse(fork))
+    }
+  }
+
+  /** Resolution-cost counters for a table: (full version-log listings,
+    * single-manifest probes) since JVM start — the observable face of the
+    * bounded-resolution contract (checkpoint pointer + forward probes must
+    * keep the LISTING count flat on hot paths however long the log grows).
+    */
+  def resolutionCounters(spark: SparkSession, catalog: String, ns: String,
+      table: String): (Long, Long) = {
+    val (_, d) = tableDir(spark, catalog, ns, table)
+    (GraftStagingCatalog.countFor(GraftStagingCatalog.fullLogListings, d),
+      GraftStagingCatalog.countFor(GraftStagingCatalog.manifestProbes, d))
   }
 
   /** Current tags of a table, name → version. */
@@ -790,10 +961,10 @@ object StagingMaintenance {
   def restore(spark: SparkSession, catalog: String, ns: String, table: String,
       toVersion: Long): Long = {
     val (fs, d) = tableDir(spark, catalog, ns, table)
-    val manifests = versionManifests(fs, d).toMap
-    val mf = manifests.getOrElse(toVersion, throw new IllegalArgumentException(
-      s"$catalog.$ns.$table has no version $toVersion " +
-        s"(available: ${versionManifests(fs, d).map(_._1).mkString(", ")})"))
+    val mf = GraftStagingCatalog.probeManifest(fs, d, toVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"$catalog.$ns.$table has no version $toVersion " +
+          s"(available: ${versionManifests(fs, d).map(_._1).mkString(", ")})"))
     val files = manifestFiles(fs, mf)
     val dvs = GraftStagingCatalog.manifestDvs(fs, mf)
     val missing = files.filterNot(f => isFile(fs, new Path(d, f))) ++
@@ -802,7 +973,7 @@ object StagingMaintenance {
       throw new IllegalStateException(
         s"cannot restore $catalog.$ns.$table to version $toVersion: " +
           s"${missing.size} of its data/DV files were vacuumed (${missing.take(3).mkString(", ")}…)")
-    val base = versionManifests(fs, d).lastOption.map(_._1).getOrElse(0L)
+    val base = GraftStagingCatalog.headManifest(fs, d).map(_._1).getOrElse(0L)
     // the restored version reads under ITS deletion vectors, exactly as the
     // pinned time-travel read of that version does
     GraftStagingCatalog.writeExplicitManifest(fs, d, files,
@@ -816,7 +987,7 @@ object StagingMaintenance {
   def activeDvs(spark: SparkSession, catalog: String, ns: String,
       table: String): Seq[String] = {
     val (fs, d) = tableDir(spark, catalog, ns, table)
-    versionManifests(fs, d).lastOption
+    GraftStagingCatalog.headManifest(fs, d)
       .map { case (_, mf) => GraftStagingCatalog.manifestDvs(fs, mf) }
       .getOrElse(Seq.empty)
   }
@@ -840,9 +1011,18 @@ object StagingMaintenance {
     def plan(): (Seq[(Long, Path)], Seq[(Long, Path)], Seq[String]) = {
       val ms = versionManifests(fs, d)
       val tagged = GraftStagingCatalog.readTags(fs, d).values.toSet
+      // live branches pin their FORK version (branchHead falls back to it)
+      // and every file their own commits reference — a WAP branch under
+      // audit must survive main's retention until published or dropped
+      val branchReg = GraftStagingCatalog.readBranches(fs, d)
+      val branchForks = branchReg.values.filter(_ > 0L).toSet
       val tail = ms.drop(math.max(0, ms.size - retainLast)).map(_._1).toSet
-      val (keep, drop) = ms.partition { case (v, _) => tail(v) || tagged(v) }
-      val referenced = keep.flatMap { case (_, f) => manifestFiles(fs, f) }.toSet
+      val (keep, drop) = ms.partition { case (v, _) =>
+        tail(v) || tagged(v) || branchForks(v) }
+      val branchFiles = branchReg.keys.flatMap(b =>
+        GraftStagingCatalog.branchManifests(fs, d, b)
+          .flatMap { case (_, mf) => manifestFiles(fs, mf) }).toSet
+      val referenced = keep.flatMap { case (_, f) => manifestFiles(fs, f) }.toSet ++ branchFiles
       (keep, drop, dataFiles(fs, d).filterNot(referenced))
     }
     // CONCURRENCY GUARD: a commit that lands after planning could reference
@@ -868,16 +1048,45 @@ object StagingMaintenance {
             s"is now $headNow — a concurrent commit landed; retry")
       val (keep, drop, deadNow) = plan()
       // deletion-vector retention mirrors data-file retention: a DV
-      // sidecar lives while any retained manifest references it
+      // sidecar lives while any retained manifest references it — branch
+      // manifests included (branch appends carry the fork's DVs forward)
       val referencedDvs = keep.flatMap { case (_, f) =>
-        GraftStagingCatalog.manifestDvs(fs, f) }.toSet
+        GraftStagingCatalog.manifestDvs(fs, f) }.toSet ++
+        GraftStagingCatalog.readBranches(fs, d).keys.flatMap(b =>
+          GraftStagingCatalog.branchManifests(fs, d, b)
+            .flatMap { case (_, mf) => GraftStagingCatalog.manifestDvs(fs, mf) })
       val deadDvs =
         (try fs.listStatus(dvDir).toIndexedSeq
          catch { case _: FileNotFoundException => Seq.empty })
           .filter(_.isFile).map(_.getPath.getName).filterNot(referencedDvs)
+      // RE-CHECKPOINT at the head BEFORE reclaiming: the pointer must name
+      // a version vacuum retains (a stale pointer only costs a listing
+      // fallback, but a correct one keeps resolution bounded), and the
+      // ledger snapshot must be taken while the dropped manifests still
+      // exist — it is what carries their batchIds (exactly-once) past
+      // their reclamation. A crash after this write and before the deletes
+      // leaves a valid checkpoint over an un-reclaimed log — retryable.
+      keep.lastOption.foreach { case (hv, hmf) =>
+        GraftStagingCatalog.writeCheckpoint(fs, d, hv,
+          manifestFiles(fs, hmf), GraftStagingCatalog.manifestDvs(fs, hmf),
+          GraftStagingCatalog.committedBatchIds(fs, d))
+      }
       drop.foreach { case (_, f) => fs.delete(f, false) }
       deadNow.foreach(f => fs.delete(new Path(d, f), false))
       deadDvs.foreach(n => fs.delete(new Path(dvDir, n), false))
+      GraftStagingCatalog.dropStaleCheckpoints(fs, d)
+      // change-data files of reclaimed versions are unreadable history
+      val keptV = keep.map(_._1).toSet
+      (try fs.listStatus(new Path(d, CdfDir)).toIndexedSeq
+       catch { case _: FileNotFoundException => Seq.empty })
+        .foreach { f =>
+          f.getPath.getName match {
+            case n if n.startsWith("v") &&
+                n.drop(1).forall(_.isDigit) && !keptV(n.drop(1).toLong) =>
+              fs.delete(f.getPath, true); ()
+            case _ => ()
+          }
+        }
       deadNow
     }
     // trim reclaimed files out of the advisory stats cache
@@ -916,11 +1125,13 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     dvKeys: Map[String, Set[Any]] = Map.empty,
     dvKeyField: Option[org.apache.spark.sql.types.StructField] = None,
     partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty,
-    streamOpts: Map[String, String] = Map.empty)
+    streamOpts: Map[String, String] = Map.empty,
+    posDvs: Map[String, Set[Long]] = Map.empty)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private val dvActive = dvKeys.nonEmpty && dvKeyField.isDefined
+  private val posActive = posDvs.nonEmpty
 
   // the conjuncts the query pushed at the scan, translated to V1 filters —
   // ANY of them can prune (zone maps apply the whole conjunction at file
@@ -931,9 +1142,19 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
 
   override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    val remaining = delegate.pushFilters(filters)
-    v1Filters = filters.flatMap(ZoneMapScanBuilder.toV1).toArray
-    remaining
+    // POSITION-delete mode: nothing is pushed to the parquet reader — row
+    // positions are sequential ordinals of an UNFILTERED read, and pushed
+    // predicates would let parquet skip row groups and desync the scan-side
+    // counter. Zone maps still prune at FILE granularity (whole files in or
+    // out — positions unaffected), and Spark re-evaluates every data filter
+    // above the scan regardless. The extra rows read are the MOR trade,
+    // paid only until OPTIMIZE folds the position DVs away.
+    if (posActive) { v1Filters = filters.flatMap(ZoneMapScanBuilder.toV1).toArray; filters }
+    else {
+      val remaining = delegate.pushFilters(filters)
+      v1Filters = filters.flatMap(ZoneMapScanBuilder.toV1).toArray
+      remaining
+    }
   }
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
@@ -951,13 +1172,13 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
   // OPTIMIZE folds the DVs away
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    !dvActive && (delegate match {
+    !dvActive && !posActive && (delegate match {
       case a: SupportsPushDownAggregates => a.supportCompletePushDown(agg)
       case _                             => false
     })
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    !dvActive && (delegate match {
+    !dvActive && !posActive && (delegate match {
       case a: SupportsPushDownAggregates => a.pushAggregation(agg)
       case _                             => false
     })
@@ -992,7 +1213,7 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
       // and a filter-free `readStream.table(…)` must reach it
       case f: FileScan =>
         new ZoneMapPrunedScan(f, stats, filters, nulls, tableDir, blooms, dvInfo(scan),
-          partSpecs, streamOpts)
+          partSpecs, streamOpts, posDvs)
       case other => other
     }
   }
@@ -1065,7 +1286,8 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
       () => Map.empty,
     dv: Option[DeletionVectors.DvScanInfo] = None,
     partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty,
-    streamOpts: Map[String, String] = Map.empty)
+    streamOpts: Map[String, String] = Map.empty,
+    posDvs: Map[String, Set[Long]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   /** Streaming face of the staging-catalog scan: `readStream.table(…)`
@@ -1100,11 +1322,12 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
   override def toBatch: Batch = this
   override def estimateStatistics(): Statistics = delegate.estimateStatistics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    if (dv.isDefined) Scan.ColumnarSupportMode.PARTITION_DEFINED
+    if (dv.isDefined || posDvs.nonEmpty) Scan.ColumnarSupportMode.PARTITION_DEFINED
     else delegate.columnarSupportMode()
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = delegate.createReaderFactory()
-    dv.fold(inner)(info => new DeletionVectors.DvReaderFactory(inner, info))
+    val keyed = dv.fold(inner)(info => new DeletionVectors.DvReaderFactory(inner, info))
+    if (posDvs.isEmpty) keyed else new DeletionVectors.PosDvReaderFactory(keyed)
   }
 
   /** Filters in force for pruning — subclasses may add runtime filters. */
@@ -1161,13 +1384,16 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     // deletion vectors: files with a delete set move into one partition per
     // FILE so their (row-based) readers know which delete set governs every
     // row; clean files keep the delegate's packing and columnar readers
-    dv.filter(_.fileKeys.nonEmpty)
+    val keyed = dv.filter(_.fileKeys.nonEmpty)
       .fold(parts)(info => DeletionVectors.repack(parts, info.fileKeys, statKey))
+    if (posDvs.isEmpty) keyed
+    else DeletionVectors.repackPos(keyed, posDvs, statKey)
   }
 
   override def description(): String =
     delegate.description() + ", GraftZoneMaps: on" +
-      (if (dv.exists(_.fileKeys.nonEmpty)) ", GraftDVs: on" else "")
+      (if (dv.exists(_.fileKeys.nonEmpty)) ", GraftDVs: on" else "") +
+      (if (posDvs.nonEmpty) ", GraftPosDVs: on" else "")
 }
 
 /** The ROW-LEVEL (UPDATE / MERGE / DELETE-fallback) scan: zone-map pruning
@@ -1201,9 +1427,10 @@ private[catalog] final class RowLevelGroupScan(delegate: FileScan,
     blooms: () => Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
       () => Map.empty,
     dv: Option[DeletionVectors.DvScanInfo] = None,
-    partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty)
+    partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty,
+    posDvs: Map[String, Set[Long]] = Map.empty)
     extends ZoneMapPrunedScan(delegate, stats, staticFilters, nulls, tableDir, blooms, dv,
-      partSpecs)
+      partSpecs, Map.empty, posDvs)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.NamedReference
 

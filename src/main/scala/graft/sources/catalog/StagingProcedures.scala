@@ -234,6 +234,82 @@ private[catalog] object StagingProcedures {
       }
     }
 
+  def branch(catalog: String): UnboundProcedure =
+    new MaintenanceProc("branch",
+      "fork a writable branch at the current head (write-audit-publish): " +
+        "appends target cat.ns.t.branch_<name>; main is untouched until publish") {
+      private val out = StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("fork_version", LongType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val name = input.getUTF8String(2).toString
+        val fork = StagingMaintenance.branch(spark, catalog,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString, name)
+        one(out, UTF8String.fromString(name), fork)
+      }
+    }
+
+  def publish(catalog: String): UnboundProcedure =
+    new MaintenanceProc("publish",
+      "fast-forward main onto a branch's commits (conflict if main advanced " +
+        "past the fork); the branch is consumed") {
+      private val out = StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("new_head", LongType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val name = input.getUTF8String(2).toString
+        val head = StagingMaintenance.publish(spark, catalog,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString, name)
+        one(out, UTF8String.fromString(name), head)
+      }
+    }
+
+  def dropBranch(catalog: String): UnboundProcedure =
+    new MaintenanceProc("drop_branch",
+      "discard a branch (failed audit / abandoned experiment): its commits' " +
+        "files become VACUUM-reclaimable orphans; main never saw them") {
+      private val out = StructType(Seq(
+        StructField("dropped", StringType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val name = input.getUTF8String(2).toString
+        StagingMaintenance.dropBranch(spark, catalog,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString, name)
+        one(out, UTF8String.fromString(name))
+      }
+    }
+
+  def branches(catalog: String): UnboundProcedure =
+    new MaintenanceProc("branches",
+      "one row per live branch: (name, fork_version, head_version)") {
+      private val out = StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("fork_version", LongType, nullable = false),
+        StructField("head_version", LongType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val rs = StagingMaintenance.branches(spark, catalog,
+            input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+          .toSeq.sortBy(_._1).map { case (n, (f, h)) =>
+            new GenericInternalRow(Array[Any](UTF8String.fromString(n), f, h)): InternalRow
+          }.toArray
+        Collections.singletonList[Scan](new RowsScan(out, rs)).iterator()
+      }
+    }
+
   def history(catalog: String): UnboundProcedure =
     new MaintenanceProc("history",
       "one row per retained version manifest: (version, kind, n_files, batch_id)") {

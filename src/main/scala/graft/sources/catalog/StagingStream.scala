@@ -28,8 +28,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     `restore`): rows CHANGED — the tail is no longer an append stream.
   *     The source THROWS with guidance, unless the read carries
   *     `.option("graft.ignore-changes", "true")`, in which case the
-  *     version is skipped (downstream sees appends only — the documented
-  *     Delta `ignoreChanges` trade).
+  *     version's ADDED files still flow (newly-inserted rows are never
+  *     lost; rewritten files re-emit surviving rows as duplicates) while
+  *     removed files' rows vanish silently — exactly Delta's
+  *     `ignoreChanges` trade.
   *
   * `graft.starting-version` (default 0) pins where the tail begins — 0
   * replays the whole retained history, the current head version makes the
@@ -49,7 +51,7 @@ private[catalog] class StagingMicroBatchStream(
     options: Map[String, String])
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
-  import GraftStagingCatalog.{manifestFiles, manifestKind, versionManifests}
+  import GraftStagingCatalog.{headManifest, manifestFiles, manifestKind, probeManifest}
 
   private val dir = new Path(tableDirStr)
   private def fs: FileSystem =
@@ -60,8 +62,11 @@ private[catalog] class StagingMicroBatchStream(
   private val startingVersion =
     options.get("graft.starting-version").map(_.toLong).getOrElse(0L)
 
+  // checkpoint-pointer + forward probes, NOT a per-trigger log listing — a
+  // stream polls this every trigger for the life of the query, against a
+  // table whose version count grows one per upstream micro-batch
   private def headVersion: Long =
-    versionManifests(fs, dir).lastOption.map(_._1).getOrElse(0L)
+    headManifest(fs, dir).map(_._1).getOrElse(0L)
 
   // Trigger.AvailableNow: pin the head ONCE so the run drains a stable
   // target even while writers keep committing
@@ -88,12 +93,12 @@ private[catalog] class StagingMicroBatchStream(
   @volatile private var batchScan: Option[Scan] = None
 
   private def appendedFiles(fromV: Long, toV: Long): Seq[String] = {
-    val manifests = versionManifests(fs, dir).toMap
+    // direct per-version probes (bounded by the batch's offset range);
     // every lookup is guarded: VACUUM may have reclaimed a version this
     // offset range needs — including the PREDECESSOR of a retained version
     // (tags can pin v with v−1 reclaimed), whose file set the append delta
     // is defined against. Fail with guidance, never NoSuchElement.
-    def manifestOf(v: Long) = manifests.getOrElse(v,
+    def manifestOf(v: Long) = probeManifest(fs, dir, v).getOrElse(
       throw new IllegalStateException(
         s"streaming read of $tableDirStr: version $v was VACUUMed away before " +
           "the stream consumed it — raise the vacuum retention or restart " +
@@ -106,7 +111,16 @@ private[catalog] class StagingMicroBatchStream(
           val prev = filesOf(v - 1L).toSet
           filesOf(v).filterNot(prev)
         case "optimize" => Seq.empty // layout-only: identical rows
-        case changed if ignoreChanges => Seq.empty
+        case changed if ignoreChanges =>
+          // Delta's ignoreChanges semantics, not a stronger loss mode (r9
+          // advisory): the version's ADDED files still flow — rows the
+          // change newly inserted (a merge's NOT MATCHED inserts, an
+          // overwrite's fresh slice) are never silently dropped, and
+          // rewritten files re-emit their surviving rows (downstream must
+          // tolerate duplicates — the documented trade). Only the REMOVED
+          // files' rows disappear without a signal.
+          val prev = filesOf(v - 1L).toSet
+          filesOf(v).filterNot(prev)
         case changed => throw new IllegalStateException(
           s"streaming read of $tableDirStr: version $v is a '$changed' commit — " +
             "the table is no longer append-only at this offset. Set " +
@@ -145,4 +159,177 @@ private[catalog] class StagingMicroBatchStream(
 
 private[catalog] case class StagingVersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
+}
+
+/** STREAMING ROW-LEVEL CHANGE FEED — `spark.readStream
+  * .table("graft_stage.ns.t.changes")` (the Delta `table_changes` face as a
+  * multipart-identifier table, like the branch face): where the plain
+  * streaming source must GATE data-changing commits (its contract is
+  * append-only rows), the changes face emits every commit's exact row-level
+  * delta:
+  *
+  *   - `commit` versions stream their appended files' rows as
+  *     `_change_type='insert'` (no copying — the reader appends the two
+  *     constants to the raw parquet rows),
+  *   - rewrite versions (`delete`/`update`/`merge`/`overwrite`/`restore`/
+  *     `rename`) stream their EXCEPT-ALL row diff — an updated row
+  *     surfaces as its delete/insert pair, rewritten-but-unchanged rows
+  *     cancel — materialized lazily once under `_graft_cdf/v<N>/`
+  *     ([[StagingMaintenance.ensureCdf]]; slice-cost, file-granular
+  *     commits make the diff read only touched files, DV-only MOR commits
+  *     included),
+  *   - `optimize` versions are SKIPPED (dataChange=false, as ever).
+  *
+  * Offsets are manifest versions (same exactly-once checkpointing as the
+  * append stream); each batch mixes raw-file partitions and CDF-file
+  * partitions behind one composite reader factory (all-row-based — the
+  * mixed-partition rule).
+  */
+private[catalog] class ChangeFeedTable(tableDirStr: String, baseSchema: StructType)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  private val full: StructType = StructType(baseSchema.fields ++ Seq(
+    org.apache.spark.sql.types.StructField("_change_type", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("_commit_version", LongType, nullable = false)))
+
+  override def name(): String = s"$tableDirStr@changes"
+  override def schema(): StructType = full
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    val opts = scala.jdk.CollectionConverters.MapHasAsScala(options.asCaseSensitiveMap())
+      .asScala.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }.toMap
+    () => new Scan {
+      override def readSchema(): StructType = full
+      override def description(): String = s"changeFeed($tableDirStr)"
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new ChangeFeedMicroBatchStream(tableDirStr, baseSchema, full, opts)
+    }
+  }
+}
+
+private[catalog] class ChangeFeedMicroBatchStream(
+    tableDirStr: String,
+    baseSchema: StructType,
+    fullSchema: StructType,
+    options: Map[String, String])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  import GraftStagingCatalog.{headManifest, manifestFiles, manifestKind, probeManifest}
+
+  private val dir = new Path(tableDirStr)
+  private def fs: FileSystem =
+    dir.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+  private val startingVersion =
+    options.get("graft.starting-version").map(_.toLong).getOrElse(0L)
+
+  private def headVersion: Long =
+    headManifest(fs, dir).map(_._1).getOrElse(0L)
+
+  @volatile private var availableNowHead: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHead = Some(headVersion)
+
+  override def initialOffset(): Offset = StagingVersionOffset(startingVersion)
+  override def deserializeOffset(json: String): Offset =
+    StagingVersionOffset(json.trim.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = StagingVersionOffset(headVersion)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    StagingVersionOffset(availableNowHead.getOrElse(headVersion))
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control path")
+
+  /** Per-batch composite state: the delegate factories the partitions
+    * index into (same single-batch-scoped handoff as the append stream).
+    */
+  @volatile private var batchFactories: Array[PartitionReaderFactory] = Array.empty
+
+  private def scanFor(paths: Seq[String], schema: StructType, label: String): Scan = {
+    val table = ParquetTable(label, SparkSession.active,
+      CaseInsensitiveStringMap.empty(), paths, Some(schema), classOf[ParquetFileFormat])
+    table.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[StagingVersionOffset].version
+    val e = end.asInstanceOf[StagingVersionOffset].version
+    val spark = SparkSession.active
+    def manifestOf(v: Long) = probeManifest(fs, dir, v).getOrElse(
+      throw new IllegalStateException(
+        s"change feed of $tableDirStr: version $v was VACUUMed away before the stream " +
+          "consumed it — raise the vacuum retention or restart from a newer " +
+          "graft.starting-version"))
+    val factories = scala.collection.mutable.ArrayBuffer.empty[PartitionReaderFactory]
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    ((s + 1L) to e).foreach { v =>
+      val mf = manifestOf(v)
+      manifestKind(fs, mf) match {
+        case "optimize" => () // layout-only: no row changes, never re-fed
+        case "commit" =>
+          val prev: Set[String] =
+            if (v <= 1L) Set.empty
+            else manifestFiles(fs, manifestOf(v - 1L)).toSet
+          val added = manifestFiles(fs, mf).filterNot(prev)
+            .map(f => new Path(dir, f).toString)
+          if (added.nonEmpty) {
+            val scan = scanFor(added, baseSchema, s"$tableDirStr[cdf insert v$v]")
+            val fi = factories.length
+            factories += scan.toBatch.createReaderFactory()
+            scan.toBatch.planInputPartitions().foreach(p =>
+              parts += CdfInputPartition(p, fi, append = true, version = v))
+          }
+        case _ => // rewrite: materialized row-level delta, read natively
+          val cdf = StagingMaintenance.ensureCdf(spark, fs, dir, v)
+          val scan = scanFor(Seq(cdf.toString), fullSchema, s"$tableDirStr[cdf diff v$v]")
+          val fi = factories.length
+          factories += scan.toBatch.createReaderFactory()
+          scan.toBatch.planInputPartitions().foreach(p =>
+            parts += CdfInputPartition(p, fi, append = false, version = v))
+      }
+    }
+    batchFactories = factories.toArray
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdfReaderFactory(batchFactories)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** A delegate partition + which scan it belongs to + whether the reader
+  * must append the ('insert', version) constants.
+  */
+private[catalog] case class CdfInputPartition(delegate: InputPartition, scanId: Int,
+    append: Boolean, version: Long) extends InputPartition
+
+private[catalog] class CdfReaderFactory(factories: Array[PartitionReaderFactory])
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def createReader(partition: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val c = partition.asInstanceOf[CdfInputPartition]
+    val inner = factories(c.scanId).createReader(c.delegate)
+    if (!c.append) inner
+    else new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val extra = new GenericInternalRow(
+        Array[Any](UTF8String.fromString("insert"), c.version))
+      private val joined = new JoinedRow
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = joined(inner.get(), extra)
+      override def close(): Unit = inner.close()
+    }
+  }
+  // mixed raw/CDF partitions in one batch: force the row-based path
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
 }

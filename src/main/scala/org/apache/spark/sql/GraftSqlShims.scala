@@ -12,4 +12,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The `RowLevelOperation` behind a row-level-rewrite scan relation's
+    * table, when there is one. `RowLevelOperationTable` is `private[sql]`,
+    * so the match lives in this shim; graft.sources.catalog.BoundedMorMerge
+    * uses it to recognize its own delta-merge target scans.
+    */
+  def rowLevelOperationOf(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.connector.write.RowLevelOperation] = t match {
+    case rt: org.apache.spark.sql.connector.write.RowLevelOperationTable => Some(rt.operation)
+    case _ => None
+  }
 }

@@ -1587,6 +1587,12 @@ class CatalogSpec extends SparkSpec {
     // tag names must not collide with the numeric version namespace
     val bad = intercept[Exception] { spark.sql("CALL stage_t.tag('ws', 'tg', 'v2')").collect() }
     assert(bad.getMessage.contains("version number"), bad.getMessage)
+    // …and must be sidecar-safe: a tab or newline would corrupt the TSV tags
+    // sidecar and break every later tag parse (r9 advisory)
+    val tab = intercept[Exception] {
+      spark.sql("CALL stage_t.tag('ws', 'tg', 'a\tb')").collect()
+    }
+    assert(tab.getMessage.contains("[\\w.-]+"), tab.getMessage)
     // nonexistent version refused
     val nov = intercept[Exception] {
       spark.sql("CALL stage_t.tag('ws', 'tg', 'later', 9)").collect()
@@ -1680,5 +1686,216 @@ class CatalogSpec extends SparkSpec {
     val prune = graft.sources.catalog.ZoneMapScan.lastPrune
     assert(prune.exists { case (kept, total) => kept < total }, s"no pruning: $prune")
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.soa")
+  }
+
+  test("BoundedMorMerge: plain ON merge prunes via the engine-injected envelope; BY SOURCE merges stay unbounded and correct") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.bmm")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.bmm (k BIGINT NOT NULL, v BIGINT)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read',
+        |               'graft.merge-keys'='k')""".stripMargin)
+    spark.sql("INSERT INTO stage_t.ws.bmm " +
+      "SELECT /*+ REPARTITION_BY_RANGE(8, id) */ id AS k, id AS v FROM range(0, 800)")
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "bmm", Seq("k"))
+    // 1. a PLAIN `ON t.k = s.k` upsert (no hand-written bound): the rule
+    // derives the source envelope [100,120] and the scan skips files
+    graft.sources.catalog.ZoneMapScan.lastPrune = None
+    spark.sql(
+      """MERGE INTO stage_t.ws.bmm t
+        |USING (SELECT id AS k, -1L AS v FROM range(100, 121)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val prune = graft.sources.catalog.ZoneMapScan.lastPrune
+    assert(prune.exists { case (kept, total) => kept < total },
+      s"engine did not inject the merge envelope: $prune")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.bmm WHERE v = -1")
+      .collect()(0).getLong(0) === 21L)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.bmm")
+      .collect()(0).getLong(0) === 800L)
+    // 2. POLARITY GUARD: a NOT MATCHED BY SOURCE merge plans a
+    // target-preserving join — the rule must NOT bound it, so target rows
+    // far outside the source envelope still reach the BY SOURCE arm
+    spark.sql(
+      """MERGE INTO stage_t.ws.bmm t
+        |USING (SELECT id AS k, -2L AS v FROM range(100, 121)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED BY SOURCE AND t.k >= 700 THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.bmm")
+      .collect()(0).getLong(0) === 700L,
+      "BY SOURCE merge missed out-of-envelope target rows — polarity guard broken")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.bmm WHERE v = -2")
+      .collect()(0).getLong(0) === 21L)
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.bmm")
+  }
+
+  test("position-delete DVs: keyless MOR deletes rewrite nothing, reads/time-travel/UPDATE respect them, OPTIMIZE folds") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pd")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.pd (k BIGINT, v STRING)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO stage_t.ws.pd SELECT /*+ REPARTITION_BY_RANGE(4, id) */ " +
+      "id AS k, CAST(id AS STRING) AS v FROM range(0, 400)")
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "pd", Seq("k"))
+    val before = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "pd").toSet
+    def count(where: String = ""): Long =
+      spark.sql(s"SELECT count(*) FROM stage_t.ws.pd $where").collect()(0).getLong(0)
+    // v2: band delete → one position sidecar, ZERO file changes
+    spark.sql("DELETE FROM stage_t.ws.pd WHERE k >= 100 AND k < 150")
+    assert(StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "pd").toSet === before,
+      "position delete rewrote files")
+    assert(StagingMaintenance.activeDvs(spark, "stage_t", "ws", "pd").nonEmpty)
+    assert(count() === 350L)
+    assert(count("WHERE k >= 100 AND k < 150") === 0L)
+    // data filters stay correct while unpushed (re-evaluated above the scan)
+    assert(count("WHERE k = 120") === 0L && count("WHERE k = 200") === 1L)
+    // time travel pins each version's position DVs
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.pd VERSION AS OF 1")
+      .collect()(0).getLong(0) === 400L)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.pd VERSION AS OF 2")
+      .collect()(0).getLong(0) === 350L)
+    // v3: OVERLAPPING delete — suppressed rows never re-match
+    spark.sql("DELETE FROM stage_t.ws.pd WHERE k >= 140 AND k < 160")
+    assert(count() === 340L)
+    assert(StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "pd").toSet === before)
+    // v4: UPDATE through the group-based COW path on a file carrying pos
+    // DVs — the rewrite must read UNDER them (no resurrection) and the
+    // commit must carry the sidecars for untouched files
+    spark.sql("UPDATE stage_t.ws.pd SET v = 'w' WHERE k >= 150 AND k < 170")
+    assert(count() === 340L, "UPDATE resurrected position-deleted rows")
+    assert(count("WHERE v = 'w'") === 10L) // only the VISIBLE [160,170) rows
+    assert(count("WHERE k >= 100 AND k < 160") === 0L,
+      "carried files lost their position DVs across the UPDATE commit")
+    // OPTIMIZE folds: head becomes DV-free, rows unchanged, pushdown returns
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "pd", targetFiles = 2)
+    assert(StagingMaintenance.activeDvs(spark, "stage_t", "ws", "pd").isEmpty,
+      "OPTIMIZE did not fold position DVs")
+    assert(count() === 340L && count("WHERE k = 200") === 1L)
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pd")
+  }
+
+  test("writable branches: WAP isolation, publish conflict, append-only face, vacuum exemption, drop reclaims") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.wap")
+    spark.sql("CREATE TABLE stage_t.ws.wap AS SELECT id AS k FROM range(0, 100)")
+    // fork + branch ingest: main must see NOTHING
+    spark.sql("CALL stage_t.branch('ws', 'wap', 'cand')")
+    spark.sql("INSERT INTO stage_t.ws.wap.branch_cand SELECT id FROM range(100, 150)")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.wap").collect()(0).getLong(0) === 100L)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.wap.branch_cand")
+      .collect()(0).getLong(0) === 150L)
+    // the branch face is APPEND-ONLY: row-level ops are refused with guidance
+    val del = intercept[Exception] {
+      spark.sql("DELETE FROM stage_t.ws.wap.branch_cand WHERE k = 0")
+    }
+    assert(exMessages(del).exists(_.contains("append-only")), del.getMessage)
+    // vacuum while the branch lives: branch-only files survive (exempt)
+    spark.sql("CALL stage_t.vacuum('ws', 'wap', 1)")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.wap.branch_cand")
+      .collect()(0).getLong(0) === 150L, "vacuum reclaimed live branch files")
+    // CONFLICT: a commit lands on MAIN after the fork → publish refuses
+    spark.sql("INSERT INTO stage_t.ws.wap SELECT id FROM range(1000, 1010)")
+    val conflict = intercept[Exception] {
+      spark.sql("CALL stage_t.publish('ws', 'wap', 'cand')").collect()
+    }
+    assert(exMessages(conflict).exists(_.contains("publish conflict")), conflict.getMessage)
+    // the failed candidate is dropped; its files become orphans and vacuum
+    // reclaims them; main is exactly its own commits
+    spark.sql("CALL stage_t.drop_branch('ws', 'wap', 'cand')")
+    val unknown = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM stage_t.ws.wap.branch_cand").collect()
+    }
+    assert(exMessages(unknown).exists(_.contains("no branch")), unknown.getMessage)
+    spark.sql("CALL stage_t.vacuum('ws', 'wap', 1)")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.wap").collect()(0).getLong(0) === 110L)
+    // happy path on the advanced main: branch → ingest → publish
+    spark.sql("CALL stage_t.branch('ws', 'wap', 'cand2')")
+    spark.sql("INSERT INTO stage_t.ws.wap.branch_cand2 SELECT id FROM range(2000, 2020)")
+    val bs = StagingMaintenance.branches(spark, "stage_t", "ws", "wap")
+    assert(bs.contains("cand2") && bs("cand2")._2 > bs("cand2")._1, bs.toString)
+    spark.sql("CALL stage_t.publish('ws', 'wap', 'cand2')")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.wap").collect()(0).getLong(0) === 130L)
+    assert(StagingMaintenance.branches(spark, "stage_t", "ws", "wap").isEmpty)
+    // published history reads back: the branch commit is now a main version
+    val hist = spark.sql("CALL stage_t.history('ws', 'wap')").collect().map(_.getLong(0))
+    assert(hist.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.wap")
+  }
+
+  test("manifest-log checkpointing: bounded resolution over a 200-version log; ledger and pointer survive VACUUM") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.longlog")
+    spark.sql("CREATE TABLE stage_t.ws.longlog (k BIGINT)")
+    // a long-lived streamed table's shape: one commit per micro-batch, 200
+    // of them — resolution cost must NOT grow with this number
+    (0 until 200).foreach { i =>
+      spark.sql(s"INSERT INTO stage_t.ws.longlog SELECT id FROM range(${i * 5L}, ${i * 5L + 5L})")
+    }
+    val vd = new java.io.File(stageRoot, "ws/longlog/_graft_versions")
+    assert(new java.io.File(vd, "_last_ckpt").exists(), "no checkpoint pointer written")
+    assert(new java.io.File(vd, "ckpt-v200.json").exists(), "no interval checkpoint at v200")
+    def counters() = StagingMaintenance.resolutionCounters(spark, "stage_t", "ws", "longlog")
+    // CURRENT read: pointer + forward probes — ZERO O(versions) listings
+    val (lc0, pc0) = counters()
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.longlog")
+      .collect()(0).getLong(0) === 1000L)
+    val (lc1, pc1) = counters()
+    assert(lc1 - lc0 === 0, s"current read listed the 200-version log ${lc1 - lc0}x")
+    assert(pc1 - pc0 <= 40, s"current read probed ${pc1 - pc0} manifests")
+    // VERSION AS OF: one direct probe of the named manifest
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.longlog VERSION AS OF 13")
+      .collect()(0).getLong(0) === 65L)
+    val (lc2, _) = counters()
+    assert(lc2 - lc1 === 0, s"AS OF listed the version log ${lc2 - lc1}x")
+    // STREAMING offsets: head discovery through the pointer per trigger,
+    // per-version probes for the drained range — still zero listings
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckptres").toString
+    val n = new java.util.concurrent.atomic.AtomicLong
+    val q = spark.readStream.table("stage_t.ws.longlog")
+      .writeStream.option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        n.addAndGet(b.count()); ()
+      }.start()
+    q.awaitTermination()
+    assert(n.get() === 1000L, s"stream drained ${n.get()} rows")
+    val (lc3, _) = counters()
+    assert(lc3 - lc2 === 0, s"streaming offsets listed the version log ${lc3 - lc2}x")
+    // VACUUM re-points the checkpoint at a retained head, reclaims stale
+    // checkpoint files, and keeps resolution bounded and correct
+    spark.sql("CALL stage_t.tag('ws', 'longlog', 'pin', 13)")
+    spark.sql("CALL stage_t.vacuum('ws', 'longlog', 2)")
+    assert(new java.io.File(vd, "ckpt-v200.json").exists(), "vacuum must re-checkpoint the head")
+    assert(!new java.io.File(vd, "ckpt-v10.json").exists(), "stale checkpoints must be reclaimed")
+    val (lv0, _) = counters()
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.longlog")
+      .collect()(0).getLong(0) === 1000L)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.longlog VERSION AS OF 'pin'")
+      .collect()(0).getLong(0) === 65L)
+    val (lv1, _) = counters()
+    assert(lv1 - lv0 === 0, s"post-vacuum reads listed the version log ${lv1 - lv0}x")
+    // EXACTLY-ONCE LEDGER SURVIVES VACUUM: batch 7's append commits, a later
+    // commit buries it, vacuum reclaims its manifest — the checkpointed
+    // ledger still remembers batch 7, so a crash-replay stays a no-op
+    // (pre-checkpoint, reclaiming the manifest FORGOT the batch id)
+    import spark.implicits._
+    Seq(9999L).toDF("k").writeTo("stage_t.ws.longlog").option("graft.batch-id", "7").append()
+    spark.sql("INSERT INTO stage_t.ws.longlog VALUES (10000)")
+    spark.sql("CALL stage_t.vacuum('ws', 'longlog', 1)")
+    Seq(9999L).toDF("k").writeTo("stage_t.ws.longlog").option("graft.batch-id", "7").append()
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.longlog")
+      .collect()(0).getLong(0) === 1002L, "vacuum forgot a committed batch id — replay duplicated rows")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.longlog")
   }
 }

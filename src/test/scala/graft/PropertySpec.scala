@@ -266,7 +266,14 @@ class PropertySpec extends SparkSpec {
       // version -> (kind, snapshot); CTAS below is version 1
       val versions = scala.collection.mutable.LinkedHashMap.empty[Long, (String, Set[Long])]
       val (lo0, hi0) = freshRange(50 + rng.nextInt(100))
-      spark.sql(s"CREATE TABLE prop_cat.ws.t$trial AS SELECT id AS k FROM range($lo0, $hi0)")
+      // checkpoint arm: interval 3 makes log checkpoints + pointer rewrites
+      // interleave with the random vacuums/tags/restores below, so every
+      // invariant (a)-(d) also exercises pointer-resolved reads — including
+      // reads through a pointer VACUUM just re-wrote and reads falling back
+      // to the listing when the random walk outruns the checkpoint
+      spark.sql(s"CREATE TABLE prop_cat.ws.t$trial " +
+        "TBLPROPERTIES ('graft.checkpoint-interval'='3') " +
+        s"AS SELECT id AS k FROM range($lo0, $hi0)")
       model ++= (lo0 until hi0)
       versions(1L) = ("commit", model.toSet)
       // tag name -> pinned version (the VACUUM-retention exemption)

@@ -481,7 +481,7 @@ class StreamingSpec extends SparkSpec {
     def ks() = spark.sql("SELECT k FROM eo_cat.ws.sink")
       .collect().map(_.getLong(0)).toSet
     def versions() = new java.io.File(root, "ws/sink/_graft_versions")
-      .listFiles().count(_.getName.endsWith(".json"))
+      .listFiles().count(_.getName.matches("v\\d+\\.json"))
     val mem = MemoryStream[Long]
     val q = StreamingOps.catalogAppendStream(
       mem.toDF().selectExpr("value AS k"), "eo_cat.ws.sink", ckpt,
@@ -611,6 +611,94 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("change-feed face: appends stream as inserts, MERGE/UPDATE stream exact delete/insert pairs, OPTIMIZE skipped, DV-only MOR deltas flow, restart exactly-once") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf_cat").toString
+    spark.conf.set("spark.sql.catalog.cdf_cat",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdf_cat.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cdf_cat.ws")
+    spark.sql("CREATE TABLE cdf_cat.ws.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO cdf_cat.ws.t SELECT id, CAST(id AS STRING) FROM range(0, 10)")
+    // (k, v, _change_type, _commit_version) -> delivery count (the
+    // exactly-once ledger this test asserts over)
+    val counts = new java.util.concurrent.ConcurrentHashMap[(Long, String, String, Long), Long]()
+    def start(cp: String) =
+      spark.readStream.table("cdf_cat.ws.t.changes")
+        .writeStream.option("checkpointLocation", cp).outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            counts.merge((r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)),
+              1L, _ + _)
+          }
+          ()
+        }.start()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_ckpt").toString
+    val q1 = start(ckpt)
+    try {
+      q1.processAllAvailable()
+      assert(counts.size === 10, s"backlog: ${counts.size}")
+      assert(counts.keySet().stream().allMatch(t => t._3 == "insert" && t._4 == 1L))
+      // UPDATE: the rewritten file's unchanged rows cancel in the diff —
+      // EXACTLY the touched row's delete/insert pair streams
+      spark.sql("UPDATE cdf_cat.ws.t SET v = 'x' WHERE k = 3")
+      q1.processAllAvailable()
+      assert(counts.size === 12, s"update delta: ${counts.size}")
+      assert(counts.containsKey((3L, "3", "delete", 2L)) &&
+        counts.containsKey((3L, "x", "insert", 2L)), counts.toString)
+      // OPTIMIZE: layout-only, never re-fed
+      spark.sql("CALL cdf_cat.optimize('ws', 't', 2, 'k')")
+      q1.processAllAvailable()
+      assert(counts.size === 12, "OPTIMIZE leaked rows into the change feed")
+      // MERGE: one matched update + one not-matched insert → three rows
+      spark.sql(
+        """MERGE INTO cdf_cat.ws.t t USING
+          |  (SELECT 5L AS k, 'm' AS v UNION ALL SELECT 100L, 'new') s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+      q1.processAllAvailable()
+      assert(counts.size === 15, s"merge delta: ${counts.size}")
+      assert(counts.containsKey((5L, "5", "delete", 4L)) &&
+        counts.containsKey((5L, "m", "insert", 4L)) &&
+        counts.containsKey((100L, "new", "insert", 4L)), counts.toString)
+      // exactly-once: nothing ever delivered twice
+      assert(!counts.values().stream().anyMatch(n => n > 1L), "a change row was re-delivered")
+    } finally q1.stop()
+    // restart: a commit while the consumer was down arrives once, no replay
+    spark.sql("INSERT INTO cdf_cat.ws.t VALUES (200, 'late')")
+    val q2 = start(ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(counts.containsKey((200L, "late", "insert", 5L)), counts.toString)
+      assert(counts.size === 16 && !counts.values().stream().anyMatch(n => n > 1L),
+        s"restart broke exactly-once: ${counts.size}")
+    } finally q2.stop()
+    // DV-only MOR commits (no file-set change) still stream their delta
+    spark.sql(
+      """CREATE TABLE cdf_cat.ws.m (k BIGINT NOT NULL, v STRING)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read',
+        |               'graft.merge-keys'='k')""".stripMargin)
+    spark.sql("INSERT INTO cdf_cat.ws.m SELECT id, CAST(id AS STRING) FROM range(0, 8)")
+    spark.sql("DELETE FROM cdf_cat.ws.m WHERE k = 2") // DV-only: zero rewrites
+    counts.clear()
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cdf_ckpt2").toString
+    val q3 = spark.readStream.table("cdf_cat.ws.m.changes")
+      .writeStream.option("checkpointLocation", ckpt2).outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          counts.merge((r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)), 1L, _ + _)
+        }
+        ()
+      }.start()
+    try {
+      q3.processAllAvailable()
+      assert(counts.containsKey((2L, "2", "delete", 2L)),
+        s"DV-only delete missing from the feed: $counts")
+      assert(counts.size === 9 && !counts.values().stream().anyMatch(n => n > 1L),
+        counts.toString)
+    } finally q3.stop()
+  }
+
   test("readStream.table tails version manifests: exactly-once appends, OPTIMIZE skipped, changes gated") {
     // The DSv2 streaming face of the staging catalog (the Delta-source
     // shape): offsets are manifest VERSIONS, each batch reads only the
@@ -693,6 +781,24 @@ class StreamingSpec extends SparkSpec {
       q5.processAllAvailable()
       assert(seen.size === 171, s"ignore-changes tail diverged: ${seen.size}")
     } finally q5.stop()
+    // ignore-changes must not LOSE rows a change-commit newly INSERTED
+    // (Delta ignoreChanges parity, r9 advisory): a MERGE whose NOT MATCHED
+    // arm adds k=171 re-emits rewritten survivors as duplicates, but the
+    // fresh row must arrive — the old skip-the-version-wholesale semantics
+    // silently dropped it.
+    spark.sql(
+      """MERGE INTO tail_cat.ws.t t USING (SELECT 171L AS k, '171' AS v) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    seen.clear()
+    val cp5 = java.nio.file.Files.createTempDirectory("graft_tail_ckpt5").toString
+    val q6 = start(extra = Map("graft.ignore-changes" -> "true"), cp = cp5)
+    try {
+      q6.processAllAvailable()
+      assert(seen.containsKey(171L), "merge-inserted row lost under ignore-changes")
+      assert(seen.size === 172, s"ignore-changes tail diverged: ${seen.size}")
+    } finally q6.stop()
   }
 
   test("bm25MaintainStream: commit-log-driven index maintenance survives compaction and restarts") {
