@@ -278,9 +278,12 @@ class PropertySpec extends SparkSpec {
       versions(1L) = ("commit", model.toSet)
       // tag name -> pinned version (the VACUUM-retention exemption)
       val tagged = scala.collection.mutable.Map.empty[String, Long]
+      // live WAP branch: (name, fork version, per-branch-commit snapshots)
+      var liveBranch: Option[(String, Long,
+        scala.collection.mutable.ArrayBuffer[Set[Long]])] = None
       var v = 1L
-      (0 until 10).foreach { _ =>
-        rng.nextInt(10) match {
+      (0 until 12).foreach { _ =>
+        rng.nextInt(12) match {
           case 0 | 1 => // append a fresh slice
             val (lo, hi) = freshRange(20 + rng.nextInt(60))
             spark.sql(s"INSERT INTO prop_cat.ws.t$trial SELECT id AS k FROM range($lo, $hi)")
@@ -296,10 +299,12 @@ class PropertySpec extends SparkSpec {
             StagingMaintenance.optimize(spark, "prop_cat", "ws", s"t$trial",
               targetFiles = 1 + rng.nextInt(3), clusterBy = cluster)
             v += 1; versions(v) = ("optimize", model.toSet)
-          case 4 => // bounded retention — tagged versions are exempt
+          case 4 => // bounded retention — tagged versions AND a live
+            // branch's fork version are exempt
             val retain = 1 + rng.nextInt(3)
             StagingMaintenance.vacuum(spark, "prop_cat", "ws", s"t$trial", retainLast = retain)
-            val keep = (versions.keys.toSeq.takeRight(retain) ++ tagged.values).toSet
+            val keep = (versions.keys.toSeq.takeRight(retain) ++ tagged.values ++
+              liveBranch.map(_._2)).toSet
             versions.filterInPlace { case (k, _) => keep(k) }
           case 5 => // SQL UPDATE via the group-based row-level rewrite:
             // shift a key range far outside the live keyspace
@@ -331,6 +336,52 @@ class PropertySpec extends SparkSpec {
               val name = tagged.keys.toSeq(rng.nextInt(tagged.size))
               StagingMaintenance.dropTag(spark, "prop_cat", "ws", s"t$trial", name)
               tagged -= name
+            }
+          case 10 => // WAP branch arm: fork, or ingest onto the live branch
+            liveBranch match {
+              case None =>
+                val name = s"b${trial}_$v"
+                StagingMaintenance.branch(spark, "prop_cat", "ws", s"t$trial", name)
+                liveBranch = Some((name, v, scala.collection.mutable.ArrayBuffer.empty))
+              case Some((name, _, snaps)) =>
+                val (lo, hi) = freshRange(10 + rng.nextInt(30))
+                spark.sql(s"INSERT INTO prop_cat.ws.t$trial.branch_$name " +
+                  s"SELECT id AS k FROM range($lo, $hi)")
+                val bm = snaps.lastOption.getOrElse(
+                  // a branch reads the FORK snapshot until it commits; the
+                  // fork version may have been vacuumed from the model map
+                  // only if untagged AND unpinned — the fork is pinned, so
+                  // read the face itself for the base (cheap at test scale)
+                  spark.sql(s"SELECT k FROM prop_cat.ws.t$trial.branch_$name")
+                    .collect().map(_.getLong(0)).toSet -- (lo until hi)) ++ (lo until hi)
+                snaps += bm
+                // branch-face read == branch model; MAIN isolation is (a)
+                val bcur = spark.sql(s"SELECT k FROM prop_cat.ws.t$trial.branch_$name")
+                  .collect().map(_.getLong(0))
+                assert(bcur.length === bm.size && bcur.toSet === bm,
+                  s"trial $trial: branch read diverged")
+            }
+          case 11 => // publish (legal only at the fork) or drop the branch
+            liveBranch.foreach { case (name, fork, snaps) =>
+              if (v != fork) {
+                // main advanced since the fork: publish MUST conflict…
+                val e = intercept[Exception] {
+                  StagingMaintenance.publish(spark, "prop_cat", "ws", s"t$trial", name)
+                }
+                assert(e.getMessage.contains("publish conflict"), e.getMessage)
+                // …and the candidate is dropped; main never saw it
+                StagingMaintenance.dropBranch(spark, "prop_cat", "ws", s"t$trial", name)
+              } else if (snaps.isEmpty || rng.nextBoolean()) {
+                StagingMaintenance.dropBranch(spark, "prop_cat", "ws", s"t$trial", name)
+              } else {
+                StagingMaintenance.publish(spark, "prop_cat", "ws", s"t$trial", name)
+                // each branch commit becomes a main version with its snapshot
+                snaps.foreach { snap =>
+                  v += 1; versions(v) = ("commit", snap)
+                }
+                model.clear(); model ++= snaps.last
+              }
+              liveBranch = None
             }
         }
         // (a) current read == model
