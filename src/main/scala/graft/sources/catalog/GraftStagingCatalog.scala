@@ -387,12 +387,21 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     val d = tableDir(ident)
     if (d == null || !isDir(d)) throw new NoSuchTableException(ident)
     val millis = timestamp / 1000L // Spark passes microseconds since epoch
-    val at = versionManifests(fs, d).takeWhile { case (_, f) => commitMillis(fs, f) <= millis }
-    if (at.isEmpty)
-      throw new IllegalArgumentException(
-        s"$catalogName: ${ident.name()} has no committed version at or before " +
-          s"timestamp ${millis}ms")
-    val (v, mf) = at.last
+    // checkpointed (version, ts) history first: bounded resolution, no
+    // O(versions) manifest reads; a missing/legacy checkpoint (or a version
+    // vacuumed between the history read and the probe) falls back to the
+    // listing
+    val viaCkpt: Option[(Long, Path)] = boundedHistory(fs, d).flatMap { h =>
+      h.takeWhile(_._2 <= millis).lastOption
+        .flatMap { case (hv, _) => probeManifest(fs, d, hv).map(hv -> _) }
+    }
+    val at = viaCkpt.orElse {
+      versionManifests(fs, d).takeWhile { case (_, f) => commitMillis(fs, f) <= millis }
+        .lastOption
+    }
+    val (v, mf) = at.getOrElse(throw new IllegalArgumentException(
+      s"$catalogName: ${ident.name()} has no committed version at or before " +
+        s"timestamp ${millis}ms"))
     manifestTable(ident, d, mf, s"@v$v", v)
   }
 
@@ -1845,14 +1854,51 @@ object GraftStagingCatalog {
     }
 
   private[catalog] def writeCheckpoint(fs: FileSystem, d: Path, v: Long,
-      files: Seq[String], dvs: Seq[String], batchIds: Set[Long]): Unit = {
+      files: Seq[String], dvs: Seq[String], batchIds: Set[Long],
+      history: Seq[(Long, Long)] = Seq.empty): Unit = {
     val vd = new Path(d, VersionsDir)
     def arr(xs: Seq[String]) = xs.distinct.sorted.map(f => "\"" + f + "\"").mkString(",")
+    // history rides as two flat parallel arrays (version, commit-ts) —
+    // TIMESTAMP AS OF resolves through them instead of reading every
+    // manifest's ts
     writeString(fs, new Path(vd, s"ckpt-v$v.json"),
       s"""{"version":$v,"batchIds":[${batchIds.toSeq.sorted.mkString(",")}],""" +
+        s""""hv":[${history.map(_._1).mkString(",")}],""" +
+        s""""hts":[${history.map(_._2).mkString(",")}],""" +
         s""""dvs":[${arr(dvs)}],"files":[${arr(files)}]}""")
     writeString(fs, new Path(vd, CkptPointer), v.toString)
   }
+
+  /** (version, commit-ts) of every RETAINED version up to the head,
+    * assembled BOUNDEDLY when a checkpoint carries history (snapshot +
+    * per-manifest probes beyond it); None when it cannot be (no pointer, or
+    * a pre-history checkpoint) — the caller falls back to the listing.
+    */
+  private[catalog] def boundedHistory(fs: FileSystem, d: Path): Option[Seq[(Long, Long)]] =
+    readCkptPointer(fs, d).flatMap { cv =>
+      readCheckpointTxt(fs, d, cv).flatMap { txt =>
+        def longs(field: String): Seq[Long] =
+          ("\"" + field + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt)
+            .map(_.group(1)).filter(_.trim.nonEmpty)
+            .map(_.split(',').iterator.map(_.trim.toLong).toSeq).getOrElse(Seq.empty)
+        val hv = longs("hv"); val hts = longs("hts")
+        if (hv.isEmpty || hv.length != hts.length) None // legacy/torn → listing
+        else {
+          val newer = Iterator.iterate(cv + 1L)(_ + 1L)
+            .map(nv => nv -> probeManifest(fs, d, nv)).takeWhile(_._2.isDefined)
+            .map { case (nv, mf) => nv -> commitMillis(fs, mf.get) }.toSeq
+          Some(hv.zip(hts).filter(_._1 <= cv) ++ newer)
+        }
+      }
+    }
+
+  /** History for a checkpoint about to be written at the current head:
+    * through the previous checkpoint when possible, else one full listing
+    * (the one-time upgrade cost of a pre-history log).
+    */
+  private[catalog] def assembleHistory(fs: FileSystem, d: Path): Seq[(Long, Long)] =
+    boundedHistory(fs, d).getOrElse(
+      versionManifests(fs, d).map { case (nv, mf) => nv -> commitMillis(fs, mf) })
 
   private[catalog] def readCheckpointTxt(fs: FileSystem, d: Path, v: Long): Option[String] = {
     val p = new Path(new Path(d, VersionsDir), s"ckpt-v$v.json")
@@ -1866,7 +1912,8 @@ object GraftStagingCatalog {
   private[catalog] def maybeCheckpoint(fs: FileSystem, d: Path, v: Long,
       files: Seq[String], dvs: Seq[String]): Unit =
     if (v % ckptInterval(fs, d) == 0L)
-      writeCheckpoint(fs, d, v, files, dvs, committedBatchIds(fs, d))
+      writeCheckpoint(fs, d, v, files, dvs, committedBatchIds(fs, d),
+        assembleHistory(fs, d))
 
   // ---- writable branches (write-audit-publish) --------------------------
   //

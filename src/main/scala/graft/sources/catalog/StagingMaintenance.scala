@@ -774,7 +774,8 @@ object StagingMaintenance {
         GraftStagingCatalog.writeCheckpoint(fs, d, v,
           GraftStagingCatalog.manifestFiles(fs, mf),
           GraftStagingCatalog.manifestDvs(fs, mf),
-          GraftStagingCatalog.committedBatchIds(fs, d))
+          GraftStagingCatalog.committedBatchIds(fs, d),
+          GraftStagingCatalog.assembleHistory(fs, d))
       }
       fs.delete(GraftStagingCatalog.branchLogDir(d, name), true)
       GraftStagingCatalog.writeBranches(fs, d, branches - name)
@@ -1069,7 +1070,9 @@ object StagingMaintenance {
       keep.lastOption.foreach { case (hv, hmf) =>
         GraftStagingCatalog.writeCheckpoint(fs, d, hv,
           manifestFiles(fs, hmf), GraftStagingCatalog.manifestDvs(fs, hmf),
-          GraftStagingCatalog.committedBatchIds(fs, d))
+          GraftStagingCatalog.committedBatchIds(fs, d),
+          // exactly the retained set — reclaimed versions leave the history
+          keep.map { case (kv, kmf) => kv -> GraftStagingCatalog.commitMillis(fs, kmf) })
       }
       drop.foreach { case (_, f) => fs.delete(f, false) }
       deadNow.foreach(f => fs.delete(new Path(d, f), false))

@@ -308,7 +308,11 @@ private[catalog] class ChangeFeedMicroBatchStream(
   * must append the ('insert', version) constants.
   */
 private[catalog] case class CdfInputPartition(delegate: InputPartition, scanId: Int,
-    append: Boolean, version: Long) extends InputPartition
+    append: Boolean, version: Long) extends InputPartition {
+  // locality rides through: on a cluster the wrapped file splits keep
+  // their block-placement hints
+  override def preferredLocations(): Array[String] = delegate.preferredLocations()
+}
 
 private[catalog] class CdfReaderFactory(factories: Array[PartitionReaderFactory])
     extends PartitionReaderFactory {

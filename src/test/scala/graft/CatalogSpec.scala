@@ -1858,6 +1858,14 @@ class CatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) === 65L)
     val (lc2, _) = counters()
     assert(lc2 - lc1 === 0, s"AS OF listed the version log ${lc2 - lc1}x")
+    // TIMESTAMP AS OF: resolved through the checkpoint's (version, ts)
+    // history + forward probes — still zero full listings
+    val nowTs = new java.sql.Timestamp(System.currentTimeMillis() + 1000L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM stage_t.ws.longlog TIMESTAMP AS OF '$nowTs'")
+      .collect()(0).getLong(0) === 1000L)
+    val (lcT, _) = counters()
+    assert(lcT - lc2 === 0, s"TIMESTAMP AS OF listed the version log ${lcT - lc2}x")
     // STREAMING offsets: head discovery through the pointer per trigger,
     // per-version probes for the drained range — still zero listings
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckptres").toString
