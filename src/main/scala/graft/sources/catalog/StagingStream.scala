@@ -59,8 +59,13 @@ private[catalog] class StagingMicroBatchStream(
 
   private val ignoreChanges =
     options.get("graft.ignore-changes").exists(_.equalsIgnoreCase("true"))
+  // a number, or a TAG name (the reproducible-consumer anchor: "everything
+  // after release r1" = .option("graft.starting-version", "r1") — resolved
+  // once at stream construction, so later drop_tag cannot move a running
+  // stream's origin)
   private val startingVersion =
-    options.get("graft.starting-version").map(_.toLong).getOrElse(0L)
+    options.get("graft.starting-version")
+      .map(s => StagingVersionOffset.resolve(fs, dir, tableDirStr, s)).getOrElse(0L)
 
   // checkpoint-pointer + forward probes, NOT a per-trigger log listing — a
   // stream polls this every trigger for the life of the query, against a
@@ -161,6 +166,22 @@ private[catalog] case class StagingVersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
+private[catalog] object StagingVersionOffset {
+  /** `graft.starting-version` value → version: a plain number, or a TAG
+    * name resolved through the tags sidecar (both streaming faces share
+    * this — the batch `VERSION AS OF` rule, applied to stream origins).
+    */
+  def resolve(fs: FileSystem, dir: Path, tableDirStr: String, s: String): Long =
+    try s.trim.toLong
+    catch {
+      case _: NumberFormatException =>
+        GraftStagingCatalog.readTags(fs, dir).getOrElse(s.trim,
+          throw new IllegalArgumentException(
+            s"graft.starting-version '$s' for $tableDirStr is neither a version " +
+              "number nor an existing tag"))
+    }
+}
+
 /** STREAMING ROW-LEVEL CHANGE FEED — `spark.readStream
   * .table("graft_stage.ns.t.changes")` (the Delta `table_changes` face as a
   * multipart-identifier table, like the branch face): where the plain
@@ -224,8 +245,9 @@ private[catalog] class ChangeFeedMicroBatchStream(
   private val dir = new Path(tableDirStr)
   private def fs: FileSystem =
     dir.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
-  private val startingVersion =
-    options.get("graft.starting-version").map(_.toLong).getOrElse(0L)
+  private val startingVersion = // number or tag name (see the append stream)
+    options.get("graft.starting-version")
+      .map(s => StagingVersionOffset.resolve(fs, dir, tableDirStr, s)).getOrElse(0L)
 
   private def headVersion: Long =
     headManifest(fs, dir).map(_._1).getOrElse(0L)

@@ -673,6 +673,38 @@ class StreamingSpec extends SparkSpec {
       assert(counts.size === 16 && !counts.values().stream().anyMatch(n => n > 1L),
         s"restart broke exactly-once: ${counts.size}")
     } finally q2.stop()
+    // a TAG anchors consumer starts: starting-version accepts the tag name
+    // (the release-anchored consumer — "stream me everything after rel1")
+    spark.sql("CALL cdf_cat.tag('ws', 't', 'rel1', 4)")
+    counts.clear()
+    val ckptT = java.nio.file.Files.createTempDirectory("graft_cdf_ckptT").toString
+    val qT = spark.readStream.option("graft.starting-version", "rel1")
+      .table("cdf_cat.ws.t.changes")
+      .writeStream.option("checkpointLocation", ckptT).outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          counts.merge((r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)), 1L, _ + _)
+        }
+        ()
+      }.start()
+    try {
+      qT.processAllAvailable()
+      assert(counts.size === 1 && counts.containsKey((200L, "late", "insert", 5L)),
+        s"tag-anchored start diverged: $counts")
+    } finally qT.stop()
+    val badTag = intercept[Exception] {
+      spark.readStream.option("graft.starting-version", "nope")
+        .table("cdf_cat.ws.t.changes")
+        .writeStream.option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_cdf_ckptB").toString)
+        .outputMode("append")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start().processAllAvailable()
+    }
+    assert(Iterator.iterate(badTag: Throwable)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(e => Option(e.getMessage).exists(
+        _.contains("neither a version number nor an existing tag"))),
+      badTag.getMessage)
     // DV-only MOR commits (no file-set change) still stream their delta
     spark.sql(
       """CREATE TABLE cdf_cat.ws.m (k BIGINT NOT NULL, v STRING)
