@@ -638,7 +638,13 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
             override def onDataWriterCommit(message: WriterCommitMessage): Unit =
               d.onDataWriterCommit(message)
             override def commit(messages: Array[WriterCommitMessage]): Unit = {
-              if (batchId.exists(GraftStagingCatalog.committedBatchIds(tableFs, dir).contains)) {
+              // exactly-once replay check against the ledger of the FACE
+              // being written: a branch append records its batchId in the
+              // BRANCH log, so the replay probe must union it in — a main-
+              // only probe would re-commit a replayed branch batch and the
+              // duplicate rows would later publish to main
+              if (batchId.exists(
+                  GraftStagingCatalog.committedBatchIdsFor(tableFs, dir, branch).contains)) {
                 d.abort(messages) // replay of a committed batch: discard staged files
                 return
               }
@@ -816,11 +822,14 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     // 'graft.checkpoint-interval'=<n>: checkpoint the version log every nth
     // commit (default 10) — a high-frequency streamed table can trade a few
     // more checkpoint writes for an even shorter probe window
-    val ckptEvery: Long =
+    val ckptEvery: Option[Long] =
       Option(properties.get("graft.checkpoint-interval")).map(_.trim).filter(_.nonEmpty)
-        .map(_.toLong).getOrElse(0L)
-    require(ckptEvery >= 0L,
-      s"$catalogName: graft.checkpoint-interval must be positive, got $ckptEvery")
+        .map(_.toLong)
+    // unset = the default interval; an EXPLICIT value must be positive — 0
+    // used to pass validation and silently mean "default", contradicting
+    // the error message and giving the boundary value no diagnostic
+    ckptEvery.foreach(n => require(n > 0L,
+      s"$catalogName: graft.checkpoint-interval must be positive, got $n"))
     fs.mkdirs(d)
     GraftStagingCatalog.writeString(fs, new Path(d, SchemaSidecar), schema.json)
     if (sortCols.nonEmpty)
@@ -829,9 +838,9 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     if (targetBytes > 0L)
       GraftStagingCatalog.writeString(fs,
         new Path(d, GraftStagingCatalog.FileSizeSidecar), targetBytes.toString)
-    if (ckptEvery > 0L)
+    ckptEvery.foreach(n =>
       GraftStagingCatalog.writeString(fs,
-        new Path(d, GraftStagingCatalog.CkptIntervalSidecar), ckptEvery.toString)
+        new Path(d, GraftStagingCatalog.CkptIntervalSidecar), n.toString))
     morKey.foreach(k => DeletionVectors.writeMorKey(fs, d, k))
     if (partCols.nonEmpty)
       GraftStagingCatalog.writeString(fs, new Path(d, GraftStagingCatalog.PartitionSidecar),
@@ -1698,14 +1707,21 @@ object GraftStagingCatalog {
   private[catalog] val EraDir = "eras"
 
   private[catalog] def schemaAtVersion(fs: FileSystem, d: Path, v: Long): Option[StructType] = {
-    val eras = (try fs.listStatus(new Path(new Path(d, VersionsDir), EraDir)).toIndexedSeq
-      catch { case _: FileNotFoundException => Seq.empty })
-      .flatMap { f =>
-        f.getPath.getName match {
-          case SchemaEra(upto) if upto.toLong >= v => Some(upto.toLong -> f.getPath)
-          case _                                   => None
+    // era snapshots live under eras/ since r10, but tables ALTERed before
+    // that wrote them directly under the versions dir — list BOTH homes, or
+    // a pinned read of a pre-upgrade table would silently resolve to the
+    // current sidecar schema instead of its era's
+    def listEras(p: Path): Seq[(Long, Path)] =
+      (try fs.listStatus(p).toIndexedSeq
+       catch { case _: FileNotFoundException => Seq.empty })
+        .flatMap { f =>
+          f.getPath.getName match {
+            case SchemaEra(upto) if upto.toLong >= v => Some(upto.toLong -> f.getPath)
+            case _                                   => None
+          }
         }
-      }.sortBy(_._1)
+    val vd = new Path(d, VersionsDir)
+    val eras = (listEras(new Path(vd, EraDir)) ++ listEras(vd)).sortBy(_._1)
     eras.headOption
       .map { case (_, p) => DataType.fromJson(readString(fs, p)).asInstanceOf[StructType] }
       .orElse(declaredSchema(fs, d))
@@ -1857,15 +1873,32 @@ object GraftStagingCatalog {
       files: Seq[String], dvs: Seq[String], batchIds: Set[Long],
       history: Seq[(Long, Long)] = Seq.empty): Unit = {
     val vd = new Path(d, VersionsDir)
-    def arr(xs: Seq[String]) = xs.distinct.sorted.map(f => "\"" + f + "\"").mkString(",")
-    // history rides as two flat parallel arrays (version, commit-ts) —
-    // TIMESTAMP AS OF resolves through them instead of reading every
-    // manifest's ts
-    writeString(fs, new Path(vd, s"ckpt-v$v.json"),
-      s"""{"version":$v,"batchIds":[${batchIds.toSeq.sorted.mkString(",")}],""" +
-        s""""hv":[${history.map(_._1).mkString(",")}],""" +
-        s""""hts":[${history.map(_._2).mkString(",")}],""" +
-        s""""dvs":[${arr(dvs)}],"files":[${arr(files)}]}""")
+    val dest = new Path(vd, s"ckpt-v$v.json")
+    // NEVER rewrite a valid existing checkpoint in place (VACUUM used to,
+    // when the head was already checkpointed): the resolved state at a
+    // version is deterministic, so a valid file is already the right bytes,
+    // and an in-place overwrite opens a torn-read window on the exactly-once
+    // ledger — a crash mid-write would leave a truncated file that a
+    // concurrent reader parses as an EMPTY ledger.
+    if (readCheckpointTxt(fs, d, v).isEmpty) {
+      def arr(xs: Seq[String]) = xs.distinct.sorted.map(f => "\"" + f + "\"").mkString(",")
+      // history rides as two flat parallel arrays (version, commit-ts) —
+      // TIMESTAMP AS OF resolves through them instead of reading every
+      // manifest's ts. The trailing "eof" field is the integrity sentinel:
+      // readers reject any checkpoint text that doesn't carry it (torn or
+      // truncated write) and fall back to the full listing.
+      val txt =
+        s"""{"version":$v,"batchIds":[${batchIds.toSeq.sorted.mkString(",")}],""" +
+          s""""hv":[${history.map(_._1).mkString(",")}],""" +
+          s""""hts":[${history.map(_._2).mkString(",")}],""" +
+          s""""dvs":[${arr(dvs)}],"files":[${arr(files)}],"eof":1}"""
+      // crash-safe publication: land the bytes under a temp name, then
+      // rename into place — readers only ever see absent or complete
+      val tmp = new Path(vd, s".ckpt-v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      writeString(fs, tmp, txt)
+      if (isFile(fs, dest)) fs.delete(dest, false) // invalid (sentinel-less) leftover
+      if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); () } // racer published: theirs is valid
+    }
     writeString(fs, new Path(vd, CkptPointer), v.toString)
   }
 
@@ -1900,9 +1933,25 @@ object GraftStagingCatalog {
     boundedHistory(fs, d).getOrElse(
       versionManifests(fs, d).map { case (nv, mf) => nv -> commitMillis(fs, mf) })
 
+  /** Checkpoint text iff the file exists AND carries the integrity sentinel
+    * — a torn/truncated checkpoint (crash mid-write on a pre-rename store)
+    * must read as ABSENT, not as an empty ledger: the callers
+    * ([[committedBatchIds]], [[boundedHistory]]) fall back to the full
+    * listing, which is slow but always correct.
+    */
   private[catalog] def readCheckpointTxt(fs: FileSystem, d: Path, v: Long): Option[String] = {
     val p = new Path(new Path(d, VersionsDir), s"ckpt-v$v.json")
-    if (isFile(fs, p)) Some(readString(fs, p)) else None
+    try {
+      if (!isFile(fs, p)) None
+      else {
+        val txt = readString(fs, p)
+        if (txt.endsWith("\"eof\":1}")) Some(txt) else None
+      }
+    } catch {
+      // an unreadable checkpoint (checksum mismatch, concurrent replace on
+      // a non-atomic store) is the same as a torn one: absent
+      case _: IOException => None
+    }
   }
 
   /** Post-commit hook: checkpoint every interval-th version. The ledger
@@ -1990,6 +2039,9 @@ object GraftStagingCatalog {
       .foreach { f =>
         f.getPath.getName match {
           case CkptFile(v) if !keep.contains(v.toLong) => fs.delete(f.getPath, false); ()
+          // temp files from crashed checkpoint publications
+          case n if n.startsWith(".ckpt-") && n.endsWith(".tmp") =>
+            fs.delete(f.getPath, false); ()
           case _ => ()
         }
       }
@@ -2085,6 +2137,22 @@ object GraftStagingCatalog {
         snapshot ++ newer
       case None =>
         versionManifests(fs, d).flatMap { case (_, f) => idOf(readString(fs, f)) }.toSet
+    }
+  }
+
+  /** The exactly-once ledger for a WRITE FACE: main's ledger, plus — for a
+    * branch face — the batchIds the branch's own commits recorded. Branch
+    * logs are short-lived (one ingest-audit cycle) so the extra reads are a
+    * bounded listing, and a replayed branch micro-batch is recognized as
+    * committed instead of landing twice and publishing duplicates.
+    */
+  private[catalog] def committedBatchIdsFor(fs: FileSystem, d: Path,
+      branch: Option[String]): Set[Long] = {
+    val main = committedBatchIds(fs, d)
+    branch.fold(main) { b =>
+      main ++ branchManifests(fs, d, b).flatMap { case (_, mf) =>
+        "\"batchId\":(\\d+)".r.findFirstMatchIn(readString(fs, mf)).map(_.group(1).toLong)
+      }
     }
   }
 

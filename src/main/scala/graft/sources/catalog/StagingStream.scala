@@ -66,6 +66,10 @@ private[catalog] class StagingMicroBatchStream(
   private val startingVersion =
     options.get("graft.starting-version")
       .map(s => StagingVersionOffset.resolve(fs, dir, tableDirStr, s)).getOrElse(0L)
+  // per-trigger rate limits (Delta's maxFilesPerTrigger shape) — see
+  // [[StagingAdmission]]
+  private val (maxVersionsPerTrigger, maxFilesPerTrigger) =
+    StagingAdmission.caps(options, tableDirStr)
 
   // checkpoint-pointer + forward probes, NOT a per-trigger log listing — a
   // stream polls this every trigger for the life of the query, against a
@@ -74,7 +78,8 @@ private[catalog] class StagingMicroBatchStream(
     headManifest(fs, dir).map(_._1).getOrElse(0L)
 
   // Trigger.AvailableNow: pin the head ONCE so the run drains a stable
-  // target even while writers keep committing
+  // target even while writers keep committing (in bounded batches when a
+  // rate cap is set — Spark re-triggers until this target is reached)
   @volatile private var availableNowHead: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowHead = Some(headVersion)
@@ -82,10 +87,15 @@ private[catalog] class StagingMicroBatchStream(
   override def initialOffset(): Offset = StagingVersionOffset(startingVersion)
   override def deserializeOffset(json: String): Offset =
     StagingVersionOffset(json.trim.toLong)
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    StagingAdmission.defaultLimit(maxVersionsPerTrigger, maxFilesPerTrigger)
   override def reportLatestOffset(): Offset = StagingVersionOffset(headVersion)
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    StagingVersionOffset(availableNowHead.getOrElse(headVersion))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[StagingVersionOffset].version
+    val target = availableNowHead.getOrElse(headVersion)
+    StagingVersionOffset(StagingAdmission.admit(fs, dir, tableDirStr, s, target,
+      maxVersionsPerTrigger, limit, changesFace = false))
+  }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is the admission-control path")
@@ -164,6 +174,120 @@ private[catalog] class StagingMicroBatchStream(
 
 private[catalog] case class StagingVersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
+}
+
+/** Marker [[ReadLimit]] for a version-bounded trigger: the staging streams
+  * return it from `getDefaultReadLimit` when `graft.max-versions-per-trigger`
+  * is set WITHOUT a file cap, so the engine hands back something other than
+  * `allAvailable` and the admission path knows a rate option is in force.
+  * (The cap itself lives on the stream — the limit object is a signal, not
+  * the state.)
+  */
+private[catalog] case class VersionsPerTrigger(maxVersions: Long) extends ReadLimit
+
+/** RATE-LIMITED ADMISSION for the staging streaming sources — the Delta
+  * `maxFilesPerTrigger` shape on a manifest-version offset axis. A fresh
+  * consumer of a table streamed into for weeks faces a 10,000-commit
+  * backlog; without admission control `latestOffset` returns the head and
+  * the FIRST micro-batch plans every file since the starting version — one
+  * giant batch that must fit executor memory and commits no checkpoint
+  * until all of it lands. Bounded admission drains the same backlog as many
+  * exactly-once micro-batches, each a checkpointable unit of progress.
+  *
+  *   - `graft.max-versions-per-trigger` — admit at most N versions per
+  *     batch. O(1): no manifest reads in the admission decision.
+  *   - `graft.max-files-per-trigger` — admit versions while the cumulative
+  *     APPENDED-file count stays within N (always at least one version, or
+  *     a single oversized commit would stall the stream forever). Costs one
+  *     manifest read per admitted version — bounded by the cap itself, and
+  *     the subsequent planInputPartitions reads the same manifests anyway.
+  *
+  * `ReadLimit` protocol (the SeqSource rule, SeqSource.scala:415-431):
+  * `ReadAllAvailable` (Trigger.Once) consumes the WHOLE backlog — rate
+  * options are per-trigger pacing, and an explicit all-available trigger
+  * outranks them (Delta documents the same). `ReadMaxFiles` (ours or an
+  * engine-composed one) bounds by files; `CompositeReadLimit` takes its
+  * tightest file bound. Trigger.AvailableNow interacts correctly for free:
+  * Spark re-triggers with the default limit until the prepared head is
+  * reached, so a capped stream drains FULLY in ≥⌈backlog/cap⌉ batches.
+  */
+private[catalog] object StagingAdmission {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit,
+    ReadAllAvailable, ReadMaxFiles}
+  import GraftStagingCatalog.{manifestFiles, manifestKind, probeManifest}
+
+  /** Per-trigger rate options, parsed once at stream construction. */
+  def caps(options: Map[String, String], tableDirStr: String): (Option[Long], Option[Long]) = {
+    def pos(key: String): Option[Long] = options.get(key).map { s =>
+      val n = try s.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key for $tableDirStr must be a positive integer, got '$s'")
+      }
+      require(n > 0L, s"$key for $tableDirStr must be positive, got $n")
+      n
+    }
+    (pos("graft.max-versions-per-trigger"), pos("graft.max-files-per-trigger"))
+  }
+
+  def defaultLimit(maxVersions: Option[Long], maxFiles: Option[Long]): ReadLimit =
+    (maxVersions, maxFiles) match {
+      case (_, Some(f))    => ReadLimit.maxFiles(f.min(Int.MaxValue.toLong).toInt)
+      case (Some(v), None) => VersionsPerTrigger(v)
+      case _               => ReadLimit.allAvailable()
+    }
+
+  /** Tightest max-files bound carried by `limit`, if any. */
+  private def maxFilesOf(limit: ReadLimit): Option[Int] = limit match {
+    case m: ReadMaxFiles => Some(m.maxFiles())
+    case c: CompositeReadLimit =>
+      val bounds = c.getReadLimits.toSeq.flatMap(maxFilesOf)
+      if (bounds.isEmpty) None else Some(bounds.min)
+    case _ => None
+  }
+
+  /** End version admitted for a batch starting (exclusive) at `startV`
+    * toward `target`. `changesFace` prices a rewrite version as ONE file
+    * (its materialized CDF diff) instead of its added-file delta.
+    */
+  def admit(fs: FileSystem, dir: Path, tableDirStr: String, startV: Long, target: Long,
+      maxVersions: Option[Long], limit: ReadLimit, changesFace: Boolean): Long = {
+    if (target <= startV) return target
+    limit match {
+      case _: ReadAllAvailable => target // Trigger.Once: the whole backlog
+      case l =>
+        val vCap = maxVersions.fold(target)(mv => math.min(target, startV + mv))
+        maxFilesOf(l) match {
+          case None => vCap
+          case Some(mf) =>
+            def manifestOf(v: Long) = probeManifest(fs, dir, v).getOrElse(
+              throw new IllegalStateException(
+                s"streaming read of $tableDirStr: version $v was VACUUMed away before " +
+                  "the stream consumed it — raise the vacuum retention or restart " +
+                  "from a newer graft.starting-version"))
+            def filesOf(v: Long): Set[String] =
+              if (v <= 0L) Set.empty else manifestFiles(fs, manifestOf(v)).toSet
+            var v = startV
+            var admitted = 0L
+            var prev = filesOf(startV)
+            var stop = false
+            while (!stop && v < vCap) {
+              val nm = manifestOf(v + 1L)
+              val cur = manifestFiles(fs, nm).toSet
+              val delta: Long = manifestKind(fs, nm) match {
+                case "optimize" => 0L // layout-only: both faces skip it
+                case "commit"   => (cur -- prev).size.toLong
+                case _          =>
+                  if (changesFace) 1L else (cur -- prev).size.toLong
+              }
+              if (admitted + delta <= mf.toLong || v == startV) {
+                v += 1L; admitted += delta; prev = cur
+                if (admitted >= mf.toLong) stop = true
+              } else stop = true
+            }
+            v
+        }
+    }
+  }
 }
 
 private[catalog] object StagingVersionOffset {
@@ -248,6 +372,10 @@ private[catalog] class ChangeFeedMicroBatchStream(
   private val startingVersion = // number or tag name (see the append stream)
     options.get("graft.starting-version")
       .map(s => StagingVersionOffset.resolve(fs, dir, tableDirStr, s)).getOrElse(0L)
+  // same per-trigger rate limits as the append face; a rewrite version
+  // prices as ONE file (its materialized CDF diff)
+  private val (maxVersionsPerTrigger, maxFilesPerTrigger) =
+    StagingAdmission.caps(options, tableDirStr)
 
   private def headVersion: Long =
     headManifest(fs, dir).map(_._1).getOrElse(0L)
@@ -259,10 +387,15 @@ private[catalog] class ChangeFeedMicroBatchStream(
   override def initialOffset(): Offset = StagingVersionOffset(startingVersion)
   override def deserializeOffset(json: String): Offset =
     StagingVersionOffset(json.trim.toLong)
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    StagingAdmission.defaultLimit(maxVersionsPerTrigger, maxFilesPerTrigger)
   override def reportLatestOffset(): Offset = StagingVersionOffset(headVersion)
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    StagingVersionOffset(availableNowHead.getOrElse(headVersion))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[StagingVersionOffset].version
+    val target = availableNowHead.getOrElse(headVersion)
+    StagingVersionOffset(StagingAdmission.admit(fs, dir, tableDirStr, s, target,
+      maxVersionsPerTrigger, limit, changesFace = true))
+  }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is the admission-control path")

@@ -1831,6 +1831,88 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.wap")
   }
 
+  test("hardened metadata: branch-face exactly-once, torn-checkpoint fallback, legacy era schemas, interval validation") {
+    import spark.implicits._
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    // 1. BRANCH-FACE EXACTLY-ONCE: a replayed micro-batch onto the WAP
+    // ingest surface must be recognized as committed (its batchId lives in
+    // the BRANCH log, not main's) — pre-fix it re-committed, and the
+    // duplicate rows then published to main
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.beo")
+    spark.sql("CREATE TABLE stage_t.ws.beo AS SELECT id AS k FROM range(0, 100)")
+    spark.sql("CALL stage_t.branch('ws', 'beo', 'ing')")
+    def bcount() = spark.sql("SELECT count(*) FROM stage_t.ws.beo.branch_ing")
+      .collect()(0).getLong(0)
+    Seq(500L, 501L).toDF("k").writeTo("stage_t.ws.beo.branch_ing")
+      .option("graft.batch-id", "3").append()
+    assert(bcount() === 102L)
+    // crash-redelivery of the same batch onto the branch: clean no-op
+    Seq(500L, 501L).toDF("k").writeTo("stage_t.ws.beo.branch_ing")
+      .option("graft.batch-id", "3").append()
+    assert(bcount() === 102L, "branch-face replay duplicated rows")
+    spark.sql("CALL stage_t.publish('ws', 'beo', 'ing')")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.beo").collect()(0).getLong(0) === 102L,
+      "a duplicated branch batch published to main")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.beo")
+    // 2. TORN CHECKPOINT: a crash mid-write leaves a truncated ckpt file;
+    // the integrity sentinel makes readers treat it as ABSENT (full-listing
+    // fallback) instead of as an EMPTY exactly-once ledger
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.torn")
+    spark.sql("CREATE TABLE stage_t.ws.torn (k BIGINT) " +
+      "TBLPROPERTIES ('graft.checkpoint-interval'='2')")
+    Seq(1L).toDF("k").writeTo("stage_t.ws.torn").option("graft.batch-id", "5").append()
+    spark.sql("INSERT INTO stage_t.ws.torn VALUES (2)") // v2 → checkpoint
+    val vd = new java.io.File(stageRoot, "ws/torn/_graft_versions")
+    val ckpt2 = new java.io.File(vd, "ckpt-v2.json")
+    assert(ckpt2.exists(), "no checkpoint at v2")
+    val whole = new String(java.nio.file.Files.readAllBytes(ckpt2.toPath), "UTF-8")
+    assert(whole.endsWith("\"eof\":1}"), s"checkpoint lacks the integrity sentinel: $whole")
+    java.nio.file.Files.write(ckpt2.toPath, // simulate the torn write
+      whole.substring(0, whole.length / 2).getBytes("UTF-8"))
+    // the local-FS checksum sidecar now mismatches — ALSO a fair "torn"
+    // shape (readers must treat an unreadable checkpoint as absent); drop it
+    // so the truncated TEXT itself is what the sentinel check sees
+    new java.io.File(vd, ".ckpt-v2.json.crc").delete()
+    def tcount() = spark.sql("SELECT count(*) FROM stage_t.ws.torn").collect()(0).getLong(0)
+    assert(tcount() === 2L, "torn checkpoint broke head resolution")
+    Seq(1L).toDF("k").writeTo("stage_t.ws.torn").option("graft.batch-id", "5").append()
+    assert(tcount() === 2L, "torn checkpoint forgot the ledger — replay duplicated rows")
+    // the next interval commit re-publishes a VALID checkpoint over the
+    // torn leftover (temp + rename, never an in-place overwrite)
+    spark.sql("INSERT INTO stage_t.ws.torn VALUES (3)")
+    spark.sql("INSERT INTO stage_t.ws.torn VALUES (4)") // v4 → checkpoint
+    val ckpt4 = new java.io.File(vd, "ckpt-v4.json")
+    assert(ckpt4.exists() &&
+      new String(java.nio.file.Files.readAllBytes(ckpt4.toPath), "UTF-8").endsWith("\"eof\":1}"))
+    Seq(1L).toDF("k").writeTo("stage_t.ws.torn").option("graft.batch-id", "5").append()
+    assert(tcount() === 4L, "recovered checkpoint lost the ledger")
+    assert(vd.listFiles().forall(f => !f.getName.endsWith(".tmp")),
+      "checkpoint temp files leaked")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.torn")
+    // 3. LEGACY ERA LOCATION: era snapshots written before the eras/ subdir
+    // (directly under _graft_versions) must still govern pinned reads
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.oldera")
+    spark.sql("CREATE TABLE stage_t.ws.oldera AS SELECT id AS k FROM range(0, 10)")
+    spark.sql("ALTER TABLE stage_t.ws.oldera ADD COLUMN v STRING")
+    val evd = new java.io.File(stageRoot, "ws/oldera/_graft_versions")
+    val eras = new java.io.File(evd, "eras").listFiles()
+      .filter(_.getName.startsWith("schema_upto_"))
+    assert(eras.length === 1, "expected one era snapshot")
+    java.nio.file.Files.move(eras(0).toPath, // relocate to the legacy home
+      new java.io.File(evd, eras(0).getName).toPath)
+    val pinned = spark.sql("SELECT * FROM stage_t.ws.oldera VERSION AS OF 1")
+    assert(pinned.schema.fieldNames.toSeq === Seq("k"),
+      s"legacy era ignored: pinned read shows ${pinned.schema.fieldNames.mkString(",")}")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.oldera")
+    // 4. the boundary interval value the message claims to reject IS rejected
+    val zero = intercept[Exception] {
+      spark.sql("CREATE TABLE stage_t.ws.badiv (k BIGINT) " +
+        "TBLPROPERTIES ('graft.checkpoint-interval'='0')")
+    }
+    assert(exMessages(zero).exists(_.contains("must be positive")), zero.getMessage)
+  }
+
   test("manifest-log checkpointing: bounded resolution over a 200-version log; ledger and pointer survive VACUUM") {
     import graft.sources.catalog.StagingMaintenance
     mountStage()

@@ -833,6 +833,82 @@ class StreamingSpec extends SparkSpec {
     } finally q6.stop()
   }
 
+  test("rate-limited catalog streams: a commit backlog drains in bounded micro-batches, exactly-once, both faces; AvailableNow still drains fully") {
+    // Admission control on the manifest-version axis (Delta's
+    // maxFilesPerTrigger shape): a fresh consumer of a long commit backlog
+    // must NOT plan one giant batch — graft.max-versions-per-trigger and
+    // graft.max-files-per-trigger bound each micro-batch, and the drain
+    // stays exactly-once because each bounded batch checkpoints its own
+    // version offset.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_rl_cat").toString
+    spark.conf.set("spark.sql.catalog.rl_cat",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rl_cat.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rl_cat.ws")
+    spark.sql("CREATE TABLE rl_cat.ws.t (k BIGINT, v STRING)")
+    // 6-commit backlog, one file per commit (single-slice range input)
+    (0 until 6).foreach { i =>
+      spark.sql(s"INSERT INTO rl_cat.ws.t SELECT id, CAST(id AS STRING) " +
+        s"FROM range(${i * 100}, ${(i + 1) * 100}, 1, 1)")
+    }
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def drain(table: String, opts: Map[String, String],
+        trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): Unit = {
+      seen.clear(); batches.set(0)
+      val cp = java.nio.file.Files.createTempDirectory("graft_rl_ckpt").toString
+      var r = spark.readStream
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      var w = r.table(table)
+        .writeStream.option("checkpointLocation", cp).outputMode("append")
+      trigger.foreach(t => w = w.trigger(t))
+      val q = w.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.collect()
+          if (rows.nonEmpty) {
+            batches.incrementAndGet()
+            rows.foreach(row => seen.merge(row.getLong(0), 1L, _ + _))
+          }
+          ()
+        }.start()
+      try {
+        if (trigger.isDefined) q.awaitTermination() else q.processAllAvailable()
+      } finally q.stop()
+    }
+    def assertExactlyOnce(n: Int): Unit = {
+      assert(seen.size === n, s"drain lost rows: ${seen.size} of $n")
+      assert(!seen.values().asScala.exists(_ > 1L), "a row was emitted twice")
+    }
+    // append face, version cap: 6 versions / cap 2 = exactly 3 batches
+    drain("rl_cat.ws.t", Map("graft.max-versions-per-trigger" -> "2"))
+    assert(batches.get === 3, s"6-version backlog at cap 2 must drain in 3 batches, got ${batches.get}")
+    assertExactlyOnce(600)
+    // append face, file cap: one file per commit, cap 2 files = 3 batches
+    drain("rl_cat.ws.t", Map("graft.max-files-per-trigger" -> "2"))
+    assert(batches.get === 3, s"6-file backlog at 2 files/trigger must drain in 3 batches, got ${batches.get}")
+    assertExactlyOnce(600)
+    // Trigger.AvailableNow + cap: drains FULLY (Spark re-triggers to the
+    // prepared head) in the same bounded batches, then terminates
+    drain("rl_cat.ws.t", Map("graft.max-versions-per-trigger" -> "2"),
+      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    assert(batches.get === 3, s"AvailableNow at cap 2 must drain in 3 bounded batches, got ${batches.get}")
+    assertExactlyOnce(600)
+    // changes face honors the same caps (offsets are the same version axis)
+    drain("rl_cat.ws.t.changes", Map("graft.max-versions-per-trigger" -> "3"))
+    assert(batches.get === 2, s"6-version changes backlog at cap 3 must drain in 2 batches, got ${batches.get}")
+    assertExactlyOnce(600)
+    // uncapped stays one batch (the pre-existing default, unchanged)
+    drain("rl_cat.ws.t", Map.empty)
+    assert(batches.get === 1, s"uncapped drain must stay a single batch, got ${batches.get}")
+    assertExactlyOnce(600)
+    // a malformed cap fails fast at stream construction
+    val bad = intercept[Exception] {
+      drain("rl_cat.ws.t", Map("graft.max-versions-per-trigger" -> "0"))
+    }
+    assert(bad.getMessage.contains("must be positive") ||
+      Option(bad.getCause).exists(_.getMessage.contains("must be positive")), bad.getMessage)
+  }
+
   test("bm25MaintainStream: commit-log-driven index maintenance survives compaction and restarts") {
     // End-to-end composition of the round's pieces: documents stream in
     // through the versioned catalog, the DSv2 manifest-tailing source
