@@ -288,6 +288,12 @@ object Connectors {
         idx.where(col("vec_id") % 10 === 7).select(col("vec_id"), col("embedding")), book))
         .createOrReplaceTempView("pq_codes_upsert")
       spark.sql("INSERT INTO graft_stage.work.pq_codes SELECT * FROM pq_codes_upsert")
+      // COMMIT GROUP (r11): the serving trio (cells, codebook, codes)
+      // becomes readable as ONE vector — codes decoded against a stale
+      // codebook are silent garbage, so a crash anywhere in this build
+      // must leave readers on the previous consistent trio, not a mix
+      spark.sql( // binds the just-built heads as the group's first vector
+        "CALL graft_stage.group_create('work', 'pq_serving', 'ivf_index,pq_codebook,pq_codes')")
       "built"
     })
   }
@@ -2416,6 +2422,13 @@ object Connectors {
           |TBLPROPERTIES ('graft.sort-order'='tok',
           |               'graft.target-file-size'='65536')""".stripMargin)
       spark.sql("CREATE TABLE graft_stage.work.bm25_doclen (doc_id BIGINT, dl BIGINT)")
+      // COMMIT GROUP (r11): postings and doclen publish as ONE vector — a
+      // writer killed between the two INSERTs of a slice leaves readers on
+      // the previous consistent pair (postings with no doc lengths is
+      // unservable garbage); the in-process build-once map above is a cost
+      // guard, no longer a correctness assumption
+      spark.sql(
+        "CALL graft_stage.group_create('work', 'bm25', 'bm25_postings,bm25_doclen')")
       // test-scale plumbing (the q326 note): lower AQE's production coalesce
       // floor (1 MiB) under the 64 KiB advisory so the test-scale postings
       // actually land multi-file
@@ -2438,6 +2451,9 @@ object Connectors {
                |FROM (SELECT doc_id, explode(split(text, ' ')) AS tok
                |      FROM docs_bm25_src WHERE doc_id % 2 = $slice)
                |GROUP BY doc_id""".stripMargin)
+          // phase 2: both member INSERTs of this slice become readable at
+          // this single pointer flip, or (on a crash above) not at all
+          spark.sql("CALL graft_stage.group_publish('work', 'bm25')")
         }
       } finally savedMin match {
         case Some(v) => spark.conf.set(minKey, v)
@@ -2708,10 +2724,11 @@ object Connectors {
     * `(file, _metadata.row_index)` (zone maps still pick the candidate
     * files first), records ONE (file → ordinals) sidecar, and commits the
     * SAME file set — the Iceberg position-delete shape, write cost
-    * O(matched rows), zero data-file writes. Reads re-derive each file's
-    * live rows with a sequential-position counter (whole-file row-based
-    * partitions; no parquet predicate pushdown while position DVs are
-    * active — the MOR trade until OPTIMIZE folds).
+    * O(matched rows), zero data-file writes. Reads keep FULL parquet
+    * predicate pushdown (r11): the scan requests Spark's generated
+    * row-index column, so every row carries its true file ordinal —
+    * row-group skipping included — and the readers drop deleted
+    * (file, ordinal) rows and project the column off.
     *
     * The query stages events into a range-clustered keyless MOR table,
     * deletes an event-id band (zone maps bound the candidate files) and
@@ -2821,5 +2838,188 @@ object Connectors {
     GraftQuery.sql("q315_insert_overwrite", q315InsertOverwrite, q315Oracle),
     GraftQuery.sql("q317_default_columns", q317DefaultColumns, q317Oracle),
     GraftQuery.sql("q330_write_audit_publish", q330WriteAuditPublish, q330Oracle),
-    GraftQuery.sql("q331_position_deletes", q331PositionDeletes, q331Oracle))
+    GraftQuery.sql("q331_position_deletes", q331PositionDeletes, q331Oracle),
+    GraftQuery.sql("q332_branch_merge_publish", q332BranchMergePublish, q332Oracle),
+    GraftQuery.sql("q333_commit_groups", q333CommitGroups, q333Oracle))
+
+  // ---------------------------------------------------------------- q332
+
+  /** BRANCH-SIDE DML (r11 — Iceberg-branch parity): the write-audit-publish
+    * pipeline that must FIX its candidate corpus before publish, without
+    * rebuilding the branch and without publishing dirty. q330 proved
+    * append→audit→publish; this adds the realistic middle step — ingest is
+    * messy (a fresh slice PLUS re-deliveries that "correct" existing keys,
+    * landing duplicate keys on the branch), and a MERGE ON THE BRANCH FACE
+    * dedups it in place:
+    *
+    *   - branch 'fix' forks main (a quarter of orders),
+    *   - two branch appends land the next slice and the corrections,
+    *   - `MERGE INTO …branch_fix` (self-sourced: the duplicated keys with
+    *     their winning value) DELETEs the stale sibling of every duplicated
+    *     key — a rewrite version in the BRANCH log, main untouched (the
+    *     in-query requires pin main's rows AND head version across all four
+    *     branch commits),
+    *   - the audit (zero duplicate keys) gates `CALL publish`, which
+    *     fast-forwards the append AND rewrite manifests onto main verbatim.
+    *
+    * The oracle recomputes the dedup-then-publish result straight from
+    * `orders` — a hash match proves branch DML + publish is exactly the
+    * upsert it claims to be.
+    */
+  def q332BranchMergePublish(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_bdml_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_bdml")
+    spark.sql( // standing corpus: a quarter of orders
+      """CREATE TABLE graft_stage.work.orders_bdml AS
+        |SELECT o_orderkey AS k, o_custkey AS v
+        |FROM orders_bdml_src WHERE o_orderkey % 4 = 1""".stripMargin)
+    val mainRows = spark.sql("SELECT count(*) FROM graft_stage.work.orders_bdml")
+      .collect()(0).getLong(0)
+    spark.sql("CALL graft_stage.branch('work', 'orders_bdml', 'fix')")
+    spark.sql( // candidate slice
+      """INSERT INTO graft_stage.work.orders_bdml.branch_fix
+        |SELECT o_orderkey, o_custkey
+        |FROM orders_bdml_src WHERE o_orderkey % 4 = 2""".stripMargin)
+    spark.sql( // re-delivered corrections of existing keys → duplicate keys
+      // -(v+1), not -v: a correction must DIFFER from the original for every
+      // row (o_custkey = 0 exists in the data — plain negation would land an
+      // indistinguishable duplicate no row-level op on a keyless table could
+      // separate)
+      """INSERT INTO graft_stage.work.orders_bdml.branch_fix
+        |SELECT o_orderkey, -(o_custkey + 1)
+        |FROM orders_bdml_src WHERE o_orderkey % 8 = 1""".stripMargin)
+    // branch MERGE dedup: each duplicated key keeps its correction (min v)
+    spark.sql(
+      """MERGE INTO graft_stage.work.orders_bdml.branch_fix t USING (
+        |  SELECT k, min(v) AS v FROM graft_stage.work.orders_bdml.branch_fix
+        |  GROUP BY k HAVING count(*) > 1) s
+        |ON t.k = s.k
+        |WHEN MATCHED AND t.v <> s.v THEN DELETE""".stripMargin)
+    // WAP isolation held across appends AND the branch rewrite
+    require(spark.sql("SELECT count(*) FROM graft_stage.work.orders_bdml")
+      .collect()(0).getLong(0) == mainRows,
+      "branch DML leaked rows into main before publish")
+    val (headV, _, _, _, _, _) = graft.sources.catalog.StagingMaintenance
+      .detail(spark, "graft_stage", "work", "orders_bdml")
+    require(headV == 1L, s"branch DML advanced main's head to $headV")
+    // audit gate: the branch must hold zero duplicate keys before publish
+    val dups = spark.sql(
+      """SELECT count(*) - count(DISTINCT k)
+        |FROM graft_stage.work.orders_bdml.branch_fix""".stripMargin)
+      .collect()(0).getLong(0)
+    require(dups == 0L, s"audit failed: $dups duplicate keys — would drop_branch")
+    spark.sql("CALL graft_stage.publish('work', 'orders_bdml', 'fix')")
+    spark.sql(
+      """SELECT k % 7 AS g, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+        |  sum(v) AS sum_v
+        |FROM graft_stage.work.orders_bdml
+        |GROUP BY k % 7 ORDER BY g""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q333
+
+  /** CROSS-TABLE COMMIT GROUPS (r11): the multi-table serving stacks this
+    * engine builds (bm25_postings+bm25_doclen, the PQ trio) are only as
+    * consistent as their publication — single-table commits are atomic,
+    * but a writer crash BETWEEN member INSERTs used to leave a torn
+    * combination papered over by an in-process guard. The group manifest
+    * ([[graft.sources.catalog.CommitGroups]]) is the two-phase fix: member
+    * commits are invisible phase-1 work; one create-exclusive
+    * `g-<seq>.json` binds the (table → version) vector, and every reader
+    * of a member resolves AT that vector.
+    *
+    * The query drives a derived serving pair (facts + their per-group
+    * aggregate, the postings/doclen shape) through two ingest slices with
+    * a SIMULATED WRITER DEATH between the second slice's member commits:
+    * in-query requires pin that the half-committed pair stayed invisible
+    * (the fact member's read held the previous vector even though its head
+    * advanced), then the retry completes phase 1 and publishes. The final
+    * SELECT joins the two members; the oracle recomputes both from raw
+    * orders — a hash match proves group-governed reads are exactly the
+    * consistent two-slice state, with the torn intermediate never
+    * observable.
+    */
+  def q333CommitGroups(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_cg_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.cg_fact")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.cg_agg")
+    spark.sql( // slice 0 of the fact member
+      """CREATE TABLE graft_stage.work.cg_fact AS
+        |SELECT o_orderkey AS k, o_custkey AS v
+        |FROM orders_cg_src WHERE o_orderkey % 3 = 0""".stripMargin)
+    spark.sql( // slice 0 of its serving aggregate (derived, must stay in step)
+      """CREATE TABLE graft_stage.work.cg_agg AS
+        |SELECT o_orderkey % 11 AS g, count(*) AS cnt
+        |FROM orders_cg_src WHERE o_orderkey % 3 = 0 GROUP BY o_orderkey % 11""".stripMargin)
+    spark.sql("CALL graft_stage.group_create('work', 'cg', 'cg_fact,cg_agg')")
+    val slice0 = spark.sql("SELECT count(*) FROM graft_stage.work.cg_fact")
+      .collect()(0).getLong(0)
+    // slice 1, phase 1 — the fact member commits, then the writer "dies"
+    spark.sql(
+      """INSERT INTO graft_stage.work.cg_fact
+        |SELECT o_orderkey, o_custkey
+        |FROM orders_cg_src WHERE o_orderkey % 3 = 1""".stripMargin)
+    // the commit is REAL (the member's head advanced) …
+    val (headV, _, _, _, _, _) = graft.sources.catalog.StagingMaintenance
+      .detail(spark, "graft_stage", "work", "cg_fact")
+    require(headV == 2L, s"fact member's phase-1 commit missing: head $headV")
+    // … but NO reader sees it: the group still serves the slice-0 vector
+    require(spark.sql("SELECT count(*) FROM graft_stage.work.cg_fact")
+      .collect()(0).getLong(0) == slice0,
+      "torn pair visible: fact member exposed an unpublished slice")
+    // the restarted writer completes phase 1 and publishes ONCE
+    spark.sql(
+      """INSERT INTO graft_stage.work.cg_agg
+        |SELECT o_orderkey % 11 AS g, count(*) AS cnt
+        |FROM orders_cg_src WHERE o_orderkey % 3 = 1 GROUP BY o_orderkey % 11""".stripMargin)
+    spark.sql("CALL graft_stage.group_publish('work', 'cg')")
+    // serve from BOTH members — consistent by construction, oracle-checked
+    spark.sql(
+      """SELECT a.g, CAST(sum(a.cnt) AS BIGINT) AS agg_cnt, f.fact_cnt,
+        |  f.min_k, f.max_k
+        |FROM graft_stage.work.cg_agg a
+        |JOIN (SELECT k % 11 AS g, count(*) AS fact_cnt, min(k) AS min_k,
+        |        max(k) AS max_k
+        |      FROM graft_stage.work.cg_fact GROUP BY k % 11) f
+        |  ON a.g = f.g
+        |GROUP BY a.g, f.fact_cnt, f.min_k, f.max_k
+        |ORDER BY g""".stripMargin)
+  }
+
+  /** Both members recomputed from raw orders over the two published
+    * slices: the aggregate member summed across its two slice rows per
+    * group must equal the fact member's own per-group count.
+    */
+  val q333Oracle: String =
+    """WITH sl AS (
+      |  SELECT o_orderkey AS k, o_custkey AS v FROM orders
+      |  WHERE o_orderkey % 3 <= 1)
+      |SELECT k % 11 AS g, CAST(count(*) AS BIGINT) AS agg_cnt,
+      |  CAST(count(*) AS BIGINT) AS fact_cnt,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM sl GROUP BY k % 11 ORDER BY g""".stripMargin
+
+  /** Dedup-then-publish recomputed from raw orders: the surviving corpus is
+    * the %4=1 slice with %8=1 keys corrected to -(o_custkey+1), plus the
+    * %4=2 slice untouched.
+    */
+  val q332Oracle: String =
+    """SELECT k % 7 AS g, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+      |  CAST(sum(v) AS BIGINT) AS sum_v
+      |FROM (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 8 = 1 THEN -(o_custkey + 1) ELSE o_custkey END AS v
+      |  FROM orders WHERE o_orderkey % 4 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey AS k, o_custkey AS v
+      |  FROM orders WHERE o_orderkey % 4 = 2)
+      |GROUP BY k % 7 ORDER BY g""".stripMargin
 }

@@ -111,23 +111,30 @@ object FsParity {
       |FROM documents""".stripMargin
 
   /** Raw-file multimodal ingest via the `binaryFile` source — the production
-    * path for loading image/audio payloads that live as one object per file.
-    * Fixture: a deterministic 1-in-37 document sample is materialized as one
-    * `doc_<id>.bin` per row, written executor-side (`foreachPartition`, no
-    * driver collect — at 100 TB the fixture writer is the ingest job itself).
-    * Writes go through the Hadoop FileSystem API resolved from the output
-    * path, so on a real cluster the fixture lands on whatever shared
-    * filesystem `out` names (the read-back requires a shared FS either way;
-    * executor-local java.nio writes would strand files on executor hosts).
-    * The query then scans the directory with `binaryFile`, recovers the key
-    * from the file path, and proves content fidelity: per-file md5 digests of
-    * the bytes must match the per-row md5 of the source text, byte for byte.
+    * path for loading image/audio payloads from object storage. Fixture: a
+    * deterministic 1-in-37 document sample is materialized as a BOUNDED
+    * number of multi-document CONTAINER files with per-doc framing
+    * (`[doc_id: 8B][len: 4B][payload]`), one container per partition,
+    * written executor-side (`foreachPartition`, no driver collect — at
+    * 100 TB the fixture writer is the ingest job itself). Containers, not
+    * one-object-per-document: a billion-doc corpus as a billion tiny
+    * objects pays per-object metadata on every list/open — the same cost
+    * the reference's 32 MiB virtual block size exists to amortize
+    * (`CephRgwFileSystem.java:112`) — and the overwrite-then-rewrite cycle
+    * of a per-doc spray dominated this query's wall clock (the r10 bench
+    * dispersion flag). Writes go through the Hadoop FileSystem API resolved
+    * from the output path, so on a real cluster the fixture lands on
+    * whatever shared filesystem `out` names. The query scans the containers
+    * with `binaryFile`, re-frames each document from the payload bytes, and
+    * proves content fidelity: per-doc md5 digests of the framed bytes must
+    * match the per-row digests of the source text, byte for byte.
     */
   def q237BinaryFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val out = s"$scratchRoot/binfiles"
     // Overwrite semantics, mirroring mode("overwrite") on the other
-    // round-trip queries: delete + recreate so a second corpus run in the
-    // same JVM never leaves stale doc_*.bin files matching the glob.
+    // round-trip queries — cheap now: the fixture is a handful of container
+    // files, not a per-document spray.
     val outPath = new org.apache.hadoop.fs.Path(out)
     val dfs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     dfs.delete(outPath, true)
@@ -143,19 +150,35 @@ object FsParity {
     Tables.documents(spark, dir)
       .where(col("doc_id") % 37 === 0)
       .select(col("doc_id"), col("text"))
+      .repartition(8) // bounded container count; at scale, size-targeted
       .foreachPartition { rows: scala.collection.Iterator[org.apache.spark.sql.Row] =>
-        val p = new org.apache.hadoop.fs.Path(out)
-        val fs = p.getFileSystem(confBc.value.value)
-        rows.foreach { r =>
-          val f = fs.create(new org.apache.hadoop.fs.Path(p, s"doc_${r.getLong(0)}.bin"), true)
-          try f.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally f.close()
+        if (rows.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(out)
+          val fs = p.getFileSystem(confBc.value.value)
+          val f = new java.io.DataOutputStream(
+            fs.create(new org.apache.hadoop.fs.Path(p, s"part_$pid.bin"), true))
+          try rows.foreach { r =>
+            val b = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            f.writeLong(r.getLong(0)); f.writeInt(b.length); f.write(b)
+          } finally f.close()
         }
       }
-    spark.read.format("binaryFile").load(s"$out/*.bin")
-      .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
-        col("length"), md5(col("content")).as("content_md5"))
+    spark.read.format("binaryFile").load(s"$out/part_*.bin")
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes => // re-frame: one (doc_id, payload bytes, md5) per doc
+        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+        val docs = Seq.newBuilder[(Long, Long, String)]
+        while (in.available() > 0) {
+          val id = in.readLong()
+          val n = in.readInt()
+          val b = new Array[Byte](n)
+          in.readFully(b)
+          val d = java.security.MessageDigest.getInstance("MD5").digest(b)
+          docs += ((id, n.toLong, d.map("%02x".format(_)).mkString))
+        }
+        docs.result()
+      }.toDF("doc_id", "length", "content_md5")
       .agg(
         count(lit(1)).as("files_cnt"),
         sum(col("length")).as("sum_bytes"),

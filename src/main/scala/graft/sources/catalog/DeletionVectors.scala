@@ -238,6 +238,85 @@ object DeletionVectors {
     override def preferredLocations(): Array[String] = inner.preferredLocations()
   }
 
+  /** Spark's generated row-index column under its TEMPORARY name — a read
+    * schema containing this field makes every parquet reader (vectorized or
+    * record-level, V1 or DSv2) emit the row's TRUE file ordinal in it,
+    * row-group skipping included; it is the column `_metadata.row_index`
+    * itself materializes through.
+    */
+  val RowIdxField: StructField = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    // NULLABLE: the column does not exist in the data files (the readers
+    // GENERATE it), and the parquet readers reject a missing non-nullable
+    // column before the row-index special case gets a look — generation is
+    // keyed on the name alone (ParquetRowIndexUtil.isRowIndexColumn)
+    ParquetFileFormat.ROW_INDEX_FIELD.copy(
+      name = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, nullable = true)
+  }
+
+  /** Position-delete scan info for the ROW-INDEX read path (the plain-scan
+    * mode that KEEPS parquet predicate pushdown): the delegate's read schema
+    * was widened with Spark's `_tmp_metadata_row_index` generated column —
+    * the parquet readers populate it with TRUE file ordinals, row-group
+    * skipping included (the same machinery `_metadata.row_index` rides), so
+    * pushed predicates can skip row groups without desyncing positions.
+    * Readers drop rows whose (file, ordinal) is deleted and project the
+    * generated column back off; `idxOrdinal` is resolved from the BUILT
+    * scan's schema (never assumed trailing — FileScanBuilder reorders to
+    * table-schema order).
+    */
+  final case class PosIdxInfo(
+      idxOrdinal: Int,
+      outputSchema: StructType,
+      projectOrdinals: Array[Int])
+
+  /** Reader factory for the row-index position-delete path: partitions of
+    * DV'd files ([[PosDvPartition]]) filter rows by the generated ordinal
+    * column; every partition projects the generated column off. All
+    * row-based (the mixed-partition rule).
+    */
+  final class PosIdxReaderFactory(inner: PartitionReaderFactory, info: PosIdxInfo,
+      tableDir: String) extends PartitionReaderFactory {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+
+    override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+    private def projected(r: PartitionReader[InternalRow]): PartitionReader[InternalRow] = {
+      val cols = info.projectOrdinals.zip(info.outputSchema.fields).map { case (ord, f) =>
+        (ord, f.dataType, f.nullable)
+      }
+      new PartitionReader[InternalRow] {
+        private lazy val proj = UnsafeProjection.create(cols.toIndexedSeq.map {
+          case (i, dt, n) => BoundReference(i, dt, n)
+        })
+        override def next(): Boolean = r.next()
+        override def get(): InternalRow = proj(r.get())
+        override def close(): Unit = r.close()
+      }
+    }
+
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+      partition match {
+        case PosDvPartition(fp, deleted) =>
+          val base = inner.createReader(fp)
+          val ord = info.idxOrdinal
+          projected(new PartitionReader[InternalRow] {
+            private var current: InternalRow = _
+            override def next(): Boolean = {
+              while (base.next()) {
+                val row = base.get()
+                graft.sources.catalog.ZoneMapScan.bumpPosRows(tableDir)
+                if (!deleted.contains(row.getLong(ord))) { current = row; return true }
+              }
+              false
+            }
+            override def get(): InternalRow = current
+            override def close(): Unit = base.close()
+          })
+        case other => projected(inner.createReader(other))
+      }
+  }
+
   /** Repack pruned partitions for POSITION-delete application — the
     * position twin of [[repack]].
     */

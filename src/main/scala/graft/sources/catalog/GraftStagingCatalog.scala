@@ -231,8 +231,35 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     val (snapshotVersion, snapshotFiles, readPaths, dvNames) =
       headManifest(fs, d) match {
         case Some((v, mf)) =>
-          val names = manifestFiles(fs, mf)
-          (v, Some(names), names.map(f => new Path(d, f).toString), manifestDvs(fs, mf))
+          // COMMIT-GROUP members resolve through their group's latest
+          // published vector, not the table head (CommitGroups): member
+          // commits beyond the pin are phase-1 work an unfinished
+          // multi-table publication hasn't flipped visible yet — reading
+          // them would be exactly the torn combination groups exist to
+          // prevent. The pin is an override with head fallback (a missing
+          // or vacuumed pin never bricks the table), and a pinned snapshot
+          // also anchors row-level ops' optimistic base: DML racing an
+          // in-flight group publication surfaces as a version conflict
+          // instead of silently rewriting unpublished state.
+          CommitGroups.pinnedVersion(fs, d).filter(_ < v) match {
+            case Some(pv) if pv <= 0L =>
+              (0L, Some(Seq.empty[String]), Seq.empty[String], Seq.empty[String])
+            case Some(pv) =>
+              probeManifest(fs, d, pv) match {
+                case Some(pmf) =>
+                  val names = manifestFiles(fs, pmf)
+                  (pv, Some(names), names.map(f => new Path(d, f).toString),
+                    manifestDvs(fs, pmf))
+                case None =>
+                  val names = manifestFiles(fs, mf)
+                  (v, Some(names), names.map(f => new Path(d, f).toString),
+                    manifestDvs(fs, mf))
+              }
+            case None =>
+              val names = manifestFiles(fs, mf)
+              (v, Some(names), names.map(f => new Path(d, f).toString),
+                manifestDvs(fs, mf))
+          }
         case None => (0L, None, Seq(d.toString), Seq.empty[String])
       }
     new VersionedStagingTable(
@@ -312,8 +339,15 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     override def schema(): StructType = delegate.schema
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ)
-    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      delegate.newScanBuilder(options) match {
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      // pinned reads keep pushdown the same way the current-version face
+      // does: a row-index-widened delegate (see VersionedStagingTable)
+      val posCapable = delegate.userSpecifiedSchema.isDefined
+      val scanSrc =
+        if (!posCapable) delegate
+        else delegate.copy(userSpecifiedSchema = delegate.userSpecifiedSchema.map(
+          s => StructType(s.fields :+ DeletionVectors.RowIdxField)))
+      scanSrc.newScanBuilder(options) match {
         case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
           new ZoneMapScanBuilder(fb,
             StagingMaintenance.readStatsFor(tableFs, dir),
@@ -323,9 +357,11 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
             Map.empty, None,
             GraftStagingCatalog.partSpecs(tableFs, dir),
             Map.empty,
-            DeletionVectors.loadPosDvs(tableFs, dir, dvNames))
+            DeletionVectors.loadPosDvs(tableFs, dir, dvNames),
+            posIdxCapable = posCapable)
         case other => other
       }
+    }
   }
 
   /** Read-only face of a time-travel-pinned MOR version: the delegate's
@@ -474,7 +510,20 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       m
     }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-      val inner = readDelegate.newScanBuilder(options)
+      // ACTIVE position DVs: scan through a delegate whose schema carries
+      // Spark's generated `_tmp_metadata_row_index` column — the parquet
+      // readers fill it with TRUE file ordinals (row-group-skip-aware), so
+      // the scan keeps full predicate pushdown while the readers drop
+      // deleted (file, ordinal) rows and project the column back off. The
+      // pre-r11 whole-file sequential-counter read (which had to surrender
+      // ALL pushdown) remains only on the row-level-op path, which pushes
+      // nothing by design.
+      val posCapable = posDvMap.nonEmpty && readDelegate.userSpecifiedSchema.isDefined
+      val scanSrc =
+        if (!posCapable) readDelegate
+        else readDelegate.copy(userSpecifiedSchema = readDelegate.userSpecifiedSchema.map(
+          s => StructType(s.fields :+ DeletionVectors.RowIdxField)))
+      val inner = scanSrc.newScanBuilder(options)
       // Zone-map integration with the PLAIN scan path: when the table has a
       // stats sidecar (ANALYZE ran), wrap the builder so pushed filters are
       // additionally consulted against the per-file [min,max] ranges and
@@ -500,7 +549,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
             scala.jdk.CollectionConverters.MapHasAsScala(options.asCaseSensitiveMap())
               .asScala.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
               .toMap,
-            posDvMap)
+            posDvMap,
+            posIdxCapable = posCapable)
         case other => other
       }
     }
@@ -517,8 +567,10 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
       // merge-on-read tables route EVERY row-level op through the delta
       // path: a keyed DELETE there writes one deletion vector instead of a
-      // copy-on-write file rewrite. Branch faces are append-only (the WAP
-      // ingest surface) — row-level ops go through main after publish.
+      // copy-on-write file rewrite. Branch faces take DML through the
+      // row-level framework too (r11) — the metadata-only deleteWhere path
+      // resolves "current files" from MAIN's head, so it must not answer
+      // for a branch.
       branch.isEmpty && morKeyField.isEmpty &&
         filters.forall(f => GraftStagingCatalog.filterToColumn(f).isDefined)
 
@@ -550,19 +602,19 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
         : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
       new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
         override def build(): org.apache.spark.sql.connector.write.RowLevelOperation = {
-          branch.foreach { b =>
-            throw new UnsupportedOperationException(
-              s"$catalogName: branch '$b' is append-only (write-audit-publish ingest); " +
-                "row-level operations run on main — publish or drop the branch first")
-          }
+          // BRANCH faces take full DML (r11 — Iceberg-branch parity): the
+          // WAP pipeline can MERGE-dedup or DELETE-fix the candidate corpus
+          // ON the branch before publish instead of publishing dirty. The
+          // operation reads the branch snapshot (readDelegate is built from
+          // the branch head) and its commit versions in the BRANCH log.
           morKeyField match {
             case Some(key) =>
               // merge-on-read: delta writes + deletion vectors, zero rewrites
               new StagingDeltaOperation(info, readDelegate, writeDelegate, tableFs,
-                dir, snapshotVersion, snapshotFiles, key, dvNames)
+                dir, snapshotVersion, snapshotFiles, key, dvNames, branch)
             case None =>
               new StagingRowLevelOperation(info, readDelegate, writeDelegate, tableFs,
-                dir, snapshotVersion, snapshotFiles, dvNames)
+                dir, snapshotVersion, snapshotFiles, dvNames, branch)
           }
         }
       }
@@ -1056,6 +1108,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       case "publish"     => Some(StagingProcedures.publish(catalogName))
       case "drop_branch" => Some(StagingProcedures.dropBranch(catalogName))
       case "branches"    => Some(StagingProcedures.branches(catalogName))
+      case "group_create"  => Some(StagingProcedures.groupCreate(catalogName))
+      case "group_publish" => Some(StagingProcedures.groupPublish(catalogName))
       case _          => None
     }
 
@@ -1185,7 +1239,8 @@ private class StagingRowLevelOperation(
     dir: Path,
     snapshotVersion: Long,
     snapshotFiles: Option[Seq[String]],
-    dvNames: Seq[String] = Seq.empty)
+    dvNames: Seq[String] = Seq.empty,
+    branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   /** Position deletes in force at this snapshot (keyless-MOR tables): the
@@ -1294,7 +1349,8 @@ private class StagingRowLevelOperation(
               expectedBase = Some(snapshotVersion),
               // keyless-MOR: carried (unrewritten) files still read under
               // their position DVs; entries for rewritten files are inert
-              dvs = if (posDvs.nonEmpty) dvNames else Seq.empty)
+              dvs = if (posDvs.nonEmpty) dvNames else Seq.empty,
+              branch = branch)
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             inner.abort(messages)
@@ -1346,7 +1402,8 @@ private class StagingDeltaOperation(
     snapshotVersion: Long,
     snapshotFiles: Option[Seq[String]],
     keyField: org.apache.spark.sql.types.StructField,
-    priorDvNames: Seq[String])
+    priorDvNames: Seq[String],
+    branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
 
@@ -1464,7 +1521,7 @@ private class StagingDeltaOperation(
                   }
                 GraftStagingCatalog.writeExplicitManifest(tableFs, dir, snap ++ fresh,
                   kind = info.command().toString.toLowerCase,
-                  expectedBase = Some(snapshotVersion), dvs = dvs)
+                  expectedBase = Some(snapshotVersion), dvs = dvs, branch = branch)
               }
 
               override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2200,13 +2257,18 @@ object GraftStagingCatalog {
     */
   private[catalog] def writeExplicitManifest(fs: FileSystem, d: Path, files: Seq[String],
       kind: String = "optimize", expectedBase: Option[Long] = None,
-      dvs: Seq[String] = Seq.empty): Long =
+      dvs: Seq[String] = Seq.empty, branch: Option[String] = None): Long =
     synchronized {
-      val vd = new Path(d, VersionsDir)
+      // a BRANCH rewrite (DML on the WAP ingest surface) versions in the
+      // branch log against the branch head — main is never consulted nor
+      // advanced, and publish later fast-forwards the rewrite manifests in
+      // verbatim (kinds carry, so downstream change feeds see them)
+      val vd = branch.fold(new Path(d, VersionsDir))(b => branchLogDir(d, b))
       fs.mkdirs(vd)
       var out = -1L
       while (out < 0) {
-        val latest = headManifest(fs, d).map(_._1).getOrElse(0L)
+        val latest = branch.fold(headManifest(fs, d))(b => branchHead(fs, d, b))
+          .map(_._1).getOrElse(0L)
         expectedBase.foreach { base =>
           if (latest != base)
             throw new java.util.ConcurrentModificationException(
@@ -2220,7 +2282,7 @@ object GraftStagingCatalog {
         // lost the create race: loop re-reads the advanced version — with an
         // expectedBase that re-read throws the conflict above
       }
-      maybeCheckpoint(fs, d, out, files, dvs)
+      if (branch.isEmpty) maybeCheckpoint(fs, d, out, files, dvs)
       out
     }
 

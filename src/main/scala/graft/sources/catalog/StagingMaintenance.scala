@@ -52,7 +52,7 @@ private[catalog] case object NoneZ extends ZStat
   */
 object StagingMaintenance {
 
-  private def tableDir(spark: SparkSession, catalog: String, ns: String,
+  private[catalog] def tableDir(spark: SparkSession, catalog: String, ns: String,
       table: String): (FileSystem, Path) = {
     val root = spark.conf.getOption(s"spark.sql.catalog.$catalog.root")
       .getOrElse(throw new IllegalArgumentException(
@@ -347,19 +347,54 @@ object StagingMaintenance {
     * change-feed read instead of at commit time: the diff is a pure
     * function of two immutable manifests + files, so read-side
     * materialization is idempotent and needs no write-path hook or table
-    * property). Columns: the table schema + `_change_type`
-    * ('delete'|'insert') + `_commit_version`. `_SUCCESS` (the parquet
-    * committer's own marker) gates completeness; a crash mid-write simply
-    * re-materializes. Cost is slice-cost, not table cost — the diff reads
-    * only files the version touched by name or by DV (rowLevelChangesAt).
+    * property). Columns: the table schema + `_change_type` + `_commit_
+    * version`. `_SUCCESS` (the parquet committer's own marker) gates
+    * completeness; a crash mid-write simply re-materializes. Cost is
+    * slice-cost, not table cost — the diff reads only files the version
+    * touched by name or by DV (rowLevelChangesAt).
+    *
+    * KEYED tables (a `graft.merge-keys` declaration — every MOR table) get
+    * Delta-CDF update semantics (r11): a version's delete/insert rows that
+    * share a merge key are re-typed `update_preimage`/`update_postimage`,
+    * so a downstream MERGE-applier reads the old→new transition directly
+    * instead of reconstructing it by joining bare pairs within
+    * `_commit_version`. Unpaired rows keep `delete`/`insert` (a MERGE
+    * version mixes paired updates with bare inserts naturally). Keyless
+    * tables stay delete+insert — there is no row identity to pair on.
     */
   private[catalog] def ensureCdf(spark: SparkSession, fs: FileSystem, d: Path,
       v: Long): Path = GraftStagingCatalog.synchronized {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit, row_number, when}
     val out = new Path(new Path(d, CdfDir), s"v$v")
     if (isFile(fs, new Path(out, "_SUCCESS"))) out
     else {
-      rowLevelChangesAt(spark, fs, d, v - 1L, v)
+      val diff = rowLevelChangesAt(spark, fs, d, v - 1L, v)
+      val shaped = DeletionVectors.morKey(fs, d) match {
+        case Some(k) if diff.columns.exists(_.equalsIgnoreCase(k)) =>
+          // pair the two polarities by (key, occurrence#): occurrence rank
+          // is deterministic (ordered by every data column), so duplicate
+          // keys pair stably; intersect is over the slice, not the table
+          val dataCols = diff.columns.filter(_ != "_change").toSeq
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(k), col("_change")).orderBy(dataCols.map(col): _*)
+          val tagged = diff.withColumn("_graft_rn", row_number().over(w))
+          val paired = tagged.where(col("_change") === "delete")
+            .select(col(k).as("_graft_pk"), col("_graft_rn").as("_graft_prn"))
+            .intersect(tagged.where(col("_change") === "insert")
+              .select(col(k).as("_graft_pk"), col("_graft_rn").as("_graft_prn")))
+            .withColumn("_graft_paired", lit(true))
+          tagged.join(paired,
+              tagged(k) === paired("_graft_pk") &&
+                tagged("_graft_rn") === paired("_graft_prn"), "left")
+            .withColumn("_change",
+              when(col("_graft_paired").isNotNull,
+                when(col("_change") === "delete", lit("update_preimage"))
+                  .otherwise(lit("update_postimage")))
+                .otherwise(col("_change")))
+            .drop("_graft_rn", "_graft_pk", "_graft_prn", "_graft_paired")
+        case _ => diff
+      }
+      shaped
         .withColumnRenamed("_change", "_change_type")
         .withColumn("_commit_version", lit(v))
         .write.mode("overwrite").parquet(out.toString)
@@ -1017,9 +1052,13 @@ object StagingMaintenance {
       // audit must survive main's retention until published or dropped
       val branchReg = GraftStagingCatalog.readBranches(fs, d)
       val branchForks = branchReg.values.filter(_ > 0L).toSet
+      // commit-group pins are retention-exempt like tags: a reader resolves
+      // member tables AT the group vector, so a vacuumed pin would brick
+      // every group read (bounded: groups retain a fixed manifest window)
+      val groupPinned = CommitGroups.pins(fs, d)
       val tail = ms.drop(math.max(0, ms.size - retainLast)).map(_._1).toSet
       val (keep, drop) = ms.partition { case (v, _) =>
-        tail(v) || tagged(v) || branchForks(v) }
+        tail(v) || tagged(v) || branchForks(v) || groupPinned(v) }
       val branchFiles = branchReg.keys.flatMap(b =>
         GraftStagingCatalog.branchManifests(fs, d, b)
           .flatMap { case (_, mf) => manifestFiles(fs, mf) }).toSet
@@ -1129,12 +1168,19 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     dvKeyField: Option[org.apache.spark.sql.types.StructField] = None,
     partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty,
     streamOpts: Map[String, String] = Map.empty,
-    posDvs: Map[String, Set[Long]] = Map.empty)
+    posDvs: Map[String, Set[Long]] = Map.empty,
+    posIdxCapable: Boolean = false)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private val dvActive = dvKeys.nonEmpty && dvKeyField.isDefined
   private val posActive = posDvs.nonEmpty
+  // the row-index position path: the delegate TABLE's schema carries
+  // Spark's generated `_tmp_metadata_row_index` column, so positions come
+  // from the parquet readers themselves (row-group-skip-aware) and pushdown
+  // stays ON; without the capability (the row-level-op path, which pushes
+  // nothing by design) positions fall back to the sequential counter
+  private val posIdx = posActive && posIdxCapable
 
   // the conjuncts the query pushed at the scan, translated to V1 filters —
   // ANY of them can prune (zone maps apply the whole conjunction at file
@@ -1145,15 +1191,17 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
 
   override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    // POSITION-delete mode: nothing is pushed to the parquet reader — row
-    // positions are sequential ordinals of an UNFILTERED read, and pushed
-    // predicates would let parquet skip row groups and desync the scan-side
-    // counter. Zone maps still prune at FILE granularity (whole files in or
-    // out — positions unaffected), and Spark re-evaluates every data filter
-    // above the scan regardless. The extra rows read are the MOR trade,
-    // paid only until OPTIMIZE folds the position DVs away.
-    if (posActive) { v1Filters = filters.flatMap(ZoneMapScanBuilder.toV1).toArray; filters }
-    else {
+    // POSITION-delete COUNTER mode (no row-index column available): nothing
+    // is pushed to the parquet reader — row positions are sequential
+    // ordinals of an UNFILTERED read, and pushed predicates would let
+    // parquet skip row groups and desync the scan-side counter. Zone maps
+    // still prune at FILE granularity, and Spark re-evaluates every data
+    // filter above the scan regardless. The row-index path ([[posIdx]])
+    // does NOT take this trade: ordinals are parquet-generated, so
+    // predicates push and row groups skip.
+    if (posActive && !posIdx) {
+      v1Filters = filters.flatMap(ZoneMapScanBuilder.toV1).toArray; filters
+    } else {
       val remaining = delegate.pushFilters(filters)
       v1Filters = filters.flatMap(ZoneMapScanBuilder.toV1).toArray
       remaining
@@ -1169,6 +1217,11 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
         !requiredSchema.fieldNames.exists(_.equalsIgnoreCase(dvKeyField.get.name))) {
       dvKeyAdded = true
       delegate.pruneColumns(StructType(requiredSchema.fields :+ dvKeyField.get))
+    } else if (posIdx) {
+      // row-index position mode: always read the generated ordinal column
+      // alongside the query's columns (projected off by the readers)
+      delegate.pruneColumns(StructType(requiredSchema.fields :+
+        DeletionVectors.RowIdxField))
     } else delegate.pruneColumns(requiredSchema)
   // footer/complete aggregate pushdown is UNSOUND under deletion vectors
   // (pushed counts/min/max would include DV-deleted rows) — disabled until
@@ -1207,6 +1260,24 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
       Some(DeletionVectors.DvScanInfo(dvKeys, keyOrd, key.dataType, out, projectOrds))
     }
 
+  /** Row-index position-delete info against the BUILT scan's schema — the
+    * generated ordinal column's position resolved here (FileScanBuilder
+    * reorders pruned columns to table-schema order, so trailing is never
+    * assumed), plus the projection that strips it back off.
+    */
+  private def posIdxInfo(scan: Scan): Option[DeletionVectors.PosIdxInfo] =
+    if (!posIdx) None
+    else {
+      val wide = scan.readSchema()
+      val ord = wide.fieldNames.indexWhere(_ == DeletionVectors.RowIdxField.name)
+      require(ord >= 0, s"row-index column missing from read schema $wide")
+      val projectOrds = wide.fields.indices.filter(_ != ord).toArray
+      val out = StructType(wide.fields.zipWithIndex.collect {
+        case (f, i) if i != ord => f
+      })
+      Some(DeletionVectors.PosIdxInfo(ord, out, projectOrds))
+    }
+
   override def build(): Scan = {
     val scan = delegate.build()
     val filters = v1Filters
@@ -1216,7 +1287,7 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
       // and a filter-free `readStream.table(…)` must reach it
       case f: FileScan =>
         new ZoneMapPrunedScan(f, stats, filters, nulls, tableDir, blooms, dvInfo(scan),
-          partSpecs, streamOpts, posDvs)
+          partSpecs, streamOpts, posDvs, posIdxInfo(scan))
       case other => other
     }
   }
@@ -1278,6 +1349,13 @@ object ZoneMapScan {
   @volatile var lastRuntimeGroupFilters: Seq[String] = Seq.empty
   /** (untouched, droppedMetadataOnly, rewritten) of the latest DELETE. */
   @volatile var lastDeleteSplit: Option[(Int, Int, Int)] = None
+  /** Rows the position-delete readers pulled from parquet, PER TABLE DIR —
+    * lets tests prove pushed predicates actually skipped row groups (rows
+    * seen < file rows) under active position DVs. Executor-side bump: exact
+    * in local mode, advisory on a cluster.
+    */
+  val posRowsRead = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def bumpPosRows(dir: String): Unit = { posRowsRead.merge(dir, 1L, _ + _); () }
 }
 
 private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
@@ -1290,7 +1368,8 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     dv: Option[DeletionVectors.DvScanInfo] = None,
     partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty,
     streamOpts: Map[String, String] = Map.empty,
-    posDvs: Map[String, Set[Long]] = Map.empty)
+    posDvs: Map[String, Set[Long]] = Map.empty,
+    posIdx: Option[DeletionVectors.PosIdxInfo] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   /** Streaming face of the staging-catalog scan: `readStream.table(…)`
@@ -1319,9 +1398,11 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     else p.getName
   }
 
-  // with a widened-for-DV delegate schema, the scan REPORTS the query's
-  // schema; readers project the appended key column back off
-  override def readSchema(): StructType = dv.fold(delegate.readSchema())(_.outputSchema)
+  // with a widened-for-DV (or row-index) delegate schema, the scan REPORTS
+  // the query's schema; readers project the appended column back off
+  override def readSchema(): StructType =
+    posIdx.map(_.outputSchema)
+      .getOrElse(dv.fold(delegate.readSchema())(_.outputSchema))
   override def toBatch: Batch = this
   override def estimateStatistics(): Statistics = delegate.estimateStatistics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
@@ -1329,8 +1410,13 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     else delegate.columnarSupportMode()
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = delegate.createReaderFactory()
-    val keyed = dv.fold(inner)(info => new DeletionVectors.DvReaderFactory(inner, info))
-    if (posDvs.isEmpty) keyed else new DeletionVectors.PosDvReaderFactory(keyed)
+    posIdx match {
+      case Some(info) => // row-index positions: pushdown kept, ordinal filter
+        new DeletionVectors.PosIdxReaderFactory(inner, info, tableDir)
+      case None =>
+        val keyed = dv.fold(inner)(info => new DeletionVectors.DvReaderFactory(inner, info))
+        if (posDvs.isEmpty) keyed else new DeletionVectors.PosDvReaderFactory(keyed)
+    }
   }
 
   /** Filters in force for pruning — subclasses may add runtime filters. */
@@ -1396,7 +1482,9 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
   override def description(): String =
     delegate.description() + ", GraftZoneMaps: on" +
       (if (dv.exists(_.fileKeys.nonEmpty)) ", GraftDVs: on" else "") +
-      (if (posDvs.nonEmpty) ", GraftPosDVs: on" else "")
+      (if (posDvs.nonEmpty)
+        (if (posIdx.isDefined) ", GraftPosDVs: row-index" else ", GraftPosDVs: counter")
+      else "")
 }
 
 /** The ROW-LEVEL (UPDATE / MERGE / DELETE-fallback) scan: zone-map pruning

@@ -290,6 +290,46 @@ private[catalog] object StagingProcedures {
       }
     }
 
+  def groupCreate(catalog: String): UnboundProcedure =
+    new MaintenanceProc("group_create",
+      "bind tables into a cross-table commit group: readers resolve every " +
+        "member at the group's latest published vector — never a torn mix") {
+      private val out = StructType(Seq(
+        StructField("group", StringType, nullable = false),
+        StructField("members", StringType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("tbls", StringType).build()) // comma-separated
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val name = input.getUTF8String(1).toString
+        val tbls = input.getUTF8String(2).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        CommitGroups.create(spark, catalog,
+          input.getUTF8String(0).toString, name, tbls)
+        one(out, UTF8String.fromString(name),
+          UTF8String.fromString(tbls.mkString(",")))
+      }
+    }
+
+  def groupPublish(catalog: String): UnboundProcedure =
+    new MaintenanceProc("group_publish",
+      "atomically publish every member's current head as the group's next " +
+        "vector (phase 2 — the only point the new versions become readable)") {
+      private val out = StructType(Seq(
+        StructField("group", StringType, nullable = false),
+        StructField("sequence", LongType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val name = input.getUTF8String(1).toString
+        val seq = CommitGroups.publish(spark, catalog,
+          input.getUTF8String(0).toString, name)
+        one(out, UTF8String.fromString(name), seq)
+      }
+    }
+
   def branches(catalog: String): UnboundProcedure =
     new MaintenanceProc("branches",
       "one row per live branch: (name, fork_version, head_version)") {

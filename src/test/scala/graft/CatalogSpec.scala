@@ -1781,7 +1781,57 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.pd")
   }
 
-  test("writable branches: WAP isolation, publish conflict, append-only face, vacuum exemption, drop reclaims") {
+  test("position DVs keep parquet pushdown: PushedFilters reach the scan and row groups skip under active sidecars") {
+    import graft.sources.catalog.{StagingMaintenance, ZoneMapScan}
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pdp")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.pdp (k BIGINT, v STRING)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read')""".stripMargin)
+    // one sorted 200k-row file with tiny (64 KiB) row groups → disjoint
+    // per-group [min,max] on k; a tight range predicate can only stay fast
+    // if it still pushes to parquet WHILE position DVs are active
+    spark.conf.set("parquet.block.size", "65536")
+    try {
+      spark.sql("INSERT INTO stage_t.ws.pdp SELECT id AS k, " +
+        "md5(CAST(id AS STRING)) AS v FROM range(0, 200000, 1, 1)")
+    } finally spark.conf.unset("parquet.block.size")
+    val before = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "pdp").toSet
+    spark.sql("DELETE FROM stage_t.ws.pdp WHERE k >= 50000 AND k < 50100")
+    assert(StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "pdp").toSet === before,
+      "position delete rewrote files")
+    assert(StagingMaintenance.activeDvs(spark, "stage_t", "ws", "pdp").nonEmpty)
+    // the plan still shows parquet pushdown under active position DVs
+    val df = spark.sql("SELECT k, v FROM stage_t.ws.pdp WHERE k >= 100000 AND k < 100100")
+    val planTxt = df.queryExecution.executedPlan.toString
+    assert(planTxt.contains("PushedFilters: [") && !planTxt.contains("PushedFilters: []"),
+      s"position-DV scan lost parquet pushdown:\n$planTxt")
+    // row-group SKIP metric: the reader pulls a small fraction of the file
+    ZoneMapScan.posRowsRead.clear()
+    assert(df.collect().length === 100)
+    val seen = {
+      import scala.jdk.CollectionConverters._
+      ZoneMapScan.posRowsRead.asScala.filter(_._1.endsWith("ws/pdp")).values
+        .map(_.longValue).sum
+    }
+    assert(seen >= 100L && seen < 20000L,
+      s"row groups not skipped under position DVs: reader pulled $seen of 200000 rows")
+    // ordinal correctness UNDER skipping: a selective read over the deleted
+    // band suppresses exactly the deleted ordinals (a desynced counter
+    // would drop the wrong rows)
+    def cnt(w: String) =
+      spark.sql(s"SELECT count(*) FROM stage_t.ws.pdp $w").collect()(0).getLong(0)
+    assert(cnt("WHERE k >= 49990 AND k < 50110") === 20L)
+    assert(cnt("WHERE k = 50050") === 0L && cnt("WHERE k = 49999") === 1L)
+    assert(cnt("") === 199900L)
+    // pinned read rides the same path
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.pdp VERSION AS OF 2 WHERE k < 60000")
+      .collect()(0).getLong(0) === 59900L)
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pdp")
+  }
+
+  test("writable branches: WAP isolation, publish conflict, branch DELETE, vacuum exemption, drop reclaims") {
     import graft.sources.catalog.StagingMaintenance
     mountStage()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
@@ -1793,11 +1843,12 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM stage_t.ws.wap").collect()(0).getLong(0) === 100L)
     assert(spark.sql("SELECT count(*) FROM stage_t.ws.wap.branch_cand")
       .collect()(0).getLong(0) === 150L)
-    // the branch face is APPEND-ONLY: row-level ops are refused with guidance
-    val del = intercept[Exception] {
-      spark.sql("DELETE FROM stage_t.ws.wap.branch_cand WHERE k = 0")
-    }
-    assert(exMessages(del).exists(_.contains("append-only")), del.getMessage)
+    // the branch face takes DML (r11): a DELETE fixes the candidate corpus
+    // ON the branch — main still sees k=0 until publish
+    spark.sql("DELETE FROM stage_t.ws.wap.branch_cand WHERE k = 120")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.wap.branch_cand")
+      .collect()(0).getLong(0) === 149L)
+    spark.sql("INSERT INTO stage_t.ws.wap.branch_cand VALUES (120)") // restore for later counts
     // vacuum while the branch lives: branch-only files survive (exempt)
     spark.sql("CALL stage_t.vacuum('ws', 'wap', 1)")
     assert(spark.sql("SELECT count(*) FROM stage_t.ws.wap.branch_cand")
@@ -1911,6 +1962,121 @@ class CatalogSpec extends SparkSpec {
         "TBLPROPERTIES ('graft.checkpoint-interval'='0')")
     }
     assert(exMessages(zero).exists(_.contains("must be positive")), zero.getMessage)
+  }
+
+  test("cross-table commit groups: readers resolve the published vector or none of it; a writer killed between member commits never exposes a torn pair") {
+    import graft.sources.catalog.CommitGroups
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.gp") // postings analog
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.gd") // doclen analog
+    spark.sql("CREATE TABLE stage_t.ws.gp (tok STRING, doc BIGINT)")
+    spark.sql("CREATE TABLE stage_t.ws.gd (doc BIGINT, dl BIGINT)")
+    spark.sql("CALL stage_t.group_create('ws', 'serve', 'gp,gd')")
+    def n(t: String) =
+      spark.sql(s"SELECT count(*) FROM stage_t.ws.$t").collect()(0).getLong(0)
+    // phase 1 of the first slice: members commit one at a time — readers
+    // stay on the bound-at-create EMPTY vector throughout
+    spark.sql("INSERT INTO stage_t.ws.gp VALUES ('a', 1), ('b', 1)")
+    assert(n("gp") === 0L && n("gd") === 0L,
+      "reader saw a member commit before the group published")
+    spark.sql("INSERT INTO stage_t.ws.gd VALUES (1, 2)")
+    assert(n("gp") === 0L && n("gd") === 0L)
+    // phase 2: ONE pointer flip makes both visible together
+    spark.sql("CALL stage_t.group_publish('ws', 'serve')")
+    assert(n("gp") === 2L && n("gd") === 1L, "publish did not flip both members")
+    // WRITER KILLED between member commits: the second slice lands in gp,
+    // the process dies before gd / publish — every reader keeps resolving
+    // the previous consistent pair, never (new gp, old gd)
+    spark.sql("INSERT INTO stage_t.ws.gp VALUES ('c', 2)")
+    assert(n("gp") === 2L && n("gd") === 1L,
+      "torn combination visible after simulated writer death")
+    // the RETRY re-runs phase 1 for the missing member and publishes once
+    spark.sql("INSERT INTO stage_t.ws.gd VALUES (2, 3)")
+    spark.sql("CALL stage_t.group_publish('ws', 'serve')")
+    assert(n("gp") === 3L && n("gd") === 2L)
+    // a TORN manifest in the NEXT sequence slot (no integrity sentinel):
+    // readers treat it as absent — the previous sequence keeps serving —
+    // and a publisher targeting that slot sees an occupied destination,
+    // i.e. a conflict, never a lost or silently merged vector
+    val gdir = new java.io.File(stageRoot, "ws/_graft_groups/serve")
+    val nextSeq = gdir.listFiles().map(_.getName)
+      .filter(f => f.startsWith("g-") && f.endsWith(".json"))
+      .map(f => f.substring(2, f.length - 5).toLong).max + 1
+    val torn = new java.io.File(gdir, s"g-$nextSeq.json")
+    java.nio.file.Files.writeString(torn.toPath,
+      s"""{"seq":$nextSeq,"members":{"gp":0,""")
+    assert(n("gp") === 3L && n("gd") === 2L, "torn group manifest was trusted")
+    val lost = intercept[java.util.ConcurrentModificationException] {
+      CommitGroups.publish(spark, "stage_t", "ws", "serve")
+    }
+    assert(lost.getMessage.contains("published concurrently"))
+    assert(torn.delete())
+    // vacuum exempts group-pinned versions: push gp's head past the pin,
+    // vacuum to retain_last=1 — the pinned version survives and still reads
+    spark.sql("INSERT INTO stage_t.ws.gp VALUES ('dead', 9)") // unpublished
+    spark.sql("CALL stage_t.vacuum('ws', 'gp', 1)")
+    assert(n("gp") === 3L, "vacuum reclaimed a group-pinned version")
+    // explicit time travel bypasses the pin (an explicit version IS a pin)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.gp VERSION AS OF 3")
+      .collect()(0).getLong(0) === 4L)
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.gp")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.gd")
+  }
+
+  test("branch DML: MERGE/UPDATE/DELETE run on the branch face, main isolated until publish carries the rewrites") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.bdml")
+    spark.sql("CREATE TABLE stage_t.ws.bdml AS " +
+      "SELECT id AS k, CAST(id AS STRING) AS v FROM range(0, 100)")
+    val mainSum = () => spark.sql("SELECT sum(k) FROM stage_t.ws.bdml")
+      .collect()(0).getLong(0)
+    val base = mainSum()
+    spark.sql("CALL stage_t.branch('ws', 'bdml', 'fix')")
+    // ingest a dirty candidate batch: fresh rows + stale re-deliveries of
+    // existing keys (the duplicate-laden reality WAP audits catch)
+    spark.sql("INSERT INTO stage_t.ws.bdml.branch_fix " +
+      "SELECT id AS k, concat('dup_', id) AS v FROM range(90, 120)")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.bdml.branch_fix")
+      .collect()(0).getLong(0) === 130L)
+    // branch MERGE dedup: collapse each key to one row, latest value wins
+    spark.sql(
+      """MERGE INTO stage_t.ws.bdml.branch_fix t USING (
+        |  SELECT k, max(v) AS v FROM stage_t.ws.bdml.branch_fix
+        |  GROUP BY k HAVING count(*) > 1) s
+        |ON t.k = s.k
+        |WHEN MATCHED AND t.v <> s.v THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.bdml.branch_fix")
+      .collect()(0).getLong(0) === 120L, "branch MERGE dedup failed")
+    // branch UPDATE + DELETE polish the candidate further
+    spark.sql("UPDATE stage_t.ws.bdml.branch_fix SET v = 'fixed' WHERE k = 115")
+    spark.sql("DELETE FROM stage_t.ws.bdml.branch_fix WHERE k = 119")
+    assert(spark.sql(
+      "SELECT v FROM stage_t.ws.bdml.branch_fix WHERE k = 115").collect()(0)
+      .getString(0) === "fixed")
+    // main saw NOTHING through all four branch commits
+    assert(mainSum() === base, "branch DML leaked into main")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.bdml").collect()(0).getLong(0) === 100L)
+    // audit passes → publish carries the DML versions onto main verbatim
+    val audit = spark.sql(
+      """SELECT count(*) - count(DISTINCT k) AS dups
+        |FROM stage_t.ws.bdml.branch_fix""".stripMargin).collect()(0).getLong(0)
+    assert(audit === 0L, "audit should pass after branch dedup")
+    spark.sql("CALL stage_t.publish('ws', 'bdml', 'fix')")
+    val res = spark.sql(
+      "SELECT count(*) AS n, sum(k) AS s FROM stage_t.ws.bdml").collect()(0)
+    assert(res.getLong(0) === 119L, s"published rows: ${res.getLong(0)}")
+    // expected: keys 0..118 (119 deleted), duplicates collapsed
+    assert(res.getLong(1) === (0L until 119L).sum, s"published sum: ${res.getLong(1)}")
+    // dedup kept exactly one row per key ('dup_' wins by max(v)): 90..118
+    // carry the candidate value except the k=115 fix
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.bdml WHERE v LIKE 'dup_%'")
+      .collect()(0).getLong(0) === 28L, "dedup survivors wrong after publish")
+    assert(spark.sql("SELECT count(DISTINCT k) FROM stage_t.ws.bdml")
+      .collect()(0).getLong(0) === 119L, "duplicate keys published")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.bdml")
   }
 
   test("manifest-log checkpointing: bounded resolution over a 200-version log; ledger and pointer survive VACUUM") {

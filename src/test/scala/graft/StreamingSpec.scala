@@ -729,6 +729,39 @@ class StreamingSpec extends SparkSpec {
       assert(counts.size === 9 && !counts.values().stream().anyMatch(n => n > 1L),
         counts.toString)
     } finally q3.stop()
+    // KEYED tables pair update images (r11 — the Delta-CDF surface): an
+    // UPDATE's delete/insert rows sharing the merge key stream as
+    // update_preimage/update_postimage, and a MERGE mixes a paired update
+    // with a bare insert in one version. The unpaired DV-only DELETE above
+    // stayed a bare 'delete' — pairing never invents a postimage.
+    spark.sql("UPDATE cdf_cat.ws.m SET v = 'u' WHERE k = 5")
+    spark.sql(
+      """MERGE INTO cdf_cat.ws.m t USING
+        |  (SELECT 6L AS k, 'mm' AS v UNION ALL SELECT 300L, 'fresh') s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    counts.clear()
+    val q4 = spark.readStream.table("cdf_cat.ws.m.changes")
+      .writeStream.option("checkpointLocation", ckpt2).outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          counts.merge((r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)), 1L, _ + _)
+        }
+        ()
+      }.start()
+    try {
+      q4.processAllAvailable()
+      assert(counts.containsKey((5L, "5", "update_preimage", 3L)) &&
+        counts.containsKey((5L, "u", "update_postimage", 3L)),
+        s"UPDATE did not pair images: $counts")
+      assert(counts.containsKey((6L, "6", "update_preimage", 4L)) &&
+        counts.containsKey((6L, "mm", "update_postimage", 4L)) &&
+        counts.containsKey((300L, "fresh", "insert", 4L)),
+        s"MERGE did not mix paired update with bare insert: $counts")
+      assert(counts.size === 5 && !counts.values().stream().anyMatch(n => n > 1L),
+        counts.toString)
+    } finally q4.stop()
   }
 
   test("readStream.table tails version manifests: exactly-once appends, OPTIMIZE skipped, changes gated") {
