@@ -2840,7 +2840,8 @@ object Connectors {
     GraftQuery.sql("q330_write_audit_publish", q330WriteAuditPublish, q330Oracle),
     GraftQuery.sql("q331_position_deletes", q331PositionDeletes, q331Oracle),
     GraftQuery.sql("q332_branch_merge_publish", q332BranchMergePublish, q332Oracle),
-    GraftQuery.sql("q333_commit_groups", q333CommitGroups, q333Oracle))
+    GraftQuery.sql("q333_commit_groups", q333CommitGroups, q333Oracle),
+    GraftQuery.sql("q334_branch_rebase", q334BranchRebase, q334Oracle))
 
   // ---------------------------------------------------------------- q332
 
@@ -3006,6 +3007,105 @@ object Connectors {
       |  CAST(count(*) AS BIGINT) AS fact_cnt,
       |  min(k) AS min_k, max(k) AS max_k
       |FROM sl GROUP BY k % 11 ORDER BY g""".stripMargin
+
+  // ---------------------------------------------------------------- q334
+
+  /** BRANCH REBASE (r11): publish is fast-forward-only by design — a main
+    * commit landing after the fork makes the branch's snapshots stale, and
+    * copying them verbatim would silently drop main's commit. Before
+    * rebase, that single commit permanently STRANDED the branch: the only
+    * way out was drop + rebuild. This query drives the real recovery path:
+    *
+    *   - standing corpus (¼ of orders), branch 'retry' forks it,
+    *   - branch ingest + corrections + a branch MERGE dedup (a REWRITE
+    *     delta — the hard case: the branch rewrote one of the fork's
+    *     files),
+    *   - a concurrent writer lands a slice ON MAIN → the branch is
+    *     stranded: `CALL publish` must CONFLICT (required, caught),
+    *   - `CALL rebase` re-derives each branch commit as a file-set delta,
+    *     proves file-granular serializability over main's append (an
+    *     append never overlaps a branch rewrite), and replays the deltas
+    *     as fresh snapshots computed from main's head, renumbered past it,
+    *   - publish now fast-forwards; main = its own slice ∪ the branch's
+    *     deduped corpus, nothing dropped on either side.
+    *
+    * The oracle recomputes the three-way union with corrections straight
+    * from `orders` — a hash match proves rebase loses neither main's
+    * post-fork commit nor any branch delta, including the rewrite.
+    */
+  def q334BranchRebase(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_rb_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_rb")
+    spark.sql( // standing corpus: a quarter of orders
+      """CREATE TABLE graft_stage.work.orders_rb AS
+        |SELECT o_orderkey AS k, o_custkey AS v
+        |FROM orders_rb_src WHERE o_orderkey % 4 = 1""".stripMargin)
+    spark.sql("CALL graft_stage.branch('work', 'orders_rb', 'retry')")
+    spark.sql( // branch ingest: the next slice
+      """INSERT INTO graft_stage.work.orders_rb.branch_retry
+        |SELECT o_orderkey, o_custkey
+        |FROM orders_rb_src WHERE o_orderkey % 4 = 2""".stripMargin)
+    spark.sql( // re-delivered corrections of existing keys → duplicate keys
+      """INSERT INTO graft_stage.work.orders_rb.branch_retry
+        |SELECT o_orderkey, -(o_custkey + 1)
+        |FROM orders_rb_src WHERE o_orderkey % 8 = 1""".stripMargin)
+    // branch MERGE dedup (keeps each duplicated key's correction, min v) —
+    // this REWRITES one of the fork's files, the delta kind rebase must
+    // prove serializable and replay
+    spark.sql(
+      """MERGE INTO graft_stage.work.orders_rb.branch_retry t USING (
+        |  SELECT k, min(v) AS v FROM graft_stage.work.orders_rb.branch_retry
+        |  GROUP BY k HAVING count(*) > 1) s
+        |ON t.k = s.k
+        |WHEN MATCHED AND t.v <> s.v THEN DELETE""".stripMargin)
+    // …meanwhile a concurrent writer lands a slice ON MAIN: the branch is
+    // now STRANDED (fork=1, main=2)
+    spark.sql(
+      """INSERT INTO graft_stage.work.orders_rb
+        |SELECT o_orderkey, o_custkey
+        |FROM orders_rb_src WHERE o_orderkey % 4 = 3""".stripMargin)
+    // fast-forward publish MUST refuse — silently dropping main's slice is
+    // the failure mode rebase exists to prevent
+    val refused =
+      try { spark.sql("CALL graft_stage.publish('work', 'orders_rb', 'retry')"); false }
+      catch { case e: Throwable =>
+        Option(e.getMessage).exists(_.contains("publish conflict")) ||
+          Option(e.getCause).flatMap(c => Option(c.getMessage))
+            .exists(_.contains("publish conflict")) }
+    require(refused, "publish fast-forwarded over main's post-fork commit")
+    val newFork = spark.sql("CALL graft_stage.rebase('work', 'orders_rb', 'retry')")
+      .collect()(0).getLong(1)
+    require(newFork == 2L, s"rebase re-anchored at $newFork, expected main's head 2")
+    spark.sql("CALL graft_stage.publish('work', 'orders_rb', 'retry')")
+    spark.sql(
+      """SELECT k % 5 AS g, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+        |  sum(v) AS sum_v
+        |FROM graft_stage.work.orders_rb
+        |GROUP BY k % 5 ORDER BY g""".stripMargin)
+  }
+
+  /** The three-way union recomputed from raw orders: the %4=1 slice with
+    * %8=1 keys corrected, the branch's %4=2 slice, and main's post-fork
+    * %4=3 slice — rebase must preserve all three.
+    */
+  val q334Oracle: String =
+    """SELECT k % 5 AS g, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+      |  CAST(sum(v) AS BIGINT) AS sum_v
+      |FROM (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 8 = 1 THEN -(o_custkey + 1) ELSE o_custkey END AS v
+      |  FROM orders WHERE o_orderkey % 4 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey AS k, o_custkey AS v
+      |  FROM orders WHERE o_orderkey % 4 = 2
+      |  UNION ALL
+      |  SELECT o_orderkey AS k, o_custkey AS v
+      |  FROM orders WHERE o_orderkey % 4 = 3)
+      |GROUP BY k % 5 ORDER BY g""".stripMargin
 
   /** Dedup-then-publish recomputed from raw orders: the surviving corpus is
     * the %4=1 slice with %8=1 keys corrected to -(o_custkey+1), plus the

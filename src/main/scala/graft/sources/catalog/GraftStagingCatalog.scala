@@ -1106,6 +1106,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       case "tags"     => Some(StagingProcedures.tags(catalogName))
       case "branch"      => Some(StagingProcedures.branch(catalogName))
       case "publish"     => Some(StagingProcedures.publish(catalogName))
+      case "rebase"      => Some(StagingProcedures.rebase(catalogName))
       case "drop_branch" => Some(StagingProcedures.dropBranch(catalogName))
       case "branches"    => Some(StagingProcedures.branches(catalogName))
       case "group_create"  => Some(StagingProcedures.groupCreate(catalogName))
@@ -1121,7 +1122,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       throw new RuntimeException(
         s"$catalogName: unknown procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
           "(available: optimize, analyze, bloom, vacuum, history, detail, restore, " +
-          "tag, drop_tag, tags, branch, publish, drop_branch, branches)"))
+          "tag, drop_tag, tags, branch, publish, rebase, drop_branch, branches)"))
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -2160,7 +2161,7 @@ object GraftStagingCatalog {
     out.result().sorted
   }
 
-  private def manifestJson(files: Seq[String], batchId: Option[Long], kind: String,
+  private[catalog] def manifestJson(files: Seq[String], batchId: Option[Long], kind: String,
       dvs: Seq[String] = Seq.empty): String = {
     val bid = batchId.map(b => s""""batchId":$b,""").getOrElse("")
     val dvField =

@@ -818,6 +818,121 @@ object StagingMaintenance {
     }
   }
 
+  /** REBASE a stranded branch onto the current main head. `publish` is
+    * deliberately fast-forward-only (a main that advanced since the fork
+    * makes the branch's SNAPSHOTS stale — copying them would silently drop
+    * main's newer commits), so without this a single main commit after the
+    * fork permanently stranded a WAP branch. Rebase is the retry path:
+    * it re-derives each branch commit as a DELTA against its predecessor
+    * (added/removed files, added/removed DV sidecars — manifests are full
+    * snapshots, so the delta is two set differences), checks the deltas
+    * are SERIALIZABLE over main's post-fork changes at file granularity,
+    * and replays them as fresh branch snapshots computed from MAIN's head
+    * state, renumbered `mainHead+1…`. The registry re-anchors the fork at
+    * the main head, and the existing fast-forward `publish` applies.
+    *
+    * Conflict rules (any hit throws; the always-correct fallback is
+    * re-branch + re-apply, exactly what publish's error message says):
+    *  - a file the branch REMOVED (rewrote via branch DML) is no longer in
+    *    main's head — both sides rewrote it; replaying the branch's version
+    *    would silently drop main's outcome;
+    *  - a branch-added DV targets a fork file main has since removed — the
+    *    deletes were computed against rows main already rewrote away;
+    *  - main added a DV to a file the branch removed — the branch's rewrite
+    *    of that file predates main's deletes and would resurrect them;
+    *  - (degenerate) a branch-added file NAME collides with a main file.
+    *
+    * Pure appends on both sides always rebase cleanly — the Iceberg
+    * cherry-pick guarantee — and main-side OPTIMIZE never conflicts with a
+    * branch append: the replay starts from main's compacted file set and
+    * layers the branch's new files on top. Returns the new fork version
+    * (= main's head at rebase time).
+    */
+  def rebase(spark: SparkSession, catalog: String, ns: String, table: String,
+      name: String): Long = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    GraftStagingCatalog.synchronized {
+      val branches = GraftStagingCatalog.readBranches(fs, d)
+      val fork = branches.getOrElse(name,
+        throw new IllegalArgumentException(s"$catalog.$ns.$table has no branch '$name'"))
+      val mainHead = GraftStagingCatalog.headManifest(fs, d).map(_._1).getOrElse(0L)
+      if (mainHead == fork) fork // already based — publish will fast-forward
+      else {
+        def state(v: Long): (Set[String], Set[String]) =
+          if (v == 0L) (Set.empty, Set.empty)
+          else {
+            val mf = GraftStagingCatalog.probeManifest(fs, d, v).getOrElse(
+              throw new IllegalStateException(
+                s"rebase: version $v of $catalog.$ns.$table is gone (VACUUMed?)"))
+            (GraftStagingCatalog.manifestFiles(fs, mf).toSet,
+              GraftStagingCatalog.manifestDvs(fs, mf).toSet)
+          }
+        val (forkFiles, forkDvs) = state(fork)
+        val (mainFiles, mainDvs) = state(mainHead)
+        val mainRemoved = forkFiles -- mainFiles
+        // per-commit deltas, oldest first; kind/batchId carry verbatim so
+        // change-feed consumers and the exactly-once ledger see the same
+        // commit identities after the replay
+        final case class Delta(kind: String, batchId: Option[Long],
+          addF: Set[String], remF: Set[String], addDv: Set[String], remDv: Set[String])
+        var prevF = forkFiles; var prevDv = forkDvs
+        val deltas = GraftStagingCatalog.branchManifests(fs, d, name).map { case (_, mf) =>
+          val txt = readString(fs, mf)
+          val fset = GraftStagingCatalog.parseManifestFiles(txt).toSet
+          val dvset = GraftStagingCatalog.parseArray(txt, "dvs").toSet
+          val kind = "\"kind\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse("commit")
+          val bid = "\"batchId\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+          val dl = Delta(kind, bid, fset -- prevF, prevF -- fset,
+            dvset -- prevDv, prevDv -- dvset)
+          prevF = fset; prevDv = dvset; dl
+        }
+        def dvTargets(names: Set[String]): Set[String] = names.flatMap { n =>
+          DeletionVectors.loadDvs(fs, d, Seq(n)).keySet ++
+            DeletionVectors.loadPosDvs(fs, d, Seq(n)).keySet
+        }
+        val branchRemoved = deltas.iterator.flatMap(_.remF).toSet & forkFiles
+        def conflict(what: String): Nothing =
+          throw new java.util.ConcurrentModificationException(
+            s"rebase conflict on $catalog.$ns.$table branch '$name': $what — " +
+              "re-branch from the current head and re-apply (or drop the branch)")
+        if ((branchRemoved & mainRemoved).nonEmpty)
+          conflict(s"both the branch and main rewrote " +
+            s"${(branchRemoved & mainRemoved).toSeq.sorted.take(3).mkString(", ")}")
+        val branchAdds = deltas.iterator.flatMap(_.addF).toSet
+        if ((branchAdds & mainFiles).nonEmpty)
+          conflict(s"branch file name collides with a main file: " +
+            s"${(branchAdds & mainFiles).head}")
+        val branchDvTargets = dvTargets(deltas.iterator.flatMap(_.addDv).toSet) & forkFiles
+        if ((branchDvTargets & mainRemoved).nonEmpty)
+          conflict(s"a branch delete targets ${(branchDvTargets & mainRemoved).head}, " +
+            "which main has since rewritten")
+        val mainDvTargets = dvTargets(mainDvs -- forkDvs)
+        if ((mainDvTargets & branchRemoved).nonEmpty)
+          conflict(s"main deleted rows of ${(mainDvTargets & branchRemoved).head}, " +
+            "which the branch rewrote from the pre-delete state")
+        // replay: each delta applied to the running state that STARTS at
+        // main's head — snapshots renumbered mainHead+1…; zero data bytes
+        // move (branch data files already live in the table dir)
+        var curF = mainFiles; var curDv = mainDvs
+        val replayed = deltas.zipWithIndex.map { case (dl, i) =>
+          curF = curF ++ dl.addF -- dl.remF
+          curDv = curDv ++ dl.addDv -- dl.remDv
+          (mainHead + i + 1L, GraftStagingCatalog.manifestJson(
+            curF.toSeq, dl.batchId, dl.kind, curDv.toSeq))
+        }
+        val logDir = GraftStagingCatalog.branchLogDir(d, name)
+        fs.delete(logDir, true)
+        fs.mkdirs(logDir)
+        replayed.foreach { case (v, json) =>
+          GraftStagingCatalog.writeString(fs, new Path(logDir, s"v$v.json"), json)
+        }
+        GraftStagingCatalog.writeBranches(fs, d, branches + (name -> mainHead))
+        mainHead
+      }
+    }
+  }
+
   /** DROP a branch: the audit failed (or the experiment ended) — the branch
     * log vanishes, its commits' data files become unreferenced orphans, and
     * VACUUM reclaims them. Main never saw any of it: the WAP guarantee.

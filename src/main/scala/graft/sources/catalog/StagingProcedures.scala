@@ -272,6 +272,25 @@ private[catalog] object StagingProcedures {
       }
     }
 
+  def rebase(catalog: String): UnboundProcedure =
+    new MaintenanceProc("rebase",
+      "replay a stranded branch's commit deltas onto the advanced main head " +
+        "(file-granular serializability check); publish then fast-forwards") {
+      private val out = StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("new_fork", LongType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val name = input.getUTF8String(2).toString
+        val fork = StagingMaintenance.rebase(spark, catalog,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString, name)
+        one(out, UTF8String.fromString(name), fork)
+      }
+    }
+
   def dropBranch(catalog: String): UnboundProcedure =
     new MaintenanceProc("drop_branch",
       "discard a branch (failed audit / abandoned experiment): its commits' " +

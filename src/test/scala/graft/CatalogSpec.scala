@@ -1882,6 +1882,58 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.wap")
   }
 
+  test("rebase: replays a stranded branch's deltas onto the advanced main; conflicts on overlapping rewrites") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.rb")
+    spark.sql("CREATE TABLE stage_t.ws.rb AS SELECT id AS k FROM range(0, 100)") // v1
+    spark.sql("CALL stage_t.branch('ws', 'rb', 'r')")
+    spark.sql("INSERT INTO stage_t.ws.rb.branch_r SELECT id FROM range(100, 150)")
+    // a branch REWRITE delta (the hard replay case): DML on the branch face
+    spark.sql("DELETE FROM stage_t.ws.rb.branch_r WHERE k = 120")
+    // main advances past the fork → the branch is stranded
+    spark.sql("INSERT INTO stage_t.ws.rb SELECT id FROM range(1000, 1010)") // v2
+    val conflict = intercept[Exception] {
+      spark.sql("CALL stage_t.publish('ws', 'rb', 'r')")
+    }
+    assert(exMessages(conflict).exists(_.contains("publish conflict")), conflict.getMessage)
+    // rebase re-anchors at main's head; the branch face now reads BOTH its
+    // own deltas and main's post-fork slice
+    val fork = spark.sql("CALL stage_t.rebase('ws', 'rb', 'r')").collect()(0).getLong(1)
+    assert(fork === 2L, s"rebase re-anchored at $fork")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.rb.branch_r")
+      .collect()(0).getLong(0) === 159L, "rebased branch lost a delta or main's slice")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.rb.branch_r WHERE k = 120")
+      .collect()(0).getLong(0) === 0L, "rebased branch lost the rewrite delta")
+    // main still isolated until publish; publish now fast-forwards
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.rb").collect()(0).getLong(0) === 110L)
+    spark.sql("CALL stage_t.publish('ws', 'rb', 'r')")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.rb").collect()(0).getLong(0) === 159L)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.rb WHERE k = 120")
+      .collect()(0).getLong(0) === 0L)
+    // an EMPTY stranded branch just re-anchors (no manifests to replay)
+    spark.sql("CALL stage_t.branch('ws', 'rb', 'empty')")
+    spark.sql("INSERT INTO stage_t.ws.rb VALUES (5000)")
+    val fork2 = spark.sql("CALL stage_t.rebase('ws', 'rb', 'empty')").collect()(0).getLong(1)
+    val head2 = StagingMaintenance.branches(spark, "stage_t", "ws", "rb")("empty")._1
+    assert(fork2 === head2, "empty rebase did not re-anchor the registry")
+    spark.sql("CALL stage_t.publish('ws', 'rb', 'empty')") // no-op fast-forward
+    // CONFLICT: branch and main rewrite the SAME file → rebase must refuse
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.rbc")
+    spark.sql("CREATE TABLE stage_t.ws.rbc AS SELECT id AS k FROM range(0, 10)") // one file
+    spark.sql("CALL stage_t.branch('ws', 'rbc', 'x')")
+    spark.sql("DELETE FROM stage_t.ws.rbc.branch_x WHERE k = 3") // branch rewrites the file
+    spark.sql("DELETE FROM stage_t.ws.rbc WHERE k = 7")          // main rewrites it too
+    val rc = intercept[Exception] { spark.sql("CALL stage_t.rebase('ws', 'rbc', 'x')") }
+    assert(exMessages(rc).exists(_.contains("rebase conflict")), rc.getMessage)
+    // the always-correct fallback stays available
+    spark.sql("CALL stage_t.drop_branch('ws', 'rbc', 'x')")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.rbc").collect()(0).getLong(0) === 9L)
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.rb")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.rbc")
+  }
+
   test("hardened metadata: branch-face exactly-once, torn-checkpoint fallback, legacy era schemas, interval validation") {
     import spark.implicits._
     mountStage()
