@@ -2841,7 +2841,8 @@ object Connectors {
     GraftQuery.sql("q331_position_deletes", q331PositionDeletes, q331Oracle),
     GraftQuery.sql("q332_branch_merge_publish", q332BranchMergePublish, q332Oracle),
     GraftQuery.sql("q333_commit_groups", q333CommitGroups, q333Oracle),
-    GraftQuery.sql("q334_branch_rebase", q334BranchRebase, q334Oracle))
+    GraftQuery.sql("q334_branch_rebase", q334BranchRebase, q334Oracle),
+    GraftQuery.sql("q335_row_lineage", q335RowLineage, q335Oracle))
 
   // ---------------------------------------------------------------- q332
 
@@ -3087,6 +3088,92 @@ object Connectors {
         |FROM graft_stage.work.orders_rb
         |GROUP BY k % 5 ORDER BY g""".stripMargin)
   }
+
+  // ---------------------------------------------------------------- q335
+
+  /** ROW LINEAGE (r11 — the Iceberg-v3 / Delta-row-tracking surface): every
+    * row of a `'graft.row-lineage'='true'` table carries a table-unique,
+    * STABLE `_row_id` — assigned as pure manifest arithmetic at commit
+    * (per-file base + parquet row_index; zero data I/O), materialized into
+    * a physical column by identity-preserving rewrites
+    * ([[graft.sources.catalog.RowLineage]]). The provenance key a 100 TB
+    * training pipeline wants on every example, and the identity an
+    * incremental consumer needs to recognize "the same row" across layout
+    * changes.
+    *
+    * The query drives the lifecycle on an orders-derived corpus and PINS
+    * the identity contract with in-query requires (ids are
+    * assignment-order-dependent, so the ORACLE can't see them — the
+    * requires are the lineage proof; the final SELECT is plain data DuckDB
+    * recomputes):
+    *
+    *   - CTAS + INSERT: every row gets a unique id (count == distinct),
+    *   - OPTIMIZE (clustered compaction): the full (id, key)-binding
+    *     checksum is IDENTICAL before and after — identity survived the
+    *     rewrite physically,
+    *   - a ranged COW DELETE: survivors keep their ids (the same checksum
+    *     restricted to survivors matches), deleted ids vanish,
+    *   - the ids ride a plain parquet scan (broadcast base-map join +
+    *     one projection — full pushdown preserved).
+    */
+  def q335RowLineage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, countDistinct, count => fcount, sum => fsum}
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_rl_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_rl")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_rl
+        |TBLPROPERTIES ('graft.row-lineage'='true')
+        |AS SELECT o_orderkey AS k, o_custkey AS v
+        |FROM orders_rl_src WHERE o_orderkey % 3 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.orders_rl
+        |SELECT o_orderkey, o_custkey
+        |FROM orders_rl_src WHERE o_orderkey % 3 = 1""".stripMargin)
+    def lineage() = graft.sources.catalog.StagingMaintenance
+      .readLineage(spark, "graft_stage", "work", "orders_rl")
+    // (id, key)-binding checksum: equal sums of id and id·f(k) over equal
+    // row counts pin the exact id-to-row assignment, not just the id SET
+    def sums(df: org.apache.spark.sql.DataFrame): (Long, Long, BigDecimal, BigDecimal) = {
+      val r = df.agg(
+        fcount(col("k")), countDistinct(col("_row_id")),
+        fsum(col("_row_id").cast("decimal(38,0)")),
+        fsum(col("_row_id").cast("decimal(38,0)") * (col("k") % 97 + 1))).collect()(0)
+      (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3)))
+    }
+    val pre = sums(lineage())
+    require(pre._1 == pre._2, s"row ids not unique: ${pre._1} rows, ${pre._2} ids")
+    // clustered compaction MUST preserve identity (materialized physically)
+    graft.sources.catalog.StagingMaintenance.optimize(spark,
+      "graft_stage", "work", "orders_rl", targetFiles = 4, clusterBy = Some("k"))
+    val post = sums(lineage())
+    require(post == pre, s"OPTIMIZE re-identified rows: $pre -> $post")
+    // ranged COW DELETE: survivors keep their ids bit-for-bit
+    val preSurvivors = sums(lineage().where(col("k") >= 500))
+    spark.sql("DELETE FROM graft_stage.work.orders_rl WHERE k < 500")
+    val afterDel = sums(lineage())
+    require(afterDel == preSurvivors,
+      s"DELETE re-identified survivors: $preSurvivors -> $afterDel")
+    spark.sql(
+      """SELECT k % 7 AS g, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+        |  sum(v) AS sum_v
+        |FROM graft_stage.work.orders_rl
+        |GROUP BY k % 7 ORDER BY g""".stripMargin)
+  }
+
+  /** The surviving corpus recomputed from raw orders: both ingested slices,
+    * minus the ranged delete.
+    */
+  val q335Oracle: String =
+    """SELECT k % 7 AS g, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+      |  CAST(sum(v) AS BIGINT) AS sum_v
+      |FROM (SELECT o_orderkey AS k, o_custkey AS v FROM orders
+      |      WHERE o_orderkey % 3 <= 1)
+      |WHERE k >= 500
+      |GROUP BY k % 7 ORDER BY g""".stripMargin
 
   /** The three-way union recomputed from raw orders: the %4=1 slice with
     * %8=1 keys corrected, the branch's %4=2 slice, and main's post-fork

@@ -717,14 +717,17 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
                   val fresh = GraftStagingCatalog.dataFiles(tableFs, dir).filterNot(before)
                   // legacy un-versioned table: pre-existing data = the
                   // PRE-insert listing, never this statement's fresh files
-                  val kept = GraftStagingCatalog.filesAfterDelete(tableFs, dir, filters,
-                    noManifestCurrent = Some(before.toSeq.sorted))
+                  val (kept, rewritten) = GraftStagingCatalog.filesAfterDelete(tableFs, dir,
+                    filters, noManifestCurrent = Some(before.toSeq.sorted))
                   // deletion vectors for CARRIED files stay in force
                   // (rewritten files' entries become inert — their files
-                  // are no longer current); OPTIMIZE folds them away
+                  // are no longer current); OPTIMIZE folds them away.
+                  // Lineage: the rewritten remainder carries materialized
+                  // ids; the overwrite's own fresh files are NEW rows and
+                  // get fresh virtual bases by default.
                   GraftStagingCatalog.writeExplicitManifest(tableFs, dir, kept ++ fresh,
                     kind = "overwrite", expectedBase = Some(snapshotVersion),
-                    dvs = dvNames)
+                    dvs = dvNames, matFiles = rewritten)
                   ()
                 case None =>
                   // only a SUCCESSFUL commit becomes a version — on the
@@ -848,6 +851,23 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
               "(copy-on-write | merge-on-read)")
         case _ => None
       }
+    // ROW LINEAGE declaration: 'graft.row-lineage'='true' — every commit
+    // manifest allocates per-file id bases ([[RowLineage]]); rewrites that
+    // must preserve identity materialize. Declared at CREATE only (the
+    // contract covers every version from v1; enabling mid-life would leave
+    // id-less history). v1 boundary: not combinable with merge-on-read.
+    val rowLineage: Boolean =
+      Option(properties.get("graft.row-lineage")).map(_.trim.toLowerCase) match {
+        case Some("true") =>
+          if (morKey.isDefined)
+            throw new UnsupportedOperationException(
+              s"$catalogName: graft.row-lineage is not yet supported on " +
+                "merge-on-read tables (copy-on-write only)")
+          true
+        case Some("false") | None => false
+        case Some(other) => throw new IllegalArgumentException(
+          s"$catalogName: graft.row-lineage must be true|false, got '$other'")
+      }
     // DECLARED APPEND SORT ORDER: 'graft.sort-order'='c1[,c2…]' makes every
     // append request an ordered distribution (range partition + sort) from
     // Spark before its files land — per-file [min,max] on the sort key are
@@ -894,6 +914,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       GraftStagingCatalog.writeString(fs,
         new Path(d, GraftStagingCatalog.CkptIntervalSidecar), n.toString))
     morKey.foreach(k => DeletionVectors.writeMorKey(fs, d, k))
+    if (rowLineage) RowLineage.writeMarker(fs, d)
     if (partCols.nonEmpty)
       GraftStagingCatalog.writeString(fs, new Path(d, GraftStagingCatalog.PartitionSidecar),
         partCols.mkString("\n"))
@@ -2162,12 +2183,19 @@ object GraftStagingCatalog {
   }
 
   private[catalog] def manifestJson(files: Seq[String], batchId: Option[Long], kind: String,
-      dvs: Seq[String] = Seq.empty): String = {
+      dvs: Seq[String] = Seq.empty,
+      rowIds: Option[(Seq[String], Long)] = None): String = {
     val bid = batchId.map(b => s""""batchId":$b,""").getOrElse("")
     val dvField =
       if (dvs.isEmpty) ""
       else s""""dvs":[${dvs.distinct.sorted.map(f => "\"" + f + "\"").mkString(",")}],"""
-    s"""{"ts":${System.currentTimeMillis()},"kind":"$kind",$bid$dvField"files":[${
+    // row-lineage vector: per-file id bases + the allocation watermark
+    // (RowLineage) — present on every manifest of a lineage table
+    val ridField = rowIds.map { case (entries, next) =>
+      s""""nextRowId":$next,"rowIds":[${
+        entries.map(e => "\"" + e + "\"").mkString(",")}],"""
+    }.getOrElse("")
+    s"""{"ts":${System.currentTimeMillis()},"kind":"$kind",$bid$dvField$ridField"files":[${
       // distinct: under concurrent commits a racer's files can arrive both
       // via the previous-current set AND via this commit's directory delta
       // (its `before` snapshot predates the racer's move) — a double-listed
@@ -2240,8 +2268,17 @@ object GraftStagingCatalog {
         val dvs = latest.map { case (_, f) => manifestDvs(fs, f) }.getOrElse(Seq.empty)
         val next = latest.map(_._1).getOrElse(0L) + 1L
         val files = (cur ++ dataFiles(fs, d).filterNot(before)).distinct.sorted
+        // lineage tables: carried files keep their id bases, this commit's
+        // new files get fresh virtual bases off the watermark — pure
+        // manifest arithmetic, atomic under the same create-exclusive race
+        val rids =
+          if (!RowLineage.enabled(fs, d)) None
+          else {
+            val prevTxt = latest.map { case (_, f) => readString(fs, f) }
+            Some(RowLineage.assign(prevTxt, prevTxt, files, Set.empty))
+          }
         committed = tryCreateExclusive(fs, new Path(vd, s"v$next.json"),
-          manifestJson(files, batchId, "commit", dvs))
+          manifestJson(files, batchId, "commit", dvs, rids))
         if (committed && branch.isEmpty) maybeCheckpoint(fs, d, next, files, dvs)
       }
     }
@@ -2258,7 +2295,9 @@ object GraftStagingCatalog {
     */
   private[catalog] def writeExplicitManifest(fs: FileSystem, d: Path, files: Seq[String],
       kind: String = "optimize", expectedBase: Option[Long] = None,
-      dvs: Seq[String] = Seq.empty, branch: Option[String] = None): Long =
+      dvs: Seq[String] = Seq.empty, branch: Option[String] = None,
+      matFiles: Set[String] = Set.empty,
+      rowIdsFrom: Option[Path] = None): Long =
     synchronized {
       // a BRANCH rewrite (DML on the WAP ingest surface) versions in the
       // branch log against the branch head — main is never consulted nor
@@ -2277,8 +2316,24 @@ object GraftStagingCatalog {
                 s"but the table is now at version $latest — a concurrent commit " +
                 "landed in between; re-run the statement against the current state")
         }
+        // lineage tables: carried files keep their id bases; this rewrite's
+        // fresh files are either MATERIALIZED (OPTIMIZE / the COW DELETE
+        // remainder wrote the physical id column — `matFiles`) or new-row
+        // files that get fresh virtual bases (overwrite inserts, the
+        // group-based UPDATE/MERGE replacement — documented
+        // re-identification). RESTORE maps from the restore target's
+        // manifest (`rowIdsFrom`) so rolled-back rows keep their pinned
+        // identities, while the watermark stays monotonic off the latest.
+        val rids =
+          if (!RowLineage.enabled(fs, d)) None
+          else {
+            val latestTxt = (branch.fold(headManifest(fs, d))(b => branchHead(fs, d, b)))
+              .map { case (_, f) => readString(fs, f) }
+            val mapTxt = rowIdsFrom.map(readString(fs, _)).orElse(latestTxt)
+            Some(RowLineage.assign(mapTxt, latestTxt, files, matFiles))
+          }
         if (tryCreateExclusive(fs, new Path(vd, s"v${latest + 1}.json"),
-            manifestJson(files, None, kind, dvs)))
+            manifestJson(files, None, kind, dvs, rids)))
           out = latest + 1
         // lost the create race: loop re-reads the advanced version — with an
         // expectedBase that re-read throws the conflict above
@@ -2331,9 +2386,12 @@ object GraftStagingCatalog {
     * conservatively rewritten (correct, just not minimal).
     */
   private[catalog] def deleteWhere(fs: FileSystem, d: Path,
-      filters: Array[org.apache.spark.sql.sources.Filter], baseVersion: Long): Unit =
-    writeExplicitManifest(fs, d, filesAfterDelete(fs, d, filters),
-      kind = "delete", expectedBase = Some(baseVersion))
+      filters: Array[org.apache.spark.sql.sources.Filter], baseVersion: Long): Unit = {
+    val (kept, rewritten) = filesAfterDelete(fs, d, filters)
+    writeExplicitManifest(fs, d, kept,
+      kind = "delete", expectedBase = Some(baseVersion), matFiles = rewritten)
+    ()
+  }
 
   /** POSITION-delete DELETE (keyless merge-on-read — the Iceberg
     * (file, pos) shape): no rewrite at all. Matching rows are located as
@@ -2407,9 +2465,12 @@ object GraftStagingCatalog {
     * table dir but NOT committed here — the caller's single manifest write
     * is the commit point, so overwrite's delete-and-insert can never tear.
     */
+  /** Returns (new current file set, the rewrite's fresh remainder files —
+    * lineage-materialized when the table tracks row ids).
+    */
   private[catalog] def filesAfterDelete(fs: FileSystem, d: Path,
       filters: Array[org.apache.spark.sql.sources.Filter],
-      noManifestCurrent: Option[Seq[String]] = None): Seq[String] = {
+      noManifestCurrent: Option[Seq[String]] = None): (Seq[String], Set[String]) = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val spark = SparkSession.active
     val pred = filters.flatMap(filterToColumn(_)).reduceOption(_ && _).getOrElse(lit(true))
@@ -2445,13 +2506,29 @@ object GraftStagingCatalog {
       else touched0.partition(f =>
         filters.forall(fl => ZoneMapPrunedScan.mustMatchAll(stats, nulls, f, fl) ||
           ZoneMapPrunedScan.partMustMatchAll(specs, f, fl)))
+    // lineage tables: the surviving remainder of a rewritten file must keep
+    // its row ids — read WITH resolved ids and write them into the
+    // physical column; untouched files carry their entries by name
+    val lineage = RowLineage.enabled(fs, d)
+    val lineageEntries: Map[String, RowLineage.Entry] =
+      if (!lineage) Map.empty
+      else headManifest(fs, d).map { case (_, mf) =>
+        RowLineage.parse(readString(fs, mf))._1 }.getOrElse(Map.empty)
     val kept: Seq[String] =
       if (touched.isEmpty) untouched
       else {
         val reader = spark.read
-        declaredSchema(fs, d).foreach(reader.schema)
-        val rawTouched = reader
+        if (lineage)
+          declaredSchema(fs, d).foreach(s => reader.schema(RowLineage.readSchema(s)))
+        else declaredSchema(fs, d).foreach(reader.schema)
+        val rawTouched0 = reader
           .parquet(touched.map(f => new Path(d, f).toString): _*)
+        val rawTouched =
+          if (!lineage) rawTouched0
+          else RowLineage.materialize(
+            rawTouched0.select(org.apache.spark.sql.functions.col("*"),
+              org.apache.spark.sql.functions.col("_metadata")),
+            lineageEntries).drop("_metadata")
         // merge-on-read: rows a deletion vector suppresses must not
         // resurrect into the rewritten remainder
         val dvApplied = DeletionVectors.morKey(fs, d) match {
@@ -2485,7 +2562,7 @@ object GraftStagingCatalog {
         untouched ++ moved
       }
     ZoneMapScan.lastDeleteSplit = Some((untouched.size, dropped.size, touched.size))
-    kept
+    (kept, (kept.toSet -- untouched).toSet)
   }
 
   private[catalog] def manifestKind(fs: FileSystem, mf: Path): String =

@@ -90,9 +90,24 @@ object StagingMaintenance {
     val current = latest.map { case (_, mf) => manifestFiles(fs, mf) }
       .getOrElse(dataFiles(fs, d))
     if (current.isEmpty) return (0, 0, -1L)
+    // lineage tables: the compaction MUST preserve row identity — read
+    // every row WITH its resolved id and write it into the physical
+    // column ([[RowLineage.materialize]]); the commit marks the compacted
+    // files materialized. Non-lineage tables read the declared schema.
+    val lineage = RowLineage.enabled(fs, d)
+    val lineageEntries: Map[String, RowLineage.Entry] =
+      if (!lineage) Map.empty
+      else latest.map { case (_, mf) =>
+        RowLineage.parse(GraftStagingCatalog.readString(fs, mf))._1
+      }.getOrElse(Map.empty)
     val reader = spark.read
-    declaredSchema(fs, d).foreach(reader.schema)
-    val raw = reader.parquet(current.map(f => new Path(d, f).toString): _*)
+    if (lineage) declaredSchema(fs, d).foreach(s => reader.schema(RowLineage.readSchema(s)))
+    else declaredSchema(fs, d).foreach(reader.schema)
+    val raw0 = reader.parquet(current.map(f => new Path(d, f).toString): _*)
+    val raw =
+      if (!lineage) raw0
+      else RowLineage.materialize(
+        raw0.select(col("*"), col("_metadata")), lineageEntries).drop("_metadata")
     // OPTIMIZE is where deletion vectors FOLD: the rewrite reads with the
     // current DVs applied (deleted rows must not resurrect into the
     // compacted files) and the commit below records an EMPTY dv set — after
@@ -207,7 +222,8 @@ object StagingMaintenance {
           }
     }
     fs.delete(tmp, true)
-    val v = writeExplicitManifest(fs, d, moved, expectedBase = Some(base))
+    val v = writeExplicitManifest(fs, d, moved, expectedBase = Some(base),
+      matFiles = if (lineage) moved.toSet else Set.empty)
     (current.size, moved.size, v)
   }
 
@@ -766,6 +782,12 @@ object StagingMaintenance {
     require(name.matches("[\\w.-]+"),
       s"branch name '$name' must match [\\w.-]+ (it becomes a directory and a TSV line)")
     val (fs, d) = tableDir(spark, catalog, ns, table)
+    // v1 boundary: a branch and main allocating row-id bases from the same
+    // fork watermark would collide at publish/rebase; branch-aware
+    // allocation is a follow-up — refuse loudly rather than corrupt
+    require(!RowLineage.enabled(fs, d),
+      s"$catalog.$ns.$table tracks row lineage — branches are not yet supported " +
+        "on lineage tables (id allocation would fork)")
     GraftStagingCatalog.synchronized {
       val branches = GraftStagingCatalog.readBranches(fs, d)
       require(!branches.contains(name), s"$catalog.$ns.$table already has branch '$name'")
@@ -948,6 +970,34 @@ object StagingMaintenance {
     }
   }
 
+  /** Read a row-lineage table WITH its stable `_row_id` column — resolved
+    * `coalesce(materialized physical id, file base + row_index)` per
+    * [[RowLineage]]. `asOf` pins a version: ids read under THAT version's
+    * allocation vector, so a pinned snapshot sees pinned identities.
+    * The scan stays a plain parquet files-read (full pushdown; the id
+    * arithmetic is a broadcast map join + one projection).
+    */
+  def readLineage(spark: SparkSession, catalog: String, ns: String,
+      table: String, asOf: Option[Long] = None): DataFrame = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    require(RowLineage.enabled(fs, d),
+      s"$catalog.$ns.$table does not track row lineage " +
+        "(create it with 'graft.row-lineage'='true')")
+    val mf = asOf match {
+      case Some(v) => GraftStagingCatalog.probeManifest(fs, d, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"$catalog.$ns.$table has no version $v"))
+      case None => GraftStagingCatalog.headManifest(fs, d).map(_._2).getOrElse(
+        throw new IllegalStateException(s"$catalog.$ns.$table has no commits yet"))
+    }
+    val txt = readString(fs, mf)
+    val files = GraftStagingCatalog.parseManifestFiles(txt)
+    val (entries, _) = RowLineage.parse(txt)
+    val schema = declaredSchema(fs, d).getOrElse(
+      throw new IllegalStateException(s"$catalog.$ns.$table has no declared schema"))
+    RowLineage.readWithIds(spark, d, files, schema, entries)
+  }
+
   /** Live branches: name → (fork version, branch head version). */
   def branches(spark: SparkSession, catalog: String, ns: String,
       table: String): Map[String, (Long, Long)] = {
@@ -1126,9 +1176,12 @@ object StagingMaintenance {
           s"${missing.size} of its data/DV files were vacuumed (${missing.take(3).mkString(", ")}…)")
     val base = GraftStagingCatalog.headManifest(fs, d).map(_._1).getOrElse(0L)
     // the restored version reads under ITS deletion vectors, exactly as the
-    // pinned time-travel read of that version does
+    // pinned time-travel read of that version does; lineage ids map from
+    // the restore TARGET's manifest (rolled-back rows keep their pinned
+    // identities) while the allocation watermark stays monotonic
     GraftStagingCatalog.writeExplicitManifest(fs, d, files,
-      kind = "restore", expectedBase = Some(base), dvs = dvs)
+      kind = "restore", expectedBase = Some(base), dvs = dvs,
+      rowIdsFrom = Some(mf))
   }
 
   /** Deletion-vector sidecars active at the table's HEAD version (empty for

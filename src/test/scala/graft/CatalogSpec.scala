@@ -1882,6 +1882,74 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.wap")
   }
 
+  test("row lineage: unique stable _row_id across appends, OPTIMIZE, COW DELETE; time travel pins identities") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.rl")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.rl TBLPROPERTIES ('graft.row-lineage'='true')
+        |AS SELECT id AS k FROM range(0, 100)""".stripMargin)
+    spark.sql("INSERT INTO stage_t.ws.rl SELECT id FROM range(100, 150)")
+    def ids(asOf: Option[Long] = None): Map[Long, Long] =
+      StagingMaintenance.readLineage(spark, "stage_t", "ws", "rl", asOf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v2 = ids()
+    assert(v2.size === 150, "a row lost its id")
+    assert(v2.values.toSet.size === 150, "row ids are not unique")
+    // OPTIMIZE compacts; every row keeps its id (materialized physically)
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "rl", targetFiles = 2)
+    assert(ids() === v2, "OPTIMIZE re-identified rows")
+    // plain reads are untouched by the physical column
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.rl").collect()(0).getLong(0) === 150L)
+    assert(!spark.table("stage_t.ws.rl").columns.contains("_graft_row_id"))
+    // COW DELETE (the metadata path — V1-translatable predicate): survivors
+    // keep their ids, both in carried files and in the rewritten remainder
+    spark.sql("DELETE FROM stage_t.ws.rl WHERE k >= 30 AND k < 45")
+    val afterDel = ids()
+    assert(afterDel.size === 135)
+    assert(afterDel === v2.filter { case (k, _) => k < 30 || k >= 45 },
+      "DELETE re-identified surviving rows")
+    // fresh inserts allocate NEW ids (never reuse deleted ones)
+    spark.sql("INSERT INTO stage_t.ws.rl VALUES (9999)")
+    val afterIns = ids()
+    assert(afterIns(9999L) > v2.values.max, "fresh id reused an old range")
+    // time travel: the pre-delete version still shows the deleted rows'
+    // pinned identities
+    val pinned = ids(asOf = Some(3L)) // v3 = the OPTIMIZE version
+    assert(pinned === v2, "pinned read lost pre-delete identities")
+    // restore rolls ids back with the data
+    spark.sql("CALL stage_t.restore('ws', 'rl', 3)")
+    assert(ids() === v2, "restore re-identified rows")
+    // GROUP-BASED rewrites (UPDATE / MERGE / non-translatable DELETE) flow
+    // through Spark's replacement write (declared schema only) — their
+    // REWRITTEN files re-identify by documented design, but CARRIED files
+    // keep their ids file-granularly: cluster + ANALYZE, then a keyed
+    // UPDATE rewrites only the file whose [min,max] admits the key
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "rl",
+      targetFiles = 2, clusterBy = Some("k"))
+    assert(ids() === v2, "clustered OPTIMIZE re-identified rows")
+    spark.sql("CALL stage_t.analyze('ws', 'rl', 'k')")
+    spark.sql("UPDATE stage_t.ws.rl SET k = k + 100000 WHERE k = 149")
+    val afterUpd = ids()
+    assert(afterUpd.contains(100149L), "the updated key vanished")
+    // the lower range file was never scanned: its rows keep their ids
+    assert(v2.filter(_._1 < 30).forall { case (k, id) =>
+      afterUpd.get(k).contains(id) },
+      "a group-based UPDATE re-identified rows in a file it never scanned")
+    // v1 boundaries surface loudly
+    val eb = intercept[Exception] { spark.sql("CALL stage_t.branch('ws', 'rl', 'b')") }
+    assert(exMessages(eb).exists(_.contains("row lineage")), eb.getMessage)
+    val em = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE stage_t.ws.rlmor (k BIGINT NOT NULL) TBLPROPERTIES (
+          |'graft.row-lineage'='true', 'graft.write.mode'='merge-on-read',
+          |'graft.merge-keys'='k')""".stripMargin)
+    }
+    assert(exMessages(em).exists(_.contains("merge-on-read")), em.getMessage)
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.rl")
+  }
+
   test("rebase: replays a stranded branch's deltas onto the advanced main; conflicts on overlapping rewrites") {
     import graft.sources.catalog.StagingMaintenance
     mountStage()
