@@ -3113,8 +3113,14 @@ object Connectors {
     *     rewrite physically,
     *   - a ranged COW DELETE: survivors keep their ids (the same checksum
     *     restricted to survivors matches), deleted ids vanish,
+    *   - a group-based UPDATE (Spark's replacement write): `_row_id` rides
+    *     the operation as a PRESERVED metadata projection
+    *     (requiredMetadataAttributes + DataWriter.write(meta, data)), so
+    *     even the rows the UPDATE rewrites keep their identity — the
+    *     binding checksum is bit-identical across the rewrite,
     *   - the ids ride a plain parquet scan (broadcast base-map join +
-    *     one projection — full pushdown preserved).
+    *     one projection — full pushdown preserved), and `SELECT _row_id`
+    *     works in plain SQL (DSv2 metadata column).
     */
   def q335RowLineage(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, countDistinct, count => fcount, sum => fsum}
@@ -3157,6 +3163,14 @@ object Connectors {
     val afterDel = sums(lineage())
     require(afterDel == preSurvivors,
       s"DELETE re-identified survivors: $preSurvivors -> $afterDel")
+    // group-based UPDATE (Spark's replacement write): the operation carries
+    // `_row_id` as a preserved metadata projection, so UPDATED rows KEEP
+    // their identity — keys unchanged, values flipped, the (id,key)-binding
+    // checksum must be bit-identical
+    spark.sql("UPDATE graft_stage.work.orders_rl SET v = -(v + 1) WHERE k % 11 = 3")
+    val afterUpd = sums(lineage())
+    require(afterUpd == afterDel,
+      s"UPDATE re-identified rows it rewrote: $afterDel -> $afterUpd")
     spark.sql(
       """SELECT k % 7 AS g, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
         |  sum(v) AS sum_v
@@ -3165,13 +3179,16 @@ object Connectors {
   }
 
   /** The surviving corpus recomputed from raw orders: both ingested slices,
-    * minus the ranged delete.
+    * minus the ranged delete, with the %11=3 band's values flipped by the
+    * group-based UPDATE.
     */
   val q335Oracle: String =
     """SELECT k % 7 AS g, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
       |  CAST(sum(v) AS BIGINT) AS sum_v
-      |FROM (SELECT o_orderkey AS k, o_custkey AS v FROM orders
-      |      WHERE o_orderkey % 3 <= 1)
+      |FROM (SELECT o_orderkey AS k,
+      |        CASE WHEN o_orderkey % 11 = 3 THEN -(o_custkey + 1)
+      |             ELSE o_custkey END AS v
+      |      FROM orders WHERE o_orderkey % 3 <= 1)
       |WHERE k >= 500
       |GROUP BY k % 7 ORDER BY g""".stripMargin
 

@@ -212,10 +212,18 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       val base = Identifier.of(ident.namespace().take(1), ident.namespace()(1))
       val bd = tableDir(base)
       if (bd == null || !isDir(bd)) throw new NoSuchTableException(base)
-      val schema = declaredSchema(fs, bd).getOrElse(
+      val schema0 = declaredSchema(fs, bd).getOrElse(
         throw new IllegalStateException(
           s"$catalogName: ${base.name()} has no declared schema — the change feed " +
             "needs one (create the table through this catalog)"))
+      // lineage tables: the feed's rows carry `_row_id` — the identity a
+      // downstream applier pairs update pre/post images (or applies rows)
+      // by, with no merge key required
+      val schema =
+        if (!RowLineage.enabled(fs, bd)) schema0
+        else StructType(schema0.fields :+
+          org.apache.spark.sql.types.StructField("_row_id",
+            org.apache.spark.sql.types.LongType, nullable = true))
       return new ChangeFeedTable(bd.toString, schema)
     }
     val d = tableDir(ident)
@@ -457,8 +465,23 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       branch: Option[String] = None)
       extends Table with SupportsRead with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsDelete
-      with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+      with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+      with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
     private val tableFs = fs
+    /** Row lineage declared at CREATE ([[RowLineage]]): exposes the
+      * `_row_id` metadata column (`SELECT _row_id FROM t` in plain SQL) and
+      * routes row-level rewrites through the id-preserving write path.
+      */
+    private lazy val lineageOn = RowLineage.enabled(tableFs, dir)
+    /** This snapshot's per-file id bases (empty map off-lineage). */
+    private lazy val lineageEntries: Map[String, RowLineage.Entry] =
+      if (!lineageOn) Map.empty
+      else GraftStagingCatalog.probeManifest(tableFs, dir, snapshotVersion)
+        .map(mf => RowLineage.parse(GraftStagingCatalog.readString(tableFs, mf))._1)
+        .getOrElse(Map.empty)
+    override def metadataColumns()
+        : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+      if (lineageOn) Array(RowLineage.metaColumn) else Array.empty
     /** Merge-on-read declaration: the merge-key field, when the table was
       * created with `'graft.write.mode'='merge-on-read'`. Reported
       * non-nullable (as declared at CREATE — [[schema]] restores what
@@ -519,10 +542,18 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       // ALL pushdown) remains only on the row-level-op path, which pushes
       // nothing by design.
       val posCapable = posDvMap.nonEmpty && readDelegate.userSpecifiedSchema.isDefined
+      // lineage tables widen the delegate with the physical-id and
+      // generated-row-index carriers so a `SELECT _row_id` prune can
+      // request them (mutually exclusive with MOR position mode)
+      val lineageCapable = lineageOn && readDelegate.userSpecifiedSchema.isDefined
       val scanSrc =
-        if (!posCapable) readDelegate
-        else readDelegate.copy(userSpecifiedSchema = readDelegate.userSpecifiedSchema.map(
-          s => StructType(s.fields :+ DeletionVectors.RowIdxField)))
+        if (posCapable)
+          readDelegate.copy(userSpecifiedSchema = readDelegate.userSpecifiedSchema.map(
+            s => StructType(s.fields :+ DeletionVectors.RowIdxField)))
+        else if (lineageCapable)
+          readDelegate.copy(userSpecifiedSchema = readDelegate.userSpecifiedSchema.map(
+            s => StructType(s.fields :+ RowLineage.PhysField :+ DeletionVectors.RowIdxField)))
+        else readDelegate
       val inner = scanSrc.newScanBuilder(options)
       // Zone-map integration with the PLAIN scan path: when the table has a
       // stats sidecar (ANALYZE ran), wrap the builder so pushed filters are
@@ -550,7 +581,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
               .asScala.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
               .toMap,
             posDvMap,
-            posIdxCapable = posCapable)
+            posIdxCapable = posCapable,
+            lineage = if (lineageCapable) Some(lineageEntries) else None)
         case other => other
       }
     }
@@ -614,7 +646,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
                 dir, snapshotVersion, snapshotFiles, key, dvNames, branch)
             case None =>
               new StagingRowLevelOperation(info, readDelegate, writeDelegate, tableFs,
-                dir, snapshotVersion, snapshotFiles, dvNames, branch)
+                dir, snapshotVersion, snapshotFiles, dvNames, branch,
+                lineage = if (lineageOn) Some(lineageEntries) else None)
           }
         }
       }
@@ -1222,6 +1255,52 @@ private class TrailingFieldsWriterFactory(
   }
 }
 
+/** Writer-factory for the ROW-LINEAGE metadata-projected rewrite path:
+  * Spark's writing task hands (metadata, data) pairs — the metadata row
+  * carries each replacement row's PRESERVED `_row_id` (NULL for a MERGE's
+  * NOT-MATCHED inserts) — and the writers land it as the trailing physical
+  * id column of the extended write schema. The CHECK constraint evaluates
+  * on the DATA row (exactly the declared write schema), same contract as
+  * [[CheckedWriterFactory]].
+  */
+private class LineageMetaWriterFactory(
+    inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+    metaOrd: Int,
+    check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    val pred = check.map { case (text, bound) =>
+      val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(bound)
+      p.initialize(partitionId)
+      (text, p)
+    }
+    new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+      private val idRow = new GenericInternalRow(1)
+      private val joined = new JoinedRow
+      private def land(meta: InternalRow, data: InternalRow): Unit = {
+        pred.foreach { case (text, p) =>
+          if (!p.eval(data))
+            throw new IllegalStateException(
+              s"CHECK constraint violated: ($text) — write aborted, no version committed")
+        }
+        if (meta == null || meta.isNullAt(metaOrd)) idRow.update(0, null)
+        else idRow.update(0, meta.getLong(metaOrd))
+        w.write(joined(data, idRow))
+      }
+      override def write(meta: InternalRow, data: InternalRow): Unit = land(meta, data)
+      override def write(data: InternalRow): Unit = land(null, data)
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+        w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
+  }
+}
+
 /** Group-based row-level operation (SQL UPDATE / MERGE INTO / DELETE
   * fallback) with FILE-GRANULAR copy-on-write.
   *
@@ -1262,8 +1341,25 @@ private class StagingRowLevelOperation(
     snapshotVersion: Long,
     snapshotFiles: Option[Seq[String]],
     dvNames: Seq[String] = Seq.empty,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    lineage: Option[Map[String, RowLineage.Entry]] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** ROW LINEAGE through group-based rewrites ([[RowLineage]]): the
+    * operation requires the `_row_id` metadata column, Spark's rewrite
+    * plans PRESERVE its value through UPDATE assignments and DELETE
+    * copy-legs (MetadataColumn preserve defaults) and hand it to the write
+    * as a metadata projection; the writers below then land it in the
+    * physical id column, so a group-based UPDATE/MERGE no longer
+    * re-identifies the rows it rewrites — MERGE's NOT-MATCHED inserts
+    * carry NULL and resolve to fresh ids from the new file's base.
+    */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (lineage.isDefined)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(RowLineage.MetaColName))
+    else Array.empty
 
   /** Position deletes in force at this snapshot (keyless-MOR tables): the
     * rewrite's scans must not resurrect suppressed rows, and the commit
@@ -1289,10 +1385,19 @@ private class StagingRowLevelOperation(
     info.command()
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val sb = readDelegate.newScanBuilder(options)
+    // lineage tables widen the scan source with the physical-id and
+    // generated-row-index carriers; the builder resolves the requested
+    // `_row_id` the same way the plain path does
+    val scanSrc =
+      if (lineage.isEmpty || readDelegate.userSpecifiedSchema.isEmpty) readDelegate
+      else readDelegate.copy(userSpecifiedSchema = readDelegate.userSpecifiedSchema.map(
+        s => StructType(s.fields :+ RowLineage.PhysField :+ DeletionVectors.RowIdxField)))
+    val sb = scanSrc.newScanBuilder(options)
     new ScanBuilder
-        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       private var v1: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      private var lineageOut: Option[StructType] = None
       override def pushFilters(
           filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
           : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
@@ -1303,6 +1408,34 @@ private class StagingRowLevelOperation(
       override def pushedFilters
           : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
         Array.empty
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        if (lineage.isDefined && requiredSchema.fieldNames
+            .exists(_.equalsIgnoreCase(RowLineage.MetaColName))) {
+          lineageOut = Some(requiredSchema)
+          val dataFields = requiredSchema.fields
+            .filterNot(_.name.equalsIgnoreCase(RowLineage.MetaColName))
+          sb.pruneColumns(StructType(dataFields :+ RowLineage.PhysField :+
+            DeletionVectors.RowIdxField))
+        } else sb.pruneColumns(requiredSchema)
+      private def lineageInfo(scan: org.apache.spark.sql.connector.read.Scan)
+          : Option[(RowLineage.LineageScanInfo, Map[String, RowLineage.Entry])] =
+        lineageOut.map { requested =>
+          val wide = scan.readSchema()
+          val physOrd = wide.fieldNames.indexWhere(_ == RowLineage.PhysCol)
+          val idxOrd = wide.fieldNames.indexWhere(_ == DeletionVectors.RowIdxField.name)
+          require(physOrd >= 0 && idxOrd >= 0,
+            s"lineage carriers missing from row-level read schema $wide")
+          val outOrds = requested.fields.map { f =>
+            if (f.name.equalsIgnoreCase(RowLineage.MetaColName)) -1
+            else {
+              val o = wide.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
+              require(o >= 0, s"requested column ${f.name} missing from read schema $wide")
+              o
+            }
+          }
+          (RowLineage.LineageScanInfo(requested, physOrd, idxOrd, outOrds, wide.length),
+            lineage.get)
+        }
       override def build(): org.apache.spark.sql.connector.read.Scan = {
         val scan = sb.build()
         val stats = StagingMaintenance.readStatsFor(tableFs, dir)
@@ -1317,12 +1450,13 @@ private class StagingRowLevelOperation(
             val statCols = stats.keysIterator.map(_._2).toArray.distinct.sorted
             val blooms = () => StagingMaintenance.readBloomsFor(tableFs, dir)
             val specs = GraftStagingCatalog.partSpecs(tableFs, dir)
+            val li = lineageInfo(scan)
             val zms =
               if (statCols.nonEmpty)
                 new RowLevelGroupScan(fscan, stats, v1, statCols, nulls, dir.toString,
-                  blooms, None, specs, posDvs)
+                  blooms, None, specs, posDvs, li)
               else new ZoneMapPrunedScan(fscan, stats, v1, nulls, dir.toString, blooms,
-                None, specs, Map.empty, posDvs)
+                None, specs, Map.empty, posDvs, None, li)
             scans.add(zms)
             zms
           case other => other // not a file scan: no tracking → full replace
@@ -1335,7 +1469,29 @@ private class StagingRowLevelOperation(
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
-          private val inner = writeDelegate.newWriteBuilder(lwi).build().toBatch
+          // ROW LINEAGE: the rewrite hands each row's preserved `_row_id`
+          // as a METADATA projection (DataWriter.write(meta, data)) — the
+          // inner parquet write is built with the physical id column
+          // appended so the writers can land it ([[LineageMetaWriterFactory]]).
+          private val lineageMeta = lineage.isDefined &&
+            lwi.metadataSchema().isPresent &&
+            lwi.metadataSchema().get().fieldNames
+              .exists(_.equalsIgnoreCase(RowLineage.MetaColName))
+          private val innerInfo: LogicalWriteInfo =
+            if (!lineageMeta) lwi
+            else new LogicalWriteInfo {
+              override def options(): CaseInsensitiveStringMap = lwi.options()
+              override def queryId(): String = lwi.queryId()
+              override def schema(): StructType =
+                StructType(lwi.schema().fields :+ RowLineage.PhysField)
+              // the INNER parquet write sees one flat schema — the id is a
+              // plain trailing column by the time rows reach it
+              override def rowIdSchema(): java.util.Optional[StructType] =
+                java.util.Optional.empty()
+              override def metadataSchema(): java.util.Optional[StructType] =
+                java.util.Optional.empty()
+            }
+          private val inner = writeDelegate.newWriteBuilder(innerInfo).build().toBatch
           // the CHECK constraint also governs replacement rows: an UPDATE
           // cannot move a row INTO violation (evaluated after the trailing
           // projection, i.e. on exactly the declared write schema)
@@ -1345,12 +1501,20 @@ private class StagingRowLevelOperation(
           // (`__row_operation`) ahead of the data columns, and the plain
           // writing task hands rows over UNPROJECTED — so the factory binds
           // the declared write schema to the TRAILING fields before the
-          // parquet writer sees the row.
+          // parquet writer sees the row. The metadata-projected path hands
+          // clean (data, meta) pairs instead — no trailing binding needed.
           override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
-            val base = check.fold(inner.createBatchWriterFactory(pinfo)) { case (text, bound) =>
-              new CheckedWriterFactory(inner.createBatchWriterFactory(pinfo), bound, text)
+            if (lineageMeta)
+              new LineageMetaWriterFactory(inner.createBatchWriterFactory(pinfo),
+                lwi.metadataSchema().get().fieldNames
+                  .indexWhere(_.equalsIgnoreCase(RowLineage.MetaColName)),
+                check)
+            else {
+              val base = check.fold(inner.createBatchWriterFactory(pinfo)) { case (text, bound) =>
+                new CheckedWriterFactory(inner.createBatchWriterFactory(pinfo), bound, text)
+              }
+              new TrailingFieldsWriterFactory(base, lwi.schema())
             }
-            new TrailingFieldsWriterFactory(base, lwi.schema())
           }
           override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
           override def onDataWriterCommit(message: WriterCommitMessage): Unit =
@@ -1372,7 +1536,11 @@ private class StagingRowLevelOperation(
               // keyless-MOR: carried (unrewritten) files still read under
               // their position DVs; entries for rewritten files are inert
               dvs = if (posDvs.nonEmpty) dvNames else Seq.empty,
-              branch = branch)
+              branch = branch,
+              // lineage: the metadata-projected write landed each row's
+              // preserved id in the physical column — fresh files are
+              // materialized, not re-identified
+              matFiles = if (lineageMeta) fresh.toSet else Set.empty)
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             inner.abort(messages)

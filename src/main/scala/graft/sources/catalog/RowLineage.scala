@@ -2,6 +2,7 @@ package graft.sources.catalog
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, split}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -35,13 +36,20 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *    schemas; parquet matches by name), so lineage costs nothing when not
   *    asked for.
   *  - Group-based rewrites (UPDATE, MERGE, and DELETEs whose predicate the
-  *    V1 metadata path cannot translate — e.g. `k % 10 = 3`) flow through
-  *    Spark's replacement write (declared schema only), so their REWRITTEN
-  *    files re-identify:
-  *    fresh virtual bases, documented semantics (file-granular zone-map
-  *    pruning keeps the re-identified set minimal — carried files never
-  *    lose identity). Time travel reads version N with version N's
-  *    `rowIds`, so pinned snapshots see pinned identities.
+  *    V1 metadata path cannot translate — e.g. `k % 10 = 3`) PRESERVE
+  *    identity through Spark's metadata-column machinery: the row-level
+  *    operation requires the `_row_id` metadata column, the rewrite plans
+  *    carry its value through UPDATE assignments and DELETE copy-legs
+  *    (MetadataColumn PRESERVE_ON_UPDATE/DELETE defaults), the write
+  *    receives it as a metadata projection (`DataWriter.write(meta, data)`)
+  *    and lands it in the physical column — so an updated row keeps its id
+  *    under its new values, and a MERGE's NOT-MATCHED inserts (NULL
+  *    metadata) resolve to fresh ids from the new file's own base.
+  *    `SELECT _row_id FROM t` works in plain SQL off the same machinery.
+  *    Time travel reads version N with version N's `rowIds`, so pinned
+  *    snapshots see pinned identities (Scala face: readLineage(asOf) — the
+  *    pinned SQL faces are separate Table classes without the metadata
+  *    column).
   *
   * Declared at CREATE with `'graft.row-lineage'='true'` (a marker sidecar;
   * the property is a contract on every future commit, not a backfill).
@@ -181,4 +189,118 @@ object RowLineage {
     * call sites that filter after materializing).
     */
   def physCol: Column = col(PhysCol)
+
+  // ---- DSv2 metadata-column surface (`SELECT _row_id FROM t`, and the
+  // ---- carrier that preserves ids through group-based UPDATE/MERGE) -----
+
+  /** The user-visible metadata column name (Iceberg-v3's `_row_id`). */
+  val MetaColName = "_row_id"
+
+  /** `_row_id` as a DSv2 metadata column. Spark 4's preserve defaults are
+    * exactly the lineage contract: values carry through UPDATE assignments
+    * and DELETE copy-legs in rewrite plans (PRESERVE_ON_UPDATE/DELETE
+    * default true), and a MERGE's NOT-MATCHED inserts carry NULL — which
+    * the read side resolves to a fresh `base + row_index` id from the new
+    * file's own allocation. Nullable for exactly that insert-leg NULL.
+    */
+  object metaColumn extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = MetaColName
+    override def dataType(): org.apache.spark.sql.types.DataType = LongType
+    override def isNullable: Boolean = true
+    override def comment(): String =
+      "stable row id (graft row lineage): survives compaction and preserving rewrites"
+  }
+
+  /** The nullable physical-column field appended to a widened read schema. */
+  val PhysField: StructField = StructField(PhysCol, LongType, nullable = true)
+
+  /** Scan-side resolution info, computed on the driver against the
+    * delegate's BUILT (table-ordered) read schema:
+    * `requested` is the schema this scan REPORTS (the query's pruned
+    * columns with `_row_id` in place); `physOrd`/`idxOrd` locate the
+    * physical-id and generated row-index columns in the DELEGATE's rows;
+    * `outOrds(i)` is the delegate ordinal feeding requested field i, or -1
+    * for the `_row_id` field itself.
+    */
+  final case class LineageScanInfo(requested: StructType, physOrd: Int, idxOrd: Int,
+      outOrds: Array[Int], delegateArity: Int)
+
+  /** One file per partition, carrying the file's id base — the same
+    * repacking trade the position-DV reader makes: per-row file attribution
+    * without reading file paths. Only taken when `_row_id` is actually
+    * requested; plain reads keep the delegate's packing and columnar path.
+    */
+  final case class LineagePartition(fp: FilePartition, base: Long)
+      extends org.apache.spark.sql.connector.read.InputPartition {
+    override def preferredLocations(): Array[String] = fp.preferredLocations()
+  }
+
+  /** Repack pruned partitions one-file-per-partition with each file's id
+    * base (0 for a file with no entry — pre-lineage files of a table that
+    * cannot exist by construction, kept total rather than throwing on
+    * executors).
+    */
+  def repackLineage(parts: Array[org.apache.spark.sql.connector.read.InputPartition],
+      entries: Map[String, Entry],
+      statKey: org.apache.hadoop.fs.Path => String)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val out = Array.newBuilder[org.apache.spark.sql.connector.read.InputPartition]
+    var idx = 0
+    parts.foreach {
+      case fp: FilePartition =>
+        fp.files.foreach { pf =>
+          val base = entries.get(statKey(pf.toPath)).map(_.base).getOrElse(0L)
+          out += LineagePartition(FilePartition(idx, Array(pf)), base)
+          idx += 1
+        }
+      case other => out += other
+    }
+    out.result()
+  }
+
+  /** Reader factory resolving `_row_id` per row:
+    * `phys != NULL ? phys : base + row_index` — then projecting the
+    * requested schema (physical/index carriers dropped).
+    */
+  final class LineageReaderFactory(
+      inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+      info: LineageScanInfo)
+      extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow,
+      JoinedRow, UnsafeProjection}
+    import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+
+    override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+      partition match {
+        case LineagePartition(fp, base) =>
+          val r = inner.createReader(fp)
+          // data fields read from the delegate row (left side of the join);
+          // the resolved id comes from a one-field row joined on the right,
+          // addressed past the delegate's full arity
+          val joinOrd = info.delegateArity
+          val exprs = info.requested.fields.toIndexedSeq.zip(info.outOrds).map {
+            case (f, -1)  => BoundReference(joinOrd, f.dataType, f.nullable)
+            case (f, ord) => BoundReference(ord, f.dataType, f.nullable)
+          }
+          new PartitionReader[InternalRow] {
+            private lazy val proj = UnsafeProjection.create(exprs)
+            private val idRow = new GenericInternalRow(1)
+            private val joined = new JoinedRow
+            override def next(): Boolean = r.next()
+            override def get(): InternalRow = {
+              val row = r.get()
+              val id =
+                if (!row.isNullAt(info.physOrd)) row.getLong(info.physOrd)
+                else base + row.getLong(info.idxOrd)
+              idRow.update(0, id)
+              proj(joined(row, idRow))
+            }
+            override def close(): Unit = r.close()
+          }
+        case other => inner.createReader(other)
+      }
+  }
 }

@@ -383,6 +383,21 @@ object StagingMaintenance {
     import org.apache.spark.sql.functions.{col, lit, row_number, when}
     val out = new Path(new Path(d, CdfDir), s"v$v")
     if (isFile(fs, new Path(out, "_SUCCESS"))) out
+    else if (RowLineage.enabled(fs, d)) {
+      // LINEAGE tables: the diff pairs by ROW IDENTITY, not by key
+      // heuristics — exact CDC for keyless-but-identified tables. Every
+      // changed file's rows read WITH their resolved ids (each side under
+      // ITS version's allocation vector); rows whose id appears on both
+      // sides with identical data cancel, differing data becomes an
+      // update pre/post PAIR sharing the id, one-sided ids are
+      // deletes/inserts. `_row_id` is part of the feed schema, so a
+      // downstream applier joins pre→post (or applies by id) directly.
+      lineageCdfDiff(spark, fs, d, v)
+        .withColumnRenamed("_change", "_change_type")
+        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
+        .write.mode("overwrite").parquet(out.toString)
+      out
+    }
     else {
       val diff = rowLevelChangesAt(spark, fs, d, v - 1L, v)
       val shaped = DeletionVectors.morKey(fs, d) match {
@@ -416,6 +431,61 @@ object StagingMaintenance {
         .write.mode("overwrite").parquet(out.toString)
       out
     }
+  }
+
+  /** Identity-paired row diff of a LINEAGE table between versions v-1 and
+    * v: data columns + `_row_id` + `_change` (insert / delete /
+    * update_preimage / update_postimage). Slice-cost — only files that
+    * changed by name are read (lineage tables are COW-only, so there are
+    * no DV-visibility changes to chase).
+    */
+  private def lineageCdfDiff(spark: SparkSession, fs: FileSystem, d: Path,
+      v: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, not, struct}
+    def manifestOf(mv: Long): Option[Path] = GraftStagingCatalog.probeManifest(fs, d, mv)
+    def state(mv: Long): (Set[String], Map[String, RowLineage.Entry]) =
+      if (mv <= 0L) (Set.empty, Map.empty)
+      else manifestOf(mv).map { mf =>
+        val txt = readString(fs, mf)
+        (GraftStagingCatalog.parseManifestFiles(txt).toSet, RowLineage.parse(txt)._1)
+      }.getOrElse(throw new IllegalArgumentException(
+        s"$d has no version $mv (vacuumed or never committed)"))
+    val (fromF, fromE) = state(v - 1L)
+    val (toF, toE) = state(v)
+    val sFrom = GraftStagingCatalog.schemaAtVersion(fs, d, math.max(v - 1L, 1L))
+    val sTo = GraftStagingCatalog.schemaAtVersion(fs, d, v)
+    require(sFrom == sTo,
+      s"row-level diff across a schema change is not comparable ($sFrom vs $sTo)")
+    val declared = sTo.getOrElse(
+      throw new IllegalStateException(s"$d has no declared schema"))
+    val dataCols = declared.fieldNames.toSeq
+    val olds = RowLineage.readWithIds(spark, d, (fromF -- toF).toSeq.sorted,
+      declared, fromE)
+    val news = RowLineage.readWithIds(spark, d, (toF -- fromF).toSeq.sorted,
+      declared, toE)
+    val newIds = news.select(col("_row_id"))
+    val oldIds = olds.select(col("_row_id"))
+    val inserts = news.join(oldIds, Seq("_row_id"), "left_anti")
+      .withColumn("_change", lit("insert"))
+    val deletes = olds.join(newIds, Seq("_row_id"), "left_anti")
+      .withColumn("_change", lit("delete"))
+    // ids on BOTH sides: changed data → a pre/post pair sharing the id;
+    // identical data (the rewritten-but-untouched remainder) cancels
+    val o = olds.alias("__gco"); val n = news.alias("__gcn")
+    val changedIds = o.join(n, col("__gco._row_id") === col("__gcn._row_id"))
+      .where(not(struct(dataCols.map(c => col(s"__gco.$c")): _*) <=>
+        struct(dataCols.map(c => col(s"__gcn.$c")): _*)))
+      .select(col("__gco._row_id").as("_row_id"))
+    val pre = olds.join(changedIds, Seq("_row_id"), "left_semi")
+      .withColumn("_change", lit("update_preimage"))
+    val post = news.join(changedIds, Seq("_row_id"), "left_semi")
+      .withColumn("_change", lit("update_postimage"))
+    // feed column order: data, then _row_id, then the change column
+    val outCols = dataCols.map(col) :+ col("_row_id") :+ col("_change")
+    inserts.select(outCols: _*)
+      .union(deletes.select(outCols: _*))
+      .union(pre.select(outCols: _*))
+      .union(post.select(outCols: _*))
   }
 
   // ---- zone maps (file-level min/max data skipping) ----------------------
@@ -1337,7 +1407,8 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty,
     streamOpts: Map[String, String] = Map.empty,
     posDvs: Map[String, Set[Long]] = Map.empty,
-    posIdxCapable: Boolean = false)
+    posIdxCapable: Boolean = false,
+    lineage: Option[Map[String, RowLineage.Entry]] = None)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -1356,6 +1427,9 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
   private var v1Filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   // whether the query's pruned schema already carried the DV key column
   private var dvKeyAdded = false
+  // the pruned schema the query asked for WITH `_row_id` in place — set
+  // only when lineage is capable and the metadata column was requested
+  private var lineageOut: Option[StructType] = None
 
   override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
@@ -1378,6 +1452,21 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
   override def pruneColumns(requiredSchema: StructType): Unit =
+    // ROW LINEAGE: `_row_id` requested (plain SQL, or a row-level rewrite's
+    // required metadata attribute) — the delegate reads the query's data
+    // columns plus the physical-id column (NULL where never materialized)
+    // and the parquet-generated row index; the readers resolve
+    // `coalesce(phys, base + row_index)` and project the carriers off.
+    // Pushdown stays ON: row_index is generated correctly under row-group
+    // skipping. Mutually exclusive with the MOR paths (no lineage+MOR).
+    if (lineage.isDefined &&
+        requiredSchema.fieldNames.exists(_.equalsIgnoreCase(RowLineage.MetaColName))) {
+      lineageOut = Some(requiredSchema)
+      val dataFields = requiredSchema.fields
+        .filterNot(_.name.equalsIgnoreCase(RowLineage.MetaColName))
+      delegate.pruneColumns(StructType(dataFields :+ RowLineage.PhysField :+
+        DeletionVectors.RowIdxField))
+    } else
     // deletion vectors filter on the MOR key: if the query pruned it away,
     // widen the delegate's read schema by the key column — the readers
     // project it back off, so the reported scan schema is unchanged
@@ -1446,6 +1535,29 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
       Some(DeletionVectors.PosIdxInfo(ord, out, projectOrds))
     }
 
+  /** Lineage resolution info against the BUILT scan's (table-ordered)
+    * read schema: carrier ordinals + the requested-field mapping.
+    */
+  private def lineageInfo(scan: Scan)
+      : Option[(RowLineage.LineageScanInfo, Map[String, RowLineage.Entry])] =
+    lineageOut.map { requested =>
+      val wide = scan.readSchema()
+      val physOrd = wide.fieldNames.indexWhere(_ == RowLineage.PhysCol)
+      val idxOrd = wide.fieldNames.indexWhere(_ == DeletionVectors.RowIdxField.name)
+      require(physOrd >= 0 && idxOrd >= 0,
+        s"lineage carriers missing from read schema $wide")
+      val outOrds = requested.fields.map { f =>
+        if (f.name.equalsIgnoreCase(RowLineage.MetaColName)) -1
+        else {
+          val o = wide.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
+          require(o >= 0, s"requested column ${f.name} missing from read schema $wide")
+          o
+        }
+      }
+      (RowLineage.LineageScanInfo(requested, physOrd, idxOrd, outOrds, wide.length),
+        lineage.get)
+    }
+
   override def build(): Scan = {
     val scan = delegate.build()
     val filters = v1Filters
@@ -1455,7 +1567,7 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
       // and a filter-free `readStream.table(…)` must reach it
       case f: FileScan =>
         new ZoneMapPrunedScan(f, stats, filters, nulls, tableDir, blooms, dvInfo(scan),
-          partSpecs, streamOpts, posDvs, posIdxInfo(scan))
+          partSpecs, streamOpts, posDvs, posIdxInfo(scan), lineageInfo(scan))
       case other => other
     }
   }
@@ -1537,7 +1649,8 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty,
     streamOpts: Map[String, String] = Map.empty,
     posDvs: Map[String, Set[Long]] = Map.empty,
-    posIdx: Option[DeletionVectors.PosIdxInfo] = None)
+    posIdx: Option[DeletionVectors.PosIdxInfo] = None,
+    lineage: Option[(RowLineage.LineageScanInfo, Map[String, RowLineage.Entry])] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   /** Streaming face of the staging-catalog scan: `readStream.table(…)`
@@ -1566,24 +1679,30 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     else p.getName
   }
 
-  // with a widened-for-DV (or row-index) delegate schema, the scan REPORTS
-  // the query's schema; readers project the appended column back off
+  // with a widened-for-DV (or row-index / lineage) delegate schema, the
+  // scan REPORTS the query's schema; readers project the carriers back off
   override def readSchema(): StructType =
-    posIdx.map(_.outputSchema)
+    lineage.map(_._1.requested)
+      .orElse(posIdx.map(_.outputSchema))
       .getOrElse(dv.fold(delegate.readSchema())(_.outputSchema))
   override def toBatch: Batch = this
   override def estimateStatistics(): Statistics = delegate.estimateStatistics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    if (dv.isDefined || posDvs.nonEmpty) Scan.ColumnarSupportMode.PARTITION_DEFINED
+    if (dv.isDefined || posDvs.nonEmpty || lineage.isDefined)
+      Scan.ColumnarSupportMode.PARTITION_DEFINED
     else delegate.columnarSupportMode()
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = delegate.createReaderFactory()
-    posIdx match {
-      case Some(info) => // row-index positions: pushdown kept, ordinal filter
-        new DeletionVectors.PosIdxReaderFactory(inner, info, tableDir)
-      case None =>
-        val keyed = dv.fold(inner)(info => new DeletionVectors.DvReaderFactory(inner, info))
-        if (posDvs.isEmpty) keyed else new DeletionVectors.PosDvReaderFactory(keyed)
+    lineage match {
+      case Some((info, _)) => // lineage: pushdown kept, per-file id resolution
+        new RowLineage.LineageReaderFactory(inner, info)
+      case None => posIdx match {
+        case Some(info) => // row-index positions: pushdown kept, ordinal filter
+          new DeletionVectors.PosIdxReaderFactory(inner, info, tableDir)
+        case None =>
+          val keyed = dv.fold(inner)(info => new DeletionVectors.DvReaderFactory(inner, info))
+          if (posDvs.isEmpty) keyed else new DeletionVectors.PosDvReaderFactory(keyed)
+      }
     }
   }
 
@@ -1638,13 +1757,20 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
   override def planInputPartitions(): Array[InputPartition] = {
     val (parts, kept, total) = prune()
     ZoneMapScan.lastPrune = Some((kept, total))
-    // deletion vectors: files with a delete set move into one partition per
-    // FILE so their (row-based) readers know which delete set governs every
-    // row; clean files keep the delegate's packing and columnar readers
-    val keyed = dv.filter(_.fileKeys.nonEmpty)
-      .fold(parts)(info => DeletionVectors.repack(parts, info.fileKeys, statKey))
-    if (posDvs.isEmpty) keyed
-    else DeletionVectors.repackPos(keyed, posDvs, statKey)
+    // lineage reads: one partition per file carrying the file's id base
+    // (mutually exclusive with the MOR paths — no lineage+MOR tables)
+    lineage match {
+      case Some((_, entries)) => RowLineage.repackLineage(parts, entries, statKey)
+      case None =>
+        // deletion vectors: files with a delete set move into one partition
+        // per FILE so their (row-based) readers know which delete set
+        // governs every row; clean files keep the delegate's packing and
+        // columnar readers
+        val keyed = dv.filter(_.fileKeys.nonEmpty)
+          .fold(parts)(info => DeletionVectors.repack(parts, info.fileKeys, statKey))
+        if (posDvs.isEmpty) keyed
+        else DeletionVectors.repackPos(keyed, posDvs, statKey)
+    }
   }
 
   override def description(): String =
@@ -1687,9 +1813,10 @@ private[catalog] final class RowLevelGroupScan(delegate: FileScan,
       () => Map.empty,
     dv: Option[DeletionVectors.DvScanInfo] = None,
     partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty,
-    posDvs: Map[String, Set[Long]] = Map.empty)
+    posDvs: Map[String, Set[Long]] = Map.empty,
+    lineage: Option[(RowLineage.LineageScanInfo, Map[String, RowLineage.Entry])] = None)
     extends ZoneMapPrunedScan(delegate, stats, staticFilters, nulls, tableDir, blooms, dv,
-      partSpecs, Map.empty, posDvs)
+      partSpecs, Map.empty, posDvs, None, lineage)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.NamedReference
 

@@ -422,11 +422,17 @@ private[catalog] class ChangeFeedMicroBatchStream(
           "graft.starting-version"))
     val factories = scala.collection.mutable.ArrayBuffer.empty[PartitionReaderFactory]
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    // LINEAGE tables route EVERY data-changing version (commits included)
+    // through the materialized identity-paired diff: the feed's rows carry
+    // `_row_id`, which a raw added-file read cannot resolve (virtual ids
+    // live in the manifest's base vector). Still slice-cost — a commit's
+    // diff reads exactly its added files.
+    val lineage = RowLineage.enabled(fs, dir)
     ((s + 1L) to e).foreach { v =>
       val mf = manifestOf(v)
       manifestKind(fs, mf) match {
         case "optimize" => () // layout-only: no row changes, never re-fed
-        case "commit" =>
+        case "commit" if !lineage =>
           val prev: Set[String] =
             if (v <= 1L) Set.empty
             else manifestFiles(fs, manifestOf(v - 1L)).toSet
@@ -439,7 +445,7 @@ private[catalog] class ChangeFeedMicroBatchStream(
             scan.toBatch.planInputPartitions().foreach(p =>
               parts += CdfInputPartition(p, fi, append = true, version = v))
           }
-        case _ => // rewrite: materialized row-level delta, read natively
+        case _ => // rewrite (or any lineage version): materialized delta
           val cdf = StagingMaintenance.ensureCdf(spark, fs, dir, v)
           val scan = scanFor(Seq(cdf.toString), fullSchema, s"$tableDirStr[cdf diff v$v]")
           val fi = factories.length

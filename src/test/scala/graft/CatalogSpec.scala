@@ -1921,22 +1921,50 @@ class CatalogSpec extends SparkSpec {
     // restore rolls ids back with the data
     spark.sql("CALL stage_t.restore('ws', 'rl', 3)")
     assert(ids() === v2, "restore re-identified rows")
-    // GROUP-BASED rewrites (UPDATE / MERGE / non-translatable DELETE) flow
-    // through Spark's replacement write (declared schema only) — their
-    // REWRITTEN files re-identify by documented design, but CARRIED files
-    // keep their ids file-granularly: cluster + ANALYZE, then a keyed
-    // UPDATE rewrites only the file whose [min,max] admits the key
+    // GROUP-BASED rewrites (UPDATE / MERGE / non-translatable DELETE)
+    // PRESERVE identity: the operation requires the `_row_id` metadata
+    // column, Spark's rewrite carries it through the update/copy legs, and
+    // the metadata-projected write lands it in the physical column
     StagingMaintenance.optimize(spark, "stage_t", "ws", "rl",
       targetFiles = 2, clusterBy = Some("k"))
     assert(ids() === v2, "clustered OPTIMIZE re-identified rows")
     spark.sql("CALL stage_t.analyze('ws', 'rl', 'k')")
     spark.sql("UPDATE stage_t.ws.rl SET k = k + 100000 WHERE k = 149")
     val afterUpd = ids()
-    assert(afterUpd.contains(100149L), "the updated key vanished")
-    // the lower range file was never scanned: its rows keep their ids
-    assert(v2.filter(_._1 < 30).forall { case (k, id) =>
-      afterUpd.get(k).contains(id) },
-      "a group-based UPDATE re-identified rows in a file it never scanned")
+    // the updated ROW keeps its id under its new key — row tracking
+    assert(afterUpd.get(100149L).contains(v2(149L)),
+      s"UPDATE re-identified the updated row: ${afterUpd.get(100149L)} vs ${v2(149L)}")
+    // every other row keeps its id too (rewritten file AND carried file)
+    assert((afterUpd - 100149L) === (v2 - 149L),
+      "a group-based UPDATE re-identified untouched rows")
+    // `SELECT _row_id` works in plain SQL — the DSv2 metadata-column face
+    val sqlIds = spark.sql("SELECT k, _row_id FROM stage_t.ws.rl")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sqlIds === afterUpd, "SQL _row_id disagrees with readLineage")
+    // MERGE: matched updates keep ids, NOT-MATCHED inserts get fresh ones
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.rlsrc")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.rlsrc AS
+        |SELECT id AS k FROM range(100140, 100160)""".stripMargin)
+    spark.sql(
+      """MERGE INTO stage_t.ws.rl t USING stage_t.ws.rlsrc s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET k = t.k + 1000000
+        |WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)""".stripMargin)
+    val afterMerge = ids()
+    assert(afterMerge.get(1100149L).contains(v2(149L)),
+      "MERGE UPDATE re-identified the matched row")
+    val inserted = afterMerge.keySet.filter(k => k >= 100140L && k < 100160L && k != 100149L)
+    assert(inserted.size === 19, s"MERGE inserts missing: $inserted")
+    assert(afterMerge.values.toSet.size === afterMerge.size,
+      "MERGE-inserted ids collide with existing ids")
+    assert(inserted.forall(k => afterMerge(k) > v2.values.max),
+      "a MERGE-inserted row reused an old id range")
+    // a NON-translatable DELETE (the group-based fallback) preserves too
+    spark.sql("DELETE FROM stage_t.ws.rl WHERE k % 10 = 7")
+    val afterGdel = ids()
+    assert(afterGdel === afterMerge.filter { case (k, _) => k % 10 != 7 },
+      "a group-based DELETE re-identified surviving rows")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.rlsrc")
     // v1 boundaries surface loudly
     val eb = intercept[Exception] { spark.sql("CALL stage_t.branch('ws', 'rl', 'b')") }
     assert(exMessages(eb).exists(_.contains("row lineage")), eb.getMessage)

@@ -764,6 +764,77 @@ class StreamingSpec extends SparkSpec {
     } finally q4.stop()
   }
 
+  test("lineage change feed: rows carry _row_id, updates pair by identity, inserts mint fresh ids") {
+    import graft.sources.catalog.StagingMaintenance
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf_rl").toString
+    spark.conf.set("spark.sql.catalog.cdfrl_cat",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdfrl_cat.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cdfrl_cat.ws")
+    spark.sql(
+      """CREATE TABLE cdfrl_cat.ws.t (k BIGINT, v STRING)
+        |TBLPROPERTIES ('graft.row-lineage'='true')""".stripMargin)
+    spark.sql("INSERT INTO cdfrl_cat.ws.t SELECT id, CAST(id AS STRING) FROM range(0, 10)")
+    // (k, v, change, version, row_id) delivered exactly once
+    val rows = new java.util.concurrent.ConcurrentHashMap[(Long, String, String, Long, Long), Long]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_rl_ckpt").toString
+    val q = spark.readStream.table("cdfrl_cat.ws.t.changes")
+      .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("k", "v", "_change_type", "_commit_version", "_row_id")
+          .collect().foreach { r =>
+            rows.merge((r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+              r.getLong(4)), 1L, _ + _)
+          }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // the insert backlog carries the SAME ids the table serves
+      val served = StagingMaintenance.readLineage(spark, "cdfrl_cat", "ws", "t")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(rows.size === 10, s"backlog: ${rows.size}")
+      rows.keySet().forEach { t =>
+        assert(t._3 == "insert" && served(t._1) == t._5,
+          s"feed id diverged from the table's: $t vs ${served(t._1)}")
+      }
+      // an UPDATE streams ONE pre/post pair SHARING the row's id — exact
+      // identity pairing with no merge key anywhere
+      spark.sql("UPDATE cdfrl_cat.ws.t SET v = 'x' WHERE k = 3")
+      q.processAllAvailable()
+      assert(rows.size === 12, s"update delta: ${rows.size}")
+      val id3 = served(3L)
+      assert(rows.containsKey((3L, "3", "update_preimage", 2L, id3)) &&
+        rows.containsKey((3L, "x", "update_postimage", 2L, id3)), rows.toString)
+      // MERGE: the matched row's pair shares ITS id; the not-matched
+      // insert mints a fresh id the table then serves
+      spark.sql(
+        """MERGE INTO cdfrl_cat.ws.t t USING
+          |  (SELECT 5L AS k, 'm' AS v UNION ALL SELECT 100L, 'new') s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+      q.processAllAvailable()
+      assert(rows.size === 15, s"merge delta: ${rows.size}")
+      val id5 = served(5L)
+      assert(rows.containsKey((5L, "5", "update_preimage", 3L, id5)) &&
+        rows.containsKey((5L, "m", "update_postimage", 3L, id5)), rows.toString)
+      val served2 = StagingMaintenance.readLineage(spark, "cdfrl_cat", "ws", "t")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(rows.containsKey((100L, "new", "insert", 3L, served2(100L))), rows.toString)
+      assert(served2(100L) > served.values.max, "merge insert reused an old id range")
+      // a COW DELETE streams deletes carrying the vanished rows' ids
+      spark.sql("DELETE FROM cdfrl_cat.ws.t WHERE k >= 8 AND k < 10")
+      q.processAllAvailable()
+      assert(rows.size === 17, s"delete delta: ${rows.size}")
+      assert(rows.containsKey((8L, "8", "delete", 4L, served(8L))) &&
+        rows.containsKey((9L, "9", "delete", 4L, served(9L))), rows.toString)
+      // exactly-once throughout
+      assert(!rows.values().stream().anyMatch(n => n > 1L), "a change row was re-delivered")
+    } finally q.stop()
+    spark.sql("DROP TABLE IF EXISTS cdfrl_cat.ws.t")
+  }
+
   test("readStream.table tails version manifests: exactly-once appends, OPTIMIZE skipped, changes gated") {
     // The DSv2 streaming face of the staging catalog (the Delta-source
     // shape): offsets are manifest VERSIONS, each batch reads only the
