@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ahash_bands"),
       new ExpressionInfo(classOf[AHashBands].getName, "ahash_bands"),
       (args: Seq[Expression]) => AHashBands(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (args: Seq[Expression]) => BpeTokenCount(args.head, args(1))))
     // Table-valued function: graft_bins(lo, hi, width) bin spine (GraftBins)
     ext.injectTableFunction((
       FunctionIdentifier("graft_bins"),

@@ -2842,7 +2842,10 @@ object Connectors {
     GraftQuery.sql("q332_branch_merge_publish", q332BranchMergePublish, q332Oracle),
     GraftQuery.sql("q333_commit_groups", q333CommitGroups, q333Oracle),
     GraftQuery.sql("q334_branch_rebase", q334BranchRebase, q334Oracle),
-    GraftQuery.sql("q335_row_lineage", q335RowLineage, q335Oracle))
+    GraftQuery.sql("q335_row_lineage", q335RowLineage, q335Oracle),
+    GraftQuery.sql("q336_spj_catalog", q336SpjCatalog, q336Oracle),
+    GraftQuery.sql("q337_partition_evolution", q337PartitionEvolution, q337Oracle),
+    GraftQuery.sql("q339_metadata_tables", q339MetadataTables, q339Oracle))
 
   // ---------------------------------------------------------------- q332
 
@@ -3177,6 +3180,270 @@ object Connectors {
         |FROM graft_stage.work.orders_rl
         |GROUP BY k % 7 ORDER BY g""".stripMargin)
   }
+
+  // ---------------------------------------------------------------- q336
+
+  /** STORAGE-PARTITIONED JOIN over the staging catalog's bucket layout
+    * (r11 — Iceberg SPJ parity on REAL parquet tables; q232 is the same
+    * surface on the synthetic SeqSource): two tables `PARTITIONED BY
+    * (bucket(8, k))`, bedded into their `k_bucket=<r>/` directories by
+    * OPTIMIZE, join on `k` with ZERO Exchange. The scan proves the layout
+    * from the manifest alone (every planned file in a bucket dir), groups
+    * splits one-per-residue with their partition keys, and reports
+    * `KeyGroupedPartitioning(bucket(8, k))`; the transform resolves
+    * through the catalog's own `bucket` V2 function
+    * ([[graft.sources.catalog.StagingFunctions]]), whose semantics are
+    * bit-identical to the layout's mod_bucket residue. At 100 TB this is
+    * the difference between shuffling BOTH fact tables and an
+    * embarrassingly parallel per-bucket zip — the join cost a lakehouse
+    * buys by paying the layout once at write time. The in-query require
+    * pins the exchange-free executed plan AND a checksum equality under
+    * it; the stray-append fallback (report withdrawn, plan shuffles,
+    * result identical) is CatalogSpec's.
+    */
+  def q336SpjCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    // same session-wide opt-in q232 uses: the flag only activates for
+    // scans that REPORT a key-grouped layout
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_spj_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.spj_a")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.spj_b")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.spj_a (k BIGINT, cust BIGINT)
+        |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft_stage.work.spj_a SELECT o_orderkey, o_custkey FROM orders_spj_src")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.spj_b (k BIGINT, price_cents BIGINT)
+        |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.spj_b
+        |SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        |FROM orders_spj_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "spj_a", partitionBy = Some("bucket(8,k)"))
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "spj_b", partitionBy = Some("bucket(8,k)"))
+    // prove the exchange-free plan with broadcast off (a dim-sized test
+    // table would otherwise broadcast; at fact scale SPJ is the only
+    // shuffle-free plan) — conf restored before returning
+    val joinSql =
+      """SELECT a.k % 9 AS g, count(*) AS n, CAST(sum(a.cust) AS BIGINT) AS sum_cust,
+        |  CAST(sum(b.price_cents) AS BIGINT) AS sum_cents
+        |FROM graft_stage.work.spj_a a JOIN graft_stage.work.spj_b b ON a.k = b.k
+        |GROUP BY a.k % 9 ORDER BY g""".stripMargin
+    val oldBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the bare join: under SPJ its whole subtree is exchange-free (the
+      // final per-group rollup above it may still shuffle its few rows)
+      val j = spark.sql(
+        """SELECT a.k, a.cust, b.price_cents
+          |FROM graft_stage.work.spj_a a JOIN graft_stage.work.spj_b b ON a.k = b.k""".stripMargin)
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"bucket⋈bucket catalog join planned a shuffle:\n$plan")
+      // execute under the SPJ plan: the row checksum pins the zip's exactness
+      val n = j.agg(fsum(col("cust") * (col("k") % 97))).collect()(0).getLong(0)
+      require(n != 0, "SPJ join checksum empty")
+    } finally oldBc match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    spark.sql(joinSql)
+  }
+
+  /** The bucketed join recomputed from raw orders: every order joins its
+    * even-keyed twin, grouped on the key residue.
+    */
+  val q336Oracle: String =
+    """SELECT o_orderkey % 9 AS g, count(*) AS n,
+      |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q337
+
+  /** PARTITION-SPEC EVOLUTION (r11 — Iceberg's signature layout feature,
+    * re-derived for the path-carried layout): a time-partitioned event
+    * table re-declares itself key-bucketed WITHOUT rewriting a byte.
+    * `CALL set_partition_spec` RETIRES `days(ts)` and declares
+    * `bucket(8, user_id)`; old files stay in their `ts_day=` directories
+    * and keep pruning through the retired spec (the per-file path pruner
+    * judges each file by the spec family its path carries), while
+    * `CALL optimize(scope => 'stray')` beds ONLY the post-evolution
+    * ingest into `user_id_bucket=` dirs at O(new data) cost — the carried
+    * day files re-enter the manifest BY NAME, byte-identical. At 100 TB
+    * this is the operation that re-grains a table's layout without the
+    * week-long rewrite a physical re-partition would cost; both layout
+    * families then prune their own predicates (time windows hit the old
+    * family, key lookups the new), proven in-query via lastPrune.
+    */
+  def q337PartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    val prevT = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events_evo_src")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+      spark.sql("DROP TABLE IF EXISTS graft_stage.work.evo_events")
+      spark.sql(
+        """CREATE TABLE graft_stage.work.evo_events
+          |  (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE)
+          |  PARTITIONED BY (days(ts))""".stripMargin)
+      spark.sql(
+        """INSERT INTO graft_stage.work.evo_events
+          |SELECT event_id, ts, user_id, value FROM events_evo_src
+          |WHERE event_id % 2 = 0""".stripMargin)
+      graft.sources.catalog.StagingMaintenance.optimize(
+        spark, "graft_stage", "work", "evo_events", partitionBy = Some("days(ts)"))
+      val dayFiles = graft.sources.catalog.StagingMaintenance
+        .currentFileNames(spark, "graft_stage", "work", "evo_events")
+      require(dayFiles.nonEmpty && dayFiles.forall(_.startsWith("ts_day=")),
+        s"day layout incomplete: $dayFiles")
+      // EVOLVE: days(ts) retires, bucket(8, user_id) becomes current
+      spark.sql("CALL graft_stage.set_partition_spec('work', 'evo_events', 'bucket(8,user_id)')")
+      spark.sql(
+        """INSERT INTO graft_stage.work.evo_events
+          |SELECT event_id, ts, user_id, value FROM events_evo_src
+          |WHERE event_id % 2 = 1""".stripMargin)
+      spark.sql("CALL graft_stage.optimize('work', 'evo_events', " +
+        "partition_by => 'bucket(8,user_id)', scope => 'stray')")
+      val files = graft.sources.catalog.StagingMaintenance
+        .currentFileNames(spark, "graft_stage", "work", "evo_events")
+      require(dayFiles.forall(files.contains),
+        "stray-only optimize rewrote carried day files")
+      require(files.forall(f =>
+          f.startsWith("ts_day=") || f.startsWith("user_id_bucket=")),
+        s"stray files survived the incremental layout: $files")
+      graft.sources.catalog.StagingMaintenance.analyze(
+        spark, "graft_stage", "work", "evo_events", Seq("ts"))
+      // the OLD family prunes time windows through the RETIRED spec
+      val dayLo = spark.sql(
+        "SELECT date_trunc('DAY', min(ts)) FROM graft_stage.work.evo_events")
+        .collect()(0).getTimestamp(0)
+      graft.sources.catalog.ZoneMapScan.lastPrune = None
+      val nDay = spark.sql(
+        s"""SELECT count(*) FROM graft_stage.work.evo_events
+           |WHERE ts >= timestamp'$dayLo' AND ts < timestamp'$dayLo' + INTERVAL 1 DAY"""
+          .stripMargin).collect()(0).getLong(0)
+      val pruneDay = graft.sources.catalog.ZoneMapScan.lastPrune
+      require(nDay > 0 && pruneDay.exists { case (k, t) => k < t },
+        s"retired days spec pruned nothing: rows=$nDay prune=$pruneDay")
+      // the NEW family prunes key lookups through the CURRENT spec
+      val probeU = spark.sql("SELECT max(user_id) FROM graft_stage.work.evo_events")
+        .collect()(0).getLong(0) / 2L
+      graft.sources.catalog.ZoneMapScan.lastPrune = None
+      spark.sql(
+        s"SELECT count(*) FROM graft_stage.work.evo_events WHERE user_id = $probeU")
+        .collect()
+      val pruneBkt = graft.sources.catalog.ZoneMapScan.lastPrune
+      require(pruneBkt.exists { case (k, t) => k < t },
+        s"current bucket spec pruned nothing: $pruneBkt")
+      spark.sql(
+        """SELECT event_id % 11 AS g, count(*) AS n,
+          |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |FROM graft_stage.work.evo_events
+          |GROUP BY event_id % 11 ORDER BY g""".stripMargin)
+    } finally prevT match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
+  /** Both ingest slices recomputed from raw events — evolution and the
+    * incremental layout must lose and duplicate nothing.
+    */
+  val q337Oracle: String =
+    s"""SELECT event_id % 11 AS g, count(*) AS n,
+       |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+       |  ${graft.operators.Det.dsumSql("value")} AS total
+       |FROM events
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q339
+
+  /** METADATA TABLE FACES (r11 — Iceberg metadata tables as queryable
+    * relations): `t.files`, `t.partitions`, `t.snapshots` expose the
+    * table's own manifests to plain SQL, so the questions a 100 TB
+    * operator actually asks — how many files, how skewed, which commits,
+    * did the layout complete — are SELECTs, not bespoke tooling. The
+    * query drives a small-files lifecycle and PINS the operational audit
+    * in-query (file names/sizes/timestamps are environment-dependent, so
+    * the oracle can't see them; the final SELECT is plain data):
+    *
+    *   - three small commits → `.snapshots` shows 3 commit versions and
+    *     `.files` shows the accreted small files (the pile-up the faces
+    *     exist to detect),
+    *   - OPTIMIZE into a bucket(4,k) layout → `.snapshots` gains an
+    *     optimize version, `.files` shrinks to one file per bucket dir,
+    *     `.partitions` shows exactly the 4 balanced buckets,
+    *   - the faces AGREE: partitions' n_files/size_bytes roll up from
+    *     files, snapshot n_files matches the files face.
+    */
+  def q339MetadataTables(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_meta_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.meta_o")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.meta_o AS
+        |SELECT o_orderkey AS k, o_custkey AS v FROM orders_meta_src
+        |WHERE o_orderkey % 3 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.meta_o
+        |SELECT o_orderkey, o_custkey FROM orders_meta_src WHERE o_orderkey % 3 = 1""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.meta_o
+        |SELECT o_orderkey, o_custkey FROM orders_meta_src WHERE o_orderkey % 3 = 2""".stripMargin)
+    val snaps0 = spark.sql(
+      "SELECT version, kind FROM graft_stage.work.meta_o.snapshots ORDER BY version").collect()
+    require(snaps0.length == 3 && snaps0.forall(_.getString(1) == "commit"),
+      s"snapshots face after 3 ingests: ${snaps0.mkString(",")}")
+    val nSmall = spark.sql("SELECT count(*) FROM graft_stage.work.meta_o.files")
+      .collect()(0).getLong(0)
+    require(nSmall >= 3, s"expected accreted small files, files face shows $nSmall")
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "meta_o", partitionBy = Some("bucket(4,k)"))
+    // the faces agree with each other and with the layout
+    val audit = spark.sql(
+      """SELECT p.partition, p.n_files, p.size_bytes, f.nf, f.sz
+        |FROM graft_stage.work.meta_o.partitions p
+        |JOIN (SELECT partition, count(*) AS nf, sum(size_bytes) AS sz
+        |      FROM graft_stage.work.meta_o.files GROUP BY partition) f
+        |ON p.partition <=> f.partition ORDER BY p.partition""".stripMargin).collect()
+    require(audit.length == 4 &&
+        audit.forall(r => r.getString(0).startsWith("k_bucket=") &&
+          r.getInt(1) == r.getLong(3).toInt && r.getLong(2) == r.getLong(4) &&
+          r.getLong(2) > 0L),
+      s"partitions/files faces disagree: ${audit.mkString(",")}")
+    val headSnap = spark.sql(
+      """SELECT kind, n_files FROM graft_stage.work.meta_o.snapshots
+        |ORDER BY version DESC LIMIT 1""".stripMargin).collect()(0)
+    require(headSnap.getString(0) == "optimize" && headSnap.getInt(1) == 4,
+      s"snapshots face missed the optimize: $headSnap")
+    spark.sql(
+      """SELECT k % 7 AS g, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM graft_stage.work.meta_o GROUP BY k % 7 ORDER BY g""".stripMargin)
+  }
+
+  /** The three ingest slices recomputed from raw orders. */
+  val q339Oracle: String =
+    """SELECT o_orderkey % 7 AS g, count(*) AS n, min(o_orderkey) AS min_k,
+      |  max(o_orderkey) AS max_k, CAST(sum(o_custkey) AS BIGINT) AS sum_v
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The surviving corpus recomputed from raw orders: both ingested slices,
     * minus the ranged delete, with the %11=3 band's values flipped by the

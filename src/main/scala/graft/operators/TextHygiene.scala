@@ -541,5 +541,91 @@ object TextHygiene {
     GraftQuery.sql("q255_unigram_rarity", q255UnigramRarity, q255Oracle),
     GraftQuery.sql("q259_bpe_merges", q259BpeMerges, q259Oracle),
     GraftQuery.sql("q280_kn_counts", q280KnCounts, q280Oracle),
-    GraftQuery.sql("q281_pmi_collocations", q281PmiCollocations, q281Oracle))
+    GraftQuery.sql("q281_pmi_collocations", q281PmiCollocations, q281Oracle),
+    GraftQuery.sql("q338_bpe_encode", q338BpeEncode, q338Oracle))
+
+  // ---------------------------------------------------------------- q338
+
+  /** BPE tokenizer APPLICATION — the encode side q259's training produces a
+    * vocabulary FOR: count every document's tokens under the learned merge
+    * table. Training is dictionary-sized, but ENCODING is corpus-sized —
+    * the relational replay (one `replace` pass per merge) would cost
+    * |vocab| full corpus scans at 100 TB, so the corpus pass runs the
+    * [[graft.functions.BpeTokenCount]] codegen kernel instead: the rank
+    * table rides into generated code as a reference object and every
+    * document is encoded in ONE scan, O(|merges|·|word|) per row, no
+    * explode, no join, no shuffle before the final rollup.
+    *
+    * Correctness is pinned twice: an in-query require proves the kernel
+    * bit-equal to the relational `||`-delimited replay on EVERY distinct
+    * corpus word (the kernel is the spec's fast path, not a reimplementation
+    * drift risk), and the oracle re-derives the merges AND re-encodes the
+    * corpus dictionary in DuckDB, then aggregates per-doc token counts —
+    * a hash match proves train→encode end-to-end.
+    */
+  def q338BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    // the learned merge table (rank order) — same training operator as q259
+    val merges = q259BpeMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    def sqlLit(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'").replace("\t", "\\t") + "'"
+    val mergesArr = merges.map { case (_, a, b) => sqlLit(s"$a\t$b") }
+      .mkString("array(", ", ", ")")
+    // kernel ≡ relational replay, per distinct corpus word (require-pinned)
+    val replay = merges.foldLeft(
+      "concat('||', regexp_replace(tok, '(.)', '$1||'))") { case (acc, (_, a, b)) =>
+      s"replace($acc, ${sqlLit(s"|$a||$b|")}, ${sqlLit(s"|$a$b|")})"
+    }
+    val dict = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok")).distinct()
+    val mismatches = dict
+      .select(
+        expr(s"size(filter(split($replay, '\\\\|\\\\|'), x -> x != ''))").as("rel"),
+        expr(s"bpe_token_count(tok, $mergesArr)").as("fast"))
+      .where(col("rel") =!= col("fast")).count()
+    require(mismatches == 0,
+      s"bpe_token_count disagrees with the relational replay on $mismatches words")
+    // the corpus pass: ONE scan, kernel-encoded
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(s"bpe_token_count(text, $mergesArr)").cast("long").as("toks"))
+      .groupBy((col("doc_id") % 13).as("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"),
+        min(col("toks")).as("min_toks"), max(col("toks")).as("max_toks"))
+      .orderBy(col("g"))
+  }
+
+  /** Train-and-encode replayed wholly in DuckDB: the q259 merge derivation
+    * (dictionary pair argmax per iteration) with the word carried through,
+    * then per-doc token totals via the dictionary join.
+    */
+  val q338Oracle: String = {
+    def stage(k: Int): String = {
+      val prev = s"w${k - 1}"
+      s"""p$k AS (
+         |  SELECT syms[i + 1] AS a, syms[i + 2] AS b, cnt FROM (
+         |    SELECT syms, cnt, unnest(range(0, greatest(len(syms) - 1, 0))) AS i FROM (
+         |      SELECT list_filter(string_split(s, '||'), x -> x <> '') AS syms, cnt
+         |      FROM $prev))),
+         |m$k AS (SELECT a, b FROM p$k GROUP BY a, b
+         |        ORDER BY CAST(sum(cnt) AS BIGINT) DESC, a, b LIMIT 1),
+         |w$k AS (SELECT tok, replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s,
+         |               cnt FROM $prev, m$k)""".stripMargin
+    }
+    s"""WITH w0 AS (
+       |  SELECT tok, '||' || regexp_replace(tok, '(.)', '\\1||', 'g') AS s, cnt FROM (
+       |    SELECT tok, count(*) AS cnt FROM (
+       |      SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok)),
+       |${(1 to BpeIters).map(stage).mkString(",\n")},
+       |dict AS (SELECT tok,
+       |    len(list_filter(string_split(s, '||'), x -> x <> '')) AS tc FROM w$BpeIters),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(sum(tc) AS BIGINT) AS toks
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) dt
+       |  JOIN dict USING (tok) GROUP BY doc_id)
+       |SELECT doc_id % 13 AS g, count(*) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS sum_toks,
+       |  min(toks) AS min_toks, max(toks) AS max_toks
+       |FROM per_doc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -226,6 +226,20 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
             org.apache.spark.sql.types.LongType, nullable = true))
       return new ChangeFeedTable(bd.toString, schema)
     }
+    // `cat.ns.t.files` / `.partitions` / `.snapshots` — METADATA TABLE
+    // faces (Iceberg's metadata tables / Delta's DESCRIBE surfaces as
+    // queryable relations): the table's own manifests exposed to plain
+    // SQL, so the operational questions a 100 TB admin asks — small-file
+    // skew, layout completeness, commit cadence, per-partition balance —
+    // are joins and aggregations, not bespoke tooling. Driver-computed
+    // [[org.apache.spark.sql.connector.read.LocalScan]]s: manifests are
+    // control-plane-sized by construction (files per SNAPSHOT, not rows).
+    if (ident.namespace().length == 2 && MetadataFaces.contains(ident.name())) {
+      val base = Identifier.of(ident.namespace().take(1), ident.namespace()(1))
+      val bd = tableDir(base)
+      if (bd == null || !isDir(bd)) throw new NoSuchTableException(base)
+      return new MetadataFaceTable(bd, ident.name(), s"${qualified(base)}.${ident.name()}")
+    }
     val d = tableDir(ident)
     if (d == null || !isDir(d)) throw new NoSuchTableException(ident)
     // CURRENT reads resolve through the latest manifest when one exists —
@@ -236,8 +250,20 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     // resolved version number is the SNAPSHOT this table object reads; a
     // row-level rewrite through it commits against exactly that base
     // (optimistic concurrency).
-    val (snapshotVersion, snapshotFiles, readPaths, dvNames) =
-      headManifest(fs, d) match {
+    val (snapshotVersion, snapshotFiles, readPaths, dvNames) = resolveCurrent(d)
+    new VersionedStagingTable(
+      parquetTable(qualified(ident), readPaths, declaredSchema(fs, d)),
+      parquetTable(qualified(ident), Seq(d.toString), declaredSchema(fs, d)),
+      d, snapshotVersion, snapshotFiles, dvNames)
+  }
+
+  /** CURRENT-snapshot resolution shared by the plain read face and the
+    * metadata faces: (version, manifest file names, read paths, DV names).
+    */
+  private def resolveCurrent(d: Path)
+      : (Long, Option[Seq[String]], Seq[String], Seq[String]) = {
+    import GraftStagingCatalog._
+    headManifest(fs, d) match {
         case Some((v, mf)) =>
           // COMMIT-GROUP members resolve through their group's latest
           // published vector, not the table head (CommitGroups): member
@@ -270,10 +296,6 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
           }
         case None => (0L, None, Seq(d.toString), Seq.empty[String])
       }
-    new VersionedStagingTable(
-      parquetTable(qualified(ident), readPaths, declaredSchema(fs, d)),
-      parquetTable(qualified(ident), Seq(d.toString), declaredSchema(fs, d)),
-      d, snapshotVersion, snapshotFiles, dvNames)
   }
 
   /** The writable face of a BRANCH (`cat.ns.t.branch_<name>`): reads the
@@ -363,7 +385,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
             dir.toString,
             () => StagingMaintenance.readBloomsFor(tableFs, dir),
             Map.empty, None,
-            GraftStagingCatalog.partSpecs(tableFs, dir),
+            GraftStagingCatalog.partSpecsAll(tableFs, dir),
             Map.empty,
             DeletionVectors.loadPosDvs(tableFs, dir, dvNames),
             posIdxCapable = posCapable)
@@ -392,7 +414,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
             () => StagingMaintenance.readBloomsFor(tableFs, dir),
             DeletionVectors.loadDvs(tableFs, dir, dvNames),
             Some(keyField),
-            GraftStagingCatalog.partSpecs(tableFs, dir))
+            GraftStagingCatalog.partSpecsAll(tableFs, dir))
         case other => other
       }
   }
@@ -447,6 +469,82 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       s"$catalogName: ${ident.name()} has no committed version at or before " +
         s"timestamp ${millis}ms"))
     manifestTable(ident, d, mf, s"@v$v", v)
+  }
+
+  /** A read-only METADATA FACE of a staging table (`cat.ns.t.files` /
+    * `.partitions` / `.snapshots`): the manifest's control-plane view as a
+    * queryable relation, computed fresh at scan build on the driver.
+    *
+    *  - `files`: one row per CURRENT-snapshot data file — (file,
+    *    size_bytes, partition), partition = the layout dir the file lives
+    *    in (NULL for flat files). Resolution honors commit-group pins the
+    *    same way the data read does ([[resolveCurrent]]).
+    *  - `partitions`: files grouped by layout dir — the balance/skew audit.
+    *  - `snapshots`: one row per retained version — (version, kind,
+    *    committed_at, n_files). Reads every retained manifest by design:
+    *    this is the explicit audit surface, not the head-resolution path
+    *    the checkpoint accelerates; VACUUM bounds its length.
+    */
+  private class MetadataFaceTable(dir: Path, face: String, label: String)
+      extends Table with SupportsRead {
+    private val tableFs = fs
+    override def name(): String = label
+    override def schema(): StructType = GraftStagingCatalog.MetadataFaces.schemaOf(face)
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): org.apache.spark.sql.connector.read.Scan = {
+          val rs = faceRows(dir, face)
+          new org.apache.spark.sql.connector.read.LocalScan {
+            override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = rs
+            override def readSchema(): StructType =
+              GraftStagingCatalog.MetadataFaces.schemaOf(face)
+            override def description(): String = label
+          }
+        }
+      }
+  }
+
+  private def faceRows(d: Path,
+      face: String): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    import GraftStagingCatalog._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    def fileEntries(): Seq[(String, Long, String)] = {
+      val files = resolveCurrent(d)._2.getOrElse(dataFiles(fs, d))
+      files.sorted.map { f =>
+        val len = fs.getFileStatus(new Path(d, f)).getLen
+        val i = f.lastIndexOf('/')
+        (f, len, if (i > 0) f.substring(0, i) else null)
+      }
+    }
+    face match {
+      case "files" =>
+        fileEntries().map { case (f, len, part) =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(f), len,
+            if (part == null) null else UTF8String.fromString(part)))
+            : org.apache.spark.sql.catalyst.InternalRow
+        }.toArray
+      case "partitions" =>
+        fileEntries().groupBy(_._3).toSeq
+          .sortBy { case (p, _) => if (p == null) "" else p }
+          .map { case (p, fsOfP) =>
+            new GenericInternalRow(Array[Any](
+              if (p == null) null else UTF8String.fromString(p),
+              fsOfP.size, fsOfP.map(_._2).sum))
+              : org.apache.spark.sql.catalyst.InternalRow
+          }.toArray
+      case "snapshots" =>
+        versionManifests(fs, d).map { case (v, mf) =>
+          new GenericInternalRow(Array[Any](v,
+            UTF8String.fromString(manifestKind(fs, mf)),
+            commitMillis(fs, mf) * 1000L,
+            manifestFiles(fs, mf).size))
+            : org.apache.spark.sql.catalyst.InternalRow
+        }.toArray
+      case other => throw new IllegalArgumentException(s"unknown metadata face $other")
+    }
   }
 
   /** Wraps the read and write delegates so every committed batch write also
@@ -564,8 +662,19 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       val hasBlooms = StagingMaintenance.hasBloomSidecar(tableFs, dir)
       val dvOn = dvNames.nonEmpty && morKeyField.isDefined
       // non-identity partition transforms prune from the file PATH alone —
-      // the scan wrapper earns its keep even with no stats sidecar
-      val specs = GraftStagingCatalog.partSpecs(tableFs, dir)
+      // the scan wrapper earns its keep even with no stats sidecar.
+      // Pruning consults CURRENT ++ RETIRED specs (partition-spec
+      // evolution: each file is judged by the spec family its path
+      // carries); the SPJ candidate is the CURRENT spec only, and only
+      // when no retired spec shares its layout prefix (a bucket-count
+      // re-spec would otherwise alias old residue dirs into the new
+      // grouping).
+      val specs = GraftStagingCatalog.partSpecsAll(tableFs, dir)
+      val spjCandidate = GraftStagingCatalog.partSpecs(tableFs, dir) match {
+        case Seq(bp: GraftStagingCatalog.BucketPart)
+          if specs.forall(s => s == bp || s.dirPrefix != bp.dirPrefix) => Some(bp)
+        case _ => None
+      }
       // the wrapper is ALWAYS applied (even with nothing to prune by):
       // besides zone maps it is the table's streaming face — a fresh,
       // never-ANALYZEd table must still serve readStream.table(…)
@@ -582,7 +691,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
               .toMap,
             posDvMap,
             posIdxCapable = posCapable,
-            lineage = if (lineageCapable) Some(lineageEntries) else None)
+            lineage = if (lineageCapable) Some(lineageEntries) else None,
+            spjCandidate = spjCandidate)
         case other => other
       }
     }
@@ -1165,6 +1275,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       case "branches"    => Some(StagingProcedures.branches(catalogName))
       case "group_create"  => Some(StagingProcedures.groupCreate(catalogName))
       case "group_publish" => Some(StagingProcedures.groupPublish(catalogName))
+      case "set_partition_spec" => Some(StagingProcedures.setPartitionSpec(catalogName))
       case _          => None
     }
 
@@ -1449,7 +1560,7 @@ private class StagingRowLevelOperation(
             // filter attributes would break the optimizer rule.
             val statCols = stats.keysIterator.map(_._2).toArray.distinct.sorted
             val blooms = () => StagingMaintenance.readBloomsFor(tableFs, dir)
-            val specs = GraftStagingCatalog.partSpecs(tableFs, dir)
+            val specs = GraftStagingCatalog.partSpecsAll(tableFs, dir)
             val li = lineageInfo(scan)
             val zms =
               if (statCols.nonEmpty)
@@ -1641,7 +1752,7 @@ private class StagingDeltaOperation(
               }
             val statCols = stats.keysIterator.map(_._2).toArray.distinct.sorted
             val blooms = () => StagingMaintenance.readBloomsFor(tableFs, dir)
-            val specs = GraftStagingCatalog.partSpecs(tableFs, dir)
+            val specs = GraftStagingCatalog.partSpecsAll(tableFs, dir)
             val zms =
               if (statCols.nonEmpty)
                 new RowLevelGroupScan(fscan, stats, v1, statCols, nulls, dir.toString,
@@ -1785,6 +1896,30 @@ private class StagingDeltaWriterFactory(
 object GraftStagingCatalog {
   private[catalog] val SchemaSidecar = "_graft_schema.json"
   private[catalog] val PartitionSidecar = "_graft_partition.txt"
+  private[catalog] val PartitionPrevSidecar = "_graft_partition_prev.txt"
+
+  /** Schemas of the metadata table faces (`t.files` / `.partitions` /
+    * `.snapshots`).
+    */
+  private[catalog] object MetadataFaces {
+    import org.apache.spark.sql.types._
+    private val schemas: Map[String, StructType] = Map(
+      "files" -> StructType(Seq(
+        StructField("file", StringType, nullable = false),
+        StructField("size_bytes", LongType, nullable = false),
+        StructField("partition", StringType, nullable = true))),
+      "partitions" -> StructType(Seq(
+        StructField("partition", StringType, nullable = true),
+        StructField("n_files", IntegerType, nullable = false),
+        StructField("size_bytes", LongType, nullable = false))),
+      "snapshots" -> StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("committed_at", TimestampType, nullable = false),
+        StructField("n_files", IntegerType, nullable = false))))
+    def contains(name: String): Boolean = schemas.contains(name)
+    def schemaOf(name: String): StructType = schemas(name)
+  }
   private[catalog] val SortOrderSidecar = "_graft_sortorder.txt"
   private[catalog] val VersionsDir = "_graft_versions"
   private val VersionFile = "^v(\\d+)\\.json$".r
@@ -1843,6 +1978,19 @@ object GraftStagingCatalog {
     else Seq.empty
   }
 
+  /** RETIRED partition transform lines (partition-spec evolution,
+    * [[StagingMaintenance.setPartitionSpec]]): specs the table was laid
+    * out under BEFORE its current declaration. Old-layout files stay in
+    * their old directories — the per-file path pruner matches whichever
+    * spec family a file's path carries, so historical specs keep pruning
+    * the old family while the current spec prunes (and lays out) new work.
+    */
+  private[catalog] def retiredPartitionCols(fs: FileSystem, d: Path): Seq[String] = {
+    val p = new Path(d, PartitionPrevSidecar)
+    if (isFile(fs, p)) readString(fs, p).split('\n').toIndexedSeq.filter(_.nonEmpty)
+    else Seq.empty
+  }
+
   /** One declared partition transform. `dirPrefix` is the `name=` directory
     * component OPTIMIZE's layout writes and the path-based pruner matches;
     * the transform SOURCE column always stays IN the data files (the q304
@@ -1881,6 +2029,14 @@ object GraftStagingCatalog {
 
   private[catalog] def partSpecs(fs: FileSystem, d: Path): Seq[PartSpec] =
     partitionCols(fs, d).map(parsePartSpec)
+
+  /** CURRENT ++ RETIRED specs — the set the PRUNING paths consult. Sound
+    * per file by construction: [[StagingMaintenance.partValueOf]] applies a
+    * spec only to files whose path matches ITS layout prefix, so a file is
+    * only ever judged by the spec that placed it. Current-first, deduped.
+    */
+  private[catalog] def partSpecsAll(fs: FileSystem, d: Path): Seq[PartSpec] =
+    (partitionCols(fs, d) ++ retiredPartitionCols(fs, d)).distinct.map(parsePartSpec)
 
   private[catalog] def isFile(fs: FileSystem, p: Path): Boolean =
     try fs.getFileStatus(p).isFile catch { case _: FileNotFoundException => false }
@@ -2585,7 +2741,7 @@ object GraftStagingCatalog {
         .getOrElse(dataFiles(fs, d)))
     val stats = StagingMaintenance.readStatsFor(fs, d)
     val nulls = StagingMaintenance.readNullsFor(fs, d)
-    val specs = partSpecs(fs, d)
+    val specs = partSpecsAll(fs, d)
     // zone-map candidate split: files whose ranges cannot match are never read
     val candidates = current.filter(f =>
       filters.forall(fl => ZoneMapPrunedScan.canMatch(stats, nulls, f, fl) &&
@@ -2665,7 +2821,7 @@ object GraftStagingCatalog {
     // An empty filter array is TRUNCATE: every row matches vacuously.
     // path-based partition pruning joins the stats: a `days(ts)` layout
     // serves a whole-day DELETE metadata-only with NO stats sidecar at all
-    val specs = partSpecs(fs, d)
+    val specs = partSpecsAll(fs, d)
     val (touched0, untouched) = current.partition(f =>
       filters.forall(fl => ZoneMapPrunedScan.canMatch(stats, nulls, f, fl) &&
         ZoneMapPrunedScan.partCanMatch(specs, f, fl)))

@@ -33,10 +33,11 @@ import org.apache.spark.sql.types._
   */
 private[catalog] object StagingFunctions {
 
-  val names: Seq[String] = Seq("dsum4", "mod_bucket")
+  val names: Seq[String] = Seq("dsum4", "mod_bucket", "bucket")
 
   def load(name: String): Option[UnboundFunction] = name.toLowerCase match {
     case "mod_bucket" => Some(ModBucket)
+    case "bucket"     => Some(Bucket)
     case "dsum4"      => Some(DSum4)
     case _            => None
   }
@@ -70,6 +71,62 @@ private[catalog] object StagingFunctions {
       }
       override def produceResult(input: InternalRow): Integer =
         invoke(input.getLong(0), input.getInt(1))
+    }
+  }
+
+  /** The TRANSFORM-RESOLUTION face of [[ModBucket]]: Spark's
+    * storage-partitioned-join machinery resolves a table's declared
+    * `bucket(n, c)` partition transform by loading a function literally
+    * named `bucket` from the table's own catalog with argument shape
+    * (numBuckets INT, key) — `V2ExpressionUtils.loadV2FunctionOpt`. The
+    * bound semantics ARE mod_bucket's ((k % n) + n) % n — the same residue
+    * the OPTIMIZE bucket layout derives with `pmod` — so the
+    * KeyGroupedPartitioning the scan reports agrees bit-for-bit with file
+    * placement, and two tables laid out by the same spec compare
+    * SPJ-compatible (equal `canonicalName`, equal bucket count).
+    */
+  object Bucket extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n INT, k): the catalog's canonical bucket transform — " +
+        "non-negative residue of k modulo n (mod_bucket with transform " +
+        "argument order)"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (inputType.length != 2 || inputType.fields(0).dataType != IntegerType)
+        throw new UnsupportedOperationException(
+          s"bucket expects (numBuckets INT, k BIGINT|INT), got $inputType")
+      inputType.fields(1).dataType match {
+        case LongType    => BoundLong
+        case IntegerType => BoundInt
+        case other => throw new UnsupportedOperationException(
+          s"bucket key must be integral, got $other")
+      }
+    }
+    /** One shared canonical name: INT and BIGINT keys bucket identically,
+      * so a mixed-width join pair still reports as the same function.
+      */
+    private def residue(n: Int, k: Long): Int = {
+      if (n <= 0) throw new IllegalArgumentException(
+        s"bucket: bucket count must be a positive INT, got $n")
+      (((k % n) + n) % n).toInt
+    }
+    object BoundLong extends ScalarFunction[Integer] {
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+      override def resultType(): DataType = IntegerType
+      def invoke(n: Int, k: Long): Int = residue(n, k)
+      override def produceResult(input: InternalRow): Integer =
+        residue(input.getInt(0), input.getLong(1))
+    }
+    object BoundInt extends ScalarFunction[Integer] {
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def inputTypes(): Array[DataType] = Array(IntegerType, IntegerType)
+      override def resultType(): DataType = IntegerType
+      def invoke(n: Int, k: Int): Int = residue(n, k.toLong)
+      override def produceResult(input: InternalRow): Integer =
+        residue(input.getInt(0), input.getInt(1).toLong)
     }
   }
 

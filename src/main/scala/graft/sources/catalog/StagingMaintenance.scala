@@ -5,10 +5,12 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan,
-  ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns,
-  SupportsReportStatistics}
-import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition,
+  PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates,
+  SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning,
+  UnknownPartitioning}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.{FileScan, FileScanBuilder}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.{StructType, TimestampType}
@@ -80,15 +82,37 @@ object StagingMaintenance {
     */
   def optimize(spark: SparkSession, catalog: String, ns: String, table: String,
       targetFiles: Int = 4, clusterBy: Option[String] = None,
-      partitionBy: Option[String] = None): (Int, Int, Long) = {
+      partitionBy: Option[String] = None, strayOnly: Boolean = false): (Int, Int, Long) = {
     import org.apache.spark.sql.functions.col
     require(clusterBy.isEmpty || partitionBy.isEmpty,
       "optimize takes clusterBy OR partitionBy, not both")
+    require(!strayOnly || partitionBy.isDefined,
+      "strayOnly optimize needs partitionBy (the layout to complete)")
     val (fs, d) = tableDir(spark, catalog, ns, table)
     val latest = GraftStagingCatalog.headManifest(fs, d)
     val base = latest.map(_._1).getOrElse(0L)
-    val current = latest.map { case (_, mf) => manifestFiles(fs, mf) }
+    val all = latest.map { case (_, mf) => manifestFiles(fs, mf) }
       .getOrElse(dataFiles(fs, d))
+    // INCREMENTAL LAYOUT MAINTENANCE (partition-spec evolution's write
+    // side): bed ONLY the STRAY files — flat root-level part files from
+    // plain appends — into the requested layout; files already under ANY
+    // layout directory (the current spec's, or a RETIRED spec's after
+    // set_partition_spec) are carried into the new manifest BY NAME,
+    // byte-identical. This is the 100 TB contract: "complete the layout"
+    // costs O(new data), never O(table) — the old family keeps pruning
+    // through its retired spec instead of being rewritten. v1 boundaries,
+    // enforced loudly: no active DVs (a fold would have to split across
+    // carried files) and no lineage (same fold ambiguity) — run a full
+    // OPTIMIZE there.
+    val (carried, current) =
+      if (!strayOnly) (Seq.empty[String], all)
+      else {
+        require(manifestDvNames(fs, d, latest).isEmpty,
+          "strayOnly optimize cannot fold active deletion vectors — run a full OPTIMIZE")
+        require(!RowLineage.enabled(fs, d),
+          "strayOnly optimize does not support row-lineage tables — run a full OPTIMIZE")
+        all.partition(_.contains("/"))
+      }
     if (current.isEmpty) return (0, 0, -1L)
     // lineage tables: the compaction MUST preserve row identity — read
     // every row WITH its resolved id and write it into the physical
@@ -222,10 +246,17 @@ object StagingMaintenance {
           }
     }
     fs.delete(tmp, true)
-    val v = writeExplicitManifest(fs, d, moved, expectedBase = Some(base),
+    val v = writeExplicitManifest(fs, d, carried ++ moved, expectedBase = Some(base),
       matFiles = if (lineage) moved.toSet else Set.empty)
     (current.size, moved.size, v)
   }
+
+  /** DV sidecar names of the head manifest (empty when none). */
+  private def manifestDvNames(fs: FileSystem,
+      d: org.apache.hadoop.fs.Path,
+      latest: Option[(Long, org.apache.hadoop.fs.Path)]): Seq[String] =
+    latest.map { case (_, mf) => GraftStagingCatalog.manifestDvs(fs, mf) }
+      .getOrElse(Seq.empty)
 
   /** Append-only change data feed: the rows added in versions
     * `(fromVersion, toVersion]`. Because commits only ADD files, the
@@ -839,6 +870,87 @@ object StagingMaintenance {
     }
   }
 
+  // ---- partition-spec evolution ------------------------------------------
+
+  /** Split on TOP-LEVEL commas only — `bucket(8,k), days(ts)` is two
+    * transforms, the comma inside `bucket(…)` is the transform's own.
+    */
+  private def splitSpecLines(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** PARTITION-SPEC EVOLUTION — re-declare the table's partition transforms
+    * WITHOUT rewriting a byte (Iceberg's signature layout feature,
+    * re-derived for the path-carried layout). The previous declaration is
+    * RETIRED, not forgotten: files bedded under it stay in their old
+    * directories and keep pruning through the retired spec (the per-file
+    * path pruner judges each file by the spec family its path carries —
+    * [[GraftStagingCatalog.partSpecsAll]]), while new layout work
+    * (`optimize(partitionBy=…, strayOnly=true)`) beds ONLY post-evolution
+    * files under the new spec at O(new data) cost. At 100 TB this is the
+    * operation that lets a table switch from time-partitioned to
+    * key-bucketed (or re-grain a bucket count) without the week-long
+    * rewrite a physical re-partition would cost. An empty `spec` makes the
+    * table unpartitioned (history still prunes the old families).
+    */
+  def setPartitionSpec(spark: SparkSession, catalog: String, ns: String, table: String,
+      spec: String): Unit = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    val schema = GraftStagingCatalog.declaredSchema(fs, d).getOrElse(
+      spark.table(s"$catalog.$ns.$table").schema)
+    // validate each transform against the declared schema NOW (a typo fails
+    // the CALL, not the next OPTIMIZE) — the same rules CREATE enforces;
+    // column case canonicalizes to the schema's spelling
+    val rendered = splitSpecLines(spec).map { line =>
+      val ps = GraftStagingCatalog.parsePartSpec(line)
+      val f = schema.fields.find(_.name.equalsIgnoreCase(ps.col)).getOrElse(
+        throw new IllegalArgumentException(
+          s"set_partition_spec: column ${ps.col} is not in the table schema"))
+      ps match {
+        case GraftStagingCatalog.IdentityPart(_) =>
+          GraftStagingCatalog.IdentityPart(f.name).render
+        case GraftStagingCatalog.DaysPart(_) =>
+          require(f.dataType == TimestampType ||
+              f.dataType == org.apache.spark.sql.types.DateType,
+            s"days() partition column ${f.name} must be TIMESTAMP or DATE, got ${f.dataType}")
+          GraftStagingCatalog.DaysPart(f.name).render
+        case GraftStagingCatalog.BucketPart(n, _) =>
+          require(n > 0, s"bucket count must be positive, got $n")
+          require(f.dataType == org.apache.spark.sql.types.IntegerType ||
+              f.dataType == org.apache.spark.sql.types.LongType,
+            s"bucket() partition column ${f.name} must be integral, got ${f.dataType}")
+          GraftStagingCatalog.BucketPart(n, f.name).render
+      }
+    }
+    // read-modify-write of BOTH sidecars under the catalog monitor (the
+    // tag() rule: concurrent evolutions must not lose each other's history)
+    GraftStagingCatalog.synchronized {
+      val cur = GraftStagingCatalog.partitionCols(fs, d)
+      if (cur != rendered) {
+        // a re-adopted spec leaves history (it is current again); everything
+        // else the table ever declared stays retired for pruning
+        val retired = (GraftStagingCatalog.retiredPartitionCols(fs, d) ++ cur)
+          .distinct.filterNot(rendered.contains)
+        val prevP = new Path(d, GraftStagingCatalog.PartitionPrevSidecar)
+        if (retired.isEmpty) { fs.delete(prevP, false); () }
+        else GraftStagingCatalog.writeString(fs, prevP, retired.mkString("\n"))
+        val curP = new Path(d, GraftStagingCatalog.PartitionSidecar)
+        if (rendered.isEmpty) { fs.delete(curP, false); () }
+        else GraftStagingCatalog.writeString(fs, curP, rendered.mkString("\n"))
+      }
+    }
+  }
+
   // ---- writable branches (write-audit-publish) --------------------------
 
   /** FORK a branch at the table's current head (version 0 = empty table is
@@ -1408,7 +1520,8 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     streamOpts: Map[String, String] = Map.empty,
     posDvs: Map[String, Set[Long]] = Map.empty,
     posIdxCapable: Boolean = false,
-    lineage: Option[Map[String, RowLineage.Entry]] = None)
+    lineage: Option[Map[String, RowLineage.Entry]] = None,
+    spjCandidate: Option[GraftStagingCatalog.BucketPart] = None)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -1490,11 +1603,19 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
       case _                             => false
     })
   override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    !dvActive && !posActive && (delegate match {
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val pushed = !dvActive && !posActive && (delegate match {
       case a: SupportsPushDownAggregates => a.pushAggregation(agg)
       case _                             => false
     })
+    if (pushed) aggPushed = true
+    pushed
+  }
+
+  // whether the delegate accepted a pushed aggregation — the scan's rows
+  // are then footer aggregates, not data rows, so storage-partitioned
+  // reporting (whose clustering references a DATA column) must stay off
+  private var aggPushed = false
 
   /** DV scan info against the delegate's FINAL (table-ordered, possibly
     * widened) read schema — ordinals resolved here, on the driver.
@@ -1566,8 +1687,19 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
       // the wrapper is also the scan's streaming face (toMicroBatchStream),
       // and a filter-free `readStream.table(…)` must reach it
       case f: FileScan =>
+        // STORAGE-PARTITIONED JOIN eligibility: a pure data read (no DVs,
+        // no position deletes, no lineage resolution, no pushed aggregate)
+        // of a table whose CURRENT spec is a single bucket transform
+        // (threaded in by the table, which also rules out a retired spec
+        // sharing the same layout prefix) whose source column survives
+        // column pruning. The scan then OFFERS KeyGroupedPartitioning —
+        // whether it actually reports depends on every planned file living
+        // in a bucket layout dir ([[ZoneMapPrunedScan.spjGroups]]).
+        val spj = spjCandidate.filter(bp =>
+          !dvActive && !posActive && lineage.isEmpty && !aggPushed &&
+            scan.readSchema().fieldNames.exists(_.equalsIgnoreCase(bp.col)))
         new ZoneMapPrunedScan(f, stats, filters, nulls, tableDir, blooms, dvInfo(scan),
-          partSpecs, streamOpts, posDvs, posIdxInfo(scan), lineageInfo(scan))
+          partSpecs, streamOpts, posDvs, posIdxInfo(scan), lineageInfo(scan), spj)
       case other => other
     }
   }
@@ -1650,8 +1782,9 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     streamOpts: Map[String, String] = Map.empty,
     posDvs: Map[String, Set[Long]] = Map.empty,
     posIdx: Option[DeletionVectors.PosIdxInfo] = None,
-    lineage: Option[(RowLineage.LineageScanInfo, Map[String, RowLineage.Entry])] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    lineage: Option[(RowLineage.LineageScanInfo, Map[String, RowLineage.Entry])] = None,
+    spjSpec: Option[GraftStagingCatalog.BucketPart] = None)
+    extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
 
   /** Streaming face of the staging-catalog scan: `readStream.table(…)`
     * tails the table's version manifests as micro-batches — see
@@ -1754,7 +1887,72 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     }.toSet
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // ---- storage-partitioned reporting (bucket layouts) ----------------------
+  //
+  // When every planned (post-prune) file of a bucket-spec table lives in a
+  // `<col>_bucket=<v>/` layout directory, the physical clustering is a
+  // catalog FACT: file placement used the canonical mod_bucket residue, so
+  // rows of residue b exist only in bucket-b files. The scan then groups
+  // splits ONE PER RESIDUE, each carrying its partition key, and reports
+  // `KeyGroupedPartitioning(bucket(n, col))` — with
+  // spark.sql.sources.v2.bucketing.enabled, a join of two tables laid out
+  // by the same spec plans with ZERO Exchange (Iceberg's SPJ shape; q232 is
+  // the same surface on the synthetic SeqSource). At 100 TB this turns a
+  // fact⋈fact join from two full shuffles into an embarrassingly parallel
+  // per-bucket zip. Any stray file (a post-OPTIMIZE append, the NULL-key
+  // dir) makes the layout non-provable → report Unknown, plan as before:
+  // correctness never depends on the report.
+  //
+  // One partition per residue (not per file) keeps the contract Spark
+  // checks — numPartitions == groups — and is the right parallelism trade
+  // at scale: a bucketed layout exists to make per-key work contiguous.
+  private var spjPruneCounts: Option[(Int, Int)] = None
+  private lazy val spjGroups: Option[Array[InputPartition]] = spjSpec.flatMap { bp =>
+    val (parts, kept, total) = prune()
+    spjPruneCounts = Some((kept, total))
+    val prefix = bp.dirPrefix
+    val files = Array.newBuilder[(Int, PartitionedFile)]
+    var provable = true
+    parts.foreach {
+      case fp: FilePartition => fp.files.foreach { pf =>
+        val rel = statKey(pf.toPath)
+        val residue: Option[Int] =
+          if (rel.startsWith(prefix)) {
+            val rest = rel.substring(prefix.length)
+            val i = rest.indexOf('/')
+            if (i > 0) rest.substring(0, i).toIntOption else None
+          } else None
+        residue match {
+          case Some(b) if b >= 0 && b < bp.n => files += ((b, pf))
+          case _                             => provable = false
+        }
+      }
+      case _ => provable = false
+    }
+    if (!provable) None
+    else Some(files.result().groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((b, fps), i) =>
+        new KeyedFilePartition(i, fps.map(_._2),
+          org.apache.spark.sql.catalyst.InternalRow(b)): InputPartition
+    }.toArray)
+  }
+
+  override def outputPartitioning(): Partitioning = spjGroups match {
+    case Some(gs) =>
+      new KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(spjSpec.get.n, spjSpec.get.col)), gs.length)
+    case None => new UnknownPartitioning(0)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = spjGroups match {
+    case Some(gs) =>
+      spjPruneCounts.foreach(c => ZoneMapScan.lastPrune = Some(c))
+      gs
+    case None => planUngrouped()
+  }
+
+  private def planUngrouped(): Array[InputPartition] = {
     val (parts, kept, total) = prune()
     ZoneMapScan.lastPrune = Some((kept, total))
     // lineage reads: one partition per file carrying the file's id base
@@ -1803,6 +2001,19 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
   * of this scan. The build-side pass itself is cheap: it reads through the
   * PLAIN zone-mapped scan path, projected to the filter columns.
   */
+/** A [[FilePartition]] that also carries its storage-partition key — the
+  * split shape Spark's key-grouped (SPJ) execution requires
+  * (`HasPartitionKey`). Subclassing keeps the parquet reader factory's
+  * `FilePartition` contract intact; the key is the bucket residue parsed
+  * from the files' layout directory.
+  */
+private[catalog] final class KeyedFilePartition(index0: Int,
+    files0: Array[PartitionedFile],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends FilePartition(index0, files0) with HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+}
+
 private[catalog] final class RowLevelGroupScan(delegate: FileScan,
     stats: Map[(String, String), ZStat],
     staticFilters: Array[org.apache.spark.sql.sources.Filter],

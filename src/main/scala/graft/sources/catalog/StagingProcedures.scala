@@ -66,14 +66,39 @@ private[catalog] object StagingProcedures {
         ProcedureParameter.in("cluster_by", StringType)
           .defaultValue("CAST(NULL AS STRING)").build(),
         ProcedureParameter.in("partition_by", StringType)
-          .defaultValue("CAST(NULL AS STRING)").build())
+          .defaultValue("CAST(NULL AS STRING)").build(),
+        ProcedureParameter.in("scope", StringType).defaultValue("'all'").build())
       override def call(input: InternalRow): JIterator[Scan] = {
         val cluster = if (input.isNullAt(3)) None else Some(input.getUTF8String(3).toString)
         val part = if (input.isNullAt(4)) None else Some(input.getUTF8String(4).toString)
+        val scope = input.getUTF8String(5).toString
+        require(scope == "all" || scope == "stray",
+          s"optimize scope must be 'all' or 'stray', got '$scope'")
         val (b, a, v) = StagingMaintenance.optimize(spark, catalog,
           input.getUTF8String(0).toString, input.getUTF8String(1).toString,
-          input.getInt(2), cluster, part)
+          input.getInt(2), cluster, part, strayOnly = scope == "stray")
         one(out, b, a, v)
+      }
+    }
+
+  /** Partition-spec evolution: re-declare the layout transforms without
+    * rewriting data — see [[StagingMaintenance.setPartitionSpec]].
+    */
+  def setPartitionSpec(catalog: String): UnboundProcedure =
+    new MaintenanceProc("set_partition_spec",
+      "retire the current partition spec and declare a new one; old-layout " +
+        "files keep pruning through the retired spec, no data is rewritten") {
+      private val out = StructType(Seq(
+        StructField("spec", StringType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("spec", StringType).build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val spec = input.getUTF8String(2).toString
+        StagingMaintenance.setPartitionSpec(spark, catalog,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString, spec)
+        one(out, org.apache.spark.unsafe.types.UTF8String.fromString(spec))
       }
     }
 

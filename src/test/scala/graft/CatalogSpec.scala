@@ -973,6 +973,156 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("stage_t.ws.pt").count() === 601)
   }
 
+  test("storage-partitioned join: two bucket-laid-out tables join with ZERO Exchange") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.spj_a")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.spj_b")
+    spark.read.parquet(s"$sfDir/orders.parquet").createOrReplaceTempView("spj_src")
+    spark.sql("CREATE TABLE stage_t.ws.spj_a (k BIGINT, va BIGINT) PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO stage_t.ws.spj_a SELECT o_orderkey, o_custkey FROM spj_src")
+    spark.sql("CREATE TABLE stage_t.ws.spj_b (k BIGINT, vb DOUBLE) PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO stage_t.ws.spj_b " +
+      "SELECT o_orderkey, o_totalprice FROM spj_src WHERE o_orderkey % 2 = 0")
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "spj_a", partitionBy = Some("bucket(8,k)"))
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "spj_b", partitionBy = Some("bucket(8,k)"))
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        "SELECT a.k, va, vb FROM stage_t.ws.spj_a a JOIN stage_t.ws.spj_b b ON a.k = b.k")
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"expected shuffle-free SPJ plan:\n$p")
+      val expected = spark.sql("SELECT count(*) FROM spj_src WHERE o_orderkey % 2 = 0")
+        .collect()(0).getLong(0)
+      assert(j.count() === expected && expected > 0)
+      // checksum correctness against a path-based recompute
+      val viaSpj = j.agg(sum(col("va") * (col("k") % 97))).collect()(0).getLong(0)
+      val viaRaw = spark.sql(
+        """SELECT CAST(sum(o_custkey * (o_orderkey % 97)) AS BIGINT)
+          |FROM spj_src WHERE o_orderkey % 2 = 0""".stripMargin).collect()(0).getLong(0)
+      assert(viaSpj === viaRaw)
+      // a stray (non-laid-out) append makes the layout non-provable: the
+      // report falls back to Unknown, the join plans WITH a shuffle, and
+      // the result is still exact — correctness never rides the report
+      spark.sql("INSERT INTO stage_t.ws.spj_b VALUES (2, 0.0)")
+      val j2 = spark.sql(
+        "SELECT a.k, va, vb FROM stage_t.ws.spj_a a JOIN stage_t.ws.spj_b b ON a.k = b.k")
+      assert(j2.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(j2.count() === expected + 1)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("partition-spec evolution: retired specs keep pruning; stray-only optimize beds only new files") {
+    import graft.sources.catalog.{StagingMaintenance, ZoneMapScan}
+    mountStage()
+    // MICROS timestamps so parquet footers carry ts stats (INT96 writes
+    // none — the same trade every timestamp-zone-map operator makes)
+    val prevT = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.evopart")
+    spark.sql("""CREATE TABLE stage_t.ws.evopart (k BIGINT, ts TIMESTAMP, v BIGINT)
+      PARTITIONED BY (days(ts))""")
+    // slice A: three UTC days, bedded into the days layout
+    spark.sql("""INSERT INTO stage_t.ws.evopart
+      SELECT id, timestamp'2024-01-01 12:00:00' + make_interval(0,0,0,CAST(id % 3 AS INT)),
+             id FROM range(0, 900)""")
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "evopart", partitionBy = Some("days(ts)"))
+    // EVOLVE: days(ts) retires, bucket(4, k) becomes current — no rewrite
+    val dayFiles = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "evopart")
+    assert(dayFiles.nonEmpty && dayFiles.forall(_.startsWith("ts_day=")), dayFiles)
+    spark.sql("CALL stage_t.set_partition_spec('ws', 'evopart', 'bucket(4,k)')")
+    assert(StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "evopart") === dayFiles)
+    // slice B lands flat; stray-only optimize beds ONLY it into bucket dirs
+    spark.sql("""INSERT INTO stage_t.ws.evopart
+      SELECT id, timestamp'2024-02-01 00:00:00', id FROM range(1000, 1400)""")
+    spark.sql(
+      "CALL stage_t.optimize('ws', 'evopart', partition_by => 'bucket(4,k)', scope => 'stray')")
+    val files = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "evopart")
+    assert(dayFiles.forall(files.contains), "stray-only optimize rewrote carried day files")
+    assert(files.exists(_.startsWith("k_bucket=")), files)
+    assert(files.forall(f => f.startsWith("ts_day=") || f.startsWith("k_bucket=")), files)
+    assert(spark.table("stage_t.ws.evopart").count() === 1300)
+    // a day predicate prunes the OLD family through the RETIRED spec
+    ZoneMapScan.lastPrune = None
+    assert(spark.sql(
+      """SELECT count(*) FROM stage_t.ws.evopart
+        |WHERE ts >= timestamp'2024-01-02 00:00:00' AND ts < timestamp'2024-01-03 00:00:00'"""
+        .stripMargin).collect()(0).getLong(0) === 300)
+    val (kD, tD) = ZoneMapScan.lastPrune.get
+    assert(kD < tD, s"retired days spec pruned nothing: ($kD, $tD)")
+    // a key point-lookup prunes the NEW family through the CURRENT spec
+    // (day files can say nothing about k and are conservatively kept)
+    ZoneMapScan.lastPrune = None
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.evopart WHERE k = 1001")
+      .collect()(0).getLong(0) === 1)
+    val (kB, tB) = ZoneMapScan.lastPrune.get
+    assert(kB < tB, s"current bucket spec pruned nothing: ($kB, $tB)")
+    // metadata-only whole-day DELETE still rides the retired spec; the
+    // NEW family needs ts zone maps to prove its non-involvement (bucket
+    // dirs structurally say nothing about time)
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "evopart", Seq("ts"))
+    ZoneMapScan.lastDeleteSplit = None
+    spark.sql(
+      """DELETE FROM stage_t.ws.evopart
+        |WHERE ts >= timestamp'2024-01-03 00:00:00' AND ts < timestamp'2024-01-04 00:00:00'"""
+        .stripMargin)
+    val (_, drop, rew) = ZoneMapScan.lastDeleteSplit.get
+    assert(drop >= 1 && rew === 0, s"whole-day delete not metadata-only: ($drop, $rew)")
+    assert(spark.table("stage_t.ws.evopart").count() === 1000)
+    // invalid evolutions fail loudly, nothing changes
+    intercept[Exception] {
+      spark.sql("CALL stage_t.set_partition_spec('ws', 'evopart', 'bucket(4,ts)')")
+    }
+    intercept[Exception] {
+      spark.sql("CALL stage_t.set_partition_spec('ws', 'evopart', 'days(k)')")
+    }
+    intercept[Exception] {
+      spark.sql("CALL stage_t.optimize('ws', 'evopart', scope => 'stray')")
+    }
+    } finally prevT match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
+  test("metadata table faces: files/partitions/snapshots expose the manifest to SQL") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.ms")
+    spark.sql("CREATE TABLE stage_t.ws.ms AS SELECT id AS k FROM range(0, 100)")
+    spark.sql("INSERT INTO stage_t.ws.ms SELECT id FROM range(100, 200)")
+    val snaps = spark.sql(
+      "SELECT version, kind, n_files FROM stage_t.ws.ms.snapshots ORDER BY version").collect()
+    assert(snaps.map(_.getLong(0)).toSeq === Seq(1L, 2L), snaps.mkString(","))
+    assert(snaps.forall(_.getString(1) == "commit"))
+    assert(snaps(0).getInt(2) < snaps(1).getInt(2), "file count must accrete across commits")
+    val files = spark.sql("SELECT file, size_bytes, partition FROM stage_t.ws.ms.files").collect()
+    assert(files.length === snaps(1).getInt(2))
+    assert(files.forall(r => r.getLong(1) > 0 && r.isNullAt(2)), files.mkString(","))
+    val parts =
+      spark.sql("SELECT partition, n_files FROM stage_t.ws.ms.partitions").collect()
+    assert(parts.length === 1 && parts(0).isNullAt(0) && parts(0).getInt(1) === files.length)
+    // committed_at is a usable timestamp (commit cadence queries)
+    val span = spark.sql(
+      "SELECT max(committed_at) >= min(committed_at) FROM stage_t.ws.ms.snapshots")
+      .collect()(0).getBoolean(0)
+    assert(span)
+    // a face of a missing base table fails like the base would
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM stage_t.ws.no_such_tbl.files").collect()
+    }
+    assert(e.getMessage.contains("no_such_tbl"), e.getMessage)
+  }
+
   test("schema evolution lifecycle: ADD → UPDATE → DROP → RENAME with era-scoped time travel") {
     mountStage()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
