@@ -2845,7 +2845,9 @@ object Connectors {
     GraftQuery.sql("q335_row_lineage", q335RowLineage, q335Oracle),
     GraftQuery.sql("q336_spj_catalog", q336SpjCatalog, q336Oracle),
     GraftQuery.sql("q337_partition_evolution", q337PartitionEvolution, q337Oracle),
-    GraftQuery.sql("q339_metadata_tables", q339MetadataTables, q339Oracle))
+    GraftQuery.sql("q339_metadata_tables", q339MetadataTables, q339Oracle),
+    GraftQuery.sql("q340_spj_identity_agg", q340SpjIdentityAgg, q340Oracle),
+    GraftQuery.sql("q341_auto_analyze", q341AutoAnalyze, q341Oracle))
 
   // ---------------------------------------------------------------- q332
 
@@ -3438,6 +3440,125 @@ object Connectors {
         |  CAST(sum(v) AS BIGINT) AS sum_v
         |FROM graft_stage.work.meta_o GROUP BY k % 7 ORDER BY g""".stripMargin)
   }
+
+  // ---------------------------------------------------------------- q340
+
+  /** STORAGE-PARTITIONED AGGREGATION over an IDENTITY layout (r11 — the
+    * SPJ machinery generalized from bucket to integral identity
+    * transforms): a table laid out `PARTITIONED BY (g)` reports
+    * `KeyGroupedPartitioning(identity(g))` with the column VALUES as
+    * partition keys parsed from the `g=<v>/` dirs, so a `GROUP BY g`
+    * plans with ZERO Exchange — Spark trusts the storage clustering
+    * instead of re-shuffling it. At 100 TB this is the daily-rollup shape:
+    * a partition-aligned aggregation over an identity-partitioned fact
+    * table is embarrassingly parallel, zero data movement. A NULL
+    * derivation or any stray file withdraws the report (CatalogSpec
+    * proves the fallback); the in-query require pins the exchange-free
+    * executed plan.
+    */
+  def q340SpjIdentityAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events_spji_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.spj_ident")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.spj_ident (g BIGINT, event_id BIGINT, value DOUBLE)
+        |PARTITIONED BY (g)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.spj_ident
+        |SELECT user_id % 8, event_id, value FROM events_spji_src""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "spj_ident", partitionBy = Some("g"))
+    val aggSql =
+      """SELECT g, count(*) AS n, min(event_id) AS min_ev, max(event_id) AS max_ev,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.spj_ident GROUP BY g ORDER BY g""".stripMargin
+    // the aggregation subtree must be exchange-free; only the tiny final
+    // ORDER BY may range-partition its 8 rows
+    val bare = spark.sql(
+      """SELECT g, count(*) AS n FROM graft_stage.work.spj_ident GROUP BY g""")
+    val plan = bare.queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange"),
+      s"identity-partition-aligned aggregation planned a shuffle:\n$plan")
+    require(bare.count() == 8, "expected 8 identity groups")
+    spark.sql(aggSql)
+  }
+
+  // ---------------------------------------------------------------- q341
+
+  /** COMMIT-TIME ZONE-MAP MAINTENANCE (r11): a table declared
+    * `'graft.auto-analyze'='event_id'` extends its stats sidecar AT EVERY
+    * COMMIT (incremental footer harvest — only the commit's own files pay
+    * a driver-side footer read, no Spark jobs, no data pages), so range
+    * pruning and the metadata-only ranged DELETE work from the FIRST
+    * query with no manual ANALYZE step. At 100 TB this closes the
+    * freshness gap every ingest pipeline otherwise schedules around:
+    * stats are a property of the commit, not of a nightly job. The
+    * in-query requires pin a pruned point-lookup and a zero-rewrite
+    * ranged DELETE with no ANALYZE call anywhere in the query.
+    */
+  def q341AutoAnalyze(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events_aa_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.ev_aa")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.ev_aa (event_id BIGINT, user_id BIGINT, value DOUBLE)
+        |TBLPROPERTIES ('graft.auto-analyze'='event_id')""".stripMargin)
+    // four range-disjoint ingest commits (the arriving-in-time-order shape
+    // of a real event feed) — each commit's files are bounded on event_id,
+    // so the commit-time stats can actually separate them
+    val m = graft.sources.Tables.events(spark, dir)
+      .agg(org.apache.spark.sql.functions.max(col("event_id"))).collect()(0).getLong(0)
+    Seq((0L, m / 4), (m / 4, m / 2), (m / 2, 3 * m / 4), (3 * m / 4, m + 1)).foreach {
+      case (lo, hiEx) => spark.sql(
+        s"""INSERT INTO graft_stage.work.ev_aa
+           |SELECT event_id, user_id, value FROM events_aa_src
+           |WHERE event_id >= $lo AND event_id < $hiEx""".stripMargin)
+    }
+    // point lookup prunes with NO manual ANALYZE anywhere in this query
+    val probe = spark.sql("SELECT max(event_id) FROM graft_stage.work.ev_aa")
+      .collect()(0).getLong(0) / 2L
+    graft.sources.catalog.ZoneMapScan.lastPrune = None
+    spark.sql(s"SELECT count(*) FROM graft_stage.work.ev_aa WHERE event_id = $probe").collect()
+    val prune = graft.sources.catalog.ZoneMapScan.lastPrune
+    require(prune.exists { case (k, t) => k < t },
+      s"commit-time stats pruned nothing: $prune")
+    // metadata-only ranged DELETE off the same commit-time stats: the top
+    // slice's whole files drop by manifest edit (the cut aligns with the
+    // fourth ingest's lower bound, so its files provably all-match)
+    graft.sources.catalog.ZoneMapScan.lastDeleteSplit = None
+    spark.sql(s"DELETE FROM graft_stage.work.ev_aa WHERE event_id >= ${3 * m / 4}")
+    val split = graft.sources.catalog.ZoneMapScan.lastDeleteSplit
+    require(split.exists { case (_, drop, _) => drop >= 1 },
+      s"ranged delete dropped no file metadata-only: $split")
+    spark.sql(
+      """SELECT event_id % 9 AS g, count(*) AS n, min(event_id) AS min_ev,
+        |  max(event_id) AS max_ev,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.ev_aa GROUP BY event_id % 9 ORDER BY g""".stripMargin)
+  }
+
+  /** The surviving corpus recomputed from raw events (all four slices
+    * minus the top-slice ranged delete).
+    */
+  val q341Oracle: String =
+    s"""SELECT event_id % 9 AS g, count(*) AS n, min(event_id) AS min_ev,
+       |  max(event_id) AS max_ev, ${graft.operators.Det.dsumSql("value")} AS total
+       |FROM events
+       |WHERE event_id < (SELECT 3 * max(event_id) // 4 FROM events)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The rollup recomputed from raw events. */
+  val q340Oracle: String =
+    s"""SELECT user_id % 8 AS g, count(*) AS n, min(event_id) AS min_ev,
+       |  max(event_id) AS max_ev, ${graft.operators.Det.dsumSql("value")} AS total
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The three ingest slices recomputed from raw orders. */
   val q339Oracle: String =

@@ -542,7 +542,79 @@ object TextHygiene {
     GraftQuery.sql("q259_bpe_merges", q259BpeMerges, q259Oracle),
     GraftQuery.sql("q280_kn_counts", q280KnCounts, q280Oracle),
     GraftQuery.sql("q281_pmi_collocations", q281PmiCollocations, q281Oracle),
-    GraftQuery.sql("q338_bpe_encode", q338BpeEncode, q338Oracle))
+    GraftQuery.sql("q338_bpe_encode", q338BpeEncode, q338Oracle),
+    GraftQuery.sql("q342_bpe_packing", q342BpePacking, q342Oracle))
+
+  // ---------------------------------------------------------------- q342
+
+  /** BPE-BUDGET SHARD PACKING — the q96 packer re-costed in MODEL tokens:
+    * context windows and training budgets are denominated in TOKENIZER
+    * output, not whitespace words, so the shard assignment that matters at
+    * 100 TB packs against `bpe_token_count` (the q338 one-pass kernel)
+    * under the q259-trained merges. Same scalable shape as q96: one
+    * shuffle on the language partition key, a windowed running total, and
+    * shard = floor((cum − toks) / budget); the ONLY new cost is the
+    * codegen encode riding the same scan. The oracle re-derives the
+    * merges, re-encodes the dictionary, and replays the identical window
+    * wholly in DuckDB.
+    */
+  def q342BpePacking(spark: SparkSession, dir: String): DataFrame = {
+    val merges = q259BpeMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    def sqlLit(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'").replace("\t", "\\t") + "'"
+    val mergesArr = merges.map { case (_, a, b) => sqlLit(s"$a\t$b") }
+      .mkString("array(", ", ", ")")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"bpe_token_count(text, $mergesArr)").cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("shard", expr("CAST((cum - toks) DIV 3000 AS BIGINT)"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_tokens"))
+      .orderBy(col("lang"), col("shard"))
+  }
+
+  /** Merge training + dictionary encode + the q96 window, replayed wholly
+    * in DuckDB.
+    */
+  val q342Oracle: String = {
+    def stage(k: Int): String = {
+      val prev = s"w${k - 1}"
+      s"""p$k AS (
+         |  SELECT syms[i + 1] AS a, syms[i + 2] AS b, cnt FROM (
+         |    SELECT syms, cnt, unnest(range(0, greatest(len(syms) - 1, 0))) AS i FROM (
+         |      SELECT list_filter(string_split(s, '||'), x -> x <> '') AS syms, cnt
+         |      FROM $prev))),
+         |m$k AS (SELECT a, b FROM p$k GROUP BY a, b
+         |        ORDER BY CAST(sum(cnt) AS BIGINT) DESC, a, b LIMIT 1),
+         |w$k AS (SELECT tok, replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s,
+         |               cnt FROM $prev, m$k)""".stripMargin
+    }
+    s"""WITH w0 AS (
+       |  SELECT tok, '||' || regexp_replace(tok, '(.)', '\\1||', 'g') AS s, cnt FROM (
+       |    SELECT tok, count(*) AS cnt FROM (
+       |      SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok)),
+       |${(1 to BpeIters).map(stage).mkString(",\n")},
+       |dict AS (SELECT tok,
+       |    len(list_filter(string_split(s, '||'), x -> x <> '')) AS tc FROM w$BpeIters),
+       |dtoks AS (
+       |  SELECT doc_id, lang, CAST(sum(tc) AS BIGINT) AS toks
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents) dt
+       |  JOIN dict USING (tok) GROUP BY doc_id, lang)
+       |SELECT lang, shard, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
+       |FROM (
+       |  SELECT lang, toks,
+       |    CAST((sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks)
+       |         // 3000 AS BIGINT) AS shard
+       |  FROM dtoks)
+       |GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q338
 

@@ -194,6 +194,17 @@ object CommitGroups {
     * list it — group resolution is an override, never a gate that can
     * brick a table.
     */
+  /** The group a table is a member of, if any (sidecar lookup) — lets a
+    * maintenance stream publish its member tables' group per batch without
+    * being told the name.
+    */
+  def groupOf(fs: FileSystem, tableDir: Path): Option[String] = {
+    val p = new Path(tableDir, Sidecar)
+    if (GraftStagingCatalog.isFile(fs, p))
+      Some(GraftStagingCatalog.readString(fs, p).trim).filter(_.nonEmpty)
+    else None
+  }
+
   def pinnedVersion(fs: FileSystem, tableDir: Path): Option[Long] = {
     val sc = new Path(tableDir, Sidecar)
     if (!GraftStagingCatalog.isFile(fs, sc)) None

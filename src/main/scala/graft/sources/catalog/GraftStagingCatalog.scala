@@ -421,6 +421,25 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier, version: String): Table = {
     import GraftStagingCatalog._
+    // metadata faces time-travel too: `t.files VERSION AS OF 3` is that
+    // version's manifest as a relation (the what-did-this-snapshot-read
+    // audit); `.snapshots` pins to the history up to the version
+    if (ident.namespace().length == 2 && MetadataFaces.contains(ident.name())) {
+      val base = Identifier.of(ident.namespace().take(1), ident.namespace()(1))
+      val bd = tableDir(base)
+      if (bd == null || !isDir(bd)) throw new NoSuchTableException(base)
+      val pv =
+        try version.stripPrefix("v").toLong
+        catch {
+          case _: NumberFormatException =>
+            readTags(fs, bd).getOrElse(version, throw new IllegalArgumentException(
+              s"$catalogName: invalid version '$version' for ${base.name()}.${ident.name()}"))
+        }
+      require(probeManifest(fs, bd, pv).isDefined,
+        s"$catalogName: ${base.name()} has no version $pv (vacuumed or never committed)")
+      return new MetadataFaceTable(bd, ident.name(),
+        s"${qualified(base)}.${ident.name()}@v$pv", pinned = Some(pv))
+    }
     val d = tableDir(ident)
     if (d == null || !isDir(d)) throw new NoSuchTableException(ident)
     // numeric version first (`VERSION AS OF 2` / 'v2'), then TAG lookup
@@ -485,7 +504,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     *    this is the explicit audit surface, not the head-resolution path
     *    the checkpoint accelerates; VACUUM bounds its length.
     */
-  private class MetadataFaceTable(dir: Path, face: String, label: String)
+  private class MetadataFaceTable(dir: Path, face: String, label: String,
+      pinned: Option[Long] = None)
       extends Table with SupportsRead {
     private val tableFs = fs
     override def name(): String = label
@@ -495,7 +515,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new ScanBuilder {
         override def build(): org.apache.spark.sql.connector.read.Scan = {
-          val rs = faceRows(dir, face)
+          val rs = faceRows(dir, face, pinned)
           new org.apache.spark.sql.connector.read.LocalScan {
             override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = rs
             override def readSchema(): StructType =
@@ -506,13 +526,18 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       }
   }
 
-  private def faceRows(d: Path,
-      face: String): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+  private def faceRows(d: Path, face: String,
+      pinned: Option[Long] = None): Array[org.apache.spark.sql.catalyst.InternalRow] = {
     import GraftStagingCatalog._
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.unsafe.types.UTF8String
     def fileEntries(): Seq[(String, Long, String)] = {
-      val files = resolveCurrent(d)._2.getOrElse(dataFiles(fs, d))
+      val files = pinned match {
+        case Some(v) => probeManifest(fs, d, v).map(mf => manifestFiles(fs, mf))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$d has no version $v (vacuumed between resolution and scan)"))
+        case None => resolveCurrent(d)._2.getOrElse(dataFiles(fs, d))
+      }
       files.sorted.map { f =>
         val len = fs.getFileStatus(new Path(d, f)).getLen
         val i = f.lastIndexOf('/')
@@ -536,7 +561,9 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
               : org.apache.spark.sql.catalyst.InternalRow
           }.toArray
       case "snapshots" =>
-        versionManifests(fs, d).map { case (v, mf) =>
+        versionManifests(fs, d)
+          .filter { case (v, _) => pinned.forall(v <= _) }
+          .map { case (v, mf) =>
           new GenericInternalRow(Array[Any](v,
             UTF8String.fromString(manifestKind(fs, mf)),
             commitMillis(fs, mf) * 1000L,
@@ -628,6 +655,10 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       CheckConstraint.read(tableFs, dir).foreach(m.put("check", _))
       val so = GraftStagingCatalog.sortOrderCols(tableFs, dir)
       if (so.nonEmpty) m.put("graft.sort-order", so.mkString(","))
+      val aa = GraftStagingCatalog.autoAnalyzeCols(tableFs, dir)
+      if (aa.nonEmpty) m.put("graft.auto-analyze", aa.mkString(","))
+      val tfsz = GraftStagingCatalog.targetFileSize(tableFs, dir)
+      if (tfsz > 0L) m.put("graft.target-file-size", tfsz.toString)
       m
     }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -670,11 +701,16 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       // re-spec would otherwise alias old residue dirs into the new
       // grouping).
       val specs = GraftStagingCatalog.partSpecsAll(tableFs, dir)
-      val spjCandidate = GraftStagingCatalog.partSpecs(tableFs, dir) match {
-        case Seq(bp: GraftStagingCatalog.BucketPart)
-          if specs.forall(s => s == bp || s.dirPrefix != bp.dirPrefix) => Some(bp)
-        case _ => None
-      }
+      val spjCandidate: Option[(GraftStagingCatalog.PartSpec,
+          org.apache.spark.sql.types.DataType)] =
+        GraftStagingCatalog.partSpecs(tableFs, dir) match {
+          case Seq(sp @ (_: GraftStagingCatalog.BucketPart |
+                         _: GraftStagingCatalog.IdentityPart))
+            if specs.forall(s => s == sp || s.dirPrefix != sp.dirPrefix) =>
+            readDelegate.schema.fields.find(_.name.equalsIgnoreCase(sp.col))
+              .map(f => (sp, f.dataType))
+          case _ => None
+        }
       // the wrapper is ALWAYS applied (even with nothing to prune by):
       // besides zone maps it is the table's streaming face — a fresh,
       // never-ANALYZEd table must still serve readStream.table(…)
@@ -816,9 +852,14 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
             else distributions.Distributions.ordered(v2Order)
           override def requiredOrdering(): Array[v2x.SortOrder] = v2Order
           // 'graft.target-file-size': AQE sizes the ordered-write shuffle
-          // partitions toward the declared bytes (0 = Spark's default)
+          // partitions toward the declared bytes (0 = Spark's default).
+          // INERT without a declared sort order — Spark rejects an advisory
+          // size on an unspecified distribution, so a table that declares
+          // (or ALTERs to) a size without an order must keep inserting
+          // rather than throw; the size takes effect when an order exists.
           override def advisoryPartitionSizeInBytes(): Long =
-            GraftStagingCatalog.targetFileSize(tableFs, dir)
+            if (v2Order.isEmpty) 0L
+            else GraftStagingCatalog.targetFileSize(tableFs, dir)
           private val innerWrite = inner.build()
           override def description(): String = innerWrite.description()
           override def toBatch: BatchWrite = new BatchWrite {
@@ -878,6 +919,20 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
                   GraftStagingCatalog.writeCommitManifest(tableFs, dir, before, batchId,
                     branch)
               }
+              // commit-time zone-map maintenance (outside the manifest
+              // monitor; branch files aren't in main's current set, so the
+              // branch face defers to publish-then-next-trigger). BEST
+              // EFFORT by contract: the manifest is already committed, so
+              // a stats-harvest failure must never fail the statement (a
+              // retried INSERT would double rows) — stats are advisory and
+              // self-heal at the next trigger.
+              if (branch.isEmpty)
+                try StagingMaintenance.autoAnalyze(SparkSession.active, tableFs, dir)
+                catch { case e: Exception =>
+                  System.err.println(
+                    s"[graft] auto-analyze after commit on $dir failed " +
+                      s"(stats will backfill at the next trigger): $e")
+                }
             }
             override def abort(messages: Array[WriterCommitMessage]): Unit =
               d.abort(messages)
@@ -1024,6 +1079,17 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       require(schema.fields.exists(_.name.equalsIgnoreCase(c)),
         s"$catalogName: sort-order column $c is not in the table schema")
     }
+    // COMMIT-TIME ZONE-MAP MAINTENANCE: 'graft.auto-analyze'='c1[,c2…]'
+    // extends the stats sidecar with each commit's new files (incremental
+    // footer harvest, StagingMaintenance.autoAnalyze) so pruning never
+    // waits on a manual ANALYZE.
+    val autoCols: Seq[String] =
+      Option(properties.get("graft.auto-analyze")).map(_.trim).filter(_.nonEmpty)
+        .map(_.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+    autoCols.foreach { c =>
+      require(schema.fields.exists(_.name.equalsIgnoreCase(c)),
+        s"$catalogName: auto-analyze column $c is not in the table schema")
+    }
     // 'graft.target-file-size'=<bytes>: advisory append file sizing (the
     // Delta/Iceberg targetFileSize knob) — AQE coalesces or splits the
     // write's range partitions toward this size, so the file count tracks
@@ -1061,6 +1127,9 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     if (partCols.nonEmpty)
       GraftStagingCatalog.writeString(fs, new Path(d, GraftStagingCatalog.PartitionSidecar),
         partCols.mkString("\n"))
+    if (autoCols.nonEmpty)
+      GraftStagingCatalog.writeString(fs,
+        new Path(d, GraftStagingCatalog.AutoAnalyzeSidecar), autoCols.mkString("\n"))
     check.foreach(c => CheckConstraint.write(fs, d, c))
     loadTable(ident)
   }
@@ -1196,11 +1265,55 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
         CheckConstraint.write(fs, d, sp.value())
       case rp: TableChange.RemoveProperty if rp.property().equalsIgnoreCase("check") =>
         CheckConstraint.remove(fs, d)
+      // MAINTENANCE KNOBS become ALTER-able (r11 — they were CREATE-only,
+      // which forced a drop-recreate to tune a live table): each is a pure
+      // sidecar edit validated NOW, governing writes/commits from here on.
+      case sp: TableChange.SetProperty
+          if sp.property().equalsIgnoreCase("graft.auto-analyze") =>
+        val cols = sp.value().split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty, s"$catalogName: graft.auto-analyze needs column names")
+        cols.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"$catalogName: auto-analyze column $c is not in the table schema"))
+        GraftStagingCatalog.writeString(fs,
+          new Path(d, GraftStagingCatalog.AutoAnalyzeSidecar), cols.mkString("\n"))
+      case rp: TableChange.RemoveProperty
+          if rp.property().equalsIgnoreCase("graft.auto-analyze") =>
+        fs.delete(new Path(d, GraftStagingCatalog.AutoAnalyzeSidecar), false)
+        ()
+      case sp: TableChange.SetProperty
+          if sp.property().equalsIgnoreCase("graft.sort-order") =>
+        val cols = sp.value().split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty, s"$catalogName: graft.sort-order needs column names")
+        cols.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"$catalogName: sort-order column $c is not in the table schema"))
+        GraftStagingCatalog.writeString(fs,
+          new Path(d, GraftStagingCatalog.SortOrderSidecar), cols.mkString("\n"))
+      case rp: TableChange.RemoveProperty
+          if rp.property().equalsIgnoreCase("graft.sort-order") =>
+        fs.delete(new Path(d, GraftStagingCatalog.SortOrderSidecar), false)
+        ()
+      case sp: TableChange.SetProperty
+          if sp.property().equalsIgnoreCase("graft.target-file-size") =>
+        val bytes =
+          try sp.value().trim.toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$catalogName: graft.target-file-size must be a byte count, " +
+                s"got '${sp.value()}'")
+          }
+        require(bytes > 0L, s"$catalogName: graft.target-file-size must be positive")
+        GraftStagingCatalog.writeString(fs,
+          new Path(d, GraftStagingCatalog.FileSizeSidecar), bytes.toString)
+      case rp: TableChange.RemoveProperty
+          if rp.property().equalsIgnoreCase("graft.target-file-size") =>
+        fs.delete(new Path(d, GraftStagingCatalog.FileSizeSidecar), false)
+        ()
       case other =>
         throw new UnsupportedOperationException(
           s"$catalogName: unsupported ALTER TABLE change $other " +
             "(supported: ADD / DROP / RENAME COLUMN, ALTER COLUMN TYPE widening, " +
-            "SET/UNSET 'check')")
+            "SET/UNSET 'check' / 'graft.auto-analyze' / 'graft.sort-order' / " +
+            "'graft.target-file-size')")
     }
     // a schema change must not strand the CHECK constraint: re-validate it
     // against the post-change schema (dropping a checked column fails HERE,
@@ -1212,6 +1325,23 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
           s"$catalogName: ALTER would break CHECK constraint ($c) on ${ident.name()} — " +
             "UNSET TBLPROPERTIES ('check') first", e)
       }
+    }
+    // a DROP/RENAME must not strand the maintenance sidecars: columns no
+    // longer in the schema fall out (a renamed column re-opts-in under its
+    // new name via SET TBLPROPERTIES)
+    if (schema != before) {
+      def pruneCols(sidecar: String, cols: Seq[String]): Unit = {
+        val live = cols.filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        if (live != cols) {
+          val p = new Path(d, sidecar)
+          if (live.isEmpty) { fs.delete(p, false); () }
+          else GraftStagingCatalog.writeString(fs, p, live.mkString("\n"))
+        }
+      }
+      pruneCols(GraftStagingCatalog.AutoAnalyzeSidecar,
+        GraftStagingCatalog.autoAnalyzeCols(fs, d))
+      pruneCols(GraftStagingCatalog.SortOrderSidecar,
+        GraftStagingCatalog.sortOrderCols(fs, d))
     }
     // era snapshot: the OLD schema governs every version committed so far
     GraftStagingCatalog.headManifest(fs, d).foreach { case (latest, _) =>
@@ -1897,6 +2027,16 @@ object GraftStagingCatalog {
   private[catalog] val SchemaSidecar = "_graft_schema.json"
   private[catalog] val PartitionSidecar = "_graft_partition.txt"
   private[catalog] val PartitionPrevSidecar = "_graft_partition_prev.txt"
+  private[catalog] val AutoAnalyzeSidecar = "_graft_autoanalyze.txt"
+
+  /** Columns declared for commit-time zone-map maintenance
+    * (`'graft.auto-analyze'` — see [[StagingMaintenance.autoAnalyze]]).
+    */
+  private[catalog] def autoAnalyzeCols(fs: FileSystem, d: Path): Seq[String] = {
+    val p = new Path(d, AutoAnalyzeSidecar)
+    if (isFile(fs, p)) readString(fs, p).split('\n').toIndexedSeq.filter(_.nonEmpty)
+    else Seq.empty
+  }
 
   /** Schemas of the metadata table faces (`t.files` / `.partitions` /
     * `.snapshots`).

@@ -248,6 +248,12 @@ object StagingMaintenance {
     fs.delete(tmp, true)
     val v = writeExplicitManifest(fs, d, carried ++ moved, expectedBase = Some(base),
       matFiles = if (lineage) moved.toSet else Set.empty)
+    // commit-time zone-map maintenance, if declared — best-effort: the
+    // rewrite is already committed, stats self-heal at the next trigger
+    try autoAnalyze(spark, fs, d)
+    catch { case e: Exception =>
+      System.err.println(s"[graft] auto-analyze after optimize on $d failed: $e")
+    }
     (current.size, moved.size, v)
   }
 
@@ -621,11 +627,34 @@ object StagingMaintenance {
     * to files still on disk. Returns the number of files newly analyzed.
     */
   def analyze(spark: SparkSession, catalog: String, ns: String, table: String,
+      columns: Seq[String]): Int = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    analyzeAt(spark, fs, d, columns)
+  }
+
+  /** AUTO-ANALYZE (the commit-hook face): tables created with
+    * `'graft.auto-analyze'='c1[,c2…]'` extend their zone-map sidecars at
+    * every append/overwrite/optimize commit, so pruning works from the
+    * first query with no manual ANALYZE step — the freshness gap a 100 TB
+    * ingest pipeline otherwise has to schedule around. Cost is bounded:
+    * the harvest is incremental (only files without stats pay a footer
+    * read — normally exactly this commit's files) and driver-side (no
+    * Spark jobs). Row-level rewrites don't hook here; their outputs are
+    * backfilled by the NEXT auto trigger, because the incremental harvest
+    * covers every current file still missing stats, not just the
+    * triggering commit's.
+    */
+  private[catalog] def autoAnalyze(spark: SparkSession, fs: FileSystem, d: Path): Unit = {
+    val cols = GraftStagingCatalog.autoAnalyzeCols(fs, d)
+    if (cols.nonEmpty) { analyzeAt(spark, fs, d, cols); () }
+  }
+
+  /** (fs, dir)-level core of [[analyze]] — also the auto-analyze hook. */
+  private[catalog] def analyzeAt(spark: SparkSession, fs: FileSystem, d: Path,
       columns: Seq[String]): Int = synchronized {
     import org.apache.parquet.column.statistics.{BinaryStatistics, DoubleStatistics,
       FloatStatistics, IntStatistics, LongStatistics}
     import org.apache.parquet.schema.LogicalTypeAnnotation
-    val (fs, d) = tableDir(spark, catalog, ns, table)
     val existing = readStatsFor(fs, d)
     val existingNulls = readNullsFor(fs, d)
     val todo = currentFiles(fs, d)
@@ -1383,8 +1412,16 @@ object StagingMaintenance {
     * Returns the deleted file names.
     */
   def vacuum(spark: SparkSession, catalog: String, ns: String, table: String,
-      retainLast: Int = 1): Seq[String] = {
+      retainLast: Int = 1, olderThanMillis: Option[Long] = None): Seq[String] = {
     require(retainLast >= 1, "vacuum must retain at least the current version")
+    require(olderThanMillis.forall(_ >= 0L), "older_than window must be non-negative")
+    // TIME-BASED retention (the Delta/Iceberg `RETAIN n HOURS` surface):
+    // with a window, any version committed AT OR AFTER (now - window) is
+    // retention-exempt regardless of count — "keep a week of history"
+    // composes with the count floor instead of fighting it. The horizon is
+    // fixed ONCE here; the locked re-plan below reuses it so a version
+    // cannot age out between planning and deletion.
+    val horizon: Option[Long] = olderThanMillis.map(w => System.currentTimeMillis() - w)
     val (fs, d) = tableDir(spark, catalog, ns, table)
     val manifests = versionManifests(fs, d)
     // The reclamation plan (keep/drop/dead) is derived INSIDE the locked
@@ -1407,8 +1444,12 @@ object StagingMaintenance {
       // every group read (bounded: groups retain a fixed manifest window)
       val groupPinned = CommitGroups.pins(fs, d)
       val tail = ms.drop(math.max(0, ms.size - retainLast)).map(_._1).toSet
+      // versions committed inside the time window survive regardless of count
+      val recent: Set[Long] = horizon.fold(Set.empty[Long])(h =>
+        ms.filter { case (_, f) => GraftStagingCatalog.commitMillis(fs, f) >= h }
+          .map(_._1).toSet)
       val (keep, drop) = ms.partition { case (v, _) =>
-        tail(v) || tagged(v) || branchForks(v) || groupPinned(v) }
+        tail(v) || tagged(v) || branchForks(v) || groupPinned(v) || recent(v) }
       val branchFiles = branchReg.keys.flatMap(b =>
         GraftStagingCatalog.branchManifests(fs, d, b)
           .flatMap { case (_, mf) => manifestFiles(fs, mf) }).toSet
@@ -1521,7 +1562,8 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     posDvs: Map[String, Set[Long]] = Map.empty,
     posIdxCapable: Boolean = false,
     lineage: Option[Map[String, RowLineage.Entry]] = None,
-    spjCandidate: Option[GraftStagingCatalog.BucketPart] = None)
+    spjCandidate: Option[(GraftStagingCatalog.PartSpec,
+      org.apache.spark.sql.types.DataType)] = None)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -1689,15 +1731,17 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
       case f: FileScan =>
         // STORAGE-PARTITIONED JOIN eligibility: a pure data read (no DVs,
         // no position deletes, no lineage resolution, no pushed aggregate)
-        // of a table whose CURRENT spec is a single bucket transform
-        // (threaded in by the table, which also rules out a retired spec
-        // sharing the same layout prefix) whose source column survives
-        // column pruning. The scan then OFFERS KeyGroupedPartitioning —
-        // whether it actually reports depends on every planned file living
-        // in a bucket layout dir ([[ZoneMapPrunedScan.spjGroups]]).
-        val spj = spjCandidate.filter(bp =>
+        // of a table whose CURRENT spec is a single bucket or integral
+        // identity transform (threaded in by the table, which also rules
+        // out a retired spec sharing the same layout prefix) whose source
+        // column survives column pruning. The scan then OFFERS
+        // KeyGroupedPartitioning — whether it actually reports depends on
+        // every planned file living in a layout dir
+        // ([[ZoneMapPrunedScan.spjGroups]]).
+        val spj = spjCandidate.filter { case (sp, _) =>
           !dvActive && !posActive && lineage.isEmpty && !aggPushed &&
-            scan.readSchema().fieldNames.exists(_.equalsIgnoreCase(bp.col)))
+            scan.readSchema().fieldNames.exists(_.equalsIgnoreCase(sp.col))
+        }
         new ZoneMapPrunedScan(f, stats, filters, nulls, tableDir, blooms, dvInfo(scan),
           partSpecs, streamOpts, posDvs, posIdxInfo(scan), lineageInfo(scan), spj)
       case other => other
@@ -1783,7 +1827,8 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     posDvs: Map[String, Set[Long]] = Map.empty,
     posIdx: Option[DeletionVectors.PosIdxInfo] = None,
     lineage: Option[(RowLineage.LineageScanInfo, Map[String, RowLineage.Entry])] = None,
-    spjSpec: Option[GraftStagingCatalog.BucketPart] = None)
+    spjSpec: Option[(GraftStagingCatalog.PartSpec,
+      org.apache.spark.sql.types.DataType)] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
 
   /** Streaming face of the staging-catalog scan: `readStream.table(…)`
@@ -1907,41 +1952,65 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
   // checks — numPartitions == groups — and is the right parallelism trade
   // at scale: a bucketed layout exists to make per-key work contiguous.
   private var spjPruneCounts: Option[(Int, Int)] = None
-  private lazy val spjGroups: Option[Array[InputPartition]] = spjSpec.flatMap { bp =>
-    val (parts, kept, total) = prune()
-    spjPruneCounts = Some((kept, total))
-    val prefix = bp.dirPrefix
-    val files = Array.newBuilder[(Int, PartitionedFile)]
-    var provable = true
-    parts.foreach {
-      case fp: FilePartition => fp.files.foreach { pf =>
-        val rel = statKey(pf.toPath)
-        val residue: Option[Int] =
-          if (rel.startsWith(prefix)) {
-            val rest = rel.substring(prefix.length)
-            val i = rest.indexOf('/')
-            if (i > 0) rest.substring(0, i).toIntOption else None
-          } else None
-        residue match {
-          case Some(b) if b >= 0 && b < bp.n => files += ((b, pf))
-          case _                             => provable = false
-        }
+  private lazy val spjGroups: Option[Array[InputPartition]] = spjSpec.flatMap {
+    case (sp, colType) =>
+      val (parts, kept, total) = prune()
+      spjPruneCounts = Some((kept, total))
+      val prefix = sp.dirPrefix
+      import GraftStagingCatalog.{BucketPart, IdentityPart}
+      // layout-dir value → partition key, typed to the clustering
+      // expression: bucket keys are the residue INT; identity keys are the
+      // column's own value (integral identities only — string dir values
+      // round-trip through Hive escaping, which this report does not model)
+      def keyOf(value: String): Option[Any] = (sp, colType) match {
+        case (BucketPart(n, _), _) =>
+          value.toIntOption.filter(b => b >= 0 && b < n).map(Int.box)
+        case (IdentityPart(_), org.apache.spark.sql.types.LongType) =>
+          value.toLongOption.map(Long.box)
+        case (IdentityPart(_), org.apache.spark.sql.types.IntegerType) =>
+          value.toIntOption.map(Int.box)
+        case _ => None
       }
-      case _ => provable = false
-    }
-    if (!provable) None
-    else Some(files.result().groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex.map {
-      case ((b, fps), i) =>
-        new KeyedFilePartition(i, fps.map(_._2),
-          org.apache.spark.sql.catalyst.InternalRow(b)): InputPartition
-    }.toArray)
+      val files = Array.newBuilder[(Any, PartitionedFile)]
+      var provable = true
+      parts.foreach {
+        case fp: FilePartition => fp.files.foreach { pf =>
+          val rel = statKey(pf.toPath)
+          val key: Option[Any] =
+            if (rel.startsWith(prefix)) {
+              val rest = rel.substring(prefix.length)
+              val i = rest.indexOf('/')
+              if (i > 0) keyOf(rest.substring(0, i)) else None
+            } else None
+          key match {
+            case Some(k) => files += ((k, pf))
+            case None    => provable = false
+          }
+        }
+        case _ => provable = false
+      }
+      if (!provable) None
+      else Some(files.result().groupBy(_._1).toSeq
+        .sortBy { case (k, _) => k match {
+          case i: java.lang.Integer => i.longValue
+          case l: java.lang.Long    => l.longValue
+          case _                    => 0L
+        }}
+        .zipWithIndex.map { case ((k, fps), i) =>
+          new KeyedFilePartition(i, fps.map(_._2),
+            org.apache.spark.sql.catalyst.InternalRow(k)): InputPartition
+        }.toArray)
   }
 
   override def outputPartitioning(): Partitioning = spjGroups match {
     case Some(gs) =>
-      new KeyGroupedPartitioning(
-        Array(org.apache.spark.sql.connector.expressions.Expressions
-          .bucket(spjSpec.get.n, spjSpec.get.col)), gs.length)
+      val expr = spjSpec.get._1 match {
+        case GraftStagingCatalog.BucketPart(n, c) =>
+          org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+        case sp =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(sp.col)
+      }
+      new KeyGroupedPartitioning(Array(expr), gs.length)
     case None => new UnknownPartitioning(0)
   }
 

@@ -145,17 +145,23 @@ private[catalog] object StagingProcedures {
 
   def vacuum(catalog: String): UnboundProcedure =
     new MaintenanceProc("vacuum",
-      "keep only the last retain_last versions; delete unreferenced data files") {
+      "keep the last retain_last versions plus everything committed within " +
+        "retain_hours; delete unreferenced data files") {
       private val out = StructType(Seq(
         StructField("files_deleted", IntegerType, nullable = false)))
       override def parameters(): Array[ProcedureParameter] = Array(
         ProcedureParameter.in("ns", StringType).build(),
         ProcedureParameter.in("tbl", StringType).build(),
-        ProcedureParameter.in("retain_last", IntegerType).defaultValue("1").build())
+        ProcedureParameter.in("retain_last", IntegerType).defaultValue("1").build(),
+        ProcedureParameter.in("retain_hours", DoubleType)
+          .defaultValue("CAST(NULL AS DOUBLE)").build())
       override def call(input: InternalRow): JIterator[Scan] = {
+        val window =
+          if (input.isNullAt(3)) None
+          else Some((input.getDouble(3) * 3600000.0).toLong)
         val dead = StagingMaintenance.vacuum(spark, catalog,
           input.getUTF8String(0).toString, input.getUTF8String(1).toString,
-          input.getInt(2))
+          input.getInt(2), window)
         one(out, dead.size)
       }
     }

@@ -157,6 +157,17 @@ object StreamingOps {
     * files — the index stays exactly-once however the stream dies. df and
     * avgdl need no maintenance at all: the q327 serve derives them from
     * the index at query time, so they are never stale.
+    *
+    * MULTI-TABLE ATOMICITY (r11): when the index tables are members of a
+    * commit group ([[graft.sources.catalog.CommitGroups]] — the q333
+    * machinery the batch ensure-guard already publishes through), each
+    * micro-batch's two member appends are invisible phase-1 work and the
+    * batch ends with ONE `group_publish` pointer flip — a stream that dies
+    * BETWEEN the appends never exposes postings without their doc lengths
+    * (readers stay pinned at the previous vector), and the replayed batch
+    * converges: the recognized append skips, the missing one lands, the
+    * publish flips both. Without a group the two appends stay independent
+    * exactly-once commits (the pre-r11 contract).
     */
   def bm25MaintainStream(spark: SparkSession, docsTable: String,
       postingsTable: String, doclenTable: String, checkpointDir: String,
@@ -171,9 +182,29 @@ object StreamingOps {
           .writeTo(postingsTable).option("graft.batch-id", id.toString).append()
         toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
           .writeTo(doclenTable).option("graft.batch-id", id.toString).append()
+        publishGroupOf(spark, postingsTable)
         ()
       }
       .start()
+
+  /** Publish the commit group a catalog table is a member of, if any —
+    * the per-batch phase-2 pointer flip of a multi-table maintenance
+    * stream. No-op for non-members and non-3-part names.
+    */
+  private def publishGroupOf(spark: SparkSession, qualifiedTable: String): Unit = {
+    val parts = qualifiedTable.split('.')
+    if (parts.length == 3) {
+      val Array(cat, ns, tbl) = parts
+      spark.conf.getOption(s"spark.sql.catalog.$cat.root").foreach { root =>
+        val raw = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(root, ns), tbl)
+        val fs = raw.getFileSystem(spark.sessionState.newHadoopConf())
+        graft.sources.catalog.CommitGroups.groupOf(fs, fs.makeQualified(raw)).foreach {
+          g => graft.sources.catalog.CommitGroups.publish(spark, cat, ns, g); ()
+        }
+      }
+    }
+  }
 
   /** The READ side of the catalog's change feed as a live stream: tail a
     * staging-catalog table's directory with the file-based streaming source,

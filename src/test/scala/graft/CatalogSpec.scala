@@ -1019,6 +1019,143 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("storage-partitioned aggregation: identity-laid-out table groups with ZERO Exchange") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.spj_i")
+    spark.sql("CREATE TABLE stage_t.ws.spj_i (g BIGINT, v BIGINT) PARTITIONED BY (g)")
+    spark.sql("INSERT INTO stage_t.ws.spj_i SELECT id % 5, id FROM range(0, 1000)")
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "spj_i", partitionBy = Some("g"))
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val agg = spark.sql(
+        "SELECT g, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv FROM stage_t.ws.spj_i GROUP BY g")
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"identity-grouped aggregation shuffled:\n$p")
+      val rows = agg.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+      assert(rows.forall(_._2 == 200L))
+      assert(rows.map(_._3).sum === (0L until 1000L).sum)
+      // a NULL identity value lands in the default-partition dir: the
+      // report withdraws (unparseable key), the plan shuffles, results exact
+      spark.sql("INSERT INTO stage_t.ws.spj_i VALUES (NULL, 7)")
+      StagingMaintenance.optimize(spark, "stage_t", "ws", "spj_i", partitionBy = Some("g"))
+      val agg2 = spark.sql(
+        "SELECT count(*) AS n FROM stage_t.ws.spj_i GROUP BY g")
+      assert(agg2.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(spark.table("stage_t.ws.spj_i").count() === 1001)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None    => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  test("auto-analyze: commit-time zone maps prune with no manual ANALYZE") {
+    import graft.sources.catalog.ZoneMapScan
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.aa")
+    spark.sql("""CREATE TABLE stage_t.ws.aa (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('graft.auto-analyze'='k')""")
+    spark.sql("INSERT INTO stage_t.ws.aa SELECT id, id * 2 FROM range(0, 500)")
+    spark.sql("INSERT INTO stage_t.ws.aa SELECT id, id * 2 FROM range(500, 1000)")
+    // NO manual ANALYZE anywhere in this test
+    ZoneMapScan.lastPrune = None
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.aa WHERE k = 5")
+      .collect()(0).getLong(0) === 1)
+    val (kept, total) = ZoneMapScan.lastPrune.get
+    assert(kept < total, s"auto-analyzed point lookup read everything: ($kept, $total)")
+    // metadata-only ranged DELETE needs null counts too — the auto harvest
+    // records both
+    ZoneMapScan.lastDeleteSplit = None
+    spark.sql("DELETE FROM stage_t.ws.aa WHERE k >= 500")
+    val (_, drop, rew) = ZoneMapScan.lastDeleteSplit.get
+    assert(drop >= 1 && rew === 0, s"auto-analyzed delete not metadata-only: ($drop, $rew)")
+    assert(spark.table("stage_t.ws.aa").count() === 500)
+    // a bad column fails the CREATE, not the first commit
+    intercept[Exception] {
+      spark.sql("CREATE TABLE stage_t.ws.aa_bad (k BIGINT) " +
+        "TBLPROPERTIES ('graft.auto-analyze'='nope')")
+    }
+  }
+
+  test("ALTER TABLE SET/UNSET maintenance knobs: auto-analyze, sort-order, target-file-size") {
+    import graft.sources.catalog.ZoneMapScan
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.knobs")
+    spark.sql("CREATE TABLE stage_t.ws.knobs (k BIGINT, v BIGINT)")
+    // opt IN mid-life: commits after the SET maintain stats
+    spark.sql("ALTER TABLE stage_t.ws.knobs SET TBLPROPERTIES ('graft.auto-analyze'='k')")
+    spark.sql("INSERT INTO stage_t.ws.knobs SELECT id, id FROM range(0, 400)")
+    spark.sql("INSERT INTO stage_t.ws.knobs SELECT id, id FROM range(400, 800)")
+    ZoneMapScan.lastPrune = None
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.knobs WHERE k = 3")
+      .collect()(0).getLong(0) === 1)
+    val (kept, total) = ZoneMapScan.lastPrune.get
+    assert(kept < total, s"post-ALTER auto-analyze pruned nothing: ($kept, $total)")
+    // sort-order becomes ALTER-able too: subsequent appends range-cluster
+    spark.sql("ALTER TABLE stage_t.ws.knobs SET TBLPROPERTIES ('graft.sort-order'='k')")
+    assert(spark.sql("SHOW TBLPROPERTIES stage_t.ws.knobs").collect()
+      .exists(r => r.getString(0) == "graft.sort-order" && r.getString(1) == "k"))
+    spark.sql("ALTER TABLE stage_t.ws.knobs SET TBLPROPERTIES ('graft.target-file-size'='65536')")
+    // bad values fail the ALTER, not the next write
+    intercept[Exception] {
+      spark.sql("ALTER TABLE stage_t.ws.knobs SET TBLPROPERTIES ('graft.auto-analyze'='nope')")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE stage_t.ws.knobs SET TBLPROPERTIES ('graft.target-file-size'='lots')")
+    }
+    // UNSET removes the sidecars
+    spark.sql("ALTER TABLE stage_t.ws.knobs UNSET TBLPROPERTIES ('graft.sort-order')")
+    assert(!spark.sql("SHOW TBLPROPERTIES stage_t.ws.knobs").collect()
+      .exists(_.getString(0) == "graft.sort-order"))
+    // dropping an opted-in column prunes it from the sidecar instead of
+    // stranding future commits
+    spark.sql("ALTER TABLE stage_t.ws.knobs ADD COLUMN w BIGINT")
+    spark.sql("ALTER TABLE stage_t.ws.knobs SET TBLPROPERTIES ('graft.auto-analyze'='k,w')")
+    spark.sql("ALTER TABLE stage_t.ws.knobs DROP COLUMN w")
+    spark.sql("INSERT INTO stage_t.ws.knobs SELECT id, id FROM range(800, 900)") // must not throw
+    assert(spark.table("stage_t.ws.knobs").count() === 900)
+  }
+
+  test("vacuum retain_hours: versions inside the time window survive the count floor") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.vt")
+    spark.sql("CREATE TABLE stage_t.ws.vt AS SELECT id AS k FROM range(0, 10)") // v1
+    // v2 rewrites the file set, so v1's originals are reclaimable once v1
+    // ages out of retention
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "stage_t", "ws", "vt", targetFiles = 1) // v2
+    spark.sql("INSERT INTO stage_t.ws.vt SELECT id FROM range(10, 20)") // v3
+    // backdate v1 beyond the retention window (manifest ts is the commit
+    // clock time travel and the window both read)
+    val v1 = new java.io.File(stageRoot, "ws/vt/_graft_versions/v1.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(v1.toPath), "UTF-8")
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    java.nio.file.Files.write(v1.toPath,
+      txt.replaceAll("\"ts\":\\d+", s""""ts":$old""").getBytes("UTF-8"))
+    // the direct edit invalidates Hadoop LocalFileSystem's checksum sidecar
+    new java.io.File(v1.getParentFile, s".${v1.getName}.crc").delete()
+    // count floor alone would keep only v3; the 24h window ALSO keeps v2
+    val deleted = spark.sql(
+      "CALL stage_t.vacuum('ws', 'vt', retain_last => 1, retain_hours => 24.0)")
+      .collect()(0).getInt(0)
+    assert(deleted >= 1, "backdated v1's files must be reclaimed")
+    // v2 is OUTSIDE the count floor (retain_last=1 keeps only v3) but
+    // INSIDE the 24h window — the window kept it readable
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.vt VERSION AS OF 2")
+      .collect()(0).getLong(0) === 10)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.vt").collect()(0).getLong(0) === 20)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM stage_t.ws.vt VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("no version 1"), e.getMessage)
+  }
+
   test("partition-spec evolution: retired specs keep pruning; stray-only optimize beds only new files") {
     import graft.sources.catalog.{StagingMaintenance, ZoneMapScan}
     mountStage()
@@ -1121,6 +1258,13 @@ class CatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM stage_t.ws.no_such_tbl.files").collect()
     }
     assert(e.getMessage.contains("no_such_tbl"), e.getMessage)
+    // faces time-travel: v1's files face IS v1's manifest, and the
+    // snapshots face pinned at v1 ends there
+    val f1 = spark.sql("SELECT count(*) FROM stage_t.ws.ms.files VERSION AS OF 1")
+      .collect()(0).getLong(0)
+    assert(f1 === snaps(0).getInt(2).toLong)
+    assert(spark.sql("SELECT max(version) FROM stage_t.ws.ms.snapshots VERSION AS OF 1")
+      .collect()(0).getLong(0) === 1L)
   }
 
   test("schema evolution lifecycle: ADD → UPDATE → DROP → RENAME with era-scoped time travel") {

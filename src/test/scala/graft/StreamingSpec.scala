@@ -1031,6 +1031,11 @@ class StreamingSpec extends SparkSpec {
       """CREATE TABLE bm25m_cat.ws.postings (tok STRING, doc_id BIGINT, tf BIGINT)
         |TBLPROPERTIES ('graft.sort-order'='tok')""".stripMargin)
     spark.sql("CREATE TABLE bm25m_cat.ws.doclen (doc_id BIGINT, dl BIGINT)")
+    // r11: the index pair is a COMMIT GROUP — each micro-batch's two
+    // appends are invisible phase-1 work and the stream's own per-batch
+    // group_publish flips them visible together; every read below goes
+    // through the group pin
+    spark.sql("CALL bm25m_cat.group_create('ws', 'bm25idx', 'postings,doclen')")
     def expected(): Map[(String, Long), Long] =
       spark.sql("""SELECT tok, doc_id, count(*) AS tf FROM
         |(SELECT doc_id, explode(split(text, ' ')) AS tok FROM bm25m_cat.ws.docs)
@@ -1065,6 +1070,14 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(dl === Map(1L -> 3L, 2L -> 2L, 3L -> 3L, 4L -> 3L), dl)
     } finally q2.stop()
+    // the torn window the group closes: a member commit WITHOUT its
+    // publish (a maintainer dying between phase-1 appends) stays invisible
+    // to readers, then flips visible at the next publish
+    val before = indexed()
+    spark.sql("INSERT INTO bm25m_cat.ws.postings VALUES ('zzz_torn', 99, 1)")
+    assert(indexed() === before, "un-published member commit leaked to readers")
+    spark.sql("CALL bm25m_cat.group_publish('ws', 'bm25idx')")
+    assert(indexed().contains(("zzz_torn", 99L)), "publish did not flip the member visible")
   }
 
   test("catalogUpsertStream into a MERGE-ON-READ table: every CDC batch is DV + fresh files, zero rewrites") {
