@@ -659,6 +659,10 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       if (aa.nonEmpty) m.put("graft.auto-analyze", aa.mkString(","))
       val tfsz = GraftStagingCatalog.targetFileSize(tableFs, dir)
       if (tfsz > 0L) m.put("graft.target-file-size", tfsz.toString)
+      // partition evolution introspection: the spec families the pruner
+      // still honors for old-layout files
+      val rp = GraftStagingCatalog.retiredPartitionCols(tableFs, dir)
+      if (rp.nonEmpty) m.put("graft.partition.retired", rp.mkString(","))
       m
     }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

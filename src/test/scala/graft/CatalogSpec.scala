@@ -1019,6 +1019,40 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("bucket re-spec: a retired same-prefix spec withdraws the SPJ report") {
+    // the aliasing hazard the SPJ candidate guards structurally: after
+    // bucket(4,k) → bucket(8,k) evolution, the old residue dirs (0..3)
+    // would PARSE as valid bucket(8) residues — but a bucket(4) r=3 file
+    // holds keys with bucket(8) residues {3, 7}, so grouping it as
+    // residue 3 would silently drop matches. The candidate must withdraw
+    // whenever a retired spec shares the layout prefix.
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.spj_r")
+    spark.sql("CREATE TABLE stage_t.ws.spj_r (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO stage_t.ws.spj_r SELECT id, id FROM range(0, 1000)")
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "spj_r", partitionBy = Some("bucket(4,k)"))
+    spark.sql("CALL stage_t.set_partition_spec('ws', 'spj_r', 'bucket(8,k)')")
+    assert(spark.sql("SHOW TBLPROPERTIES stage_t.ws.spj_r").collect()
+      .exists(r => r.getString(0) == "graft.partition.retired" &&
+        r.getString(1) == "bucket(4,k)"))
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(kk => kk -> spark.conf.getOption(kk))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        "SELECT a.k FROM stage_t.ws.spj_r a JOIN stage_t.ws.spj_r b ON a.k = b.k")
+      assert(j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "re-specced table must NOT report the old layout as bucket(8)")
+      assert(j.count() === 1000)
+    } finally saved.foreach {
+      case (kk, Some(v)) => spark.conf.set(kk, v)
+      case (kk, None)    => spark.conf.unset(kk)
+    }
+  }
+
   test("storage-partitioned aggregation: identity-laid-out table groups with ZERO Exchange") {
     import graft.sources.catalog.StagingMaintenance
     mountStage()
