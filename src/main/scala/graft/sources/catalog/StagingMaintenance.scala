@@ -1370,6 +1370,17 @@ object StagingMaintenance {
     * a loud error naming what's gone (restoring to a half-present version
     * would silently lose rows). Returns the new head version.
     */
+  /** Resolve a tag name to its pinned version (the restore-to-tag face). */
+  def resolveTag(spark: SparkSession, catalog: String, ns: String, table: String,
+      tag: String): Long = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    val tags = GraftStagingCatalog.readTags(fs, d)
+    tags.getOrElse(tag, throw new IllegalArgumentException(
+      s"$catalog.$ns.$table has no tag '$tag'" +
+        (if (tags.isEmpty) " (no tags exist)"
+         else s" (tags: ${tags.keys.toSeq.sorted.mkString(", ")})")))
+  }
+
   def restore(spark: SparkSession, catalog: String, ns: String, table: String,
       toVersion: Long): Long = {
     val (fs, d) = tableDir(spark, catalog, ns, table)

@@ -198,11 +198,22 @@ private[catalog] object StagingProcedures {
       override def parameters(): Array[ProcedureParameter] = Array(
         ProcedureParameter.in("ns", StringType).build(),
         ProcedureParameter.in("tbl", StringType).build(),
-        ProcedureParameter.in("to_version", LongType).build())
+        ProcedureParameter.in("to_version", LongType)
+          .defaultValue("CAST(NULL AS BIGINT)").build(),
+        // tags resolve everywhere a version does (VERSION AS OF, stream
+        // origins) — restore included: `CALL restore(ns, t, to_tag => 'r1')`
+        ProcedureParameter.in("to_tag", StringType)
+          .defaultValue("CAST(NULL AS STRING)").build())
       override def call(input: InternalRow): JIterator[Scan] = {
-        val to = input.getLong(2)
-        val v = StagingMaintenance.restore(spark, catalog,
-          input.getUTF8String(0).toString, input.getUTF8String(1).toString, to)
+        val ns = input.getUTF8String(0).toString
+        val tbl = input.getUTF8String(1).toString
+        require(input.isNullAt(2) != input.isNullAt(3),
+          "restore takes exactly one of to_version / to_tag")
+        val to =
+          if (!input.isNullAt(2)) input.getLong(2)
+          else StagingMaintenance.resolveTag(spark, catalog, ns, tbl,
+            input.getUTF8String(3).toString)
+        val v = StagingMaintenance.restore(spark, catalog, ns, tbl, to)
         one(out, to, v)
       }
     }

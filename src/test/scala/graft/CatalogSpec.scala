@@ -1478,6 +1478,24 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed") || e.getMessage.contains("no version"),
       e.getMessage)
     assert(spark.table("stage_t.ws.rst").count() === 150)
+    // restore-to-TAG (r11): tags resolve in restore like everywhere else
+    spark.sql("INSERT INTO stage_t.ws.rst VALUES (9999)") // v5
+    spark.sql("CALL stage_t.tag('ws', 'rst', 'pre_oops', 4)")
+    spark.sql("DELETE FROM stage_t.ws.rst WHERE k < 10000") // v6: everything gone
+    assert(spark.table("stage_t.ws.rst").count() === 0)
+    val rt = spark.sql("CALL stage_t.restore('ws', 'rst', to_tag => 'pre_oops')").collect()(0)
+    assert(rt.getLong(0) === 4L)
+    assert(spark.table("stage_t.ws.rst").count() === 150)
+    intercept[Exception] {
+      spark.sql("CALL stage_t.restore('ws', 'rst', to_tag => 'nope')").collect()
+    }
+    // exactly one of to_version / to_tag
+    intercept[Exception] {
+      spark.sql("CALL stage_t.restore('ws', 'rst', 2, to_tag => 'pre_oops')").collect()
+    }
+    intercept[Exception] {
+      spark.sql("CALL stage_t.restore('ws', 'rst')").collect()
+    }
   }
 
   test("CHECK constraints: write-time row validation on insert, update and CTAS; DDL-time typo guard") {
