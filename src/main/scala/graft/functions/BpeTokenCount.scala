@@ -13,7 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * budgeting / billing pass over a corpus actually needs.
   *
   * Semantics are exactly greedy BPE as q259's dictionary replay defines it:
-  * each whitespace word starts as its codepoint sequence; merges apply in
+  * each SPACE-delimited word (U+0020 only — the q259 dictionary splits on
+  * `split(text, ' ')`, so tab/newline stay inside a word by contract)
+  * starts as its codepoint sequence; merges apply in
   * RANK order, each pass replacing adjacent (left,right) symbol pairs
   * left-to-right without overlap (the `||`-delimited `replace` trick's
   * contract, so the relational replay and this kernel are provably the
@@ -74,7 +76,8 @@ case class BpeTokenCount(left: Expression, right: Expression) extends BinaryExpr
 
 object BpeTokenCount {
 
-  /** Total BPE tokens of `text`: per whitespace word, greedy rank-order
+  /** Total BPE tokens of `text`: per SPACE-delimited word (U+0020 only,
+    * matching the q259 dictionary's `split(text, ' ')`), greedy rank-order
     * merging of its codepoint symbols; empty words contribute zero (the
     * dictionary replay's `filter(split(s,'||'), x -> x != '')` contract).
     */

@@ -2685,7 +2685,7 @@ object Connectors {
     require(spark.sql("SELECT count(*) FROM graft_stage.work.orders_wap")
       .collect()(0).getLong(0) == mainRows,
       "branch ingest leaked rows into main before publish")
-    val (headV, _, _, _, _, _) = graft.sources.catalog.StagingMaintenance
+    val (headV, _, _, _, _, _, _) = graft.sources.catalog.StagingMaintenance
       .detail(spark, "graft_stage", "work", "orders_wap")
     require(headV == 1L, s"branch ingest advanced main's head to $headV")
     // AUDIT the branch face (the expectations gate — q265's shape)
@@ -2847,7 +2847,10 @@ object Connectors {
     GraftQuery.sql("q337_partition_evolution", q337PartitionEvolution, q337Oracle),
     GraftQuery.sql("q339_metadata_tables", q339MetadataTables, q339Oracle),
     GraftQuery.sql("q340_spj_identity_agg", q340SpjIdentityAgg, q340Oracle),
-    GraftQuery.sql("q341_auto_analyze", q341AutoAnalyze, q341Oracle))
+    GraftQuery.sql("q341_auto_analyze", q341AutoAnalyze, q341Oracle),
+    GraftQuery.sql("q343_mor_row_lineage", q343MorRowLineage, q343Oracle),
+    GraftQuery.sql("q344_spj_compat_buckets", q344SpjCompatBuckets, q344Oracle),
+    GraftQuery.sql("q345_spj_string_identity", q345SpjStringIdentity, q345Oracle))
 
   // ---------------------------------------------------------------- q332
 
@@ -2910,7 +2913,7 @@ object Connectors {
     require(spark.sql("SELECT count(*) FROM graft_stage.work.orders_bdml")
       .collect()(0).getLong(0) == mainRows,
       "branch DML leaked rows into main before publish")
-    val (headV, _, _, _, _, _) = graft.sources.catalog.StagingMaintenance
+    val (headV, _, _, _, _, _, _) = graft.sources.catalog.StagingMaintenance
       .detail(spark, "graft_stage", "work", "orders_bdml")
     require(headV == 1L, s"branch DML advanced main's head to $headV")
     // audit gate: the branch must hold zero duplicate keys before publish
@@ -2975,7 +2978,7 @@ object Connectors {
         |SELECT o_orderkey, o_custkey
         |FROM orders_cg_src WHERE o_orderkey % 3 = 1""".stripMargin)
     // the commit is REAL (the member's head advanced) …
-    val (headV, _, _, _, _, _) = graft.sources.catalog.StagingMaintenance
+    val (headV, _, _, _, _, _, _) = graft.sources.catalog.StagingMaintenance
       .detail(spark, "graft_stage", "work", "cg_fact")
     require(headV == 2L, s"fact member's phase-1 commit missing: head $headV")
     // … but NO reader sees it: the group still serves the slice-0 vector
@@ -3208,8 +3211,10 @@ object Connectors {
     spark.conf.set("spark.sql.catalog.graft_stage",
       classOf[graft.sources.catalog.GraftStagingCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
-    // same session-wide opt-in q232 uses: the flag only activates for
-    // scans that REPORT a key-grouped layout
+    // opt-in only for the duration of this query (restored in the finally
+    // below): the flag only activates for scans that REPORT a key-grouped
+    // layout, but leaving it set would leak into later bench queries' plans
+    val oldBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_spj_src")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
@@ -3253,11 +3258,19 @@ object Connectors {
       // execute under the SPJ plan: the row checksum pins the zip's exactness
       val n = j.agg(fsum(col("cust") * (col("k") % 97))).collect()(0).getLong(0)
       require(n != 0, "SPJ join checksum empty")
-    } finally oldBc match {
-      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
-      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      // materialize the reported rollup UNDER the SPJ session so the
+      // returned frame's lineage is conf-independent
+      spark.sql(joinSql).localCheckpoint(eager = true)
+    } finally {
+      oldBc match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      oldBucketing match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None    => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
     }
-    spark.sql(joinSql)
   }
 
   /** The bucketed join recomputed from raw orders: every order joins its
@@ -3460,6 +3473,9 @@ object Connectors {
     spark.conf.set("spark.sql.catalog.graft_stage",
       classOf[graft.sources.catalog.GraftStagingCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    // session opt-in scoped to this query (restored below) — leaking it
+    // could change later bench queries' plans
+    val oldBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events_spji_src")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
@@ -3476,15 +3492,22 @@ object Connectors {
       """SELECT g, count(*) AS n, min(event_id) AS min_ev, max(event_id) AS max_ev,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM graft_stage.work.spj_ident GROUP BY g ORDER BY g""".stripMargin
-    // the aggregation subtree must be exchange-free; only the tiny final
-    // ORDER BY may range-partition its 8 rows
-    val bare = spark.sql(
-      """SELECT g, count(*) AS n FROM graft_stage.work.spj_ident GROUP BY g""")
-    val plan = bare.queryExecution.executedPlan.toString
-    require(!plan.contains("Exchange"),
-      s"identity-partition-aligned aggregation planned a shuffle:\n$plan")
-    require(bare.count() == 8, "expected 8 identity groups")
-    spark.sql(aggSql)
+    try {
+      // the aggregation subtree must be exchange-free; only the tiny final
+      // ORDER BY may range-partition its 8 rows
+      val bare = spark.sql(
+        """SELECT g, count(*) AS n FROM graft_stage.work.spj_ident GROUP BY g""")
+      val plan = bare.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"identity-partition-aligned aggregation planned a shuffle:\n$plan")
+      require(bare.count() == 8, "expected 8 identity groups")
+      // materialize under the SPJ session so the returned frame's lineage
+      // is conf-independent
+      spark.sql(aggSql).localCheckpoint(eager = true)
+    } finally oldBucketing match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None    => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
   }
 
   // ---------------------------------------------------------------- q341
@@ -3614,4 +3637,282 @@ object Connectors {
       |  SELECT o_orderkey AS k, o_custkey AS v
       |  FROM orders WHERE o_orderkey % 4 = 2)
       |GROUP BY k % 7 ORDER BY g""".stripMargin
+
+  // ---------------------------------------------------------------- q343
+
+  /** ROW LINEAGE × MERGE-ON-READ (r12 — the pairing q335 refused at v1,
+    * and the one a CDC-heavy training-corpus table actually wants: stable
+    * per-example ids AND O(changed rows) write amplification). A keyed MOR
+    * table declared `'graft.row-lineage'='true'`:
+    *
+    *   - a MOR MERGE is DV-delete + fresh insert, so identity would
+    *     silently re-assign unless the replacement row CARRIES its id —
+    *     the operation requires the `_row_id` metadata column on
+    *     SupportsDelta and the WriteDelta writers land each updated row's
+    *     preserved id in the physical column
+    *     ([[graft.sources.catalog.StagingDeltaWriterFactory]]); NOT-MATCHED
+    *     inserts carry NULL and resolve fresh off the new file's base;
+    *   - reads resolve ids through the COMBINED DV+lineage reader (filter
+    *     deleted rows, then `coalesce(phys, base + row_index)`) — the DV
+    *     ghost of an updated row is suppressed, its successor answers with
+    *     the SAME id;
+    *   - DV-delete commits move no rows, so id bases carry through
+    *     delete versions as pure manifest arithmetic;
+    *   - OPTIMIZE folds the DVs and materializes ids in ONE pass (DVs
+    *     first — row_index survives row filtering).
+    *
+    * In-query requires pin the contract the oracle can't see (ids are
+    * assignment-order-dependent): unique ids, the (id,key)-binding
+    * checksum bit-identical across MERGE / a second delta UPDATE /
+    * the fold, inserts allocated ABOVE the old watermark, and ZERO file
+    * rewrites for the delta commits. The final SELECT is plain data
+    * DuckDB recomputes.
+    */
+  def q343MorRowLineage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, countDistinct, count => fcount, sum => fsum}
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_rlm_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_rlm")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_rlm (k BIGINT NOT NULL, v BIGINT)
+        |TBLPROPERTIES ('graft.row-lineage'='true',
+        |               'graft.write.mode'='merge-on-read',
+        |               'graft.merge-keys'='k')""".stripMargin)
+    // hash-distributed layout: the delta's matched keys hit every file —
+    // exactly the shape where COW would rewrite the whole set
+    spark.sql(
+      """INSERT INTO graft_stage.work.orders_rlm
+        |SELECT /*+ REPARTITION(6, o_orderkey) */ o_orderkey, o_custkey
+        |FROM orders_rlm_src WHERE o_orderkey % 4 = 0""".stripMargin)
+    def lineage() = graft.sources.catalog.StagingMaintenance
+      .readLineage(spark, "graft_stage", "work", "orders_rlm")
+    // (id, key)-binding checksum (the q335 pin): equal counts, distinct
+    // ids, and id/id·f(k) sums fix the exact id-to-row assignment. ONE
+    // aggregation pass per lifecycle stage — the all-rows checksums, the
+    // original-corpus (%4=0) restriction, the insert-side min id, and the
+    // watermark all come out of a single scan via conditional aggregates.
+    def snap(): (Long, Long, BigDecimal, BigDecimal, // all rows
+        Long, BigDecimal, BigDecimal, // %4=0 restriction
+        Long, Long) = { // min id of %4=1 (Long.MaxValue when none), max id
+      import org.apache.spark.sql.functions.{max => fmax2, min => fmin, when => fwhen}
+      val id = col("_row_id").cast("decimal(38,0)")
+      val bind = id * (col("k") % 97 + 1)
+      val isOrig = col("k") % 4 === 0
+      val r = lineage().agg(
+        fcount(col("k")), countDistinct(col("_row_id")),
+        fsum(id), fsum(bind),
+        fcount(fwhen(isOrig, 1)), fsum(fwhen(isOrig, id)), fsum(fwhen(isOrig, bind)),
+        fmin(fwhen(col("k") % 4 === 1, col("_row_id"))),
+        fmax2(col("_row_id"))).collect()(0)
+      (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3)),
+        r.getLong(4),
+        Option(r.getDecimal(5)).map(BigDecimal(_)).getOrElse(BigDecimal(0)),
+        Option(r.getDecimal(6)).map(BigDecimal(_)).getOrElse(BigDecimal(0)),
+        if (r.isNullAt(7)) Long.MaxValue else r.getLong(7),
+        r.getLong(8))
+    }
+    val pre = snap()
+    require(pre._1 == pre._2, s"row ids not unique: ${pre._1} rows, ${pre._2} ids")
+    val watermark = pre._9
+    val before = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_rlm").toSet
+    val hi = spark.sql("SELECT max(o_orderkey) FROM orders_rlm_src")
+      .collect()(0).getLong(0) / 2L
+    // MOR MERGE: matched keys get new values (ids MUST survive the
+    // DV-delete + insert), unmatched %4=1 keys insert fresh
+    spark.sql(
+      s"""MERGE INTO graft_stage.work.orders_rlm t
+         |USING (SELECT o_orderkey AS k, o_custkey AS v FROM orders_rlm_src
+         |       WHERE o_orderkey <= $hi AND o_orderkey % 4 IN (0, 1)) s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v + 1000000
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val after = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_rlm").toSet
+    require(before.subsetOf(after),
+      s"MOR merge rewrote ${(before -- after).size} files — DV regression")
+    require(graft.sources.catalog.StagingMaintenance
+      .activeDvs(spark, "graft_stage", "work", "orders_rlm").nonEmpty,
+      "MOR merge committed no deletion vector")
+    // the ORIGINAL corpus (%4=0 keys) keeps its exact (id,key) binding —
+    // matched rows were DV-deleted and re-inserted, yet answer with the
+    // same ids; every row (inserts included) still has a unique id; and
+    // the MERGE inserts allocated ABOVE the pre-merge watermark
+    val m = snap()
+    require(m._5 == pre._1 && m._6 == pre._3 && m._7 == pre._4,
+      s"MOR MERGE re-identified matched rows: $pre -> $m")
+    require(m._1 == m._2, "insert ids collide with existing ids")
+    require(m._8 > watermark,
+      s"a MERGE insert reused an old id range: ${m._8} <= $watermark")
+    // second delta UPDATE over the merged state: ghosts never re-match,
+    // identity survives again
+    spark.sql("UPDATE graft_stage.work.orders_rlm SET v = v + 7 WHERE k % 13 = 5")
+    val afterUpd = snap()
+    require(afterUpd == m,
+      s"second delta UPDATE re-identified rows: $m -> $afterUpd")
+    // OPTIMIZE folds the DVs and materializes ids in one pass
+    graft.sources.catalog.StagingMaintenance.optimize(spark,
+      "graft_stage", "work", "orders_rlm", targetFiles = 3)
+    require(graft.sources.catalog.StagingMaintenance
+      .activeDvs(spark, "graft_stage", "work", "orders_rlm").isEmpty,
+      "OPTIMIZE did not fold the deletion vectors")
+    val afterOpt = snap()
+    require(afterOpt == m,
+      s"OPTIMIZE re-identified rows while folding DVs: $m -> $afterOpt")
+    spark.sql(
+      """SELECT k % 9 AS g, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM graft_stage.work.orders_rlm
+        |GROUP BY k % 9 ORDER BY g""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q344
+
+  /** SPJ with COMPATIBLE BUCKET COUNTS (r12 — SPARK-47094 parity): a
+    * `bucket(8,k)` fact joins a `bucket(4,k)` fact with ZERO Exchange.
+    * The catalog's `bucket` V2 function implements `ReducibleFunction`:
+    * the finer side's residues REDUCE onto the coarser grain (sound
+    * because mod composes — ((k mod 8) mod 4) = k mod 4), so Spark's
+    * key-grouped machinery coarsens the 8-bucket groups to 4 and zips.
+    * At 100 TB this removes the re-bucket-one-table tax when two
+    * pipelines chose different bucket counts for the same key — the join
+    * needs NEITHER side rewritten NOR shuffled. The in-query require pins
+    * the exchange-free executed plan under disabled broadcast; the
+    * returned rollup is plain data DuckDB recomputes.
+    */
+  def q344SpjCompatBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    val confKeys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = confKeys.map(kk => kk -> spark.conf.getOption(kk))
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_cb_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.cb8")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.cb4")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.cb8 (k BIGINT, cust BIGINT)
+        |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft_stage.work.cb8 SELECT o_orderkey, o_custkey FROM orders_cb_src")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.cb4 (k BIGINT, price_cents BIGINT)
+        |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.cb4
+        |SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        |FROM orders_cb_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "cb8", partitionBy = Some("bucket(8,k)"))
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "cb4", partitionBy = Some("bucket(4,k)"))
+    confKeys.take(3).foreach(spark.conf.set(_, "true"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        """SELECT a.k, a.cust, b.price_cents
+          |FROM graft_stage.work.cb8 a JOIN graft_stage.work.cb4 b ON a.k = b.k""".stripMargin)
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"bucket(8)⋈bucket(4) planned a shuffle despite compatible transforms:\n$plan")
+      val n = j.agg(fsum(col("cust") * (col("k") % 97))).collect()(0).getLong(0)
+      require(n != 0, "compatible-bucket SPJ checksum empty")
+      spark.sql(
+        """SELECT a.k % 9 AS g, count(*) AS n, CAST(sum(a.cust) AS BIGINT) AS sum_cust,
+          |  CAST(sum(b.price_cents) AS BIGINT) AS sum_cents
+          |FROM graft_stage.work.cb8 a JOIN graft_stage.work.cb4 b ON a.k = b.k
+          |GROUP BY a.k % 9 ORDER BY g""".stripMargin).localCheckpoint(eager = true)
+    } finally saved.foreach {
+      case (kk, Some(v)) => spark.conf.set(kk, v)
+      case (kk, None)    => spark.conf.unset(kk)
+    }
+  }
+
+  /** Same shape as q336's oracle — by design: the compatible-count join
+    * must produce exactly what the equal-count join produces.
+    */
+  val q344Oracle: String = q336Oracle
+
+  // ---------------------------------------------------------------- q345
+
+  /** STRING IDENTITY SPJ (r12): a corpus laid out `PARTITIONED BY (lang)`
+    * — the most common identity layout of a multilingual 100 TB training
+    * corpus — aggregates per-language with ZERO Exchange. The scan parses
+    * each file's `lang=<v>/` directory back through Spark's own Hive path
+    * escaping (`ExternalCatalogUtils.unescapePathName` — the exact inverse
+    * of what the layout writer produced), so values with `=`/`:`/`/`
+    * round-trip exactly; the NULL-derivation dir withdraws the report.
+    * The in-query require pins the exchange-free plan; the per-language
+    * rollup is recomputed by DuckDB from the raw documents table.
+    */
+  def q345SpjStringIdentity(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    val oldBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    graft.sources.Tables.documents(spark, dir).createOrReplaceTempView("docs_ssp_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.docs_lang")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.docs_lang (lang STRING, doc_id BIGINT, nchars BIGINT)
+        |PARTITIONED BY (lang)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.docs_lang
+        |SELECT lang, doc_id, CAST(length(text) AS BIGINT) FROM docs_ssp_src""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "docs_lang", partitionBy = Some("lang"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val agg = spark.sql(
+        """SELECT lang, count(*) AS n, CAST(sum(nchars) AS BIGINT) AS sum_chars,
+          |  min(doc_id) AS min_doc
+          |FROM graft_stage.work.docs_lang GROUP BY lang""".stripMargin)
+      val plan = agg.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"string-identity-grouped aggregation planned a shuffle:\n$plan")
+      require(agg.count() > 0, "empty language rollup")
+      spark.sql(
+        """SELECT lang, count(*) AS n, CAST(sum(nchars) AS BIGINT) AS sum_chars,
+          |  min(doc_id) AS min_doc
+          |FROM graft_stage.work.docs_lang GROUP BY lang ORDER BY lang""".stripMargin)
+        .localCheckpoint(eager = true)
+    } finally oldBucketing match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None    => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  /** The per-language rollup recomputed from raw documents. */
+  val q345Oracle: String =
+    """SELECT lang, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_doc
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** The merged-then-patched corpus recomputed from raw orders: the %4=0
+    * base with low-half values bumped by the MERGE, the low-half %4=1
+    * inserts, and the %13=5 keys bumped again by the second UPDATE.
+    */
+  val q343Oracle: String =
+    """SELECT k % 9 AS g, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+      |  CAST(sum(v) AS BIGINT) AS sum_v
+      |FROM (
+      |  SELECT k, CASE WHEN k % 13 = 5 THEN v + 7 ELSE v END AS v
+      |  FROM (
+      |    SELECT o_orderkey AS k,
+      |      CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 2 FROM orders)
+      |           THEN o_custkey + 1000000 ELSE o_custkey END AS v
+      |    FROM orders WHERE o_orderkey % 4 = 0
+      |    UNION ALL
+      |    SELECT o_orderkey AS k, o_custkey AS v
+      |    FROM orders
+      |    WHERE o_orderkey % 4 = 1
+      |      AND o_orderkey <= (SELECT max(o_orderkey) // 2 FROM orders)))
+      |GROUP BY k % 9 ORDER BY g""".stripMargin
 }

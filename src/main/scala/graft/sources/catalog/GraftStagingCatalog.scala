@@ -539,7 +539,18 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
         case None => resolveCurrent(d)._2.getOrElse(dataFiles(fs, d))
       }
       files.sorted.map { f =>
-        val len = fs.getFileStatus(new Path(d, f)).getLen
+        // a concurrent VACUUM can remove a file between manifest
+        // resolution and this stat — surface the race as a catalog-level
+        // error (the pinned branch above already names it) rather than a
+        // raw FileNotFoundException out of a plain SELECT
+        val len =
+          try fs.getFileStatus(new Path(d, f)).getLen
+          catch {
+            case _: java.io.FileNotFoundException =>
+              throw new IllegalStateException(
+                s"$d: data file $f vanished between manifest resolution and " +
+                  "the metadata-face scan (concurrent VACUUM) — re-run the query")
+          }
         val i = f.lastIndexOf('/')
         (f, len, if (i > 0) f.substring(0, i) else null)
       }
@@ -598,12 +609,23 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       * routes row-level rewrites through the id-preserving write path.
       */
     private lazy val lineageOn = RowLineage.enabled(tableFs, dir)
-    /** This snapshot's per-file id bases (empty map off-lineage). */
+    /** This snapshot's per-file id bases (empty map off-lineage). A BRANCH
+      * face resolves its vector from the branch log (falling back to the
+      * fork manifest in main's log — exactly how the snapshot itself
+      * resolved); probing main's log at a branch version would read an
+      * unrelated vector.
+      */
     private lazy val lineageEntries: Map[String, RowLineage.Entry] =
       if (!lineageOn) Map.empty
-      else GraftStagingCatalog.probeManifest(tableFs, dir, snapshotVersion)
-        .map(mf => RowLineage.parse(GraftStagingCatalog.readString(tableFs, mf))._1)
-        .getOrElse(Map.empty)
+      else {
+        val mfOpt = branch.flatMap { b =>
+          val p = new Path(GraftStagingCatalog.branchLogDir(dir, b),
+            s"v$snapshotVersion.json")
+          if (GraftStagingCatalog.isFile(tableFs, p)) Some(p) else None
+        }.orElse(GraftStagingCatalog.probeManifest(tableFs, dir, snapshotVersion))
+        mfOpt.map(mf => RowLineage.parse(GraftStagingCatalog.readString(tableFs, mf))._1)
+          .getOrElse(Map.empty)
+      }
     override def metadataColumns()
         : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
       if (lineageOn) Array(RowLineage.metaColumn) else Array.empty
@@ -677,15 +699,16 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       val posCapable = posDvMap.nonEmpty && readDelegate.userSpecifiedSchema.isDefined
       // lineage tables widen the delegate with the physical-id and
       // generated-row-index carriers so a `SELECT _row_id` prune can
-      // request them (mutually exclusive with MOR position mode)
+      // request them; the row-index carrier ALSO serves position-DV
+      // filtering, so lineage + keyless MOR share one widened schema (r12)
       val lineageCapable = lineageOn && readDelegate.userSpecifiedSchema.isDefined
       val scanSrc =
-        if (posCapable)
-          readDelegate.copy(userSpecifiedSchema = readDelegate.userSpecifiedSchema.map(
-            s => StructType(s.fields :+ DeletionVectors.RowIdxField)))
-        else if (lineageCapable)
+        if (lineageCapable)
           readDelegate.copy(userSpecifiedSchema = readDelegate.userSpecifiedSchema.map(
             s => StructType(s.fields :+ RowLineage.PhysField :+ DeletionVectors.RowIdxField)))
+        else if (posCapable)
+          readDelegate.copy(userSpecifiedSchema = readDelegate.userSpecifiedSchema.map(
+            s => StructType(s.fields :+ DeletionVectors.RowIdxField)))
         else readDelegate
       val inner = scanSrc.newScanBuilder(options)
       // Zone-map integration with the PLAIN scan path: when the table has a
@@ -793,7 +816,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
             case Some(key) =>
               // merge-on-read: delta writes + deletion vectors, zero rewrites
               new StagingDeltaOperation(info, readDelegate, writeDelegate, tableFs,
-                dir, snapshotVersion, snapshotFiles, key, dvNames, branch)
+                dir, snapshotVersion, snapshotFiles, key, dvNames, branch,
+                lineage = if (lineageOn) Some(lineageEntries) else None)
             case None =>
               new StagingRowLevelOperation(info, readDelegate, writeDelegate, tableFs,
                 dir, snapshotVersion, snapshotFiles, dvNames, branch,
@@ -930,13 +954,24 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
               // a stats-harvest failure must never fail the statement (a
               // retried INSERT would double rows) — stats are advisory and
               // self-heal at the next trigger.
-              if (branch.isEmpty)
-                try StagingMaintenance.autoAnalyze(SparkSession.active, tableFs, dir)
-                catch { case e: Exception =>
+              if (branch.isEmpty) {
+                val dk = tableFs.makeQualified(dir).toString
+                try {
+                  StagingMaintenance.autoAnalyze(SparkSession.active, tableFs, dir)
+                  ZoneMapScan.autoAnalyzeFailures.remove(dk)
+                  ()
+                } catch { case e: Exception =>
+                  // count CONSECUTIVE failures: a persistently-failing
+                  // harvest silently degrades every future scan to
+                  // unpruned — surfaced via `CALL detail`
+                  val n = ZoneMapScan.autoAnalyzeFailures.merge(dk, java.lang.Long.valueOf(1L),
+                    (a: java.lang.Long, b: java.lang.Long) =>
+                      java.lang.Long.valueOf(a.longValue + b.longValue))
                   System.err.println(
                     s"[graft] auto-analyze after commit on $dir failed " +
-                      s"(stats will backfill at the next trigger): $e")
+                      s"($n consecutive; stats will backfill at the next trigger): $e")
                 }
+              }
             }
             override def abort(messages: Array[WriterCommitMessage]): Unit =
               d.abort(messages)
@@ -1057,15 +1092,14 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     // manifest allocates per-file id bases ([[RowLineage]]); rewrites that
     // must preserve identity materialize. Declared at CREATE only (the
     // contract covers every version from v1; enabling mid-life would leave
-    // id-less history). v1 boundary: not combinable with merge-on-read.
+    // id-less history). Combinable with merge-on-read since r12: DV
+    // commits carry id bases verbatim (deletes move no rows), reads
+    // resolve ids through the combined DV+lineage reader, and the delta
+    // write path carries each updated row's id as a metadata projection —
+    // a MOR UPDATE/MERGE preserves identity, never re-identifies.
     val rowLineage: Boolean =
       Option(properties.get("graft.row-lineage")).map(_.trim.toLowerCase) match {
-        case Some("true") =>
-          if (morKey.isDefined)
-            throw new UnsupportedOperationException(
-              s"$catalogName: graft.row-lineage is not yet supported on " +
-                "merge-on-read tables (copy-on-write only)")
-          true
+        case Some("true")         => true
         case Some("false") | None => false
         case Some(other) => throw new IllegalArgumentException(
           s"$catalogName: graft.row-lineage must be true|false, got '$other'")
@@ -1838,7 +1872,8 @@ private class StagingDeltaOperation(
     snapshotFiles: Option[Seq[String]],
     keyField: org.apache.spark.sql.types.StructField,
     priorDvNames: Seq[String],
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    lineage: Option[Map[String, RowLineage.Entry]] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
 
@@ -1851,11 +1886,35 @@ private class StagingDeltaOperation(
   override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column(keyField.name))
 
+  /** ROW LINEAGE through the DELTA (merge-on-read) rewrite (r12): the
+    * operation requires the `_row_id` metadata column, so Spark's
+    * WriteDelta plan carries each updated row's preserved id (NULL for a
+    * MERGE's NOT-MATCHED inserts) into the writers as a metadata row —
+    * the MOR twin of [[StagingRowLevelOperation.requiredMetadataAttributes]].
+    * A MOR UPDATE is DV-delete + fresh insert, so WITHOUT this carry the
+    * fresh row would silently re-identify; with it, identity survives the
+    * delta exactly as it survives the copy-on-write path.
+    */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (lineage.isDefined)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(RowLineage.MetaColName))
+    else Array.empty
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val sb = readDelegate.newScanBuilder(options)
+    // lineage tables widen the scan source with the physical-id and
+    // generated-row-index carriers (same as the group-based path)
+    val scanSrc =
+      if (lineage.isEmpty || readDelegate.userSpecifiedSchema.isEmpty) readDelegate
+      else readDelegate.copy(userSpecifiedSchema = readDelegate.userSpecifiedSchema.map(
+        s => StructType(s.fields :+ RowLineage.PhysField :+ DeletionVectors.RowIdxField)))
+    val sb = scanSrc.newScanBuilder(options)
     new ScanBuilder
-        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       private var v1: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      private var lineageOut: Option[StructType] = None
       override def pushFilters(
           filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
           : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
@@ -1866,15 +1925,56 @@ private class StagingDeltaOperation(
       override def pushedFilters
           : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
         Array.empty
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        if (lineage.isDefined && requiredSchema.fieldNames
+            .exists(_.equalsIgnoreCase(RowLineage.MetaColName))) {
+          lineageOut = Some(requiredSchema)
+          val dataFields = requiredSchema.fields
+            .filterNot(_.name.equalsIgnoreCase(RowLineage.MetaColName))
+          // the merge key must stay readable for the in-force DV filter
+          // even if the rewrite plan pruned it (it never does — rowId
+          // projection needs it — but stay total)
+          val withKey =
+            if (dataFields.exists(_.name.equalsIgnoreCase(keyField.name))) dataFields
+            else dataFields :+ keyField
+          sb match {
+            case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+              p.pruneColumns(StructType(withKey :+ RowLineage.PhysField :+
+                DeletionVectors.RowIdxField))
+            case _ => ()
+          }
+        } else () // non-lineage: keep the historical full-schema read (the
+                  // delta rewrite needs full rows anyway); pruning only
+                  // matters for the lineage carriers above
+      private def lineageInfo(scan: org.apache.spark.sql.connector.read.Scan)
+          : Option[(RowLineage.LineageScanInfo, Map[String, RowLineage.Entry])] =
+        lineageOut.map { requested =>
+          val wide = scan.readSchema()
+          val physOrd = wide.fieldNames.indexWhere(_ == RowLineage.PhysCol)
+          val idxOrd = wide.fieldNames.indexWhere(_ == DeletionVectors.RowIdxField.name)
+          require(physOrd >= 0 && idxOrd >= 0,
+            s"lineage carriers missing from delta read schema $wide")
+          val outOrds = requested.fields.map { f =>
+            if (f.name.equalsIgnoreCase(RowLineage.MetaColName)) -1
+            else {
+              val o = wide.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
+              require(o >= 0, s"requested column ${f.name} missing from read schema $wide")
+              o
+            }
+          }
+          (RowLineage.LineageScanInfo(requested, physOrd, idxOrd, outOrds, wide.length),
+            lineage.get)
+        }
       override def build(): org.apache.spark.sql.connector.read.Scan = {
         val scan = sb.build()
         val stats = StagingMaintenance.readStatsFor(tableFs, dir)
         val nulls = StagingMaintenance.readNullsFor(tableFs, dir)
         scan match {
           case fscan: org.apache.spark.sql.execution.datasources.v2.FileScan =>
-            // the row-level scan reads the FULL table schema (no column
-            // pruning on this path), so the key is always present and DVs
-            // apply with no projection
+            // without lineage the row-level scan reads the FULL table
+            // schema (no column pruning on this path), so the key is
+            // always present and DVs apply with no projection; with
+            // lineage the pruned schema re-adds the key above
             val dvMap = DeletionVectors.loadDvs(tableFs, dir, priorDvNames)
             val dvInfo =
               if (dvMap.isEmpty) None
@@ -1887,12 +1987,13 @@ private class StagingDeltaOperation(
             val statCols = stats.keysIterator.map(_._2).toArray.distinct.sorted
             val blooms = () => StagingMaintenance.readBloomsFor(tableFs, dir)
             val specs = GraftStagingCatalog.partSpecsAll(tableFs, dir)
+            val li = lineageInfo(scan)
             val zms =
               if (statCols.nonEmpty)
                 new RowLevelGroupScan(fscan, stats, v1, statCols, nulls, dir.toString,
-                  blooms, dvInfo, specs)
+                  blooms, dvInfo, specs, Map.empty, li)
               else new ZoneMapPrunedScan(fscan, stats, v1, nulls, dir.toString, blooms,
-                dvInfo, specs)
+                dvInfo, specs, Map.empty, Map.empty, None, li)
             scans.add(zms)
             zms
           case other => other
@@ -1913,7 +2014,28 @@ private class StagingDeltaOperation(
               // parquet delegate (which rejects empty schemas) must not
               // even be built: the whole write is one DV sidecar
               private val deleteOnly = lwi.schema().isEmpty
-              private lazy val inner = writeDelegate.newWriteBuilder(lwi).build().toBatch
+              // ROW LINEAGE (r12): the delta write receives each
+              // updated row's preserved `_row_id` as a metadata row —
+              // the inner parquet write is widened with the physical id
+              // column so the writers can land it (NULL for inserts:
+              // fresh rows take `base + row_index` off their own file)
+              private val lineageMeta = !deleteOnly && lineage.isDefined &&
+                lwi.metadataSchema().isPresent &&
+                lwi.metadataSchema().get().fieldNames
+                  .exists(_.equalsIgnoreCase(RowLineage.MetaColName))
+              private val innerInfo: LogicalWriteInfo =
+                if (!lineageMeta) lwi
+                else new LogicalWriteInfo {
+                  override def options(): CaseInsensitiveStringMap = lwi.options()
+                  override def queryId(): String = lwi.queryId()
+                  override def schema(): StructType =
+                    StructType(lwi.schema().fields :+ RowLineage.PhysField)
+                  override def rowIdSchema(): java.util.Optional[StructType] =
+                    java.util.Optional.empty()
+                  override def metadataSchema(): java.util.Optional[StructType] =
+                    java.util.Optional.empty()
+                }
+              private lazy val inner = writeDelegate.newWriteBuilder(innerInfo).build().toBatch
               private val check =
                 if (deleteOnly) None
                 else CheckConstraint.read(tableFs, dir).map(c =>
@@ -1928,7 +2050,11 @@ private class StagingDeltaOperation(
                   if (keyIsString) 2
                   else if (keyField.dataType == org.apache.spark.sql.types.IntegerType) 0
                   else 1,
-                  check)
+                  check,
+                  lineageMetaOrd =
+                    if (!lineageMeta) -1
+                    else lwi.metadataSchema().get().fieldNames
+                      .indexWhere(_.equalsIgnoreCase(RowLineage.MetaColName)))
 
               override def useCommitCoordinator(): Boolean =
                 !deleteOnly && inner.useCommitCoordinator()
@@ -1956,7 +2082,11 @@ private class StagingDeltaOperation(
                   }
                 GraftStagingCatalog.writeExplicitManifest(tableFs, dir, snap ++ fresh,
                   kind = info.command().toString.toLowerCase,
-                  expectedBase = Some(snapshotVersion), dvs = dvs, branch = branch)
+                  expectedBase = Some(snapshotVersion), dvs = dvs, branch = branch,
+                  // lineage: carried files keep their id bases verbatim
+                  // (a DV delete moves no rows); fresh files landed the
+                  // preserved ids physically — mark them materialized
+                  matFiles = if (lineageMeta) fresh.toSet else Set.empty)
               }
 
               override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1976,15 +2106,20 @@ private class StagingDeltaOperation(
 private class StagingDeltaWriterFactory(
     inner: Option[DataWriterFactory], // None = delete-only (no row sink exists)
     keyKind: Int, // 0 = int, 1 = long, 2 = string (canonical key: Long|String)
-    check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)])
+    check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+    lineageMetaOrd: Int = -1) // ≥0: `_row_id`'s ordinal in the metadata row —
+    // land it as the trailing physical id column (NULL for inserts)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   import org.apache.spark.sql.catalyst.InternalRow
 
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
       private var w: org.apache.spark.sql.connector.write.DataWriter[InternalRow] = _
       private val deleted = scala.collection.mutable.HashSet.empty[Any]
+      private val idRow = new GenericInternalRow(1)
+      private val joined = new JoinedRow
       private val pred = check.map { case (text, bound) =>
         val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(bound)
         p.initialize(partitionId)
@@ -1997,23 +2132,30 @@ private class StagingDeltaWriterFactory(
         case _ => id.getUTF8String(0).toString
       }
 
-      private def sink(row: InternalRow): Unit = {
+      private def sink(row: InternalRow, meta: InternalRow): Unit = {
         pred.foreach { case (text, p) =>
           if (!p.eval(row)) throw new IllegalArgumentException(
             s"CHECK constraint violated by row-level write: ($text)")
         }
         if (w == null) w = inner.getOrElse(throw new IllegalStateException(
           "delta write received a row on a delete-only plan")).createWriter(partitionId, taskId)
-        w.write(row)
+        if (lineageMetaOrd < 0) w.write(row)
+        else {
+          // preserved id (an UPDATE's replacement row) or NULL (a MERGE
+          // insert — resolved to a fresh id from the new file's base)
+          if (meta == null || meta.isNullAt(lineageMetaOrd)) idRow.update(0, null)
+          else idRow.update(0, meta.getLong(lineageMetaOrd))
+          w.write(joined(row, idRow))
+        }
       }
 
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         deleted += keyOf(id)
       override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
         deleted += keyOf(id)
-        sink(row)
+        sink(row, meta)
       }
-      override def insert(row: InternalRow): Unit = sink(row)
+      override def insert(row: InternalRow): Unit = sink(row, null)
 
       override def commit(): WriterCommitMessage =
         DvDeltaMsg(Option(w).map(_.commit()), deleted.toArray)
@@ -2175,9 +2317,13 @@ object GraftStagingCatalog {
     partitionCols(fs, d).map(parsePartSpec)
 
   /** CURRENT ++ RETIRED specs — the set the PRUNING paths consult. Sound
-    * per file by construction: [[StagingMaintenance.partValueOf]] applies a
-    * spec only to files whose path matches ITS layout prefix, so a file is
-    * only ever judged by the spec that placed it. Current-first, deduped.
+    * per file: [[StagingMaintenance.partValueOf]] applies a spec only to
+    * files whose path matches ITS layout prefix, and when two DISTINCT
+    * specs share a prefix (a bucket-count re-spec) the pruning predicates
+    * drop both from consideration (`unambiguousSpecs` in
+    * [[StagingMaintenance]]) — attribution would otherwise judge an old
+    * bucket(4) file by the current bucket(8) residue and lose rows.
+    * Current-first, deduped.
     */
   private[catalog] def partSpecsAll(fs: FileSystem, d: Path): Seq[PartSpec] =
     (partitionCols(fs, d) ++ retiredPartitionCols(fs, d)).distinct.map(parsePartSpec)
@@ -2738,18 +2884,43 @@ object GraftStagingCatalog {
         val files = (cur ++ dataFiles(fs, d).filterNot(before)).distinct.sorted
         // lineage tables: carried files keep their id bases, this commit's
         // new files get fresh virtual bases off the watermark — pure
-        // manifest arithmetic, atomic under the same create-exclusive race
+        // manifest arithmetic, atomic under the same create-exclusive race.
+        // The floor spans main + every branch log (branch-aware allocation)
         val rids =
           if (!RowLineage.enabled(fs, d)) None
           else {
             val prevTxt = latest.map { case (_, f) => readString(fs, f) }
-            Some(RowLineage.assign(prevTxt, prevTxt, files, Set.empty))
+            Some(RowLineage.assign(prevTxt, prevTxt, files, Set.empty,
+              floor = lineageFloor(fs, d)))
           }
         committed = tryCreateExclusive(fs, new Path(vd, s"v$next.json"),
           manifestJson(files, batchId, "commit", dvs, rids))
         if (committed && branch.isEmpty) maybeCheckpoint(fs, d, next, files, dvs)
       }
     }
+
+  /** Branch-aware row-id allocation floor (r12): the max `nextRowId`
+    * watermark across MAIN's head and every live branch's head. Every
+    * lineage commit — on main or on a branch face — allocates at or above
+    * this, so a fork can never hand the same base range to both sides
+    * (publish fast-forwards branch vectors verbatim; rebase carries them).
+    * Called under the catalog monitor (both manifest writers synchronize),
+    * so the multi-log read is consistent. Cost: one sidecar read + one
+    * manifest read per live branch, zero when the table has no branches.
+    */
+  private[catalog] def lineageFloor(fs: FileSystem, d: Path): Long = {
+    val branchW = readBranches(fs, d).keysIterator.flatMap(b =>
+      branchHead(fs, d, b).map { case (_, mf) =>
+        RowLineage.parse(readString(fs, mf))._2
+      })
+    // main's own watermark rides in through nextFromTxt at the call sites;
+    // the floor only needs to cover the OTHER logs, but including main is
+    // harmless and keeps the contract simple
+    val mainW = headManifest(fs, d).map { case (_, mf) =>
+      RowLineage.parse(readString(fs, mf))._2
+    }
+    (branchW ++ mainW.iterator).foldLeft(0L)(math.max)
+  }
 
   /** Maintenance/rewrite commit (OPTIMIZE / DELETE / UPDATE / MERGE): the
     * new version is EXACTLY `files`, marked with a non-commit kind so
@@ -2798,7 +2969,8 @@ object GraftStagingCatalog {
             val latestTxt = (branch.fold(headManifest(fs, d))(b => branchHead(fs, d, b)))
               .map { case (_, f) => readString(fs, f) }
             val mapTxt = rowIdsFrom.map(readString(fs, _)).orElse(latestTxt)
-            Some(RowLineage.assign(mapTxt, latestTxt, files, matFiles))
+            Some(RowLineage.assign(mapTxt, latestTxt, files, matFiles,
+              floor = lineageFloor(fs, d)))
           }
         if (tryCreateExclusive(fs, new Path(vd, s"v${latest + 1}.json"),
             manifestJson(files, None, kind, dvs, rids)))
@@ -2861,6 +3033,18 @@ object GraftStagingCatalog {
     ()
   }
 
+  /** Matched-row ceiling for the position-DV DELETE path (session conf,
+    * rows). Above it the statement falls back to the file-granular
+    * copy-on-write rewrite: a position sidecar is O(matched rows) of
+    * driver memory and sidecar bytes, so a broad keyless
+    * `DELETE WHERE ts < …` on an unclustered 100 TB table would otherwise
+    * materialize billions of ordinals on the driver before writing a
+    * byte. Selective deletes (the mode's intended use) stay under it and
+    * keep the zero-rewrite DV economy.
+    */
+  private[catalog] val PosDeleteMaxRowsKey = "spark.graft.pos-delete.max-matched-rows"
+  private[catalog] val PosDeleteMaxRowsDefault = 1000000
+
   /** POSITION-delete DELETE (keyless merge-on-read — the Iceberg
     * (file, pos) shape): no rewrite at all. Matching rows are located as
     * `(table-relative file, _metadata.row_index)` — zone maps first split
@@ -2873,6 +3057,18 @@ object GraftStagingCatalog {
     * bytes, zero data-file writes; OPTIMIZE folds the sidecars away.
     * Already-suppressed rows never re-match (the matching read applies the
     * in-force position DVs), so repeated overlapping DELETEs stay exact.
+    *
+    * BOUNDED (r12): the driver materializes AT MOST
+    * [[PosDeleteMaxRowsKey]]+1 matched ordinals — the locating collect is
+    * capped with a LIMIT, so the cap is structural, not advisory. A
+    * broader match abandons the sidecar and falls back to the
+    * file-granular COW rewrite ([[filesAfterDelete]] — which reads the
+    * touched files THROUGH the in-force position DVs, so suppressed rows
+    * never resurrect), committing with the in-force sidecars carried
+    * verbatim: untouched files keep their suppressed ordinals, and
+    * entries naming rewritten/dropped files go inert with their files.
+    * [[StagingMaintenance.ZoneMapScan.lastPosDeleteMode]] records which
+    * path ran.
     */
   private[catalog] def posDeleteWhere(fs: FileSystem, d: Path,
       filters: Array[org.apache.spark.sql.sources.Filter], baseVersion: Long,
@@ -2892,6 +3088,7 @@ object GraftStagingCatalog {
         ZoneMapPrunedScan.partCanMatch(specs, f, fl)))
     if (candidates.isEmpty) {
       // no row can match: still a (no-op) delete version — SQL ran
+      ZoneMapScan.lastPosDeleteMode = Some("noop")
       writeExplicitManifest(fs, d, current, kind = "delete",
         expectedBase = Some(baseVersion), dvs = dvNames)
       return
@@ -2901,17 +3098,36 @@ object GraftStagingCatalog {
     val raw = reader.parquet(candidates.map(f => new Path(d, f).toString): _*)
     val inForce = DeletionVectors.loadPosDvs(fs, d, dvNames)
     val visible = DeletionVectors.applyPosToRead(raw, inForce)
-    // (full path, position) of every VISIBLE matching row; bounded by the
-    // matched-row count — the sidecar IS this set, so collecting it is the
-    // write itself, not an extra materialization
+    // (full path, position) of every VISIBLE matching row, capped at
+    // maxRows+1: under the cap this set IS the sidecar (collecting it is
+    // the write itself); over it the extra row proves the match is too
+    // broad for a sidecar and the statement falls back to COW below. The
+    // LIMIT bounds driver memory structurally — a billion-row match pulls
+    // maxRows+1 rows, never a billion.
+    val maxRows = spark.conf.getOption(PosDeleteMaxRowsKey)
+      .map(_.toInt).getOrElse(PosDeleteMaxRowsDefault)
     val matched = visible.where(coalesce(pred, lit(false)))
       .select(col("_metadata.file_path").as("__f"), col("_metadata.row_index").as("__p"))
+      .limit(maxRows + 1)
       .collect()
     if (matched.isEmpty) {
+      ZoneMapScan.lastPosDeleteMode = Some("noop")
       writeExplicitManifest(fs, d, current, kind = "delete",
         expectedBase = Some(baseVersion), dvs = dvNames)
       return
     }
+    if (matched.length > maxRows) {
+      // broad delete: the sidecar would cost O(matched) driver memory and
+      // every subsequent read a same-sized broadcast — rewrite the touched
+      // files instead (reading through the in-force DVs), carry the
+      // in-force sidecars for the untouched files, and commit once
+      ZoneMapScan.lastPosDeleteMode = Some("cow-fallback")
+      val (kept, rewritten) = filesAfterDelete(fs, d, filters)
+      writeExplicitManifest(fs, d, kept, kind = "delete",
+        expectedBase = Some(baseVersion), dvs = dvNames, matFiles = rewritten)
+      return
+    }
+    ZoneMapScan.lastPosDeleteMode = Some("dv")
     // attribute full paths back to table-relative names (the statKey rule)
     val prefix = d.toString + "/"
     def rel(full: String): String = {
@@ -2991,30 +3207,35 @@ object GraftStagingCatalog {
         else declaredSchema(fs, d).foreach(reader.schema)
         val rawTouched0 = reader
           .parquet(touched.map(f => new Path(d, f).toString): _*)
-        val rawTouched =
+        // lineage reads carry `_metadata` explicitly for id resolution;
+        // merge-on-read DV application ALSO rides it (or input_file_name),
+        // so the order is DVs FIRST (rows a deletion vector suppresses
+        // must not resurrect into the rewritten remainder), materialize
+        // SECOND — id resolution depends only on each surviving row's own
+        // (phys, row_index), which filtering cannot disturb
+        val withMeta =
           if (!lineage) rawTouched0
-          else RowLineage.materialize(
-            rawTouched0.select(org.apache.spark.sql.functions.col("*"),
-              org.apache.spark.sql.functions.col("_metadata")),
-            lineageEntries).drop("_metadata")
-        // merge-on-read: rows a deletion vector suppresses must not
-        // resurrect into the rewritten remainder
+          else rawTouched0.select(org.apache.spark.sql.functions.col("*"),
+            org.apache.spark.sql.functions.col("_metadata"))
         val dvApplied = DeletionVectors.morKey(fs, d) match {
           case Some(k) =>
             val dvMap = headManifest(fs, d)
               .map { case (_, mf) => DeletionVectors.dvMapAt(fs, d, mf) }
               .getOrElse(Map.empty[String, Set[Any]])
               .filter { case (f, _) => touched.contains(f) }
-            DeletionVectors.applyToRead(rawTouched, k, dvMap)
+            DeletionVectors.applyToRead(withMeta, k, dvMap)
           case None if DeletionVectors.morPos(fs, d) =>
             val posMap = headManifest(fs, d)
               .map { case (_, mf) => DeletionVectors.posMapAt(fs, d, mf) }
               .getOrElse(Map.empty[String, Set[Long]])
               .filter { case (f, _) => touched.contains(f) }
-            DeletionVectors.applyPosToRead(rawTouched, posMap)
-          case None => rawTouched
+            DeletionVectors.applyPosToRead(withMeta, posMap)
+          case None => withMeta
         }
-        val remaining = dvApplied.where(not(coalesce(pred, lit(false))))
+        val rawTouched =
+          if (!lineage) dvApplied
+          else RowLineage.materialize(dvApplied, lineageEntries).drop("_metadata")
+        val remaining = rawTouched.where(not(coalesce(pred, lit(false))))
         val token = java.util.UUID.randomUUID().toString.take(12)
         val tmp = new Path(d, s"_delete_$token")
         remaining.write.mode("overwrite").parquet(tmp.toString)

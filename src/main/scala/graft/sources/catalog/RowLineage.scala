@@ -53,10 +53,24 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * Declared at CREATE with `'graft.row-lineage'='true'` (a marker sidecar;
   * the property is a contract on every future commit, not a backfill).
-  * v1 boundaries, enforced loudly: not combinable with merge-on-read
-  * tables, and WAP branches are refused (a branch and main assigning from
-  * the same watermark would collide at publish; branch-aware allocation is
-  * a follow-up).
+  *
+  * MERGE-ON-READ (r12): fully combinable. DV commits move no rows, so id
+  * bases carry verbatim through delete versions; reads resolve ids through
+  * the combined DV+lineage reader ([[MorLineageReaderFactory]] — filter
+  * deleted rows, then resolve); a keyed MOR UPDATE/MERGE preserves each
+  * row's id by carrying it through the WriteDelta writer as a metadata
+  * projection (the delta twin of the group-based PRESERVE machinery), and
+  * OPTIMIZE folds DVs and materializes ids in one pass (DVs first —
+  * `_metadata.row_index` survives row filtering).
+  *
+  * BRANCHES (r12): fork-safe. Every commit — on main or a branch face —
+  * allocates bases at or above the max watermark across ALL logs
+  * ([[GraftStagingCatalog.lineageFloor]], read under the catalog
+  * monitor), so the two sides of a fork can never hand out the same id
+  * range; publish fast-forwards the branch's vectors verbatim, and
+  * rebase re-anchors carried bases exactly as it re-anchors files (main
+  * files keep main's bases, branch files keep their branch-allocated
+  * ones, the watermark is the max of both logs).
   */
 object RowLineage {
 
@@ -111,13 +125,16 @@ object RowLineage {
     * files get fresh bases off `nextFromTxt`'s watermark (normally the same
     * manifest; RESTORE maps from the restore target but must keep the
     * watermark monotonic off the LATEST manifest). `mat` names the new
-    * files written with the physical column. Returns (rendered entries,
-    * new watermark).
+    * files written with the physical column. `floor` raises the watermark
+    * to at least that value — branch-aware allocation (r12): a commit on
+    * ANY face of a branched table allocates above the max watermark across
+    * main + every branch log, so fork-side allocations can never collide
+    * at publish/rebase. Returns (rendered entries, new watermark).
     */
   def assign(prevMapTxt: Option[String], nextFromTxt: Option[String],
-      files: Seq[String], mat: Set[String]): (Seq[String], Long) = {
+      files: Seq[String], mat: Set[String], floor: Long = 0L): (Seq[String], Long) = {
     val (prev, _) = parse(prevMapTxt.getOrElse(""))
-    val next0 = parse(nextFromTxt.getOrElse(""))._2
+    val next0 = math.max(parse(nextFromTxt.getOrElse(""))._2, floor)
     val fresh = files.filterNot(prev.contains).sorted.zipWithIndex.toMap
     val entries = files.map { f =>
       f -> prev.getOrElse(f,
@@ -125,6 +142,12 @@ object RowLineage {
     }.toMap
     (render(entries), next0 + fresh.size * Stride)
   }
+
+  /** Render an entry map as manifest `rowIds` lines — the rebase replay
+    * builds vectors directly (carried bases from main, branch-file bases
+    * from the branch manifests) instead of re-assigning.
+    */
+  def renderVector(map: Map[String, Entry]): Seq[String] = render(map)
 
   /** The read schema a lineage-aware rewrite uses: the declared schema plus
     * the (nullable — virtual files lack it) physical id column.
@@ -166,7 +189,8 @@ object RowLineage {
     */
   def readWithIds(spark: SparkSession, d: Path, files: Seq[String],
       declared: StructType, entries: Map[String, Entry],
-      idCol: String = "_row_id"): DataFrame = {
+      idCol: String = "_row_id",
+      applyDvs: DataFrame => DataFrame = identity): DataFrame = {
     if (files.isEmpty) {
       val schema = StructType(declared.fields :+
         StructField(idCol, LongType, nullable = true))
@@ -176,7 +200,9 @@ object RowLineage {
     val raw = spark.read.schema(readSchema(declared))
       .parquet(files.map(f => new Path(d, f).toString): _*)
       .select(col("*"), col("_metadata"))
-    resolveIds(raw, entries, idCol).drop("_metadata")
+    // merge-on-read: in-force deletion vectors filter BEFORE resolution
+    // (resolution depends only on each surviving row's own (phys, index))
+    resolveIds(applyDvs(raw), entries, idCol).drop("_metadata")
   }
 
   /** A rewrite's materializing projection: same resolution, but the id
@@ -256,6 +282,110 @@ object RowLineage {
       case other => out += other
     }
     out.result()
+  }
+
+  /** Per-file partition of a COMBINED merge-on-read + lineage read: the
+    * file's id base plus the delete sets in force for it (equality keys
+    * for keyed MOR, row ordinals for keyless position mode — at most one
+    * of the two is non-empty per table). Same one-file-per-partition trade
+    * as [[LineagePartition]].
+    */
+  final case class MorLineagePartition(fp: FilePartition, base: Long,
+      delKeys: Set[Any], delPos: Set[Long])
+      extends org.apache.spark.sql.connector.read.InputPartition {
+    override def preferredLocations(): Array[String] = fp.preferredLocations()
+  }
+
+  /** Repack pruned partitions one-file-per-partition carrying the file's
+    * id base AND its in-force delete sets — the combined MOR+lineage read.
+    */
+  def repackMorLineage(parts: Array[org.apache.spark.sql.connector.read.InputPartition],
+      entries: Map[String, Entry],
+      dvKeys: Map[String, Set[Any]],
+      posDvs: Map[String, Set[Long]],
+      statKey: org.apache.hadoop.fs.Path => String)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val out = Array.newBuilder[org.apache.spark.sql.connector.read.InputPartition]
+    var idx = 0
+    parts.foreach {
+      case fp: FilePartition =>
+        fp.files.foreach { pf =>
+          val k = statKey(pf.toPath)
+          val base = entries.get(k).map(_.base).getOrElse(0L)
+          out += MorLineagePartition(FilePartition(idx, Array(pf)), base,
+            dvKeys.getOrElse(k, Set.empty), posDvs.getOrElse(k, Set.empty))
+          idx += 1
+        }
+      case other => out += other
+    }
+    out.result()
+  }
+
+  /** Reader factory of the COMBINED merge-on-read + lineage read: drop
+    * rows whose position ordinal (the parquet-generated true file ordinal
+    * at `info.idxOrd` — row-group-skip-safe, so pushdown stays on) or
+    * whose MOR key (at `keyOrd`; NULL keys are never DV'd) is deleted,
+    * THEN resolve `_row_id` exactly like [[LineageReaderFactory]] and
+    * project the requested schema. Filter-then-resolve is the only sound
+    * order a reader needs here — resolution depends only on the row's own
+    * (phys, ordinal), which filtering cannot disturb.
+    */
+  final class MorLineageReaderFactory(
+      inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+      info: LineageScanInfo,
+      keyOrd: Int, // -1 = no equality-DV key (keyless position mode)
+      keyKind: Int) // 0 = int, 1 = long, 2 = string (ignored when keyOrd<0)
+      extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow,
+      JoinedRow, UnsafeProjection}
+    import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+
+    override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+      partition match {
+        case MorLineagePartition(fp, base, delKeys, delPos) =>
+          val r = inner.createReader(fp)
+          val joinOrd = info.delegateArity
+          val exprs = info.requested.fields.toIndexedSeq.zip(info.outOrds).map {
+            case (f, -1)  => BoundReference(joinOrd, f.dataType, f.nullable)
+            case (f, ord) => BoundReference(ord, f.dataType, f.nullable)
+          }
+          new PartitionReader[InternalRow] {
+            private lazy val proj = UnsafeProjection.create(exprs)
+            private val idRow = new GenericInternalRow(1)
+            private val joined = new JoinedRow
+            private var current: InternalRow = _
+            override def next(): Boolean = {
+              while (r.next()) {
+                val row = r.get()
+                val posDeleted =
+                  delPos.nonEmpty && delPos.contains(row.getLong(info.idxOrd))
+                val keyDeleted = !posDeleted && keyOrd >= 0 && delKeys.nonEmpty &&
+                  !row.isNullAt(keyOrd) && {
+                    val k: Any = keyKind match {
+                      case 0 => row.getInt(keyOrd).toLong
+                      case 1 => row.getLong(keyOrd)
+                      case _ => row.getUTF8String(keyOrd).toString
+                    }
+                    delKeys.contains(k)
+                  }
+                if (!posDeleted && !keyDeleted) { current = row; return true }
+              }
+              false
+            }
+            override def get(): InternalRow = {
+              val id =
+                if (!current.isNullAt(info.physOrd)) current.getLong(info.physOrd)
+                else base + current.getLong(info.idxOrd)
+              idRow.update(0, id)
+              proj(joined(current, idRow))
+            }
+            override def close(): Unit = r.close()
+          }
+        case other => inner.createReader(other)
+      }
   }
 
   /** Reader factory resolving `_row_id` per row:

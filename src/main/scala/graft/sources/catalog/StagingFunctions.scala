@@ -110,7 +110,32 @@ private[catalog] object StagingFunctions {
         s"bucket: bucket count must be a positive INT, got $n")
       (((k % n) + n) % n).toInt
     }
-    object BoundLong extends ScalarFunction[Integer] {
+    /** COMPATIBLE BUCKET COUNTS (r12 — SPARK-47094's `ReducibleFunction`
+      * face): with `spark.sql.sources.v2.bucketing
+      * .allowCompatibleTransforms.enabled`, a `bucket(8,k)` side of an SPJ
+      * can REDUCE its residues onto a `bucket(4,k)` partner — sound
+      * because mod_bucket composes: ((k mod 8) mod 4) == k mod 4 whenever
+      * 4 divides 8. The finer layout's groups then coarsen to the
+      * partner's grain and the join still plans with ZERO Exchange; a
+      * non-divisible pair (4⋈6) returns no reducer and Spark shuffles as
+      * before. Only graft's own bucket family reduces (another catalog's
+      * `bucket` may hash first — residue composition would not hold).
+      */
+    private[catalog] trait BucketReducible
+        extends org.apache.spark.sql.connector.catalog.functions
+          .ReducibleFunction[Integer, Integer] {
+      override def reducer(thisNumBuckets: Int,
+          otherFunction: org.apache.spark.sql.connector.catalog.functions
+            .ReducibleFunction[_, _],
+          otherNumBuckets: Int)
+          : org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer] =
+        if (otherFunction.isInstanceOf[BucketReducible] &&
+            otherNumBuckets > 0 && thisNumBuckets > otherNumBuckets &&
+            thisNumBuckets % otherNumBuckets == 0)
+          BucketReducer(otherNumBuckets)
+        else null // equal counts, non-divisible, or a foreign bucket family
+    }
+    object BoundLong extends ScalarFunction[Integer] with BucketReducible {
       override def name(): String = "bucket"
       override def canonicalName(): String = "graft.bucket"
       override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
@@ -119,7 +144,7 @@ private[catalog] object StagingFunctions {
       override def produceResult(input: InternalRow): Integer =
         residue(input.getInt(0), input.getLong(1))
     }
-    object BoundInt extends ScalarFunction[Integer] {
+    object BoundInt extends ScalarFunction[Integer] with BucketReducible {
       override def name(): String = "bucket"
       override def canonicalName(): String = "graft.bucket"
       override def inputTypes(): Array[DataType] = Array(IntegerType, IntegerType)
@@ -128,6 +153,16 @@ private[catalog] object StagingFunctions {
       override def produceResult(input: InternalRow): Integer =
         residue(input.getInt(0), input.getInt(1).toLong)
     }
+  }
+
+  /** Residue coarsening for [[Bucket]]'s compatible-count SPJ: a finer
+    * bucket value reduces to the coarser count by plain mod (non-negative
+    * in → non-negative out). Serializable case class: rides into Spark's
+    * key-grouped partitioning values.
+    */
+  private[catalog] final case class BucketReducer(coarser: Int)
+      extends org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer] {
+    override def reduce(bucket: Integer): Integer = Integer.valueOf(bucket % coarser)
   }
 
   object DSum4 extends UnboundFunction {

@@ -128,24 +128,28 @@ object StagingMaintenance {
     if (lineage) declaredSchema(fs, d).foreach(s => reader.schema(RowLineage.readSchema(s)))
     else declaredSchema(fs, d).foreach(reader.schema)
     val raw0 = reader.parquet(current.map(f => new Path(d, f).toString): _*)
-    val raw =
-      if (!lineage) raw0
-      else RowLineage.materialize(
-        raw0.select(col("*"), col("_metadata")), lineageEntries).drop("_metadata")
     // OPTIMIZE is where deletion vectors FOLD: the rewrite reads with the
     // current DVs applied (deleted rows must not resurrect into the
     // compacted files) and the commit below records an EMPTY dv set — after
     // an OPTIMIZE the table is DV-free until the next merge-on-read write.
+    // Fold order on a lineage table: DVs FIRST, materialize SECOND — both
+    // resolve rows off `_metadata`, which only a bare files-read provides,
+    // and id resolution depends only on each surviving row's own
+    // (phys, row_index), which the DV filter cannot disturb.
     val dvMap = latest.map { case (_, mf) => DeletionVectors.dvMapAt(fs, d, mf) }
       .getOrElse(Map.empty[String, Set[Any]])
     val posMap = latest.filter(_ => DeletionVectors.morPos(fs, d))
       .map { case (_, mf) => DeletionVectors.posMapAt(fs, d, mf) }
       .getOrElse(Map.empty[String, Set[Long]])
-    val df = DeletionVectors.morKey(fs, d) match {
-      case Some(k) if dvMap.nonEmpty => DeletionVectors.applyToRead(raw, k, dvMap)
-      case _ if posMap.nonEmpty      => DeletionVectors.applyPosToRead(raw, posMap)
-      case _                         => raw
+    val withMeta = if (!lineage) raw0 else raw0.select(col("*"), col("_metadata"))
+    val dvApplied = DeletionVectors.morKey(fs, d) match {
+      case Some(k) if dvMap.nonEmpty => DeletionVectors.applyToRead(withMeta, k, dvMap)
+      case _ if posMap.nonEmpty      => DeletionVectors.applyPosToRead(withMeta, posMap)
+      case _                         => withMeta
     }
+    val df =
+      if (!lineage) dvApplied
+      else RowLineage.materialize(dvApplied, lineageEntries).drop("_metadata")
     // rewrite into a staging subdir (underscore-prefixed: invisible to data
     // listings), then move the compacted parts into the table dir under
     // unique names BEFORE committing the manifest that references them —
@@ -460,7 +464,59 @@ object StagingMaintenance {
                   .otherwise(lit("update_postimage")))
                 .otherwise(col("_change")))
             .drop("_graft_rn", "_graft_pk", "_graft_prn", "_graft_paired")
-        case _ => diff
+        case _ =>
+          // KEYLESS update images (r12): no declared row identity, so the
+          // old→new correspondence is reconstructed from column content.
+          // The UPDATE's untouched columns have IDENTICAL delete/insert
+          // value multisets; pairing by (those stable columns,
+          // occurrence#) is unambiguous exactly where each stable-group
+          // has EQUAL delete and insert counts — such groups re-type into
+          // pre/post pairs, everything else stays bare delete/insert (the
+          // honest answer for genuine ambiguity). All-columns-stable
+          // degenerates to rows EXCEPT ALL already cancelled — skip.
+          val dataCols = diff.columns.filter(_ != "_change").toSeq
+          val olds = diff.where(col("_change") === "delete")
+          val news = diff.where(col("_change") === "insert")
+          val stable =
+            if (dataCols.isEmpty) Seq.empty
+            else dataCols.filter { c =>
+              val a = olds.groupBy(col(c)).count()
+              val b = news.groupBy(col(c)).count()
+              a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+            }
+          if (stable.isEmpty || stable.size == dataCols.size) diff
+          else {
+            val sCols = stable.map(col)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(sCols :+ col("_change"): _*).orderBy(dataCols.map(col): _*)
+            val tagged = diff.withColumn("_graft_rn", row_number().over(w))
+            def side(ch: String) = tagged.where(col("_change") === ch)
+              .select(sCols :+ col("_graft_rn"): _*)
+              .toDF(stable.map("_gs_" + _) :+ "_graft_prn": _*)
+            val dTag = side("delete"); val iTag = side("insert")
+            // (stable-values, occurrence#) present on BOTH sides, limited
+            // to groups whose two sides have EQUAL cardinality; NULL
+            // stable values never pair (equi-join) — conservative
+            val dMax = dTag.groupBy(stable.map(c => col("_gs_" + c)): _*)
+              .agg(org.apache.spark.sql.functions.max(col("_graft_prn")).as("_gdm"))
+            val iMax = iTag.groupBy(stable.map(c => col("_gs_" + c)): _*)
+              .agg(org.apache.spark.sql.functions.max(col("_graft_prn")).as("_gim"))
+            val eqGroups = dMax.join(iMax, stable.map("_gs_" + _))
+              .where(col("_gdm") === col("_gim"))
+              .select(stable.map(c => col("_gs_" + c)): _*)
+            val paired = dTag.intersect(iTag)
+              .join(eqGroups, stable.map("_gs_" + _), "left_semi")
+              .withColumn("_graft_paired", lit(true))
+            val cond = stable.map(c => tagged(c) === paired("_gs_" + c))
+              .reduce(_ && _) && tagged("_graft_rn") === paired("_graft_prn")
+            tagged.join(paired, cond, "left")
+              .withColumn("_change",
+                when(col("_graft_paired").isNotNull,
+                  when(col("_change") === "delete", lit("update_preimage"))
+                    .otherwise(lit("update_postimage")))
+                  .otherwise(col("_change")))
+              .select(dataCols.map(col) :+ col("_change"): _*)
+          }
       }
       shaped
         .withColumnRenamed("_change", "_change_type")
@@ -473,8 +529,10 @@ object StagingMaintenance {
   /** Identity-paired row diff of a LINEAGE table between versions v-1 and
     * v: data columns + `_row_id` + `_change` (insert / delete /
     * update_preimage / update_postimage). Slice-cost — only files that
-    * changed by name are read (lineage tables are COW-only, so there are
-    * no DV-visibility changes to chase).
+    * changed by NAME or (merge-on-read, r12) by DV-visibility are read;
+    * each side reads under ITS version's deletion vectors, so a DV-only
+    * delete surfaces as identity-keyed deletes and a MOR UPDATE (DV-delete
+    * + preserved-id insert) pairs into pre/post images off the shared id.
     */
   private def lineageCdfDiff(spark: SparkSession, fs: FileSystem, d: Path,
       v: Long): DataFrame = {
@@ -496,10 +554,39 @@ object StagingMaintenance {
     val declared = sTo.getOrElse(
       throw new IllegalStateException(s"$d has no declared schema"))
     val dataCols = declared.fieldNames.toSeq
-    val olds = RowLineage.readWithIds(spark, d, (fromF -- toF).toSeq.sorted,
-      declared, fromE)
-    val news = RowLineage.readWithIds(spark, d, (toF -- fromF).toSeq.sorted,
-      declared, toE)
+    // merge-on-read: a DV-only commit changes visibility without changing
+    // the file set — such files enter BOTH sides, each read under its
+    // version's vectors (the rowLevelChangesAt rule, identity-paired here)
+    val morKey = DeletionVectors.morKey(fs, d)
+    val morPos = DeletionVectors.morPos(fs, d)
+    def dvState(mv: Long): (Map[String, Set[Any]], Map[String, Set[Long]]) =
+      if (mv <= 0L || (morKey.isEmpty && !morPos))
+        (Map.empty[String, Set[Any]], Map.empty[String, Set[Long]])
+      else manifestOf(mv).map { mf =>
+        (if (morKey.isDefined) DeletionVectors.dvMapAt(fs, d, mf)
+         else Map.empty[String, Set[Any]],
+          if (morPos) DeletionVectors.posMapAt(fs, d, mf)
+          else Map.empty[String, Set[Long]])
+      }.getOrElse((Map.empty[String, Set[Any]], Map.empty[String, Set[Long]]))
+    val (dvFrom, posFrom) = dvState(v - 1L)
+    val (dvTo, posTo) = dvState(v)
+    val dvChanged = (fromF intersect toF).filter(f =>
+      dvFrom.getOrElse(f, Set.empty) != dvTo.getOrElse(f, Set.empty) ||
+        posFrom.getOrElse(f, Set.empty) != posTo.getOrElse(f, Set.empty))
+    def applyDvsOf(fls: Set[String], dv: Map[String, Set[Any]],
+        pos: Map[String, Set[Long]]): DataFrame => DataFrame = morKey match {
+      case Some(k) =>
+        df => DeletionVectors.applyToRead(df, k, dv.filter { case (f, _) => fls(f) })
+      case None if morPos =>
+        df => DeletionVectors.applyPosToRead(df, pos.filter { case (f, _) => fls(f) })
+      case None => identity
+    }
+    val oldFiles = (fromF -- toF) ++ dvChanged
+    val newFiles = (toF -- fromF) ++ dvChanged
+    val olds = RowLineage.readWithIds(spark, d, oldFiles.toSeq.sorted,
+      declared, fromE, applyDvs = applyDvsOf(oldFiles, dvFrom, posFrom))
+    val news = RowLineage.readWithIds(spark, d, newFiles.toSeq.sorted,
+      declared, toE, applyDvs = applyDvsOf(newFiles, dvTo, posTo))
     val newIds = news.select(col("_row_id"))
     val oldIds = olds.select(col("_row_id"))
     val inserts = news.join(oldIds, Seq("_row_id"), "left_anti")
@@ -993,12 +1080,10 @@ object StagingMaintenance {
     require(name.matches("[\\w.-]+"),
       s"branch name '$name' must match [\\w.-]+ (it becomes a directory and a TSV line)")
     val (fs, d) = tableDir(spark, catalog, ns, table)
-    // v1 boundary: a branch and main allocating row-id bases from the same
-    // fork watermark would collide at publish/rebase; branch-aware
-    // allocation is a follow-up — refuse loudly rather than corrupt
-    require(!RowLineage.enabled(fs, d),
-      s"$catalog.$ns.$table tracks row lineage — branches are not yet supported " +
-        "on lineage tables (id allocation would fork)")
+    // lineage tables fork safely since r12: every commit (main or branch)
+    // allocates id bases at or above the max watermark across ALL logs
+    // ([[GraftStagingCatalog.lineageFloor]]), publish fast-forwards branch
+    // vectors verbatim, and rebase re-anchors carried bases alongside files
     GraftStagingCatalog.synchronized {
       val branches = GraftStagingCatalog.readBranches(fs, d)
       require(!branches.contains(name), s"$catalog.$ns.$table already has branch '$name'")
@@ -1105,9 +1190,13 @@ object StagingMaintenance {
         val mainRemoved = forkFiles -- mainFiles
         // per-commit deltas, oldest first; kind/batchId carry verbatim so
         // change-feed consumers and the exactly-once ledger see the same
-        // commit identities after the replay
+        // commit identities after the replay. Lineage tables also carry
+        // each manifest's rowIds vector + watermark: the replay re-anchors
+        // id bases the way it re-anchors files (branch files keep their
+        // branch-allocated bases — globally unique by the allocation floor)
         final case class Delta(kind: String, batchId: Option[Long],
-          addF: Set[String], remF: Set[String], addDv: Set[String], remDv: Set[String])
+          addF: Set[String], remF: Set[String], addDv: Set[String], remDv: Set[String],
+          rowIds: Map[String, RowLineage.Entry], next: Long)
         var prevF = forkFiles; var prevDv = forkDvs
         val deltas = GraftStagingCatalog.branchManifests(fs, d, name).map { case (_, mf) =>
           val txt = readString(fs, mf)
@@ -1116,8 +1205,9 @@ object StagingMaintenance {
           val kind = "\"kind\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
             .map(_.group(1)).getOrElse("commit")
           val bid = "\"batchId\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+          val (rids, rnext) = RowLineage.parse(txt)
           val dl = Delta(kind, bid, fset -- prevF, prevF -- fset,
-            dvset -- prevDv, prevDv -- dvset)
+            dvset -- prevDv, prevDv -- dvset, rids, rnext)
           prevF = fset; prevDv = dvset; dl
         }
         def dvTargets(names: Set[String]): Set[String] = names.flatMap { n =>
@@ -1146,13 +1236,33 @@ object StagingMaintenance {
             "which the branch rewrote from the pre-delete state")
         // replay: each delta applied to the running state that STARTS at
         // main's head — snapshots renumbered mainHead+1…; zero data bytes
-        // move (branch data files already live in the table dir)
+        // move (branch data files already live in the table dir). Lineage:
+        // carried (main) files keep MAIN's bases, branch-added files keep
+        // their BRANCH bases, and the watermark is the max of both logs —
+        // the id twin of the file re-anchor.
+        val lineageOn = RowLineage.enabled(fs, d)
+        val (mainE, mainNext) =
+          if (!lineageOn) (Map.empty[String, RowLineage.Entry], 0L)
+          else if (mainHead == 0L) (Map.empty[String, RowLineage.Entry], 0L)
+          else RowLineage.parse(readString(fs,
+            GraftStagingCatalog.probeManifest(fs, d, mainHead).get))
         var curF = mainFiles; var curDv = mainDvs
+        var curE = mainE
         val replayed = deltas.zipWithIndex.map { case (dl, i) =>
           curF = curF ++ dl.addF -- dl.remF
           curDv = curDv ++ dl.addDv -- dl.remDv
+          val rids =
+            if (!lineageOn) None
+            else {
+              curE = (curE -- dl.remF) ++ dl.addF.iterator.map { f =>
+                f -> dl.rowIds.getOrElse(f, throw new IllegalStateException(
+                  s"rebase: branch file $f has no rowIds entry in its manifest"))
+              }
+              Some((RowLineage.renderVector(curE.view.filterKeys(curF).toMap),
+                math.max(mainNext, dl.next)))
+            }
           (mainHead + i + 1L, GraftStagingCatalog.manifestJson(
-            curF.toSeq, dl.batchId, dl.kind, curDv.toSeq))
+            curF.toSeq, dl.batchId, dl.kind, curDv.toSeq, rids))
         }
         val logDir = GraftStagingCatalog.branchLogDir(d, name)
         fs.delete(logDir, true)
@@ -1206,7 +1316,19 @@ object StagingMaintenance {
     val (entries, _) = RowLineage.parse(txt)
     val schema = declaredSchema(fs, d).getOrElse(
       throw new IllegalStateException(s"$catalog.$ns.$table has no declared schema"))
-    RowLineage.readWithIds(spark, d, files, schema, entries)
+    // merge-on-read (r12): suppress the version's DV-deleted rows before
+    // resolving ids — the same filter-then-resolve order the DSv2 combined
+    // reader uses
+    val applyDvs: DataFrame => DataFrame = DeletionVectors.morKey(fs, d) match {
+      case Some(k) =>
+        val dv = DeletionVectors.dvMapAt(fs, d, mf)
+        df => DeletionVectors.applyToRead(df, k, dv)
+      case None if DeletionVectors.morPos(fs, d) =>
+        val pos = DeletionVectors.posMapAt(fs, d, mf)
+        df => DeletionVectors.applyPosToRead(df, pos)
+      case None => identity
+    }
+    RowLineage.readWithIds(spark, d, files, schema, entries, applyDvs = applyDvs)
   }
 
   /** Live branches: name → (fork version, branch head version). */
@@ -1245,7 +1367,7 @@ object StagingMaintenance {
     * files only — time-travel-only files don't count against the live size.
     */
   def detail(spark: SparkSession, catalog: String, ns: String,
-      table: String): (Long, Long, Long, String, String, Long) = {
+      table: String): (Long, Long, Long, String, String, Long, Long) = {
     val (fs, d) = tableDir(spark, catalog, ns, table)
     val manifests = versionManifests(fs, d)
     val v = manifests.lastOption.map(_._1).getOrElse(0L)
@@ -1256,7 +1378,11 @@ object StagingMaintenance {
     }.sum
     val parts = GraftStagingCatalog.partitionCols(fs, d).mkString(",")
     val acols = readStatsFor(fs, d).keysIterator.map(_._2).toSeq.distinct.sorted.mkString(",")
-    (v, files.size.toLong, bytes, parts, acols, manifests.size.toLong)
+    // consecutive commit-time auto-analyze failures (0 = healthy): the
+    // harvest is best-effort, so this is where persistent breakage shows
+    val aaFails: Long =
+      Option(ZoneMapScan.autoAnalyzeFailures.get(d.toString)).map(_.longValue).getOrElse(0L)
+    (v, files.size.toLong, bytes, parts, acols, manifests.size.toLong, aaFails)
   }
 
   // ---- per-file Bloom-filter sidecars (point-lookup pruning) -------------
@@ -1624,13 +1750,22 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     // and the parquet-generated row index; the readers resolve
     // `coalesce(phys, base + row_index)` and project the carriers off.
     // Pushdown stays ON: row_index is generated correctly under row-group
-    // skipping. Mutually exclusive with the MOR paths (no lineage+MOR).
+    // skipping. On a merge-on-read table (r12) the same widened read also
+    // serves the DV filter: equality mode additionally needs the key
+    // column present, position mode reuses the row-index carrier — the
+    // combined reader ([[RowLineage.MorLineageReaderFactory]]) filters
+    // deleted rows BEFORE resolving ids.
     if (lineage.isDefined &&
         requiredSchema.fieldNames.exists(_.equalsIgnoreCase(RowLineage.MetaColName))) {
       lineageOut = Some(requiredSchema)
       val dataFields = requiredSchema.fields
         .filterNot(_.name.equalsIgnoreCase(RowLineage.MetaColName))
-      delegate.pruneColumns(StructType(dataFields :+ RowLineage.PhysField :+
+      val withKey =
+        if (dvActive && !dataFields.exists(
+            _.name.equalsIgnoreCase(dvKeyField.get.name)))
+          dataFields :+ dvKeyField.get
+        else dataFields
+      delegate.pruneColumns(StructType(withKey :+ RowLineage.PhysField :+
         DeletionVectors.RowIdxField))
     } else
     // deletion vectors filter on the MOR key: if the query pruned it away,
@@ -1816,12 +1951,26 @@ object ZoneMapScan {
   @volatile var lastRuntimeGroupFilters: Seq[String] = Seq.empty
   /** (untouched, droppedMetadataOnly, rewritten) of the latest DELETE. */
   @volatile var lastDeleteSplit: Option[(Int, Int, Int)] = None
+  /** Which path the latest keyless-MOR DELETE took: "dv" (position
+    * sidecar), "cow-fallback" (matched rows exceeded
+    * spark.graft.pos-delete.max-matched-rows — file-granular rewrite), or
+    * "noop" (nothing matched). Lets specs assert the driver-side ordinal
+    * materialization stayed bounded.
+    */
+  @volatile var lastPosDeleteMode: Option[String] = None
   /** Rows the position-delete readers pulled from parquet, PER TABLE DIR —
     * lets tests prove pushed predicates actually skipped row groups (rows
     * seen < file rows) under active position DVs. Executor-side bump: exact
     * in local mode, advisory on a cluster.
     */
   val posRowsRead = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** CONSECUTIVE commit-time auto-analyze failures per table dir (reset to
+    * absent on the next success). The harvest is best-effort by contract —
+    * a failure only degrades reads to unpruned — but a PERSISTENTLY
+    * failing harvest would silently cost every future scan, so the count
+    * surfaces in `CALL detail` (`auto_analyze_failures`).
+    */
+  val autoAnalyzeFailures = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   def bumpPosRows(dir: String): Unit = { posRowsRead.merge(dir, 1L, _ + _); () }
 }
 
@@ -1883,6 +2032,16 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = delegate.createReaderFactory()
     lineage match {
+      case Some((info, _)) if dv.exists(_.fileKeys.nonEmpty) || posDvs.nonEmpty =>
+        // MOR + lineage combined (r12): filter DV-deleted rows, then
+        // resolve ids — one factory over the shared widened schema
+        val keyKind = dv.map(_.keyType) match {
+          case Some(org.apache.spark.sql.types.IntegerType) => 0
+          case Some(org.apache.spark.sql.types.LongType)    => 1
+          case _                                            => 2
+        }
+        new RowLineage.MorLineageReaderFactory(inner, info,
+          dv.map(_.keyOrdinal).getOrElse(-1), keyKind)
       case Some((info, _)) => // lineage: pushdown kept, per-file id resolution
         new RowLineage.LineageReaderFactory(inner, info)
       case None => posIdx match {
@@ -1959,9 +2118,14 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
   // dir) makes the layout non-provable → report Unknown, plan as before:
   // correctness never depends on the report.
   //
-  // One partition per residue (not per file) keeps the contract Spark
-  // checks — numPartitions == groups — and is the right parallelism trade
-  // at scale: a bucketed layout exists to make per-key work contiguous.
+  // ONE PARTITION PER FILE, each carrying its key (`HasPartitionKey`) —
+  // the shape Spark's own SPJ machinery consumes: `BatchScanExec.
+  // groupPartitions` groups same-key splits into one task by default, and
+  // with `spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.
+  // enabled` it KEEPS multiple partitions for a hot key on the larger
+  // side — the skew answer for bucket layouts (a viral bucket fans across
+  // tasks while co-location holds). Pre-grouping here would force one
+  // task per key and make that impossible.
   private var spjPruneCounts: Option[(Int, Int)] = None
   private lazy val spjGroups: Option[Array[InputPartition]] = spjSpec.flatMap {
     case (sp, colType) =>
@@ -1971,8 +2135,11 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
       import GraftStagingCatalog.{BucketPart, IdentityPart}
       // layout-dir value → partition key, typed to the clustering
       // expression: bucket keys are the residue INT; identity keys are the
-      // column's own value (integral identities only — string dir values
-      // round-trip through Hive escaping, which this report does not model)
+      // column's own value. String identities (r12) round-trip Spark's own
+      // partition-dir escaping (the writer laid out with Spark's
+      // `partitionBy`, so `unescapePathName` is the exact inverse); the
+      // NULL-derivation dir withdraws the report — NULL never equi-joins,
+      // but a partition VALUE for it cannot be expressed.
       def keyOf(value: String): Option[Any] = (sp, colType) match {
         case (BucketPart(n, _), _) =>
           value.toIntOption.filter(b => b >= 0 && b < n).map(Int.box)
@@ -1980,6 +2147,11 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
           value.toLongOption.map(Long.box)
         case (IdentityPart(_), org.apache.spark.sql.types.IntegerType) =>
           value.toIntOption.map(Int.box)
+        case (IdentityPart(_), org.apache.spark.sql.types.StringType)
+            if value != "__HIVE_DEFAULT_PARTITION__" =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(value)))
         case _ => None
       }
       val files = Array.newBuilder[(Any, PartitionedFile)]
@@ -2000,15 +2172,21 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
         }
         case _ => provable = false
       }
+      def sortKey(k: Any): (Long, String) = k match {
+        case i: java.lang.Integer => (i.longValue, "")
+        case l: java.lang.Long    => (l.longValue, "")
+        case s                    => (0L, s.toString)
+      }
       if (!provable) None
-      else Some(files.result().groupBy(_._1).toSeq
-        .sortBy { case (k, _) => k match {
-          case i: java.lang.Integer => i.longValue
-          case l: java.lang.Long    => l.longValue
-          case _                    => 0L
-        }}
-        .zipWithIndex.map { case ((k, fps), i) =>
-          new KeyedFilePartition(i, fps.map(_._2),
+      else Some(files.result()
+        // deterministic order: by key, then file, then split offset. One
+        // partition PER SPLIT is safe here — SPJ is only offered on pure
+        // data reads (no DV/lineage per-file reader contracts), and split
+        // granularity is exactly what lets partially-clustered execution
+        // fan a hot bucket's bytes across tasks
+        .sortBy { case (k, pf) => (sortKey(k), pf.filePath.toString, pf.start) }
+        .zipWithIndex.map { case ((k, pf), i) =>
+          new KeyedFilePartition(i, Array(pf),
             org.apache.spark.sql.catalyst.InternalRow(k)): InputPartition
         }.toArray)
   }
@@ -2035,9 +2213,13 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
   private def planUngrouped(): Array[InputPartition] = {
     val (parts, kept, total) = prune()
     ZoneMapScan.lastPrune = Some((kept, total))
-    // lineage reads: one partition per file carrying the file's id base
-    // (mutually exclusive with the MOR paths — no lineage+MOR tables)
+    // lineage reads: one partition per file carrying the file's id base —
+    // plus, on merge-on-read tables (r12), that file's in-force delete sets
     lineage match {
+      case Some((_, entries))
+          if dv.exists(_.fileKeys.nonEmpty) || posDvs.nonEmpty =>
+        RowLineage.repackMorLineage(parts, entries,
+          dv.map(_.fileKeys).getOrElse(Map.empty), posDvs, statKey)
       case Some((_, entries)) => RowLineage.repackLineage(parts, entries, statKey)
       case None =>
         // deletion vectors: files with a delete set move into one partition
@@ -2561,17 +2743,35 @@ private[catalog] object ZoneMapPrunedScan {
     }
   }
 
+  /** Specs whose layout prefix identifies them UNIQUELY within the set. A
+    * shared prefix (a bucket-count re-spec: retired `bucket(4,k)` and
+    * current `bucket(8,k)` both lay out under `k_bucket=`; or an identity
+    * transform on a column literally named `k_bucket`) makes file→spec
+    * attribution ambiguous — an old bucket(4) file in `k_bucket=3/` holds
+    * keys whose bucket(8) residue is 3 OR 7, so judging it by the current
+    * spec would prune rows that exist. Ambiguous specs contribute NOTHING
+    * to pruning (their files are conservatively kept / never proven).
+    */
+  private def unambiguousSpecs(specs: Seq[GraftStagingCatalog.PartSpec])
+      : Seq[GraftStagingCatalog.PartSpec] =
+    specs.filter(sp => specs.forall(s => s == sp || s.dirPrefix != sp.dirPrefix))
+
   /** Conjunction of [[specCanMatch]] across the table's declared partition
-    * specs — ANY spec's path value can refute the filter.
+    * specs — ANY spec's path value can refute the filter. Only
+    * [[unambiguousSpecs]] participate: a prefix shared by two distinct
+    * specs cannot attribute a file to the spec that placed it.
     */
   private[catalog] def partCanMatch(specs: Seq[GraftStagingCatalog.PartSpec],
       file: String, f: Filter): Boolean =
-    specs.forall(s => partValueOf(s, file).forall(v => specCanMatch(s, v, f)))
+    unambiguousSpecs(specs)
+      .forall(s => partValueOf(s, file).forall(v => specCanMatch(s, v, f)))
 
   /** Disjunction of [[specMustMatchAll]] across the specs — ANY spec's path
-    * value proving all-rows-match suffices.
+    * value proving all-rows-match suffices. Ambiguous-prefix specs are
+    * excluded for the same attribution reason as [[partCanMatch]].
     */
   private[catalog] def partMustMatchAll(specs: Seq[GraftStagingCatalog.PartSpec],
       file: String, f: Filter): Boolean =
-    specs.exists(s => partValueOf(s, file).exists(v => specMustMatchAll(s, v, f)))
+    unambiguousSpecs(specs)
+      .exists(s => partValueOf(s, file).exists(v => specMustMatchAll(s, v, f)))
 }

@@ -176,15 +176,16 @@ private[catalog] object StagingProcedures {
         StructField("n_bytes", LongType, nullable = false),
         StructField("partition_cols", StringType, nullable = false),
         StructField("analyzed_cols", StringType, nullable = false),
-        StructField("n_versions", LongType, nullable = false)))
+        StructField("n_versions", LongType, nullable = false),
+        StructField("auto_analyze_failures", LongType, nullable = false)))
       override def parameters(): Array[ProcedureParameter] = Array(
         ProcedureParameter.in("ns", StringType).build(),
         ProcedureParameter.in("tbl", StringType).build())
       override def call(input: InternalRow): JIterator[Scan] = {
-        val (v, files, bytes, parts, acols, nvers) = StagingMaintenance.detail(
+        val (v, files, bytes, parts, acols, nvers, aaFails) = StagingMaintenance.detail(
           spark, catalog, input.getUTF8String(0).toString, input.getUTF8String(1).toString)
         one(out, v, files, bytes, UTF8String.fromString(parts),
-          UTF8String.fromString(acols), nvers)
+          UTF8String.fromString(acols), nvers, aaFails)
       }
     }
 

@@ -182,27 +182,37 @@ object StreamingOps {
           .writeTo(postingsTable).option("graft.batch-id", id.toString).append()
         toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
           .writeTo(doclenTable).option("graft.batch-id", id.toString).append()
-        publishGroupOf(spark, postingsTable)
+        // publish BOTH member tables' groups (deduped): the two index
+        // tables usually share one group, but if only the doclen table is
+        // a member — or the two live in different groups — publishing
+        // only the postings side would leave readers pinned at a stale
+        // vector indefinitely
+        publishGroupsOf(spark, Seq(postingsTable, doclenTable))
         ()
       }
       .start()
 
-  /** Publish the commit group a catalog table is a member of, if any —
-    * the per-batch phase-2 pointer flip of a multi-table maintenance
-    * stream. No-op for non-members and non-3-part names.
+  /** Publish the commit groups the given catalog tables are members of,
+    * if any (a shared group publishes ONCE) — the per-batch phase-2
+    * pointer flip of a multi-table maintenance stream. No-op for
+    * non-members and non-3-part names.
     */
-  private def publishGroupOf(spark: SparkSession, qualifiedTable: String): Unit = {
-    val parts = qualifiedTable.split('.')
-    if (parts.length == 3) {
-      val Array(cat, ns, tbl) = parts
-      spark.conf.getOption(s"spark.sql.catalog.$cat.root").foreach { root =>
-        val raw = new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(root, ns), tbl)
-        val fs = raw.getFileSystem(spark.sessionState.newHadoopConf())
-        graft.sources.catalog.CommitGroups.groupOf(fs, fs.makeQualified(raw)).foreach {
-          g => graft.sources.catalog.CommitGroups.publish(spark, cat, ns, g); ()
+  private def publishGroupsOf(spark: SparkSession, qualifiedTables: Seq[String]): Unit = {
+    val groups = qualifiedTables.flatMap { qualifiedTable =>
+      val parts = qualifiedTable.split('.')
+      if (parts.length == 3) {
+        val Array(cat, ns, tbl) = parts
+        spark.conf.getOption(s"spark.sql.catalog.$cat.root").toSeq.flatMap { root =>
+          val raw = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(root, ns), tbl)
+          val fs = raw.getFileSystem(spark.sessionState.newHadoopConf())
+          graft.sources.catalog.CommitGroups.groupOf(fs, fs.makeQualified(raw))
+            .map(g => (cat, ns, g))
         }
-      }
+      } else Seq.empty
+    }
+    groups.distinct.foreach { case (cat, ns, g) =>
+      graft.sources.catalog.CommitGroups.publish(spark, cat, ns, g); ()
     }
   }
 

@@ -639,12 +639,15 @@ class StreamingSpec extends SparkSpec {
       assert(counts.size === 10, s"backlog: ${counts.size}")
       assert(counts.keySet().stream().allMatch(t => t._3 == "insert" && t._4 == 1L))
       // UPDATE: the rewritten file's unchanged rows cancel in the diff —
-      // EXACTLY the touched row's delete/insert pair streams
+      // EXACTLY the touched row streams, and even on this KEYLESS table
+      // the delete/insert re-type into update images (r12): the untouched
+      // column k has identical multisets on both sides, so content
+      // pairing by (k, occurrence#) is unambiguous here
       spark.sql("UPDATE cdf_cat.ws.t SET v = 'x' WHERE k = 3")
       q1.processAllAvailable()
       assert(counts.size === 12, s"update delta: ${counts.size}")
-      assert(counts.containsKey((3L, "3", "delete", 2L)) &&
-        counts.containsKey((3L, "x", "insert", 2L)), counts.toString)
+      assert(counts.containsKey((3L, "3", "update_preimage", 2L)) &&
+        counts.containsKey((3L, "x", "update_postimage", 2L)), counts.toString)
       // OPTIMIZE: layout-only, never re-fed
       spark.sql("CALL cdf_cat.optimize('ws', 't', 2, 'k')")
       q1.processAllAvailable()
@@ -833,6 +836,52 @@ class StreamingSpec extends SparkSpec {
       assert(!rows.values().stream().anyMatch(n => n > 1L), "a change row was re-delivered")
     } finally q.stop()
     spark.sql("DROP TABLE IF EXISTS cdfrl_cat.ws.t")
+  }
+
+  test("lineage change feed × merge-on-read: DV-only versions stream identity deletes, MOR updates pair by _row_id") {
+    import graft.sources.catalog.StagingMaintenance
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf_rlm").toString
+    spark.conf.set("spark.sql.catalog.cdfrlm_cat",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdfrlm_cat.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cdfrlm_cat.ws")
+    spark.sql(
+      """CREATE TABLE cdfrlm_cat.ws.m (k BIGINT NOT NULL, v STRING)
+        |TBLPROPERTIES ('graft.row-lineage'='true',
+        |               'graft.write.mode'='merge-on-read',
+        |               'graft.merge-keys'='k')""".stripMargin)
+    spark.sql("INSERT INTO cdfrlm_cat.ws.m SELECT id, CAST(id AS STRING) FROM range(0, 10)")
+    val served = StagingMaintenance.readLineage(spark, "cdfrlm_cat", "ws", "m")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // a DV-only DELETE changes row VISIBILITY with an unchanged file set —
+    // the lineage diff must chase it and stream the row's identity delete
+    spark.sql("DELETE FROM cdfrlm_cat.ws.m WHERE k = 2") // v2: zero rewrites
+    // a MOR UPDATE is DV-delete + preserved-id insert: ONE pre/post pair
+    // sharing the row's id must stream, not a bare delete+insert
+    spark.sql("UPDATE cdfrlm_cat.ws.m SET v = 'u' WHERE k = 5") // v3
+    val rows = new java.util.concurrent.ConcurrentHashMap[(Long, String, String, Long, Long), Long]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_rlm_ckpt").toString
+    val q = spark.readStream.table("cdfrlm_cat.ws.m.changes")
+      .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("k", "v", "_change_type", "_commit_version", "_row_id")
+          .collect().foreach { r =>
+            rows.merge((r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+              r.getLong(4)), 1L, _ + _)
+          }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(rows.containsKey((2L, "2", "delete", 2L, served(2L))),
+        s"DV-only delete missing its identity row: $rows")
+      assert(rows.containsKey((5L, "5", "update_preimage", 3L, served(5L))) &&
+        rows.containsKey((5L, "u", "update_postimage", 3L, served(5L))),
+        s"MOR update did not pair by _row_id: $rows")
+      assert(rows.size === 13, s"expected 10 inserts + 1 delete + 1 pair: ${rows.size}")
+      assert(!rows.values().stream().anyMatch(n => n > 1L), "a change row was re-delivered")
+    } finally q.stop()
+    spark.sql("DROP TABLE IF EXISTS cdfrlm_cat.ws.m")
   }
 
   test("readStream.table tails version manifests: exactly-once appends, OPTIMIZE skipped, changes gated") {
