@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
       (args: Seq[Expression]) => BpeTokenCount(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("norm_text"),
+      new ExpressionInfo(classOf[NormText].getName, "norm_text"),
+      (args: Seq[Expression]) => NormText(args.head)))
     // Table-valued function: graft_bins(lo, hi, width) bin spine (GraftBins)
     ext.injectTableFunction((
       FunctionIdentifier("graft_bins"),

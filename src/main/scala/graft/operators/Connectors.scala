@@ -2850,7 +2850,9 @@ object Connectors {
     GraftQuery.sql("q341_auto_analyze", q341AutoAnalyze, q341Oracle),
     GraftQuery.sql("q343_mor_row_lineage", q343MorRowLineage, q343Oracle),
     GraftQuery.sql("q344_spj_compat_buckets", q344SpjCompatBuckets, q344Oracle),
-    GraftQuery.sql("q345_spj_string_identity", q345SpjStringIdentity, q345Oracle))
+    GraftQuery.sql("q345_spj_string_identity", q345SpjStringIdentity, q345Oracle),
+    GraftQuery.sql("q346_small_file_compaction", q346SmallFileCompaction, q346Oracle),
+    GraftQuery.sql("q348_where_scoped_optimize", q348WhereScopedOptimize, q348Oracle))
 
   // ---------------------------------------------------------------- q332
 
@@ -3894,6 +3896,127 @@ object Connectors {
     """SELECT lang, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_chars,
       |  min(doc_id) AS min_doc
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q346
+
+  /** SMALL-FILE BINPACK (r12 — `CALL optimize(scope => 'small',
+    * min_size_bytes => …)`): compact ONLY the files under a size floor;
+    * everything at or above it carries into the new version BY NAME,
+    * byte-identical. The streaming-ingest answer at 100 TB: a
+    * commit-per-micro-batch table accretes thousands of tiny files next
+    * to a few well-sized compacted ones, and a full OPTIMIZE would
+    * rewrite the table to fix the tail — this rewrite costs O(small
+    * bytes). In-query requires pin the carried-by-name contract (the big
+    * file's NAME survives the commit) and the pack count; the oracle
+    * recomputes the union — binpack is layout, never content.
+    */
+  def q346SmallFileCompaction(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_sfc_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_sfc")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_sfc AS
+        |SELECT o_orderkey AS k, o_custkey AS v
+        |FROM orders_sfc_src WHERE o_orderkey % 5 = 0""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "graft_stage", "work", "orders_sfc", targetFiles = 1)
+    val big = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_sfc").toSet
+    // the floor sits AT the compacted file's size (files >= floor carry),
+    // so the proof scales to any SF: single-row drips are always below it
+    val floor = spark.sql("CALL graft_stage.detail('work', 'orders_sfc')")
+      .collect()(0).getLong(2)
+    // micro-batch drip: three tiny single-row commits beside the big file
+    Seq(1L, 2L, 3L).foreach(i => spark.sql(
+      s"INSERT INTO graft_stage.work.orders_sfc VALUES (${-i}, $i)"))
+    val (packed, after, _) = {
+      val r = spark.sql(
+        s"""CALL graft_stage.optimize('work', 'orders_sfc', 1,
+           |scope => 'small', min_size_bytes => $floor)""".stripMargin).collect()(0)
+      (r.getInt(0), r.getInt(1), r.getLong(2))
+    }
+    require(packed == 3 && after == 1,
+      s"expected 3 tiny files packed into 1, got $packed -> $after")
+    val now = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_sfc").toSet
+    require(big.subsetOf(now),
+      "small-file optimize rewrote the compacted file — O(small bytes) contract broken")
+    require(now.size == big.size + 1, s"unexpected post-binpack file set: $now")
+    spark.sql(
+      """SELECT k % 7 AS g, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM graft_stage.work.orders_sfc
+        |GROUP BY k % 7 ORDER BY g""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q348
+
+  /** WHERE-SCOPED OPTIMIZE (r12 — predicate-scoped maintenance): at
+    * 100 TB, "re-cluster yesterday" must rewrite yesterday's slice, never
+    * the table. `CALL optimize(..., where_filter => '<pred>')` selects
+    * files by zone maps + partition paths (the DELETE three-way split's
+    * can-match test); everything the predicate cannot touch carries BY
+    * NAME, byte-identical. The query builds a three-commit ranged table
+    * (auto-analyzed, so the rewrite's own output stays prunable),
+    * re-clusters ONLY the middle key range, and pins in-query that
+    * exactly the mid-range file rewrote and both out-of-range files
+    * carried. Layout only — the oracle recomputes the union.
+    */
+  def q348WhereScopedOptimize(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_wsc_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_wsc")
+    spark.sql("""CREATE TABLE graft_stage.work.orders_wsc (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('graft.auto-analyze'='k')""")
+    val m = spark.sql("SELECT max(o_orderkey) FROM orders_wsc_src")
+      .collect()(0).getLong(0)
+    Seq((0L, m / 3), (m / 3, 2 * m / 3), (2 * m / 3, m + 1)).foreach { case (lo, hiEx) =>
+      spark.sql(
+        s"""INSERT INTO graft_stage.work.orders_wsc
+           |SELECT /*+ COALESCE(1) */ o_orderkey, o_custkey FROM orders_wsc_src
+           |WHERE o_orderkey >= $lo AND o_orderkey < $hiEx""".stripMargin)
+    }
+    val before = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_wsc").toSet
+    val r = spark.sql(
+      s"""CALL graft_stage.optimize('work', 'orders_wsc', 1, cluster_by => 'k',
+         |where_filter => 'k >= ${m / 3 + 1} AND k < ${2 * m / 3 - 1}')""".stripMargin).collect()(0)
+    require(r.getInt(0) == 1,
+      s"expected exactly the mid-range file selected, got ${r.getInt(0)}")
+    val after = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_wsc").toSet
+    require((before & after).size == 2,
+      "out-of-range files did not carry by name — where-scope rewrote the table")
+    spark.sql(
+      """SELECT k % 7 AS g, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM graft_stage.work.orders_wsc
+        |GROUP BY k % 7 ORDER BY g""".stripMargin)
+  }
+
+  /** The full corpus recomputed from raw orders — where-scope is layout,
+    * never content.
+    */
+  val q348Oracle: String =
+    """SELECT o_orderkey % 7 AS g, count(*) AS n, min(o_orderkey) AS min_k,
+      |  max(o_orderkey) AS max_k, CAST(sum(o_custkey) AS BIGINT) AS sum_v
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The slice plus the three drip rows, recomputed from raw orders. */
+  val q346Oracle: String =
+    """SELECT k % 7 AS g, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+      |  CAST(sum(v) AS BIGINT) AS sum_v
+      |FROM (
+      |  SELECT o_orderkey AS k, o_custkey AS v
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |  UNION ALL SELECT -1, 1 UNION ALL SELECT -2, 2 UNION ALL SELECT -3, 3)
+      |GROUP BY k % 7 ORDER BY g""".stripMargin
 
   /** The merged-then-patched corpus recomputed from raw orders: the %4=0
     * base with low-half values bumped by the MERGE, the low-half %4=1

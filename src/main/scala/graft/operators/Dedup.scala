@@ -943,7 +943,68 @@ object Dedup {
       |  JOIN sizes sb ON inter.src_b = sb.source)
       |ORDER BY jac DESC, src_a, src_b LIMIT 20""".stripMargin
 
+  /** CANONICAL-FORM EXACT DEDUP (r12 — the [[graft.functions.NormText]]
+    * kernel as an operator): web-scale corpora are full of byte-distinct,
+    * content-identical documents — re-cased headlines, re-wrapped
+    * whitespace, decomposed vs precomposed accents — that plain
+    * hash-dedup (q32) cannot see. Canonicalize first (NFC + lowercase +
+    * whitespace collapse, ONE codegen pass per row), then the usual
+    * one-shuffle min-id dedup on the canonical form. The query builds the
+    * trivial-variant corpus IN-QUERY (every %3=0 doc re-emitted UPPERCASED
+    * with doubled spacing under a shifted id) so the oracle can prove the
+    * canonicalization semantics bit-for-bit: DuckDB re-derives the same
+    * canonical form with `trim(regexp_replace(lower(nfc_normalize(s)),
+    * '\s+', ' ', 'g'))` and must agree on every winner and dup count.
+    * 100 TB shape: canonicalization rides the scan (no extra pass), the
+    * dedup is the standard single shuffle on the canonical hash.
+    */
+  def q347NormalizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    Tables.documents(spark, dir).createOrReplaceTempView("docs_norm_src")
+    spark.sql(
+      """SELECT doc_id, lang, text FROM docs_norm_src
+        |UNION ALL
+        |SELECT doc_id + 1000000, lang,
+        |  regexp_replace(upper(text), ' ', '  ') AS text
+        |FROM docs_norm_src WHERE doc_id % 3 = 0""".stripMargin)
+      .withColumn("canon", expr("norm_text(text)"))
+      .createOrReplaceTempView("docs_norm_all")
+    spark.sql(
+      """WITH win AS (
+        |  SELECT canon, min(doc_id) AS keep, count(*) AS copies
+        |  FROM docs_norm_all GROUP BY canon)
+        |SELECT c.lang, count(*) AS n_docs,
+        |  CAST(sum(copies - 1) AS BIGINT) AS n_dups,
+        |  CAST(sum(length(w.canon)) AS BIGINT) AS canon_chars
+        |FROM win w JOIN docs_norm_all c
+        |  ON c.doc_id = w.keep AND c.canon = w.canon
+        |GROUP BY c.lang ORDER BY c.lang""".stripMargin)
+  }
+
+  /** DuckDB re-derives the canonical form and replays the identical
+    * min-id dedup — semantic equality of the two canonicalizers is the
+    * point of the hash match.
+    */
+  val q347Oracle: String =
+    """WITH everything AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, regexp_replace(upper(text), ' ', '  ', 'g')
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |canonized AS (
+      |  SELECT doc_id, lang,
+      |    trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS canon
+      |  FROM everything),
+      |win AS (
+      |  SELECT canon, min(doc_id) AS keep, count(*) AS copies
+      |  FROM canonized GROUP BY canon)
+      |SELECT c.lang, count(*) AS n_docs, CAST(sum(copies - 1) AS BIGINT) AS n_dups,
+      |  CAST(sum(length(w.canon)) AS BIGINT) AS canon_chars
+      |FROM win w JOIN canonized c ON c.doc_id = w.keep AND c.canon = w.canon
+      |GROUP BY c.lang ORDER BY c.lang""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q347_normalized_dedup", q347NormalizedDedup, q347Oracle),
     GraftQuery.sql("q290_source_overlap", q290SourceOverlap, q290Oracle),
     GraftQuery.sql("q32_exact_dedup", q32ExactDedup, q32Oracle),
     GraftQuery.sql("q33_ngram_jaccard", q33NgramJaccard, q33Oracle),

@@ -69,6 +69,8 @@ object StagingMaintenance {
 
   /** Compact the current file set into `targetFiles` files, committed as a
     * new version. Returns (filesBefore, filesAfter, newVersion).
+    * `targetFiles = 0` derives the count from BYTES: ceil(rewritten bytes /
+    * the table's declared 'graft.target-file-size', default 128 MiB).
     *
     * `clusterBy`: when set, the rewrite RANGE-partitions and sorts on that
     * column instead of hash-scattering — CLUSTER BY as a maintenance
@@ -82,12 +84,21 @@ object StagingMaintenance {
     */
   def optimize(spark: SparkSession, catalog: String, ns: String, table: String,
       targetFiles: Int = 4, clusterBy: Option[String] = None,
-      partitionBy: Option[String] = None, strayOnly: Boolean = false): (Int, Int, Long) = {
+      partitionBy: Option[String] = None, strayOnly: Boolean = false,
+      minBytes: Option[Long] = None,
+      whereFilter: Option[String] = None): (Int, Int, Long) = {
     import org.apache.spark.sql.functions.col
     require(clusterBy.isEmpty || partitionBy.isEmpty,
       "optimize takes clusterBy OR partitionBy, not both")
     require(!strayOnly || partitionBy.isDefined,
       "strayOnly optimize needs partitionBy (the layout to complete)")
+    require(minBytes.isEmpty || (!strayOnly && partitionBy.isEmpty),
+      "small-file optimize (min_size_bytes) is a flat binpack — it cannot " +
+        "combine with scope='stray' or partitionBy (complete the layout separately)")
+    minBytes.foreach(mb => require(mb > 0L,
+      s"min_size_bytes must be positive, got $mb"))
+    require(whereFilter.isEmpty || (!strayOnly && minBytes.isEmpty && partitionBy.isEmpty),
+      "where-scoped optimize cannot combine with scope='stray'/'small' or partitionBy")
     val (fs, d) = tableDir(spark, catalog, ns, table)
     val latest = GraftStagingCatalog.headManifest(fs, d)
     val base = latest.map(_._1).getOrElse(0L)
@@ -104,16 +115,83 @@ object StagingMaintenance {
     // enforced loudly: no active DVs (a fold would have to split across
     // carried files) and no lineage (same fold ambiguity) — run a full
     // OPTIMIZE there.
+    //
+    // SMALL-FILE BINPACK (r12 — `minBytes`): compact ONLY files under the
+    // size floor; every file at or above it carries BY NAME, byte-
+    // identical. The streaming-ingest answer at 100 TB: a commit-per-
+    // micro-batch table accretes thousands of tiny files next to a few
+    // well-sized compacted ones — re-binpacking the good ones would
+    // rewrite the table for nothing, so the rewrite cost is O(small
+    // bytes), not O(table). Lineage rides the standard preserving path
+    // (the compact subset materializes, carried files keep their id
+    // bases); active DVs are refused like the stray scope (a fold must
+    // cover every DV'd file — run a full OPTIMIZE).
     val (carried, current) =
-      if (!strayOnly) (Seq.empty[String], all)
-      else {
+      if (strayOnly) {
         require(manifestDvNames(fs, d, latest).isEmpty,
           "strayOnly optimize cannot fold active deletion vectors — run a full OPTIMIZE")
         require(!RowLineage.enabled(fs, d),
           "strayOnly optimize does not support row-lineage tables — run a full OPTIMIZE")
         all.partition(_.contains("/"))
+      } else minBytes match {
+        case Some(mb) =>
+          require(manifestDvNames(fs, d, latest).isEmpty,
+            "small-file optimize cannot fold active deletion vectors — run a full OPTIMIZE")
+          all.partition(f =>
+            (try fs.getFileStatus(new Path(d, f)).getLen
+             catch { case _: FileNotFoundException => 0L }) >= mb)
+        case None => whereFilter match {
+          // WHERE-SCOPED MAINTENANCE (r12): re-cluster/compact ONLY the
+          // files the predicate can touch — zone maps + partition paths
+          // decide per file, exactly the DELETE three-way split's
+          // can-match test, so at 100 TB "re-cluster yesterday" rewrites
+          // yesterday's slice, never the table. The predicate SELECTS
+          // FILES (a file any of whose rows may match is wholly included
+          // — layout only, content never changes); unanalyzed files are
+          // conservatively included. DVs refused like the other partial
+          // scopes (a fold must cover every DV'd file).
+          case Some(w) =>
+            require(manifestDvNames(fs, d, latest).isEmpty,
+              "where-scoped optimize cannot fold active deletion vectors — run a full OPTIMIZE")
+            val parsed = spark.sessionState.sqlParser.parseExpression(w)
+            val v1 = ZoneMapScanBuilder.toV1(parsed).getOrElse(
+              throw new IllegalArgumentException(
+                s"optimize where-filter '$w' is not zone-map-translatable " +
+                  "(use comparisons/IN/AND/OR over plain columns and literals)"))
+            val stats0 = readStatsFor(fs, d)
+            val nulls0 = readNullsFor(fs, d)
+            val specs0 = GraftStagingCatalog.partSpecsAll(fs, d)
+            val (sel, keep) = all.partition(f =>
+              ZoneMapPrunedScan.canMatch(stats0, nulls0, f, v1) &&
+                ZoneMapPrunedScan.partCanMatch(specs0, f, v1))
+            (keep, sel)
+          case None => (Seq.empty[String], all)
+        }
       }
+    // fewer than two sub-floor files: nothing to pack — no-op version-free
+    if (minBytes.isDefined && current.size < 2) return (0, 0, -1L)
     if (current.isEmpty) return (0, 0, -1L)
+    // SIZE-DERIVED file count (r12): `target_files => 0` sizes the
+    // compaction by BYTES — ceil(rewritten bytes / the table's declared
+    // 'graft.target-file-size', default 128 MiB). The count-based knob
+    // freezes layout at a number that was right once; at 100 TB the
+    // operator wants "files of ~512 MiB" however much data the rewrite
+    // covers, same as the append-side sizing.
+    val effTarget =
+      if (targetFiles > 0) targetFiles
+      else {
+        require(partitionBy.isEmpty,
+          "target_files => 0 (size-derived) does not apply to partitionBy " +
+            "layouts (one file per partition dir)")
+        val bytes = current.map(f =>
+          try fs.getFileStatus(new Path(d, f)).getLen
+          catch { case _: FileNotFoundException => 0L }).sum
+        val per = GraftStagingCatalog.targetFileSize(fs, d) match {
+          case 0L => 128L << 20
+          case x  => x
+        }
+        math.max(1L, (bytes + per - 1L) / per).toInt
+      }
     // lineage tables: the compaction MUST preserve row identity — read
     // every row WITH its resolved id and write it into the physical
     // column ([[RowLineage.materialize]]); the commit marks the compacted
@@ -234,10 +312,10 @@ object StagingMaintenance {
               shiftleft(shiftright(za, i).bitwiseAND(flit(1L)), 2 * i + 1)
                 .bitwiseOR(shiftleft(shiftright(zb, i).bitwiseAND(flit(1L)), 2 * i))
             }.reduce(_.bitwiseOR(_))
-            df.repartitionByRange(targetFiles, z).sortWithinPartitions(z)
+            df.repartitionByRange(effTarget, z).sortWithinPartitions(z)
           case Some(c) =>
-            df.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
-          case None => df.repartition(targetFiles)
+            df.repartitionByRange(effTarget, col(c)).sortWithinPartitions(col(c))
+          case None => df.repartition(effTarget)
         }
         laid.write.mode("overwrite").parquet(tmp.toString)
         fs.listStatus(tmp).toIndexedSeq
@@ -440,7 +518,12 @@ object StagingMaintenance {
       out
     }
     else {
-      val diff = rowLevelChangesAt(spark, fs, d, v - 1L, v)
+      // persisted for the shaping below: the keyed path re-reads the diff
+      // for its window + intersect, and the keyless stable-column scan is
+      // two jobs PER COLUMN — without this each would recompute the
+      // EXCEPT-ALL diff from the changed files every time
+      val diff = rowLevelChangesAt(spark, fs, d, v - 1L, v).persist()
+      try {
       val shaped = DeletionVectors.morKey(fs, d) match {
         case Some(k) if diff.columns.exists(_.equalsIgnoreCase(k)) =>
           // pair the two polarities by (key, occurrence#): occurrence rank
@@ -523,6 +606,7 @@ object StagingMaintenance {
         .withColumn("_commit_version", lit(v))
         .write.mode("overwrite").parquet(out.toString)
       out
+      } finally { diff.unpersist(); () }
     }
   }
 
@@ -1644,6 +1728,30 @@ object StagingMaintenance {
       drop.foreach { case (_, f) => fs.delete(f, false) }
       deadNow.foreach(f => fs.delete(new Path(d, f), false))
       deadDvs.foreach(n => fs.delete(new Path(dvDir, n), false))
+      // CRASHED-REWRITE STAGING DIRS (r12): an OPTIMIZE/DELETE that died
+      // mid-write leaves its underscore-prefixed work dir (`_optimize_*`,
+      // `_delete_*`, or the parquet committer's `_temporary`) holding up
+      // to a table's worth of bytes — invisible to data listings, so
+      // without this they leak FOREVER. Reclaim those older than
+      // `spark.graft.vacuum.temp-ttl-ms` (default 24 h — far beyond any
+      // live rewrite's write phase; an in-flight job's dir has a recent
+      // modification time and survives). Only the three crash-artifact
+      // prefixes are touched — `_graft_*` sidecars and the version log
+      // never match.
+      val tempTtl = spark.conf.getOption("spark.graft.vacuum.temp-ttl-ms")
+        .map(_.toLong).getOrElse(86400000L)
+      val tempHorizon = System.currentTimeMillis() - tempTtl
+      (try fs.listStatus(d).toIndexedSeq
+       catch { case _: FileNotFoundException => Seq.empty })
+        .foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory &&
+              (n.startsWith("_optimize_") || n.startsWith("_delete_") ||
+                n == "_temporary") &&
+              st.getModificationTime < tempHorizon) {
+            fs.delete(st.getPath, true); ()
+          }
+        }
       GraftStagingCatalog.dropStaleCheckpoints(fs, d)
       // change-data files of reclaimed versions are unreadable history
       val keptV = keep.map(_._1).toSet

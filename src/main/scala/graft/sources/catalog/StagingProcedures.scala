@@ -67,16 +67,28 @@ private[catalog] object StagingProcedures {
           .defaultValue("CAST(NULL AS STRING)").build(),
         ProcedureParameter.in("partition_by", StringType)
           .defaultValue("CAST(NULL AS STRING)").build(),
-        ProcedureParameter.in("scope", StringType).defaultValue("'all'").build())
+        ProcedureParameter.in("scope", StringType).defaultValue("'all'").build(),
+        // scope='small' binpack floor: files at/above it carry by name
+        ProcedureParameter.in("min_size_bytes", LongType)
+          .defaultValue("CAST(NULL AS BIGINT)").build(),
+        // predicate-scoped maintenance: only files the filter can touch
+        // (zone maps + partition paths) rewrite; the rest carry by name
+        ProcedureParameter.in("where_filter", StringType)
+          .defaultValue("CAST(NULL AS STRING)").build())
       override def call(input: InternalRow): JIterator[Scan] = {
         val cluster = if (input.isNullAt(3)) None else Some(input.getUTF8String(3).toString)
         val part = if (input.isNullAt(4)) None else Some(input.getUTF8String(4).toString)
         val scope = input.getUTF8String(5).toString
-        require(scope == "all" || scope == "stray",
-          s"optimize scope must be 'all' or 'stray', got '$scope'")
+        require(scope == "all" || scope == "stray" || scope == "small",
+          s"optimize scope must be 'all', 'stray', or 'small', got '$scope'")
+        val minSize = if (input.isNullAt(6)) None else Some(input.getLong(6))
+        require((scope == "small") == minSize.isDefined,
+          "scope='small' requires min_size_bytes (and min_size_bytes requires scope='small')")
+        val where = if (input.isNullAt(7)) None else Some(input.getUTF8String(7).toString)
         val (b, a, v) = StagingMaintenance.optimize(spark, catalog,
           input.getUTF8String(0).toString, input.getUTF8String(1).toString,
-          input.getInt(2), cluster, part, strayOnly = scope == "stray")
+          input.getInt(2), cluster, part, strayOnly = scope == "stray",
+          minBytes = minSize, whereFilter = where)
         one(out, b, a, v)
       }
     }

@@ -1252,6 +1252,159 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.spj_d")
   }
 
+  test("small-file optimize: scope='small' binpacks only sub-floor files, carries big ones by name; lineage preserved") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.sfo")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.sfo (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.row-lineage'='true')""".stripMargin)
+    spark.sql("INSERT INTO stage_t.ws.sfo SELECT id, id FROM range(0, 20000)")
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "sfo", targetFiles = 1)
+    val bigFiles = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "sfo").toSet
+    assert(bigFiles.size === 1)
+    def ids(): Map[Long, Long] =
+      StagingMaintenance.readLineage(spark, "stage_t", "ws", "sfo")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // tiny commit files accrete next to the compacted one (the streaming-
+    // ingest shape)
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO stage_t.ws.sfo VALUES (${100000 + i}, $i)"))
+    val preIds = ids()
+    val before = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "sfo").toSet
+    assert(before.size === 4)
+    // binpack ONLY the three tiny files; the big one carries BY NAME
+    val r = spark.sql(
+      "CALL stage_t.optimize('ws', 'sfo', 1, scope => 'small', min_size_bytes => 20000)")
+      .collect()(0)
+    assert(r.getInt(0) === 3, s"expected 3 small files packed, got ${r.getInt(0)}")
+    val after = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "sfo").toSet
+    assert(bigFiles.subsetOf(after), "small-file optimize rewrote the big file")
+    assert(after.size === 2, s"expected big + 1 packed file: $after")
+    assert((before -- after).size === 3, "small files did not leave the manifest")
+    // rows and identities intact — carried big file AND packed small ones
+    assert(spark.table("stage_t.ws.sfo").count() === 20003L)
+    assert(ids() === preIds, "small-file optimize re-identified rows")
+    // a second run is a no-op (fewer than two sub-floor files)
+    val r2 = spark.sql(
+      "CALL stage_t.optimize('ws', 'sfo', 1, scope => 'small', min_size_bytes => 20000)")
+      .collect()(0)
+    assert(r2.getInt(0) === 0 && r2.getLong(2) === -1L, "no-op run committed a version")
+    // misuse surfaces loudly
+    val e = intercept[Exception] {
+      spark.sql("CALL stage_t.optimize('ws', 'sfo', 1, scope => 'small')").collect()
+    }
+    assert(exMessages(e).exists(_.contains("min_size_bytes")), e.getMessage)
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.sfo")
+  }
+
+  test("size-derived optimize: target_files=0 sizes the compaction from declared target-file-size") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.szo")
+    spark.sql("""CREATE TABLE stage_t.ws.szo (k BIGINT, v STRING)
+      TBLPROPERTIES ('graft.target-file-size'='65536')""")
+    // several spread-out commits totalling well over 2×64 KiB
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO stage_t.ws.szo SELECT id, md5(CAST(id AS STRING)) " +
+        s"FROM range(${i * 5000}, ${(i + 1) * 5000})"))
+    val bytesPre = spark.sql("CALL stage_t.detail('ws', 'szo')").collect()(0).getLong(2)
+    val expect = math.max(1L, (bytesPre + 65535L) / 65536L)
+    val (before, after, v) =
+      StagingMaintenance.optimize(spark, "stage_t", "ws", "szo", targetFiles = 0)
+    assert(before >= 4 && v > 0) // each INSERT may land several part files
+    assert(after === expect.toInt,
+      s"size-derived count off: $after files for $bytesPre pre-bytes (~$expect)")
+    assert(after >= 2, s"expected multiple 64 KiB-sized files, got $after")
+    assert(spark.table("stage_t.ws.szo").count() === 20000L)
+    // with NO declared size the default is 128 MiB → tiny table → 1 file
+    spark.sql("ALTER TABLE stage_t.ws.szo UNSET TBLPROPERTIES ('graft.target-file-size')")
+    val (_, after2, _) =
+      StagingMaintenance.optimize(spark, "stage_t", "ws", "szo", targetFiles = 0)
+    assert(after2 === 1, s"default-sized compaction wrote $after2 files")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.szo")
+  }
+
+  test("where-scoped optimize: only files the predicate can touch rewrite; the rest carry by name") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.wso")
+    // auto-analyze keeps the rewrite's own output prunable, so a second
+    // where-scope never conservatively re-selects a stats-less file
+    spark.sql("""CREATE TABLE stage_t.ws.wso (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('graft.auto-analyze'='k')""")
+    // three range-disjoint commits (the arriving-in-time-order shape)
+    Seq((0, 1000), (1000, 2000), (2000, 3000)).foreach { case (lo, hi) =>
+      spark.sql(s"INSERT INTO stage_t.ws.wso " +
+        s"SELECT /*+ COALESCE(1) */ id, id FROM range($lo, $hi)")
+    }
+    val before = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "wso").toSet
+    assert(before.size === 3)
+    // re-cluster ONLY the middle slice (interior bounds: stats-based
+    // canMatch is inclusive-weak at exact file boundaries by design, so
+    // an abutting bound would conservatively keep the neighbor file)
+    val r = spark.sql(
+      """CALL stage_t.optimize('ws', 'wso', 1, cluster_by => 'k',
+        |where_filter => 'k >= 1001 AND k < 1999')""".stripMargin).collect()(0)
+    assert(r.getInt(0) === 1, s"expected exactly the mid file selected, got ${r.getInt(0)}")
+    val after = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "wso").toSet
+    assert((before & after).size === 2, "out-of-range files did not carry by name")
+    assert(spark.table("stage_t.ws.wso").count() === 3000L)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.wso WHERE k >= 1000 AND k < 2000")
+      .collect()(0).getLong(0) === 1000L)
+    // an untranslatable predicate refuses loudly instead of guessing
+    val e = intercept[Exception] {
+      spark.sql("CALL stage_t.optimize('ws', 'wso', 1, where_filter => 'k % 10 = 3')")
+        .collect()
+    }
+    assert(exMessages(e).exists(_.contains("zone-map-translatable")), e.getMessage)
+    // a predicate touching nothing is a no-op (no version committed)
+    val r2 = spark.sql(
+      "CALL stage_t.optimize('ws', 'wso', 1, where_filter => 'k >= 900000')")
+      .collect()(0)
+    assert(r2.getInt(0) === 0 && r2.getLong(2) === -1L)
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.wso")
+  }
+
+  test("vacuum reclaims crashed-rewrite staging dirs past the temp TTL; live-looking dirs and sidecars survive") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.vtmp")
+    spark.sql("CREATE TABLE stage_t.ws.vtmp AS SELECT id AS k FROM range(0, 100)")
+    spark.sql("INSERT INTO stage_t.ws.vtmp VALUES (100)")
+    val root = spark.conf.get("spark.sql.catalog.stage_t.root")
+    val d = new org.apache.hadoop.fs.Path(s"$root/ws/vtmp")
+    val hfs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate a crashed OPTIMIZE and a crashed committer
+    val crashedOpt = new org.apache.hadoop.fs.Path(d, "_optimize_deadbeef")
+    val crashedTmp = new org.apache.hadoop.fs.Path(d, "_temporary")
+    hfs.mkdirs(crashedOpt)
+    val out = hfs.create(new org.apache.hadoop.fs.Path(crashedOpt, "part-junk.parquet"))
+    out.write(Array.fill[Byte](128)(1)); out.close()
+    hfs.mkdirs(crashedTmp)
+    // with a LONG TTL the (recent) dirs look live and survive vacuum
+    spark.conf.set("spark.graft.vacuum.temp-ttl-ms", "3600000")
+    try {
+      spark.sql("CALL stage_t.vacuum('ws', 'vtmp', 10)").collect()
+      assert(hfs.exists(crashedOpt) && hfs.exists(crashedTmp),
+        "vacuum reclaimed a recent (possibly live) staging dir")
+      // with TTL 0 they are crash artifacts — reclaimed
+      Thread.sleep(20)
+      spark.conf.set("spark.graft.vacuum.temp-ttl-ms", "0")
+      spark.sql("CALL stage_t.vacuum('ws', 'vtmp', 10)").collect()
+      assert(!hfs.exists(crashedOpt), "crashed _optimize_ dir not reclaimed")
+      assert(!hfs.exists(crashedTmp), "crashed _temporary dir not reclaimed")
+      // the version log and sidecars are untouched; the table still reads
+      assert(hfs.exists(new org.apache.hadoop.fs.Path(d, "_graft_versions")))
+      assert(spark.table("stage_t.ws.vtmp").count() === 101L)
+    } finally spark.conf.unset("spark.graft.vacuum.temp-ttl-ms")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.vtmp")
+  }
+
   test("auto-analyze failure surfacing: consecutive failures count in CALL detail, reset on success") {
     mountStage()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
