@@ -343,18 +343,88 @@ private[catalog] class ChangeFeedTable(tableDirStr: String, baseSchema: StructTy
   override def name(): String = s"$tableDirStr@changes"
   override def schema(): StructType = full
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder = {
     val opts = scala.jdk.CollectionConverters.MapHasAsScala(options.asCaseSensitiveMap())
       .asScala.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }.toMap
-    () => new Scan {
-      override def readSchema(): StructType = full
-      override def description(): String = s"changeFeed($tableDirStr)"
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new ChangeFeedMicroBatchStream(tableDirStr, baseSchema, full, opts)
+    // BATCH face (r12 — Delta's `table_changes` as plain SQL): `SELECT …
+    // FROM cat.ns.t.changes [WHERE _commit_version …]` reads the exact
+    // per-version row deltas the streaming face emits, over the RETAINED,
+    // DIFFABLE history (a version whose predecessor manifest VACUUM
+    // reclaimed has no computable diff and is absent — pin retention for
+    // audit-complete feeds). `_commit_version` comparisons push down to
+    // VERSION pruning (the diff of an out-of-range version is never
+    // computed or read); every filter is also left residual, so Spark
+    // re-evaluates and correctness never rides the pruning.
+    new org.apache.spark.sql.connector.read.ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      import org.apache.spark.sql.sources._
+      private var loExcl = 0L // stream-offset convention: versions (lo, hi]
+      private var hiIncl = Long.MaxValue
+      private def asLong(v: Any): Option[Long] = v match {
+        case i: java.lang.Integer => Some(i.longValue)
+        case l: java.lang.Long    => Some(l.longValue)
+        case s: java.lang.Short   => Some(s.longValue)
+        case _                    => None
+      }
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        filters.foreach {
+          case EqualTo("_commit_version", v) => asLong(v).foreach { x =>
+            loExcl = math.max(loExcl, x - 1L); hiIncl = math.min(hiIncl, x) }
+          case GreaterThan("_commit_version", v) =>
+            asLong(v).foreach(x => loExcl = math.max(loExcl, x))
+          case GreaterThanOrEqual("_commit_version", v) =>
+            asLong(v).foreach(x => loExcl = math.max(loExcl, x - 1L))
+          case LessThan("_commit_version", v) =>
+            asLong(v).foreach(x => hiIncl = math.min(hiIncl, x - 1L))
+          case LessThanOrEqual("_commit_version", v) =>
+            asLong(v).foreach(x => hiIncl = math.min(hiIncl, x))
+          case _ => ()
+        }
+        filters // all residual: Spark re-applies everything above the scan
+      }
+      override def pushedFilters(): Array[Filter] = Array.empty
+      override def build(): Scan =
+        new ChangeFeedScan(tableDirStr, baseSchema, full, opts, loExcl, hiIncl)
     }
   }
+}
+
+/** The change-feed scan: batch face (per-version deltas of the retained
+  * diffable history, version-pruned by pushed `_commit_version` bounds)
+  * plus the streaming face.
+  */
+private[catalog] class ChangeFeedScan(tableDirStr: String, baseSchema: StructType,
+    fullSchema: StructType, opts: Map[String, String], loExcl: Long, hiIncl: Long)
+    extends Scan with org.apache.spark.sql.connector.read.Batch {
+  override def readSchema(): StructType = fullSchema
+  override def description(): String =
+    s"changeFeed($tableDirStr, versions (${math.max(loExcl, 0L)}, " +
+      s"${if (hiIncl == Long.MaxValue) "head" else hiIncl.toString}])"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ChangeFeedMicroBatchStream(tableDirStr, baseSchema, fullSchema, opts)
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  private lazy val planned: (Array[InputPartition], Array[PartitionReaderFactory]) = {
+    val dir = new Path(tableDirStr)
+    val fs = dir.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    // an explicit starting version/tag composes with pushed bounds
+    val optLo = opts.get("graft.starting-version")
+      .map(s => StagingVersionOffset.resolve(fs, dir, tableDirStr, s)).getOrElse(0L)
+    // retained versions, ascending; a version is DIFFABLE when its
+    // predecessor manifest still exists (or it is version 1)
+    val retained = GraftStagingCatalog.versionManifests(fs, dir).map(_._1)
+    val retainedSet = retained.toSet
+    val versions = retained.filter(v =>
+      v > math.max(loExcl, optLo) && v <= hiIncl &&
+        (v == 1L || retainedSet(v - 1L)))
+    ChangeFeedPlanner.plan(SparkSession.active, fs, dir, tableDirStr,
+      baseSchema, fullSchema, versions)
+  }
+  override def planInputPartitions(): Array[InputPartition] = planned._1
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdfReaderFactory(planned._2)
 }
 
 private[catalog] class ChangeFeedMicroBatchStream(
@@ -405,16 +475,43 @@ private[catalog] class ChangeFeedMicroBatchStream(
     */
   @volatile private var batchFactories: Array[PartitionReaderFactory] = Array.empty
 
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[StagingVersionOffset].version
+    val e = end.asInstanceOf[StagingVersionOffset].version
+    val (parts, factories) = ChangeFeedPlanner.plan(SparkSession.active, fs, dir,
+      tableDirStr, baseSchema, fullSchema, (s + 1L) to e)
+    batchFactories = factories
+    parts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdfReaderFactory(batchFactories)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Shared per-version delta planning of the change feed — the streaming
+  * face's batches and the batch face's version-pruned scans are the SAME
+  * partitions: raw added-file reads for plain appends (readers append the
+  * ('insert', version) constants), the materialized [[StagingMaintenance
+  * .ensureCdf]] diff for rewrite versions and for every version of a
+  * lineage table (whose feed rows carry `_row_id`). Missing manifests
+  * throw the retention error — callers pre-filter to retained versions
+  * when absence is legal (the batch face).
+  */
+private[catalog] object ChangeFeedPlanner {
+  import GraftStagingCatalog.{manifestFiles, manifestKind, probeManifest}
+
   private def scanFor(paths: Seq[String], schema: StructType, label: String): Scan = {
     val table = ParquetTable(label, SparkSession.active,
       CaseInsensitiveStringMap.empty(), paths, Some(schema), classOf[ParquetFileFormat])
     table.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[StagingVersionOffset].version
-    val e = end.asInstanceOf[StagingVersionOffset].version
-    val spark = SparkSession.active
+  def plan(spark: SparkSession, fs: FileSystem, dir: Path, tableDirStr: String,
+      baseSchema: StructType, fullSchema: StructType, versions: Seq[Long])
+      : (Array[InputPartition], Array[PartitionReaderFactory]) = {
     def manifestOf(v: Long) = probeManifest(fs, dir, v).getOrElse(
       throw new IllegalStateException(
         s"change feed of $tableDirStr: version $v was VACUUMed away before the stream " +
@@ -428,7 +525,7 @@ private[catalog] class ChangeFeedMicroBatchStream(
     // live in the manifest's base vector). Still slice-cost — a commit's
     // diff reads exactly its added files.
     val lineage = RowLineage.enabled(fs, dir)
-    ((s + 1L) to e).foreach { v =>
+    versions.foreach { v =>
       val mf = manifestOf(v)
       manifestKind(fs, mf) match {
         case "optimize" => () // layout-only: no row changes, never re-fed
@@ -454,15 +551,8 @@ private[catalog] class ChangeFeedMicroBatchStream(
             parts += CdfInputPartition(p, fi, append = false, version = v))
       }
     }
-    batchFactories = factories.toArray
-    parts.toArray
+    (parts.toArray, factories.toArray)
   }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new CdfReaderFactory(batchFactories)
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 }
 
 /** A delegate partition + which scan it belongs to + whether the reader

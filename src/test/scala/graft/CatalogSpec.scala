@@ -1405,6 +1405,48 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.vtmp")
   }
 
+  test("change-feed batch face: plain SQL over t.changes, _commit_version pushdown prunes versions, vacuum shrinks the window") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.cfb")
+    spark.sql("CREATE TABLE stage_t.ws.cfb (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO stage_t.ws.cfb SELECT id, CAST(id AS STRING) FROM range(0, 10)") // v1
+    spark.sql("UPDATE stage_t.ws.cfb SET v = 'x' WHERE k = 3") // v2
+    spark.sql("UPDATE stage_t.ws.cfb SET v = 'y' WHERE k = 7") // v3
+    val root = spark.conf.get("spark.sql.catalog.stage_t.root")
+    val cdfDir = new org.apache.hadoop.fs.Path(s"$root/ws/cfb/_graft_cdf")
+    val hfs = cdfDir.getFileSystem(spark.sessionState.newHadoopConf())
+    // version-pruned read: ONLY v2's diff is computed and served
+    val v2 = spark.sql(
+      "SELECT k, v, _change_type FROM stage_t.ws.cfb.changes WHERE _commit_version = 2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(v2 === Set((3L, "3", "update_preimage"), (3L, "x", "update_postimage")),
+      s"v2 slice wrong: $v2")
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(cdfDir, "v2")))
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(cdfDir, "v3")),
+      "_commit_version pushdown did not prune v3's diff materialization")
+    // the unfiltered batch read serves the whole retained history
+    val all = spark.sql("SELECT _change_type, count(*) AS n " +
+      "FROM stage_t.ws.cfb.changes GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all === Map("insert" -> 10L,
+      "update_preimage" -> 2L, "update_postimage" -> 2L), all.toString)
+    // range bounds compose
+    assert(spark.sql(
+      "SELECT count(*) FROM stage_t.ws.cfb.changes WHERE _commit_version >= 3")
+      .collect()(0).getLong(0) === 2L)
+    // vacuum shrinks the window: only DIFFABLE versions (predecessor
+    // retained) serve — the read never errors on reclaimed history
+    spark.sql("INSERT INTO stage_t.ws.cfb VALUES (100, 'z')") // v4
+    spark.sql("CALL stage_t.vacuum('ws', 'cfb', 2)") // retains v3, v4
+    val afterVac = spark.sql(
+      "SELECT DISTINCT _commit_version FROM stage_t.ws.cfb.changes")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterVac === Set(4L),
+      s"post-vacuum window should be the diffable tail (v4 only): $afterVac")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.cfb")
+  }
+
   test("auto-analyze failure surfacing: consecutive failures count in CALL detail, reset on success") {
     mountStage()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
@@ -2847,12 +2889,14 @@ class CatalogSpec extends SparkSpec {
     StagingMaintenance.optimize(spark, "stage_t", "ws", "rlm", targetFiles = 2)
     assert(StagingMaintenance.activeDvs(spark, "stage_t", "ws", "rlm").isEmpty)
     assert(ids() === afterDel, "OPTIMIZE re-identified rows while folding DVs")
-    // batch row-level diff of the DV-only UPDATE version: exactly the 20
-    // touched rows surface as their delete/insert pairs (the streaming
-    // `.changes` face's identity pairing is StreamingSpec's)
-    val diff = StagingMaintenance.rowLevelChanges(spark, "stage_t", "ws", "rlm", 1L, 2L)
-    assert(diff.where(col("_change") === "delete").count() === 20L)
-    assert(diff.where(col("_change") === "insert").count() === 20L)
+    // batch change-feed face (r12): the DV-only UPDATE version serves
+    // identity-paired images in plain SQL, version-pruned
+    val cdf = spark.sql(
+      "SELECT _change_type, count(*) AS n FROM stage_t.ws.rlm.changes " +
+        "WHERE _commit_version = 2 GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cdf === Map("update_preimage" -> 20L, "update_postimage" -> 20L),
+      s"MOR UPDATE batch feed did not pair by identity: $cdf")
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.rlmsrc")
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.rlm")
   }
