@@ -2891,7 +2891,7 @@ object GraftStagingCatalog {
           else {
             val prevTxt = latest.map { case (_, f) => readString(fs, f) }
             Some(RowLineage.assign(prevTxt, prevTxt, files, Set.empty,
-              floor = lineageFloor(fs, d)))
+              floor = lineageFloor(fs, d, branch)))
           }
         committed = tryCreateExclusive(fs, new Path(vd, s"v$next.json"),
           manifestJson(files, batchId, "commit", dvs, rids))
@@ -2900,26 +2900,34 @@ object GraftStagingCatalog {
     }
 
   /** Branch-aware row-id allocation floor (r12): the max `nextRowId`
-    * watermark across MAIN's head and every live branch's head. Every
-    * lineage commit — on main or on a branch face — allocates at or above
-    * this, so a fork can never hand the same base range to both sides
-    * (publish fast-forwards branch vectors verbatim; rebase carries them).
-    * Called under the catalog monitor (both manifest writers synchronize),
-    * so the multi-log read is consistent. Cost: one sidecar read + one
-    * manifest read per live branch, zero when the table has no branches.
+    * watermark across every log OTHER than the one being committed to
+    * (`ownBranch` = None for a main commit). The committing log's own
+    * watermark rides in through the caller's `nextFromTxt`, so reading it
+    * again here would only duplicate manifest I/O on the streaming-ingest
+    * hot path. Every lineage commit allocates at or above the floor, so a
+    * fork can never hand the same base range to both sides WITHIN a
+    * driver process (publish fast-forwards branch vectors verbatim;
+    * rebase carries them and additionally REFUSES on a cross-process base
+    * collision — see the rebase guard). Called under the catalog monitor
+    * (both manifest writers synchronize), so the multi-log read is
+    * consistent. Cost: one sidecar read, plus one manifest read per OTHER
+    * live log — zero manifest reads for the common unbranched main commit.
     */
-  private[catalog] def lineageFloor(fs: FileSystem, d: Path): Long = {
-    val branchW = readBranches(fs, d).keysIterator.flatMap(b =>
+  private[catalog] def lineageFloor(fs: FileSystem, d: Path,
+      ownBranch: Option[String]): Long = {
+    val branches = readBranches(fs, d)
+    val branchW = branches.keysIterator.filterNot(ownBranch.contains).flatMap(b =>
       branchHead(fs, d, b).map { case (_, mf) =>
         RowLineage.parse(readString(fs, mf))._2
       })
-    // main's own watermark rides in through nextFromTxt at the call sites;
-    // the floor only needs to cover the OTHER logs, but including main is
-    // harmless and keeps the contract simple
-    val mainW = headManifest(fs, d).map { case (_, mf) =>
-      RowLineage.parse(readString(fs, mf))._2
-    }
-    (branchW ++ mainW.iterator).foldLeft(0L)(math.max)
+    // main's head matters only for BRANCH commits (a main commit carries
+    // its own watermark in nextFromTxt)
+    val mainW =
+      if (ownBranch.isEmpty) Iterator.empty
+      else headManifest(fs, d).iterator.map { case (_, mf) =>
+        RowLineage.parse(readString(fs, mf))._2
+      }
+    (branchW ++ mainW).foldLeft(0L)(math.max)
   }
 
   /** Maintenance/rewrite commit (OPTIMIZE / DELETE / UPDATE / MERGE): the
@@ -2970,7 +2978,7 @@ object GraftStagingCatalog {
               .map { case (_, f) => readString(fs, f) }
             val mapTxt = rowIdsFrom.map(readString(fs, _)).orElse(latestTxt)
             Some(RowLineage.assign(mapTxt, latestTxt, files, matFiles,
-              floor = lineageFloor(fs, d)))
+              floor = lineageFloor(fs, d, branch)))
           }
         if (tryCreateExclusive(fs, new Path(vd, s"v${latest + 1}.json"),
             manifestJson(files, None, kind, dvs, rids)))

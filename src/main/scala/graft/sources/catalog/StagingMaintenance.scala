@@ -99,6 +99,8 @@ object StagingMaintenance {
       s"min_size_bytes must be positive, got $mb"))
     require(whereFilter.isEmpty || (!strayOnly && minBytes.isEmpty && partitionBy.isEmpty),
       "where-scoped optimize cannot combine with scope='stray'/'small' or partitionBy")
+    require(targetFiles >= 0,
+      s"target_files must be positive, or 0 for size-derived — got $targetFiles")
     val (fs, d) = tableDir(spark, catalog, ns, table)
     val latest = GraftStagingCatalog.headManifest(fs, d)
     val base = latest.map(_._1).getOrElse(0L)
@@ -154,6 +156,19 @@ object StagingMaintenance {
             require(manifestDvNames(fs, d, latest).isEmpty,
               "where-scoped optimize cannot fold active deletion vectors — run a full OPTIMIZE")
             val parsed = spark.sessionState.sqlParser.parseExpression(w)
+            // a misspelled column would look unprunable (conservative keep
+            // on every file) and silently turn the O(slice) operation into
+            // an O(table) rewrite — refuse loudly instead
+            val declaredNames = declaredSchema(fs, d)
+              .map(_.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+              .getOrElse(Set.empty)
+            parsed.collect {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                require(declaredNames.isEmpty ||
+                    declaredNames(a.name.toLowerCase(java.util.Locale.ROOT)),
+                  s"optimize where-filter references unknown column '${a.name}' " +
+                    s"(declared: ${declaredNames.toSeq.sorted.mkString(", ")})")
+            }
             val v1 = ZoneMapScanBuilder.toV1(parsed).getOrElse(
               throw new IllegalArgumentException(
                 s"optimize where-filter '$w' is not zone-map-translatable " +
@@ -560,8 +575,12 @@ object StagingMaintenance {
           val dataCols = diff.columns.filter(_ != "_change").toSeq
           val olds = diff.where(col("_change") === "delete")
           val news = diff.where(col("_change") === "insert")
+          // pairing needs BOTH polarities — a pure DELETE or append-shaped
+          // rewrite short-circuits here (2 jobs) instead of paying the
+          // two-jobs-per-column multiset scan below just to conclude bare
+          val pairable = dataCols.nonEmpty && !olds.isEmpty && !news.isEmpty
           val stable =
-            if (dataCols.isEmpty) Seq.empty
+            if (!pairable) Seq.empty
             else dataCols.filter { c =>
               val a = olds.groupBy(col(c)).count()
               val b = news.groupBy(col(c)).count()
@@ -1330,6 +1349,23 @@ object StagingMaintenance {
           else if (mainHead == 0L) (Map.empty[String, RowLineage.Entry], 0L)
           else RowLineage.parse(readString(fs,
             GraftStagingCatalog.probeManifest(fs, d, mainHead).get))
+        // CROSS-PROCESS id-range guard: the allocation floor serializes
+        // main and branch commits on the catalog monitor, but two DRIVER
+        // PROCESSES sharing a table dir write to different log files and
+        // never couple — each side could hand out the same base range.
+        // Rebase is the merge point where a collision would become two
+        // live rows with one id, so refuse it loudly here (the publish
+        // path is immune: it requires main AT the fork, whose vector is a
+        // prefix of the branch's).
+        if (lineageOn) {
+          val mainBases = mainE.valuesIterator.map(_.base).toSet
+          val clash = deltas.iterator.flatMap(_.rowIds.iterator).collectFirst {
+            case (f, e) if !mainE.contains(f) && mainBases(e.base) => f
+          }
+          clash.foreach(f => conflict(
+            s"row-id base of branch file $f collides with a main allocation " +
+              "(concurrent multi-process commits on a forked lineage table)"))
+        }
         var curF = mainFiles; var curDv = mainDvs
         var curE = mainE
         val replayed = deltas.zipWithIndex.map { case (dl, i) =>
@@ -1732,15 +1768,26 @@ object StagingMaintenance {
       // mid-write leaves its underscore-prefixed work dir (`_optimize_*`,
       // `_delete_*`, or the parquet committer's `_temporary`) holding up
       // to a table's worth of bytes — invisible to data listings, so
-      // without this they leak FOREVER. Reclaim those older than
-      // `spark.graft.vacuum.temp-ttl-ms` (default 24 h — far beyond any
-      // live rewrite's write phase; an in-flight job's dir has a recent
-      // modification time and survives). Only the three crash-artifact
-      // prefixes are touched — `_graft_*` sidecars and the version log
-      // never match.
+      // without this they leak FOREVER. Reclaim those whose ENTIRE TREE is
+      // older than `spark.graft.vacuum.temp-ttl-ms` (default 24 h).
+      // Liveness is judged by the max modification time ACROSS the tree,
+      // not the top-level dir: a long-running committer write mutates only
+      // nested `_temporary/...` task files, so the top-level mtime froze
+      // at job start — an in-flight rewrite's tree always has recent
+      // leaves, a crashed one's tree is uniformly old. Only the three
+      // crash-artifact prefixes are touched — `_graft_*` sidecars and the
+      // version log never match.
       val tempTtl = spark.conf.getOption("spark.graft.vacuum.temp-ttl-ms")
         .map(_.toLong).getOrElse(86400000L)
       val tempHorizon = System.currentTimeMillis() - tempTtl
+      def treeMaxMtime(p: Path): Long = {
+        val st = fs.getFileStatus(p)
+        val own = st.getModificationTime
+        if (!st.isDirectory) own
+        else (try fs.listStatus(p).toIndexedSeq
+              catch { case _: FileNotFoundException => Seq.empty })
+          .foldLeft(own)((m, c) => math.max(m, treeMaxMtime(c.getPath)))
+      }
       (try fs.listStatus(d).toIndexedSeq
        catch { case _: FileNotFoundException => Seq.empty })
         .foreach { st =>
@@ -1748,7 +1795,8 @@ object StagingMaintenance {
           if (st.isDirectory &&
               (n.startsWith("_optimize_") || n.startsWith("_delete_") ||
                 n == "_temporary") &&
-              st.getModificationTime < tempHorizon) {
+              (try treeMaxMtime(st.getPath) < tempHorizon
+               catch { case _: FileNotFoundException => false })) {
             fs.delete(st.getPath, true); ()
           }
         }
@@ -2859,10 +2907,18 @@ private[catalog] object ZoneMapPrunedScan {
     * keys whose bucket(8) residue is 3 OR 7, so judging it by the current
     * spec would prune rows that exist. Ambiguous specs contribute NOTHING
     * to pruning (their files are conservatively kept / never proven).
+    * Memoized by spec-list value: the predicates below run once per
+    * (file, filter) pair across every pruning loop, and a table's spec
+    * list is a handful of entries that rarely changes — the cache is
+    * bounded by distinct spec lists ever seen in the JVM.
     */
+  private val unambiguousCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[GraftStagingCatalog.PartSpec],
+      Seq[GraftStagingCatalog.PartSpec]]()
   private def unambiguousSpecs(specs: Seq[GraftStagingCatalog.PartSpec])
       : Seq[GraftStagingCatalog.PartSpec] =
-    specs.filter(sp => specs.forall(s => s == sp || s.dirPrefix != sp.dirPrefix))
+    unambiguousCache.computeIfAbsent(specs,
+      sps => sps.filter(sp => sps.forall(s => s == sp || s.dirPrefix != sp.dirPrefix)))
 
   /** Conjunction of [[specCanMatch]] across the table's declared partition
     * specs — ANY spec's path value can refute the filter. Only

@@ -362,16 +362,24 @@ private[catalog] class ChangeFeedTable(tableDirStr: String, baseSchema: StructTy
       import org.apache.spark.sql.sources._
       private var loExcl = 0L // stream-offset convention: versions (lo, hi]
       private var hiIncl = Long.MaxValue
+      private var verSet: Option[Set[Long]] = None // IN / null-safe-eq sets
       private def asLong(v: Any): Option[Long] = v match {
         case i: java.lang.Integer => Some(i.longValue)
         case l: java.lang.Long    => Some(l.longValue)
         case s: java.lang.Short   => Some(s.longValue)
         case _                    => None
       }
+      private def intersect(s: Set[Long]): Unit =
+        verSet = Some(verSet.fold(s)(_ intersect s))
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         filters.foreach {
           case EqualTo("_commit_version", v) => asLong(v).foreach { x =>
             loExcl = math.max(loExcl, x - 1L); hiIncl = math.min(hiIncl, x) }
+          case EqualNullSafe("_commit_version", v) =>
+            asLong(v).foreach(x => intersect(Set(x)))
+          case In("_commit_version", vs) =>
+            val xs = vs.flatMap(asLong)
+            if (xs.length == vs.length) intersect(xs.toSet)
           case GreaterThan("_commit_version", v) =>
             asLong(v).foreach(x => loExcl = math.max(loExcl, x))
           case GreaterThanOrEqual("_commit_version", v) =>
@@ -386,7 +394,7 @@ private[catalog] class ChangeFeedTable(tableDirStr: String, baseSchema: StructTy
       }
       override def pushedFilters(): Array[Filter] = Array.empty
       override def build(): Scan =
-        new ChangeFeedScan(tableDirStr, baseSchema, full, opts, loExcl, hiIncl)
+        new ChangeFeedScan(tableDirStr, baseSchema, full, opts, loExcl, hiIncl, verSet)
     }
   }
 }
@@ -396,12 +404,14 @@ private[catalog] class ChangeFeedTable(tableDirStr: String, baseSchema: StructTy
   * plus the streaming face.
   */
 private[catalog] class ChangeFeedScan(tableDirStr: String, baseSchema: StructType,
-    fullSchema: StructType, opts: Map[String, String], loExcl: Long, hiIncl: Long)
+    fullSchema: StructType, opts: Map[String, String], loExcl: Long, hiIncl: Long,
+    verSet: Option[Set[Long]] = None)
     extends Scan with org.apache.spark.sql.connector.read.Batch {
   override def readSchema(): StructType = fullSchema
   override def description(): String =
     s"changeFeed($tableDirStr, versions (${math.max(loExcl, 0L)}, " +
-      s"${if (hiIncl == Long.MaxValue) "head" else hiIncl.toString}])"
+      s"${if (hiIncl == Long.MaxValue) "head" else hiIncl.toString}]" +
+      verSet.fold("")(s => s" ∩ {${s.toSeq.sorted.mkString(",")}}") + ")"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ChangeFeedMicroBatchStream(tableDirStr, baseSchema, fullSchema, opts)
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
@@ -418,6 +428,7 @@ private[catalog] class ChangeFeedScan(tableDirStr: String, baseSchema: StructTyp
     val retainedSet = retained.toSet
     val versions = retained.filter(v =>
       v > math.max(loExcl, optLo) && v <= hiIncl &&
+        verSet.forall(_.contains(v)) &&
         (v == 1L || retainedSet(v - 1L)))
     ChangeFeedPlanner.plan(SparkSession.active, fs, dir, tableDirStr,
       baseSchema, fullSchema, versions)

@@ -1324,6 +1324,11 @@ class CatalogSpec extends SparkSpec {
     val (_, after2, _) =
       StagingMaintenance.optimize(spark, "stage_t", "ws", "szo", targetFiles = 0)
     assert(after2 === 1, s"default-sized compaction wrote $after2 files")
+    // negative counts are a typo, not a size-derived opt-in
+    val eNeg = intercept[Exception] {
+      StagingMaintenance.optimize(spark, "stage_t", "ws", "szo", targetFiles = -3)
+    }
+    assert(eNeg.getMessage.contains("target_files must be positive"), eNeg.getMessage)
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.szo")
   }
 
@@ -1355,6 +1360,13 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("stage_t.ws.wso").count() === 3000L)
     assert(spark.sql("SELECT count(*) FROM stage_t.ws.wso WHERE k >= 1000 AND k < 2000")
       .collect()(0).getLong(0) === 1000L)
+    // a misspelled column refuses loudly instead of silently selecting
+    // every file (the O(table) rewrite the feature exists to avoid)
+    val eCol = intercept[Exception] {
+      spark.sql("CALL stage_t.optimize('ws', 'wso', 1, where_filter => 'kk >= 1')")
+        .collect()
+    }
+    assert(exMessages(eCol).exists(_.contains("unknown column")), eCol.getMessage)
     // an untranslatable predicate refuses loudly instead of guessing
     val e = intercept[Exception] {
       spark.sql("CALL stage_t.optimize('ws', 'wso', 1, where_filter => 'k % 10 = 3')")
@@ -1425,6 +1437,12 @@ class CatalogSpec extends SparkSpec {
     assert(hfs.exists(new org.apache.hadoop.fs.Path(cdfDir, "v2")))
     assert(!hfs.exists(new org.apache.hadoop.fs.Path(cdfDir, "v3")),
       "_commit_version pushdown did not prune v3's diff materialization")
+    // IN-set pushdown prunes too (v3 still untouched)
+    assert(spark.sql(
+      "SELECT count(*) FROM stage_t.ws.cfb.changes WHERE _commit_version IN (2, 99)")
+      .collect()(0).getLong(0) === 2L)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(cdfDir, "v3")),
+      "IN pushdown did not prune v3's diff materialization")
     // the unfiltered batch read serves the whole retained history
     val all = spark.sql("SELECT _change_type, count(*) AS n " +
       "FROM stage_t.ws.cfb.changes GROUP BY 1")
