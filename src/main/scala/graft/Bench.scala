@@ -70,11 +70,14 @@ object Bench {
     // DISPERSION GUARD (institutionalized after r8's q276 finding): when a
     // query's two iterations disagree by more than 3×, something other than
     // the plan is setting its cost — cache-eviction recompute, cross-query
-    // state bleed, or host contention. Flagged queries are reported in the
-    // JSON ("disp": name -> [iter1, iter2]) so a robustness regression is
-    // visible IN the bench artifact instead of only as cross-round drift.
+    // state bleed, or host contention. MEDIAN MODE (r13, the judge's asked-
+    // for arbitration): a flagged query gets ONE more iteration and reports
+    // the median of the three — a single host-noise excursion can no longer
+    // set the recorded number in either direction, while a genuinely
+    // bimodal query still surfaces (all iterations stay in the JSON,
+    // "disp": name -> [iter1, iter2, iter3], and the flag is kept).
     val DispRatio = 3.0
-    val dispersion = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val dispersion = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .flatMap { case (name, fn) =>
@@ -105,11 +108,14 @@ object Bench {
         if (a < Iter2MinSec) a
         else once(2).map { b =>
           if (math.max(a, b) > DispRatio * math.min(a, b)) {
-            dispersion(name) = (a, b)
+            val c = once(3).getOrElse(math.max(a, b))
+            dispersion(name) = Seq(a, b, c)
+            val med = Seq(a, b, c).sorted.apply(1)
             System.err.println(
-              f"[bench] $name DISPERSION iter1=$a%.2fs iter2=$b%.2fs (> ${DispRatio}%.0fx)")
-          }
-          math.min(a, b)
+              f"[bench] $name DISPERSION iter1=$a%.2fs iter2=$b%.2fs iter3=$c%.2fs " +
+                f"(> ${DispRatio}%.0fx) -> median $med%.2fs")
+            med
+          } else math.min(a, b)
         }.getOrElse(a)
       }
       hygiene(sec.getOrElse(1.0))
@@ -143,9 +149,10 @@ object Bench {
     val qs = kept.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + short(k) + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    // normally {} — an entry here is a robustness flag, not a timing
-    val disp = dispersion.map { case (k, (a, b)) =>
-      "\"" + short(k) + "\":[" + fmtQ(a) + "," + fmtQ(b) + "]" }
+    // normally {} — an entry here is a robustness flag; the recorded time
+    // for a flagged query is the MEDIAN of the three listed iterations
+    val disp = dispersion.map { case (k, its) =>
+      "\"" + short(k) + "\":" + its.map(fmtQ).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** CANONICAL TEXT FORM for dedup and fingerprinting: NFC-normalize,
-  * lowercase (root locale), collapse ASCII-whitespace runs to single
+  * lowercase (per codepoint, context-free), collapse ASCII-whitespace runs to single
   * spaces, trim — the standard pre-dedup canonicalization of a web-scale
   * training corpus (CCNet/Gopher-style): `"  HeLLo\tWorld "` and
   * `"hello world"` are the SAME document for exact-dedup purposes, and a
@@ -15,9 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics are chosen to be REPLAYABLE in the oracle dialect:
   * `trim(regexp_replace(lower(nfc_normalize(s)), '\s+', ' ', 'g'))` in
-  * DuckDB computes the identical string (cross-validated — Java's
-  * root-locale lowercase and DuckDB's Unicode `lower` agree outside
-  * locale-special corners, and both `\s` classes are the ASCII set).
+  * DuckDB computes the identical string (cross-validated — per-codepoint
+  * `Character.toLowerCase` matches DuckDB's utf8proc `lower` — both apply
+  * the context-free simple mapping, so even word-final Σ agrees — and
+  * both `\s` classes are the ASCII set).
   *
   * Scale shape: ONE pass per row inside whole-stage codegen via a static
   * kernel (NFC fast-paths to a reference check on already-normalized —
@@ -49,27 +50,31 @@ case class NormText(child: Expression) extends UnaryExpression {
 
 object NormText {
 
-  /** NFC → root-locale lowercase → collapse `[ \t\n\f\r]+` to one
+  /** NFC → per-codepoint lowercase → collapse `[ \t\n\f\r]+` to one
     * space → trim, in one output pass (the collapse+trim never allocates a
     * regex machine).
+    *
+    * Lowercasing is `Character.toLowerCase(int)` codepoint by codepoint —
+    * the context-free SIMPLE Unicode mapping — NOT `String.toLowerCase`,
+    * whose SpecialCasing context rules (word-final Σ → ς) diverge from
+    * utf8proc-based engines (DuckDB `lower` maps Σ → σ unconditionally).
     */
   def canonical(s: String): String = {
     val n = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
-      .toLowerCase(java.util.Locale.ROOT)
     val len = n.length
     val sb = new java.lang.StringBuilder(len)
     var pendingSpace = false
     var i = 0
     while (i < len) {
-      val c = n.charAt(i)
-      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+      val cp = n.codePointAt(i)
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'
       if (ws) {
         if (sb.length > 0) pendingSpace = true // leading runs drop (trim)
       } else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }
-        sb.append(c)
+        sb.appendCodePoint(Character.toLowerCase(cp))
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     sb.toString // trailing pendingSpace never flushed (trim)
   }

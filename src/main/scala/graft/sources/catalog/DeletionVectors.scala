@@ -172,17 +172,226 @@ object DeletionVectors {
     name
   }
 
-  /** Load the named sidecars' POSITION deletes into a per-file ordinal set
-    * (merged across sidecars; non-pos sidecars are skipped — one manifest
-    * `dvs` array carries either kind).
+  /** POSITION-delete state in force — BOTH representations at once:
+    *
+    *  - `map`: per-file ordinal SETS materialized from small JSON sidecars
+    *    (driver-side, bounded by the DELETE path's matched-row cap);
+    *  - `runs` (r13 — the DISTRIBUTED middle band): per-file lists of
+    *    run-encoded binary sidecar PATHS written by executors
+    *    ([[writePosRunDv]]). The ordinals themselves NEVER materialize on
+    *    the driver — readers parse their own file's runs in the executor
+    *    ([[PosSpec.resolve]]), and maintenance reads anti-join against a
+    *    DataFrame parsed from the run files in parallel.
+    *
+    * A file may appear in both (one selective delete + one broad one).
     */
-  def loadPosDvs(fs: FileSystem, d: Path, names: Seq[String]): Map[String, Set[Long]] =
-    if (names.isEmpty) Map.empty
+  final case class PosDvs(map: Map[String, Set[Long]], runs: Map[String, Seq[String]]) {
+    def isEmpty: Boolean = map.isEmpty && runs.isEmpty
+    def nonEmpty: Boolean = !isEmpty
+    def coveredFiles: Set[String] = map.keySet ++ runs.keySet
+    def contains(f: String): Boolean = map.contains(f) || runs.contains(f)
+    def filterFiles(p: String => Boolean): PosDvs =
+      PosDvs(map.filter { case (f, _) => p(f) }, runs.filter { case (f, _) => p(f) })
+    /** Per-file delete spec, comparable across versions (inline ordinals +
+      * run-file identities — run files are immutable, so path equality is
+      * content equality).
+      */
+    def stateOf(f: String): (Set[Long], Seq[String]) =
+      (map.getOrElse(f, Set.empty), runs.getOrElse(f, Seq.empty))
+    def specFor(f: String): PosSpec = PosSpec(map.getOrElse(f, Set.empty),
+      runs.getOrElse(f, Seq.empty))
+  }
+  object PosDvs {
+    val empty: PosDvs = PosDvs(Map.empty, Map.empty)
+  }
+
+  /** One file's position-delete spec as shipped inside an InputPartition:
+    * inline ordinals plus the file's run-sidecar paths, resolved to a
+    * queryable membership in the EXECUTOR that reads the file.
+    */
+  final case class PosSpec(inline: Set[Long], runFiles: Seq[String]) {
+    def isEmpty: Boolean = inline.isEmpty && runFiles.isEmpty
+    def resolve(conf: org.apache.hadoop.conf.Configuration): PosMembership =
+      if (runFiles.isEmpty) new PosMembership(inline, Array.emptyLongArray,
+        Array.emptyLongArray)
+      else {
+        val rs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        runFiles.foreach(p => readRunFile(conf, new Path(p))(rs += _))
+        val sorted = rs.sortBy(_._1)
+        val starts = Array.newBuilder[Long]; val ends = Array.newBuilder[Long]
+        var lastEnd = Long.MinValue; var have = false
+        sorted.foreach { case (s, e) =>
+          if (have && s <= lastEnd + 1) {
+            // merge touching/overlapping runs (possible across sidecars)
+            if (e > lastEnd) lastEnd = e
+          } else {
+            if (have) ends += lastEnd
+            starts += s; lastEnd = e; have = true
+          }
+        }
+        if (have) ends += lastEnd
+        new PosMembership(inline, starts.result(), ends.result())
+      }
+  }
+
+  /** Ordinal-membership over inline deletes + sorted, disjoint runs. */
+  final class PosMembership(inline: Set[Long], starts: Array[Long], ends: Array[Long])
+      extends Serializable {
+    require(starts.length == ends.length, "run starts/ends length mismatch")
+    def contains(p: Long): Boolean = {
+      if (inline.contains(p)) return true
+      if (starts.length == 0) return false
+      var lo = 0; var hi = starts.length - 1; var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (starts(mid) <= p) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      ans >= 0 && p <= ends(ans)
+    }
+  }
+
+  /** Binary run-sidecar format (executor-written, r13): magic "GDVR", an
+    * int version, the covered file's table-relative name (writeUTF), then
+    * (start, len) long pairs until EOF — the count is NOT in the header so
+    * the writer can stream runs in one pass (the descriptor JSON carries
+    * the audit totals instead).
+    */
+  private val RunMagic = 0x47445652
+  private def readRunFile(conf: org.apache.hadoop.conf.Configuration, p: Path)
+      (emit: ((Long, Long)) => Unit): Unit = {
+    val fsx = p.getFileSystem(conf)
+    val len = fsx.getFileStatus(p).getLen
+    val raw = fsx.open(p)
+    try {
+      val in = new java.io.DataInputStream(raw)
+      require(in.readInt() == RunMagic, s"$p is not a graft run sidecar")
+      require(in.readInt() == 1, s"$p has an unknown run-sidecar version")
+      in.readUTF() // covered file name (descriptor already attributes paths)
+      val remaining = len - raw.getPos
+      require(remaining % 16 == 0, s"$p is truncated (odd run bytes: $remaining)")
+      var i = 0L
+      val n = remaining / 16
+      while (i < n) {
+        val s = in.readLong(); val l = in.readLong()
+        emit((s, s + l - 1L))
+        i += 1
+      }
+    } finally raw.close()
+  }
+
+  /** Write DISTRIBUTED position-delete run sidecars (r13 — the 10M–500M
+    * matched-ordinal band where a driver-map sidecar is too big and a COW
+    * rewrite too blunt): `matched` is the (full path `__f`, ordinal `__p`)
+    * frame of the DELETE's located rows. Executors repartition by file,
+    * sort by (file, ordinal), and stream run-encoded binary files — one
+    * per (task, covered file) — under `_graft_dv/dvr-<token>/`; the driver
+    * sees ONLY (file, sidecar-name, count) triples (O(covered files)) and
+    * commits a descriptor JSON naming them. Returns (descriptor name,
+    * total ordinals, run dir name). Task retries write fresh UUID-named
+    * bins; orphans are unreferenced and vacuum-reclaimed.
+    */
+  def writePosRunDv(fs: FileSystem, d: Path,
+      matched: DataFrame): (String, Long, String) = {
+    import org.apache.spark.sql.functions.col
+    val spark = matched.sparkSession
+    import spark.implicits._
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val dvDir = new Path(d, DvDir)
+    fs.mkdirs(dvDir)
+    val runDirName = s"dvr-$token"
+    val runDir = new Path(dvDir, runDirName)
+    fs.mkdirs(runDir)
+    val runDirStr = runDir.toString
+    val prefix = d.toString + "/"
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val written: Array[(String, String, Long)] = matched
+      .select(col("__f").cast("string").as("__f"), col("__p").cast("long").as("__p"))
+      .repartition(col("__f"))
+      .sortWithinPartitions("__f", "__p")
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var curFull: String = null
+        var curRel: String = null
+        var curName: String = null
+        var stream: java.io.DataOutputStream = null
+        var runStart = 0L; var runLen = 0L; var count = 0L; var lastP = Long.MinValue
+        def rel(full: String): String = {
+          val ix = full.indexOf(prefix)
+          if (ix >= 0) full.substring(ix + prefix.length)
+          else full.substring(full.lastIndexOf('/') + 1)
+        }
+        def flushRun(): Unit =
+          if (runLen > 0) { stream.writeLong(runStart); stream.writeLong(runLen) }
+        def closeFile(): Unit = if (stream != null) {
+          flushRun()
+          stream.close()
+          out += ((curRel, curName, count))
+          stream = null; runLen = 0; count = 0; lastP = Long.MinValue
+        }
+        it.foreach { case (full, p) =>
+          if (full != curFull) {
+            closeFile()
+            curFull = full
+            curRel = rel(full)
+            curName = s"run-${java.util.UUID.randomUUID().toString.take(12)}.bin"
+            val target = new Path(runDirStr, curName)
+            val fsx = target.getFileSystem(conf)
+            stream = new java.io.DataOutputStream(fsx.create(target, false))
+            stream.writeInt(RunMagic); stream.writeInt(1); stream.writeUTF(curRel)
+          }
+          if (p != lastP) { // duplicates collapse (sorted input)
+            if (runLen > 0 && p == runStart + runLen) runLen += 1
+            else { flushRun(); runStart = p; runLen = 1 }
+            count += 1; lastP = p
+          }
+        }
+        closeFile()
+        out.iterator
+      }.collect()
+    val perFile = written.groupBy(_._1)
+    val total = written.iterator.map(_._3).sum
+    val body = perFile.toSeq.sortBy(_._1).map { case (f, bins) =>
+      "\"" + enc(f) + "\":[" +
+        bins.sortBy(_._2).map(b => "\"" + b._2 + "\"").mkString(",") + "]"
+    }.mkString(",")
+    val name = s"dvr-$token.json"
+    val json = s"""{"type":"posrun","dir":"$runDirName","rows":$total,"files":{$body}}"""
+    val out = fs.create(new Path(dvDir, name), false) // descriptors are immutable
+    try out.write(json.getBytes(UTF_8)) finally out.close()
+    (name, total, runDirName)
+  }
+
+  /** Load the named sidecars' POSITION deletes: small JSON sidecars merge
+    * into the per-file ordinal map; distributed run descriptors resolve to
+    * per-file run-sidecar PATHS (ordinals stay on disk — see [[PosDvs]]).
+    * Non-pos sidecars are skipped — one manifest `dvs` array carries every
+    * kind.
+    */
+  def loadPosDvs(fs: FileSystem, d: Path, names: Seq[String]): PosDvs =
+    if (names.isEmpty) PosDvs.empty
     else {
       val perFile = scala.collection.mutable.Map.empty[String, Set[Long]]
+      val runRefs = scala.collection.mutable.Map.empty[String, Seq[String]]
       names.foreach { n =>
         val txt = GraftStagingCatalog.readString(fs, new Path(new Path(d, DvDir), n))
-        if ("\"type\":\"pos\"".r.findFirstIn(txt).isDefined) {
+        if (txt.contains("\"type\":\"posrun\"")) {
+          val dirName = "\"dir\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse(
+              throw new IllegalStateException(s"run descriptor $n names no dir"))
+          val runDir = new Path(new Path(d, DvDir), dirName)
+          "\"([^\"]+)\":\\[([^\\]]*)\\]".r.findAllMatchIn(txt).foreach { m =>
+            val f = dec(m.group(1))
+            val bins = m.group(2).split(',').iterator.map(_.trim)
+              .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\""))
+              .map(b => new Path(runDir, b).toString).toSeq
+            if (bins.nonEmpty)
+              runRefs(f) = runRefs.getOrElse(f, Seq.empty) ++ bins
+          }
+        } else if (txt.contains("\"type\":\"pos\"")) {
           "\"([^\"]+)\":\\[([^\\]]*)\\]".r.findAllMatchIn(txt).foreach { m =>
             val f = dec(m.group(1))
             if (f != "type" && f != "pos") {
@@ -193,11 +402,11 @@ object DeletionVectors {
           }
         }
       }
-      perFile.toMap
+      PosDvs(perFile.toMap, runRefs.toMap)
     }
 
-  /** Position-delete map in force at `manifest`. */
-  def posMapAt(fs: FileSystem, d: Path, manifest: Path): Map[String, Set[Long]] =
+  /** Position-delete state in force at `manifest`. */
+  def posMapAt(fs: FileSystem, d: Path, manifest: Path): PosDvs =
     loadPosDvs(fs, d, GraftStagingCatalog.manifestDvs(fs, manifest))
 
   /** Apply a POSITION-delete map to a V1 DataFrame read of the table's
@@ -207,7 +416,7 @@ object DeletionVectors {
     * the same shape (and the same r9 sibling-dir guard) as the equality
     * [[applyToRead]].
     */
-  def applyPosToRead(df: DataFrame, dv: Map[String, Set[Long]]): DataFrame =
+  def applyPosToRead(df: DataFrame, dv: PosDvs): DataFrame =
     if (dv.isEmpty) df
     else {
       import org.apache.spark.sql.functions.{broadcast, col, concat, element_at, endswith,
@@ -215,17 +424,47 @@ object DeletionVectors {
       val spark = df.sparkSession
       import spark.implicits._
       def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
-      val triples = dv.toSeq.flatMap { case (f, ps) => ps.iterator.map(p => (base(f), f, p)) }
-      val dvDf = triples.toDF("__gdv_f", "__gdv_rel", "__gdv_p")
       val keep = df.columns // _metadata is a hidden pseudo-column: select it explicitly
       val tagged = df.select(col("*"), col("_metadata.file_path").as("__gdv_path"),
         col("_metadata.row_index").as("__gdv_pos"))
         .withColumn("__gdv_file", element_at(split(col("__gdv_path"), "/"), -1))
-      tagged.join(broadcast(dvDf),
-          tagged("__gdv_file") === dvDf("__gdv_f") &&
-            endswith(tagged("__gdv_path"), concat(lit("/"), dvDf("__gdv_rel"))) &&
-            tagged("__gdv_pos") === dvDf("__gdv_p"), "left_anti")
-        .select(keep.map(col).toIndexedSeq: _*)
+      def anti(in: DataFrame, dvDf: DataFrame, bcast: Boolean): DataFrame =
+        in.join(if (bcast) broadcast(dvDf) else dvDf,
+          in("__gdv_file") === dvDf("__gdv_f") &&
+            endswith(in("__gdv_path"), concat(lit("/"), dvDf("__gdv_rel"))) &&
+            in("__gdv_pos") === dvDf("__gdv_p"), "left_anti")
+      val afterMap =
+        if (dv.map.isEmpty) tagged
+        else {
+          val triples = dv.map.toSeq.flatMap { case (f, ps) =>
+            ps.iterator.map(p => (base(f), f, p)) }
+          anti(tagged, triples.toDF("__gdv_f", "__gdv_rel", "__gdv_p"), bcast = true)
+        }
+      val afterRuns =
+        if (dv.runs.isEmpty) afterMap
+        else {
+          // DISTRIBUTED sidecars: the ordinals stay out of the driver —
+          // executors parse the run files in parallel and the suppression
+          // is a plain (non-broadcast) anti-join, the shape that holds at
+          // a 500M-ordinal delete
+          val refs: Seq[(String, String)] = dv.runs.toSeq
+            .flatMap { case (f, bins) => bins.map(f -> _) }
+          val confBc = spark.sparkContext.broadcast(
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sessionState.newHadoopConf()))
+          val runDf = spark.createDataset(refs)
+            .repartition(math.min(refs.size,
+              math.max(1, spark.sparkContext.defaultParallelism)))
+            .flatMap { case (f, bin) =>
+              val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+              readRunFile(confBc.value.value, new Path(bin))(buf += _)
+              val b = base(f)
+              buf.iterator.flatMap { case (s, e) =>
+                (s to e).iterator.map(p => (b, f, p)) }
+            }.toDF("__gdv_f", "__gdv_rel", "__gdv_p")
+          anti(afterMap, runDf, bcast = false)
+        }
+      afterRuns.select(keep.map(col).toIndexedSeq: _*)
     }
 
   /** One position-DV'd file's splits as their own partition (splits stay
@@ -233,7 +472,7 @@ object DeletionVectors {
     * the file position — valid only because position-mode scans push no
     * data filters to parquet; see ZoneMapScanBuilder.pushFilters).
     */
-  final case class PosDvPartition(inner: FilePartition, deleted: Set[Long])
+  final case class PosDvPartition(inner: FilePartition, spec: PosSpec)
       extends InputPartition {
     override def preferredLocations(): Array[String] = inner.preferredLocations()
   }
@@ -276,7 +515,9 @@ object DeletionVectors {
     * row-based (the mixed-partition rule).
     */
   final class PosIdxReaderFactory(inner: PartitionReaderFactory, info: PosIdxInfo,
-      tableDir: String) extends PartitionReaderFactory {
+      tableDir: String,
+      hconf: org.apache.spark.util.SerializableConfiguration)
+      extends PartitionReaderFactory {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 
     override def supportColumnarReads(partition: InputPartition): Boolean = false
@@ -297,8 +538,9 @@ object DeletionVectors {
 
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       partition match {
-        case PosDvPartition(fp, deleted) =>
+        case PosDvPartition(fp, spec) =>
           val base = inner.createReader(fp)
+          val deleted = spec.resolve(hconf.value)
           val ord = info.idxOrdinal
           projected(new PartitionReader[InternalRow] {
             private var current: InternalRow = _
@@ -320,11 +562,11 @@ object DeletionVectors {
   /** Repack pruned partitions for POSITION-delete application — the
     * position twin of [[repack]].
     */
-  def repackPos(parts: Array[InputPartition], dv: Map[String, Set[Long]],
+  def repackPos(parts: Array[InputPartition], dv: PosDvs,
       statKey: org.apache.hadoop.fs.Path => String): Array[InputPartition] = {
     val out = Array.newBuilder[InputPartition]
     val affected = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Set[Long], scala.collection.mutable.ArrayBuffer[
+      .empty[String, (PosSpec, scala.collection.mutable.ArrayBuffer[
         org.apache.spark.sql.execution.datasources.PartitionedFile])]
     var idx = 0
     parts.foreach {
@@ -334,12 +576,12 @@ object DeletionVectors {
         hit.foreach { pf =>
           val k = statKey(pf.toPath)
           affected.getOrElseUpdate(k,
-            (dv(k), scala.collection.mutable.ArrayBuffer.empty))._2 += pf
+            (dv.specFor(k), scala.collection.mutable.ArrayBuffer.empty))._2 += pf
         }
       case other => out += other
     }
-    affected.valuesIterator.foreach { case (positions, pfs) =>
-      out += PosDvPartition(FilePartition(idx, pfs.sortBy(_.start).toArray), positions)
+    affected.valuesIterator.foreach { case (spec, pfs) =>
+      out += PosDvPartition(FilePartition(idx, pfs.sortBy(_.start).toArray), spec)
       idx += 1
     }
     out.result()
@@ -351,13 +593,15 @@ object DeletionVectors {
     * the same mixed-partition rule as the equality factory — and
     * non-position partitions pass through to the delegate.
     */
-  final class PosDvReaderFactory(inner: PartitionReaderFactory)
+  final class PosDvReaderFactory(inner: PartitionReaderFactory,
+      hconf: org.apache.spark.util.SerializableConfiguration)
       extends PartitionReaderFactory {
     override def supportColumnarReads(partition: InputPartition): Boolean = false
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       partition match {
-        case PosDvPartition(fp, deleted) =>
+        case PosDvPartition(fp, spec) =>
           val base = inner.createReader(fp)
+          val deleted = spec.resolve(hconf.value)
           new PartitionReader[InternalRow] {
             private var pos = -1L
             private var current: InternalRow = _

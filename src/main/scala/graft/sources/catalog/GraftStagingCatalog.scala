@@ -645,10 +645,10 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
     private lazy val dvMap: Map[String, Set[Any]] =
       DeletionVectors.loadDvs(tableFs, dir, dvNames)
     /** Position deletes in force at this snapshot (keyless-MOR tables). */
-    private lazy val posDvMap: Map[String, Set[Long]] =
+    private lazy val posDvMap: DeletionVectors.PosDvs =
       if (dvNames.nonEmpty && DeletionVectors.morPos(tableFs, dir))
         DeletionVectors.loadPosDvs(tableFs, dir, dvNames)
-      else Map.empty
+      else DeletionVectors.PosDvs.empty
     override def name(): String = readDelegate.name
     override def schema(): StructType = morKeyField match {
       case Some(key) => StructType(readDelegate.schema.fields.map(f =>
@@ -755,7 +755,15 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
             posDvMap,
             posIdxCapable = posCapable,
             lineage = if (lineageCapable) Some(lineageEntries) else None,
-            spjCandidate = spjCandidate)
+            spjCandidate = spjCandidate,
+            // ordering is only claimable when EVERY current file is sorted
+            // by the declared order — true for non-MOR tables (appends are
+            // planner-sorted, rewrites re-sort; a MOR table's delta-written
+            // insert files carry no such guarantee)
+            sortedBy =
+              if (morKeyField.isEmpty && !DeletionVectors.morPos(tableFs, dir))
+                GraftStagingCatalog.sortOrderCols(tableFs, dir)
+              else Nil)
         case other => other
       }
     }
@@ -1644,10 +1652,10 @@ private class StagingRowLevelOperation(
     * rewrite's scans must not resurrect suppressed rows, and the commit
     * must carry the sidecars for files it does not rewrite.
     */
-  private lazy val posDvs: Map[String, Set[Long]] =
+  private lazy val posDvs: DeletionVectors.PosDvs =
     if (DeletionVectors.morPos(tableFs, dir))
       DeletionVectors.loadPosDvs(tableFs, dir, dvNames)
-    else Map.empty
+    else DeletionVectors.PosDvs.empty
 
   /** The scans this operation built — interrogated at COMMIT time for
     * their post-runtime-filter planned file set. Commit-time (not
@@ -1746,7 +1754,23 @@ private class StagingRowLevelOperation(
 
   override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
+      // SORT-ORDER PRESERVATION (r13): a group rewrite's replacement files
+      // must stay sorted on a declared-sort-order table — every file of
+      // such a table is per-file sorted (the contract the scan's
+      // SupportsReportOrdering report rides), and the append path already
+      // enforces it via RequiresDistributionAndOrdering. Distribution
+      // stays UNSPECIFIED here (no global re-range of a rewrite — zone
+      // ranges may overlap after heavy churn, per-FILE sortedness is the
+      // claim), so the planner adds exactly one local Sort per writer.
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.{distributions, expressions => v2x}
+        private val sortCols = GraftStagingCatalog.sortOrderCols(tableFs, dir)
+        override def requiredDistribution(): distributions.Distribution =
+          distributions.Distributions.unspecified()
+        override def requiredOrdering(): Array[v2x.SortOrder] = sortCols.map(c =>
+          v2x.Expressions.sort(v2x.Expressions.column(c),
+            v2x.SortDirection.ASCENDING)).toArray
         override def toBatch: BatchWrite = new BatchWrite {
           // ROW LINEAGE: the rewrite hands each row's preserved `_row_id`
           // as a METADATA projection (DataWriter.write(meta, data)) — the
@@ -1991,9 +2015,9 @@ private class StagingDeltaOperation(
             val zms =
               if (statCols.nonEmpty)
                 new RowLevelGroupScan(fscan, stats, v1, statCols, nulls, dir.toString,
-                  blooms, dvInfo, specs, Map.empty, li)
+                  blooms, dvInfo, specs, DeletionVectors.PosDvs.empty, li)
               else new ZoneMapPrunedScan(fscan, stats, v1, nulls, dir.toString, blooms,
-                dvInfo, specs, Map.empty, Map.empty, None, li)
+                dvInfo, specs, Map.empty, DeletionVectors.PosDvs.empty, None, li)
             scans.add(zms)
             zms
           case other => other
@@ -2447,10 +2471,19 @@ object GraftStagingCatalog {
         }
         if (DeletionVectors.morPos(fs, d)) {
           val posMap = latest.map { case (_, mf) => DeletionVectors.posMapAt(fs, d, mf) }
-            .getOrElse(Map.empty[String, Set[Long]])
+            .getOrElse(DeletionVectors.PosDvs.empty)
           if (posMap.nonEmpty) df = DeletionVectors.applyPosToRead(df, posMap)
         }
         renames.foreach { case (from, to) => df = df.withColumnRenamed(from, to) }
+        // sort-order preservation (r13) — rename rewrites every file; keep
+        // each output file sorted on the (possibly just-renamed) order
+        locally {
+          val so = sortOrderCols(fs, d)
+            .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+          if (so.nonEmpty)
+            df = df.sortWithinPartitions(
+              so.map(org.apache.spark.sql.functions.col): _*)
+        }
         val token = java.util.UUID.randomUUID().toString.take(12)
         val tmp = new Path(d, s"_rename_$token")
         df.write.mode("overwrite").parquet(tmp.toString)
@@ -2890,14 +2923,70 @@ object GraftStagingCatalog {
           if (!RowLineage.enabled(fs, d)) None
           else {
             val prevTxt = latest.map { case (_, f) => readString(fs, f) }
-            Some(RowLineage.assign(prevTxt, prevTxt, files, Set.empty,
-              floor = lineageFloor(fs, d, branch)))
+            Some(assignLeased(fs, d, prevTxt, prevTxt, files, Set.empty, branch))
           }
         committed = tryCreateExclusive(fs, new Path(vd, s"v$next.json"),
           manifestJson(files, batchId, "commit", dvs, rids))
         if (committed && branch.isEmpty) maybeCheckpoint(fs, d, next, files, dvs)
       }
     }
+
+  /** CROSS-PROCESS row-id allocation leases (r13). The watermark floor
+    * serializes allocation within one JVM (the catalog monitor), but two
+    * DRIVER PROCESSES sharing a table dir read floors independently and
+    * commit to DIFFERENT log files (main vs a branch), so both can hand
+    * out the same base range — previously caught only as a rebase
+    * REFUSAL. A lease makes the allocation itself atomic across
+    * processes: before committing, an allocating writer CLAIMS its range
+    * by create-exclusive `_graft_rowlease/lease-<start>` (content = the
+    * range end). Claims at the same start collide on the NAME — exactly
+    * one process wins; the loser re-reads the floors (which now include
+    * the winner's lease end) and retries above it. Starts are always the
+    * max of every visible watermark and lease end, so overlapping ranges
+    * with DIFFERENT starts cannot arise (a start strictly inside a
+    * claimed range would require observing a watermark inside it, which
+    * only a commit inside it could produce — induction grounds out at
+    * the same-start collision). A crashed claim permanently skips its
+    * range — ids are 2^32-strided, skipping is free; vacuum reclaims
+    * leases the logs have overtaken. The rebase collision guard stays as
+    * defense in depth (pre-lease tables, vacuumed ledgers).
+    */
+  private[catalog] val RowLeaseDir = "_graft_rowlease"
+
+  /** Max end across visible leases — joins the watermark floor. */
+  private[catalog] def leaseFloor(fs: FileSystem, d: Path): Long = {
+    val ld = new Path(d, RowLeaseDir)
+    (try fs.listStatus(ld).toIndexedSeq
+     catch { case _: java.io.FileNotFoundException => IndexedSeq.empty })
+      .iterator.filter(st => st.isFile && st.getPath.getName.startsWith("lease-"))
+      .map(st =>
+        try readString(fs, st.getPath).trim.toLong
+        catch { case _: Exception => 0L }) // torn write: ignore (floor-safe)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Lineage assignment with a cross-process allocation lease: claims the
+    * fresh range `[allocStart, next)` before the caller commits. No fresh
+    * files ⇒ nothing to claim. Called under the catalog monitor.
+    */
+  private[catalog] def assignLeased(fs: FileSystem, d: Path,
+      prevMapTxt: Option[String], nextFromTxt: Option[String],
+      files: Seq[String], mat: Set[String],
+      ownBranch: Option[String]): (Seq[String], Long) = {
+    while (true) {
+      val floor = math.max(lineageFloor(fs, d, ownBranch), leaseFloor(fs, d))
+      val a = RowLineage.assignRange(prevMapTxt, nextFromTxt, files, mat, floor)
+      if (a.freshCount == 0) return (a.vector, a.next)
+      val ld = new Path(d, RowLeaseDir)
+      fs.mkdirs(ld)
+      if (tryCreateExclusive(fs, new Path(ld, s"lease-${a.allocStart}"),
+          a.next.toString))
+        return (a.vector, a.next)
+      // lost the claim to another PROCESS: its lease end is visible now —
+      // the re-read floor moves this allocation above it
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Branch-aware row-id allocation floor (r12): the max `nextRowId`
     * watermark across every log OTHER than the one being committed to
@@ -2977,8 +3066,7 @@ object GraftStagingCatalog {
             val latestTxt = (branch.fold(headManifest(fs, d))(b => branchHead(fs, d, b)))
               .map { case (_, f) => readString(fs, f) }
             val mapTxt = rowIdsFrom.map(readString(fs, _)).orElse(latestTxt)
-            Some(RowLineage.assign(mapTxt, latestTxt, files, matFiles,
-              floor = lineageFloor(fs, d, branch)))
+            Some(assignLeased(fs, d, mapTxt, latestTxt, files, matFiles, branch))
           }
         if (tryCreateExclusive(fs, new Path(vd, s"v${latest + 1}.json"),
             manifestJson(files, None, kind, dvs, rids)))
@@ -3053,6 +3141,17 @@ object GraftStagingCatalog {
   private[catalog] val PosDeleteMaxRowsKey = "spark.graft.pos-delete.max-matched-rows"
   private[catalog] val PosDeleteMaxRowsDefault = 1000000
 
+  /** Matched-row ceiling for the DISTRIBUTED run-sidecar path (r13): above
+    * the driver-map cap and at or below this, the DELETE writes per-file
+    * run-encoded sidecars from the EXECUTORS ([[DeletionVectors
+    * .writePosRunDv]]) — the driver sees only (file, sidecar) names, never
+    * an ordinal. Above it, a match this broad suppresses a large fraction
+    * of every touched file and the copy-on-write rewrite is the better
+    * trade (reads stop paying per-row membership tests forever after).
+    */
+  private[catalog] val PosDeleteMaxDistRowsKey = "spark.graft.pos-delete.max-distributed-rows"
+  private[catalog] val PosDeleteMaxDistRowsDefault = 500000000L
+
   /** POSITION-delete DELETE (keyless merge-on-read — the Iceberg
     * (file, pos) shape): no rewrite at all. Matching rows are located as
     * `(table-relative file, _metadata.row_index)` — zone maps first split
@@ -3066,17 +3165,25 @@ object GraftStagingCatalog {
     * Already-suppressed rows never re-match (the matching read applies the
     * in-force position DVs), so repeated overlapping DELETEs stay exact.
     *
-    * BOUNDED (r12): the driver materializes AT MOST
-    * [[PosDeleteMaxRowsKey]]+1 matched ordinals — the locating collect is
-    * capped with a LIMIT, so the cap is structural, not advisory. A
-    * broader match abandons the sidecar and falls back to the
-    * file-granular COW rewrite ([[filesAfterDelete]] — which reads the
-    * touched files THROUGH the in-force position DVs, so suppressed rows
-    * never resurrect), committing with the in-force sidecars carried
-    * verbatim: untouched files keep their suppressed ordinals, and
-    * entries naming rewritten/dropped files go inert with their files.
+    * THREE-BAND cost model (r12 bound, r13 distributed middle band): the
+    * driver materializes AT MOST [[PosDeleteMaxRowsKey]]+1 matched
+    * ordinals — the locating collect is capped with a LIMIT, so the cap is
+    * structural, not advisory. Under the cap, the collected set IS the
+    * (driver-map JSON) sidecar. Over it, the matched set is re-located as
+    * a DataFrame and the EXECUTORS write per-file run-encoded sidecars
+    * ([[DeletionVectors.writePosRunDv]]) — the driver handles only the
+    * file→sidecar-name descriptor, so a 200M-ordinal retention DELETE
+    * costs one candidate-file pass + sidecar bytes, never driver heap.
+    * Over [[PosDeleteMaxDistRowsKey]] the statement abandons the sidecar
+    * (suppressing most of every touched file forever loses to rewriting
+    * once) and falls back to the file-granular COW rewrite
+    * ([[filesAfterDelete]] — which reads the touched files THROUGH the
+    * in-force position DVs, so suppressed rows never resurrect),
+    * committing with the in-force sidecars carried verbatim: untouched
+    * files keep their suppressed ordinals, and entries naming
+    * rewritten/dropped files go inert with their files.
     * [[StagingMaintenance.ZoneMapScan.lastPosDeleteMode]] records which
-    * path ran.
+    * path ran ("dv" | "dv-distributed" | "cow-fallback" | "noop").
     */
   private[catalog] def posDeleteWhere(fs: FileSystem, d: Path,
       filters: Array[org.apache.spark.sql.sources.Filter], baseVersion: Long,
@@ -3125,14 +3232,38 @@ object GraftStagingCatalog {
       return
     }
     if (matched.length > maxRows) {
-      // broad delete: the sidecar would cost O(matched) driver memory and
-      // every subsequent read a same-sized broadcast — rewrite the touched
-      // files instead (reading through the in-force DVs), carry the
-      // in-force sidecars for the untouched files, and commit once
-      ZoneMapScan.lastPosDeleteMode = Some("cow-fallback")
-      val (kept, rewritten) = filesAfterDelete(fs, d, filters)
-      writeExplicitManifest(fs, d, kept, kind = "delete",
-        expectedBase = Some(baseVersion), dvs = dvNames, matFiles = rewritten)
+      // over the driver-map cap: DISTRIBUTED run sidecars (r13) — locate
+      // the matched (file, ordinal) set AGAIN as a DataFrame and let the
+      // executors write per-file run-encoded sidecar files; the driver
+      // never holds an ordinal, only the (file → sidecar names) descriptor
+      // (O(covered files)). The sidecar is abandoned for the copy-on-write
+      // rewrite when the match turns out broader than the distributed
+      // ceiling — suppressing most of every touched file forever is worse
+      // than rewriting once — or when this statement both matches rows and
+      // must read through in-force RUN sidecars whose descriptor names the
+      // same files (kept simple: overlap re-runs are exact either way
+      // because the matching read above already applied them).
+      val distMax = spark.conf.getOption(PosDeleteMaxDistRowsKey)
+        .map(_.toLong).getOrElse(PosDeleteMaxDistRowsDefault)
+      val matchedDf = visible.where(coalesce(pred, lit(false)))
+        .select(col("_metadata.file_path").as("__f"),
+          col("_metadata.row_index").as("__p"))
+      val (dvName, total, runDirName) = DeletionVectors.writePosRunDv(fs, d, matchedDf)
+      if (total > distMax) {
+        // broader than the sidecar economy justifies: drop the just-written
+        // run files and rewrite the touched files instead (reading through
+        // the in-force DVs), carrying the in-force sidecars verbatim
+        fs.delete(new Path(new Path(d, DeletionVectors.DvDir), runDirName), true)
+        fs.delete(new Path(new Path(d, DeletionVectors.DvDir), dvName), false)
+        ZoneMapScan.lastPosDeleteMode = Some("cow-fallback")
+        val (kept, rewritten) = filesAfterDelete(fs, d, filters)
+        writeExplicitManifest(fs, d, kept, kind = "delete",
+          expectedBase = Some(baseVersion), dvs = dvNames, matFiles = rewritten)
+        return
+      }
+      ZoneMapScan.lastPosDeleteMode = Some("dv-distributed")
+      writeExplicitManifest(fs, d, current, kind = "delete",
+        expectedBase = Some(baseVersion), dvs = dvNames :+ dvName)
       return
     }
     ZoneMapScan.lastPosDeleteMode = Some("dv")
@@ -3235,15 +3366,25 @@ object GraftStagingCatalog {
           case None if DeletionVectors.morPos(fs, d) =>
             val posMap = headManifest(fs, d)
               .map { case (_, mf) => DeletionVectors.posMapAt(fs, d, mf) }
-              .getOrElse(Map.empty[String, Set[Long]])
-              .filter { case (f, _) => touched.contains(f) }
+              .getOrElse(DeletionVectors.PosDvs.empty)
+              .filterFiles(touched.contains)
             DeletionVectors.applyPosToRead(withMeta, posMap)
           case None => withMeta
         }
         val rawTouched =
           if (!lineage) dvApplied
           else RowLineage.materialize(dvApplied, lineageEntries).drop("_metadata")
-        val remaining = rawTouched.where(not(coalesce(pred, lit(false))))
+        val remaining0 = rawTouched.where(not(coalesce(pred, lit(false))))
+        // SORT-ORDER PRESERVATION (r13): the rewritten remainder stays
+        // per-file sorted on a declared-sort-order table (a task may
+        // concatenate several input files, so the read order alone is not
+        // enough) — the SupportsReportOrdering invariant
+        val soCols = sortOrderCols(fs, d)
+          .filter(c => remaining0.columns.exists(_.equalsIgnoreCase(c)))
+        val remaining =
+          if (soCols.isEmpty) remaining0
+          else remaining0.sortWithinPartitions(
+            soCols.map(org.apache.spark.sql.functions.col): _*)
         val token = java.util.UUID.randomUUID().toString.take(12)
         val tmp = new Path(d, s"_delete_$token")
         remaining.write.mode("overwrite").parquet(tmp.toString)

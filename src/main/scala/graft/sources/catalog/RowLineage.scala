@@ -133,6 +133,20 @@ object RowLineage {
     */
   def assign(prevMapTxt: Option[String], nextFromTxt: Option[String],
       files: Seq[String], mat: Set[String], floor: Long = 0L): (Seq[String], Long) = {
+    val a = assignRange(prevMapTxt, nextFromTxt, files, mat, floor)
+    (a.vector, a.next)
+  }
+
+  /** One version's id assignment: the rendered vector, the new watermark,
+    * and the fresh-allocation range `[allocStart, next)` (`freshCount` = 0
+    * ⇒ nothing was allocated and the range is empty) — the shape the
+    * cross-process allocation LEASE (r13) claims before committing.
+    */
+  final case class Assignment(vector: Seq[String], next: Long,
+    allocStart: Long, freshCount: Int)
+
+  def assignRange(prevMapTxt: Option[String], nextFromTxt: Option[String],
+      files: Seq[String], mat: Set[String], floor: Long = 0L): Assignment = {
     val (prev, _) = parse(prevMapTxt.getOrElse(""))
     val next0 = math.max(parse(nextFromTxt.getOrElse(""))._2, floor)
     val fresh = files.filterNot(prev.contains).sorted.zipWithIndex.toMap
@@ -140,7 +154,7 @@ object RowLineage {
       f -> prev.getOrElse(f,
         Entry(next0 + fresh(f) * Stride, mat.contains(f)))
     }.toMap
-    (render(entries), next0 + fresh.size * Stride)
+    Assignment(render(entries), next0 + fresh.size * Stride, next0, fresh.size)
   }
 
   /** Render an entry map as manifest `rowIds` lines — the rebase replay
@@ -291,7 +305,7 @@ object RowLineage {
     * as [[LineagePartition]].
     */
   final case class MorLineagePartition(fp: FilePartition, base: Long,
-      delKeys: Set[Any], delPos: Set[Long])
+      delKeys: Set[Any], delPos: DeletionVectors.PosSpec)
       extends org.apache.spark.sql.connector.read.InputPartition {
     override def preferredLocations(): Array[String] = fp.preferredLocations()
   }
@@ -302,7 +316,7 @@ object RowLineage {
   def repackMorLineage(parts: Array[org.apache.spark.sql.connector.read.InputPartition],
       entries: Map[String, Entry],
       dvKeys: Map[String, Set[Any]],
-      posDvs: Map[String, Set[Long]],
+      posDvs: DeletionVectors.PosDvs,
       statKey: org.apache.hadoop.fs.Path => String)
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val out = Array.newBuilder[org.apache.spark.sql.connector.read.InputPartition]
@@ -313,7 +327,7 @@ object RowLineage {
           val k = statKey(pf.toPath)
           val base = entries.get(k).map(_.base).getOrElse(0L)
           out += MorLineagePartition(FilePartition(idx, Array(pf)), base,
-            dvKeys.getOrElse(k, Set.empty), posDvs.getOrElse(k, Set.empty))
+            dvKeys.getOrElse(k, Set.empty), posDvs.specFor(k))
           idx += 1
         }
       case other => out += other
@@ -334,7 +348,8 @@ object RowLineage {
       inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
       info: LineageScanInfo,
       keyOrd: Int, // -1 = no equality-DV key (keyless position mode)
-      keyKind: Int) // 0 = int, 1 = long, 2 = string (ignored when keyOrd<0)
+      keyKind: Int, // 0 = int, 1 = long, 2 = string (ignored when keyOrd<0)
+      hconf: org.apache.spark.util.SerializableConfiguration)
       extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow,
@@ -345,8 +360,10 @@ object RowLineage {
 
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       partition match {
-        case MorLineagePartition(fp, base, delKeys, delPos) =>
+        case MorLineagePartition(fp, base, delKeys, delSpec) =>
           val r = inner.createReader(fp)
+          val delPos = delSpec.resolve(hconf.value)
+          val posActive = !delSpec.isEmpty
           val joinOrd = info.delegateArity
           val exprs = info.requested.fields.toIndexedSeq.zip(info.outOrds).map {
             case (f, -1)  => BoundReference(joinOrd, f.dataType, f.nullable)
@@ -361,7 +378,7 @@ object RowLineage {
               while (r.next()) {
                 val row = r.get()
                 val posDeleted =
-                  delPos.nonEmpty && delPos.contains(row.getLong(info.idxOrd))
+                  posActive && delPos.contains(row.getLong(info.idxOrd))
                 val keyDeleted = !posDeleted && keyOrd >= 0 && delKeys.nonEmpty &&
                   !row.isNullAt(keyOrd) && {
                     val k: Any = keyKind match {

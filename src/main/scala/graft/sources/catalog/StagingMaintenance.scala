@@ -102,6 +102,18 @@ object StagingMaintenance {
     require(targetFiles >= 0,
       s"target_files must be positive, or 0 for size-derived — got $targetFiles")
     val (fs, d) = tableDir(spark, catalog, ns, table)
+    // a declared-sort-order table's files are per-file sorted on the
+    // declared columns by EVERY write path (the SupportsReportOrdering
+    // invariant) — a cluster_by on a different column would silently break
+    // that, so refuse loudly (drop the property first, or cluster by the
+    // declared leading column)
+    clusterBy.foreach { cb =>
+      val so = GraftStagingCatalog.sortOrderCols(fs, d)
+      require(so.isEmpty || cb.equalsIgnoreCase(so.head),
+        s"optimize cluster_by '$cb' contradicts declared " +
+          s"'graft.sort-order'='${so.mkString(",")}' — files must stay sorted " +
+          "on the declared order; unset the table property to re-cluster")
+    }
     val latest = GraftStagingCatalog.headManifest(fs, d)
     val base = latest.map(_._1).getOrElse(0L)
     val all = latest.map { case (_, mf) => manifestFiles(fs, mf) }
@@ -139,9 +151,15 @@ object StagingMaintenance {
         case Some(mb) =>
           require(manifestDvNames(fs, d, latest).isEmpty,
             "small-file optimize cannot fold active deletion vectors — run a full OPTIMIZE")
+          // a manifest-listed file whose stat throws FNF (concurrent VACUUM
+          // / external damage) must NOT classify as a 0-byte small file —
+          // that would put the missing path into the rewrite set and fail
+          // the whole pack at read time. Carry it: the pack of the files
+          // that DO exist still succeeds, and the damage surfaces where it
+          // belongs (the next read of the carried file).
           all.partition(f =>
             (try fs.getFileStatus(new Path(d, f)).getLen
-             catch { case _: FileNotFoundException => 0L }) >= mb)
+             catch { case _: FileNotFoundException => Long.MaxValue }) >= mb)
         case None => whereFilter match {
           // WHERE-SCOPED MAINTENANCE (r12): re-cluster/compact ONLY the
           // files the predicate can touch — zone maps + partition paths
@@ -198,9 +216,15 @@ object StagingMaintenance {
         require(partitionBy.isEmpty,
           "target_files => 0 (size-derived) does not apply to partitionBy " +
             "layouts (one file per partition dir)")
+        // every `current` file is about to be READ by the rewrite — a
+        // vanished one fails the pack regardless, so fail HERE with the
+        // catalog-level concurrent-modification signal instead of silently
+        // undercounting bytes and then crashing inside the parquet scan
         val bytes = current.map(f =>
           try fs.getFileStatus(new Path(d, f)).getLen
-          catch { case _: FileNotFoundException => 0L }).sum
+          catch { case _: FileNotFoundException =>
+            throw new java.util.ConcurrentModificationException(
+              s"optimize: manifest-listed file $f is gone (concurrent VACUUM?)") }).sum
         val per = GraftStagingCatalog.targetFileSize(fs, d) match {
           case 0L => 128L << 20
           case x  => x
@@ -233,7 +257,7 @@ object StagingMaintenance {
       .getOrElse(Map.empty[String, Set[Any]])
     val posMap = latest.filter(_ => DeletionVectors.morPos(fs, d))
       .map { case (_, mf) => DeletionVectors.posMapAt(fs, d, mf) }
-      .getOrElse(Map.empty[String, Set[Long]])
+      .getOrElse(DeletionVectors.PosDvs.empty)
     val withMeta = if (!lineage) raw0 else raw0.select(col("*"), col("_metadata"))
     val dvApplied = DeletionVectors.morKey(fs, d) match {
       case Some(k) if dvMap.nonEmpty => DeletionVectors.applyToRead(withMeta, k, dvMap)
@@ -274,9 +298,22 @@ object StagingMaintenance {
             org.apache.spark.sql.functions.pmod(col(c).cast("long"),
               org.apache.spark.sql.functions.lit(n.toLong)).cast("int")
         }
-        df.withColumn("__graft_pdir", derived)
-          .repartition(col("__graft_pdir"))
-          .write.partitionBy("__graft_pdir").mode("overwrite").parquet(tmp.toString)
+        {
+          // SORT-ORDER PRESERVATION (r13): a declared-sort-order table's
+          // laid-out files stay per-file sorted — the invariant the scan's
+          // SupportsReportOrdering report rides (and what makes a bucket
+          // layout SMJ sort-free on top of exchange-free)
+          val so = GraftStagingCatalog.sortOrderCols(fs, d)
+            .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+          val base0 = df.withColumn("__graft_pdir", derived)
+            .repartition(col("__graft_pdir"))
+          val laidOut =
+            if (so.isEmpty) base0
+            else base0.sortWithinPartitions(
+              (col("__graft_pdir") +: so.map(col)): _*)
+          laidOut.write.partitionBy("__graft_pdir").mode("overwrite")
+            .parquet(tmp.toString)
+        }
         fs.listStatus(tmp).toIndexedSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("__graft_pdir="))
           .flatMap { pd =>
@@ -330,7 +367,17 @@ object StagingMaintenance {
             df.repartitionByRange(effTarget, z).sortWithinPartitions(z)
           case Some(c) =>
             df.repartitionByRange(effTarget, col(c)).sortWithinPartitions(col(c))
-          case None => df.repartition(effTarget)
+          case None =>
+            // SORT-ORDER PRESERVATION (r13): a plain compaction of a
+            // declared-sort-order table re-clusters on the declared
+            // columns — the compacted files stay per-file sorted (the
+            // SupportsReportOrdering invariant) AND the zone ranges stay
+            // disjoint, exactly what the table declared it wants
+            val so = GraftStagingCatalog.sortOrderCols(fs, d)
+              .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+            if (so.isEmpty) df.repartition(effTarget)
+            else df.repartitionByRange(effTarget, so.map(col): _*)
+              .sortWithinPartitions(so.map(col): _*)
         }
         laid.write.mode("overwrite").parquet(tmp.toString)
         fs.listStatus(tmp).toIndexedSeq
@@ -459,17 +506,19 @@ object StagingMaintenance {
     // position-delete twin of the key maps (keyless-MOR tables)
     val posFrom =
       if (morPos && fromVersion > 0L) DeletionVectors.posMapAt(fs, d, manifestOf(fromVersion))
-      else Map.empty[String, Set[Long]]
+      else DeletionVectors.PosDvs.empty
     val posTo =
       if (morPos) DeletionVectors.posMapAt(fs, d, manifestOf(toVersion))
-      else Map.empty[String, Set[Long]]
+      else DeletionVectors.PosDvs.empty
+    // distributed run sidecars compare by IDENTITY (immutable paths), so a
+    // DV-visibility change is detectable without parsing any ordinals
     val dvChanged = (from intersect to).filter(f =>
       dvFrom.getOrElse(f, Set.empty) != dvTo.getOrElse(f, Set.empty) ||
-        posFrom.getOrElse(f, Set.empty) != posTo.getOrElse(f, Set.empty))
+        posFrom.stateOf(f) != posTo.stateOf(f))
     val removed = ((from -- to) ++ dvChanged).toSeq.sorted
     val added = ((to -- from) ++ dvChanged).toSeq.sorted
     def read(fls: Seq[String], dv: Map[String, Set[Any]],
-        pos: Map[String, Set[Long]]): DataFrame = {
+        pos: DeletionVectors.PosDvs): DataFrame = {
       val reader = spark.read
       sFrom.foreach(reader.schema)
       val df =
@@ -480,7 +529,7 @@ object StagingMaintenance {
         case Some(k) =>
           DeletionVectors.applyToRead(df, k, dv.filter { case (f, _) => fls.contains(f) })
         case None if morPos && fls.nonEmpty =>
-          DeletionVectors.applyPosToRead(df, pos.filter { case (f, _) => fls.contains(f) })
+          DeletionVectors.applyPosToRead(df, pos.filterFiles(fls.contains))
         case None => df
       }
     }
@@ -534,9 +583,9 @@ object StagingMaintenance {
     }
     else {
       // persisted for the shaping below: the keyed path re-reads the diff
-      // for its window + intersect, and the keyless stable-column scan is
-      // two jobs PER COLUMN — without this each would recompute the
-      // EXCEPT-ALL diff from the changed files every time
+      // for its window + intersect, and the keyless path reads it twice
+      // (one stability-scan job + the pairing) — without this each would
+      // recompute the EXCEPT-ALL diff from the changed files every time
       val diff = rowLevelChangesAt(spark, fs, d, v - 1L, v).persist()
       try {
       val shaped = DeletionVectors.morKey(fs, d) match {
@@ -573,19 +622,40 @@ object StagingMaintenance {
           // honest answer for genuine ambiguity). All-columns-stable
           // degenerates to rows EXCEPT ALL already cancelled — skip.
           val dataCols = diff.columns.filter(_ != "_change").toSeq
-          val olds = diff.where(col("_change") === "delete")
-          val news = diff.where(col("_change") === "insert")
-          // pairing needs BOTH polarities — a pure DELETE or append-shaped
-          // rewrite short-circuits here (2 jobs) instead of paying the
-          // two-jobs-per-column multiset scan below just to conclude bare
-          val pairable = dataCols.nonEmpty && !olds.isEmpty && !news.isEmpty
+          // ONE aggregation decides everything the shaping needs (r13 —
+          // replaces two isEmpty probes + two jobs PER COLUMN): unpivot
+          // each row into (column, canonical-value) pairs and count the
+          // two polarities per group; a column is STABLE iff every one of
+          // its value-groups has equal delete/insert counts, and the
+          // per-side totals fall out of the same result (a pure DELETE or
+          // append-shaped rewrite pairs nothing). Values canonicalize via
+          // to_json(struct(v)) — injective per column for atomic types
+          // (one column = one type) and well-defined for nested ones; the
+          // one divergence from exceptAll-equality is -0.0 vs 0.0, which
+          // to_json distinguishes — the CONSERVATIVE direction (a column
+          // demoted to unstable just means those rows stay bare
+          // delete/insert, the honest-ambiguity fallback).
+          import org.apache.spark.sql.functions.{explode, map => fmap, max => fmax,
+            struct, sum => fsum, to_json}
+          val stats =
+            if (dataCols.isEmpty) Array.empty[org.apache.spark.sql.Row]
+            else {
+              val kv = dataCols.flatMap(c => Seq(lit(c), to_json(struct(col(c).as("v")))))
+              diff.select(col("_change"), explode(fmap(kv: _*)).as(Seq("_gc", "_gv")))
+                .groupBy("_gc", "_gv")
+                .agg(fsum(when(col("_change") === "delete", 1L).otherwise(0L)).as("_gd"),
+                  fsum(when(col("_change") === "insert", 1L).otherwise(0L)).as("_gi"))
+                .groupBy("_gc")
+                .agg(fmax(when(col("_gd") =!= col("_gi"), 1).otherwise(0)).as("_bad"),
+                  fsum(col("_gd")).as("_gdt"), fsum(col("_gi")).as("_git"))
+                .collect()
+            }
+          val pairable = stats.nonEmpty &&
+            stats.exists(_.getLong(2) > 0L) && stats.exists(_.getLong(3) > 0L)
           val stable =
             if (!pairable) Seq.empty
-            else dataCols.filter { c =>
-              val a = olds.groupBy(col(c)).count()
-              val b = news.groupBy(col(c)).count()
-              a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
-            }
+            else dataCols.filter(c => stats.exists(r =>
+              r.getString(0) == c && r.getInt(1) == 0))
           if (stable.isEmpty || stable.size == dataCols.size) diff
           else {
             val sCols = stable.map(col)
@@ -662,26 +732,26 @@ object StagingMaintenance {
     // version's vectors (the rowLevelChangesAt rule, identity-paired here)
     val morKey = DeletionVectors.morKey(fs, d)
     val morPos = DeletionVectors.morPos(fs, d)
-    def dvState(mv: Long): (Map[String, Set[Any]], Map[String, Set[Long]]) =
+    def dvState(mv: Long): (Map[String, Set[Any]], DeletionVectors.PosDvs) =
       if (mv <= 0L || (morKey.isEmpty && !morPos))
-        (Map.empty[String, Set[Any]], Map.empty[String, Set[Long]])
+        (Map.empty[String, Set[Any]], DeletionVectors.PosDvs.empty)
       else manifestOf(mv).map { mf =>
         (if (morKey.isDefined) DeletionVectors.dvMapAt(fs, d, mf)
          else Map.empty[String, Set[Any]],
           if (morPos) DeletionVectors.posMapAt(fs, d, mf)
-          else Map.empty[String, Set[Long]])
-      }.getOrElse((Map.empty[String, Set[Any]], Map.empty[String, Set[Long]]))
+          else DeletionVectors.PosDvs.empty)
+      }.getOrElse((Map.empty[String, Set[Any]], DeletionVectors.PosDvs.empty))
     val (dvFrom, posFrom) = dvState(v - 1L)
     val (dvTo, posTo) = dvState(v)
     val dvChanged = (fromF intersect toF).filter(f =>
       dvFrom.getOrElse(f, Set.empty) != dvTo.getOrElse(f, Set.empty) ||
-        posFrom.getOrElse(f, Set.empty) != posTo.getOrElse(f, Set.empty))
+        posFrom.stateOf(f) != posTo.stateOf(f))
     def applyDvsOf(fls: Set[String], dv: Map[String, Set[Any]],
-        pos: Map[String, Set[Long]]): DataFrame => DataFrame = morKey match {
+        pos: DeletionVectors.PosDvs): DataFrame => DataFrame = morKey match {
       case Some(k) =>
         df => DeletionVectors.applyToRead(df, k, dv.filter { case (f, _) => fls(f) })
       case None if morPos =>
-        df => DeletionVectors.applyPosToRead(df, pos.filter { case (f, _) => fls(f) })
+        df => DeletionVectors.applyPosToRead(df, pos.filterFiles(fls))
       case None => identity
     }
     val oldFiles = (fromF -- toF) ++ dvChanged
@@ -1315,7 +1385,7 @@ object StagingMaintenance {
         }
         def dvTargets(names: Set[String]): Set[String] = names.flatMap { n =>
           DeletionVectors.loadDvs(fs, d, Seq(n)).keySet ++
-            DeletionVectors.loadPosDvs(fs, d, Seq(n)).keySet
+            DeletionVectors.loadPosDvs(fs, d, Seq(n)).coveredFiles
         }
         val branchRemoved = deltas.iterator.flatMap(_.remF).toSet & forkFiles
         def conflict(what: String): Nothing =
@@ -1356,11 +1426,39 @@ object StagingMaintenance {
         // Rebase is the merge point where a collision would become two
         // live rows with one id, so refuse it loudly here (the publish
         // path is immune: it requires main AT the fork, whose vector is a
-        // prefix of the branch's).
+        // prefix of the branch's). The test must see EVERY base main
+        // allocated since the fork, not just the head vector: a main-side
+        // COW rewrite/OPTIMIZE retires a base from the vector while its
+        // preserved ids live on in the successor's physical column, so
+        // head-set membership alone would wave a branch reuse of the
+        // retired slot straight into duplicate live `_row_id`s. Bases are
+        // slot-aligned (`next + i·2^32`), so base equality IS range
+        // overlap. Branch-ALLOCATED entries are exactly those at or above
+        // the fork watermark (everything below was inherited); same-JVM
+        // interleaved allocations stay disjoint by the shared floor and
+        // pass untouched.
         if (lineageOn) {
-          val mainBases = mainE.valuesIterator.map(_.base).toSet
+          val forkNext =
+            if (fork == 0L) 0L
+            else RowLineage.parse(readString(fs,
+              GraftStagingCatalog.probeManifest(fs, d, fork).getOrElse(
+                throw new IllegalStateException(
+                  s"rebase: fork version $fork of $catalog.$ns.$table is gone (VACUUMed?)"))))._2
+          var missingMid = false
+          val mainEverBases = ((fork + 1L) to mainHead).iterator.flatMap { v =>
+            GraftStagingCatalog.probeManifest(fs, d, v) match {
+              case Some(mf) =>
+                RowLineage.parse(readString(fs, mf))._1.valuesIterator.map(_.base)
+              case None => missingMid = true; Iterator.empty
+            }
+          }.toSet
+          // a vacuumed intermediate manifest can hide a retired slot —
+          // fall back to the conservative watermark test (refuse ANY
+          // branch-allocated base below main's head watermark; over-refusal
+          // is safe, the remedy is re-branch + re-apply)
           val clash = deltas.iterator.flatMap(_.rowIds.iterator).collectFirst {
-            case (f, e) if !mainE.contains(f) && mainBases(e.base) => f
+            case (f, e) if e.base >= forkNext &&
+              (mainEverBases(e.base) || (missingMid && e.base < mainNext)) => f
           }
           clash.foreach(f => conflict(
             s"row-id base of branch file $f collides with a main allocation " +
@@ -1800,6 +1898,49 @@ object StagingMaintenance {
             fs.delete(st.getPath, true); ()
           }
         }
+      // DISTRIBUTED run-sidecar dirs (r13): `dvr-<token>/` is reclaimable
+      // once its descriptor `dvr-<token>.json` is referenced by no
+      // retained manifest — either the descriptor died above, or it never
+      // committed (a DELETE that crashed between the executor writes and
+      // its manifest commit). The temp-dir TTL guards the in-flight case:
+      // an active DELETE's dir has recent leaves, a dead one's tree is
+      // uniformly old.
+      (try fs.listStatus(dvDir).toIndexedSeq
+       catch { case _: FileNotFoundException => Seq.empty })
+        .foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("dvr-") &&
+              !referencedDvs(n + ".json") &&
+              (try treeMaxMtime(st.getPath) < tempHorizon
+               catch { case _: FileNotFoundException => false })) {
+            fs.delete(st.getPath, true); ()
+          }
+        }
+      // row-id allocation leases (r13) the logs have overtaken: a lease
+      // whose end is at or below the max watermark across every log was
+      // consumed by its commit (or superseded by later allocations) — the
+      // manifests now carry the authoritative floor. A crashed claim ABOVE
+      // the watermark stays forever, permanently skipping its range
+      // (2^32-strided ids make skipping free; reclaiming it would re-open
+      // the cross-process race it exists to close).
+      if (RowLineage.enabled(fs, d)) {
+        val maxW = (GraftStagingCatalog.headManifest(fs, d).iterator ++
+          GraftStagingCatalog.readBranches(fs, d).keysIterator.flatMap(b =>
+            GraftStagingCatalog.branchHead(fs, d, b).iterator))
+          .map { case (_, mf) => RowLineage.parse(readString(fs, mf))._2 }
+          .foldLeft(0L)(math.max)
+        val ld = new Path(d, GraftStagingCatalog.RowLeaseDir)
+        (try fs.listStatus(ld).toIndexedSeq
+         catch { case _: FileNotFoundException => IndexedSeq.empty })
+          .foreach { st =>
+            val end =
+              try readString(fs, st.getPath).trim.toLong
+              catch { case _: Exception => Long.MaxValue } // torn: keep
+            if (st.isFile && st.getPath.getName.startsWith("lease-") && end <= maxW) {
+              fs.delete(st.getPath, false); ()
+            }
+          }
+      }
       GraftStagingCatalog.dropStaleCheckpoints(fs, d)
       // change-data files of reclaimed versions are unreadable history
       val keptV = keep.map(_._1).toSet
@@ -1852,11 +1993,12 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     dvKeyField: Option[org.apache.spark.sql.types.StructField] = None,
     partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty,
     streamOpts: Map[String, String] = Map.empty,
-    posDvs: Map[String, Set[Long]] = Map.empty,
+    posDvs: DeletionVectors.PosDvs = DeletionVectors.PosDvs.empty,
     posIdxCapable: Boolean = false,
     lineage: Option[Map[String, RowLineage.Entry]] = None,
     spjCandidate: Option[(GraftStagingCatalog.PartSpec,
-      org.apache.spark.sql.types.DataType)] = None)
+      org.apache.spark.sql.types.DataType)] = None,
+    sortedBy: Seq[String] = Nil)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -2045,7 +2187,8 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
             scan.readSchema().fieldNames.exists(_.equalsIgnoreCase(sp.col))
         }
         new ZoneMapPrunedScan(f, stats, filters, nulls, tableDir, blooms, dvInfo(scan),
-          partSpecs, streamOpts, posDvs, posIdxInfo(scan), lineageInfo(scan), spj)
+          partSpecs, streamOpts, posDvs, posIdxInfo(scan), lineageInfo(scan), spj,
+          sortedBy)
       case other => other
     }
   }
@@ -2140,12 +2283,14 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     dv: Option[DeletionVectors.DvScanInfo] = None,
     partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty,
     streamOpts: Map[String, String] = Map.empty,
-    posDvs: Map[String, Set[Long]] = Map.empty,
+    posDvs: DeletionVectors.PosDvs = DeletionVectors.PosDvs.empty,
     posIdx: Option[DeletionVectors.PosIdxInfo] = None,
     lineage: Option[(RowLineage.LineageScanInfo, Map[String, RowLineage.Entry])] = None,
     spjSpec: Option[(GraftStagingCatalog.PartSpec,
-      org.apache.spark.sql.types.DataType)] = None)
-    extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
+      org.apache.spark.sql.types.DataType)] = None,
+    sortedBy: Seq[String] = Nil)
+    extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   /** Streaming face of the staging-catalog scan: `readStream.table(…)`
     * tails the table's version manifests as micro-batches — see
@@ -2187,6 +2332,10 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     else delegate.columnarSupportMode()
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = delegate.createReaderFactory()
+    // executors resolve distributed run sidecars through the DRIVER's
+    // Hadoop conf (credentials, fs bindings) — shipped serialized
+    lazy val hconf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     lineage match {
       case Some((info, _)) if dv.exists(_.fileKeys.nonEmpty) || posDvs.nonEmpty =>
         // MOR + lineage combined (r12): filter DV-deleted rows, then
@@ -2197,15 +2346,16 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
           case _                                            => 2
         }
         new RowLineage.MorLineageReaderFactory(inner, info,
-          dv.map(_.keyOrdinal).getOrElse(-1), keyKind)
+          dv.map(_.keyOrdinal).getOrElse(-1), keyKind, hconf)
       case Some((info, _)) => // lineage: pushdown kept, per-file id resolution
         new RowLineage.LineageReaderFactory(inner, info)
       case None => posIdx match {
         case Some(info) => // row-index positions: pushdown kept, ordinal filter
-          new DeletionVectors.PosIdxReaderFactory(inner, info, tableDir)
+          new DeletionVectors.PosIdxReaderFactory(inner, info, tableDir, hconf)
         case None =>
           val keyed = dv.fold(inner)(info => new DeletionVectors.DvReaderFactory(inner, info))
-          if (posDvs.isEmpty) keyed else new DeletionVectors.PosDvReaderFactory(keyed)
+          if (posDvs.isEmpty) keyed
+          else new DeletionVectors.PosDvReaderFactory(keyed, hconf)
       }
     }
   }
@@ -2347,6 +2497,31 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
         }.toArray)
   }
 
+  /** SORTED-LAYOUT ORDERING REPORT (r13 — `SupportsReportOrdering`): when
+    * the table DECLARES a sort order (every write path re-sorts its output
+    * files, see the preservation contract on [[StagingMaintenance
+    * .optimize]] / the row-level Write) and the scan reports key-grouped
+    * SPJ partitions (one SPLIT per partition — a slice of one sorted file
+    * is itself sorted), each partition is provably ordered on the declared
+    * columns, so a bucketed sort-merge join skips BOTH per-task Sorts on
+    * top of skipping both Exchanges. Validity of multi-split key groups is
+    * Spark's problem and Spark already solves it: `DataSourceV2ScanExecBase
+    * .outputOrdering` drops the report whenever any key group holds more
+    * than one input partition, so concatenation never rides this. Columns
+    * pruned away withdraw the report (nothing downstream could consume
+    * it, and the reference could not resolve).
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (sortedBy.isEmpty || spjGroups.isEmpty ||
+        !sortedBy.forall(c => readSchema().fieldNames.exists(_.equalsIgnoreCase(c))))
+      Array.empty
+    else {
+      import org.apache.spark.sql.connector.{expressions => v2x}
+      sortedBy.map(c => v2x.Expressions.sort(v2x.Expressions.column(c),
+        v2x.SortDirection.ASCENDING)).toArray
+    }
+
   override def outputPartitioning(): Partitioning = spjGroups match {
     case Some(gs) =>
       val expr = spjSpec.get._1 match {
@@ -2442,7 +2617,7 @@ private[catalog] final class RowLevelGroupScan(delegate: FileScan,
       () => Map.empty,
     dv: Option[DeletionVectors.DvScanInfo] = None,
     partSpecs: Seq[GraftStagingCatalog.PartSpec] = Seq.empty,
-    posDvs: Map[String, Set[Long]] = Map.empty,
+    posDvs: DeletionVectors.PosDvs = DeletionVectors.PosDvs.empty,
     lineage: Option[(RowLineage.LineageScanInfo, Map[String, RowLineage.Entry])] = None)
     extends ZoneMapPrunedScan(delegate, stats, staticFilters, nulls, tableDir, blooms, dv,
       partSpecs, Map.empty, posDvs, None, lineage)

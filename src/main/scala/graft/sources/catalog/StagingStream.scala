@@ -371,10 +371,16 @@ private[catalog] class ChangeFeedTable(tableDirStr: String, baseSchema: StructTy
       }
       private def intersect(s: Set[Long]): Unit =
         verSet = Some(verSet.fold(s)(_ intersect s))
+      // `x - 1L` with x = Long.MinValue wraps to Long.MaxValue and would
+      // flip a tighten-nothing bound into a prune-everything one; saturate
+      // instead (the wrapped direction happens to be harmless today only
+      // because every filter stays residual — don't lean on that)
+      private def decSat(x: Long): Long =
+        if (x == Long.MinValue) Long.MinValue else x - 1L
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         filters.foreach {
           case EqualTo("_commit_version", v) => asLong(v).foreach { x =>
-            loExcl = math.max(loExcl, x - 1L); hiIncl = math.min(hiIncl, x) }
+            loExcl = math.max(loExcl, decSat(x)); hiIncl = math.min(hiIncl, x) }
           case EqualNullSafe("_commit_version", v) =>
             asLong(v).foreach(x => intersect(Set(x)))
           case In("_commit_version", vs) =>
@@ -383,9 +389,9 @@ private[catalog] class ChangeFeedTable(tableDirStr: String, baseSchema: StructTy
           case GreaterThan("_commit_version", v) =>
             asLong(v).foreach(x => loExcl = math.max(loExcl, x))
           case GreaterThanOrEqual("_commit_version", v) =>
-            asLong(v).foreach(x => loExcl = math.max(loExcl, x - 1L))
+            asLong(v).foreach(x => loExcl = math.max(loExcl, decSat(x)))
           case LessThan("_commit_version", v) =>
-            asLong(v).foreach(x => hiIncl = math.min(hiIncl, x - 1L))
+            asLong(v).foreach(x => hiIncl = math.min(hiIncl, decSat(x)))
           case LessThanOrEqual("_commit_version", v) =>
             asLong(v).foreach(x => hiIncl = math.min(hiIncl, x))
           case _ => ()

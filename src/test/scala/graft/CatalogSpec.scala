@@ -1019,6 +1019,71 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("sorted-layout ordering report: bucketed SMJ skips its Sorts on declared-sort-order layouts; unordered layout keeps them") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    def mk(name: String, sorted: Boolean, filter: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$name")
+      val props = if (sorted) " TBLPROPERTIES ('graft.sort-order'='k')" else ""
+      spark.sql(s"CREATE TABLE stage_t.ws.$name (k BIGINT, v BIGINT) " +
+        s"PARTITIONED BY (bucket(4, k))$props")
+      spark.sql(s"INSERT INTO stage_t.ws.$name " +
+        s"SELECT id, id * 7 FROM range(0, 400) WHERE $filter")
+      StagingMaintenance.optimize(spark, "stage_t", "ws", name,
+        partitionBy = Some("bucket(4,k)"))
+    }
+    mk("soj1", sorted = true, "id >= 0")
+    mk("soj2", sorted = true, "id % 3 = 0")
+    mk("suj1", sorted = false, "id >= 0")
+    mk("suj2", sorted = false, "id % 3 = 0")
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def join(a: String, b: String) = spark.sql(
+        s"SELECT x.k, x.v AS va, y.v AS vb FROM stage_t.ws.$a x " +
+          s"JOIN stage_t.ws.$b y ON x.k = y.k")
+      // SORTED pair: exchange-free AND sort-free — the scan reports
+      // per-partition ordering on the declared column, the SMJ's required
+      // ordering is satisfied, and both per-task Sorts vanish
+      val j = join("soj1", "soj2")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"), s"expected a shuffle-free SPJ plan:\n$p")
+      assert(!p.contains(" Sort ["), s"expected a SORT-FREE bucketed SMJ:\n$p")
+      val rows = j.collect()
+      assert(rows.length === 134) // multiples of 3 in [0, 400)
+      assert(rows.forall(r => r.getLong(1) === r.getLong(0) * 7 &&
+        r.getLong(2) === r.getLong(0) * 7), "sort-free SMJ mis-joined")
+      // checksum against a plain recompute — a desynced merge (the failure
+      // mode an unsorted partition would cause) cannot hash-match
+      val viaSmj = j.agg(sum(col("va") * (col("k") % 97 + 1))).collect()(0).getLong(0)
+      val viaRaw = spark.sql(
+        """SELECT CAST(sum(id * 7 * (id % 97 + 1)) AS BIGINT)
+          |FROM range(0, 400) WHERE id % 3 = 0""".stripMargin).collect()(0).getLong(0)
+      assert(viaSmj === viaRaw)
+      // UNORDERED pair: same exchange-free SPJ, but no ordering is claimed
+      // (no declared sort) — the SMJ keeps its per-task Sorts and is exact
+      val j2 = join("suj1", "suj2")
+      val p2 = j2.queryExecution.executedPlan.toString
+      assert(p2.contains("SortMergeJoin") && !p2.contains("Exchange"), p2)
+      assert(p2.contains(" Sort ["),
+        s"unordered layout must keep the SMJ Sorts:\n$p2")
+      assert(j2.count() === 134L)
+      // MIXED pair: one side unordered ⇒ at least that side sorts; exact
+      val j3 = join("soj1", "suj2")
+      assert(j3.queryExecution.executedPlan.toString.contains(" Sort ["), "mixed pair must sort")
+      assert(j3.count() === 134L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    Seq("soj1", "soj2", "suj1", "suj2").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
+  }
+
   test("bucket re-spec: a retired same-prefix spec withdraws the SPJ report") {
     // the aliasing hazard the SPJ candidate guards structurally: after
     // bucket(4,k) → bucket(8,k) evolution, the old residue dirs (0..3)
@@ -2604,8 +2669,11 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"SELECT count(*) FROM stage_t.ws.pdb $where").collect()(0).getLong(0)
     val before = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "pdb").toSet
     // a tiny cap forces the structural bound to show at test scale; the
-    // LIMIT in posDeleteWhere guarantees ≤ cap+1 rows ever reach the driver
+    // LIMIT in posDeleteWhere guarantees ≤ cap+1 rows ever reach the driver.
+    // The distributed ceiling drops below the broad match too (r13), so
+    // this test still pins the COW fallback band above BOTH sidecar modes.
     spark.conf.set("spark.graft.pos-delete.max-matched-rows", "50")
+    spark.conf.set("spark.graft.pos-delete.max-distributed-rows", "100")
     try {
       // selective delete (≤ cap): the zero-rewrite DV economy is kept
       spark.sql("DELETE FROM stage_t.ws.pdb WHERE k >= 100 AND k < 140")
@@ -2636,8 +2704,105 @@ class CatalogSpec extends SparkSpec {
       // zone-mapped fully-matching files may drop metadata-only; the split
       // diagnostic proves the statement went through the COW kernel
       assert(ZoneMapScan.lastDeleteSplit.isDefined)
-    } finally spark.conf.unset("spark.graft.pos-delete.max-matched-rows")
+    } finally {
+      spark.conf.unset("spark.graft.pos-delete.max-matched-rows")
+      spark.conf.unset("spark.graft.pos-delete.max-distributed-rows")
+    }
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.pdb")
+  }
+
+  test("position-delete distributed sidecars: over-cap DELETE writes per-file run sidecars, reads exact, fold + vacuum reclaim") {
+    import graft.sources.catalog.{DeletionVectors, StagingMaintenance, ZoneMapScan}
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pdd")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.pdd (k BIGINT, v STRING)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO stage_t.ws.pdd SELECT /*+ REPARTITION_BY_RANGE(4, id) */ " +
+      "id AS k, CAST(id AS STRING) AS v FROM range(0, 1000)")
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "pdd", Seq("k"))
+    def count(where: String = ""): Long =
+      spark.sql(s"SELECT count(*) FROM stage_t.ws.pdd $where").collect()(0).getLong(0)
+    val tblDir = new org.apache.hadoop.fs.Path(s"$stageRoot/ws/pdd")
+    val fs = tblDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val dvDir = new org.apache.hadoop.fs.Path(tblDir, DeletionVectors.DvDir)
+    val before = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "pdd").toSet
+    spark.conf.set("spark.graft.pos-delete.max-matched-rows", "50")
+    try {
+      // matched = 200 keys in two disjoint bands (the predicate must stay
+      // V1-translatable to reach the position path; the two bands make the
+      // run encoding non-trivial) — over the 50-row driver cap, under the
+      // distributed ceiling: executors write run sidecars, the driver
+      // never holds an ordinal (structurally: the locating collect is
+      // LIMIT-capped at 51, and the committed descriptor maps files to
+      // run-FILE names only)
+      spark.sql("DELETE FROM stage_t.ws.pdd WHERE (k >= 100 AND k < 200) " +
+        "OR (k >= 250 AND k < 350)")
+      assert(ZoneMapScan.lastPosDeleteMode === Some("dv-distributed"),
+        s"expected the distributed sidecar path, got ${ZoneMapScan.lastPosDeleteMode}")
+      assert(StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "pdd").toSet
+        === before, "distributed position delete rewrote files")
+      val dvs = StagingMaintenance.activeDvs(spark, "stage_t", "ws", "pdd")
+      assert(dvs.size === 1 && dvs.head.startsWith("dvr-"), dvs.toString)
+      // the loaded state is run REFERENCES, not materialized ordinals
+      val loaded = DeletionVectors.loadPosDvs(fs, tblDir, dvs)
+      assert(loaded.map.isEmpty && loaded.runs.nonEmpty,
+        s"distributed sidecar materialized a driver map: $loaded")
+      // covered files are exactly the two range files holding k < 400
+      assert(loaded.runs.size === 2, loaded.runs.keys.toString)
+      assert(loaded.runs.values.forall(_.nonEmpty))
+      val descriptor = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(dvDir, dvs.head))
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      }
+      assert(descriptor.contains("\"rows\":200"), descriptor)
+      // exactness: the two bands suppressed, everything else intact
+      assert(count() === 800L)
+      assert(count("WHERE k < 400") === 200L)
+      assert(count("WHERE k = 150") === 0L && count("WHERE k = 99") === 1L)
+      assert(count("WHERE k = 200") === 1L && count("WHERE k = 250") === 0L)
+      assert(count("WHERE k = 349") === 0L && count("WHERE k = 350") === 1L)
+      // pushdown survives (row-index mode): predicates still reach parquet
+      val planTxt = spark.sql("SELECT k, v FROM stage_t.ws.pdd WHERE k >= 400 AND k < 500")
+        .queryExecution.executedPlan.toString
+      assert(planTxt.contains("PushedFilters: [") && !planTxt.contains("PushedFilters: []"),
+        s"distributed-DV scan lost parquet pushdown:\n$planTxt")
+      // overlapping SECOND delete: suppressed rows never re-match — the
+      // [0,40) band is untouched by the first delete, 40 ≤ cap ⇒ inline
+      spark.sql("DELETE FROM stage_t.ws.pdd WHERE k < 40")
+      assert(ZoneMapScan.lastPosDeleteMode === Some("dv"))
+      assert(count("WHERE k < 40") === 0L && count() === 760L)
+      // time travel pins the between state (v2 = after the first delete)
+      assert(spark.sql("SELECT count(*) FROM stage_t.ws.pdd VERSION AS OF 2")
+        .collect()(0).getLong(0) === 800L)
+      // group UPDATE (keyless ⇒ COW rewrite of touched files) reads UNDER
+      // the run sidecars and carries them for untouched files
+      spark.sql("UPDATE stage_t.ws.pdd SET v = 'hot' WHERE k >= 900")
+      assert(count("WHERE v = 'hot'") === 100L)
+      assert(count("WHERE k = 150") === 0L, "UPDATE resurrected a run-suppressed row")
+      assert(count() === 760L)
+      // OPTIMIZE folds every sidecar kind away
+      StagingMaintenance.optimize(spark, "stage_t", "ws", "pdd", targetFiles = 2)
+      assert(StagingMaintenance.activeDvs(spark, "stage_t", "ws", "pdd").isEmpty)
+      assert(count() === 760L && count("WHERE k = 150") === 0L)
+      // vacuum with zero retention + zero temp TTL reclaims the descriptor
+      // AND its run dir (no retained manifest references them post-fold)
+      spark.conf.set("spark.graft.vacuum.temp-ttl-ms", "0")
+      Thread.sleep(5) // tree mtimes must fall strictly before the horizon
+      spark.sql("CALL stage_t.vacuum('ws', 'pdd', 1)")
+      val left = (try fs.listStatus(dvDir).toIndexedSeq
+        catch { case _: java.io.FileNotFoundException => IndexedSeq.empty })
+        .map(_.getPath.getName).filter(_.startsWith("dvr-"))
+      assert(left.isEmpty, s"vacuum left distributed sidecar artifacts: $left")
+      assert(count() === 760L)
+    } finally {
+      spark.conf.unset("spark.graft.pos-delete.max-matched-rows")
+      spark.conf.unset("spark.graft.vacuum.temp-ttl-ms")
+    }
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pdd")
   }
 
   test("writable branches: WAP isolation, publish conflict, branch DELETE, vacuum exemption, drop reclaims") {
@@ -2689,6 +2854,82 @@ class CatalogSpec extends SparkSpec {
     val hist = spark.sql("CALL stage_t.history('ws', 'wap')").collect().map(_.getLong(0))
     assert(hist.nonEmpty)
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.wap")
+  }
+
+  test("row lineage allocation leases: a foreign claim excludes its range cross-process; commits claim their own; vacuum keeps crashed claims") {
+    import graft.sources.catalog.{RowLineage, StagingMaintenance}
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.rll")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.rll TBLPROPERTIES ('graft.row-lineage'='true')
+        |AS SELECT id AS k FROM range(0, 50)""".stripMargin)
+    def ids(): Map[Long, Long] =
+      StagingMaintenance.readLineage(spark, "stage_t", "ws", "rll")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tblDir = new org.apache.hadoop.fs.Path(s"$stageRoot/ws/rll")
+    val fs = tblDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val leaseDir = new org.apache.hadoop.fs.Path(tblDir, "_graft_rowlease")
+    def leases(): Map[Long, Long] =
+      (try fs.listStatus(leaseDir).toIndexedSeq
+       catch { case _: java.io.FileNotFoundException => IndexedSeq.empty })
+        .filter(_.getPath.getName.startsWith("lease-"))
+        .map { st =>
+          val start = st.getPath.getName.stripPrefix("lease-").toLong
+          val in = fs.open(st.getPath)
+          val end =
+            try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            finally in.close()
+          start -> end
+        }.toMap
+    // the CTAS allocation itself claimed a lease covering its range
+    val v1 = ids()
+    assert(leases().nonEmpty, "lineage commit claimed no allocation lease")
+    assert(leases().forall { case (s, e) => s < e }, leases().toString)
+    // FOREIGN CLAIM (another driver process mid-commit): its range must be
+    // excluded even though no log carries it — this is exactly the window
+    // where pre-lease allocation handed out duplicates. Claim the precise
+    // start the next allocation would pick, so the create-exclusive
+    // collision path is exercised too (same name ⇒ one winner).
+    val curNext = leases().values.max // current watermark = last claim's end
+    val foreignEnd = curNext + 5L * RowLineage.Stride
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(leaseDir, s"lease-$curNext"), false)
+    try out.write(foreignEnd.toString.getBytes("UTF-8")) finally out.close()
+    spark.sql("INSERT INTO stage_t.ws.rll SELECT id FROM range(100, 120)")
+    val v2 = ids()
+    val freshIds = (v2 -- v1.keys).values
+    assert(freshIds.forall(_ >= foreignEnd),
+      s"allocation entered a foreign lease's range: min fresh = ${freshIds.min}, " +
+        s"foreign end = $foreignEnd")
+    assert(v2.filter { case (k, _) => v1.contains(k) } === v1,
+      "existing rows re-identified")
+    // vacuum drops every lease the log overtook (the foreign claim above
+    // included — allocation jumped past it, so the manifests carry a
+    // higher floor) and KEEPS a crashed claim still ahead of the
+    // watermark: reclaiming that one would re-open the race it closed.
+    val crashedStart = leases().values.max + 10L * RowLineage.Stride
+    val out2 = fs.create(
+      new org.apache.hadoop.fs.Path(leaseDir, s"lease-$crashedStart"), false)
+    try out2.write((crashedStart + RowLineage.Stride).toString.getBytes("UTF-8"))
+    finally out2.close()
+    spark.conf.set("spark.graft.vacuum.temp-ttl-ms", "0")
+    try {
+      Thread.sleep(5)
+      spark.sql("CALL stage_t.vacuum('ws', 'rll', 1)")
+      val left = leases()
+      assert(left.keySet === Set(crashedStart),
+        s"vacuum lease hygiene wrong: kept ${left.keySet}, expected only the " +
+          s"crashed claim $crashedStart")
+      // and the crashed claim still excludes its range from new allocations
+      spark.sql("INSERT INTO stage_t.ws.rll VALUES (7777)")
+      val v3 = ids()
+      assert(v3(7777L) >= crashedStart + RowLineage.Stride,
+        s"allocation entered a crashed claim's range: ${v3(7777L)}")
+      assert(v3.values.toSet.size === v3.size, "id collision")
+    } finally spark.conf.unset("spark.graft.vacuum.temp-ttl-ms")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.rll")
   }
 
   test("row lineage: unique stable _row_id across appends, OPTIMIZE, COW DELETE; time travel pins identities") {

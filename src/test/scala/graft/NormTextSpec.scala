@@ -1,6 +1,6 @@
 package graft
 
-/** NormText kernel: canonical form semantics (NFC + root-locale lowercase +
+/** NormText kernel: canonical form semantics (NFC + per-codepoint lowercase +
   * ASCII-whitespace collapse + trim), codegen/interpreted parity, and the
   * deliberate RE2-compatible boundary (vertical tab is NOT whitespace —
   * DuckDB's `\s` excludes it, and the oracle replay must agree).
@@ -24,6 +24,16 @@ class NormTextSpec extends SparkSpec {
 
   test("vertical tab is NOT whitespace (RE2/DuckDB \\s parity)") {
     assert(canon("a\u000bb") === "a\u000bb")
+  }
+
+  test("lowercase is per-codepoint (utf8proc parity): word-final sigma stays σ") {
+    // String.toLowerCase would give final ς via SpecialCasing; DuckDB's
+    // utf8proc lower maps Σ→σ unconditionally — the kernel must agree
+    assert(canon("ΟΔΥΣΣΕΥΣ") === "οδυσσευσ")
+    assert(canon("ΣΟΦΙΑ Σ") === "σοφια σ")
+    // supplementary-plane codepoints round-trip (Deseret capital → small)
+    assert(canon(new String(Character.toChars(0x10400))) ===
+      new String(Character.toChars(0x10428)))
   }
 
   test("SQL face and codegen agree with the static kernel; null passes through") {
