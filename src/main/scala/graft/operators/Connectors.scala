@@ -2862,6 +2862,98 @@ object Connectors {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q351
+
+  /** KEYLESS MERGE-ON-READ UPDATE/MERGE via POSITION DELTAS (r13 — the
+    * write-amplification gap the keyed MOR path left open for keyless
+    * tables): with no merge key to speak, the row id is the
+    * `(_graft_file, _graft_pos)` metadata pair (the Iceberg `_file`/`_pos`
+    * shape), so UPDATE and MERGE plan `WriteDelta` — replaced rows become
+    * run-encoded position sidecars written BY THE EXECUTORS
+    * ([[graft.sources.catalog.StagingPosDeltaWriterFactory]]; the driver
+    * sees only file→bin names), replacement rows become ordinary new
+    * files, and NOTHING is rewritten. At 100 TB: patching 0.1% of a
+    * keyless event corpus costs sidecar bytes + 0.1% new rows instead of
+    * rewriting every touched file. The same pair reads back in plain SQL
+    * as row provenance.
+    *
+    * The query drives UPDATE (modulo predicate — untranslatable, so it
+    * must take the delta path, proven by the zero-rewrite require) →
+    * overlapping UPDATE (ghosts never re-match) → MERGE (matched updates
+    * delta, unmatched insert) and aggregates the final corpus; requires
+    * pin every pre-existing file carried BY NAME across all three
+    * statements plus the run descriptors in the active DV set. Oracle
+    * recomputes the patched corpus from raw events.
+    */
+  def q351KeylessPosDelta(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events_kpd_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.events_kpd")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.events_kpd
+        |  (event_id BIGINT, event_type STRING, value DOUBLE)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.events_kpd
+        |SELECT /*+ REPARTITION_BY_RANGE(8, event_id) */ event_id, event_type, value
+        |FROM events_kpd_src""".stripMargin)
+    val before = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "events_kpd").toSet
+    // modulo predicate: the metadata-delete face cannot translate it, so
+    // this MUST ride the position-delta operation — zero rewrites
+    spark.sql(
+      "UPDATE graft_stage.work.events_kpd SET value = value + 100 WHERE event_id % 5 = 2")
+    // overlap: the same band again — replacement rows match, ghosts don't
+    spark.sql(
+      "UPDATE graft_stage.work.events_kpd SET value = value + 10 " +
+        "WHERE event_id % 5 = 2 AND event_type = 'click'")
+    // MERGE on the keyless table: the %97=3 slice re-typed via the delta
+    spark.sql(
+      """MERGE INTO graft_stage.work.events_kpd t
+        |USING (SELECT event_id FROM events_kpd_src WHERE event_id % 97 = 3) s
+        |ON t.event_id = s.event_id
+        |WHEN MATCHED THEN UPDATE SET event_type = 'patched'""".stripMargin)
+    val after = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "events_kpd").toSet
+    require(before.subsetOf(after),
+      s"keyless position deltas rewrote ${(before -- after).size} files — COW regression")
+    require(after.size > before.size,
+      "delta statements landed no replacement files")
+    val dvs = graft.sources.catalog.StagingMaintenance
+      .activeDvs(spark, "graft_stage", "work", "events_kpd")
+    require(dvs.size == 3 && dvs.forall(_.startsWith("dvr-")),
+      s"expected three run descriptors (one per delta statement), got $dvs")
+    spark.sql(
+      """SELECT event_type, count(*) AS n,
+        |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.events_kpd
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** The patched corpus recomputed from raw events: +100 on the %5=2 band,
+    * +10 more where that band is clicks, %97=3 re-typed 'patched' — hash
+    * match proves keyless position-delta UPDATE/MERGE ≡ the equivalent
+    * full recompute.
+    */
+  val q351Oracle: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+       |  ${graft.operators.Det.dsumSql("value2")} AS total
+       |FROM (
+       |  SELECT event_id,
+       |    CASE WHEN event_id % 97 = 3 THEN 'patched' ELSE event_type END
+       |      AS event_type,
+       |    CASE WHEN event_id % 5 = 2 AND event_type = 'click'
+       |           THEN value + 110
+       |         WHEN event_id % 5 = 2 THEN value + 100
+       |         ELSE value END AS value2
+       |  FROM events)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Survivors recomputed from raw events under both delete predicates —
     * hash match proves distributed-run-DV ≡ copy-on-write semantics.
     */
@@ -2951,7 +3043,8 @@ object Connectors {
     GraftQuery.sql("q346_small_file_compaction", q346SmallFileCompaction, q346Oracle),
     GraftQuery.sql("q348_where_scoped_optimize", q348WhereScopedOptimize, q348Oracle),
     GraftQuery.sql("q349_batch_change_feed", q349BatchChangeFeed, q349Oracle),
-    GraftQuery.sql("q350_distributed_pos_deletes", q350DistributedPosDeletes, q350Oracle))
+    GraftQuery.sql("q350_distributed_pos_deletes", q350DistributedPosDeletes, q350Oracle),
+    GraftQuery.sql("q351_keyless_pos_delta", q351KeylessPosDelta, q351Oracle))
 
   // ---------------------------------------------------------------- q332
 

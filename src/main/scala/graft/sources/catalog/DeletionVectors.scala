@@ -57,6 +57,32 @@ object DeletionVectors {
     */
   val PosMarker = "#pos"
 
+  /** `(_graft_file, _graft_pos)` — the POSITION ROW ID of a keyless-MOR
+    * table as DSv2 metadata columns (the Iceberg `_file`/`_pos` shape):
+    * `SupportsDelta.rowId` references them, so UPDATE/MERGE (and DELETEs
+    * whose predicate the metadata path cannot translate) plan `WriteDelta`
+    * — the writers receive each replaced row's (file, ordinal) and record
+    * it as a position-delete sidecar instead of rewriting the file. Also
+    * readable in plain SQL (`SELECT _graft_file, _graft_pos FROM t`) as
+    * row provenance.
+    */
+  val FileMetaColName = "_graft_file"
+  val PosMetaColName = "_graft_pos"
+  object fileMetaColumn extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = FileMetaColName
+    override def dataType(): DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "table-relative data file holding this row (graft position row id)"
+  }
+  object posMetaColumn extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = PosMetaColName
+    override def dataType(): DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "row ordinal within its data file (graft position row id)"
+  }
+
   /** The declared MOR key column, when the table was created merge-on-read
     * WITH a key ([[morPos]] is the keyless position-delete mode).
     */
@@ -257,6 +283,51 @@ object DeletionVectors {
     * the audit totals instead).
     */
   private val RunMagic = 0x47445652
+
+  /** Executor-side: write ONE run sidecar for `rel` from SORTED, DEDUPED
+    * ordinals (run-encoded streaming — constant space). Returns
+    * (bin name, ordinal count). Names are UUID-fresh so task retries never
+    * collide; orphans stay unreferenced for vacuum.
+    */
+  def writeRunFile(conf: org.apache.hadoop.conf.Configuration, runDirStr: String,
+      rel: String, sortedOrdinals: Iterator[Long]): (String, Long) = {
+    val name = s"run-${java.util.UUID.randomUUID().toString.take(12)}.bin"
+    val target = new Path(runDirStr, name)
+    val fsx = target.getFileSystem(conf)
+    val out = new java.io.DataOutputStream(fsx.create(target, false))
+    var count = 0L
+    try {
+      out.writeInt(RunMagic); out.writeInt(1); out.writeUTF(rel)
+      var runStart = 0L; var runLen = 0L
+      sortedOrdinals.foreach { p =>
+        if (runLen > 0 && p == runStart + runLen - 1) () // duplicate: skip
+        else if (runLen > 0 && p == runStart + runLen) { runLen += 1; count += 1 }
+        else {
+          if (runLen > 0) { out.writeLong(runStart); out.writeLong(runLen) }
+          runStart = p; runLen = 1; count += 1
+        }
+      }
+      if (runLen > 0) { out.writeLong(runStart); out.writeLong(runLen) }
+    } finally out.close()
+    (name, count)
+  }
+
+  /** Driver-side: commit a run-descriptor sidecar naming the per-file bins
+    * written by [[writeRunFile]]. Returns the DvDir-relative name.
+    */
+  def writeRunDescriptor(fs: FileSystem, d: Path, runDirName: String,
+      perFile: Map[String, Seq[String]], totalRows: Long): String = {
+    val body = perFile.toSeq.sortBy(_._1).map { case (f, bins) =>
+      "\"" + enc(f) + "\":[" + bins.sorted.map(b => "\"" + b + "\"").mkString(",") + "]"
+    }.mkString(",")
+    val name = s"$runDirName.json"
+    val json =
+      s"""{"type":"posrun","dir":"$runDirName","rows":$totalRows,"files":{$body}}"""
+    val out = fs.create(new Path(new Path(d, DvDir), name), false)
+    try out.write(json.getBytes(UTF_8)) finally out.close()
+    name
+  }
+
   private def readRunFile(conf: org.apache.hadoop.conf.Configuration, p: Path)
       (emit: ((Long, Long)) => Unit): Unit = {
     val fsx = p.getFileSystem(conf)
@@ -313,55 +384,29 @@ object DeletionVectors {
       .as[(String, Long)]
       .mapPartitions { it =>
         val conf = confBc.value.value
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        var curFull: String = null
-        var curRel: String = null
-        var curName: String = null
-        var stream: java.io.DataOutputStream = null
-        var runStart = 0L; var runLen = 0L; var count = 0L; var lastP = Long.MinValue
         def rel(full: String): String = {
           val ix = full.indexOf(prefix)
           if (ix >= 0) full.substring(ix + prefix.length)
           else full.substring(full.lastIndexOf('/') + 1)
         }
-        def flushRun(): Unit =
-          if (runLen > 0) { stream.writeLong(runStart); stream.writeLong(runLen) }
-        def closeFile(): Unit = if (stream != null) {
-          flushRun()
-          stream.close()
-          out += ((curRel, curName, count))
-          stream = null; runLen = 0; count = 0; lastP = Long.MinValue
-        }
-        it.foreach { case (full, p) =>
-          if (full != curFull) {
-            closeFile()
-            curFull = full
-            curRel = rel(full)
-            curName = s"run-${java.util.UUID.randomUUID().toString.take(12)}.bin"
-            val target = new Path(runDirStr, curName)
-            val fsx = target.getFileSystem(conf)
-            stream = new java.io.DataOutputStream(fsx.create(target, false))
-            stream.writeInt(RunMagic); stream.writeInt(1); stream.writeUTF(curRel)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val rows = it.buffered // name must not collide with Iterator.buffered
+        while (rows.hasNext) {
+          val full = rows.head._1
+          val ords = new Iterator[Long] {
+            override def hasNext: Boolean = rows.hasNext && rows.head._1 == full
+            override def next(): Long = rows.next()._2
           }
-          if (p != lastP) { // duplicates collapse (sorted input)
-            if (runLen > 0 && p == runStart + runLen) runLen += 1
-            else { flushRun(); runStart = p; runLen = 1 }
-            count += 1; lastP = p
-          }
+          val r = rel(full)
+          val (bin, count) = writeRunFile(conf, runDirStr, r, ords)
+          out += ((r, bin, count))
         }
-        closeFile()
         out.iterator
       }.collect()
-    val perFile = written.groupBy(_._1)
+    val perFile = written.groupBy(_._1).map { case (f, bins) =>
+      f -> bins.map(_._2).toSeq }
     val total = written.iterator.map(_._3).sum
-    val body = perFile.toSeq.sortBy(_._1).map { case (f, bins) =>
-      "\"" + enc(f) + "\":[" +
-        bins.sortBy(_._2).map(b => "\"" + b._2 + "\"").mkString(",") + "]"
-    }.mkString(",")
-    val name = s"dvr-$token.json"
-    val json = s"""{"type":"posrun","dir":"$runDirName","rows":$total,"files":{$body}}"""
-    val out = fs.create(new Path(dvDir, name), false) // descriptors are immutable
-    try out.write(json.getBytes(UTF_8)) finally out.close()
+    val name = writeRunDescriptor(fs, d, runDirName, perFile, total)
     (name, total, runDirName)
   }
 
@@ -475,6 +520,114 @@ object DeletionVectors {
   final case class PosDvPartition(inner: FilePartition, spec: PosSpec)
       extends InputPartition {
     override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  /** One file's splits as their own partition for reads that ATTRIBUTE
+    * rows to their `(file, ordinal)` position row id — plain
+    * `_graft_file`/`_graft_pos` metadata reads and the position-delta
+    * rewrite scan (r13). Carries the file's table-relative name, its
+    * lineage id base (0 off-lineage), and its in-force position deletes.
+    */
+  final case class PosMetaPartition(fp: FilePartition, rel: String, base: Long,
+      spec: PosSpec) extends InputPartition {
+    override def preferredLocations(): Array[String] = fp.preferredLocations()
+  }
+
+  /** Scan-side info for a posMeta read, resolved on the driver against the
+    * delegate's BUILT wide schema: `requested` is what the scan reports;
+    * `physOrd` (-1 = lineage carrier absent) and `idxOrd` locate the
+    * carriers; `outOrds` maps each requested field — ≥0 a delegate
+    * ordinal, -1 `_graft_file`, -2 `_graft_pos`, -3 `_row_id`.
+    */
+  final case class PosMetaInfo(requested: StructType, physOrd: Int, idxOrd: Int,
+      outOrds: Array[Int], wide: StructType,
+      entries: Map[String, RowLineage.Entry] = Map.empty)
+
+  /** Reader factory of the position-row-id read: drop rows the in-force
+    * position deletes suppress (inline + distributed runs, resolved
+    * in-executor), then project the requested schema — data columns off
+    * the delegate row, `_graft_file` as the partition's constant,
+    * `_graft_pos` as the parquet-generated true ordinal (row-group-skip
+    * safe, so pushdown stays on), `_row_id` via the lineage rule.
+    */
+  final class PosMetaReaderFactory(inner: PartitionReaderFactory, info: PosMetaInfo,
+      hconf: org.apache.spark.util.SerializableConfiguration)
+      extends PartitionReaderFactory {
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection}
+
+    override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+      partition match {
+        case PosMetaPartition(fp, rel, base, spec) =>
+          val r = inner.createReader(fp)
+          val deleted = spec.resolve(hconf.value)
+          val active = !spec.isEmpty
+          val relU = org.apache.spark.unsafe.types.UTF8String.fromString(rel)
+          val idx = info.idxOrd
+          new PartitionReader[InternalRow] {
+            private lazy val proj = UnsafeProjection.create(info.requested)
+            private val buf = new GenericInternalRow(info.outOrds.length)
+            private var cur: InternalRow = _
+            override def next(): Boolean = {
+              while (r.next()) {
+                val row = r.get()
+                if (!(active && deleted.contains(row.getLong(idx)))) {
+                  cur = row; return true
+                }
+              }
+              false
+            }
+            override def get(): InternalRow = {
+              var i = 0
+              while (i < info.outOrds.length) {
+                val v: Any = info.outOrds(i) match {
+                  case -1 => relU
+                  case -2 => cur.getLong(idx)
+                  case -3 =>
+                    if (info.physOrd >= 0 && !cur.isNullAt(info.physOrd))
+                      cur.getLong(info.physOrd)
+                    else base + cur.getLong(idx)
+                  case ord =>
+                    if (cur.isNullAt(ord)) null
+                    else cur.get(ord, info.wide(ord).dataType)
+                }
+                buf.update(i, v)
+                i += 1
+              }
+              proj(buf)
+            }
+            override def close(): Unit = r.close()
+          }
+        case other => inner.createReader(other)
+      }
+  }
+
+  /** Repack pruned partitions one-file-per-partition for the position-
+    * row-id read: every file's splits stay together (offset-sorted), each
+    * carrying its relative name, lineage base, and in-force deletes.
+    */
+  def repackPosMeta(parts: Array[InputPartition], dv: PosDvs,
+      entries: Map[String, RowLineage.Entry],
+      statKey: org.apache.hadoop.fs.Path => String): Array[InputPartition] = {
+    val byFile = scala.collection.mutable.LinkedHashMap.empty[String,
+      scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.execution.datasources.PartitionedFile]]
+    parts.foreach {
+      case fp: FilePartition =>
+        fp.files.foreach { pf =>
+          byFile.getOrElseUpdate(statKey(pf.toPath),
+            scala.collection.mutable.ArrayBuffer.empty) += pf
+        }
+      case other =>
+        throw new IllegalStateException(
+          s"position-row-id read over a non-file partition: $other")
+    }
+    byFile.iterator.zipWithIndex.map { case ((rel, pfs), i) =>
+      PosMetaPartition(FilePartition(i, pfs.sortBy(_.start).toArray), rel,
+        entries.get(rel).map(_.base).getOrElse(0L),
+        dv.specFor(rel)): InputPartition
+    }.toArray
   }
 
   /** Spark's generated row-index column under its TEMPORARY name — a read

@@ -626,9 +626,20 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
         mfOpt.map(mf => RowLineage.parse(GraftStagingCatalog.readString(tableFs, mf))._1)
           .getOrElse(Map.empty)
       }
+    /** Keyless merge-on-read (position-delete) mode for this table. */
+    private lazy val morPosOn = DeletionVectors.morPos(tableFs, dir)
     override def metadataColumns()
-        : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-      if (lineageOn) Array(RowLineage.metaColumn) else Array.empty
+        : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+      val lin: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+        if (lineageOn) Array(RowLineage.metaColumn) else Array.empty
+      // keyless-MOR tables expose their (file, ordinal) position row id
+      // (r13) — the SupportsDelta rowId of the position-delta rewrite and
+      // a plain-SQL provenance surface
+      if (morPosOn)
+        lin ++ Array[org.apache.spark.sql.connector.catalog.MetadataColumn](
+          DeletionVectors.fileMetaColumn, DeletionVectors.posMetaColumn)
+      else lin
+    }
     /** Merge-on-read declaration: the merge-key field, when the table was
       * created with `'graft.write.mode'='merge-on-read'`. Reported
       * non-nullable (as declared at CREATE — [[schema]] restores what
@@ -696,7 +707,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       // pre-r11 whole-file sequential-counter read (which had to surrender
       // ALL pushdown) remains only on the row-level-op path, which pushes
       // nothing by design.
-      val posCapable = posDvMap.nonEmpty && readDelegate.userSpecifiedSchema.isDefined
+      val posCapable = (posDvMap.nonEmpty || morPosOn) &&
+        readDelegate.userSpecifiedSchema.isDefined
       // lineage tables widen the delegate with the physical-id and
       // generated-row-index carriers so a `SELECT _row_id` prune can
       // request them; the row-index carrier ALSO serves position-DV
@@ -825,6 +837,15 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
               // merge-on-read: delta writes + deletion vectors, zero rewrites
               new StagingDeltaOperation(info, readDelegate, writeDelegate, tableFs,
                 dir, snapshotVersion, snapshotFiles, key, dvNames, branch,
+                lineage = if (lineageOn) Some(lineageEntries) else None)
+            case None if morPosOn =>
+              // keyless merge-on-read (r13): UPDATE/MERGE (and DELETEs the
+              // metadata path could not translate) are POSITION deltas —
+              // replaced rows become run-encoded (file, ordinal) sidecars
+              // written by the executors, replacement rows become ordinary
+              // new files, nothing is rewritten
+              new StagingPosDeltaOperation(info, readDelegate, writeDelegate, tableFs,
+                dir, snapshotVersion, snapshotFiles, dvNames, branch,
                 lineage = if (lineageOn) Some(lineageEntries) else None)
             case None =>
               new StagingRowLevelOperation(info, readDelegate, writeDelegate, tableFs,
@@ -2183,6 +2204,291 @@ private class StagingDeltaWriterFactory(
 
       override def commit(): WriterCommitMessage =
         DvDeltaMsg(Option(w).map(_.commit()), deleted.toArray)
+      override def abort(): Unit = if (w != null) w.abort()
+      override def close(): Unit = if (w != null) w.close()
+    }
+}
+
+
+/** POSITION-DELTA row-level operation (r13 — SQL UPDATE / MERGE INTO, and
+  * DELETEs whose predicate the metadata path cannot translate, on KEYLESS
+  * merge-on-read tables): the keyless twin of [[StagingDeltaOperation]].
+  * With no merge key to speak, the row id is the POSITION pair — the
+  * `(_graft_file, _graft_pos)` metadata columns (the Iceberg `_file`/`_pos`
+  * shape) — so Spark plans `WriteDelta` and the writers receive each
+  * replaced row's exact (file, ordinal):
+  *
+  *   - replaced/deleted rows → run-encoded position sidecars written BY
+  *     THE EXECUTORS (one immutable bin per (task, file) —
+  *     [[DeletionVectors.writeRunFile]]); the driver sees only
+  *     (file → bin names) and commits one descriptor;
+  *   - replacement/new rows → ordinary new parquet files (lazy writers:
+  *     a delete-only task lands no file);
+  *   - commit = snapshot files ++ fresh, dvs ++ descriptor — NOTHING is
+  *     rewritten. An UPDATE of 0.1% of rows scattered across a 100 TB
+  *     table costs sidecar bytes + 0.1% new rows, not a table rewrite
+  *     (the gap the group-based COW path left open for keyless tables).
+  *
+  * The operation's scan resolves through the position-row-id read path
+  * ([[DeletionVectors.PosMetaReaderFactory]]): in-force position deletes
+  * (inline AND distributed runs) are applied in-executor — ghost rows
+  * never re-match — pushdown stays on (parquet-generated ordinals), and a
+  * lineage table's `_row_id` rides along so replacement rows keep their
+  * identity exactly as the keyed MOR path preserves it. The commit stays
+  * optimistic against the snapshot version.
+  */
+private class StagingPosDeltaOperation(
+    info: org.apache.spark.sql.connector.write.RowLevelOperationInfo,
+    readDelegate: ParquetTable,
+    writeDelegate: ParquetTable,
+    tableFs: FileSystem,
+    dir: Path,
+    snapshotVersion: Long,
+    snapshotFiles: Option[Seq[String]],
+    priorDvNames: Seq[String],
+    branch: Option[String] = None,
+    lineage: Option[Map[String, RowLineage.Entry]] = None)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+    info.command()
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(DeletionVectors.FileMetaColName),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(DeletionVectors.PosMetaColName))
+
+  /** An UPDATE's replacement row carries its preserved `_row_id` exactly
+    * as on the keyed MOR path; a MERGE's NOT-MATCHED inserts carry NULL
+    * and resolve fresh off their own file's base.
+    */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (lineage.isDefined)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(RowLineage.MetaColName))
+    else Array.empty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the position-row-id read path does all the work: widen the delegate
+    // with the ordinal (and, on lineage tables, physical-id) carriers and
+    // let the plain builder's `_graft_file`/`_graft_pos` branch resolve
+    // the rewrite's requested columns, prune by zone maps, and filter
+    // through the in-force position deletes
+    val carriers =
+      if (lineage.isDefined) Seq(RowLineage.PhysField, DeletionVectors.RowIdxField)
+      else Seq(DeletionVectors.RowIdxField)
+    val scanSrc =
+      if (readDelegate.userSpecifiedSchema.isEmpty) readDelegate
+      else readDelegate.copy(userSpecifiedSchema = readDelegate.userSpecifiedSchema.map(
+        sch => StructType(sch.fields ++ carriers)))
+    scanSrc.newScanBuilder(options) match {
+      case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
+        new ZoneMapScanBuilder(fb,
+          StagingMaintenance.readStatsFor(tableFs, dir),
+          StagingMaintenance.readNullsFor(tableFs, dir),
+          dir.toString,
+          () => StagingMaintenance.readBloomsFor(tableFs, dir),
+          Map.empty, None,
+          GraftStagingCatalog.partSpecsAll(tableFs, dir),
+          Map.empty,
+          DeletionVectors.loadPosDvs(tableFs, dir, priorDvNames),
+          posIdxCapable = false,
+          lineage = lineage)
+      case other => other
+    }
+  }
+
+  override def newWriteBuilder(lwi: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new org.apache.spark.sql.connector.write.DeltaBatchWrite {
+              private val deleteOnly = lwi.schema().isEmpty
+              private val lineageMeta = !deleteOnly && lineage.isDefined &&
+                lwi.metadataSchema().isPresent &&
+                lwi.metadataSchema().get().fieldNames
+                  .exists(_.equalsIgnoreCase(RowLineage.MetaColName))
+              private val innerInfo: LogicalWriteInfo =
+                if (!lineageMeta) lwi
+                else new LogicalWriteInfo {
+                  override def options(): CaseInsensitiveStringMap = lwi.options()
+                  override def queryId(): String = lwi.queryId()
+                  override def schema(): StructType =
+                    StructType(lwi.schema().fields :+ RowLineage.PhysField)
+                  override def rowIdSchema(): java.util.Optional[StructType] =
+                    java.util.Optional.empty()
+                  override def metadataSchema(): java.util.Optional[StructType] =
+                    java.util.Optional.empty()
+                }
+              private lazy val inner = writeDelegate.newWriteBuilder(innerInfo).build().toBatch
+              private val check =
+                if (deleteOnly) None
+                else CheckConstraint.read(tableFs, dir).map(c =>
+                  (c, CheckConstraint.compile(SparkSession.active, c, lwi.schema())))
+              // the id row's (file, pos) ordinals, resolved from the
+              // declared rowId schema — never assumed positional
+              private val (fileOrd: Int, posOrd: Int) = {
+                val ridSchema = lwi.rowIdSchema().orElse(
+                  StructType(Seq(
+                    org.apache.spark.sql.types.StructField(
+                      DeletionVectors.FileMetaColName,
+                      org.apache.spark.sql.types.StringType),
+                    org.apache.spark.sql.types.StructField(
+                      DeletionVectors.PosMetaColName,
+                      org.apache.spark.sql.types.LongType))))
+                val f = ridSchema.fieldNames
+                  .indexWhere(_.equalsIgnoreCase(DeletionVectors.FileMetaColName))
+                val pp = ridSchema.fieldNames
+                  .indexWhere(_.equalsIgnoreCase(DeletionVectors.PosMetaColName))
+                require(f >= 0 && pp >= 0,
+                  s"position delta rowId schema missing file/pos: $ridSchema")
+                (f, pp)
+              }
+              // executor-written run sidecars land here; the descriptor
+              // commit below is what makes them visible
+              private val runDirName =
+                s"dvr-${java.util.UUID.randomUUID().toString.take(12)}"
+              private val runDirStr = {
+                val rd = new Path(new Path(dir, DeletionVectors.DvDir), runDirName)
+                tableFs.mkdirs(rd)
+                rd.toString
+              }
+              private val hconf = new org.apache.spark.util.SerializableConfiguration(
+                SparkSession.active.sessionState.newHadoopConf())
+
+              override def createBatchWriterFactory(pinfo: PhysicalWriteInfo)
+                  : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+                new StagingPosDeltaWriterFactory(
+                  if (deleteOnly) None else Some(inner.createBatchWriterFactory(pinfo)),
+                  fileOrd, posOrd, check,
+                  lineageMetaOrd =
+                    if (!lineageMeta) -1
+                    else lwi.metadataSchema().get().fieldNames
+                      .indexWhere(_.equalsIgnoreCase(RowLineage.MetaColName)),
+                  runDirStr, hconf)
+
+              override def useCommitCoordinator(): Boolean =
+                !deleteOnly && inner.useCommitCoordinator()
+
+              override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                val msgs = messages.collect { case m: PosDeltaMsg => m }
+                val innerMsgs = msgs.flatMap(_.inner)
+                val before = GraftStagingCatalog.dataFiles(tableFs, dir).toSet
+                if (!deleteOnly) inner.commit(innerMsgs.toArray)
+                val fresh = GraftStagingCatalog.dataFiles(tableFs, dir).filterNot(before)
+                val bins = msgs.flatMap(_.bins)
+                val snap = snapshotFiles.getOrElse(before.toSeq.sorted)
+                val dvs =
+                  if (bins.isEmpty) priorDvNames
+                  else {
+                    val perFile = bins.groupBy(_._1)
+                      .map { case (f, bs) => f -> bs.map(_._2).toSeq }
+                    priorDvNames :+ DeletionVectors.writeRunDescriptor(
+                      tableFs, dir, runDirName, perFile,
+                      bins.iterator.map(_._3).sum)
+                  }
+                GraftStagingCatalog.writeExplicitManifest(tableFs, dir, snap ++ fresh,
+                  kind = info.command().toString.toLowerCase,
+                  expectedBase = Some(snapshotVersion), dvs = dvs, branch = branch,
+                  matFiles = if (lineageMeta) fresh.toSet else Set.empty)
+              }
+
+              override def abort(messages: Array[WriterCommitMessage]): Unit = {
+                if (!deleteOnly)
+                  inner.abort(messages.collect { case PosDeltaMsg(Some(m), _) => m })
+                // best-effort: the never-referenced run dir is garbage now
+                // (vacuum would reclaim it past the TTL regardless)
+                try { tableFs.delete(new Path(runDirStr), true); () }
+                catch { case _: Exception => () }
+              }
+            }
+        }
+    }
+}
+
+/** Per-task message of the position-delta write: the inner parquet commit
+  * (None for delete-only tasks) plus the (file, bin, ordinals) run sidecars
+  * this task wrote.
+  */
+private case class PosDeltaMsg(inner: Option[WriterCommitMessage],
+    bins: Array[(String, String, Long)]) extends WriterCommitMessage
+
+/** Executor-side factory of the position-delta write: buffers each covered
+  * file's replaced ordinals (bounded by the task's own matched rows), and
+  * at task commit sorts + run-encodes them into one sidecar bin per file —
+  * the ordinals never leave the executor. Replacement rows flow to a lazy
+  * parquet writer exactly as on the keyed delta path (CHECK enforced,
+  * preserved `_row_id` landed when lineage rides along).
+  */
+private class StagingPosDeltaWriterFactory(
+    inner: Option[DataWriterFactory],
+    fileOrd: Int, posOrd: Int,
+    check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+    lineageMetaOrd: Int,
+    runDirStr: String,
+    hconf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+      private var w: org.apache.spark.sql.connector.write.DataWriter[InternalRow] = _
+      private val perFile = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      private val idRow = new GenericInternalRow(1)
+      private val joined = new JoinedRow
+      private val pred = check.map { case (text, bound) =>
+        val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(bound)
+        p.initialize(partitionId)
+        (text, p)
+      }
+
+      private def recordDelete(id: InternalRow): Unit =
+        perFile.getOrElseUpdate(id.getUTF8String(fileOrd).toString,
+          scala.collection.mutable.ArrayBuffer.empty) += id.getLong(posOrd)
+
+      private def sink(row: InternalRow, meta: InternalRow): Unit = {
+        pred.foreach { case (text, p) =>
+          if (!p.eval(row)) throw new IllegalArgumentException(
+            s"CHECK constraint violated by row-level write: ($text)")
+        }
+        if (w == null) w = inner.getOrElse(throw new IllegalStateException(
+          "position delta received a row on a delete-only plan"))
+          .createWriter(partitionId, taskId)
+        if (lineageMetaOrd < 0) w.write(row)
+        else {
+          if (meta == null || meta.isNullAt(lineageMetaOrd)) idRow.update(0, null)
+          else idRow.update(0, meta.getLong(lineageMetaOrd))
+          w.write(joined(row, idRow))
+        }
+      }
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit = recordDelete(id)
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+        recordDelete(id)
+        sink(row, meta)
+      }
+      override def insert(row: InternalRow): Unit = sink(row, null)
+
+      override def commit(): WriterCommitMessage = {
+        val conf = hconf.value
+        val bins = perFile.iterator.map { case (rel, ords) =>
+          val sorted = ords.toArray
+          java.util.Arrays.sort(sorted)
+          val (bin, count) = DeletionVectors.writeRunFile(conf, runDirStr, rel,
+            sorted.iterator)
+          (rel, bin, count)
+        }.toArray
+        PosDeltaMsg(Option(w).map(_.commit()), bins)
+      }
       override def abort(): Unit = if (w != null) w.abort()
       override def close(): Unit = if (w != null) w.close()
     }

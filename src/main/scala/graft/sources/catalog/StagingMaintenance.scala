@@ -2020,6 +2020,10 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
   // the pruned schema the query asked for WITH `_row_id` in place — set
   // only when lineage is capable and the metadata column was requested
   private var lineageOut: Option[StructType] = None
+  // the pruned schema WITH `_graft_file`/`_graft_pos` in place — the plain
+  // position-row-id read (r13): keyless-MOR tables expose their (file,
+  // ordinal) identity as metadata columns
+  private var posMetaOut: Option[StructType] = None
 
   override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
@@ -2053,6 +2057,28 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     // column present, position mode reuses the row-index carrier — the
     // combined reader ([[RowLineage.MorLineageReaderFactory]]) filters
     // deleted rows BEFORE resolving ids.
+    if (requiredSchema.fieldNames.exists(n =>
+        n.equalsIgnoreCase(DeletionVectors.FileMetaColName) ||
+          n.equalsIgnoreCase(DeletionVectors.PosMetaColName))) {
+      // POSITION ROW ID requested (`_graft_file`/`_graft_pos`, r13): the
+      // delegate reads the data columns plus the generated row index (and
+      // the physical id when `_row_id` rides along on a lineage table);
+      // the reader attributes each row to its one-file partition and
+      // filters through the in-force position deletes. Pushdown stays ON
+      // (ordinals are parquet-generated).
+      posMetaOut = Some(requiredSchema)
+      val metaNames = Set(DeletionVectors.FileMetaColName,
+        DeletionVectors.PosMetaColName, RowLineage.MetaColName)
+        .map(_.toLowerCase(java.util.Locale.ROOT))
+      val wantsId = requiredSchema.fieldNames
+        .exists(_.equalsIgnoreCase(RowLineage.MetaColName))
+      val dataFields = requiredSchema.fields
+        .filterNot(f => metaNames(f.name.toLowerCase(java.util.Locale.ROOT)))
+      val carriers =
+        if (wantsId) Seq(RowLineage.PhysField, DeletionVectors.RowIdxField)
+        else Seq(DeletionVectors.RowIdxField)
+      delegate.pruneColumns(StructType(dataFields ++ carriers))
+    } else
     if (lineage.isDefined &&
         requiredSchema.fieldNames.exists(_.equalsIgnoreCase(RowLineage.MetaColName))) {
       lineageOut = Some(requiredSchema)
@@ -2124,6 +2150,30 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
       Some(DeletionVectors.DvScanInfo(dvKeys, keyOrd, key.dataType, out, projectOrds))
     }
 
+  /** Position-row-id info against the BUILT scan's wide schema (r13):
+    * ordinals of the generated row index and (when `_row_id` rides along)
+    * the physical id carrier, plus the requested-field mapping.
+    */
+  private def posMetaInfo(scan: Scan): Option[DeletionVectors.PosMetaInfo] =
+    posMetaOut.map { requested =>
+      val wide = scan.readSchema()
+      val idxOrd = wide.fieldNames.indexWhere(_ == DeletionVectors.RowIdxField.name)
+      require(idxOrd >= 0, s"row-index carrier missing from read schema $wide")
+      val physOrd = wide.fieldNames.indexWhere(_ == RowLineage.PhysCol)
+      val outOrds = requested.fields.map { f =>
+        if (f.name.equalsIgnoreCase(DeletionVectors.FileMetaColName)) -1
+        else if (f.name.equalsIgnoreCase(DeletionVectors.PosMetaColName)) -2
+        else if (f.name.equalsIgnoreCase(RowLineage.MetaColName)) -3
+        else {
+          val o = wide.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
+          require(o >= 0, s"requested column ${f.name} missing from read schema $wide")
+          o
+        }
+      }
+      DeletionVectors.PosMetaInfo(requested, physOrd, idxOrd, outOrds, wide,
+        lineage.getOrElse(Map.empty))
+    }
+
   /** Row-index position-delete info against the BUILT scan's schema — the
     * generated ordinal column's position resolved here (FileScanBuilder
     * reorders pruned columns to table-schema order, so trailing is never
@@ -2184,11 +2234,12 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
         // ([[ZoneMapPrunedScan.spjGroups]]).
         val spj = spjCandidate.filter { case (sp, _) =>
           !dvActive && !posActive && lineage.isEmpty && !aggPushed &&
+            posMetaOut.isEmpty &&
             scan.readSchema().fieldNames.exists(_.equalsIgnoreCase(sp.col))
         }
         new ZoneMapPrunedScan(f, stats, filters, nulls, tableDir, blooms, dvInfo(scan),
           partSpecs, streamOpts, posDvs, posIdxInfo(scan), lineageInfo(scan), spj,
-          sortedBy)
+          sortedBy, posMetaInfo(scan))
       case other => other
     }
   }
@@ -2288,7 +2339,8 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     lineage: Option[(RowLineage.LineageScanInfo, Map[String, RowLineage.Entry])] = None,
     spjSpec: Option[(GraftStagingCatalog.PartSpec,
       org.apache.spark.sql.types.DataType)] = None,
-    sortedBy: Seq[String] = Nil)
+    sortedBy: Seq[String] = Nil,
+    posMeta: Option[DeletionVectors.PosMetaInfo] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
@@ -2321,13 +2373,14 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
   // with a widened-for-DV (or row-index / lineage) delegate schema, the
   // scan REPORTS the query's schema; readers project the carriers back off
   override def readSchema(): StructType =
-    lineage.map(_._1.requested)
+    posMeta.map(_.requested)
+      .orElse(lineage.map(_._1.requested))
       .orElse(posIdx.map(_.outputSchema))
       .getOrElse(dv.fold(delegate.readSchema())(_.outputSchema))
   override def toBatch: Batch = this
   override def estimateStatistics(): Statistics = delegate.estimateStatistics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    if (dv.isDefined || posDvs.nonEmpty || lineage.isDefined)
+    if (dv.isDefined || posDvs.nonEmpty || lineage.isDefined || posMeta.isDefined)
       Scan.ColumnarSupportMode.PARTITION_DEFINED
     else delegate.columnarSupportMode()
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -2336,6 +2389,8 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     // Hadoop conf (credentials, fs bindings) — shipped serialized
     lazy val hconf = new org.apache.spark.util.SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    if (posMeta.isDefined)
+      return new DeletionVectors.PosMetaReaderFactory(inner, posMeta.get, hconf)
     lineage match {
       case Some((info, _)) if dv.exists(_.fileKeys.nonEmpty) || posDvs.nonEmpty =>
         // MOR + lineage combined (r12): filter DV-deleted rows, then
@@ -2544,6 +2599,11 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
   private def planUngrouped(): Array[InputPartition] = {
     val (parts, kept, total) = prune()
     ZoneMapScan.lastPrune = Some((kept, total))
+    // position-row-id reads (r13): one partition per file carrying its
+    // relative name, lineage base, and in-force position deletes
+    if (posMeta.isDefined)
+      return DeletionVectors.repackPosMeta(parts, posDvs,
+        posMeta.get.entries, statKey)
     // lineage reads: one partition per file carrying the file's id base —
     // plus, on merge-on-read tables (r12), that file's in-force delete sets
     lineage match {

@@ -2856,6 +2856,83 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.wap")
   }
 
+  test("keyless MOR position deltas: UPDATE/MERGE/modulo-DELETE write run sidecars instead of rewriting; provenance columns; fold") {
+    import graft.sources.catalog.{StagingMaintenance}
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pdu")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.pdu (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO stage_t.ws.pdu SELECT /*+ REPARTITION_BY_RANGE(4, id) */ " +
+      "id, id * 10 FROM range(0, 1000)")
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "pdu", Seq("k"))
+    def files(): Set[String] =
+      StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "pdu").toSet
+    def agg(): (Long, Long) = {
+      val r = spark.sql(
+        "SELECT count(*), CAST(sum(v) AS BIGINT) FROM stage_t.ws.pdu").collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val f0 = files()
+    val base = (0L until 1000L).map(_ * 10L).sum
+    assert(agg() === ((1000L, base)))
+    // UPDATE with an untranslatable predicate: previously a whole-file COW
+    // rewrite; now a POSITION DELTA — every pre-existing file survives BY
+    // NAME, the replaced ordinals land as a run descriptor, and the 100
+    // replacement rows are the only new files
+    spark.sql("UPDATE stage_t.ws.pdu SET v = v + 5 WHERE k % 10 = 3")
+    val f1 = files()
+    assert(f0.subsetOf(f1), s"position-delta UPDATE rewrote ${(f0 -- f1).size} files")
+    assert(f1.size > f0.size, "UPDATE wrote no replacement files")
+    val dvs1 = StagingMaintenance.activeDvs(spark, "stage_t", "ws", "pdu")
+    assert(dvs1.size === 1 && dvs1.head.startsWith("dvr-"), dvs1.toString)
+    assert(agg() === ((1000L, base + 5L * 100L)))
+    // ghosts never re-match: the same predicate hits the REPLACEMENT rows
+    spark.sql("UPDATE stage_t.ws.pdu SET v = v + 5 WHERE k % 10 = 3")
+    assert(agg() === ((1000L, base + 10L * 100L)))
+    assert(files().intersect(f0) === f0)
+    // position provenance in plain SQL: (file, pos) is unique and file
+    // count matches the live layout
+    val prov = spark.sql(
+      "SELECT _graft_file, _graft_pos, k FROM stage_t.ws.pdu").collect()
+    assert(prov.length === 1000)
+    assert(prov.map(r => (r.getString(0), r.getLong(1))).toSet.size === 1000,
+      "duplicate (file, pos) row ids")
+    assert(prov.map(_.getString(0)).toSet.subsetOf(files()))
+    // MERGE: matched keys update (delta), unmatched insert — still no
+    // rewrite of any pre-existing file
+    val fPre = files()
+    spark.sql(
+      """MERGE INTO stage_t.ws.pdu t
+        |USING (SELECT id AS k, CAST(1 AS BIGINT) AS v FROM range(990, 1010)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = 0
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    assert(fPre.subsetOf(files()), "keyless MERGE rewrote files")
+    val matchedOld = (990L until 1000L)
+      .map(k => k * 10L + (if (k % 10 == 3) 10L else 0L)).sum
+    assert(agg() === ((1010L, base + 1000L - matchedOld + 10L)))
+    // modulo DELETE (untranslatable for the metadata path): delete-only
+    // delta — zero new data files, one more descriptor
+    val fDel = files()
+    val dvsPre = StagingMaintenance.activeDvs(spark, "stage_t", "ws", "pdu").size
+    spark.sql("DELETE FROM stage_t.ws.pdu WHERE k % 100 = 7 AND k < 500")
+    assert(files() === fDel, "delete-only delta wrote or removed data files")
+    assert(StagingMaintenance.activeDvs(spark, "stage_t", "ws", "pdu").size === dvsPre + 1)
+    val delSum = (0L until 500L).filter(_ % 100 == 7)
+      .map(k => k * 10L + (if (k % 10 == 3) 10L else 0L)).sum
+    assert(agg() === ((1005L, base + 1000L - matchedOld + 10L - delSum)))
+    // time travel pins the pre-MERGE state
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.pdu VERSION AS OF 3")
+      .collect()(0).getLong(0) === 1000L)
+    // OPTIMIZE folds every sidecar away; totals stable
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "pdu", targetFiles = 2)
+    assert(StagingMaintenance.activeDvs(spark, "stage_t", "ws", "pdu").isEmpty)
+    assert(agg() === ((1005L, base + 1000L - matchedOld + 10L - delSum)))
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pdu")
+  }
+
   test("row lineage allocation leases: a foreign claim excludes its range cross-process; commits claim their own; vacuum keeps crashed claims") {
     import graft.sources.catalog.{RowLineage, StagingMaintenance}
     mountStage()
@@ -3189,12 +3266,17 @@ class CatalogSpec extends SparkSpec {
     val sqlIds = spark.sql("SELECT k, _row_id FROM stage_t.ws.rlp")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sqlIds === afterDel, "SQL _row_id disagrees under position DVs")
-    // group-based UPDATE on a file carrying pos DVs: reads under the DVs
-    // (no resurrection), preserves ids through the metadata projection
+    // UPDATE on a file carrying pos DVs (position-DELTA since r13): reads
+    // under the DVs (no resurrection), replacement rows preserve their ids
+    // through the metadata projection, nothing is rewritten
+    val fPreUpd = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "rlp").toSet
     spark.sql("UPDATE stage_t.ws.rlp SET v = 'w' WHERE k >= 150 AND k < 160")
+    assert(fPreUpd.subsetOf(
+      StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "rlp").toSet),
+      "position-delta UPDATE rewrote files")
     val afterUpd = ids()
     assert(afterUpd.size === 350, "UPDATE resurrected or dropped rows")
-    assert(afterUpd === afterDel, "group UPDATE on pos-MOR re-identified rows")
+    assert(afterUpd === afterDel, "position-delta UPDATE re-identified rows")
     // OPTIMIZE folds pos DVs + materializes in one pass
     StagingMaintenance.optimize(spark, "stage_t", "ws", "rlp", targetFiles = 2)
     assert(StagingMaintenance.activeDvs(spark, "stage_t", "ws", "rlp").isEmpty)
