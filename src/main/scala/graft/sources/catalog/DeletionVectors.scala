@@ -312,6 +312,40 @@ object DeletionVectors {
     (name, count)
   }
 
+  /** Executor-side: COMPACT one file's position deletes — inline ordinals
+    * (as singleton runs) plus every existing run sidecar — into ONE fresh
+    * merged bin (r13, `optimize(scope => 'dvs')`). Returns
+    * (bin name, merged ordinal count).
+    */
+  def compactRunsTo(conf: org.apache.hadoop.conf.Configuration, runDirStr: String,
+      rel: String, inline: Seq[Long], bins: Seq[String]): (String, Long) = {
+    val rs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    bins.foreach(b => readRunFile(conf, new Path(b))(rs += _))
+    inline.foreach(p => rs += ((p, p)))
+    val sorted = rs.sortBy(_._1)
+    // merge touching/overlapping runs, then stream (start, len) pairs
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { case (s, e) =>
+      merged.lastOption match {
+        case Some((ls, le)) if s <= le + 1 =>
+          if (e > le) merged(merged.length - 1) = (ls, e)
+        case _ => merged += ((s, e))
+      }
+    }
+    val name = s"run-${java.util.UUID.randomUUID().toString.take(12)}.bin"
+    val target = new Path(runDirStr, name)
+    val fsx = target.getFileSystem(conf)
+    val out = new java.io.DataOutputStream(fsx.create(target, false))
+    var count = 0L
+    try {
+      out.writeInt(RunMagic); out.writeInt(1); out.writeUTF(rel)
+      merged.foreach { case (s, e) =>
+        out.writeLong(s); out.writeLong(e - s + 1L); count += e - s + 1L
+      }
+    } finally out.close()
+    (name, count)
+  }
+
   /** Driver-side: commit a run-descriptor sidecar naming the per-file bins
     * written by [[writeRunFile]]. Returns the DvDir-relative name.
     */

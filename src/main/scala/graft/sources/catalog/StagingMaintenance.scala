@@ -67,6 +67,65 @@ object StagingMaintenance {
     (fs, d)
   }
 
+  /** DV-ONLY COMPACTION (r13 — `CALL optimize(scope => 'dvs')`): fold the
+    * active position-delete sidecars of a keyless-MOR table into ONE
+    * descriptor with one merged run bin per covered file, touching NO
+    * data files. Many small delta statements (position-delta UPDATEs,
+    * selective DELETEs) accrete one descriptor each; reads stay correct
+    * (sorted-run union) but pay per-sidecar parse and membership overhead
+    * — this folds N descriptors' worth of inline ordinals + run files
+    * into one, O(sidecar bytes), executor-parallel (one task per covered
+    * file; the ordinals never visit the driver beyond what the inline
+    * JSON sidecars already materialized). Between full OPTIMIZEs this is
+    * the cheap way to keep a high-churn keyless table's read overhead
+    * flat. Returns (sidecars before, sidecars after, new version);
+    * (n, n, -1) = nothing to fold.
+    */
+  def compactDvs(spark: SparkSession, catalog: String, ns: String,
+      table: String): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    val latest = GraftStagingCatalog.headManifest(fs, d).getOrElse(
+      throw new IllegalArgumentException(
+        s"$catalog.$ns.$table has no committed version"))
+    val (base, mf) = latest
+    val dvNames = GraftStagingCatalog.manifestDvs(fs, mf)
+    if (dvNames.size < 2) return (dvNames.size, dvNames.size, -1L)
+    require(DeletionVectors.morPos(fs, d),
+      "optimize scope='dvs' folds position-delete sidecars (keyless " +
+        "merge-on-read); keyed equality DVs fold with a full OPTIMIZE")
+    val pos = DeletionVectors.loadPosDvs(fs, d, dvNames)
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val runDirName = s"dvr-$token"
+    val runDir = new Path(new Path(d, DeletionVectors.DvDir), runDirName)
+    fs.mkdirs(runDir)
+    val runDirStr = runDir.toString
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val work: Seq[(String, Seq[Long], Seq[String])] = pos.coveredFiles.toSeq.sorted
+      .map(f => (f, pos.map.getOrElse(f, Set.empty).toSeq,
+        pos.runs.getOrElse(f, Seq.empty)))
+    import spark.implicits._
+    val written = spark.createDataset(work)
+      .repartition(math.min(work.size,
+        math.max(1, spark.sparkContext.defaultParallelism)))
+      .map { case (rel, inline, bins) =>
+        val (bin, count) = DeletionVectors.compactRunsTo(
+          confBc.value.value, runDirStr, rel, inline, bins)
+        (rel, bin, count)
+      }.collect()
+    val desc = DeletionVectors.writeRunDescriptor(fs, d, runDirName,
+      written.groupBy(_._1).map { case (f, bs) => f -> bs.map(_._2).toSeq },
+      written.iterator.map(_._3).sum)
+    // same data files, one descriptor: carried files keep their lineage
+    // bases verbatim (nothing fresh, nothing materialized)
+    val v = GraftStagingCatalog.writeExplicitManifest(fs, d,
+      manifestFiles(fs, mf), kind = "optimize", expectedBase = Some(base),
+      dvs = Seq(desc))
+    (dvNames.size, 1, v)
+  }
+
   /** Compact the current file set into `targetFiles` files, committed as a
     * new version. Returns (filesBefore, filesAfter, newVersion).
     * `targetFiles = 0` derives the count from BYTES: ceil(rewritten bytes /

@@ -79,16 +79,25 @@ private[catalog] object StagingProcedures {
         val cluster = if (input.isNullAt(3)) None else Some(input.getUTF8String(3).toString)
         val part = if (input.isNullAt(4)) None else Some(input.getUTF8String(4).toString)
         val scope = input.getUTF8String(5).toString
-        require(scope == "all" || scope == "stray" || scope == "small",
-          s"optimize scope must be 'all', 'stray', or 'small', got '$scope'")
+        require(scope == "all" || scope == "stray" || scope == "small" ||
+            scope == "dvs",
+          s"optimize scope must be 'all', 'stray', 'small', or 'dvs', got '$scope'")
         val minSize = if (input.isNullAt(6)) None else Some(input.getLong(6))
         require((scope == "small") == minSize.isDefined,
           "scope='small' requires min_size_bytes (and min_size_bytes requires scope='small')")
         val where = if (input.isNullAt(7)) None else Some(input.getUTF8String(7).toString)
-        val (b, a, v) = StagingMaintenance.optimize(spark, catalog,
-          input.getUTF8String(0).toString, input.getUTF8String(1).toString,
-          input.getInt(2), cluster, part, strayOnly = scope == "stray",
-          minBytes = minSize, whereFilter = where)
+        val (b, a, v) =
+          if (scope == "dvs") {
+            // DV-only fold: counts are SIDECARS before/after, zero data
+            // files move (r13)
+            require(cluster.isEmpty && part.isEmpty && where.isEmpty,
+              "scope='dvs' takes no cluster_by/partition_by/where_filter")
+            StagingMaintenance.compactDvs(spark, catalog,
+              input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+          } else StagingMaintenance.optimize(spark, catalog,
+            input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+            input.getInt(2), cluster, part, strayOnly = scope == "stray",
+            minBytes = minSize, whereFilter = where)
         one(out, b, a, v)
       }
     }

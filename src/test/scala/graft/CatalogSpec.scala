@@ -2778,8 +2778,8 @@ class CatalogSpec extends SparkSpec {
       // time travel pins the between state (v2 = after the first delete)
       assert(spark.sql("SELECT count(*) FROM stage_t.ws.pdd VERSION AS OF 2")
         .collect()(0).getLong(0) === 800L)
-      // group UPDATE (keyless ⇒ COW rewrite of touched files) reads UNDER
-      // the run sidecars and carries them for untouched files
+      // UPDATE (a position DELTA since r13) reads UNDER the run sidecars
+      // — suppressed rows never re-match — and carries them forward
       spark.sql("UPDATE stage_t.ws.pdd SET v = 'hot' WHERE k >= 900")
       assert(count("WHERE v = 'hot'") === 100L)
       assert(count("WHERE k = 150") === 0L, "UPDATE resurrected a run-suppressed row")
@@ -2931,6 +2931,139 @@ class CatalogSpec extends SparkSpec {
     assert(StagingMaintenance.activeDvs(spark, "stage_t", "ws", "pdu").isEmpty)
     assert(agg() === ((1005L, base + 1000L - matchedOld + 10L - delSum)))
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.pdu")
+  }
+
+  test("branch-face position deltas: pos-delta UPDATE on the branch, main isolated, publish carries run sidecars") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.bpd")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.bpd (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO stage_t.ws.bpd SELECT id, id * 10 FROM range(0, 200)")
+    def sumOf(face: String): Long = spark.sql(
+      s"SELECT CAST(sum(v) AS BIGINT) FROM $face").collect()(0).getLong(0)
+    val base = (0L until 200L).map(_ * 10L).sum
+    spark.sql("CALL stage_t.branch('ws', 'bpd', 'cand')")
+    val mainFiles = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "bpd").toSet
+    // pos-delta UPDATE on the BRANCH face (modulo ⇒ must ride the delta op)
+    spark.sql("UPDATE stage_t.ws.bpd.branch_cand SET v = v + 1 WHERE k % 4 = 1")
+    assert(sumOf("stage_t.ws.bpd") === base, "branch delta leaked into main")
+    assert(sumOf("stage_t.ws.bpd.branch_cand") === base + 50L)
+    assert(StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "bpd").toSet
+      === mainFiles, "branch delta changed main's file set")
+    assert(StagingMaintenance.activeDvs(spark, "stage_t", "ws", "bpd").isEmpty,
+      "branch delta's sidecar leaked into main's head")
+    // publish fast-forwards the delta version: main now reads through the
+    // run sidecars and keeps every original file
+    spark.sql("CALL stage_t.publish('ws', 'bpd', 'cand')")
+    assert(sumOf("stage_t.ws.bpd") === base + 50L)
+    assert(mainFiles.subsetOf(
+      StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "bpd").toSet),
+      "publish lost the carried originals")
+    val dvs = StagingMaintenance.activeDvs(spark, "stage_t", "ws", "bpd")
+    assert(dvs.size === 1 && dvs.head.startsWith("dvr-"), dvs.toString)
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.bpd")
+  }
+
+  test("optimize scope='dvs': folds accreted position sidecars into one descriptor, zero data files move") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.dvc")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.dvc (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO stage_t.ws.dvc SELECT /*+ REPARTITION_BY_RANGE(4, id) */ " +
+      "id, id * 10 FROM range(0, 1000)")
+    StagingMaintenance.analyze(spark, "stage_t", "ws", "dvc", Seq("k"))
+    // accrete sidecars of BOTH kinds: two inline (translatable, under cap)
+    // deletes, one distributed (over-cap) delete, one pos-delta UPDATE
+    spark.sql("DELETE FROM stage_t.ws.dvc WHERE k >= 10 AND k < 30")
+    spark.sql("DELETE FROM stage_t.ws.dvc WHERE k >= 700 AND k < 720")
+    spark.conf.set("spark.graft.pos-delete.max-matched-rows", "50")
+    try spark.sql("DELETE FROM stage_t.ws.dvc WHERE k >= 400 AND k < 500")
+    finally spark.conf.unset("spark.graft.pos-delete.max-matched-rows")
+    spark.sql("UPDATE stage_t.ws.dvc SET v = v + 1 WHERE k % 9 = 5")
+    def dvs() = StagingMaintenance.activeDvs(spark, "stage_t", "ws", "dvc")
+    def files() = StagingMaintenance.currentFileNames(spark, "stage_t", "ws", "dvc").toSet
+    def agg(): (Long, Long) = {
+      val r = spark.sql(
+        "SELECT count(*), CAST(sum(v) AS BIGINT) FROM stage_t.ws.dvc").collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(dvs().size === 4, dvs().toString)
+    val fPre = files()
+    val pre = agg()
+    // the fold: one descriptor, same data files, identical reads
+    val (b, a, v) = StagingMaintenance.compactDvs(spark, "stage_t", "ws", "dvc")
+    assert(b === 4 && a === 1 && v > 0)
+    assert(dvs().size === 1 && dvs().head.startsWith("dvr-"))
+    assert(files() === fPre, "DV-only compaction moved data files")
+    assert(agg() === pre, "DV-only compaction changed visible rows")
+    // the CALL face and idempotence (a single descriptor is a no-op)
+    assert(spark.sql("CALL stage_t.optimize('ws', 'dvc', scope => 'dvs')")
+      .collect()(0).getInt(1) === 1)
+    // time travel still reads the PRE-fold version through its own sidecars
+    assert(spark.sql(s"SELECT count(*) FROM stage_t.ws.dvc VERSION AS OF ${v - 1}")
+      .collect()(0).getLong(0) === pre._1)
+    // subsequent deltas stack on the folded state and stay exact
+    spark.sql("DELETE FROM stage_t.ws.dvc WHERE k >= 950")
+    assert(agg()._1 === pre._1 - 50L)
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.dvc")
+  }
+
+  test("change feed of position-delta versions: keyless pairs by stable columns, lineage pairs by row id") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    // keyless, no lineage: the UPDATE's delta version serves content-paired
+    // update images (k untouched ⇒ stable column) through the batch face
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pdc")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.pdc (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO stage_t.ws.pdc SELECT id, id * 10 FROM range(0, 200)")
+    spark.sql("UPDATE stage_t.ws.pdc SET v = v + 1 WHERE k % 4 = 1") // v2, delta
+    val feed = spark.sql(
+      """SELECT _change_type, count(*) AS n FROM stage_t.ws.pdc.changes
+        |WHERE _commit_version = 2 GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed === Map("update_preimage" -> 50L, "update_postimage" -> 50L),
+      s"position-delta UPDATE version did not pair: $feed")
+    // exact images: each pre/post pair shares k, post = pre + 1
+    val pairs = spark.sql(
+      """SELECT k,
+        |  max(CASE WHEN _change_type = 'update_preimage' THEN v END) AS pre,
+        |  max(CASE WHEN _change_type = 'update_postimage' THEN v END) AS post
+        |FROM stage_t.ws.pdc.changes WHERE _commit_version = 2
+        |GROUP BY k""".stripMargin).collect()
+    assert(pairs.length === 50)
+    assert(pairs.forall(r => r.getLong(2) === r.getLong(1) + 1L),
+      "paired images do not carry the exact old->new transition")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pdc")
+    // lineage twin: images pair by ROW IDENTITY — each _row_id appears as
+    // exactly one pre and one post, even though the replacement row lives
+    // in a different file than its ghost
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pdcl")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.pdcl (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read',
+        |               'graft.row-lineage'='true')""".stripMargin)
+    spark.sql("INSERT INTO stage_t.ws.pdcl SELECT id, id * 10 FROM range(0, 200)")
+    spark.sql("UPDATE stage_t.ws.pdcl SET v = v + 1 WHERE k % 4 = 1")
+    val idPairs = spark.sql(
+      """SELECT _row_id,
+        |  sum(CASE WHEN _change_type = 'update_preimage' THEN 1 ELSE 0 END) AS pre,
+        |  sum(CASE WHEN _change_type = 'update_postimage' THEN 1 ELSE 0 END) AS post,
+        |  count(DISTINCT k) AS nk
+        |FROM stage_t.ws.pdcl.changes WHERE _commit_version = 2
+        |GROUP BY _row_id""".stripMargin).collect()
+    assert(idPairs.length === 50)
+    assert(idPairs.forall(r =>
+      r.getLong(1) === 1L && r.getLong(2) === 1L && r.getLong(3) === 1L),
+      "lineage CDF of a position-delta version did not pair one pre + one post per id")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pdcl")
   }
 
   test("row lineage allocation leases: a foreign claim excludes its range cross-process; commits claim their own; vacuum keeps crashed claims") {
@@ -3277,10 +3410,28 @@ class CatalogSpec extends SparkSpec {
     val afterUpd = ids()
     assert(afterUpd.size === 350, "UPDATE resurrected or dropped rows")
     assert(afterUpd === afterDel, "position-delta UPDATE re-identified rows")
-    // OPTIMIZE folds pos DVs + materializes in one pass
+    // DISTRIBUTED run sidecars under lineage (r13): an over-cap DELETE's
+    // ordinals never reach the driver, and the combined DV+lineage reader
+    // resolves ids THROUGH the run membership — both faces agree
+    spark.conf.set("spark.graft.pos-delete.max-matched-rows", "20")
+    val afterBig =
+      try {
+        spark.sql("DELETE FROM stage_t.ws.rlp WHERE k >= 200 AND k < 300")
+        assert(graft.sources.catalog.ZoneMapScan.lastPosDeleteMode
+          === Some("dv-distributed"))
+        val a = ids()
+        assert(a.size === 250)
+        assert(a.forall { case (k, id) => id == v1(k) },
+          "distributed-run delete re-identified survivors")
+        val sqlIds2 = spark.sql("SELECT k, _row_id FROM stage_t.ws.rlp")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(sqlIds2 === a, "SQL _row_id disagrees under distributed run DVs")
+        a
+      } finally spark.conf.unset("spark.graft.pos-delete.max-matched-rows")
+    // OPTIMIZE folds pos DVs (inline AND runs) + materializes in one pass
     StagingMaintenance.optimize(spark, "stage_t", "ws", "rlp", targetFiles = 2)
     assert(StagingMaintenance.activeDvs(spark, "stage_t", "ws", "rlp").isEmpty)
-    assert(ids() === afterDel, "OPTIMIZE re-identified while folding pos DVs")
+    assert(ids() === afterBig, "OPTIMIZE re-identified while folding pos DVs")
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.rlp")
   }
 
