@@ -2967,6 +2967,44 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.bpd")
   }
 
+  test("rebase replays position-delta branch commits onto an advanced main; run sidecars carry") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.rbd")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.rbd (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO stage_t.ws.rbd SELECT id, id * 10 FROM range(0, 200)")
+    spark.sql("CALL stage_t.branch('ws', 'rbd', 'cand')")
+    // branch: a position-delta UPDATE (modulo ⇒ the delta op; its run
+    // descriptor lives only in the branch log)
+    spark.sql("UPDATE stage_t.ws.rbd.branch_cand SET v = v + 1 WHERE k % 4 = 1")
+    // main advances past the fork: publish must refuse, rebase is the path
+    spark.sql("INSERT INTO stage_t.ws.rbd SELECT id, id * 10 FROM range(1000, 1050)")
+    val conflict = intercept[Exception] {
+      spark.sql("CALL stage_t.publish('ws', 'rbd', 'cand')").collect()
+    }
+    assert(exMessages(conflict).exists(_.contains("publish conflict")), conflict.getMessage)
+    spark.sql("CALL stage_t.rebase('ws', 'rbd', 'cand')")
+    spark.sql("CALL stage_t.publish('ws', 'rbd', 'cand')")
+    // main = both appends + the branch's delta: ks 0..199 patched on %4=1,
+    // ks 1000..1049 untouched (post-fork, invisible to the branch UPDATE)
+    val base = (0L until 200L).map(_ * 10L).sum + 50L +
+      (1000L until 1050L).map(_ * 10L).sum
+    val r = spark.sql(
+      "SELECT count(*), CAST(sum(v) AS BIGINT) FROM stage_t.ws.rbd").collect()(0)
+    assert(r.getLong(0) === 250L && r.getLong(1) === base,
+      s"rebased position delta lost or doubled rows: $r")
+    // the replayed version still reads through the branch's run descriptor
+    val dvs = StagingMaintenance.activeDvs(spark, "stage_t", "ws", "rbd")
+    assert(dvs.size === 1 && dvs.head.startsWith("dvr-"), dvs.toString)
+    assert(spark.sql(
+      "SELECT count(*) FROM stage_t.ws.rbd WHERE v % 10 = 1").collect()(0).getLong(0)
+      === 50L, "patched rows lost their delta after rebase")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.rbd")
+  }
+
   test("optimize scope='dvs': folds accreted position sidecars into one descriptor, zero data files move") {
     import graft.sources.catalog.StagingMaintenance
     mountStage()
