@@ -108,13 +108,27 @@ object Bench {
         if (a < Iter2MinSec) a
         else once(2).map { b =>
           if (math.max(a, b) > DispRatio * math.min(a, b)) {
-            val c = once(3).getOrElse(math.max(a, b))
-            dispersion(name) = Seq(a, b, c)
-            val med = Seq(a, b, c).sorted.apply(1)
-            System.err.println(
-              f"[bench] $name DISPERSION iter1=$a%.2fs iter2=$b%.2fs iter3=$c%.2fs " +
-                f"(> ${DispRatio}%.0fx) -> median $med%.2fs")
-            med
+            once(3) match {
+              case Some(c) =>
+                dispersion(name) = Seq(a, b, c)
+                val med = Seq(a, b, c).sorted.apply(1)
+                System.err.println(
+                  f"[bench] $name DISPERSION iter1=$a%.2fs iter2=$b%.2fs iter3=$c%.2fs " +
+                    f"(> ${DispRatio}%.0fx) -> median $med%.2fs")
+                med
+              case None =>
+                // arbitration run failed: record the pre-r13 value (min of
+                // the two GOOD iterations — the query itself ran twice, so
+                // it is neither an error nor its own worst excursion); the
+                // flag stays in `disp` with only two entries as the audit
+                // trail that median mode could not arbitrate
+                errors.remove(name)
+                dispersion(name) = Seq(a, b)
+                System.err.println(
+                  f"[bench] $name DISPERSION iter1=$a%.2fs iter2=$b%.2fs " +
+                    f"iter3 FAILED -> min ${math.min(a, b)}%.2fs")
+                math.min(a, b)
+            }
           } else math.min(a, b)
         }.getOrElse(a)
       }

@@ -2934,6 +2934,89 @@ object Connectors {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q352
+
+  /** ZERO-COPY SHALLOW CLONE (r14 — [[graft.sources.catalog.TableClone]]):
+    * `CALL clone(ns, src, dst)` commits a new table whose first version
+    * REFERENCES the source snapshot's files in place — no data bytes move
+    * (required below: zero parquet files in the clone dir at creation).
+    * Divergence is ordinary commits into the clone's OWN directory, and
+    * vacuum is safe in BOTH directions: the clone registers on its source,
+    * so a source-side `VACUUM` exempts still-borrowed files even after
+    * they leave the source's head (required below — the source is
+    * overwritten and hard-vacuumed mid-query, and the clone still reads
+    * every borrowed byte); clone-side vacuum discovers dead files by
+    * LISTING its own dir, so borrowed files are structurally out of reach.
+    * At 100 TB: a dev/backfill copy of the corpus costs one manifest
+    * write and O(metadata), not hours of data copy and double storage —
+    * and retention jobs on the source cannot brick it.
+    *
+    * The query clones a two-slice orders table, diverges BOTH sides
+    * (insert into the clone, overwrite the source), vacuums the source
+    * to one retained version, and aggregates the CLONE — whose content
+    * is now three slices none of which the source's head still serves.
+    * Oracle recomputes those slices from raw orders.
+    */
+  def q352ShallowClone(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_cl_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.cl_dst") // child first:
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.cl_src") // src drop refuses under live clones
+    spark.sql(
+      """CREATE TABLE graft_stage.work.cl_src AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_cl_src WHERE o_orderkey % 7 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.cl_src
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_cl_src WHERE o_orderkey % 7 = 3""".stripMargin)
+    val fs = new org.apache.hadoop.fs.Path(stageRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetIn(t: String): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$stageRoot/work/$t"))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName).toSet
+    val borrowed = parquetIn("cl_src")
+    spark.sql("CALL graft_stage.clone('work', 'cl_src', 'cl_dst')")
+    require(parquetIn("cl_dst").isEmpty,
+      "shallow clone copied data files — not zero-copy")
+    // diverge the clone; then rewrite + hard-vacuum the source so its head
+    // no longer references one borrowed byte
+    spark.sql(
+      """INSERT INTO graft_stage.work.cl_dst
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_cl_src WHERE o_orderkey % 7 = 5""".stripMargin)
+    spark.sql(
+      """INSERT OVERWRITE graft_stage.work.cl_src
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_cl_src WHERE o_orderkey % 7 = 1""".stripMargin)
+    spark.sql("CALL graft_stage.vacuum('work', 'cl_src', 1)")
+    require(borrowed.forall(f => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$stageRoot/work/cl_src/$f"))),
+      "source vacuum reclaimed files the live clone still borrows")
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.cl_dst
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  /** The clone's three slices recomputed from raw orders — hash match
+    * proves zero-copy clone + divergence + source vacuum changed nothing
+    * the clone serves.
+    */
+  val q352Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders
+       |WHERE o_orderkey % 7 IN (0, 3, 5)
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   /** The patched corpus recomputed from raw events: +100 on the %5=2 band,
     * +10 more where that band is clicks, %97=3 re-typed 'patched' — hash
     * match proves keyless position-delta UPDATE/MERGE ≡ the equivalent
@@ -3044,7 +3127,8 @@ object Connectors {
     GraftQuery.sql("q348_where_scoped_optimize", q348WhereScopedOptimize, q348Oracle),
     GraftQuery.sql("q349_batch_change_feed", q349BatchChangeFeed, q349Oracle),
     GraftQuery.sql("q350_distributed_pos_deletes", q350DistributedPosDeletes, q350Oracle),
-    GraftQuery.sql("q351_keyless_pos_delta", q351KeylessPosDelta, q351Oracle))
+    GraftQuery.sql("q351_keyless_pos_delta", q351KeylessPosDelta, q351Oracle),
+    GraftQuery.sql("q352_shallow_clone", q352ShallowClone, q352Oracle))
 
   // ---------------------------------------------------------------- q332
 

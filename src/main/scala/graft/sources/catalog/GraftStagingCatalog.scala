@@ -771,11 +771,25 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
             // ordering is only claimable when EVERY current file is sorted
             // by the declared order — true for non-MOR tables (appends are
             // planner-sorted, rewrites re-sort; a MOR table's delta-written
-            // insert files carry no such guarantee)
+            // insert files carry no such guarantee). PROVENANCE GATE
+            // (r14, advice r13): a sort order SET by ALTER on a non-empty
+            // table governs only files written after it — withdraw the
+            // report for pre-declaration snapshots and for any snapshot
+            // still holding a pre-declaration file (branch faces stay
+            // conservative: their version numbering is the branch log's,
+            // not main's, so the `since` comparison is meaningless there).
             sortedBy =
-              if (morKeyField.isEmpty && !DeletionVectors.morPos(tableFs, dir))
-                GraftStagingCatalog.sortOrderCols(tableFs, dir)
-              else Nil)
+              if (morKeyField.isEmpty && !DeletionVectors.morPos(tableFs, dir)) {
+                val so = GraftStagingCatalog.sortOrderCols(tableFs, dir)
+                if (so.isEmpty) Nil
+                else GraftStagingCatalog.sortOrderUnproven(tableFs, dir) match {
+                  case None => so
+                  case Some((since, unproven)) =>
+                    if (branch.isEmpty && snapshotVersion >= since &&
+                        snapshotFiles.exists(_.forall(f => !unproven(f)))) so
+                    else Nil
+                }
+              } else Nil)
         case other => other
       }
     }
@@ -1353,8 +1367,32 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
         require(cols.nonEmpty, s"$catalogName: graft.sort-order needs column names")
         cols.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
           s"$catalogName: sort-order column $c is not in the table schema"))
-        GraftStagingCatalog.writeString(fs,
-          new Path(d, GraftStagingCatalog.SortOrderSidecar), cols.mkString("\n"))
+        // PROVENANCE (r14, advice r13): files laid out BEFORE this
+        // declaration (or under a different one) were never write-path
+        // sorted on `cols` — record every file name any still-readable
+        // version (main log, branch logs — RESTORE and rebase can
+        // resurrect any of them) could hand a future snapshot, plus the
+        // version the declaration takes effect at. The ordering report
+        // withdraws while any such file is in the scanned snapshot.
+        val priorFiles: Set[String] = {
+          val mainFs = GraftStagingCatalog.versionManifests(fs, d)
+            .iterator.flatMap { case (_, mf) =>
+              GraftStagingCatalog.manifestFiles(fs, mf) }
+          val branchFs = GraftStagingCatalog.readBranches(fs, d).keysIterator
+            .flatMap { b =>
+              val bld = GraftStagingCatalog.branchLogDir(d, b)
+              (try fs.listStatus(bld).toIndexedSeq
+               catch { case _: java.io.FileNotFoundException => IndexedSeq.empty })
+                .iterator.filter(st => st.isFile &&
+                  st.getPath.getName.matches("^v\\d+\\.json$"))
+                .flatMap(st => GraftStagingCatalog.manifestFiles(fs, st.getPath))
+            }
+          (mainFs ++ branchFs).toSet
+        }
+        val since = GraftStagingCatalog.headManifest(fs, d)
+          .map(_._1).getOrElse(0L) + 1L
+        GraftStagingCatalog.writeSortOrderSidecar(fs, d, cols,
+          if (priorFiles.isEmpty) None else Some((since, priorFiles)))
       case rp: TableChange.RemoveProperty
           if rp.property().equalsIgnoreCase("graft.sort-order") =>
         fs.delete(new Path(d, GraftStagingCatalog.SortOrderSidecar), false)
@@ -1447,7 +1485,14 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = tableDir(ident)
-    d != null && isDir(d) && fs.delete(d, true)
+    if (d == null || !isDir(d)) false
+    else {
+      // shallow-clone bookkeeping (r14): refuse while live clones borrow
+      // this table's files; deregister from our own source when we are a
+      // clone — see TableClone.onDrop
+      TableClone.onDrop(fs, d)
+      fs.delete(d, true)
+    }
   }
 
   // ---- stored procedures (SQL CALL faces of StagingMaintenance) ----------
@@ -1461,6 +1506,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       case "history"  => Some(StagingProcedures.history(catalogName))
       case "detail"   => Some(StagingProcedures.detail(catalogName))
       case "restore"  => Some(StagingProcedures.restore(catalogName))
+      case "clone"    => Some(StagingProcedures.cloneTable(catalogName))
       case "bloom"    => Some(StagingProcedures.bloom(catalogName))
       case "tag"      => Some(StagingProcedures.tag(catalogName))
       case "drop_tag" => Some(StagingProcedures.dropTag(catalogName))
@@ -2543,12 +2589,55 @@ object GraftStagingCatalog {
   /** Declared append sort order (empty = none): the column list every
     * append is range-partitioned and sorted on before its files land —
     * see `'graft.sort-order'` in [[GraftStagingCatalog.createTable]].
+    *
+    * Sidecar format: one column per line; an optional `#unsorted@<v>`
+    * marker line (r14, see [[sortOrderUnproven]]) followed by file names
+    * terminates the column list — a sort order declared by ALTER on a
+    * NON-EMPTY table records there which live files PREDATE the
+    * declaration (and from which version the declaration holds), so the
+    * scan's `SupportsReportOrdering` report can be gated on provenance
+    * instead of trusting the live property retroactively (advice r13: a
+    * bucketed SMJ that skipped its Sorts over pre-declaration files
+    * silently mis-joined).
     */
   private[catalog] def sortOrderCols(fs: FileSystem, d: Path): Seq[String] = {
     val p = new Path(d, SortOrderSidecar)
-    if (isFile(fs, p)) readString(fs, p).split('\n').toIndexedSeq.filter(_.nonEmpty)
+    if (isFile(fs, p))
+      readString(fs, p).split('\n').toIndexedSeq
+        .takeWhile(!_.startsWith("#")).filter(_.nonEmpty)
     else Seq.empty
   }
+
+  /** Sort-order provenance marker (r14): `Some((since, files))` when the
+    * declared order was SET by ALTER on a non-empty table — `since` is the
+    * first version committed under the declaration, `files` the names
+    * (across every then-readable version and branch head, so RESTORE
+    * cannot resurrect an unlisted pre-declaration file) whose layout the
+    * declaration never governed. A snapshot reports ordering only when its
+    * version is ≥ `since` AND it holds none of the listed files; the
+    * marker shrinks as OPTIMIZE/VACUUM retire the listed files and their
+    * manifests ([[StagingMaintenance.pruneSortOrderUnproven]]).
+    */
+  private[catalog] def sortOrderUnproven(fs: FileSystem, d: Path)
+      : Option[(Long, Set[String])] = {
+    val p = new Path(d, SortOrderSidecar)
+    if (!isFile(fs, p)) None
+    else {
+      val lines = readString(fs, p).split('\n').toIndexedSeq
+      val i = lines.indexWhere(_.startsWith("#unsorted@"))
+      if (i < 0) None
+      else Some((lines(i).stripPrefix("#unsorted@").trim.toLong,
+        lines.drop(i + 1).filter(_.nonEmpty).toSet))
+    }
+  }
+
+  /** Writes the sort-order sidecar with an optional provenance marker. */
+  private[catalog] def writeSortOrderSidecar(fs: FileSystem, d: Path,
+      cols: Seq[String], unproven: Option[(Long, Set[String])]): Unit =
+    writeString(fs, new Path(d, SortOrderSidecar),
+      (cols ++ unproven.toSeq.flatMap { case (since, files) =>
+        s"#unsorted@$since" +: files.toSeq.sorted
+      }).mkString("\n"))
 
   private[catalog] val FileSizeSidecar = "_graft_filesize.txt"
   private[catalog] val TagsSidecar = "_graft_tags.tsv"
@@ -3259,6 +3348,27 @@ object GraftStagingCatalog {
     */
   private[catalog] val RowLeaseDir = "_graft_rowlease"
 
+  /** Lease retention TTL (content field 2, millis epoch): the claim and
+    * its manifest commit happen inside ONE monitor-held call
+    * ([[assignLeased]]'s caller writes the manifest in the same block), so
+    * any lease still live this long after its claim belongs to a crashed
+    * writer — vacuum may reclaim it even ABOVE the watermark, bounding
+    * lease-dir growth (and so [[leaseFloor]] cost) on long-lived tables
+    * (advice r13). An hour dwarfs both the claim→commit gap (milliseconds)
+    * and plausible cross-process clock skew.
+    */
+  private[catalog] val LeaseTtlMs = 60L * 60 * 1000
+
+  /** A torn (content-unparsable) lease may only be superseded once it is
+    * old enough that no live pre-r14 writer could still be between its
+    * create and write calls.
+    */
+  private[catalog] val TornLeaseGraceMs = 30L * 1000
+
+  /** Lease content is `<end>` (r13) or `<end>,<expiresAtMs>` (r14). */
+  private[catalog] def leaseEnd(content: String): Option[Long] =
+    try Some(content.trim.split(',')(0).toLong) catch { case _: Exception => None }
+
   /** Max end across visible leases — joins the watermark floor. */
   private[catalog] def leaseFloor(fs: FileSystem, d: Path): Long = {
     val ld = new Path(d, RowLeaseDir)
@@ -3266,10 +3376,55 @@ object GraftStagingCatalog {
      catch { case _: java.io.FileNotFoundException => IndexedSeq.empty })
       .iterator.filter(st => st.isFile && st.getPath.getName.startsWith("lease-"))
       .map(st =>
-        try readString(fs, st.getPath).trim.toLong
-        catch { case _: Exception => 0L }) // torn write: ignore (floor-safe)
+        (try leaseEnd(readString(fs, st.getPath)) catch { case _: Exception => None })
+          .getOrElse(0L)) // torn write: ignore (floor-safe)
       .foldLeft(0L)(math.max)
   }
+
+  /** ATOMIC lease claim (advice r13): content lands under a dot-temp name
+    * and RENAMEs into `lease-<start>`, so the claimed name appears only
+    * with its content COMPLETE — a crash anywhere leaves either nothing or
+    * an ignorable `.tmp-` orphan (vacuum sweeps those), never an empty
+    * `lease-<start>` that pins the floor at the same start forever and
+    * wedges every later allocation. HDFS (and RGW-style stores) rename is
+    * atomic and fails on an existing destination, giving exclusivity too;
+    * LocalFileSystem rename overwrites — the same multi-JVM caveat as
+    * [[tryCreateExclusive]], and in-JVM the catalog monitor serializes.
+    */
+  private[catalog] def tryClaimLease(fs: FileSystem, ld: Path, start: Long,
+      content: String): Boolean = {
+    val dst = new Path(ld, s"lease-$start")
+    if (isFile(fs, dst)) return false
+    val tmp = new Path(ld, s".tmp-lease-$start-${System.nanoTime()}")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes(UTF_8)) finally out.close()
+    val ok = try fs.rename(tmp, dst) catch { case _: IOException => false }
+    if (!ok) { try { fs.delete(tmp, false); () } catch { case _: IOException => () } }
+    ok
+  }
+
+  /** Supersede a TORN lease (exists but content-unparsable — only a
+    * pre-r14 crash between create and write can mint one; [[tryClaimLease]]
+    * cannot): its owner never saw a successful claim return, so no commit
+    * can ever reference the range — deleting it un-wedges the allocator
+    * instead of spinning at the same start forever. Guards: the file must
+    * be older than [[TornLeaseGraceMs]] (no live slow writer), and a
+    * re-stat must show the SAME (len, mtime) immediately before the delete
+    * (a racing live replacement carries content, so its length differs).
+    */
+  private[catalog] def supersedeTornLease(fs: FileSystem, p: Path): Unit =
+    try {
+      val st0 = fs.getFileStatus(p)
+      val torn = leaseEnd(readString(fs, p)).isEmpty
+      if (torn && st0.getModificationTime <
+          System.currentTimeMillis() - TornLeaseGraceMs) {
+        val st1 = fs.getFileStatus(p)
+        if (st1.getLen == st0.getLen &&
+            st1.getModificationTime == st0.getModificationTime) {
+          fs.delete(p, false); ()
+        }
+      }
+    } catch { case _: FileNotFoundException => () }
 
   /** Lineage assignment with a cross-process allocation lease: claims the
     * fresh range `[allocStart, next)` before the caller commits. No fresh
@@ -3285,11 +3440,14 @@ object GraftStagingCatalog {
       if (a.freshCount == 0) return (a.vector, a.next)
       val ld = new Path(d, RowLeaseDir)
       fs.mkdirs(ld)
-      if (tryCreateExclusive(fs, new Path(ld, s"lease-${a.allocStart}"),
-          a.next.toString))
+      if (tryClaimLease(fs, ld, a.allocStart,
+          s"${a.next},${System.currentTimeMillis() + LeaseTtlMs}"))
         return (a.vector, a.next)
-      // lost the claim to another PROCESS: its lease end is visible now —
-      // the re-read floor moves this allocation above it
+      // lost the claim to another PROCESS: usually its lease end is
+      // visible now and the re-read floor moves this allocation above it.
+      // A TORN legacy lease would keep the floor unchanged forever —
+      // supersede it (safe: its owner never saw a successful claim)
+      supersedeTornLease(fs, new Path(ld, s"lease-${a.allocStart}"))
     }
     throw new IllegalStateException("unreachable")
   }

@@ -922,7 +922,7 @@ object StagingMaintenance {
     s"$file\t$col\t$range\t$nt"
   }
 
-  private def writeStats(fs: FileSystem, d: Path,
+  private[catalog] def writeStats(fs: FileSystem, d: Path,
       stats: Map[(String, String), ZStat],
       nulls: Map[(String, String), (Long, Long)]): Unit = {
     val body = stats.toSeq.sortBy { case ((f, c), _) => (f, c) }
@@ -1701,7 +1701,7 @@ object StagingMaintenance {
     }.toMap
   }
 
-  private def writeBlooms(fs: FileSystem, d: Path,
+  private[catalog] def writeBlooms(fs: FileSystem, d: Path,
       blooms: Map[(String, String), org.apache.spark.util.sketch.BloomFilter]): Unit = {
     val body = blooms.toSeq.sortBy { case ((f, c), _) => (f, c) }.map { case ((f, c), bf) =>
       val bos = new java.io.ByteArrayOutputStream()
@@ -1867,7 +1867,10 @@ object StagingMaintenance {
       val branchFiles = branchReg.keys.flatMap(b =>
         GraftStagingCatalog.branchManifests(fs, d, b)
           .flatMap { case (_, mf) => manifestFiles(fs, mf) }).toSet
-      val referenced = keep.flatMap { case (_, f) => manifestFiles(fs, f) }.toSet ++ branchFiles
+      // shallow-clone exemption (r14): files a live registered clone still
+      // borrows survive source-side vacuum — see TableClone.cloneReferenced
+      val referenced = keep.flatMap { case (_, f) => manifestFiles(fs, f) }.toSet ++
+        branchFiles ++ TableClone.cloneReferenced(fs, d)
       (keep, drop, dataFiles(fs, d).filterNot(referenced))
     }
     // CONCURRENCY GUARD: a commit that lands after planning could reference
@@ -1979,23 +1982,43 @@ object StagingMaintenance {
       // whose end is at or below the max watermark across every log was
       // consumed by its commit (or superseded by later allocations) — the
       // manifests now carry the authoritative floor. A crashed claim ABOVE
-      // the watermark stays forever, permanently skipping its range
-      // (2^32-strided ids make skipping free; reclaiming it would re-open
-      // the cross-process race it exists to close).
+      // the watermark is kept only until its recorded TTL passes
+      // (`<end>,<expiresAtMs>` since r14 — the claim and its commit share
+      // one monitor-held call, so an expired-but-uncommitted lease has no
+      // live owner; reclaiming it bounds lease-dir growth and so
+      // per-commit leaseFloor cost, advice r13). Legacy `<end>`-only
+      // leases carry no TTL and keep the r13 forever-retention; torn
+      // (unparsable) leases are reclaimable once older than the temp
+      // horizon (their owner never saw a successful claim), as are
+      // orphaned `.tmp-lease-*` spool files from crashed claims.
       if (RowLineage.enabled(fs, d)) {
         val maxW = (GraftStagingCatalog.headManifest(fs, d).iterator ++
           GraftStagingCatalog.readBranches(fs, d).keysIterator.flatMap(b =>
             GraftStagingCatalog.branchHead(fs, d, b).iterator))
           .map { case (_, mf) => RowLineage.parse(readString(fs, mf))._2 }
           .foldLeft(0L)(math.max)
+        val nowMs = System.currentTimeMillis()
         val ld = new Path(d, GraftStagingCatalog.RowLeaseDir)
         (try fs.listStatus(ld).toIndexedSeq
          catch { case _: FileNotFoundException => IndexedSeq.empty })
           .foreach { st =>
-            val end =
-              try readString(fs, st.getPath).trim.toLong
-              catch { case _: Exception => Long.MaxValue } // torn: keep
-            if (st.isFile && st.getPath.getName.startsWith("lease-") && end <= maxW) {
+            val n = st.getPath.getName
+            if (st.isFile && n.startsWith("lease-")) {
+              val reclaim =
+                (try readString(fs, st.getPath)
+                 catch { case _: java.io.IOException => "" })
+                  .trim.split(',') match {
+                  case Array(e) if e.nonEmpty && e.forall(_.isDigit) =>
+                    e.toLong <= maxW // legacy r13 content: overtaken only
+                  case Array(e, exp) if e.forall(_.isDigit) &&
+                      exp.forall(_.isDigit) =>
+                    e.toLong <= maxW || exp.toLong < nowMs
+                  case _ => // torn: owner never saw a successful claim
+                    st.getModificationTime < tempHorizon
+                }
+              if (reclaim) { fs.delete(st.getPath, false); () }
+            } else if (st.isFile && n.startsWith(".tmp-lease-") &&
+                st.getModificationTime < tempHorizon) {
               fs.delete(st.getPath, false); ()
             }
           }
@@ -2025,8 +2048,42 @@ object StagingMaintenance {
     val blooms = readBloomsFor(fs, d)
     val liveBlooms = blooms.filter { case ((f, _), _) => !deadSet(f) }
     if (liveBlooms.size != blooms.size) writeBlooms(fs, d, liveBlooms)
+    pruneSortOrderUnproven(fs, d)
     dead
   }
+
+  /** Shrinks the sort-order provenance marker (r14 — see
+    * [[GraftStagingCatalog.sortOrderUnproven]]) to the pre-declaration
+    * files still REACHABLE through some readable version (main or branch
+    * log — what RESTORE/rebase could resurrect). Called after VACUUM
+    * reclaims manifests: once no readable version holds any listed file,
+    * the marker itself goes (every servable snapshot postdates the
+    * declaration), and the live-property trust the r13 advice flagged is
+    * restored legitimately — by provenance, not assumption.
+    */
+  private[catalog] def pruneSortOrderUnproven(fs: FileSystem, d: Path): Unit =
+    GraftStagingCatalog.sortOrderUnproven(fs, d).foreach { case (since, unproven) =>
+      val cols = GraftStagingCatalog.sortOrderCols(fs, d)
+      val reachable: Set[String] = {
+        val mainF = GraftStagingCatalog.versionManifests(fs, d)
+          .iterator.flatMap { case (_, mf) =>
+            GraftStagingCatalog.manifestFiles(fs, mf) }
+        val branchF = GraftStagingCatalog.readBranches(fs, d).keysIterator
+          .flatMap { b =>
+            val bld = GraftStagingCatalog.branchLogDir(d, b)
+            (try fs.listStatus(bld).toIndexedSeq
+             catch { case _: FileNotFoundException => IndexedSeq.empty })
+              .iterator.filter(st => st.isFile &&
+                st.getPath.getName.matches("^v\\d+\\.json$"))
+              .flatMap(st => GraftStagingCatalog.manifestFiles(fs, st.getPath))
+          }
+        (mainF ++ branchF).toSet
+      }
+      val remaining = unproven.filter(reachable)
+      if (remaining.size != unproven.size)
+        GraftStagingCatalog.writeSortOrderSidecar(fs, d, cols,
+          if (remaining.isEmpty) None else Some((since, remaining)))
+    }
 }
 
 /** DSv2 zone-map integration: wraps the native parquet `FileScanBuilder` so

@@ -210,6 +210,41 @@ private[catalog] object StagingProcedures {
       }
     }
 
+  /** Zero-copy shallow clone — see [[TableClone]]. */
+  def cloneTable(catalog: String): UnboundProcedure =
+    new MaintenanceProc("clone",
+      "zero-copy shallow clone: a new table whose first version references " +
+        "the source snapshot's files in place; vacuum-safe both ways " +
+        "(clone registers on the source, source vacuum exempts borrowed files)") {
+      private val out = StructType(Seq(
+        StructField("source_version", LongType, nullable = false),
+        StructField("files", IntegerType, nullable = false),
+        StructField("clone_version", LongType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("target_tbl", StringType).build(),
+        ProcedureParameter.in("target_ns", StringType)
+          .defaultValue("CAST(NULL AS STRING)").build(),
+        ProcedureParameter.in("version", LongType)
+          .defaultValue("CAST(NULL AS BIGINT)").build(),
+        ProcedureParameter.in("tag", StringType)
+          .defaultValue("CAST(NULL AS STRING)").build(),
+        ProcedureParameter.in("branch", StringType)
+          .defaultValue("CAST(NULL AS STRING)").build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val ns = input.getUTF8String(0).toString
+        val (srcV, n, v) = TableClone.clone(spark, catalog, ns,
+          input.getUTF8String(1).toString,
+          if (input.isNullAt(3)) ns else input.getUTF8String(3).toString,
+          input.getUTF8String(2).toString,
+          if (input.isNullAt(4)) None else Some(input.getLong(4)),
+          if (input.isNullAt(5)) None else Some(input.getUTF8String(5).toString),
+          if (input.isNullAt(6)) None else Some(input.getUTF8String(6).toString))
+        one(out, srcV, n, v)
+      }
+    }
+
   def restore(catalog: String): UnboundProcedure =
     new MaintenanceProc("restore",
       "metadata-only rollback: commit a new version referencing exactly the " +

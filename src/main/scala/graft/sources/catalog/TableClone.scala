@@ -1,0 +1,226 @@
+package graft.sources.catalog
+
+import java.io.FileNotFoundException
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** ZERO-COPY SHALLOW CLONE (r14) — `CALL clone(ns, src, dst)`: a new
+  * catalog table whose first version REFERENCES the source snapshot's data
+  * files in place (absolute manifest entries), copying metadata sidecars
+  * but not one data byte. The lakehouse dev/test/backfill staple (Delta
+  * SHALLOW CLONE, Iceberg snapshot-ref tables): at 100 TB a clone commits
+  * in milliseconds and O(metadata), where any copy is hours and doubles
+  * storage. Divergence is ordinary commits — the clone's own writes land
+  * in its OWN directory (relative entries), so a manifest freely mixes
+  * borrowed and owned files; `new Path(dir, entry)` resolves both (an
+  * absolute child discards the parent), which every read path already
+  * goes through.
+  *
+  * What the reference grounds: clones are pure FileSystem-metadata
+  * constructions — the data files are never opened (the reference's own
+  * rename-as-copy contract, `CephRgwFileSystem.java:310-313`, is exactly
+  * what shallow cloning avoids paying).
+  *
+  * VACUUM SAFETY, both directions (the hazard Delta documents and leaves
+  * open — vacuuming a cloned source breaks its clones):
+  *  - clone-side: dead-file discovery LISTS the clone's directory, so
+  *    borrowed (absolute) entries can never be classified dead; they age
+  *    out of manifests by rewrite, never by clone-side delete.
+  *  - source-side: the clone registers itself under the source's
+  *    `_graft_clones/` at creation; the source's vacuum plan reads every
+  *    live registrant's readable manifests and EXEMPTS the still-borrowed
+  *    files from reclamation ([[cloneReferenced]]). Dropped clones
+  *    deregister (and a registration whose clone directory vanished is
+  *    garbage-collected in passing).
+  * DROP TABLE on a source with live clones REFUSES (the clones would be
+  * bricked); drop the clones first.
+  *
+  * Scope boundaries (refused with clear errors, not silently wrong):
+  * row-lineage tables (per-file id bases do not transfer), merge-on-read
+  * tables / snapshots with in-force deletion vectors (DV sidecars resolve
+  * in the source's directory), and re-cloning a clone that still borrows
+  * files (the transitive registration chain is not maintained — OPTIMIZE
+  * the intermediate to materialize it first).
+  *
+  * Declared sort order transfers WITH provenance: if the source's files
+  * are all write-path-proven sorted, the clone's report stands; if the
+  * source carries an `#unsorted@` marker, the affected borrowed files stay
+  * unproven in the clone too ([[GraftStagingCatalog.sortOrderUnproven]]).
+  */
+object TableClone {
+
+  private[catalog] val ClonesDir = "_graft_clones"
+  private[catalog] val CloneSrcSidecar = "_graft_clonesrc.txt"
+
+  /** A manifest entry borrowed from another table's directory. */
+  private[catalog] def isForeign(entry: String): Boolean =
+    entry.startsWith("/") || entry.contains(":/")
+
+  /** Creates `dstNs.dstTable` as a shallow clone of the resolved source
+    * snapshot. Returns (sourceVersion, fileCount, cloneVersion).
+    */
+  def clone(spark: SparkSession, catalog: String, ns: String, table: String,
+      dstNs: String, dstTable: String, version: Option[Long] = None,
+      tag: Option[String] = None, branch: Option[String] = None)
+      : (Long, Int, Long) = {
+    import GraftStagingCatalog._
+    require(Seq(version, tag, branch).count(_.isDefined) <= 1,
+      "clone takes at most one of version / tag / branch")
+    val (fs, src) = StagingMaintenance.tableDir(spark, catalog, ns, table)
+    val root = spark.conf.get(s"spark.sql.catalog.$catalog.root")
+    val dst = fs.makeQualified(new Path(new Path(root, dstNs), dstTable))
+    require(dst != src, s"clone target equals the source: $src")
+    require(!(try fs.exists(dst) catch { case _: FileNotFoundException => false }),
+      s"clone target already exists: $dst")
+    // resolve the source snapshot manifest
+    val resolvedTag = tag.map(t => StagingMaintenance.resolveTag(
+      spark, catalog, ns, table, t))
+    val (srcV, mf) = branch match {
+      case Some(b) =>
+        branchHead(fs, src, b).getOrElse(throw new IllegalArgumentException(
+          s"$catalog.$ns.$table has no branch '$b'"))
+      case None =>
+        version.orElse(resolvedTag) match {
+          case Some(v) => (v, probeManifest(fs, src, v).getOrElse(
+            throw new IllegalArgumentException(
+              s"$catalog.$ns.$table has no version $v")))
+          case None => headManifest(fs, src).getOrElse(
+            throw new IllegalArgumentException(
+              s"$catalog.$ns.$table has no committed version to clone"))
+        }
+    }
+    // scope boundaries — refuse, never silently mis-clone
+    require(!RowLineage.enabled(fs, src),
+      s"cannot shallow-clone $catalog.$ns.$table: row-lineage tables' " +
+        "per-file id bases do not transfer (materialize with CTAS instead)")
+    require(DeletionVectors.morKey(fs, src).isEmpty &&
+        !DeletionVectors.morPos(fs, src),
+      s"cannot shallow-clone $catalog.$ns.$table: merge-on-read tables' " +
+        "deletion vectors resolve in the source directory")
+    require(manifestDvs(fs, mf).isEmpty,
+      s"cannot shallow-clone $catalog.$ns.$table at version $srcV: " +
+        "the snapshot has in-force deletion vectors")
+    val names = manifestFiles(fs, mf)
+    require(names.forall(f => !isForeign(f)),
+      s"cannot shallow-clone $catalog.$ns.$table: the snapshot itself " +
+        "borrows files from another clone source — OPTIMIZE it to " +
+        "materialize before re-cloning")
+    val absolute = names.map(f => new Path(src, f).toString)
+    fs.mkdirs(dst)
+    // metadata sidecars transfer; data bytes do not
+    def copySidecar(name: String): Unit = {
+      val p = new Path(src, name)
+      if (isFile(fs, p)) writeString(fs, new Path(dst, name), readString(fs, p))
+    }
+    copySidecar(SchemaSidecar)
+    copySidecar(PartitionSidecar)
+    copySidecar(PartitionPrevSidecar)
+    copySidecar(AutoAnalyzeSidecar)
+    copySidecar(FileSizeSidecar)
+    CheckConstraint.read(fs, src).foreach(c => CheckConstraint.write(fs, dst, c))
+    // declared sort order transfers with provenance (see class doc)
+    val soCols = sortOrderCols(fs, src)
+    if (soCols.nonEmpty) {
+      val unproven = sortOrderUnproven(fs, src) match {
+        case None => None
+        case Some((_, u)) =>
+          val borrowedUnproven = names.filter(u).map(f => new Path(src, f).toString)
+          if (borrowedUnproven.isEmpty) None
+          else Some((1L, borrowedUnproven.toSet))
+      }
+      writeSortOrderSidecar(fs, dst, soCols, unproven)
+    }
+    // zone-map stats / null counts / bloom sidecars transfer keyed by
+    // BARE file name — exactly the key the scan's statKey falls back to
+    // for a file outside the table directory
+    val bare: Map[String, String] =
+      names.map(f => f -> f.substring(f.lastIndexOf('/') + 1)).toMap
+    val stats = StagingMaintenance.readStatsFor(fs, src)
+      .collect { case ((f, c), st) if bare.contains(f) => (bare(f), c) -> st }
+    if (stats.nonEmpty)
+      StagingMaintenance.writeStats(fs, dst, stats,
+        StagingMaintenance.readNullsFor(fs, src)
+          .collect { case ((f, c), n) if bare.contains(f) => (bare(f), c) -> n })
+    val blooms = StagingMaintenance.readBloomsFor(fs, src)
+      .collect { case ((f, c), b) if bare.contains(f) => (bare(f), c) -> b }
+    if (blooms.nonEmpty) StagingMaintenance.writeBlooms(fs, dst, blooms)
+    // REGISTER in the source before the clone's first manifest exists: a
+    // source vacuum racing this clone must already see the registration
+    // when the clone becomes readable (the reverse order has a window
+    // where the clone reads files a vacuum just reclaimed)
+    val regDir = new Path(src, ClonesDir)
+    fs.mkdirs(regDir)
+    val reg = s"clone-${System.nanoTime()}"
+    writeString(fs, new Path(regDir, reg), dst.toString)
+    writeString(fs, new Path(dst, CloneSrcSidecar), s"$src\n$reg")
+    val v = writeExplicitManifest(fs, dst, absolute, kind = "clone",
+      expectedBase = Some(0L))
+    (srcV, names.size, v)
+  }
+
+  /** Data files of `d` still referenced by a live registered clone's
+    * readable manifests (main + branch logs), as source-relative names —
+    * the source vacuum's exemption set. Registrations whose clone
+    * directory vanished are garbage-collected in passing.
+    */
+  private[catalog] def cloneReferenced(fs: FileSystem, d: Path): Set[String] = {
+    val regDir = new Path(d, ClonesDir)
+    val regs =
+      try fs.listStatus(regDir).toIndexedSeq
+      catch { case _: FileNotFoundException => IndexedSeq.empty }
+    val prefix = d.toString + "/"
+    regs.iterator
+      .filter(st => st.isFile && st.getPath.getName.startsWith("clone-"))
+      .flatMap { st =>
+        val cloneDir = new Path(
+          GraftStagingCatalog.readString(fs, st.getPath).trim)
+        val live =
+          try fs.getFileStatus(cloneDir).isDirectory
+          catch { case _: FileNotFoundException => false }
+        if (!live) { fs.delete(st.getPath, false); Iterator.empty }
+        else {
+          val mains = GraftStagingCatalog.versionManifests(fs, cloneDir)
+          val branches = GraftStagingCatalog.readBranches(fs, cloneDir)
+            .keysIterator.flatMap(b =>
+              GraftStagingCatalog.branchManifests(fs, cloneDir, b))
+          (mains.iterator ++ branches)
+            .flatMap { case (_, mf) => GraftStagingCatalog.manifestFiles(fs, mf) }
+            .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+        }
+      }.toSet
+  }
+
+  /** Live clone directories registered on `d` (empty for non-sources). */
+  private[catalog] def liveClones(fs: FileSystem, d: Path): Seq[String] = {
+    val regDir = new Path(d, ClonesDir)
+    (try fs.listStatus(regDir).toIndexedSeq
+     catch { case _: FileNotFoundException => IndexedSeq.empty })
+      .filter(st => st.isFile && st.getPath.getName.startsWith("clone-"))
+      .map(st => GraftStagingCatalog.readString(fs, st.getPath).trim)
+      .filter(dir =>
+        try fs.getFileStatus(new Path(dir)).isDirectory
+        catch { case _: FileNotFoundException => false })
+  }
+
+  /** DROP TABLE hook: refuses while live clones borrow this table's files
+    * (they would be bricked); deregisters this table from its own source
+    * when it is itself a clone.
+    */
+  private[catalog] def onDrop(fs: FileSystem, d: Path): Unit = {
+    val clones = liveClones(fs, d)
+    if (clones.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot drop $d: shallow clones still reference its files " +
+          s"(${clones.mkString(", ")}) — drop the clones first")
+    val scp = new Path(d, CloneSrcSidecar)
+    if (GraftStagingCatalog.isFile(fs, scp)) {
+      GraftStagingCatalog.readString(fs, scp).trim.split('\n') match {
+        case Array(srcDir, reg) =>
+          try { fs.delete(new Path(new Path(srcDir, ClonesDir), reg), false); () }
+          catch { case _: FileNotFoundException => () }
+        case _ => ()
+      }
+    }
+  }
+}

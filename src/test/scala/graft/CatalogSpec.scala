@@ -1084,6 +1084,183 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
   }
 
+  test("sort-order provenance (r14): ALTER on a non-empty table is not trusted retroactively; optimize re-proves the report; vacuum retires the marker") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    // two bucketed tables loaded with SCRAMBLED data and NO declared sort
+    // order — their files are genuinely unsorted on k
+    def mk(name: String, filter: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$name")
+      spark.sql(s"CREATE TABLE stage_t.ws.$name (k BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+      // id*77 % 400 is a permutation of [0,400) arriving out of k order
+      spark.sql(s"INSERT INTO stage_t.ws.$name " +
+        s"SELECT (id * 77) % 400, ((id * 77) % 400) * 7 FROM range(0, 400) WHERE $filter")
+      StagingMaintenance.optimize(spark, "stage_t", "ws", name,
+        partitionBy = Some("bucket(4,k)"))
+      // the RETROACTIVE declaration the r13 advice flagged: the live
+      // property alone must not make the scan claim these files sorted
+      spark.sql(s"ALTER TABLE stage_t.ws.$name " +
+        "SET TBLPROPERTIES ('graft.sort-order'='k')")
+    }
+    mk("rsp1", "true")
+    mk("rsp2", "(id * 77) % 400 % 3 = 0")
+    def sidecar(name: String): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$stageRoot/ws/$name/_graft_sortorder.txt")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    assert(sidecar("rsp1").contains("#unsorted@"),
+      "ALTER on a non-empty table must record the provenance marker")
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def join() = spark.sql(
+        "SELECT x.k, x.v AS va, y.v AS vb FROM stage_t.ws.rsp1 x " +
+          "JOIN stage_t.ws.rsp2 y ON x.k = y.k")
+      def checksum(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(col("va") * (col("k") % 97 + 1))).collect()(0).getLong(0)
+      val expect = spark.sql(
+        """SELECT CAST(sum(id * 7 * (id % 97 + 1)) AS BIGINT)
+          |FROM range(0, 400) WHERE id % 3 = 0""".stripMargin).collect()(0).getLong(0)
+      // PRE-REWRITE: the SPJ may drop exchanges, but the ordering report
+      // must be withheld — the SMJ keeps its per-task Sorts and is exact.
+      // (Before the fix this plan was sort-free over unsorted files and
+      // silently mis-joined.)
+      val j1 = join()
+      val p1 = j1.queryExecution.executedPlan.toString
+      assert(p1.contains("SortMergeJoin"), p1)
+      assert(p1.contains(" Sort ["),
+        s"retroactive sort-order declaration must NOT drop the SMJ Sorts:\n$p1")
+      assert(j1.count() === 134L && checksum(join()) === expect)
+      // REWRITE under the declaration: optimize re-clusters AND re-sorts
+      // (write-path contract), the head snapshot holds only
+      // post-declaration files — the report returns, Sorts vanish, exact
+      Seq("rsp1", "rsp2").foreach(t => StagingMaintenance.optimize(
+        spark, "stage_t", "ws", t, partitionBy = Some("bucket(4,k)")))
+      val j2 = join()
+      val p2 = j2.queryExecution.executedPlan.toString
+      assert(p2.contains("SortMergeJoin") && !p2.contains("Exchange"), p2)
+      assert(!p2.contains(" Sort ["),
+        s"post-rewrite snapshot should report ordering (sort-free SMJ):\n$p2")
+      assert(j2.count() === 134L && checksum(join()) === expect)
+      // the marker must STAY while pre-declaration versions are readable
+      // (time travel / RESTORE could resurrect their files)…
+      assert(sidecar("rsp1").contains("#unsorted@"))
+      // …and retire once VACUUM reclaims them
+      Seq("rsp1", "rsp2").foreach(t =>
+        spark.sql(s"CALL stage_t.vacuum('ws', '$t', 1)"))
+      assert(!sidecar("rsp1").contains("#unsorted@"),
+        s"vacuum should retire the provenance marker: ${sidecar("rsp1")}")
+      assert(sidecar("rsp1").trim === "k", sidecar("rsp1"))
+      val j3 = join()
+      assert(!j3.queryExecution.executedPlan.toString.contains(" Sort ["))
+      assert(j3.count() === 134L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    Seq("rsp1", "rsp2").foreach(t => spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
+  }
+
+  test("shallow clone (r14): zero-copy creation, divergence, time-travel clone, vacuum safety both ways, drop bookkeeping") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    Seq("cdst", "cold", "csrc").foreach { t =>
+      try spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t")
+      catch { case _: IllegalStateException => () }
+    }
+    spark.sql("CREATE TABLE stage_t.ws.csrc AS SELECT id AS k, id * 3 AS v FROM range(0, 100)")
+    spark.sql("INSERT INTO stage_t.ws.csrc SELECT id, id * 3 FROM range(100, 150)")
+    val fs = new org.apache.hadoop.fs.Path(stageRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFilesIn(t: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$stageRoot/ws/$t"))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName).toSeq
+    val srcFiles = dataFilesIn("csrc")
+    assert(srcFiles.nonEmpty)
+    // CLONE head: equal content, ZERO data bytes copied
+    val r = spark.sql("CALL stage_t.clone('ws', 'csrc', 'cdst')").collect()(0)
+    assert(r.getLong(0) === 2L && r.getInt(1) === srcFiles.size && r.getLong(2) === 1L, r.toString)
+    assert(dataFilesIn("cdst").isEmpty, "shallow clone must copy no data files")
+    assert(spark.table("stage_t.ws.cdst").count() === 150L)
+    // TIME-TRAVEL clone of v1 (the pre-INSERT snapshot)
+    spark.sql("CALL stage_t.clone('ws', 'csrc', 'cold', version => 1)")
+    assert(spark.table("stage_t.ws.cold").count() === 100L)
+    // divergence: the clone's own writes land in ITS directory; source unmoved
+    spark.sql("INSERT INTO stage_t.ws.cdst SELECT id, id * 3 FROM range(1000, 1020)")
+    assert(dataFilesIn("cdst").nonEmpty, "clone's own writes must land in its dir")
+    assert(spark.table("stage_t.ws.cdst").count() === 170L)
+    assert(spark.table("stage_t.ws.csrc").count() === 150L)
+    // SOURCE-side vacuum safety: rewrite the source so the borrowed files
+    // leave ITS head, then vacuum hard — the clones' registrations must
+    // exempt them from reclamation
+    spark.sql("INSERT OVERWRITE stage_t.ws.csrc SELECT id, id * 3 FROM range(0, 10)")
+    spark.sql("CALL stage_t.vacuum('ws', 'csrc', 1)")
+    assert(srcFiles.forall(f => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$stageRoot/ws/csrc/$f"))),
+      "source vacuum reclaimed files a live clone still borrows")
+    assert(spark.table("stage_t.ws.cdst").count() === 170L)
+    assert(spark.table("stage_t.ws.cold").count() === 100L)
+    // CLONE-side vacuum safety: age the borrowed refs out of the clone's
+    // manifests and vacuum — the clone must never delete foreign files
+    spark.sql("INSERT OVERWRITE stage_t.ws.cdst SELECT id, id * 3 FROM range(0, 5)")
+    spark.sql("CALL stage_t.vacuum('ws', 'cdst', 1)")
+    assert(srcFiles.forall(f => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$stageRoot/ws/csrc/$f"))),
+      "clone-side vacuum deleted the SOURCE's files")
+    assert(spark.table("stage_t.ws.cold").count() === 100L, "sibling clone broken")
+    // DROP bookkeeping: the source refuses while clones live; clones
+    // deregister on drop; then the source drops cleanly
+    val e = intercept[Exception] {
+      spark.sql("DROP TABLE stage_t.ws.csrc")
+    }
+    assert(e.getMessage.contains("clone"), e.getMessage)
+    spark.sql("DROP TABLE stage_t.ws.cdst")
+    spark.sql("DROP TABLE stage_t.ws.cold")
+    spark.sql("DROP TABLE stage_t.ws.csrc") // no live clones left — succeeds
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$stageRoot/ws/csrc")))
+  }
+
+  test("shallow clone (r14): scope refusals — lineage, merge-on-read, clone-of-borrowing-clone") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    Seq("crx", "crc2", "crc", "crm", "crl").foreach { t =>
+      try spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t")
+      catch { case _: IllegalStateException => () }
+    }
+    spark.sql("CREATE TABLE stage_t.ws.crl TBLPROPERTIES ('graft.row-lineage'='true') " +
+      "AS SELECT id AS k FROM range(0, 10)")
+    val e1 = intercept[Exception] {
+      spark.sql("CALL stage_t.clone('ws', 'crl', 'crx')") }
+    assert(e1.getMessage.contains("row-lineage"), e1.getMessage)
+    spark.sql("CREATE TABLE stage_t.ws.crm (k BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.mode'='merge-on-read', 'graft.merge-keys'='k')")
+    spark.sql("INSERT INTO stage_t.ws.crm SELECT id, id FROM range(0, 10)")
+    val e2 = intercept[Exception] {
+      spark.sql("CALL stage_t.clone('ws', 'crm', 'crx')") }
+    assert(e2.getMessage.contains("merge-on-read"), e2.getMessage)
+    spark.sql("CREATE TABLE stage_t.ws.crc AS SELECT id AS k FROM range(0, 10)")
+    spark.sql("CALL stage_t.clone('ws', 'crc', 'crc2')")
+    val e3 = intercept[Exception] {
+      spark.sql("CALL stage_t.clone('ws', 'crc2', 'crx')") }
+    assert(e3.getMessage.toLowerCase.contains("materialize"), e3.getMessage)
+    // …but once materialized (OPTIMIZE rewrites into its own dir), it clones
+    graft.sources.catalog.StagingMaintenance.optimize(
+      spark, "stage_t", "ws", "crc2")
+    spark.sql("CALL stage_t.clone('ws', 'crc2', 'crx')")
+    assert(spark.table("stage_t.ws.crx").count() === 10L)
+    Seq("crx", "crc2", "crc", "crm", "crl").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
+  }
+
   test("bucket re-spec: a retired same-prefix spec withdraws the SPJ report") {
     // the aliasing hazard the SPJ candidate guards structurally: after
     // bucket(4,k) → bucket(8,k) evolution, the old residue dirs (0..3)
@@ -3125,9 +3302,10 @@ class CatalogSpec extends SparkSpec {
         .map { st =>
           val start = st.getPath.getName.stripPrefix("lease-").toLong
           val in = fs.open(st.getPath)
+          // content is `<end>` (r13) or `<end>,<expiresAtMs>` (r14)
           val end =
             try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+              java.nio.charset.StandardCharsets.UTF_8).trim.split(',')(0).toLong
             finally in.close()
           start -> end
         }.toMap
@@ -3178,6 +3356,89 @@ class CatalogSpec extends SparkSpec {
       assert(v3.values.toSet.size === v3.size, "id collision")
     } finally spark.conf.unset("spark.graft.vacuum.temp-ttl-ms")
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.rll")
+  }
+
+  test("row lineage leases r14: torn lease superseded (no livelock); TTL-expired claims vacuumed, unexpired kept; tmp spool orphans swept") {
+    import graft.sources.catalog.RowLineage
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.rlt")
+    spark.sql(
+      """CREATE TABLE stage_t.ws.rlt TBLPROPERTIES ('graft.row-lineage'='true')
+        |AS SELECT id AS k FROM range(0, 30)""".stripMargin)
+    val tblDir = new org.apache.hadoop.fs.Path(s"$stageRoot/ws/rlt")
+    val fs = tblDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val leaseDir = new org.apache.hadoop.fs.Path(tblDir, "_graft_rowlease")
+    def leaseNames(): Set[String] =
+      (try fs.listStatus(leaseDir).toIndexedSeq
+       catch { case _: java.io.FileNotFoundException => IndexedSeq.empty })
+        .map(_.getPath.getName).toSet
+    def leaseContent(n: String): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(leaseDir, n))
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    def ids(): Map[Long, Long] =
+      graft.sources.catalog.StagingMaintenance
+        .readLineage(spark, "stage_t", "ws", "rlt")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r14 claims carry `<end>,<expiresAtMs>` and are rename-landed (atomic
+    // content — an empty lease can no longer be minted by a crash)
+    val first = leaseNames().filter(_.startsWith("lease-"))
+    assert(first.nonEmpty && first.forall(n => leaseContent(n).contains(",")),
+      s"r14 lease content must carry a TTL: $first")
+    // TORN legacy lease (pre-r14 crash between create and write) at the
+    // EXACT start the next allocation picks: before the fix, allocation
+    // spun forever (floor unchanged, name collision, repeat). After it,
+    // the torn claim is superseded once past the grace window.
+    val curNext = first.map(n => leaseContent(n).split(',')(0).toLong).max
+    val tornP = new org.apache.hadoop.fs.Path(leaseDir, s"lease-$curNext")
+    fs.create(tornP, false).close() // empty content = torn
+    fs.setTimes(tornP, System.currentTimeMillis() - 120000L, -1) // past grace
+    val v1 = ids()
+    spark.sql("INSERT INTO stage_t.ws.rlt SELECT id FROM range(100, 110)")
+    val v2 = ids()
+    val fresh = (v2 -- v1.keys).values
+    assert(fresh.size === 10 && v2.values.toSet.size === v2.size,
+      s"torn-lease supersede broke allocation: $fresh")
+    // the superseded slot was re-claimed with parsable content
+    val reclaimed = leaseContent(s"lease-$curNext").trim
+    assert(reclaimed.nonEmpty && reclaimed.split(',')(0).forall(_.isDigit),
+      s"superseded slot not re-claimed atomically: '$reclaimed'")
+    // TTL reclamation: an EXPIRED crashed claim above the watermark goes;
+    // an UNEXPIRED one stays (its owner may still be mid-commit)
+    val maxEnd = leaseNames().filter(_.startsWith("lease-"))
+      .map(n => leaseContent(n).split(',')(0).toLong).max
+    val expStart = maxEnd + 10L * RowLineage.Stride
+    val liveStart = maxEnd + 20L * RowLineage.Stride
+    def claim(start: Long, expiresAt: Long): Unit = {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(leaseDir, s"lease-$start"), false)
+      try out.write(s"${start + RowLineage.Stride},$expiresAt".getBytes("UTF-8"))
+      finally out.close()
+    }
+    claim(expStart, System.currentTimeMillis() - 1000L)
+    claim(liveStart, System.currentTimeMillis() + 3600000L)
+    // a crashed claim's spool file (kill between create and rename)
+    val orphan = new org.apache.hadoop.fs.Path(leaseDir, ".tmp-lease-9-9")
+    fs.create(orphan, false).close()
+    fs.setTimes(orphan, System.currentTimeMillis() - 120000L, -1)
+    spark.conf.set("spark.graft.vacuum.temp-ttl-ms", "60000")
+    try {
+      spark.sql("CALL stage_t.vacuum('ws', 'rlt', 1)")
+      val left = leaseNames()
+      assert(!left.contains(s"lease-$expStart"),
+        s"TTL-expired crashed claim not reclaimed: $left")
+      assert(left.contains(s"lease-$liveStart"),
+        s"unexpired claim wrongly reclaimed: $left")
+      assert(!left.contains(".tmp-lease-9-9"), s"tmp spool orphan kept: $left")
+      // the kept claim still excludes its range
+      spark.sql("INSERT INTO stage_t.ws.rlt VALUES (8888)")
+      assert(ids()(8888L) >= liveStart + RowLineage.Stride,
+        "allocation entered an unexpired crashed claim's range")
+    } finally spark.conf.unset("spark.graft.vacuum.temp-ttl-ms")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.rlt")
   }
 
   test("row lineage: unique stable _row_id across appends, OPTIMIZE, COW DELETE; time travel pins identities") {
