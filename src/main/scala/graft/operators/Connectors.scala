@@ -3005,6 +3005,97 @@ object Connectors {
         |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q353
+
+  /** COMPLIANCE PURGE ACROSS HISTORY (r14 —
+    * [[graft.sources.catalog.StagingPurge]]): `CALL purge(ns, t, where)`
+    * physically removes matching rows from EVERY readable version — head,
+    * time travel, tags, branches — while the version history itself
+    * survives. DELETE cannot be this operation: it commits a NEW version
+    * and the rows stay readable (and on disk) through `VERSION AS OF`
+    * until retention lapses; compliance clocks don't wait for retention.
+    * VACUUM forgets versions, purge forgets ROWS.
+    *
+    * Scale story, proven by the requires: the rewrite is zone-map-scoped
+    * — the table is laid out as two range-disjoint versions, the purge
+    * band lives entirely in the second, and the first version's manifest
+    * and files must come through UNTOUCHED (`versions_touched == 1`, file
+    * list identical). At 100 TB, purging a user's slice rewrites the
+    * files that can hold it, never the corpus. The time-travel require
+    * proves the point of the operation: the v1 snapshot no longer serves
+    * the purged band either, yet history length is unchanged.
+    *
+    * Oracle recomputes the surviving corpus from raw events — the hash
+    * match proves purge ≡ filter across the whole content.
+    */
+  def q353HistoryPurge(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events_prg_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.events_prg")
+    val hi = spark.sql("SELECT max(event_id) FROM events_prg_src")
+      .collect()(0).getLong(0)
+    val mid = hi / 2L
+    val lo3 = hi - hi / 4L // purge band: the top quarter, all inside v2
+    spark.sql(
+      s"""CREATE TABLE graft_stage.work.events_prg AS
+         |SELECT /*+ REPARTITION_BY_RANGE(4, event_id) */ event_id, event_type, value
+         |FROM events_prg_src WHERE event_id <= $mid""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO graft_stage.work.events_prg
+         |SELECT /*+ REPARTITION_BY_RANGE(4, event_id) */ event_id, event_type, value
+         |FROM events_prg_src WHERE event_id > $mid""".stripMargin)
+    graft.sources.catalog.StagingMaintenance.analyze(
+      spark, "graft_stage", "work", "events_prg", Seq("event_id"))
+    def v1Files(): Seq[String] = spark.sql(
+      "SELECT file FROM graft_stage.work.events_prg.files VERSION AS OF 1")
+      .collect().map(_.getString(0)).toSeq.sorted
+    val v1Before = v1Files()
+    val expectPurged = spark.sql(
+      s"SELECT count(*) FROM events_prg_src WHERE event_id > $lo3")
+      .collect()(0).getLong(0)
+    val r = spark.sql(
+      s"CALL graft_stage.purge('work', 'events_prg', 'event_id > $lo3')")
+      .collect()(0)
+    require(r.getLong(2) == expectPurged,
+      s"rows_purged ${r.getLong(2)} != expected $expectPurged")
+    require(r.getInt(3) == 1,
+      s"purge touched ${r.getInt(3)} manifests — the zone-map scope should " +
+        "confine the band to v2's manifest alone")
+    require(v1Files() == v1Before,
+      "zone-scoped purge rewrote v1's files — the band provably lives in v2")
+    val v1Cnt = spark.sql(
+      "SELECT count(*) FROM graft_stage.work.events_prg VERSION AS OF 1")
+      .collect()(0).getLong(0)
+    val v1Expect = spark.sql(
+      s"SELECT count(*) FROM events_prg_src WHERE event_id <= $mid AND NOT (event_id > $lo3)")
+      .collect()(0).getLong(0)
+    require(v1Cnt == v1Expect,
+      s"time-travel after purge: v1 serves $v1Cnt rows, expected $v1Expect")
+    require(spark.sql("SELECT count(*) FROM graft_stage.work.events_prg.snapshots")
+      .collect()(0).getLong(0) == 2L, "purge must not shorten history")
+    spark.sql(
+      """SELECT event_type, count(*) AS n,
+        |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.events_prg
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** The surviving corpus recomputed from raw events — hash match proves
+    * history purge ≡ filter on content.
+    */
+  val q353Oracle: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+       |  ${graft.operators.Det.dsumSql("value")} AS total
+       |FROM events
+       |WHERE NOT (event_id >
+       |    (SELECT max(event_id) - max(event_id) // 4 FROM events))
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** The clone's three slices recomputed from raw orders — hash match
     * proves zero-copy clone + divergence + source vacuum changed nothing
     * the clone serves.
@@ -3128,7 +3219,8 @@ object Connectors {
     GraftQuery.sql("q349_batch_change_feed", q349BatchChangeFeed, q349Oracle),
     GraftQuery.sql("q350_distributed_pos_deletes", q350DistributedPosDeletes, q350Oracle),
     GraftQuery.sql("q351_keyless_pos_delta", q351KeylessPosDelta, q351Oracle),
-    GraftQuery.sql("q352_shallow_clone", q352ShallowClone, q352Oracle))
+    GraftQuery.sql("q352_shallow_clone", q352ShallowClone, q352Oracle),
+    GraftQuery.sql("q353_history_purge", q353HistoryPurge, q353Oracle))
 
   // ---------------------------------------------------------------- q332
 

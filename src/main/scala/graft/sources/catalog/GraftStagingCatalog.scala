@@ -1507,6 +1507,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       case "detail"   => Some(StagingProcedures.detail(catalogName))
       case "restore"  => Some(StagingProcedures.restore(catalogName))
       case "clone"    => Some(StagingProcedures.cloneTable(catalogName))
+      case "purge"    => Some(StagingProcedures.purge(catalogName))
       case "bloom"    => Some(StagingProcedures.bloom(catalogName))
       case "tag"      => Some(StagingProcedures.tag(catalogName))
       case "drop_tag" => Some(StagingProcedures.dropTag(catalogName))

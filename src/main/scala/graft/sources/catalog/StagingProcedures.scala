@@ -210,6 +210,30 @@ private[catalog] object StagingProcedures {
       }
     }
 
+  /** Compliance purge across all readable history — see [[StagingPurge]]. */
+  def purge(catalog: String): UnboundProcedure =
+    new MaintenanceProc("purge",
+      "physically remove every row matching the predicate from EVERY " +
+        "readable version (main, branches, tags, time travel) while keeping " +
+        "the version history itself — the right-to-be-forgotten operation " +
+        "DELETE (new-version-only) cannot be") {
+      private val out = StructType(Seq(
+        StructField("files_rewritten", IntegerType, nullable = false),
+        StructField("files_dropped", IntegerType, nullable = false),
+        StructField("rows_purged", LongType, nullable = false),
+        StructField("versions_touched", IntegerType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("where_filter", StringType).build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val (rw, dr, rows, vers) = StagingPurge.purge(spark, catalog,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+          input.getUTF8String(2).toString)
+        one(out, rw, dr, rows, vers)
+      }
+    }
+
   /** Zero-copy shallow clone — see [[TableClone]]. */
   def cloneTable(catalog: String): UnboundProcedure =
     new MaintenanceProc("clone",

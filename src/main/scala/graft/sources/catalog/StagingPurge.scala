@@ -1,0 +1,225 @@
+package graft.sources.catalog
+
+import java.io.FileNotFoundException
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, typedLit}
+
+/** COMPLIANCE PURGE ACROSS HISTORY (r14) — `CALL purge(ns, t, where)`:
+  * physically removes every row matching the predicate from EVERY
+  * still-readable version of the table — main log, branch logs, tagged
+  * versions, time travel — while keeping the version history itself
+  * intact. This is the right-to-be-forgotten operation ordinary DELETE
+  * cannot be: a DELETE commits a new version and the purged rows stay
+  * readable through `VERSION AS OF` (and physically on disk) until
+  * retention lapses, which compliance clocks do not wait for. Purge is
+  * the complement of the retention machinery: VACUUM forgets versions,
+  * purge forgets ROWS.
+  *
+  * Mechanics — O(matching files across history), never O(table):
+  *  1. candidate files = the union of every readable manifest's entries,
+  *     zone-map- and partition-path-pruned by the predicate when it is
+  *     V1-translatable ([[ZoneMapPrunedScan.canMatch]] — the same test
+  *     DELETE's three-way split uses); a file provably unable to hold a
+  *     matching row is never read, rewritten, or even opened.
+  *  2. survivors of the candidates are rewritten in ONE distributed pass:
+  *     rows carry their `_metadata` (file name, row index), regroup by
+  *     source file, and write one twin per input file with the original
+  *     row order preserved (so per-file sortedness — the ordering-report
+  *     invariant — survives). A partition-laid-out file's twin lands in
+  *     the SAME `k=v/` directory (path-based pruning keeps working).
+  *  3. every manifest (main + branch logs) substitutes twin for original
+  *     (files with no survivors drop out), the checkpoint is rebuilt at
+  *     the head with the exactly-once batch ledger carried over,
+  *     materialized change-feed caches are invalidated (they lazily
+  *     re-derive from the purged files), stale zone-map/bloom entries are
+  *     trimmed, and only then are the originals deleted.
+  *
+  * Boundaries (refused loudly): row-lineage tables (per-file id bases are
+  * positional — dropping rows shifts every subsequent ordinal), history
+  * carrying deletion vectors (same ordinal-shift hazard for position DVs,
+  * and key-DV membership would silently diverge — fold with OPTIMIZE and
+  * VACUUM the DV'd versions first), tables with live shallow clones (the
+  * borrowed bytes would keep the purged rows alive elsewhere — purge the
+  * clones first), and clones still borrowing foreign files (purge the
+  * source instead). Readers racing a purge are the documented multi-writer
+  * caveat: manifests are rewritten under the single-driver catalog
+  * monitor.
+  */
+object StagingPurge {
+
+  /** Returns (files_rewritten, files_dropped, rows_purged, versions_touched). */
+  def purge(spark: SparkSession, catalog: String, ns: String, table: String,
+      where: String): (Int, Int, Long, Int) = {
+    import GraftStagingCatalog._
+    import StagingMaintenance.{readStatsFor, readNullsFor, CdfDir}
+    val (fs, d) = StagingMaintenance.tableDir(spark, catalog, ns, table)
+
+    // ---- predicate: validated against the declared schema, V1-translated
+    // when possible (file pruning), always applied row-exactly
+    val parsed = spark.sessionState.sqlParser.parseExpression(where)
+    val declaredNames = declaredSchema(fs, d)
+      .map(_.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+      .getOrElse(Set.empty)
+    parsed.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        require(declaredNames.isEmpty ||
+            declaredNames(a.name.toLowerCase(java.util.Locale.ROOT)),
+          s"purge predicate references unknown column '${a.name}' " +
+            s"(declared: ${declaredNames.toSeq.sorted.mkString(", ")})")
+    }
+    val v1 = ZoneMapScanBuilder.toV1(parsed)
+
+    // ---- refusals (see class doc)
+    require(!RowLineage.enabled(fs, d),
+      s"cannot purge $catalog.$ns.$table: row-lineage id bases are " +
+        "positional — dropping rows would re-identify every later row")
+    val clones = TableClone.liveClones(fs, d)
+    require(clones.isEmpty,
+      s"cannot purge $catalog.$ns.$table: live shallow clones borrow its " +
+        s"files (${clones.mkString(", ")}) — purge or drop the clones first")
+    val branchNames = readBranches(fs, d).keys.toSeq.sorted
+    def allManifests(): Seq[Path] =
+      versionManifests(fs, d).map(_._2) ++
+        branchNames.flatMap(b => branchManifests(fs, d, b).map(_._2))
+    val manifests0 = allManifests()
+    manifests0.foreach { mf =>
+      require(manifestDvs(fs, mf).isEmpty,
+        s"cannot purge $catalog.$ns.$table: version manifest ${mf.getName} " +
+          "carries deletion vectors (positional) — OPTIMIZE to fold them " +
+          "and VACUUM the DV'd versions first")
+    }
+    val union0 = manifests0.flatMap(mf => manifestFiles(fs, mf)).distinct
+    require(union0.forall(f => !TableClone.isForeign(f)),
+      s"cannot purge $catalog.$ns.$table: it borrows files from a clone " +
+        "source — purge the source table, or OPTIMIZE to materialize first")
+    if (union0.isEmpty) return (0, 0, 0L, 0)
+
+    // ---- candidate selection: zone maps + partition paths prune files
+    // the predicate provably cannot touch (conservative keep otherwise)
+    val stats0 = readStatsFor(fs, d)
+    val nulls0 = readNullsFor(fs, d)
+    val specs0 = partSpecsAll(fs, d)
+    val cand = v1 match {
+      case Some(f) => union0.filter(fl =>
+        ZoneMapPrunedScan.canMatch(stats0, nulls0, fl, f) &&
+          ZoneMapPrunedScan.partCanMatch(specs0, fl, f))
+      case None => union0
+    }
+    if (cand.isEmpty) return (0, 0, 0L, 0)
+
+    val headBefore = headManifest(fs, d).map(_._1).getOrElse(0L)
+
+    // ---- one distributed pass: read candidates with provenance metadata,
+    // split matched from survivors, regroup survivors per source file in
+    // original row order
+    val reader = spark.read
+    declaredSchema(fs, d).foreach(reader.schema)
+    val raw = reader.parquet(cand.map(f => new Path(d, f).toString): _*)
+      .select(col("*"), col("_metadata.file_name").as("__graft_pf"),
+        col("_metadata.row_index").as("__graft_pr"))
+    // DELETE-WHERE truth table: a NULL predicate keeps the row
+    val hit = coalesce(expr(where), lit(false))
+    val purgedRows = raw.filter(hit).count()
+    if (purgedRows == 0L) return (0, 0, 0L, 0)
+    // parquet part names are UUID-unique, so the bare name indexes the
+    // candidate list even across partition subdirectories
+    val pidOf: Map[String, Int] = cand.zipWithIndex.map { case (f, i) =>
+      f.substring(f.lastIndexOf('/') + 1) -> i }.toMap
+    require(pidOf.size == cand.size,
+      s"purge: candidate file names are not unique (${cand.size} files, " +
+        s"${pidOf.size} distinct names)")
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val tmp = new Path(d, s"_purge_$token")
+    raw.filter(not(hit))
+      .withColumn("__graft_pid",
+        org.apache.spark.sql.functions.element_at(typedLit(pidOf), col("__graft_pf")))
+      .repartition(math.max(cand.size, 1), col("__graft_pid"))
+      .sortWithinPartitions(col("__graft_pid"), col("__graft_pr"))
+      .drop("__graft_pf", "__graft_pr")
+      .write.partitionBy("__graft_pid").mode("overwrite").parquet(tmp.toString)
+
+    // ---- place twins beside their originals (same partition directory:
+    // the path-based pruner must keep judging them by the same spec), then
+    // swap names through every manifest under the catalog monitor
+    val repl = scala.collection.mutable.Map.empty[String, Seq[String]]
+    fs.listStatus(tmp).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__graft_pid="))
+      .foreach { pd =>
+        val pid = pd.getPath.getName.stripPrefix("__graft_pid=").toInt
+        val old = cand(pid)
+        val slash = old.lastIndexOf('/')
+        val dirPart = if (slash > 0) old.substring(0, slash + 1) else ""
+        val parts = fs.listStatus(pd.getPath).toIndexedSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        repl(old) = parts.zipWithIndex.map { case (f, j) =>
+          val name = s"${dirPart}purge-$token-$pid-$j.parquet"
+          val target = new Path(d, name)
+          if (!fs.rename(f.getPath, target))
+            throw new IllegalStateException(s"purge: move ${f.getPath} -> $target failed")
+          name
+        }
+      }
+    fs.delete(tmp, true)
+    val candSet = cand.toSet
+    val touchedManifests = GraftStagingCatalog.synchronized {
+      val headNow = headManifest(fs, d).map(_._1).getOrElse(0L)
+      if (headNow != headBefore)
+        throw new java.util.ConcurrentModificationException(
+          s"purge of $catalog.$ns.$table planned against version $headBefore " +
+            s"but head is now $headNow — a concurrent commit landed; retry")
+      // the exactly-once ledger must survive the checkpoint rebuild below
+      val batchIds = committedBatchIds(fs, d)
+      var touched = 0
+      allManifests().foreach { mf =>
+        val files = manifestFiles(fs, mf)
+        if (files.exists(candSet)) {
+          val newFiles = files.flatMap(f =>
+            if (candSet(f)) repl.getOrElse(f, Seq.empty) else Seq(f))
+          val txt = readString(fs, mf)
+          val arr = newFiles.distinct.sorted.map(f => "\"" + f + "\"").mkString(",")
+          writeString(fs, mf, txt.replaceFirst("\"files\":\\[[^\\]]*\\]",
+            java.util.regex.Matcher.quoteReplacement(s""""files":[$arr]""")))
+          touched += 1
+        }
+      }
+      // checkpoints snapshot the head FILE LIST — rebuild at the head with
+      // the substituted names and the carried ledger (a deleted-only
+      // checkpoint would risk the ledger if old batch manifests were
+      // already vacuumed)
+      if (readCkptPointer(fs, d).isDefined) {
+        val vd = new Path(d, VersionsDir)
+        fs.delete(new Path(vd, CkptPointer), false)
+        dropStaleCheckpoints(fs, d)
+        headManifest(fs, d).foreach { case (hv, hmf) =>
+          writeCheckpoint(fs, d, hv, manifestFiles(fs, hmf), Seq.empty, batchIds,
+            versionManifests(fs, d).map { case (v, m) => v -> commitMillis(fs, m) })
+        }
+      }
+      // materialized change-feed caches hold pre-purge rows; they lazily
+      // re-derive from the substituted manifests + twin files
+      (try fs.listStatus(new Path(d, CdfDir)).toIndexedSeq
+       catch { case _: FileNotFoundException => Seq.empty })
+        .foreach { st => fs.delete(st.getPath, true); () }
+      touched
+    }
+    // originals are unreferenced by every manifest now — delete, and trim
+    // their sidecar entries (vacuum's hygiene, applied to the purged set)
+    cand.foreach(f => fs.delete(new Path(d, f), false))
+    val stats = readStatsFor(fs, d)
+    val live = stats.filter { case ((f, _), _) => !candSet(f) }
+    if (live.size != stats.size)
+      StagingMaintenance.writeStats(fs, d, live,
+        readNullsFor(fs, d).filter { case ((f, _), _) => !candSet(f) })
+    val blooms = StagingMaintenance.readBloomsFor(fs, d)
+    val liveB = blooms.filter { case ((f, _), _) => !candSet(f) }
+    if (liveB.size != blooms.size) StagingMaintenance.writeBlooms(fs, d, liveB)
+    try StagingMaintenance.autoAnalyze(spark, fs, d)
+    catch { case e: Exception =>
+      System.err.println(s"[graft] auto-analyze after purge on $d failed: $e")
+    }
+    val dropped = cand.count(f => repl.getOrElse(f, Seq.empty).isEmpty)
+    (cand.size - dropped, dropped, purgedRows, touchedManifests)
+  }
+}

@@ -1261,6 +1261,92 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
   }
 
+  test("history purge (r14): rows leave EVERY readable version; zone maps scope the rewrite; history and untouched files survive") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.prg")
+    spark.sql("CREATE TABLE stage_t.ws.prg AS SELECT id AS k, id * 2 AS v FROM range(0, 100)")
+    spark.sql("INSERT INTO stage_t.ws.prg SELECT id, id * 2 FROM range(100, 200)")
+    spark.sql("CALL stage_t.analyze('ws', 'prg', 'k')")
+    spark.sql("CALL stage_t.tag('ws', 'prg', 'pre', 1)")
+    val fs = new org.apache.hadoop.fs.Path(stageRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def manifestNames(v: Long): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$stageRoot/ws/prg/_graft_versions/v$v.json")
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      "\"files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt).get.group(1)
+        .split(',').map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+        .filter(_.nonEmpty)
+    }
+    val v1Files = manifestNames(1L)
+    // PRUNED purge: k >= 150 can only live in v2's files — v1's manifest
+    // and files must come through byte-identical (zone maps scope the op)
+    val r1 = spark.sql("CALL stage_t.purge('ws', 'prg', 'k >= 150')").collect()(0)
+    assert(r1.getLong(2) === 50L, s"rows_purged: $r1")
+    assert(r1.getInt(3) === 1, s"only v2's manifest holds v2 files: $r1")
+    assert(manifestNames(1L) === v1Files, "pruned purge touched v1's manifest")
+    assert(v1Files.forall(f => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$stageRoot/ws/prg/$f"))))
+    assert(spark.table("stage_t.ws.prg").count() === 150L)
+    // UNPRUNABLE-version purge: k < 30 lives in v1 files, which BOTH
+    // manifests reference — rows leave the current head, the v1 snapshot,
+    // and the tag-resolved read alike; history length is unchanged
+    val r2 = spark.sql("CALL stage_t.purge('ws', 'prg', 'k < 30')").collect()(0)
+    assert(r2.getLong(2) === 30L && r2.getInt(3) === 2, r2.toString)
+    assert(spark.table("stage_t.ws.prg").count() === 120L)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.prg VERSION AS OF 1")
+      .collect()(0).getLong(0) === 70L,
+      "purged rows still readable through time travel")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.prg VERSION AS OF 'pre'")
+      .collect()(0).getLong(0) === 70L,
+      "purged rows still readable through the tag")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.prg.snapshots")
+      .collect()(0).getLong(0) === 2L, "purge must not shorten history")
+    assert(spark.table("stage_t.ws.prg")
+      .agg(min(col("k"))).collect()(0).getLong(0) === 30L)
+    // the change feed re-derives WITHOUT the purged rows
+    val cdf = graft.sources.catalog.StagingMaintenance
+      .changesBetween(spark, "stage_t", "ws", "prg", 1L, 2L)
+    assert(cdf.filter(col("k") < 30 || col("k") >= 150).count() === 0L,
+      "change feed still serves purged rows")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.prg")
+  }
+
+  test("history purge (r14): refusals — lineage, DV'd history, live clones, borrowing clone") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    Seq("pgc2", "pgc", "pgl", "pgm").foreach { t =>
+      try spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t")
+      catch { case _: IllegalStateException => () }
+    }
+    spark.sql("CREATE TABLE stage_t.ws.pgl TBLPROPERTIES ('graft.row-lineage'='true') " +
+      "AS SELECT id AS k FROM range(0, 10)")
+    val e1 = intercept[Exception] {
+      spark.sql("CALL stage_t.purge('ws', 'pgl', 'k = 3')") }
+    assert(e1.getMessage.contains("lineage"), e1.getMessage)
+    spark.sql("CREATE TABLE stage_t.ws.pgm (k BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.mode'='merge-on-read', 'graft.merge-keys'='k')")
+    spark.sql("INSERT INTO stage_t.ws.pgm SELECT id, id FROM range(0, 10)")
+    spark.sql("DELETE FROM stage_t.ws.pgm WHERE k = 5") // mints a DV
+    val e2 = intercept[Exception] {
+      spark.sql("CALL stage_t.purge('ws', 'pgm', 'k = 3')") }
+    assert(e2.getMessage.contains("deletion vectors"), e2.getMessage)
+    spark.sql("CREATE TABLE stage_t.ws.pgc AS SELECT id AS k FROM range(0, 10)")
+    spark.sql("CALL stage_t.clone('ws', 'pgc', 'pgc2')")
+    val e3 = intercept[Exception] {
+      spark.sql("CALL stage_t.purge('ws', 'pgc', 'k = 3')") }
+    assert(e3.getMessage.contains("clone"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql("CALL stage_t.purge('ws', 'pgc2', 'k = 3')") }
+    assert(e4.getMessage.contains("borrow"), e4.getMessage)
+    Seq("pgc2", "pgc", "pgl", "pgm").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
+  }
+
   test("bucket re-spec: a retired same-prefix spec withdraws the SPJ report") {
     // the aliasing hazard the SPJ candidate guards structurally: after
     // bucket(4,k) → bucket(8,k) evolution, the old residue dirs (0..3)
