@@ -3005,6 +3005,78 @@ object Connectors {
         |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q354
+
+  /** INCREMENTAL CLONE REFRESH (r14 — [[graft.sources.catalog.TableClone
+    * .sync]]): `CALL sync(ns, clone)` absorbs the source versions
+    * committed since the clone's watermark by BORROWING their newly-added
+    * files — the same zero-copy mechanics as the clone itself, applied
+    * incrementally. The clone-then-keep-fresh loop at 100 TB: each nightly
+    * source append reaches every downstream clone as one manifest write,
+    * O(new files), no data movement; the clone's own divergent writes ride
+    * along untouched. Append-only by contract (a source rewrite refuses —
+    * absorbing it would double borrowed rows), idempotent (re-absorption
+    * dedups), crash-safe (manifest commits before the watermark advances).
+    *
+    * The query clones a one-slice orders table, appends two more slices to
+    * the source, syncs (required: borrowed not copied — zero parquet files
+    * in the clone dir; a second sync is a no-op), diverges the clone with
+    * a fourth slice of its own, and aggregates the clone. Oracle
+    * recomputes the four slices from raw orders.
+    */
+  def q354CloneSync(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_sy_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.sy_dst")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.sy_src")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.sy_src AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_sy_src WHERE o_orderkey % 7 = 0""".stripMargin)
+    spark.sql("CALL graft_stage.clone('work', 'sy_src', 'sy_dst')")
+    Seq(3, 5).foreach(m => spark.sql(
+      s"""INSERT INTO graft_stage.work.sy_src
+         |SELECT o_orderkey, o_orderstatus, o_totalprice
+         |FROM orders_sy_src WHERE o_orderkey % 7 = $m""".stripMargin))
+    val r = spark.sql("CALL graft_stage.sync('work', 'sy_dst')").collect()(0)
+    require(r.getLong(0) == 1L && r.getLong(1) == 3L && r.getInt(2) > 0,
+      s"sync absorbed nothing: $r")
+    val fs = new org.apache.hadoop.fs.Path(stageRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$stageRoot/work/sy_dst"))
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")),
+      "sync copied data files — refresh must borrow, not copy")
+    val r2 = spark.sql("CALL graft_stage.sync('work', 'sy_dst')").collect()(0)
+    require(r2.getInt(2) == 0 && r2.getLong(3) == -1L,
+      s"sync is not idempotent: $r2")
+    spark.sql(
+      """INSERT INTO graft_stage.work.sy_dst
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_sy_src WHERE o_orderkey % 7 = 6""".stripMargin)
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.sy_dst
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  /** The clone's four slices (one original, two synced, one divergent)
+    * recomputed from raw orders — hash match proves zero-copy incremental
+    * refresh is lossless.
+    */
+  val q354Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders
+       |WHERE o_orderkey % 7 IN (0, 3, 5, 6)
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   // ---------------------------------------------------------------- q353
 
   /** COMPLIANCE PURGE ACROSS HISTORY (r14 —
@@ -3220,7 +3292,8 @@ object Connectors {
     GraftQuery.sql("q350_distributed_pos_deletes", q350DistributedPosDeletes, q350Oracle),
     GraftQuery.sql("q351_keyless_pos_delta", q351KeylessPosDelta, q351Oracle),
     GraftQuery.sql("q352_shallow_clone", q352ShallowClone, q352Oracle),
-    GraftQuery.sql("q353_history_purge", q353HistoryPurge, q353Oracle))
+    GraftQuery.sql("q353_history_purge", q353HistoryPurge, q353Oracle),
+    GraftQuery.sql("q354_clone_sync", q354CloneSync, q354Oracle))
 
   // ---------------------------------------------------------------- q332
 

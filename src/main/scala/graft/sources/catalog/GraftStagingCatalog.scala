@@ -1508,6 +1508,7 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       case "restore"  => Some(StagingProcedures.restore(catalogName))
       case "clone"    => Some(StagingProcedures.cloneTable(catalogName))
       case "purge"    => Some(StagingProcedures.purge(catalogName))
+      case "sync"     => Some(StagingProcedures.sync(catalogName))
       case "bloom"    => Some(StagingProcedures.bloom(catalogName))
       case "tag"      => Some(StagingProcedures.tag(catalogName))
       case "drop_tag" => Some(StagingProcedures.dropTag(catalogName))

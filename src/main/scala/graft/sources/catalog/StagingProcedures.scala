@@ -210,6 +210,27 @@ private[catalog] object StagingProcedures {
       }
     }
 
+  /** Incremental clone refresh — see [[TableClone.sync]]. */
+  def sync(catalog: String): UnboundProcedure =
+    new MaintenanceProc("sync",
+      "absorb the clone source's versions committed since the clone's " +
+        "watermark by borrowing their newly-added files — zero-copy " +
+        "incremental refresh (append-only sources; rewrites refuse)") {
+      private val out = StructType(Seq(
+        StructField("from_version", LongType, nullable = false),
+        StructField("to_version", LongType, nullable = false),
+        StructField("files_added", IntegerType, nullable = false),
+        StructField("clone_version", LongType, nullable = false)))
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("ns", StringType).build(),
+        ProcedureParameter.in("tbl", StringType).build())
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val (f, t, n, v) = TableClone.sync(spark, catalog,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+        one(out, f, t, n, v)
+      }
+    }
+
   /** Compliance purge across all readable history — see [[StagingPurge]]. */
   def purge(catalog: String): UnboundProcedure =
     new MaintenanceProc("purge",

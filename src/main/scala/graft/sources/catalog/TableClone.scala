@@ -153,10 +153,89 @@ object TableClone {
     fs.mkdirs(regDir)
     val reg = s"clone-${System.nanoTime()}"
     writeString(fs, new Path(regDir, reg), dst.toString)
-    writeString(fs, new Path(dst, CloneSrcSidecar), s"$src\n$reg")
+    // third line = the source version this clone has absorbed ([[sync]]'s
+    // incremental-refresh watermark)
+    writeString(fs, new Path(dst, CloneSrcSidecar), s"$src\n$reg\n$srcV")
     val v = writeExplicitManifest(fs, dst, absolute, kind = "clone",
       expectedBase = Some(0L))
     (srcV, names.size, v)
+  }
+
+  /** INCREMENTAL CLONE REFRESH — `CALL sync(ns, clone)`: absorbs the
+    * source versions committed since the clone's watermark by BORROWING
+    * their newly-added files (absolute entries, exactly like the original
+    * clone — zero copy again), then advances the watermark. The
+    * clone-then-keep-fresh loop at 100 TB: nightly source appends reach
+    * the clone as one manifest write each, O(new files), while the
+    * clone's own divergent writes ride along untouched.
+    *
+    * Append-only by contract: a source version that REMOVED files
+    * (overwrite, delete, optimize) is refused — borrowed entries the
+    * clone already serves stay valid, but absorbing a rewrite would
+    * double its rows. Re-clone for a diverged source. A vacuumed gap
+    * (the watermark's manifest no longer readable) also refuses: the
+    * file delta cannot be reconstructed. DV-carrying versions refuse as
+    * at clone time. Crash-safe: the manifest commits before the
+    * watermark advances, and re-absorbing the same files is idempotent
+    * (manifest entries dedup), so a stale watermark only re-reads.
+    *
+    * Returns (from_version, to_version, files_added, clone_version) —
+    * clone_version = -1 when already current (no commit).
+    */
+  def sync(spark: SparkSession, catalog: String, ns: String, table: String)
+      : (Long, Long, Int, Long) = {
+    import GraftStagingCatalog._
+    val (fs, d) = StagingMaintenance.tableDir(spark, catalog, ns, table)
+    val scp = new Path(d, CloneSrcSidecar)
+    require(isFile(fs, scp),
+      s"$catalog.$ns.$table is not a shallow clone — sync refreshes clones " +
+        "from their source")
+    val lines = readString(fs, scp).trim.split('\n')
+    require(lines.length >= 3,
+      s"$catalog.$ns.$table: clone sidecar carries no sync watermark")
+    val src = new Path(lines(0))
+    val lastV = lines(2).trim.toLong
+    val (headV, _) = headManifest(fs, src).getOrElse(
+      throw new IllegalStateException(
+        s"clone source $src has no readable head — was it dropped?"))
+    if (headV <= lastV) return (lastV, lastV, 0, -1L)
+    require(!RowLineage.enabled(fs, src),
+      s"clone source $src enabled row lineage after the clone — re-clone")
+    def filesAt(v: Long): Seq[String] = {
+      val mf = probeManifest(fs, src, v).getOrElse(
+        throw new IllegalStateException(
+          s"sync: source version $v was vacuumed past the clone's " +
+            s"watermark $lastV — the file delta cannot be reconstructed; re-clone"))
+      require(manifestDvs(fs, mf).isEmpty,
+        s"sync: source version $v carries deletion vectors — re-clone " +
+          "after the source folds them (OPTIMIZE)")
+      manifestFiles(fs, mf)
+    }
+    var prev = filesAt(lastV).toSet
+    val added = scala.collection.mutable.LinkedHashSet.empty[String]
+    (lastV + 1 to headV).foreach { v =>
+      val cur = filesAt(v).toSet
+      val removed = prev -- cur
+      require(removed.isEmpty,
+        s"sync: source version $v removed ${removed.size} files " +
+          "(overwrite/delete/optimize) — append-only refresh cannot absorb " +
+          "a rewrite; re-clone")
+      (cur -- prev).foreach { f => added += f; () }
+      prev = cur
+    }
+    if (added.isEmpty) {
+      writeString(fs, scp, s"${lines(0)}\n${lines(1)}\n$headV")
+      return (lastV, headV, 0, -1L)
+    }
+    val absolute = added.toSeq.map(f =>
+      if (isForeign(f)) f else new Path(src, f).toString)
+    val curFiles = headManifest(fs, d)
+      .map { case (_, mf) => manifestFiles(fs, mf) }.getOrElse(Seq.empty)
+    val base = headManifest(fs, d).map(_._1).getOrElse(0L)
+    val v = writeExplicitManifest(fs, d, (curFiles ++ absolute).distinct,
+      kind = "sync", expectedBase = Some(base))
+    writeString(fs, scp, s"${lines(0)}\n${lines(1)}\n$headV")
+    (lastV, headV, absolute.size, v)
   }
 
   /** Data files of `d` still referenced by a live registered clone's

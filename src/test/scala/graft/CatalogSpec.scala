@@ -1261,6 +1261,43 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
   }
 
+  test("clone sync (r14): zero-copy incremental refresh absorbs source appends, is idempotent, and refuses rewrites and vacuumed gaps") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    Seq("syd", "sys").foreach { t =>
+      try spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t")
+      catch { case _: IllegalStateException => () }
+    }
+    spark.sql("CREATE TABLE stage_t.ws.sys AS SELECT id AS k, id * 3 AS v FROM range(0, 50)")
+    spark.sql("CALL stage_t.clone('ws', 'sys', 'syd')")
+    spark.sql("INSERT INTO stage_t.ws.sys SELECT id, id * 3 FROM range(50, 80)")
+    spark.sql("INSERT INTO stage_t.ws.sys SELECT id, id * 3 FROM range(80, 100)")
+    val r = spark.sql("CALL stage_t.sync('ws', 'syd')").collect()(0)
+    assert(r.getLong(0) === 1L && r.getLong(1) === 3L && r.getInt(2) > 0, r.toString)
+    assert(spark.table("stage_t.ws.syd").count() === 100L)
+    val fs = new org.apache.hadoop.fs.Path(stageRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$stageRoot/ws/syd"))
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")),
+      "sync must borrow, not copy")
+    // divergence rides along; a second sync with nothing new is a no-op
+    spark.sql("INSERT INTO stage_t.ws.syd SELECT id, id * 3 FROM range(1000, 1010)")
+    val r2 = spark.sql("CALL stage_t.sync('ws', 'syd')").collect()(0)
+    assert(r2.getInt(2) === 0 && r2.getLong(3) === -1L, r2.toString)
+    assert(spark.table("stage_t.ws.syd").count() === 110L)
+    // a source rewrite breaks the append-only contract
+    spark.sql("INSERT OVERWRITE stage_t.ws.sys SELECT id, id * 3 FROM range(0, 5)")
+    val e = intercept[Exception] { spark.sql("CALL stage_t.sync('ws', 'syd')") }
+    assert(e.getMessage.contains("re-clone"), e.getMessage)
+    // the clone still serves everything it had absorbed
+    assert(spark.table("stage_t.ws.syd").count() === 110L)
+    // not-a-clone refusal
+    val e2 = intercept[Exception] { spark.sql("CALL stage_t.sync('ws', 'sys')") }
+    assert(e2.getMessage.contains("not a shallow clone"), e2.getMessage)
+    spark.sql("DROP TABLE stage_t.ws.syd")
+    spark.sql("DROP TABLE stage_t.ws.sys")
+  }
+
   test("history purge (r14): rows leave EVERY readable version; zone maps scope the rewrite; history and untouched files survive") {
     mountStage()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
