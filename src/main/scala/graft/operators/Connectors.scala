@@ -3005,6 +3005,97 @@ object Connectors {
         |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q355
+
+  /** DISTRIBUTED EQUALITY-DELETE KEY BINS (r14 — SURVEY r14 candidate #1,
+    * the keyed twin of q350's position-run sidecars): a keyed-MOR DELETE
+    * whose matched keys exceed `spark.graft.key-delete.max-inline-keys`
+    * spills each TASK's keys to a bin under `_graft_dv/dvk-<token>/` and
+    * the driver commits ONE descriptor naming the key column, covered
+    * files, and bins — a 100M-key CDC retention burst never materializes
+    * its key set on the driver (transient bound: tasks × cap). Reads
+    * resolve the set IN THE EXECUTOR, cached per JVM by descriptor dir —
+    * the Iceberg equality-delete read economy; maintenance reads (fold,
+    * CDF, rewrites) suppress via a non-broadcast anti-join over bins
+    * parsed in parallel; OPTIMIZE folds descriptors away and VACUUM
+    * reclaims the dirs.
+    *
+    * The query drops the cap to force the distributed path at every SF,
+    * deletes a top-quarter key band and an overlapping status slice
+    * (ghosts never re-match), requires both commits took keyrun mode with
+    * ZERO file changes, and aggregates survivors. Oracle recomputes from
+    * raw orders — the hash match is the keyrun ≡ COW proof.
+    */
+  def q355DistributedKeyDeletes(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_kdd_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.orders_kdd")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.orders_kdd
+        |  (o_orderkey BIGINT NOT NULL, o_orderstatus STRING, o_totalprice DOUBLE)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read',
+        |  'graft.merge-keys'='o_orderkey')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.orders_kdd
+        |SELECT /*+ REPARTITION_BY_RANGE(8, o_orderkey) */
+        |  o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE)
+        |FROM orders_kdd_src""".stripMargin)
+    val before = graft.sources.catalog.StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "orders_kdd").toSet
+    val hi = spark.sql("SELECT max(o_orderkey) FROM orders_kdd_src")
+      .collect()(0).getLong(0)
+    val lo3 = hi - hi / 4L
+    val capKey = "spark.graft.key-delete.max-inline-keys"
+    val savedCap = spark.conf.getOption(capKey)
+    spark.conf.set(capKey, "64") // both deletes exceed this at every SF
+    try {
+      def mode(): Option[String] =
+        graft.sources.catalog.ZoneMapScan.lastKeyDeleteMode
+      spark.sql(s"DELETE FROM graft_stage.work.orders_kdd WHERE o_orderkey > $lo3")
+      require(mode().contains("dv-keyrun"),
+        s"over-cap keyed delete did not take the bin path: ${mode()}")
+      // overlapping second delete: suppressed keys never re-match, and the
+      // visible match stays over the cap at every SF
+      spark.sql("DELETE FROM graft_stage.work.orders_kdd WHERE o_orderstatus = 'O'")
+      require(mode().contains("dv-keyrun"),
+        s"second over-cap delete fell off the bin path: ${mode()}")
+      val after = graft.sources.catalog.StagingMaintenance
+        .currentFileNames(spark, "graft_stage", "work", "orders_kdd").toSet
+      require(before == after,
+        s"distributed key deletes changed the file set: " +
+          s"${(before diff after).size} gone, ${(after diff before).size} new")
+      val dvs = graft.sources.catalog.StagingMaintenance
+        .activeDvs(spark, "graft_stage", "work", "orders_kdd")
+      require(dvs.size == 2 && dvs.forall(_.startsWith("dvk-")),
+        s"expected two keyrun descriptors, got $dvs")
+    } finally savedCap match {
+      case Some(v) => spark.conf.set(capKey, v)
+      case None    => spark.conf.unset(capKey)
+    }
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.orders_kdd
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  /** Survivors recomputed from raw orders under both delete predicates —
+    * hash match proves distributed-keyrun ≡ copy-on-write semantics.
+    */
+  val q355Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       |  ${graft.operators.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders
+       |WHERE NOT (o_orderkey >
+       |    (SELECT max(o_orderkey) - max(o_orderkey) // 4 FROM orders))
+       |  AND NOT (o_orderstatus = 'O')
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   // ---------------------------------------------------------------- q354
 
   /** INCREMENTAL CLONE REFRESH (r14 — [[graft.sources.catalog.TableClone
@@ -3293,7 +3384,8 @@ object Connectors {
     GraftQuery.sql("q351_keyless_pos_delta", q351KeylessPosDelta, q351Oracle),
     GraftQuery.sql("q352_shallow_clone", q352ShallowClone, q352Oracle),
     GraftQuery.sql("q353_history_purge", q353HistoryPurge, q353Oracle),
-    GraftQuery.sql("q354_clone_sync", q354CloneSync, q354Oracle))
+    GraftQuery.sql("q354_clone_sync", q354CloneSync, q354Oracle),
+    GraftQuery.sql("q355_distributed_key_deletes", q355DistributedKeyDeletes, q355Oracle))
 
   // ---------------------------------------------------------------- q332
 

@@ -104,6 +104,21 @@ object DeletionVectors {
   def writeMorKey(fs: FileSystem, d: Path, key: String): Unit =
     GraftStagingCatalog.writeString(fs, new Path(d, MorSidecar), key)
 
+  /** Keyless-MOR UPDATE/MERGE admission escape hatch (r14 —
+    * `'graft.update.mode'='copy-on-write'`): every keyless row-level op
+    * deltas by default, but a 90%-of-table UPDATE is better rewritten
+    * once than suppressed-and-replaced forever — the operator flips the
+    * property for the bulk statement and back (ALTER TABLE SET/UNSET).
+    */
+  val UpdateModeSidecar = "_graft_updatemode.txt"
+
+  /** True when keyless row-level ops should COPY-ON-WRITE, not delta. */
+  def updateCow(fs: FileSystem, d: Path): Boolean = {
+    val p = new Path(d, UpdateModeSidecar)
+    GraftStagingCatalog.isFile(fs, p) &&
+      GraftStagingCatalog.readString(fs, p).trim == "copy-on-write"
+  }
+
   /** Canonical in-memory key value: integral keys normalize to Long,
     * strings stay String — one representation for sidecar I/O, reader
     * filters, and maintenance joins.
@@ -176,6 +191,171 @@ object DeletionVectors {
     */
   def dvMapAt(fs: FileSystem, d: Path, manifest: Path): Map[String, Set[Any]] =
     loadDvs(fs, d, GraftStagingCatalog.manifestDvs(fs, manifest))
+
+  // ---- DISTRIBUTED EQUALITY-DELETE KEY BINS (r14 — SURVEY r14 candidate
+  // #1, the keyed twin of the r13 position-run sidecars): a CDC burst
+  // deleting 100M keys must not materialize them on the driver. Over the
+  // inline cap, each DELTA WRITER TASK spills its own deleted keys to a
+  // bin file under `_graft_dv/dvk-<token>/` and reports only the bin name;
+  // the driver commits ONE `dvk-<token>.json` descriptor naming the key
+  // column, the covered files, and the bins. Reads resolve the key set
+  // IN THE EXECUTOR (one parse per executor JVM, cached by descriptor
+  // dir — the Iceberg equality-delete read economy); maintenance reads
+  // suppress via a non-broadcast anti-join over the bins parsed in
+  // parallel. OPTIMIZE folds descriptors away; VACUUM reclaims the dir.
+
+  /** Executor-side spec of one descriptor's bin-backed keys. */
+  final case class KeySpec(dirUri: String, bins: Seq[String], isString: Boolean)
+      extends Serializable
+
+  /** Driver/scan-side handle of one keyrun descriptor. */
+  final case class KeyRuns(keyCol: String, isString: Boolean,
+      files: Set[String], spec: KeySpec, count: Long)
+
+  private val KeyBinCacheMax = 8
+  private val keyBinCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[Any]]()
+
+  /** One bin's keys (strings URL-encoded, one per line). */
+  private[catalog] def readKeyBin(dirUri: String, bin: String, isString: Boolean,
+      conf: org.apache.hadoop.conf.Configuration): Iterator[Any] = {
+    val dir = new Path(dirUri)
+    val in = dir.getFileSystem(conf).open(new Path(dir, bin))
+    val rd = new java.io.BufferedReader(new java.io.InputStreamReader(in, UTF_8))
+    new Iterator[Any] {
+      private var nextLine = rd.readLine()
+      override def hasNext: Boolean = {
+        if (nextLine == null) { rd.close(); false } else true
+      }
+      override def next(): Any = {
+        val t = nextLine.trim; nextLine = rd.readLine()
+        if (isString) dec(t) else t.toLong
+      }
+    }
+  }
+
+  /** The full key set of a descriptor, resolved and CACHED per executor
+    * JVM (descriptor dirs are immutable — token-unique — so the cache
+    * never invalidates; a crude size cap bounds leakage across folds).
+    */
+  private[catalog] def binKeys(spec: KeySpec,
+      conf: org.apache.hadoop.conf.Configuration): Set[Any] =
+    keyBinCache.computeIfAbsent(spec.dirUri, { _ =>
+      if (keyBinCache.size >= KeyBinCacheMax) keyBinCache.clear()
+      spec.bins.iterator
+        .flatMap(b => readKeyBin(spec.dirUri, b, spec.isString, conf))
+        .toSet
+    })
+
+  /** One executor-written key bin; returns the dir-relative bin name. */
+  def writeKeyBin(fs: FileSystem, d: Path, runDir: String,
+      keys: Iterator[Any], isString: Boolean, taskId: Long): String = {
+    val name = s"b-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.txt"
+    val dir = new Path(new Path(d, DvDir), runDir)
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, name), false)
+    try {
+      val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(out, UTF_8))
+      keys.foreach { k =>
+        w.write(if (isString) enc(k.asInstanceOf[String]) else k.toString)
+        w.write('\n')
+      }
+      w.flush()
+    } finally out.close()
+    name
+  }
+
+  /** The statement's single keyrun descriptor (named in the manifest's
+    * `dvs` like every other sidecar). Returns its DvDir-relative name.
+    */
+  def writeKeyRunDescriptor(fs: FileSystem, d: Path, runDir: String,
+      keyCol: String, isString: Boolean, files: Seq[String],
+      bins: Seq[String], count: Long): String = {
+    val name = s"$runDir.json"
+    val json =
+      s"""{"type":"keyrun","key":"${enc(keyCol)}",""" +
+        s""""ktype":"${if (isString) "string" else "long"}","dir":"$runDir",""" +
+        s""""count":$count,""" +
+        s""""bins":[${bins.sorted.map(b => "\"" + b + "\"").mkString(",")}],""" +
+        s""""files":[${files.sorted.map(f => "\"" + enc(f) + "\"").mkString(",")}]}"""
+    val out = fs.create(new Path(new Path(d, DvDir), name), false)
+    try out.write(json.getBytes(UTF_8)) finally out.close()
+    name
+  }
+
+  /** The keyrun descriptors among `names` (inline and pos sidecars skip). */
+  def loadKeyRuns(fs: FileSystem, d: Path, names: Seq[String]): Seq[KeyRuns] =
+    names.flatMap { n =>
+      val txt = GraftStagingCatalog.readString(fs, new Path(new Path(d, DvDir), n))
+      if ("\"type\":\"keyrun\"".r.findFirstIn(txt).isEmpty) None
+      else {
+        val keyCol = dec("\"key\":\"([^\"]*)\"".r.findFirstMatchIn(txt).get.group(1))
+        val isString = "\"ktype\":\"string\"".r.findFirstIn(txt).isDefined
+        val runDir = "\"dir\":\"([^\"]*)\"".r.findFirstMatchIn(txt).get.group(1)
+        val count = "\"count\":(\\d+)".r.findFirstMatchIn(txt).get.group(1).toLong
+        val bins = GraftStagingCatalog.parseArray(txt, "bins")
+        val files = GraftStagingCatalog.parseArray(txt, "files").map(dec).toSet
+        Some(KeyRuns(keyCol, isString, files,
+          KeySpec(new Path(new Path(d, DvDir), runDir).toString, bins, isString),
+          count))
+      }
+    }
+
+  /** Keyrun descriptors in force at `manifest`. */
+  def keyRunsAt(fs: FileSystem, d: Path, manifest: Path): Seq[KeyRuns] =
+    loadKeyRuns(fs, d, GraftStagingCatalog.manifestDvs(fs, manifest))
+
+  /** Maintenance-read twin of [[applyToRead]] for bin-backed keys: a
+    * NON-broadcast anti-join whose delete side parses one bin per task —
+    * the keys never visit the driver. Covered-file scoping rides a small
+    * broadcast of the descriptor's file names (O(covered files)).
+    */
+  def applyKeyRunsToRead(df: DataFrame, keyCol: String,
+      krs: Seq[KeyRuns]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, concat, element_at,
+      endswith, input_file_name, lit, split}
+    val active = krs.filter(kr => kr.files.nonEmpty && kr.spec.bins.nonEmpty)
+    if (active.isEmpty) df
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      // input_file_name() is only meaningful in the SCAN's stage — tag the
+      // provenance columns ONCE, before any of the (shuffling,
+      // non-broadcast) anti-joins below, and reuse the materialized values
+      // across every descriptor
+      val tagged = df
+        .withColumn("__gk_path", input_file_name())
+        .withColumn("__gk_file", element_at(split(input_file_name(), "/"), -1))
+      def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
+      val out = active.zipWithIndex.foldLeft(tagged) { case (cur, (kr, i)) =>
+        val spec = kr.spec
+        val binRdd = spark.sparkContext
+          .parallelize(spec.bins, math.max(spec.bins.size, 1))
+        val keysDf =
+          if (kr.isString)
+            binRdd.flatMap(b => readKeyBin(spec.dirUri, b, isString = true,
+              hconf.value).map(_.asInstanceOf[String])).toDF("__gdvk")
+          else
+            binRdd.flatMap(b => readKeyBin(spec.dirUri, b, isString = false,
+              hconf.value).map(_.asInstanceOf[Long])).toDF("__gdvk")
+        val filesDf = kr.files.toSeq.map(f => (base(f), f))
+          .toDF("__gk_f", "__gk_rel")
+        val cov = s"__gk_cov_$i"
+        val flagged = cur.join(broadcast(filesDf),
+            cur("__gk_file") === filesDf("__gk_f") &&
+              endswith(cur("__gk_path"), concat(lit("/"), filesDf("__gk_rel"))),
+            "left")
+          .withColumn(cov, filesDf("__gk_rel").isNotNull)
+          .drop("__gk_f", "__gk_rel")
+        flagged.join(keysDf,
+            flagged(keyCol) === keysDf("__gdvk") && col(cov), "left_anti")
+          .drop(cov)
+      }
+      out.drop("__gk_path", "__gk_file")
+    }
+  }
 
   // ---- POSITION deletes (keyless MOR — the Iceberg (file, pos) shape) ----
 
@@ -856,12 +1036,17 @@ object DeletionVectors {
       keyOrdinal: Int,
       keyType: DataType,
       outputSchema: StructType,
-      projectOrdinals: Option[Array[Int]])
+      projectOrdinals: Option[Array[Int]],
+      // r14 distributed equality-delete bins: per covered file, the
+      // descriptor specs whose keys suppress its rows (resolved in the
+      // executor — see KeySpec/binKeys)
+      keyBins: Map[String, Seq[KeySpec]] = Map.empty)
 
   /** One DV-affected file's splits, planned as their own partition so the
     * reader knows every row's file. Carries that file's deleted keys.
     */
-  final case class DvPartition(inner: FilePartition, deleted: Set[Any])
+  final case class DvPartition(inner: FilePartition, deleted: Set[Any],
+      binSpecs: Seq[KeySpec] = Nil)
       extends InputPartition {
     override def preferredLocations(): Array[String] = inner.preferredLocations()
   }
@@ -871,25 +1056,29 @@ object DeletionVectors {
     * together); unaffected files keep the delegate's packing.
     */
   def repack(parts: Array[InputPartition], dv: Map[String, Set[Any]],
-      statKey: org.apache.hadoop.fs.Path => String): Array[InputPartition] = {
+      statKey: org.apache.hadoop.fs.Path => String,
+      bins: Map[String, Seq[KeySpec]] = Map.empty): Array[InputPartition] = {
     val out = Array.newBuilder[InputPartition]
     val affected = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Set[Any], scala.collection.mutable.ArrayBuffer[
+      .empty[String, (Set[Any], Seq[KeySpec], scala.collection.mutable.ArrayBuffer[
         org.apache.spark.sql.execution.datasources.PartitionedFile])]
     var idx = 0
     parts.foreach {
       case fp: FilePartition =>
-        val (hit, clean) = fp.files.partition(pf => dv.contains(statKey(pf.toPath)))
+        val (hit, clean) = fp.files.partition { pf =>
+          val k = statKey(pf.toPath); dv.contains(k) || bins.contains(k)
+        }
         if (clean.nonEmpty) { out += FilePartition(idx, clean); idx += 1 }
         hit.foreach { pf =>
           val k = statKey(pf.toPath)
           affected.getOrElseUpdate(k,
-            (dv(k), scala.collection.mutable.ArrayBuffer.empty))._2 += pf
+            (dv.getOrElse(k, Set.empty), bins.getOrElse(k, Nil),
+              scala.collection.mutable.ArrayBuffer.empty))._3 += pf
         }
       case other => out += other
     }
-    affected.valuesIterator.foreach { case (keys, pfs) =>
-      out += DvPartition(FilePartition(idx, pfs.toArray), keys)
+    affected.valuesIterator.foreach { case (keys, specs, pfs) =>
+      out += DvPartition(FilePartition(idx, pfs.toArray), keys, specs)
       idx += 1
     }
     out.result()
@@ -901,7 +1090,8 @@ object DeletionVectors {
     * goes row-based (the Iceberg MOR trade — paid only until OPTIMIZE
     * folds the DVs away).
     */
-  final class DvReaderFactory(inner: PartitionReaderFactory, info: DvScanInfo)
+  final class DvReaderFactory(inner: PartitionReaderFactory, info: DvScanInfo,
+      hconf: Option[org.apache.spark.util.SerializableConfiguration] = None)
       extends PartitionReaderFactory {
     private val project: Option[Array[(Int, DataType, Boolean)]] =
       info.projectOrdinals.map(_.zip(info.outputSchema.fields).map { case (ord, f) =>
@@ -928,8 +1118,15 @@ object DeletionVectors {
 
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       partition match {
-        case DvPartition(fp, deleted) =>
+        case DvPartition(fp, deleted0, binSpecs) =>
           val base = inner.createReader(fp)
+          // bin-backed keys resolve HERE, in the executor (cached per JVM)
+          val deleted =
+            if (binSpecs.isEmpty) deleted0
+            else binSpecs.foldLeft(deleted0) { (acc, sp) =>
+              acc ++ binKeys(sp, hconf.map(_.value).getOrElse(
+                new org.apache.hadoop.conf.Configuration()))
+            }
           val ord = info.keyOrdinal
           val isInt = info.keyType == IntegerType
           val isLong = info.keyType == LongType

@@ -778,18 +778,28 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
             // still holding a pre-declaration file (branch faces stay
             // conservative: their version numbering is the branch log's,
             // not main's, so the `since` comparison is meaningless there).
-            sortedBy =
-              if (morKeyField.isEmpty && !DeletionVectors.morPos(tableFs, dir)) {
-                val so = GraftStagingCatalog.sortOrderCols(tableFs, dir)
-                if (so.isEmpty) Nil
-                else GraftStagingCatalog.sortOrderUnproven(tableFs, dir) match {
-                  case None => so
-                  case Some((since, unproven)) =>
-                    if (branch.isEmpty && snapshotVersion >= since &&
-                        snapshotFiles.exists(_.forall(f => !unproven(f)))) so
-                    else Nil
-                }
-              } else Nil)
+            sortedBy = {
+              // r14 readmission: MOR tables are no longer excluded
+              // wholesale — their delta-written files ride the provenance
+              // marker (markUnsorted at both delta commits), every other
+              // write path re-sorts, so the snapshot-intersection gate is
+              // exact for them too. DV'd snapshots never SPJ-group, so no
+              // report escapes through a suppressed read.
+              val so = GraftStagingCatalog.sortOrderCols(tableFs, dir)
+              if (so.isEmpty) Nil
+              else GraftStagingCatalog.sortOrderUnproven(tableFs, dir) match {
+                case None => so
+                case Some((since, unproven)) =>
+                  if (branch.isEmpty && snapshotVersion >= since &&
+                      snapshotFiles.exists(_.forall(f => !unproven(f)))) so
+                  else Nil
+              }
+            },
+            // r14 distributed equality-delete bins in force at this
+            // snapshot (executor-resolved; see DeletionVectors.KeyRuns)
+            keyRuns =
+              if (dvOn) DeletionVectors.loadKeyRuns(tableFs, dir, dvNames)
+              else Nil)
         case other => other
       }
     }
@@ -852,12 +862,14 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
               new StagingDeltaOperation(info, readDelegate, writeDelegate, tableFs,
                 dir, snapshotVersion, snapshotFiles, key, dvNames, branch,
                 lineage = if (lineageOn) Some(lineageEntries) else None)
-            case None if morPosOn =>
+            case None if morPosOn && !DeletionVectors.updateCow(tableFs, dir) =>
               // keyless merge-on-read (r13): UPDATE/MERGE (and DELETEs the
               // metadata path could not translate) are POSITION deltas —
               // replaced rows become run-encoded (file, ordinal) sidecars
               // written by the executors, replacement rows become ordinary
-              // new files, nothing is rewritten
+              // new files, nothing is rewritten. 'graft.update.mode' =
+              // 'copy-on-write' (r14) opts a bulk statement out — a
+              // 90%-of-table UPDATE rewrites better than it deltas
               new StagingPosDeltaOperation(info, readDelegate, writeDelegate, tableFs,
                 dir, snapshotVersion, snapshotFiles, dvNames, branch,
                 lineage = if (lineageOn) Some(lineageEntries) else None)
@@ -1204,6 +1216,19 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       GraftStagingCatalog.writeString(fs,
         new Path(d, GraftStagingCatalog.CkptIntervalSidecar), n.toString))
     morKey.foreach(k => DeletionVectors.writeMorKey(fs, d, k))
+    // keyless-MOR row-level admission (r14): 'graft.update.mode' =
+    // 'copy-on-write' routes UPDATE/MERGE/untranslatable-DELETE through
+    // the group rewrite instead of position deltas — the bulk-statement
+    // escape hatch (see DeletionVectors.UpdateModeSidecar)
+    Option(properties.get("graft.update.mode")).map(_.trim.toLowerCase).foreach {
+      case "copy-on-write" =>
+        GraftStagingCatalog.writeString(fs,
+          new Path(d, DeletionVectors.UpdateModeSidecar), "copy-on-write")
+      case "position-delta" => () // the default
+      case other => throw new IllegalArgumentException(
+        s"$catalogName: unknown graft.update.mode '$other' " +
+          "(copy-on-write | position-delta)")
+    }
     if (rowLineage) RowLineage.writeMarker(fs, d)
     if (partCols.nonEmpty)
       GraftStagingCatalog.writeString(fs, new Path(d, GraftStagingCatalog.PartitionSidecar),
@@ -1413,12 +1438,29 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
           if rp.property().equalsIgnoreCase("graft.target-file-size") =>
         fs.delete(new Path(d, GraftStagingCatalog.FileSizeSidecar), false)
         ()
+      case sp: TableChange.SetProperty
+          if sp.property().equalsIgnoreCase("graft.update.mode") =>
+        sp.value().trim.toLowerCase match {
+          case "copy-on-write" =>
+            GraftStagingCatalog.writeString(fs,
+              new Path(d, DeletionVectors.UpdateModeSidecar), "copy-on-write")
+          case "position-delta" =>
+            fs.delete(new Path(d, DeletionVectors.UpdateModeSidecar), false)
+            ()
+          case other => throw new IllegalArgumentException(
+            s"$catalogName: unknown graft.update.mode '$other' " +
+              "(copy-on-write | position-delta)")
+        }
+      case rp: TableChange.RemoveProperty
+          if rp.property().equalsIgnoreCase("graft.update.mode") =>
+        fs.delete(new Path(d, DeletionVectors.UpdateModeSidecar), false)
+        ()
       case other =>
         throw new UnsupportedOperationException(
           s"$catalogName: unsupported ALTER TABLE change $other " +
             "(supported: ADD / DROP / RENAME COLUMN, ALTER COLUMN TYPE widening, " +
             "SET/UNSET 'check' / 'graft.auto-analyze' / 'graft.sort-order' / " +
-            "'graft.target-file-size')")
+            "'graft.target-file-size' / 'graft.update.mode')")
     }
     // a schema change must not strand the CHECK constraint: re-validate it
     // against the post-change schema (dropping a checked column fails HERE,
@@ -1926,7 +1968,8 @@ private class StagingRowLevelOperation(
   * a delete-only task creates NO file) plus the keys this task deleted or
   * replaced.
   */
-private case class DvDeltaMsg(inner: Option[WriterCommitMessage], deleted: Array[Any])
+private case class DvDeltaMsg(inner: Option[WriterCommitMessage], deleted: Array[Any],
+    bins: Seq[String] = Nil, binCount: Long = 0L)
     extends WriterCommitMessage
 
 /** DELTA-BASED row-level operation (SQL UPDATE / MERGE INTO / DELETE) —
@@ -2069,13 +2112,20 @@ private class StagingDeltaOperation(
             // always present and DVs apply with no projection; with
             // lineage the pruned schema re-adds the key above
             val dvMap = DeletionVectors.loadDvs(tableFs, dir, priorDvNames)
+            // r14: in-force distributed key bins — ghost rows suppressed by
+            // a keyrun descriptor must not re-match either
+            val krs = DeletionVectors.loadKeyRuns(tableFs, dir, priorDvNames)
             val dvInfo =
-              if (dvMap.isEmpty) None
+              if (dvMap.isEmpty && krs.isEmpty) None
               else {
                 val wide = scan.readSchema()
                 val keyOrd = wide.fieldNames.indexWhere(_.equalsIgnoreCase(keyField.name))
                 require(keyOrd >= 0, s"merge key ${keyField.name} missing from $wide")
-                Some(DeletionVectors.DvScanInfo(dvMap, keyOrd, keyField.dataType, wide, None))
+                val keyBins = krs.iterator
+                  .flatMap(kr => kr.files.iterator.map(f => f -> kr.spec))
+                  .toSeq.groupBy(_._1).map { case (f, sps) => f -> sps.map(_._2) }
+                Some(DeletionVectors.DvScanInfo(dvMap, keyOrd, keyField.dataType, wide,
+                  None, keyBins))
               }
             val statCols = stats.keysIterator.map(_._2).toArray.distinct.sorted
             val blooms = () => StagingMaintenance.readBloomsFor(tableFs, dir)
@@ -2135,6 +2185,22 @@ private class StagingDeltaOperation(
                   (c, CheckConstraint.compile(SparkSession.active, c, lwi.schema())))
               private val keyIsString =
                 keyField.dataType == org.apache.spark.sql.types.StringType
+              // r14 distributed equality-delete bins: the per-task AND
+              // per-statement inline cap — a CDC burst deleting 100M keys
+              // spills to executor-written bins instead of the driver.
+              // Lineage tables keep the inline path (their combined
+              // MOR+lineage reader resolves inline keys only; churn there
+              // is bounded by the id-preserving rewrite cadence anyway).
+              private val inlineCap: Int =
+                SparkSession.active.conf
+                  .getOption("spark.graft.key-delete.max-inline-keys")
+                  .map(_.toInt).getOrElse(1 << 20)
+              private val binsOn = lineage.isEmpty
+              private val runDir =
+                s"dvk-${java.util.UUID.randomUUID().toString.take(12)}"
+              private val whconf =
+                new org.apache.spark.util.SerializableConfiguration(
+                  SparkSession.active.sessionState.newHadoopConf())
 
               override def createBatchWriterFactory(pinfo: PhysicalWriteInfo)
                   : org.apache.spark.sql.connector.write.DeltaWriterFactory =
@@ -2147,7 +2213,11 @@ private class StagingDeltaOperation(
                   lineageMetaOrd =
                     if (!lineageMeta) -1
                     else lwi.metadataSchema().get().fieldNames
-                      .indexWhere(_.equalsIgnoreCase(RowLineage.MetaColName)))
+                      .indexWhere(_.equalsIgnoreCase(RowLineage.MetaColName)),
+                  binCap = if (binsOn) inlineCap else Int.MaxValue,
+                  dirStr = dir.toString,
+                  runDir = runDir,
+                  hconf = Some(whconf))
 
               override def useCommitCoordinator(): Boolean =
                 !deleteOnly && inner.useCommitCoordinator()
@@ -2159,20 +2229,41 @@ private class StagingDeltaOperation(
                 if (!deleteOnly) inner.commit(innerMsgs.toArray)
                 val fresh = GraftStagingCatalog.dataFiles(tableFs, dir).filterNot(before)
                 val deleted: Set[Any] = msgs.iterator.flatMap(_.deleted).toSet
+                val bins = msgs.iterator.flatMap(_.bins).toSeq
+                val binCount = msgs.iterator.map(_.binCount).sum
                 val scanned: Set[String] =
                   if (scans.isEmpty) Set.empty
                   else scans.asScala.map(_.plannedFileNames()).reduce(_ ++ _)
                 val snap = snapshotFiles.getOrElse(before.toSeq.sorted)
                 val dvs =
-                  if (deleted.isEmpty) priorDvNames
+                  if (deleted.isEmpty && bins.isEmpty) priorDvNames
                   else {
                     // scope the DV to the files the scan actually planned —
                     // only they can hold stale rows for the deleted keys;
                     // the statement's own fresh files are never named
                     val applies = snap.filter(scanned)
-                    priorDvNames :+ DeletionVectors.writeDv(
-                      tableFs, dir, keyField.name, keyIsString, applies, deleted)
+                    if (bins.isEmpty && deleted.size <= inlineCap) {
+                      ZoneMapScan.lastKeyDeleteMode = Some("dv-inline")
+                      priorDvNames :+ DeletionVectors.writeDv(
+                        tableFs, dir, keyField.name, keyIsString, applies, deleted)
+                    } else {
+                      // r14 distributed: any inline remainder joins the
+                      // executor-written bins and ONE descriptor commits —
+                      // the driver held at most tasks × cap keys transiently
+                      val allBins =
+                        if (deleted.isEmpty) bins
+                        else bins :+ DeletionVectors.writeKeyBin(tableFs, dir,
+                          runDir, deleted.iterator, keyIsString, -1L)
+                      ZoneMapScan.lastKeyDeleteMode = Some("dv-keyrun")
+                      priorDvNames :+ DeletionVectors.writeKeyRunDescriptor(
+                        tableFs, dir, runDir, keyField.name, keyIsString,
+                        applies, allBins, binCount + deleted.size)
+                    }
                   }
+                // delta-written fresh files are writer-shaped, not
+                // planner-sorted — register them with the sort-order
+                // provenance marker (r14 readmission)
+                GraftStagingCatalog.markUnsorted(tableFs, dir, fresh)
                 GraftStagingCatalog.writeExplicitManifest(tableFs, dir, snap ++ fresh,
                   kind = info.command().toString.toLowerCase,
                   expectedBase = Some(snapshotVersion), dvs = dvs, branch = branch,
@@ -2184,7 +2275,7 @@ private class StagingDeltaOperation(
 
               override def abort(messages: Array[WriterCommitMessage]): Unit =
                 if (!deleteOnly)
-                  inner.abort(messages.collect { case DvDeltaMsg(Some(m), _) => m })
+                  inner.abort(messages.collect { case DvDeltaMsg(Some(m), _, _, _) => m })
             }
         }
     }
@@ -2200,8 +2291,15 @@ private class StagingDeltaWriterFactory(
     inner: Option[DataWriterFactory], // None = delete-only (no row sink exists)
     keyKind: Int, // 0 = int, 1 = long, 2 = string (canonical key: Long|String)
     check: Option[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
-    lineageMetaOrd: Int = -1) // ≥0: `_row_id`'s ordinal in the metadata row —
+    lineageMetaOrd: Int = -1, // ≥0: `_row_id`'s ordinal in the metadata row —
     // land it as the trailing physical id column (NULL for inserts)
+    // r14 distributed equality-delete bins: over `binCap` deleted keys, a
+    // TASK spills its keys to `<dirStr>/_graft_dv/<runDir>/` and reports
+    // only the bin name — the driver never materializes the key set
+    binCap: Int = Int.MaxValue,
+    dirStr: String = "",
+    runDir: String = "",
+    hconf: Option[org.apache.spark.util.SerializableConfiguration] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   import org.apache.spark.sql.catalyst.InternalRow
 
@@ -2251,7 +2349,18 @@ private class StagingDeltaWriterFactory(
       override def insert(row: InternalRow): Unit = sink(row, null)
 
       override def commit(): WriterCommitMessage =
-        DvDeltaMsg(Option(w).map(_.commit()), deleted.toArray)
+        if (deleted.size <= binCap || dirStr.isEmpty)
+          DvDeltaMsg(Option(w).map(_.commit()), deleted.toArray)
+        else {
+          // executor-side spill: the task's keys become one immutable bin
+          val d = new org.apache.hadoop.fs.Path(dirStr)
+          val fs = d.getFileSystem(hconf.map(_.value).getOrElse(
+            new org.apache.hadoop.conf.Configuration()))
+          val bin = DeletionVectors.writeKeyBin(fs, d, runDir,
+            deleted.iterator, keyKind == 2, taskId)
+          DvDeltaMsg(Option(w).map(_.commit()), Array.empty,
+            Seq(bin), deleted.size.toLong)
+        }
       override def abort(): Unit = if (w != null) w.abort()
       override def close(): Unit = if (w != null) w.close()
     }
@@ -2441,6 +2550,7 @@ private class StagingPosDeltaOperation(
                       tableFs, dir, runDirName, perFile,
                       bins.iterator.map(_._3).sum)
                   }
+                GraftStagingCatalog.markUnsorted(tableFs, dir, fresh) // r14 readmission
                 GraftStagingCatalog.writeExplicitManifest(tableFs, dir, snap ++ fresh,
                   kind = info.command().toString.toLowerCase,
                   expectedBase = Some(snapshotVersion), dvs = dvs, branch = branch,
@@ -2640,6 +2750,30 @@ object GraftStagingCatalog {
       (cols ++ unproven.toSeq.flatMap { case (since, files) =>
         s"#unsorted@$since" +: files.toSeq.sorted
       }).mkString("\n"))
+
+  /** Registers delta-written files as sort-order-UNPROVEN (r14 — the
+    * "sort-order readmission" candidate): a merge-on-read table's
+    * replacement/upsert files are writer-shaped, not planner-sorted, so
+    * they join the provenance marker; every OTHER write path on a
+    * declared-sort-order table re-sorts (appends, rewrites, OPTIMIZE), so
+    * with the marker tracking exactly the delta files, a MOR table can
+    * REPORT per-partition ordering whenever the scanned snapshot holds
+    * none of them — the common steady state of a compacted CDC table,
+    * which the r13 blanket MOR exclusion kept sort-heavy forever. Marked
+    * BEFORE the manifest commits (a crash in between over-marks, which is
+    * merely conservative). `since = 0` keeps the version gate neutral.
+    */
+  private[catalog] def markUnsorted(fs: FileSystem, d: Path,
+      files: Seq[String]): Unit = synchronized {
+    if (files.nonEmpty) {
+      val cols = sortOrderCols(fs, d)
+      if (cols.nonEmpty) {
+        val cur = sortOrderUnproven(fs, d)
+        writeSortOrderSidecar(fs, d, cols, Some((cur.map(_._1).getOrElse(0L),
+          cur.map(_._2).getOrElse(Set.empty) ++ files)))
+      }
+    }
+  }
 
   private[catalog] val FileSizeSidecar = "_graft_filesize.txt"
   private[catalog] val TagsSidecar = "_graft_tags.tsv"
@@ -2865,6 +2999,9 @@ object GraftStagingCatalog {
           val dvMap = latest.map { case (_, mf) => DeletionVectors.dvMapAt(fs, d, mf) }
             .getOrElse(Map.empty[String, Set[Any]])
           if (dvMap.nonEmpty) df = DeletionVectors.applyToRead(df, k, dvMap)
+          val krs = latest.map { case (_, mf) =>
+            DeletionVectors.keyRunsAt(fs, d, mf) }.getOrElse(Nil)
+          if (krs.nonEmpty) df = DeletionVectors.applyKeyRunsToRead(df, k, krs)
         }
         if (DeletionVectors.morPos(fs, d)) {
           val posMap = latest.map { case (_, mf) => DeletionVectors.posMapAt(fs, d, mf) }
@@ -3828,7 +3965,12 @@ object GraftStagingCatalog {
               .map { case (_, mf) => DeletionVectors.dvMapAt(fs, d, mf) }
               .getOrElse(Map.empty[String, Set[Any]])
               .filter { case (f, _) => touched.contains(f) }
-            DeletionVectors.applyToRead(withMeta, k, dvMap)
+            val krs = headManifest(fs, d)
+              .map { case (_, mf) => DeletionVectors.keyRunsAt(fs, d, mf) }
+              .getOrElse(Nil)
+              .map(kr => kr.copy(files = kr.files.filter(touched.contains)))
+            DeletionVectors.applyKeyRunsToRead(
+              DeletionVectors.applyToRead(withMeta, k, dvMap), k, krs)
           case None if DeletionVectors.morPos(fs, d) =>
             val posMap = headManifest(fs, d)
               .map { case (_, mf) => DeletionVectors.posMapAt(fs, d, mf) }

@@ -318,8 +318,14 @@ object StagingMaintenance {
       .map { case (_, mf) => DeletionVectors.posMapAt(fs, d, mf) }
       .getOrElse(DeletionVectors.PosDvs.empty)
     val withMeta = if (!lineage) raw0 else raw0.select(col("*"), col("_metadata"))
+    val keyRuns = latest.map { case (_, mf) =>
+      DeletionVectors.keyRunsAt(fs, d, mf) }.getOrElse(Nil)
     val dvApplied = DeletionVectors.morKey(fs, d) match {
-      case Some(k) if dvMap.nonEmpty => DeletionVectors.applyToRead(withMeta, k, dvMap)
+      case Some(k) if dvMap.nonEmpty || keyRuns.nonEmpty =>
+        // fold order: inline keys first, then the distributed bins (r14) —
+        // both anti-joins, both executor-side
+        DeletionVectors.applyKeyRunsToRead(
+          DeletionVectors.applyToRead(withMeta, k, dvMap), k, keyRuns)
       case _ if posMap.nonEmpty      => DeletionVectors.applyPosToRead(withMeta, posMap)
       case _                         => withMeta
     }
@@ -562,6 +568,17 @@ object StagingMaintenance {
       .getOrElse(Map.empty[String, Set[Any]])
     val dvTo = morKey.map(_ => DeletionVectors.dvMapAt(fs, d, manifestOf(toVersion)))
       .getOrElse(Map.empty[String, Set[Any]])
+    // r14 distributed key bins: visibility compares by descriptor IDENTITY
+    // (immutable dirs), reads suppress via the executor-parallel anti-join
+    val krFrom = morKey.filter(_ => fromVersion > 0L)
+      .map(_ => DeletionVectors.keyRunsAt(fs, d, manifestOf(fromVersion)))
+      .getOrElse(Nil)
+    val krTo = morKey.map(_ => DeletionVectors.keyRunsAt(fs, d, manifestOf(toVersion)))
+      .getOrElse(Nil)
+    def krState(krs: Seq[DeletionVectors.KeyRuns]): Map[String, Set[String]] =
+      krs.flatMap(kr => kr.files.map(_ -> kr.spec.dirUri))
+        .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSet }
+    val (krFromState, krToState) = (krState(krFrom), krState(krTo))
     // position-delete twin of the key maps (keyless-MOR tables)
     val posFrom =
       if (morPos && fromVersion > 0L) DeletionVectors.posMapAt(fs, d, manifestOf(fromVersion))
@@ -573,11 +590,13 @@ object StagingMaintenance {
     // DV-visibility change is detectable without parsing any ordinals
     val dvChanged = (from intersect to).filter(f =>
       dvFrom.getOrElse(f, Set.empty) != dvTo.getOrElse(f, Set.empty) ||
-        posFrom.stateOf(f) != posTo.stateOf(f))
+        posFrom.stateOf(f) != posTo.stateOf(f) ||
+        krFromState.getOrElse(f, Set.empty) != krToState.getOrElse(f, Set.empty))
     val removed = ((from -- to) ++ dvChanged).toSeq.sorted
     val added = ((to -- from) ++ dvChanged).toSeq.sorted
     def read(fls: Seq[String], dv: Map[String, Set[Any]],
-        pos: DeletionVectors.PosDvs): DataFrame = {
+        pos: DeletionVectors.PosDvs,
+        krs: Seq[DeletionVectors.KeyRuns]): DataFrame = {
       val reader = spark.read
       sFrom.foreach(reader.schema)
       val df =
@@ -586,14 +605,17 @@ object StagingMaintenance {
         else reader.parquet(fls.map(f => new Path(d, f).toString): _*)
       morKey match {
         case Some(k) =>
-          DeletionVectors.applyToRead(df, k, dv.filter { case (f, _) => fls.contains(f) })
+          DeletionVectors.applyKeyRunsToRead(
+            DeletionVectors.applyToRead(df, k,
+              dv.filter { case (f, _) => fls.contains(f) }),
+            k, krs.map(kr => kr.copy(files = kr.files.filter(fls.contains))))
         case None if morPos && fls.nonEmpty =>
           DeletionVectors.applyPosToRead(df, pos.filterFiles(fls.contains))
         case None => df
       }
     }
-    val oldRows = read(removed, dvFrom, posFrom)
-    val newRows = read(added, dvTo, posTo)
+    val oldRows = read(removed, dvFrom, posFrom, krFrom)
+    val newRows = read(added, dvTo, posTo, krTo)
     oldRows.exceptAll(newRows).withColumn("_change", lit("delete"))
       .unionByName(newRows.exceptAll(oldRows).withColumn("_change", lit("insert")))
   }
@@ -791,24 +813,37 @@ object StagingMaintenance {
     // version's vectors (the rowLevelChangesAt rule, identity-paired here)
     val morKey = DeletionVectors.morKey(fs, d)
     val morPos = DeletionVectors.morPos(fs, d)
-    def dvState(mv: Long): (Map[String, Set[Any]], DeletionVectors.PosDvs) =
+    def dvState(mv: Long): (Map[String, Set[Any]], DeletionVectors.PosDvs,
+        Seq[DeletionVectors.KeyRuns]) =
       if (mv <= 0L || (morKey.isEmpty && !morPos))
-        (Map.empty[String, Set[Any]], DeletionVectors.PosDvs.empty)
+        (Map.empty[String, Set[Any]], DeletionVectors.PosDvs.empty,
+          Seq.empty[DeletionVectors.KeyRuns])
       else manifestOf(mv).map { mf =>
         (if (morKey.isDefined) DeletionVectors.dvMapAt(fs, d, mf)
          else Map.empty[String, Set[Any]],
           if (morPos) DeletionVectors.posMapAt(fs, d, mf)
-          else DeletionVectors.PosDvs.empty)
-      }.getOrElse((Map.empty[String, Set[Any]], DeletionVectors.PosDvs.empty))
-    val (dvFrom, posFrom) = dvState(v - 1L)
-    val (dvTo, posTo) = dvState(v)
+          else DeletionVectors.PosDvs.empty,
+          if (morKey.isDefined) DeletionVectors.keyRunsAt(fs, d, mf)
+          else Seq.empty[DeletionVectors.KeyRuns])
+      }.getOrElse((Map.empty[String, Set[Any]], DeletionVectors.PosDvs.empty,
+        Seq.empty[DeletionVectors.KeyRuns]))
+    val (dvFrom, posFrom, krFrom) = dvState(v - 1L)
+    val (dvTo, posTo, krTo) = dvState(v)
+    def krState(krs: Seq[DeletionVectors.KeyRuns]): Map[String, Set[String]] =
+      krs.flatMap(kr => kr.files.map(_ -> kr.spec.dirUri))
+        .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSet }
+    val (krFromState, krToState) = (krState(krFrom), krState(krTo))
     val dvChanged = (fromF intersect toF).filter(f =>
       dvFrom.getOrElse(f, Set.empty) != dvTo.getOrElse(f, Set.empty) ||
-        posFrom.stateOf(f) != posTo.stateOf(f))
+        posFrom.stateOf(f) != posTo.stateOf(f) ||
+        krFromState.getOrElse(f, Set.empty) != krToState.getOrElse(f, Set.empty))
     def applyDvsOf(fls: Set[String], dv: Map[String, Set[Any]],
-        pos: DeletionVectors.PosDvs): DataFrame => DataFrame = morKey match {
+        pos: DeletionVectors.PosDvs,
+        krs: Seq[DeletionVectors.KeyRuns]): DataFrame => DataFrame = morKey match {
       case Some(k) =>
-        df => DeletionVectors.applyToRead(df, k, dv.filter { case (f, _) => fls(f) })
+        df => DeletionVectors.applyKeyRunsToRead(
+          DeletionVectors.applyToRead(df, k, dv.filter { case (f, _) => fls(f) }),
+          k, krs.map(kr => kr.copy(files = kr.files.filter(fls))))
       case None if morPos =>
         df => DeletionVectors.applyPosToRead(df, pos.filterFiles(fls))
       case None => identity
@@ -816,9 +851,9 @@ object StagingMaintenance {
     val oldFiles = (fromF -- toF) ++ dvChanged
     val newFiles = (toF -- fromF) ++ dvChanged
     val olds = RowLineage.readWithIds(spark, d, oldFiles.toSeq.sorted,
-      declared, fromE, applyDvs = applyDvsOf(oldFiles, dvFrom, posFrom))
+      declared, fromE, applyDvs = applyDvsOf(oldFiles, dvFrom, posFrom, krFrom))
     val news = RowLineage.readWithIds(spark, d, newFiles.toSeq.sorted,
-      declared, toE, applyDvs = applyDvsOf(newFiles, dvTo, posTo))
+      declared, toE, applyDvs = applyDvsOf(newFiles, dvTo, posTo, krTo))
     val newIds = news.select(col("_row_id"))
     val oldIds = olds.select(col("_row_id"))
     val inserts = news.join(oldIds, Seq("_row_id"), "left_anti")
@@ -1444,7 +1479,8 @@ object StagingMaintenance {
         }
         def dvTargets(names: Set[String]): Set[String] = names.flatMap { n =>
           DeletionVectors.loadDvs(fs, d, Seq(n)).keySet ++
-            DeletionVectors.loadPosDvs(fs, d, Seq(n)).coveredFiles
+            DeletionVectors.loadPosDvs(fs, d, Seq(n)).coveredFiles ++
+            DeletionVectors.loadKeyRuns(fs, d, Seq(n)).flatMap(_.files) // r14
         }
         val branchRemoved = deltas.iterator.flatMap(_.remF).toSet & forkFiles
         def conflict(what: String): Nothing =
@@ -1971,7 +2007,8 @@ object StagingMaintenance {
        catch { case _: FileNotFoundException => Seq.empty })
         .foreach { st =>
           val n = st.getPath.getName
-          if (st.isDirectory && n.startsWith("dvr-") &&
+          if (st.isDirectory &&
+              (n.startsWith("dvr-") || n.startsWith("dvk-")) &&
               !referencedDvs(n + ".json") &&
               (try treeMaxMtime(st.getPath) < tempHorizon
                catch { case _: FileNotFoundException => false })) {
@@ -2114,11 +2151,13 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
     lineage: Option[Map[String, RowLineage.Entry]] = None,
     spjCandidate: Option[(GraftStagingCatalog.PartSpec,
       org.apache.spark.sql.types.DataType)] = None,
-    sortedBy: Seq[String] = Nil)
+    sortedBy: Seq[String] = Nil,
+    keyRuns: Seq[DeletionVectors.KeyRuns] = Nil)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
-  private val dvActive = dvKeys.nonEmpty && dvKeyField.isDefined
+  private val dvActive =
+    (dvKeys.nonEmpty || keyRuns.nonEmpty) && dvKeyField.isDefined
   private val posActive = posDvs.nonEmpty
   // the row-index position path: the delegate TABLE's schema carries
   // Spark's generated `_tmp_metadata_row_index` column, so positions come
@@ -2263,7 +2302,11 @@ private[catalog] class ZoneMapScanBuilder(delegate: FileScanBuilder,
         else StructType(wide.fields.zipWithIndex.collect {
           case (f, i) if i != keyOrd => f
         })
-      Some(DeletionVectors.DvScanInfo(dvKeys, keyOrd, key.dataType, out, projectOrds))
+      val keyBins = keyRuns.iterator
+        .flatMap(kr => kr.files.iterator.map(f => f -> kr.spec))
+        .toSeq.groupBy(_._1).map { case (f, sps) => f -> sps.map(_._2) }
+      Some(DeletionVectors.DvScanInfo(dvKeys, keyOrd, key.dataType, out, projectOrds,
+        keyBins))
     }
 
   /** Position-row-id info against the BUILT scan's wide schema (r13):
@@ -2424,6 +2467,10 @@ object ZoneMapScan {
     * materialization stayed bounded.
     */
   @volatile var lastPosDeleteMode: Option[String] = None
+  /** r14: how the last keyed delta recorded its deleted keys —
+    * "dv-inline" (driver JSON) or "dv-keyrun" (executor-written bins).
+    */
+  @volatile var lastKeyDeleteMode: Option[String] = None
   /** Rows the position-delete readers pulled from parquet, PER TABLE DIR —
     * lets tests prove pushed predicates actually skipped row groups (rows
     * seen < file rows) under active position DVs. Executor-side bump: exact
@@ -2524,7 +2571,8 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
         case Some(info) => // row-index positions: pushdown kept, ordinal filter
           new DeletionVectors.PosIdxReaderFactory(inner, info, tableDir, hconf)
         case None =>
-          val keyed = dv.fold(inner)(info => new DeletionVectors.DvReaderFactory(inner, info))
+          val keyed = dv.fold(inner)(info =>
+            new DeletionVectors.DvReaderFactory(inner, info, Some(hconf)))
           if (posDvs.isEmpty) keyed
           else new DeletionVectors.PosDvReaderFactory(keyed, hconf)
       }
@@ -2734,7 +2782,8 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
         // governs every row; clean files keep the delegate's packing and
         // columnar readers
         val keyed = dv.filter(_.fileKeys.nonEmpty)
-          .fold(parts)(info => DeletionVectors.repack(parts, info.fileKeys, statKey))
+          .fold(parts)(info =>
+            DeletionVectors.repack(parts, info.fileKeys, statKey, info.keyBins))
         if (posDvs.isEmpty) keyed
         else DeletionVectors.repackPos(keyed, posDvs, statKey)
     }

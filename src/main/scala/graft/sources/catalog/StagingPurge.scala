@@ -116,20 +116,28 @@ object StagingPurge {
     // original row order
     val reader = spark.read
     declaredSchema(fs, d).foreach(reader.schema)
-    val raw = reader.parquet(cand.map(f => new Path(d, f).toString): _*)
-      .select(col("*"), col("_metadata.file_name").as("__graft_pf"),
-        col("_metadata.row_index").as("__graft_pr"))
+    val raw0 = reader.parquet(cand.map(f => new Path(d, f).toString): _*)
+    // key each row back to its source file by the path's LAST TWO segments
+    // ("<partition-dir>/<name>", or "<table-dir>/<name>" for root files):
+    // bare names alone collide — a partition-laid-out OPTIMIZE reuses the
+    // same part name across its `k=v/` directories
+    val segs = org.apache.spark.sql.functions.split(
+      col("_metadata.file_path"), "/")
+    val raw = raw0.select(col("*"),
+      org.apache.spark.sql.functions.concat_ws("/",
+        org.apache.spark.sql.functions.element_at(segs, -2),
+        org.apache.spark.sql.functions.element_at(segs, -1)).as("__graft_pf"),
+      col("_metadata.row_index").as("__graft_pr"))
     // DELETE-WHERE truth table: a NULL predicate keeps the row
     val hit = coalesce(expr(where), lit(false))
     val purgedRows = raw.filter(hit).count()
     if (purgedRows == 0L) return (0, 0, 0L, 0)
-    // parquet part names are UUID-unique, so the bare name indexes the
-    // candidate list even across partition subdirectories
+    val tableDirName = d.getName
     val pidOf: Map[String, Int] = cand.zipWithIndex.map { case (f, i) =>
-      f.substring(f.lastIndexOf('/') + 1) -> i }.toMap
+      (if (f.contains("/")) f else s"$tableDirName/$f") -> i }.toMap
     require(pidOf.size == cand.size,
-      s"purge: candidate file names are not unique (${cand.size} files, " +
-        s"${pidOf.size} distinct names)")
+      s"purge: candidate dir/name keys are not unique (${cand.size} files, " +
+        s"${pidOf.size} distinct keys)")
     val token = java.util.UUID.randomUUID().toString.take(12)
     val tmp = new Path(d, s"_purge_$token")
     raw.filter(not(hit))

@@ -122,7 +122,10 @@ private[catalog] class StagingMicroBatchStream(
       if (v <= 0L) Seq.empty else manifestFiles(fs, manifestOf(v))
     ((fromV + 1L) to toV).flatMap { v =>
       manifestKind(fs, manifestOf(v)) match {
-        case "commit" =>
+        // "clone" (a shallow clone's first version) and "sync" (an
+        // incremental refresh absorbing source appends) are pure
+        // file-additions — append semantics, r14
+        case "commit" | "clone" | "sync" =>
           val prev = filesOf(v - 1L).toSet
           filesOf(v).filterNot(prev)
         case "optimize" => Seq.empty // layout-only: identical rows

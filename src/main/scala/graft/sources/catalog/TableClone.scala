@@ -57,6 +57,11 @@ object TableClone {
   private[catalog] def isForeign(entry: String): Boolean =
     entry.startsWith("/") || entry.contains(":/")
 
+  /** Stable fingerprint of a table's declared schema (empty = none). */
+  private[catalog] def schemaFingerprint(fs: FileSystem, d: Path): String =
+    GraftStagingCatalog.declaredSchema(fs, d)
+      .map(s => java.lang.Integer.toHexString(s.json.hashCode)).getOrElse("-")
+
   /** Creates `dstNs.dstTable` as a shallow clone of the resolved source
     * snapshot. Returns (sourceVersion, fileCount, cloneVersion).
     */
@@ -133,9 +138,13 @@ object TableClone {
     }
     // zone-map stats / null counts / bloom sidecars transfer keyed by
     // BARE file name — exactly the key the scan's statKey falls back to
-    // for a file outside the table directory
+    // for a file outside the table directory. A partition-laid-out source
+    // can reuse one part name across its `k=v/` dirs; such ambiguous
+    // names transfer NO stats (conservative: unpruned, never mispruned).
+    val byBare = names.groupBy(f => f.substring(f.lastIndexOf('/') + 1))
     val bare: Map[String, String] =
-      names.map(f => f -> f.substring(f.lastIndexOf('/') + 1)).toMap
+      names.filter(f => byBare(f.substring(f.lastIndexOf('/') + 1)).size == 1)
+        .map(f => f -> f.substring(f.lastIndexOf('/') + 1)).toMap
     val stats = StagingMaintenance.readStatsFor(fs, src)
       .collect { case ((f, c), st) if bare.contains(f) => (bare(f), c) -> st }
     if (stats.nonEmpty)
@@ -154,8 +163,12 @@ object TableClone {
     val reg = s"clone-${System.nanoTime()}"
     writeString(fs, new Path(regDir, reg), dst.toString)
     // third line = the source version this clone has absorbed ([[sync]]'s
-    // incremental-refresh watermark)
-    writeString(fs, new Path(dst, CloneSrcSidecar), s"$src\n$reg\n$srcV")
+    // incremental-refresh watermark); fourth = the source schema
+    // fingerprint at that watermark (sync refuses on drift — borrowed
+    // files written under an evolved source schema would silently
+    // mis-read through the clone's copied schema)
+    writeString(fs, new Path(dst, CloneSrcSidecar),
+      s"$src\n$reg\n$srcV\n${schemaFingerprint(fs, src)}")
     val v = writeExplicitManifest(fs, dst, absolute, kind = "clone",
       expectedBase = Some(0L))
     (srcV, names.size, v)
@@ -195,6 +208,13 @@ object TableClone {
       s"$catalog.$ns.$table: clone sidecar carries no sync watermark")
     val src = new Path(lines(0))
     val lastV = lines(2).trim.toLong
+    // schema-drift guard: borrowed files written under an evolved source
+    // schema would read wrongly through the clone's copied schema
+    if (lines.length >= 4)
+      require(schemaFingerprint(fs, src) == lines(3).trim,
+        s"sync: clone source $src changed its schema since the clone — " +
+          "the borrowed files would mis-read through the clone's copied " +
+          "schema; re-clone")
     val (headV, _) = headManifest(fs, src).getOrElse(
       throw new IllegalStateException(
         s"clone source $src has no readable head — was it dropped?"))
@@ -223,8 +243,10 @@ object TableClone {
       (cur -- prev).foreach { f => added += f; () }
       prev = cur
     }
+    val fp = if (lines.length >= 4) lines(3).trim
+             else schemaFingerprint(fs, src)
     if (added.isEmpty) {
-      writeString(fs, scp, s"${lines(0)}\n${lines(1)}\n$headV")
+      writeString(fs, scp, s"${lines(0)}\n${lines(1)}\n$headV\n$fp")
       return (lastV, headV, 0, -1L)
     }
     val absolute = added.toSeq.map(f =>
@@ -232,9 +254,14 @@ object TableClone {
     val curFiles = headManifest(fs, d)
       .map { case (_, mf) => manifestFiles(fs, mf) }.getOrElse(Seq.empty)
     val base = headManifest(fs, d).map(_._1).getOrElse(0L)
+    // borrowed files the SOURCE knows are sort-order-unproven (its own
+    // provenance marker) stay unproven through the clone's report too
+    val srcUnproven = sortOrderUnproven(fs, src).map(_._2).getOrElse(Set.empty)
+    markUnsorted(fs, d, added.toSeq.filter(srcUnproven)
+      .map(f => new Path(src, f).toString))
     val v = writeExplicitManifest(fs, d, (curFiles ++ absolute).distinct,
       kind = "sync", expectedBase = Some(base))
-    writeString(fs, scp, s"${lines(0)}\n${lines(1)}\n$headV")
+    writeString(fs, scp, s"${lines(0)}\n${lines(1)}\n$headV\n$fp")
     (lastV, headV, absolute.size, v)
   }
 

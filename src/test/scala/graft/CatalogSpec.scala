@@ -1353,6 +1353,326 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.prg")
   }
 
+  test("distributed equality-delete key bins (r14): over-cap keyed DELETE spills to executor bins; reads, ghosts, UPDATE overlap, CDF, time travel, fold, vacuum all exact") {
+    import graft.sources.catalog.{StagingMaintenance, ZoneMapScan}
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.kdb")
+    spark.sql("CREATE TABLE stage_t.ws.kdb (k BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.mode'='merge-on-read', 'graft.merge-keys'='k')")
+    spark.sql("INSERT INTO stage_t.ws.kdb " +
+      "SELECT /*+ REPARTITION_BY_RANGE(4, id) */ id, id * 10 FROM range(0, 1000)")
+    def files(): Set[String] = StagingMaintenance
+      .currentFileNames(spark, "stage_t", "ws", "kdb").toSet
+    def dvs(): Seq[String] = StagingMaintenance
+      .activeDvs(spark, "stage_t", "ws", "kdb")
+    val f0 = files()
+    val capKey = "spark.graft.key-delete.max-inline-keys"
+    val saved = spark.conf.getOption(capKey)
+    spark.conf.set(capKey, "16")
+    try {
+      // over-cap keyed DELETE: every task spills its keys to a bin; the
+      // driver commits ONE dvk- descriptor, zero files move
+      spark.sql("DELETE FROM stage_t.ws.kdb WHERE k % 3 = 1")
+      assert(ZoneMapScan.lastKeyDeleteMode === Some("dv-keyrun"),
+        s"over-cap delete stayed inline: ${ZoneMapScan.lastKeyDeleteMode}")
+      assert(files() === f0, "distributed key delete moved data files")
+      assert(dvs().size === 1 && dvs().head.startsWith("dvk-"), dvs().toString)
+      val t = spark.table("stage_t.ws.kdb")
+      assert(t.count() === 667L)
+      assert(t.filter(col("k") % 3 === 1).count() === 0L,
+        "keyrun-suppressed rows still visible")
+      // ghost no-rematch: the same band again matches NOTHING (the locate
+      // scan reads through the keyrun) — no second descriptor
+      spark.sql("DELETE FROM stage_t.ws.kdb WHERE k % 3 = 1 AND v >= 0")
+      assert(dvs().size === 1, s"ghost rows re-matched: ${dvs()}")
+      // overlapping over-cap UPDATE: replaced keys spill too; replacements
+      // land as fresh rows and survive their own statement's descriptor
+      spark.sql("UPDATE stage_t.ws.kdb SET v = v + 1 WHERE k % 5 = 0")
+      assert(ZoneMapScan.lastKeyDeleteMode === Some("dv-keyrun"))
+      assert(spark.table("stage_t.ws.kdb").count() === 667L)
+      val expSum = (0L until 1000L).filter(_ % 3 != 1)
+        .map(k => k * 10 + (if (k % 5 == 0) 1 else 0)).sum
+      def sumV(): Long = spark.table("stage_t.ws.kdb")
+        .agg(sum(col("v"))).collect()(0).getLong(0)
+      assert(sumV() === expSum)
+      // time travel reads v1 pre-delete
+      assert(spark.sql("SELECT count(*) FROM stage_t.ws.kdb VERSION AS OF 1")
+        .collect()(0).getLong(0) === 1000L)
+      // the change feed derives the keyrun delete exactly (executor-side
+      // anti-join inside the CDF diff)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_kdbcdf").toString
+      val dels = new java.util.concurrent.atomic.AtomicLong
+      val ins = new java.util.concurrent.atomic.AtomicLong
+      val q = spark.readStream.table("stage_t.ws.kdb.changes")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          dels.addAndGet(b.filter(col("_change_type") === "delete").count())
+          ins.addAndGet(b.filter(col("_change_type") === "insert").count()); ()
+        }.start()
+      q.awaitTermination()
+      // v1: 1000 inserts; v2: 333 keyrun deletes; v3: 134 update pre/post
+      // pairs ride as update_* types (not bare deletes/inserts)
+      assert(ins.get() === 1000L, s"inserts: ${ins.get()}")
+      assert(dels.get() === 333L, s"keyrun deletes in the feed: ${dels.get()}")
+      // the fold rewrites survivors and drops every descriptor — driven
+      // with broadcast DISABLED so the two descriptors' anti-joins really
+      // shuffle (the scale shape; provenance columns must be materialized
+      // pre-exchange, not re-evaluated as input_file_name after it)
+      val bKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val bSaved = bKeys.map(k => k -> spark.conf.getOption(k))
+      bKeys.foreach(k => spark.conf.set(k, "-1"))
+      try {
+        StagingMaintenance.optimize(spark, "stage_t", "ws", "kdb")
+      } finally bSaved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      assert(dvs().isEmpty, s"fold left descriptors: ${dvs()}")
+      assert(spark.table("stage_t.ws.kdb").count() === 667L && sumV() === expSum)
+      // vacuum reclaims the unreferenced descriptor dirs
+      spark.conf.set("spark.graft.vacuum.temp-ttl-ms", "0")
+      try {
+        Thread.sleep(5)
+        spark.sql("CALL stage_t.vacuum('ws', 'kdb', 1)")
+      } finally spark.conf.unset("spark.graft.vacuum.temp-ttl-ms")
+      val fs = new org.apache.hadoop.fs.Path(stageRoot)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val dvDir = new org.apache.hadoop.fs.Path(s"$stageRoot/ws/kdb/_graft_dv")
+      val left =
+        (try fs.listStatus(dvDir).toIndexedSeq
+         catch { case _: java.io.FileNotFoundException => IndexedSeq.empty })
+          .map(_.getPath.getName).filter(_.startsWith("dvk-"))
+      assert(left.isEmpty, s"vacuum kept keyrun artifacts: $left")
+    } finally saved match {
+      case Some(v) => spark.conf.set(capKey, v)
+      case None    => spark.conf.unset(capKey)
+    }
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.kdb")
+  }
+
+  test("sort-order readmission (r14): a sorted keyless-MOR table reports ordering; a delta withdraws it; the OPTIMIZE fold re-admits it") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    def mk(name: String, filter: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$name")
+      spark.sql(s"CREATE TABLE stage_t.ws.$name (k BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES " +
+        "('graft.sort-order'='k', 'graft.write.mode'='merge-on-read')")
+      spark.sql(s"INSERT INTO stage_t.ws.$name " +
+        s"SELECT id, id * 7 FROM range(0, 400) WHERE $filter")
+      StagingMaintenance.optimize(spark, "stage_t", "ws", name,
+        partitionBy = Some("bucket(4,k)"))
+    }
+    mk("mso1", "true")
+    mk("mso2", "id % 3 = 0")
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def join() = spark.sql(
+        "SELECT x.k FROM stage_t.ws.mso1 x JOIN stage_t.ws.mso2 y ON x.k = y.k")
+      // the r13 blanket exclusion kept every MOR table sort-heavy; with
+      // delta files tracked by provenance, a compacted MOR table's
+      // bucketed SMJ is sort-free AND exchange-free
+      val p1 = join().queryExecution.executedPlan.toString
+      assert(p1.contains("SortMergeJoin") && !p1.contains("Exchange") &&
+        !p1.contains(" Sort ["),
+        s"compacted sorted MOR table should report ordering:\n$p1")
+      assert(join().count() === 134L)
+      // a position-delta UPDATE lands a writer-shaped replacement file —
+      // the report withdraws (and the DV also withdraws SPJ); exactness holds
+      spark.sql("UPDATE stage_t.ws.mso1 SET v = v + 1 WHERE k % 7 = 3")
+      val p2 = join().queryExecution.executedPlan.toString
+      assert(p2.contains(" Sort ["),
+        s"delta'd MOR table must not claim ordering:\n$p2")
+      assert(join().count() === 134L)
+      // the fold rewrites everything planner-sorted — readmitted
+      StagingMaintenance.optimize(spark, "stage_t", "ws", "mso1",
+        partitionBy = Some("bucket(4,k)"))
+      val p3 = join().queryExecution.executedPlan.toString
+      assert(p3.contains("SortMergeJoin") && !p3.contains("Exchange") &&
+        !p3.contains(" Sort ["),
+        s"folded MOR table should be re-admitted:\n$p3")
+      assert(join().count() === 134L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    Seq("mso1", "mso2").foreach(t => spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
+  }
+
+  test("keyless update-mode escape hatch (r14): copy-on-write routes UPDATE through the group rewrite; flipping back restores position deltas") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.umode")
+    spark.sql("CREATE TABLE stage_t.ws.umode (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.mode'='merge-on-read', " +
+      "'graft.update.mode'='copy-on-write')")
+    spark.sql("INSERT INTO stage_t.ws.umode SELECT id, id FROM range(0, 100)")
+    def files(): Set[String] = StagingMaintenance
+      .currentFileNames(spark, "stage_t", "ws", "umode").toSet
+    def dvs(): Seq[String] = StagingMaintenance
+      .activeDvs(spark, "stage_t", "ws", "umode")
+    def sumV(): Long = spark.table("stage_t.ws.umode")
+      .agg(sum(col("v"))).collect()(0).getLong(0)
+    val base = (0L until 100L).sum
+    // COPY-ON-WRITE mode: the untranslatable UPDATE rewrites matched
+    // files — no descriptor, original files replaced
+    val f0 = files()
+    spark.sql("UPDATE stage_t.ws.umode SET v = v + 1000 WHERE k % 7 = 3")
+    assert(dvs().isEmpty, s"copy-on-write UPDATE minted a descriptor: ${dvs()}")
+    assert(files() != f0, "copy-on-write UPDATE left the file set unchanged")
+    val hits1 = (0L until 100L).count(_ % 7 == 3)
+    assert(sumV() === base + 1000L * hits1)
+    // flip back: deltas again — zero rewrites, one run descriptor
+    spark.sql("ALTER TABLE stage_t.ws.umode " +
+      "SET TBLPROPERTIES ('graft.update.mode'='position-delta')")
+    val f1 = files()
+    spark.sql("UPDATE stage_t.ws.umode SET v = v + 1000 WHERE k % 7 = 5")
+    assert(f1.subsetOf(files()), "position-delta UPDATE rewrote carried files")
+    assert(dvs().size === 1, s"expected one descriptor: ${dvs()}")
+    val hits2 = (0L until 100L).count(_ % 7 == 5)
+    assert(sumV() === base + 1000L * (hits1 + hits2))
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.umode")
+  }
+
+  test("pos-delta rebase conflicts (r14): a branch run-descriptor over files main rewrote refuses; main's pos-delete over files the branch rewrote refuses") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    def mkMor(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$name")
+      spark.sql(s"CREATE TABLE stage_t.ws.$name (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('graft.write.mode'='merge-on-read')")
+      spark.sql(s"INSERT INTO stage_t.ws.$name SELECT id, id FROM range(0, 100)")
+      spark.sql(s"CALL stage_t.branch('ws', '$name', 'w')")
+    }
+    // A: branch lands a POS-DELTA (run descriptor over the fork files);
+    // main OPTIMIZE rewrites those files — the replay must refuse (the
+    // descriptor's ordinals are meaningless over the rewritten layout)
+    mkMor("rcA")
+    spark.sql("UPDATE stage_t.ws.rcA.branch_w SET v = v + 1 WHERE k % 7 = 3")
+    StagingMaintenance.optimize(spark, "stage_t", "ws", "rcA")
+    val eA = intercept[Exception] {
+      spark.sql("CALL stage_t.rebase('ws', 'rcA', 'w')") }
+    assert(eA.getMessage.contains("rebase conflict") &&
+      eA.getMessage.contains("main has since rewritten"), eA.getMessage)
+    // B: main lands a POS-DELETE over the fork files; the branch rewrote
+    // them (cap-forced COW fallback) — refuse in the other direction
+    mkMor("rcB")
+    // the update-mode escape hatch (r14) forces the branch DELETE through
+    // the group REWRITE (file removal) instead of a position delta
+    spark.sql("ALTER TABLE stage_t.ws.rcB " +
+      "SET TBLPROPERTIES ('graft.update.mode'='copy-on-write')")
+    spark.sql("DELETE FROM stage_t.ws.rcB.branch_w WHERE k % 3 = 1")
+    spark.sql("ALTER TABLE stage_t.ws.rcB " +
+      "SET TBLPROPERTIES ('graft.update.mode'='position-delta')")
+    // main lands a position-delta DELETE over the SAME fork files
+    spark.sql("DELETE FROM stage_t.ws.rcB WHERE k % 5 = 2")
+    val eB = intercept[Exception] {
+      spark.sql("CALL stage_t.rebase('ws', 'rcB', 'w')") }
+    assert(eB.getMessage.contains("rebase conflict") &&
+      eB.getMessage.contains("branch rewrote"), eB.getMessage)
+    Seq("rcA", "rcB").foreach(t => spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
+  }
+
+  test("clone combos (r14): tag and branch-face clones; streaming read from a clone; schema-drift sync refusal") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    Seq("syc_t", "syc_b", "syc").foreach { t =>
+      try spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t")
+      catch { case _: IllegalStateException => () }
+    }
+    spark.sql("CREATE TABLE stage_t.ws.syc AS SELECT id AS k, id * 3 AS v FROM range(0, 40)")
+    spark.sql("CALL stage_t.tag('ws', 'syc', 'gold')")
+    spark.sql("INSERT INTO stage_t.ws.syc SELECT id, id * 3 FROM range(40, 60)")
+    spark.sql("CALL stage_t.branch('ws', 'syc', 'wap')")
+    spark.sql("INSERT INTO stage_t.ws.syc.branch_wap SELECT id, id * 3 FROM range(60, 70)")
+    // TAG clone pins the tagged snapshot; BRANCH clone takes the branch head
+    spark.sql("CALL stage_t.clone('ws', 'syc', 'syc_t', tag => 'gold')")
+    spark.sql("CALL stage_t.clone('ws', 'syc', 'syc_b', branch => 'wap')")
+    assert(spark.table("stage_t.ws.syc_t").count() === 40L)
+    assert(spark.table("stage_t.ws.syc_b").count() === 70L)
+    assert(spark.table("stage_t.ws.syc").count() === 60L)
+    // a clone is a full table: its streaming face drains the borrowed files
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_clstr").toString
+    val n = new java.util.concurrent.atomic.AtomicLong
+    val q = spark.readStream.table("stage_t.ws.syc_t")
+      .writeStream.option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        n.addAndGet(b.count()); ()
+      }.start()
+    q.awaitTermination()
+    assert(n.get() === 40L, s"clone stream drained ${n.get()} rows")
+    // schema drift on the source refuses sync (borrowed files written
+    // under the evolved schema would mis-read through the copied one)
+    spark.sql("ALTER TABLE stage_t.ws.syc ADD COLUMN extra BIGINT")
+    val e = intercept[Exception] { spark.sql("CALL stage_t.sync('ws', 'syc_t')") }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    Seq("syc_t", "syc_b", "syc").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
+  }
+
+  test("purge combos (r14): bucketed sorted layouts keep their sort-free SMJ after a purge; branch logs are scrubbed too") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    def mk(name: String, filter: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$name")
+      spark.sql(s"CREATE TABLE stage_t.ws.$name (k BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('graft.sort-order'='k')")
+      spark.sql(s"INSERT INTO stage_t.ws.$name " +
+        s"SELECT id, id * 7 FROM range(0, 400) WHERE $filter")
+      StagingMaintenance.optimize(spark, "stage_t", "ws", name,
+        partitionBy = Some("bucket(4,k)"))
+    }
+    mk("pqs1", "true")
+    mk("pqs2", "id % 3 = 0")
+    // purge the top band from both — twins must stay per-file sorted and
+    // inside their bucket directories
+    Seq("pqs1", "pqs2").foreach(t =>
+      spark.sql(s"CALL stage_t.purge('ws', '$t', 'k >= 390')"))
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        "SELECT x.k, x.v AS va, y.v AS vb FROM stage_t.ws.pqs1 x " +
+          "JOIN stage_t.ws.pqs2 y ON x.k = y.k")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") && !p.contains("Exchange"), p)
+      assert(!p.contains(" Sort ["),
+        s"purge must preserve the sorted-layout report (sort-free SMJ):\n$p")
+      val rows = j.collect()
+      assert(rows.length === 130) // multiples of 3 in [0, 390)
+      assert(rows.forall(r => r.getLong(1) === r.getLong(0) * 7 &&
+        r.getLong(2) === r.getLong(0) * 7), "post-purge SMJ mis-joined")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    // branch logs are part of readable history: a purge scrubs them too
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pqb")
+    spark.sql("CREATE TABLE stage_t.ws.pqb AS SELECT id AS k FROM range(0, 50)")
+    spark.sql("CALL stage_t.branch('ws', 'pqb', 'w')")
+    spark.sql("INSERT INTO stage_t.ws.pqb.branch_w SELECT id FROM range(100, 120)")
+    val r = spark.sql("CALL stage_t.purge('ws', 'pqb', 'k >= 110')").collect()(0)
+    assert(r.getLong(2) === 10L, r.toString)
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.pqb.branch_w")
+      .collect()(0).getLong(0) === 60L, "branch face still serves purged rows")
+    assert(spark.table("stage_t.ws.pqb").count() === 50L)
+    Seq("pqs1", "pqs2", "pqb").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
+  }
+
   test("history purge (r14): refusals — lineage, DV'd history, live clones, borrowing clone") {
     mountStage()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
