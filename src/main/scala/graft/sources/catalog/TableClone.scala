@@ -37,11 +37,12 @@ import org.apache.spark.sql.SparkSession
   * bricked); drop the clones first.
   *
   * Scope boundaries (refused with clear errors, not silently wrong):
-  * row-lineage tables (per-file id bases do not transfer), merge-on-read
-  * tables / snapshots with in-force deletion vectors (DV sidecars resolve
-  * in the source's directory), and re-cloning a clone that still borrows
-  * files (the transitive registration chain is not maintained — OPTIMIZE
-  * the intermediate to materialize it first).
+  * row-lineage tables (per-file id bases do not transfer) and
+  * merge-on-read tables / snapshots with in-force deletion vectors (DV
+  * sidecars resolve in the source's directory). Cloning a still-borrowing
+  * clone IS legal: the new clone registers at every upstream table its
+  * entries reference (and [[sync]] registers at upstreams that appear
+  * later), so the whole chain stays vacuum-safe end to end.
   *
   * Declared sort order transfers WITH provenance: if the source's files
   * are all write-path-proven sorted, the clone's report stands; if the
@@ -61,6 +62,32 @@ object TableClone {
   private[catalog] def schemaFingerprint(fs: FileSystem, d: Path): String =
     GraftStagingCatalog.declaredSchema(fs, d)
       .map(s => java.lang.Integer.toHexString(s.json.hashCode)).getOrElse("-")
+
+  /** The table directory an absolute manifest entry lives in: its parent,
+    * or — for partition-laid-out entries (`…/k=v/file`) — the grandparent;
+    * identified by the version log it carries.
+    */
+  private[catalog] def tableDirOf(fs: FileSystem, entry: String): Path = {
+    val parent = new Path(entry).getParent
+    def hasLog(p: Path): Boolean =
+      p != null && (try fs.getFileStatus(
+        new Path(p, GraftStagingCatalog.VersionsDir)).isDirectory
+      catch { case _: FileNotFoundException => false })
+    if (hasLog(parent)) parent
+    else if (hasLog(parent.getParent)) parent.getParent
+    else throw new IllegalStateException(
+      s"cannot locate the owning table of borrowed entry $entry " +
+        "(no version log at its parent or grandparent)")
+  }
+
+  /** Registers `cloneDir` at `u`'s clone registry; returns the name. */
+  private[catalog] def register(fs: FileSystem, u: Path, cloneDir: Path): String = {
+    val regDir = new Path(u, ClonesDir)
+    fs.mkdirs(regDir)
+    val reg = s"clone-${System.nanoTime()}"
+    GraftStagingCatalog.writeString(fs, new Path(regDir, reg), cloneDir.toString)
+    reg
+  }
 
   /** Creates `dstNs.dstTable` as a shallow clone of the resolved source
     * snapshot. Returns (sourceVersion, fileCount, cloneVersion).
@@ -107,11 +134,15 @@ object TableClone {
       s"cannot shallow-clone $catalog.$ns.$table at version $srcV: " +
         "the snapshot has in-force deletion vectors")
     val names = manifestFiles(fs, mf)
-    require(names.forall(f => !isForeign(f)),
-      s"cannot shallow-clone $catalog.$ns.$table: the snapshot itself " +
-        "borrows files from another clone source — OPTIMIZE it to " +
-        "materialize before re-cloning")
-    val absolute = names.map(f => new Path(src, f).toString)
+    // TRANSITIVE CHAINS (r14): cloning a still-borrowing clone is legal —
+    // the new clone registers at EVERY upstream table its entries
+    // reference (registration is per-TABLE, so files it borrows from an
+    // upstream LATER, via sync, are covered automatically: the upstream's
+    // vacuum walks every registrant's manifests)
+    val absolute = names.map(f =>
+      if (isForeign(f)) f else new Path(src, f).toString)
+    val upstreams: Seq[Path] = (src +:
+      names.filter(isForeign).map(f => tableDirOf(fs, f))).distinct
     fs.mkdirs(dst)
     // metadata sidecars transfer; data bytes do not
     def copySidecar(name: String): Unit = {
@@ -158,17 +189,17 @@ object TableClone {
     // source vacuum racing this clone must already see the registration
     // when the clone becomes readable (the reverse order has a window
     // where the clone reads files a vacuum just reclaimed)
-    val regDir = new Path(src, ClonesDir)
-    fs.mkdirs(regDir)
-    val reg = s"clone-${System.nanoTime()}"
-    writeString(fs, new Path(regDir, reg), dst.toString)
-    // third line = the source version this clone has absorbed ([[sync]]'s
-    // incremental-refresh watermark); fourth = the source schema
-    // fingerprint at that watermark (sync refuses on drift — borrowed
-    // files written under an evolved source schema would silently
-    // mis-read through the clone's copied schema)
+    val regs = upstreams.map { u => u -> register(fs, u, dst) }
+    // lines 1-4: direct source dir, its registration, the source version
+    // this clone has absorbed ([[sync]]'s watermark), and the source
+    // schema fingerprint at that watermark (sync refuses on drift —
+    // borrowed files written under an evolved source schema would
+    // silently mis-read through the clone's copied schema). Lines 5+:
+    // additional upstream registrations ("dir<TAB>reg") for transitive
+    // chains — deregistered together at DROP.
     writeString(fs, new Path(dst, CloneSrcSidecar),
-      s"$src\n$reg\n$srcV\n${schemaFingerprint(fs, src)}")
+      (s"$src\n${regs.head._2}\n$srcV\n${schemaFingerprint(fs, src)}" +:
+        regs.tail.map { case (u, r) => s"$u\t$r" }).mkString("\n"))
     val v = writeExplicitManifest(fs, dst, absolute, kind = "clone",
       expectedBase = Some(0L))
     (srcV, names.size, v)
@@ -254,6 +285,19 @@ object TableClone {
     val curFiles = headManifest(fs, d)
       .map { case (_, mf) => manifestFiles(fs, mf) }.getOrElse(Seq.empty)
     val base = headManifest(fs, d).map(_._1).getOrElse(0L)
+    // transitive chains: files the SOURCE itself borrowed arrive as
+    // foreign entries pointing at ITS upstream — register there too (once)
+    // so that upstream's vacuum keeps walking this clone's manifests
+    val knownUpstreams: Set[String] =
+      Set(lines(0)) ++ lines.drop(4).flatMap(_.split('\t').headOption)
+    val newUpstreams = added.toSeq.filter(isForeign)
+      .map(f => tableDirOf(fs, f)).distinct
+      .filterNot(u => knownUpstreams(u.toString))
+    if (newUpstreams.nonEmpty) {
+      val extra = newUpstreams.map(u => s"$u\t${register(fs, u, d)}")
+      writeString(fs, scp,
+        (GraftStagingCatalog.readString(fs, scp).trim +: extra).mkString("\n"))
+    }
     // borrowed files the SOURCE knows are sort-order-unproven (its own
     // provenance marker) stay unproven through the clone's report too
     val srcUnproven = sortOrderUnproven(fs, src).map(_._2).getOrElse(Set.empty)
@@ -321,11 +365,16 @@ object TableClone {
           s"(${clones.mkString(", ")}) — drop the clones first")
     val scp = new Path(d, CloneSrcSidecar)
     if (GraftStagingCatalog.isFile(fs, scp)) {
-      GraftStagingCatalog.readString(fs, scp).trim.split('\n') match {
-        case Array(srcDir, reg) =>
-          try { fs.delete(new Path(new Path(srcDir, ClonesDir), reg), false); () }
-          catch { case _: FileNotFoundException => () }
-        case _ => ()
+      val lines = GraftStagingCatalog.readString(fs, scp).trim.split('\n')
+      val pairs =
+        (if (lines.length >= 2) Seq((lines(0), lines(1))) else Nil) ++
+          lines.drop(4).toSeq.flatMap(_.split('\t') match {
+            case Array(u, r) => Some((u, r))
+            case _           => None
+          })
+      pairs.foreach { case (u, r) =>
+        try { fs.delete(new Path(new Path(u, ClonesDir), r), false); () }
+        catch { case _: FileNotFoundException => () }
       }
     }
   }

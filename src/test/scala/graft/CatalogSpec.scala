@@ -1247,16 +1247,30 @@ class CatalogSpec extends SparkSpec {
     val e2 = intercept[Exception] {
       spark.sql("CALL stage_t.clone('ws', 'crm', 'crx')") }
     assert(e2.getMessage.contains("merge-on-read"), e2.getMessage)
+    // TRANSITIVE CHAIN (r14): cloning a still-borrowing clone is legal —
+    // the grandchild registers at EVERY upstream, so even the ROOT's
+    // vacuum keeps the chain readable after the intermediates diverge
     spark.sql("CREATE TABLE stage_t.ws.crc AS SELECT id AS k FROM range(0, 10)")
     spark.sql("CALL stage_t.clone('ws', 'crc', 'crc2')")
-    val e3 = intercept[Exception] {
-      spark.sql("CALL stage_t.clone('ws', 'crc2', 'crx')") }
-    assert(e3.getMessage.toLowerCase.contains("materialize"), e3.getMessage)
-    // …but once materialized (OPTIMIZE rewrites into its own dir), it clones
-    graft.sources.catalog.StagingMaintenance.optimize(
-      spark, "stage_t", "ws", "crc2")
-    spark.sql("CALL stage_t.clone('ws', 'crc2', 'crx')")
+    spark.sql("CALL stage_t.clone('ws', 'crc2', 'crx')") // borrows from crc
     assert(spark.table("stage_t.ws.crx").count() === 10L)
+    val fs2 = new org.apache.hadoop.fs.Path(stageRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs2.listStatus(new org.apache.hadoop.fs.Path(
+        s"$stageRoot/ws/crc/_graft_clones"))
+      .count(_.getPath.getName.startsWith("clone-")) === 2,
+      "the grandchild must register at the root too")
+    // the intermediate ages the borrowed refs out of ITS manifests; the
+    // root's vacuum must STILL keep the grandchild's borrowed files
+    spark.sql("INSERT OVERWRITE stage_t.ws.crc2 SELECT id AS k FROM range(0, 3)")
+    spark.sql("CALL stage_t.vacuum('ws', 'crc2', 1)")
+    spark.sql("INSERT OVERWRITE stage_t.ws.crc SELECT id AS k FROM range(0, 2)")
+    spark.sql("CALL stage_t.vacuum('ws', 'crc', 1)")
+    assert(spark.table("stage_t.ws.crx").count() === 10L,
+      "root vacuum broke the transitive chain")
+    // root drop refuses while ANY chain member borrows; children first
+    val e5 = intercept[Exception] { spark.sql("DROP TABLE stage_t.ws.crc") }
+    assert(e5.getMessage.contains("clone"), e5.getMessage)
     Seq("crx", "crc2", "crc", "crm", "crl").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
   }
