@@ -276,8 +276,15 @@ object TableClone {
     }
     val fp = if (lines.length >= 4) lines(3).trim
              else schemaFingerprint(fs, src)
+    // watermark updates REPLACE line 3 only — lines 5+ carry the
+    // transitive upstream registrations and must survive every rewrite
+    def writeWatermark(): Unit = {
+      val cur = readString(fs, scp).trim.split('\n')
+      writeString(fs, scp,
+        (Seq(cur(0), cur(1), headV.toString, fp) ++ cur.drop(4)).mkString("\n"))
+    }
     if (added.isEmpty) {
-      writeString(fs, scp, s"${lines(0)}\n${lines(1)}\n$headV\n$fp")
+      writeWatermark()
       return (lastV, headV, 0, -1L)
     }
     val absolute = added.toSeq.map(f =>
@@ -305,7 +312,7 @@ object TableClone {
       .map(f => new Path(src, f).toString))
     val v = writeExplicitManifest(fs, d, (curFiles ++ absolute).distinct,
       kind = "sync", expectedBase = Some(base))
-    writeString(fs, scp, s"${lines(0)}\n${lines(1)}\n$headV\n$fp")
+    writeWatermark()
     (lastV, headV, absolute.size, v)
   }
 

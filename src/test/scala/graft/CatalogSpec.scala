@@ -1260,13 +1260,20 @@ class CatalogSpec extends SparkSpec {
         s"$stageRoot/ws/crc/_graft_clones"))
       .count(_.getPath.getName.startsWith("clone-")) === 2,
       "the grandchild must register at the root too")
+    // chain SYNC: a root append flows A→B→C; the watermark rewrite must
+    // preserve the grandchild's transitive registrations
+    spark.sql("INSERT INTO stage_t.ws.crc SELECT id + 100 AS k FROM range(0, 5)")
+    spark.sql("CALL stage_t.sync('ws', 'crc2')")
+    spark.sql("CALL stage_t.sync('ws', 'crx')")
+    assert(spark.table("stage_t.ws.crx").count() === 15L,
+      "root append did not flow through the chain")
     // the intermediate ages the borrowed refs out of ITS manifests; the
     // root's vacuum must STILL keep the grandchild's borrowed files
     spark.sql("INSERT OVERWRITE stage_t.ws.crc2 SELECT id AS k FROM range(0, 3)")
     spark.sql("CALL stage_t.vacuum('ws', 'crc2', 1)")
     spark.sql("INSERT OVERWRITE stage_t.ws.crc SELECT id AS k FROM range(0, 2)")
     spark.sql("CALL stage_t.vacuum('ws', 'crc', 1)")
-    assert(spark.table("stage_t.ws.crx").count() === 10L,
+    assert(spark.table("stage_t.ws.crx").count() === 15L,
       "root vacuum broke the transitive chain")
     // root drop refuses while ANY chain member borrows; children first
     val e5 = intercept[Exception] { spark.sql("DROP TABLE stage_t.ws.crc") }
