@@ -167,8 +167,11 @@ object DeletionVectors {
       val perFile = scala.collection.mutable.Map.empty[String, Set[Any]]
       names.foreach { n =>
         val txt = GraftStagingCatalog.readString(fs, new Path(new Path(d, DvDir), n))
-        if ("\"type\":\"pos\"".r.findFirstIn(txt).isDefined) {
-          // position sidecar: belongs to loadPosDvs, not the key map
+        if ("\"type\":\"pos\"".r.findFirstIn(txt).isDefined ||
+            "\"type\":\"keyrun\"".r.findFirstIn(txt).isDefined) {
+          // position sidecars belong to loadPosDvs; keyrun descriptors
+          // (r14 distributed key bins) to loadKeyRuns — parsing a keyrun
+          // here would also mis-read its URL-encoded file names
         } else {
         val isString = "\"type\":\"string\"".r.findFirstIn(txt).isDefined
         val files = GraftStagingCatalog.parseArray(txt, "files")

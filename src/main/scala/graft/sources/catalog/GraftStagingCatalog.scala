@@ -2188,14 +2188,14 @@ private class StagingDeltaOperation(
               // r14 distributed equality-delete bins: the per-task AND
               // per-statement inline cap — a CDC burst deleting 100M keys
               // spills to executor-written bins instead of the driver.
-              // Lineage tables keep the inline path (their combined
-              // MOR+lineage reader resolves inline keys only; churn there
-              // is bounded by the id-preserving rewrite cadence anyway).
+              // Lineage tables spill too (r14): the combined MOR+lineage
+              // reader and the id-resolving maintenance reads all resolve
+              // bin-backed keys in the executor.
               private val inlineCap: Int =
                 SparkSession.active.conf
                   .getOption("spark.graft.key-delete.max-inline-keys")
                   .map(_.toInt).getOrElse(1 << 20)
-              private val binsOn = lineage.isEmpty
+              private val binsOn = true
               private val runDir =
                 s"dvk-${java.util.UUID.randomUUID().toString.take(12)}"
               private val whconf =

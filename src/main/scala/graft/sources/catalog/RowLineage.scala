@@ -305,7 +305,8 @@ object RowLineage {
     * as [[LineagePartition]].
     */
   final case class MorLineagePartition(fp: FilePartition, base: Long,
-      delKeys: Set[Any], delPos: DeletionVectors.PosSpec)
+      delKeys: Set[Any], delPos: DeletionVectors.PosSpec,
+      binSpecs: Seq[DeletionVectors.KeySpec] = Nil)
       extends org.apache.spark.sql.connector.read.InputPartition {
     override def preferredLocations(): Array[String] = fp.preferredLocations()
   }
@@ -317,7 +318,8 @@ object RowLineage {
       entries: Map[String, Entry],
       dvKeys: Map[String, Set[Any]],
       posDvs: DeletionVectors.PosDvs,
-      statKey: org.apache.hadoop.fs.Path => String)
+      statKey: org.apache.hadoop.fs.Path => String,
+      keyBins: Map[String, Seq[DeletionVectors.KeySpec]] = Map.empty)
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val out = Array.newBuilder[org.apache.spark.sql.connector.read.InputPartition]
     var idx = 0
@@ -327,7 +329,8 @@ object RowLineage {
           val k = statKey(pf.toPath)
           val base = entries.get(k).map(_.base).getOrElse(0L)
           out += MorLineagePartition(FilePartition(idx, Array(pf)), base,
-            dvKeys.getOrElse(k, Set.empty), posDvs.specFor(k))
+            dvKeys.getOrElse(k, Set.empty), posDvs.specFor(k),
+            keyBins.getOrElse(k, Nil))
           idx += 1
         }
       case other => out += other
@@ -360,8 +363,13 @@ object RowLineage {
 
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       partition match {
-        case MorLineagePartition(fp, base, delKeys, delSpec) =>
+        case MorLineagePartition(fp, base, delKeys0, delSpec, binSpecs) =>
           val r = inner.createReader(fp)
+          // r14 distributed key bins resolve here, in the executor
+          val delKeys =
+            if (binSpecs.isEmpty) delKeys0
+            else binSpecs.foldLeft(delKeys0)((acc, sp) =>
+              acc ++ DeletionVectors.binKeys(sp, hconf.value))
           val delPos = delSpec.resolve(hconf.value)
           val posActive = !delSpec.isEmpty
           val joinOrd = info.delegateArity

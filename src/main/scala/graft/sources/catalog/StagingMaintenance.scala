@@ -1635,7 +1635,9 @@ object StagingMaintenance {
     val applyDvs: DataFrame => DataFrame = DeletionVectors.morKey(fs, d) match {
       case Some(k) =>
         val dv = DeletionVectors.dvMapAt(fs, d, mf)
-        df => DeletionVectors.applyToRead(df, k, dv)
+        val krs = DeletionVectors.keyRunsAt(fs, d, mf)
+        df => DeletionVectors.applyKeyRunsToRead(
+          DeletionVectors.applyToRead(df, k, dv), k, krs)
       case None if DeletionVectors.morPos(fs, d) =>
         val pos = DeletionVectors.posMapAt(fs, d, mf)
         df => DeletionVectors.applyPosToRead(df, pos)
@@ -2555,7 +2557,8 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     if (posMeta.isDefined)
       return new DeletionVectors.PosMetaReaderFactory(inner, posMeta.get, hconf)
     lineage match {
-      case Some((info, _)) if dv.exists(_.fileKeys.nonEmpty) || posDvs.nonEmpty =>
+      case Some((info, _)) if dv.exists(i =>
+          i.fileKeys.nonEmpty || i.keyBins.nonEmpty) || posDvs.nonEmpty =>
         // MOR + lineage combined (r12): filter DV-deleted rows, then
         // resolve ids — one factory over the shared widened schema
         val keyKind = dv.map(_.keyType) match {
@@ -2772,16 +2775,18 @@ private[catalog] class ZoneMapPrunedScan(delegate: FileScan,
     // plus, on merge-on-read tables (r12), that file's in-force delete sets
     lineage match {
       case Some((_, entries))
-          if dv.exists(_.fileKeys.nonEmpty) || posDvs.nonEmpty =>
+          if dv.exists(i => i.fileKeys.nonEmpty || i.keyBins.nonEmpty) ||
+            posDvs.nonEmpty =>
         RowLineage.repackMorLineage(parts, entries,
-          dv.map(_.fileKeys).getOrElse(Map.empty), posDvs, statKey)
+          dv.map(_.fileKeys).getOrElse(Map.empty), posDvs, statKey,
+          dv.map(_.keyBins).getOrElse(Map.empty))
       case Some((_, entries)) => RowLineage.repackLineage(parts, entries, statKey)
       case None =>
         // deletion vectors: files with a delete set move into one partition
         // per FILE so their (row-based) readers know which delete set
         // governs every row; clean files keep the delegate's packing and
         // columnar readers
-        val keyed = dv.filter(_.fileKeys.nonEmpty)
+        val keyed = dv.filter(i => i.fileKeys.nonEmpty || i.keyBins.nonEmpty)
           .fold(parts)(info =>
             DeletionVectors.repack(parts, info.fileKeys, statKey, info.keyBins))
         if (posDvs.isEmpty) keyed

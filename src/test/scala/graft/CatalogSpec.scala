@@ -1474,6 +1474,63 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.kdb")
   }
 
+  test("keyrun × lineage (r14): over-cap keyed delete on a lineage table spills to bins; _row_id faces, identity preservation, and the fold stay exact") {
+    import graft.sources.catalog.{StagingMaintenance, ZoneMapScan}
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.klb")
+    spark.sql("CREATE TABLE stage_t.ws.klb (k BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.mode'='merge-on-read', " +
+      "'graft.merge-keys'='k', 'graft.row-lineage'='true')")
+    spark.sql("INSERT INTO stage_t.ws.klb " +
+      "SELECT /*+ REPARTITION_BY_RANGE(4, id) */ id, id * 10 FROM range(0, 300)")
+    def ids(): Map[Long, Long] = StagingMaintenance
+      .readLineage(spark, "stage_t", "ws", "klb")
+      .selectExpr("k", "_row_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dvs(): Seq[String] = StagingMaintenance
+      .activeDvs(spark, "stage_t", "ws", "klb")
+    val v1 = ids()
+    assert(v1.size === 300 && v1.values.toSet.size === 300)
+    val capKey = "spark.graft.key-delete.max-inline-keys"
+    val saved = spark.conf.getOption(capKey)
+    spark.conf.set(capKey, "16")
+    try {
+      val f0 = StagingMaintenance
+        .currentFileNames(spark, "stage_t", "ws", "klb").toSet
+      spark.sql("DELETE FROM stage_t.ws.klb WHERE k % 3 = 1")
+      assert(ZoneMapScan.lastKeyDeleteMode === Some("dv-keyrun"))
+      assert(StagingMaintenance
+        .currentFileNames(spark, "stage_t", "ws", "klb").toSet === f0)
+      assert(dvs().size === 1 && dvs().head.startsWith("dvk-"), dvs().toString)
+      // both _row_id faces resolve THROUGH the bins: survivors only,
+      // identities unchanged
+      val v2 = ids() // maintenance face (readLineage)
+      assert(v2.size === 200 && v2 === v1.filter { case (k, _) => k % 3 != 1 },
+        "keyrun delete re-identified or leaked rows on the lineage face")
+      val sqlIds = spark.sql("SELECT k, _row_id FROM stage_t.ws.klb")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sqlIds === v2, "SQL _row_id face diverged from the lineage read")
+      // over-cap UPDATE: replaced keys spill, replacement rows KEEP ids
+      spark.sql("UPDATE stage_t.ws.klb SET v = v + 7 WHERE k % 5 = 0")
+      assert(ZoneMapScan.lastKeyDeleteMode === Some("dv-keyrun"))
+      val v3 = ids()
+      assert(v3 === v2, "keyrun UPDATE re-identified rows")
+      // survivors with k%5==0: 60 minus the 20 in the deleted k%3==1 band
+      assert(spark.sql(
+        "SELECT count(*) FROM stage_t.ws.klb WHERE v % 10 = 7")
+        .collect()(0).getLong(0) === 40L, "keyrun UPDATE lost its writes")
+      // fold: descriptors drop, identities persist physically
+      StagingMaintenance.optimize(spark, "stage_t", "ws", "klb")
+      assert(dvs().isEmpty)
+      assert(ids() === v2, "the fold re-identified rows")
+    } finally saved match {
+      case Some(v) => spark.conf.set(capKey, v)
+      case None    => spark.conf.unset(capKey)
+    }
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.klb")
+  }
+
   test("sort-order readmission (r14): a sorted keyless-MOR table reports ordering; a delta withdraws it; the OPTIMIZE fold re-admits it") {
     import graft.sources.catalog.StagingMaintenance
     mountStage()
