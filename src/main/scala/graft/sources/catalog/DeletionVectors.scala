@@ -215,9 +215,30 @@ object DeletionVectors {
   final case class KeyRuns(keyCol: String, isString: Boolean,
       files: Set[String], spec: KeySpec, count: Long)
 
-  private val KeyBinCacheMax = 8
+  /** Executor-resolved membership of one descriptor's bin-backed keys:
+    * integral keys live in a SORTED PRIMITIVE array (8 B/key — a 100M-key
+    * descriptor costs ~800 MB per executor instead of a multi-GB boxed
+    * set; probes are binary searches), string keys in a hash set. The
+    * per-executor materialization is the Iceberg equality-delete read
+    * economy — and transient: the OPTIMIZE fold retires the descriptors.
+    */
+  sealed trait KeyMembership { def contains(k: Any): Boolean }
+  private final class LongKeyMembership(sorted: Array[Long]) extends KeyMembership {
+    override def contains(k: Any): Boolean = k match {
+      case l: Long => java.util.Arrays.binarySearch(sorted, l) >= 0
+      case _       => false
+    }
+  }
+  private final class StringKeyMembership(set: Set[String]) extends KeyMembership {
+    override def contains(k: Any): Boolean = k match {
+      case s: String => set(s)
+      case _         => false
+    }
+  }
+
+  private val KeyBinCacheMax = 4
   private val keyBinCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[Any]]()
+    new java.util.concurrent.ConcurrentHashMap[String, KeyMembership]()
 
   /** One bin's keys (strings URL-encoded, one per line). */
   private[catalog] def readKeyBin(dirUri: String, bin: String, isString: Boolean,
@@ -241,14 +262,27 @@ object DeletionVectors {
     * JVM (descriptor dirs are immutable — token-unique — so the cache
     * never invalidates; a crude size cap bounds leakage across folds).
     */
-  private[catalog] def binKeys(spec: KeySpec,
-      conf: org.apache.hadoop.conf.Configuration): Set[Any] =
+  private[catalog] def binMembership(spec: KeySpec,
+      conf: org.apache.hadoop.conf.Configuration): KeyMembership = {
+    // size-cap OUTSIDE the mapping function: a map mutation inside
+    // computeIfAbsent on the same ConcurrentHashMap may deadlock
+    if (keyBinCache.size >= KeyBinCacheMax) keyBinCache.clear()
     keyBinCache.computeIfAbsent(spec.dirUri, { _ =>
-      if (keyBinCache.size >= KeyBinCacheMax) keyBinCache.clear()
-      spec.bins.iterator
-        .flatMap(b => readKeyBin(spec.dirUri, b, spec.isString, conf))
-        .toSet
+      if (spec.isString)
+        new StringKeyMembership(spec.bins.iterator
+          .flatMap(b => readKeyBin(spec.dirUri, b, isString = true, conf))
+          .map(_.asInstanceOf[String]).toSet)
+      else {
+        val b = scala.collection.mutable.ArrayBuilder.make[Long]
+        spec.bins.foreach(bin =>
+          readKeyBin(spec.dirUri, bin, isString = false, conf)
+            .foreach(k => b += k.asInstanceOf[Long]))
+        val arr = b.result()
+        java.util.Arrays.sort(arr)
+        new LongKeyMembership(arr)
+      }
     })
+  }
 
   /** One executor-written key bin; returns the dir-relative bin name. */
   def writeKeyBin(fs: FileSystem, d: Path, runDir: String,
@@ -307,6 +341,13 @@ object DeletionVectors {
   /** Keyrun descriptors in force at `manifest`. */
   def keyRunsAt(fs: FileSystem, d: Path, manifest: Path): Seq[KeyRuns] =
     loadKeyRuns(fs, d, GraftStagingCatalog.manifestDvs(fs, manifest))
+
+  /** Per-file keyrun IDENTITY (descriptor dirs) — the cheap
+    * visibility-change test CDF diffing compares across versions.
+    */
+  def keyRunState(krs: Seq[KeyRuns]): Map[String, Set[String]] =
+    krs.flatMap(kr => kr.files.map(_ -> kr.spec.dirUri))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSet }
 
   /** Maintenance-read twin of [[applyToRead]] for bin-backed keys: a
     * NON-broadcast anti-join whose delete side parses one bin per task —
@@ -1121,15 +1162,13 @@ object DeletionVectors {
 
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       partition match {
-        case DvPartition(fp, deleted0, binSpecs) =>
+        case DvPartition(fp, deleted, binSpecs) =>
           val base = inner.createReader(fp)
-          // bin-backed keys resolve HERE, in the executor (cached per JVM)
-          val deleted =
-            if (binSpecs.isEmpty) deleted0
-            else binSpecs.foldLeft(deleted0) { (acc, sp) =>
-              acc ++ binKeys(sp, hconf.map(_.value).getOrElse(
-                new org.apache.hadoop.conf.Configuration()))
-            }
+          // bin-backed keys resolve HERE, in the executor (cached per JVM;
+          // integral keys as a sorted primitive array, not a boxed set)
+          val membs: Seq[KeyMembership] =
+            binSpecs.map(sp => binMembership(sp, hconf.map(_.value).getOrElse(
+              new org.apache.hadoop.conf.Configuration())))
           val ord = info.keyOrdinal
           val isInt = info.keyType == IntegerType
           val isLong = info.keyType == LongType
@@ -1145,7 +1184,7 @@ object DeletionVectors {
                       if (isInt) row.getInt(ord).toLong
                       else if (isLong) row.getLong(ord)
                       else row.getUTF8String(ord).toString
-                    !deleted.contains(k)
+                    !deleted.contains(k) && !membs.exists(_.contains(k))
                   }
                 if (keep) { current = row; return true }
               }

@@ -788,7 +788,14 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
               val so = GraftStagingCatalog.sortOrderCols(tableFs, dir)
               if (so.isEmpty) Nil
               else GraftStagingCatalog.sortOrderUnproven(tableFs, dir) match {
-                case None => so
+                case None =>
+                  // upgrade guard: an unmarked delta-kind history on a MOR
+                  // table predates the marker — withdraw (see
+                  // hasDeltaKindHistory)
+                  if ((morKeyField.isDefined ||
+                      DeletionVectors.morPos(tableFs, dir)) &&
+                      GraftStagingCatalog.hasDeltaKindHistory(tableFs, dir)) Nil
+                  else so
                 case Some((since, unproven)) =>
                   if (branch.isEmpty && snapshotVersion >= since &&
                       snapshotFiles.exists(_.forall(f => !unproven(f)))) so
@@ -1399,21 +1406,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
         // resurrect any of them) could hand a future snapshot, plus the
         // version the declaration takes effect at. The ordering report
         // withdraws while any such file is in the scanned snapshot.
-        val priorFiles: Set[String] = {
-          val mainFs = GraftStagingCatalog.versionManifests(fs, d)
-            .iterator.flatMap { case (_, mf) =>
-              GraftStagingCatalog.manifestFiles(fs, mf) }
-          val branchFs = GraftStagingCatalog.readBranches(fs, d).keysIterator
-            .flatMap { b =>
-              val bld = GraftStagingCatalog.branchLogDir(d, b)
-              (try fs.listStatus(bld).toIndexedSeq
-               catch { case _: java.io.FileNotFoundException => IndexedSeq.empty })
-                .iterator.filter(st => st.isFile &&
-                  st.getPath.getName.matches("^v\\d+\\.json$"))
-                .flatMap(st => GraftStagingCatalog.manifestFiles(fs, st.getPath))
-            }
-          (mainFs ++ branchFs).toSet
-        }
+        val priorFiles: Set[String] =
+          GraftStagingCatalog.reachableFiles(fs, d)
         val since = GraftStagingCatalog.headManifest(fs, d)
           .map(_._1).getOrElse(0L) + 1L
         GraftStagingCatalog.writeSortOrderSidecar(fs, d, cols,
@@ -2742,6 +2736,41 @@ object GraftStagingCatalog {
         lines.drop(i + 1).filter(_.nonEmpty).toSet))
     }
   }
+
+  /** Every file name any still-readable version could hand a snapshot:
+    * the union across main-log manifests and every branch log's (what
+    * RESTORE and rebase can resurrect) — the reachability set the
+    * sort-order provenance marker is recorded and pruned against.
+    */
+  private[catalog] def reachableFiles(fs: FileSystem, d: Path): Set[String] = {
+    val mainF = versionManifests(fs, d).iterator
+      .flatMap { case (_, mf) => manifestFiles(fs, mf) }
+    val branchF = readBranches(fs, d).keysIterator.flatMap { b =>
+      val bld = branchLogDir(d, b)
+      (try fs.listStatus(bld).toIndexedSeq
+       catch { case _: java.io.FileNotFoundException => IndexedSeq.empty })
+        .iterator.filter(st => st.isFile &&
+          st.getPath.getName.matches("^v\\d+\\.json$"))
+        .flatMap(st => manifestFiles(fs, st.getPath))
+    }
+    (mainF ++ branchF).toSet
+  }
+
+  /** Any readable manifest (main or branch logs) of a DELTA kind
+    * (update/merge)? Post-r14 delta commits self-register their fresh
+    * files in the provenance marker, so a delta kind WITHOUT a marker can
+    * only come from a pre-r14 history whose writer-shaped files the
+    * marker never saw — the MOR ordering readmission must stay withdrawn
+    * for such tables (plain tables' update/merge rewrites re-sort, so
+    * they stay trusted as in r13).
+    */
+  private[catalog] def hasDeltaKindHistory(fs: FileSystem, d: Path): Boolean =
+    (versionManifests(fs, d).iterator.map(_._2) ++
+      readBranches(fs, d).keysIterator.flatMap(b =>
+        branchManifests(fs, d, b).iterator.map(_._2)))
+      .exists { mf =>
+        val k = manifestKind(fs, mf); k == "update" || k == "merge"
+      }
 
   /** Writes the sort-order sidecar with an optional provenance marker. */
   private[catalog] def writeSortOrderSidecar(fs: FileSystem, d: Path,

@@ -363,13 +363,10 @@ object RowLineage {
 
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       partition match {
-        case MorLineagePartition(fp, base, delKeys0, delSpec, binSpecs) =>
+        case MorLineagePartition(fp, base, delKeys, delSpec, binSpecs) =>
           val r = inner.createReader(fp)
           // r14 distributed key bins resolve here, in the executor
-          val delKeys =
-            if (binSpecs.isEmpty) delKeys0
-            else binSpecs.foldLeft(delKeys0)((acc, sp) =>
-              acc ++ DeletionVectors.binKeys(sp, hconf.value))
+          val membs = binSpecs.map(sp => DeletionVectors.binMembership(sp, hconf.value))
           val delPos = delSpec.resolve(hconf.value)
           val posActive = !delSpec.isEmpty
           val joinOrd = info.delegateArity
@@ -387,14 +384,15 @@ object RowLineage {
                 val row = r.get()
                 val posDeleted =
                   posActive && delPos.contains(row.getLong(info.idxOrd))
-                val keyDeleted = !posDeleted && keyOrd >= 0 && delKeys.nonEmpty &&
+                val keyDeleted = !posDeleted && keyOrd >= 0 &&
+                  (delKeys.nonEmpty || membs.nonEmpty) &&
                   !row.isNullAt(keyOrd) && {
                     val k: Any = keyKind match {
                       case 0 => row.getInt(keyOrd).toLong
                       case 1 => row.getLong(keyOrd)
                       case _ => row.getUTF8String(keyOrd).toString
                     }
-                    delKeys.contains(k)
+                    delKeys.contains(k) || membs.exists(_.contains(k))
                   }
                 if (!posDeleted && !keyDeleted) { current = row; return true }
               }

@@ -493,7 +493,9 @@ object StagingMaintenance {
         s"$catalog.$ns.$table has no version $v (vacuumed or never committed)"))
     ((fromVersion + 1) to toVersion).foreach { v =>
       val kind = manifestKind(fs, mf(v))
-      if (kind != "commit")
+      // clone (a shallow clone's first version) and sync (absorbed source
+      // appends) are pure file additions — append-comparable (r14)
+      if (kind != "commit" && kind != "clone" && kind != "sync")
         throw new IllegalArgumentException(
           s"change feed crosses ${kind.toUpperCase} at version $v: file sets " +
             "are not append-comparable across a rewrite — read the versions directly")
@@ -575,10 +577,8 @@ object StagingMaintenance {
       .getOrElse(Nil)
     val krTo = morKey.map(_ => DeletionVectors.keyRunsAt(fs, d, manifestOf(toVersion)))
       .getOrElse(Nil)
-    def krState(krs: Seq[DeletionVectors.KeyRuns]): Map[String, Set[String]] =
-      krs.flatMap(kr => kr.files.map(_ -> kr.spec.dirUri))
-        .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSet }
-    val (krFromState, krToState) = (krState(krFrom), krState(krTo))
+    val (krFromState, krToState) =
+      (DeletionVectors.keyRunState(krFrom), DeletionVectors.keyRunState(krTo))
     // position-delete twin of the key maps (keyless-MOR tables)
     val posFrom =
       if (morPos && fromVersion > 0L) DeletionVectors.posMapAt(fs, d, manifestOf(fromVersion))
@@ -829,10 +829,8 @@ object StagingMaintenance {
         Seq.empty[DeletionVectors.KeyRuns]))
     val (dvFrom, posFrom, krFrom) = dvState(v - 1L)
     val (dvTo, posTo, krTo) = dvState(v)
-    def krState(krs: Seq[DeletionVectors.KeyRuns]): Map[String, Set[String]] =
-      krs.flatMap(kr => kr.files.map(_ -> kr.spec.dirUri))
-        .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSet }
-    val (krFromState, krToState) = (krState(krFrom), krState(krTo))
+    val (krFromState, krToState) =
+      (DeletionVectors.keyRunState(krFrom), DeletionVectors.keyRunState(krTo))
     val dvChanged = (fromF intersect toF).filter(f =>
       dvFrom.getOrElse(f, Set.empty) != dvTo.getOrElse(f, Set.empty) ||
         posFrom.stateOf(f) != posTo.stateOf(f) ||
@@ -2103,21 +2101,7 @@ object StagingMaintenance {
   private[catalog] def pruneSortOrderUnproven(fs: FileSystem, d: Path): Unit =
     GraftStagingCatalog.sortOrderUnproven(fs, d).foreach { case (since, unproven) =>
       val cols = GraftStagingCatalog.sortOrderCols(fs, d)
-      val reachable: Set[String] = {
-        val mainF = GraftStagingCatalog.versionManifests(fs, d)
-          .iterator.flatMap { case (_, mf) =>
-            GraftStagingCatalog.manifestFiles(fs, mf) }
-        val branchF = GraftStagingCatalog.readBranches(fs, d).keysIterator
-          .flatMap { b =>
-            val bld = GraftStagingCatalog.branchLogDir(d, b)
-            (try fs.listStatus(bld).toIndexedSeq
-             catch { case _: FileNotFoundException => IndexedSeq.empty })
-              .iterator.filter(st => st.isFile &&
-                st.getPath.getName.matches("^v\\d+\\.json$"))
-              .flatMap(st => GraftStagingCatalog.manifestFiles(fs, st.getPath))
-          }
-        (mainF ++ branchF).toSet
-      }
+      val reachable: Set[String] = GraftStagingCatalog.reachableFiles(fs, d)
       val remaining = unproven.filter(reachable)
       if (remaining.size != unproven.size)
         GraftStagingCatalog.writeSortOrderSidecar(fs, d, cols,

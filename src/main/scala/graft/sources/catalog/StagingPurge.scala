@@ -108,8 +108,13 @@ object StagingPurge {
       case None => union0
     }
     if (cand.isEmpty) return (0, 0, 0L, 0)
+    val candSet0 = cand.toSet
 
     val headBefore = headManifest(fs, d).map(_._1).getOrElse(0L)
+    def branchHeads(): Map[String, Long] =
+      readBranches(fs, d).keys.map(b =>
+        b -> branchHead(fs, d, b).map(_._1).getOrElse(0L)).toMap
+    val branchesBefore = branchHeads()
 
     // ---- one distributed pass: read candidates with provenance metadata,
     // split matched from survivors, regroup survivors per source file in
@@ -130,14 +135,32 @@ object StagingPurge {
       col("_metadata.row_index").as("__graft_pr"))
     // DELETE-WHERE truth table: a NULL predicate keeps the row
     val hit = coalesce(expr(where), lit(false))
-    val purgedRows = raw.filter(hit).count()
-    if (purgedRows == 0L) return (0, 0, 0L, 0)
     val tableDirName = d.getName
+    def dirKey(f: String): String =
+      if (f.contains("/")) f else s"$tableDirName/$f"
     val pidOf: Map[String, Int] = cand.zipWithIndex.map { case (f, i) =>
-      (if (f.contains("/")) f else s"$tableDirName/$f") -> i }.toMap
+      dirKey(f) -> i }.toMap
     require(pidOf.size == cand.size,
       s"purge: candidate dir/name keys are not unique (${cand.size} files, " +
         s"${pidOf.size} distinct keys)")
+    // rows_purged = matching rows in the LIVE faces (main head + every
+    // branch head — the compliance-facing number); a logical row whose
+    // history spans several rewrites lives in several candidate files, and
+    // counting the union would double-report it. Any matched row anywhere
+    // still triggers the rewrite (the survivors pass covers every
+    // candidate). A row live on BOTH main and a branch face still counts
+    // once per face it is served from.
+    val headKeys: Set[String] =
+      (headManifest(fs, d).iterator.map(_._2) ++
+        branchNames.iterator.flatMap(b => branchHead(fs, d, b).iterator.map(_._2)))
+        .flatMap(hmf => manifestFiles(fs, hmf).filter(candSet0).map(dirKey))
+        .toSet
+    val headKeyCol = typedLit(headKeys.toSeq)
+    val purgedRows = raw.filter(hit &&
+      org.apache.spark.sql.functions.array_contains(headKeyCol, col("__graft_pf")))
+      .count()
+    val anyMatched = purgedRows > 0L || raw.filter(hit).limit(1).count() > 0L
+    if (!anyMatched) return (0, 0, 0L, 0)
     val token = java.util.UUID.randomUUID().toString.take(12)
     val tmp = new Path(d, s"_purge_$token")
     raw.filter(not(hit))
@@ -170,13 +193,24 @@ object StagingPurge {
         }
       }
     fs.delete(tmp, true)
-    val candSet = cand.toSet
+    // a twin of a sort-order-UNPROVEN file inherits its unprovenness: it
+    // preserves the original (possibly unsorted) row order under a fresh
+    // name the provenance marker doesn't know — re-mark it, or the
+    // ordering report would falsely re-admit (the exact r13-advice bug)
+    sortOrderUnproven(fs, d).foreach { case (_, unproven) =>
+      val twins = repl.iterator.collect {
+        case (old0, news) if unproven(old0) => news
+      }.flatten.toSeq
+      markUnsorted(fs, d, twins)
+    }
+    val candSet = candSet0
     val touchedManifests = GraftStagingCatalog.synchronized {
       val headNow = headManifest(fs, d).map(_._1).getOrElse(0L)
-      if (headNow != headBefore)
+      if (headNow != headBefore || branchHeads() != branchesBefore)
         throw new java.util.ConcurrentModificationException(
           s"purge of $catalog.$ns.$table planned against version $headBefore " +
-            s"but head is now $headNow — a concurrent commit landed; retry")
+            s"(branches $branchesBefore) but the table moved — a concurrent " +
+            "commit landed (possibly on a branch); retry")
       // the exactly-once ledger must survive the checkpoint rebuild below
       val batchIds = committedBatchIds(fs, d)
       var touched = 0

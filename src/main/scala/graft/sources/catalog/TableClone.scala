@@ -197,8 +197,12 @@ object TableClone {
     // silently mis-read through the clone's copied schema). Lines 5+:
     // additional upstream registrations ("dir<TAB>reg") for transitive
     // chains — deregistered together at DROP.
+    // a BRANCH-sourced clone's version number belongs to the BRANCH log —
+    // meaningless against main's numbering, so the watermark records the
+    // branch and sync refuses (re-clone after publish)
+    val watermark = branch.map(b => s"branch:$b:$srcV").getOrElse(srcV.toString)
     writeString(fs, new Path(dst, CloneSrcSidecar),
-      (s"$src\n${regs.head._2}\n$srcV\n${schemaFingerprint(fs, src)}" +:
+      (s"$src\n${regs.head._2}\n$watermark\n${schemaFingerprint(fs, src)}" +:
         regs.tail.map { case (u, r) => s"$u\t$r" }).mkString("\n"))
     val v = writeExplicitManifest(fs, dst, absolute, kind = "clone",
       expectedBase = Some(0L))
@@ -238,6 +242,10 @@ object TableClone {
     require(lines.length >= 3,
       s"$catalog.$ns.$table: clone sidecar carries no sync watermark")
     val src = new Path(lines(0))
+    require(!lines(2).trim.startsWith("branch:"),
+      s"$catalog.$ns.$table was cloned from a BRANCH face (${lines(2).trim}) " +
+        "— branch version numbers cannot anchor a main-log sync; re-clone " +
+        "after the branch publishes")
     val lastV = lines(2).trim.toLong
     // schema-drift guard: borrowed files written under an evolved source
     // schema would read wrongly through the clone's copied schema

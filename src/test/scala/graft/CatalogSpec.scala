@@ -1678,6 +1678,10 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("stage_t.ws.syc_t").count() === 40L)
     assert(spark.table("stage_t.ws.syc_b").count() === 70L)
     assert(spark.table("stage_t.ws.syc").count() === 60L)
+    // a BRANCH-sourced clone's watermark is branch-log numbering — a
+    // main-log sync would absorb the wrong delta, so it refuses
+    val eb = intercept[Exception] { spark.sql("CALL stage_t.sync('ws', 'syc_b')") }
+    assert(eb.getMessage.contains("BRANCH"), eb.getMessage)
     // a clone is a full table: its streaming face drains the borrowed files
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_clstr").toString
     val n = new java.util.concurrent.atomic.AtomicLong
@@ -1747,7 +1751,27 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM stage_t.ws.pqb.branch_w")
       .collect()(0).getLong(0) === 60L, "branch face still serves purged rows")
     assert(spark.table("stage_t.ws.pqb").count() === 50L)
-    Seq("pqs1", "pqs2", "pqb").foreach(t =>
+    // RETROACTIVE declaration × purge: the twin of a provenance-UNPROVEN
+    // file preserves its (unsorted) order under a fresh name — it must
+    // re-enter the marker, or the ordering report would falsely re-admit
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pqr")
+    spark.sql("CREATE TABLE stage_t.ws.pqr (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO stage_t.ws.pqr " +
+      "SELECT (id * 77) % 400, id FROM range(0, 400)")
+    spark.sql("ALTER TABLE stage_t.ws.pqr SET TBLPROPERTIES ('graft.sort-order'='k')")
+    spark.sql("CALL stage_t.purge('ws', 'pqr', 'k >= 100')")
+    val fs2 = new org.apache.hadoop.fs.Path(stageRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val soTxt = {
+      val in = fs2.open(new org.apache.hadoop.fs.Path(
+        s"$stageRoot/ws/pqr/_graft_sortorder.txt"))
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    assert(soTxt.contains("purge-"),
+      s"unproven twin missing from the provenance marker:\n$soTxt")
+    assert(spark.table("stage_t.ws.pqr").count() === 100L)
+    Seq("pqs1", "pqs2", "pqb", "pqr").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
   }
 
