@@ -3005,6 +3005,79 @@ object Connectors {
         |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q356
+
+  /** EMBEDDING SNAPSHOT DRIFT AUDIT (r14 — the training-data-ops face of
+    * time travel): a versioned embedding corpus answers "how far did each
+    * label's centroid move between ingest waves?" with two TIME-TRAVEL
+    * reads of the SAME table — `VERSION AS OF 1` vs the head — joined per
+    * (label, dimension). This is the drift monitor an embedding pipeline
+    * runs before retraining or re-clustering: at 100 TB both sides are
+    * ordinary two-phase aggregations over their snapshots (zone maps and
+    * column pruning apply; the deterministic sorted-fold here is the
+    * oracle-exact twin of the q83-audited partial-sum scale path), and the
+    * catalog serves both versions from one file set — no corpus copy per
+    * wave. Oracle recomputes both waves' centroids from raw embeddings
+    * (the v1 slice is vec_id-even by construction) — the hash match
+    * proves time travel ≡ slice semantics through the whole pipeline.
+    */
+  def q356SnapshotDrift(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.embeddings(spark, dir)
+      .createOrReplaceTempView("emb_sd_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.emb_sd")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.emb_sd AS
+        |SELECT vec_id, embedding, label FROM emb_sd_src WHERE vec_id % 2 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.emb_sd
+        |SELECT vec_id, embedding, label FROM emb_sd_src WHERE vec_id % 2 = 1""".stripMargin)
+    def cent(face: String): String =
+      s"""SELECT label, pos, count(1) AS n,
+         |  aggregate(array_sort(collect_list(CAST(x AS DOUBLE))),
+         |            CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+         |    / CAST(count(1) AS DOUBLE) AS c
+         |FROM (SELECT label, pos, x
+         |      FROM graft_stage.work.emb_sd $face
+         |      LATERAL VIEW posexplode(embedding) pe AS pos, x)
+         |WHERE pos < 8
+         |GROUP BY label, pos""".stripMargin
+    require(spark.sql("SELECT count(*) FROM graft_stage.work.emb_sd.snapshots")
+      .collect()(0).getLong(0) == 2L, "expected exactly two ingest waves")
+    spark.sql(
+      s"""SELECT a.label, a.pos, a.n AS n1, b.n AS n2,
+         |  ROUND(ABS(b.c - a.c), 9) AS drift
+         |FROM (${cent("VERSION AS OF 1")}) a
+         |JOIN (${cent("")}) b ON a.label = b.label AND a.pos = b.pos
+         |ORDER BY a.label, a.pos""".stripMargin)
+  }
+
+  /** Both waves' centroids recomputed from raw embeddings (wave 1 =
+    * vec_id-even) — hash match proves time-travel drift ≡ slice drift.
+    */
+  val q356Oracle: String =
+    """WITH cent AS (
+      |  SELECT ver, label, s.i - 1 AS pos, count(*) AS n,
+      |    list_reduce([CAST(0 AS DOUBLE)] ||
+      |        list(CAST(s.x AS DOUBLE) ORDER BY CAST(s.x AS DOUBLE)),
+      |      (acc, v) -> acc + v) / CAST(count(*) AS DOUBLE) AS c
+      |  FROM (SELECT CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 2 END AS slice,
+      |          label, embedding FROM embeddings) e,
+      |    (SELECT unnest([1, 2]) AS ver) v,
+      |    LATERAL (SELECT unnest([{'i': i, 'x': e.embedding[i]}
+      |                            for i in range(1, len(e.embedding) + 1)]) AS s)
+      |  WHERE s.i <= 8 AND (v.ver = 2 OR e.slice = 1)
+      |  GROUP BY ver, label, s.i)
+      |SELECT a.label, a.pos, a.n AS n1, b.n AS n2,
+      |  ROUND(ABS(b.c - a.c), 9) AS drift
+      |FROM (SELECT * FROM cent WHERE ver = 1) a
+      |JOIN (SELECT * FROM cent WHERE ver = 2) b
+      |  ON a.label = b.label AND a.pos = b.pos
+      |ORDER BY a.label, a.pos""".stripMargin
+
   // ---------------------------------------------------------------- q355
 
   /** DISTRIBUTED EQUALITY-DELETE KEY BINS (r14 — SURVEY r14 candidate #1,
@@ -3385,7 +3458,8 @@ object Connectors {
     GraftQuery.sql("q352_shallow_clone", q352ShallowClone, q352Oracle),
     GraftQuery.sql("q353_history_purge", q353HistoryPurge, q353Oracle),
     GraftQuery.sql("q354_clone_sync", q354CloneSync, q354Oracle),
-    GraftQuery.sql("q355_distributed_key_deletes", q355DistributedKeyDeletes, q355Oracle))
+    GraftQuery.sql("q355_distributed_key_deletes", q355DistributedKeyDeletes, q355Oracle),
+    GraftQuery.sql("q356_snapshot_drift", q356SnapshotDrift, q356Oracle))
 
   // ---------------------------------------------------------------- q332
 
