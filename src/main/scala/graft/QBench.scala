@@ -16,12 +16,28 @@ object QBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
+    // Same recording methodology as Bench (r14 — QBench is the arbitration
+    // tool for disp-flagged queries, so an isolated re-measure must be
+    // methodologically identical): two iterations reporting the min; if they
+    // disagree by >3x, a third arbitrates and the median is recorded.
+    val DispRatio = 3.0
     args.foreach { name =>
-      (1 to 2).foreach { it =>
+      def once(it: Int): Double = {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).count()
-        println(f"[qbench] $name iter$it ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[qbench] $name iter$it $sec%8.2fs")
+        sec
       }
+      val a = once(1); val b = once(2)
+      val rec =
+        if (math.max(a, b) > DispRatio * math.min(a, b)) {
+          val c = once(3)
+          val med = Seq(a, b, c).sorted.apply(1)
+          println(f"[qbench] $name DISPERSION -> median $med%8.2fs")
+          med
+        } else math.min(a, b)
+      println(f"[qbench] $name recorded $rec%8.2fs")
     }
     spark.stop()
   }
