@@ -3005,6 +3005,96 @@ object Connectors {
         |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q357
+
+  /** BROAD-STATEMENT AUTO-FOLD (r14 — position-delta admission control):
+    * the `graft.update.mode` escape hatch needs the operator to KNOW a
+    * statement is bulk before running it, because DSv2 chooses the
+    * row-level operation before any predicate is pushed, let alone
+    * evaluated. `'graft.delta.auto-fold-fraction'=f` instead measures
+    * AFTER the statement with exact information — the delta writers' own
+    * per-file suppressed counts: a position-delta commit that covered
+    * ≥ f of the snapshot's files AND suppressed ≥ f of the covered
+    * files' rows triggers an immediate scoped fold (the
+    * `CALL optimize(scope => 'deltas')` machinery: only covered files
+    * rewrite, carried files move by name). The 90%-of-table keyless
+    * UPDATE costs one extra pass over files it already touched instead
+    * of leaving a table that suppresses most of every file forever;
+    * selective statements skip at the free file-fraction gate (row
+    * counts are only footer-read once a statement provably touched most
+    * of the table). At 100 TB: bulk re-scores of a keyless corpus
+    * self-compact; incremental patches stay O(changed rows).
+    *
+    * The query drives a bulk UPDATE (matches every row — required to
+    * auto-fold: no active descriptors, fully-suppressed originals
+    * retired from the head) then a selective UPDATE (required NOT to
+    * fold: one run descriptor, zero rewrites) and aggregates the final
+    * corpus; the oracle recomputes both patches from raw events.
+    */
+  def q357DeltaAutoFold(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events_af_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.events_af")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.events_af
+        |  (event_id BIGINT, event_type STRING, value DOUBLE)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read',
+        |  'graft.delta.auto-fold-fraction'='0.5')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.events_af
+        |SELECT /*+ REPARTITION_BY_RANGE(8, event_id) */ event_id, event_type, value
+        |FROM events_af_src""".stripMargin)
+    import graft.sources.catalog.{StagingMaintenance, ZoneMapScan}
+    val before = StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "events_af").toSet
+    // BULK: every row matches (the modulo keeps it on the delta path) —
+    // the statement must fold itself
+    spark.sql(
+      "UPDATE graft_stage.work.events_af SET value = value + 100 WHERE event_id % 2 >= 0")
+    require(ZoneMapScan.lastDeltaAutoFold.isDefined,
+      "bulk keyless UPDATE above the declared fraction did not auto-fold")
+    val dvs1 = StagingMaintenance.activeDvs(spark, "graft_stage", "work", "events_af")
+    require(dvs1.isEmpty, s"auto-fold left active descriptors: $dvs1")
+    val after1 = StagingMaintenance
+      .currentFileNames(spark, "graft_stage", "work", "events_af").toSet
+    require((before & after1).isEmpty,
+      "fully-suppressed originals survived the auto-fold")
+    // SELECTIVE: ~1% of rows — must NOT fold (descriptor stays, zero rewrites)
+    spark.sql(
+      "UPDATE graft_stage.work.events_af SET value = value + 10 WHERE event_id % 97 = 5")
+    require(ZoneMapScan.lastDeltaAutoFold.isEmpty,
+      "selective keyless UPDATE auto-folded — the admission gate is broken")
+    val dvs2 = StagingMaintenance.activeDvs(spark, "graft_stage", "work", "events_af")
+    require(dvs2.size == 1 && dvs2.head.startsWith("dvr-"),
+      s"expected one run descriptor after the selective UPDATE, got $dvs2")
+    require(after1.subsetOf(StagingMaintenance
+        .currentFileNames(spark, "graft_stage", "work", "events_af").toSet),
+      "selective position-delta UPDATE rewrote carried files")
+    spark.sql(
+      """SELECT event_type, count(*) AS n,
+        |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.events_af
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** Both patches recomputed from raw events — hash match proves
+    * auto-fold ≡ the plain delta semantics it compacted.
+    */
+  val q357Oracle: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+       |  ${graft.operators.Det.dsumSql("value2")} AS total
+       |FROM (
+       |  SELECT event_id, event_type,
+       |    CASE WHEN event_id % 97 = 5 THEN value + 110
+       |         ELSE value + 100 END AS value2
+       |  FROM events)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q356
 
   /** EMBEDDING SNAPSHOT DRIFT AUDIT (r14 — the training-data-ops face of
@@ -3459,7 +3549,8 @@ object Connectors {
     GraftQuery.sql("q353_history_purge", q353HistoryPurge, q353Oracle),
     GraftQuery.sql("q354_clone_sync", q354CloneSync, q354Oracle),
     GraftQuery.sql("q355_distributed_key_deletes", q355DistributedKeyDeletes, q355Oracle),
-    GraftQuery.sql("q356_snapshot_drift", q356SnapshotDrift, q356Oracle))
+    GraftQuery.sql("q356_snapshot_drift", q356SnapshotDrift, q356Oracle),
+    GraftQuery.sql("q357_delta_autofold", q357DeltaAutoFold, q357Oracle))
 
   // ---------------------------------------------------------------- q332
 

@@ -119,6 +119,32 @@ object DeletionVectors {
       GraftStagingCatalog.readString(fs, p).trim == "copy-on-write"
   }
 
+  /** Broad-statement admission control for position deltas (r14 —
+    * `'graft.delta.auto-fold-fraction'=f`): the update-mode escape hatch
+    * needs the operator to KNOW a statement is bulk before running it;
+    * this heuristic instead measures after — with exact information the
+    * pre-execution DSv2 planning can never have (a RowLevelOperation is
+    * chosen before any predicate is pushed, let alone evaluated). A
+    * position-delta commit whose statement covered ≥ f of the snapshot's
+    * files AND suppressed ≥ f of the covered files' rows triggers an
+    * immediate scoped fold ([[StagingMaintenance.foldDeltasAt]]) right
+    * after its own commit: the 90%-of-table UPDATE costs one extra pass
+    * over the files it already touched instead of suppressing most of
+    * every file forever, while selective statements skip the check at the
+    * file-fraction gate for free (row counts are only read once the
+    * statement has provably touched most of the table).
+    */
+  val AutoFoldSidecar = "_graft_autofold.txt"
+
+  /** The declared auto-fold fraction, when set and valid. */
+  def autoFoldFraction(fs: FileSystem, d: Path): Option[Double] = {
+    val p = new Path(d, AutoFoldSidecar)
+    if (!GraftStagingCatalog.isFile(fs, p)) None
+    else try Some(GraftStagingCatalog.readString(fs, p).trim.toDouble)
+      .filter(f => f > 0.0 && f <= 1.0)
+    catch { case _: NumberFormatException => None }
+  }
+
   /** Canonical in-memory key value: integral keys normalize to Long,
     * strings stay String — one representation for sidecar I/O, reader
     * filters, and maintenance joins.

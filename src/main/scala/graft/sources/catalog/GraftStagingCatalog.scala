@@ -692,6 +692,8 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
       if (aa.nonEmpty) m.put("graft.auto-analyze", aa.mkString(","))
       val tfsz = GraftStagingCatalog.targetFileSize(tableFs, dir)
       if (tfsz > 0L) m.put("graft.target-file-size", tfsz.toString)
+      DeletionVectors.autoFoldFraction(tableFs, dir).foreach(f =>
+        m.put("graft.delta.auto-fold-fraction", f.toString))
       // partition evolution introspection: the spec families the pruner
       // still honors for old-layout files
       val rp = GraftStagingCatalog.retiredPartitionCols(tableFs, dir)
@@ -1236,6 +1238,21 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
         s"$catalogName: unknown graft.update.mode '$other' " +
           "(copy-on-write | position-delta)")
     }
+    // broad-statement auto-fold (r14): 'graft.delta.auto-fold-fraction'=f
+    // — a position-delta statement that covered >= f of the snapshot's
+    // files AND suppressed >= f of the covered rows triggers an immediate
+    // scoped fold (optimize scope='deltas') after its own commit
+    Option(properties.get("graft.delta.auto-fold-fraction")).map(_.trim)
+      .filter(_.nonEmpty).foreach { v =>
+        val f = try v.toDouble catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$catalogName: graft.delta.auto-fold-fraction must be a " +
+              s"fraction in (0, 1], got '$v'") }
+        require(f > 0.0 && f <= 1.0,
+          s"$catalogName: graft.delta.auto-fold-fraction must be in (0, 1], got $f")
+        GraftStagingCatalog.writeString(fs,
+          new Path(d, DeletionVectors.AutoFoldSidecar), f.toString)
+      }
     if (rowLineage) RowLineage.writeMarker(fs, d)
     if (partCols.nonEmpty)
       GraftStagingCatalog.writeString(fs, new Path(d, GraftStagingCatalog.PartitionSidecar),
@@ -1449,12 +1466,28 @@ class GraftStagingCatalog extends TableCatalog with SupportsNamespaces
           if rp.property().equalsIgnoreCase("graft.update.mode") =>
         fs.delete(new Path(d, DeletionVectors.UpdateModeSidecar), false)
         ()
+      case sp: TableChange.SetProperty
+          if sp.property().equalsIgnoreCase("graft.delta.auto-fold-fraction") =>
+        val f = try sp.value().trim.toDouble
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$catalogName: graft.delta.auto-fold-fraction must be a " +
+                s"fraction in (0, 1], got '${sp.value()}'") }
+        require(f > 0.0 && f <= 1.0,
+          s"$catalogName: graft.delta.auto-fold-fraction must be in (0, 1], got $f")
+        GraftStagingCatalog.writeString(fs,
+          new Path(d, DeletionVectors.AutoFoldSidecar), f.toString)
+      case rp: TableChange.RemoveProperty
+          if rp.property().equalsIgnoreCase("graft.delta.auto-fold-fraction") =>
+        fs.delete(new Path(d, DeletionVectors.AutoFoldSidecar), false)
+        ()
       case other =>
         throw new UnsupportedOperationException(
           s"$catalogName: unsupported ALTER TABLE change $other " +
             "(supported: ADD / DROP / RENAME COLUMN, ALTER COLUMN TYPE widening, " +
             "SET/UNSET 'check' / 'graft.auto-analyze' / 'graft.sort-order' / " +
-            "'graft.target-file-size' / 'graft.update.mode')")
+            "'graft.target-file-size' / 'graft.update.mode' / " +
+            "'graft.delta.auto-fold-fraction')")
     }
     // a schema change must not strand the CHECK constraint: re-validate it
     // against the post-change schema (dropping a checked column fails HERE,
@@ -2549,6 +2582,45 @@ private class StagingPosDeltaOperation(
                   kind = info.command().toString.toLowerCase,
                   expectedBase = Some(snapshotVersion), dvs = dvs, branch = branch,
                   matFiles = if (lineageMeta) fresh.toSet else Set.empty)
+                // BROAD-STATEMENT AUTO-FOLD (r14 — see
+                // DeletionVectors.AutoFoldSidecar): with exact
+                // post-statement information (per-file suppressed counts
+                // from the writers' own bins), a statement that covered
+                // most of the snapshot AND killed most of what it covered
+                // folds its debt immediately — one extra pass over files
+                // it already touched, instead of a table that suppresses
+                // most of every file forever. Gates are ordered cheap-
+                // first: the file-fraction test is free; row counts
+                // (parquet footers, O(covered files), driver-side) are
+                // read only once a statement has provably touched most of
+                // the table. Fold failure never fails the statement — the
+                // delta commit above is already correct, the fold is
+                // layout maintenance.
+                ZoneMapScan.lastDeltaAutoFold = None
+                if (branch.isEmpty && bins.nonEmpty)
+                  DeletionVectors.autoFoldFraction(tableFs, dir).foreach { frac =>
+                    val coveredN = bins.iterator.map(_._1).toSet
+                    if (snap.nonEmpty && coveredN.size >= frac * snap.size) {
+                      val suppressed = bins.iterator.map(_._3).sum
+                      val hc = hconf.value
+                      val rowsCovered = coveredN.iterator.map { f =>
+                        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                            new Path(dir, f), hc))
+                        try r.getRecordCount finally r.close()
+                      }.sum
+                      if (rowsCovered > 0L && suppressed >= frac * rowsCovered) {
+                        try {
+                          val (_, _, v) = StagingMaintenance.foldDeltasAt(
+                            SparkSession.active, tableFs, dir)
+                          ZoneMapScan.lastDeltaAutoFold = Some(v)
+                        } catch { case e: Exception =>
+                          System.err.println(
+                            s"[graft] auto-fold after position-delta commit on $dir failed: $e")
+                        }
+                      }
+                    }
+                  }
               }
 
               override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -126,6 +126,155 @@ object StagingMaintenance {
     (dvNames.size, 1, v)
   }
 
+  /** SCOPED DELTA FOLD (r14 — `CALL optimize(scope => 'deltas')`): rewrite
+    * ONLY the files the active delete machinery covers (position DVs —
+    * inline and run sidecars — and keyed equality deletes — inline key
+    * sets and distributed key bins), applying the suppressions; every
+    * uncovered file carries into the new version BY NAME, byte-identical.
+    * After the commit the head is delta-free (empty dv set), exactly like
+    * a full OPTIMIZE — but the rewrite cost is O(covered bytes), never
+    * O(table): a selective MERGE's debt folds without repacking the 99%
+    * of a 100 TB table it never touched. This is also the machinery the
+    * broad-statement auto-fold rides ('graft.delta.auto-fold-fraction'):
+    * a keyless UPDATE that suppressed most of what it covered triggers
+    * this fold right after its own commit, so write amplification is
+    * bounded at one extra pass over the covered files instead of
+    * suppress-and-carry forever.
+    *
+    * Twins are per-input-file, original row order preserved (survivor
+    * positions only close ranks), placed in the SAME partition directory
+    * — per-file sortedness (the ordering-report invariant) and path-based
+    * pruning both survive; twins of provenance-unproven files re-enter
+    * the marker. Lineage tables materialize row ids into the twins (same
+    * rule as the full OPTIMIZE fold). Originals stay on disk for time
+    * travel; VACUUM reclaims them with their versions.
+    *
+    * Returns (filesRewritten, filesDropped, newVersion); (0, 0, -1) =
+    * no active deltas, nothing to fold.
+    */
+  def foldDeltas(spark: SparkSession, catalog: String, ns: String,
+      table: String): (Int, Int, Long) = {
+    val (fs, d) = tableDir(spark, catalog, ns, table)
+    foldDeltasAt(spark, fs, d)
+  }
+
+  private[catalog] def foldDeltasAt(spark: SparkSession, fs: FileSystem,
+      d: Path): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.{col, concat_ws, element_at, split, typedLit}
+    val latest = GraftStagingCatalog.headManifest(fs, d).getOrElse(
+      throw new IllegalArgumentException(s"$d has no committed version"))
+    val (base, mf) = latest
+    val dvNames = GraftStagingCatalog.manifestDvs(fs, mf)
+    if (dvNames.isEmpty) return (0, 0, -1L)
+    val all = manifestFiles(fs, mf)
+    val allSet = all.toSet
+    val morKey = DeletionVectors.morKey(fs, d)
+    val dvMap = morKey.map(_ => DeletionVectors.dvMapAt(fs, d, mf))
+      .getOrElse(Map.empty[String, Set[Any]])
+    val keyRuns = morKey.map(_ => DeletionVectors.keyRunsAt(fs, d, mf)).getOrElse(Nil)
+    val posMap =
+      if (morKey.isEmpty && DeletionVectors.morPos(fs, d))
+        DeletionVectors.posMapAt(fs, d, mf)
+      else DeletionVectors.PosDvs.empty
+    val covered: Seq[String] =
+      (dvMap.keysIterator ++ keyRuns.iterator.flatMap(_.files) ++
+        posMap.coveredFiles.iterator).filter(allSet).toSeq.distinct.sorted
+    if (covered.isEmpty) {
+      // descriptors with no live targets: drop them from the head with a
+      // data-free commit
+      val v = GraftStagingCatalog.writeExplicitManifest(fs, d, all,
+        kind = "optimize", expectedBase = Some(base))
+      return (0, 0, v)
+    }
+    val lineage = RowLineage.enabled(fs, d)
+    val lineageEntries: Map[String, RowLineage.Entry] =
+      if (!lineage) Map.empty
+      else RowLineage.parse(GraftStagingCatalog.readString(fs, mf))._1
+    val reader = spark.read
+    if (lineage) declaredSchema(fs, d).foreach(s => reader.schema(RowLineage.readSchema(s)))
+    else declaredSchema(fs, d).foreach(reader.schema)
+    val raw0 = reader.parquet(covered.map(f => new Path(d, f).toString): _*)
+    val withMeta = raw0.select(col("*"), col("_metadata"))
+    val dvApplied = morKey match {
+      case Some(k) if dvMap.nonEmpty || keyRuns.nonEmpty =>
+        DeletionVectors.applyKeyRunsToRead(
+          DeletionVectors.applyToRead(withMeta, k, dvMap), k, keyRuns)
+      case _ if posMap.nonEmpty => DeletionVectors.applyPosToRead(withMeta, posMap)
+      case _                    => withMeta
+    }
+    // key each survivor back to its source file by the path's LAST TWO
+    // segments (bare names collide across partition directories — the
+    // purge twin-pass precedent) and remember its original row index
+    val segs = split(col("_metadata.file_path"), "/")
+    val tagged = dvApplied
+      .withColumn("__graft_ff", concat_ws("/",
+        element_at(segs, -2), element_at(segs, -1)))
+      .withColumn("__graft_fr", col("_metadata.row_index"))
+    val resolved =
+      if (!lineage) tagged
+      else RowLineage.materialize(tagged, lineageEntries)
+    val tableDirName = d.getName
+    def dirKey(f: String): String =
+      if (f.contains("/")) f else s"$tableDirName/$f"
+    val pidOf: Map[String, Int] = covered.zipWithIndex.map { case (f, i) =>
+      dirKey(f) -> i }.toMap
+    require(pidOf.size == covered.size,
+      s"foldDeltas: covered dir/name keys are not unique (${covered.size} " +
+        s"files, ${pidOf.size} distinct keys)")
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val tmp = new Path(d, s"_fold_$token")
+    resolved
+      .withColumn("__graft_fpid", element_at(typedLit(pidOf), col("__graft_ff")))
+      .repartition(math.max(covered.size, 1), col("__graft_fpid"))
+      .sortWithinPartitions(col("__graft_fpid"), col("__graft_fr"))
+      .drop("__graft_ff", "__graft_fr", "_metadata")
+      .write.partitionBy("__graft_fpid").mode("overwrite").parquet(tmp.toString)
+    // place twins beside their originals (same partition directory: the
+    // path-based pruner must keep judging them by the same spec)
+    val repl = scala.collection.mutable.Map.empty[String, Seq[String]]
+    fs.listStatus(tmp).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__graft_fpid="))
+      .foreach { pd =>
+        val pid = pd.getPath.getName.stripPrefix("__graft_fpid=").toInt
+        val old = covered(pid)
+        val slash = old.lastIndexOf('/')
+        val dirPart = if (slash > 0) old.substring(0, slash + 1) else ""
+        val parts = fs.listStatus(pd.getPath).toIndexedSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        repl(old) = parts.zipWithIndex.map { case (f, j) =>
+          val name = s"${dirPart}fold-$token-$pid-$j.parquet"
+          val target = new Path(d, name)
+          if (!fs.rename(f.getPath, target))
+            throw new IllegalStateException(s"foldDeltas: move ${f.getPath} -> $target failed")
+          name
+        }
+      }
+    fs.delete(tmp, true)
+    // a twin preserves its original's row order, so it inherits the
+    // original's provenance: twins of UNPROVEN files re-enter the marker
+    // (the r13-advice false-readmission hazard), twins of proven files
+    // stay proven for free
+    GraftStagingCatalog.sortOrderUnproven(fs, d).foreach { case (_, unproven) =>
+      val twins = repl.iterator.collect {
+        case (old0, news) if unproven(old0) => news
+      }.flatten.toSeq
+      GraftStagingCatalog.markUnsorted(fs, d, twins)
+    }
+    val coveredSet = covered.toSet
+    val newFiles = all.flatMap(f =>
+      if (coveredSet(f)) repl.getOrElse(f, Seq.empty) else Seq(f))
+    val twinSet = repl.valuesIterator.flatten.toSet
+    val v = GraftStagingCatalog.writeExplicitManifest(fs, d, newFiles,
+      kind = "optimize", expectedBase = Some(base),
+      matFiles = if (lineage) twinSet else Set.empty)
+    try autoAnalyze(spark, fs, d)
+    catch { case e: Exception =>
+      System.err.println(s"[graft] auto-analyze after foldDeltas on $d failed: $e")
+    }
+    val dropped = covered.count(f => repl.getOrElse(f, Seq.empty).isEmpty)
+    (covered.size - dropped, dropped, v)
+  }
+
   /** Compact the current file set into `targetFiles` files, committed as a
     * new version. Returns (filesBefore, filesAfter, newVersion).
     * `targetFiles = 0` derives the count from BYTES: ceil(rewritten bytes /
@@ -2457,6 +2606,11 @@ object ZoneMapScan {
     * "dv-inline" (driver JSON) or "dv-keyrun" (executor-written bins).
     */
   @volatile var lastKeyDeleteMode: Option[String] = None
+  /** r14 broad-statement admission: the version the auto-fold committed
+    * after the latest position-delta statement, None when the statement
+    * stayed below the declared fraction (or no fraction is declared).
+    */
+  @volatile var lastDeltaAutoFold: Option[Long] = None
   /** Rows the position-delete readers pulled from parquet, PER TABLE DIR —
     * lets tests prove pushed predicates actually skipped row groups (rows
     * seen < file rows) under active position DVs. Executor-side bump: exact

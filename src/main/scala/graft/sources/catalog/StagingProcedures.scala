@@ -80,8 +80,9 @@ private[catalog] object StagingProcedures {
         val part = if (input.isNullAt(4)) None else Some(input.getUTF8String(4).toString)
         val scope = input.getUTF8String(5).toString
         require(scope == "all" || scope == "stray" || scope == "small" ||
-            scope == "dvs",
-          s"optimize scope must be 'all', 'stray', 'small', or 'dvs', got '$scope'")
+            scope == "dvs" || scope == "deltas",
+          s"optimize scope must be 'all', 'stray', 'small', 'dvs', or " +
+            s"'deltas', got '$scope'")
         val minSize = if (input.isNullAt(6)) None else Some(input.getLong(6))
         require((scope == "small") == minSize.isDefined,
           "scope='small' requires min_size_bytes (and min_size_bytes requires scope='small')")
@@ -93,6 +94,13 @@ private[catalog] object StagingProcedures {
             require(cluster.isEmpty && part.isEmpty && where.isEmpty,
               "scope='dvs' takes no cluster_by/partition_by/where_filter")
             StagingMaintenance.compactDvs(spark, catalog,
+              input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+          } else if (scope == "deltas") {
+            // scoped delta fold: counts are files REWRITTEN/DROPPED among
+            // the delta-covered set; uncovered files carry by name (r14)
+            require(cluster.isEmpty && part.isEmpty && where.isEmpty,
+              "scope='deltas' takes no cluster_by/partition_by/where_filter")
+            StagingMaintenance.foldDeltas(spark, catalog,
               input.getUTF8String(0).toString, input.getUTF8String(1).toString)
           } else StagingMaintenance.optimize(spark, catalog,
             input.getUTF8String(0).toString, input.getUTF8String(1).toString,

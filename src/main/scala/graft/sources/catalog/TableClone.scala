@@ -154,6 +154,10 @@ object TableClone {
     copySidecar(PartitionPrevSidecar)
     copySidecar(AutoAnalyzeSidecar)
     copySidecar(FileSizeSidecar)
+    // write-admission declarations follow the schema: the clone keeps the
+    // source's update mode and auto-fold threshold (r14)
+    copySidecar(DeletionVectors.UpdateModeSidecar)
+    copySidecar(DeletionVectors.AutoFoldSidecar)
     CheckConstraint.read(fs, src).foreach(c => CheckConstraint.write(fs, dst, c))
     // declared sort order transfers with provenance (see class doc)
     val soCols = sortOrderCols(fs, src)

@@ -4603,4 +4603,144 @@ class CatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) === 1002L, "vacuum forgot a committed batch id — replay duplicated rows")
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.longlog")
   }
+
+  test("optimize scope='deltas' (r14): folds only delta-covered files, carries the rest by name, head delta-free, history intact") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.fdel")
+    spark.sql("CREATE TABLE stage_t.ws.fdel (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.mode'='merge-on-read')")
+    // two well-separated inserts: matched rows live only in the low band,
+    // so the high band's files stay descriptor-free
+    spark.sql("INSERT INTO stage_t.ws.fdel SELECT id, id FROM range(0, 100)")
+    spark.sql("INSERT INTO stage_t.ws.fdel SELECT id, id FROM range(1000, 1100)")
+    def files(): Set[String] = StagingMaintenance
+      .currentFileNames(spark, "stage_t", "ws", "fdel").toSet
+    def dvs(): Seq[String] = StagingMaintenance
+      .activeDvs(spark, "stage_t", "ws", "fdel")
+    def sumV(): Long = spark.table("stage_t.ws.fdel")
+      .agg(sum(col("v"))).collect()(0).getLong(0)
+    val base = (0L until 100L).sum + (1000L until 1100L).sum
+    val f0 = files()
+    // untranslatable predicate forces the row-level (pos-delta) path; the
+    // pushable k < 200 conjunct prunes the high band out of the locate scan
+    spark.sql("UPDATE stage_t.ws.fdel SET v = v + 10000 WHERE k % 7 = 3 AND k < 200")
+    assert(dvs().size === 1, s"expected one run descriptor: ${dvs()}")
+    assert(f0.subsetOf(files()), "pos-delta UPDATE must not rewrite files")
+    val hits = (0L until 100L).count(_ % 7 == 3)
+    assert(sumV() === base + 10000L * hits)
+    val preFold = spark.sql("SELECT max(version) FROM stage_t.ws.fdel.snapshots")
+      .collect()(0).getLong(0)
+    // high-band files are never targeted by a descriptor (matched rows
+    // live only in the low band) — they must carry through the fold BY NAME
+    val highBand = f0.filter(f =>
+      spark.read.parquet(s"$stageRoot/ws/fdel/$f")
+        .agg(min(col("k"))).collect()(0).getLong(0) >= 1000L)
+    assert(highBand.nonEmpty, "expected at least one uncovered high-band file")
+    val res = spark.sql(
+      "CALL stage_t.optimize('ws', 'fdel', scope => 'deltas')").collect()(0)
+    assert(res.getInt(0) > 0, s"expected rewritten files, got $res")
+    assert(dvs().isEmpty, s"fold left active descriptors: ${dvs()}")
+    assert(highBand.subsetOf(files()),
+      s"fold rewrote uncovered files: ${highBand -- files()}")
+    assert(files().exists(_.contains("fold-")), s"no twins in ${files()}")
+    assert(sumV() === base + 10000L * hits, "fold changed table content")
+    assert(spark.table("stage_t.ws.fdel").filter(col("k") === 3L)
+      .collect()(0).getLong(1) === 10003L, "updated row lost through fold")
+    // history: the pre-fold version still reads through its descriptor;
+    // the version before the update still reads the original values
+    assert(spark.sql(
+      s"SELECT sum(v) FROM stage_t.ws.fdel VERSION AS OF $preFold")
+      .collect()(0).getLong(0) === base + 10000L * hits)
+    assert(spark.sql(
+      s"SELECT sum(v) FROM stage_t.ws.fdel VERSION AS OF ${preFold - 1}")
+      .collect()(0).getLong(0) === base)
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.fdel")
+  }
+
+  test("broad-statement auto-fold (r14): a bulk pos-delta UPDATE folds itself; selective statements keep their descriptor; UNSET disables") {
+    import graft.sources.catalog.{StagingMaintenance, ZoneMapScan}
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.afold")
+    spark.sql("CREATE TABLE stage_t.ws.afold (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.mode'='merge-on-read', " +
+      "'graft.delta.auto-fold-fraction'='0.5')")
+    spark.sql("INSERT INTO stage_t.ws.afold SELECT id, id FROM range(0, 100)")
+    def dvs(): Seq[String] = StagingMaintenance
+      .activeDvs(spark, "stage_t", "ws", "afold")
+    def sumV(): Long = spark.table("stage_t.ws.afold")
+      .agg(sum(col("v"))).collect()(0).getLong(0)
+    val base = (0L until 100L).sum
+    // BULK: matches every row (untranslatable so it takes the delta path)
+    // -> covered every file, suppressed 100% of covered rows -> auto-fold
+    spark.sql("UPDATE stage_t.ws.afold SET v = v + 1000 WHERE k % 2 >= 0")
+    assert(ZoneMapScan.lastDeltaAutoFold.isDefined,
+      "bulk UPDATE above the declared fraction did not auto-fold")
+    assert(dvs().isEmpty, s"auto-fold left descriptors: ${dvs()}")
+    assert(sumV() === base + 1000L * 100L)
+    val vHead = spark.sql("SELECT max(version) FROM stage_t.ws.afold.snapshots")
+      .collect()(0).getLong(0)
+    assert(ZoneMapScan.lastDeltaAutoFold.contains(vHead),
+      s"auto-fold version marker ${ZoneMapScan.lastDeltaAutoFold} != head $vHead")
+    // SELECTIVE: 2 of 100 rows -> below the row fraction -> descriptor stays
+    spark.sql("UPDATE stage_t.ws.afold SET v = v + 1000 WHERE k % 50 = 3")
+    assert(ZoneMapScan.lastDeltaAutoFold.isEmpty,
+      "selective UPDATE below the fraction must not auto-fold")
+    assert(dvs().size === 1, s"expected the selective descriptor: ${dvs()}")
+    assert(sumV() === base + 1000L * 100L + 1000L * 2L)
+    // UNSET disables: the next bulk statement accretes a second descriptor
+    spark.sql("ALTER TABLE stage_t.ws.afold " +
+      "UNSET TBLPROPERTIES ('graft.delta.auto-fold-fraction')")
+    spark.sql("UPDATE stage_t.ws.afold SET v = v + 1 WHERE k % 2 >= 0")
+    assert(ZoneMapScan.lastDeltaAutoFold.isEmpty)
+    assert(dvs().size === 2, s"expected accreted descriptors: ${dvs()}")
+    assert(sumV() === base + 1000L * 102L + 100L)
+    // declared fraction must validate
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE stage_t.ws.afold " +
+        "SET TBLPROPERTIES ('graft.delta.auto-fold-fraction'='1.5')")
+    }
+    assert(e.getMessage.contains("auto-fold-fraction"), e.getMessage)
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.afold")
+  }
+
+  test("optimize scope='deltas' on a keyed MOR table: inline key sets and key bins fold, uncovered files carry") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.kfold")
+    // auto-analyze gives the locate scan zone maps: the keyed DV scopes to
+    // the files the scan PLANS, so the pushable k < 200 conjunct keeps the
+    // high band out of the covered set
+    spark.sql("CREATE TABLE stage_t.ws.kfold (k BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.mode'='merge-on-read', " +
+      "'graft.merge-keys'='k', 'graft.auto-analyze'='k')")
+    spark.sql("INSERT INTO stage_t.ws.kfold SELECT id, id FROM range(0, 100)")
+    spark.sql("INSERT INTO stage_t.ws.kfold SELECT id, id FROM range(1000, 1100)")
+    def files(): Set[String] = StagingMaintenance
+      .currentFileNames(spark, "stage_t", "ws", "kfold").toSet
+    def dvs(): Seq[String] = StagingMaintenance
+      .activeDvs(spark, "stage_t", "ws", "kfold")
+    val f0 = files()
+    // equality delete matching only low-band keys (untranslatable so it
+    // takes the key-DV path; the high band holds none of the matched keys)
+    spark.sql("DELETE FROM stage_t.ws.kfold WHERE k % 10 = 3 AND k < 200")
+    assert(dvs().nonEmpty, "keyed MOR DELETE should record a key DV")
+    assert(f0.subsetOf(files()), "keyed MOR DELETE must not rewrite files")
+    val highBand = f0.filter(f =>
+      spark.read.parquet(s"$stageRoot/ws/kfold/$f")
+        .agg(min(col("k"))).collect()(0).getLong(0) >= 1000L)
+    assert(highBand.nonEmpty)
+    val res = spark.sql(
+      "CALL stage_t.optimize('ws', 'kfold', scope => 'deltas')").collect()(0)
+    assert(res.getInt(0) > 0, s"expected rewritten files, got $res")
+    assert(dvs().isEmpty, s"fold left descriptors: ${dvs()}")
+    assert(highBand.subsetOf(files()),
+      s"fold rewrote uncovered files: ${highBand -- files()}")
+    assert(spark.table("stage_t.ws.kfold").count() === 190L)
+    assert(spark.table("stage_t.ws.kfold").filter(col("k") === 13L).count() === 0L)
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.kfold")
+  }
 }
