@@ -3005,6 +3005,105 @@ object Connectors {
         |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q358
+
+  /** HISTORY PURGE UNDER DELETION VECTORS (r14 — closes the boundary q353
+    * declared: purge used to refuse DV-carrying history and demand a
+    * fold-vacuum-purge dance first). The descriptors every readable
+    * manifest shares now FOLLOW the rewrite
+    * ([[graft.sources.catalog.DeletionVectors.remapDvsForPurge]]):
+    * equality descriptors substitute twin names (membership is by key),
+    * position descriptors remap ordinals against the per-file purged row
+    * indices — purged ordinals leave the set, later ordinals close ranks,
+    * run bins rewrite under fresh names — all IN PLACE so every version
+    * referencing a descriptor updates consistently. At 100 TB this is
+    * what makes right-to-be-forgotten workable on a HIGH-CHURN corpus:
+    * compliance deletes no longer wait for (or force) a table-wide fold,
+    * and the extra cost over a plain purge is O(descriptor bytes + purged
+    * ordinals of position-covered files).
+    *
+    * The query builds a keyless MOR corpus, lands a position-delta UPDATE
+    * (run descriptor) and a selective DELETE (inline sidecar), then
+    * purges a band that misses both the replaced and the deleted rows —
+    * so every surviving descriptor ordinal must shift exactly. Requires
+    * pin: descriptor names unchanged (in-place remap), rows_purged exact,
+    * head and pre-delete time travel both exact after the remap. Oracle
+    * recomputes the surviving patched corpus from raw events.
+    */
+  def q358PurgeUnderDvs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events_pdv_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.events_pdv")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.events_pdv
+        |  (event_id BIGINT, event_type STRING, value DOUBLE)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.events_pdv
+        |SELECT /*+ REPARTITION_BY_RANGE(8, event_id) */ event_id, event_type, value
+        |FROM events_pdv_src""".stripMargin)
+    // v2: position-delta UPDATE — run descriptor; replaced rows (%10=7)
+    // and their replacements are all OUTSIDE the purge band (%5=3)
+    spark.sql(
+      "UPDATE graft_stage.work.events_pdv SET value = value + 100 WHERE event_id % 10 = 7")
+    // v3: selective DELETE — its ghosts (%25=4) are outside the band too,
+    // so their ordinals must remap exactly or wrong rows go invisible
+    spark.sql(
+      "DELETE FROM graft_stage.work.events_pdv WHERE event_id % 25 = 4")
+    def dvs(): Seq[String] = graft.sources.catalog.StagingMaintenance
+      .activeDvs(spark, "graft_stage", "work", "events_pdv")
+    val dvsBefore = dvs()
+    require(dvsBefore.size == 2,
+      s"expected the update + delete descriptors, got $dvsBefore")
+    val expPurged = spark.sql(
+      "SELECT count(*) FROM events_pdv_src WHERE event_id % 5 = 3")
+      .collect()(0).getLong(0)
+    val r = spark.sql(
+      "CALL graft_stage.purge('work', 'events_pdv', 'event_id % 5 = 3')")
+      .collect()(0)
+    require(r.getLong(2) == expPurged,
+      s"rows_purged ${r.getLong(2)} != expected $expPurged")
+    require(dvs() == dvsBefore,
+      s"purge must remap descriptors IN PLACE (names referenced by " +
+        s"history): $dvsBefore -> ${dvs()}")
+    val headCnt = spark.sql(
+      "SELECT count(*) FROM graft_stage.work.events_pdv").collect()(0).getLong(0)
+    val headExpect = spark.sql(
+      """SELECT count(*) FROM events_pdv_src
+        |WHERE event_id % 5 != 3 AND event_id % 25 != 4""".stripMargin)
+      .collect()(0).getLong(0)
+    require(headCnt == headExpect,
+      s"head after purge-under-DVs serves $headCnt rows, expected $headExpect")
+    val v2Cnt = spark.sql(
+      "SELECT count(*) FROM graft_stage.work.events_pdv VERSION AS OF 2")
+      .collect()(0).getLong(0)
+    require(v2Cnt == expPurged * 4L,
+      s"pre-delete time travel serves $v2Cnt rows, expected ${expPurged * 4L}")
+    spark.sql(
+      """SELECT event_type, count(*) AS n,
+        |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.events_pdv
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** The surviving patched corpus recomputed from raw events — hash match
+    * proves purge-under-DVs ≡ filter-then-patch on content.
+    */
+  val q358Oracle: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+       |  ${graft.operators.Det.dsumSql("value2")} AS total
+       |FROM (
+       |  SELECT event_id, event_type,
+       |    CASE WHEN event_id % 10 = 7 THEN value + 100 ELSE value END AS value2
+       |  FROM events
+       |  WHERE event_id % 5 != 3 AND event_id % 25 != 4)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q357
 
   /** BROAD-STATEMENT AUTO-FOLD (r14 — position-delta admission control):
@@ -3550,7 +3649,8 @@ object Connectors {
     GraftQuery.sql("q354_clone_sync", q354CloneSync, q354Oracle),
     GraftQuery.sql("q355_distributed_key_deletes", q355DistributedKeyDeletes, q355Oracle),
     GraftQuery.sql("q356_snapshot_drift", q356SnapshotDrift, q356Oracle),
-    GraftQuery.sql("q357_delta_autofold", q357DeltaAutoFold, q357Oracle))
+    GraftQuery.sql("q357_delta_autofold", q357DeltaAutoFold, q357Oracle),
+    GraftQuery.sql("q358_purge_under_dvs", q358PurgeUnderDvs, q358Oracle))
 
   // ---------------------------------------------------------------- q332
 

@@ -346,6 +346,222 @@ object DeletionVectors {
     name
   }
 
+  // ---- purge support (r14): descriptor remap after a history rewrite ----
+
+  /** Remap surviving run pairs after dropping `purged` ordinals: every
+    * surviving position p moves to `p - |{q in purged : q < p}|`, purged
+    * positions leave the set, and adjacent images re-merge. `purged` is
+    * sorted ascending.
+    */
+  private[catalog] def remapRuns(runs: Seq[(Long, Long)],
+      purged: Array[Long]): Seq[(Long, Long)] = {
+    def rankBelow(p: Long): Int = {
+      var lo = 0; var hi = purged.length
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (purged(m) < p) lo = m + 1 else hi = m }
+      lo
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    runs.sortBy(_._1).foreach { case (s, e) =>
+      var a = s
+      var i = rankBelow(s) // index of the first purged ordinal >= s
+      while (a <= e) {
+        val np = if (i < purged.length && purged(i) <= e) purged(i) else e + 1
+        if (np > a) {
+          val ns = a - rankBelow(a)
+          out += ((ns, ns + (np - 1 - a)))
+        }
+        a = np + 1
+        if (np <= e) i += 1
+      }
+    }
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    out.sortBy(_._1).foreach { case (s, e) =>
+      merged.lastOption match {
+        case Some((ls, le)) if s <= le + 1 =>
+          if (e > le) merged(merged.length - 1) = (ls, e)
+        case _ => merged += ((s, e))
+      }
+    }
+    merged.toSeq
+  }
+
+  /** Split remapped (survivor-coordinate) run pairs across a file's twins:
+    * `cum` is the exclusive prefix-sum of twin row counts (cum(j) = first
+    * survivor ordinal of twin j; cum.last = total survivors). Returns, per
+    * twin index, that twin's LOCAL run pairs.
+    */
+  private[catalog] def splitRunsByTwin(pairs: Seq[(Long, Long)],
+      cum: Array[Long]): Map[Int, Seq[(Long, Long)]] = {
+    val nTwin = cum.length - 1
+    val res = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+    pairs.foreach { case (s, e) =>
+      var j = java.util.Arrays.binarySearch(cum, s) match {
+        case k if k >= 0 => math.min(k, nTwin - 1)
+        case k           => math.max(0, -k - 2)
+      }
+      var a = s
+      while (a <= e && j < nTwin) {
+        val hi = cum(j + 1) - 1
+        val b = math.min(e, hi)
+        if (b >= a)
+          res.getOrElseUpdate(j, scala.collection.mutable.ArrayBuffer.empty) +=
+            ((a - cum(j), b - cum(j)))
+        a = b + 1
+        j += 1
+      }
+      require(a > e, s"remapped run ($s,$e) exceeds twin rows ${cum.last}")
+    }
+    res.view.mapValues(_.toSeq).toMap
+  }
+
+  /** Write one run sidecar directly from (start, end) pairs (the purge
+    * remap already has runs — expanding to ordinals would defeat the
+    * constant-space codec). Returns (bin name, ordinal count).
+    */
+  private def writeRunPairs(conf: org.apache.hadoop.conf.Configuration,
+      runDirStr: String, rel: String, pairs: Seq[(Long, Long)]): (String, Long) = {
+    val name = s"run-${java.util.UUID.randomUUID().toString.take(12)}.bin"
+    val target = new Path(runDirStr, name)
+    val fsx = target.getFileSystem(conf)
+    val out = new java.io.DataOutputStream(fsx.create(target, false))
+    var count = 0L
+    try {
+      out.writeInt(RunMagic); out.writeInt(1); out.writeUTF(rel)
+      pairs.foreach { case (s, e) =>
+        out.writeLong(s); out.writeLong(e - s + 1L); count += e - s + 1L
+      }
+    } finally out.close()
+    (name, count)
+  }
+
+  /** HISTORY-PURGE DESCRIPTOR REMAP (r14 — what lets `CALL purge` serve
+    * DV-carrying history): after purge rewrites candidate files into
+    * twins (matching rows dropped, survivor order preserved) and
+    * substitutes the names through every readable manifest, the
+    * descriptors those manifests share must follow — equality descriptors
+    * need only the NAME substitution (membership is by key; a purged
+    * ghost key matches nothing), while position descriptors need their
+    * ordinals remapped (dropping rows shifts every later ordinal, and
+    * ordinals of purged rows leave the set entirely). Descriptors are
+    * rewritten IN PLACE — their names appear in many manifests' `dvs`
+    * arrays, and one in-place rewrite updates every referencing version
+    * consistently (run bins get FRESH names in the same descriptor dir,
+    * so nothing serves half-old state; pos run bins are not cached across
+    * statements, key bins — which ARE cached per dir — never change).
+    *
+    * `repl`: candidate file -> its twins in row order (empty = no
+    * survivors). `purged`: per pos-covered candidate file, the SORTED
+    * original row indices the purge removed. `twinCum`: per such file,
+    * the exclusive prefix-sum of its twins' row counts. Driver-side cost:
+    * O(descriptor bytes + purged ordinals of pos-covered files).
+    */
+  def remapDvsForPurge(fs: FileSystem, d: Path,
+      conf: org.apache.hadoop.conf.Configuration, names: Seq[String],
+      repl: Map[String, Seq[String]],
+      purged: Map[String, Array[Long]],
+      twinCum: Map[String, Array[Long]]): Unit = {
+    val dvDir = new Path(d, DvDir)
+    names.foreach { n =>
+      val p = new Path(dvDir, n)
+      val txt = GraftStagingCatalog.readString(fs, p)
+      if (txt.contains("\"type\":\"posrun\"")) {
+        val dirName = "\"dir\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse(
+            throw new IllegalStateException(s"run descriptor $n names no dir"))
+        val runDir = new Path(dvDir, dirName)
+        val entries = "\"([^\"]+)\":\\[([^\\]]*)\\]".r.findAllMatchIn(txt).toSeq
+          .map(m => dec(m.group(1)) -> m.group(2).split(',').iterator.map(_.trim)
+            .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\"")).toSeq)
+          .filter { case (f, _) => f != "type" && f != "dir" && f != "files" }
+        if (entries.exists { case (f, _) => repl.contains(f) }) {
+          var total = 0L
+          val newEntries = entries.flatMap { case (f, bins) =>
+            if (!repl.contains(f)) {
+              bins.foreach(b => readRunFile(conf, new Path(runDir, b)) {
+                case (s, e) => total += e - s + 1L })
+              Seq(f -> bins)
+            } else {
+              val rs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+              bins.foreach(b => readRunFile(conf, new Path(runDir, b))(rs += _))
+              val out = splitRunsByTwin(
+                remapRuns(rs.toSeq, purged.getOrElse(f, Array.empty[Long])),
+                twinCum(f))
+              val twins = repl(f)
+              val written = out.toSeq.sortBy(_._1).map { case (j, pairs) =>
+                val (bin, cnt) = writeRunPairs(conf, runDir.toString, twins(j), pairs)
+                total += cnt
+                twins(j) -> Seq(bin)
+              }
+              bins.foreach(b => fs.delete(new Path(runDir, b), false))
+              written
+            }
+          }
+          val body = newEntries.sortBy(_._1).map { case (f, bins) =>
+            "\"" + enc(f) + "\":[" + bins.sorted.map(b => "\"" + b + "\"").mkString(",") + "]"
+          }.mkString(",")
+          GraftStagingCatalog.writeString(fs, p,
+            s"""{"type":"posrun","dir":"$dirName","rows":$total,"files":{$body}}""")
+        }
+      } else if (txt.contains("\"type\":\"pos\"")) {
+        val entries = "\"([^\"]+)\":\\[([^\\]]*)\\]".r.findAllMatchIn(txt).toSeq
+          .map(m => dec(m.group(1)) -> m.group(2).split(',').iterator.map(_.trim)
+            .filter(_.nonEmpty).map(_.toLong).toSeq)
+          .filter { case (f, _) => f != "type" && f != "pos" }
+        if (entries.exists { case (f, _) => repl.contains(f) }) {
+          val newEntries = entries.flatMap { case (f, ords) =>
+            if (!repl.contains(f)) Seq(f -> ords)
+            else {
+              val pg = purged.getOrElse(f, Array.empty[Long])
+              def rankBelow(x: Long): Int = {
+                var lo = 0; var hi = pg.length
+                while (lo < hi) { val m = (lo + hi) >>> 1; if (pg(m) < x) lo = m + 1 else hi = m }
+                lo
+              }
+              val cum = twinCum(f)
+              val twins = repl(f)
+              ords.filter(o => java.util.Arrays.binarySearch(pg, o) < 0)
+                .map(o => o - rankBelow(o))
+                .groupBy { o =>
+                  val k = java.util.Arrays.binarySearch(cum, o)
+                  if (k >= 0) math.min(k, cum.length - 2) else math.max(0, -k - 2)
+                }
+                .toSeq.map { case (j, os) =>
+                  require(os.forall(o => o >= cum(j) && o < cum(j + 1)),
+                    s"remapped ordinal outside twin $j of $f")
+                  twins(j) -> os.map(_ - cum(j)).sorted
+                }
+            }
+          }
+          val body = newEntries.sortBy(_._1).map { case (f, ps) =>
+            "\"" + enc(f) + "\":[" + ps.distinct.sorted.mkString(",") + "]"
+          }.mkString(",")
+          GraftStagingCatalog.writeString(fs, p, s"""{"type":"pos","pos":{$body}}""")
+        }
+      } else if (txt.contains("\"type\":\"keyrun\"")) {
+        // keys survive (a purged ghost key matches nothing) — only the
+        // covered-file names substitute; keyrun file names are URL-encoded
+        val files = GraftStagingCatalog.parseArray(txt, "files").map(dec)
+        if (files.exists(repl.contains)) {
+          val newFiles = files.flatMap(f => repl.getOrElse(f, Seq(f))).distinct
+          val arr = newFiles.sorted.map(f => "\"" + enc(f) + "\"").mkString(",")
+          GraftStagingCatalog.writeString(fs, p, txt.replaceFirst(
+            "\"files\":\\[[^\\]]*\\]",
+            java.util.regex.Matcher.quoteReplacement(s""""files":[$arr]""")))
+        }
+      } else {
+        // keyed inline DV: plain file names, keys untouched
+        val files = GraftStagingCatalog.parseArray(txt, "files")
+        if (files.exists(repl.contains)) {
+          val newFiles = files.flatMap(f => repl.getOrElse(f, Seq(f))).distinct
+          val arr = newFiles.sorted.map(f => "\"" + f + "\"").mkString(",")
+          GraftStagingCatalog.writeString(fs, p, txt.replaceFirst(
+            "\"files\":\\[[^\\]]*\\]",
+            java.util.regex.Matcher.quoteReplacement(s""""files":[$arr]""")))
+        }
+      }
+    }
+  }
+
   /** The keyrun descriptors among `names` (inline and pos sidecars skip). */
   def loadKeyRuns(fs: FileSystem, d: Path, names: Seq[String]): Seq[KeyRuns] =
     names.flatMap { n =>

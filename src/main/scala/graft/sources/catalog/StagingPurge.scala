@@ -36,11 +36,24 @@ import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, typedLit}
   *     re-derive from the purged files), stale zone-map/bloom entries are
   *     trimmed, and only then are the originals deleted.
   *
+  * DV-carrying history is SERVED, not refused (r14): the descriptors the
+  * readable manifests share follow the rewrite — equality descriptors
+  * substitute twin names (membership is by key; a purged ghost key
+  * matches nothing), position descriptors remap their ordinals against
+  * the per-file purged row indices (purged ordinals leave the set, later
+  * ordinals close ranks) with run bins rewritten under fresh names — all
+  * IN PLACE, so every referencing version updates consistently without
+  * touching one manifest's `dvs` array
+  * ([[DeletionVectors.remapDvsForPurge]]). The one extra driver-side cost
+  * is the purged ordinals of POSITION-covered candidate files (exact
+  * remap input), bounded by the purge's own selectivity on those files.
+  * `rows_purged` counts physical matching rows on the live faces' files —
+  * including rows a head DV currently suppresses: those bytes are
+  * precisely what compliance wants gone, and the purge removes them.
+  *
   * Boundaries (refused loudly): row-lineage tables (per-file id bases are
-  * positional — dropping rows shifts every subsequent ordinal), history
-  * carrying deletion vectors (same ordinal-shift hazard for position DVs,
-  * and key-DV membership would silently diverge — fold with OPTIMIZE and
-  * VACUUM the DV'd versions first), tables with live shallow clones (the
+  * positional — dropping rows shifts every subsequent ordinal), tables
+  * with live shallow clones (the
   * borrowed bytes would keep the purged rows alive elsewhere — purge the
   * clones first), and clones still borrowing foreign files (purge the
   * source instead). Readers racing a purge are the documented multi-writer
@@ -84,12 +97,9 @@ object StagingPurge {
       versionManifests(fs, d).map(_._2) ++
         branchNames.flatMap(b => branchManifests(fs, d, b).map(_._2))
     val manifests0 = allManifests()
-    manifests0.foreach { mf =>
-      require(manifestDvs(fs, mf).isEmpty,
-        s"cannot purge $catalog.$ns.$table: version manifest ${mf.getName} " +
-          "carries deletion vectors (positional) — OPTIMIZE to fold them " +
-          "and VACUUM the DV'd versions first")
-    }
+    // every descriptor any readable version references (r14: purge serves
+    // DV-carrying history by remapping these in place after the rewrite)
+    val allDvNames = manifests0.flatMap(mf => manifestDvs(fs, mf)).distinct
     val union0 = manifests0.flatMap(mf => manifestFiles(fs, mf)).distinct
     require(union0.forall(f => !TableClone.isForeign(f)),
       s"cannot purge $catalog.$ns.$table: it borrows files from a clone " +
@@ -161,6 +171,22 @@ object StagingPurge {
       .count()
     val anyMatched = purgedRows > 0L || raw.filter(hit).limit(1).count() > 0L
     if (!anyMatched) return (0, 0, 0L, 0)
+    // POSITION-covered candidates need exact remap input: the sorted
+    // original row indices the purge removes, per file. Driver-side
+    // materialization bounded by the purge's matched rows IN THOSE FILES
+    // (equality descriptors need no ordinals — keys survive a row drop).
+    val posAll = DeletionVectors.loadPosDvs(fs, d, allDvNames)
+    val posCovered: Set[String] = cand.filter(posAll.contains).toSet
+    val purgedByFile: Map[String, Array[Long]] =
+      if (posCovered.isEmpty) Map.empty
+      else {
+        val wanted = posCovered.map(dirKey).toSeq
+        val inv = posCovered.iterator.map(f => dirKey(f) -> f).toMap
+        raw.filter(hit && col("__graft_pf").isin(wanted: _*))
+          .select(col("__graft_pf"), col("__graft_pr")).collect()
+          .groupBy(_.getString(0))
+          .map { case (k, rs) => inv(k) -> rs.map(_.getLong(1)).sorted }
+      }
     val token = java.util.UUID.randomUUID().toString.take(12)
     val tmp = new Path(d, s"_purge_$token")
     raw.filter(not(hit))
@@ -213,6 +239,25 @@ object StagingPurge {
             "commit landed (possibly on a branch); retry")
       // the exactly-once ledger must survive the checkpoint rebuild below
       val batchIds = committedBatchIds(fs, d)
+      // descriptors follow the rewrite (r14): remapped in place BEFORE the
+      // manifests substitute, so no manifest ever pairs twin files with
+      // original-name suppression state
+      if (allDvNames.nonEmpty) {
+        val conf = spark.sessionState.newHadoopConf()
+        val replAll: Map[String, Seq[String]] =
+          cand.map(f => f -> repl.getOrElse(f, Seq.empty).toSeq).toMap
+        def twinRows(t: String): Long = {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new Path(d, t), conf))
+          try r.getRecordCount finally r.close()
+        }
+        val twinCum: Map[String, Array[Long]] = posCovered.iterator.map { f =>
+          f -> replAll(f).map(twinRows).scanLeft(0L)(_ + _).toArray
+        }.toMap
+        DeletionVectors.remapDvsForPurge(fs, d, conf, allDvNames, replAll,
+          purgedByFile, twinCum)
+      }
       var touched = 0
       allManifests().foreach { mf =>
         val files = manifestFiles(fs, mf)
@@ -235,7 +280,8 @@ object StagingPurge {
         fs.delete(new Path(vd, CkptPointer), false)
         dropStaleCheckpoints(fs, d)
         headManifest(fs, d).foreach { case (hv, hmf) =>
-          writeCheckpoint(fs, d, hv, manifestFiles(fs, hmf), Seq.empty, batchIds,
+          writeCheckpoint(fs, d, hv, manifestFiles(fs, hmf),
+            manifestDvs(fs, hmf), batchIds,
             versionManifests(fs, d).map { case (v, m) => v -> commitMillis(fs, m) })
         }
       }

@@ -1775,7 +1775,7 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
   }
 
-  test("history purge (r14): refusals — lineage, DV'd history, live clones, borrowing clone") {
+  test("history purge (r14): refusals — lineage, live clones, borrowing clone; keyed DV'd history serves") {
     mountStage()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
     Seq("pgc2", "pgc", "pgl", "pgm").foreach { t =>
@@ -1791,9 +1791,14 @@ class CatalogSpec extends SparkSpec {
       "TBLPROPERTIES ('graft.write.mode'='merge-on-read', 'graft.merge-keys'='k')")
     spark.sql("INSERT INTO stage_t.ws.pgm SELECT id, id FROM range(0, 10)")
     spark.sql("DELETE FROM stage_t.ws.pgm WHERE k = 5") // mints a DV
-    val e2 = intercept[Exception] {
-      spark.sql("CALL stage_t.purge('ws', 'pgm', 'k = 3')") }
-    assert(e2.getMessage.contains("deletion vectors"), e2.getMessage)
+    // DV-carrying history no longer refuses (r14): the equality descriptor
+    // follows the rewrite by name substitution — k=5 stays suppressed at
+    // the head, k=3 leaves every readable version
+    spark.sql("CALL stage_t.purge('ws', 'pgm', 'k = 3')")
+    assert(spark.table("stage_t.ws.pgm").count() === 8L,
+      "keyed purge broke the head read (DV lost or rows resurrected)")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.pgm VERSION AS OF 1")
+      .collect()(0).getLong(0) === 9L, "purged row still readable at v1")
     spark.sql("CREATE TABLE stage_t.ws.pgc AS SELECT id AS k FROM range(0, 10)")
     spark.sql("CALL stage_t.clone('ws', 'pgc', 'pgc2')")
     val e3 = intercept[Exception] {
@@ -4743,4 +4748,92 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("stage_t.ws.kfold").filter(col("k") === 13L).count() === 0L)
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.kfold")
   }
+
+  test("purge under position deltas (r14): run + inline descriptors remap, suppressed rows stay suppressed, history stays exact") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pgdv")
+    spark.sql("CREATE TABLE stage_t.ws.pgdv (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.mode'='merge-on-read')")
+    spark.sql("INSERT INTO stage_t.ws.pgdv SELECT id, id FROM range(0, 100)")
+    spark.sql("INSERT INTO stage_t.ws.pgdv SELECT id, id FROM range(1000, 1100)")
+    // v3: pos-delta UPDATE (run descriptor over low-band files); the
+    // replaced originals and their replacements all avoid the purge below
+    spark.sql("UPDATE stage_t.ws.pgdv SET v = v + 1000 WHERE k % 10 = 7 AND k < 200")
+    // v4: small keyless DELETE (inline position sidecar); its ghosts are
+    // NOT purged — their descriptor ordinals must remap exactly or the
+    // wrong rows go invisible at the head
+    spark.sql("DELETE FROM stage_t.ws.pgdv WHERE k % 25 = 4 AND k < 200")
+    def dvs(): Seq[String] = StagingMaintenance
+      .activeDvs(spark, "stage_t", "ws", "pgdv")
+    assert(dvs().size === 2, s"expected run + inline descriptors: ${dvs()}")
+    val dvsBefore = dvs()
+    val a = (0L until 100L)
+    val bandB = (1000L until 1100L)
+    def upd(k: Long): Long = if (k % 10 == 7) k + 1000 else k
+    val delSet = Set(4L, 29L, 54L, 79L)
+    val hit = (k: Long) => k % 5 == 3
+    val r = spark.sql(
+      "CALL stage_t.purge('ws', 'pgdv', 'k % 5 = 3 AND k < 200')").collect()(0)
+    assert(r.getLong(2) === 20L, s"rows_purged: $r")
+    assert(dvs() === dvsBefore,
+      "in-place remap must keep descriptor names (manifests reference them)")
+    def agg(face: String): (Long, Long) = {
+      val row = spark.sql(
+        s"SELECT count(*), coalesce(sum(v), 0) FROM stage_t.ws.pgdv $face").collect()(0)
+      (row.getLong(0), row.getLong(1))
+    }
+    // head (v4): minus purged, minus deletes (ghost ordinals remapped),
+    // update applied (replaced rows suppressed by the remapped run
+    // descriptor, replacements visible)
+    val headRows = a.filter(k => !hit(k) && !delSet(k))
+    assert(agg("") === ((headRows.size + 100L, headRows.map(upd).sum + bandB.sum)),
+      "head read wrong after purge under DVs")
+    // v3 (post-update, pre-delete): the deleted ghosts are visible here
+    val v3Rows = a.filterNot(hit)
+    assert(agg("VERSION AS OF 3") ===
+      ((v3Rows.size + 100L, v3Rows.map(upd).sum + bandB.sum)),
+      "v3 time travel wrong: run-descriptor remap broke")
+    // v2 (pre-update): original values, purged rows gone
+    assert(agg("VERSION AS OF 2") ===
+      ((v3Rows.size + 100L, v3Rows.sum + bandB.sum)),
+      "v2 time travel wrong")
+    // no resurrection, no over-purge, ghost stays a ghost
+    assert(spark.table("stage_t.ws.pgdv").filter(col("k") === 28L).count() === 0L,
+      "purged row resurrected")
+    assert(spark.table("stage_t.ws.pgdv").filter(col("k") === 29L).count() === 0L,
+      "deleted ghost resurrected — inline ordinal remap broke")
+    assert(spark.sql(
+      "SELECT v FROM stage_t.ws.pgdv VERSION AS OF 3 WHERE k = 29")
+      .collect()(0).getLong(0) === 29L)
+    assert(spark.table("stage_t.ws.pgdv").filter(col("k") === 6L)
+      .collect()(0).getLong(1) === 6L)
+    assert(spark.table("stage_t.ws.pgdv").filter(col("k") === 7L)
+      .collect()(0).getLong(1) === 1007L, "surviving updated row lost")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pgdv")
+
+    // keyed + distributed key bins: bins untouched, covered names substitute
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pgk")
+    spark.sql("CREATE TABLE stage_t.ws.pgk (k BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.mode'='merge-on-read', 'graft.merge-keys'='k')")
+    spark.sql("INSERT INTO stage_t.ws.pgk SELECT id, id FROM range(0, 300)")
+    val capKey = "spark.graft.key-delete.max-inline-keys"
+    val saved = spark.conf.getOption(capKey)
+    spark.conf.set(capKey, "16")
+    try spark.sql("DELETE FROM stage_t.ws.pgk WHERE k % 3 = 1") // 100 keys -> bins
+    finally saved.fold(spark.conf.unset(capKey))(spark.conf.set(capKey, _))
+    assert(dvsOf("pgk").exists(_.startsWith("dvk-")), dvsOf("pgk").toString)
+    spark.sql("CALL stage_t.purge('ws', 'pgk', 'k % 10 = 4')")
+    assert(spark.table("stage_t.ws.pgk").count() ===
+      (0L until 300L).count(k => k % 3 != 1 && k % 10 != 4).toLong,
+      "keyrun purge broke the head read")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.pgk VERSION AS OF 1")
+      .collect()(0).getLong(0) === 270L, "purged rows still at v1")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pgk")
+  }
+
+  private def dvsOf(t: String): Seq[String] =
+    graft.sources.catalog.StagingMaintenance
+      .activeDvs(spark, "stage_t", "ws", t)
 }
