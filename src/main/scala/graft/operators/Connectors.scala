@@ -3005,6 +3005,89 @@ object Connectors {
         |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q359
+
+  /** CLONE SYNC THROUGH REWRITES (r14 — closes the boundary q354
+    * declared: sync refused any source version that removed files). With
+    * `keys => 'k1[,k2…]'` the pending range applies as the source's NET
+    * row-level change feed ([[graft.sources.catalog.StagingMaintenance
+    * .rowLevelChangesAt]] — deletes/inserts at changed-slice cost)
+    * MERGEd into the clone by key: upserts for net inserts, deletes for
+    * keys with no replacement. Key identity IS the follow semantic —
+    * clone-divergent rows under other keys ride along untouched, and
+    * appends after a CDF sync go back to zero-copy borrowing. At 100 TB:
+    * a dev/backfill clone keeps following a production table through its
+    * compactions and row-level fixes without ever re-copying the corpus —
+    * each refresh costs the changed slices, not the table.
+    *
+    * The query clones an orders slice, diverges the clone, rewrites the
+    * source (UPDATE + DELETE + append), proves the keyless refusal names
+    * the keys escape, syncs with keys, re-syncs (idempotent no-op), and
+    * aggregates the clone. Oracle recomputes the followed content plus
+    * the divergent slice from raw orders.
+    */
+  def q359CdfSync(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("orders_cfs_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.cfs_dst")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.cfs_src")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.cfs_src AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_cfs_src WHERE o_orderkey % 3 = 0""".stripMargin)
+    spark.sql("CALL graft_stage.clone('work', 'cfs_src', 'cfs_dst')")
+    // divergent slice: disjoint keys, rides along through every sync
+    spark.sql(
+      """INSERT INTO graft_stage.work.cfs_dst
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_cfs_src WHERE o_orderkey % 3 = 1""".stripMargin)
+    // the source rewrites AND appends since the watermark
+    spark.sql(
+      """UPDATE graft_stage.work.cfs_src SET o_totalprice = o_totalprice + 100000
+        |WHERE o_orderkey % 9 = 0""".stripMargin)
+    spark.sql("DELETE FROM graft_stage.work.cfs_src WHERE o_orderkey % 9 = 3")
+    spark.sql(
+      """INSERT INTO graft_stage.work.cfs_src
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_cfs_src WHERE o_orderkey % 3 = 2""".stripMargin)
+    // keyless sync must refuse and name the keys escape
+    val refused =
+      try { spark.sql("CALL graft_stage.sync('work', 'cfs_dst')").collect(); false }
+      catch { case e: Exception => e.getMessage.contains("keys") }
+    require(refused, "keyless sync across a rewrite must refuse with the keys hint")
+    val r = spark.sql(
+      "CALL graft_stage.sync('work', 'cfs_dst', keys => 'o_orderkey')").collect()(0)
+    require(r.getInt(2) > 0, s"CDF sync absorbed nothing: $r")
+    val r2 = spark.sql(
+      "CALL graft_stage.sync('work', 'cfs_dst', keys => 'o_orderkey')").collect()(0)
+    require(r2.getInt(2) == 0 && r2.getLong(3) == -1L,
+      s"CDF re-sync must be an idempotent no-op: $r2")
+    spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.cfs_dst
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
+  /** The followed source state plus the divergent slice, recomputed from
+    * raw orders — hash match proves CDF-driven sync ≡ keyed replay.
+    */
+  val q359Oracle: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       |  ${graft.operators.Det.dsumSql("price2")} AS total
+       |FROM (
+       |  SELECT o_orderkey, o_orderstatus,
+       |    CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 100000
+       |         ELSE o_totalprice END AS price2
+       |  FROM orders
+       |  WHERE NOT (o_orderkey % 9 = 3))
+       |GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   // ---------------------------------------------------------------- q358
 
   /** HISTORY PURGE UNDER DELETION VECTORS (r14 — closes the boundary q353
@@ -3650,7 +3733,8 @@ object Connectors {
     GraftQuery.sql("q355_distributed_key_deletes", q355DistributedKeyDeletes, q355Oracle),
     GraftQuery.sql("q356_snapshot_drift", q356SnapshotDrift, q356Oracle),
     GraftQuery.sql("q357_delta_autofold", q357DeltaAutoFold, q357Oracle),
-    GraftQuery.sql("q358_purge_under_dvs", q358PurgeUnderDvs, q358Oracle))
+    GraftQuery.sql("q358_purge_under_dvs", q358PurgeUnderDvs, q358Oracle),
+    GraftQuery.sql("q359_cdf_sync", q359CdfSync, q359Oracle))
 
   // ---------------------------------------------------------------- q332
 

@@ -1968,7 +1968,15 @@ private class StagingRowLevelOperation(
               if (scans.isEmpty) None
               else Some(scans.asScala.map(_.plannedFileNames()).reduce(_ ++ _))
             val carried = (snapshotFiles, scanned) match {
-              case (Some(snap), Some(read)) => snap.filterNot(read)
+              // a BORROWED clone entry is an absolute foreign path, but the
+              // scan's planned-name set keys it by bare name (statKey's
+              // fallback — the same convention transferred stats use): a
+              // rewritten borrowed file must NOT stay carried, or its old
+              // rows ride along next to their replacements (part names are
+              // UUID-fresh, so bare-name matching cannot alias)
+              case (Some(snap), Some(read)) => snap.filterNot(f =>
+                read(f) ||
+                  (TableClone.isForeign(f) && read(new Path(f).getName)))
               case _                        => Seq.empty[String]
             }
             GraftStagingCatalog.writeExplicitManifest(tableFs, dir, carried ++ fresh,

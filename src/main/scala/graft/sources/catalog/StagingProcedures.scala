@@ -223,18 +223,25 @@ private[catalog] object StagingProcedures {
     new MaintenanceProc("sync",
       "absorb the clone source's versions committed since the clone's " +
         "watermark by borrowing their newly-added files — zero-copy " +
-        "incremental refresh (append-only sources; rewrites refuse)") {
+        "incremental refresh; pass keys => 'k1[,k2…]' to follow source " +
+        "REWRITES through the row-level change feed (keyed MERGE apply)") {
       private val out = StructType(Seq(
         StructField("from_version", LongType, nullable = false),
         StructField("to_version", LongType, nullable = false),
-        StructField("files_added", IntegerType, nullable = false),
+        StructField("absorbed", IntegerType, nullable = false),
         StructField("clone_version", LongType, nullable = false)))
       override def parameters(): Array[ProcedureParameter] = Array(
         ProcedureParameter.in("ns", StringType).build(),
-        ProcedureParameter.in("tbl", StringType).build())
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("keys", StringType)
+          .defaultValue("CAST(NULL AS STRING)").build())
       override def call(input: InternalRow): JIterator[Scan] = {
+        val keys =
+          if (input.isNullAt(2)) Seq.empty[String]
+          else input.getUTF8String(2).toString.split(',').toSeq
+            .map(_.trim).filter(_.nonEmpty)
         val (f, t, n, v) = TableClone.sync(spark, catalog,
-          input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString, keys)
         one(out, f, t, n, v)
       }
     }

@@ -222,20 +222,34 @@ object TableClone {
     * clone's own divergent writes ride along untouched.
     *
     * Append-only by contract: a source version that REMOVED files
-    * (overwrite, delete, optimize) is refused — borrowed entries the
-    * clone already serves stay valid, but absorbing a rewrite would
-    * double its rows. Re-clone for a diverged source. A vacuumed gap
-    * (the watermark's manifest no longer readable) also refuses: the
-    * file delta cannot be reconstructed. DV-carrying versions refuse as
-    * at clone time. Crash-safe: the manifest commits before the
-    * watermark advances, and re-absorbing the same files is idempotent
-    * (manifest entries dedup), so a stale watermark only re-reads.
+    * (overwrite, delete, optimize) cannot be absorbed by borrowing —
+    * borrowed entries the clone already serves stay valid, but absorbing
+    * a rewrite would double its rows. With no `keys` declared such a
+    * version REFUSES (re-clone, or pass keys). With `keys` (r14 — "sync
+    * through rewrites"): the whole pending range applies as the SOURCE's
+    * row-level change feed ([[StagingMaintenance.rowLevelChangesAt]] — net
+    * deletes/inserts at changed-slice cost) MERGEd into the clone by those
+    * key columns: upserts for net inserts, deletes for keys with no
+    * replacement. Key identity is the follow semantic — a clone-divergent
+    * row sharing a source key is overwritten by source state, divergent
+    * rows under other keys ride along; source keys must be unique per
+    * version (MERGE's cardinality check enforces it). The CDF path needs
+    * only the WATERMARK and HEAD manifests, so a vacuumed intermediate
+    * version that wrecks the append walk still syncs with keys.
     *
-    * Returns (from_version, to_version, files_added, clone_version) —
-    * clone_version = -1 when already current (no commit).
+    * A vacuumed gap (the watermark's manifest no longer readable)
+    * refuses: the delta cannot be reconstructed. DV-carrying versions
+    * refuse as at clone time. Crash-safe: the manifest (or MERGE)
+    * commits before the watermark advances; re-absorbing files dedups
+    * and re-applying the same net changes is idempotent (same upserts,
+    * same ghost deletes).
+    *
+    * Returns (from_version, to_version, absorbed, clone_version) —
+    * absorbed = files borrowed (append path) or net rows applied (CDF
+    * path); clone_version = -1 when already current (no commit).
     */
-  def sync(spark: SparkSession, catalog: String, ns: String, table: String)
-      : (Long, Long, Int, Long) = {
+  def sync(spark: SparkSession, catalog: String, ns: String, table: String,
+      keys: Seq[String] = Seq.empty): (Long, Long, Int, Long) = {
     import GraftStagingCatalog._
     val (fs, d) = StagingMaintenance.tableDir(spark, catalog, ns, table)
     val scp = new Path(d, CloneSrcSidecar)
@@ -274,18 +288,6 @@ object TableClone {
           "after the source folds them (OPTIMIZE)")
       manifestFiles(fs, mf)
     }
-    var prev = filesAt(lastV).toSet
-    val added = scala.collection.mutable.LinkedHashSet.empty[String]
-    (lastV + 1 to headV).foreach { v =>
-      val cur = filesAt(v).toSet
-      val removed = prev -- cur
-      require(removed.isEmpty,
-        s"sync: source version $v removed ${removed.size} files " +
-          "(overwrite/delete/optimize) — append-only refresh cannot absorb " +
-          "a rewrite; re-clone")
-      (cur -- prev).foreach { f => added += f; () }
-      prev = cur
-    }
     val fp = if (lines.length >= 4) lines(3).trim
              else schemaFingerprint(fs, src)
     // watermark updates REPLACE line 3 only — lines 5+ carry the
@@ -294,6 +296,34 @@ object TableClone {
       val cur = readString(fs, scp).trim.split('\n')
       writeString(fs, scp,
         (Seq(cur(0), cur(1), headV.toString, fp) ++ cur.drop(4)).mkString("\n"))
+    }
+    var prev = filesAt(lastV).toSet
+    val added = scala.collection.mutable.LinkedHashSet.empty[String]
+    var rewriteAt = -1L
+    var wv = lastV + 1
+    while (wv <= headV && rewriteAt < 0) {
+      // a vacuumed INTERMEDIATE version wrecks only the append walk — the
+      // CDF path diffs the endpoints, so with keys it routes there instead
+      val curOpt =
+        if (wv == headV) Some(filesAt(wv).toSet)
+        else try Some(filesAt(wv).toSet)
+          catch { case _: IllegalStateException if keys.nonEmpty => None }
+      curOpt match {
+        case Some(cur) if (prev -- cur).isEmpty =>
+          (cur -- prev).foreach { f => added += f; () }
+          prev = cur
+          wv += 1
+        case _ => rewriteAt = wv
+      }
+    }
+    if (rewriteAt >= 0) {
+      require(keys.nonEmpty,
+        s"sync: source version $rewriteAt removed files " +
+          "(overwrite/delete/optimize) — append-only refresh cannot absorb " +
+          "a rewrite; pass keys => 'k1[,k2…]' to follow it through the " +
+          "row-level change feed, or re-clone")
+      return cdfSync(spark, fs, d, src, catalog, ns, table, lastV, headV,
+        keys, () => writeWatermark())
     }
     if (added.isEmpty) {
       writeWatermark()
@@ -326,6 +356,66 @@ object TableClone {
       kind = "sync", expectedBase = Some(base))
     writeWatermark()
     (lastV, headV, absolute.size, v)
+  }
+
+  /** CDF-DRIVEN SYNC (r14 — the "sync through rewrites" path): apply the
+    * source's NET row-level changes between the watermark and its head to
+    * the clone as two keyed MERGEs — upserts for net inserts, deletes for
+    * keys with no replacement. Cost is the changed slices on the source
+    * side plus ordinary keyed DML on the clone (rewritten borrowed files
+    * materialize locally as twins; untouched borrowed entries stay
+    * zero-copy). Crash-safe: the watermark advances only after both
+    * MERGEs commit, and re-applying the same net changes is idempotent.
+    */
+  private def cdfSync(spark: SparkSession, fs: FileSystem, d: Path, src: Path,
+      catalog: String, ns: String, table: String, lastV: Long, headV: Long,
+      keys: Seq[String], writeWatermark: () => Unit): (Long, Long, Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    val declared = GraftStagingCatalog.declaredSchema(fs, d)
+    keys.foreach(k => require(
+      declared.forall(_.fieldNames.exists(_.equalsIgnoreCase(k))),
+      s"sync keys: unknown column '$k' (declared: " +
+        s"${declared.map(_.fieldNames.mkString(", ")).getOrElse("?")})"))
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val net = StagingMaintenance.rowLevelChangesAt(spark, fs, src, lastV, headV)
+      .persist()
+    val insView = s"__graft_sync_ins_$token"
+    val delView = s"__graft_sync_del_$token"
+    try {
+      val ins = net.filter(col("_change") === "insert").drop("_change")
+      val del = net.filter(col("_change") === "delete").drop("_change")
+      // a key that reappears among the inserts is an UPDATE (its delete
+      // leg cancels); only keys with no replacement row actually delete
+      val delKeys = del.select(keys.map(col): _*).distinct()
+        .join(ins.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      val insN = ins.count()
+      val delN = delKeys.count()
+      val ident = s"$catalog.`$ns`.`$table`"
+      val on = keys.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+      if (insN > 0L) {
+        ins.createOrReplaceTempView(insView)
+        spark.sql(
+          s"""MERGE INTO $ident t USING $insView s ON $on
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      if (delN > 0L) {
+        delKeys.createOrReplaceTempView(delView)
+        spark.sql(
+          s"""MERGE INTO $ident t USING $delView s ON $on
+             |WHEN MATCHED THEN DELETE""".stripMargin)
+      }
+      writeWatermark()
+      val v =
+        if (insN + delN == 0L) -1L
+        else GraftStagingCatalog.headManifest(fs, d).map(_._1).getOrElse(0L)
+      (lastV, headV, (insN + delN).toInt, v)
+    } finally {
+      net.unpersist()
+      spark.catalog.dropTempView(insView)
+      spark.catalog.dropTempView(delView)
+      ()
+    }
   }
 
   /** Data files of `d` still referenced by a live registered clone's

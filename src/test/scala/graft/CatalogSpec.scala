@@ -4836,4 +4836,60 @@ class CatalogSpec extends SparkSpec {
   private def dvsOf(t: String): Seq[String] =
     graft.sources.catalog.StagingMaintenance
       .activeDvs(spark, "stage_t", "ws", t)
+
+  test("clone sync through rewrites (r14): keys => CDF MERGE apply follows source rewrites; divergence under other keys survives; appends stay zero-copy") {
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    Seq("cfs_c", "cfs_s").foreach { t =>
+      try spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t")
+      catch { case _: IllegalStateException => () }
+    }
+    spark.sql("CREATE TABLE stage_t.ws.cfs_s AS SELECT id AS k, id AS v FROM range(0, 100)")
+    spark.sql("CALL stage_t.clone('ws', 'cfs_s', 'cfs_c')")
+    // clone diverges under its own key space
+    spark.sql("INSERT INTO stage_t.ws.cfs_c SELECT id + 1000, id FROM range(0, 10)")
+    // source rewrites + appends since the watermark
+    spark.sql("UPDATE stage_t.ws.cfs_s SET v = v + 500 WHERE k % 10 = 3")
+    spark.sql("DELETE FROM stage_t.ws.cfs_s WHERE k % 10 = 7")
+    spark.sql("INSERT INTO stage_t.ws.cfs_s SELECT id + 200, id FROM range(0, 5)")
+    // keyless sync still refuses, now naming the keys escape
+    val e = intercept[Exception] { spark.sql("CALL stage_t.sync('ws', 'cfs_c')") }
+    assert(e.getMessage.contains("keys"), e.getMessage)
+    // keyed CDF sync: net = 10 upserts (update) + 5 inserts (append) +
+    // 10 deletes (no replacement keys)
+    val r = spark.sql("CALL stage_t.sync('ws', 'cfs_c', keys => 'k')").collect()(0)
+    assert(r.getInt(2) === 25, r.toString)
+    val srcRows = spark.table("stage_t.ws.cfs_s").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    val divergent = (0L until 10L).map(i => (i + 1000L, i)).toSet
+    val cloneRows = spark.table("stage_t.ws.cfs_c").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(cloneRows === srcRows ++ divergent,
+      s"CDF sync mismatch: missing=${(srcRows ++ divergent) -- cloneRows} " +
+        s"extra=${cloneRows -- (srcRows ++ divergent)}")
+    // idempotent: already-current sync is a no-op
+    val r2 = spark.sql("CALL stage_t.sync('ws', 'cfs_c', keys => 'k')").collect()(0)
+    assert(r2.getInt(2) === 0 && r2.getLong(3) === -1L, r2.toString)
+    // appends AFTER a CDF sync borrow zero-copy again
+    val fs = new org.apache.hadoop.fs.Path(stageRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def cloneParquet(): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$stageRoot/ws/cfs_c"))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName).toSet
+    val pq0 = cloneParquet()
+    spark.sql("INSERT INTO stage_t.ws.cfs_s SELECT id + 300, id FROM range(0, 5)")
+    val r3 = spark.sql("CALL stage_t.sync('ws', 'cfs_c')").collect()(0)
+    assert(r3.getInt(2) > 0, r3.toString)
+    assert(cloneParquet() === pq0, "post-CDF append sync copied data files")
+    assert(spark.table("stage_t.ws.cfs_c").count() ===
+      srcRows.size + divergent.size + 5L)
+    // unknown key column refuses loudly
+    spark.sql("UPDATE stage_t.ws.cfs_s SET v = v + 1 WHERE k % 50 = 9")
+    val e2 = intercept[Exception] {
+      spark.sql("CALL stage_t.sync('ws', 'cfs_c', keys => 'nope')") }
+    assert(e2.getMessage.contains("unknown column"), e2.getMessage)
+    Seq("cfs_c", "cfs_s").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
+  }
 }
