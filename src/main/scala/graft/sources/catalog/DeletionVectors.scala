@@ -474,15 +474,17 @@ object DeletionVectors {
             .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\"")).toSeq)
           .filter { case (f, _) => f != "type" && f != "dir" && f != "files" }
         if (entries.exists { case (f, _) => repl.contains(f) }) {
-          var total = 0L
+          // audit total: start from the descriptor's recorded count and
+          // adjust by the covered entries' delta — untouched entries'
+          // bins are never re-read
+          var total = "\"rows\":(\\d+)".r.findFirstMatchIn(txt)
+            .map(_.group(1).toLong).getOrElse(0L)
           val newEntries = entries.flatMap { case (f, bins) =>
-            if (!repl.contains(f)) {
-              bins.foreach(b => readRunFile(conf, new Path(runDir, b)) {
-                case (s, e) => total += e - s + 1L })
-              Seq(f -> bins)
-            } else {
+            if (!repl.contains(f)) Seq(f -> bins)
+            else {
               val rs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
               bins.foreach(b => readRunFile(conf, new Path(runDir, b))(rs += _))
+              total -= rs.iterator.map { case (a, b) => b - a + 1L }.sum
               val out = splitRunsByTwin(
                 remapRuns(rs.toSeq, purged.getOrElse(f, Array.empty[Long])),
                 twinCum(f))

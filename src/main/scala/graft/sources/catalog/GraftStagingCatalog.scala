@@ -2306,6 +2306,35 @@ private class StagingDeltaOperation(
                   // (a DV delete moves no rows); fresh files landed the
                   // preserved ids physically — mark them materialized
                   matFiles = if (lineageMeta) fresh.toSet else Set.empty)
+                // BROAD-STATEMENT AUTO-FOLD, keyed twin (r14 — same rule
+                // as the position path: exact post-statement information,
+                // cheap gate first). Suppression here is keyed, so the
+                // row proxy is the statement's deleted/replaced KEY count
+                // — exact when merge keys are unique, conservative
+                // (under-counting) otherwise.
+                ZoneMapScan.lastDeltaAutoFold = None
+                if (branch.isEmpty && (deleted.nonEmpty || bins.nonEmpty))
+                  DeletionVectors.autoFoldFraction(tableFs, dir).foreach { frac =>
+                    val applies2 = snap.filter(scanned).toSet
+                    if (snap.nonEmpty && applies2.size >= frac * snap.size) {
+                      val suppressed = binCount + deleted.size
+                      val rowsCovered = GraftStagingCatalog.rowCountOf(
+                        SparkSession.active,
+                        new org.apache.spark.util.SerializableConfiguration(
+                          SparkSession.active.sessionState.newHadoopConf()),
+                        dir, applies2.toSeq)
+                      if (rowsCovered > 0L && suppressed >= frac * rowsCovered) {
+                        try {
+                          val (_, _, v) = StagingMaintenance.foldDeltasAt(
+                            SparkSession.active, tableFs, dir)
+                          ZoneMapScan.lastDeltaAutoFold = Some(v)
+                        } catch { case e: Exception =>
+                          System.err.println(
+                            s"[graft] auto-fold after keyed delta commit on $dir failed: $e")
+                        }
+                      }
+                    }
+                  }
               }
 
               override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2610,13 +2639,8 @@ private class StagingPosDeltaOperation(
                     val coveredN = bins.iterator.map(_._1).toSet
                     if (snap.nonEmpty && coveredN.size >= frac * snap.size) {
                       val suppressed = bins.iterator.map(_._3).sum
-                      val hc = hconf.value
-                      val rowsCovered = coveredN.iterator.map { f =>
-                        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-                          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                            new Path(dir, f), hc))
-                        try r.getRecordCount finally r.close()
-                      }.sum
+                      val rowsCovered = GraftStagingCatalog.rowCountOf(
+                        SparkSession.active, hconf, dir, coveredN.toSeq)
                       if (rowsCovered > 0L && suppressed >= frac * rowsCovered) {
                         try {
                           val (_, _, v) = StagingMaintenance.foldDeltasAt(
@@ -3422,6 +3446,28 @@ object GraftStagingCatalog {
   /** Active deletion-vector sidecar names recorded by a manifest (r9+;
     * absent field = none — every pre-MOR manifest).
     */
+  /** Total parquet row count of `files` under `d` — footer reads pushed
+    * to the EXECUTORS (one task per slice of files), so a broad
+    * statement's auto-fold gate on a 100k-file table never serializes
+    * metadata I/O on the driver.
+    */
+  private[catalog] def rowCountOf(spark: SparkSession,
+      hconf: org.apache.spark.util.SerializableConfiguration,
+      d: Path, files: Seq[String]): Long = {
+    if (files.isEmpty) 0L
+    else {
+      val dirStr = d.toString
+      spark.sparkContext.parallelize(files,
+          math.min(files.size, math.max(1, spark.sparkContext.defaultParallelism)))
+        .map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new Path(dirStr, f), hconf.value))
+          try r.getRecordCount finally r.close()
+        }.sum().toLong
+    }
+  }
+
   private[catalog] def manifestDvs(fs: FileSystem, mf: Path): Seq[String] =
     parseArray(readString(fs, mf), "dvs")
 

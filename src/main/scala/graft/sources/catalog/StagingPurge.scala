@@ -4,7 +4,7 @@ import java.io.FileNotFoundException
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, typedLit}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, not, typedLit}
 
 /** COMPLIANCE PURGE ACROSS HISTORY (r14) — `CALL purge(ns, t, where)`:
   * physically removes every row matching the predicate from EVERY
@@ -51,8 +51,14 @@ import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, typedLit}
   * including rows a head DV currently suppresses: those bytes are
   * precisely what compliance wants gone, and the purge removes them.
   *
-  * Boundaries (refused loudly): row-lineage tables (per-file id bases are
-  * positional — dropping rows shifts every subsequent ordinal), tables
+  * ROW-LINEAGE tables are served too (r14): per-file id bases are
+  * positional, so instead of shifting every later identity the purge
+  * MATERIALIZES each survivor's resolved id into the twin's physical
+  * column (exactly the OPTIMIZE-fold rule) and swaps the twins into each
+  * manifest's `rowIds` vector as materialized entries — identities
+  * survive the row drop verbatim, on every readable version.
+  *
+  * Boundaries (refused loudly): tables
   * with live shallow clones (the
   * borrowed bytes would keep the purged rows alive elsewhere — purge the
   * clones first), and clones still borrowing foreign files (purge the
@@ -85,9 +91,7 @@ object StagingPurge {
     val v1 = ZoneMapScanBuilder.toV1(parsed)
 
     // ---- refusals (see class doc)
-    require(!RowLineage.enabled(fs, d),
-      s"cannot purge $catalog.$ns.$table: row-lineage id bases are " +
-        "positional — dropping rows would re-identify every later row")
+    val lineage = RowLineage.enabled(fs, d)
     val clones = TableClone.liveClones(fs, d)
     require(clones.isEmpty,
       s"cannot purge $catalog.$ns.$table: live shallow clones borrow its " +
@@ -101,6 +105,11 @@ object StagingPurge {
     // DV-carrying history by remapping these in place after the rewrite)
     val allDvNames = manifests0.flatMap(mf => manifestDvs(fs, mf)).distinct
     val union0 = manifests0.flatMap(mf => manifestFiles(fs, mf)).distinct
+    val lineageEntries: Map[String, RowLineage.Entry] =
+      if (!lineage) Map.empty
+      else manifests0.foldLeft(Map.empty[String, RowLineage.Entry]) { (acc, mf) =>
+        acc ++ RowLineage.parse(readString(fs, mf))._1
+      }
     require(union0.forall(f => !TableClone.isForeign(f)),
       s"cannot purge $catalog.$ns.$table: it borrows files from a clone " +
         "source — purge the source table, or OPTIMIZE to materialize first")
@@ -130,7 +139,9 @@ object StagingPurge {
     // split matched from survivors, regroup survivors per source file in
     // original row order
     val reader = spark.read
-    declaredSchema(fs, d).foreach(reader.schema)
+    if (lineage)
+      declaredSchema(fs, d).foreach(sch => reader.schema(RowLineage.readSchema(sch)))
+    else declaredSchema(fs, d).foreach(reader.schema)
     val raw0 = reader.parquet(cand.map(f => new Path(d, f).toString): _*)
     // key each row back to its source file by the path's LAST TWO segments
     // ("<partition-dir>/<name>", or "<table-dir>/<name>" for root files):
@@ -189,7 +200,30 @@ object StagingPurge {
       }
     val token = java.util.UUID.randomUUID().toString.take(12)
     val tmp = new Path(d, s"_purge_$token")
-    raw.filter(not(hit))
+    val survivors0 = raw.filter(not(hit))
+    // ROW LINEAGE (r14): survivors land their RESOLVED id in the physical
+    // column (the OPTIMIZE-fold rule) — dropping rows shifts positions,
+    // so positional (virtual) bases cannot carry; materialized ids can
+    val survivors =
+      if (!lineage) survivors0
+      else {
+        // ROW LINEAGE: materialize each survivor's resolved id into the
+        // physical column. Resolution keys by the SAME dir/name key the
+        // twin pass uses (__graft_pf) — immune to the bare-name reuse a
+        // partition-laid-out history carries, which the resolveIds join
+        // (bare names) could mis-attribute.
+        import spark.implicits._
+        val phys = RowLineage.PhysField.name
+        val entDf = lineageEntries.toSeq
+          .map { case (f, e) => (dirKey(f), e.base) }
+          .toDF("__gl_pf", "__gl_base")
+        survivors0.join(broadcast(entDf),
+            survivors0("__graft_pf") === entDf("__gl_pf"), "left")
+          .withColumn(phys,
+            coalesce(col(phys), col("__gl_base") + col("__graft_pr")))
+          .drop("__gl_pf", "__gl_base")
+      }
+    survivors
       .withColumn("__graft_pid",
         org.apache.spark.sql.functions.element_at(typedLit(pidOf), col("__graft_pf")))
       .repartition(math.max(cand.size, 1), col("__graft_pid"))
@@ -266,8 +300,24 @@ object StagingPurge {
             if (candSet(f)) repl.getOrElse(f, Seq.empty) else Seq(f))
           val txt = readString(fs, mf)
           val arr = newFiles.distinct.sorted.map(f => "\"" + f + "\"").mkString(",")
-          writeString(fs, mf, txt.replaceFirst("\"files\":\\[[^\\]]*\\]",
-            java.util.regex.Matcher.quoteReplacement(s""""files":[$arr]""")))
+          var out = txt.replaceFirst("\"files\":\\[[^\\]]*\\]",
+            java.util.regex.Matcher.quoteReplacement(s""""files":[$arr]"""))
+          if (lineage) {
+            // the rowIds vector follows: purged originals drop out, twins
+            // enter MATERIALIZED (their ids live in the physical column;
+            // the carried base is inert but kept for provenance)
+            val (ents, _) = RowLineage.parse(txt)
+            val newEnts = ents.flatMap { case (f, e) =>
+              if (!candSet(f)) Seq(f -> e)
+              else repl.getOrElse(f, Seq.empty)
+                .map(t => t -> RowLineage.Entry(e.base, mat = true))
+            }
+            val vec = RowLineage.renderVector(newEnts)
+              .map(e => "\"" + e + "\"").mkString(",")
+            out = out.replaceFirst("\"rowIds\":\\[[^\\]]*\\]",
+              java.util.regex.Matcher.quoteReplacement(s""""rowIds":[$vec]"""))
+          }
+          writeString(fs, mf, out)
           touched += 1
         }
       }

@@ -1775,18 +1775,24 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
   }
 
-  test("history purge (r14): refusals — lineage, live clones, borrowing clone; keyed DV'd history serves") {
+  test("history purge (r14): refusals — live clones, borrowing clone; lineage and keyed DV'd history serve") {
     mountStage()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
     Seq("pgc2", "pgc", "pgl", "pgm").foreach { t =>
       try spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t")
       catch { case _: IllegalStateException => () }
     }
+    // lineage no longer refuses (r14): survivors materialize their ids
+    // into the twins, so identities survive the row drop verbatim
     spark.sql("CREATE TABLE stage_t.ws.pgl TBLPROPERTIES ('graft.row-lineage'='true') " +
       "AS SELECT id AS k FROM range(0, 10)")
-    val e1 = intercept[Exception] {
-      spark.sql("CALL stage_t.purge('ws', 'pgl', 'k = 3')") }
-    assert(e1.getMessage.contains("lineage"), e1.getMessage)
+    val idsBefore = spark.sql("SELECT k, _row_id FROM stage_t.ws.pgl")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sql("CALL stage_t.purge('ws', 'pgl', 'k = 3')")
+    val idsAfter = spark.sql("SELECT k, _row_id FROM stage_t.ws.pgl")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idsAfter === (idsBefore - 3L),
+      s"lineage purge re-identified rows: $idsBefore -> $idsAfter")
     spark.sql("CREATE TABLE stage_t.ws.pgm (k BIGINT NOT NULL, v BIGINT) " +
       "TBLPROPERTIES ('graft.write.mode'='merge-on-read', 'graft.merge-keys'='k')")
     spark.sql("INSERT INTO stage_t.ws.pgm SELECT id, id FROM range(0, 10)")
@@ -4709,6 +4715,27 @@ class CatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("auto-fold-fraction"), e.getMessage)
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.afold")
+
+    // keyed twin: a bulk keyed UPDATE (every key replaced) folds itself;
+    // a selective one keeps its descriptor
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.akf")
+    spark.sql("CREATE TABLE stage_t.ws.akf (k BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.mode'='merge-on-read', " +
+      "'graft.merge-keys'='k', 'graft.delta.auto-fold-fraction'='0.5')")
+    spark.sql("INSERT INTO stage_t.ws.akf SELECT id, id FROM range(0, 100)")
+    def dvsK(): Seq[String] = StagingMaintenance
+      .activeDvs(spark, "stage_t", "ws", "akf")
+    spark.sql("UPDATE stage_t.ws.akf SET v = v + 1000 WHERE k % 2 >= 0")
+    assert(ZoneMapScan.lastDeltaAutoFold.isDefined,
+      "bulk keyed UPDATE above the declared fraction did not auto-fold")
+    assert(dvsK().isEmpty, s"keyed auto-fold left descriptors: ${dvsK()}")
+    assert(spark.table("stage_t.ws.akf").agg(sum(col("v")))
+      .collect()(0).getLong(0) === (0L until 100L).sum + 1000L * 100L)
+    spark.sql("UPDATE stage_t.ws.akf SET v = v + 1 WHERE k % 50 = 3")
+    assert(ZoneMapScan.lastDeltaAutoFold.isEmpty,
+      "selective keyed UPDATE below the fraction must not auto-fold")
+    assert(dvsK().size === 1, s"expected the selective descriptor: ${dvsK()}")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.akf")
   }
 
   test("optimize scope='deltas' on a keyed MOR table: inline key sets and key bins fold, uncovered files carry") {
@@ -4831,6 +4858,26 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM stage_t.ws.pgk VERSION AS OF 1")
       .collect()(0).getLong(0) === 270L, "purged rows still at v1")
     spark.sql("DROP TABLE IF EXISTS stage_t.ws.pgk")
+
+    // lineage × position deltas: identities survive the purge AND the
+    // ordinal remap (twins materialize resolved ids; replacement files
+    // carried their preserved ids from the delta write)
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pgle")
+    spark.sql("CREATE TABLE stage_t.ws.pgle (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.mode'='merge-on-read', " +
+      "'graft.row-lineage'='true')")
+    spark.sql("INSERT INTO stage_t.ws.pgle SELECT id, id FROM range(0, 100)")
+    spark.sql("UPDATE stage_t.ws.pgle SET v = v + 1000 WHERE k % 10 = 7")
+    val ids0 = spark.sql("SELECT k, _row_id FROM stage_t.ws.pgle")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sql("CALL stage_t.purge('ws', 'pgle', 'k % 5 = 3')")
+    val ids1 = spark.sql("SELECT k, _row_id FROM stage_t.ws.pgle")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids1 === ids0.filterNot { case (k, _) => k % 5 == 3 },
+      "lineage x pos-delta purge re-identified rows")
+    assert(spark.sql("SELECT count(*) FROM stage_t.ws.pgle VERSION AS OF 1")
+      .collect()(0).getLong(0) === 80L)
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.pgle")
   }
 
   private def dvsOf(t: String): Seq[String] =
