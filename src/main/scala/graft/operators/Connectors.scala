@@ -3005,6 +3005,98 @@ object Connectors {
         |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q360
+
+  /** CLONE OF A MERGE-ON-READ SNAPSHOT (r14 — closes the boundary q352
+    * declared: clone refused MOR tables and DV-carrying snapshots). The
+    * snapshot's descriptors TRANSPLANT into the clone's own sidecar dir
+    * ([[graft.sources.catalog.DeletionVectors.transplantDvs]]): run bins
+    * and key bins copy (sidecar bytes — never data bytes), covered-file
+    * references rename to the bare names the borrowed-entry read path
+    * keys by. The clone then owns its delete machinery outright: the
+    * source can fold, rewrite, even hard-vacuum — nothing it reclaims is
+    * referenced by the clone's suppression state, and borrowed DATA files
+    * stay exempt through the standard clone registration. At 100 TB: a
+    * dev snapshot of a live CDC-merged corpus costs descriptor bytes,
+    * not a fold-then-copy of the table.
+    *
+    * The query builds a keyless MOR corpus with BOTH descriptor kinds in
+    * force (a pos-delta UPDATE's run descriptor + a selective DELETE's
+    * inline sidecar), clones it (requires: zero parquet copied,
+    * transplanted descriptors active, suppression exact through the
+    * clone), then overwrites AND hard-vacuums the source and aggregates
+    * the clone — whose content no source version still serves. Oracle
+    * recomputes the patched surviving corpus from raw events.
+    */
+  def q360MorClone(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_stage",
+      classOf[graft.sources.catalog.GraftStagingCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stage.root", stageRoot)
+    graft.sources.Tables.events(spark, dir).createOrReplaceTempView("events_mc_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stage.work")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.events_mcc")
+    spark.sql("DROP TABLE IF EXISTS graft_stage.work.events_mcs")
+    spark.sql(
+      """CREATE TABLE graft_stage.work.events_mcs
+        |  (event_id BIGINT, event_type STRING, value DOUBLE)
+        |TBLPROPERTIES ('graft.write.mode'='merge-on-read')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_stage.work.events_mcs
+        |SELECT /*+ REPARTITION_BY_RANGE(8, event_id) */ event_id, event_type, value
+        |FROM events_mc_src""".stripMargin)
+    spark.sql(
+      "UPDATE graft_stage.work.events_mcs SET value = value + 100 WHERE event_id % 10 = 7")
+    spark.sql("DELETE FROM graft_stage.work.events_mcs WHERE event_id % 25 = 4")
+    require(graft.sources.catalog.StagingMaintenance
+      .activeDvs(spark, "graft_stage", "work", "events_mcs").size == 2,
+      "expected the run + inline descriptors in force at clone time")
+    spark.sql("CALL graft_stage.clone('work', 'events_mcs', 'events_mcc')")
+    val fs = new org.apache.hadoop.fs.Path(stageRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$stageRoot/work/events_mcc"))
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")),
+      "MOR clone copied data files — must stay zero-copy")
+    require(graft.sources.catalog.StagingMaintenance
+      .activeDvs(spark, "graft_stage", "work", "events_mcc").size == 2,
+      "clone carries no transplanted descriptors")
+    val cntSrc = spark.sql("SELECT count(*) FROM graft_stage.work.events_mcs")
+      .collect()(0).getLong(0)
+    val cntClone = spark.sql("SELECT count(*) FROM graft_stage.work.events_mcc")
+      .collect()(0).getLong(0)
+    require(cntClone == cntSrc,
+      s"clone serves $cntClone rows vs the source snapshot's $cntSrc — " +
+        "transplanted suppression state diverges")
+    // the source moves on and hard-vacuums — the clone must not notice
+    spark.sql(
+      """INSERT OVERWRITE graft_stage.work.events_mcs
+        |SELECT event_id, event_type, value FROM events_mc_src
+        |WHERE event_id % 97 = 0""".stripMargin)
+    spark.sql("CALL graft_stage.vacuum('work', 'events_mcs', 1)")
+    require(spark.sql("SELECT count(*) FROM graft_stage.work.events_mcc")
+      .collect()(0).getLong(0) == cntClone,
+      "source vacuum changed what the clone serves")
+    spark.sql(
+      """SELECT event_type, count(*) AS n,
+        |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_stage.work.events_mcc
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** The patched surviving corpus recomputed from raw events — hash match
+    * proves the transplanted descriptors ≡ the source's suppression state.
+    */
+  val q360Oracle: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  min(event_id) AS min_ev, max(event_id) AS max_ev,
+       |  ${graft.operators.Det.dsumSql("value2")} AS total
+       |FROM (
+       |  SELECT event_id, event_type,
+       |    CASE WHEN event_id % 10 = 7 THEN value + 100 ELSE value END AS value2
+       |  FROM events
+       |  WHERE event_id % 25 != 4)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q359
 
   /** CLONE SYNC THROUGH REWRITES (r14 — closes the boundary q354
@@ -3734,7 +3826,8 @@ object Connectors {
     GraftQuery.sql("q356_snapshot_drift", q356SnapshotDrift, q356Oracle),
     GraftQuery.sql("q357_delta_autofold", q357DeltaAutoFold, q357Oracle),
     GraftQuery.sql("q358_purge_under_dvs", q358PurgeUnderDvs, q358Oracle),
-    GraftQuery.sql("q359_cdf_sync", q359CdfSync, q359Oracle))
+    GraftQuery.sql("q359_cdf_sync", q359CdfSync, q359Oracle),
+    GraftQuery.sql("q360_mor_clone", q360MorClone, q360Oracle))
 
   // ---------------------------------------------------------------- q332
 

@@ -564,6 +564,112 @@ object DeletionVectors {
     }
   }
 
+  /** MOR-SNAPSHOT CLONE TRANSPLANT (r14 — what lets `CALL clone` serve
+    * DV-carrying snapshots): copy the named descriptors from `src`'s
+    * sidecar dir into `dst`'s, renaming every covered-file reference
+    * through `rename` (the clone's borrowed entries are ABSOLUTE paths
+    * that the read path keys by BARE name, so references rename from
+    * source-relative to bare). Run bins and key bins COPY — sidecar
+    * bytes, never data bytes — so the clone's delete machinery is its
+    * own: either side's VACUUM reclaims only its own dirs, and
+    * divergence (new deltas on the clone, folds on the source) cannot
+    * cross-contaminate. Returns the dst-relative descriptor names in
+    * input order.
+    */
+  def transplantDvs(fs: FileSystem, src: Path, dst: Path,
+      conf: org.apache.hadoop.conf.Configuration, names: Seq[String],
+      rename: String => String): Seq[String] = {
+    val srcDv = new Path(src, DvDir)
+    val dstDv = new Path(dst, DvDir)
+    fs.mkdirs(dstDv)
+    names.map { n =>
+      val txt = GraftStagingCatalog.readString(fs, new Path(srcDv, n))
+      val token = java.util.UUID.randomUUID().toString.take(12)
+      if (txt.contains("\"type\":\"posrun\"")) {
+        val dirName = "\"dir\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse(
+            throw new IllegalStateException(s"run descriptor $n names no dir"))
+        val srcRun = new Path(srcDv, dirName)
+        val newDir = s"dvr-$token"
+        val dstRun = new Path(dstDv, newDir)
+        fs.mkdirs(dstRun)
+        val entries = "\"([^\"]+)\":\\[([^\\]]*)\\]".r.findAllMatchIn(txt).toSeq
+          .map(m => dec(m.group(1)) -> m.group(2).split(',').iterator.map(_.trim)
+            .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\"")).toSeq)
+          .filter { case (f, _) => f != "type" && f != "dir" && f != "files" }
+        var total = 0L
+        val newEntries = entries.map { case (f, bins) =>
+          val rs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          bins.foreach(b => readRunFile(conf, new Path(srcRun, b))(rs += _))
+          val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          rs.sortBy(_._1).foreach { case (s0, e0) =>
+            merged.lastOption match {
+              case Some((ls, le)) if s0 <= le + 1 =>
+                if (e0 > le) merged(merged.length - 1) = (ls, e0)
+              case _ => merged += ((s0, e0))
+            }
+          }
+          val (bin, cnt) = writeRunPairs(conf, dstRun.toString, rename(f),
+            merged.toSeq)
+          total += cnt
+          rename(f) -> Seq(bin)
+        }
+        val body = newEntries.sortBy(_._1).map { case (f, bins) =>
+          "\"" + enc(f) + "\":[" + bins.sorted.map(b => "\"" + b + "\"").mkString(",") + "]"
+        }.mkString(",")
+        val name = s"$newDir.json"
+        val out = fs.create(new Path(dstDv, name), false)
+        try out.write(
+          s"""{"type":"posrun","dir":"$newDir","rows":$total,"files":{$body}}"""
+            .getBytes(UTF_8))
+        finally out.close()
+        name
+      } else if (txt.contains("\"type\":\"pos\"")) {
+        val entries = "\"([^\"]+)\":\\[([^\\]]*)\\]".r.findAllMatchIn(txt).toSeq
+          .map(m => dec(m.group(1)) -> m.group(2).split(',').iterator.map(_.trim)
+            .filter(_.nonEmpty).map(_.toLong).toSeq)
+          .filter { case (f, _) => f != "type" && f != "pos" }
+        writePosDv(fs, dst, entries.map { case (f, ps) => rename(f) -> ps }.toMap)
+      } else if (txt.contains("\"type\":\"keyrun\"")) {
+        val dirName = "\"dir\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse(
+            throw new IllegalStateException(s"keyrun descriptor $n names no dir"))
+        val srcRun = new Path(srcDv, dirName)
+        val newDir = s"dvk-$token"
+        val dstRun = new Path(dstDv, newDir)
+        fs.mkdirs(dstRun)
+        GraftStagingCatalog.parseArray(txt, "bins").foreach { b =>
+          GraftStagingCatalog.writeString(fs, new Path(dstRun, b),
+            GraftStagingCatalog.readString(fs, new Path(srcRun, b)))
+        }
+        val files = GraftStagingCatalog.parseArray(txt, "files").map(dec)
+        val arr = files.map(rename).distinct.sorted
+          .map(f => "\"" + enc(f) + "\"").mkString(",")
+        val name = s"$newDir.json"
+        val body = txt
+          .replaceFirst("\"dir\":\"[^\"]+\"",
+            java.util.regex.Matcher.quoteReplacement(s""""dir":"$newDir""""))
+          .replaceFirst("\"files\":\\[[^\\]]*\\]",
+            java.util.regex.Matcher.quoteReplacement(s""""files":[$arr]"""))
+        val out = fs.create(new Path(dstDv, name), false)
+        try out.write(body.getBytes(UTF_8)) finally out.close()
+        name
+      } else {
+        // keyed inline DV: plain file names, keys copy verbatim
+        val files = GraftStagingCatalog.parseArray(txt, "files")
+        val arr = files.map(rename).distinct.sorted
+          .map(f => "\"" + f + "\"").mkString(",")
+        val name = s"dv-$token.json"
+        val out = fs.create(new Path(dstDv, name), false)
+        try out.write(txt.replaceFirst("\"files\":\\[[^\\]]*\\]",
+          java.util.regex.Matcher.quoteReplacement(s""""files":[$arr]"""))
+          .getBytes(UTF_8))
+        finally out.close()
+        name
+      }
+    }
+  }
+
   /** The keyrun descriptors among `names` (inline and pos sidecars skip). */
   def loadKeyRuns(fs: FileSystem, d: Path, names: Seq[String]): Seq[KeyRuns] =
     names.flatMap { n =>

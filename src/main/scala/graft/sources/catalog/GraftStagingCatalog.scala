@@ -2276,7 +2276,20 @@ private class StagingDeltaOperation(
                     // scope the DV to the files the scan actually planned —
                     // only they can hold stale rows for the deleted keys;
                     // the statement's own fresh files are never named
-                    val applies = snap.filter(scanned)
+                    // borrowed clone entries are absolute paths the scan
+                    // keys by BARE name (statKey fallback) — and the read
+                    // side attributes DV entries by the same key, so a
+                    // covered borrowed file records under its bare name
+                    // (the transplant convention); missing this, a clone's
+                    // keyed delta covers nothing and its replaced rows
+                    // resurrect beside their replacements
+                    val applies = snap.flatMap { f =>
+                      if (scanned(f)) Some(f)
+                      else if (TableClone.isForeign(f) &&
+                          scanned(new Path(f).getName))
+                        Some(new Path(f).getName)
+                      else None
+                    }
                     if (bins.isEmpty && deleted.size <= inlineCap) {
                       ZoneMapScan.lastKeyDeleteMode = Some("dv-inline")
                       priorDvNames :+ DeletionVectors.writeDv(
@@ -2315,24 +2328,26 @@ private class StagingDeltaOperation(
                 ZoneMapScan.lastDeltaAutoFold = None
                 if (branch.isEmpty && (deleted.nonEmpty || bins.nonEmpty))
                   DeletionVectors.autoFoldFraction(tableFs, dir).foreach { frac =>
-                    val applies2 = snap.filter(scanned).toSet
-                    if (snap.nonEmpty && applies2.size >= frac * snap.size) {
-                      val suppressed = binCount + deleted.size
-                      val rowsCovered = GraftStagingCatalog.rowCountOf(
-                        SparkSession.active,
-                        new org.apache.spark.util.SerializableConfiguration(
-                          SparkSession.active.sessionState.newHadoopConf()),
-                        dir, applies2.toSeq)
-                      if (rowsCovered > 0L && suppressed >= frac * rowsCovered) {
-                        try {
+                    try {
+                      val applies2 = snap.filter(f => scanned(f) ||
+                        (TableClone.isForeign(f) && scanned(new Path(f).getName)))
+                        .toSet // manifest entries: absolute foreign paths resolve
+                      if (snap.nonEmpty && applies2.size >= frac * snap.size) {
+                        val suppressed = binCount + deleted.size
+                        val rowsCovered = GraftStagingCatalog.rowCountOf(
+                          SparkSession.active,
+                          new org.apache.spark.util.SerializableConfiguration(
+                            SparkSession.active.sessionState.newHadoopConf()),
+                          dir, applies2.toSeq)
+                        if (rowsCovered > 0L && suppressed >= frac * rowsCovered) {
                           val (_, _, v) = StagingMaintenance.foldDeltasAt(
                             SparkSession.active, tableFs, dir)
                           ZoneMapScan.lastDeltaAutoFold = Some(v)
-                        } catch { case e: Exception =>
-                          System.err.println(
-                            s"[graft] auto-fold after keyed delta commit on $dir failed: $e")
                         }
                       }
+                    } catch { case e: Exception =>
+                      System.err.println(
+                        s"[graft] auto-fold after keyed delta commit on $dir failed: $e")
                     }
                   }
               }
@@ -2636,21 +2651,23 @@ private class StagingPosDeltaOperation(
                 ZoneMapScan.lastDeltaAutoFold = None
                 if (branch.isEmpty && bins.nonEmpty)
                   DeletionVectors.autoFoldFraction(tableFs, dir).foreach { frac =>
-                    val coveredN = bins.iterator.map(_._1).toSet
-                    if (snap.nonEmpty && coveredN.size >= frac * snap.size) {
-                      val suppressed = bins.iterator.map(_._3).sum
-                      val rowsCovered = GraftStagingCatalog.rowCountOf(
-                        SparkSession.active, hconf, dir, coveredN.toSeq)
-                      if (rowsCovered > 0L && suppressed >= frac * rowsCovered) {
-                        try {
+                    try {
+                      val coveredN = bins.iterator.map(_._1).toSet
+                      if (snap.nonEmpty && coveredN.size >= frac * snap.size) {
+                        val suppressed = bins.iterator.map(_._3).sum
+                        val rowsCovered = GraftStagingCatalog.rowCountOf(
+                          SparkSession.active, hconf, dir, coveredN.toSeq)
+                        if (rowsCovered > 0L && suppressed >= frac * rowsCovered) {
                           val (_, _, v) = StagingMaintenance.foldDeltasAt(
                             SparkSession.active, tableFs, dir)
                           ZoneMapScan.lastDeltaAutoFold = Some(v)
-                        } catch { case e: Exception =>
-                          System.err.println(
-                            s"[graft] auto-fold after position-delta commit on $dir failed: $e")
                         }
                       }
+                    } catch { case e: Exception =>
+                      // best-effort layout maintenance: the delta commit
+                      // above is already correct
+                      System.err.println(
+                        s"[graft] auto-fold after position-delta commit on $dir failed: $e")
                     }
                   }
               }

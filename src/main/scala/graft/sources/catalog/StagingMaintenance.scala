@@ -176,9 +176,18 @@ object StagingMaintenance {
       if (morKey.isEmpty && DeletionVectors.morPos(fs, d))
         DeletionVectors.posMapAt(fs, d, mf)
       else DeletionVectors.PosDvs.empty
+    // a CLONE's descriptors reference borrowed files by BARE name while
+    // its manifest holds the absolute path — resolve through the bare
+    // names of foreign entries (UUID-fresh part names cannot alias)
+    val byBare: Map[String, String] = all.filter(TableClone.isForeign)
+      .groupBy(f => new Path(f).getName)
+      .collect { case (b, fs0) if fs0.size == 1 => b -> fs0.head }
     val covered: Seq[String] =
       (dvMap.keysIterator ++ keyRuns.iterator.flatMap(_.files) ++
-        posMap.coveredFiles.iterator).filter(allSet).toSeq.distinct.sorted
+        posMap.coveredFiles.iterator)
+        .flatMap(f => if (allSet(f)) Iterator.single(f)
+                      else byBare.get(f).iterator)
+        .toSeq.distinct.sorted
     if (covered.isEmpty) {
       // descriptors with no live targets: drop them from the head with a
       // data-free commit
@@ -213,11 +222,16 @@ object StagingMaintenance {
     val resolved =
       if (!lineage) tagged
       else RowLineage.materialize(tagged, lineageEntries)
-    val tableDirName = d.getName
-    def dirKey(f: String): String =
-      if (f.contains("/")) f else s"$tableDirName/$f"
+    // key rows by the last TWO segments of the file's RESOLVED path —
+    // identical for table-relative and borrowed-absolute entries
+    def pathKey(f: String): String = {
+      val full = new Path(d, f).toString
+      val i2 = full.lastIndexOf('/')
+      val i1 = full.lastIndexOf('/', i2 - 1)
+      full.substring(i1 + 1)
+    }
     val pidOf: Map[String, Int] = covered.zipWithIndex.map { case (f, i) =>
-      dirKey(f) -> i }.toMap
+      pathKey(f) -> i }.toMap
     require(pidOf.size == covered.size,
       s"foldDeltas: covered dir/name keys are not unique (${covered.size} " +
         s"files, ${pidOf.size} distinct keys)")
@@ -238,7 +252,11 @@ object StagingMaintenance {
         val pid = pd.getPath.getName.stripPrefix("__graft_fpid=").toInt
         val old = covered(pid)
         val slash = old.lastIndexOf('/')
-        val dirPart = if (slash > 0) old.substring(0, slash + 1) else ""
+        // a BORROWED file's twin materializes into the folding table's own
+        // root — never back into the source's directory
+        val dirPart =
+          if (TableClone.isForeign(old)) ""
+          else if (slash > 0) old.substring(0, slash + 1) else ""
         val parts = fs.listStatus(pd.getPath).toIndexedSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         repl(old) = parts.zipWithIndex.map { case (f, j) =>

@@ -36,10 +36,17 @@ import org.apache.spark.sql.SparkSession
   * DROP TABLE on a source with live clones REFUSES (the clones would be
   * bricked); drop the clones first.
   *
+  * MERGE-ON-READ sources and DV-carrying snapshots clone too (late r14):
+  * the snapshot's descriptors TRANSPLANT into the clone's own sidecar dir
+  * ([[DeletionVectors.transplantDvs]]) with covered-file references
+  * renamed to the bare names the borrowed-entry read path keys by —
+  * suppressed rows stay invisible through the clone, divergence on either
+  * side runs its own delete machinery, and either side's vacuum reclaims
+  * only its own sidecars. Refused only when two covered files share a
+  * bare name (partition-layout reuse — fold the source first).
+  *
   * Scope boundaries (refused with clear errors, not silently wrong):
-  * row-lineage tables (per-file id bases do not transfer) and
-  * merge-on-read tables / snapshots with in-force deletion vectors (DV
-  * sidecars resolve in the source's directory). Cloning a still-borrowing
+  * row-lineage tables (per-file id bases do not transfer). Cloning a still-borrowing
   * clone IS legal: the new clone registers at every upstream table its
   * entries reference (and [[sync]] registers at upstreams that appear
   * later), so the whole chain stays vacuum-safe end to end.
@@ -126,14 +133,21 @@ object TableClone {
     require(!RowLineage.enabled(fs, src),
       s"cannot shallow-clone $catalog.$ns.$table: row-lineage tables' " +
         "per-file id bases do not transfer (materialize with CTAS instead)")
-    require(DeletionVectors.morKey(fs, src).isEmpty &&
-        !DeletionVectors.morPos(fs, src),
-      s"cannot shallow-clone $catalog.$ns.$table: merge-on-read tables' " +
-        "deletion vectors resolve in the source directory")
-    require(manifestDvs(fs, mf).isEmpty,
-      s"cannot shallow-clone $catalog.$ns.$table at version $srcV: " +
-        "the snapshot has in-force deletion vectors")
     val names = manifestFiles(fs, mf)
+    // MERGE-ON-READ snapshot (late r14): the in-force descriptors
+    // transplant into the clone's own sidecar dir, references renamed to
+    // the bare names the borrowed-entry read path keys by — unambiguous
+    // only when no two covered files share a bare name
+    val srcDvNames = manifestDvs(fs, mf)
+    if (srcDvNames.nonEmpty) {
+      val collide = names.groupBy(f => f.substring(f.lastIndexOf('/') + 1))
+        .filter(_._2.size > 1)
+      require(collide.isEmpty,
+        s"cannot shallow-clone $catalog.$ns.$table at version $srcV: " +
+          s"snapshot files collide on bare names " +
+          s"(${collide.keys.take(3).mkString(", ")}…) so the transplanted " +
+          "deletion vectors would be ambiguous — OPTIMIZE the source first")
+    }
     // TRANSITIVE CHAINS (r14): cloning a still-borrowing clone is legal —
     // the new clone registers at EVERY upstream table its entries
     // reference (registration is per-TABLE, so files it borrows from an
@@ -155,9 +169,10 @@ object TableClone {
     copySidecar(AutoAnalyzeSidecar)
     copySidecar(FileSizeSidecar)
     // write-admission declarations follow the schema: the clone keeps the
-    // source's update mode and auto-fold threshold (r14)
+    // source's update mode, auto-fold threshold, and merge-on-read mode
     copySidecar(DeletionVectors.UpdateModeSidecar)
     copySidecar(DeletionVectors.AutoFoldSidecar)
+    copySidecar(DeletionVectors.MorSidecar)
     CheckConstraint.read(fs, src).foreach(c => CheckConstraint.write(fs, dst, c))
     // declared sort order transfers with provenance (see class doc)
     val soCols = sortOrderCols(fs, src)
@@ -208,8 +223,13 @@ object TableClone {
     writeString(fs, new Path(dst, CloneSrcSidecar),
       (s"$src\n${regs.head._2}\n$watermark\n${schemaFingerprint(fs, src)}" +:
         regs.tail.map { case (u, r) => s"$u\t$r" }).mkString("\n"))
+    val dvs2 =
+      if (srcDvNames.isEmpty) Seq.empty[String]
+      else DeletionVectors.transplantDvs(fs, src, dst,
+        SparkSession.active.sessionState.newHadoopConf(), srcDvNames,
+        f => f.substring(f.lastIndexOf('/') + 1))
     val v = writeExplicitManifest(fs, dst, absolute, kind = "clone",
-      expectedBase = Some(0L))
+      expectedBase = Some(0L), dvs = dvs2)
     (srcV, names.size, v)
   }
 
@@ -278,16 +298,14 @@ object TableClone {
     if (headV <= lastV) return (lastV, lastV, 0, -1L)
     require(!RowLineage.enabled(fs, src),
       s"clone source $src enabled row lineage after the clone — re-clone")
-    def filesAt(v: Long): Seq[String] = {
+    def stateAt(v: Long): (Seq[String], Set[String]) = {
       val mf = probeManifest(fs, src, v).getOrElse(
         throw new IllegalStateException(
           s"sync: source version $v was vacuumed past the clone's " +
             s"watermark $lastV — the file delta cannot be reconstructed; re-clone"))
-      require(manifestDvs(fs, mf).isEmpty,
-        s"sync: source version $v carries deletion vectors — re-clone " +
-          "after the source folds them (OPTIMIZE)")
-      manifestFiles(fs, mf)
+      (manifestFiles(fs, mf), manifestDvs(fs, mf).toSet)
     }
+    def filesAt(v: Long): Seq[String] = stateAt(v)._1
     val fp = if (lines.length >= 4) lines(3).trim
              else schemaFingerprint(fs, src)
     // watermark updates REPLACE line 3 only — lines 5+ carry the
@@ -297,7 +315,8 @@ object TableClone {
       writeString(fs, scp,
         (Seq(cur(0), cur(1), headV.toString, fp) ++ cur.drop(4)).mkString("\n"))
     }
-    var prev = filesAt(lastV).toSet
+    val (files0, baseDvs) = stateAt(lastV)
+    var prev = files0.toSet
     val added = scala.collection.mutable.LinkedHashSet.empty[String]
     var rewriteAt = -1L
     var wv = lastV + 1
@@ -305,23 +324,27 @@ object TableClone {
       // a vacuumed INTERMEDIATE version wrecks only the append walk — the
       // CDF path diffs the endpoints, so with keys it routes there instead
       val curOpt =
-        if (wv == headV) Some(filesAt(wv).toSet)
-        else try Some(filesAt(wv).toSet)
+        if (wv == headV) Some(stateAt(wv))
+        else try Some(stateAt(wv))
           catch { case _: IllegalStateException if keys.nonEmpty => None }
       curOpt match {
-        case Some(cur) if (prev -- cur).isEmpty =>
-          (cur -- prev).foreach { f => added += f; () }
-          prev = cur
+        // a version whose DELETE-MACHINERY state moved (a delta commit or
+        // fold since the watermark) also cannot be absorbed by borrowing:
+        // new suppressions cover already-borrowed files — the CDF path
+        // reads each side under its own descriptors, so it follows fine
+        case Some((cur0, dvs)) if (prev -- cur0.toSet).isEmpty && dvs == baseDvs =>
+          cur0.filterNot(prev).foreach { f => added += f; () }
+          prev = cur0.toSet
           wv += 1
         case _ => rewriteAt = wv
       }
     }
     if (rewriteAt >= 0) {
       require(keys.nonEmpty,
-        s"sync: source version $rewriteAt removed files " +
-          "(overwrite/delete/optimize) — append-only refresh cannot absorb " +
-          "a rewrite; pass keys => 'k1[,k2…]' to follow it through the " +
-          "row-level change feed, or re-clone")
+        s"sync: source version $rewriteAt removed files or changed its " +
+          "delete-machinery state (rewrite, row-level op, or fold) — " +
+          "append-only refresh cannot absorb it; pass keys => 'k1[,k2…]' " +
+          "to follow through the row-level change feed, or re-clone")
       return cdfSync(spark, fs, d, src, catalog, ns, table, lastV, headV,
         keys, () => writeWatermark())
     }

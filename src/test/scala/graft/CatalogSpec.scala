@@ -1229,7 +1229,7 @@ class CatalogSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$stageRoot/ws/csrc")))
   }
 
-  test("shallow clone (r14): scope refusals — lineage, merge-on-read, clone-of-borrowing-clone") {
+  test("shallow clone (r14): scope refusals — lineage; merge-on-read serves; clone-of-borrowing-clone legal") {
     mountStage()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
     Seq("crx", "crc2", "crc", "crm", "crl").foreach { t =>
@@ -1241,12 +1241,15 @@ class CatalogSpec extends SparkSpec {
     val e1 = intercept[Exception] {
       spark.sql("CALL stage_t.clone('ws', 'crl', 'crx')") }
     assert(e1.getMessage.contains("row-lineage"), e1.getMessage)
+    // merge-on-read sources clone since late r14 (descriptor transplant —
+    // the dedicated MOR-clone test drives the full lifecycle); the quick
+    // sanity here: the clone serves the snapshot and is itself MOR
     spark.sql("CREATE TABLE stage_t.ws.crm (k BIGINT NOT NULL, v BIGINT) " +
       "TBLPROPERTIES ('graft.write.mode'='merge-on-read', 'graft.merge-keys'='k')")
     spark.sql("INSERT INTO stage_t.ws.crm SELECT id, id FROM range(0, 10)")
-    val e2 = intercept[Exception] {
-      spark.sql("CALL stage_t.clone('ws', 'crm', 'crx')") }
-    assert(e2.getMessage.contains("merge-on-read"), e2.getMessage)
+    spark.sql("CALL stage_t.clone('ws', 'crm', 'crmx')")
+    assert(spark.table("stage_t.ws.crmx").count() === 10L)
+    spark.sql("DROP TABLE stage_t.ws.crmx")
     // TRANSITIVE CHAIN (r14): cloning a still-borrowing clone is legal —
     // the grandchild registers at EVERY upstream, so even the ROOT's
     // vacuum keeps the chain readable after the intermediates diverge
@@ -4937,6 +4940,71 @@ class CatalogSpec extends SparkSpec {
       spark.sql("CALL stage_t.sync('ws', 'cfs_c', keys => 'nope')") }
     assert(e2.getMessage.contains("unknown column"), e2.getMessage)
     Seq("cfs_c", "cfs_s").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
+  }
+
+  test("clone of MOR/DV'd snapshots (r14): descriptors transplant with renamed references; divergence and vacuum stay independent; keyed sync follows") {
+    import graft.sources.catalog.StagingMaintenance
+    mountStage()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    Seq("mcl_c", "mcl_s", "mpl_c", "mpl_s").foreach { t =>
+      try spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t")
+      catch { case _: IllegalStateException => () }
+    }
+    // keyed MOR source with an in-force inline key DV
+    spark.sql("CREATE TABLE stage_t.ws.mcl_s (k BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.mode'='merge-on-read', 'graft.merge-keys'='k')")
+    spark.sql("INSERT INTO stage_t.ws.mcl_s SELECT id, id FROM range(0, 100)")
+    spark.sql("DELETE FROM stage_t.ws.mcl_s WHERE k % 10 = 7")
+    spark.sql("CALL stage_t.clone('ws', 'mcl_s', 'mcl_c')")
+    val fs = new org.apache.hadoop.fs.Path(stageRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$stageRoot/ws/mcl_c"))
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")),
+      "MOR clone copied data files — must stay zero-copy")
+    assert(StagingMaintenance.activeDvs(spark, "stage_t", "ws", "mcl_c").nonEmpty,
+      "clone manifest carries no transplanted descriptors")
+    assert(spark.table("stage_t.ws.mcl_c").count() === 90L,
+      "suppressed rows resurrected through the clone")
+    // clone-side divergence through its OWN delta machinery
+    spark.sql("UPDATE stage_t.ws.mcl_c SET v = v + 1000 WHERE k % 10 = 3")
+    def sumC(): Long = spark.table("stage_t.ws.mcl_c")
+      .agg(sum(col("v"))).collect()(0).getLong(0)
+    val base90 = (0L until 100L).filter(_ % 10 != 7).sum
+    assert(sumC() === base90 + 1000L * 10L)
+    // source diverges (another delta) — the clone is isolated…
+    spark.sql("DELETE FROM stage_t.ws.mcl_s WHERE k % 10 = 1")
+    assert(spark.table("stage_t.ws.mcl_c").count() === 90L)
+    // …and the keyed CDF sync follows the DV-state change
+    val r = spark.sql("CALL stage_t.sync('ws', 'mcl_c', keys => 'k')").collect()(0)
+    assert(r.getInt(2) > 0, r.toString)
+    assert(spark.table("stage_t.ws.mcl_c").count() === 80L)
+    assert(sumC() === (0L until 100L).filter(k => k % 10 != 7 && k % 10 != 1).sum
+      + 1000L * 10L, "keyed sync lost the clone's divergent update")
+
+    // keyless MOR: run descriptor (pos-delta UPDATE) + inline sidecar
+    // (small DELETE) both transplant; the hard-vacuumed source cannot
+    // brick the clone's suppression state
+    spark.sql("CREATE TABLE stage_t.ws.mpl_s (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.mode'='merge-on-read')")
+    spark.sql("INSERT INTO stage_t.ws.mpl_s SELECT id, id FROM range(0, 100)")
+    spark.sql("UPDATE stage_t.ws.mpl_s SET v = v + 1000 WHERE k % 10 = 7")
+    spark.sql("DELETE FROM stage_t.ws.mpl_s WHERE k % 25 = 4")
+    spark.sql("CALL stage_t.clone('ws', 'mpl_s', 'mpl_c')")
+    def stateP(): (Long, Long) = {
+      val row = spark.sql(
+        "SELECT count(*), sum(v) FROM stage_t.ws.mpl_c").collect()(0)
+      (row.getLong(0), row.getLong(1))
+    }
+    val expRows = (0L until 100L).filterNot(_ % 25 == 4)
+    val exp = (expRows.size.toLong,
+      expRows.map(k => if (k % 10 == 7) k + 1000L else k).sum)
+    assert(stateP() === exp, "pos descriptors mis-transplanted")
+    spark.sql("INSERT OVERWRITE stage_t.ws.mpl_s SELECT id, id FROM range(0, 3)")
+    spark.sql("CALL stage_t.vacuum('ws', 'mpl_s', 1)")
+    assert(stateP() === exp,
+      "source vacuum broke the clone's transplanted delete state")
+    Seq("mcl_c", "mcl_s", "mpl_c", "mpl_s").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS stage_t.ws.$t"))
   }
 }
