@@ -3152,10 +3152,10 @@ object Connectors {
     require(refused, "keyless sync across a rewrite must refuse with the keys hint")
     val r = spark.sql(
       "CALL graft_stage.sync('work', 'cfs_dst', keys => 'o_orderkey')").collect()(0)
-    require(r.getInt(2) > 0, s"CDF sync absorbed nothing: $r")
+    require(r.getLong(2) > 0L, s"CDF sync absorbed nothing: $r")
     val r2 = spark.sql(
       "CALL graft_stage.sync('work', 'cfs_dst', keys => 'o_orderkey')").collect()(0)
-    require(r2.getInt(2) == 0 && r2.getLong(3) == -1L,
+    require(r2.getLong(2) == 0L && r2.getLong(3) == -1L,
       s"CDF re-sync must be an idempotent no-op: $r2")
     spark.sql(
       """SELECT o_orderstatus AS status, count(*) AS n,
@@ -3570,7 +3570,7 @@ object Connectors {
          |SELECT o_orderkey, o_orderstatus, o_totalprice
          |FROM orders_sy_src WHERE o_orderkey % 7 = $m""".stripMargin))
     val r = spark.sql("CALL graft_stage.sync('work', 'sy_dst')").collect()(0)
-    require(r.getLong(0) == 1L && r.getLong(1) == 3L && r.getInt(2) > 0,
+    require(r.getLong(0) == 1L && r.getLong(1) == 3L && r.getLong(2) > 0L,
       s"sync absorbed nothing: $r")
     val fs = new org.apache.hadoop.fs.Path(stageRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -3579,7 +3579,7 @@ object Connectors {
       .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")),
       "sync copied data files — refresh must borrow, not copy")
     val r2 = spark.sql("CALL graft_stage.sync('work', 'sy_dst')").collect()(0)
-    require(r2.getInt(2) == 0 && r2.getLong(3) == -1L,
+    require(r2.getLong(2) == 0L && r2.getLong(3) == -1L,
       s"sync is not idempotent: $r2")
     spark.sql(
       """INSERT INTO graft_stage.work.sy_dst

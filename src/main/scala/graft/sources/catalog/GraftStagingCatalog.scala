@@ -2655,8 +2655,17 @@ private class StagingPosDeltaOperation(
                       val coveredN = bins.iterator.map(_._1).toSet
                       if (snap.nonEmpty && coveredN.size >= frac * snap.size) {
                         val suppressed = bins.iterator.map(_._3).sum
+                        // bins key borrowed clone files by BARE name —
+                        // resolve through the snapshot's foreign entries or
+                        // the footer job reads paths that do not exist
+                        val snapSet = snap.toSet
+                        val foreignByBare = snap.filter(TableClone.isForeign)
+                          .groupBy(f => new Path(f).getName)
+                          .collect { case (b, fs0) if fs0.size == 1 => b -> fs0.head }
+                        val resolved = coveredN.toSeq.flatMap(f =>
+                          if (snapSet(f)) Some(f) else foreignByBare.get(f))
                         val rowsCovered = GraftStagingCatalog.rowCountOf(
-                          SparkSession.active, hconf, dir, coveredN.toSeq)
+                          SparkSession.active, hconf, dir, resolved)
                         if (rowsCovered > 0L && suppressed >= frac * rowsCovered) {
                           val (_, _, v) = StagingMaintenance.foldDeltasAt(
                             SparkSession.active, tableFs, dir)
@@ -3463,15 +3472,18 @@ object GraftStagingCatalog {
   /** Active deletion-vector sidecar names recorded by a manifest (r9+;
     * absent field = none — every pre-MOR manifest).
     */
-  /** Total parquet row count of `files` under `d` — footer reads pushed
-    * to the EXECUTORS (one task per slice of files), so a broad
-    * statement's auto-fold gate on a 100k-file table never serializes
-    * metadata I/O on the driver.
+  private[catalog] def manifestDvs(fs: FileSystem, mf: Path): Seq[String] =
+    parseArray(readString(fs, mf), "dvs")
+
+  /** Per-file parquet row counts of `files` under `d` — footer reads
+    * pushed to the EXECUTORS (one task per slice of files), so a broad
+    * statement's auto-fold gate or a purge's twin-boundary computation on
+    * a 100k-file table never serializes metadata I/O on the driver.
     */
-  private[catalog] def rowCountOf(spark: SparkSession,
+  private[catalog] def rowCountsOf(spark: SparkSession,
       hconf: org.apache.spark.util.SerializableConfiguration,
-      d: Path, files: Seq[String]): Long = {
-    if (files.isEmpty) 0L
+      d: Path, files: Seq[String]): Map[String, Long] = {
+    if (files.isEmpty) Map.empty
     else {
       val dirStr = d.toString
       spark.sparkContext.parallelize(files,
@@ -3480,13 +3492,16 @@ object GraftStagingCatalog {
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new Path(dirStr, f), hconf.value))
-          try r.getRecordCount finally r.close()
-        }.sum().toLong
+          try f -> r.getRecordCount finally r.close()
+        }.collect().toMap
     }
   }
 
-  private[catalog] def manifestDvs(fs: FileSystem, mf: Path): Seq[String] =
-    parseArray(readString(fs, mf), "dvs")
+  /** Total row count across `files` — the [[rowCountsOf]] sum. */
+  private[catalog] def rowCountOf(spark: SparkSession,
+      hconf: org.apache.spark.util.SerializableConfiguration,
+      d: Path, files: Seq[String]): Long =
+    rowCountsOf(spark, hconf, d, files).valuesIterator.sum
 
   /** Extract one NAMED string array from a manifest — scoped to the field,
     * not the whole document (a manifest may carry several arrays: `files`

@@ -257,8 +257,12 @@ object StagingMaintenance {
         val dirPart =
           if (TableClone.isForeign(old)) ""
           else if (slash > 0) old.substring(0, slash + 1) else ""
+        // listStatus order is unspecified; sorted part names ARE row order
+        // (the writing task numbers them sequentially) — required for the
+        // preserved-row-order claim the sort-provenance carry rides
         val parts = fs.listStatus(pd.getPath).toIndexedSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
         repl(old) = parts.zipWithIndex.map { case (f, j) =>
           val name = s"${dirPart}fold-$token-$pid-$j.parquet"
           val target = new Path(d, name)

@@ -228,7 +228,7 @@ private[catalog] object StagingProcedures {
       private val out = StructType(Seq(
         StructField("from_version", LongType, nullable = false),
         StructField("to_version", LongType, nullable = false),
-        StructField("absorbed", IntegerType, nullable = false),
+        StructField("absorbed", LongType, nullable = false),
         StructField("clone_version", LongType, nullable = false)))
       override def parameters(): Array[ProcedureParameter] = Array(
         ProcedureParameter.in("ns", StringType).build(),

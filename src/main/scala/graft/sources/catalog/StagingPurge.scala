@@ -242,8 +242,13 @@ object StagingPurge {
         val old = cand(pid)
         val slash = old.lastIndexOf('/')
         val dirPart = if (slash > 0) old.substring(0, slash + 1) else ""
+        // part names number sequentially within the writing task (c000,
+        // c001, …) but listStatus order is unspecified — sort, or a
+        // multi-part twin's row order (and the DV ordinal remap riding
+        // twinCum) silently scrambles
         val parts = fs.listStatus(pd.getPath).toIndexedSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
         repl(old) = parts.zipWithIndex.map { case (f, j) =>
           val name = s"${dirPart}purge-$token-$pid-$j.parquet"
           val target = new Path(d, name)
@@ -280,12 +285,10 @@ object StagingPurge {
         val conf = spark.sessionState.newHadoopConf()
         val replAll: Map[String, Seq[String]] =
           cand.map(f => f -> repl.getOrElse(f, Seq.empty).toSeq).toMap
-        def twinRows(t: String): Long = {
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new Path(d, t), conf))
-          try r.getRecordCount finally r.close()
-        }
+        // twin row counts in ONE executor-parallel footer pass
+        val twinRows: Map[String, Long] = rowCountsOf(spark,
+          new org.apache.spark.util.SerializableConfiguration(conf), d,
+          posCovered.iterator.flatMap(replAll(_)).toSeq)
         val twinCum: Map[String, Array[Long]] = posCovered.iterator.map { f =>
           f -> replAll(f).map(twinRows).scanLeft(0L)(_ + _).toArray
         }.toMap

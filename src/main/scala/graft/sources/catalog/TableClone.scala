@@ -258,8 +258,13 @@ object TableClone {
     * version that wrecks the append walk still syncs with keys.
     *
     * A vacuumed gap (the watermark's manifest no longer readable)
-    * refuses: the delta cannot be reconstructed. DV-carrying versions
-    * refuse as at clone time. Crash-safe: the manifest (or MERGE)
+    * refuses: the delta cannot be reconstructed. A version whose
+    * delete-machinery state moved since the watermark (a delta commit or
+    * fold) is rewrite-equivalent — new suppressions cover already-borrowed
+    * files — so it follows with keys or refuses without; versions whose
+    * descriptors are unchanged absorb by borrowing as usual (the clone's
+    * transplanted copies keep covering the old files). Crash-safe: the
+    * manifest (or MERGE)
     * commits before the watermark advances; re-absorbing files dedups
     * and re-applying the same net changes is idempotent (same upserts,
     * same ghost deletes).
@@ -269,7 +274,7 @@ object TableClone {
     * path); clone_version = -1 when already current (no commit).
     */
   def sync(spark: SparkSession, catalog: String, ns: String, table: String,
-      keys: Seq[String] = Seq.empty): (Long, Long, Int, Long) = {
+      keys: Seq[String] = Seq.empty): (Long, Long, Long, Long) = {
     import GraftStagingCatalog._
     val (fs, d) = StagingMaintenance.tableDir(spark, catalog, ns, table)
     val scp = new Path(d, CloneSrcSidecar)
@@ -305,7 +310,6 @@ object TableClone {
             s"watermark $lastV — the file delta cannot be reconstructed; re-clone"))
       (manifestFiles(fs, mf), manifestDvs(fs, mf).toSet)
     }
-    def filesAt(v: Long): Seq[String] = stateAt(v)._1
     val fp = if (lines.length >= 4) lines(3).trim
              else schemaFingerprint(fs, src)
     // watermark updates REPLACE line 3 only — lines 5+ carry the
@@ -350,7 +354,7 @@ object TableClone {
     }
     if (added.isEmpty) {
       writeWatermark()
-      return (lastV, headV, 0, -1L)
+      return (lastV, headV, 0L, -1L)
     }
     val absolute = added.toSeq.map(f =>
       if (isForeign(f)) f else new Path(src, f).toString)
@@ -378,7 +382,7 @@ object TableClone {
     val v = writeExplicitManifest(fs, d, (curFiles ++ absolute).distinct,
       kind = "sync", expectedBase = Some(base))
     writeWatermark()
-    (lastV, headV, absolute.size, v)
+    (lastV, headV, absolute.size.toLong, v)
   }
 
   /** CDF-DRIVEN SYNC (r14 — the "sync through rewrites" path): apply the
@@ -392,7 +396,7 @@ object TableClone {
     */
   private def cdfSync(spark: SparkSession, fs: FileSystem, d: Path, src: Path,
       catalog: String, ns: String, table: String, lastV: Long, headV: Long,
-      keys: Seq[String], writeWatermark: () => Unit): (Long, Long, Int, Long) = {
+      keys: Seq[String], writeWatermark: () => Unit): (Long, Long, Long, Long) = {
     import org.apache.spark.sql.functions.col
     val declared = GraftStagingCatalog.declaredSchema(fs, d)
     keys.foreach(k => require(
@@ -432,7 +436,7 @@ object TableClone {
       val v =
         if (insN + delN == 0L) -1L
         else GraftStagingCatalog.headManifest(fs, d).map(_._1).getOrElse(0L)
-      (lastV, headV, (insN + delN).toInt, v)
+      (lastV, headV, insN + delN, v)
     } finally {
       net.unpersist()
       spark.catalog.dropTempView(insView)

@@ -1297,7 +1297,7 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO stage_t.ws.sys SELECT id, id * 3 FROM range(50, 80)")
     spark.sql("INSERT INTO stage_t.ws.sys SELECT id, id * 3 FROM range(80, 100)")
     val r = spark.sql("CALL stage_t.sync('ws', 'syd')").collect()(0)
-    assert(r.getLong(0) === 1L && r.getLong(1) === 3L && r.getInt(2) > 0, r.toString)
+    assert(r.getLong(0) === 1L && r.getLong(1) === 3L && r.getLong(2) > 0L, r.toString)
     assert(spark.table("stage_t.ws.syd").count() === 100L)
     val fs = new org.apache.hadoop.fs.Path(stageRoot)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -1307,7 +1307,7 @@ class CatalogSpec extends SparkSpec {
     // divergence rides along; a second sync with nothing new is a no-op
     spark.sql("INSERT INTO stage_t.ws.syd SELECT id, id * 3 FROM range(1000, 1010)")
     val r2 = spark.sql("CALL stage_t.sync('ws', 'syd')").collect()(0)
-    assert(r2.getInt(2) === 0 && r2.getLong(3) === -1L, r2.toString)
+    assert(r2.getLong(2) === 0L && r2.getLong(3) === -1L, r2.toString)
     assert(spark.table("stage_t.ws.syd").count() === 110L)
     // a source rewrite breaks the append-only contract
     spark.sql("INSERT OVERWRITE stage_t.ws.sys SELECT id, id * 3 FROM range(0, 5)")
@@ -4908,7 +4908,7 @@ class CatalogSpec extends SparkSpec {
     // keyed CDF sync: net = 10 upserts (update) + 5 inserts (append) +
     // 10 deletes (no replacement keys)
     val r = spark.sql("CALL stage_t.sync('ws', 'cfs_c', keys => 'k')").collect()(0)
-    assert(r.getInt(2) === 25, r.toString)
+    assert(r.getLong(2) === 25L, r.toString)
     val srcRows = spark.table("stage_t.ws.cfs_s").collect()
       .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
     val divergent = (0L until 10L).map(i => (i + 1000L, i)).toSet
@@ -4919,7 +4919,7 @@ class CatalogSpec extends SparkSpec {
         s"extra=${cloneRows -- (srcRows ++ divergent)}")
     // idempotent: already-current sync is a no-op
     val r2 = spark.sql("CALL stage_t.sync('ws', 'cfs_c', keys => 'k')").collect()(0)
-    assert(r2.getInt(2) === 0 && r2.getLong(3) === -1L, r2.toString)
+    assert(r2.getLong(2) === 0L && r2.getLong(3) === -1L, r2.toString)
     // appends AFTER a CDF sync borrow zero-copy again
     val fs = new org.apache.hadoop.fs.Path(stageRoot)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -4930,7 +4930,7 @@ class CatalogSpec extends SparkSpec {
     val pq0 = cloneParquet()
     spark.sql("INSERT INTO stage_t.ws.cfs_s SELECT id + 300, id FROM range(0, 5)")
     val r3 = spark.sql("CALL stage_t.sync('ws', 'cfs_c')").collect()(0)
-    assert(r3.getInt(2) > 0, r3.toString)
+    assert(r3.getLong(2) > 0L, r3.toString)
     assert(cloneParquet() === pq0, "post-CDF append sync copied data files")
     assert(spark.table("stage_t.ws.cfs_c").count() ===
       srcRows.size + divergent.size + 5L)
@@ -4977,7 +4977,7 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("stage_t.ws.mcl_c").count() === 90L)
     // …and the keyed CDF sync follows the DV-state change
     val r = spark.sql("CALL stage_t.sync('ws', 'mcl_c', keys => 'k')").collect()(0)
-    assert(r.getInt(2) > 0, r.toString)
+    assert(r.getLong(2) > 0L, r.toString)
     assert(spark.table("stage_t.ws.mcl_c").count() === 80L)
     assert(sumC() === (0L until 100L).filter(k => k % 10 != 7 && k % 10 != 1).sum
       + 1000L * 10L, "keyed sync lost the clone's divergent update")
