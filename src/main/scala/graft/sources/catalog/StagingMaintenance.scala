@@ -711,7 +711,18 @@ object StagingMaintenance {
     * no catalog-qualified name.
     */
   private[catalog] def rowLevelChangesAt(spark: SparkSession, fs: FileSystem, d: Path,
-      fromVersion: Long, toVersion: Long): DataFrame = {
+      fromVersion: Long, toVersion: Long): DataFrame =
+    rowLevelChangesParts(spark, fs, d, fromVersion, toVersion)._1
+
+  /** [[rowLevelChangesAt]] core, additionally exposing STRUCTURAL
+    * one-sidedness: `hasRemoved`/`hasAdded` report whether any file left or
+    * entered the slice (by name or DV visibility). `hasRemoved == false`
+    * proves the diff holds zero delete rows without running a job (the old
+    * side is an empty relation), and symmetrically for inserts — callers
+    * use this to skip pairing work on pure-append / pure-drop versions.
+    */
+  private[catalog] def rowLevelChangesParts(spark: SparkSession, fs: FileSystem, d: Path,
+      fromVersion: Long, toVersion: Long): (DataFrame, Boolean, Boolean) = {
     import org.apache.spark.sql.functions.lit
     require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
     def manifestOf(v: Long): Path = GraftStagingCatalog.probeManifest(fs, d, v).getOrElse(
@@ -787,8 +798,33 @@ object StagingMaintenance {
     }
     val oldRows = read(removed, dvFrom, posFrom, krFrom)
     val newRows = read(added, dvTo, posTo, krTo)
-    oldRows.exceptAll(newRows).withColumn("_change", lit("delete"))
-      .unionByName(newRows.exceptAll(oldRows).withColumn("_change", lit("insert")))
+    // ONE multiset difference for both polarities (r14 opt, guide §2.4):
+    // `exceptAll` in each direction re-aggregates the SAME two inputs with
+    // opposite signs (Spark rewrites ExceptAll to Union → Aggregate(sum ±1)
+    // → ReplicateRows), so the two calls doubled every scan and shuffle.
+    // Fused: tag old rows +1 / new rows −1, aggregate once; net > 0 rows
+    // are deletes replicated net times, net < 0 inserts. Grouping equality
+    // (null-safe, NaN-equal, −0.0 normalized) is the same Aggregate
+    // machinery exceptAll itself lowers to, so the multiset semantics are
+    // identical. One-sided slices (pure append / pure drop) skip the
+    // shuffle outright — the other relation is structurally empty.
+    import org.apache.spark.sql.functions.{abs => fabs, array_repeat, col, explode,
+      sum => fsum, when => fwhen}
+    val diff =
+      if (removed.isEmpty) newRows.withColumn("_change", lit("insert"))
+      else if (added.isEmpty) oldRows.withColumn("_change", lit("delete"))
+      else {
+        val cols = oldRows.columns.toSeq
+        val net = oldRows.withColumn("_gn", lit(1L))
+          .unionByName(newRows.withColumn("_gn", lit(-1L)))
+          .groupBy(cols.map(col): _*).agg(fsum(col("_gn")).as("_gn"))
+          .where(col("_gn") =!= 0L)
+        net.withColumn("_change",
+            fwhen(col("_gn") > 0L, lit("delete")).otherwise(lit("insert")))
+          .withColumn("_gr", explode(array_repeat(lit(1), fabs(col("_gn")).cast("int"))))
+          .select(cols.map(col) :+ col("_change"): _*)
+      }
+    (diff, removed.nonEmpty, added.nonEmpty)
   }
 
   private[catalog] val CdfDir = "_graft_cdf"
@@ -834,35 +870,54 @@ object StagingMaintenance {
       out
     }
     else {
+      val (diff0, hasRemoved, hasAdded) =
+        rowLevelChangesParts(spark, fs, d, v - 1L, v)
+      if (!hasRemoved || !hasAdded) {
+        // STRUCTURALLY one-sided version (pure append / pure metadata
+        // drop, r14 opt): the other polarity's relation is empty by
+        // manifest arithmetic, so nothing can pair — write the diff as-is
+        // and skip the stability scan and the pairing machinery (for an
+        // append this is a map-only copy of the added files).
+        diff0.withColumnRenamed("_change", "_change_type")
+          .withColumn("_commit_version", lit(v))
+          .write.mode("overwrite").parquet(out.toString)
+        return out
+      }
       // persisted for the shaping below: the keyed path re-reads the diff
-      // for its window + intersect, and the keyless path reads it twice
+      // for its rank + per-key counts, and the keyless path reads it twice
       // (one stability-scan job + the pairing) — without this each would
-      // recompute the EXCEPT-ALL diff from the changed files every time
-      val diff = rowLevelChangesAt(spark, fs, d, v - 1L, v).persist()
+      // recompute the multiset diff from the changed files every time
+      val diff = diff0.persist()
       try {
       val shaped = DeletionVectors.morKey(fs, d) match {
         case Some(k) if diff.columns.exists(_.equalsIgnoreCase(k)) =>
           // pair the two polarities by (key, occurrence#): occurrence rank
           // is deterministic (ordered by every data column), so duplicate
-          // keys pair stably; intersect is over the slice, not the table
+          // keys pair stably. A key's first min(#deletes, #inserts) rows
+          // of EACH polarity re-type — the r14 form: the old membership
+          // intersect (two exchanges + dedup) + rank equi-join computed
+          // exactly the set {rank <= min(side counts)} (each side's ranks
+          // are contiguous 1..count), so one per-key count aggregation
+          // joined back decides membership with the same result; NULL
+          // keys never re-type in either form (null-rejecting join).
           val dataCols = diff.columns.filter(_ != "_change").toSeq
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col(k), col("_change")).orderBy(dataCols.map(col): _*)
           val tagged = diff.withColumn("_graft_rn", row_number().over(w))
-          val paired = tagged.where(col("_change") === "delete")
-            .select(col(k).as("_graft_pk"), col("_graft_rn").as("_graft_prn"))
-            .intersect(tagged.where(col("_change") === "insert")
-              .select(col(k).as("_graft_pk"), col("_graft_rn").as("_graft_prn")))
-            .withColumn("_graft_paired", lit(true))
-          tagged.join(paired,
-              tagged(k) === paired("_graft_pk") &&
-                tagged("_graft_rn") === paired("_graft_prn"), "left")
+          val cnts = diff.groupBy(col(k).as("_graft_pk"))
+            .agg(org.apache.spark.sql.functions.least(
+              org.apache.spark.sql.functions.sum(
+                when(col("_change") === "delete", 1L).otherwise(0L)),
+              org.apache.spark.sql.functions.sum(
+                when(col("_change") === "insert", 1L).otherwise(0L))).as("_gm"))
+            .where(col("_gm") > 0L)
+          tagged.join(cnts, tagged(k) === cnts("_graft_pk"), "left")
             .withColumn("_change",
-              when(col("_graft_paired").isNotNull,
+              when(col("_graft_rn") <= col("_gm"),
                 when(col("_change") === "delete", lit("update_preimage"))
                   .otherwise(lit("update_postimage")))
                 .otherwise(col("_change")))
-            .drop("_graft_rn", "_graft_pk", "_graft_prn", "_graft_paired")
+            .drop("_graft_rn", "_graft_pk", "_gm")
         case _ =>
           // KEYLESS update images (r12): no declared row identity, so the
           // old→new correspondence is reconstructed from column content.
@@ -910,30 +965,27 @@ object StagingMaintenance {
               r.getString(0) == c && r.getInt(1) == 0))
           if (stable.isEmpty || stable.size == dataCols.size) diff
           else {
-            val sCols = stable.map(col)
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(sCols :+ col("_change"): _*).orderBy(dataCols.map(col): _*)
-            val tagged = diff.withColumn("_graft_rn", row_number().over(w))
-            def side(ch: String) = tagged.where(col("_change") === ch)
-              .select(sCols :+ col("_graft_rn"): _*)
-              .toDF(stable.map("_gs_" + _) :+ "_graft_prn": _*)
-            val dTag = side("delete"); val iTag = side("insert")
-            // (stable-values, occurrence#) present on BOTH sides, limited
-            // to groups whose two sides have EQUAL cardinality; NULL
-            // stable values never pair (equi-join) — conservative
-            val dMax = dTag.groupBy(stable.map(c => col("_gs_" + c)): _*)
-              .agg(org.apache.spark.sql.functions.max(col("_graft_prn")).as("_gdm"))
-            val iMax = iTag.groupBy(stable.map(c => col("_gs_" + c)): _*)
-              .agg(org.apache.spark.sql.functions.max(col("_graft_prn")).as("_gim"))
-            val eqGroups = dMax.join(iMax, stable.map("_gs_" + _))
-              .where(col("_gdm") === col("_gim"))
-              .select(stable.map(c => col("_gs_" + c)): _*)
-            val paired = dTag.intersect(iTag)
-              .join(eqGroups, stable.map("_gs_" + _), "left_semi")
+            // A stable-value group re-types WHOLESALE iff its two sides
+            // have equal cardinality (r14 opt): the old machinery ranked
+            // rows within (stable, _change) by a window sort, intersected
+            // (stable, rank) across the sides and semi-joined equal-max
+            // groups — but with equal side counts the rank sets coincide
+            // at 1..n, so membership is a property of the GROUP alone.
+            // One per-group count aggregation + one equi-join (NULL stable
+            // values still never pair — null-rejecting join, the
+            // conservative direction) replaces the window sort, the
+            // intersect's two exchanges, and the two max-rank aggregates.
+            // Which delete pairs with which insert was always dropped from
+            // the output (only `_change` is rewritten), so the rank itself
+            // was dead weight.
+            val eq = diff.groupBy(stable.map(col): _*)
+              .agg(fsum(when(col("_change") === "delete", 1L).otherwise(0L)).as("_gd"),
+                fsum(when(col("_change") === "insert", 1L).otherwise(0L)).as("_gi"))
+              .where(col("_gd") === col("_gi"))
+              .select(stable.map(c => col(c).as("_gs_" + c)): _*)
               .withColumn("_graft_paired", lit(true))
-            val cond = stable.map(c => tagged(c) === paired("_gs_" + c))
-              .reduce(_ && _) && tagged("_graft_rn") === paired("_graft_prn")
-            tagged.join(paired, cond, "left")
+            val cond = stable.map(c => diff(c) === eq("_gs_" + c)).reduce(_ && _)
+            diff.join(eq, cond, "left")
               .withColumn("_change",
                 when(col("_graft_paired").isNotNull,
                   when(col("_change") === "delete", lit("update_preimage"))
@@ -959,6 +1011,10 @@ object StagingMaintenance {
     * delete surfaces as identity-keyed deletes and a MOR UPDATE (DV-delete
     * + preserved-id insert) pairs into pre/post images off the shared id.
     */
+  /** Plan-evidence accessor for [[lineageCdfDiff]] (dev tooling only). */
+  private[catalog] def lineageDiffForPlanDump(spark: SparkSession, fs: FileSystem,
+      d: Path, v: Long): DataFrame = lineageCdfDiff(spark, fs, d, v)
+
   private def lineageCdfDiff(spark: SparkSession, fs: FileSystem, d: Path,
       v: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, not, struct}
@@ -1023,29 +1079,32 @@ object StagingMaintenance {
       declared, fromE, applyDvs = applyDvsOf(oldFiles, dvFrom, posFrom, krFrom))
     val news = RowLineage.readWithIds(spark, d, newFiles.toSeq.sorted,
       declared, toE, applyDvs = applyDvsOf(newFiles, dvTo, posTo, krTo))
-    val newIds = news.select(col("_row_id"))
-    val oldIds = olds.select(col("_row_id"))
-    val inserts = news.join(oldIds, Seq("_row_id"), "left_anti")
-      .withColumn("_change", lit("insert"))
-    val deletes = olds.join(newIds, Seq("_row_id"), "left_anti")
-      .withColumn("_change", lit("delete"))
-    // ids on BOTH sides: changed data → a pre/post pair sharing the id;
-    // identical data (the rewritten-but-untouched remainder) cancels
+    // ONE full-outer join on the id decides every case (r14 opt — the old
+    // form ran five joins: two anti for inserts/deletes, one inner for
+    // changed ids, two semi for the pre/post images, re-reading each side
+    // up to three times): id only on the new side → insert, only on the
+    // old side → delete, both sides with identical data (the
+    // rewritten-but-untouched remainder) → cancels, both sides with
+    // differing data → a pre/post image PAIR sharing the id (emitted via
+    // a 2-element generate). Ids are unique per side, so the join never
+    // multiplies rows.
     val o = olds.alias("__gco"); val n = news.alias("__gcn")
-    val changedIds = o.join(n, col("__gco._row_id") === col("__gcn._row_id"))
-      .where(not(struct(dataCols.map(c => col(s"__gco.$c")): _*) <=>
-        struct(dataCols.map(c => col(s"__gcn.$c")): _*)))
-      .select(col("__gco._row_id").as("_row_id"))
-    val pre = olds.join(changedIds, Seq("_row_id"), "left_semi")
-      .withColumn("_change", lit("update_preimage"))
-    val post = news.join(changedIds, Seq("_row_id"), "left_semi")
-      .withColumn("_change", lit("update_postimage"))
-    // feed column order: data, then _row_id, then the change column
-    val outCols = dataCols.map(col) :+ col("_row_id") :+ col("_change")
-    inserts.select(outCols: _*)
-      .union(deletes.select(outCols: _*))
-      .union(pre.select(outCols: _*))
-      .union(post.select(outCols: _*))
+    val oid = col("__gco._row_id"); val nid = col("__gcn._row_id")
+    def rowOf(side: String, change: String) = struct(
+      dataCols.map(c => col(s"$side.$c").as(c)) :+
+        col(s"$side._row_id").as("_row_id") :+ lit(change).as("_change"): _*)
+    import org.apache.spark.sql.functions.{array, explode, when => fwhen}
+    o.join(n, oid === nid, "full_outer")
+      .where(oid.isNull || nid.isNull ||
+        not(struct(dataCols.map(c => col(s"__gco.$c")): _*) <=>
+          struct(dataCols.map(c => col(s"__gcn.$c")): _*)))
+      .select(explode(
+        fwhen(oid.isNull, array(rowOf("__gcn", "insert")))
+          .when(nid.isNull, array(rowOf("__gco", "delete")))
+          .otherwise(array(rowOf("__gco", "update_preimage"),
+            rowOf("__gcn", "update_postimage")))).as("_gr"))
+      .select(dataCols.map(c => col(s"_gr.$c")) :+
+        col("_gr._row_id").as("_row_id") :+ col("_gr._change").as("_change"): _*)
   }
 
   // ---- zone maps (file-level min/max data skipping) ----------------------

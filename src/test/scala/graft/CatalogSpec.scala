@@ -3071,6 +3071,37 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("stage_t.ws.mor").count() === 802)
   }
 
+  test("row-level diff replicates duplicate-row multiset deltas exactly (fused diff, r14)") {
+    // The r14 single-aggregation diff must keep exceptAll's MULTISET
+    // semantics: a row present 3x before and 1x after yields exactly 2
+    // delete copies (and net-zero rows cancel entirely).
+    mountStage()
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stage_t.ws")
+    spark.sql("DROP TABLE IF EXISTS stage_t.ws.dupdiff")
+    spark.sql("CREATE TABLE stage_t.ws.dupdiff (k BIGINT, v BIGINT)")
+    Seq((1L, 10L), (1L, 10L), (1L, 10L), (2L, 20L))
+      .toDF("k", "v").createOrReplaceTempView("dup_v1")
+    spark.sql("INSERT INTO stage_t.ws.dupdiff SELECT * FROM dup_v1") // v1
+    Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 30L))
+      .toDF("k", "v").createOrReplaceTempView("dup_v2")
+    spark.sql("INSERT OVERWRITE stage_t.ws.dupdiff SELECT * FROM dup_v2") // v2
+    val diff = graft.sources.catalog.StagingMaintenance
+      .rowLevelChanges(spark, "stage_t", "ws", "dupdiff", 1L, 2L)
+      .groupBy(col("_change"), col("k"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(diff === Map(("delete", 1L) -> 2L, ("insert", 2L) -> 1L,
+      ("insert", 3L) -> 1L), diff.toString)
+    // structurally one-sided: a pure append's diff is insert-only
+    spark.sql("INSERT INTO stage_t.ws.dupdiff VALUES (9, 90)") // v3
+    val appendDiff = graft.sources.catalog.StagingMaintenance
+      .rowLevelChanges(spark, "stage_t", "ws", "dupdiff", 2L, 3L)
+      .groupBy(col("_change")).agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(appendDiff === Map("insert" -> 1L), appendDiff.toString)
+  }
+
   test("filtered overwrite on a legacy un-versioned table never re-processes its own fresh files") {
     // Regression: the overwrite commit runs AFTER its insert phase landed
     // fresh files; on a table with NO version manifest the delete phase
