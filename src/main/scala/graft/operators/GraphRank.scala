@@ -421,21 +421,27 @@ object GraphRank {
       .repartition(col("u"))
       .checkpoint()
     val trajectory = Seq.newBuilder[(Int, Long, Long)]
-    // one action per round: node + edge counts in a single aggregate read
-    // straight off the round's checkpoint files
-    def stats(e: DataFrame): (Long, Long) = {
-      val r = e.agg(countDistinct(col("u")), count(lit(1))).head
+    // r14 opt (guide §1.2 — don't compute things twice): the per-round
+    // DEGREE aggregation already holds both trajectory stats — n_nodes is
+    // its group count (every node has out-edges) and n_edges is
+    // sum(deg) / 2 — so the old separate stats pass (a second full edge
+    // scan + countDistinct shuffle per round, 7 edge passes total) folds
+    // into the degree frame: 4 edge passes, and the stats read is an
+    // O(nodes) aggregate over the durable degree checkpoint.
+    def degrees(e: DataFrame): DataFrame =
+      e.groupBy(col("u")).agg(count(lit(1)).as("deg")).checkpoint()
+    def stats(degs: DataFrame): (Long, Long) = {
+      val r = degs.agg(count(lit(1)), sum(col("deg"))).head
       (r.getLong(0), r.getLong(1) / 2)
     }
-    val s0 = stats(edges)
+    var degs = degrees(edges)
+    val s0 = stats(degs)
     trajectory += ((0, s0._1, s0._2))
     for (round <- 1 to 3) {
-      // survivor set derived ONCE per round into its own durable frame —
+      // survivor set read straight off the round's durable degree frame —
       // both endpoint semi-joins read these checkpoint files, so the degree
       // aggregation runs exactly once per round under any memory pressure
-      val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= CoreK).select(col("u").as("node"))
-        .checkpoint()
+      val keep = degs.where(col("deg") >= CoreK).select(col("u").as("node"))
       // v-side filter FIRST, u-side LAST: the final shuffle-hash semi-join
       // hash-partitions its output on u, so the checkpointed round state is
       // already u-clustered for the next round's degree agg and u-filter —
@@ -445,7 +451,8 @@ object GraphRank {
         .join(keep.hint("shuffle_hash").withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .select(col("u"), col("v"))
         .checkpoint() // lineage cut: round state lives on disk, O(1) deep
-      val s = stats(edges)
+      degs = degrees(edges)
+      val s = stats(degs)
       trajectory += ((round, s._1, s._2))
     }
     import spark.implicits._

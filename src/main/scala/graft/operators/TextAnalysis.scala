@@ -455,12 +455,20 @@ object TextAnalysis {
   def q155CountminEstimate(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
-    val cells = toks
-      .select(col("tok"), explode(sequence(lit(0), lit(3))).as("r"))
+    // r14 opt (guide §1.2 per-task work): count tokens FIRST, then hash.
+    // The sketch cell (r, bucket) count = Σ counts of the tokens hashing
+    // there, so the 4 md5 rows per token need only be computed per
+    // DISTINCT token, not per occurrence — the occurrence stream passes
+    // through ONE plain count aggregation (identical to the exact-count
+    // branch, so the two branches share one exchange via ReuseExchange)
+    // and the 4x md5 amplification runs over the vocabulary only.
+    val tokCounts = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+    val cells = tokCounts
+      .select(col("tok"), col("exact_cnt"), explode(sequence(lit(0), lit(3))).as("r"))
       .withColumn("bucket",
         expr("CAST(conv(substr(md5(concat(tok, '#', r)), 1, 8), 16, 10) AS BIGINT) % 512"))
-      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
-    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .groupBy(col("r"), col("bucket")).agg(sum(col("exact_cnt")).as("cnt"))
+    val exact = tokCounts
       .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
     val probes = exact
       .select(col("tok"), col("exact_cnt"), explode(sequence(lit(0), lit(3))).as("r"))
