@@ -903,6 +903,8 @@ object Dedup {
     * discipline as every dedup operator here.
     */
   def q290SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint (r14, the q110 discipline): sh feeds the sizes agg
+    // AND both self-join sides; tokenize + explode + distinct once.
     val sh = Tables.documents(spark, dir)
       .select(col("source"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 3)
@@ -910,6 +912,7 @@ object Dedup {
         "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))
         .as("g3"))
       .distinct()
+      .localCheckpoint()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     sh.alias("x")
       .join(sh.alias("y"), col("x.g3") === col("y.g3") && col("x.source") < col("y.source"))

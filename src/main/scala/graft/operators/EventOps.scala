@@ -594,9 +594,13 @@ object EventOps {
     * df-capped the same way. Top 20 by count with a (ua, ub) tiebreak.
     */
   def q175CoVisitation(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint (r14, the q110 discipline): w feeds both self-join
+    // sides with alias-renamed subtrees that defeat ReuseExchange —
+    // bucket + distinct once.
     val w = Tables.events(spark, dir)
       .select(window(col("ts"), "10 minutes").getField("start").as("wb"), col("user_id"))
       .distinct()
+      .localCheckpoint()
     w.select(col("wb"), col("user_id").as("ua"))
       .join(w.select(col("wb"), col("user_id").as("ub")), Seq("wb"))
       .where(col("ua") < col("ub"))

@@ -184,15 +184,22 @@ object Similarity {
     * Shared by the in-flight ANN (q67/q84/q216) and the persistent
     * catalog-table index (q246) so both paths assign identically.
     */
-  private[graft] def ivfAssign(base: DataFrame, cents: DataFrame): DataFrame = {
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(asc("dist2"), asc("c_id"))
+  private[graft] def ivfAssign(base: DataFrame, cents: DataFrame): DataFrame =
+    // argmin as a min_by AGGREGATION, not a rank window (r14 opt): the
+    // window form shuffled all |centroids|× rows and sorted them; min_by
+    // partial-aggregates MAP-SIDE (the crossJoin output is partition-local,
+    // so the K× amplification collapses before the exchange) and never
+    // sorts. The (dist2, c_id) struct order is the window's exact
+    // (asc dist2, asc c_id) total order, so the chosen cell is identical.
     base.crossJoin(broadcast(cents))
       .withColumn("dist2",
         col("n2") - lit(2.0) * expr("float_vec_dot(embedding, c_emb)") + col("c_n2"))
-      .withColumn("crn", row_number().over(wCell))
-      .where(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("n2"), col("c_id").as("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(org.apache.spark.sql.functions.min_by(
+        struct(col("embedding"), col("n2"), col("c_id")),
+        struct(col("dist2"), col("c_id"))).as("_best"))
+      .select(col("vec_id"), col("_best.embedding").as("embedding"),
+        col("_best.n2").as("n2"), col("_best.c_id").as("cell"))
 
   /** Top-3 in-cell neighbors for the query vectors (vec_id < 20) over ANY
     * table of cell assignments (vec_id, embedding, n2, cell) — shared by
@@ -565,12 +572,14 @@ object Similarity {
   /** PQ encoding: nearest codebook centroid per (vector, subspace) — a
     * (vec, m)-partitioned argmin window over [[pqSubDists]].
     */
-  private[graft] def pqCodes(sub: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("cid"))
-    sub.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("cid").as("code"))
-  }
+  private[graft] def pqCodes(sub: DataFrame): DataFrame =
+    // argmin as min_by (r14 opt — see ivfAssign): map-side partial
+    // aggregation collapses the |codebook|× amplification before the
+    // exchange and drops the window sort; (d2, cid) struct order == the
+    // old (d2, cid) rank order, so codes are identical.
+    sub.groupBy(col("vec_id"), col("m"))
+      .agg(org.apache.spark.sql.functions.min_by(col("cid"),
+        struct(col("d2"), col("cid"))).as("code"))
 
   /** DuckDB twin of [[pqSubDists]]+[[pqCodes]] — `sub` and `codes` CTEs
     * shared by the q258 and q264 oracles.
@@ -626,7 +635,9 @@ object Similarity {
     */
   def q264IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
     val base = withNorm(spark, dir)
-    val assigned = ivfAssign(base, ivfCentroids(base))
+    // localCheckpoint (r14, the q110 discipline): assigned feeds the query
+    // set AND the candidate side — assign cells once.
+    val assigned = ivfAssign(base, ivfCentroids(base)).localCheckpoint()
     val sub = pqSubDists(base.select(col("vec_id"), col("embedding")))
       .localCheckpoint() // feeds codes AND the query distance tables
     val codes = pqCodes(sub)

@@ -517,9 +517,12 @@ object TextAnalysis {
     * uses above the document level.
     */
   def q170WeightedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint (r14, the q110 discipline): cnt feeds the totals agg
+    // AND both self-join sides — tokenize + count once.
     val cnt = Tables.documents(spark, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val totals = cnt.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
     val shared = cnt.select(col("lang").as("la"), col("tok"), col("c").as("ca"))
       .join(cnt.select(col("lang").as("lb"), col("tok"), col("c").as("cb")), Seq("tok"))

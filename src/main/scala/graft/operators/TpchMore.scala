@@ -334,8 +334,12 @@ object TpchMore {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
           .cast("int").as("late"))
+    // localCheckpoint (r14): perOrderSupp feeds the per-order rollup AND
+    // the final join — without it the fact⋈orders join + aggregation runs
+    // twice (exchange reuse only dedups the shuffles, not the join+agg).
     val perOrderSupp = lines.groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("late")).as("s_late"))
+      .localCheckpoint()
     val perOrder = perOrderSupp.groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_supp"), sum(col("s_late")).as("n_late_supp"))
     perOrderSupp.join(perOrder, "l_orderkey")

@@ -83,9 +83,13 @@ object VecMore {
     */
   def q116Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // localCheckpoint (r14, the q110 discipline): dt feeds the top-k doc
+    // frequencies AND (through the semi-join) both pair sides — tokenize +
+    // distinct once.
     val dt = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
+      .localCheckpoint()
     val top = dt.groupBy(col("tok")).agg(count(lit(1)).as("n_docs_tok"))
       .orderBy(desc("n_docs_tok"), asc("tok")).limit(20)
     val ft = dt.join(broadcast(top.select("tok")), Seq("tok"), "left_semi")
@@ -281,10 +285,15 @@ object VecMore {
     * surviving pairs; it only shrinks the self-join's input.
     */
   def q178AssociationLift(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint (r14, the q110 discipline): b feeds FOUR consumers —
+    // the basket count, the per-brand support, and both self-join sides
+    // (via the support-filtered bf) — whose alias-renamed subtrees defeat
+    // ReuseExchange; materialize the scan+join+distinct once.
     val b = Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("p_brand")).distinct()
+      .localCheckpoint()
     val nbDf = b.agg(countDistinct(col("l_orderkey")).as("nb"))
     val s = b.groupBy(col("p_brand")).agg(count(lit(1)).as("c"))
     val bf = b.join(broadcast(s.where(col("c") >= 20).select(col("p_brand"))), "p_brand")

@@ -12,8 +12,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (PushedFilters / ReadSchema), so loaders stay bare `spark.read.parquet`.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Footer-inferred schema per (dir, table), cached for the JVM (r14 —
+    * guide §6 metadata cost): every bare `spark.read.parquet` runs a
+    * schema-inference job against the footers before the real scan; across
+    * a 357-query bench that is hundreds of redundant footer jobs. METADATA
+    * only — the cache holds a StructType, never rows; every query still
+    * reads its data in full (the production analogue is a metastore
+    * schema, which Spark also trusts without re-sniffing footers).
+    */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.types.StructType]
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaCache.getOrElseUpdate((dir, name),
+      spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   /** events.ts has shipped as two different parquet encodings across corpus
     * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
@@ -29,7 +44,7 @@ object Tables {
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/events.parquet")
+    val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
