@@ -63,6 +63,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("norm_text"),
       new ExpressionInfo(classOf[NormText].getName, "norm_text"),
       (args: Seq[Expression]) => NormText(args.head)))
+    // Spark's own Bloom-filter probe expression (the machinery behind the
+    // runtime bloom-filter join, SPARK-32268) is registered INTERNAL-only;
+    // expose it by name so manual guide-§3.2 pre-filters (build a filter
+    // over a selective join side, drop non-matching probe rows BEFORE their
+    // exchange — q324) are expressible in plain column code. A pure
+    // re-export of the builtin expression — no custom evaluation code; the
+    // filter bytes come from `DataFrame.stat.bloomFilter` (same sketch
+    // class) passed as a constant.
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+          .getName, "might_contain"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args.head, args(1))))
     // Table-valued function: graft_bins(lo, hi, width) bin spine (GraftBins)
     ext.injectTableFunction((
       FunctionIdentifier("graft_bins"),

@@ -488,12 +488,35 @@ object TextHygiene {
         s"transform(sequence(0, size(t) - $SpanK), i -> " +
           s"struct(i AS i, array_join(slice(t, i + 1, $SpanK), ' ') AS gram))")).as("g"))
       .select(col("doc_id"), col("source"), col("g.i"), col("g.gram"))
+    // localCheckpoint (r14): dup feeds the Bloom build AND the exact hit
+    // join — one token-volume aggregation instead of two.
     val dup = grams.groupBy(col("gram"))
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
       .where(col("d0") =!= col("d1"))
       .select(col("gram"))
+      .localCheckpoint()
+    // Bloom pre-filter (r14, guide §3.2): drop definitely-unique grams from
+    // the probe side BEFORE its exchange — the duplicated fraction is small,
+    // so the second token-volume shuffle of ~60-byte gram strings shrinks
+    // to the duplicated grams (+ false positives, which the exact equi-join
+    // below still removes — no result change at any fpp). Sized from the
+    // exact duplicated-gram count (a 1-row read off the checkpoint), 1%
+    // fpp: the FILTER stays bounded (~1.2 MB/M keys) even where `dup`
+    // itself is not provably broadcastable. Keys are xxhash64 longs on
+    // both sides (the sketch's putLong/mightContainLong fast path).
+    val nDup = dup.count()
+    val bfBytes = {
+      val bf = dup.selectExpr("xxhash64(gram) AS h")
+        .stat.bloomFilter("h", math.max(nDup, 1000L), 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val spans = grams.join(dup, "gram")
+    val spans = grams
+      .where(org.apache.spark.sql.functions.call_function("might_contain",
+        lit(bfBytes), expr("xxhash64(gram)")))
+      .join(dup, "gram")
       .select(col("doc_id"), col("source"), col("i"))
       .withColumn("prev_end",
         max(col("i") + lit(SpanK - 1)).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
